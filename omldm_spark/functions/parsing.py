@@ -1,0 +1,146 @@
+"""Parsing / projection operators (SURVEY.md §2.2, P1-P8).
+
+Reference behavior being matched (citations into /root/reference/):
+
+* P1 ``DataInstanceParser`` (src/main/scala/omldm/utils/parsers/
+  DataInstanceParser.scala:8-24): JSON -> POJO, silently drop malformed
+  records, drop the ``"EOS"`` sentinel, drop records failing ``isValid``.
+  Spark: ``from_json`` in PERMISSIVE mode (malformed -> null struct) +
+  ``filter`` — whole-stage codegen, no Python.
+* P2 ``RequestParser`` (…/requestStream/RequestParser.scala:8-18): same for
+  pipeline CRUD requests.
+* P3 ``DataPointParser`` (…/dataStream/DataPointParser.scala:14-59):
+  DataInstance -> learning point; a record with all three feature arrays
+  null/empty is dropped (:17); label presence selects Labeled/Unlabeled;
+  ``operation`` selects training vs forecasting.
+* P4 ``StringToArrayDoublesParser`` (…/StringToArrayDoublesParser.scala:3-5):
+  "1.0,2.0" -> ARRAY<DOUBLE>.
+* P5 hub-broadcast expansion (src/main/scala/omldm/FlinkLearning.scala:65-75):
+  one HubMessage with parallel operation/destination arrays -> one control
+  message per (op, dest) pair; networkId == -1 synthesizes one message per
+  worker (broadcast to all).
+* P8 toString sink projection (src/main/scala/omldm/Job.scala:91,100):
+  POJO -> JSON string.
+
+All of these are pure Catalyst expressions: filters push down to the scan,
+nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import DATA_INSTANCE_SCHEMA, EOS_SENTINEL, REQUEST_SCHEMA
+
+
+def parse_data_instances(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """P1: raw JSON strings -> validated DataInstance rows.
+
+    Malformed JSON yields a null struct (PERMISSIVE), which the filter drops —
+    the exact silent-drop semantics of DataInstanceParser.scala:12-22.
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col), DATA_INSTANCE_SCHEMA).alias("di")
+    )
+    return (
+        parsed
+        # EOS / malformed / not-an-object -> null struct fields
+        .filter(F.col("di").isNotNull())
+        .select("di.*")
+        # isValid: needs an operation and at least one feature array
+        .filter(F.col("operation").isin("training", "forecasting"))
+        .filter(
+            (F.size(F.coalesce(F.col("numericalFeatures"), F.array())) > 0)
+            | (F.size(F.coalesce(F.col("discreteFeatures"), F.array())) > 0)
+            | (F.size(F.coalesce(F.col("categoricalFeatures"), F.array())) > 0)
+        )
+    )
+
+
+def parse_requests(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """P2: raw JSON -> validated Request rows (RequestParser.scala:8-18)."""
+    parsed = raw.select(F.from_json(F.col(value_col), REQUEST_SCHEMA).alias("rq"))
+    return (
+        parsed.filter(F.col("rq").isNotNull())
+        .select("rq.*")
+        .filter(F.col("id").isNotNull())
+        .filter(F.col("request").isin("Create", "Update", "Query", "Delete"))
+    )
+
+
+def to_usable_points(instances: DataFrame) -> DataFrame:
+    """P3: DataInstance -> learning points.
+
+    Adds ``kind`` ('labeled'/'unlabeled') — the discriminator column that
+    replaces the reference's runtime ``isInstanceOf`` filters
+    (FlinkLearning.scala:99-108, P6).
+    """
+    return instances.select(
+        "id",
+        F.coalesce(F.col("numericalFeatures"), F.array()).alias("numericalFeatures"),
+        F.coalesce(F.col("discreteFeatures"), F.array()).alias("discreteFeatures"),
+        F.coalesce(F.col("categoricalFeatures"), F.array()).alias(
+            "categoricalFeatures"
+        ),
+        F.col("target"),
+        F.col("operation"),
+        F.when(F.col("target").isNotNull(), F.lit("labeled"))
+        .otherwise(F.lit("unlabeled"))
+        .alias("kind"),
+    )
+
+
+def parse_double_array(col: Column | str, sep: str = ",") -> Column:
+    """P4: '1.0,2.0' -> ARRAY<DOUBLE> (StringToArrayDoublesParser.scala:3-5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(F.split(c, sep), lambda x: x.cast("double"))
+
+
+def expand_hub_broadcast(
+    hub_messages: DataFrame,
+    parallelism: int,
+    ops_col: str = "operations",
+    dests_col: str = "destinations",
+) -> DataFrame:
+    """P5: explode parallel (operations, destinations) arrays into unit
+    control messages; networkId == -1 fans out one message per worker
+    (FlinkLearning.scala:65-75).
+    """
+    regular = (
+        hub_messages.filter(F.col("networkId") != -1)
+        .select(
+            F.col("networkId").cast("long").alias("networkId"),
+            F.explode(
+                F.arrays_zip(
+                    F.col(ops_col).alias("operation"),
+                    F.col(dests_col).alias("destination"),
+                )
+            ).alias("od"),
+        )
+        .select(
+            "networkId",
+            F.col("od.operation").cast("long").alias("operation"),
+            F.col("od.destination").cast("long").alias("destination"),
+        )
+    )
+    broadcast = (
+        hub_messages.filter(F.col("networkId") == -1)
+        .select(
+            F.col("networkId").cast("long").alias("networkId"),
+            F.explode(F.sequence(F.lit(0), F.lit(parallelism - 1))).alias(
+                "destination"
+            ),
+        )
+        .select(
+            "networkId",
+            F.lit(-1).cast("long").alias("operation"),
+            F.col("destination").cast("long").alias("destination"),
+        )
+    )
+    return regular.unionByName(broadcast)
+
+
+def to_json_sink(df: DataFrame) -> DataFrame:
+    """P8/S7-S9: rows -> one JSON string column named ``value`` (Kafka shape)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))

@@ -1,0 +1,4 @@
+from .base import LEARNER_REGISTRY, Learner, get_learner  # noqa: F401
+from . import linear  # noqa: F401  (registers PA, RegressorPA, MultiClassPA, SVM)
+from . import kmeans  # noqa: F401  (registers K-means)
+from . import orr  # noqa: F401

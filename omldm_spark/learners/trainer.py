@@ -1,0 +1,156 @@
+"""BSP trainer: the FlinkSpoke + FlinkHub pair collapsed into map/merge.
+
+Reference hot path (SURVEY.md §3.1): workers partial-fit, push params to a
+hub via an RPC fabric + Kafka feedback topic; the hub merges and broadcasts
+back. Here one *round* is:
+
+    partitions --mapInPandas partial_fit--> tiny state rows --driver merge-->
+    broadcast model --next round
+
+The per-partition state is O(model), not O(data) — collecting P of them to
+the driver is the same communication pattern as MLlib's treeAggregate and is
+exactly what the reference's hub does (it, too, centralizes the merged
+model: src/main/scala/omldm/operators/hub/FlinkHub.scala:54-162). At 1000
+executors this moves ~1000 × (dim+1) doubles per round — trivial.
+
+Epochs over a *bounded* stream replay = the reference's multi-epoch file
+replay (workload ``lin_class_mil_e10.txt`` = 10 epochs,
+DefaultJobParameters.scala:7).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .base import Learner, get_learner
+
+# Serialized state row: flat float arrays + counts; one row per partition.
+STATE_SCHEMA = "part_id long, n long, cum_loss double, flat array<double>"
+
+
+def _flatten_state(learner: Learner, state: dict) -> list[float]:
+    """Pack model arrays into one flat vector (order: sorted keys, excluding
+    bookkeeping); the driver unpacks with the same layout."""
+    out: list[float] = []
+    for k in sorted(state):
+        if k in ("n", "cum_loss"):
+            continue
+        v = state[k]
+        if isinstance(v, np.ndarray):
+            out.extend(np.asarray(v, dtype=float).ravel().tolist())
+        else:
+            out.append(float(v))
+    return out
+
+
+def _unflatten_state(learner: Learner, template: dict, flat: list[float]) -> dict:
+    state = {}
+    i = 0
+    for k in sorted(template):
+        if k in ("n", "cum_loss"):
+            continue
+        v = template[k]
+        if isinstance(v, np.ndarray):
+            size = v.size
+            state[k] = np.asarray(flat[i : i + size], dtype=float).reshape(v.shape)
+            i += size
+        else:
+            state[k] = float(flat[i])
+            i += 1
+    return state
+
+
+def fit(
+    points: DataFrame,
+    learner_name: str,
+    dim: int,
+    hyper: dict | None = None,
+    *,
+    features_col: str = "features",
+    label_col: str = "label",
+    epochs: int = 1,
+    num_partitions: int | None = None,
+    init_state: dict | None = None,
+) -> dict:
+    """Train over a bounded DataFrame; returns the merged model state.
+
+    ``points`` must carry ``features_col`` (ARRAY<DOUBLE>) and ``label_col``
+    (DOUBLE). Rows are processed in partition order — deterministic given a
+    deterministic partitioning, mirroring the reference's fixed-seed replay
+    (FlinkSpoke.scala:52).
+    """
+    hyper = dict(hyper or {})
+    learner = get_learner(learner_name)
+    template = learner.init_state(dim, hyper)
+
+    if num_partitions is not None:
+        points = points.repartition(num_partitions)
+    sel = points.select(features_col, label_col)
+
+    state = init_state or learner.init_state(dim, hyper)
+    for _ in range(epochs):
+        bc_flat = _flatten_state(learner, state)
+        bc_n, bc_cum = int(state["n"]), float(state["cum_loss"])
+
+        def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local = _unflatten_state(learner, template, bc_flat)
+            local["n"], local["cum_loss"] = 0, 0.0
+            seen = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(pdf[features_col].tolist(), dtype=float)
+                yv = pdf[label_col].to_numpy(dtype=float)
+                local = learner.partial_fit(X, yv, local, hyper)
+                seen += len(pdf)
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "part_id": [0],
+                        "n": [int(local["n"])],
+                        "cum_loss": [float(local["cum_loss"])],
+                        "flat": [_flatten_state(learner, local)],
+                    }
+                )
+
+        rows = sel.mapInPandas(run_partition, schema=STATE_SCHEMA).collect()
+        if not rows:
+            break
+        partials = []
+        for r in rows:
+            s = _unflatten_state(learner, template, list(r["flat"]))
+            s["n"], s["cum_loss"] = int(r["n"]), float(r["cum_loss"])
+            partials.append(s)
+        merged = learner.merge(partials)
+        merged["n"] = bc_n + sum(int(p["n"]) for p in partials)
+        merged["cum_loss"] = bc_cum + sum(float(p["cum_loss"]) for p in partials)
+        state = merged
+    return state
+
+
+def evaluate(
+    points: DataFrame,
+    learner_name: str,
+    state: dict,
+    *,
+    features_col: str = "features",
+    label_col: str = "label",
+) -> dict:
+    """Holdout loss/score on a (small) test split — the reference's
+    Query-on-testSet path (FlinkSpoke.scala:160-163)."""
+    learner = get_learner(learner_name)
+    pdf = points.select(features_col, label_col).toPandas()
+    if len(pdf) == 0:
+        return {"loss": math.nan, "score": math.nan, "n_test": 0}
+    X = np.asarray(pdf[features_col].tolist(), dtype=float)
+    yv = pdf[label_col].to_numpy(dtype=float)
+    return {
+        "loss": learner.loss(X, yv, state),
+        "score": learner.score(X, yv, state),
+        "n_test": len(pdf),
+    }

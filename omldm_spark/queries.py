@@ -1,0 +1,526 @@
+"""Query registry: every operator from SURVEY.md §2 exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where deterministic, a DuckDB
+oracle SQL string over the same parquet tables.
+
+Conventions (driver contract, __spark_entry__.py):
+* output column names are lowercase snake_case, aliased identically in the
+  Spark plan and the oracle SQL;
+* float aggregates are rounded (both sides, same digits) because engines sum
+  in different orders; integer aggregates are exact and cast explicitly
+  (DuckDB sum(BIGINT) is HUGEINT — always CAST);
+* no timestamp/array columns in outputs — scalars only, for stable hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.parsing import (
+    expand_hub_broadcast,
+    parse_data_instances,
+    to_json_sink,
+    to_usable_points,
+)
+from .io import data_instances, load_table
+from .learners.orr import CRAMER_2D_SQL
+from .operators.split import split_sql, train_test_split
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared derivations (Spark + SQL kept adjacent; see io.py for the rationale)
+# ---------------------------------------------------------------------------
+
+# Scalar learning points for the ORR path: 2 features + scaled target.
+#
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so id
+# collides; (id, pk, sk) is unique and is the total order for every window.
+#
+# Quantization: x0/x1/y have <= 2/2/5 decimals, so q0/q1/qy are exact
+# integers. Integer products sum exactly in doubles (< 2^53 at oracle SF),
+# making every Gram entry BIT-IDENTICAL across engines — the one division
+# per entry is a single IEEE op on identical operands. No rounding slack
+# needed anywhere upstream of the solve.
+POINTS_SQL = """
+SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+       l_partkey AS pk,
+       l_suppkey AS sk,
+       l_quantity AS x0,
+       l_discount AS x1,
+       l_extendedprice / 1000.0 AS y,
+       CAST(round(l_quantity * 100, 0) AS BIGINT) AS q0,
+       CAST(round(l_discount * 100, 0) AS BIGINT) AS q1,
+       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS qy
+FROM lineitem
+WHERE (l_orderkey * 8 + l_linenumber) % 10 <> 0
+"""
+
+NUM_WORKERS = 8
+ORR_LAMBDA = 0.1
+ORDER_COLS = ["id", "pk", "sk"]
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).cast("long")
+    return li.select(
+        rid.alias("id"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_quantity").alias("x0"),
+        F.col("l_discount").alias("x1"),
+        (F.col("l_extendedprice") / F.lit(1000.0)).alias("y"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q0"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("q1"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("qy"),
+    ).filter(F.pmod(F.col("id"), F.lit(10)) != 0)
+
+
+def _split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_test_split(
+        _points(spark, sf_dir), num_workers=NUM_WORKERS, order_cols=ORDER_COLS
+    )
+
+
+SPLIT_POINTS_SQL = split_sql(
+    POINTS_SQL, num_workers=NUM_WORKERS, order_cols=ORDER_COLS
+)
+
+
+def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix via integer sums: one agg, map-side combinable,
+    whole-stage codegen; the shape of MLlib's treeAggregate normal equations
+    (the ORR plan of SURVEY.md §2.9)."""
+    train = _split_points(spark, sf_dir).filter(F.col("split") == "train")
+    q0, q1, qy = F.col("q0"), F.col("q1"), F.col("qy")
+    return train.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.avg(q0 * q0) / F.lit(10000.0)).alias("m_0_0"),
+        (F.avg(q0 * q1) / F.lit(10000.0)).alias("m_0_1"),
+        (F.avg(q0) / F.lit(100.0)).alias("m_0_b"),
+        (F.avg(q0 * qy) / F.lit(10000000.0)).alias("v_0"),
+        (F.avg(q1 * q1) / F.lit(10000.0)).alias("m_1_1"),
+        (F.avg(q1) / F.lit(100.0)).alias("m_1_b"),
+        (F.avg(q1 * qy) / F.lit(10000000.0)).alias("v_1"),
+        (F.avg(qy) / F.lit(100000.0)).alias("v_b"),
+    )
+
+
+GRAM_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       avg(q0 * q0) / 10000.0 AS m_0_0,
+       avg(q0 * q1) / 10000.0 AS m_0_1,
+       avg(q0) / 100.0 AS m_0_b,
+       avg(q0 * qy) / 10000000.0 AS v_0,
+       avg(q1 * q1) / 10000.0 AS m_1_1,
+       avg(q1) / 100.0 AS m_1_b,
+       avg(q1 * qy) / 10000000.0 AS v_1,
+       avg(qy) / 100000.0 AS v_b
+FROM ({SPLIT_POINTS_SQL}) WHERE split = 'train'
+"""
+
+WEIGHTS_SQL = CRAMER_2D_SQL.format(g=f"({GRAM_SQL})", lam=ORR_LAMBDA)
+
+
+def _weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _gram(spark, sf_dir).createOrReplaceTempView("omldm_gram")
+    return spark.sql(CRAMER_2D_SQL.format(g="omldm_gram", lam=ORR_LAMBDA))
+
+
+# ---------------------------------------------------------------------------
+# P1-P3: parsing path (DataInstance JSON round trip)
+# ---------------------------------------------------------------------------
+
+@query(
+    "parse_training_points",
+    oracle=f"""
+WITH di AS ({
+    '''SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+       l_quantity AS f0, l_discount AS f1, l_tax AS f2,
+       l_extendedprice AS target,
+       CASE WHEN (l_orderkey * 8 + l_linenumber) % 10 = 0
+            THEN 'forecasting' ELSE 'training' END AS operation
+FROM lineitem'''})
+SELECT id, f0, f1, f2, target, operation,
+       'labeled' AS kind
+FROM di
+ORDER BY id
+""",
+)
+def parse_training_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3: serialize the derived DataInstances to JSON, push them through
+    the full parse path (malformed + EOS rows injected and dropped), emit
+    flat learning points. Exercises DataInstanceParser semantics
+    (silent drop: DataInstanceParser.scala:12-22)."""
+    di = data_instances(spark, sf_dir)
+    raw = to_json_sink(di)
+    junk = spark.createDataFrame(
+        [("EOS",), ("{not json",), ('{"operation": "nope"}',), ("",)], ["value"]
+    )
+    parsed = parse_data_instances(raw.unionByName(junk))
+    points = to_usable_points(parsed)
+    return points.select(
+        "id",
+        F.col("numericalFeatures")[0].alias("f0"),
+        F.col("numericalFeatures")[1].alias("f1"),
+        F.col("numericalFeatures")[2].alias("f2"),
+        "target",
+        "operation",
+        "kind",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 80/20 split (reference holdout semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "train_test_split",
+    oracle=f"SELECT id, worker, rn, split FROM ({SPLIT_POINTS_SQL})",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _split_points(spark, sf_dir).select("id", "worker", "rn", "split")
+
+
+@query(
+    "poll_markers",
+    oracle=f"""
+SELECT worker, rn, id FROM ({SPLIT_POINTS_SQL}) WHERE rn % 100 = 0
+""",
+)
+def q_poll_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: every-100th-record sentinel emission (FlinkSpoke.scala:82-89)."""
+    return (
+        _split_points(spark, sf_dir)
+        .filter(F.pmod(F.col("rn"), F.lit(100)) == 0)
+        .select("worker", "rn", "id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: union of training + forecasting streams
+# ---------------------------------------------------------------------------
+
+@query(
+    "union_points",
+    oracle="""
+WITH di AS (
+  SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+         l_extendedprice AS target,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 10 = 0
+              THEN 'forecasting' ELSE 'training' END AS operation
+  FROM lineitem
+)
+SELECT operation,
+       CAST(count(*) AS BIGINT) AS cnt,
+       avg(CAST(round(target * 100, 0) AS BIGINT)) / 100.0 AS avg_target
+FROM (
+  SELECT * FROM di WHERE operation = 'training'
+  UNION ALL
+  SELECT * FROM di WHERE operation = 'forecasting'
+)
+GROUP BY operation
+""",
+)
+def q_union_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    di = data_instances(spark, sf_dir)
+    training = di.filter(F.col("operation") == "training")
+    forecasting = di.filter(F.col("operation") == "forecasting")
+    return (
+        training.unionByName(forecasting)
+        .groupBy("operation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            (F.avg(F.round(F.col("target") * 100, 0).cast("long")) / F.lit(100.0)).alias(
+                "avg_target"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORR: closed-form ridge — gram, weights, predictions, query response
+# ---------------------------------------------------------------------------
+
+@query("orr_gram", oracle=GRAM_SQL)
+def q_orr_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gram(spark, sf_dir)
+
+
+@query("orr_weights", oracle=WEIGHTS_SQL)
+def q_orr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _weights(spark, sf_dir)
+
+
+@query(
+    "orr_predictions",
+    oracle=f"""
+WITH w AS ({WEIGHTS_SQL}),
+fc AS (
+  SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+         l_quantity AS x0, l_discount AS x1
+  FROM lineitem
+  WHERE (l_orderkey * 8 + l_linenumber) % 10 = 0
+)
+SELECT fc.id, round(w.w0 * fc.x0 + w.w1 * fc.x1 + w.bias, 4) AS prediction
+FROM fc, w
+""",
+)
+def q_orr_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point C: forecasting points scored with the trained model —
+    broadcast join of a one-row model against the stream (J3 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).cast("long")
+    fc = li.select(
+        rid.alias("id"),
+        F.col("l_quantity").alias("x0"),
+        F.col("l_discount").alias("x1"),
+    ).filter(F.pmod(F.col("id"), F.lit(10)) == 0)
+    w = _weights(spark, sf_dir)
+    return fc.crossJoin(F.broadcast(w)).select(
+        "id",
+        F.round(
+            F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("bias"), 4
+        ).alias("prediction"),
+    )
+
+
+@query(
+    "orr_query_response",
+    oracle=f"""
+WITH w AS ({WEIGHTS_SQL}),
+test AS (
+  SELECT * FROM ({SPLIT_POINTS_SQL}) WHERE split = 'test'
+)
+SELECT CAST(0 AS BIGINT) AS response_id,
+       'orr-0' AS mlp_id,
+       'CentralizedTraining' AS protocol,
+       w.n AS data_fitted,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(avg((test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))
+                 * (test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))), 4) AS loss
+FROM test, w
+GROUP BY w.n
+""",
+)
+def q_orr_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: Create ORR -> train (closed form) -> Query ->
+    QueryResponse with holdout loss on the deterministic 80/20 split
+    (SURVEY.md §7 step 2)."""
+    test = _split_points(spark, sf_dir).filter(F.col("split") == "test")
+    w = _weights(spark, sf_dir)
+    err = F.col("y") - (
+        F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("bias")
+    )
+    return (
+        test.crossJoin(F.broadcast(w))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.avg(err * err), 4).alias("loss"),
+        )
+        .select(
+            F.lit(0).cast("long").alias("response_id"),
+            F.lit("orr-0").alias("mlp_id"),
+            F.lit("CentralizedTraining").alias("protocol"),
+            F.col("n").alias("data_fitted"),
+            "n_test",
+            "loss",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/J2: scatter-gather response merge with count barrier
+# ---------------------------------------------------------------------------
+
+@query(
+    "response_merge",
+    oracle="""
+WITH partials AS (
+  SELECT CAST(floor(event_id / 16) AS BIGINT) AS response_id,
+         CAST(user_id % 100 AS BIGINT) AS data_fitted,
+         CAST(round(value * 100, 0) AS BIGINT) AS loss_q
+  FROM events
+)
+SELECT response_id,
+       CAST(sum(data_fitted) AS BIGINT) AS data_fitted,
+       avg(loss_q) / 100.0 AS loss,
+       avg(loss_q) / 50.0 AS cumulative_loss,
+       avg(loss_q) / 200.0 AS score
+FROM partials
+GROUP BY response_id
+HAVING count(*) = 16
+""",
+)
+def q_response_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ResponseConstructor: groups of 16 partials merge only when all 16
+    arrived (count barrier, ResponseConstructor.scala:26-56); the trailing
+    incomplete group is correctly withheld. The loss columns are quantized
+    (events.value has 2 decimals) so the averages are engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.select(
+        F.floor(F.col("event_id") / F.lit(16)).cast("long").alias("response_id"),
+        F.pmod(F.col("user_id"), F.lit(100)).cast("long").alias("data_fitted"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("loss_q"),
+    )
+    return (
+        partials.groupBy("response_id")
+        .agg(
+            F.sum("data_fitted").cast("long").alias("data_fitted"),
+            (F.avg("loss_q") / F.lit(100.0)).alias("loss"),
+            (F.avg("loss_q") / F.lit(50.0)).alias("cumulative_loss"),
+            (F.avg("loss_q") / F.lit(200.0)).alias("score"),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+        .filter(F.col("n_partials") == 16)
+        .drop("n_partials")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4: statistics rollup
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_rollup",
+    oracle="""
+WITH stats AS (
+  SELECT CAST(user_id % 5 AS INTEGER) AS pipeline,
+         event_type AS protocol,
+         CAST(floor(value * 1000) AS BIGINT) AS models_shipped,
+         event_id AS bytes_shipped,
+         user_id AS num_blocks,
+         CAST(floor(value * 10) AS BIGINT) AS fitted
+  FROM events
+)
+SELECT pipeline, protocol,
+       avg(models_shipped) AS models_shipped,
+       avg(bytes_shipped) AS bytes_shipped,
+       avg(num_blocks) AS num_blocks,
+       CAST(sum(fitted) AS BIGINT) AS fitted,
+       CAST(count(*) AS BIGINT) AS num_hubs
+FROM stats
+GROUP BY pipeline, protocol
+""",
+)
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 StatisticsAggregateFunction: per-(pipeline, protocol) rollup —
+    means across hub replicas, exact sums for fitted counts
+    (StateAccumulators.scala:54-126). Integer inputs keep the avg exact."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("int").alias("pipeline"),
+        F.col("event_type").alias("protocol"),
+        F.floor(F.col("value") * 1000).cast("long").alias("models_shipped"),
+        F.col("event_id").alias("bytes_shipped"),
+        F.col("user_id").alias("num_blocks"),
+        F.floor(F.col("value") * 10).cast("long").alias("fitted"),
+    )
+    return stats.groupBy("pipeline", "protocol").agg(
+        F.avg("models_shipped").alias("models_shipped"),
+        F.avg("bytes_shipped").alias("bytes_shipped"),
+        F.avg("num_blocks").alias("num_blocks"),
+        F.sum("fitted").cast("long").alias("fitted"),
+        F.count(F.lit(1)).cast("long").alias("num_hubs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5: hub broadcast expansion
+# ---------------------------------------------------------------------------
+
+@query(
+    "hub_broadcast_expand",
+    oracle="""
+WITH msgs AS (
+  SELECT user_id AS network_id,
+         list(event_id ORDER BY event_id) AS operations
+  FROM events GROUP BY user_id
+),
+regular AS (
+  SELECT CAST(network_id AS BIGINT) AS network_id,
+         CAST(unnest(operations) AS BIGINT) AS operation
+  FROM msgs
+)
+SELECT network_id, operation, CAST(operation % 8 AS BIGINT) AS destination
+FROM regular
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(range AS BIGINT)
+FROM range(8)
+""",
+)
+def q_hub_broadcast_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (FlinkLearning.scala:65-75): HubMessage parallel arrays explode to
+    unit messages; networkId == -1 fans out to every worker."""
+    ev = load_table(spark, sf_dir, "events")
+    msgs = ev.groupBy(F.col("user_id").alias("networkId")).agg(
+        F.sort_array(F.collect_list("event_id")).alias("operations")
+    )
+    msgs = msgs.withColumn(
+        "destinations", F.transform(F.col("operations"), lambda x: F.pmod(x, F.lit(8)))
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("networkId"),
+        F.array().cast("array<bigint>").alias("operations"),
+        F.array().cast("array<bigint>").alias("destinations"),
+    )
+    expanded = expand_hub_broadcast(msgs.unionByName(sentinel), parallelism=8)
+    return expanded.select(
+        F.col("networkId").alias("network_id"), "operation", "destination"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: broadcast dimension join (pipeline-spec lookup shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "broadcast_pipeline_join",
+    oracle="""
+SELECT s.s_name AS supplier_name,
+       CAST(count(*) AS BIGINT) AS li_count,
+       CAST(sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+       / 1000000.0 AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+""",
+)
+def q_broadcast_pipeline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 pipeline-spec lookup: fact stream x tiny broadcast dim, then a
+    keyed aggregate — the exact plan shape of data x pipeline-registry
+    (FlinkSpoke.scala:97-105). Dim is explicitly broadcast: zero shuffle of
+    the fact table on the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    qqty = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    qep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qdisc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("li_count"),
+            (F.sum(qqty).cast("long") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(qep * (F.lit(100) - qdisc)).cast("long") / F.lit(1000000.0)).alias(
+                "revenue"
+            ),
+        )
+    )

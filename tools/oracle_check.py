@@ -1,0 +1,96 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every queries() entry against its oracle_sql() on DuckDB over the same
+parquet tables and compares row count, column names, and (order-insensitive)
+values. Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from omldm_spark.schemas import TABLES  # noqa: E402
+from omldm_spark.session import get_spark  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        s_cols, o_cols = sorted(map(str.lower, sdf.columns)), sorted(
+            map(str.lower, odf.columns)
+        )
+        if s_cols != o_cols:
+            failures.append(name)
+            print(f"FAIL {name}: columns {s_cols} vs {o_cols}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(sdf)} vs {len(odf)}")
+            continue
+        sdf.columns = [c.lower() for c in sdf.columns]
+        odf.columns = [c.lower() for c in odf.columns]
+        sn, on = normalize(sdf), normalize(odf)
+        try:
+            pd.testing.assert_frame_equal(
+                sn, on, check_dtype=False, check_exact=True
+            )
+            print(f"ok   {name}: {len(sdf)} rows exact-match")
+        except AssertionError as e:
+            failures.append(name)
+            msg = str(e).split("\n")
+            print(f"FAIL {name}: value mismatch: " + " | ".join(msg[:6]))
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nall queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
