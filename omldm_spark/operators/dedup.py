@@ -1,0 +1,271 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): the reference engine has
+no document processing; these are the LLM-data-pipeline operators designed
+Spark-first for the 100 TB goal.
+
+Scale design notes (per operator):
+
+* exact_dedup        one hash-groupBy; map-side combine makes the shuffle
+                     carry one row per distinct hash, not per doc.
+* minhash_signatures one explode (doc x shingle) + ONE groupBy computing all
+                     k min-hashes as k aggregates — a single shuffle
+                     regardless of k. No UDFs: md5/min are JVM built-ins.
+* lsh_candidate_pairs join on band-signature keys. Band values are md5-
+                     uniform, so the shuffle is balanced by construction;
+                     AQE skew-join covers pathological repeats (e.g. the
+                     empty-document band).
+* ngram_jaccard      posting-list self-join (shingle -> docs). At 100 TB you
+                     run it AFTER lsh_candidate_pairs to bound the candidate
+                     set; the threshold is an integer cross-multiplication,
+                     so no float comparisons anywhere.
+
+Cross-engine determinism: hashes are md5 hex strings (identical in Spark and
+DuckDB); min() over VARCHAR is lexicographic in both; Jaccard keeps integer
+arithmetic until a single final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tokenization shared with functions/text.py: lowercase, split on whitespace,
+# drop empties. Keep in sync with TOKENS_SQL below.
+
+
+def tokens_col(text_col: str = "text"):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def TOKENS_SQL(text_expr: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text_expr}), '\\s+'), "
+        "t -> t != '')"
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5(text) groups; keeper = min id. Returns one row per
+    distinct text with keeper_id + dup_count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: n-token shingles via posexplode + lead windows.
+
+    The window partitions by document — shuffle key is the doc id, perfectly
+    balanced for ~uniform doc lengths; no global sort.
+    """
+    toks = docs.select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
+                    F.lead("tok", n - 1).over(w).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def SHINGLES_SQL(n: int = 3, table: str = "documents", text_expr: str = "text",
+                 id_col: str = "doc_id") -> str:
+    leads = ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+    concat = " || ' ' || ".join(leads)
+    return f"""
+SELECT {id_col}, shingle FROM (
+  SELECT {id_col},
+         {concat} AS shingle,
+         lead(tok, {n - 1}) OVER w AS _last
+  FROM (
+    SELECT {id_col},
+           unnest({TOKENS_SQL(text_expr)}) AS tok,
+           generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+    FROM {table}
+  )
+  WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+) WHERE _last IS NOT NULL
+"""
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """k MinHash values per doc: h_i = min(md5(i || '|' || shingle)).
+
+    One groupBy with k min-aggregates — single shuffle, map-side combined.
+    Documents with fewer than n tokens produce no shingles and are absent
+    (callers union them back as singletons if needed).
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def MINHASH_SQL(k: int = 8, n: int = 3, table: str = "documents",
+                text_expr: str = "text", id_col: str = "doc_id") -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+    return f"SELECT {id_col}, {mins} FROM ({SHINGLES_SQL(n, table, text_expr, id_col)}) GROUP BY {id_col}"
+
+
+def lsh_candidate_pairs(signatures: DataFrame, k: int = 8, bands: int = 2,
+                        id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: docs sharing any band of minhashes become a candidate
+    pair (id_a < id_b, distinct). Join key = (band_idx, concatenated band
+    hash) — md5-uniform, balanced shuffle."""
+    rows_per_band = k // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat(*cols).alias("band_val"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_val")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def LSH_PAIRS_SQL(k: int = 8, bands: int = 2, table_sql: str = "",
+                  id_col: str = "doc_id") -> str:
+    rows_per_band = k // bands
+    band_selects = []
+    for b in range(bands):
+        concat = " || ".join(
+            f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band_idx, {concat} AS band_val FROM sigs"
+        )
+    return f"""
+WITH sigs AS ({table_sql}),
+banded AS ({' UNION ALL '.join(band_selects)})
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.{id_col} < b.{id_col}
+"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold_num: int = 1,
+                        threshold_den: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Pairs with shingle-set Jaccard >= threshold_num/threshold_den.
+
+    Integer cross-multiplied threshold: common * den >= (sa + sb - common)
+    * num — no float compare; the final jaccard is a single exact division.
+    """
+    sets_ = shingles(docs, n=n, text_col=text_col, id_col=id_col).distinct()
+    sizes = sets_.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a, b = sets_.alias("a"), sets_.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .filter(
+            F.col("common") * threshold_den
+            >= (F.col("sa") + F.col("sb") - F.col("common")) * threshold_num
+        )
+        .select(
+            "id_a", "id_b",
+            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+
+
+def JACCARD_PAIRS_SQL(n: int = 3, threshold_num: int = 1, threshold_den: int = 5,
+                      table: str = "documents", text_expr: str = "text",
+                      id_col: str = "doc_id") -> str:
+    return f"""
+WITH sets_ AS (SELECT DISTINCT * FROM ({SHINGLES_SQL(n, table, text_expr, id_col)})),
+sizes AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS sz FROM sets_ GROUP BY {id_col}),
+common AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM sets_ a JOIN sets_ b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+)
+SELECT id_a, id_b,
+       common / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.{id_col} = id_a
+JOIN sizes sb ON sb.{id_col} = id_b
+WHERE common * {threshold_den} >= (sa.sz + sb.sz - common) * {threshold_num}
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+# 32-bit SimHash over unigram tokens. Bits come from the first 8 hex chars of
+# md5(token); per-bit votes (+1/-1) are summed per document; the signature
+# packs sign(vote) bits. Written as ONE shared SQL text executed by both
+# Spark SQL and DuckDB (identical integer arithmetic -> identical results).
+# Spark-side it is still a single explode + groupBy(sum x32) — one shuffle.
+
+HEX = "0123456789abcdef"
+
+
+def simhash_sql(tokens_relation: str, id_col: str = "doc_id") -> str:
+    """SQL over a relation (id, tok) producing (id, simhash BIGINT).
+
+    bit_j(token) = bit (3 - j%4) of hex digit j/4 of md5(token);
+    hexval(c) = instr('0123456789abcdef', c) - 1.
+    """
+    votes = []
+    packs = []
+    for j in range(32):
+        digit = j // 4 + 1
+        shift = 2 ** (3 - j % 4)
+        bit = (
+            f"(CAST(floor((instr('{HEX}', substr(md5(tok), {digit}, 1)) - 1) "
+            f"/ {shift}) AS BIGINT) % 2)"
+        )
+        votes.append(f"sum(2 * {bit} - 1) AS v{j}")
+        packs.append(f"CASE WHEN v{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END")
+    return f"""
+SELECT {id_col}, {' + '.join(packs)} AS simhash
+FROM (
+  SELECT {id_col}, {', '.join(votes)}
+  FROM ({tokens_relation})
+  GROUP BY {id_col}
+)
+"""
+
+
+def simhash(spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            view_name: str = "omldm_simhash_tokens") -> DataFrame:
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    toks.createOrReplaceTempView(view_name)
+    return spark.sql(simhash_sql(f"SELECT * FROM {view_name}", id_col=id_col))

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (beyond-reference surface).
+
+* ``cosine_topk`` — brute-force cosine top-k: broadcast the (small) query
+  set against the full embedding table; the dot product is a JVM-side
+  zip_with/aggregate fold (no Python, whole-stage codegen), ranking is a
+  window partitioned by query. At 100 TB the scan dominates — which is the
+  optimal brute-force plan. The *candidates* never shuffle: only
+  (query, id, score) triples do.
+* ``anchor_lsh_topk`` — the scale path: sign-random-projection LSH where
+  the hyperplanes are the first ``h`` embedding vectors themselves
+  (deterministic, data-derived anchors — no RNG, replayable). Vectors join
+  on bucket signature first, cutting the candidate set by ~2^h before exact
+  cosine re-ranking. Recall < 1 by design; pair it with multi-probe or more
+  tables when recall matters.
+
+Determinism: cosine is rounded to 6 decimals on BOTH engines before
+ranking, so rank ties resolve on identical values (tie-break: neighbor id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, to_double_array
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int | None = 10,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (excluding self).
+
+    Output: query_id, neighbor_id, cos_sim (round 6), rank.
+    """
+    emb = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col),
+        to_double_array(vec_col).alias(vec_col),
+    )
+    if query_ids is not None:
+        queries = emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+    else:
+        queries = emb.filter(F.col(id_col) < max_query_id)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int = 10,
+) -> str:
+    """DuckDB oracle: double-cast lists + list_inner_product, identical
+    round-then-rank ordering."""
+    return f"""
+WITH emb AS (
+  SELECT CAST({id_col} AS BIGINT) AS {id_col},
+         CAST({vec_col} AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]),
+                                 CAST({vec_col} AS DOUBLE[]))) AS nrm
+  FROM {table}
+),
+q AS (SELECT {id_col} AS query_id, v AS qv, nrm AS qnrm FROM emb
+      WHERE {id_col} < {max_query_id}),
+scored AS (
+  SELECT q.query_id, e.{id_col} AS neighbor_id,
+         round(CASE WHEN e.nrm * q.qnrm > 0
+                    THEN list_inner_product(e.v, q.qv) / (e.nrm * q.qnrm)
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM emb e, q WHERE e.{id_col} != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def anchor_lsh_topk(
+    embeddings: DataFrame,
+    n_anchors: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int = 10,
+) -> DataFrame:
+    """Bucketed ANN: sign-of-dot-product signature against the first
+    ``n_anchors`` vectors; exact cosine re-rank within matching buckets.
+
+    Returns the same schema as cosine_topk (rank may have < k rows per
+    query when a bucket is small — that's the recall trade)."""
+    emb = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col),
+        to_double_array(vec_col).alias(vec_col),
+    )
+    anchors = [
+        r[vec_col]
+        for r in emb.filter(F.col(id_col) < n_anchors).orderBy(id_col).collect()
+    ]
+    sig = None
+    for i, a in enumerate(anchors):
+        avec = F.array(*[F.lit(float(x)) for x in a])
+        bit = (dot(F.col(vec_col), avec) >= 0).cast("int")
+        sig = bit if sig is None else sig * 2 + bit
+    bucketed = emb.withColumn("bucket", sig)
+    q = bucketed.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

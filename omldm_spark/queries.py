@@ -524,3 +524,119 @@ def q_broadcast_pipeline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: dedup / text analysis / similarity search
+# (north-star LLM-data-pipeline operators, BASELINE.json)
+# ---------------------------------------------------------------------------
+
+from .functions.text import (  # noqa: E402
+    fingerprint,
+    fingerprint_sql,
+    lang_scores,
+    lang_scores_sql,
+    text_metrics,
+    text_metrics_sql,
+    token_counts,
+    token_counts_sql,
+)
+from .operators.dedup import (  # noqa: E402
+    JACCARD_PAIRS_SQL,
+    LSH_PAIRS_SQL,
+    MINHASH_SQL,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_sql,
+    tokens_col,
+)
+from .operators.similarity import (  # noqa: E402
+    anchor_lsh_topk,
+    cosine_topk,
+    cosine_topk_sql,
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query("doc_fingerprint", oracle=fingerprint_sql())
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query("minhash_signatures", oracle=MINHASH_SQL(k=8, n=3))
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), k=8, n=3)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=LSH_PAIRS_SQL(k=8, bands=2, table_sql=MINHASH_SQL(k=8, n=3)),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), k=8, n=3)
+    return lsh_candidate_pairs(sigs, k=8, bands=2)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=JACCARD_PAIRS_SQL(n=3, threshold_num=1, threshold_den=5),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold_num=1, threshold_den=5
+    )
+
+
+@query(
+    "simhash_docs",
+    oracle=simhash_sql(
+        "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),"
+        " '\\s+'), t -> t != '')) AS tok FROM documents"
+    ),
+)
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(spark, load_table(spark, sf_dir, "documents"))
+
+
+@query("text_quality", oracle=text_metrics_sql())
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@query("lang_id", oracle=lang_scores_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query("token_counts", oracle=token_counts_sql())
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query("ann_cosine_topk", oracle=cosine_topk_sql(k=5, max_query_id=10))
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), k=5, max_query_id=10
+    )
+
+
+@query("ann_anchor_lsh")  # rows-only: bucketed ANN (recall<1 by design)
+def q_ann_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anchor_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), n_anchors=4, k=5, max_query_id=10
+    )
