@@ -75,22 +75,31 @@ def fit(
     label_col: str = "label",
     epochs: int = 1,
     num_partitions: int | None = None,
+    partition_col: str | None = None,
+    order_cols: list[str] | None = None,
     init_state: dict | None = None,
 ) -> dict:
     """Train over a bounded DataFrame; returns the merged model state.
 
     ``points`` must carry ``features_col`` (ARRAY<DOUBLE>) and ``label_col``
-    (DOUBLE). Rows are processed in partition order — deterministic given a
-    deterministic partitioning, mirroring the reference's fixed-seed replay
-    (FlinkSpoke.scala:52).
+    (DOUBLE). With ``partition_col`` + ``order_cols`` the run is fully
+    deterministic: rows shuffle by a stable key and are sorted within each
+    partition before the sequential pass — the Spark analogue of the
+    reference's fixed-seed replay (FlinkSpoke.scala:52).
     """
     hyper = dict(hyper or {})
     learner = get_learner(learner_name)
     template = learner.init_state(dim, hyper)
 
-    if num_partitions is not None:
+    if partition_col is not None and num_partitions is not None:
+        points = points.repartition(num_partitions, partition_col)
+    elif num_partitions is not None:
         points = points.repartition(num_partitions)
-    sel = points.select(features_col, label_col)
+    if order_cols:
+        points = points.sortWithinPartitions(*order_cols)
+        sel = points.select(features_col, label_col)
+    else:
+        sel = points.select(features_col, label_col)
 
     state = init_state or learner.init_state(dim, hyper)
     for _ in range(epochs):

@@ -640,3 +640,114 @@ def q_ann_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_lsh_topk(
         load_table(spark, sf_dir, "embeddings"), n_anchors=4, k=5, max_query_id=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Online learners (rows-only: sequential SGD is not SQL-expressible; the
+# driver records row-count/schema checks, unit tests pin the math against a
+# single-threaded reference implementation)
+# ---------------------------------------------------------------------------
+
+from .functions.vector import linear_predict  # noqa: E402
+from .learners import trainer  # noqa: E402
+
+
+def _labeled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training points with a binary label: l_returnflag == 'R' -> +1.
+
+    features = [l_quantity/50, l_discount*10, l_tax*10] (scaled to O(1));
+    deterministic worker/order columns for replayable partitioning.
+    """
+    pts = _split_points(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).cast("long")
+    flags = li.select(
+        rid.alias("id"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(-1.0).alias("label"),
+        F.col("l_tax").alias("x2"),
+    )
+    return pts.join(flags, ["id", "pk", "sk"]).select(
+        "id", "pk", "sk", "worker", "split",
+        F.array(
+            F.col("x0") / F.lit(50.0), F.col("x1") * F.lit(10.0),
+            F.col("x2") * F.lit(10.0),
+        ).alias("features"),
+        "label",
+        F.col("y").alias("target"),
+    )
+
+
+def _model_rows(spark: SparkSession, state: dict, learner: str, extra: dict) -> DataFrame:
+    import numpy as np
+
+    rows = []
+    for k in sorted(state):
+        v = state[k]
+        if isinstance(v, np.ndarray):
+            for i, x in enumerate(v.ravel().tolist()):
+                rows.append((f"{k}_{i}", float(x)))
+        else:
+            rows.append((k, float(v)))
+    for k, v in extra.items():
+        rows.append((k, float(v)))
+    return spark.createDataFrame(
+        [(learner, p, v) for p, v in rows], ["learner", "param", "value"]
+    )
+
+
+def _train_query(learner_name: str, hyper: dict, epochs: int = 1):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pts = _labeled_points(spark, sf_dir)
+        train = pts.filter(F.col("split") == "train")
+        test = pts.filter(F.col("split") == "test")
+        label = "target" if learner_name == "RegressorPA" else "label"
+        state = trainer.fit(
+            train, learner_name, dim=3, hyper=hyper, label_col=label,
+            epochs=epochs, num_partitions=NUM_WORKERS, partition_col="worker",
+            order_cols=["id", "pk", "sk"],
+        )
+        ev = trainer.evaluate(test, learner_name, state, label_col=label)
+        return _model_rows(
+            spark, state, learner_name,
+            {"loss": ev["loss"], "score": ev["score"], "n_test": ev["n_test"]},
+        )
+
+    return run
+
+
+QUERIES["pa_train"] = _train_query("PA", {"C": 0.1})
+QUERIES["svm_train"] = _train_query("SVM", {"lambda": 1e-3})
+QUERIES["regressor_pa_train"] = _train_query("RegressorPA", {"C": 0.5, "epsilon": 0.1})
+
+
+@query("kmeans_train")  # rows-only: centroids from count-weighted merge
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _labeled_points(spark, sf_dir).filter(F.col("split") == "train")
+    state = trainer.fit(
+        pts, "K-means", dim=3, hyper={"k": 4}, epochs=1,
+        num_partitions=NUM_WORKERS, partition_col="worker",
+        order_cols=["id", "pk", "sk"],
+    )
+    return _model_rows(spark, state, "K-means", {})
+
+
+@query("pa_predictions")  # rows-only: JVM-side scoring of a trained PA model
+def q_pa_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train PA, then score the holdout entirely in Catalyst expressions
+    (linear_predict -> sign), mirroring the reference's forecasting path."""
+    pts = _labeled_points(spark, sf_dir)
+    train = pts.filter(F.col("split") == "train")
+    test = pts.filter(F.col("split") == "test")
+    state = trainer.fit(
+        train, "PA", dim=3, hyper={"C": 0.1}, num_partitions=NUM_WORKERS,
+        partition_col="worker", order_cols=["id", "pk", "sk"],
+    )
+    w = state["w"]
+    raw = linear_predict("features", list(w[:-1]), float(w[-1]))
+    return test.select(
+        "id",
+        F.when(raw >= 0, 1.0).otherwise(-1.0).alias("prediction"),
+        "label",
+    )

@@ -1,0 +1,138 @@
+"""Learner kernels vs single-threaded reference implementations.
+
+SURVEY.md §5: online-SGD learners are order-dependent, so they are pinned
+against a naive pure-python loop on identical data order (the reference's
+fixed-seed replay discipline, FlinkSpoke.scala:52).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from omldm_spark.learners import get_learner
+from omldm_spark.learners.linear import _xb
+
+RNG = np.random.default_rng(25)  # seed 25 mirrors FlinkSpoke.scala:52
+
+
+def _toy(n=200, d=4, classification=True):
+    X = RNG.normal(size=(n, d))
+    w_true = RNG.normal(size=d)
+    raw = X @ w_true + 0.1 * RNG.normal(size=n)
+    y = np.sign(raw) if classification else raw
+    y[y == 0] = 1.0
+    return X, y
+
+
+def test_pa_matches_naive_loop():
+    X, y = _toy()
+    ln = get_learner("PA")
+    hyper = {"C": 0.1}
+    state = ln.partial_fit(X, y, ln.init_state(4, hyper), hyper)
+    # naive reference
+    w = np.zeros(5)
+    C = 0.1
+    for xi, yi in zip(_xb(X), y):
+        loss = max(0.0, 1.0 - yi * (w @ xi))
+        if loss > 0:
+            w += min(C, loss / (xi @ xi)) * yi * xi
+    assert np.allclose(state["w"], w)
+    assert state["n"] == 200
+
+
+def test_pa_learns_separable():
+    X, y = _toy(n=1000)
+    ln = get_learner("PA")
+    hyper = {"C": 1.0}
+    st = ln.init_state(4, hyper)
+    for _ in range(3):
+        st = ln.partial_fit(X, y, st, hyper)
+    assert ln.score(X, y, st) > 0.9
+
+
+def test_regressor_pa_converges():
+    X, y = _toy(n=1000, classification=False)
+    ln = get_learner("RegressorPA")
+    hyper = {"C": 1.0, "epsilon": 0.01}
+    st = ln.init_state(4, hyper)
+    for _ in range(5):
+        st = ln.partial_fit(X, y, st, hyper)
+    assert ln.loss(X, y, st) < 0.1  # near-noiseless linear data
+
+
+def test_svm_matches_naive_pegasos():
+    X, y = _toy()
+    ln = get_learner("SVM")
+    hyper = {"lambda": 1e-3}
+    state = ln.partial_fit(X, y, ln.init_state(4, hyper), hyper)
+    w = np.zeros(5)
+    lam, t = 1e-3, 0
+    for xi, yi in zip(_xb(X), y):
+        t += 1
+        eta = 1.0 / (lam * t)
+        margin = yi * (w @ xi)
+        w *= 1 - eta * lam
+        if margin < 1:
+            w += eta * yi * xi
+    assert np.allclose(state["w"], w)
+
+
+def test_multiclass_pa_learns():
+    X = RNG.normal(size=(900, 2)) + np.repeat(
+        np.array([[0.0, 0.0], [6.0, 0.0], [0.0, 6.0]]), 300, axis=0
+    )
+    y = np.repeat([0.0, 1.0, 2.0], 300)
+    ln = get_learner("MultiClassPA")
+    hyper = {"C": 1.0, "numClasses": 3}
+    st = ln.init_state(2, hyper)
+    for _ in range(3):
+        st = ln.partial_fit(X, y, st, hyper)
+    assert ln.score(X, y, st) > 0.9
+
+
+def test_merge_weighted_average():
+    ln = get_learner("PA")
+    s1 = {"w": np.array([1.0, 3.0]), "n": 1, "cum_loss": 1.0}
+    s2 = {"w": np.array([3.0, 5.0]), "n": 3, "cum_loss": 3.0}
+    m = ln.merge([s1, s2])
+    assert np.allclose(m["w"], [2.5, 4.5])  # (1*0.25 + 3*0.75, ...)
+    assert m["n"] == 4
+
+
+def test_kmeans_count_weighted_merge():
+    ln = get_learner("K-means")
+    s1 = {
+        "centroids": np.array([[0.0, 0.0], [2.0, 2.0]]),
+        "counts": np.array([2.0, 0.0]),
+        "initialized": 1.0, "n": 2, "cum_loss": 0.0,
+    }
+    s2 = {
+        "centroids": np.array([[4.0, 4.0], [2.0, 2.0]]),
+        "counts": np.array([2.0, 4.0]),
+        "initialized": 1.0, "n": 6, "cum_loss": 0.0,
+    }
+    m = ln.merge([s1, s2])
+    assert np.allclose(m["centroids"][0], [2.0, 2.0])  # (0*2 + 4*2)/4
+    assert np.allclose(m["centroids"][1], [2.0, 2.0])
+    assert m["n"] == 8
+
+
+def test_kmeans_clusters_separated_data():
+    a = RNG.normal(size=(200, 2))
+    b = RNG.normal(size=(200, 2)) + 10.0
+    X = np.empty((400, 2))
+    X[0::2], X[1::2] = a, b  # interleave so first-k seeding sees both blobs
+    ln = get_learner("K-means")
+    hyper = {"k": 2}
+    st = ln.partial_fit(X, None, ln.init_state(2, hyper), hyper)
+    pred = ln.predict(X, st)
+    # each blob lands (almost) entirely in one cluster
+    assert np.mean(pred[0::2] == pred[0]) > 0.95
+    assert np.mean(pred[1::2] == pred[1]) > 0.95
+    assert ln.loss(X, None, st) < 10.0
+
+
+def test_unknown_learner_raises():
+    with pytest.raises(ValueError, match="unknown learner"):
+        get_learner("nope")

@@ -1,0 +1,102 @@
+"""Dedup / text / similarity operators on controlled toy inputs."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from omldm_spark.functions.text import fingerprint, lang_scores, text_metrics
+from omldm_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from omldm_spark.operators.similarity import cosine_topk
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),       # near dup
+        (4, "completely different content about spark engines"),
+        (5, "the  QUICK   brown fox jumps over the lazy dog"),    # ws/case dup
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_groups_identical_text(spark):
+    out = exact_dedup(_docs(spark)).toPandas()
+    dup = out[out["dup_count"] == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keeper_id"] == 1
+    assert len(out) == 4  # 4 distinct texts
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    fp = fingerprint(_docs(spark)).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[1] == fp[2] == fp[5]
+    assert fp[1] != fp[3]
+
+
+def test_minhash_near_dups_share_most_hashes(spark):
+    sigs = minhash_signatures(_docs(spark), k=8).toPandas().set_index("doc_id")
+    same12 = sum(sigs.loc[1, f"h{i}"] == sigs.loc[2, f"h{i}"] for i in range(8))
+    same13 = sum(sigs.loc[1, f"h{i}"] == sigs.loc[3, f"h{i}"] for i in range(8))
+    same14 = sum(sigs.loc[1, f"h{i}"] == sigs.loc[4, f"h{i}"] for i in range(8))
+    assert same12 == 8          # identical docs: identical signatures
+    assert same13 >= 4          # one-word edit keeps most minhashes
+    assert same14 <= 2          # unrelated docs share almost none
+
+
+def test_lsh_pairs_find_exact_dup(spark):
+    sigs = minhash_signatures(_docs(spark), k=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_scores(spark):
+    out = ngram_jaccard_pairs(_docs(spark), threshold_num=1, threshold_den=10)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.3 < j[(1, 3)] < 1.0
+    assert (1, 4) not in j
+
+
+def test_simhash_hamming_distance_tracks_similarity(spark):
+    out = simhash(spark, _docs(spark)).toPandas().set_index("doc_id")["simhash"]
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) == 0
+    assert ham(out[1], out[3]) <= ham(out[1], out[4])
+
+
+def test_text_metrics_exact_ratios(spark):
+    m = text_metrics(_docs(spark)).toPandas().set_index("doc_id")
+    assert m.loc[1, "n_tokens"] == 9
+    assert m.loc[1, "stopword_ratio"] == 2 / 9  # 'the' twice
+    assert m.loc[4, "n_tokens"] == 6
+
+
+def test_lang_scores_prefers_english_text(spark):
+    out = lang_scores(_docs(spark)).toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[1, "score_en"] >= 2
+
+
+def test_cosine_topk_identical_vector_ranks_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical to query 0
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = cosine_topk(emb, k=3, max_query_id=1).toPandas()
+    q0 = out[out["query_id"] == 0].sort_values("rank")
+    assert list(q0["neighbor_id"]) == [1, 2, 3]
+    assert q0.iloc[0]["cos_sim"] == 1.0

@@ -1,0 +1,65 @@
+"""P1-P3 parse semantics: silent drop of malformed/EOS/invalid records
+(DataInstanceParser.scala:12-22, DataPointParser.scala:14-59)."""
+
+from __future__ import annotations
+
+import json
+
+from omldm_spark.functions.parsing import (
+    parse_data_instances,
+    parse_double_array,
+    parse_requests,
+    to_usable_points,
+)
+
+
+def _raw(spark, values):
+    return spark.createDataFrame([(v,) for v in values], ["value"])
+
+
+def test_drops_malformed_eos_and_invalid(spark):
+    good = json.dumps(
+        {"id": 1, "numericalFeatures": [1.0, 2.0], "target": 1.0,
+         "operation": "training"}
+    )
+    unlabeled = json.dumps(
+        {"id": 2, "numericalFeatures": [3.0], "operation": "forecasting"}
+    )
+    no_features = json.dumps({"id": 3, "operation": "training"})
+    bad_op = json.dumps({"id": 4, "numericalFeatures": [1.0], "operation": "x"})
+    raw = _raw(spark, [good, unlabeled, no_features, bad_op, "EOS", "{oops", ""])
+    out = parse_data_instances(raw)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_labeled_unlabeled_discriminator(spark):
+    rows = [
+        json.dumps({"id": 1, "numericalFeatures": [1.0], "target": 2.0,
+                    "operation": "training"}),
+        json.dumps({"id": 2, "numericalFeatures": [1.0],
+                    "operation": "forecasting"}),
+    ]
+    pts = to_usable_points(parse_data_instances(_raw(spark, rows)))
+    kinds = {r["id"]: r["kind"] for r in pts.collect()}
+    assert kinds == {1: "labeled", 2: "unlabeled"}
+    # null feature arrays are coalesced to empty, never null
+    row = pts.filter("id = 1").first()
+    assert row["discreteFeatures"] == []
+    assert row["categoricalFeatures"] == []
+
+
+def test_parse_requests_validates(spark):
+    ok = json.dumps({"id": 1, "request": "Create",
+                     "learner": {"name": "PA"}})
+    bad_req = json.dumps({"id": 2, "request": "Explode"})
+    no_id = json.dumps({"request": "Create"})
+    out = parse_requests(_raw(spark, [ok, bad_req, no_id, "junk"]))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1
+    assert rows[0]["learner"]["name"] == "PA"
+
+
+def test_parse_double_array(spark):
+    df = spark.createDataFrame([("1.0,2.5,3",)], ["s"])
+    arr = df.select(parse_double_array("s").alias("a")).first()["a"]
+    assert arr == [1.0, 2.5, 3.0]
