@@ -1,0 +1,127 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Beyond-reference surface (BASELINE.json north star). Design for 100 TB:
+
+* media bytes ride in a BINARY column next to a metadata struct — Spark's
+  binaryFile source and parquet both handle this; predicates on metadata
+  (format, width, duration) prune BEFORE any decode touches bytes;
+* decode / resize / frame-sample run as ``mapInPandas`` over Arrow batches —
+  one Python worker call per ~10k rows, bytes never round-trip the driver;
+* decode libraries (PIL/av/librosa) are NOT in this container, so the
+  decode kernel is stubbed: with ``fake=True`` it produces a deterministic
+  synthetic decode (testable plumbing), otherwise it raises
+  NotImplementedError — clearly marked, swap in the real library on a
+  production image.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("bytes", BinaryType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = (
+    "media_id string, kind string, width int, height int, "
+    f"feature array<double>, checksum string"
+)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for plumbing tests."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        rows.append(
+            (f"m{i:04d}", kind, "raw", 32 + i % 8, 24 + i % 6, 1 + i % 10, payload)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(media_id: str, data: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: a feature vector derived
+    from a stable hash of the bytes. REPLACE with PIL/torchvision decode on
+    a production image — the Spark-side contract (schema, batching,
+    partitioning) does not change."""
+    h = hashlib.sha256(data).digest()
+    raw = np.frombuffer((h * ((FEATURE_DIM * 8) // len(h) + 1))[: FEATURE_DIM * 8],
+                        dtype=np.uint64)
+    return (raw % 1000).astype(np.float64) / 1000.0
+
+
+def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode media bytes -> fixed-dim feature vectors via mapInPandas.
+
+    Arrow-batched: the binary column transfers as one buffer per batch; the
+    output drops the bytes (project early — decoded features are ~1000x
+    smaller than media, so everything downstream shuffles cheap)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not fake:
+                # Real path: PIL.Image.open(io.BytesIO(b)) etc. — decode
+                # libs are not installed in this container.
+                raise NotImplementedError(
+                    "real media decode requires PIL/av; run with fake=True "
+                    "or install decoders on the cluster image"
+                )
+            feats, sums = [], []
+            for b in pdf["bytes"]:
+                data = bytes(b)
+                feats.append(_fake_decode("", data, 0, 0).tolist())
+                sums.append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "feature": feats,
+                    "checksum": sums,
+                }
+            )
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling *plan*: explode frame indices 0..n_frames-1 and
+    keep every n-th — pure Catalyst (sequence + explode + filter); the
+    per-frame decode then rides decode_and_featurize. Filter-before-decode
+    is the point: at 100 TB you drop (n-1)/n of the work before any UDF."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+            "bytes",
+        )
+        .filter(F.pmod(F.col("frame_idx"), F.lit(every_n)) == 0)
+    )

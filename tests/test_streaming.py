@@ -1,0 +1,120 @@
+"""End-to-end streaming training loop: file-replay source -> foreachBatch
+BSP rounds -> predictions, with CRUD control plane."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from omldm_spark.plans.catalog import PipelineCatalog
+from omldm_spark.streaming.sources import file_replay_source
+from omldm_spark.streaming.training_loop import (
+    predict_batch,
+    run_streaming,
+    train_batch,
+)
+
+RNG = np.random.default_rng(25)
+
+
+def _points_pdf(n=600):
+    X = RNG.normal(size=(n, 3))
+    y = np.sign(X @ np.array([2.0, -1.0, 0.5]))
+    y[y == 0] = 1.0
+    return pd.DataFrame(
+        {
+            "id": range(n),
+            "features": [list(map(float, r)) for r in X],
+            "label": y.astype(float),
+            "operation": ["forecasting" if i % 10 == 0 else "training" for i in range(n)],
+        }
+    )
+
+
+def test_train_batch_updates_catalog(spark):
+    cat = PipelineCatalog()
+    cat.apply_request({"id": 1, "request": "Create", "learner": {"name": "PA"}})
+    df = spark.createDataFrame(_points_pdf()).filter("operation = 'training'")
+    stats = train_batch(df, cat, dim=3, num_partitions=4, batch_id=0)
+    assert len(stats) == 1
+    spec = cat.pipelines[1]
+    assert spec.fitted == 540
+    assert spec.models_shipped == 4  # one partial per partition per round
+    assert spec.model is not None and len(spec.model["w"]) == 4
+    # second round continues from the merged model
+    train_batch(df, cat, dim=3, num_partitions=4, batch_id=1)
+    assert spec.fitted == 1080
+    assert len(spec.learning_curve) == 2
+
+
+def test_predict_batch_uses_current_model(spark):
+    cat = PipelineCatalog()
+    cat.apply_request({"id": 1, "request": "Create", "learner": {"name": "PA"}})
+    pdf = _points_pdf()
+    df = spark.createDataFrame(pdf)
+    train_batch(df.filter("operation = 'training'"), cat, dim=3, num_partitions=4)
+    preds = predict_batch(df.filter("operation = 'forecasting'"), cat)
+    rows = preds.collect()
+    assert len(rows) == 60
+    assert {r["pipelineId"] for r in rows} == {1}
+    assert set(np.unique([r["prediction"] for r in rows])) <= {-1.0, 1.0}
+
+
+def test_run_streaming_end_to_end(spark, tmp_path):
+    pdf = _points_pdf()
+    src_dir = str(tmp_path / "stream_src")
+    spark.createDataFrame(pdf).repartition(4).write.parquet(src_dir)
+
+    cat = PipelineCatalog(path=str(tmp_path / "catalog.jsonl"))
+    requests = spark.createDataFrame(
+        pd.DataFrame([
+            {"id": 1, "request": "Create", "learner": {"name": "PA"}},
+            {"id": 2, "request": "Create", "learner": {"name": "NotReal"}},
+        ])
+    )
+    schema = spark.createDataFrame(pdf).schema
+    stream = file_replay_source(spark, src_dir, schema, max_files_per_trigger=2)
+    preds, stats = [], []
+    q = run_streaming(
+        spark, stream, requests, cat,
+        dim=3, num_partitions=4,
+        predictions_sink=preds, stats_sink=stats,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert not q.isActive
+    assert list(cat.pipelines) == [1]  # invalid Create dropped
+    assert cat.pipelines[1].fitted == 540  # every training row, all batches
+    assert len(preds) == 60
+    assert len(stats) >= 2  # multiple micro-batches -> multiple BSP rounds
+    # trained model generalizes on this separable stream
+    spec = cat.pipelines[1]
+    w = np.array(spec.model["w"])
+    X = np.asarray(pdf[pdf.operation == "forecasting"]["features"].tolist())
+    yhat = np.sign(np.hstack([X, np.ones((len(X), 1))]) @ w)
+    ytrue = pdf[pdf.operation == "forecasting"]["label"].to_numpy()
+    assert (yhat == ytrue).mean() > 0.9
+
+
+def test_multimodal_plumbing(spark):
+    from omldm_spark.operators.multimodal import (
+        decode_and_featurize,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    decoded = decode_and_featurize(media, fake=True)
+    pdf = decoded.toPandas()
+    assert len(pdf) == 30
+    assert all(len(f) == 16 for f in pdf["feature"])
+    # deterministic: same bytes -> same features
+    pdf2 = decode_and_featurize(media, fake=True).toPandas()
+    assert pdf.sort_values("media_id")["checksum"].tolist() == \
+        pdf2.sort_values("media_id")["checksum"].tolist()
+    frames = frame_sample(media, every_n=2).toPandas()
+    assert (frames["frame_idx"] % 2 == 0).all()
+    # real decode path is explicitly stubbed
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_and_featurize(media, fake=False).collect()
