@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is materialized through the noop sink (full execution, no driver
+collect overhead). Session startup is excluded; per-query times include plan
++ execution (cold cache), which is what a fresh cluster run would pay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "parse_training_points",   # P1-P3 JSON round trip at full width
+    "train_test_split",        # windowed holdout over every training point
+    "orr_query_response",      # flagship: closed-form train + holdout eval
+    "orr_predictions",         # model broadcast-join scoring
+    "response_merge",          # A5 scatter-gather barrier
+    "stats_rollup",            # A3 statistics rollup
+    "hub_broadcast_expand",    # P5 explode fan-out
+    "broadcast_pipeline_join", # J3 fact x broadcast dim
+    "minhash_lsh_pairs",       # dedup: shingle -> minhash -> band join
+    "simhash_docs",            # dedup: bit-vote signature
+    "ann_cosine_topk",         # similarity: brute-force cosine top-k
+    "pa_train",                # online learner BSP round (mapInPandas)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from omldm_spark.queries import QUERIES
+    from omldm_spark.session import get_spark
+
+    spark = get_spark("omldm-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    # warm the JVM/codegen path outside the timings
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,38 +34,74 @@ from pyspark.sql import functions as F
 from ..schemas import DATA_INSTANCE_SCHEMA, EOS_SENTINEL, REQUEST_SCHEMA
 
 
+# Pushdown blocker: wraps a predicate inside a nondeterministic WHEN so
+# Catalyst can neither split the conjunction nor push it below the parse
+# projection (pushing substitutes the from_json expression into every
+# predicate term). The rand is seeded and the branch is always taken, so
+# semantics are unchanged; a plain `rand() >= -1 AND pred` does NOT work
+# because PushDownPredicates splits conjuncts and pushes the deterministic
+# ones.
+def _pin_filter(pred: Column) -> Column:
+    return F.when(F.rand(25) >= F.lit(-1.0), pred).otherwise(F.lit(False))
+
+
+def _tune_json_parsing(df: DataFrame) -> None:
+    """Disable Catalyst's per-field JSON schema pruning (OptimizeJsonExprs).
+
+    That rule rewrites every ``from_json(x).field`` reference into a SEPARATE
+    from_json with a pruned one-field schema. Each copy is then a *unique*
+    expression, so runtime subexpression elimination cannot deduplicate them
+    — for a parse path that expands ALL fields this multiplies the Jackson
+    work by the number of references. Measured at sf0.1 on the P1+P3 path:
+    15.8s -> 7.4s with the rule off. (The rule is a win only when a query
+    touches one or two fields of a wide JSON; our parse operators always
+    materialize the full record.) Runtime-settable, so it works in any
+    caller-provided session.
+    """
+    df.sparkSession.conf.set(
+        "spark.sql.optimizer.enableJsonExpressionOptimization", "false"
+    )
+
+
 def parse_data_instances(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """P1: raw JSON strings -> validated DataInstance rows.
 
     Malformed JSON yields a null struct (PERMISSIVE), which the filter drops —
-    the exact silent-drop semantics of DataInstanceParser.scala:12-22.
+    the exact silent-drop semantics of DataInstanceParser.scala:12-22. The
+    parse happens ONCE per row: single projection, single combined filter
+    pinned above it (see _no_pushdown).
     """
-    parsed = raw.select(
-        F.from_json(F.col(value_col), DATA_INSTANCE_SCHEMA).alias("di")
-    )
-    return (
-        parsed
-        # EOS / malformed / not-an-object -> null struct fields
-        .filter(F.col("di").isNotNull())
-        .select("di.*")
-        # isValid: needs an operation and at least one feature array
-        .filter(F.col("operation").isin("training", "forecasting"))
-        .filter(
-            (F.size(F.coalesce(F.col("numericalFeatures"), F.array())) > 0)
-            | (F.size(F.coalesce(F.col("discreteFeatures"), F.array())) > 0)
-            | (F.size(F.coalesce(F.col("categoricalFeatures"), F.array())) > 0)
+    di = F.col("di")
+    valid = (
+        di.isNotNull()
+        & di["operation"].isin("training", "forecasting")
+        & (
+            (F.size(F.coalesce(di["numericalFeatures"], F.array())) > 0)
+            | (F.size(F.coalesce(di["discreteFeatures"], F.array())) > 0)
+            | (F.size(F.coalesce(di["categoricalFeatures"], F.array())) > 0)
         )
+    )
+    _tune_json_parsing(raw)
+    return (
+        raw.select(F.from_json(F.col(value_col), DATA_INSTANCE_SCHEMA).alias("di"))
+        .filter(_pin_filter(valid))
+        .select("di.*")
     )
 
 
 def parse_requests(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """P2: raw JSON -> validated Request rows (RequestParser.scala:8-18)."""
-    parsed = raw.select(F.from_json(F.col(value_col), REQUEST_SCHEMA).alias("rq"))
+    rq = F.col("rq")
+    valid = (
+        rq.isNotNull()
+        & rq["id"].isNotNull()
+        & rq["request"].isin("Create", "Update", "Query", "Delete")
+    )
+    _tune_json_parsing(raw)
     return (
-        parsed.filter(F.col("rq").isNotNull())
+        raw.select(F.from_json(F.col(value_col), REQUEST_SCHEMA).alias("rq"))
+        .filter(_pin_filter(valid))
         .select("rq.*")
-        .filter(F.col("id").isNotNull())
-        .filter(F.col("request").isin("Create", "Update", "Query", "Delete"))
     )
 
 

@@ -44,13 +44,14 @@ class PA(Learner):
         w = state["w"].copy()
         cum = float(state["cum_loss"])
         Xb = _xb(X)
+        nrm = np.einsum("ij,ij->i", Xb, Xb)  # hoisted out of the online loop
         for i in range(Xb.shape[0]):
             x, yi = Xb[i], y[i]
             margin = yi * float(w @ x)
             loss = max(0.0, 1.0 - margin)
             cum += loss
             if loss > 0.0:
-                tau = min(C, loss / float(x @ x))  # PA-I
+                tau = min(C, loss / nrm[i])  # PA-I
                 w += tau * yi * x
         return {"w": w, "n": int(state["n"]) + Xb.shape[0], "cum_loss": cum}
 
@@ -79,13 +80,14 @@ class RegressorPA(Learner):
         w = state["w"].copy()
         cum = float(state["cum_loss"])
         Xb = _xb(X)
+        nrm = np.einsum("ij,ij->i", Xb, Xb)
         for i in range(Xb.shape[0]):
             x, yi = Xb[i], y[i]
             err = float(w @ x) - yi
             loss = max(0.0, abs(err) - eps)
             cum += loss
             if loss > 0.0:
-                tau = min(C, loss / float(x @ x))
+                tau = min(C, loss / nrm[i])
                 w -= np.sign(err) * tau * x
         return {"w": w, "n": int(state["n"]) + Xb.shape[0], "cum_loss": cum}
 

@@ -699,20 +699,25 @@ def _model_rows(spark: SparkSession, state: dict, learner: str, extra: dict) -> 
 
 def _train_query(learner_name: str, hyper: dict, epochs: int = 1):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        pts = _labeled_points(spark, sf_dir)
-        train = pts.filter(F.col("split") == "train")
-        test = pts.filter(F.col("split") == "test")
-        label = "target" if learner_name == "RegressorPA" else "label"
-        state = trainer.fit(
-            train, learner_name, dim=3, hyper=hyper, label_col=label,
-            epochs=epochs, num_partitions=NUM_WORKERS, partition_col="worker",
-            order_cols=["id", "pk", "sk"],
-        )
-        ev = trainer.evaluate(test, learner_name, state, label_col=label)
-        return _model_rows(
-            spark, state, learner_name,
-            {"loss": ev["loss"], "score": ev["score"], "n_test": ev["n_test"]},
-        )
+        # cache: fit and evaluate both act on the join+window lineage; one
+        # materialization instead of one per action
+        pts = _labeled_points(spark, sf_dir).persist()
+        try:
+            train = pts.filter(F.col("split") == "train")
+            test = pts.filter(F.col("split") == "test")
+            label = "target" if learner_name == "RegressorPA" else "label"
+            state = trainer.fit(
+                train, learner_name, dim=3, hyper=hyper, label_col=label,
+                epochs=epochs, num_partitions=NUM_WORKERS,
+                partition_col="worker", order_cols=["id", "pk", "sk"],
+            )
+            ev = trainer.evaluate(test, learner_name, state, label_col=label)
+            return _model_rows(
+                spark, state, learner_name,
+                {"loss": ev["loss"], "score": ev["score"], "n_test": ev["n_test"]},
+            )
+        finally:
+            pts.unpersist()
 
     return run
 
