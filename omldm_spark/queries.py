@@ -862,3 +862,395 @@ def q_streaming_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         preds, "pipelineId long, recordId long, prediction double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Preprocessors (PipelineMap.scala:67 whitelist) — fit is one aggregation,
+# transform is broadcast arithmetic. Queries run in quantized (q0, q1) space
+# so every statistic is engine-exact (see POINTS_SQL header).
+# ---------------------------------------------------------------------------
+
+from .functions.preprocess import (  # noqa: E402
+    minmax_scale,
+    minmax_scaler_stats,
+    polynomial_features,
+    standard_scale,
+    standard_scaler_stats,
+)
+
+_SCALER_STATS_SQL = f"""
+SELECT avg(q0) AS mean_q0,
+       sqrt(avg(q0 * q0) - avg(q0) * avg(q0)) AS std_q0,
+       avg(q1) AS mean_q1,
+       sqrt(avg(q1 * q1) - avg(q1) * avg(q1)) AS std_q1
+FROM ({POINTS_SQL})
+"""
+
+
+@query("standard_scaler_stats", oracle=_SCALER_STATS_SQL)
+def q_standard_scaler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return standard_scaler_stats(_points(spark, sf_dir), ["q0", "q1"])
+
+
+@query(
+    "standard_scaled_points",
+    oracle=f"""
+WITH s AS ({_SCALER_STATS_SQL})
+SELECT id, pk, sk,
+       round((q0 - s.mean_q0) / s.std_q0, 6) AS q0_scaled,
+       round((q1 - s.mean_q1) / s.std_q1, 6) AS q1_scaled
+FROM ({POINTS_SQL}), s
+""",
+)
+def q_standard_scaled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    stats = standard_scaler_stats(pts, ["q0", "q1"])
+    scaled = standard_scale(pts, ["q0", "q1"], stats)
+    return scaled.select(
+        "id", "pk", "sk",
+        F.round(F.col("q0_scaled"), 6).alias("q0_scaled"),
+        F.round(F.col("q1_scaled"), 6).alias("q1_scaled"),
+    )
+
+
+@query(
+    "minmax_scaled_points",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(min(q0) AS BIGINT) AS min_q0, CAST(max(q0) AS BIGINT) AS max_q0,
+         CAST(min(q1) AS BIGINT) AS min_q1, CAST(max(q1) AS BIGINT) AS max_q1
+  FROM ({POINTS_SQL})
+)
+SELECT id, pk, sk,
+       CASE WHEN s.max_q0 - s.min_q0 > 0
+            THEN (q0 - s.min_q0) / (s.max_q0 - s.min_q0) ELSE 0.5 END AS q0_scaled,
+       CASE WHEN s.max_q1 - s.min_q1 > 0
+            THEN (q1 - s.min_q1) / (s.max_q1 - s.min_q1) ELSE 0.5 END AS q1_scaled
+FROM ({POINTS_SQL}), s
+""",
+)
+def q_minmax_scaled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    stats = minmax_scaler_stats(pts, ["q0", "q1"])
+    scaled = minmax_scale(pts, ["q0", "q1"], stats)
+    return scaled.select("id", "pk", "sk", "q0_scaled", "q1_scaled")
+
+
+@query(
+    "polynomial_features",
+    oracle=f"""
+SELECT id, pk, sk, x0, x1,
+       x0 * x0 AS x0_x0, x0 * x1 AS x0_x1, x1 * x1 AS x1_x1
+FROM ({POINTS_SQL})
+""",
+)
+def q_polynomial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return polynomial_features(pts, ["x0", "x1"], degree=2).select(
+        "id", "pk", "sk", "x0", "x1", "x0_x0", "x0_x1", "x1_x1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time / window operators (W1-W3, O1-O2 analogues) + statistics plane (A4/A6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s,
+         CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, event_id, ts_s,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts_s, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_s) AS BIGINT) AS start_s,
+       CAST(max(ts_s) AS BIGINT) AS end_s
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 analogue: gap-based sessionization (30 s idle timeout scaled to
+    300 s), gap-and-island with deterministic tie-breaks — the batch
+    equivalent of session_window + the idle-timeout termination timer
+    (StatisticsOperator.scala:86-91)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = ev.withColumn("gap", F.col("ts_s") - F.lag("ts_s").over(w)).withColumn(
+        "new_session",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 300), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_s").cast("long").alias("start_s"),
+        F.max("ts_s").cast("long").alias("end_s"),
+    )
+
+
+@query(
+    "topk_events_per_user",
+    oracle="""
+SELECT user_id, event_id, value, rnk FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+  FROM events
+) WHERE rnk <= 3
+""",
+)
+def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/top-k: rank within partition, deterministic tie-break."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "job_statistics",
+    oracle="""
+SELECT CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s,
+       CAST(sum(CAST(round(value * 10, 0) AS BIGINT)) AS BIGINT) AS fitted,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         / (8 * 256.0) AS score
+FROM events
+""",
+)
+def q_job_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 StatisticsOperator: job wall-clock bounds + score normalization
+    score / (parallelism * testSetSize) (StatisticsOperator.scala:115-123)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("start_s"),
+        F.max(F.unix_timestamp("ts")).cast("long").alias("end_s"),
+        F.sum(F.round(F.col("value") * 10, 0).cast("long")).cast("long").alias("fitted"),
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long")
+            / F.lit(8 * 256.0)
+        ).alias("score"),
+    )
+
+
+@query(
+    "learning_curve",
+    oracle="""
+SELECT pipeline, idx, cum_loss_q FROM (
+  SELECT CAST(user_id % 5 AS INTEGER) AS pipeline,
+         CAST(row_number() OVER w AS INTEGER) AS idx,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+              PARTITION BY user_id % 5 ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_loss_q
+  FROM events
+  WINDOW w AS (PARTITION BY user_id % 5 ORDER BY event_id)
+) WHERE idx % 100 = 0
+""",
+)
+def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-pipeline learning curve — cumulative loss sampled every 100
+    fitted points (the hub's curve slicing, FlinkHub.scala:101-112), exact
+    integer prefix sums."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(5)).cast("int").alias("pipeline"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("loss_q"),
+    )
+    w = Window.partitionBy("pipeline").orderBy("event_id")
+    curve = ev.select(
+        "pipeline",
+        F.row_number().over(w).cast("int").alias("idx"),
+        F.sum("loss_q").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum_loss_q"),
+    )
+    return curve.filter(F.pmod(F.col("idx"), F.lit(100)) == 0)
+
+
+# ---------------------------------------------------------------------------
+# Relational depth: TPC-H-shaped queries (the analytics-engine surface the
+# training-data pipeline needs: wide aggs, multi-way dim joins, top-k)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q1_like",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         / 1000000.0 AS sum_disc_price,
+       avg(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS avg_qty,
+       avg(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100.0 AS avg_disc
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary rollup (TPC-H Q1 shape): one wide partial-aggregated
+    groupBy — the canonical scan-bound plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qqty = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    qep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qd = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+        (F.sum(qqty).cast("long") / F.lit(100.0)).alias("sum_qty"),
+        (F.sum(qep).cast("long") / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(qep * (F.lit(100) - qd)).cast("long") / F.lit(1000000.0)).alias(
+            "sum_disc_price"
+        ),
+        (F.avg(qqty) / F.lit(100.0)).alias("avg_qty"),
+        (F.avg(qd) / F.lit(100.0)).alias("avg_disc"),
+    )
+
+
+@query(
+    "tpch_q3_like",
+    oracle="""
+SELECT o.o_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         AS revenue_q,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_s
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_q DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-k (TPC-H Q3 shape): selective dim filter
+    broadcast against the fact, agg, global top-10 (TakeOrderedAndProject —
+    no full sort). Revenue kept as the exact integer for determinism."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qd = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(qep * (F.lit(100) - qd)).cast("long").alias("revenue_q"))
+        .select(
+            "o_orderkey", "revenue_q",
+            F.unix_timestamp("o_orderdate").cast("long").alias("orderdate_s"),
+        )
+        .orderBy(F.col("revenue_q").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_like",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+         / 1000000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape): fact joins three broadcast
+    dims; only the final groupBy shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("o_orderkey", "r_name", "n_name")
+    )
+    qep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qd = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.join(F.broadcast(dims), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.sum(qep * (F.lit(100) - qd)).cast("long") / F.lit(1000000.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query("multiclass_pa_train")  # rows-only: 3-class returnflag labels
+def q_multiclass_pa_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _labeled_points(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).cast("long")
+    cls = li.select(
+        rid.alias("id"), F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.when(F.col("l_returnflag") == "R", 0.0)
+        .when(F.col("l_returnflag") == "A", 1.0)
+        .otherwise(2.0).alias("cls"),
+    )
+    pts = pts.join(cls, ["id", "pk", "sk"]).persist()
+    try:
+        train = pts.filter(F.col("split") == "train")
+        test = pts.filter(F.col("split") == "test")
+        state = trainer.fit(
+            train, "MultiClassPA", dim=3,
+            hyper={"C": 0.1, "numClasses": 3}, label_col="cls",
+            num_partitions=NUM_WORKERS, partition_col="worker",
+            order_cols=["id", "pk", "sk"],
+        )
+        ev = trainer.evaluate(test, "MultiClassPA", state, label_col="cls")
+        return _model_rows(
+            spark, state, "MultiClassPA",
+            {"loss": ev["loss"], "score": ev["score"], "n_test": ev["n_test"]},
+        )
+    finally:
+        pts.unpersist()
