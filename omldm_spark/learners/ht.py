@@ -1,0 +1,192 @@
+"""HT — Hoeffding Tree / VFDT (SURVEY.md §2.9, the hard one).
+
+The reference forces HT onto the SingleLearner protocol — every point is
+forwarded to one central learner (src/main/scala/omldm/operators/spoke/
+FlinkSpoke.scala:204-206) — because an incremental tree has no cheap model
+merge. We keep that: ``merge`` of multiple partial trees is refused; the
+trainer runs it on one partition (the ``SingleLearner`` path of
+streaming/training_loop.py).
+
+Algorithm: Domingos & Hulten, "Mining High-Speed Data Streams" (KDD 2000),
+with Gaussian numeric attribute observers (per-leaf, per-class running
+n/sum/sumsq — the standard MOA treatment of numeric features): at every
+``grace_period`` examples a leaf compares the two best candidate split
+gains; if best - second > Hoeffding bound eps = sqrt(ln(1/delta) / 2n) (or
+best alone clears a tie threshold) the leaf splits at the feature's running
+mean. Binary labels {-1,+1}.
+
+State is a plain nested dict serialized as JSON (``uses_blob`` trainer
+contract) — variable-size model, unlike the flat vector learners.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+
+from .base import Learner, register
+
+
+def _entropy(c0: float, c1: float) -> float:
+    n = c0 + c1
+    if n <= 0:
+        return 0.0
+    h = 0.0
+    for c in (c0, c1):
+        if c > 0:
+            p = c / n
+            h -= p * math.log2(p)
+    return h
+
+
+def _new_leaf(dim: int) -> dict:
+    return {
+        "leaf": True,
+        "counts": [0.0, 0.0],
+        # per feature: per class: [n, sum, sumsq]
+        "fstats": [[[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]] for _ in range(dim)],
+        "since_eval": 0,
+    }
+
+
+@register
+class HT(Learner):
+    name = "HT"
+    is_classifier = True
+
+    uses_blob = True
+
+    def init_state(self, dim: int, hyper: dict) -> dict:
+        return {
+            "tree": {"0": _new_leaf(dim)},
+            "dim": dim,
+            "n": 0,
+            "cum_loss": 0.0,
+        }
+
+    # -- blob serialization (variable-size model) ---------------------------
+
+    def to_blob(self, state: dict) -> str:
+        return json.dumps(
+            {"tree": state["tree"], "dim": state["dim"], "n": int(state["n"]),
+             "cum_loss": float(state["cum_loss"])}
+        )
+
+    def from_blob(self, blob: str) -> dict:
+        d = json.loads(blob)
+        d["n"] = int(d["n"])
+        return d
+
+    # -- core ---------------------------------------------------------------
+
+    def _route(self, tree: dict, x: np.ndarray) -> str:
+        nid = "0"
+        while not tree[nid]["leaf"]:
+            node = tree[nid]
+            nid = node["left"] if x[node["feature"]] <= node["threshold"] else node["right"]
+        return nid
+
+    def _gaussian_split_gain(self, leaf: dict, j: int) -> tuple[float, float]:
+        """(info gain, threshold) for splitting feature j at its running mean."""
+        s = leaf["fstats"][j]
+        n0, sum0, ss0 = s[0]
+        n1, sum1, ss1 = s[1]
+        n = n0 + n1
+        if n0 < 2 or n1 < 2:
+            return 0.0, 0.0
+        thr = (sum0 + sum1) / n
+        est = []
+        for cn, csum, css in ((n0, sum0, ss0), (n1, sum1, ss1)):
+            mu = csum / cn
+            var = max(css / cn - mu * mu, 1e-12)
+            z = (thr - mu) / math.sqrt(2.0 * var)
+            p_left = 0.5 * (1.0 + math.erf(z))
+            est.append((cn * p_left, cn * (1.0 - p_left)))
+        l0, r0 = est[0]
+        l1, r1 = est[1]
+        nl, nr = l0 + l1, r0 + r1
+        if nl < 1e-9 or nr < 1e-9:
+            return 0.0, thr
+        parent = _entropy(n0, n1)
+        child = (nl / n) * _entropy(l0, l1) + (nr / n) * _entropy(r0, r1)
+        return parent - child, thr
+
+    def _try_split(self, tree: dict, nid: str, hyper: dict, dim: int) -> None:
+        leaf = tree[nid]
+        n = leaf["counts"][0] + leaf["counts"][1]
+        delta = float(hyper.get("delta", 1e-4))
+        tie = float(hyper.get("tie_threshold", 0.05))
+        max_depth = int(hyper.get("max_depth", 6))
+        if len(nid) - 1 >= max_depth:  # depth = id-path length (see children ids)
+            return
+        gains = sorted(
+            ((self._gaussian_split_gain(leaf, j), j) for j in range(dim)),
+            reverse=True,
+        )
+        (g1, thr1), j1 = gains[0]
+        g2 = gains[1][0][0] if dim > 1 else 0.0
+        eps = math.sqrt(math.log(1.0 / delta) / (2.0 * n))
+        if g1 > 0 and (g1 - g2 > eps or eps < tie):
+            left_id, right_id = nid + "l", nid + "r"
+            tree[nid] = {
+                "leaf": False,
+                "feature": j1,
+                "threshold": thr1,
+                "left": left_id,
+                "right": right_id,
+            }
+            tree[left_id] = _new_leaf(dim)
+            tree[right_id] = _new_leaf(dim)
+
+    def partial_fit(self, X, y, state, hyper):
+        grace = int(hyper.get("grace_period", 200))
+        tree = state["tree"]
+        dim = state["dim"]
+        cum = float(state["cum_loss"])
+        for i in range(X.shape[0]):
+            x = X[i]
+            cls = 1 if y[i] > 0 else 0
+            nid = self._route(tree, x)
+            leaf = tree[nid]
+            # prequential error: test-then-train
+            pred = 1 if leaf["counts"][1] >= leaf["counts"][0] else 0
+            if pred != cls:
+                cum += 1.0
+            leaf["counts"][cls] += 1.0
+            for j in range(dim):
+                st = leaf["fstats"][j][cls]
+                v = float(x[j])
+                st[0] += 1.0
+                st[1] += v
+                st[2] += v * v
+            leaf["since_eval"] += 1
+            if leaf["since_eval"] >= grace:
+                leaf["since_eval"] = 0
+                self._try_split(tree, nid, hyper, dim)
+        return {
+            "tree": tree,
+            "dim": dim,
+            "n": int(state["n"]) + X.shape[0],
+            "cum_loss": cum,
+        }
+
+    def merge(self, states):
+        if len(states) == 1:
+            return states[0]
+        raise ValueError(
+            "HT has no model merge; train with the SingleLearner protocol "
+            "(one partition), as the reference forces (FlinkSpoke.scala:204-206)"
+        )
+
+    def predict(self, X, state):
+        tree = state["tree"]
+        out = np.empty(X.shape[0])
+        for i in range(X.shape[0]):
+            leaf = tree[self._route(tree, X[i])]
+            out[i] = 1.0 if leaf["counts"][1] >= leaf["counts"][0] else -1.0
+        return out
+
+    def loss(self, X, y, state):
+        return float(np.mean(self.predict(X, state) != np.asarray(y)))

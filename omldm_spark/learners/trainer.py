@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from .base import Learner, get_learner
 
 # Serialized state row: flat float arrays + counts; one row per partition.
-STATE_SCHEMA = "part_id long, n long, cum_loss double, flat array<double>"
+STATE_SCHEMA = "part_id long, n long, cum_loss double, flat array<double>, blob string"
 
 
 def _flatten_state(learner: Learner, state: dict) -> list[float]:
@@ -101,13 +101,18 @@ def fit(
     else:
         sel = points.select(features_col, label_col)
 
+    uses_blob = bool(getattr(learner, "uses_blob", False))
     state = init_state or learner.init_state(dim, hyper)
     for _ in range(epochs):
-        bc_flat = _flatten_state(learner, state)
+        bc_blob = learner.to_blob(state) if uses_blob else None
+        bc_flat = None if uses_blob else _flatten_state(learner, state)
         bc_n, bc_cum = int(state["n"]), float(state["cum_loss"])
 
         def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            local = _unflatten_state(learner, template, bc_flat)
+            if uses_blob:
+                local = learner.from_blob(bc_blob)
+            else:
+                local = _unflatten_state(learner, template, bc_flat)
             local["n"], local["cum_loss"] = 0, 0.0
             seen = 0
             for pdf in batches:
@@ -123,7 +128,10 @@ def fit(
                         "part_id": [0],
                         "n": [int(local["n"])],
                         "cum_loss": [float(local["cum_loss"])],
-                        "flat": [_flatten_state(learner, local)],
+                        "flat": [
+                            [] if uses_blob else _flatten_state(learner, local)
+                        ],
+                        "blob": [learner.to_blob(local) if uses_blob else None],
                     }
                 )
 
@@ -132,7 +140,10 @@ def fit(
             break
         partials = []
         for r in rows:
-            s = _unflatten_state(learner, template, list(r["flat"]))
+            if uses_blob:
+                s = learner.from_blob(r["blob"])
+            else:
+                s = _unflatten_state(learner, template, list(r["flat"]))
             s["n"], s["cum_loss"] = int(r["n"]), float(r["cum_loss"])
             partials.append(s)
         merged = learner.merge(partials)
@@ -163,3 +174,86 @@ def evaluate(
         "score": learner.score(X, yv, state),
         "n_test": len(pdf),
     }
+
+
+GROUP_STATE_SCHEMA = (
+    "grp long, n long, cum_loss double, flat array<double>, blob string"
+)
+
+
+def fit_groups(
+    points: DataFrame,
+    learner_name: str,
+    dim: int,
+    hyper: dict | None = None,
+    *,
+    key_col: str,
+    features_col: str = "features",
+    label_col: str = "label",
+    order_cols: list[str] | None = None,
+    init_states: dict[int, dict] | None = None,
+) -> dict[int, dict]:
+    """Per-group sequential training: each key keeps ITS OWN model.
+
+    This is the per-worker state the distributed-protocol emulations need
+    (GM/FGM/EASGD keep worker models that diverge between syncs —
+    SURVEY.md §2.9). applyInPandas gives one pandas frame per group; rows
+    are sorted in-frame by ``order_cols``, so the pass is deterministic
+    regardless of shuffle arrival order.
+    """
+    hyper = dict(hyper or {})
+    learner = get_learner(learner_name)
+    template = learner.init_state(dim, hyper)
+    uses_blob = bool(getattr(learner, "uses_blob", False))
+    init_states = init_states or {}
+    bc: dict[int, tuple] = {}
+    for k, st in init_states.items():
+        if uses_blob:
+            bc[int(k)] = (None, learner.to_blob(st))
+        else:
+            bc[int(k)] = (_flatten_state(learner, st), None)
+    order_cols = order_cols or []
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = int(pdf[key_col].iloc[0])
+        if order_cols:
+            pdf = pdf.sort_values(order_cols)
+        packed = bc.get(key)
+        if packed is None:
+            local = learner.init_state(dim, hyper)
+        elif uses_blob:
+            local = learner.from_blob(packed[1])
+        else:
+            local = _unflatten_state(learner, template, packed[0])
+        local["n"], local["cum_loss"] = 0, 0.0
+        X = np.asarray(pdf[features_col].tolist(), dtype=float)
+        yv = pdf[label_col].to_numpy(dtype=float)
+        local = learner.partial_fit(X, yv, local, hyper)
+        return pd.DataFrame(
+            {
+                "grp": [key],
+                "n": [int(local["n"])],
+                "cum_loss": [float(local["cum_loss"])],
+                "flat": [[] if uses_blob else _flatten_state(learner, local)],
+                "blob": [learner.to_blob(local) if uses_blob else None],
+            }
+        )
+
+    rows = (
+        points.select(key_col, features_col, label_col, *order_cols)
+        .groupBy(key_col)
+        .applyInPandas(run_group, schema=GROUP_STATE_SCHEMA)
+        .collect()
+    )
+    out: dict[int, dict] = {}
+    for r in rows:
+        if uses_blob:
+            s = learner.from_blob(r["blob"])
+        else:
+            s = _unflatten_state(learner, template, list(r["flat"]))
+        prev_n = int(init_states.get(r["grp"], {}).get("n", 0))
+        prev_cum = float(init_states.get(r["grp"], {}).get("cum_loss", 0.0))
+        s["n"] = prev_n + int(r["n"])
+        s["cum_loss"] = prev_cum + float(r["cum_loss"])
+        out[int(r["grp"])] = s
+    return out

@@ -46,6 +46,8 @@ class PipelineSpec:
     models_shipped: int = 0
     bytes_shipped: int = 0
     learning_curve: list[tuple[int, float]] = field(default_factory=list)
+    rounds: int = 0
+    worker_models: dict[str, Any] | None = None  # per-worker states (SSP/GM/FGM/EASGD)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, default=list)

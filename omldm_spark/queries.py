@@ -1254,3 +1254,80 @@ def q_multiclass_pa_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         pts.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# HT (SingleLearner-forced) + NN learners
+# ---------------------------------------------------------------------------
+
+@query("ht_train")  # rows-only: incremental Hoeffding tree (VFDT)
+def q_ht_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HT on the SingleLearner path (one partition — FlinkSpoke.scala:204-206
+    forces this in the reference). Output: one row per tree node."""
+    pts = _labeled_points(spark, sf_dir).persist()
+    try:
+        train = pts.filter(F.col("split") == "train")
+        test = pts.filter(F.col("split") == "test")
+        state = trainer.fit(
+            train, "HT", dim=3, hyper={"grace_period": 200},
+            num_partitions=1, order_cols=["id", "pk", "sk"],
+        )
+        ev = trainer.evaluate(test, "HT", state, label_col="label")
+        rows = []
+        for nid, node in sorted(state["tree"].items()):
+            if node["leaf"]:
+                rows.append(
+                    (nid, "leaf", -1, 0.0, float(node["counts"][0]),
+                     float(node["counts"][1]))
+                )
+            else:
+                rows.append(
+                    (nid, "split", int(node["feature"]),
+                     float(node["threshold"]), 0.0, 0.0)
+                )
+        rows.append(("_eval", "stats", int(ev["n_test"]), float(ev["score"]),
+                     float(state["n"]), float(state["cum_loss"])))
+        return spark.createDataFrame(
+            rows, "node_id string, kind string, feature int, threshold double,"
+                  " n_neg double, n_pos double"
+        )
+    finally:
+        pts.unpersist()
+
+
+QUERIES["nn_train"] = _train_query("NN", {"hidden": 8, "lr": 0.05, "seed": 25})
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+""",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force). At 100 TB this
+    runs AFTER an LSH/IVF bucketing stage (see anchor_lsh_topk) — the
+    all-pairs form is the within-bucket kernel."""
+    from .functions.vector import cosine, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        to_double_array("embedding").alias("v"),
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= 0.4)

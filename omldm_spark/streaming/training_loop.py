@@ -32,7 +32,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..learners import get_learner, trainer
+from ..learners.protocols import protocol_round
 from ..plans.catalog import PipelineCatalog
+
+# Protocols that keep per-worker model state between syncs (SURVEY.md §2.9).
+PER_WORKER_PROTOCOLS = {"SSP", "GM", "FGM", "EASGD"}
+
+
+def _ser(state: dict) -> dict:
+    return {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in state.items()}
+
+
+def _deser(d: dict) -> dict:
+    return {k: (np.asarray(v) if isinstance(v, list) else v)
+            for k, v in d.items()}
 
 
 @dataclass
@@ -63,6 +77,7 @@ def train_batch(
     *,
     features_col: str = "features",
     label_col: str = "label",
+    id_col: str = "id",
     dim: int = 3,
     num_partitions: int = 8,
     partition_col: str | None = None,
@@ -87,38 +102,63 @@ def train_batch(
             t0 = time.time()
             learner = get_learner(spec.learner)
             hyper = dict(spec.hyper)
-            init = None
-            if spec.model is not None:
-                init = {
-                    k: (np.asarray(v) if isinstance(v, list) else v)
-                    for k, v in spec.model.items()
-                }
+            init = _deser(spec.model) if spec.model is not None else None
             # SingleLearner (HT/K-means) trains on one partition — the
             # reference forwards all points to a single central learner
             # (FlinkSpoke.scala:203-211).
             parts = 1 if spec.protocol in ("SingleLearner", "CentralizedTraining") \
                 else num_partitions
-            state = trainer.fit(
-                batch_df,
-                spec.learner,
-                dim=dim,
-                hyper=hyper,
-                features_col=features_col,
-                label_col=label_col,
-                num_partitions=parts,
-                partition_col=partition_col if parts > 1 else None,
-                order_cols=order_cols,
-                init_state=init,
+            per_worker = (
+                spec.protocol in PER_WORKER_PROTOCOLS
+                and parts > 1
+                and not getattr(learner, "uses_blob", False)
             )
-            spec.model = {
-                k: (v.tolist() if isinstance(v, np.ndarray) else v)
-                for k, v in state.items()
-            }
+            if per_worker:
+                # workers keep their own models between syncs; the batch is
+                # keyed to stable worker ids so state follows the worker
+                template = learner.init_state(dim, hyper)
+                g_state = init or learner.init_state(dim, hyper)
+                prev_workers = {
+                    int(k): _deser(v)
+                    for k, v in (spec.worker_models or {}).items()
+                } or {w: dict(g_state) for w in range(parts)}
+                dfw = batch_df.withColumn(
+                    "_wk", F.pmod(F.col(id_col), F.lit(parts)).cast("int")
+                )
+                new_states = trainer.fit_groups(
+                    dfw, spec.learner, dim, hyper, key_col="_wk",
+                    features_col=features_col, label_col=label_col,
+                    order_cols=[id_col], init_states=prev_workers,
+                )
+                workers = {**prev_workers, **new_states}
+                state, workers, shipped = protocol_round(
+                    spec.protocol, learner, template, g_state, workers,
+                    spec.rounds, hyper,
+                )
+                spec.worker_models = {
+                    str(k): _ser(v) for k, v in workers.items()
+                }
+            else:
+                state = trainer.fit(
+                    batch_df,
+                    spec.learner,
+                    dim=dim,
+                    hyper=hyper,
+                    features_col=features_col,
+                    label_col=label_col,
+                    num_partitions=parts,
+                    partition_col=partition_col if parts > 1 else None,
+                    order_cols=order_cols,
+                    init_state=init,
+                )
+                shipped = parts
+            spec.model = _ser(state)
+            spec.rounds += 1
             round_fitted = int(state["n"]) - spec.fitted
             spec.fitted = int(state["n"])
             spec.cum_loss = float(state["cum_loss"])
-            spec.models_shipped += parts  # one partial per worker per round
-            spec.bytes_shipped += parts * _state_bytes(state)
+            spec.models_shipped += shipped
+            spec.bytes_shipped += shipped * _state_bytes(state)
             spec.learning_curve.append((spec.fitted, spec.cum_loss))
             stats.append(
                 BatchStats(
@@ -126,8 +166,8 @@ def train_batch(
                     pipeline=spec.id,
                     protocol=spec.protocol,
                     fitted=round_fitted,
-                    models_shipped=parts,
-                    bytes_shipped=parts * _state_bytes(state),
+                    models_shipped=shipped,
+                    bytes_shipped=shipped * _state_bytes(state),
                     loss_sum=float(state["cum_loss"]),
                     wall_ms=(time.time() - t0) * 1000,
                 )
