@@ -1331,3 +1331,42 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim")
     )
     return scored.filter(F.col("cos_sim") >= 0.4)
+
+
+@query(
+    "parse_requests",
+    oracle="""
+SELECT CAST(s_suppkey AS INTEGER) AS id,
+       CASE s_suppkey % 4 WHEN 0 THEN 'Create' WHEN 1 THEN 'Update'
+            WHEN 2 THEN 'Query' ELSE 'Delete' END AS request,
+       CASE s_suppkey % 2 WHEN 0 THEN 'PA' ELSE 'SVM' END AS learner_name
+FROM supplier
+""",
+)
+def q_parse_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 RequestParser: JSON round trip of pipeline CRUD requests with
+    malformed rows injected and silently dropped (RequestParser.scala:8-18)."""
+    from .functions.parsing import parse_requests
+
+    sup = load_table(spark, sf_dir, "supplier")
+    reqs = sup.select(
+        F.col("s_suppkey").cast("int").alias("id"),
+        F.element_at(
+            F.array(F.lit("Create"), F.lit("Update"), F.lit("Query"), F.lit("Delete")),
+            (F.pmod(F.col("s_suppkey"), F.lit(4)) + 1).cast("int"),
+        ).alias("request"),
+        F.struct(
+            F.element_at(
+                F.array(F.lit("PA"), F.lit("SVM")),
+                (F.pmod(F.col("s_suppkey"), F.lit(2)) + 1).cast("int"),
+            ).alias("name")
+        ).alias("learner"),
+    )
+    raw = to_json_sink(reqs)
+    junk = spark.createDataFrame(
+        [('{"request": "Explode", "id": 99}',), ("nope",), ("",)], ["value"]
+    )
+    parsed = parse_requests(raw.unionByName(junk))
+    return parsed.select(
+        "id", "request", F.col("learner.name").alias("learner_name")
+    )

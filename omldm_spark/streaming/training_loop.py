@@ -217,6 +217,62 @@ def predict_batch(
     return res
 
 
+# Admission buffer for data arriving before any pipeline exists — the
+# reference buffers up to 100k records per worker until a Create lands
+# (SpokeLogic.scala:32-35, drained at FlinkSpoke.scala:80).
+RECORD_BUFFER_MAX = 100_000
+
+
+def make_batch_handler(
+    spark,
+    catalog: PipelineCatalog,
+    *,
+    features_col: str = "features",
+    label_col: str = "label",
+    id_col: str = "id",
+    dim: int = 3,
+    num_partitions: int = 8,
+    predictions_sink: list | None = None,
+    stats_sink: list | None = None,
+):
+    """The foreachBatch body, factored out so batch-mode tests can drive it
+    directly. Keeps the pre-Create record buffer across invocations."""
+    record_buffer: list = []
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        training = batch_df.filter(F.col("operation") == "training")
+        forecasting = batch_df.filter(F.col("operation") == "forecasting")
+        if not catalog.live():
+            # no pipeline yet: buffer (bounded), train nothing
+            room = RECORD_BUFFER_MAX - len(record_buffer)
+            if room > 0:
+                record_buffer.extend(training.limit(room).collect())
+            return
+        if record_buffer:
+            buffered = spark.createDataFrame(record_buffer, training.schema)
+            training = buffered.unionByName(training)
+            record_buffer.clear()
+        st = train_batch(
+            training,
+            catalog,
+            features_col=features_col,
+            label_col=label_col,
+            id_col=id_col,
+            dim=dim,
+            num_partitions=num_partitions,
+            batch_id=batch_id,
+        )
+        if stats_sink is not None:
+            stats_sink.extend(st)
+        preds = predict_batch(
+            forecasting, catalog, features_col=features_col, id_col=id_col
+        )
+        if preds is not None and predictions_sink is not None:
+            predictions_sink.extend(preds.collect())
+
+    return handle
+
+
 def run_streaming(
     spark,
     stream_df: DataFrame,
@@ -244,25 +300,17 @@ def run_streaming(
     if requests_df is not None:
         catalog.apply_requests_df(requests_df)
 
-    def handle(batch_df: DataFrame, batch_id: int):
-        training = batch_df.filter(F.col("operation") == "training")
-        forecasting = batch_df.filter(F.col("operation") == "forecasting")
-        st = train_batch(
-            training,
-            catalog,
-            features_col=features_col,
-            label_col=label_col,
-            dim=dim,
-            num_partitions=num_partitions,
-            batch_id=batch_id,
-        )
-        if stats_sink is not None:
-            stats_sink.extend(st)
-        preds = predict_batch(
-            forecasting, catalog, features_col=features_col, id_col=id_col
-        )
-        if preds is not None and predictions_sink is not None:
-            predictions_sink.extend(preds.collect())
+    handle = make_batch_handler(
+        spark,
+        catalog,
+        features_col=features_col,
+        label_col=label_col,
+        id_col=id_col,
+        dim=dim,
+        num_partitions=num_partitions,
+        predictions_sink=predictions_sink,
+        stats_sink=stats_sink,
+    )
 
     writer = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True)
     if checkpoint_dir:

@@ -118,3 +118,25 @@ def test_multimodal_plumbing(spark):
     # real decode path is explicitly stubbed
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_and_featurize(media, fake=False).collect()
+
+
+def test_pre_create_buffering(spark):
+    """A2/M1: data arriving before any Create is buffered (bounded) and
+    trained once the pipeline exists (SpokeLogic.scala:32-35,
+    FlinkSpoke.scala:80)."""
+    from omldm_spark.streaming.training_loop import make_batch_handler
+
+    cat = PipelineCatalog()
+    preds, stats = [], []
+    handle = make_batch_handler(
+        spark, cat, dim=3, num_partitions=4,
+        predictions_sink=preds, stats_sink=stats,
+    )
+    pdf = _points_pdf(300)
+    df = spark.createDataFrame(pdf)
+    handle(df, 0)                       # no pipeline yet -> buffered
+    assert not stats and cat.live() == []
+    cat.apply_request({"id": 1, "request": "Create", "learner": {"name": "PA"}})
+    handle(df, 1)                       # buffered 270 + new 270 trained
+    assert cat.pipelines[1].fitted == 540
+    assert len(stats) == 1 and stats[0].fitted == 540
