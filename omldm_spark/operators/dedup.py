@@ -60,20 +60,37 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs: n-token shingles via posexplode + lead windows.
+def shingle_array(toks_col, n: int = 3):
+    """ARRAY<STRING> of n-token shingles over an ALREADY-MATERIALIZED token
+    array column — no explode, no window, no shuffle. ``toks_col`` must be a
+    column reference (attribute), not the tokenization expression: array
+    lambdas re-evaluate their input expression per element_at, so an inline
+    tokenizer would re-run the regex split hundreds of times per row
+    (measured 3.8s -> 10.7s regression before this was split out)."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
-    The window partitions by document — shuffle key is the doc id, perfectly
-    balanced for ~uniform doc lengths; no global sort.
-    """
-    toks = docs.select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    return (
-        toks.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
-                    F.lead("tok", n - 1).over(w).alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs. The tokens array is pinned in its own projection
+    (nondeterministic guard column blocks CollapseProject from inlining the
+    tokenizer into the per-shingle lambda); one explode; the only shuffle in
+    the MinHash pipeline is the downstream groupBy."""
+    with_toks = docs.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("_toks"),
+        F.rand(25).alias("_pin"),
+    ).drop("_pin")
+    return with_toks.select(
+        F.col(id_col), F.explode(shingle_array("_toks", n)).alias("shingle")
     )
 
 

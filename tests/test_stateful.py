@@ -1,0 +1,117 @@
+"""transformWithStateInPandas operators: cross-batch dedup + running stats."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from omldm_spark.streaming.sources import file_replay_source
+from omldm_spark.streaming.stateful import streaming_dedup, streaming_running_stats
+
+
+def _write_batches(spark, tmp_path):
+    """Two parquet files -> two micro-batches (maxFilesPerTrigger=1).
+    Key 'a' repeats within batch 1 and again in batch 2."""
+    b1 = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0],
+                       "rid": [1, 2, 3]})
+    b2 = pd.DataFrame({"k": ["a", "c"], "v": [4.0, 5.0], "rid": [4, 5]})
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    schema = "k string, v double, rid bigint"
+    return file_replay_source(spark, src, schema, max_files_per_trigger=1)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    stream = _write_batches(spark, tmp_path)
+    out = streaming_dedup(stream, "k", "k string, v double, rid bigint")
+    sink: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _: sink.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    keys = sorted(r["k"] for r in sink)
+    assert keys == ["a", "b", "c"]  # second+third 'a' suppressed cross-batch
+
+
+def test_streaming_running_stats(spark, tmp_path):
+    b1 = pd.DataFrame({"key": [1, 1, 2], "v": [1.0, 3.0, 10.0]})
+    b2 = pd.DataFrame({"key": [1, 2], "v": [5.0, 20.0]})
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    stream = file_replay_source(spark, src, "key bigint, v double",
+                                max_files_per_trigger=1)
+    out = streaming_running_stats(stream, "key")
+    sink: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _: sink.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # final state per key: running across both batches
+    last = {}
+    for r in sink:
+        last[r["key"]] = r
+    assert last[1]["cnt"] == 3 and last[1]["total"] == 9.0
+    assert last[1]["mn"] == 1.0 and last[1]["mx"] == 5.0
+    assert last[2]["cnt"] == 2 and last[2]["total"] == 30.0
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    from omldm_spark.streaming.windows import windowed_event_counts
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:01:00", "2024-01-01 00:02:00",
+                 "2024-01-01 00:11:00", "2024-01-01 00:12:00",
+                 "2024-01-01 00:01:30"]
+            ),
+            "event_type": ["a", "a", "a", "b", "b"],
+        }
+    )
+    src = str(tmp_path / "wsrc")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = file_replay_source(spark, src, "ts timestamp, event_type string")
+    out = windowed_event_counts(stream, window="10 minutes", watermark="5 minutes")
+    sink: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _: sink.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["window_start"].minute, r["event_type"]): r["cnt"] for r in sink}
+    assert got[(0, "a")] == 2   # 00:00-00:10 window
+    assert got[(10, "a")] == 1  # 00:10-00:20 window
+    assert got[(0, "b")] == 1
+    assert got[(10, "b")] == 1
+
+
+def test_idle_timeout_stopper(spark, tmp_path):
+    from omldm_spark.streaming.windows import IdleTimeoutStopper
+
+    # a file stream with one file and a continuous trigger: after batch 0 it
+    # idles forever — the stopper must terminate it (the reference's 30 s
+    # idle-timeout self-termination)
+    pdf = pd.DataFrame({"k": ["x", "y"], "v": [1.0, 2.0]})
+    src = str(tmp_path / "isrc")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    stream = file_replay_source(spark, src, "k string, v double")
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ickpt"))
+        .start()
+    )
+    IdleTimeoutStopper(q, timeout_sec=4.0, poll_sec=0.5).start()
+    q.awaitTermination(90)
+    assert not q.isActive
