@@ -1370,3 +1370,37 @@ def q_parse_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "id", "request", F.col("learner.name").alias("learner_name")
     )
+
+
+@query(
+    "hourly_event_counts",
+    oracle="""
+SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 batch form: tumbling 1-hour windows over event time — the same
+    plan Structured Streaming runs incrementally with a watermark
+    (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )

@@ -100,3 +100,27 @@ def test_cosine_topk_identical_vector_ranks_first(spark):
     q0 = out[out["query_id"] == 0].sort_values("rank")
     assert list(q0["neighbor_id"]) == [1, 2, 3]
     assert q0.iloc[0]["cos_sim"] == 1.0
+
+
+def test_parameter_chunking_roundtrip(spark):
+    from omldm_spark.functions.chunking import chunk_parameters, reassemble_parameters
+
+    rows = [
+        (1, "weights", [float(i) for i in range(25)]),
+        (1, "bias", [1.5]),
+        (2, "weights", []),
+    ]
+    df = spark.createDataFrame(rows, "pipeline_id int, name string, values array<double>")
+    chunks = chunk_parameters(df, bucket_size=10)
+    pdf = chunks.toPandas()
+    w = pdf[(pdf.pipeline_id == 1) & (pdf.name == "weights")]
+    assert sorted(w["bucket_idx"]) == [0, 1, 2]           # 25 -> 10+10+5
+    assert list(w[w.bucket_idx == 2].iloc[0]["bucket"]) == [20.0, 21.0, 22.0, 23.0, 24.0]
+    back_pdf = reassemble_parameters(chunks).toPandas()
+    back = {
+        (r["pipeline_id"], r["name"]): list(r["values"])
+        for r in back_pdf.to_dict("records")
+    }
+    assert back[(1, "weights")] == [float(i) for i in range(25)]
+    assert back[(1, "bias")] == [1.5]
+    assert back[(2, "weights")] == []
