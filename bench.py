@@ -32,6 +32,10 @@ HEADLINE = [
     "simhash_docs",            # dedup: bit-vote signature
     "ann_cosine_topk",         # similarity: brute-force cosine top-k
     "pa_train",                # online learner BSP round (mapInPandas)
+    "tpch_q1_like",            # wide scan-bound rollup
+    "tpch_q5_like",            # multi-way broadcast star join
+    "rollup_revenue",          # grouping sets over the star join
+    "event_sessions",          # gap-and-island sessionization
 ]
 
 

@@ -1,0 +1,61 @@
+"""Skew-resistant aggregation: two-phase salted groupBy (SURVEY.md scale
+rules; the hand-tuned partitioners of the reference, R1/R4, become hash
+shuffles — salting is the Spark-native answer when a key is hot).
+
+    groupBy(key)          one reducer owns the hot key -> straggler
+    salted two-phase      groupBy(key, salt) partial  -> groupBy(key) final
+                          hot key spreads over ``salt_buckets`` reducers;
+                          the second shuffle moves only partial aggregates.
+
+AQE's skew-join handling covers joins; this covers aggregations whose
+partials are algebraic (sum/count/min/max — anything with a merge). Results
+are EXACTLY equal to the direct groupBy (integer/exact partials), which the
+oracle asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_buckets: int = 16,
+    salt_source: Column | None = None,
+    **aggs: tuple[str, str],
+) -> DataFrame:
+    """Two-phase aggregation. ``aggs`` maps output name -> (fn, col) with fn
+    in {sum, count, min, max}. ``salt_source`` defaults to a deterministic
+    per-row expression (keep it deterministic for replayable tests; use
+    rand() in production where determinism doesn't matter).
+    """
+    salt = (
+        salt_source
+        if salt_source is not None
+        else F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    )
+    partial_exprs = []
+    final_exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "sum":
+            partial_exprs.append(F.sum(col).alias(f"_p_{out}"))
+            final_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+            final_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(f"_p_{out}"))
+            final_exprs.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(f"_p_{out}"))
+            final_exprs.append(F.max(f"_p_{out}").alias(out))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r}")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(*partial_exprs)
+    )
+    return partial.groupBy(*key_cols).agg(*final_exprs)

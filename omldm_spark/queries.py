@@ -1404,3 +1404,95 @@ def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation, grouping sets, skew-salted aggregation — present
+# here, absent in the reference (SURVEY.md §2.4 "notable absences")
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_users_per_type",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(q_rev) AS BIGINT) AS revenue_q
+FROM (
+  SELECT r.r_name, n.n_name,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS q_rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the star join: per-(region, nation),
+    per-region subtotals, and the grand total in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    qep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qd = F.round(F.col("l_discount") * 100, 0).cast("long")
+    joined = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("r_name", "n_name", (qep * (F.lit(100) - qd)).alias("q_rev"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("q_rev").cast("long").alias("revenue_q"),
+    )
+
+
+@query(
+    "salted_agg_revenue",
+    oracle="""
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_q
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def q_salted_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation — exactly equal to the direct
+    groupBy (the oracle IS the direct form), with the hot key spread over
+    16 reducers in phase one (operators/skew.py)."""
+    from .operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_q"),
+    )
+    return salted_agg(
+        li,
+        ["l_suppkey"],
+        salt_buckets=16,
+        n_items=("count", "l_suppkey"),
+        sum_price_q=("sum", "price_q"),
+    )

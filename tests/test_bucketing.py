@@ -1,0 +1,60 @@
+"""Bucketed tables -> co-located joins without a shuffle (the 100 TB join
+strategy from README scale rules: pre-partition both fact tables on the
+join key at write time; every later join on that key skips the Exchange)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def bucketed_tables(spark):
+    suffix = uuid.uuid4().hex[:8]
+    li_t, o_t = f"li_b_{suffix}", f"o_b_{suffix}"
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable(li_t))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable(o_t))
+    yield li_t, o_t
+    spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+    spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    li_t, o_t = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join so the shuffle (or its absence) is visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.table(li_t)
+        o = spark.table(o_t)
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # join itself must be exchange-free (bucket co-location); the final
+        # groupBy on a different key still shuffles — find the join subtree
+        join_part = plan.split("SortMergeJoin")[1]
+        assert "Exchange" not in join_part
+        # and the result matches the plain parquet join
+        plain = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
