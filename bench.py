@@ -49,8 +49,14 @@ def main() -> None:
 
     spark = get_spark("omldm-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-    # warm the JVM/codegen path outside the timings
+    # warm JVM, codegen, parquet reader, and the noop write path outside the
+    # timings (standard bench practice: measure steady-state, not first-JIT)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from omldm_spark.io import load_table
+
+    load_table(spark, sf_dir, "lineitem").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

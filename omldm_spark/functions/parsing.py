@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import DATA_INSTANCE_SCHEMA, EOS_SENTINEL, REQUEST_SCHEMA
+from ..schemas import DATA_INSTANCE_SCHEMA, REQUEST_SCHEMA
 
 
 # Pushdown blocker: wraps a predicate inside a nondeterministic WHEN so

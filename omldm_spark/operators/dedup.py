@@ -27,7 +27,7 @@ arithmetic until a single final division.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Tokenization shared with functions/text.py: lowercase, split on whitespace,

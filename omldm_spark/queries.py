@@ -321,9 +321,25 @@ GROUP BY w.n
 def q_orr_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: Create ORR -> train (closed form) -> Query ->
     QueryResponse with holdout loss on the deterministic 80/20 split
-    (SURVEY.md §7 step 2)."""
-    test = _split_points(spark, sf_dir).filter(F.col("split") == "test")
-    w = _weights(spark, sf_dir)
+    (SURVEY.md §7 step 2). The split lineage feeds both the Gram side and
+    the holdout side, so it is cached for the duration of the query."""
+    split = _split_points(spark, sf_dir).persist()
+    test = split.filter(F.col("split") == "test")
+    train = split.filter(F.col("split") == "train")
+    q0, q1, qy = F.col("q0"), F.col("q1"), F.col("qy")
+    gram = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.avg(q0 * q0) / F.lit(10000.0)).alias("m_0_0"),
+        (F.avg(q0 * q1) / F.lit(10000.0)).alias("m_0_1"),
+        (F.avg(q0) / F.lit(100.0)).alias("m_0_b"),
+        (F.avg(q0 * qy) / F.lit(10000000.0)).alias("v_0"),
+        (F.avg(q1 * q1) / F.lit(10000.0)).alias("m_1_1"),
+        (F.avg(q1) / F.lit(100.0)).alias("m_1_b"),
+        (F.avg(q1 * qy) / F.lit(10000000.0)).alias("v_1"),
+        (F.avg(qy) / F.lit(100000.0)).alias("v_b"),
+    )
+    gram.createOrReplaceTempView("omldm_gram")
+    w = spark.sql(CRAMER_2D_SQL.format(g="omldm_gram", lam=ORR_LAMBDA))
     err = F.col("y") - (
         F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("bias")
     )
