@@ -257,3 +257,47 @@ def fit_groups(
         s["cum_loss"] = prev_cum + float(r["cum_loss"])
         out[int(r["grp"])] = s
     return out
+
+
+def evaluate_linear(
+    points: DataFrame,
+    learner_name: str,
+    state: dict,
+    *,
+    features_col: str = "features",
+    label_col: str = "label",
+) -> dict:
+    """Catalyst-only holdout evaluation for flat linear models (state['w']):
+    the loss/score aggregations run JVM-side — no toPandas transfer, no
+    Python in the scoring path. Falls back to :func:`evaluate` for
+    non-linear state shapes."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vector import linear_predict
+
+    if "w" not in state:
+        return evaluate(points, learner_name, state,
+                        features_col=features_col, label_col=label_col)
+    learner = get_learner(learner_name)
+    w = np.asarray(state["w"], dtype=float)
+    raw = linear_predict(features_col, list(w[:-1]), float(w[-1]))
+    y = F.col(label_col)
+    if learner.is_classifier:
+        pred = F.when(raw >= 0, 1.0).otherwise(-1.0)
+        hinge = F.greatest(F.lit(0.0), F.lit(1.0) - y * raw)
+        row = points.agg(
+            F.avg(hinge).alias("loss"),
+            F.avg((pred == y).cast("double")).alias("score"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+    else:
+        err = raw - y
+        row = points.agg(
+            F.avg(err * err).alias("loss"),
+            (-F.avg(err * err)).alias("score"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+    if row["n"] == 0:
+        return {"loss": math.nan, "score": math.nan, "n_test": 0}
+    return {"loss": float(row["loss"]), "score": float(row["score"]),
+            "n_test": int(row["n"])}

@@ -727,7 +727,7 @@ def _train_query(learner_name: str, hyper: dict, epochs: int = 1):
                 epochs=epochs, num_partitions=NUM_WORKERS,
                 partition_col="worker", order_cols=["id", "pk", "sk"],
             )
-            ev = trainer.evaluate(test, learner_name, state, label_col=label)
+            ev = trainer.evaluate_linear(test, learner_name, state, label_col=label)
             return _model_rows(
                 spark, state, learner_name,
                 {"loss": ev["loss"], "score": ev["score"], "n_test": ev["n_test"]},

@@ -67,3 +67,21 @@ def test_epochs_accumulate_counts(spark, points):
     s1 = trainer.fit(points, "SVM", dim=3, hyper={}, epochs=2, num_partitions=2,
                      partition_col="worker", order_cols=["id"])
     assert s1["n"] == 1000  # 2 epochs x 500 points
+
+
+def test_evaluate_linear_matches_numpy_evaluate(spark, points):
+    state = trainer.fit(
+        points, "PA", dim=3, hyper={"C": 1.0}, num_partitions=4,
+        partition_col="worker", order_cols=["id"],
+    )
+    ev_np = trainer.evaluate(points, "PA", state)
+    ev_sql = trainer.evaluate_linear(points, "PA", state)
+    assert ev_sql["n_test"] == ev_np["n_test"]
+    assert abs(ev_sql["score"] - ev_np["score"]) < 1e-12
+    assert abs(ev_sql["loss"] - ev_np["loss"]) < 1e-9
+    # regressor path too
+    st_r = trainer.fit(points, "RegressorPA", dim=3, hyper={}, num_partitions=4,
+                       partition_col="worker", order_cols=["id"])
+    ev_np = trainer.evaluate(points, "RegressorPA", st_r)
+    ev_sql = trainer.evaluate_linear(points, "RegressorPA", st_r)
+    assert abs(ev_sql["loss"] - ev_np["loss"]) < 1e-9
