@@ -145,3 +145,92 @@ def anchor_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    spark,
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors to K-means centroids,
+    search only the ``n_probe`` nearest cells per query.
+
+    The scale path for 100 TB: the cell assignment is one broadcast-centroid
+    scan (no shuffle); the candidate join touches ~n_probe/n_centroids of the
+    data. Uses the engine's own K-means learner as the coarse quantizer —
+    deterministic (seeded by first-k init on the id-ordered sample).
+    Recall < 1 by design; raise n_probe for recall, n_centroids for speed.
+    """
+    import numpy as np
+
+    from ..learners import trainer
+
+    emb = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col),
+        to_double_array(vec_col).alias(vec_col),
+    )
+    dim = len(emb.select(vec_col).first()[0])
+    # coarse quantizer: mini-batch K-means on an id-ordered sample
+    sample = (
+        emb.orderBy(id_col).limit(1024)
+        .select(F.col(vec_col).alias("features"), F.lit(0.0).alias("label"))
+    )
+    state = trainer.fit(
+        sample, "K-means", dim=dim, hyper={"k": n_centroids},
+        num_partitions=1, order_cols=None,
+    )
+    cents = np.asarray(state["centroids"])
+
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
+
+    # cell assignment: argmin distance over broadcast centroids (JVM-side:
+    # cross join with tiny centroid table + window min)
+    from pyspark.sql import Window
+
+    scored_cells = emb.crossJoin(F.broadcast(cent_df)).select(
+        id_col, vec_col, "cell",
+        (dot(vec_col, "cvec") * (-2)
+         + dot("cvec", "cvec")).alias("dist_part"),  # ||x||^2 constant per row
+    )
+    w_assign = Window.partitionBy(id_col).orderBy("dist_part", "cell")
+    assigned = (
+        scored_cells.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    # per-query probe cells: the n_probe nearest centroids
+    q = assigned.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    q_cells = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id", "qvec", "cell",
+        (dot("qvec", "cvec") * (-2) + dot("cvec", "cvec")).alias("dist_part"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("dist_part", "cell")
+    probes = (
+        q_cells.withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    # candidate search only within probed cells
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

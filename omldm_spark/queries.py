@@ -1512,3 +1512,13 @@ def q_salted_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_items=("count", "l_suppkey"),
         sum_price_q=("sum", "price_q"),
     )
+
+
+@query("ann_ivf_topk")  # rows-only: IVF ANN (K-means coarse quantizer)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(
+        spark, load_table(spark, sf_dir, "embeddings"),
+        n_centroids=8, n_probe=2, k=5, max_query_id=10,
+    )

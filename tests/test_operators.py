@@ -124,3 +124,22 @@ def test_parameter_chunking_roundtrip(spark):
     assert back[(1, "weights")] == [float(i) for i in range(25)]
     assert back[(1, "bias")] == [1.5]
     assert back[(2, "weights")] == []
+
+
+def test_ivf_topk_recall_against_brute_force(spark):
+    from omldm_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, max_query_id=10).toPandas()
+    approx = ivf_topk(spark, emb, n_centroids=8, n_probe=3, k=5,
+                      max_query_id=10).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5
+        for q in exact_sets.index
+    ]
+    # probing 3/8 cells must still find most true neighbors
+    assert sum(recalls) / len(recalls) > 0.5
+    # and every returned neighbor is a real vector with a sane score
+    assert (approx["cos_sim"] <= 1.0).all() and (approx["rank"] <= 5).all()
