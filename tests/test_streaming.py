@@ -140,3 +140,43 @@ def test_pre_create_buffering(spark):
     handle(df, 1)                       # buffered 270 + new 270 trained
     assert cat.pipelines[1].fitted == 540
     assert len(stats) == 1 and stats[0].fitted == 540
+
+
+def test_dedup_then_train_composition(spark, tmp_path):
+    """Pipeline composition: stream -> cross-batch dedup (keyed state) ->
+    BSP training. Duplicated records must be trained exactly once."""
+    from pyspark.sql import functions as SF
+
+    from omldm_spark.streaming.stateful import streaming_dedup
+
+    pdf = _points_pdf(400)
+    dup = pd.concat([pdf, pdf.head(200)], ignore_index=True)  # 200 dups
+    src = str(tmp_path / "dsrc")
+    spark.createDataFrame(dup).coalesce(2).write.parquet(src)
+    schema = spark.createDataFrame(pdf).schema
+    stream = file_replay_source(spark, src, schema, max_files_per_trigger=1)
+    keyed = stream.withColumn("k", SF.concat_ws("|", "id"))
+    deduped = streaming_dedup(
+        keyed, "k", "k string, id long, features array<double>, label double,"
+                    " operation string"
+    ).drop("k")
+
+    cat = PipelineCatalog()
+    cat.apply_request({"id": 1, "request": "Create", "learner": {"name": "PA"}})
+    preds, stats = [], []
+    from omldm_spark.streaming.training_loop import make_batch_handler
+
+    handle = make_batch_handler(
+        spark, cat, dim=3, num_partitions=4,
+        predictions_sink=preds, stats_sink=stats,
+    )
+    q = (
+        deduped.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # 400 unique rows, 360 training / 40 forecasting; duplicates suppressed
+    assert cat.pipelines[1].fitted == 360
+    assert len(preds) == 40
