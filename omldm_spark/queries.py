@@ -313,7 +313,11 @@ SELECT CAST(0 AS BIGINT) AS response_id,
        w.n AS data_fitted,
        CAST(count(*) AS BIGINT) AS n_test,
        round(avg((test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))
-                 * (test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))), 4) AS loss
+                 * (test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))), 4) AS loss,
+       round(sum((test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))
+                 * (test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))), 2) AS cumulative_loss,
+       round(-avg((test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))
+                 * (test.y - (w.w0 * test.x0 + w.w1 * test.x1 + w.bias))), 4) AS score
 FROM test, w
 GROUP BY w.n
 """,
@@ -349,6 +353,8 @@ def q_orr_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),
             F.round(F.avg(err * err), 4).alias("loss"),
+            F.round(F.sum(err * err), 2).alias("cumulative_loss"),
+            F.round(-F.avg(err * err), 4).alias("score"),
         )
         .select(
             F.lit(0).cast("long").alias("response_id"),
@@ -357,6 +363,8 @@ def q_orr_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("data_fitted"),
             "n_test",
             "loss",
+            "cumulative_loss",
+            "score",
         )
     )
 

@@ -320,3 +320,38 @@ def run_streaming(
     if q.isActive:
         q.stop()
     return q
+
+
+def build_query_responses(catalog: PipelineCatalog) -> list[dict]:
+    """Drain pending Query requests into full QueryResponse records
+    (entry point C, SURVEY.md §3.3; field surface per
+    FlinkNetwork.scala:193-231 / QUERY_RESPONSE_SCHEMA):
+    responseId, mlpId, protocol, dataFitted, loss, cumulativeLoss, score,
+    parameters (the model arrays, chunkable via functions/chunking.py)."""
+    out = []
+    pending, catalog.responses = catalog.responses, []
+    for req in pending:
+        spec = catalog.pipelines.get(int(req["pipelineId"]))
+        if spec is None:
+            continue
+        params = {}
+        if spec.model:
+            for k, v in spec.model.items():
+                if isinstance(v, list):
+                    flat = np.asarray(v, dtype=float).ravel().tolist()
+                    params[k] = [float(x) for x in flat]
+        curve = spec.learning_curve
+        last_loss = float(curve[-1][1]) if curve else float("nan")
+        out.append(
+            {
+                "responseId": req.get("responseId"),
+                "mlpId": f"{spec.learner}-{spec.id}",
+                "protocol": spec.protocol,
+                "dataFitted": int(spec.fitted),
+                "loss": (last_loss / spec.fitted) if spec.fitted else float("nan"),
+                "cumulativeLoss": last_loss,
+                "score": -(last_loss / spec.fitted) if spec.fitted else float("nan"),
+                "parameters": params,
+            }
+        )
+    return out

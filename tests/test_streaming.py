@@ -180,3 +180,24 @@ def test_dedup_then_train_composition(spark, tmp_path):
     # 400 unique rows, 360 training / 40 forecasting; duplicates suppressed
     assert cat.pipelines[1].fitted == 360
     assert len(preds) == 40
+
+
+def test_query_responses_drained_with_model_parameters(spark):
+    """Entry point C: Query requests produce full QueryResponse records with
+    the trained parameters (FlinkNetwork.scala:193-231 surface)."""
+    from omldm_spark.streaming.training_loop import build_query_responses
+
+    cat = PipelineCatalog()
+    cat.apply_request({"id": 1, "request": "Create", "learner": {"name": "PA"}})
+    df = spark.createDataFrame(_points_pdf()).filter("operation = 'training'")
+    train_batch(df, cat, dim=3, num_partitions=4, batch_id=0)
+    cat.apply_request({"id": 1, "request": "Query", "requestId": 42})
+    cat.apply_request({"id": 9, "request": "Query", "requestId": 43})  # missing
+    responses = build_query_responses(cat)
+    assert len(responses) == 1
+    r = responses[0]
+    assert r["responseId"] == 42 and r["mlpId"] == "PA-1"
+    assert r["dataFitted"] == 540
+    assert len(r["parameters"]["w"]) == 4
+    assert r["cumulativeLoss"] > 0
+    assert cat.responses == []  # drained
