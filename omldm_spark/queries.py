@@ -1530,3 +1530,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, load_table(spark, sf_dir, "embeddings"),
         n_centroids=8, n_probe=2, k=5, max_query_id=10,
     )
+
+
+@query(
+    "token_counts_bpe",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t != '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+                '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (task checklist): whitespace tokens and a
+    BPE-ish regex segmentation (alnum runs + individual punctuation) — the
+    pre-tokenizer shape most BPE vocabularies assume. Pure Catalyst."""
+    from .operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )
