@@ -1558,3 +1558,68 @@ def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col("text")).cast("long").alias("n_ws_tokens"),
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "ht_observer_stats",
+    oracle=f"""
+WITH sp AS ({SPLIT_POINTS_SQL}),
+lab AS (
+  SELECT sp.id, sp.pk, sp.sk,
+         sp.x0 / 50.0 AS f0, sp.x1 * 10.0 AS f1, l.l_tax * 10.0 AS f2,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS cls
+  FROM sp JOIN lineitem l
+    ON sp.id = l.l_orderkey * 8 + l.l_linenumber
+   AND sp.pk = l.l_partkey AND sp.sk = l.l_suppkey
+  WHERE sp.split = 'train'
+),
+first200 AS (SELECT * FROM lab ORDER BY id, pk, sk LIMIT 200)
+SELECT feature, cls, CAST(count(*) AS BIGINT) AS n,
+       round(sum(v), 6) AS sum_v, round(sum(v * v), 4) AS sum_sq
+FROM (
+  SELECT cls, 0 AS feature, f0 AS v FROM first200
+  UNION ALL SELECT cls, 1 AS feature, f1 AS v FROM first200
+  UNION ALL SELECT cls, 2 AS feature, f2 AS v FROM first200
+)
+GROUP BY feature, cls
+""",
+)
+def q_ht_observer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HT Gaussian attribute observers pinned to SQL: feed exactly the first
+    200 training points (deterministic order) into the HT learner with
+    splitting disabled, then dump the root leaf's per-class per-feature
+    (n, sum, sumsq) — the sufficient statistics every split decision is made
+    from. The split *decision* itself needs erf (absent in DuckDB), so the
+    oracle checks the decision's exact inputs instead."""
+    import numpy as np
+
+    from .learners import get_learner
+
+    pts = (
+        _labeled_points(spark, sf_dir)
+        .filter(F.col("split") == "train")
+        .orderBy("id", "pk", "sk")
+        .limit(200)
+        .select("features", "label")
+        .collect()
+    )
+    X = np.asarray([r["features"] for r in pts], dtype=float)
+    y = np.asarray([r["label"] for r in pts], dtype=float)
+    ln = get_learner("HT")
+    hyper = {"grace_period": 10**9}  # observers only, no split
+    state = ln.partial_fit(X, y, ln.init_state(3, hyper), hyper)
+    leaf = state["tree"]["0"]
+    rows = []
+    for j in range(3):
+        for cls in (0, 1):
+            n, s, ss = leaf["fstats"][j][cls]
+            rows.append((j, cls, int(n), float(s), float(ss)))
+    # round with Spark's HALF_UP (python round() is banker's — would
+    # disagree with the SQL oracle at exact halves)
+    return spark.createDataFrame(
+        rows, "feature int, cls int, n bigint, sum_v double, sum_sq double"
+    ).select(
+        "feature", "cls", "n",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("sum_sq", 4).alias("sum_sq"),
+    )
