@@ -280,9 +280,12 @@ FROM (
 
 
 def simhash(spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            view_name: str = "omldm_simhash_tokens") -> DataFrame:
+            view_name: str | None = None) -> DataFrame:
+    import uuid
+
+    view = view_name or f"omldm_simhash_{uuid.uuid4().hex[:8]}"
     toks = docs.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
     )
-    toks.createOrReplaceTempView(view_name)
-    return spark.sql(simhash_sql(f"SELECT * FROM {view_name}", id_col=id_col))
+    toks.createOrReplaceTempView(view)
+    return spark.sql(simhash_sql(f"SELECT * FROM {view}", id_col=id_col))

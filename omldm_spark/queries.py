@@ -138,8 +138,11 @@ WEIGHTS_SQL = CRAMER_2D_SQL.format(g=f"({GRAM_SQL})", lam=ORR_LAMBDA)
 
 
 def _weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _gram(spark, sf_dir).createOrReplaceTempView("omldm_gram")
-    return spark.sql(CRAMER_2D_SQL.format(g="omldm_gram", lam=ORR_LAMBDA))
+    import uuid
+
+    view = f"omldm_gram_{uuid.uuid4().hex[:8]}"  # collision-proof per call
+    _gram(spark, sf_dir).createOrReplaceTempView(view)
+    return spark.sql(CRAMER_2D_SQL.format(g=view, lam=ORR_LAMBDA))
 
 
 # ---------------------------------------------------------------------------
@@ -342,8 +345,11 @@ def q_orr_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg(q1 * qy) / F.lit(10000000.0)).alias("v_1"),
         (F.avg(qy) / F.lit(100000.0)).alias("v_b"),
     )
-    gram.createOrReplaceTempView("omldm_gram")
-    w = spark.sql(CRAMER_2D_SQL.format(g="omldm_gram", lam=ORR_LAMBDA))
+    import uuid
+
+    view = f"omldm_gram_{uuid.uuid4().hex[:8]}"
+    gram.createOrReplaceTempView(view)
+    w = spark.sql(CRAMER_2D_SQL.format(g=view, lam=ORR_LAMBDA))
     err = F.col("y") - (
         F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1") + F.col("bias")
     )

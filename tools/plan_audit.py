@@ -1,0 +1,98 @@
+"""Physical-plan audit: assert the scale-critical plan properties the README
+promises (broadcast joins, partial aggregation, column pruning, codegen) so
+regressions in plan shape fail loudly. Usage:
+
+    python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from omldm_spark.queries import QUERIES  # noqa: E402
+from omldm_spark.session import get_spark  # noqa: E402
+
+CHECKS = {
+    # query -> list of (description, predicate over plan text)
+    "broadcast_pipeline_join": [
+        ("dim join is broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "tpch_q5_like": [
+        ("all dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
+        # BroadcastExchange moves dims, not data; the fact table must
+        # shuffle exactly once (the final groupBy)
+        (
+            "fact shuffles once",
+            lambda p: len(re.findall(r"(?<!Broadcast)Exchange", p)) <= 2,
+        ),
+    ],
+    "tpch_q3_like": [
+        ("top-k without global sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "orr_gram": [
+        ("partial+final aggregate", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "train_test_split": [
+        (
+            "scan prunes to the 4 needed columns",
+            lambda p: bool(
+                re.search(r"ReadSchema: [^\n]*l_orderkey[^\n]*l_linenumber", p)
+            )
+            and "l_shipdate" not in p,
+        ),
+    ],
+    "ann_cosine_topk": [
+        ("query side broadcast", lambda p: "Broadcast" in p),
+    ],
+    "parse_training_points": [
+        (
+            "single from_json per operator chain (no pruned-copy blowup)",
+            # full-schema copies only: the pruned rewrite emits single-field
+            # StructField schemas like from_json(StructField(operation...))
+            lambda p: "from_json(StructField(operation,StringType,true), invoke"
+            not in p,
+        ),
+    ],
+    "tpch_q1_like": [
+        # codegen annotations only appear once AQE finalizes at execution;
+        # the auditable static property is map-side partial aggregation
+        ("partial+final aggregate", lambda p: p.count("HashAggregate") >= 2),
+        ("scan prunes to 5 columns", lambda p: "l_orderkey" not in p),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    failures = 0
+    for name, checks in CHECKS.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES[name](spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        for desc, pred in checks:
+            ok = False
+            try:
+                ok = bool(pred(plan))
+            except Exception:  # noqa: BLE001
+                ok = False
+            print(f"{'ok  ' if ok else 'FAIL'} {name}: {desc}")
+            failures += 0 if ok else 1
+    spark.stop()
+    if failures:
+        print(f"\n{failures} plan-property failures")
+        return 1
+    print("\nall plan properties hold")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
