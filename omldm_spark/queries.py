@@ -52,10 +52,13 @@ def query(name: str, oracle: str | None = None):
 # collides; (id, pk, sk) is unique and is the total order for every window.
 #
 # Quantization: x0/x1/y have <= 2/2/5 decimals, so q0/q1/qy are exact
-# integers. Integer products sum exactly in doubles (< 2^53 at oracle SF),
-# making every Gram entry BIT-IDENTICAL across engines — the one division
-# per entry is a single IEEE op on identical operands. No rounding slack
-# needed anywhere upstream of the solve.
+# integers. Integer products sum exactly (Spark sums LongType in int64;
+# DuckDB in hugeint), making every Gram entry BIT-IDENTICAL across engines —
+# the one division per entry is a single IEEE op on identical operands. No
+# rounding slack needed anywhere upstream of the solve.
+# Exactness envelope: max |q0*qy| ~ 5e10/row -> int64 sums stay exact to
+# ~1.8e8 rows (sf ~ 30); verified exact at sf0.1. Beyond that, switch the
+# oracle to per-partition partial sums or decimal aggregation.
 POINTS_SQL = """
 SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
        l_partkey AS pk,
