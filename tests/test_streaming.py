@@ -201,3 +201,42 @@ def test_query_responses_drained_with_model_parameters(spark):
     assert len(r["parameters"]["w"]) == 4
     assert r["cumulativeLoss"] > 0
     assert cat.responses == []  # drained
+
+
+def test_multiplexed_pipelines_one_batch(spark):
+    """The reference's core claim: many concurrent pipelines trained over
+    the same stream (FlinkSpoke trains every live pipeline on every record,
+    FlinkSpoke.scala:101). One cached batch fans out to five learners with
+    different protocols, including both SingleLearner-forced ones."""
+    cat = PipelineCatalog()
+    for pid, (name, proto) in enumerate(
+        [
+            ("PA", "Synchronous"),
+            ("SVM", "EASGD"),
+            ("RegressorPA", None),
+            ("K-means", "Synchronous"),   # forced SingleLearner
+            ("HT", "Asynchronous"),       # forced SingleLearner
+        ],
+        start=1,
+    ):
+        req = {"id": pid, "request": "Create", "learner": {"name": name}}
+        if proto:
+            req["trainingConfiguration"] = {"protocol": proto}
+        assert cat.apply_request(req) == "Create"
+    assert cat.pipelines[4].protocol == "SingleLearner"
+    assert cat.pipelines[5].protocol == "SingleLearner"
+
+    df = spark.createDataFrame(_points_pdf(400)).filter("operation = 'training'")
+    stats = train_batch(df, cat, dim=3, num_partitions=4, batch_id=0)
+    assert len(stats) == 5
+    for spec in cat.live():
+        assert spec.fitted == 360, f"pipeline {spec.id} ({spec.learner})"
+        assert spec.model is not None
+    # protocol-specific communication accounting on the same batch
+    by_id = {s.pipeline: s for s in stats}
+    assert by_id[1].models_shipped == 4   # sync: every worker ships
+    assert by_id[4].models_shipped == 1   # single learner: one model
+    assert by_id[5].models_shipped == 1
+    # second round continues every pipeline from its own state
+    stats2 = train_batch(df, cat, dim=3, num_partitions=4, batch_id=1)
+    assert all(cat.pipelines[s.pipeline].fitted == 720 for s in stats2)
