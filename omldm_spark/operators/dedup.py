@@ -289,3 +289,84 @@ def simhash(spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     toks.createOrReplaceTempView(view)
     return spark.sql(simhash_sql(f"SELECT * FROM {view}", id_col=id_col))
+
+
+# --- Winnowing (rolling-hash fingerprints) ----------------------------------
+# Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+# Fingerprinting", SIGMOD 2003. Character k-gram hashes; each window of w
+# consecutive hashes contributes its minimum -> a position-robust fingerprint
+# set whose density is guaranteed (2/(w+1)).
+#
+# Cross-engine determinism: the per-window minimum is taken over the string
+# key md5(kgram) || '|' || zero-padded position, so ties and ordering are
+# byte-identical in Spark and DuckDB.
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, hash) winnowing fingerprints. One explode + one window
+    (partitioned by doc, ordered by position) + distinct — two shuffles,
+    both keyed by doc id."""
+    from pyspark.sql import Window
+
+    n_kgrams = F.length(F.col(text_col)) - (k - 1)
+    kgrams = docs.filter(n_kgrams >= w).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_kgrams),
+                lambda i: F.md5(F.col(text_col).substr(i, F.lit(k))),
+            )
+        ).alias("pos", "h"),
+    )
+    key = F.concat(F.col("h"), F.lit("|"), F.lpad(F.col("pos").cast("string"), 10, "0"))
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    n_win = Window.partitionBy(id_col)
+    selected = (
+        kgrams.withColumn("sel", F.min(key).over(win))
+        .withColumn("n", F.count(F.lit(1)).over(n_win))
+        .filter(F.col("pos") <= F.col("n") - w)  # full windows only
+        .select(id_col, "sel")
+        .distinct()
+    )
+    return selected.select(
+        F.col(id_col),
+        F.split(F.col("sel"), r"\|").getItem(1).cast("int").alias("pos"),
+        F.split(F.col("sel"), r"\|").getItem(0).alias("hash"),
+    )
+
+
+def WINNOW_SQL(k: int = 8, w: int = 4, table: str = "documents",
+               text_expr: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH kgrams AS (
+  SELECT {id_col},
+         CAST(unnest(range(0, length({text_expr}) - {k - 1})) AS INTEGER) AS pos,
+         md5(substr({text_expr}, CAST(unnest(range(0, length({text_expr}) - {k - 1})) AS INTEGER) + 1, {k})) AS h
+  FROM {table}
+  WHERE length({text_expr}) - {k - 1} >= {w}
+),
+keyed AS (
+  SELECT {id_col}, pos,
+         h || '|' || lpad(CAST(pos AS VARCHAR), 10, '0') AS key,
+         CAST(count(*) OVER (PARTITION BY {id_col}) AS INTEGER) AS n
+  FROM kgrams
+),
+windowed AS (
+  -- window over ALL rows first; filtering before OVER would truncate the
+  -- trailing frames
+  SELECT {id_col}, pos, n,
+         min(key) OVER (PARTITION BY {id_col} ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel
+  FROM keyed
+),
+selected AS (
+  SELECT DISTINCT {id_col}, sel FROM windowed WHERE pos <= n - {w}
+)
+SELECT {id_col},
+       CAST(split_part(sel, '|', 2) AS INTEGER) AS pos,
+       split_part(sel, '|', 1) AS hash
+FROM selected
+"""

@@ -1632,3 +1632,15 @@ def q_ht_observer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_v", 6).alias("sum_v"),
         F.round("sum_sq", 4).alias("sum_sq"),
     )
+
+
+from .operators.dedup import WINNOW_SQL, winnow_fingerprints  # noqa: E402
+
+
+@query("winnow_fingerprints", oracle=WINNOW_SQL(k=8, w=4))
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing, Schleimer et al.
+    SIGMOD 2003): min-hash of each w-window of character k-gram hashes —
+    guaranteed-density position-robust fingerprints for plagiarism-style
+    near-dup detection."""
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"), k=8, w=4)

@@ -143,3 +143,25 @@ def test_ivf_topk_recall_against_brute_force(spark):
     assert sum(recalls) / len(recalls) > 0.5
     # and every returned neighbor is a real vector with a sane score
     assert (approx["cos_sim"] <= 1.0).all() and (approx["rank"] <= 5).all()
+
+
+def test_winnowing_detects_shifted_duplicate(spark):
+    """Winnowing's point: fingerprints survive content SHIFTS (prefix
+    insertion), unlike whole-document hashing."""
+    from omldm_spark.operators.dedup import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "PREFIX INSERTED " + base),    # shifted copy
+            (3, "completely different words populate this other document"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=8, w=4).toPandas()
+    sets = fp.groupby("doc_id")["hash"].apply(set)
+    overlap_dup = len(sets[1] & sets[2]) / len(sets[1])
+    overlap_diff = len(sets[1] & sets[3]) / len(sets[1])
+    assert overlap_dup > 0.6     # shifted copy shares most fingerprints
+    assert overlap_diff < 0.1    # unrelated doc shares almost none
