@@ -14,6 +14,8 @@ become running moments in the training-loop state (SURVEY.md §7 step 5).
 
 from __future__ import annotations
 
+from itertools import combinations_with_replacement
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,13 +70,218 @@ def minmax_scale(df: DataFrame, cols: list[str], stats: DataFrame) -> DataFrame:
 
 
 def polynomial_features(df: DataFrame, cols: list[str], degree: int = 2) -> DataFrame:
-    """Degree-2 expansion: originals + squares + pairwise products, flat
-    columns (x0, x1 -> x0, x1, x0_x0, x0_x1, x1_x1) — the column order of
-    pyspark.ml PolynomialExpansion restricted to degree 2."""
-    if degree != 2:
-        raise NotImplementedError("degree 2 only (reference default)")
+    """Degree-N expansion over flat columns: all monomials of degree 1..N in
+    combinations-with-replacement order (x0, x1, deg2 -> x0, x1, x0_x0,
+    x0_x1, x1_x1; deg3 appends x0_x0_x0 ...) — the column order of
+    pyspark.ml PolynomialExpansion."""
+    if degree < 1:
+        raise ValueError("degree must be >= 1")
     out = df
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            out = out.withColumn(f"{a}_{b}", F.col(a) * F.col(b))
+    for d in range(2, degree + 1):
+        for combo in combinations_with_replacement(cols, d):
+            e = F.col(combo[0])
+            for c in combo[1:]:
+                e = e * F.col(c)
+            out = out.withColumn("_".join(combo), e)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Training-path chain over ARRAY<DOUBLE> feature columns
+# ---------------------------------------------------------------------------
+#
+# The reference chains preprocessors before the learner inside each pipeline
+# (PipelineMap.scala:25-29 validates the chain; the learner struct carries it
+# to every worker, FlinkNetwork.scala:160-176). Here the chain is applied to
+# the ``features`` array column inside the training loop, with scaler fit
+# statistics kept as RUNNING MOMENTS in the pipeline spec — the streaming
+# analogue of mlAPI's online scalers.
+#
+# Exactness design (same quantized-aggregation envelope as the ORR Gram,
+# queries.py POINTS_SQL note): scaler moments are sums of round(x*Q) integers
+# aggregated as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact and
+# ORDER-INDEPENDENT, so the fitted transform is deterministic regardless of
+# partitioning, and a DuckDB oracle reproduces it bit-for-bit. The mean/std
+# derivation below mirrors, operation for operation, the SQL text in
+# scaler_stats_sql(); keep the two in sync.
+
+STATS_QUANT = 1_000_000  # 1e-6 feature resolution for scaler fit stats
+
+
+def _el(col: str, i: int):
+    return F.element_at(F.col(col), i + 1)
+
+
+def poly_expand_expr(col: str, dim: int, degree: int):
+    """(array expression, out_dim) for degree-1..N monomial expansion of an
+    ARRAY<DOUBLE> column. ``col`` must be a materialized column, not an
+    inline expression (array lambdas re-evaluate inline inputs per element)."""
+    if degree < 1:
+        raise ValueError("degree must be >= 1")
+    terms = []
+    for d in range(1, degree + 1):
+        for combo in combinations_with_replacement(range(dim), d):
+            e = _el(col, combo[0])
+            for idx in combo[1:]:
+                e = e * _el(col, idx)
+            terms.append(e)
+    return F.array(*terms), len(terms)
+
+
+def _moment_aggs(col: str, dim: int, quant: int):
+    """One aggregation producing exact integer moments per element:
+    n, s_i = Σ round(x_i*Q), ss_i = Σ round(x_i*Q)^2, mn_i, mx_i."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(dim):
+        q = F.round(_el(col, i) * quant, 0).cast("decimal(38,0)")
+        aggs.append(F.sum(q).alias(f"s_{i}"))
+        aggs.append(F.sum(q * q).alias(f"ss_{i}"))
+        aggs.append(F.min(q).cast("long").alias(f"mn_{i}"))
+        aggs.append(F.max(q).cast("long").alias(f"mx_{i}"))
+    return aggs
+
+
+def _merge_moments(state: dict | None, row, dim: int) -> dict:
+    """Fold one batch's moment row into the running state (Python ints —
+    arbitrary precision, so the driver-side accumulation never overflows)."""
+    new = {
+        "n": int(row["n"]),
+        "s": [int(row[f"s_{i}"]) for i in range(dim)],
+        "ss": [int(row[f"ss_{i}"]) for i in range(dim)],
+        "mn": [int(row[f"mn_{i}"]) for i in range(dim)],
+        "mx": [int(row[f"mx_{i}"]) for i in range(dim)],
+    }
+    if not state or not int(state.get("n", 0)):
+        return new
+    return {
+        "n": int(state["n"]) + new["n"],
+        "s": [int(a) + b for a, b in zip(state["s"], new["s"])],
+        "ss": [int(a) + b for a, b in zip(state["ss"], new["ss"])],
+        "mn": [min(int(a), b) for a, b in zip(state["mn"], new["mn"])],
+        "mx": [max(int(a), b) for a, b in zip(state["mx"], new["mx"])],
+    }
+
+
+def mean_std_from_moments(state: dict, i: int, quant: int = STATS_QUANT):
+    """Population mean/std from integer moments. The float operation
+    sequence MIRRORS scaler_stats_sql() exactly: each int is converted to
+    double first, then divided — identical IEEE ops on identical operands."""
+    import math
+
+    n = int(state["n"])
+    mean = float(int(state["s"][i])) / (float(n) * float(quant))
+    var = float(int(state["ss"][i])) / (float(n) * float(quant) * float(quant)) - mean * mean
+    std = math.sqrt(var) if var > 0 else 0.0
+    return mean, std
+
+
+def min_max_from_moments(state: dict, i: int, quant: int = STATS_QUANT):
+    lo = float(int(state["mn"][i])) / float(quant)
+    hi = float(int(state["mx"][i])) / float(quant)
+    return lo, hi
+
+
+def scaler_stats_sql(inner_sql: str, exprs: list[str], quant: int = STATS_QUANT) -> str:
+    """DuckDB oracle for the running moments of ONE fit pass over
+    ``inner_sql`` (columns given by ``exprs``): mean_i/std_i/min_i/max_i with
+    the identical double derivation as mean_std_from_moments()."""
+    q = f"{quant}.0"
+    parts = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, x in enumerate(exprs):
+        qi = f"CAST(round(({x}) * {q}, 0) AS HUGEINT)"
+        parts.append(f"CAST(sum({qi}) AS DOUBLE) AS s_{i}")
+        parts.append(f"CAST(sum({qi} * {qi}) AS DOUBLE) AS ss_{i}")
+        parts.append(f"CAST(min({qi}) AS DOUBLE) AS mn_{i}")
+        parts.append(f"CAST(max({qi}) AS DOUBLE) AS mx_{i}")
+    inner = f"SELECT {', '.join(parts)} FROM ({inner_sql})"
+    outs = ["n"]
+    for i in range(len(exprs)):
+        mean = f"s_{i} / (CAST(n AS DOUBLE) * {q})"
+        var = f"ss_{i} / (CAST(n AS DOUBLE) * {q} * {q}) - ({mean}) * ({mean})"
+        outs.append(f"({mean}) AS mean_{i}")
+        outs.append(f"CASE WHEN ({var}) > 0 THEN sqrt({var}) ELSE 0.0 END AS std_{i}")
+        outs.append(f"mn_{i} / {q} AS min_{i}")
+        outs.append(f"mx_{i} / {q} AS max_{i}")
+    return f"SELECT {', '.join(outs)} FROM ({inner})"
+
+
+def _hyper(p: dict) -> dict:
+    return {k: v for k, v in (p.get("hyperParameters") or {}).items()}
+
+
+def apply_chain(
+    df: DataFrame,
+    preprocessors: list[dict],
+    features_col: str,
+    dim: int,
+    state: list | None = None,
+    *,
+    update: bool = True,
+    out_col: str = "_pp_features",
+    quant: int = STATS_QUANT,
+):
+    """Apply the pipeline's preprocessor chain to an ARRAY<DOUBLE> column.
+
+    Returns ``(df_with_out_col, out_dim, new_state)``. ``state`` is a list
+    aligned with ``preprocessors`` holding each scaler's running integer
+    moments (JSON-serializable; lives in PipelineSpec.preproc_state). With
+    ``update=True`` each scaler first folds this DataFrame's moments into its
+    running state (one tiny JVM-side aggregation per scaler — the per-batch
+    fit step); with ``update=False`` (prediction path) the stored stats are
+    applied as-is, matching the reference's transform-only scoring.
+    """
+    state = list(state) if state else [None] * len(preprocessors)
+    if len(state) < len(preprocessors):
+        state = state + [None] * (len(preprocessors) - len(state))
+    cur, cur_dim = features_col, dim
+    for idx, p in enumerate(preprocessors):
+        name = p.get("name")
+        tmp = f"_pp{idx}"
+        if name == "PolynomialFeatures":
+            degree = int(_hyper(p).get("degree", 2))
+            expr, cur_dim = poly_expand_expr(cur, cur_dim, degree)
+            df = df.withColumn(tmp, expr)
+        elif name in ("StandardScaler", "MinMaxScaler"):
+            if update:
+                row = df.agg(*_moment_aggs(cur, cur_dim, quant)).first()
+                if int(row["n"]) > 0:
+                    state[idx] = _merge_moments(state[idx], row, cur_dim)
+            st = state[idx]
+            if st is None:
+                raise ValueError(
+                    f"{name} at chain position {idx} has no fitted stats; "
+                    "transform-only application requires a prior fit pass"
+                )
+            els = []
+            for i in range(cur_dim):
+                x = _el(cur, i)
+                if name == "StandardScaler":
+                    mean, std = mean_std_from_moments(st, i, quant)
+                    els.append(
+                        (x - F.lit(mean)) / F.lit(std) if std > 0 else F.lit(0.0)
+                    )
+                else:
+                    lo, hi = min_max_from_moments(st, i, quant)
+                    rng = hi - lo
+                    els.append(
+                        (x - F.lit(lo)) / F.lit(rng) if rng > 0 else F.lit(0.5)
+                    )
+            df = df.withColumn(tmp, F.array(*els))
+        else:
+            raise ValueError(f"unknown preprocessor {name!r}")
+        cur = tmp
+    df = df.withColumn(out_col, F.col(cur))
+    return df, cur_dim, state
+
+
+def chain_out_dim(preprocessors: list[dict], dim: int) -> int:
+    """Feature dimensionality after the chain (scalers preserve dim,
+    PolynomialFeatures expands to all monomials of degree 1..N)."""
+    from math import comb
+
+    d = dim
+    for p in preprocessors:
+        if p.get("name") == "PolynomialFeatures":
+            degree = int(_hyper(p).get("degree", 2))
+            d = sum(comb(d + k - 1, k) for k in range(1, degree + 1))
+    return d

@@ -114,3 +114,189 @@ def predict_expr(w_cols: list[str], x_cols: list[str], bias_col: str) -> F.Colum
     for w, x in zip(w_cols, x_cols):
         pred = pred + F.col(w) * F.col(x)
     return pred
+
+
+# ---------------------------------------------------------------------------
+# The registered ORR learner (PipelineMap.scala:68 dispatches "ORR" by name)
+# ---------------------------------------------------------------------------
+#
+# State = the sufficient statistics, as EXACT INTEGERS: sxx (upper triangle
+# of Σ q̃q̃ᵀ with q = round(x*Q)), sxy (Σ q̃·qy), n — plus the solved weights
+# w. Integer sums are order-independent and exactly mergeable across any
+# partitioning/batching, so the streaming loop's ORR is deterministic and a
+# DuckDB oracle reproduces it bit-for-bit (same envelope note as
+# queries.py POINTS_SQL: Spark aggregates DECIMAL(38,0), DuckDB HUGEINT,
+# driver accumulates Python ints — nothing overflows).
+#
+# The trainer dispatches on ``closed_form`` to fit_dataframe(): ONE Catalyst
+# aggregation per batch (map-side combinable, whole-stage codegen — the
+# treeAggregate normal-equations shape), a tiny driver solve, one more
+# aggregation for the batch SSE. No Python in the per-row path.
+
+GRAM_QUANT = 1_000_000
+DEFAULT_LAMBDA = 0.1
+
+from .base import Learner, register  # noqa: E402
+
+
+def _tri(d: int) -> list[tuple[int, int]]:
+    """Upper-triangle index pairs for the (d+1)-dim augmented [x, 1] vector;
+    bias products reduce to plain sums so only x-x pairs are stored."""
+    return [(i, j) for i in range(d) for j in range(i, d)]
+
+
+@register
+class ORRLearner(Learner):
+    name = "ORR"
+    is_classifier = False
+    closed_form = True  # trainer.fit routes to fit_dataframe
+
+    def init_state(self, dim: int, hyper: dict) -> dict:
+        d = dim
+        return {
+            "n": 0,
+            "cum_loss": 0.0,
+            "sxx": [0] * len(_tri(d)),   # Σ q_i*q_j, exact ints
+            "sx": [0] * d,               # Σ q_i        (bias cross terms)
+            "sxy": [0] * d,              # Σ q_i*qy
+            "sy": 0,                     # Σ qy
+            "w": np.zeros(d + 1),        # solved [w_0..w_{d-1}, bias]
+        }
+
+    # -- numpy path (tests / non-DataFrame callers) -------------------------
+
+    def partial_fit(self, X: np.ndarray, y: np.ndarray, state: dict, hyper: dict) -> dict:
+        quant = int(float(hyper.get("quant", GRAM_QUANT)))
+        qX = np.rint(np.asarray(X, dtype=float) * quant).astype(object)
+        qy = np.rint(np.asarray(y, dtype=float) * quant).astype(object)
+        d = qX.shape[1]
+        sxx = [int(v) for v in np.asarray(state["sxx"]).ravel()]
+        for t, (i, j) in enumerate(_tri(d)):
+            sxx[t] += int((qX[:, i] * qX[:, j]).sum())
+        state = dict(state)
+        state["sxx"] = sxx
+        state["sx"] = [int(a) + int(b) for a, b in zip(
+            np.asarray(state["sx"]).ravel(), qX.sum(axis=0))]
+        state["sxy"] = [int(a) + int((qX[:, i] * qy).sum())
+                        for i, a in enumerate(np.asarray(state["sxy"]).ravel())]
+        state["sy"] = int(state["sy"]) + int(qy.sum())
+        state["n"] = int(state["n"]) + len(qX)
+        state["w"] = self._solve(state, d, hyper)
+        err = self.predict(X, state) - np.asarray(y, dtype=float)
+        state["cum_loss"] = float(state["cum_loss"]) + float((err * err).sum())
+        return state
+
+    def merge(self, states: list[dict]) -> dict:
+        """Sufficient statistics SUM exactly — no weighted averaging."""
+        d = len(np.asarray(states[0]["sx"]).ravel())
+        out = {
+            "n": sum(int(s["n"]) for s in states),
+            "cum_loss": sum(float(s["cum_loss"]) for s in states),
+            "sxx": [sum(int(np.asarray(s["sxx"]).ravel()[t]) for s in states)
+                    for t in range(len(_tri(d)))],
+            "sx": [sum(int(np.asarray(s["sx"]).ravel()[i]) for s in states)
+                   for i in range(d)],
+            "sxy": [sum(int(np.asarray(s["sxy"]).ravel()[i]) for s in states)
+                    for i in range(d)],
+            "sy": sum(int(s["sy"]) for s in states),
+        }
+        out["w"] = self._solve(out, d, {})
+        return out
+
+    def _gram_doubles(self, state: dict, d: int, quant: int) -> dict:
+        """Integer sums -> averaged double Gram entries. Operation sequence
+        mirrors the oracle SQL: each int -> double FIRST, then one divide."""
+        n = int(state["n"])
+        nd = float(n)
+        q = float(quant)
+        g: dict = {"n": n}
+        for t, (i, j) in enumerate(_tri(d)):
+            g[f"m_{i}_{j}"] = float(int(np.asarray(state["sxx"]).ravel()[t])) / (nd * q * q)
+        for i in range(d):
+            g[f"m_{i}_b"] = float(int(np.asarray(state["sx"]).ravel()[i])) / (nd * q)
+            g[f"v_{i}"] = float(int(np.asarray(state["sxy"]).ravel()[i])) / (nd * q * q)
+        g["v_b"] = float(int(state["sy"])) / (nd * q)
+        return g
+
+    def _solve(self, state: dict, d: int, hyper: dict,
+               spark=None) -> np.ndarray:
+        if int(state["n"]) == 0:
+            return np.zeros(d + 1)
+        lam = float(hyper.get("lambda", DEFAULT_LAMBDA))
+        quant = int(float(hyper.get("quant", GRAM_QUANT)))
+        g = self._gram_doubles(state, d, quant)
+        if d == 2 and spark is not None:
+            # run the SHARED Cramer text so the weights are bit-identical
+            # to the DuckDB oracle (round 6 happens inside the SQL)
+            import uuid
+
+            view = f"omldm_orr_gram_{uuid.uuid4().hex[:8]}"
+            spark.createDataFrame([g]).createOrReplaceTempView(view)
+            w = spark.sql(CRAMER_2D_SQL.format(g=view, lam=lam)).first()
+            spark.catalog.dropTempView(view)
+            return np.array([w["w0"], w["w1"], w["bias"]])
+        return solve_ridge_np(g, d, lam)
+
+    def predict(self, X: np.ndarray, state: dict) -> np.ndarray:
+        w = np.asarray(state["w"], dtype=float)
+        return np.asarray(X, dtype=float) @ w[:-1] + w[-1]
+
+    def loss(self, X: np.ndarray, y: np.ndarray, state: dict) -> float:
+        err = self.predict(X, state) - np.asarray(y, dtype=float)
+        return float(np.mean(err * err))
+
+    # -- Catalyst path (the trainer's closed_form dispatch) -----------------
+
+    def fit_dataframe(
+        self,
+        points: DataFrame,
+        dim: int,
+        hyper: dict,
+        *,
+        features_col: str = "features",
+        label_col: str = "label",
+        init_state: dict | None = None,
+    ) -> dict:
+        """One exact-integer Gram aggregation over the batch + driver solve +
+        one SSE aggregation (cum_loss, computed with the POST-solve weights —
+        the closed-form analogue of prequential loss)."""
+        quant = int(float(hyper.get("quant", GRAM_QUANT)))
+        state = init_state or self.init_state(dim, hyper)
+        d = dim
+
+        def el(i):
+            return F.element_at(F.col(features_col), i + 1)
+
+        def q(c):
+            return F.round(c * quant, 0).cast("decimal(38,0)")
+
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for t, (i, j) in enumerate(_tri(d)):
+            aggs.append(F.sum(q(el(i)) * q(el(j))).alias(f"sxx_{t}"))
+        for i in range(d):
+            aggs.append(F.sum(q(el(i))).alias(f"sx_{i}"))
+            aggs.append(F.sum(q(el(i)) * q(F.col(label_col))).alias(f"sxy_{i}"))
+        aggs.append(F.sum(q(F.col(label_col))).alias("sy"))
+        row = points.agg(*aggs).first()
+        if int(row["n"]) == 0:
+            return state
+
+        state = dict(state)
+        state["sxx"] = [int(np.asarray(state["sxx"]).ravel()[t]) + int(row[f"sxx_{t}"])
+                        for t in range(len(_tri(d)))]
+        state["sx"] = [int(np.asarray(state["sx"]).ravel()[i]) + int(row[f"sx_{i}"])
+                       for i in range(d)]
+        state["sxy"] = [int(np.asarray(state["sxy"]).ravel()[i]) + int(row[f"sxy_{i}"])
+                        for i in range(d)]
+        state["sy"] = int(state["sy"]) + int(row["sy"])
+        state["n"] = int(state["n"]) + int(row["n"])
+        state["w"] = self._solve(state, d, hyper, spark=points.sparkSession)
+
+        w = state["w"]
+        pred = F.lit(float(w[-1]))
+        for i in range(d):
+            pred = pred + F.lit(float(w[i])) * el(i)
+        err = F.col(label_col) - pred
+        sse = points.agg(F.sum(err * err).alias("sse")).first()["sse"]
+        state["cum_loss"] = float(state["cum_loss"]) + float(sse or 0.0)
+        return state

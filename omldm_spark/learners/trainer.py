@@ -89,6 +89,16 @@ def fit(
     """
     hyper = dict(hyper or {})
     learner = get_learner(learner_name)
+    if getattr(learner, "closed_form", False):
+        # ORR: exact sufficient-statistics aggregation — one Catalyst agg
+        # per epoch pass, inherently distributed and order-independent, so
+        # partitioning/ordering parameters are irrelevant (epochs > 1 would
+        # double-count sufficient statistics; one pass IS the exact fit).
+        return learner.fit_dataframe(
+            points, dim, hyper,
+            features_col=features_col, label_col=label_col,
+            init_state=init_state,
+        )
     template = learner.init_state(dim, hyper)
 
     if partition_col is not None and num_partitions is not None:

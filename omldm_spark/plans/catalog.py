@@ -48,6 +48,7 @@ class PipelineSpec:
     learning_curve: list[tuple[int, float]] = field(default_factory=list)
     rounds: int = 0
     worker_models: dict[str, Any] | None = None  # per-worker states (SSP/GM/FGM/EASGD)
+    preproc_state: list | None = None  # running scaler moments, per chain slot
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, default=list)

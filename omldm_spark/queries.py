@@ -379,6 +379,144 @@ def q_orr_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Preprocessed training path: Create(ORR + StandardScaler) -> train_batch ->
+# Query -> QueryResponse, driven THROUGH the catalog + training loop
+# ---------------------------------------------------------------------------
+#
+# This is the wiring proof for the preprocessor chain
+# (PipelineMap.scala:25-29): the oracle reproduces, in pure SQL, what the
+# catalog-driven loop computes — scaler moments as exact quantized integers,
+# z-scored features, exact-integer Gram over round(z*1e6), the shared Cramer
+# solve, prequential train SSE, and the holdout score. Every float
+# derivation below mirrors the Python/Catalyst operation sequence
+# (functions/preprocess.py mean_std_from_moments, learners/orr.py
+# _gram_doubles); weights are bit-identical, the loss/score aggregates are
+# rounded on both sides.
+
+SCALED_TRAIN_SQL = f"SELECT * FROM ({SPLIT_POINTS_SQL}) WHERE split = 'train'"
+SCALED_STATS_SQL = None  # built below from scaler_stats_sql at import
+
+from .functions.preprocess import scaler_stats_sql  # noqa: E402
+
+SCALED_STATS_SQL = scaler_stats_sql(
+    f"SELECT x0, x1 FROM ({SCALED_TRAIN_SQL})", ["x0", "x1"]
+)
+
+_ORR_SCALED_GRAM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qz0 * qz0) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0 * 1000000.0) AS m_0_0,
+       CAST(sum(qz0 * qz1) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0 * 1000000.0) AS m_0_1,
+       CAST(sum(qz1 * qz1) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0 * 1000000.0) AS m_1_1,
+       CAST(sum(qz0) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m_0_b,
+       CAST(sum(qz1) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m_1_b,
+       CAST(sum(qz0 * qzy) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0 * 1000000.0) AS v_0,
+       CAST(sum(qz1 * qzy) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0 * 1000000.0) AS v_1,
+       CAST(sum(qzy) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS v_b
+FROM qz
+"""
+
+ORR_SCALED_SQL = f"""
+WITH mv AS ({SCALED_STATS_SQL}),
+tr AS ({SCALED_TRAIN_SQL}),
+te AS (SELECT * FROM ({SPLIT_POINTS_SQL}) WHERE split = 'test'),
+sc AS (
+  SELECT tr.id, tr.y,
+         (tr.x0 - mv.mean_0) / mv.std_0 AS z0,
+         (tr.x1 - mv.mean_1) / mv.std_1 AS z1
+  FROM tr, mv
+),
+qz AS (
+  SELECT CAST(round(z0 * 1000000, 0) AS HUGEINT) AS qz0,
+         CAST(round(z1 * 1000000, 0) AS HUGEINT) AS qz1,
+         CAST(round(y * 1000000, 0) AS HUGEINT) AS qzy
+  FROM sc
+),
+g AS ({_ORR_SCALED_GRAM_SQL}),
+w AS ({{cramer}}),
+trl AS (
+  SELECT sum((y - (bias + w0 * z0 + w1 * z1)) * (y - (bias + w0 * z0 + w1 * z1))) AS sse,
+         CAST(count(*) AS BIGINT) AS n_train
+  FROM (SELECT sc.y, sc.z0, sc.z1, w.w0, w.w1, w.bias FROM sc, w)
+),
+tel AS (
+  SELECT avg((y - (w0 * z0 + w1 * z1 + bias)) * (y - (w0 * z0 + w1 * z1 + bias))) AS mse
+  FROM (
+    SELECT te.y,
+           (te.x0 - mv.mean_0) / mv.std_0 AS z0,
+           (te.x1 - mv.mean_1) / mv.std_1 AS z1,
+           w.w0, w.w1, w.bias
+    FROM te, mv, w
+  )
+)
+SELECT CAST(7 AS BIGINT) AS response_id,
+       'ORR-0' AS mlp_id,
+       'CentralizedTraining' AS protocol,
+       trl.n_train AS data_fitted,
+       round(trl.sse / CAST(trl.n_train AS DOUBLE), 4) AS loss,
+       round(trl.sse, 2) AS cumulative_loss,
+       round(-tel.mse, 4) AS score,
+       w.w0 AS w0, w.w1 AS w1, w.bias AS bias
+FROM trl, tel, w
+""".format(cramer=CRAMER_2D_SQL.format(g="g", lam=ORR_LAMBDA))
+
+
+@query("orr_scaled_query_response", oracle=ORR_SCALED_SQL)
+def q_orr_scaled_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create(ORR + StandardScaler) -> train_batch -> Query -> response,
+    driven through PipelineCatalog + the streaming training loop — the
+    preprocessor chain is applied INSIDE train_batch (the r1 wiring gap,
+    VERDICT.md item 1), not by this query."""
+    from .plans.catalog import PipelineCatalog
+    from .streaming.training_loop import build_query_responses, train_batch
+
+    split = _split_points(spark, sf_dir).persist()
+    train = split.filter(F.col("split") == "train").select(
+        "id", F.array("x0", "x1").alias("features"), F.col("y").alias("label")
+    )
+    test = split.filter(F.col("split") == "test").select(
+        "id", F.array("x0", "x1").alias("features"), F.col("y").alias("label")
+    )
+    cat = PipelineCatalog(parallelism=NUM_WORKERS)
+    cat.apply_request(
+        {
+            "id": 0,
+            "request": "Create",
+            "learner": {"name": "ORR", "hyperParameters": {"lambda": ORR_LAMBDA}},
+            "preProcessors": [{"name": "StandardScaler"}],
+            "trainingConfiguration": {"protocol": "CentralizedTraining"},
+        }
+    )
+    train_batch(
+        train, cat, features_col="features", label_col="label",
+        id_col="id", dim=2, num_partitions=NUM_WORKERS,
+    )
+    cat.apply_request({"id": 0, "request": "Query", "requestId": 7})
+    resp = build_query_responses(
+        cat, test, features_col="features", label_col="label", dim=2
+    )[0]
+    split.unpersist()
+    w = resp["parameters"]["w"]
+    row = [(
+        int(resp["responseId"]), resp["mlpId"], resp["protocol"],
+        int(resp["dataFitted"]), float(resp["loss"]),
+        float(resp["cumulativeLoss"]), float(resp["score"]),
+        float(w[0]), float(w[1]), float(w[2]),
+    )]
+    schema = (
+        "response_id long, mlp_id string, protocol string, data_fitted long, "
+        "loss double, cumulative_loss double, score double, "
+        "w0 double, w1 double, bias double"
+    )
+    return spark.createDataFrame(row, schema).select(
+        "response_id", "mlp_id", "protocol", "data_fitted",
+        F.round("loss", 4).alias("loss"),
+        F.round("cumulative_loss", 2).alias("cumulative_loss"),
+        F.round("score", 4).alias("score"),
+        "w0", "w1", "bias",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A5/J2: scatter-gather response merge with count barrier
 # ---------------------------------------------------------------------------
 

@@ -31,6 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.preprocess import apply_chain
 from ..learners import get_learner, trainer
 from ..learners.protocols import protocol_round
 from ..plans.catalog import PipelineCatalog
@@ -103,6 +104,16 @@ def train_batch(
             learner = get_learner(spec.learner)
             hyper = dict(spec.hyper)
             init = _deser(spec.model) if spec.model is not None else None
+            # Preprocessor chain (PipelineMap.scala:25-29): fit stats are
+            # running integer moments in the spec (exact across batches),
+            # the transform is pure Catalyst column math on the batch.
+            train_df, eff_dim, fcol = batch_df, dim, features_col
+            if spec.preprocessors:
+                train_df, eff_dim, spec.preproc_state = apply_chain(
+                    batch_df, spec.preprocessors, features_col, dim,
+                    spec.preproc_state,
+                )
+                fcol = "_pp_features"
             # SingleLearner (HT/K-means) trains on one partition — the
             # reference forwards all points to a single central learner
             # (FlinkSpoke.scala:203-211).
@@ -112,22 +123,23 @@ def train_batch(
                 spec.protocol in PER_WORKER_PROTOCOLS
                 and parts > 1
                 and not getattr(learner, "uses_blob", False)
+                and not getattr(learner, "closed_form", False)
             )
             if per_worker:
                 # workers keep their own models between syncs; the batch is
                 # keyed to stable worker ids so state follows the worker
-                template = learner.init_state(dim, hyper)
-                g_state = init or learner.init_state(dim, hyper)
+                template = learner.init_state(eff_dim, hyper)
+                g_state = init or learner.init_state(eff_dim, hyper)
                 prev_workers = {
                     int(k): _deser(v)
                     for k, v in (spec.worker_models or {}).items()
                 } or {w: dict(g_state) for w in range(parts)}
-                dfw = batch_df.withColumn(
+                dfw = train_df.withColumn(
                     "_wk", F.pmod(F.col(id_col), F.lit(parts)).cast("int")
                 )
                 new_states = trainer.fit_groups(
-                    dfw, spec.learner, dim, hyper, key_col="_wk",
-                    features_col=features_col, label_col=label_col,
+                    dfw, spec.learner, eff_dim, hyper, key_col="_wk",
+                    features_col=fcol, label_col=label_col,
                     order_cols=[id_col], init_states=prev_workers,
                 )
                 workers = {**prev_workers, **new_states}
@@ -140,11 +152,11 @@ def train_batch(
                 }
             else:
                 state = trainer.fit(
-                    batch_df,
+                    train_df,
                     spec.learner,
-                    dim=dim,
+                    dim=eff_dim,
                     hyper=hyper,
-                    features_col=features_col,
+                    features_col=fcol,
                     label_col=label_col,
                     num_partitions=parts,
                     partition_col=partition_col if parts > 1 else None,
@@ -184,6 +196,7 @@ def predict_batch(
     *,
     features_col: str = "features",
     id_col: str = "id",
+    dim: int = 3,
 ) -> DataFrame | None:
     """Score a forecasting batch with every pipeline's CURRENT model —
     entirely in Catalyst expressions for linear models (no Python).
@@ -195,7 +208,16 @@ def predict_batch(
         if not spec.model or "w" not in (spec.model or {}):
             continue
         w = list(map(float, spec.model["w"]))
-        raw = linear_predict(features_col, w[:-1], w[-1])
+        src, fcol = batch_df, features_col
+        if spec.preprocessors:
+            # transform-only pass with the stats fitted so far (reference
+            # scores through the same fitted chain, FlinkSpoke.scala:121)
+            src, _, _ = apply_chain(
+                batch_df, spec.preprocessors, features_col,
+                dim, spec.preproc_state, update=False,
+            )
+            fcol = "_pp_features"
+        raw = linear_predict(fcol, w[:-1], w[-1])
         learner = get_learner(spec.learner)
         pred = (
             F.when(raw >= 0, 1.0).otherwise(-1.0)
@@ -203,7 +225,7 @@ def predict_batch(
             else raw
         )
         outs.append(
-            batch_df.select(
+            src.select(
                 F.lit(spec.id).cast("long").alias("pipelineId"),
                 F.col(id_col).cast("long").alias("recordId"),
                 pred.alias("prediction"),
@@ -265,7 +287,8 @@ def make_batch_handler(
         if stats_sink is not None:
             stats_sink.extend(st)
         preds = predict_batch(
-            forecasting, catalog, features_col=features_col, id_col=id_col
+            forecasting, catalog, features_col=features_col, id_col=id_col,
+            dim=dim,
         )
         if preds is not None and predictions_sink is not None:
             predictions_sink.extend(preds.collect())
@@ -322,12 +345,25 @@ def run_streaming(
     return q
 
 
-def build_query_responses(catalog: PipelineCatalog) -> list[dict]:
+def build_query_responses(
+    catalog: PipelineCatalog,
+    test_points: DataFrame | None = None,
+    *,
+    features_col: str = "features",
+    label_col: str = "label",
+    dim: int = 3,
+) -> list[dict]:
     """Drain pending Query requests into full QueryResponse records
     (entry point C, SURVEY.md §3.3; field surface per
     FlinkNetwork.scala:193-231 / QUERY_RESPONSE_SCHEMA):
     responseId, mlpId, protocol, dataFitted, loss, cumulativeLoss, score,
-    parameters (the model arrays, chunkable via functions/chunking.py)."""
+    parameters (the model arrays, chunkable via functions/chunking.py).
+
+    ``score`` is the model's performance on ``test_points`` (the holdout
+    split — the reference's query-on-testSet path, FlinkSpoke.scala:160-163):
+    accuracy for classifiers, negative MSE for regressors, evaluated
+    JVM-side via trainer.evaluate_linear. Without a holdout the score is NaN
+    (the loss fields still report prequential training loss)."""
     out = []
     pending, catalog.responses = catalog.responses, []
     for req in pending:
@@ -342,6 +378,20 @@ def build_query_responses(catalog: PipelineCatalog) -> list[dict]:
                     params[k] = [float(x) for x in flat]
         curve = spec.learning_curve
         last_loss = float(curve[-1][1]) if curve else float("nan")
+        score = float("nan")
+        if test_points is not None and spec.model and "w" in spec.model:
+            src, fcol = test_points, features_col
+            if spec.preprocessors and spec.preproc_state:
+                src, _, _ = apply_chain(
+                    test_points, spec.preprocessors, features_col, dim,
+                    spec.preproc_state, update=False,
+                )
+                fcol = "_pp_features"
+            ev = trainer.evaluate_linear(
+                src, spec.learner, _deser(spec.model),
+                features_col=fcol, label_col=label_col,
+            )
+            score = float(ev["score"])
         out.append(
             {
                 "responseId": req.get("responseId"),
@@ -350,7 +400,7 @@ def build_query_responses(catalog: PipelineCatalog) -> list[dict]:
                 "dataFitted": int(spec.fitted),
                 "loss": (last_loss / spec.fitted) if spec.fitted else float("nan"),
                 "cumulativeLoss": last_loss,
-                "score": -(last_loss / spec.fitted) if spec.fitted else float("nan"),
+                "score": score,
                 "parameters": params,
             }
         )
