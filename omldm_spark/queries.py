@@ -1328,9 +1328,12 @@ LIMIT 10
 """,
 )
 def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shipping-priority top-k (TPC-H Q3 shape): selective dim filter
-    broadcast against the fact, agg, global top-10 (TakeOrderedAndProject —
-    no full sort). Revenue kept as the exact integer for determinism."""
+    """Shipping-priority top-k (TPC-H Q3 shape): the TRUE dim (filtered
+    customer) broadcasts into orders; lineitem⨝orders is left to AQE —
+    orders is a fact table (~1/4 of lineitem) and must never be forced
+    broadcast (r1 VERDICT: O(|orders|) broadcast OOMs at 100×). Then agg +
+    global top-10 (TakeOrderedAndProject — no full sort). Revenue kept as
+    the exact integer for determinism."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1338,9 +1341,11 @@ def q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     qep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     qd = F.round(F.col("l_discount") * 100, 0).cast("long")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
-                F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(qep * (F.lit(100) - qd)).cast("long").alias("revenue_q"))
         .select(
@@ -1369,8 +1374,11 @@ GROUP BY r.r_name, n.n_name
 """,
 )
 def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-way star join (TPC-H Q5 shape): fact joins three broadcast
-    dims; only the final groupBy shuffles."""
+    """Multi-way star join (TPC-H Q5 shape): the TRUE dims
+    (customer/nation/region) broadcast into orders; the lineitem⨝orders
+    fact-fact join is AQE's choice — `dims` contains every orders row, so
+    forcing it broadcast is an O(|orders|) scale-killer (r1 VERDICT). Only
+    the fact join and the final groupBy shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1385,7 +1393,7 @@ def q_tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     qep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     qd = F.round(F.col("l_discount") * 100, 0).cast("long")
     return (
-        li.join(F.broadcast(dims), li.l_orderkey == F.col("o_orderkey"))
+        li.join(dims, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),

@@ -25,16 +25,30 @@ CHECKS = {
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
     "tpch_q5_like": [
-        ("all dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
-        # BroadcastExchange moves dims, not data; the fact table must
-        # shuffle exactly once (the final groupBy)
+        ("true dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
+        # r1 VERDICT fix: exactly 3 broadcast HINTS (customer/nation/region);
+        # the lineitem⨝orders fact join carries NO hint — its strategy is
+        # AQE/CBO's choice (at test SF it may still pick broadcast, which is
+        # fine; FORCING it is the scale-killer)
         (
-            "fact shuffles once",
-            lambda p: len(re.findall(r"(?<!Broadcast)Exchange", p)) <= 2,
+            "orders not forced broadcast (3 dim hints only)",
+            lambda p, ext: _optimized(ext).count("strategy=broadcast") == 3
+            and not re.search(
+                r"Join Inner[^\n]*l_orderkey[^\n]*strategy=broadcast",
+                _optimized(ext),
+            ),
         ),
     ],
     "tpch_q3_like": [
         ("top-k without global sort", lambda p: "TakeOrderedAndProject" in p),
+        (
+            "orders not forced broadcast (1 dim hint only)",
+            lambda p, ext: _optimized(ext).count("strategy=broadcast") == 1
+            and not re.search(
+                r"Join Inner[^\n]*l_orderkey[^\n]*strategy=broadcast",
+                _optimized(ext),
+            ),
+        ),
     ],
     "orr_gram": [
         ("partial+final aggregate", lambda p: p.count("HashAggregate") >= 2),
@@ -69,19 +83,36 @@ CHECKS = {
 }
 
 
+def _optimized(extended_plan: str) -> str:
+    """The '== Optimized Logical Plan ==' section (join hints survive there
+    as `rightHint=(strategy=broadcast)` annotations)."""
+    m = re.search(
+        r"== Optimized Logical Plan ==(.*?)== Physical Plan ==",
+        extended_plan,
+        re.S,
+    )
+    return m.group(1) if m else ""
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     failures = 0
     for name, checks in CHECKS.items():
+        df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            QUERIES[name](spark, sf_dir).explain("formatted")
+            df.explain("formatted")
         plan = buf.getvalue()
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            df.explain("extended")
+        ext = buf2.getvalue()
         for desc, pred in checks:
             ok = False
             try:
-                ok = bool(pred(plan))
+                nargs = pred.__code__.co_argcount
+                ok = bool(pred(plan) if nargs == 1 else pred(plan, ext))
             except Exception:  # noqa: BLE001
                 ok = False
             print(f"{'ok  ' if ok else 'FAIL'} {name}: {desc}")
