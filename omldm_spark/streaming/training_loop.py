@@ -256,9 +256,17 @@ def make_batch_handler(
     num_partitions: int = 8,
     predictions_sink: list | None = None,
     stats_sink: list | None = None,
+    predictions_path: str | None = None,
 ):
     """The foreachBatch body, factored out so batch-mode tests can drive it
-    directly. Keeps the pre-Create record buffer across invocations."""
+    directly. Keeps the pre-Create record buffer across invocations.
+
+    Prediction output: ``predictions_path`` appends each batch's scored
+    forecasting rows to a parquet sink WITHOUT driver collection — the
+    production path (the reference streams predictions to a Kafka topic,
+    Job.scala:98-105; swap in streaming/sources.kafka_sink when a broker
+    exists). ``predictions_sink`` (driver-side list) is the tests-only
+    inspection path and must not carry production volume."""
     record_buffer: list = []
 
     def handle(batch_df: DataFrame, batch_id: int):
@@ -290,8 +298,11 @@ def make_batch_handler(
             forecasting, catalog, features_col=features_col, id_col=id_col,
             dim=dim,
         )
-        if preds is not None and predictions_sink is not None:
-            predictions_sink.extend(preds.collect())
+        if preds is not None:
+            if predictions_path is not None:
+                preds.write.mode("append").parquet(predictions_path)
+            if predictions_sink is not None:
+                predictions_sink.extend(preds.collect())
 
     return handle
 
@@ -309,6 +320,7 @@ def run_streaming(
     num_partitions: int = 8,
     predictions_sink: list | None = None,
     stats_sink: list | None = None,
+    predictions_path: str | None = None,
     checkpoint_dir: str | None = None,
     timeout_sec: float = 120.0,
 ):
@@ -333,6 +345,7 @@ def run_streaming(
         num_partitions=num_partitions,
         predictions_sink=predictions_sink,
         stats_sink=stats_sink,
+        predictions_path=predictions_path,
     )
 
     writer = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True)

@@ -77,16 +77,23 @@ def test_run_streaming_end_to_end(spark, tmp_path):
     schema = spark.createDataFrame(pdf).schema
     stream = file_replay_source(spark, src_dir, schema, max_files_per_trigger=2)
     preds, stats = [], []
+    sink = str(tmp_path / "pred_sink")
     q = run_streaming(
         spark, stream, requests, cat,
         dim=3, num_partitions=4,
         predictions_sink=preds, stats_sink=stats,
+        predictions_path=sink,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert not q.isActive
     assert list(cat.pipelines) == [1]  # invalid Create dropped
     assert cat.pipelines[1].fitted == 540  # every training row, all batches
     assert len(preds) == 60
+    # production path: predictions land in the distributed parquet sink
+    # (no driver collection), one row per forecasting record
+    sunk = spark.read.parquet(sink)
+    assert sunk.count() == 60
+    assert set(sunk.columns) == {"pipelineId", "recordId", "prediction"}
     assert len(stats) >= 2  # multiple micro-batches -> multiple BSP rounds
     # trained model generalizes on this separable stream
     spec = cat.pipelines[1]
