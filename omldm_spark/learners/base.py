@@ -36,6 +36,12 @@ class Learner(ABC):
     @abstractmethod
     def partial_fit(self, X: np.ndarray, y: np.ndarray, state: dict, hyper: dict) -> dict: ...
 
+    def begin_pass(self, state: dict) -> dict:
+        """Hook called once per partition pass, after the broadcast state is
+        materialized and bookkeeping (n, cum_loss) is zeroed. Learners whose
+        merge needs per-pass deltas (K-means) snapshot the prior here."""
+        return state
+
     def merge(self, states: list[dict]) -> dict:
         """Weighted average of every float array in the state — the hub-side
         model merge (StateAccumulators.scala:169-178 applies mlAPI merge;

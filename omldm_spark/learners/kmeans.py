@@ -4,9 +4,12 @@ The reference forces K-means onto the SingleLearner protocol (one central
 learner; src/main/scala/omldm/operators/spoke/FlinkSpoke.scala:207-209). In
 Spark we keep the same semantic option (train on one partition) but default
 to the mini-batch variant (Sculley, "Web-Scale K-Means Clustering", WWW 2010)
-with per-centroid count-weighted merges, which parallelizes: each partition
-updates a local copy from the broadcast centroids; the merge weights by
-points-assigned. Deterministic seeding: first k distinct points by id.
+with per-centroid count-weighted DELTA merges, which parallelizes: each
+partition updates a local copy from the broadcast centroids; the merge
+combines prior + count-weighted per-partition deltas, so the broadcast prior
+mass is counted exactly once no matter how many partitions ran (r2 ADVICE
+fix — summing full per-partition counts inflated the prior ~P× per round and
+froze centroids). Deterministic seeding: first k distinct points by id.
 """
 
 from __future__ import annotations
@@ -26,14 +29,26 @@ class KMeans(Learner):
         return {
             "centroids": np.zeros((k, dim)),
             "counts": np.zeros(k),
+            # per-pass delta bookkeeping (reset by begin_pass):
+            "prior_centroids": np.zeros((k, dim)),
+            "d_counts": np.zeros(k),
             "initialized": 0.0,
             "n": 0,
             "cum_loss": 0.0,
         }
 
+    def begin_pass(self, state: dict) -> dict:
+        """Snapshot the broadcast prior and zero the assignment deltas —
+        merge() reconstructs prior + count-weighted deltas from these."""
+        state = dict(state)
+        state["prior_centroids"] = np.asarray(state["centroids"]).copy()
+        state["d_counts"] = np.zeros_like(np.asarray(state["counts"]))
+        return state
+
     def partial_fit(self, X, y, state, hyper):
         cents = state["centroids"].copy()
         counts = state["counts"].copy()
+        d_counts = np.asarray(state["d_counts"]).copy()
         init = bool(state["initialized"])
         cum = float(state["cum_loss"])
         k = cents.shape[0]
@@ -42,6 +57,7 @@ class KMeans(Learner):
             take = min(k, X.shape[0])
             cents[:take] = X[:take]
             counts[:take] = 1.0
+            d_counts[:take] += 1.0
             start = take
             init = take >= k
         for i in range(start, X.shape[0]):
@@ -50,29 +66,43 @@ class KMeans(Learner):
             c = int(np.argmin(d2))
             cum += float(d2[c])
             counts[c] += 1.0
+            d_counts[c] += 1.0
             eta = 1.0 / counts[c]
             cents[c] = (1.0 - eta) * cents[c] + eta * x
         return {
             "centroids": cents,
             "counts": counts,
+            "prior_centroids": state["prior_centroids"],
+            "d_counts": d_counts,
             "initialized": 1.0 if init else 0.0,
             "n": int(state["n"]) + X.shape[0],
             "cum_loss": cum,
         }
 
     def merge(self, states):
-        """Count-weighted centroid merge (not plain parameter averaging)."""
-        k = states[0]["centroids"].shape[0]
-        dim = states[0]["centroids"].shape[1]
-        num = np.zeros((k, dim))
-        den = np.zeros(k)
+        """prior + count-weighted delta combine: every partition started
+        from the SAME broadcast prior, so the merged centroid is
+        prior_c + Σ_p d_p,c·(cent_p,c − prior_c) / Σ_p d_p,c and the merged
+        count is prior_count_c + Σ_p d_p,c — prior mass enters exactly once."""
+        k, dim = np.asarray(states[0]["centroids"]).shape
+        prior_c = np.asarray(states[0]["prior_centroids"], dtype=float)
+        # prior counts = full counts minus this pass's assignments (identical
+        # across partitions; use the first state's view)
+        prior_n = np.asarray(states[0]["counts"], dtype=float) - np.asarray(
+            states[0]["d_counts"], dtype=float
+        )
+        d_num = np.zeros((k, dim))
+        d_den = np.zeros(k)
         for s in states:
-            num += s["centroids"] * s["counts"][:, None]
-            den += s["counts"]
-        cents = np.where(den[:, None] > 0, num / np.maximum(den, 1.0)[:, None], 0.0)
+            d = np.asarray(s["d_counts"], dtype=float)
+            d_num += d[:, None] * (np.asarray(s["centroids"], dtype=float) - prior_c)
+            d_den += d
+        delta = np.where(d_den[:, None] > 0, d_num / np.maximum(d_den, 1.0)[:, None], 0.0)
         return {
-            "centroids": cents,
-            "counts": den,
+            "centroids": prior_c + delta,
+            "counts": prior_n + d_den,
+            "prior_centroids": prior_c,
+            "d_counts": d_den,
             "initialized": max(float(s["initialized"]) for s in states),
             "n": sum(int(s["n"]) for s in states),
             "cum_loss": sum(float(s["cum_loss"]) for s in states),

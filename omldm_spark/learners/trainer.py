@@ -124,6 +124,7 @@ def fit(
             else:
                 local = _unflatten_state(learner, template, bc_flat)
             local["n"], local["cum_loss"] = 0, 0.0
+            local = learner.begin_pass(local)
             seen = 0
             for pdf in batches:
                 if len(pdf) == 0:
@@ -236,6 +237,7 @@ def fit_groups(
         else:
             local = _unflatten_state(learner, template, packed[0])
         local["n"], local["cum_loss"] = 0, 0.0
+        local = learner.begin_pass(local)
         X = np.asarray(pdf[features_col].tolist(), dtype=float)
         yv = pdf[label_col].to_numpy(dtype=float)
         local = learner.partial_fit(X, yv, local, hyper)

@@ -126,9 +126,18 @@ class PipelineCatalog:
 
     def apply_requests_df(self, requests_df) -> list[str]:
         """Batch entry point for foreachBatch: collect (tiny control topic)
-        and apply in a deterministic order."""
+        and apply in ARRIVAL order — requestId is the arrival key (the
+        reference consumes the one-partition request topic in offset order,
+        so e.g. Delete-then-reCreate of the same id within a batch must
+        replay as Delete, Create). Rows without a requestId keep their
+        collection order after all keyed rows (stable sort)."""
         rows = [r.asDict(recursive=True) for r in requests_df.collect()]
-        rows.sort(key=lambda r: (r.get("id") or 0, r.get("request") or ""))
+        rows.sort(
+            key=lambda r: (
+                r.get("requestId") is None,
+                r.get("requestId") if r.get("requestId") is not None else 0,
+            )
+        )
         return [a for r in rows if (a := self.apply_request(r))]
 
     # -- persistence --------------------------------------------------------

@@ -270,18 +270,23 @@ def make_batch_handler(
     record_buffer: list = []
 
     def handle(batch_df: DataFrame, batch_id: int):
-        training = batch_df.filter(F.col("operation") == "training")
-        forecasting = batch_df.filter(F.col("operation") == "forecasting")
         if not catalog.live():
-            # no pipeline yet: buffer (bounded), train nothing
+            # No pipeline yet: buffer BOTH training and forecasting rows
+            # (bounded; the reference buffers data instances per worker,
+            # SpokeLogic.scala:32-35). NOTE: this buffer is driver memory,
+            # NOT covered by the streaming checkpoint — rows buffered here
+            # are lost on a crash before the first Create, exactly like the
+            # reference's un-checkpointed pre-Create cache.
             room = RECORD_BUFFER_MAX - len(record_buffer)
             if room > 0:
-                record_buffer.extend(training.limit(room).collect())
+                record_buffer.extend(batch_df.limit(room).collect())
             return
         if record_buffer:
-            buffered = spark.createDataFrame(record_buffer, training.schema)
-            training = buffered.unionByName(training)
+            buffered = spark.createDataFrame(record_buffer, batch_df.schema)
+            batch_df = buffered.unionByName(batch_df)
             record_buffer.clear()
+        training = batch_df.filter(F.col("operation") == "training")
+        forecasting = batch_df.filter(F.col("operation") == "forecasting")
         st = train_batch(
             training,
             catalog,

@@ -76,3 +76,25 @@ def test_persistence_roundtrip(tmp_path):
     cat2 = PipelineCatalog(path=p)
     assert cat2.pipelines[1].learner == "SVM"
     assert cat2.pipelines[1].model["w"] == [1.0, 2.0]
+
+
+def test_requests_applied_in_arrival_order(spark):
+    """r2 ADVICE: a Delete-then-reCreate of the same id inside one
+    micro-batch must replay in requestId (arrival) order, leaving the new
+    pipeline live — not alphabetically (Create before Delete -> deleted)."""
+    cat = PipelineCatalog()
+    cat.apply_request(_create("PA"))
+    assert cat.pipelines[1].learner == "PA"
+    reqs = spark.createDataFrame(
+        [
+            (1, 11, "Delete", None),
+            (1, 12, "Create", "SVM"),
+        ],
+        "id long, requestId long, request string, lname string",
+    ).selectExpr(
+        "id", "requestId", "request",
+        "named_struct('name', lname) AS learner",
+    )
+    actions = cat.apply_requests_df(reqs)
+    assert actions == ["Delete", "Create"]
+    assert cat.pipelines[1].learner == "SVM"

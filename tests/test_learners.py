@@ -101,21 +101,51 @@ def test_merge_weighted_average():
 
 
 def test_kmeans_count_weighted_merge():
+    """Delta merge from a zero prior reproduces plain count weighting."""
     ln = get_learner("K-means")
+    prior = np.zeros((2, 2))
     s1 = {
         "centroids": np.array([[0.0, 0.0], [2.0, 2.0]]),
         "counts": np.array([2.0, 0.0]),
+        "prior_centroids": prior, "d_counts": np.array([2.0, 0.0]),
         "initialized": 1.0, "n": 2, "cum_loss": 0.0,
     }
     s2 = {
         "centroids": np.array([[4.0, 4.0], [2.0, 2.0]]),
         "counts": np.array([2.0, 4.0]),
+        "prior_centroids": prior, "d_counts": np.array([2.0, 4.0]),
         "initialized": 1.0, "n": 6, "cum_loss": 0.0,
     }
     m = ln.merge([s1, s2])
     assert np.allclose(m["centroids"][0], [2.0, 2.0])  # (0*2 + 4*2)/4
     assert np.allclose(m["centroids"][1], [2.0, 2.0])
     assert m["n"] == 8
+    assert np.allclose(m["counts"], [4.0, 4.0])
+
+
+def test_kmeans_parallel_merge_counts_prior_once():
+    """r2 ADVICE regression: P partitions starting from the same broadcast
+    prior must not multiply the prior mass — merged counts grow ONLY by the
+    points actually seen, and an untouched centroid stays put."""
+    ln = get_learner("K-means")
+    hyper = {"k": 2}
+    prior = {
+        "centroids": np.array([[0.0, 0.0], [10.0, 10.0]]),
+        "counts": np.array([100.0, 100.0]),
+        "prior_centroids": np.zeros((2, 2)), "d_counts": np.zeros(2),
+        "initialized": 1.0, "n": 200, "cum_loss": 0.0,
+    }
+    parts = []
+    for shift in (-1.0, 1.0, 3.0):
+        local = ln.begin_pass({**prior, "n": 0, "cum_loss": 0.0})
+        X = np.full((10, 2), shift)  # all near centroid 0
+        parts.append(ln.partial_fit(X, None, local, hyper))
+    m = ln.merge(parts)
+    assert np.allclose(m["counts"], [130.0, 100.0])  # 100+30, untouched
+    assert m["n"] == 30
+    assert np.allclose(m["centroids"][1], [10.0, 10.0])  # no pull on c1
+    # c0 moved toward the (count-weighted) mean of the three local passes
+    assert 0.0 < m["centroids"][0][0] < 1.0
 
 
 def test_kmeans_clusters_separated_data():

@@ -147,6 +147,9 @@ def test_pre_create_buffering(spark):
     handle(df, 1)                       # buffered 270 + new 270 trained
     assert cat.pipelines[1].fitted == 540
     assert len(stats) == 1 and stats[0].fitted == 540
+    # r2 ADVICE: forecasting rows that arrived pre-Create are buffered too
+    # and scored once a model exists (30 buffered + 30 new)
+    assert len(preds) == 60
 
 
 def test_dedup_then_train_composition(spark, tmp_path):
