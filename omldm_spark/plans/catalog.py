@@ -49,6 +49,7 @@ class PipelineSpec:
     rounds: int = 0
     worker_models: dict[str, Any] | None = None  # per-worker states (SSP/GM/FGM/EASGD)
     preproc_state: list | None = None  # running scaler moments, per chain slot
+    hub_stats: dict[str, Any] | None = None  # per-hub-replica shipping stats
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, default=list)

@@ -516,6 +516,72 @@ def q_orr_scaled_query_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hub_sharded_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM ({SPLIT_POINTS_SQL}) WHERE split = 'train'
+),
+hubs AS (
+  SELECT * FROM (VALUES
+    (CAST(0 AS BIGINT), CAST({NUM_WORKERS} AS BIGINT), CAST({NUM_WORKERS} * 2 * 8 AS BIGINT)),
+    (CAST(1 AS BIGINT), CAST({NUM_WORKERS} AS BIGINT), CAST({NUM_WORKERS} * 1 * 8 AS BIGINT))
+  ) AS v(hub, models_shipped, bytes_shipped)
+)
+SELECT h.hub, h.models_shipped, h.bytes_shipped,
+       t.n AS data_fitted,
+       CAST({NUM_WORKERS} * 3 * 8 AS BIGINT) / 2.0 AS avg_bytes_per_hub
+FROM hubs h, t
+""",
+)
+def q_hub_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub parallelism > 1 fed by ACTUAL loop output: Create(ORR,
+    HubParallelism=2) -> train_batch shards the 3-double model [w0,w1,bias]
+    across 2 hub replicas keyed by (pipeline, hub) — chunk sizes [2,1], so
+    replica 0 carries 2/3 of the bytes. The cross-hub AVERAGE mirrors the
+    reference's job-statistics accumulator (StateAccumulators.scala:54-126);
+    sharding keys per FlinkLearning.scala:91-95."""
+    from .plans.catalog import PipelineCatalog
+    from .streaming.training_loop import train_batch
+
+    train = (
+        _split_points(spark, sf_dir)
+        .filter(F.col("split") == "train")
+        .select("id", F.array("x0", "x1").alias("features"),
+                F.col("y").alias("label"))
+    )
+    cat = PipelineCatalog(parallelism=NUM_WORKERS)
+    cat.apply_request(
+        {
+            "id": 0,
+            "request": "Create",
+            "learner": {"name": "ORR", "hyperParameters": {"lambda": ORR_LAMBDA}},
+            "trainingConfiguration": {
+                "protocol": "Synchronous", "HubParallelism": "2",
+            },
+        }
+    )
+    train_batch(
+        train, cat, features_col="features", label_col="label",
+        id_col="id", dim=2, num_partitions=NUM_WORKERS,
+    )
+    spec = cat.pipelines[0]
+    avg_bytes = sum(
+        v["bytes_shipped"] for v in spec.hub_stats.values()
+    ) / len(spec.hub_stats)
+    rows = [
+        (int(h), int(v["models_shipped"]), int(v["bytes_shipped"]),
+         int(spec.fitted), float(avg_bytes))
+        for h, v in sorted(spec.hub_stats.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "hub long, models_shipped long, bytes_shipped long, "
+        "data_fitted long, avg_bytes_per_hub double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A5/J2: scatter-gather response merge with count barrier
 # ---------------------------------------------------------------------------

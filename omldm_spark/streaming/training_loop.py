@@ -72,6 +72,46 @@ def _state_bytes(state: dict) -> int:
     return total
 
 
+def _flat_param_len(state: dict) -> int:
+    """Length of the shipped parameter surface: the solved/averaged model
+    (``w``) when present, else every float array in the state."""
+    if "w" in state:
+        return int(np.asarray(state["w"]).size)
+    return sum(
+        int(np.asarray(v).size) for v in state.values()
+        if isinstance(v, np.ndarray)
+    )
+
+
+def _hub_chunk_sizes(n_params: int, hubs: int) -> list[int]:
+    """Contiguous even split of the parameter vector across hub replicas —
+    the reference shards the PS per pipeline across HubParallelism replicas
+    keyed networkId_nodeId (FlinkLearning.scala:91-95, FlinkHub.scala:
+    176-179); chunking transport per functions/chunking.py."""
+    base, rem = divmod(n_params, hubs)
+    return [base + (1 if h < rem else 0) for h in range(hubs)]
+
+
+def _account_hub_shards(spec, state: dict, shipped: int) -> None:
+    """Per-hub-replica shipping statistics when hub_parallelism > 1: each
+    model-ship event sends chunk h to hub replica h, so replica h sees
+    ``shipped`` messages of chunk_sizes[h] doubles. Cross-hub aggregation
+    (the reference AVERAGES job statistics across hubs,
+    StateAccumulators.scala:54-126) is done by the stats queries; the
+    global models/bytes counters keep whole-logical-model semantics."""
+    hubs = max(1, int(spec.hub_parallelism or 1))
+    if hubs <= 1 or shipped <= 0:
+        return
+    sizes = _hub_chunk_sizes(_flat_param_len(state), hubs)
+    hs = spec.hub_stats or {}
+    for h, size in enumerate(sizes):
+        cur = hs.get(str(h)) or {"models_shipped": 0, "bytes_shipped": 0}
+        cur["models_shipped"] += shipped
+        cur["bytes_shipped"] += shipped * size * 8
+        hs[str(h)] = cur
+    spec.hub_stats = hs
+
+
 def train_batch(
     batch_df: DataFrame,
     catalog: PipelineCatalog,
@@ -171,6 +211,7 @@ def train_batch(
             spec.cum_loss = float(state["cum_loss"])
             spec.models_shipped += shipped
             spec.bytes_shipped += shipped * _state_bytes(state)
+            _account_hub_shards(spec, state, shipped)
             spec.learning_curve.append((spec.fitted, spec.cum_loss))
             stats.append(
                 BatchStats(

@@ -250,3 +250,26 @@ def test_multiplexed_pipelines_one_batch(spark):
     # second round continues every pipeline from its own state
     stats2 = train_batch(df, cat, dim=3, num_partitions=4, batch_id=1)
     assert all(cat.pipelines[s.pipeline].fitted == 720 for s in stats2)
+
+
+def test_hub_parallelism_shards_shipping_stats(spark):
+    """HubParallelism=2: each ship event splits the flat model across 2 hub
+    replicas (FlinkLearning.scala:91-95); per-hub bytes sum to the global
+    counter and messages double."""
+    cat = PipelineCatalog()
+    cat.apply_request({
+        "id": 1, "request": "Create", "learner": {"name": "PA"},
+        "trainingConfiguration": {"protocol": "Synchronous",
+                                  "HubParallelism": "2"},
+    })
+    df = spark.createDataFrame(_points_pdf()).filter("operation = 'training'")
+    train_batch(df, cat, dim=3, num_partitions=4, batch_id=0)
+    spec = cat.pipelines[1]
+    assert set(spec.hub_stats) == {"0", "1"}
+    # PA model w has 4 doubles -> chunks [2, 2]; 4 workers shipped once
+    assert spec.hub_stats["0"]["models_shipped"] == 4
+    assert spec.hub_stats["0"]["bytes_shipped"] == 4 * 2 * 8
+    assert spec.hub_stats["1"]["bytes_shipped"] == 4 * 2 * 8
+    # two rounds accumulate
+    train_batch(df, cat, dim=3, num_partitions=4, batch_id=1)
+    assert spec.hub_stats["0"]["models_shipped"] == 8
