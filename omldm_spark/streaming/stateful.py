@@ -46,14 +46,49 @@ def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         yield first
 
 
-def streaming_dedup(stream: DataFrame, key_col: str, output_schema) -> DataFrame:
-    """Cross-batch exact dedup on ``key_col`` (e.g. md5(text))."""
+def streaming_dedup(
+    stream: DataFrame, key_col: str, output_schema, ttl_ms: int | None = None
+) -> DataFrame:
+    """Cross-batch exact dedup on ``key_col`` (e.g. md5(text)).
+
+    With ``ttl_ms`` (requires an event-time watermark upstream) each key's
+    seen-marker expires ``ttl_ms`` past the watermark and is REMOVED from the
+    state store — bounding state to keys seen within the TTL horizon instead
+    of all keys ever. That is the 100 TB shape: unbounded-retention dedup
+    state grows with total distinct keys; watermark-TTL'd state grows with
+    the dedup window only. A duplicate arriving after expiry passes again
+    (standard watermark-bounded dedup semantics — same contract as Spark's
+    own dropDuplicatesWithinWatermark)."""
+    if ttl_ms is None:
+        return stream.groupBy(key_col).applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=output_schema,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def dedup_ttl(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        if not state.exists:
+            for pdf in pdfs:
+                if len(pdf):
+                    first = pdf.head(1)
+                    break
+        state.update((True,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        if first is not None:
+            yield first
+
     return stream.groupBy(key_col).applyInPandasWithState(
-        _dedup_fn,
+        dedup_ttl,
         outputStructType=output_schema,
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -298,9 +298,18 @@ def make_batch_handler(
     predictions_sink: list | None = None,
     stats_sink: list | None = None,
     predictions_path: str | None = None,
+    responses_sink: list | None = None,
+    holdout_df: DataFrame | None = None,
 ):
     """The foreachBatch body, factored out so batch-mode tests can drive it
     directly. Keeps the pre-Create record buffer across invocations.
+
+    Unified control plane (J1, the reference's data×control connect): when
+    the batch carries a ``kind`` column, rows with kind='request' are the
+    control stream — they are applied to the catalog FIRST (arrival order),
+    then kind='data' rows train/score. Query responses drain into
+    ``responses_sink`` at the end of each batch, scored on ``holdout_df``
+    when given (FlinkSpoke query-on-testSet).
 
     Prediction output: ``predictions_path`` appends each batch's scored
     forecasting rows to a parquet sink WITHOUT driver collection — the
@@ -311,6 +320,14 @@ def make_batch_handler(
     record_buffer: list = []
 
     def handle(batch_df: DataFrame, batch_id: int):
+        if "kind" in batch_df.columns:
+            req_cols = [c for c in ("id", "request", "requestId", "learner",
+                                    "preProcessors", "trainingConfiguration")
+                        if c in batch_df.columns]
+            catalog.apply_requests_df(
+                batch_df.filter(F.col("kind") == "request").select(*req_cols)
+            )
+            batch_df = batch_df.filter(F.col("kind") == "data")
         if not catalog.live():
             # No pipeline yet: buffer BOTH training and forecasting rows
             # (bounded; the reference buffers data instances per worker,
@@ -349,6 +366,13 @@ def make_batch_handler(
                 preds.write.mode("append").parquet(predictions_path)
             if predictions_sink is not None:
                 predictions_sink.extend(preds.collect())
+        if responses_sink is not None and catalog.responses:
+            responses_sink.extend(
+                build_query_responses(
+                    catalog, holdout_df,
+                    features_col=features_col, label_col=label_col, dim=dim,
+                )
+            )
 
     return handle
 
@@ -367,6 +391,8 @@ def run_streaming(
     predictions_sink: list | None = None,
     stats_sink: list | None = None,
     predictions_path: str | None = None,
+    responses_sink: list | None = None,
+    holdout_df: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     timeout_sec: float = 120.0,
 ):
@@ -392,6 +418,8 @@ def run_streaming(
         predictions_sink=predictions_sink,
         stats_sink=stats_sink,
         predictions_path=predictions_path,
+        responses_sink=responses_sink,
+        holdout_df=holdout_df,
     )
 
     writer = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True)
