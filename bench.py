@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "parse_training_points",   # P1-P3 JSON round trip at full width
+    "bulk_parse_training_points",  # same round trip, pyarrow NDJSON bulk path
     "train_test_split",        # windowed holdout over every training point
     "orr_query_response",      # flagship: closed-form train + holdout eval
     "orr_predictions",         # model broadcast-join scoring

@@ -191,6 +191,46 @@ def parse_training_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bulk_parse_training_points",
+    oracle=f"""
+WITH di AS ({
+    '''SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+       l_quantity AS f0, l_discount AS f1, l_tax AS f2,
+       l_extendedprice AS target,
+       CASE WHEN (l_orderkey * 8 + l_linenumber) % 10 = 0
+            THEN 'forecasting' ELSE 'training' END AS operation
+FROM lineitem'''})
+SELECT id, f0, f1, f2, target, operation,
+       'labeled' AS kind
+FROM di
+ORDER BY id
+""",
+)
+def q_bulk_parse_training_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 bulk-ingest path: same round trip as parse_training_points but
+    through the vectorized pyarrow NDJSON reader (mapInArrow) instead of
+    from_json — identical silent-drop semantics, same oracle."""
+    from .functions.parsing import parse_data_instances_arrow
+
+    di = data_instances(spark, sf_dir)
+    raw = to_json_sink(di)
+    junk = spark.createDataFrame(
+        [("EOS",), ("{not json",), ('{"operation": "nope"}',), ("",)], ["value"]
+    )
+    parsed = parse_data_instances_arrow(raw.unionByName(junk))
+    points = to_usable_points(parsed)
+    return points.select(
+        "id",
+        F.col("numericalFeatures")[0].alias("f0"),
+        F.col("numericalFeatures")[1].alias("f1"),
+        F.col("numericalFeatures")[2].alias("f2"),
+        "target",
+        "operation",
+        "kind",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 80/20 split (reference holdout semantics)
 # ---------------------------------------------------------------------------
