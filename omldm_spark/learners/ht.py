@@ -41,14 +41,28 @@ def _entropy(c0: float, c1: float) -> float:
     return h
 
 
-def _new_leaf(dim: int) -> dict:
+def _new_leaf(dim: int, depth: int = 0) -> dict:
     return {
         "leaf": True,
+        "depth": depth,
         "counts": [0.0, 0.0],
-        # per feature: per class: [n, sum, sumsq]
+        # numeric observers — per feature: per class: [n, sum, sumsq]
         "fstats": [[[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]] for _ in range(dim)],
+        # discrete observers — {feature: {value: [c0, c1]}} (MOA nominal
+        # attribute observer; populated only for hyper["discrete"] dims)
+        "dstats": {},
         "since_eval": 0,
     }
+
+
+def _parse_discrete(hyper: dict) -> list[int]:
+    """hyper["discrete"] = "0,2" -> [0, 2]: feature indices treated as
+    nominal (multiway splits). Matches the reference's discreteFeatures
+    channel of DataInstance (DataInstanceParser surface)."""
+    raw = hyper.get("discrete", "")
+    if isinstance(raw, (list, tuple)):
+        return [int(v) for v in raw]
+    return [int(v) for v in str(raw).split(",") if str(v).strip() != ""]
 
 
 @register
@@ -85,7 +99,15 @@ class HT(Learner):
         nid = "0"
         while not tree[nid]["leaf"]:
             node = tree[nid]
-            nid = node["left"] if x[node["feature"]] <= node["threshold"] else node["right"]
+            if node.get("multi"):
+                # multiway split on a nominal feature; unseen value falls
+                # through to the majority child (MOA convention)
+                nid = node["children"].get(
+                    str(int(x[node["feature"]])), node["default"]
+                )
+            else:
+                nid = node["left"] if x[node["feature"]] <= node["threshold"] \
+                    else node["right"]
         return nid
 
     def _gaussian_split_gain(self, leaf: dict, j: int) -> tuple[float, float]:
@@ -113,22 +135,73 @@ class HT(Learner):
         child = (nl / n) * _entropy(l0, l1) + (nr / n) * _entropy(r0, r1)
         return parent - child, thr
 
-    def _try_split(self, tree: dict, nid: str, hyper: dict, dim: int) -> None:
-        leaf = tree[nid]
+    def _discrete_split_gain(self, leaf: dict, j: int) -> float:
+        """Info gain of the MULTIWAY split on nominal feature j — pure
+        count arithmetic (exactly SQL-reproducible, no erf)."""
+        stats = leaf["dstats"].get(str(j))
+        if not stats or len(stats) < 2:
+            return 0.0
+        n0, n1 = leaf["counts"]
+        n = n0 + n1
+        if n <= 0:
+            return 0.0
+        child = 0.0
+        # sorted value order: deterministic regardless of stream insertion
+        # order, and mirrors the oracle SQL's per-value aggregation
+        for v in sorted(stats, key=float):
+            c0, c1 = stats[v]
+            nv = c0 + c1
+            child += (nv / n) * _entropy(c0, c1)
+        return _entropy(n0, n1) - child
+
+    def split_candidates(self, leaf: dict, hyper: dict, dim: int):
+        """Ranked (gain, threshold|None, feature, kind) candidates plus the
+        Hoeffding epsilon — exposed so the split DECISION is a queryable,
+        oracle-checkable value (pre-pruning surface)."""
+        discrete = set(_parse_discrete(hyper))
+        cands = []
+        for j in range(dim):
+            if j in discrete:
+                cands.append((self._discrete_split_gain(leaf, j), None, j, "multi"))
+            else:
+                g, thr = self._gaussian_split_gain(leaf, j)
+                cands.append((g, thr, j, "binary"))
+        cands.sort(key=lambda t: (t[0], -t[2]), reverse=True)
         n = leaf["counts"][0] + leaf["counts"][1]
         delta = float(hyper.get("delta", 1e-4))
+        eps = math.sqrt(math.log(1.0 / delta) / (2.0 * n)) if n > 0 else float("inf")
+        return cands, eps
+
+    def _try_split(self, tree: dict, nid: str, hyper: dict, dim: int) -> None:
+        leaf = tree[nid]
         tie = float(hyper.get("tie_threshold", 0.05))
         max_depth = int(hyper.get("max_depth", 6))
-        if len(nid) - 1 >= max_depth:  # depth = id-path length (see children ids)
+        if int(leaf.get("depth", 0)) >= max_depth:  # pre-pruning
             return
-        gains = sorted(
-            ((self._gaussian_split_gain(leaf, j), j) for j in range(dim)),
-            reverse=True,
-        )
-        (g1, thr1), j1 = gains[0]
-        g2 = gains[1][0][0] if dim > 1 else 0.0
-        eps = math.sqrt(math.log(1.0 / delta) / (2.0 * n))
-        if g1 > 0 and (g1 - g2 > eps or eps < tie):
+        cands, eps = self.split_candidates(leaf, hyper, dim)
+        g1, thr1, j1, kind = cands[0]
+        g2 = cands[1][0] if dim > 1 else 0.0
+        if not (g1 > 0 and (g1 - g2 > eps or eps < tie)):
+            return
+        depth = int(leaf.get("depth", 0))
+        if kind == "multi":
+            stats = leaf["dstats"][str(j1)]
+            children = {}
+            best_v, best_mass = None, -1.0
+            for v, (c0, c1) in stats.items():
+                cid = f"{nid}v{v}"
+                children[v] = cid
+                tree[cid] = _new_leaf(dim, depth + 1)
+                if c0 + c1 > best_mass:
+                    best_mass, best_v = c0 + c1, v
+            tree[nid] = {
+                "leaf": False,
+                "multi": True,
+                "feature": j1,
+                "children": children,
+                "default": children[best_v],
+            }
+        else:
             left_id, right_id = nid + "l", nid + "r"
             tree[nid] = {
                 "leaf": False,
@@ -137,11 +210,12 @@ class HT(Learner):
                 "left": left_id,
                 "right": right_id,
             }
-            tree[left_id] = _new_leaf(dim)
-            tree[right_id] = _new_leaf(dim)
+            tree[left_id] = _new_leaf(dim, depth + 1)
+            tree[right_id] = _new_leaf(dim, depth + 1)
 
     def partial_fit(self, X, y, state, hyper):
         grace = int(hyper.get("grace_period", 200))
+        discrete = set(_parse_discrete(hyper))
         tree = state["tree"]
         dim = state["dim"]
         cum = float(state["cum_loss"])
@@ -156,11 +230,17 @@ class HT(Learner):
                 cum += 1.0
             leaf["counts"][cls] += 1.0
             for j in range(dim):
-                st = leaf["fstats"][j][cls]
-                v = float(x[j])
-                st[0] += 1.0
-                st[1] += v
-                st[2] += v * v
+                if j in discrete:
+                    v = str(int(x[j]))
+                    dstats = leaf["dstats"].setdefault(str(j), {})
+                    cc = dstats.setdefault(v, [0.0, 0.0])
+                    cc[cls] += 1.0
+                else:
+                    st = leaf["fstats"][j][cls]
+                    v = float(x[j])
+                    st[0] += 1.0
+                    st[1] += v
+                    st[2] += v * v
             leaf["since_eval"] += 1
             if leaf["since_eval"] >= grace:
                 leaf["since_eval"] = 0

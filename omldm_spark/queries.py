@@ -1886,6 +1886,224 @@ def q_ht_observer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# HT depth: exact first-split decision (multiway/nominal) + root prequential
+# ---------------------------------------------------------------------------
+
+# Shared derivation: first-N ordered training rows with two NOMINAL features
+# (returnflag code, quantity decile bucket) and a binary label. Nominal
+# gains are pure count arithmetic, so the whole Hoeffding split DECISION —
+# gains, epsilon, did_split, chosen feature — is SQL-reproducible (the
+# numeric-observer decision needs erf; ht_observer_stats covers its inputs).
+_HT_LAB_SQL = f"""
+SELECT sp.id, sp.pk, sp.sk,
+       CASE l.l_returnflag WHEN 'R' THEN 2 WHEN 'A' THEN 1 ELSE 0 END AS f0,
+       CAST(floor(l.l_quantity / 10) AS BIGINT) AS f1,
+       CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END AS cls_q,
+       CASE WHEN l.l_extendedprice > 30000 THEN 1 ELSE 0 END AS cls_p
+FROM ({SPLIT_POINTS_SQL}) sp
+JOIN lineitem l
+  ON sp.id = l.l_orderkey * 8 + l.l_linenumber
+ AND sp.pk = l.l_partkey AND sp.sk = l.l_suppkey
+WHERE sp.split = 'train'
+"""
+
+_HT_SPLIT_N = 500
+_HT_DELTA = 1e-4
+_HT_TIE = 0.05
+
+# per-feature multiway info gain, all from integer counts
+_HT_GAIN_SQL = """
+SELECT t.n,
+       (CASE WHEN t.c0 > 0 THEN -(CAST(t.c0 AS DOUBLE) / t.n) * log2(CAST(t.c0 AS DOUBLE) / t.n) ELSE 0.0 END
+      + CASE WHEN t.c1 > 0 THEN -(CAST(t.c1 AS DOUBLE) / t.n) * log2(CAST(t.c1 AS DOUBLE) / t.n) ELSE 0.0 END)
+       - g.child AS gain,
+       g.n_values
+FROM (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(count(*) - sum(cls) AS DOUBLE) AS c0,
+         CAST(sum(cls) AS DOUBLE) AS c1
+  FROM firstN
+) t, (
+  SELECT sum(((v.c0 + v.c1) / v.n) * (
+           CASE WHEN v.c0 > 0 THEN -(v.c0 / (v.c0 + v.c1)) * log2(v.c0 / (v.c0 + v.c1)) ELSE 0.0 END
+         + CASE WHEN v.c1 > 0 THEN -(v.c1 / (v.c0 + v.c1)) * log2(v.c1 / (v.c0 + v.c1)) ELSE 0.0 END
+         )) AS child,
+         CAST(count(*) AS BIGINT) AS n_values
+  FROM (
+    SELECT {f} AS val,
+           CAST(count(*) - sum(cls) AS DOUBLE) AS c0,
+           CAST(sum(cls) AS DOUBLE) AS c1,
+           (SELECT CAST(count(*) AS DOUBLE) FROM firstN) AS n
+    FROM firstN GROUP BY {f}
+  ) v
+) g
+"""
+
+HT_FIRST_SPLIT_SQL = f"""
+WITH firstN AS (
+  SELECT f0, f1, cls_q AS cls FROM ({_HT_LAB_SQL})
+  ORDER BY id, pk, sk LIMIT {_HT_SPLIT_N}
+),
+gx AS (
+  SELECT a.gain AS gf0, a.n_values AS nv0, b.gain AS gf1, b.n_values AS nv1,
+         a.n AS n
+  FROM ({_HT_GAIN_SQL.format(f="f0")}) a, ({_HT_GAIN_SQL.format(f="f1")}) b
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CASE WHEN gf1 > gf0 THEN gf1 ELSE gf0 END AS g1,
+         CASE WHEN gf1 > gf0 THEN gf0 ELSE gf1 END AS g2,
+         CASE WHEN gf1 > gf0 THEN 1 ELSE 0 END AS best_feature,
+         CASE WHEN gf1 > gf0 THEN nv1 ELSE nv0 END AS best_values,
+         sqrt(ln(1.0 / {_HT_DELTA}) / (2.0 * n)) AS eps
+  FROM gx
+)
+SELECT n,
+       CASE WHEN g1 > 0 AND (g1 - g2 > eps OR eps < {_HT_TIE}) THEN 1 ELSE 0 END AS did_split,
+       CAST(best_feature AS BIGINT) AS split_feature,
+       CAST(best_values AS BIGINT) AS n_children,
+       round(g1, 6) AS g1, round(g2, 6) AS g2, round(eps, 6) AS eps
+FROM d
+"""
+
+
+def _ht_lab_first_n(spark: SparkSession, sf_dir: str, n: int):
+    """Spark twin of _HT_LAB_SQL's first-N rows, collected in order."""
+    sp = _split_points(spark, sf_dir).filter(F.col("split") == "train")
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).cast("long")
+    lab = li.select(
+        rid.alias("id"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.when(F.col("l_returnflag") == "R", 2)
+        .when(F.col("l_returnflag") == "A", 1)
+        .otherwise(0).alias("f0"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("f1"),
+        F.when(F.col("l_quantity") >= 25, 1).otherwise(0).alias("cls_q"),
+        F.when(F.col("l_extendedprice") > 30000, 1).otherwise(0).alias("cls_p"),
+    )
+    return (
+        sp.select("id", "pk", "sk")
+        .join(lab, ["id", "pk", "sk"])
+        .orderBy("id", "pk", "sk")
+        .limit(n)
+        .collect()
+    )
+
+
+@query("ht_first_split_discrete", oracle=HT_FIRST_SPLIT_SQL)
+def q_ht_first_split_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HT first split DECISION as an exact oracle: two nominal features,
+    grace == N so the root evaluates exactly once; the SQL recomputes the
+    multiway info gains from the same counts, the Hoeffding epsilon, and the
+    split/keep decision (Domingos & Hulten test; pre-pruning surface via
+    split_candidates)."""
+    import numpy as np
+
+    from .learners import get_learner
+
+    rows = _ht_lab_first_n(spark, sf_dir, _HT_SPLIT_N)
+    X = np.asarray([[r["f0"], r["f1"]] for r in rows], dtype=float)
+    y = np.asarray([1.0 if r["cls_q"] else -1.0 for r in rows])
+    ln = get_learner("HT")
+    hyper = {
+        "discrete": "0,1", "grace_period": _HT_SPLIT_N,
+        "delta": _HT_DELTA, "tie_threshold": _HT_TIE, "max_depth": 6,
+    }
+    state = ln.partial_fit(X, y, ln.init_state(2, hyper), hyper)
+    root = state["tree"]["0"]
+    did = 0 if root.get("leaf") else 1
+    feature = -1 if did == 0 else int(root["feature"])
+    n_children = 0 if did == 0 else len(root["children"])
+
+    # pre-split observer view for the gain/epsilon values
+    obs_state = ln.partial_fit(
+        X, y, ln.init_state(2, hyper), {**hyper, "grace_period": 10**9}
+    )
+    cands, eps = ln.split_candidates(obs_state["tree"]["0"], hyper, 2)
+    g1, g2 = cands[0][0], cands[1][0]
+    if did:
+        # the learner's chosen feature must be the gain argmax
+        assert cands[0][2] == feature
+    out = [(
+        len(rows), did,
+        int(cands[0][2]), int(n_children if did else len(
+            obs_state["tree"]["0"]["dstats"].get(str(cands[0][2]), {})
+        )),
+        float(g1), float(g2), float(eps),
+    )]
+    return spark.createDataFrame(
+        out,
+        "n long, did_split int, split_feature long, n_children long, "
+        "g1 double, g2 double, eps double",
+    ).select(
+        "n", "did_split", "split_feature", "n_children",
+        F.round("g1", 6).alias("g1"),
+        F.round("g2", 6).alias("g2"),
+        F.round("eps", 6).alias("eps"),
+    )
+
+
+_HT_PREQ_N = 1000
+
+HT_PREQUENTIAL_SQL = f"""
+WITH firstN AS (
+  SELECT cls_p AS cls, row_number() OVER (ORDER BY id, pk, sk) AS rn
+  FROM (SELECT * FROM ({_HT_LAB_SQL}) ORDER BY id, pk, sk LIMIT {_HT_PREQ_N})
+),
+scored AS (
+  SELECT rn, cls,
+         COALESCE(sum(cls) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS c1b
+  FROM firstN
+),
+errs AS (
+  SELECT CAST(floor((rn - 1) / 100.0) AS BIGINT) + 1 AS bucket,
+         CASE WHEN (CASE WHEN c1b >= (rn - 1) - c1b THEN 1 ELSE 0 END) <> cls
+              THEN 1 ELSE 0 END AS err
+  FROM scored
+),
+per AS (
+  SELECT bucket, CAST(sum(err) AS BIGINT) AS errors
+  FROM errs GROUP BY bucket
+)
+SELECT bucket, errors,
+       CAST(sum(errors) OVER (ORDER BY bucket) AS BIGINT) AS cum_errors
+FROM per
+"""
+
+
+@query("ht_prequential", oracle=HT_PREQUENTIAL_SQL)
+def q_ht_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prequential (test-then-train) error curve of the HT root classifier,
+    exactly: splitting disabled, so the learner's per-bucket cumulative-loss
+    deltas must equal SQL's windowed majority-vote-so-far error counts —
+    integer-exact, order-pinned. Validates the prequential accounting the
+    reference reports as pipeline 'score' (FlinkSpoke test-then-train)."""
+    import numpy as np
+
+    from .learners import get_learner
+
+    rows = _ht_lab_first_n(spark, sf_dir, _HT_PREQ_N)
+    X = np.asarray([[r["f0"], r["f1"]] for r in rows], dtype=float)
+    y = np.asarray([1.0 if r["cls_p"] else -1.0 for r in rows])
+    ln = get_learner("HT")
+    hyper = {"discrete": "0,1", "grace_period": 10**9}
+    state = ln.init_state(2, hyper)
+    out, prev = [], 0.0
+    for b in range(len(rows) // 100):
+        state = ln.partial_fit(X[b * 100:(b + 1) * 100],
+                               y[b * 100:(b + 1) * 100], state, hyper)
+        cum = float(state["cum_loss"])
+        out.append((b + 1, int(cum - prev), int(cum)))
+        prev = cum
+    return spark.createDataFrame(
+        out, "bucket long, errors long, cum_errors long"
+    )
+
+
 from .operators.dedup import WINNOW_SQL, winnow_fingerprints  # noqa: E402
 
 

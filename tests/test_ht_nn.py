@@ -90,3 +90,28 @@ def test_nn_merge_average():
     a["n"], b["n"] = 1, 1
     m = ln.merge([a, b])
     assert np.allclose(m["W1"], a["W1"])  # identical states average to self
+
+
+def test_ht_multiway_split_on_discrete_feature():
+    """Nominal observer: a 4-valued discrete feature that determines the
+    label splits multiway; routing sends each value to its own child and
+    unseen values fall through to the majority child."""
+    from omldm_spark.learners import get_learner
+
+    rng = np.random.default_rng(3)
+    n = 400
+    v = rng.integers(0, 4, size=n)
+    X = np.stack([v.astype(float), rng.normal(size=n)], axis=1)
+    y = np.where(v >= 2, 1.0, -1.0)
+    ln = get_learner("HT")
+    hyper = {"discrete": "0", "grace_period": 200}
+    st = ln.partial_fit(X, y, ln.init_state(2, hyper), hyper)
+    root = st["tree"]["0"]
+    assert not root["leaf"] and root.get("multi") and root["feature"] == 0
+    assert set(root["children"]) == {"0", "1", "2", "3"}
+    # children are at depth 1 (explicit depth field, multiway-safe)
+    assert all(st["tree"][c]["depth"] == 1 for c in root["children"].values())
+    pred = ln.predict(X, st)
+    assert float(np.mean(pred == y)) > 0.95
+    # unseen value routes to the majority child without KeyError
+    ln.predict(np.array([[9.0, 0.0]]), st)
