@@ -44,6 +44,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    # scaled per-worker shape: split/training queries use one worker per
+    # core (must be set before the queries module builds its oracle SQL)
+    os.environ.setdefault("SPARK_GRAFT_WORKERS", str(cpus))
 
     from omldm_spark.queries import QUERIES
     from omldm_spark.session import get_spark

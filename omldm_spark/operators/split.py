@@ -31,7 +31,7 @@ NUM_WORKERS = 8      # stand-in for job parallelism 16 at small SF
 
 def train_test_split(
     points: DataFrame,
-    num_workers: int = NUM_WORKERS,
+    num_workers: int | None = NUM_WORKERS,
     test_set_size: int = TEST_SET_SIZE,
     id_col: str = "id",
     order_cols: list[str] | None = None,
@@ -39,9 +39,17 @@ def train_test_split(
     """Adds ``worker`` (int), ``rn`` (per-worker row number) and ``split``
     ('train'|'test') columns, with the rolling-256 eviction applied.
 
+    ``num_workers=None`` derives the worker count from the session's
+    default parallelism — the production setting (each per-worker window
+    sorts 1/parallelism of the data, the reference's rebalance across job
+    parallelism). Oracle-checked callers pass an explicit count so the
+    DuckDB SQL twin sees the same number.
+
     ``order_cols`` must be a deterministic TOTAL order (unique key) — ties in
     row_number would otherwise resolve differently per engine/run.
     """
+    if num_workers is None:
+        num_workers = int(points.sparkSession.sparkContext.defaultParallelism)
     order_cols = order_cols or [id_col]
     w = Window.partitionBy("worker").orderBy(*order_cols)
     numbered = points.withColumn(

@@ -73,7 +73,14 @@ FROM lineitem
 WHERE (l_orderkey * 8 + l_linenumber) % 10 <> 0
 """
 
-NUM_WORKERS = 8
+# Worker count for the deterministic split/training queries. Env-pinned so
+# BOTH engines (Spark plan and DuckDB oracle SQL, built at import from the
+# same value) agree at ANY setting — bench sets it to the session CPU count
+# so the benched plans exercise the scaled per-worker shape (r1 VERDICT
+# item 10); the driver default stays 8.
+import os  # noqa: E402
+
+NUM_WORKERS = int(os.environ.get("SPARK_GRAFT_WORKERS", "8"))
 ORR_LAMBDA = 0.1
 ORDER_COLS = ["id", "pk", "sk"]
 
