@@ -370,3 +370,141 @@ SELECT {id_col},
        split_part(sel, '|', 1) AS hash
 FROM selected
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup at scale: random-hyperplane LSH + banded bucket join
+# ---------------------------------------------------------------------------
+#
+# The brute-force all-pairs cosine (queries.dedup_embedding_cosine) is the
+# within-bucket kernel; THIS is the 100 TB outer loop: H seeded hyperplanes
+# give an H-bit SRP signature per vector; signatures split into B bands and
+# candidate pairs are generated by a self-join per band (same shape as the
+# MinHash LSH band join — one balanced shuffle), then the exact cosine
+# filter runs only within buckets. Two colliding band bits ~ cos similarity
+# (Charikar SRP): P(bit match) = 1 - theta/pi.
+#
+# Cross-engine determinism: hyperplane components are seeded and ROUNDED to
+# 6 dp, embedded as literals in both the Spark plan and the DuckDB SQL, so
+# the signatures — and therefore the candidate pair set — are identical.
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 25):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_planes, dim)), 6)
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs (cos >= threshold) found via SRP-LSH banding.
+
+    Plan: scan -> signature (pure column math, no UDF) -> explode B band
+    rows -> groupBy-join on (band, value) -> exact cosine on candidates.
+    Shuffle volume: B rows per vector (tiny ints), then only candidate
+    pairs; nothing all-pairs."""
+    from ..functions.vector import cosine, to_double_array
+
+    planes = _hyperplanes(n_planes, dim)
+    per_band = n_planes // n_bands
+    v = to_double_array(vec_col)
+    base = emb.select(F.col(id_col).cast("long").alias("id"), v.alias("v"))
+    bits = []
+    for p in planes:
+        pvec = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), pvec, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bits.append((dot >= 0).cast("int"))
+    bands = []
+    for b in range(n_bands):
+        val = None
+        for bit in bits[b * per_band:(b + 1) * per_band]:
+            val = bit if val is None else val * 2 + bit
+        bands.append(F.struct(F.lit(b).alias("band"), val.alias("bval")))
+    sig = base.select(
+        "id", "v", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                   "band", "bval")
+    b_ = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    "band", "bval")
+    cand = (
+        a.join(b_, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            F.round(cosine("va", "vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def EMBEDDING_LSH_SQL(
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    planes = _hyperplanes(n_planes, dim)
+    per_band = n_planes // n_bands
+
+    def plane_lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bit_exprs = [
+        f"CASE WHEN list_inner_product(v, {plane_lit(p)}) >= 0 THEN 1 ELSE 0 END"
+        for p in planes
+    ]
+    band_vals = []
+    for b in range(n_bands):
+        val = bit_exprs[b * per_band]
+        for bit in bit_exprs[b * per_band + 1:(b + 1) * per_band]:
+            val = f"(({val}) * 2 + {bit})"
+        band_vals.append(val)
+    band_cols = ", ".join(f"{v} AS b{b}" for b, v in enumerate(band_vals))
+    banded_union = "\n  UNION ALL ".join(
+        f"SELECT id, v, {b} AS band, b{b} AS bval FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH emb AS (
+  SELECT CAST({id_col} AS BIGINT) AS id,
+         CAST({vec_col} AS DOUBLE[]) AS v
+  FROM {table}
+),
+sig AS (SELECT id, v, {band_cols} FROM emb),
+banded AS (
+  {banded_union}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       round(list_inner_product(ea.v, eb.v)
+             / (sqrt(list_inner_product(ea.v, ea.v))
+                * sqrt(list_inner_product(eb.v, eb.v))), 6) AS cos_sim
+FROM cand c
+JOIN emb ea ON ea.id = c.id_a
+JOIN emb eb ON eb.id = c.id_b
+WHERE round(list_inner_product(ea.v, eb.v)
+            / (sqrt(list_inner_product(ea.v, ea.v))
+               * sqrt(list_inner_product(eb.v, eb.v))), 6) >= {threshold}
+"""

@@ -1625,6 +1625,20 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= 0.4)
 
 
+from .operators.dedup import EMBEDDING_LSH_SQL, embedding_lsh_pairs  # noqa: E402
+
+
+@query("dedup_embedding_lsh", oracle=EMBEDDING_LSH_SQL())
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH embedding near-dup — the 100 TB outer loop around the
+    brute-force cosine kernel: 16 seeded hyperplanes -> 4-band bucket join
+    -> exact cosine only within buckets. The oracle reproduces the exact
+    candidate set (shared rounded hyperplane literals), so this is
+    exact-match, with recall traded for the banded plan documented in
+    operators/dedup.py."""
+    return embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 @query(
     "parse_requests",
     oracle="""

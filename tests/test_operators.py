@@ -13,7 +13,10 @@ from omldm_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from omldm_spark.io import load_table
 from omldm_spark.operators.similarity import cosine_topk
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _docs(spark):
@@ -165,3 +168,35 @@ def test_winnowing_detects_shifted_duplicate(spark):
     overlap_diff = len(sets[1] & sets[3]) / len(sets[1])
     assert overlap_dup > 0.6     # shifted copy shares most fingerprints
     assert overlap_diff < 0.1    # unrelated doc shares almost none
+
+
+def test_embedding_lsh_recall_vs_brute_force(spark):
+    """SRP-LSH pairs are a subset of brute-force pairs with recall matching
+    the Charikar bound: p_bit = 1 - acos(s)/pi; 4 bands of 4 bits at
+    s >= 0.4 predicts ~0.5 recall, rising toward 1 as s -> 1."""
+    from omldm_spark.functions.vector import cosine, to_double_array
+    from omldm_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lsh = embedding_lsh_pairs(emb).toPandas()
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        to_double_array("embedding").alias("v"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .toPandas()
+    )
+    lsh_pairs = set(zip(lsh.id_a, lsh.id_b))
+    brute_pairs = set(zip(brute.id_a, brute.id_b))
+    assert lsh_pairs <= brute_pairs  # no false positives (exact re-rank)
+    assert len(lsh_pairs) / max(len(brute_pairs), 1) >= 0.4
+    # high-similarity pairs (the actual near-dups) are caught reliably
+    hi = brute[brute.cos >= 0.8]
+    if len(hi):
+        hi_pairs = set(zip(hi.id_a, hi.id_b))
+        assert len(hi_pairs & lsh_pairs) / len(hi_pairs) >= 0.9
