@@ -21,7 +21,7 @@ from omldm_spark.functions.preprocess import (
 )
 from omldm_spark.learners import trainer
 from omldm_spark.plans.catalog import PipelineCatalog
-from omldm_spark.streaming.training_loop import (
+from omldm_spark.streaming.training_loop import (  # noqa: F401
     build_query_responses,
     predict_batch,
     train_batch,
@@ -214,3 +214,29 @@ def test_orr_batching_invariance(spark):
     w2 = list(cat2.pipelines[0].model["w"])
     assert w1 == w2  # exact, not approximate
     assert cat1.pipelines[0].model["sxx"] == cat2.pipelines[0].model["sxx"]
+
+
+def test_orr_general_dim_and_prediction_path(spark):
+    """ORR at d=3 (numpy solve path, no shared-SQL Cramer) still matches
+    the closed-form ridge, and predict_batch scores with it."""
+    pdf = _pdf(250, dim=3)
+    pdf["label"] = [float(x[0] - 2 * x[1] + 0.5 * x[2]) for x in pdf["features"]]
+    df = spark.createDataFrame(pdf)
+    cat = PipelineCatalog()
+    _create(cat, 0, "ORR", [], protocol="Synchronous", hyper={"lambda": "0.01"})
+    train_batch(df, cat, dim=3, num_partitions=4)
+    w = np.asarray(cat.pipelines[0].model["w"], dtype=float)
+
+    X = np.asarray(pdf["features"].tolist())
+    y = pdf["label"].to_numpy()
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    A = (Xa.T @ Xa) / len(X) + 0.01 * np.eye(4)
+    b = (Xa.T @ y) / len(X)
+    assert np.allclose(w, np.linalg.solve(A, b), atol=1e-3)
+
+    preds = predict_batch(df, cat, dim=3).toPandas()
+    assert len(preds) == 250
+    # regressor: raw w.x + b, not sign
+    got = preds.sort_values("recordId")["prediction"].to_numpy()
+    want = Xa @ w
+    assert np.allclose(got, want, atol=1e-9)
