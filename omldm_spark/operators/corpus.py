@@ -1,0 +1,219 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Beyond-reference surface (same charter as operators/dedup.py): the three
+ops every large-scale pretraining pipeline runs between raw documents and
+tokenized shards — chunking, quality filtering, and stratified sampling —
+expressed as pure Catalyst plans with exact DuckDB oracles.
+
+Scale design:
+
+* chunk_documents    one projection + one explode: rows out = Σ n_chunks,
+                     no shuffle at all (chunking is embarrassingly
+                     parallel); the token array materializes ONCE per doc
+                     in its own projection (array-lambda re-evaluation
+                     trap, see NOTES_r1).
+* corpus_clean       dedup keeper-join is the only shuffle (hash-groupBy on
+                     md5); language/quality gates are scan-side column
+                     predicates that pushdown keeps next to the parquet
+                     reader.
+* stratified_sample  ZERO shuffle: the keep/drop decision is a pure
+                     function of md5(group|id) compared against a hex
+                     threshold — per-group rates hold by hash uniformity,
+                     no per-group counting pass. The same row set is
+                     selected on any engine (md5 + lexicographic compare
+                     are engine-identical; no floats anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import TOKENS_SQL, tokens_col
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding token-window chunks: starts at 0, stride = chunk_size-overlap,
+    last window may be short; a doc shorter than the stride yields one
+    chunk. Output: doc_id, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_hash (md5 of the space-joined window — stable identity for
+    downstream dedup/sharding)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toked = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("toks")
+    ).withColumn("n_tokens", F.size("toks")).filter(F.col("n_tokens") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_tokens") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = toked.select(
+        id_col, "toks", "n_tokens",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    window = F.slice(F.col("toks"), F.col("chunk_start") + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_hash"),
+    )
+
+
+def CHUNK_SQL(
+    chunk_size: int = 64,
+    overlap: int = 16,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    stride = chunk_size - overlap
+    return f"""
+WITH toked AS (
+  SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks,
+         CAST(len({TOKENS_SQL(text_expr)}) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+starts AS (
+  SELECT {id_col}, toks, n_tokens,
+         generate_subscripts(range(0, greatest(n_tokens - {overlap} - 1, 0) + 1, {stride}), 1) - 1 AS chunk_idx,
+         unnest(range(0, greatest(n_tokens - {overlap} - 1, 0) + 1, {stride})) AS chunk_start
+  FROM toked WHERE n_tokens > 0
+)
+SELECT {id_col},
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(toks, chunk_start + 1, chunk_start + {chunk_size})) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_start + 1, chunk_start + {chunk_size}), ' ')) AS chunk_hash
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Composed cleaning pipeline: dedup keeper ∧ language ∧ quality gates
+# ---------------------------------------------------------------------------
+
+def corpus_clean(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_stopword_ratio_num: int = 1,
+    min_stopword_ratio_den: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standard pretraining filter chain in ONE plan: exact-dup keeper
+    (min id per md5(text)), heuristic language gate, token-count and
+    stopword-ratio quality gates (integer cross-multiplication — no float
+    thresholds). Returns kept doc ids + the gate metrics."""
+    from ..functions.text import STOPWORDS, lang_scores
+
+    toks = tokens_col(text_col)
+    en = STOPWORDS[lang]
+    base = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_hash"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(en))).cast("long").alias("n_stop"),
+    )
+    keepers = (
+        base.groupBy("text_hash").agg(F.min(id_col).alias("keeper_id"))
+    )
+    langs = lang_scores(docs, text_col, id_col).select(id_col, "lang_pred")
+    return (
+        base.join(keepers, "text_hash")
+        .filter(F.col(id_col) == F.col("keeper_id"))
+        .join(langs, id_col)
+        .filter(
+            (F.col("lang_pred") == lang)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_stop") * min_stopword_ratio_den
+               >= F.col("n_tokens") * min_stopword_ratio_num)
+        )
+        .select(id_col, "n_tokens", "n_stop", "lang_pred")
+    )
+
+
+def CORPUS_CLEAN_SQL(
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_stopword_ratio_num: int = 1,
+    min_stopword_ratio_den: int = 20,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from ..functions.text import STOPWORDS, lang_scores_sql
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"""
+WITH base AS (
+  SELECT {id_col}, md5({text_expr}) AS text_hash,
+         CAST(len({TOKENS_SQL(text_expr)}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({TOKENS_SQL(text_expr)}, t -> t IN ({words}))) AS BIGINT) AS n_stop
+  FROM {table}
+),
+keepers AS (
+  SELECT text_hash, min({id_col}) AS keeper_id FROM base GROUP BY text_hash
+),
+langs AS ({lang_scores_sql(table, text_expr, id_col)})
+SELECT b.{id_col}, b.n_tokens, b.n_stop, l.lang_pred
+FROM base b
+JOIN keepers k ON b.text_hash = k.text_hash AND b.{id_col} = k.keeper_id
+JOIN langs l ON l.{id_col} = b.{id_col}
+WHERE l.lang_pred = '{lang}'
+  AND b.n_tokens >= {min_tokens}
+  AND b.n_stop * {min_stopword_ratio_den} >= b.n_tokens * {min_stopword_ratio_num}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rate_num: int = 64,
+    rate_den: int = 256,
+) -> DataFrame:
+    """Keep ~rate_num/rate_den of the rows of EVERY group, deterministically:
+    a row stays iff the first two hex chars of md5(group|id) fall below the
+    threshold — a pure row-local predicate (no shuffle, no RNG state, no
+    per-group pass), reproducible bit-for-bit on any engine and any
+    partitioning. rate granularity is 1/256."""
+    if not (0 < rate_num <= rate_den == 256):
+        raise ValueError("rate must be num/256 with 0 < num <= 256")
+    thr = format(rate_num, "02x")
+    key = F.md5(F.concat_ws("|", F.col(group_col).cast("string"),
+                            F.col(id_col).cast("string")))
+    return df.filter(F.substring(key, 1, 2) < F.lit(thr))
+
+
+def STRATIFIED_SAMPLE_SQL(
+    inner_sql: str,
+    group_col: str,
+    id_col: str,
+    rate_num: int = 64,
+    rate_den: int = 256,
+) -> str:
+    thr = format(rate_num, "02x")
+    return f"""
+SELECT * FROM ({inner_sql})
+WHERE substring(md5(concat(CAST({group_col} AS VARCHAR), '|',
+                           CAST({id_col} AS VARCHAR))), 1, 2) < '{thr}'
+"""

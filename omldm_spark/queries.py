@@ -1625,7 +1625,51 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos_sim") >= 0.4)
 
 
+from .operators.corpus import (  # noqa: E402
+    CHUNK_SQL,
+    CORPUS_CLEAN_SQL,
+    STRATIFIED_SAMPLE_SQL,
+    chunk_documents,
+    corpus_clean,
+    stratified_sample,
+)
 from .operators.dedup import EMBEDDING_LSH_SQL, embedding_lsh_pairs  # noqa: E402
+
+
+@query("doc_chunks", oracle=CHUNK_SQL(chunk_size=64, overlap=16))
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (size 64, overlap 16): projection + explode,
+    zero shuffle — rows out = Σ per-doc chunk counts; chunk identity = md5
+    of the window for downstream dedup/sharding."""
+    return chunk_documents(load_table(spark, sf_dir, "documents"),
+                           chunk_size=64, overlap=16)
+
+
+@query("corpus_clean", oracle=CORPUS_CLEAN_SQL())
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining filter chain in one plan: exact-dup keeper
+    ∧ lang=en ∧ min-token ∧ stopword-ratio gates (integer thresholds)."""
+    return corpus_clean(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "stratified_sample_orders",
+    oracle=f"""
+SELECT o_orderstatus AS grp, CAST(count(*) AS BIGINT) AS kept
+FROM ({STRATIFIED_SAMPLE_SQL("SELECT * FROM orders", "o_orderstatus", "o_orderkey")})
+GROUP BY o_orderstatus
+""",
+)
+def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% stratified sample of orders by status: the
+    keep/drop decision is md5(group|id) < hex threshold — row-local, no
+    shuffle, no RNG state, identical row set on any engine/partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        stratified_sample(o, "o_orderstatus", "o_orderkey")
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("kept"))
+    )
 
 
 @query("dedup_embedding_lsh", oracle=EMBEDDING_LSH_SQL())

@@ -200,3 +200,58 @@ def test_embedding_lsh_recall_vs_brute_force(spark):
     if len(hi):
         hi_pairs = set(zip(hi.id_a, hi.id_b))
         assert len(hi_pairs & lsh_pairs) / len(hi_pairs) >= 0.9
+
+
+def test_chunking_boundaries(spark):
+    """Chunk math: 150 tokens at size 64 / overlap 16 (stride 48) -> starts
+    0, 48, 96 with lengths 64, 64, 54; a short doc yields one chunk."""
+    from omldm_spark.operators.corpus import chunk_documents
+
+    long_doc = " ".join(f"t{i}" for i in range(150))
+    rows = [(1, long_doc), (2, "just three tokens"), (3, "")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = chunk_documents(docs, chunk_size=64, overlap=16).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    assert list(d1.chunk_start) == [0, 48, 96]
+    assert list(d1.n_chunk_tokens) == [64, 64, 54]
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].n_chunk_tokens == 3
+    assert (out.doc_id != 3).all()  # empty doc dropped
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert d1.iloc[1].chunk_start == 64 - 16
+
+
+def test_corpus_clean_gates(spark):
+    """Each gate drops exactly its target: dup loses to keeper, non-English
+    fails the language gate, token-less fails min_tokens, no-stopword text
+    fails the ratio gate."""
+    from omldm_spark.operators.corpus import corpus_clean
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "der schnelle braune fuchs springt und der hund ist die faul"),
+        (4, "too short"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    kept = corpus_clean(docs).toPandas()
+    assert list(kept.doc_id) == [1]  # keeper of the dup pair, en, long, stopworded
+
+
+def test_stratified_sample_rate_and_determinism(spark):
+    """~rate_num/256 of every group kept; identical selection on re-run and
+    under different partitioning (pure function of the key)."""
+    from omldm_spark.operators.corpus import stratified_sample
+
+    pdf = pd.DataFrame({
+        "id": range(4000),
+        "grp": ["a" if i % 2 else "b" for i in range(4000)],
+    })
+    df = spark.createDataFrame(pdf)
+    s1 = stratified_sample(df, "grp", "id", rate_num=64).toPandas()
+    s2 = stratified_sample(df.repartition(7), "grp", "id", rate_num=64).toPandas()
+    assert sorted(s1.id) == sorted(s2.id)
+    for g in ("a", "b"):
+        rate = (s1.grp == g).sum() / 2000
+        assert 0.18 < rate < 0.32  # ~0.25 within binomial noise
