@@ -17,12 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: Create ORR pipeline ->
-    closed-form train on the deterministic 80/20 split -> Query ->
-    QueryResponse row (loss/score on holdout)."""
+    """Flagship query on /root/testdata/sf0.001: Create(ORR +
+    StandardScaler) through the catalog -> preprocessor chain fitted as
+    exact running moments inside train_batch -> closed-form train on the
+    deterministic 80/20 split -> Query -> QueryResponse row (holdout
+    score, weights) — the full control-plane + training-loop wiring."""
     from omldm_spark.queries import QUERIES
 
-    return QUERIES["orr_query_response"](spark, "/root/testdata/sf0.001")
+    return QUERIES["orr_scaled_query_response"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
