@@ -74,6 +74,31 @@ CHECKS = {
             not in p,
         ),
     ],
+    "doc_chunks": [
+        # chunking is embarrassingly parallel: projection + explode, no
+        # shuffle anywhere in the plan
+        ("zero shuffles", lambda p: "Exchange" not in p),
+        ("generator, not join", lambda p: "Generate" in p and "Join" not in p),
+    ],
+    "stratified_sample_orders": [
+        # row-local md5 predicate + one groupBy: exactly one shuffle
+        (
+            "single shuffle (the groupBy)",
+            lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+        ),
+    ],
+    "dedup_embedding_lsh": [
+        # band join must be a hash join on (band, bval) — never a
+        # nested-loop/cartesian over vectors
+        (
+            "no all-pairs join",
+            lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+        ),
+    ],
+    "bulk_parse_training_points": [
+        ("Arrow batch path present", lambda p: "MapInArrow" in p),
+    ],
     "tpch_q1_like": [
         # codegen annotations only appear once AQE finalizes at execution;
         # the auditable static property is map-side partial aggregation
