@@ -50,6 +50,7 @@ class PipelineSpec:
     worker_models: dict[str, Any] | None = None  # per-worker states (SSP/GM/FGM/EASGD)
     preproc_state: list | None = None  # running scaler moments, per chain slot
     hub_stats: dict[str, Any] | None = None  # per-hub-replica shipping stats
+    last_batch_id: int = -1  # highest streaming batch trained (replay guard)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, default=list)

@@ -124,14 +124,25 @@ def train_batch(
     partition_col: str | None = None,
     order_cols: list[str] | None = None,
     batch_id: int = 0,
+    skip_replayed: bool = False,
 ) -> list[BatchStats]:
     """One BSP round for every live pipeline over one micro-batch.
 
     The batch is cached once and fanned out to each pipeline (the reference
     trains every live pipeline on every record, FlinkSpoke.scala:101).
+
+    ``skip_replayed=True`` (the streaming handler sets it) makes the round
+    idempotent under foreachBatch replay: a pipeline whose persisted
+    ``last_batch_id`` already covers ``batch_id`` is skipped, so a batch
+    redelivered after a crash-restart trains each row exactly once —
+    catalog.save() after the round is the transaction commit (crash BEFORE
+    the save replays cleanly from the previous state; crash after skips).
     """
     stats: list[BatchStats] = []
     live = catalog.live()
+    if skip_replayed:
+        live = [s for s in live
+                if int(getattr(s, "last_batch_id", -1) or -1) < int(batch_id)]
     if not live:
         return stats
     batch_df = batch_df.cache()
@@ -213,6 +224,7 @@ def train_batch(
             spec.bytes_shipped += shipped * _state_bytes(state)
             _account_hub_shards(spec, state, shipped)
             spec.learning_curve.append((spec.fitted, spec.cum_loss))
+            spec.last_batch_id = int(batch_id)
             stats.append(
                 BatchStats(
                     batch_id=batch_id,
@@ -354,6 +366,7 @@ def make_batch_handler(
             dim=dim,
             num_partitions=num_partitions,
             batch_id=batch_id,
+            skip_replayed=True,
         )
         if stats_sink is not None:
             stats_sink.extend(st)

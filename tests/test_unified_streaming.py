@@ -192,3 +192,65 @@ def test_dedup_ttl_expires_state(spark, tmp_path):
     ids = sorted(r["id"] for r in got)
     # 1,2,3 pass; 50 passes; 1,2 pass AGAIN because their state expired
     assert ids == [1, 1, 2, 2, 3, 50]
+
+
+def test_checkpoint_restart_trains_each_row_exactly_once(spark, tmp_path):
+    """Crash-restart semantics (the reference's CheckpointedFunction
+    surface, FlinkSpoke.scala:233-334): the stream checkpoint replays the
+    failed batch, and the persisted catalog's last_batch_id guard makes the
+    round idempotent — a batch that was trained AND committed before the
+    crash is skipped on replay, one that wasn't replays cleanly. Both crash
+    points end with every row trained exactly once."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from omldm_spark.streaming.training_loop import make_batch_handler
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    frames = [_data_rows(range(b * 100, (b + 1) * 100), t0) for b in range(4)]
+
+    for crash_point, name in (("before", "b"), ("after", "a")):
+        src = str(tmp_path / f"restart_src_{name}")
+        ckpt = str(tmp_path / f"restart_ckpt_{name}")
+        cat_path = str(tmp_path / f"cat_{name}.jsonl")
+        _write_ordered(src, frames)
+
+        cat1 = PipelineCatalog(path=cat_path)
+        cat1.apply_request({"id": 1, "request": "Create",
+                            "learner": {"name": "PA"}})
+        cat1.save()
+        inner = make_batch_handler(spark, cat1, dim=3, num_partitions=4)
+        crashed = {"done": False}
+
+        def crashing(df, bid, _inner=inner, _crashed=crashed,
+                     _point=crash_point):
+            if bid == 2 and not _crashed["done"]:
+                _crashed["done"] = True
+                if _point == "after":
+                    _inner(df, bid)  # trained + committed, THEN crash
+                raise RuntimeError("injected crash")
+            _inner(df, bid)
+
+        stream = file_replay_source(spark, src, UNIFIED_SCHEMA,
+                                    max_files_per_trigger=1)
+        q = (
+            stream.filter(F.col("kind") == "data")
+            .writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(120)
+
+        # restart: fresh process state, catalog reloaded from disk
+        cat2 = PipelineCatalog(path=cat_path)
+        handle2 = make_batch_handler(spark, cat2, dim=3, num_partitions=4)
+        q2 = (
+            stream.filter(F.col("kind") == "data")
+            .writeStream.foreachBatch(handle2)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q2.awaitTermination(120)
+        assert not q2.isActive
+        # 400 rows, 360 training; every row exactly once despite the replay
+        assert cat2.pipelines[1].fitted == 360, crash_point
