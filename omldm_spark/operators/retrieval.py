@@ -1,0 +1,274 @@
+"""Full-text retrieval operators: inverted postings, tf-idf, BM25 top-k.
+
+Beyond-reference surface (same charter as operators/dedup.py / corpus.py):
+the classic corpus-retrieval ops a pretraining pipeline needs for quality
+filtering ("keep docs that look like the seed set") and decontamination
+("drop docs that match eval queries"). The reference engine has no text
+surface; this is Spark-first design for the 100 TB goal.
+
+Scale design:
+
+* postings / doc_stats   one explode + one hash-groupBy keyed (term, doc) —
+                         map-side combine collapses per-doc repeats before
+                         the shuffle; the inverted index IS the shuffle
+                         output, no driver state.
+* bm25_scores            postings ⨝ query-terms is a BROADCAST join (query
+                         sets are small by construction — eval suites, seed
+                         probes); df and doc-length joins are term- and
+                         doc-keyed shuffles that AQE sizes. Corpus-level
+                         scalars (N, avgdl) ride a broadcast one-row cross
+                         join, never a driver collect.
+* top-k                  per-query row_number window — partitions by
+                         query_id, so parallelism = |queries|; for huge
+                         query sets this is the right axis, and for tiny
+                         ones the upstream joins dominate anyway.
+
+Cross-engine exactness (the NOTES_r1/r2 recipe): every per-(query,doc,term)
+BM25 contribution is computed with a mirrored operation sequence in Spark
+and DuckDB, then quantized to an integer (round(contrib * 1e6)) BEFORE the
+per-document sum — integer sums are order-free, so the aggregated score is
+bit-identical on any engine and any partitioning. Ranking compares the
+integer score (ties broken by doc_id), never a float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import TOKENS_SQL, tokens_col
+
+# BM25 constants as exact decimal literals shared by both engines.
+K1 = "1.2"
+B = "0.75"
+SCALE = 1_000_000  # contribution quantizer: 6 decimal digits
+
+
+def postings(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Inverted index rows: (term, doc_id, tf). One explode + one groupBy;
+    map-side combine makes the shuffle carry one row per distinct
+    (term, doc) pair."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token length (dl) — a narrow projection, no shuffle."""
+    return docs.select(
+        F.col(id_col), F.size(tokens_col(text_col)).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones, Lucene idf form) of every document
+    against every query, restricted to docs sharing >= 1 term.
+
+    ``query_terms``: (query_id: long, term: string) — broadcast side.
+
+    Output: query_id, doc_id, n_hit_terms, score_q (exact integer,
+    sum of per-term contributions quantized at 1e-6), score (double,
+    score_q / 1e6 — derived once, after the exact sum).
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    contrib(t) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    """
+    post = postings(docs, text_col, id_col)
+    dls = doc_stats(docs, text_col, id_col)
+    # Corpus scalars ride a one-row broadcast cross join (no driver collect).
+    corpus = dls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    df_tbl = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    hits = (
+        post.join(F.broadcast(query_terms), "term")
+        .join(df_tbl, "term")
+        .join(dls, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    # Mirrored operation sequence — keep textually in sync with BM25_SQL.
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = (
+        F.col("tf").cast("double")
+        + F.lit(float(K1))
+        * (F.lit(1.0) - F.lit(float(B))
+           + F.lit(float(B)) * (F.col("dl").cast("double") / avgdl))
+    )
+    contrib = idf * (F.col("tf").cast("double") * F.lit(1.0 + float(K1))) / denom
+    contrib_q = F.round(contrib * F.lit(SCALE), 0).cast("long")
+
+    return (
+        hits.select("query_id", id_col, contrib_q.alias("cq"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.sum("cq").cast("long").alias("score_q"),
+        )
+        .withColumn("score", F.col("score_q").cast("double") / F.lit(float(SCALE)))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query by exact integer score; ties broken by doc_id —
+    a total order, so the ranked set is engine- and partitioning-stable."""
+    scored = bm25_scores(docs, query_terms, text_col, id_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_doc_vectors(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Smoothed tf-idf weights per (doc, term): the vectorizer behind
+    seed-set similarity filters. tfidf = tf * ln((1+N)/(1+df)) quantized at
+    1e-6 (exact integer column + derived double)."""
+    post = postings(docs, text_col, id_col)
+    corpus = doc_stats(docs, text_col, id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    df_tbl = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    out = post.join(df_tbl, "term").crossJoin(F.broadcast(corpus))
+    idf = F.log(
+        (F.lit(1.0) + F.col("n_docs").cast("double"))
+        / (F.lit(1.0) + F.col("df").cast("double"))
+    )
+    w_q = F.round(F.col("tf").cast("double") * idf * F.lit(SCALE), 0).cast("long")
+    return out.select(
+        F.col(id_col), "term", "tf", "df", w_q.alias("tfidf_q"),
+        (w_q.cast("double") / F.lit(float(SCALE))).alias("tfidf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — mirrored operation sequences
+# ---------------------------------------------------------------------------
+
+def _query_values_sql(queries: list[tuple[int, list[str]]]) -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries for t in terms
+    )
+    return f"(VALUES {rows}) AS q(query_id, term)"
+
+
+def BM25_SQL(
+    queries: list[tuple[int, list[str]]],
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+WITH toked AS (
+  SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table}
+),
+dls AS (
+  SELECT {id_col}, CAST(len(toks) AS BIGINT) AS dl FROM toked WHERE len(toks) > 0
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dls
+),
+post AS (
+  SELECT term, {id_col}, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest(toks) AS term FROM toked)
+  GROUP BY term, {id_col}
+),
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+),
+hits AS (
+  SELECT q.query_id, p.{id_col},
+         CAST(round(
+           ln(1.0 + (CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(p.tf AS DOUBLE) * (1.0 + {K1}))
+           / (CAST(p.tf AS DOUBLE)
+              + {K1} * (1.0 - {B}
+                        + {B} * (CAST(l.dl AS DOUBLE)
+                                 / (CAST(c.sum_dl AS DOUBLE)
+                                    / CAST(c.n_docs AS DOUBLE)))))
+           * {SCALE}, 0) AS BIGINT) AS cq
+  FROM post p
+  JOIN {_query_values_sql(queries)} ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN dls l ON p.{id_col} = l.{id_col}
+  CROSS JOIN corpus c
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, {id_col},
+       CAST(count(*) AS BIGINT) AS n_hit_terms,
+       CAST(sum(cq) AS BIGINT) AS score_q,
+       CAST(sum(cq) AS BIGINT) / 1000000.0 AS score
+FROM hits
+GROUP BY query_id, {id_col}
+"""
+
+
+def BM25_TOPK_SQL(
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_q DESC, {id_col} ASC)
+            AS BIGINT) AS rank
+  FROM ({BM25_SQL(queries, table, text_expr, id_col)})
+) WHERE rank <= {k}
+"""
+
+
+def TFIDF_SQL(table: str = "documents", text_expr: str = "text",
+              id_col: str = "doc_id") -> str:
+    return f"""
+WITH toked AS (
+  SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table}
+),
+dls AS (
+  SELECT {id_col}, CAST(len(toks) AS BIGINT) AS dl FROM toked WHERE len(toks) > 0
+),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dls),
+post AS (
+  SELECT term, {id_col}, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest(toks) AS term FROM toked)
+  GROUP BY term, {id_col}
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term)
+SELECT p.{id_col}, p.term, p.tf, d.df,
+       CAST(round(CAST(p.tf AS DOUBLE)
+                  * ln((1.0 + CAST(c.n_docs AS DOUBLE))
+                       / (1.0 + CAST(d.df AS DOUBLE))) * {SCALE}, 0) AS BIGINT)
+         AS tfidf_q,
+       CAST(round(CAST(p.tf AS DOUBLE)
+                  * ln((1.0 + CAST(c.n_docs AS DOUBLE))
+                       / (1.0 + CAST(d.df AS DOUBLE))) * {SCALE}, 0) AS BIGINT)
+         / 1000000.0 AS tfidf
+FROM post p JOIN dfs d ON p.term = d.term CROSS JOIN corpus c
+"""

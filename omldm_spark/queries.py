@@ -2179,3 +2179,47 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed-density position-robust fingerprints for plagiarism-style
     near-dup detection."""
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"), k=8, w=4)
+
+
+# ---------------------------------------------------------------------------
+# Full-text retrieval: BM25 ranking + tf-idf vectors (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+from .operators.retrieval import (  # noqa: E402
+    BM25_TOPK_SQL,
+    TFIDF_SQL,
+    bm25_topk,
+    tfidf_doc_vectors,
+)
+
+# Fixed eval-style query set over the synthetic vocabulary. Literal in both
+# engines: Spark builds a broadcast DataFrame, the oracle a VALUES list.
+_BM25_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["fast", "scan", "filter"]),
+    (3, ["stream", "window", "watermark"]),
+]
+
+
+def _bm25_query_df(spark: SparkSession) -> DataFrame:
+    rows = [(qid, t) for qid, terms in _BM25_QUERIES for t in terms]
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
+@query("bm25_topk", oracle=BM25_TOPK_SQL(_BM25_QUERIES, k=10))
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs per query: inverted postings ⨝ broadcast query
+    terms; per-term contributions quantized to integers BEFORE the per-doc
+    sum, so the aggregated score and the (score_q desc, doc_id) ranking are
+    bit-identical on any engine/partitioning — an exact oracle for a
+    ranking operator."""
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), _bm25_query_df(spark), k=10
+    )
+
+
+@query("tfidf_doc_vectors", oracle=TFIDF_SQL())
+def q_tfidf_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed tf-idf weight per (doc, term) — the vectorizer behind
+    seed-set similarity filters; exact integer-quantized weights."""
+    return tfidf_doc_vectors(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from omldm_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    doc_stats,
+    postings,
+    tfidf_doc_vectors,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def _queries(spark, terms, qid=1):
+    return spark.createDataFrame(
+        [(qid, t) for t in terms], "query_id long, term string"
+    )
+
+
+def test_postings_term_frequencies(spark):
+    docs = _docs(spark, ["a b a", "b c"])
+    got = {(r["term"], r["doc_id"]): r["tf"] for r in postings(docs).collect()}
+    assert got == {("a", 0): 2, ("b", 0): 1, ("b", 1): 1, ("c", 1): 1}
+
+
+def test_doc_stats_drops_empty_docs(spark):
+    docs = _docs(spark, ["a b", "   ", "c"])
+    got = {r["doc_id"]: r["dl"] for r in doc_stats(docs).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_bm25_matches_hand_computation(spark):
+    # 3 docs, query = {a}: df(a)=2, N=3, dl=[2,2,2], avgdl=2.
+    docs = _docs(spark, ["a b", "a a", "c d"])
+    rows = bm25_scores(docs, _queries(spark, ["a"])).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert set(by_doc) == {0, 1}
+    idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+
+    def contrib(tf):
+        return idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * 1.0))
+
+    assert by_doc[0]["score_q"] == round(contrib(1.0) * 1e6)
+    assert by_doc[1]["score_q"] == round(contrib(2.0) * 1e6)
+    assert by_doc[1]["score_q"] > by_doc[0]["score_q"]
+
+
+def test_bm25_multi_term_sums_and_counts_hits(spark):
+    docs = _docs(spark, ["a b c", "a x y", "x y z"])
+    rows = bm25_scores(docs, _queries(spark, ["a", "b"])).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[0]["n_hit_terms"] == 2
+    assert by_doc[1]["n_hit_terms"] == 1
+    assert 2 not in by_doc
+    # rarer term b (df=1) outweighs a (df=2) at equal tf
+    assert by_doc[0]["score_q"] > 2 * by_doc[1]["score_q"]
+
+
+def test_bm25_topk_rank_is_dense_and_bounded(spark):
+    docs = _docs(spark, ["a"] * 5 + ["b c"])
+    top = bm25_topk(docs, _queries(spark, ["a"]), k=3).collect()
+    assert len(top) == 3
+    assert sorted(r["rank"] for r in top) == [1, 2, 3]
+    # equal scores tie-break by doc_id ascending
+    assert [r["doc_id"] for r in sorted(top, key=lambda r: r["rank"])] == [0, 1, 2]
+
+
+def test_tfidf_rare_term_weighs_more(spark):
+    docs = _docs(spark, ["common rare", "common x", "common y"])
+    got = {
+        (r["doc_id"], r["term"]): r
+        for r in tfidf_doc_vectors(docs).collect()
+    }
+    assert got[(0, "rare")]["df"] == 1
+    assert got[(0, "common")]["df"] == 3
+    assert got[(0, "rare")]["tfidf_q"] > got[(0, "common")]["tfidf_q"]
+    # smoothed idf of an everywhere-term is ln(4/4)=0
+    assert got[(0, "common")]["tfidf_q"] == 0
+
+
+def test_bm25_score_is_partitioning_invariant(spark):
+    docs = _docs(spark, ["a b c d", "a a b", "c d e", "a e f g"])
+    q = _queries(spark, ["a", "c"])
+    one = {
+        (r["query_id"], r["doc_id"]): r["score_q"]
+        for r in bm25_scores(docs.coalesce(1), q).collect()
+    }
+    many = {
+        (r["query_id"], r["doc_id"]): r["score_q"]
+        for r in bm25_scores(docs.repartition(7), q).collect()
+    }
+    assert one == many

@@ -99,6 +99,19 @@ CHECKS = {
     "bulk_parse_training_points": [
         ("Arrow batch path present", lambda p: "MapInArrow" in p),
     ],
+    "bm25_topk": [
+        # query-terms side must ride a broadcast; the postings/df/dl joins
+        # may shuffle (term-/doc-keyed) but never degenerate to all-pairs
+        ("query terms broadcast", lambda p: "BroadcastHashJoin" in p),
+        (
+            # the ONLY nested-loop join allowed is the one-row corpus-scalar
+            # (N, avgdl) broadcast cross join
+            "no all-pairs join beyond the scalar cross join",
+            lambda p: "CartesianProduct" not in p
+            and len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1,
+        ),
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ],
     "tpch_q1_like": [
         # codegen annotations only appear once AQE finalizes at execution;
         # the auditable static property is map-side partial aggregation
