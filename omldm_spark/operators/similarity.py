@@ -104,12 +104,25 @@ def anchor_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_id: int = 10,
+    flip_bits: int = 0,
 ) -> DataFrame:
     """Bucketed ANN: sign-of-dot-product signature against the first
     ``n_anchors`` vectors; exact cosine re-rank within matching buckets.
 
+    ``flip_bits=1`` enables multi-probe (Lv et al., VLDB 2007): each query
+    additionally probes every bucket at Hamming distance 1 from its own
+    signature (n_anchors extra probes), recovering the neighbors that a
+    single near-boundary hyperplane sign flip would otherwise lose. The
+    probe expansion is QUERY-side only — the data table is still scanned
+    once and joined on the bucket key, so the candidate set grows by
+    ~(1 + n_anchors) x bucket size while the shuffle stays keyed and
+    balanced. Recall < 1 by design; raise flip_bits or n_anchors tables
+    when recall matters.
+
     Returns the same schema as cosine_topk (rank may have < k rows per
     query when a bucket is small — that's the recall trade)."""
+    if flip_bits not in (0, 1):
+        raise ValueError("flip_bits must be 0 (single probe) or 1 (multi-probe)")
     emb = embeddings.select(
         F.col(id_col).cast("long").alias(id_col),
         to_double_array(vec_col).alias(vec_col),
@@ -129,6 +142,17 @@ def anchor_lsh_topk(
         F.col(vec_col).alias("qvec"),
         F.col("bucket").alias("qbucket"),
     )
+    if flip_bits == 1:
+        probe_set = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_anchors)
+            ],
+        )
+        q = q.select(
+            "query_id", "qvec", F.explode(probe_set).alias("qbucket")
+        )
     joined = bucketed.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),

@@ -926,6 +926,19 @@ def q_ann_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_multiprobe_lsh")  # rows-only: multi-probe LSH (recall<1 by design)
+def q_ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe anchor-LSH (Lv et al., VLDB 2007): each query probes its
+    own bucket plus every Hamming-distance-1 bucket — query-side explode
+    only, the data side still joins once on the bucket key. Recall pinned
+    >= single-probe and measured vs brute force/IVF in
+    tests/test_operators.py::test_ann_recall_table."""
+    return anchor_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_anchors=4, k=5, max_query_id=10, flip_bits=1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Online learners (rows-only: sequential SGD is not SQL-expressible; the
 # driver records row-count/schema checks, unit tests pin the math against a

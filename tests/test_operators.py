@@ -148,6 +148,49 @@ def test_ivf_topk_recall_against_brute_force(spark):
     assert (approx["cos_sim"] <= 1.0).all() and (approx["rank"] <= 5).all()
 
 
+def test_ann_recall_table(spark):
+    """One recall table across the ANN family (NOTES_r2 item 3): multi-probe
+    LSH must dominate single-probe (its candidate set is a superset), and
+    the ranked results must agree with brute force on every candidate both
+    return (no false positives anywhere — all methods re-rank exactly)."""
+    from omldm_spark.operators.similarity import (
+        anchor_lsh_topk,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k, nq = 5, 10
+    exact = cosine_topk(emb, k=k, max_query_id=nq).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    def recall(df):
+        sets = df.groupby("query_id")["neighbor_id"].apply(set)
+        return sum(
+            len(exact_sets[q] & sets.get(q, set())) / k for q in exact_sets.index
+        ) / len(exact_sets)
+
+    single = anchor_lsh_topk(emb, n_anchors=4, k=k, max_query_id=nq).toPandas()
+    multi = anchor_lsh_topk(
+        emb, n_anchors=4, k=k, max_query_id=nq, flip_bits=1
+    ).toPandas()
+    ivf = ivf_topk(spark, emb, n_centroids=8, n_probe=3, k=k,
+                   max_query_id=nq).toPandas()
+    r1, rm, ri = recall(single), recall(multi), recall(ivf)
+    # the multi-probe candidate set strictly contains the single-probe one,
+    # and the 1-bit probes buy a REAL lift (measured 0.18 -> 0.48 here)
+    assert rm >= r1 + 0.15
+    assert rm > 0.4
+    assert ri > 0.5
+    # every (query, neighbor) any method returns scores identically to brute
+    # force (within the shared round-6): join on the exact result
+    ex = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact.itertuples()}
+    for df in (single, multi, ivf):
+        for r in df.itertuples():
+            if (r.query_id, r.neighbor_id) in ex:
+                assert abs(ex[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
 def test_winnowing_detects_shifted_duplicate(spark):
     """Winnowing's point: fingerprints survive content SHIFTS (prefix
     insertion), unlike whole-document hashing."""
