@@ -161,3 +161,190 @@ SELECT lang, source,
 FROM (SELECT lang, source, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {table})
 GROUP BY lang, source
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filters (Gopher-style; Rae et al. 2021 §A.1.1)
+# ---------------------------------------------------------------------------
+#
+# Fraction-of-repetition signals over word n-grams: most-common-word
+# fraction, top-2-gram fraction, duplicated 2/3-gram fractions. Documents
+# here are single-line, so the published line-level variants collapse to
+# the n-gram family; the same explode->count pipeline generalizes to lines
+# by swapping the tokenizer.
+#
+# Scale shape: ONE union of three explodes (1/2/3-grams tagged by `kind`)
+# -> ONE groupBy (doc, kind, gram) with map-side combine -> two small
+# keyed aggregations per doc. Everything keyed by doc_id: partitions
+# cleanly at any scale, no UDFs, no driver round-trips.
+#
+# Exactness: counts are ints; every fraction is one double division of two
+# exact ints, mirrored operation-for-operation in the SQL builder. The
+# deterministic top gram is row_number ordered by (count DESC, gram ASC).
+
+REPETITION_THRESHOLDS = {
+    "top_word_frac": 0.30,
+    "top_2gram_frac": 0.20,
+    "dup_3gram_frac": 0.30,
+}
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc n-gram repetition metrics + a Gopher-style keep flag."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("words")
+    ).withColumn("n_words", F.size("words").cast("long")).filter(
+        F.col("n_words") > 0
+    )
+
+    def gram_rows(k: int):
+        if k == 1:
+            gram = F.explode("words")
+        else:
+            idx = F.sequence(F.lit(1), (F.col("n_words") - (k - 1)).cast("int"))
+            terms = lambda i: F.concat_ws(  # noqa: E731
+                " ", *[F.element_at("words", i + j) for j in range(k)]
+            )
+            gram = F.explode(
+                F.when(F.col("n_words") >= k, F.transform(idx, terms))
+                .otherwise(F.array().cast("array<string>"))
+            )
+        return base.select(F.col(id_col), F.lit(k).alias("kind"),
+                           gram.alias("gram"))
+
+    grams = gram_rows(1).unionByName(gram_rows(2)).unionByName(gram_rows(3))
+    counts = grams.groupBy(id_col, "kind", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy(id_col, "kind").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.max("c").cast("long").alias("mx"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long").alias("dup"),
+    )
+    w = Window.partitionBy(id_col, "kind").orderBy(F.col("c").desc(), "gram")
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "kind", F.col("gram").alias("top_gram"))
+    )
+    per = totals.join(top, [id_col, "kind"])
+
+    def pick(kind: int, col: str):
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    piv = per.groupBy(id_col).agg(
+        pick(1, "n").alias("n_words"),
+        pick(1, "top_gram").alias("top_word"),
+        pick(1, "mx").alias("mx1"),
+        pick(2, "top_gram").alias("top_2gram"),
+        pick(2, "mx").alias("mx2"),
+        pick(2, "n").alias("n2"),
+        pick(2, "dup").alias("dup2"),
+        pick(3, "n").alias("n3"),
+        pick(3, "dup").alias("dup3"),
+    )
+
+    def frac(num, den):
+        return F.when(
+            F.col(den).isNotNull(),
+            F.col(num).cast("double") / F.col(den).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    t = REPETITION_THRESHOLDS
+    out = piv.select(
+        id_col,
+        "n_words",
+        "top_word",
+        frac("mx1", "n_words").alias("top_word_frac"),
+        "top_2gram",
+        frac("mx2", "n2").alias("top_2gram_frac"),
+        frac("dup2", "n2").alias("dup_2gram_frac"),
+        frac("dup3", "n3").alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_word_frac") < t["top_word_frac"])
+        & (F.col("top_2gram_frac") < t["top_2gram_frac"])
+        & (F.col("dup_3gram_frac") < t["dup_3gram_frac"]),
+    )
+
+
+def repetition_metrics_sql(table: str = "documents", text_expr: str = "text",
+                           id_col: str = "doc_id") -> str:
+    toks = ("list_filter(regexp_split_to_array(lower(" + text_expr
+            + "), '\\s+'), t -> t != '')")
+    t = REPETITION_THRESHOLDS
+    return f"""
+WITH base AS (
+  SELECT {id_col}, words, CAST(len(words) AS BIGINT) AS n_words
+  FROM (SELECT {id_col}, {toks} AS words FROM {table})
+  WHERE len(words) > 0
+),
+g AS (
+  SELECT {id_col}, 1 AS kind, unnest(words) AS gram FROM base
+  UNION ALL
+  SELECT {id_col}, 2, unnest(list_transform(range(1, CAST(n_words AS INTEGER)),
+         i -> words[i] || ' ' || words[i+1])) FROM base
+  UNION ALL
+  SELECT {id_col}, 3, unnest(list_transform(range(1, CAST(n_words AS INTEGER) - 1),
+         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) FROM base
+),
+c AS (
+  SELECT {id_col}, kind, gram, CAST(count(*) AS BIGINT) AS c
+  FROM g GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT {id_col}, kind,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(max(c) AS BIGINT) AS mx,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM c GROUP BY 1, 2
+),
+r AS (
+  SELECT {id_col}, kind, gram,
+         row_number() OVER (PARTITION BY {id_col}, kind
+                            ORDER BY c DESC, gram) AS rn
+  FROM c
+),
+top AS (SELECT {id_col}, kind, gram AS top_gram FROM r WHERE rn = 1),
+per AS (SELECT * FROM t JOIN top USING ({id_col}, kind)),
+piv AS (
+  SELECT {id_col},
+         max(CASE WHEN kind = 1 THEN n END) AS n_words,
+         max(CASE WHEN kind = 1 THEN top_gram END) AS top_word,
+         max(CASE WHEN kind = 1 THEN mx END) AS mx1,
+         max(CASE WHEN kind = 2 THEN top_gram END) AS top_2gram,
+         max(CASE WHEN kind = 2 THEN mx END) AS mx2,
+         max(CASE WHEN kind = 2 THEN n END) AS n2,
+         max(CASE WHEN kind = 2 THEN dup END) AS dup2,
+         max(CASE WHEN kind = 3 THEN n END) AS n3,
+         max(CASE WHEN kind = 3 THEN dup END) AS dup3
+  FROM per GROUP BY {id_col}
+),
+m AS (
+  SELECT {id_col}, n_words, top_word,
+         CASE WHEN n_words IS NOT NULL
+              THEN CAST(mx1 AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS top_word_frac,
+         top_2gram,
+         CASE WHEN n2 IS NOT NULL
+              THEN CAST(mx2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+              ELSE 0.0 END AS top_2gram_frac,
+         CASE WHEN n2 IS NOT NULL
+              THEN CAST(dup2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN n3 IS NOT NULL
+              THEN CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+              ELSE 0.0 END AS dup_3gram_frac
+  FROM piv
+)
+SELECT *,
+       (top_word_frac < {t["top_word_frac"]}
+        AND top_2gram_frac < {t["top_2gram_frac"]}
+        AND dup_3gram_frac < {t["dup_3gram_frac"]}) AS keep
+FROM m
+"""

@@ -820,6 +820,8 @@ from .functions.text import (  # noqa: E402
     fingerprint_sql,
     lang_scores,
     lang_scores_sql,
+    repetition_metrics,
+    repetition_metrics_sql,
     text_metrics,
     text_metrics_sql,
     token_counts,
@@ -900,6 +902,14 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_quality", oracle=text_metrics_sql())
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@query("repetition_filter", oracle=repetition_metrics_sql())
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (functions/text.py): top-word
+    / top-2-gram / duplicated-n-gram fractions with a keep flag. One
+    union-of-explodes + doc-keyed aggregations — scales linearly."""
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
 
 
 @query("lang_id", oracle=lang_scores_sql())
@@ -1331,6 +1341,119 @@ def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", "value")
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
+    )
+
+
+from .operators.temporal import asof_join, bucketed_range_join  # noqa: E402
+
+
+@query(
+    "asof_click_purchase",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events
+),
+clicks AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts_s, max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS purchase_value,
+         ts_s AS purchase_ts_s
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_s
+)
+SELECT c.event_id, c.user_id, c.ts_s,
+       p.purchase_id, p.purchase_value, p.purchase_ts_s
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
+""",
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference temporal join: point-in-time lookup — each click
+    gains the latest at-or-before purchase of the same user (the feature-
+    store as-of join). Oracle is DuckDB's native ASOF LEFT JOIN; the Spark
+    plan is the union+window merge (operators/temporal.py) with a single
+    shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_s"), "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_s"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_s",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts_s").alias("purchase_ts_s"),
+    )
+    return asof_join(
+        clicks, purch,
+        on=["user_id"], ts_col="ts_s",
+        payload_cols=["purchase_id", "purchase_value", "purchase_ts_s"],
+        tie_col="purchase_id",
+    ).select(
+        "event_id", "user_id", "ts_s",
+        "purchase_id", "purchase_value", "purchase_ts_s",
+    )
+
+
+@query(
+    "range_join_click_window",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, ts_s FROM ev
+  WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts_s,
+         CAST(round(value * 1000000, 0) AS HUGEINT) AS qv
+  FROM ev WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, p.ts_s AS purchase_ts_s,
+       CAST(count(c.click_id) AS BIGINT) AS n_clicks,
+       CAST(coalesce(sum(c.qv), 0) AS DOUBLE) / 1000000.0 AS click_value_sum
+FROM purch p LEFT JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.ts_s >= p.ts_s - 600 AND c.ts_s < p.ts_s
+GROUP BY p.purchase_id, p.user_id, p.ts_s
+""",
+)
+def q_range_join_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference temporal join: bounded range join — for each
+    purchase, count/sum the same user's clicks in the preceding 600 s.
+    The oracle is the plain theta-join; the Spark plan is the bucketed
+    equi-join (operators/temporal.py) that stays a hash join at 100 TB.
+    Sum exactness: quantized-integer envelope (POINTS_SQL note)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_s"), "value",
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts_s").alias("purchase_ts_s"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_s",
+        F.round(F.col("value") * 1000000, 0).cast("decimal(38,0)").alias("qv"),
+    )
+    return bucketed_range_join(
+        purch, clicks,
+        on=["user_id"], probe_ts="purchase_ts_s", build_ts="ts_s", window=600,
+        aggs=[
+            F.count(F.col("b.click_id")).cast("long").alias("n_clicks"),
+            (
+                F.coalesce(F.sum(F.col("b.qv")), F.lit(0)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("click_value_sum"),
+        ],
+    ).select(
+        "purchase_id", "user_id", "purchase_ts_s", "n_clicks", "click_value_sum"
     )
 
 

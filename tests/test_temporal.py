@@ -1,0 +1,131 @@
+"""As-of join and bucketed range join semantics (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omldm_spark.operators.temporal import asof_join, bucketed_range_join
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_asof_basic_and_left_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 1, 50), (4, 2, 100)],
+        "event_id long, user_id long, ts_s long",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, 100, 1.0), (11, 1, 200, 2.0), (12, 3, 90, 9.0)],
+        "purchase_id long, user_id long, ts_s long, purchase_value double",
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts_s",
+        payload_cols=["purchase_id", "purchase_value"], tie_col="purchase_id",
+    )
+    got = _rows(out, "event_id", "purchase_id", "purchase_value")
+    assert got == [
+        (1, 10, 1.0),   # exact-ts match counts (at-or-before)
+        (2, 11, 2.0),   # latest preceding, not first
+        (3, None, None),  # before any purchase -> kept with NULLs
+        (4, None, None),  # user with no purchases -> kept
+    ]
+
+
+def test_asof_tie_on_right_ts_is_deterministic(spark):
+    left = spark.createDataFrame([(1, 1, 100)], "event_id long, user_id long, ts_s long")
+    right = spark.createDataFrame(
+        [(10, 1, 100, 1.0), (11, 1, 100, 2.0)],
+        "purchase_id long, user_id long, ts_s long, purchase_value double",
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts_s",
+        payload_cols=["purchase_id", "purchase_value"], tie_col="purchase_id",
+    )
+    # max_by(payload, tie) -> the purchase with the larger id wins, always
+    assert _rows(out, "purchase_id", "purchase_value") == [(11, 2.0)]
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    rng_l = [(i, i % 3, 17 * i % 101) for i in range(60)]
+    rng_r = [(1000 + i, i % 3, 23 * i % 97, float(i)) for i in range(40)]
+    left = spark.createDataFrame(rng_l, "event_id long, user_id long, ts_s long")
+    right = spark.createDataFrame(
+        rng_r, "purchase_id long, user_id long, ts_s long, purchase_value double"
+    )
+    out = asof_join(
+        left, right, on=["user_id"], ts_col="ts_s",
+        payload_cols=["purchase_id", "purchase_value"], tie_col="purchase_id",
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+
+    lp = pd.DataFrame(rng_l, columns=["event_id", "user_id", "ts_s"]).sort_values("ts_s")
+    rp = (
+        pd.DataFrame(rng_r, columns=["purchase_id", "user_id", "ts_s", "purchase_value"])
+        .sort_values(["ts_s", "purchase_id"])
+        # mirror the deterministic dedupe: keep max purchase_id per (key, ts)
+        .groupby(["user_id", "ts_s"], as_index=False).last()
+        .sort_values("ts_s")
+    )
+    exp = pd.merge_asof(
+        lp, rp, on="ts_s", by="user_id", direction="backward"
+    ).sort_values("event_id").reset_index(drop=True)
+    assert list(out["purchase_id"].fillna(-1)) == list(exp["purchase_id"].fillna(-1))
+    assert list(out["purchase_value"].fillna(-1)) == list(exp["purchase_value"].fillna(-1))
+
+
+def test_range_join_window_bounds_and_zero_rows(spark):
+    purch = spark.createDataFrame(
+        [(1, 1, 1000), (2, 1, 100), (3, 2, 1000)],
+        "purchase_id long, user_id long, purchase_ts_s long",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (10, 1, 400, 1),   # exactly ts-600 -> included (>= lower bound)
+            (11, 1, 999, 2),   # in window
+            (12, 1, 1000, 4),  # exactly probe ts -> EXCLUDED (half-open)
+            (13, 1, 399, 8),   # below window
+            (14, 2, 500, 16),  # other user, in their window? p3 window [400,1000) yes
+        ],
+        "click_id long, user_id long, ts_s long, qv long",
+    )
+    out = bucketed_range_join(
+        purch, clicks, on=["user_id"],
+        probe_ts="purchase_ts_s", build_ts="ts_s", window=600,
+        aggs=[
+            F.count(F.col("b.click_id")).cast("long").alias("n_clicks"),
+            F.coalesce(F.sum(F.col("b.qv")), F.lit(0)).cast("long").alias("qv_sum"),
+        ],
+    )
+    got = _rows(out, "purchase_id", "n_clicks", "qv_sum")
+    assert got == [
+        (1, 2, 3),   # clicks 10 (boundary) + 11; 12 and 13 excluded
+        (2, 0, 0),   # nothing in [-500, 100) -> kept with zero counts
+        (3, 1, 16),
+    ]
+
+
+def test_range_join_no_duplicate_matches_across_buckets(spark):
+    # window == bucket width: every (probe, build) pair must match exactly
+    # once even when the probe's window straddles the bucket boundary
+    purch = spark.createDataFrame(
+        [(i, 1, 600 + i) for i in range(50)],
+        "purchase_id long, user_id long, purchase_ts_s long",
+    )
+    clicks = spark.createDataFrame(
+        [(100 + j, 1, 300 + 7 * j, 1) for j in range(100)],
+        "click_id long, user_id long, ts_s long, qv long",
+    )
+    out = bucketed_range_join(
+        purch, clicks, on=["user_id"],
+        probe_ts="purchase_ts_s", build_ts="ts_s", window=600,
+        aggs=[F.count(F.col("b.click_id")).cast("long").alias("n_clicks")],
+    ).toPandas().set_index("purchase_id")
+    import pandas as pd  # noqa: F401
+
+    for i in range(50):
+        p_ts = 600 + i
+        exp = sum(1 for j in range(100) if p_ts - 600 <= 300 + 7 * j < p_ts)
+        assert out.loc[i, "n_clicks"] == exp
