@@ -135,6 +135,47 @@ class HT(Learner):
         child = (nl / n) * _entropy(l0, l1) + (nr / n) * _entropy(r0, r1)
         return parent - child, thr
 
+    def _histogram_split_gain(self, leaf: dict, j: int, width: float):
+        """(info gain, threshold) for the BEST binary split of numeric
+        feature j from integer bin counts (the exhaustive-binary /
+        histogram numeric observer of Gama et al.'s VFDT treatments —
+        MOA's alternative to the Gaussian observer). Pure count
+        arithmetic + log2: exactly SQL-reproducible, no erf.
+
+        Bins are floor(x / width); the threshold for "left" is the bin
+        value itself, so routing ``x <= thr`` is exact when feature
+        values are quantized to multiples of ``width`` (always true for
+        integer features with width=1 — document the resolution for
+        continuous features).
+        """
+        stats = leaf.get("hstats", {}).get(str(j))
+        if not stats or len(stats) < 2:
+            return 0.0, 0.0
+        n0, n1 = leaf["counts"]
+        n = n0 + n1
+        if n <= 0:
+            return 0.0, 0.0
+        parent = _entropy(n0, n1)
+        bins = sorted(stats, key=float)
+        l0 = l1 = 0.0
+        best_gain, best_thr = -1.0, 0.0
+        # every bin boundary except the last is a candidate threshold;
+        # ascending iteration + strict > keeps the SMALLEST threshold on
+        # gain ties (mirrors ORDER BY gain DESC, v ASC in the oracle SQL)
+        for b in bins[:-1]:
+            c0, c1 = stats[b]
+            l0 += c0
+            l1 += c1
+            nl = l0 + l1
+            nr = n - nl
+            child = (nl / n) * _entropy(l0, l1) + (nr / n) * _entropy(
+                n0 - l0, n1 - l1
+            )
+            gain = parent - child
+            if gain > best_gain:
+                best_gain, best_thr = gain, float(b) * width
+        return max(best_gain, 0.0), best_thr
+
     def _discrete_split_gain(self, leaf: dict, j: int) -> float:
         """Info gain of the MULTIWAY split on nominal feature j — pure
         count arithmetic (exactly SQL-reproducible, no erf)."""
@@ -159,12 +200,17 @@ class HT(Learner):
         Hoeffding epsilon — exposed so the split DECISION is a queryable,
         oracle-checkable value (pre-pruning surface)."""
         discrete = set(_parse_discrete(hyper))
+        histogram = str(hyper.get("numeric_observer", "gaussian")) == "histogram"
+        width = float(hyper.get("hist_bin_width", 1.0))
         cands = []
         for j in range(dim):
             if j in discrete:
                 cands.append((self._discrete_split_gain(leaf, j), None, j, "multi"))
             else:
-                g, thr = self._gaussian_split_gain(leaf, j)
+                if histogram:
+                    g, thr = self._histogram_split_gain(leaf, j, width)
+                else:
+                    g, thr = self._gaussian_split_gain(leaf, j)
                 cands.append((g, thr, j, "binary"))
         cands.sort(key=lambda t: (t[0], -t[2]), reverse=True)
         n = leaf["counts"][0] + leaf["counts"][1]
@@ -216,6 +262,8 @@ class HT(Learner):
     def partial_fit(self, X, y, state, hyper):
         grace = int(hyper.get("grace_period", 200))
         discrete = set(_parse_discrete(hyper))
+        histogram = str(hyper.get("numeric_observer", "gaussian")) == "histogram"
+        width = float(hyper.get("hist_bin_width", 1.0))
         tree = state["tree"]
         dim = state["dim"]
         cum = float(state["cum_loss"])
@@ -234,6 +282,11 @@ class HT(Learner):
                     v = str(int(x[j]))
                     dstats = leaf["dstats"].setdefault(str(j), {})
                     cc = dstats.setdefault(v, [0.0, 0.0])
+                    cc[cls] += 1.0
+                elif histogram:
+                    b = str(int(math.floor(float(x[j]) / width)))
+                    hstats = leaf.setdefault("hstats", {}).setdefault(str(j), {})
+                    cc = hstats.setdefault(b, [0.0, 0.0])
                     cc[cls] += 1.0
                 else:
                     st = leaf["fstats"][j][cls]

@@ -19,6 +19,70 @@ import numpy as np
 from .base import Learner, register
 
 
+def kmeans_parallel_init(
+    X: np.ndarray, k: int, seed: int = 0, rounds: int = 3, l: int | None = None
+) -> np.ndarray:
+    """K-means|| seeding (Bahmani et al., "Scalable K-Means++", VLDB 2012),
+    fully deterministic via a seeded generator: ``rounds`` oversampling
+    passes picking each point with probability min(1, l*d²/φ), then the
+    candidates are weighted by attributed-cluster size and reduced to k
+    with weighted k-means++ plus a few weighted Lloyd steps.
+
+    Runs driver-side over a bounded sample (the IVF quantizer caps it at
+    1024 rows regardless of SF) — the distributed analogue would compute
+    d² per partition and only ship the O(l·rounds) candidates.
+    """
+    n = X.shape[0]
+    k = min(k, n)
+    if l is None:
+        l = 2 * k
+    rng = np.random.default_rng(seed)
+    C = X[:1].copy()
+    for _ in range(rounds):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        phi = float(d2.sum())
+        if phi <= 0:
+            break
+        p = np.minimum(1.0, l * d2 / phi)
+        picks = rng.random(n) < p
+        if picks.any():
+            C = np.vstack([C, X[picks]])
+    # weight candidates by the mass they attract
+    a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    w = np.bincount(a, minlength=C.shape[0]).astype(float)
+    # weighted k-means++ down to k
+    centers = [C[int(np.argmax(w))]]
+    for _ in range(k - 1):
+        d2 = ((C[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(
+            axis=2
+        ).min(axis=1)
+        score = w * d2
+        tot = float(score.sum())
+        if tot <= 0:
+            # all mass covered: pad with the heaviest unused candidates
+            used = {tuple(c) for c in centers}
+            for cand in C[np.argsort(-w)]:
+                if tuple(cand) not in used:
+                    centers.append(cand)
+                    used.add(tuple(cand))
+                    if len(centers) == k:
+                        break
+            break
+        centers.append(C[int(rng.choice(len(C), p=score / tot))])
+    centers = np.asarray(centers, dtype=float)
+    if centers.shape[0] < k:  # degenerate duplicates: pad from X
+        extra = X[: k - centers.shape[0]]
+        centers = np.vstack([centers, extra])
+    # weighted Lloyd refinement over the candidate set
+    for _ in range(5):
+        a = ((C[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if w[m].sum() > 0:
+                centers[j] = (w[m, None] * C[m]).sum(axis=0) / w[m].sum()
+    return centers
+
+
 @register
 class KMeans(Learner):
     name = "K-means"
@@ -54,12 +118,20 @@ class KMeans(Learner):
         k = cents.shape[0]
         start = 0
         if not init:
-            take = min(k, X.shape[0])
-            cents[:take] = X[:take]
-            counts[:take] = 1.0
-            d_counts[:take] += 1.0
-            start = take
-            init = take >= k
+            ic = hyper.get("init_centroids")
+            if ic is not None:
+                # externally seeded (e.g. kmeans_parallel_init): all k
+                # centroids land at once with unit prior mass
+                cents = np.asarray(ic, dtype=float).copy()
+                counts = np.ones(k)
+                init = True
+            else:
+                take = min(k, X.shape[0])
+                cents[:take] = X[:take]
+                counts[:take] = 1.0
+                d_counts[:take] += 1.0
+                start = take
+                init = take >= k
         for i in range(start, X.shape[0]):
             x = X[i]
             d2 = np.sum((cents - x) ** 2, axis=1)

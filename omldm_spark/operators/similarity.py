@@ -180,19 +180,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_id: int = 10,
+    init: str = "kmeans||",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize vectors to K-means centroids,
     search only the ``n_probe`` nearest cells per query.
 
     The scale path for 100 TB: the cell assignment is one broadcast-centroid
     scan (no shuffle); the candidate join touches ~n_probe/n_centroids of the
-    data. Uses the engine's own K-means learner as the coarse quantizer —
-    deterministic (seeded by first-k init on the id-ordered sample).
-    Recall < 1 by design; raise n_probe for recall, n_centroids for speed.
+    data. Uses the engine's own K-means learner as the coarse quantizer,
+    seeded deterministically: ``init="kmeans||"`` (default) runs the
+    Bahmani K-means|| oversampling seed over the bounded sample for
+    better-balanced cells; ``init="first-k"`` is the legacy first-k-points
+    seed. Recall < 1 by design; raise n_probe for recall, n_centroids for
+    speed.
     """
     import numpy as np
 
     from ..learners import trainer
+    from ..learners.kmeans import kmeans_parallel_init
 
     emb = embeddings.select(
         F.col(id_col).cast("long").alias(id_col),
@@ -204,8 +209,15 @@ def ivf_topk(
         emb.orderBy(id_col).limit(1024)
         .select(F.col(vec_col).alias("features"), F.lit(0.0).alias("label"))
     )
+    hyper = {"k": n_centroids}
+    if init == "kmeans||":
+        Xs = np.asarray([r[0] for r in sample.select("features").collect()])
+        hyper["init_centroids"] = [
+            [float(v) for v in c]
+            for c in kmeans_parallel_init(Xs, n_centroids, seed=0)
+        ]
     state = trainer.fit(
-        sample, "K-means", dim=dim, hyper={"k": n_centroids},
+        sample, "K-means", dim=dim, hyper=hyper,
         num_partitions=1, order_cols=None,
     )
     cents = np.asarray(state["centroids"])

@@ -2247,6 +2247,136 @@ def q_ht_first_split_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixed nominal+numeric first-split decision: f0 multiway (nominal observer)
+# vs f1 best-binary-threshold (HISTOGRAM numeric observer — integer bin
+# counts, so the gain math is pure count arithmetic + log2 in both engines;
+# no erf anywhere). Tie-breaks: threshold argmax by (gain DESC, v ASC)
+# mirrors the learner's ascending scan with strict >.
+HT_FIRST_SPLIT_MIXED_SQL = f"""
+WITH firstN AS (
+  SELECT f0, f1, cls_p AS cls FROM ({_HT_LAB_SQL})
+  ORDER BY id, pk, sk LIMIT {_HT_SPLIT_N}
+),
+par AS (
+  SELECT n, c0, c1,
+         (CASE WHEN c0 > 0 THEN -(c0 / n) * log2(c0 / n) ELSE 0.0 END
+        + CASE WHEN c1 > 0 THEN -(c1 / n) * log2(c1 / n) ELSE 0.0 END) AS h
+  FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(count(*) - sum(cls) AS DOUBLE) AS c0,
+           CAST(sum(cls) AS DOUBLE) AS c1
+    FROM firstN
+  )
+),
+vb AS (
+  SELECT f1 AS v,
+         CAST(count(*) - sum(cls) AS DOUBLE) AS c0,
+         CAST(sum(cls) AS DOUBLE) AS c1
+  FROM firstN GROUP BY f1
+),
+cum AS (
+  SELECT v,
+         sum(c0) OVER (ORDER BY v) AS l0,
+         sum(c1) OVER (ORDER BY v) AS l1,
+         row_number() OVER (ORDER BY v DESC) AS rdesc
+  FROM vb
+),
+bg AS (
+  SELECT c.v,
+         p.h - (
+           ((c.l0 + c.l1) / p.n) * (
+             CASE WHEN c.l0 > 0 THEN -(c.l0 / (c.l0 + c.l1)) * log2(c.l0 / (c.l0 + c.l1)) ELSE 0.0 END
+           + CASE WHEN c.l1 > 0 THEN -(c.l1 / (c.l0 + c.l1)) * log2(c.l1 / (c.l0 + c.l1)) ELSE 0.0 END)
+         + ((p.n - c.l0 - c.l1) / p.n) * (
+             CASE WHEN (p.c0 - c.l0) > 0 THEN -((p.c0 - c.l0) / ((p.c0 - c.l0) + (p.c1 - c.l1))) * log2((p.c0 - c.l0) / ((p.c0 - c.l0) + (p.c1 - c.l1))) ELSE 0.0 END
+           + CASE WHEN (p.c1 - c.l1) > 0 THEN -((p.c1 - c.l1) / ((p.c0 - c.l0) + (p.c1 - c.l1))) * log2((p.c1 - c.l1) / ((p.c0 - c.l0) + (p.c1 - c.l1))) ELSE 0.0 END)
+         ) AS gain
+  FROM cum c, par p WHERE c.rdesc > 1
+),
+b1 AS (
+  SELECT v, gain, row_number() OVER (ORDER BY gain DESC, v) AS rn FROM bg
+),
+g1s AS (
+  SELECT CASE WHEN gain > 0 THEN gain ELSE 0.0 END AS gf1,
+         CAST(v AS DOUBLE) AS thr1
+  FROM b1 WHERE rn = 1
+),
+gx AS (
+  SELECT a.gain AS gf0, a.n_values AS nv0, g1s.gf1, g1s.thr1, a.n
+  FROM ({_HT_GAIN_SQL.format(f="f0")}) a, g1s
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CASE WHEN gf1 > gf0 THEN gf1 ELSE gf0 END AS g1,
+         CASE WHEN gf1 > gf0 THEN gf0 ELSE gf1 END AS g2,
+         CASE WHEN gf1 > gf0 THEN 1 ELSE 0 END AS best_feature,
+         CASE WHEN gf1 > gf0 THEN 2 ELSE CAST(nv0 AS BIGINT) END AS n_children,
+         CASE WHEN gf1 > gf0 THEN thr1 ELSE NULL END AS threshold,
+         sqrt(ln(1.0 / {_HT_DELTA}) / (2.0 * n)) AS eps
+  FROM gx
+)
+SELECT n,
+       CASE WHEN g1 > 0 AND (g1 - g2 > eps OR eps < {_HT_TIE}) THEN 1 ELSE 0 END AS did_split,
+       CAST(best_feature AS BIGINT) AS split_feature,
+       n_children, threshold,
+       round(g1, 6) AS g1, round(g2, 6) AS g2, round(eps, 6) AS eps
+FROM d
+"""
+
+
+@query("ht_first_split_mixed", oracle=HT_FIRST_SPLIT_MIXED_SQL)
+def q_ht_first_split_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-observer HT first split: nominal f0 (multiway) vs numeric f1
+    under the HISTOGRAM observer (learners/ht.py _histogram_split_gain) —
+    the split decision, winning feature, threshold, and Hoeffding epsilon
+    reproduced exactly by count-arithmetic SQL (NOTES_r2 candidate 6)."""
+    import numpy as np
+
+    from .learners import get_learner
+
+    rows = _ht_lab_first_n(spark, sf_dir, _HT_SPLIT_N)
+    X = np.asarray([[r["f0"], r["f1"]] for r in rows], dtype=float)
+    y = np.asarray([1.0 if r["cls_p"] else -1.0 for r in rows])
+    ln = get_learner("HT")
+    hyper = {
+        "discrete": "0", "numeric_observer": "histogram",
+        "hist_bin_width": 1.0, "grace_period": _HT_SPLIT_N,
+        "delta": _HT_DELTA, "tie_threshold": _HT_TIE, "max_depth": 6,
+    }
+    state = ln.partial_fit(X, y, ln.init_state(2, hyper), hyper)
+    root = state["tree"]["0"]
+    did = 0 if root.get("leaf") else 1
+
+    obs_state = ln.partial_fit(
+        X, y, ln.init_state(2, hyper), {**hyper, "grace_period": 10**9}
+    )
+    obs_root = obs_state["tree"]["0"]
+    cands, eps = ln.split_candidates(obs_root, hyper, 2)
+    g1, g2 = cands[0][0], cands[1][0]
+    best_j, best_kind, best_thr = cands[0][2], cands[0][3], cands[0][1]
+    if did:
+        assert best_j == int(root["feature"])
+    n_children = (
+        2 if best_kind == "binary"
+        else len(obs_root["dstats"].get(str(best_j), {}))
+    )
+    out = [(
+        len(rows), did, int(best_j), int(n_children),
+        float(best_thr) if best_kind == "binary" else None,
+        float(g1), float(g2), float(eps),
+    )]
+    return spark.createDataFrame(
+        out,
+        "n long, did_split int, split_feature long, n_children long, "
+        "threshold double, g1 double, g2 double, eps double",
+    ).select(
+        "n", "did_split", "split_feature", "n_children", "threshold",
+        F.round("g1", 6).alias("g1"),
+        F.round("g2", 6).alias("g2"),
+        F.round("eps", 6).alias("eps"),
+    )
+
+
 _HT_PREQ_N = 1000
 
 HT_PREQUENTIAL_SQL = f"""

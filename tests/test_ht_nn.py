@@ -115,3 +115,46 @@ def test_ht_multiway_split_on_discrete_feature():
     assert float(np.mean(pred == y)) > 0.95
     # unseen value routes to the majority child without KeyError
     ln.predict(np.array([[9.0, 0.0]]), st)
+
+
+def test_ht_histogram_observer_finds_true_threshold():
+    """Histogram numeric observer: integer feature with a step label at
+    v <= 4; the exhaustive-binary gain must pick exactly that boundary
+    (no erf, pure count arithmetic) and the tree must split and classify."""
+    from omldm_spark.learners import get_learner
+
+    rng = np.random.default_rng(7)
+    n = 600
+    v = rng.integers(0, 10, size=n)
+    X = np.stack([v.astype(float), rng.normal(size=n)], axis=1)
+    y = np.where(v <= 4, -1.0, 1.0)
+    ln = get_learner("HT")
+    hyper = {"numeric_observer": "histogram", "hist_bin_width": 1.0,
+             "grace_period": 300}
+    st = ln.partial_fit(X, y, ln.init_state(2, hyper), hyper)
+    root = st["tree"]["0"]
+    assert not root["leaf"] and root["feature"] == 0
+    assert root["threshold"] == 4.0
+    pred = ln.predict(X, st)
+    assert float(np.mean(pred == y)) > 0.95
+
+
+def test_ht_histogram_gain_tie_breaks_to_smallest_threshold():
+    """Two equally-good boundaries (symmetric counts) -> the ascending
+    scan with strict > keeps the smaller threshold, mirroring the oracle's
+    ORDER BY gain DESC, v ASC."""
+    from omldm_spark.learners import get_learner
+    from omldm_spark.learners.ht import _new_leaf
+
+    ln = get_learner("HT")
+    leaf = _new_leaf(1)
+    # bins 0,1,2,3 with counts making splits at 1 and 2 give EQUAL gain:
+    # class0 mass in bins {0,1}, class1 in {2,3}, but bin 1 and 2 empty of
+    # the other class -> thresholds 1 and 2 separate perfectly, same gain
+    leaf["counts"] = [4.0, 4.0]
+    leaf["hstats"] = {"0": {
+        "0": [2.0, 0.0], "1": [2.0, 0.0], "2": [0.0, 2.0], "3": [0.0, 2.0],
+    }}
+    gain, thr = ln._histogram_split_gain(leaf, 0, 1.0)
+    assert gain == 1.0  # perfect split: full parent entropy recovered
+    assert thr == 1.0   # not 2.0: smallest of the tied thresholds

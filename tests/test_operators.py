@@ -298,3 +298,33 @@ def test_stratified_sample_rate_and_determinism(spark):
     for g in ("a", "b"):
         rate = (s1.grp == g).sum() / 2000
         assert 0.18 < rate < 0.32  # ~0.25 within binomial noise
+
+
+def test_kmeans_parallel_init_balances_ivf_cells(spark):
+    """K-means|| seeding (NOTES_r2 item 7): first-k init collapses the
+    quantizer (measured: one cell holds 489/500 vectors, so 'probing 2
+    cells' scans ~98% of the data — recall looks great, pruning is fake).
+    The Bahmani seed must bound the largest cell so n_probe/n_centroids
+    approximates the scanned fraction, which is the whole point of IVF at
+    100 TB."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from omldm_spark.functions.vector import to_double_array
+    from omldm_spark.learners.kmeans import kmeans_parallel_init
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        to_double_array("embedding").alias("v"),
+    )
+    X = np.asarray([r[1] for r in emb.orderBy("vec_id").limit(1024).collect()])
+    C = kmeans_parallel_init(X, 8, seed=0)
+    assert C.shape == (8, X.shape[1])
+    sizes = np.bincount(
+        ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1), minlength=8
+    )
+    # every cell populated, largest cell holds < 35% of the mass
+    assert sizes.min() > 0
+    assert sizes.max() / sizes.sum() < 0.35
+    # deterministic under the same seed
+    assert np.array_equal(C, kmeans_parallel_init(X, 8, seed=0))
