@@ -34,13 +34,28 @@ from pyspark.sql import functions as F
 from ..schemas import DATA_INSTANCE_SCHEMA, REQUEST_SCHEMA
 
 
-# Pushdown blocker: wraps a predicate inside a nondeterministic WHEN so
-# Catalyst can neither split the conjunction nor push it below the parse
-# projection (pushing substitutes the from_json expression into every
-# predicate term). The rand is seeded and the branch is always taken, so
-# semantics are unchanged; a plain `rand() >= -1 AND pred` does NOT work
-# because PushDownPredicates splits conjuncts and pushes the deterministic
-# ones.
+# Pushdown blocker (HISTORICAL — see boundary note): wraps a predicate
+# inside a nondeterministic WHEN so Catalyst can neither split the
+# conjunction nor push it below the parse projection. The rand is seeded
+# and the branch is always taken, so semantics are unchanged.
+#
+# BOUNDARY NOTE (measured on Spark 4.1, the VERDICT r1 "sharp edge"):
+# Spark 4.1's OptimizeRand rule folds `rand(seed) >= -1.0` to true, so
+# this pin is now a no-op — the validity conjunction (and any caller
+# .filter() on a parse_* result) IS pushed below the parse Project with
+# from_json substituted into every predicate term. That is nonetheless
+# SAFE here: runtime subexpression elimination dedupes the same-schema
+# from_json copies inside whole-stage codegen. A/B at sf0.1 (excluding
+# OptimizeRand to revive the pin vs letting it fold): 5.4-7.1 s vs
+# 5.5-5.6 s — neutral. So: callers may filter parse_* outputs directly;
+# no hook is needed. The wrapper is kept as zero-cost insurance for
+# engines without runtime CSE, and because removing it would change
+# every downstream plan hash for no benefit. Predicates on RAW columns
+# (Kafka partition, file path) still belong BEFORE parse_* where real
+# source pushdown applies. Do NOT re-enable per-field JSON pruning
+# (_tune_json_parsing) — THAT one stays measurably load-bearing
+# (15.8 s -> 7.4 s), because its pruned copies have DIFFERENT schemas
+# which CSE cannot dedupe.
 def _pin_filter(pred: Column) -> Column:
     return F.when(F.rand(25) >= F.lit(-1.0), pred).otherwise(F.lit(False))
 

@@ -508,3 +508,79 @@ WHERE round(list_inner_product(ea.v, eb.v)
             / (sqrt(list_inner_product(ea.v, ea.v))
                * sqrt(list_inner_product(eb.v, eb.v))), 6) >= {threshold}
 """
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate-pair edges -> duplicate CLUSTERS
+    with a canonical keeper per cluster (cluster_id = min doc id reachable;
+    keep = doc_id == cluster_id). The step a real dedup pipeline needs
+    after LSH: transitive duplicates A~B, B~C collapse to ONE kept doc.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one keyed join + groupBy
+    per round — all shuffles on doc id). Rounds needed = component
+    diameter; near-dup clusters are shallow (2-4 hops), so this converges
+    in a handful of rounds — convergence is detected by the strictly
+    decreasing label SUM (min-propagation is monotone), one tiny agg per
+    round. ``localCheckpoint`` truncates the growing lineage each round.
+    For adversarially deep graphs swap the step for the large-star/
+    small-star rounds of Kiveris et al. (CC in MapReduce, SoCC 2014) —
+    same join shape, O(log n) rounds.
+    """
+    nodes = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = (
+        pairs.select(F.col("id_a").cast("long").alias("src"),
+                     F.col("id_b").cast("long").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").cast("long").alias("src"),
+                         F.col("id_a").cast("long").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst").agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nb, labels["id"] == nb["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("id") == F.col("lbl")).alias("keep"),
+    )
+
+
+def DEDUP_CLUSTERS_SQL(pairs_sql: str, table: str = "documents",
+                       id_col: str = "doc_id") -> str:
+    """Recursive-CTE oracle: the transitive closure of the symmetric edge
+    set, then cluster_id = min reachable label per node (UNION dedup makes
+    the recursion terminate)."""
+    return f"""
+WITH RECURSIVE prs AS ({pairs_sql}),
+edges AS (
+  SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM prs
+  UNION
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM prs
+),
+closure(src, lbl) AS (
+  SELECT CAST({id_col} AS BIGINT), CAST({id_col} AS BIGINT) FROM {table}
+  UNION
+  SELECT e.dst, c.lbl FROM closure c JOIN edges e ON e.src = c.src
+)
+SELECT src AS {id_col}, min(lbl) AS cluster_id,
+       (src = min(lbl)) AS keep
+FROM closure GROUP BY src
+"""

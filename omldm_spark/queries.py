@@ -878,6 +878,26 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, k=8, bands=2)
 
 
+from .operators.dedup import DEDUP_CLUSTERS_SQL, dedup_clusters  # noqa: E402
+
+
+@query(
+    "dedup_clusters",
+    oracle=DEDUP_CLUSTERS_SQL(
+        LSH_PAIRS_SQL(k=8, bands=2, table_sql=MINHASH_SQL(k=8, n=3))
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via connected components over the LSH candidate
+    pairs: transitive dups collapse to one canonical keeper (min doc id).
+    Spark runs iterative min-label propagation (operators/dedup.py); the
+    oracle is a recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=8, n=3)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=2)
+    return dedup_clusters(docs, pairs)
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=JACCARD_PAIRS_SQL(n=3, threshold_num=1, threshold_den=5),
@@ -1345,6 +1365,58 @@ def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .operators.temporal import asof_join, bucketed_range_join  # noqa: E402
+
+
+@query(
+    "grouped_quantiles",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM r GROUP BY event_type
+""",
+)
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed grouped quantiles, percentile_disc semantics: the
+    value at rank ceil(p*n) per group. Rank selection instead of
+    interpolation keeps it bit-exact cross-engine (a VALUE is picked, not
+    computed) and the plan is ONE shuffle on the group key + a window scan
+    — no per-group collect_list, so group size never hits driver or
+    executor memory. The scale alternative for huge groups is a two-pass
+    bucketed histogram; this shape is right while a group fits a
+    partition's scan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def pick(p: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias(name)
+
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.50, "p50"), pick(0.90, "p90"), pick(0.99, "p99"),
+    )
 
 
 @query(

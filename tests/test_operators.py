@@ -328,3 +328,26 @@ def test_kmeans_parallel_init_balances_ivf_cells(spark):
     assert sizes.max() / sizes.sum() < 0.35
     # deterministic under the same seed
     assert np.array_equal(C, kmeans_parallel_init(X, 8, seed=0))
+
+
+def test_dedup_clusters_transitive_and_isolated(spark):
+    """A~B, B~C must collapse into ONE cluster keyed by min id even though
+    A and C never pair directly; isolated docs keep themselves; a longer
+    chain exercises multi-round label propagation."""
+    from omldm_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        # chain 0-1-2, pair 5-6 given in reversed id order, chain 7-8-9
+        [(1, 2), (0, 1), (6, 5), (8, 7), (9, 8)],
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True) and out[4] == (4, True)
+    assert out[5] == (5, True) and out[6] == (5, False)
+    assert out[7] == (7, True) and out[8] == (7, False) and out[9] == (7, False)
+    # exactly one keeper per cluster
+    keepers = [d for d, (c, k) in out.items() if k]
+    assert sorted(keepers) == [0, 3, 4, 5, 7]
