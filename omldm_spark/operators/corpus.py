@@ -217,3 +217,106 @@ SELECT * FROM ({inner_sql})
 WHERE substring(md5(concat(CAST({group_col} AS VARCHAR), '|',
                            CAST({id_col} AS VARCHAR))), 1, 2) < '{thr}'
 """
+
+
+def sequence_packing(docs: DataFrame, budget: int = 512,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences
+    (prefix-sum binning): docs in deterministic id order are assigned to
+    bin floor(tokens_before / budget) — the standard approximate packing
+    for pretraining shards (documents never split; a bin may overshoot by
+    at most one doc, which the trainer's truncation absorbs).
+
+    This shape is chosen over exact first-fit because a reset-on-overflow
+    running sum is inherently sequential; prefix-sum binning is ONE window
+    cumsum + ONE groupBy — both keyed shuffles — and gives within-2x-of-
+    optimal occupancy for doc << budget. At 100 TB, partition the cumsum
+    by shard key (e.g. lang) so no global single-partition window exists;
+    here the corpus is one logical shard and the window is global, which
+    the docstring flags as the scale boundary: swap orderBy for a
+    per-shard partitionBy in production.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda t: t != F.lit(""))).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    binned = toks.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn(
+        "bin_id", F.floor(F.col("tokens_before") / F.lit(budget)).cast("long")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def SEQUENCE_PACKING_SQL(budget: int = 512, table: str = "documents",
+                         text_expr: str = "text", id_col: str = "doc_id") -> str:
+    toks = (f"list_filter(regexp_split_to_array(lower({text_expr}), '\\s+'), "
+            "t -> t != '')")
+    return f"""
+WITH t AS (
+  SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {table}
+),
+b AS (
+  SELECT {id_col}, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY {id_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT CAST(floor(tokens_before / {budget}.0) AS BIGINT) AS bin_id,
+       list_sort(list({id_col})) AS doc_ids,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1
+"""
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: q_i = round(127 * x_i /
+    max|x|), carried with the double scale so dot products are
+    reconstructable — the storage/bandwidth step before ANN serving
+    (4x smaller vectors, SIMD-friendly int math). Zero shuffle: pure
+    per-row column arithmetic; zero vectors quantize to all-zero with
+    scale 0."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.round(x * 127.0 / mx, 0).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        q.alias("qvec"),
+        F.when(mx > 0, mx / 127.0).otherwise(F.lit(0.0)).alias("scale"),
+    )
+
+
+def QUANTIZE_EMBEDDINGS_SQL(table: str = "embeddings", id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    return f"""
+WITH v AS (
+  SELECT {id_col},
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec
+  FROM {table}
+),
+m AS (
+  SELECT {id_col}, vec,
+         list_max(list_transform(vec, x -> abs(x))) AS mx
+  FROM v
+)
+SELECT CAST({id_col} AS BIGINT) AS {id_col},
+       CASE WHEN mx > 0
+            THEN list_transform(vec, x -> CAST(round(x * 127.0 / mx, 0) AS INTEGER))
+            ELSE list_transform(vec, x -> 0) END AS qvec,
+       CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale
+FROM m
+"""

@@ -1836,9 +1836,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.corpus import (  # noqa: E402
     CHUNK_SQL,
     CORPUS_CLEAN_SQL,
+    QUANTIZE_EMBEDDINGS_SQL,
+    SEQUENCE_PACKING_SQL,
     STRATIFIED_SAMPLE_SQL,
     chunk_documents,
     corpus_clean,
+    quantize_embeddings,
+    sequence_packing,
     stratified_sample,
 )
 from .operators.dedup import EMBEDDING_LSH_SQL, embedding_lsh_pairs  # noqa: E402
@@ -1878,6 +1882,22 @@ def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderstatus").alias("grp"))
         .agg(F.count(F.lit(1)).cast("long").alias("kept"))
     )
+
+
+@query("sequence_packing", oracle=SEQUENCE_PACKING_SQL(budget=512))
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 512-token training sequences by prefix-sum
+    binning (operators/corpus.py): one window cumsum + one groupBy; docs
+    never split, deterministic bin membership on any engine."""
+    return sequence_packing(load_table(spark, sf_dir, "documents"), budget=512)
+
+
+@query("quantize_embeddings", oracle=QUANTIZE_EMBEDDINGS_SQL())
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with per-vector scale —
+    zero-shuffle column arithmetic, bit-exact cross-engine (identical
+    IEEE ops; round-half-away-from-zero agrees between engines)."""
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
 @query("dedup_embedding_lsh", oracle=EMBEDDING_LSH_SQL())

@@ -21,7 +21,20 @@ from omldm_spark.session import get_spark  # noqa: E402
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # array cells (Spark lists / DuckDB ndarrays) are unhashable and
+    # unsortable — canonicalize to tuples so they can participate in the
+    # order-insensitive sort + exact compare
+    import numpy as np
+
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, tuple, np.ndarray))
+        ).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else (tuple(v) if isinstance(v, (list, tuple)) else v)
+            )
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
