@@ -584,3 +584,65 @@ SELECT src AS {id_col}, min(lbl) AS cluster_id,
        (src = min(lbl)) AS keep
 FROM closure GROUP BY src
 """
+
+
+def decontaminate(docs: DataFrame, n: int = 8, eval_mod: int = 50,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-token shingle with the held-out eval split (here: doc_id % eval_mod
+    == 0, the deterministic stand-in for an external benchmark table).
+
+    The standard pretraining hygiene pass (long-n-gram overlap against eval
+    sets). Output: one row per NON-eval doc — (doc_id, n_shingles,
+    n_shared, contaminated) where n_shared counts distinct shingles also
+    present in the eval set.
+
+    Scale shape: the join is keyed on the shingle string and the eval side
+    is DISTINCT shingles of the (small) benchmark suite — broadcastable in
+    practice, and Spark's AQE will pick that; no all-pairs anywhere. The
+    two countDistincts are partial-aggregated. Verified to find the planted
+    near-duplicate of an eval doc in the synthetic corpus (exactly one
+    contaminated doc at n=8).
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    is_eval = F.col(id_col) % eval_mod == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    corpus_sh = sh.filter(~is_eval)
+    totals = corpus_sh.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    hits = (
+        corpus_sh.join(eval_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def DECONTAMINATE_SQL(n: int = 8, eval_mod: int = 50, table: str = "documents",
+                      text_expr: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH sh AS ({SHINGLES_SQL(n, table, text_expr, id_col)}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE {id_col} % {eval_mod} = 0),
+corp AS (SELECT {id_col}, shingle FROM sh WHERE {id_col} % {eval_mod} != 0),
+totals AS (
+  SELECT {id_col}, CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+  FROM corp GROUP BY {id_col}
+),
+hits AS (
+  SELECT c.{id_col}, CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared
+  FROM corp c JOIN ev USING (shingle) GROUP BY c.{id_col}
+)
+SELECT CAST(t.{id_col} AS BIGINT) AS {id_col}, t.n_shingles,
+       coalesce(h.n_shared, 0) AS n_shared,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM totals t LEFT JOIN hits h ON t.{id_col} = h.{id_col}
+"""

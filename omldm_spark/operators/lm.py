@@ -1,0 +1,138 @@
+"""Corpus-trained bigram language-model quality scoring.
+
+The CCNet-style quality filter shape: fit an n-gram LM on the corpus, score
+every document by how well the model predicts it, and filter/bucket on the
+score. Real pipelines use a KenLM 5-gram trained on a trusted corpus; the
+distributed shape is identical for the self-trained bigram model built
+here, and the scoring pass is where all the data movement happens.
+
+Exactness design (the repo's quantized-aggregation envelope): the per-bigram
+conditional probability c(w1 w2)/c(w1 .) is carried as the INTEGER
+floor(Q * c12 / c1) with Q = 1e6 — integer division (`div` in Spark SQL,
+`//` in DuckDB), exact and order-independent — summed per document as a
+BIGINT, with ONE mirrored float division at the end. Avoiding log() is
+deliberate: IEEE-754 mandates correctly-rounded + - * / sqrt but NOT
+transcendentals, so a log-based perplexity could differ between engines in
+the last ulp; the mean conditional probability ranks documents for
+filtering purposes without ever calling a transcendental.
+
+Scale shape (documented per stage in bigram_lm_scores): counts are two
+partial aggregations; the scoring join is keyed on the bigram with the
+model side orders of magnitude smaller than the corpus (vocab^2 vs tokens)
+— broadcast when it fits, AQE otherwise; per-doc bigrams are pre-combined
+(doc_id, w1, w2, k) before the join so the join input is the doc's DISTINCT
+bigrams, not every token position.
+
+Reference scope note: OMLDM scores models, not text (QueryResponse,
+FlinkSpoke.scala); this operator is part of the beyond-reference
+LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import TOKENS_SQL, tokens_col
+
+PROB_QUANT = 1_000_000
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, w1, w2, k): each document's bigrams with in-doc
+    multiplicity. The tokens array is pinned in its own projection (see
+    dedup.shingle_array note) and the bigram array is built with ONE
+    transform over an index sequence — no self-join, no window."""
+    with_toks = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks"), F.rand(31).alias("_p")
+    ).drop("_p")
+    bi = with_toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i.cast("int")).alias("w1"),
+                        F.element_at("_toks", (i + 1).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    )
+    return bi.select(id_col, "b.w1", "b.w2").groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     quant: int = PROB_QUANT) -> DataFrame:
+    """Score = mean conditional bigram probability under the corpus-trained
+    model (self-counts included — the model sees the whole corpus, as a
+    quality filter's reference LM sees its training set).
+
+    Output: (doc_id, n_bigrams, q_score, avg_prob) where
+    q_score = Σ_positions floor(quant * c12 / c1)  (exact BIGINT) and
+    avg_prob = q_score / (n_bigrams * quant)       (one mirrored division).
+    Documents with < 2 tokens are absent (no bigrams — identical on both
+    engines)."""
+    db = _doc_bigrams(docs, text_col, id_col)
+    # model: c12 per bigram, c1 = Σ_w2 c12 (derived from the counts frame,
+    # NOT re-aggregated from the corpus — second shuffle is vocab-sized)
+    c12 = db.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    model = c12.join(c1, "w1").select(
+        "w1", "w2",
+        F.expr(f"(CAST({quant} AS BIGINT) * c12) div c1").alias("qp"),
+    )
+    scored = db.join(model, ["w1", "w2"]).groupBy(id_col).agg(
+        F.sum(F.col("k") * F.col("qp")).cast("long").alias("q_score"),
+        F.sum("k").cast("long").alias("n_bigrams"),
+    )
+    return scored.select(
+        F.col(id_col).cast("long").alias(id_col),
+        "n_bigrams",
+        "q_score",
+        (F.col("q_score").cast("double")
+         / (F.col("n_bigrams").cast("double") * F.lit(float(quant)))
+         ).alias("avg_prob"),
+    )
+
+
+def BIGRAM_LM_SQL(table: str = "documents", text_expr: str = "text",
+                  id_col: str = "doc_id", quant: int = PROB_QUANT) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({TOKENS_SQL(text_expr)}) AS tok,
+         generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+  FROM {table}
+),
+bi AS (
+  SELECT {id_col}, tok AS w1, lead(tok, 1) OVER w AS w2
+  FROM toks WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+),
+db AS (
+  SELECT {id_col}, w1, w2, CAST(count(*) AS BIGINT) AS k
+  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+model AS (
+  SELECT c12.w1, c12.w2,
+         (CAST({quant} AS BIGINT) * c12.c12) // c1.c1 AS qp
+  FROM c12 JOIN c1 USING (w1)
+),
+scored AS (
+  SELECT db.{id_col},
+         CAST(sum(db.k * m.qp) AS BIGINT) AS q_score,
+         CAST(sum(db.k) AS BIGINT) AS n_bigrams
+  FROM db JOIN model m ON db.w1 = m.w1 AND db.w2 = m.w2
+  GROUP BY 1
+)
+SELECT CAST({id_col} AS BIGINT) AS {id_col}, n_bigrams, q_score,
+       CAST(q_score AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * {quant}.0)
+         AS avg_prob
+FROM scored
+"""

@@ -2581,3 +2581,38 @@ def q_tfidf_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed tf-idf weight per (doc, term) — the vectorizer behind
     seed-set similarity filters; exact integer-quantized weights."""
     return tfidf_doc_vectors(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Scrubbing / hygiene / LM-quality corpus operators
+# ---------------------------------------------------------------------------
+
+from .operators.dedup import DECONTAMINATE_SQL, decontaminate  # noqa: E402
+from .operators.lm import BIGRAM_LM_SQL, bigram_lm_scores  # noqa: E402
+from .operators.pii import PII_REDACT_SQL, pii_redact, plant_pii  # noqa: E402
+
+
+@query("pii_redact", oracle=PII_REDACT_SQL())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: plant deterministic emails/IPv4s/phones keyed by
+    doc_id (the synthetic corpus has none), then count + redact with typed
+    placeholders. Map-only Catalyst regexes — patterns restricted to the
+    Java-regex ∩ RE2 subset so the oracle runs the same patterns."""
+    return pii_redact(plant_pii(load_table(spark, sf_dir, "documents")))
+
+
+@query("decontaminate", oracle=DECONTAMINATE_SQL())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram overlap of every training doc
+    against the deterministic eval split (doc_id % 50 == 0); finds the
+    planted near-duplicate of an eval doc. Shingle join keyed on the
+    n-gram, eval side broadcast-sized."""
+    return decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+@query("bigram_lm_scores", oracle=BIGRAM_LM_SQL())
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score per doc (CCNet filter shape):
+    mean conditional bigram probability, carried as exact integer
+    floor(1e6*c12/c1) sums — no transcendentals, bit-exact cross-engine."""
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))

@@ -351,3 +351,69 @@ def test_dedup_clusters_transitive_and_isolated(spark):
     # exactly one keeper per cluster
     keepers = [d for d, (c, k) in out.items() if k]
     assert sorted(keepers) == [0, 3, 4, 5, 7]
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    from omldm_spark.operators.pii import pii_redact
+
+    rows = [
+        (1, "reach me at a.b+c@mail-host.org or 10.0.0.1 thanks"),
+        (2, "two mails x@y.io z@w.co and call 555-123-4567"),
+        (3, "no pii here at all"),
+        (4, "ip 256.1.1.1 still matches the shape 1.2.3.4"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_redact(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        ).collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 0)
+    assert "[EMAIL]" in out[1]["clean_text"] and "[IP]" in out[1]["clean_text"]
+    assert "a.b+c@mail-host.org" not in out[1]["clean_text"]
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (2, 1)
+    assert out[2]["clean_text"].count("[EMAIL]") == 2
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+    assert out[3]["clean_text"] == "no pii here at all"
+    assert out[4]["n_ips"] == 2  # shape-based matcher, not range-validated
+
+
+def test_decontaminate_flags_only_eval_overlap(spark):
+    from omldm_spark.operators.dedup import decontaminate
+
+    eval_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, eval_doc),                                              # eval split
+        (1, "prefix words then alpha beta gamma delta epsilon zeta eta theta end"),
+        (2, "totally unrelated text with enough tokens one two three four five six"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])),
+            n=8, eval_mod=50,
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # eval doc excluded from the output
+    assert out[1]["contaminated"] and out[1]["n_shared"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_shared"] == 0
+
+
+def test_bigram_lm_scores_exact_on_tiny_corpus(spark):
+    from omldm_spark.operators.lm import bigram_lm_scores
+
+    # corpus: "a b a b" and "a b c". bigrams: (a,b)x3 (b,a)x1 (b,c)x1
+    # c1: a->3, b->2.  p(a,b)=3/3=1, p(b,a)=1/2, p(b,c)=1/2
+    rows = [(1, "a b a b"), (2, "a b c")]
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        ).collect()
+    }
+    # doc1: bigrams (a,b),(b,a),(a,b) -> 1e6 + 5e5 + 1e6 = 2_500_000, n=3
+    assert out[1]["q_score"] == 2_500_000 and out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_prob"] - 2_500_000 / 3e6) < 1e-15
+    # doc2: (a,b),(b,c) -> 1e6 + 5e5, n=2
+    assert out[2]["q_score"] == 1_500_000 and out[2]["n_bigrams"] == 2
+    assert out[2]["avg_prob"] == 0.75
