@@ -220,7 +220,8 @@ WHERE substring(md5(concat(CAST({group_col} AS VARCHAR), '|',
 
 
 def sequence_packing(docs: DataFrame, budget: int = 512,
-                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                     text_col: str = "text", id_col: str = "doc_id",
+                     shard_col: str | None = None) -> DataFrame:
     """Pack documents into fixed-token-budget training sequences
     (prefix-sum binning): docs in deterministic id order are assigned to
     bin floor(tokens_before / budget) — the standard approximate packing
@@ -230,26 +231,31 @@ def sequence_packing(docs: DataFrame, budget: int = 512,
     This shape is chosen over exact first-fit because a reset-on-overflow
     running sum is inherently sequential; prefix-sum binning is ONE window
     cumsum + ONE groupBy — both keyed shuffles — and gives within-2x-of-
-    optimal occupancy for doc << budget. At 100 TB, partition the cumsum
-    by shard key (e.g. lang) so no global single-partition window exists;
-    here the corpus is one logical shard and the window is global, which
-    the docstring flags as the scale boundary: swap orderBy for a
-    per-shard partitionBy in production.
+    optimal occupancy for doc << budget.
+
+    ``shard_col`` (e.g. ``lang`` or ``source``) partitions the cumsum so no
+    single-partition global window exists — the 100 TB shape, and what real
+    packing wants anyway (shards are per-domain/per-language). Bin ids are
+    then (shard, local bin). ``shard_col=None`` keeps the single global
+    sequence for small corpora.
     """
     from pyspark.sql import Window
 
+    cols = [F.col(id_col)] + ([F.col(shard_col)] if shard_col else [])
     toks = docs.select(
-        F.col(id_col),
+        *cols,
         F.size(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                         lambda t: t != F.lit(""))).cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    w = (Window.partitionBy(shard_col) if shard_col else Window.partitionBy())
+    w = w.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
     binned = toks.withColumn(
         "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     ).withColumn(
         "bin_id", F.floor(F.col("tokens_before") / F.lit(budget)).cast("long")
     )
-    return binned.groupBy("bin_id").agg(
+    keys = ([shard_col] if shard_col else []) + ["bin_id"]
+    return binned.groupBy(*keys).agg(
         F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -257,25 +263,29 @@ def sequence_packing(docs: DataFrame, budget: int = 512,
 
 
 def SEQUENCE_PACKING_SQL(budget: int = 512, table: str = "documents",
-                         text_expr: str = "text", id_col: str = "doc_id") -> str:
+                         text_expr: str = "text", id_col: str = "doc_id",
+                         shard_col: str | None = None) -> str:
     toks = (f"list_filter(regexp_split_to_array(lower({text_expr}), '\\s+'), "
             "t -> t != '')")
+    shard_sel = f"{shard_col}, " if shard_col else ""
+    part = f"PARTITION BY {shard_col} " if shard_col else ""
+    group = f"{shard_col}, bin_id" if shard_col else "bin_id"
     return f"""
 WITH t AS (
-  SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {table}
+  SELECT {shard_sel}{id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens FROM {table}
 ),
 b AS (
-  SELECT {id_col}, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (ORDER BY {id_col}
+  SELECT {shard_sel}{id_col}, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER ({part}ORDER BY {id_col}
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS tokens_before
   FROM t
 )
-SELECT CAST(floor(tokens_before / {budget}.0) AS BIGINT) AS bin_id,
+SELECT {shard_sel}CAST(floor(tokens_before / {budget}.0) AS BIGINT) AS bin_id,
        list_sort(list({id_col})) AS doc_ids,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-FROM b GROUP BY 1
+FROM b GROUP BY {group}
 """
 
 

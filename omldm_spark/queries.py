@@ -1884,12 +1884,15 @@ def q_stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sequence_packing", oracle=SEQUENCE_PACKING_SQL(budget=512))
+@query("sequence_packing", oracle=SEQUENCE_PACKING_SQL(budget=512, shard_col="lang"))
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into 512-token training sequences by prefix-sum
-    binning (operators/corpus.py): one window cumsum + one groupBy; docs
-    never split, deterministic bin membership on any engine."""
-    return sequence_packing(load_table(spark, sf_dir, "documents"), budget=512)
+    binning (operators/corpus.py), sharded by lang so the cumsum window is
+    partitioned — no single-partition global window anywhere in the plan;
+    docs never split, deterministic bin membership on any engine."""
+    return sequence_packing(
+        load_table(spark, sf_dir, "documents"), budget=512, shard_col="lang"
+    )
 
 
 @query("quantize_embeddings", oracle=QUANTIZE_EMBEDDINGS_SQL())

@@ -112,6 +112,27 @@ CHECKS = {
         ),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "sequence_packing": [
+        # the cumsum window must be sharded — a global (empty-partition)
+        # window funnels the corpus through ONE task at scale
+        (
+            "window partitioned by shard",
+            lambda p: not re.search(r"Window [^\n]*windowspecdefinition\(doc_id", p)
+            and "lang" in p,
+        ),
+    ],
+    "pii_redact": [
+        # scrub pass is map-only: no shuffle, no join
+        ("zero shuffles", lambda p: "Exchange" not in p and "Join" not in p),
+    ],
+    "decontaminate": [
+        ("no all-pairs join", lambda p: "CartesianProduct" not in p),
+    ],
+    "bigram_lm_scores": [
+        ("no all-pairs join", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ],
     "tpch_q1_like": [
         # codegen annotations only appear once AQE finalizes at execution;
         # the auditable static property is map-side partial aggregation
