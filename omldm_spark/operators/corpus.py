@@ -330,3 +330,58 @@ SELECT CAST({id_col} AS BIGINT) AS {id_col},
        CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale
 FROM m
 """
+
+
+def temperature_sample(docs: DataFrame, id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Temperature-based domain mixing (alpha = 0.5): sample source s at a
+    rate proportional to count(s)^alpha / count(s) — flattening the domain
+    distribution toward uniform, the standard mixing step before
+    pretraining (cf. multilingual sampling in public LM pipelines).
+
+    Exactness: NO float appears anywhere. Per-source weight w_s =
+    isqrt(n_s) (floor of the IEEE-exact sqrt — exact for n_s < 2^52),
+    W = Σ w_s (integer), and the keep decision is the cross-multiplied
+    integer comparison  u * W < w_s * 2^32  with u the first 8 md5 hex
+    digits of the doc id as an integer — i.e. keep with probability
+    w_s / W per source, bit-identical on any engine. Bounds: u < 2^32,
+    so products stay in BIGINT while W < 2^31 and w_s < 2^31.
+
+    Scale shape: ONE tiny per-source count aggregation broadcast back onto
+    the corpus (sources are few); the keep predicate is row-local — the
+    scan-side filter a 100 TB mixing pass needs. Output keeps every row
+    with its verdict so downstream stages choose filter vs stratify.
+    """
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    ).withColumn("w", F.floor(F.sqrt(F.col("n_s"))).cast("long"))
+    w_total = counts.agg(F.sum("w").cast("long").alias("w_total"))
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10) \
+         .cast("long")
+    return (
+        docs.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(w_total))
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(source_col),
+            F.col("w"),
+            F.col("w_total"),
+            (u * F.col("w_total") < F.col("w") * F.lit(2 ** 32)).alias("kept"),
+        )
+    )
+
+
+def TEMPERATURE_SAMPLE_SQL(table: str = "documents", id_col: str = "doc_id",
+                           source_col: str = "source") -> str:
+    return f"""
+WITH counts AS (
+  SELECT {source_col}, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+  FROM {table} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM counts)
+SELECT CAST(d.{id_col} AS BIGINT) AS {id_col}, d.{source_col}, c.w, t.w_total,
+       (CAST(('0x' || substring(md5(CAST(d.{id_col} AS VARCHAR)), 1, 8))
+             AS BIGINT) * t.w_total < c.w * 4294967296) AS kept
+FROM {table} d JOIN counts c ON d.{source_col} = c.{source_col}, tot t
+"""

@@ -2619,3 +2619,18 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean conditional bigram probability, carried as exact integer
     floor(1e6*c12/c1) sums — no transcendentals, bit-exact cross-engine."""
     return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+from .operators.corpus import (  # noqa: E402
+    TEMPERATURE_SAMPLE_SQL,
+    temperature_sample,
+)
+
+
+@query("temperature_sample", oracle=TEMPERATURE_SAMPLE_SQL())
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing at alpha=0.5: per-source keep probability
+    isqrt(n_s)/W decided by integer cross-multiplication against an md5
+    hash — no float anywhere, row-local predicate after one tiny broadcast
+    (operators/corpus.py temperature_sample)."""
+    return temperature_sample(load_table(spark, sf_dir, "documents"))

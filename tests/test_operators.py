@@ -417,3 +417,28 @@ def test_bigram_lm_scores_exact_on_tiny_corpus(spark):
     # doc2: (a,b),(b,c) -> 1e6 + 5e5, n=2
     assert out[2]["q_score"] == 1_500_000 and out[2]["n_bigrams"] == 2
     assert out[2]["avg_prob"] == 0.75
+
+
+def test_temperature_sample_flattens_distribution(spark):
+    from omldm_spark.operators.corpus import temperature_sample
+
+    # skewed corpus: 400 docs from "big", 16 from "small"
+    rows = [(i, "big" if i < 400 else "small") for i in range(416)]
+    out = temperature_sample(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    ).toPandas()
+    # weights: isqrt(400)=20, isqrt(16)=4, W=24 -> rates 20/24 vs 4/24
+    assert set(out[out.source == "big"]["w"]) == {20}
+    assert set(out[out.source == "small"]["w"]) == {4}
+    assert set(out["w_total"]) == {24}
+    kept = out[out.kept]
+    big_rate = len(kept[kept.source == "big"]) / 400
+    small_rate = len(kept[kept.source == "small"]) / 16
+    # raw ratio 400/16 = 25x; post-sampling doc-count ratio ~ sqrt ratio
+    # (hash uniformity gives +-; assert the flattening direction strongly)
+    assert 0.7 < big_rate < 0.95 and small_rate < 0.35
+    # determinism: same inputs -> same verdict set
+    again = temperature_sample(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    ).toPandas()
+    assert sorted(kept.doc_id) == sorted(again[again.kept].doc_id)
