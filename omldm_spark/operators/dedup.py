@@ -593,9 +593,10 @@ def decontaminate(docs: DataFrame, n: int = 8, eval_mod: int = 50,
     == 0, the deterministic stand-in for an external benchmark table).
 
     The standard pretraining hygiene pass (long-n-gram overlap against eval
-    sets). Output: one row per NON-eval doc — (doc_id, n_shingles,
-    n_shared, contaminated) where n_shared counts distinct shingles also
-    present in the eval set.
+    sets). Output: one row per NON-eval doc with >= 1 shingle (docs shorter
+    than n tokens have nothing to overlap and are absent — identically on
+    both engines) — (doc_id, n_shingles, n_shared, contaminated) where
+    n_shared counts distinct shingles also present in the eval set.
 
     Scale shape: the join is keyed on the shingle string and the eval side
     is DISTINCT shingles of the (small) benchmark suite — broadcastable in
