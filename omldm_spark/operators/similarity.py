@@ -270,3 +270,105 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k over the int8-QUANTIZED vectors
+    (operators/corpus.quantize_embeddings) — the serving-path variant: 4x
+    less scan bandwidth and an integer dot-product kernel, the reason the
+    quantization step exists.
+
+    Exactness: for symmetric per-vector quantization the scales cancel in
+    the cosine — cos_q = dot_int(qa, qb) / (sqrt(ssq_a) * sqrt(ssq_b)) —
+    so the score is integer sums (exact on any engine; every partial stays
+    < 2^53) through ONE exact-rounded sqrt/divide sequence, rounded to 6
+    decimals before ranking like cosine_topk. The top-k is a deterministic
+    function of the table on any engine, making the approximation error of
+    quantized-vs-float search *measurable* (compare against cosine_topk).
+
+    Plan shape matches cosine_topk: broadcast queries, JVM-side fold, only
+    (query, neighbor, score) shuffles into the per-query top-k window.
+    """
+    from .corpus import quantize_embeddings
+
+    qe = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
+    zero = F.lit(0).cast("long")
+    ssq = F.aggregate(
+        F.col("qvec"), zero, lambda acc, x: acc + x.cast("long") * x.cast("long")
+    )
+    emb = qe.select(id_col, "qvec", ssq.alias("ssq"))
+    q = emb.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qq"),
+        F.col("ssq").alias("qssq"),
+    )
+    joined = emb.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot_int = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("qq"),
+                   lambda x, y: x.cast("long") * y.cast("long")),
+        zero, lambda acc, v: acc + v,
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.when(
+                (F.col("ssq") > 0) & (F.col("qssq") > 0),
+                dot_int.cast("double")
+                / (F.sqrt(F.col("ssq").cast("double"))
+                   * F.sqrt(F.col("qssq").cast("double"))),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def QUANTIZED_COSINE_TOPK_SQL(
+    table: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_id: int = 10,
+) -> str:
+    from .corpus import QUANTIZE_EMBEDDINGS_SQL
+
+    return f"""
+WITH qe AS ({QUANTIZE_EMBEDDINGS_SQL(table, id_col, vec_col)}),
+emb AS (
+  SELECT {id_col}, qvec,
+         list_inner_product(CAST(qvec AS DOUBLE[]),
+                            CAST(qvec AS DOUBLE[])) AS ssq
+  FROM qe
+),
+q AS (SELECT {id_col} AS query_id, qvec AS qq, ssq AS qssq FROM emb
+      WHERE {id_col} < {max_query_id}),
+scored AS (
+  SELECT q.query_id, e.{id_col} AS neighbor_id,
+         round(CASE WHEN e.ssq > 0 AND q.qssq > 0
+                    THEN list_inner_product(CAST(e.qvec AS DOUBLE[]),
+                                            CAST(q.qq AS DOUBLE[]))
+                         / (sqrt(e.ssq) * sqrt(q.qssq))
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM emb e, q WHERE e.{id_col} != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

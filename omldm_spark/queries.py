@@ -2634,3 +2634,18 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — no float anywhere, row-local predicate after one tiny broadcast
     (operators/corpus.py temperature_sample)."""
     return temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
+from .operators.similarity import (  # noqa: E402
+    QUANTIZED_COSINE_TOPK_SQL,
+    quantized_cosine_topk,
+)
+
+
+@query("ann_quantized_topk", oracle=QUANTIZED_COSINE_TOPK_SQL())
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (the serving path the
+    quantization step feeds): scales cancel, so the score is exact integer
+    dot products through one sqrt/divide — an EXACT oracle for quantized
+    ANN, and a measurable approximation gap vs ann_cosine_topk."""
+    return quantized_cosine_topk(load_table(spark, sf_dir, "embeddings"))

@@ -442,3 +442,21 @@ def test_temperature_sample_flattens_distribution(spark):
         spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
     ).toPandas()
     assert sorted(kept.doc_id) == sorted(again[again.kept].doc_id)
+
+
+def test_quantized_topk_tracks_float_topk(spark):
+    """int8 quantization should preserve most of the float top-k (recall
+    measured, not assumed) — and be exactly deterministic."""
+    from omldm_spark.operators.similarity import quantized_cosine_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fk = cosine_topk(emb, k=5).toPandas()
+    qk = quantized_cosine_topk(emb, k=5).toPandas()
+    f_set = set(map(tuple, fk[["query_id", "neighbor_id"]].values))
+    q_set = set(map(tuple, qk[["query_id", "neighbor_id"]].values))
+    recall = len(f_set & q_set) / len(f_set)
+    assert recall >= 0.8, f"int8 recall {recall}"
+    # scores within quantization error of the float scores
+    merged = fk.merge(qk, on=["query_id", "neighbor_id"],
+                      suffixes=("_f", "_q"))
+    assert (merged["cos_sim_f"] - merged["cos_sim_q"]).abs().max() < 0.02
