@@ -385,3 +385,51 @@ SELECT CAST(d.{id_col} AS BIGINT) AS {id_col}, d.{source_col}, c.w, t.w_total,
              AS BIGINT) * t.w_total < c.w * 4294967296) AS kept
 FROM {table} d JOIN counts c ON d.{source_col} = c.{source_col}, tot t
 """
+
+
+def corpus_pipeline(docs: DataFrame, budget: int = 512,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    source_col: str = "source",
+                    shard_col: str = "lang") -> DataFrame:
+    """The composed corpus-prep pipeline in ONE plan: clean (exact-dup
+    keeper + language + quality gates) -> temperature domain mixing over
+    the survivors -> sharded sequence packing of the sample. What an
+    actual pretraining data job runs end-to-end — demonstrating that the
+    stages compose into a single Catalyst plan (each stage is itself
+    exact, so the composition carries an exact chained oracle).
+
+    Shuffle ledger at 100 TB: clean = one md5 groupBy; mixing = one tiny
+    per-source count + row-local predicate; packing = one per-shard window
+    cumsum + one groupBy. Nothing quadratic, nothing driver-side.
+    """
+    kept = corpus_clean(docs, text_col=text_col, id_col=id_col).select(id_col)
+    cleaned = docs.join(kept, id_col)
+    sampled_ids = (
+        temperature_sample(cleaned, id_col=id_col, source_col=source_col)
+        .filter(F.col("kept"))
+        .select(id_col)
+    )
+    final = docs.join(sampled_ids, id_col)
+    return sequence_packing(
+        final, budget=budget, text_col=text_col, id_col=id_col,
+        shard_col=shard_col,
+    )
+
+
+def CORPUS_PIPELINE_SQL(budget: int = 512, table: str = "documents",
+                        text_expr: str = "text", id_col: str = "doc_id",
+                        source_col: str = "source",
+                        shard_col: str = "lang") -> str:
+    cleaned = (
+        f"SELECT d.* FROM {table} d JOIN ({CORPUS_CLEAN_SQL(table=table, text_expr=text_expr, id_col=id_col)}) c "
+        f"ON d.{id_col} = c.{id_col}"
+    )
+    sampled = (
+        f"SELECT d.* FROM {table} d JOIN "
+        f"({TEMPERATURE_SAMPLE_SQL(table=f'({cleaned})', id_col=id_col, source_col=source_col)}) s "
+        f"ON d.{id_col} = s.{id_col} WHERE s.kept"
+    )
+    return SEQUENCE_PACKING_SQL(
+        budget=budget, table=f"({sampled})", text_expr=text_expr,
+        id_col=id_col, shard_col=shard_col,
+    )

@@ -2649,3 +2649,15 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot products through one sqrt/divide — an EXACT oracle for quantized
     ANN, and a measurable approximation gap vs ann_cosine_topk."""
     return quantized_cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
+
+
+@query("corpus_pipeline", oracle=CORPUS_PIPELINE_SQL())
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data job as ONE Catalyst plan: clean ->
+    temperature mixing -> sharded sequence packing; every stage exact, so
+    the composition hash-matches a single chained DuckDB oracle
+    (operators/corpus.py corpus_pipeline — see its shuffle ledger)."""
+    return corpus_pipeline(load_table(spark, sf_dir, "documents"))
