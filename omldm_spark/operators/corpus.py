@@ -433,3 +433,54 @@ def CORPUS_PIPELINE_SQL(budget: int = 512, table: str = "documents",
         budget=budget, table=f"({sampled})", text_expr=text_expr,
         id_col=id_col, shard_col=shard_col,
     )
+
+
+def shared_chunk_stats(docs: DataFrame, chunk_size: int = 64,
+                       overlap: int = 16, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-document chunk-level duplication stats — the line-level-dedup
+    shape of CCNet/RefinedWeb applied to token-window chunks (the synthetic
+    corpus has no newlines; swap chunker for a line splitter on real text):
+    per doc, how many of its chunks also appear verbatim in OTHER docs.
+
+    Output: (doc_id, n_chunks, n_shared) — n_shared counts chunk positions
+    whose hash occurs in >= 2 distinct docs. Downstream policy (drop doc,
+    drop chunks, keep) stays with the caller; the integer pair is the exact
+    decision input.
+
+    Scale shape: chunking is shuffle-free (one explode); then one groupBy
+    on chunk_hash (distinct-doc count, partial-aggregated) and one hash
+    join back keyed on chunk_hash + one per-doc groupBy. No all-pairs —
+    duplication is resolved through the hash's posting count, never through
+    doc x doc comparison.
+    """
+    ch = chunk_documents(docs, chunk_size=chunk_size, overlap=overlap,
+                         text_col=text_col, id_col=id_col)
+    counts = ch.groupBy("chunk_hash").agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    return (
+        ch.join(counts, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_shared"),
+        )
+        .select(F.col(id_col).cast("long").alias(id_col), "n_chunks", "n_shared")
+    )
+
+
+def SHARED_CHUNK_SQL(chunk_size: int = 64, overlap: int = 16,
+                     table: str = "documents", text_expr: str = "text",
+                     id_col: str = "doc_id") -> str:
+    return f"""
+WITH ch AS ({CHUNK_SQL(chunk_size, overlap, table, text_expr, id_col)}),
+counts AS (
+  SELECT chunk_hash, count(DISTINCT {id_col}) AS nd FROM ch GROUP BY 1
+)
+SELECT CAST(ch.{id_col} AS BIGINT) AS {id_col},
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+FROM ch JOIN counts c ON ch.chunk_hash = c.chunk_hash
+GROUP BY ch.{id_col}
+"""

@@ -2661,3 +2661,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition hash-matches a single chained DuckDB oracle
     (operators/corpus.py corpus_pipeline — see its shuffle ledger)."""
     return corpus_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+from .operators.corpus import SHARED_CHUNK_SQL, shared_chunk_stats  # noqa: E402
+
+
+@query("shared_chunk_stats", oracle=SHARED_CHUNK_SQL())
+def q_shared_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc chunk-duplication stats (line-dedup shape): per doc, how
+    many of its token-window chunks appear verbatim elsewhere — resolved
+    through posting counts on the chunk hash, never doc x doc."""
+    return shared_chunk_stats(load_table(spark, sf_dir, "documents"))

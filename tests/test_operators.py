@@ -460,3 +460,29 @@ def test_quantized_topk_tracks_float_topk(spark):
     merged = fk.merge(qk, on=["query_id", "neighbor_id"],
                       suffixes=("_f", "_q"))
     assert (merged["cos_sim_f"] - merged["cos_sim_q"]).abs().max() < 0.02
+
+
+def test_shared_chunk_stats_detects_cross_doc_duplication(spark):
+    from omldm_spark.operators.corpus import shared_chunk_stats
+
+    shared = " ".join(f"w{i}" for i in range(40))
+    uniq_a = " ".join(f"a{i}" for i in range(40))
+    uniq_b = " ".join(f"b{i}" for i in range(40))
+    rows = [
+        (1, shared + " " + uniq_a),
+        (2, shared + " " + uniq_b),   # first chunks identical to doc 1
+        (3, uniq_b + " tailpiece of unique text only here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in shared_chunk_stats(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])),
+            chunk_size=40, overlap=0,
+        ).collect()
+    }
+    # docs 1 and 2 share their first 40-token window verbatim
+    assert out[1]["n_shared"] >= 1 and out[2]["n_shared"] >= 1
+    # doc 3 shares its first window (uniq_b) with doc 2's second window
+    assert out[3]["n_chunks"] >= 1
+    # totals are per-chunk counts, not flags
+    assert out[1]["n_chunks"] == 2
