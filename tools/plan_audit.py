@@ -133,6 +133,26 @@ CHECKS = {
          and "BroadcastNestedLoopJoin" not in p),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "temperature_sample": [
+        # mixing is a broadcast of a tiny counts frame + row-local predicate
+        ("counts broadcast, no shuffle join",
+         lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ],
+    "shared_chunk_stats": [
+        ("no all-pairs join", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "corpus_pipeline": [
+        ("no all-pairs join", lambda p: "CartesianProduct" not in p),
+        ("sharded packing window",
+         lambda p: not re.search(r"Window [^\n]*windowspecdefinition\(doc_id", p)),
+    ],
+    "ann_quantized_topk": [
+        ("query side broadcast", lambda p: "Broadcast" in p),
+        ("top-k per query via window, no global sort",
+         lambda p: "RunningWindowFunction" in p or "Window" in p),
+    ],
     "tpch_q1_like": [
         # codegen annotations only appear once AQE finalizes at execution;
         # the auditable static property is map-side partial aggregation
