@@ -598,32 +598,35 @@ def decontaminate(docs: DataFrame, n: int = 8, eval_mod: int = 50,
     both engines) — (doc_id, n_shingles, n_shared, contaminated) where
     n_shared counts distinct shingles also present in the eval set.
 
-    Scale shape: the join is keyed on the shingle string and the eval side
-    is DISTINCT shingles of the (small) benchmark suite — broadcastable in
-    practice, and Spark's AQE will pick that; no all-pairs anywhere. The
-    two countDistincts are partial-aggregated. Verified to find the planted
-    near-duplicate of an eval doc in the synthetic corpus (exactly one
-    contaminated doc at n=8).
+    Scale shape: ONE pass over the corpus shingles — a LEFT join against
+    the DISTINCT eval shingles (the small benchmark suite: broadcast) marks
+    each shingle, then a single per-doc aggregation computes both
+    countDistincts (total + conditional). The corpus-side explode lineage
+    is never evaluated twice; no all-pairs anywhere. Verified to find the
+    planted near-duplicate of an eval doc in the synthetic corpus (exactly
+    one contaminated doc at n=8).
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     is_eval = F.col(id_col) % eval_mod == 0
-    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    eval_sh = (
+        sh.filter(is_eval).select("shingle").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     corpus_sh = sh.filter(~is_eval)
-    totals = corpus_sh.groupBy(id_col).agg(
-        F.countDistinct("shingle").alias("n_shingles")
-    )
-    hits = (
-        corpus_sh.join(eval_sh, "shingle")
-        .groupBy(id_col)
-        .agg(F.countDistinct("shingle").alias("n_shared"))
-    )
+    marked = corpus_sh.join(F.broadcast(eval_sh), "shingle", "left")
     return (
-        totals.join(hits, id_col, "left")
+        marked.groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").cast("long").alias("n_shingles"),
+            F.countDistinct(
+                F.when(F.col("_hit").isNotNull(), F.col("shingle"))
+            ).cast("long").alias("n_shared"),
+        )
         .select(
             F.col(id_col).cast("long").alias(id_col),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
-            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") > 0).alias("contaminated"),
         )
     )
 
