@@ -448,23 +448,27 @@ def shared_chunk_stats(docs: DataFrame, chunk_size: int = 64,
     drop chunks, keep) stays with the caller; the integer pair is the exact
     decision input.
 
-    Scale shape: chunking is shuffle-free (one explode); then one groupBy
-    on chunk_hash (distinct-doc count, partial-aggregated) and one hash
-    join back keyed on chunk_hash + one per-doc groupBy. No all-pairs —
-    duplication is resolved through the hash's posting count, never through
-    doc x doc comparison.
+    Scale shape: chunking is shuffle-free (one explode); the shared flag is
+    a WINDOW over chunk_hash — "appears in >= 2 distinct docs" reduces to
+    min(doc) != max(doc) within the hash partition, two constant-memory
+    window aggregates (no collect_set, no self-join: the explode lineage is
+    evaluated ONCE) — then one per-doc groupBy. Two keyed shuffles total;
+    duplication is resolved through the hash partition, never doc x doc.
     """
+    from pyspark.sql import Window
+
     ch = chunk_documents(docs, chunk_size=chunk_size, overlap=overlap,
                          text_col=text_col, id_col=id_col)
-    counts = ch.groupBy("chunk_hash").agg(
-        F.countDistinct(id_col).alias("nd")
+    w = Window.partitionBy("chunk_hash")
+    flagged = ch.withColumn(
+        "_shared",
+        (F.min(id_col).over(w) != F.max(id_col).over(w)).cast("long"),
     )
     return (
-        ch.join(counts, "chunk_hash")
-        .groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.sum((F.col("nd") >= 2).cast("long")).cast("long").alias("n_shared"),
+            F.sum("_shared").cast("long").alias("n_shared"),
         )
         .select(F.col(id_col).cast("long").alias(id_col), "n_chunks", "n_shared")
     )

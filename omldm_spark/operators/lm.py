@@ -21,7 +21,13 @@ partial aggregations; the scoring join is keyed on the bigram with the
 model side orders of magnitude smaller than the corpus (vocab^2 vs tokens)
 — broadcast when it fits, AQE otherwise; per-doc bigrams are pre-combined
 (doc_id, w1, w2, k) before the join so the join input is the doc's DISTINCT
-bigrams, not every token position.
+bigrams, not every token position. The (doc_id, w1, w2, k) lineage feeds
+both the model aggregation and the scoring join — in one Catalyst plan that
+lineage is evaluated twice (model fit is a global aggregate, so no
+single-pass rewrite exists); at 100 TB, materialize the combined bigram
+frame (persist/checkpoint or a parquet stage boundary) so the tokenize +
+explode runs once — the fit/score split real pipelines have anyway (the
+reference LM is trained offline, CCNet §3).
 
 Reference scope note: OMLDM scores models, not text (QueryResponse,
 FlinkSpoke.scala); this operator is part of the beyond-reference
