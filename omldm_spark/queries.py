@@ -2672,3 +2672,47 @@ def q_shared_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     many of its token-window chunks appear verbatim elsewhere — resolved
     through posting counts on the chunk hash, never doc x doc."""
     return shared_chunk_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tpch_q18_like",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 20000
+)
+SELECT c.c_custkey, o.o_orderkey, b.qty_q,
+       CAST(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP))) AS BIGINT) AS orderdate_s
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): pre-aggregate lineitem with a
+    HAVING gate FIRST — the aggregation shrinks the fact table to the few
+    qualifying orders BEFORE any join (the order matters at 100 TB: join
+    first and the shuffle carries every lineitem row; aggregate first and
+    it carries one row per order). Quantities quantized to exact integers;
+    the surviving-order join keys are then small enough that AQE broadcasts
+    them into orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    qq = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qq).cast("long").alias("qty_q"))
+        .filter(F.col("qty_q") > 20000)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey", "qty_q",
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+             .cast("long").alias("orderdate_s"),
+        )
+    )
