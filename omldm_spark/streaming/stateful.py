@@ -119,3 +119,109 @@ def streaming_running_stats(stream: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def minhash_bands_col(text_col: str = "text", k: int = 8, bands: int = 4,
+                      n: int = 3):
+    """ARRAY<STRUCT<band:int, bval:string>> of LSH band signatures computed
+    ROW-LOCALLY — ``array_min`` over the shingle array replaces the batch
+    path's explode + groupBy (operators/dedup.minhash_signatures), so the
+    signature is a pure projection a stream can evaluate with no shuffle
+    and no stateful aggregation. Same hash family as the batch operator
+    (h_i = min md5(i || '|' || shingle)); a doc with no shingles gets
+    sentinel-only bands that collide only with other empty docs."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import shingle_array, tokens_col
+
+    r = k // bands
+    toks = tokens_col(text_col)
+    sh = shingle_array_from(toks, n)
+    sig = [
+        F.coalesce(
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(
+                    F.concat(F.lit(str(i)), F.lit("|"), s)))
+            ),
+            F.lit("~empty"),
+        )
+        for i in range(k)
+    ]
+    return F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(F.concat_ws("|", *sig[b * r:(b + 1) * r])).alias("bval"),
+        )
+        for b in range(bands)
+    ])
+
+
+def shingle_array_from(toks_expr, n: int):
+    """shingle_array over an inline token expression: materializing into a
+    projection first is the batch-path optimization (array-lambda
+    re-evaluation); for the streaming per-row path the doc is small and the
+    expression is evaluated once per band-hash anyway — callers that care
+    pre-project the token array."""
+    from ..operators.dedup import shingle_array
+    from pyspark.sql import functions as F
+
+    return shingle_array(toks_expr if not isinstance(toks_expr, str)
+                         else F.col(toks_expr), n)
+
+
+def _near_dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """State per (band, bval): the anchor doc id (first doc ever seen in
+    this bucket). Every later doc in the bucket emits a candidate pair
+    (doc_id, anchor_id). Batch-internal determinism: the anchor of a fresh
+    bucket is the MIN doc id in the batch."""
+    rows = pd.concat([p for p in pdfs if len(p)], ignore_index=True) \
+        if pdfs is not None else pd.DataFrame()
+    chunks = [rows] if len(rows) else []
+    allr = pd.concat(chunks, ignore_index=True) if chunks else None
+    if allr is None or not len(allr):
+        return
+    if state.exists:
+        anchor = int(state.get[0])
+    else:
+        anchor = int(allr["doc_id"].min())
+        state.update((anchor,))
+    out = allr[allr["doc_id"] != anchor]
+    if len(out):
+        yield pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "anchor_id": anchor,
+            "band": out["band"].astype("int32"),
+        })
+
+
+def streaming_near_dedup(stream: DataFrame, k: int = 8, bands: int = 4,
+                         n: int = 3, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Cross-batch NEAR-duplicate detection: MinHash-LSH with the band
+    buckets as keyed streaming state — the streaming analogue of
+    operators/dedup.lsh_candidate_pairs.
+
+    Plan: row-local signature projection (zero shuffle) -> explode to
+    (band, bval) -> ONE keyed shuffle into ``applyInPandasWithState`` where
+    each bucket remembers its anchor doc. A doc colliding with an anchor in
+    ANY band emits a candidate pair; downstream exact verification (cosine
+    / jaccard re-rank) is the same second stage the batch pipeline uses.
+    State: one long per non-empty bucket — O(distinct buckets),
+    checkpointed, TTL-able by the same timeout pattern as streaming_dedup.
+
+    Output: (doc_id, anchor_id, band) candidate rows (distinct-pair
+    reduction is a downstream stateless aggregation per micro-batch).
+    """
+    from pyspark.sql import functions as F
+
+    sigs = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(minhash_bands_col(text_col, k=k, bands=bands, n=n)).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    return sigs.groupBy("band", "bval").applyInPandasWithState(
+        _near_dedup_fn,
+        outputStructType="doc_id long, anchor_id long, band int",
+        stateStructType="anchor long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

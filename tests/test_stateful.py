@@ -115,3 +115,51 @@ def test_idle_timeout_stopper(spark, tmp_path):
     IdleTimeoutStopper(q, timeout_sec=4.0, poll_sec=0.5).start()
     q.awaitTermination(90)
     assert not q.isActive
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_path):
+    """A near-duplicate arriving BATCHES LATER must still collide with its
+    anchor through the banded bucket state (the streaming analogue of
+    minhash-LSH candidate pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    from omldm_spark.streaming.sources import file_replay_source
+    from omldm_spark.streaming.stateful import streaming_near_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    near = base_text.replace("lazy", "sleepy")          # most shingles shared
+    other = "completely different words about spark adaptive execution plans"
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    src = tmp_path / "near_src"
+    src.mkdir()
+    t0 = _time.time() - 1000
+    for i, rows in enumerate([[(1, base_text), (3, other)], [(2, near)]]):
+        f = src / f"b{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(
+            [{"doc_id": d, "text": t} for d, t in rows], schema=schema), f)
+        import os as _os
+        _os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    stream = file_replay_source(
+        spark, str(src),
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]),
+        max_files_per_trigger=1,
+    )
+    out = streaming_near_dedup(stream, k=8, bands=4, n=3)
+    got: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    pairs = {(r["doc_id"], r["anchor_id"]) for r in got}
+    assert (2, 1) in pairs            # near-dup found its anchor cross-batch
+    assert all(p[0] != 3 and p[1] != 3 for p in pairs)  # unrelated doc clean
