@@ -650,3 +650,45 @@ SELECT CAST(t.{id_col} AS BIGINT) AS {id_col}, t.n_shingles,
        coalesce(h.n_shared, 0) > 0 AS contaminated
 FROM totals t LEFT JOIN hits h ON t.{id_col} = h.{id_col}
 """
+
+
+def NEAR_DEDUP_ANCHOR_SQL(k: int = 8, bands: int = 4, n: int = 3,
+                          table: str = "documents", text_expr: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """Oracle for streaming/stateful.streaming_near_dedup under SINGLE-batch
+    replay: per (band, bval) bucket the anchor is the global min doc id and
+    every other member emits (doc_id, anchor_id, band). Mirrors the
+    row-local signature math (min md5(i|shingle) per hash, md5-joined band
+    values) in pure DuckDB list lambdas."""
+    toks = TOKENS_SQL(text_expr)
+    shingle_elems = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    shingles = (
+        f"list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1), "
+        f"i -> {shingle_elems})"
+    )
+    sig = ", ".join(
+        f"coalesce(list_min(list_transform(sh, s -> md5('{i}' || '|' || s))), "
+        f"'~empty') AS s{i}"
+        for i in range(k)
+    )
+    r = k // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, "
+        f"md5({' || chr(124) || '.join(f's{b * r + j}' for j in range(r))}) AS bval "
+        "FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
+shs AS (SELECT {id_col}, t, {shingles} AS sh FROM tok),
+sigs AS (SELECT {id_col}, {sig} FROM shs),
+bandv AS ({band_rows}),
+anch AS (
+  SELECT band, bval, min({id_col}) AS anchor_id FROM bandv GROUP BY 1, 2
+)
+SELECT CAST(b.{id_col} AS BIGINT) AS doc_id,
+       CAST(a.anchor_id AS BIGINT) AS anchor_id,
+       CAST(b.band AS INTEGER) AS band
+FROM bandv b JOIN anch a ON b.band = a.band AND b.bval = a.bval
+WHERE b.{id_col} != a.anchor_id
+"""

@@ -2716,3 +2716,39 @@ def q_tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("long").alias("orderdate_s"),
         )
     )
+
+
+from .operators.dedup import NEAR_DEDUP_ANCHOR_SQL  # noqa: E402
+
+
+@query("streaming_near_dedup", oracle=NEAR_DEDUP_ANCHOR_SQL())
+def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING MinHash-LSH near-dedup driven through a real
+    availableNow run (streaming/stateful.streaming_near_dedup) — row-local
+    signatures, banded buckets as keyed state. Replayed as ONE batch here,
+    the anchor of every bucket is the global min doc id, so the candidate
+    output is deterministic and the oracle reproduces it EXACTLY in SQL
+    (a streaming stateful operator with a hash-exact oracle)."""
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import streaming_near_dedup
+
+    tmp = tempfile.mkdtemp(prefix="omldm_near_")
+    src = f"{tmp}/src"
+    import os as _os
+    _os.makedirs(src)
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/docs.parquet")
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = file_replay_source(spark, src, docs_schema)
+    out = streaming_near_dedup(stream, k=8, bands=4, n=3)
+    sink = f"{tmp}/pairs"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(sink)

@@ -137,16 +137,18 @@ def minhash_bands_col(text_col: str = "text", k: int = 8, bands: int = 4,
     r = k // bands
     toks = tokens_col(text_col)
     sh = shingle_array_from(toks, n)
-    sig = [
-        F.coalesce(
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(
-                    F.concat(F.lit(str(i)), F.lit("|"), s)))
-            ),
+    # NB: the hash-family prefix must be bound OUTSIDE the lambda — a
+    # two-parameter lambda (``lambda s, i=i: ...``) is interpreted by
+    # F.transform as (element, index) and the default arg is shadowed by
+    # the array-index Column, silently hashing ``str(Column)`` reprs.
+    def _sig(i: int):
+        prefix = F.lit(f"{i}|")
+        return F.coalesce(
+            F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s)))),
             F.lit("~empty"),
         )
-        for i in range(k)
-    ]
+
+    sig = [_sig(i) for i in range(k)]
     return F.array(*[
         F.struct(
             F.lit(b).cast("int").alias("band"),
