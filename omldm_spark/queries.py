@@ -2752,3 +2752,84 @@ def q_streaming_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.read.parquet(sink)
+
+
+@query(
+    "tpch_q17_like",
+    oracle="""
+WITH qavg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_q100,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small_qty_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_q
+FROM lineitem l JOIN qavg a ON l.l_partkey = a.l_partkey
+WHERE 5 * CAST(round(l.l_quantity * 100, 0) AS BIGINT) * a.cnt < a.sum_q100
+""",
+)
+def q_tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated scalar
+    subquery ``l_quantity < 0.2 * avg(l_quantity) per part`` decorrelated
+    into a per-part aggregate re-joined to the fact — the classic
+    decorrelation plan (both sides shuffle on l_partkey; the agg side is
+    |parts| rows so AQE may still pick a broadcast at small SF, and the
+    partial agg is map-side combined).
+
+    Exactness: ``q < 0.2 * sum/cnt`` is evaluated as the integer cross
+    multiplication ``5 * q100 * cnt < sum_q100`` (q100 = round(100*q)), so
+    the predicate cannot flip on float summation order; revenue is summed in
+    integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q100 = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    ep100 = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(q100).alias("sum_q100"), F.count(F.lit(1)).alias("cnt")
+    )
+    j = li.select("l_partkey", q100.alias("q100"), ep100.alias("ep100")).join(
+        agg, "l_partkey"
+    )
+    return j.filter(
+        F.lit(5) * F.col("q100") * F.col("cnt") < F.col("sum_q100")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_qty_lines"),
+        F.sum("ep100").cast("long").alias("revenue_q"),
+    )
+
+
+@query(
+    "tpch_q16_like",
+    oracle="""
+SELECT p.p_brand, p.p_type,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+""",
+)
+def q_tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count-per-part-class with a blacklist (TPC-H Q16 shape):
+    NOT IN over a filtered dim becomes a BROADCAST anti-join on the fact
+    (the blacklist is tiny by construction — suppliers with negative
+    balance), part is a broadcast dim join, and count(DISTINCT) runs as the
+    standard two-phase expand+agg. No shuffle touches lineitem except the
+    final distinct-agg on (brand, type, suppkey) — scale-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    blacklist = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    clean = li.join(
+        F.broadcast(blacklist),
+        li["l_suppkey"] == blacklist["s_suppkey"],
+        "left_anti",
+    )
+    return (
+        clean.join(
+            F.broadcast(part), clean["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

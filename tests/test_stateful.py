@@ -163,3 +163,46 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
     pairs = {(r["doc_id"], r["anchor_id"]) for r in got}
     assert (2, 1) in pairs            # near-dup found its anchor cross-batch
     assert all(p[0] != 3 and p[1] != 3 for p in pairs)  # unrelated doc clean
+
+
+def test_streaming_band_signatures_match_batch(spark):
+    """The row-local streaming signature (minhash_bands_col) must use the
+    SAME hash family as the batch explode+groupBy path — regression for the
+    two-parameter transform-lambda bug where the hash-family index was
+    shadowed by the array-index Column and str(Column) reprs were hashed."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.dedup import minhash_signatures
+    from omldm_spark.streaming.stateful import minhash_bands_col
+
+    k, bands, n = 8, 4, 3
+    r = k // bands
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs again"),
+         (3, "too short")],
+        "doc_id long, text string",
+    )
+    stream_bands = (
+        docs.select(
+            "doc_id",
+            F.explode(minhash_bands_col("text", k=k, bands=bands, n=n)).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bval")
+        .collect()
+    )
+    batch = {
+        row["doc_id"]: row
+        for row in minhash_signatures(docs, k=k, n=n).collect()
+    }
+    checked = 0
+    for row in stream_bands:
+        if row["doc_id"] not in batch:      # <n tokens: absent from batch
+            continue
+        sig = [batch[row["doc_id"]][f"h{i}"] for i in range(k)]
+        expect = "|".join(sig[row["band"] * r:(row["band"] + 1) * r])
+        import hashlib
+
+        assert row["bval"] == hashlib.md5(expect.encode()).hexdigest()
+        checked += 1
+    assert checked == 2 * bands             # both long docs, every band
