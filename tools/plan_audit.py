@@ -50,6 +50,23 @@ CHECKS = {
             ),
         ),
     ],
+    "tpch_q16_like": [
+        # blacklist NOT IN = broadcast ANTI join; part = broadcast dim join;
+        # lineitem itself is never the build side of anything
+        ("anti-join is broadcast", lambda p: "BroadcastHashJoin" in p
+         and "LeftAnti" in p),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ("distinct agg is multi-phase", lambda p: p.count("HashAggregate") >= 3),
+    ],
+    "tpch_q17_like": [
+        # decorrelated per-part avg: partial agg before the shuffle; the
+        # fact⨝agg join strategy is AQE's choice (no forced hint)
+        ("partial aggregation map-side", lambda p: p.count("HashAggregate") >= 2),
+        (
+            "no forced broadcast hint on the self-join",
+            lambda p, ext: _optimized(ext).count("strategy=broadcast") == 0,
+        ),
+    ],
     "orr_gram": [
         ("partial+final aggregate", lambda p: p.count("HashAggregate") >= 2),
     ],
