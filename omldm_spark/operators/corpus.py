@@ -488,3 +488,101 @@ SELECT CAST(ch.{id_col} AS BIGINT) AS {id_col},
 FROM ch JOIN counts c ON ch.chunk_hash = c.chunk_hash
 GROUP BY ch.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: distributed global rank by quality
+# ---------------------------------------------------------------------------
+
+def curriculum_order(docs: DataFrame, num_ranges: int = 32,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Global curriculum rank: order the corpus by a quality key (stopword
+    density here — any integer key works) and assign each doc its exact
+    global position, without ever sorting on one node.
+
+    Scale design — the two-phase distributed global rank:
+
+    1. ``repartitionByRange`` on (quality DESC, id) — Spark's sample-based
+       RangePartitioner puts each doc in a contiguous, non-overlapping key
+       range (boundaries are sampled, but with the unique id in the range
+       key the assignment of ranks is total and deterministic).
+    2. per-partition ``row_number`` (local sort inside each range) plus the
+       cumulative count of all earlier ranges — the offsets are
+       ``num_ranges`` tiny rows collected to the driver, the only
+       driver-side data regardless of corpus size.
+
+    A single-partition ``Window.orderBy`` global row_number — the naive
+    spelling — funnels 100 TB through one task; this plan's largest
+    single-node obligation is one range partition (~corpus/num_ranges).
+
+    Quality key: floor(1e6 * stopword_hits / tokens) — integer-exact on
+    every engine (< 2^53, floor(double) both sides).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import STOPWORDS
+
+    toks = tokens_col(text_col)
+    en = STOPWORDS["en"]
+    metrics = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("_nt"),
+        F.size(F.filter(toks, lambda t: t.isin(en))).cast("long").alias("_ns"),
+    ).filter(F.col("_nt") > 0)
+    keyed = metrics.select(
+        id_col,
+        F.floor(F.col("_ns") * 1000000 / F.col("_nt")).cast("long")
+        .alias("quality_q"),
+    )
+    # persist BEFORE counting: the offsets job and the final rank job must
+    # see the SAME range assignment, and RangePartitioner boundaries are
+    # sample-based — re-executing the exchange could move boundary rows
+    ranged = keyed.repartitionByRange(
+        num_ranges, F.col("quality_q").desc(), F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id()).persist()
+    # offsets: one tiny row per range partition — the ONLY driver collect
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[
+            x for pid in sorted(offsets)
+            for x in (F.lit(pid), F.lit(offsets[pid]))
+        ]),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("quality_q").desc(), F.col(id_col)
+    )
+    return ranged.select(
+        id_col,
+        "quality_q",
+        (F.row_number().over(w) + off_expr).cast("long").alias("rank"),
+    )
+
+
+def CURRICULUM_SQL(table: str = "documents", text_expr: str = "text",
+                   id_col: str = "doc_id") -> str:
+    from ..functions.text import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH m AS (
+  SELECT {id_col},
+         CAST(floor(len(list_filter(toks, t -> t IN ({en}))) * 1000000
+                    / (len(toks) * 1.0)) AS BIGINT) AS quality_q
+  FROM (SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table})
+  WHERE len(toks) > 0
+)
+SELECT {id_col}, quality_q,
+       CAST(row_number() OVER (ORDER BY quality_q DESC, {id_col}) AS BIGINT)
+         AS rank
+FROM m
+"""

@@ -2833,3 +2833,15 @@ def q_tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+from .operators.corpus import CURRICULUM_SQL, curriculum_order  # noqa: E402
+
+
+@query("curriculum_order", oracle=CURRICULUM_SQL())
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: exact global rank of every doc by quality via
+    the two-phase distributed pattern (repartitionByRange + per-partition
+    row_number + range-count offsets) — no single-partition window, no
+    global sort on one node (operators/corpus.curriculum_order)."""
+    return curriculum_order(load_table(spark, sf_dir, "documents"))

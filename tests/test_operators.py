@@ -486,3 +486,20 @@ def test_shared_chunk_stats_detects_cross_doc_duplication(spark):
     assert out[3]["n_chunks"] >= 1
     # totals are per-chunk counts, not flags
     assert out[1]["n_chunks"] == 2
+
+
+def test_curriculum_order_global_rank(spark):
+    """Two-phase distributed rank == the single-node sort order: ranks are a
+    permutation of 1..n and agree with (quality DESC, doc_id) even when the
+    corpus is spread over many range partitions (num_ranges > distinct
+    keys forces empty + boundary-adjacent partitions)."""
+    from omldm_spark.operators.corpus import curriculum_order
+
+    rows = [(i, ("the and of " * (i % 7)) + "zzz qqq xxy " * (1 + i % 3))
+            for i in range(1, 101)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curriculum_order(docs, num_ranges=16).collect()
+    assert sorted(r["rank"] for r in out) == list(range(1, 101))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    keys = [(-r["quality_q"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
