@@ -2845,3 +2845,30 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number + range-count offsets) — no single-partition window, no
     global sort on one node (operators/corpus.curriculum_order)."""
     return curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_top_terms",
+    oracle=f"""
+SELECT term, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t != '')) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT 100
+""",
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-100 corpus terms — explode + map-side-combined
+    groupBy + TakeOrderedAndProject (no global sort). The first step of
+    building a tokenizer vocab over the corpus; deterministic tiebreak on
+    the term itself keeps the cut exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(100)
+    )
