@@ -372,3 +372,101 @@ SELECT query_id, neighbor_id, cos_sim,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact Lloyd round over integer-quantized embeddings
+# ---------------------------------------------------------------------------
+
+def kmeans_round_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE exact Lloyd iteration in integer space: the distributed k-means
+    step every diversity-clustering / IVF-training pipeline runs, made
+    hash-exact so it can be oracle-checked (float k-means never is —
+    summation order changes centroids).
+
+    * quantize: q_i = round(quant * x_i) — a global scale, so squared
+      distances are plain BIGINT sums (commutative: any partial-agg order
+      gives the same result, unlike float Lloyd).
+    * seed centroids: the k lowest ids (deterministic, no RNG) — collected
+      to the driver (k rows) and folded into the plan as literals, so
+      assignment is a zero-join broadcast argmin with (dist, cid) tiebreak.
+    * update: groupBy(cid) with per-dimension integer sums + count — the
+      new centroid is sums/n, but the EXACT integers are what ships so the
+      caller (and the oracle) can derive identical doubles.
+
+    Scale: one shuffle total (the k-group agg, map-side combined); the
+    argmin is per-row Catalyst over k×dim literals. For k beyond literal
+    comfort (~thousands) switch the centroid side to a broadcast join.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+    qe = emb.select(F.col(id_col).cast("long").alias("vid"), qv.alias("qv"))
+    cents = sorted(
+        qe.filter(F.col("vid") < k).collect(), key=lambda r: r["vid"]
+    )
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(c["qv"][i])) for i in range(dim)]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(int(c["vid"])).cast("long").alias("cid"),
+        )
+        for c in cents
+    ])
+    assigned = qe.select("vid", "qv", F.array_min(dists).alias("best"))
+    sums = [
+        F.sum(F.element_at("qv", i + 1)).cast("long").alias(f"s{i}")
+        for i in range(dim)
+    ]
+    agg = (
+        assigned.groupBy(F.col("best.cid").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"), *sums)
+    )
+    return agg.select(
+        "cid",
+        "n_assigned",
+        F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("centroid_sums_q"),
+    )
+
+
+def KMEANS_ROUND_SQL(k: int = 8, dim: int = 64, quant: int = 1_000_000,
+                     table: str = "embeddings", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    return f"""
+WITH qe AS (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
+                                  AS BIGINT)) AS qv
+  FROM {table}
+),
+cent AS (SELECT vid AS cid, qv AS cv FROM qe WHERE vid < {k}),
+assign AS (
+  SELECT e.vid, e.qv, c.cid
+  FROM qe e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid
+    ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                      i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))), c.cid
+  ) = 1
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+       [{", ".join(f"CAST(sum(qv[{i + 1}]) AS BIGINT)" for i in range(dim))}]
+         AS centroid_sums_q
+FROM assign GROUP BY cid
+"""

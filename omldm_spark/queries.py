@@ -2872,3 +2872,17 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "term")
         .limit(100)
     )
+
+
+from .operators.similarity import KMEANS_ROUND_SQL, kmeans_round_quantized  # noqa: E402
+
+
+@query("embedding_kmeans_round", oracle=KMEANS_ROUND_SQL(k=8, dim=64))
+def q_embedding_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT distributed Lloyd iteration over integer-quantized
+    embeddings (operators/similarity.kmeans_round_quantized): broadcast
+    argmin assignment + single map-side-combined shuffle for the centroid
+    update, integers end-to-end so the oracle hash-matches."""
+    return kmeans_round_quantized(
+        load_table(spark, sf_dir, "embeddings"), k=8
+    )
