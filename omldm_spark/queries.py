@@ -2886,3 +2886,45 @@ def q_embedding_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_round_quantized(
         load_table(spark, sf_dir, "embeddings"), k=8
     )
+
+
+@query(
+    "rolling_revenue_7d",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_s,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+              PARTITION BY o_custkey
+              ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS trailing_revenue_q
+FROM orders
+""",
+)
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per customer: a sliding RANGE-frame window on
+    the event-time axis — the windowing shape tumbling/session windows
+    don't cover. Partitioned by customer, so the only shuffle is the keyed
+    exchange and each frame scan is per-key local; ties on the timestamp
+    share one frame on both engines, and revenue is integer cents so the
+    running sums hash-match."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    ts_s = F.unix_timestamp("o_orderdate")
+    price_q = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("ts_s"))
+        .rangeBetween(-604800, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey", "o_custkey", ts_s.alias("ts_s"),
+            price_q.alias("_pq"),
+        )
+        .select(
+            "o_orderkey", "o_custkey", "ts_s",
+            F.sum("_pq").over(w).cast("long").alias("trailing_revenue_q"),
+        )
+    )
