@@ -206,3 +206,57 @@ def test_streaming_band_signatures_match_batch(spark):
         assert row["bval"] == hashlib.md5(expect.encode()).hexdigest()
         checked += 1
     assert checked == 2 * bands             # both long docs, every band
+
+
+def test_streaming_near_dedup_state_survives_restart(spark, tmp_path):
+    """Bucket anchors are checkpointed state: a doc arriving in a SECOND
+    availableNow run (fresh query object, same checkpoint) must still pair
+    with the anchor learned in the first run."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from omldm_spark.streaming.sources import file_replay_source
+    from omldm_spark.streaming.stateful import streaming_near_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running far away")
+    near = base + " tonight"
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    sschema = StructType([StructField("doc_id", LongType()),
+                          StructField("text", StringType())])
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = _time.time() - 1000
+
+    def write(i, rows):
+        f = src / f"b{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(
+            [{"doc_id": d, "text": t} for d, t in rows], schema=schema), f)
+        _os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    def run_once():
+        got = []
+        q = (
+            streaming_near_dedup(
+                file_replay_source(spark, str(src), sschema), k=8, bands=4, n=3)
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    write(0, [(1, base)])
+    first = run_once()
+    assert first == []                       # anchor only, no pair yet
+
+    write(1, [(2, near)])                    # arrives after a full restart
+    second = run_once()
+    pairs = {(r["doc_id"], r["anchor_id"]) for r in second}
+    assert (2, 1) in pairs                   # anchor recovered from ckpt
