@@ -378,6 +378,46 @@ QUALIFY rank <= {k}
 # Exact Lloyd round over integer-quantized embeddings
 # ---------------------------------------------------------------------------
 
+def kmeans_assign_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cluster ASSIGNMENT half of ``kmeans_round_quantized``:
+    (vid, qv, cid) rows where cid is the integer-distance argmin over the
+    k seed centroids with (dist, cid) tiebreak. Zero shuffle — per-row
+    Catalyst over literal-folded centroids."""
+    dim = len(emb.select(vec_col).first()[0])
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+    qe = emb.select(F.col(id_col).cast("long").alias("vid"), qv.alias("qv"))
+    cents = sorted(
+        qe.filter(F.col("vid") < k).collect(), key=lambda r: r["vid"]
+    )
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(c["qv"][i])) for i in range(dim)]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(int(c["vid"])).cast("long").alias("cid"),
+        )
+        for c in cents
+    ])
+    return qe.select(
+        "vid", "qv", F.array_min(dists).getField("cid").alias("cid")
+    )
+
+
 def kmeans_round_quantized(
     emb: DataFrame,
     k: int = 8,
@@ -405,36 +445,15 @@ def kmeans_round_quantized(
     comfort (~thousands) switch the centroid side to a broadcast join.
     """
     dim = len(emb.select(vec_col).first()[0])
-    qv = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    assigned = kmeans_assign_quantized(
+        emb, k=k, quant=quant, id_col=id_col, vec_col=vec_col
     )
-    qe = emb.select(F.col(id_col).cast("long").alias("vid"), qv.alias("qv"))
-    cents = sorted(
-        qe.filter(F.col("vid") < k).collect(), key=lambda r: r["vid"]
-    )
-    dists = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("qv"),
-                    F.array(*[F.lit(int(c["qv"][i])) for i in range(dim)]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            F.lit(int(c["vid"])).cast("long").alias("cid"),
-        )
-        for c in cents
-    ])
-    assigned = qe.select("vid", "qv", F.array_min(dists).alias("best"))
     sums = [
         F.sum(F.element_at("qv", i + 1)).cast("long").alias(f"s{i}")
         for i in range(dim)
     ]
     agg = (
-        assigned.groupBy(F.col("best.cid").alias("cid"))
+        assigned.groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"), *sums)
     )
     return agg.select(
@@ -444,11 +463,12 @@ def kmeans_round_quantized(
     )
 
 
-def KMEANS_ROUND_SQL(k: int = 8, dim: int = 64, quant: int = 1_000_000,
-                     table: str = "embeddings", id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> str:
-    return f"""
-WITH qe AS (
+def KMEANS_ASSIGN_CTES(k: int = 8, dim: int = 64, quant: int = 1_000_000,
+                       table: str = "embeddings", id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """WITH-clause body producing the exact assignment CTE (`assign`):
+    shared between the Lloyd-round and cluster-profile oracles."""
+    return f"""qe AS (
   SELECT CAST({id_col} AS BIGINT) AS vid,
          list_transform({vec_col},
                         x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
@@ -464,7 +484,15 @@ assign AS (
     ORDER BY list_sum(list_transform(range(1, {dim} + 1),
                       i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))), c.cid
   ) = 1
-)
+)"""
+
+
+def KMEANS_ROUND_SQL(k: int = 8, dim: int = 64, quant: int = 1_000_000,
+                     table: str = "embeddings", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    ctes = KMEANS_ASSIGN_CTES(k, dim, quant, table, id_col, vec_col)
+    return f"""
+WITH {ctes}
 SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
        [{", ".join(f"CAST(sum(qv[{i + 1}]) AS BIGINT)" for i in range(dim))}]
          AS centroid_sums_q

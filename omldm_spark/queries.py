@@ -2928,3 +2928,44 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_pq").over(w).cast("long").alias("trailing_revenue_q"),
         )
     )
+
+
+from .operators.similarity import (  # noqa: E402
+    KMEANS_ASSIGN_CTES,
+    kmeans_assign_quantized,
+)
+
+
+@query(
+    "semantic_cluster_profile",
+    oracle=f"""
+WITH {KMEANS_ASSIGN_CTES(k=8, dim=64)}
+SELECT a.cid, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                                t -> t != ''))) AS BIGINT) AS total_tokens
+FROM assign a JOIN documents d ON a.vid = d.doc_id
+GROUP BY a.cid
+""",
+)
+def q_semantic_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-and-profile corpus curation (the FineWeb-style prune loop):
+    every doc's embedding is assigned to its exact integer-distance cluster
+    (operators/similarity.kmeans_assign_quantized — zero-shuffle argmin over
+    literal centroids), joined 1:1 to the document text, and profiled per
+    cluster (doc count + token mass). One keyed shuffle for the id join,
+    one map-side-combined agg over k groups."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assign = kmeans_assign_quantized(emb, k=8)
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens_col("text")).cast("long").alias("_nt"),
+    )
+    return (
+        assign.join(d, assign["vid"] == d["doc_id"])
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("total_tokens"),
+        )
+    )
