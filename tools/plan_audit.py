@@ -50,6 +50,15 @@ CHECKS = {
             ),
         ),
     ],
+    "curriculum_order": [
+        # two-phase global rank: a RANGE exchange, and the row_number window
+        # partitioned by the range id — never a global (empty-spec) window
+        ("range partitioned", lambda p: "rangepartitioning" in p.lower()),
+        (
+            "window is per-range, not global",
+            lambda p: bool(re.search(r"row_number\(\)[^\n]*\], \[_pid", p)),
+        ),
+    ],
     "tpch_q16_like": [
         # blacklist NOT IN = broadcast ANTI join; part = broadcast dim join;
         # lineitem itself is never the build side of anything
