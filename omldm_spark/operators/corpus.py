@@ -586,3 +586,110 @@ SELECT {id_col}, quality_q,
          AS rank
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus duplicate-span removal (Lee et al. 2022 / C4-style)
+# ---------------------------------------------------------------------------
+
+def dup_span_removal(docs: DataFrame, span: int = 32,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Remove every fixed-boundary ``span``-token window whose text appears
+    verbatim in at least one OTHER document, and reassemble the surviving
+    windows into a cleaned document — the "deduplicating training data"
+    operation (Lee et al. 2022 ExactSubstr; C4's duplicate-span rule),
+    restricted to non-overlapping aligned windows so the result is exact
+    and engine-independent (the synthetic corpus has no newlines; on real
+    text the window splitter swaps for a line/sentence splitter).
+
+    Output: (doc_id, n_spans, n_dropped, clean_text) — clean_text is ""
+    when every window of the doc is cross-document duplicated (the doc row
+    is KEPT so the caller sees the drop decision; filtering is policy).
+
+    Scale shape (3 keyed shuffles, no doc x doc anywhere):
+      1. window explode is shuffle-free (rows out = sum n/span per doc);
+      2. the shared flag is min(doc)!=max(doc) WINDOW over span_hash —
+         constant-memory per group, duplication resolved through the hash
+         partition exactly like shared_chunk_stats;
+      3. reassembly is one per-doc groupBy; collect_list holds at most
+         n/span short strings per doc (bounded by the doc itself, the
+         same memory the raw row already costs).
+    Exactness: pure string ops + md5 end-to-end — no floats, so the
+    cleaned text hash-matches DuckDB bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    toked = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens_col(text_col).alias("toks"),
+    ).withColumn("_n", F.size("toks")).filter(F.col("_n") > 0)
+    sp = toked.select(
+        id_col,
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(span))
+        ).alias("widx", "_start"),
+        F.col("toks"),
+    ).select(
+        id_col,
+        F.col("widx").cast("long").alias("widx"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("_start") + 1, F.lit(span)), " "
+        ).alias("span_text"),
+    ).withColumn("span_hash", F.md5("span_text"))
+    w = Window.partitionBy("span_hash")
+    flagged = sp.withColumn(
+        "_shared",
+        F.min(id_col).over(w) != F.max(id_col).over(w),
+    )
+    kept_struct = F.when(
+        ~F.col("_shared"), F.struct(F.col("widx"), F.col("span_text"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("_shared").cast("long")).cast("long")
+             .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("span_text"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_spans", "n_dropped", "clean_text")
+    )
+
+
+def DUP_SPAN_SQL(span: int = 32, table: str = "documents",
+                 text_expr: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST({id_col} AS BIGINT) AS {id_col}, toks, len(toks) AS n
+  FROM (SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table})
+  WHERE len(toks) > 0
+),
+sp AS (
+  SELECT {id_col},
+         CAST(floor(u.s / {span}.0) AS BIGINT) AS widx,
+         array_to_string(toks[u.s + 1 : u.s + {span}], ' ') AS span_text
+  FROM t, unnest(range(0, CAST(n AS BIGINT), {span})) AS u(s)
+),
+flagged AS (
+  SELECT {id_col}, widx, span_text,
+         min({id_col}) OVER (PARTITION BY md5(span_text))
+           <> max({id_col}) OVER (PARTITION BY md5(span_text)) AS shared
+  FROM sp
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(
+         string_agg(CASE WHEN NOT shared THEN span_text END, ' '
+                    ORDER BY widx),
+         '') AS clean_text
+FROM flagged
+GROUP BY {id_col}
+"""

@@ -2969,3 +2969,17 @@ def q_semantic_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_nt").cast("long").alias("total_tokens"),
         )
     )
+
+
+from .operators.corpus import DUP_SPAN_SQL, dup_span_removal  # noqa: E402
+
+
+@query("dup_span_removal", oracle=DUP_SPAN_SQL())
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate-span removal (Lee et al. 2022 / C4 rule over
+    aligned token windows): drop every 32-token window shared verbatim with
+    another doc and reassemble the cleaned text exactly — the full-dedup
+    complement of shared_chunk_stats (which only counts). 3 keyed shuffles,
+    duplication resolved through the span-hash partition, never doc x doc
+    (operators/corpus.py dup_span_removal)."""
+    return dup_span_removal(load_table(spark, sf_dir, "documents"))

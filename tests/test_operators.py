@@ -503,3 +503,45 @@ def test_curriculum_order_global_rank(spark):
     by_rank = sorted(out, key=lambda r: r["rank"])
     keys = [(-r["quality_q"], r["doc_id"]) for r in by_rank]
     assert keys == sorted(keys)
+
+
+def test_dup_span_removal_drops_cross_doc_spans_and_reassembles(spark):
+    """A span shared verbatim across two docs is removed from BOTH; unique
+    spans survive in original order; a fully-duplicated doc keeps its row
+    with clean_text == ''."""
+    from omldm_spark.operators.corpus import dup_span_removal
+
+    shared = " ".join(f"w{i}" for i in range(8))
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, shared + " " + uniq_a),      # window 0 shared, window 1 unique
+        (2, shared + " " + uniq_b),
+        (3, shared),                     # every window duplicated
+        (4, uniq_a[:-1] + "X"),          # near-miss: NOT identical, kept
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_removal(
+            spark.createDataFrame(rows, "doc_id long, text string"), span=8
+        ).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"] == uniq_a
+    assert out[2]["clean_text"] == uniq_b
+    assert out[3]["n_dropped"] == out[3]["n_spans"] == 1
+    assert out[3]["clean_text"] == ""
+    assert out[4]["n_dropped"] == 0 and out[4]["clean_text"].endswith("x")
+
+
+def test_dup_span_removal_within_doc_repeat_kept(spark):
+    """The rule is CROSS-document: a span repeated twice inside one doc is
+    not dropped (both occurrences survive, order preserved)."""
+    from omldm_spark.operators.corpus import dup_span_removal
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame([(7, rep + " " + rep)],
+                                 "doc_id long, text string")
+    row = dup_span_removal(docs, span=8).collect()[0]
+    assert row["n_dropped"] == 0
+    assert row["clean_text"] == rep + " " + rep
