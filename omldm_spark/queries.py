@@ -2983,3 +2983,123 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication resolved through the span-hash partition, never doc x doc
     (operators/corpus.py dup_span_removal)."""
     return dup_span_removal(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tpch_q4_like",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): the LEFT SEMI join — each
+    order is emitted at most once no matter how many lineitems match, so
+    the join output is bounded by |orders|, never |orders x lineitem|.
+    The date filter is a scan-side predicate (pushdown reaches parquet);
+    the semi join shuffles both sides keyed on orderkey and Spark keeps
+    only an existence bit per order — the exact EXISTS decorrelation the
+    reference's SQL layer would hand to its planner. At 100 TB the semi
+    build side streams; nothing is broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@query(
+    "tpch_q13_like",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def q_tpch_q13_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    so zero-order customers land in the c_count=0 bucket — the semantics a
+    plain inner join silently loses. The join predicate's non-key filter
+    (priority) must live ON the join, not as a WHERE, or outer rows vanish.
+    Shape at scale: one custkey-keyed shuffle for join+count (partial
+    counts map-side), then the histogram regroup is |distinct counts| rows
+    — trivially small. Customer-side skew is bounded (orders per customer),
+    AQE handles the rest."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q15_like",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS total_rev_q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_q
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev_q = (SELECT max(total_rev_q) FROM rev)
+""",
+)
+def q_tpch_q15_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the max-over-aggregate scalar
+    subquery, decorrelated as agg -> one-row global max -> equality join.
+    Revenue is quantized to integer cents BEFORE the sum so the max
+    comparison is exact on both engines (float revenue would make 'the'
+    max engine-dependent at ties). Plan at scale: one suppkey shuffle for
+    rev (map-side partial sums off a pushdown-filtered scan), the global
+    max is a broadcast of ONE row into the rev lineage, and the supplier
+    join is a broadcast of the tiny winners set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents).cast("long").alias("total_rev_q")
+    )
+    mx = rev.agg(F.max("total_rev_q").alias("_mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_q == F.col("_mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_q")
+    )

@@ -185,6 +185,38 @@ CHECKS = {
         ("partial+final aggregate", lambda p: p.count("HashAggregate") >= 2),
         ("scan prunes to 5 columns", lambda p: "l_orderkey" not in p),
     ],
+    "tpch_q4_like": [
+        # EXISTS must become a SEMI join (output bounded by |orders|),
+        # with the date filter pushed to the orders scan
+        ("semi join, not inner+distinct", lambda p: "LeftSemi" in p),
+        ("date filter reaches the scan",
+         lambda p: bool(re.search(r"PushedFilters: \[[^\]]*o_orderdate", p))),
+        ("no forced broadcast hint",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 0),
+    ],
+    "tpch_q13_like": [
+        # zero-order customers must survive: LEFT OUTER with the priority
+        # predicate inside the join condition, not a post-join filter
+        ("outer join preserved", lambda p: "LeftOuter" in p),
+        ("histogram regroup is partial+final",
+         lambda p: p.count("HashAggregate") >= 3),
+    ],
+    "tpch_q15_like": [
+        # global max is ONE row broadcast into the rev lineage; supplier
+        # join is broadcast of the winners set; lineitem never a build side
+        ("max and winners ride broadcasts",
+         lambda p: p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 1),
+        ("ship-date filter reaches the scan",
+         lambda p: bool(re.search(r"PushedFilters: \[[^\]]*l_shipdate", p))),
+        ("partial aggregation map-side", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "dup_span_removal": [
+        # duplication resolved through the span-hash window partition —
+        # never a doc x doc join; reassembly is a keyed groupBy
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("hash-partitioned window",
+         lambda p: bool(re.search(r"windowspecdefinition\(span_hash", p))),
+    ],
 }
 
 
