@@ -59,3 +59,42 @@ def salted_agg(
         .agg(*partial_exprs)
     )
     return partial.groupBy(*key_cols).agg(*final_exprs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    fact_salt: Column | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: the manual salting fallback for when a hot
+    join key overwhelms one reducer and the dim side is too big (or the
+    join too deep) for a broadcast. AQE's skew-join split covers sort-merge
+    joins it can measure; salting is the planner-independent answer and the
+    pattern a 1000-executor job reaches for first.
+
+        fact.join(dim, key)          hot key -> one straggler task
+        salted                       fact rows get salt in [0, B); dim rows
+                                     replicate B times (once per salt); the
+                                     join key becomes (key, salt), so a hot
+                                     key spreads over B reducers.
+
+    Each fact row still matches each of its dim rows EXACTLY once (the dim
+    copy with the row's own salt), so the result equals the unsalted join
+    row-for-row — asserted by the oracle. Cost: |dim| x B extra replicated
+    rows through the shuffle — use B ~ hot-key-multiplicity / average, not
+    hundreds. ``fact_salt`` defaults to a deterministic per-row expression
+    (replayable tests); any distribution works for correctness, uniform
+    works best for balance."""
+    salt = (
+        fact_salt
+        if fact_salt is not None
+        else F.pmod(F.xxhash64(*fact.columns), F.lit(salt_buckets))
+    )
+    f = fact.withColumn("_salt", salt.cast("int"))
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt_buckets)])),
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

@@ -3103,3 +3103,54 @@ def q_tpch_q15_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev_q")
     )
+
+
+from .operators.sketch import CMS_TERM_COUNTS_SQL, cms_term_counts  # noqa: E402
+
+_CMS_PROBE = ["key", "agg", "hash", "spark", "window", "customer",
+              "vector", "stream", "zzzneverseen"]
+
+
+@query("cms_term_counts", oracle=CMS_TERM_COUNTS_SQL(_CMS_PROBE))
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for a probe
+    vocabulary (incl. one absent term). The sketch is depth x width cells
+    no matter the corpus size — ONE groupBy whose shuffle payload is the
+    sketch itself; estimates ride broadcast joins. Bucket hash is shared
+    SQL text (md5-fold, operators/sketch.py bucket_sql) so every cell and
+    every min-estimate is engine-identical; est_cnt >= true_cnt is the CMS
+    overestimate guarantee."""
+    return cms_term_counts(load_table(spark, sf_dir, "documents"), _CMS_PROBE)
+
+
+from .operators.skew import salted_join  # noqa: E402
+
+
+@query(
+    "salted_join_brand_revenue",
+    oracle="""
+SELECT p.p_brand,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS rev_q
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim join: lineitem x part through salted_join
+    (operators/skew.py) — fact rows carry a deterministic salt, the dim
+    replicates once per salt value, and the (key, salt) join spreads any
+    hot partkey over 8 reducers. The oracle is the PLAIN join: salting must
+    be invisible in the result, only in the shuffle layout. Revenue in
+    integer cents, exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    joined = salted_join(li, p, "l_partkey", salt_buckets=8)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return joined.groupBy("p_brand").agg(
+        F.sum(cents).cast("long").alias("rev_q")
+    )

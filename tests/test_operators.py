@@ -545,3 +545,62 @@ def test_dup_span_removal_within_doc_repeat_kept(spark):
     row = dup_span_removal(docs, span=8).collect()[0]
     assert row["n_dropped"] == 0
     assert row["clean_text"] == rep + " " + rep
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """CMS guarantee: est >= true for every probe, == for terms with no
+    colliding buckets; an absent term gets true_cnt == 0."""
+    from omldm_spark.operators.sketch import cms_term_counts
+
+    rows = [(i, "alpha beta gamma " + ("alpha " * (i % 3))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in cms_term_counts(
+        docs, ["alpha", "beta", "nothere"], depth=4, width=64).collect()}
+    assert out["alpha"]["true_cnt"] == 30 + sum(i % 3 for i in range(30))
+    assert out["beta"]["true_cnt"] == 30
+    assert out["nothere"]["true_cnt"] == 0
+    for r in out.values():
+        assert r["est_cnt"] >= r["true_cnt"]
+
+
+def test_cms_sketch_size_bounded(spark):
+    """The sketch never exceeds depth*width rows regardless of corpus."""
+    from omldm_spark.operators.sketch import countmin_sketch
+
+    rows = [(i, " ".join(f"tok{j}" for j in range(i, i + 50)))
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = countmin_sketch(docs, depth=3, width=32)
+    assert sk.count() <= 3 * 32
+    # cell counts are positive and each row's cells sum to the token total
+    tot = sk.groupBy("d").sum("cnt").collect()
+    totals = {r["d"]: r["sum(cnt)"] for r in tot}
+    assert len(set(totals.values())) == 1  # every row sees every token once
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is invisible in the result: same rows as the plain join even
+    with a pathologically hot key; the hot key's fact rows spread over
+    multiple salt values."""
+    from omldm_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 9000), (3, 9001)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (3, "cool")], "k long, label string"
+    )
+    out = salted_join(fact, dim, "k", salt_buckets=8)
+    plain = fact.join(dim, "k")
+    assert out.count() == plain.count() == 502
+    got = sorted((r["k"], r["payload"], r["label"]) for r in out.collect())
+    want = sorted((r["k"], r["payload"], r["label"]) for r in plain.collect())
+    assert got == want
+    # the hot key actually uses >1 salt bucket (the point of the exercise)
+    from pyspark.sql import functions as SF
+    f = fact.withColumn(
+        "_salt", SF.pmod(SF.xxhash64(*fact.columns), SF.lit(8))
+    )
+    nsalts = f.filter("k = 1").select("_salt").distinct().count()
+    assert nsalts > 1

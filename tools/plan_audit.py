@@ -210,6 +210,21 @@ CHECKS = {
          lambda p: bool(re.search(r"PushedFilters: \[[^\]]*l_shipdate", p))),
         ("partial aggregation map-side", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "cms_term_counts": [
+        # the sketch shuffle key space is depth*width cells: partial
+        # aggregation collapses the explode before the exchange; probe and
+        # sketch joins are broadcasts
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+        ("sketch rides broadcast joins", lambda p: "BroadcastHashJoin" in p),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "salted_join_brand_revenue": [
+        # the join key must include the salt — that's the whole mechanism
+        ("join is salted",
+         lambda p: bool(re.search(r"Join [^\n]*_salt", p))
+         or bool(re.search(r"\[l_partkey[^\]]*_salt", p))),
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ],
     "dup_span_removal": [
         # duplication resolved through the span-hash window partition —
         # never a doc x doc join; reassembly is a keyed groupBy
