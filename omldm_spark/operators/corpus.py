@@ -693,3 +693,134 @@ SELECT {id_col},
 FROM flagged
 GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget domain mixing
+# ---------------------------------------------------------------------------
+
+def token_budget_mix(docs: DataFrame, budget_tokens: int,
+                     weights: dict[str, int] | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """Budget-aware domain mixing: sample each source so the KEPT corpus
+    lands (in expectation, exactly in rate) on ``budget_tokens`` split
+    across sources proportional to integer ``weights`` (default: equal).
+    The planning step every pretraining run does between "we have T_s
+    tokens per domain" and "the run consumes B tokens at mix w".
+
+    Per source: target_s = B * w_s // W, rate_s = min(1, target_s / T_s).
+    The rate is quantized to parts-per-million ONCE in the tiny per-source
+    frame — rate_ppm = min(1e6, target_s * 1e6 // T_s) — so the per-row
+    keep decision is the small-integer compare  u_ppm < rate_ppm  with
+    u_ppm = (first 8 md5 hex digits of doc id) mod 1e6. No row-side
+    product can overflow regardless of corpus size; the only wide
+    arithmetic (target_s * 1e6, up to ~2^64 at 100 TB) happens on
+    |sources| rows and is done in DECIMAL(38,0) / HUGEINT with floor
+    division mirrored on both engines.
+
+    Scale shape: one token-count aggregation per source (map-side sums),
+    broadcast back; the verdict is row-local. Output keeps every row with
+    (n_tokens, rate_ppm, kept) so downstream picks filter vs audit.
+
+    Determinism note: u_ppm = u mod 1e6 has the usual modulo bias
+    (~0.02%); it is engine-identical and rate-exact to the quantization,
+    which is what the oracle asserts.
+    """
+    weights = weights or {}
+    toked = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(source_col),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    wmap = F.create_map(*[
+        x for s, w in weights.items() for x in (F.lit(s), F.lit(int(w)))
+    ]) if weights else None
+    counts = toked.groupBy(source_col).agg(
+        F.sum("n_tokens").cast("long").alias("t_s")
+    )
+    counts = counts.withColumn(
+        "w_s",
+        F.coalesce(wmap[F.col(source_col)], F.lit(1)).cast("long")
+        if weights else F.lit(1).cast("long"),
+    )
+    wtot = counts.agg(F.sum("w_s").cast("long").alias("w_tot"))
+    rates = (
+        counts.crossJoin(F.broadcast(wtot))
+        .withColumn(
+            "target_s",
+            # `div` = exact integral division (truncation; == floor for the
+            # all-positive operands here) — decimal `/` would round at
+            # scale 6 BEFORE a floor and can disagree with DuckDB's `//`
+            F.expr(
+                f"(CAST(w_s AS DECIMAL(38,0)) * {int(budget_tokens)})"
+                " div w_tot"
+            ).cast("long"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.expr(
+                    "(CAST(target_s AS DECIMAL(38,0)) * 1000000) div t_s"
+                ).cast("long"),
+            ),
+        )
+        .select(source_col, "t_s", "target_s", "rate_ppm")
+    )
+    u_ppm = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+         .cast("long"),
+        F.lit(1000000),
+    )
+    return (
+        toked.join(F.broadcast(rates), source_col)
+        .select(
+            id_col, source_col, "n_tokens", "rate_ppm",
+            (u_ppm < F.col("rate_ppm")).alias("kept"),
+        )
+    )
+
+
+def TOKEN_BUDGET_MIX_SQL(budget_tokens: int,
+                         weights: dict[str, int] | None = None,
+                         table: str = "documents", text_expr: str = "text",
+                         id_col: str = "doc_id",
+                         source_col: str = "source") -> str:
+    if weights:
+        wexpr = "CASE " + " ".join(
+            f"WHEN {source_col} = '{s}' THEN {int(w)}"
+            for s, w in weights.items()
+        ) + " ELSE 1 END"
+    else:
+        wexpr = "1"
+    return f"""
+WITH toked AS (
+  SELECT CAST({id_col} AS BIGINT) AS {id_col}, {source_col},
+         CAST(len({TOKENS_SQL(text_expr)}) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+counts AS (
+  SELECT {source_col}, CAST(sum(n_tokens) AS BIGINT) AS t_s,
+         CAST({wexpr} AS BIGINT) AS w_s
+  FROM toked GROUP BY {source_col}
+),
+wtot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot FROM counts),
+rates AS (
+  SELECT {source_col}, t_s,
+         CAST((CAST(w_s AS HUGEINT) * {int(budget_tokens)}) // w_tot
+              AS BIGINT) AS target_s
+  FROM counts, wtot
+),
+rates2 AS (
+  SELECT {source_col},
+         least(CAST(1000000 AS BIGINT),
+               CAST((CAST(target_s AS HUGEINT) * 1000000) // t_s AS BIGINT))
+           AS rate_ppm
+  FROM rates
+)
+SELECT t.{id_col}, t.{source_col}, t.n_tokens, r.rate_ppm,
+       (CAST(('0x' || substr(md5(CAST(t.{id_col} AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000000) < r.rate_ppm AS kept
+FROM toked t JOIN rates2 r ON t.{source_col} = r.{source_col}
+"""

@@ -3154,3 +3154,27 @@ def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("p_brand").agg(
         F.sum(cents).cast("long").alias("rev_q")
     )
+
+
+from .operators.corpus import TOKEN_BUDGET_MIX_SQL, token_budget_mix  # noqa: E402
+
+_MIX_WEIGHTS = {"src0": 4, "src1": 2}
+_MIX_BUDGET = 8000
+
+
+@query(
+    "token_budget_mix",
+    oracle=TOKEN_BUDGET_MIX_SQL(_MIX_BUDGET, _MIX_WEIGHTS),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-aware domain mixing: per-source token counts -> integer
+    target_s = B*w_s//W -> rate quantized to ppm in the tiny source frame
+    (exact `div`/`//` on both engines) -> row-local md5 keep decision.
+    src0/src1 are up-weighted (4x/2x the default) so they keep nearly all
+    rows while the rest sample down to the budget; a target past a
+    source's supply clips at rate 1e6 = keep-all. One broadcast of
+    |sources| rows; no row-side wide arithmetic at any corpus size
+    (operators/corpus.py token_budget_mix)."""
+    return token_budget_mix(
+        load_table(spark, sf_dir, "documents"), _MIX_BUDGET, _MIX_WEIGHTS
+    )

@@ -604,3 +604,27 @@ def test_salted_join_equals_plain_join(spark):
     )
     nsalts = f.filter("k = 1").select("_salt").distinct().count()
     assert nsalts > 1
+
+
+def test_token_budget_mix_rates_and_clip(spark):
+    """rate_ppm is the exact quantized min(1, target/supply): an
+    over-weighted tiny source clips at 1e6 (keep-all), a heavy source
+    samples down, and realized keeps track the rate within hash noise."""
+    from omldm_spark.operators.corpus import token_budget_mix
+
+    rows = (
+        [(i, "t " * 10, "tiny") for i in range(5)]
+        + [(100 + i, "t " * 10, "huge") for i in range(2000)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_budget_mix(docs, budget_tokens=1000,
+                           weights={"tiny": 1, "huge": 1})
+    rates = {r["source"]: r["rate_ppm"]
+             for r in out.select("source", "rate_ppm").distinct().collect()}
+    # tiny: target 500 >> supply 50 -> clip at keep-all
+    assert rates["tiny"] == 1000000
+    # huge: target 500 of 20000 -> exactly 2.5%
+    assert rates["huge"] == 25000
+    kept = out.filter("source = 'huge' AND kept").count()
+    assert 10 <= kept <= 120  # 2.5% of 2000 = 50 expected, generous band
+    assert out.filter("source = 'tiny' AND NOT kept").count() == 0
