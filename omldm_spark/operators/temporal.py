@@ -132,3 +132,87 @@ def bucketed_range_join(
     joined = p.alias("p").join(b.alias("b"), cond, "left")
     probe_out = [F.col(f"p.{c}").alias(c) for c in probe.columns]
     return joined.groupBy(*probe_out).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel analysis
+# ---------------------------------------------------------------------------
+
+def funnel_counts(events: DataFrame, stages: list[str],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Strictly-ordered funnel: a user converts at stage i when an event of
+    ``stages[i]`` occurs STRICTLY AFTER their stage-(i-1) conversion time
+    (first-touch semantics: conversion time = earliest qualifying event).
+    The classic product-analytics shape, and the same sequential-pattern
+    primitive curriculum/replay pipelines use to find "A then B then C"
+    documents in event logs.
+
+    Output: (stage, stage_idx, users) — users still converting at each
+    stage; monotonically non-increasing by construction.
+
+    Scale shape: conversion times chain through per-user WINDOW aggregates
+    (no orderBy in the spec -> no sort, just partition-local min), so all
+    len(stages) passes reuse ONE user-keyed exchange; the funnel rollup is
+    a tiny unpivot + count. No joins, no correlated subquery, no per-stage
+    re-shuffle — the decorrelated plan a 100 TB event log needs.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    w = Window.partitionBy(user_col)
+    cur = events.select(user_col, type_col, ts_col)
+    for i, s in enumerate(stages):
+        prev_ok = F.lit(True) if i == 0 else F.col(f"_t{i - 1}").isNotNull()
+        cond = (F.col(type_col) == s) & prev_ok
+        if i > 0:
+            cond = cond & (F.col(ts_col) > F.col(f"_t{i - 1}"))
+        cur = cur.withColumn(
+            f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(stages))]
+    )
+    stage_flags = F.array(*[
+        F.struct(
+            F.lit(s).alias("stage"),
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.col(f"_t{i}").isNotNull().alias("hit"),
+        )
+        for i, s in enumerate(stages)
+    ])
+    return (
+        per_user.select(F.explode(stage_flags).alias("f"))
+        .select("f.stage", "f.stage_idx", "f.hit")
+        .groupBy("stage", "stage_idx")
+        .agg(F.sum(F.col("hit").cast("long")).cast("long").alias("users"))
+    )
+
+
+def FUNNEL_SQL(stages: list[str], table: str = "events",
+               user_col: str = "user_id", type_col: str = "event_type",
+               ts_col: str = "ts") -> str:
+    ctes = [
+        f"w0 AS (SELECT {user_col}, {type_col}, {ts_col}, "
+        f"min(CASE WHEN {type_col} = '{stages[0]}' THEN {ts_col} END) "
+        f"OVER (PARTITION BY {user_col}) AS _t0 FROM {table})"
+    ]
+    for i in range(1, len(stages)):
+        ctes.append(
+            f"w{i} AS (SELECT *, "
+            f"min(CASE WHEN {type_col} = '{stages[i]}' AND _t{i - 1} IS NOT "
+            f"NULL AND {ts_col} > _t{i - 1} THEN {ts_col} END) "
+            f"OVER (PARTITION BY {user_col}) AS _t{i} FROM w{i - 1})"
+        )
+    last = f"w{len(stages) - 1}"
+    per_user = (
+        f"per_user AS (SELECT {user_col}, "
+        + ", ".join(f"max(_t{i}) AS _t{i}" for i in range(len(stages)))
+        + f" FROM {last} GROUP BY {user_col})"
+    )
+    selects = "\nUNION ALL ".join(
+        f"SELECT '{s}' AS stage, CAST({i} AS BIGINT) AS stage_idx, "
+        f"CAST(count(CASE WHEN _t{i} IS NOT NULL THEN 1 END) AS BIGINT) "
+        f"AS users FROM per_user"
+        for i, s in enumerate(stages)
+    )
+    return "WITH " + ",\n".join(ctes + [per_user]) + "\n" + selects

@@ -3178,3 +3178,18 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(
         load_table(spark, sf_dir, "documents"), _MIX_BUDGET, _MIX_WEIGHTS
     )
+
+
+from .operators.temporal import FUNNEL_SQL, funnel_counts  # noqa: E402
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@query("funnel_conversion", oracle=FUNNEL_SQL(_FUNNEL_STAGES))
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view->click->purchase funnel: per-user conversion
+    times chain through partition-local window minima (no sort, ONE
+    user-keyed exchange reused by every stage), then a tiny unpivot
+    rollup. No correlated subqueries, no joins, no per-stage shuffle
+    (operators/temporal.py funnel_counts)."""
+    return funnel_counts(load_table(spark, sf_dir, "events"), _FUNNEL_STAGES)

@@ -129,3 +129,54 @@ def test_range_join_no_duplicate_matches_across_buckets(spark):
         p_ts = 600 + i
         exp = sum(1 for j in range(100) if p_ts - 600 <= 300 + 7 * j < p_ts)
         assert out.loc[i, "n_clicks"] == exp
+
+
+def test_funnel_strict_ordering(spark):
+    """Conversion requires strictly-later timestamps stage by stage:
+    a user with purchase BEFORE click does not convert at purchase;
+    same-timestamp events do not chain (strict >)."""
+    from datetime import datetime
+
+    from omldm_spark.operators.temporal import funnel_counts
+
+    T = datetime
+    rows = [
+        # u1: clean v(1) -> c(2) -> p(3): converts everywhere
+        (1, "view", T(2024, 1, 1, 0, 0, 1)),
+        (1, "click", T(2024, 1, 1, 0, 0, 2)),
+        (1, "purchase", T(2024, 1, 1, 0, 0, 3)),
+        # u2: purchase precedes click -> stops at click
+        (2, "view", T(2024, 1, 1, 0, 0, 1)),
+        (2, "purchase", T(2024, 1, 1, 0, 0, 2)),
+        (2, "click", T(2024, 1, 1, 0, 0, 3)),
+        # u3: click at the SAME instant as view -> strict > blocks it
+        (3, "view", T(2024, 1, 1, 0, 0, 5)),
+        (3, "click", T(2024, 1, 1, 0, 0, 5)),
+        # u4: never views; later stages can't fire
+        (4, "click", T(2024, 1, 1, 0, 0, 1)),
+        (4, "purchase", T(2024, 1, 1, 0, 0, 2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["stage"]: r["users"]
+           for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_first_touch_semantics(spark):
+    """Conversion time is the EARLIEST qualifying event: a user whose first
+    click lands before the first view still converts if a second click
+    follows the view."""
+    from datetime import datetime
+
+    from omldm_spark.operators.temporal import funnel_counts
+
+    T = datetime
+    rows = [
+        (1, "click", T(2024, 1, 1, 0, 0, 1)),   # too early, ignored
+        (1, "view", T(2024, 1, 1, 0, 0, 2)),
+        (1, "click", T(2024, 1, 1, 0, 0, 3)),   # qualifies
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["stage"]: r["users"]
+           for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}

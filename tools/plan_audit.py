@@ -225,6 +225,13 @@ CHECKS = {
          or bool(re.search(r"\[l_partkey[^\]]*_salt", p))),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "funnel_conversion": [
+        # stage chain reuses ONE user-keyed exchange; rollup adds one tiny
+        # exchange; never a join or a sorted window
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("at most two exchanges",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+    ],
     "dup_span_removal": [
         # duplication resolved through the span-hash window partition —
         # never a doc x doc join; reassembly is a keyed groupBy
