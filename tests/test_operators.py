@@ -628,3 +628,30 @@ def test_token_budget_mix_rates_and_clip(spark):
     kept = out.filter("source = 'huge' AND kept").count()
     assert 10 <= kept <= 120  # 2.5% of 2000 = 50 expected, generous band
     assert out.filter("source = 'tiny' AND NOT kept").count() == 0
+
+
+def test_cms_sketches_merge_by_cell_addition(spark):
+    """CMS mergeability — sketch(A ∪ B) == cell-wise sketch(A) + sketch(B):
+    the property that lets per-shard/per-day sketches combine without
+    touching raw data (the reason to sketch at all at 100 TB)."""
+    from omldm_spark.operators.sketch import countmin_sketch
+
+    a = spark.createDataFrame(
+        [(i, "red green blue " * (1 + i % 2)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, "blue cyan " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    whole = {(r["d"], r["bucket"]): r["cnt"]
+             for r in countmin_sketch(a.union(b), depth=3, width=64).collect()}
+    pa_ = {(r["d"], r["bucket"]): r["cnt"]
+           for r in countmin_sketch(a, depth=3, width=64).collect()}
+    pb = {(r["d"], r["bucket"]): r["cnt"]
+          for r in countmin_sketch(b, depth=3, width=64).collect()}
+    merged = {}
+    for part in (pa_, pb):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
