@@ -300,3 +300,60 @@ class ORRLearner(Learner):
         sse = points.agg(F.sum(err * err).alias("sse")).first()["sse"]
         state["cum_loss"] = float(state["cum_loss"]) + float(sse or 0.0)
         return state
+
+
+def cramer_sql(d: int) -> str:
+    """Generate the shared Cramer solve text for general ``d`` (+ bias):
+    one SELECT over a relation {g} (gram_aggregate column layout), solving
+    (A + lam*I) w = b by Leibniz-expansion determinants. The SAME generated
+    text runs in Spark SQL and DuckDB, so the floating-point operation tree
+    — hence the IEEE result — is identical on both engines (the d=2 case
+    is the hand-written CRAMER_2D_SQL above; this generalizes the recipe;
+    reference ORR solves arbitrary d, mlAPI ORR.scala).
+
+    (d+1)! terms per determinant — intended for the small-d closed-form
+    regime (d <= 4); beyond that use solve_ridge_np driver-side.
+    """
+    from itertools import permutations
+
+    m = d + 1
+
+    def entry(i: int, j: int) -> str:
+        # matrix text with ridge lam added on the diagonal; {lam} is a
+        # substitution slot like in CRAMER_2D_SQL
+        if i == d and j == d:
+            return "(1.0 + {lam})"
+        if i == d:
+            return f"m_{j}_b"
+        if j == d:
+            return f"m_{i}_b"
+        lo, hi = min(i, j), max(i, j)
+        base = f"m_{lo}_{hi}"
+        return f"({base} + {{lam}})" if i == j else base
+
+    def rhs(i: int) -> str:
+        return "v_b" if i == d else f"v_{i}"
+
+    def det_text(col_replaced: int | None) -> str:
+        terms = []
+        for perm in permutations(range(m)):
+            sign = 1
+            p = list(perm)
+            # permutation parity by counting inversions
+            inv = sum(
+                1 for a in range(m) for b in range(a + 1, m) if p[a] > p[b]
+            )
+            sign = -1 if inv % 2 else 1
+            factors = [
+                rhs(r) if perm[r] == col_replaced else entry(r, perm[r])
+                for r in range(m)
+            ]
+            terms.append(("- " if sign < 0 else "+ ") + " * ".join(factors))
+        return "(" + " ".join(terms).lstrip("+ ") + ")"
+
+    det = det_text(None)
+    outs = ["n"]
+    for k in range(m):
+        name = "bias" if k == d else f"w{k}"
+        outs.append(f"round({det_text(k)} / {det}, 6) AS {name}")
+    return "SELECT " + ", ".join(outs) + " FROM {g}"

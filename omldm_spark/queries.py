@@ -3193,3 +3193,82 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup. No correlated subqueries, no joins, no per-stage shuffle
     (operators/temporal.py funnel_counts)."""
     return funnel_counts(load_table(spark, sf_dir, "events"), _FUNNEL_STAGES)
+
+
+from .learners.orr import cramer_sql  # noqa: E402
+
+# d=3 closed-form ridge: features quantity/discount/tax (scale 100), target
+# extendedprice rounded to whole units (scale 1) — keeps every avg'd
+# integer product sum < 2^53 through sf1 so double summation is exact on
+# both engines (envelope: q_i*qy <= 5.5e8 per row).
+_GRAM3_INNER = """
+SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS q0,
+       CAST(round(l_discount * 100, 0) AS BIGINT) AS q1,
+       CAST(round(l_tax * 100, 0) AS BIGINT) AS q2,
+       CAST(round(l_extendedprice, 0) AS BIGINT) AS qy
+FROM lineitem
+"""
+
+_GRAM3_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       avg(q0 * q0) / 10000.0 AS m_0_0,
+       avg(q0 * q1) / 10000.0 AS m_0_1,
+       avg(q0 * q2) / 10000.0 AS m_0_2,
+       avg(q0) / 100.0 AS m_0_b,
+       avg(q0 * qy) / 100.0 AS v_0,
+       avg(q1 * q1) / 10000.0 AS m_1_1,
+       avg(q1 * q2) / 10000.0 AS m_1_2,
+       avg(q1) / 100.0 AS m_1_b,
+       avg(q1 * qy) / 100.0 AS v_1,
+       avg(q2 * q2) / 10000.0 AS m_2_2,
+       avg(q2) / 100.0 AS m_2_b,
+       avg(q2 * qy) / 100.0 AS v_2,
+       avg(qy) / 1.0 AS v_b
+FROM ({_GRAM3_INNER})
+"""
+
+_ORR3_LAMBDA = 0.1
+
+
+def _gram3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q0 = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    q1 = F.round(F.col("l_discount") * 100, 0).cast("long")
+    q2 = F.round(F.col("l_tax") * 100, 0).cast("long")
+    qy = F.round(F.col("l_extendedprice"), 0).cast("long")
+    pts = li.select(q0.alias("q0"), q1.alias("q1"), q2.alias("q2"),
+                    qy.alias("qy"))
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.avg(F.col("q0") * F.col("q0")) / F.lit(10000.0)).alias("m_0_0"),
+        (F.avg(F.col("q0") * F.col("q1")) / F.lit(10000.0)).alias("m_0_1"),
+        (F.avg(F.col("q0") * F.col("q2")) / F.lit(10000.0)).alias("m_0_2"),
+        (F.avg(F.col("q0")) / F.lit(100.0)).alias("m_0_b"),
+        (F.avg(F.col("q0") * F.col("qy")) / F.lit(100.0)).alias("v_0"),
+        (F.avg(F.col("q1") * F.col("q1")) / F.lit(10000.0)).alias("m_1_1"),
+        (F.avg(F.col("q1") * F.col("q2")) / F.lit(10000.0)).alias("m_1_2"),
+        (F.avg(F.col("q1")) / F.lit(100.0)).alias("m_1_b"),
+        (F.avg(F.col("q1") * F.col("qy")) / F.lit(100.0)).alias("v_1"),
+        (F.avg(F.col("q2") * F.col("q2")) / F.lit(10000.0)).alias("m_2_2"),
+        (F.avg(F.col("q2")) / F.lit(100.0)).alias("m_2_b"),
+        (F.avg(F.col("q2") * F.col("qy")) / F.lit(100.0)).alias("v_2"),
+        (F.avg(F.col("qy")) / F.lit(1.0)).alias("v_b"),
+    )
+
+
+@query(
+    "orr3_weights",
+    oracle=cramer_sql(3).format(g=f"({_GRAM3_SQL})", lam=_ORR3_LAMBDA),
+)
+def q_orr3_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d=3 closed-form ORR (quantity, discount, tax -> price): the exact
+    integer Gram aggregation (ONE map-side-combinable agg over the fact
+    table) solved by the GENERATED shared-Cramer text (learners/orr.py
+    cramer_sql) — same SQL in Spark and DuckDB, so 4x4 determinant
+    arithmetic is IEEE-identical. Generalizes the d=2 flagship; reference
+    ORR accepts arbitrary d."""
+    import uuid
+
+    view = f"omldm_gram3_{uuid.uuid4().hex[:8]}"
+    _gram3(spark, sf_dir).createOrReplaceTempView(view)
+    return spark.sql(cramer_sql(3).format(g=view, lam=_ORR3_LAMBDA))

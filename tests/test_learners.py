@@ -166,3 +166,44 @@ def test_kmeans_clusters_separated_data():
 def test_unknown_learner_raises():
     with pytest.raises(ValueError, match="unknown learner"):
         get_learner("nope")
+
+
+def test_cramer_sql_generator_matches_numpy_and_2d_text():
+    """The generated shared-Cramer text (any d) solves the ridge system:
+    agrees with numpy's solve on random SPD systems, and with the
+    hand-written d=2 text to 1e-9 (same rounding, same lam placement)."""
+    import duckdb
+    import numpy as np
+
+    from omldm_spark.learners.orr import CRAMER_2D_SQL, cramer_sql
+
+    rng = np.random.default_rng(0)
+    for d in (2, 3):
+        A = rng.normal(size=(d + 1, d + 1))
+        A = A @ A.T + np.eye(d + 1)
+        b = rng.normal(size=d + 1)
+        cols, vals = [], []
+        for i in range(d):
+            for j in range(i, d):
+                cols.append(f"m_{i}_{j}"); vals.append(A[i, j])
+            cols.append(f"m_{i}_b"); vals.append(A[i, d])
+            cols.append(f"v_{i}"); vals.append(b[i])
+        cols += ["v_b", "n"]; vals += [b[d], 100]
+        rel = "SELECT " + ", ".join(
+            f"CAST({v!r} AS DOUBLE) AS {c}" for c, v in zip(cols, vals)
+        )
+        con = duckdb.connect()
+        out = con.execute(
+            cramer_sql(d).format(g=f"({rel})", lam=0.1)
+        ).fetchdf()
+        A2 = A.copy()
+        A2[d, d] = 1.0
+        w = np.linalg.solve(A2 + 0.1 * np.eye(d + 1), b)
+        got = [out[f"w{k}"][0] for k in range(d)] + [out["bias"][0]]
+        assert np.allclose(got, w, atol=1e-5), (d, got, w)
+        if d == 2:
+            ref = con.execute(
+                CRAMER_2D_SQL.format(g=f"({rel})", lam=0.1)
+            ).fetchdf()
+            for c in ("w0", "w1", "bias"):
+                assert abs(ref[c][0] - out[c][0]) < 1e-9
