@@ -142,3 +142,106 @@ SELECT CAST({id_col} AS BIGINT) AS {id_col}, n_bigrams, q_score,
          AS avg_prob
 FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer step: one merge round over the corpus
+# ---------------------------------------------------------------------------
+
+def bpe_merge_round(docs: DataFrame, text_col: str = "text",
+                    ) -> DataFrame:
+    """One byte-pair-encoding training round: find the most frequent
+    adjacent character pair across the corpus and report the merge
+    decision plus its effect on the symbol count — the inner-loop
+    primitive of every BPE/WordPiece tokenizer trainer (Sennrich et al.
+    2016), distributed.
+
+    The scale trick (the one real BPE trainers use): pair statistics are
+    computed over the TOKEN VOCABULARY weighted by token frequency, never
+    over raw corpus positions. One hash-groupBy collapses the corpus to
+    distinct tokens (map-side combine does almost all of it); the
+    character-position explode then runs over the vocabulary — thousands
+    of rows — regardless of corpus size. Everything downstream of the
+    first groupBy is vocabulary-scale.
+
+    Merge-count semantics: occurrences count greedily left-to-right
+    without overlap — (len - len(replace(tok, pair, ''))) / 2, identical
+    in Spark and DuckDB ('aaa' with pair 'aa' -> 1 merge), matching the
+    single-pass merge application of reference BPE implementations.
+
+    Output (one row): (w1, w2, pair_cnt, n_syms_before, n_merges,
+    n_syms_after) — all exact integers/strings; the chosen pair breaks
+    frequency ties by (w1, w2) lexicographic order on both engines.
+    """
+    vocab = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tok_cnt"))
+    )
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "tok", "tok_cnt",
+            F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substr(tok, i, 1)").alias("w1"),
+            F.expr("substr(tok, i + 1, 1)").alias("w2"),
+            "tok_cnt",
+        )
+        .groupBy("w1", "w2")
+        .agg(F.sum("tok_cnt").cast("long").alias("pair_cnt"))
+    )
+    chosen = pairs.orderBy(
+        F.col("pair_cnt").desc(), F.col("w1"), F.col("w2")
+    ).limit(1)
+    stats = vocab.crossJoin(F.broadcast(chosen)).agg(
+        F.max("w1").alias("w1"),
+        F.max("w2").alias("w2"),
+        F.max("pair_cnt").cast("long").alias("pair_cnt"),
+        F.sum(F.length("tok") * F.col("tok_cnt")).cast("long")
+         .alias("n_syms_before"),
+        F.sum(
+            F.expr(
+                "(length(tok) - length(replace(tok, w1 || w2, ''))) div 2"
+            ) * F.col("tok_cnt")
+        ).cast("long").alias("n_merges"),
+    )
+    return stats.select(
+        "w1", "w2", "pair_cnt", "n_syms_before", "n_merges",
+        (F.col("n_syms_before") - F.col("n_merges")).cast("long")
+         .alias("n_syms_after"),
+    )
+
+
+def BPE_MERGE_SQL(table: str = "documents", text_expr: str = "text") -> str:
+    return f"""
+WITH vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tok_cnt
+  FROM (SELECT unnest({TOKENS_SQL(text_expr)}) AS tok FROM {table})
+  GROUP BY tok
+),
+pairs AS (
+  SELECT substr(tok, CAST(u.i AS INTEGER), 1) AS w1,
+         substr(tok, CAST(u.i AS INTEGER) + 1, 1) AS w2,
+         CAST(sum(tok_cnt) AS BIGINT) AS pair_cnt
+  FROM vocab, unnest(range(1, CAST(length(tok) AS BIGINT))) AS u(i)
+  WHERE length(tok) >= 2
+  GROUP BY 1, 2
+),
+chosen AS (
+  SELECT * FROM pairs ORDER BY pair_cnt DESC, w1, w2 LIMIT 1
+),
+stats AS (
+  SELECT max(c.w1) AS w1, max(c.w2) AS w2,
+         CAST(max(c.pair_cnt) AS BIGINT) AS pair_cnt,
+         CAST(sum(length(v.tok) * v.tok_cnt) AS BIGINT) AS n_syms_before,
+         CAST(sum(((length(v.tok)
+                    - length(replace(v.tok, c.w1 || c.w2, ''))) // 2)
+                  * v.tok_cnt) AS BIGINT) AS n_merges
+  FROM vocab v, chosen c
+)
+SELECT w1, w2, pair_cnt, n_syms_before, n_merges,
+       CAST(n_syms_before - n_merges AS BIGINT) AS n_syms_after
+FROM stats
+"""

@@ -3272,3 +3272,17 @@ def q_orr3_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"omldm_gram3_{uuid.uuid4().hex[:8]}"
     _gram3(spark, sf_dir).createOrReplaceTempView(view)
     return spark.sql(cramer_sql(3).format(g=view, lam=_ORR3_LAMBDA))
+
+
+from .operators.lm import BPE_MERGE_SQL, bpe_merge_round  # noqa: E402
+
+
+@query("bpe_merge_round", oracle=BPE_MERGE_SQL())
+def q_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE training round: the most frequent adjacent
+    character pair and its merge effect on the corpus symbol count. Pair
+    stats run over the frequency-weighted token VOCABULARY (one map-side
+    combinable groupBy collapses the corpus; everything after is
+    vocab-scale) — the real tokenizer-trainer shape at 100 TB
+    (operators/lm.py bpe_merge_round)."""
+    return bpe_merge_round(load_table(spark, sf_dir, "documents"))

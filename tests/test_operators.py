@@ -655,3 +655,25 @@ def test_cms_sketches_merge_by_cell_addition(spark):
         for k, v in part.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_bpe_merge_round_picks_top_pair_and_counts_greedy(spark):
+    """'ll' dominates; overlapping runs count greedily ('llll' = 2 merges,
+    'lll' = 1); frequency ties break lexicographically."""
+    from omldm_spark.operators.lm import bpe_merge_round
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello llll"),      # 'll' x1 in hello, 2 greedy in llll
+            (2, "ball tall lll"),   # 'll' x2, 1 greedy in lll
+        ],
+        "doc_id long, text string",
+    )
+    row = bpe_merge_round(docs).collect()[0]
+    assert (row["w1"], row["w2"]) == ("l", "l")
+    # pair_cnt counts ALL adjacent positions (overlaps included):
+    # hello 1, llll 3, ball 1, tall 1, lll 2 = 8
+    assert row["pair_cnt"] == 8
+    # merges are greedy non-overlapping: 1 + 2 + 1 + 1 + 1 = 6
+    assert row["n_merges"] == 6
+    assert row["n_syms_after"] == row["n_syms_before"] - 6
