@@ -824,3 +824,53 @@ SELECT t.{id_col}, t.{source_col}, t.n_tokens, r.rate_ppm,
              AS BIGINT) % 1000000) < r.rate_ppm AS kept
 FROM toked t JOIN rates2 r ON t.{source_col} = r.{source_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic sample per group
+# ---------------------------------------------------------------------------
+
+def sample_k_per_group(docs: DataFrame, k: int,
+                       group_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, deterministically: rank rows
+    inside each group by (md5(id), id) — a uniform, engine-identical
+    pseudo-random order — and keep the first k. The fixed-quota
+    complement of stratified_sample's rate-based keep (rates can't
+    promise exact counts; quotas can't be row-local — you need one or the
+    other, so both are operators).
+
+    Scale note: the rank is a window partitioned by group — per-group
+    work lands on one task, so this is the right tool when groups are
+    bounded (sources, languages, shards). For huge groups, prefilter with
+    stratified_sample at a generous rate (k * safety / |group|) first and
+    quota-rank the survivors; the two-stage composition keeps the sorted
+    partition small without changing the selected-set determinism.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(group_col)
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def SAMPLE_K_SQL(k: int, table: str = "documents",
+                 group_col: str = "source", id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col}, {group_col}, rk FROM (
+  SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
+         CAST(row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+         ) AS BIGINT) AS rk
+  FROM {table}
+)
+WHERE rk <= {k}
+"""

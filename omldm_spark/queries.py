@@ -3286,3 +3286,15 @@ def q_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-scale) — the real tokenizer-trainer shape at 100 TB
     (operators/lm.py bpe_merge_round)."""
     return bpe_merge_round(load_table(spark, sf_dir, "documents"))
+
+
+from .operators.corpus import SAMPLE_K_SQL, sample_k_per_group  # noqa: E402
+
+
+@query("sample_k_per_source", oracle=SAMPLE_K_SQL(5))
+def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source, deterministically chosen by the
+    engine-identical (md5(id), id) pseudo-random rank — the fixed-quota
+    sampler (eval-set carving, per-domain probes) next to the rate-based
+    stratified_sample (operators/corpus.py sample_k_per_group)."""
+    return sample_k_per_group(load_table(spark, sf_dir, "documents"), 5)

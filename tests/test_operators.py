@@ -677,3 +677,27 @@ def test_bpe_merge_round_picks_top_pair_and_counts_greedy(spark):
     # merges are greedy non-overlapping: 1 + 2 + 1 + 1 + 1 = 6
     assert row["n_merges"] == 6
     assert row["n_syms_after"] == row["n_syms_before"] - 6
+
+
+def test_sample_k_per_group_exact_quota(spark):
+    """Every group yields exactly min(k, |group|) rows; the selection is a
+    deterministic function of the ids (stable across runs/partitionings)."""
+    from omldm_spark.operators.corpus import sample_k_per_group
+
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(1000 + i, "small") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_k_per_group(docs, 10, group_col="source")
+    counts = {r["source"]: r["cnt"]
+              for r in out.groupBy("source").agg(
+                  F.count("*").alias("cnt")).collect()}
+    assert counts == {"big": 10, "small": 3}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_k_per_group(docs.repartition(13), 10,
+                                    group_col="source").collect()
+    )
+    assert a == b
