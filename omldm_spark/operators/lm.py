@@ -245,3 +245,120 @@ SELECT w1, w2, pair_cnt, n_syms_before, n_merges,
        CAST(n_syms_before - n_merges AS BIGINT) AS n_syms_after
 FROM stats
 """
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 3,
+              text_col: str = "text") -> DataFrame:
+    """BPE tokenizer training, ``n_merges`` rounds: returns the merge table
+    (merge_round, w1, w2, pair_cnt) — the artifact a tokenizer ships.
+
+    Architecture (the one real BPE trainers use, e.g. the public
+    HuggingFace tokenizers trainer): ONE corpus-scale aggregation
+    collapses the corpus to the frequency-weighted token vocabulary; every
+    merge round then runs on the vocabulary frame (thousands of rows at
+    any corpus size) — pair counting is a tiny groupBy, the chosen pair
+    (2 strings) is the only thing the driver sees, and the merge applies
+    as a literal string replace on the space-separated symbol sequence
+    (greedy non-overlapping, ' a b ' -> ' ab ' with space sentinels —
+    engine-identical semantics, see bpe_merge_round).
+
+    Symbols never contain spaces (symbols are built by concatenating
+    non-space characters), so the space-separated representation is
+    unambiguous at every round. Ties break by (cnt DESC, w1, w2) —
+    deterministic on both engines.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.concat_ws(" ", F.split(F.col("tok"), "")).alias("seq"), "cnt"
+        )
+    )
+    vocab.persist()
+    merges = []
+    try:
+        for r in range(n_merges):
+            syms = F.split(F.col("seq"), " ")
+            pairs = (
+                vocab.select(
+                    syms.alias("syms"), "cnt",
+                    F.explode(
+                        F.sequence(F.lit(1), F.greatest(
+                            F.size(syms) - 1, F.lit(0)))
+                    ).alias("i"),
+                )
+                .filter(F.size("syms") >= 2)
+                .select(
+                    F.element_at("syms", F.col("i")).alias("w1"),
+                    F.element_at("syms", F.col("i") + 1).alias("w2"),
+                    "cnt",
+                )
+                .groupBy("w1", "w2")
+                .agg(F.sum("cnt").cast("long").alias("pair_cnt"))
+            )
+            top = pairs.orderBy(
+                F.col("pair_cnt").desc(), F.col("w1"), F.col("w2")
+            ).limit(1).collect()
+            if not top:
+                break
+            w1, w2, cnt = top[0]["w1"], top[0]["w2"], top[0]["pair_cnt"]
+            merges.append((r, w1, w2, int(cnt)))
+            nxt = vocab.select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                        F.lit(f" {w1} {w2} "),
+                        F.lit(f" {w1}{w2} "),
+                    )
+                ).alias("seq"),
+                "cnt",
+            )
+            nxt.persist()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round long, w1 string, w2 string, pair_cnt long"
+    )
+
+
+def BPE_TRAIN_SQL(n_merges: int = 3, table: str = "documents",
+                  text_expr: str = "text") -> str:
+    ctes = [
+        f"""v0 AS (
+  SELECT array_to_string(string_split(tok, ''), ' ') AS seq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({TOKENS_SQL(text_expr)}) AS tok FROM {table})
+  GROUP BY tok
+)"""
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+  SELECT syms[CAST(u.i AS INTEGER)] AS w1,
+         syms[CAST(u.i AS INTEGER) + 1] AS w2,
+         CAST(sum(cnt) AS BIGINT) AS pair_cnt
+  FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM v{r}),
+       unnest(range(1, CAST(len(syms) AS BIGINT))) AS u(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"c{r} AS (SELECT * FROM p{r} "
+            f"ORDER BY pair_cnt DESC, w1, w2 LIMIT 1)"
+        )
+        if r + 1 < n_merges:
+            ctes.append(f"""v{r + 1} AS (
+  SELECT trim(replace(' ' || v.seq || ' ',
+                      ' ' || c.w1 || ' ' || c.w2 || ' ',
+                      ' ' || c.w1 || c.w2 || ' ')) AS seq, v.cnt
+  FROM v{r} v, c{r} c
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, w1, w2, pair_cnt "
+        f"FROM c{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals

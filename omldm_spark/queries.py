@@ -3298,3 +3298,17 @@ def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler (eval-set carving, per-domain probes) next to the rate-based
     stratified_sample (operators/corpus.py sample_k_per_group)."""
     return sample_k_per_group(load_table(spark, sf_dir, "documents"), 5)
+
+
+from .operators.lm import BPE_TRAIN_SQL, bpe_train  # noqa: E402
+
+
+@query("bpe_train_merges", oracle=BPE_TRAIN_SQL(3))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 3 merge rounds -> the merge table. One
+    corpus-scale vocab aggregation, then every round runs on the tiny
+    frequency-weighted vocabulary (the HF-trainer architecture); only the
+    chosen pair crosses to the driver each round. Exact integer counts,
+    deterministic tie-break, greedy space-sentinel merge application
+    identical on both engines (operators/lm.py bpe_train)."""
+    return bpe_train(load_table(spark, sf_dir, "documents"), 3)

@@ -701,3 +701,17 @@ def test_sample_k_per_group_exact_quota(spark):
                                     group_col="source").collect()
     )
     assert a == b
+
+
+def test_bpe_train_multi_round_merges(spark):
+    """Three rounds on a tiny corpus follow the hand-derived merge path,
+    including a tie broken lexicographically and a round that merges a
+    PREVIOUSLY-merged symbol (aa + ab)."""
+    from omldm_spark.operators.lm import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ccc")], "doc_id long, text string"
+    )
+    got = [(r["merge_round"], r["w1"], r["w2"], r["pair_cnt"])
+           for r in bpe_train(docs, 3).orderBy("merge_round").collect()]
+    assert got == [(0, "a", "a", 4), (1, "a", "b", 2), (2, "aa", "ab", 2)]
