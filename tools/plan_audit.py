@@ -225,6 +225,17 @@ CHECKS = {
          or bool(re.search(r"\[l_partkey[^\]]*_salt", p))),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "bpe_merge_round": [
+        # corpus collapses in the FIRST groupBy (map-side combinable);
+        # everything after is vocab-scale; chosen pair rides a broadcast
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "sample_k_per_source": [
+        # quota rank must be per-group, never a global single-task window
+        ("window partitioned by group",
+         lambda p: bool(re.search(r"windowspecdefinition\(source", p))),
+    ],
     "funnel_conversion": [
         # stage chain reuses ONE user-keyed exchange; rollup adds one tiny
         # exchange; never a join or a sorted window
