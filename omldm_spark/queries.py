@@ -3312,3 +3312,19 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break, greedy space-sentinel merge application
     identical on both engines (operators/lm.py bpe_train)."""
     return bpe_train(load_table(spark, sf_dir, "documents"), 3)
+
+
+from .operators.drift import DDM_SQL, ddm_drift_summary  # noqa: E402
+
+
+@query("ddm_drift_summary", oracle=DDM_SQL())
+def q_ddm_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DDM concept-drift replay over the event error stream
+    (error = event_type 'error'): running error rate + standard error with
+    independent running minima, warn at 2 sigma / drift at 3 sigma. All
+    per-key windows share ONE keyed ordered exchange; the flag sequence is
+    bit-identical cross-engine (one division, IEEE sqrt, mirrored
+    comparisons) so the integer summary hash-matches
+    (operators/drift.py ddm_drift_summary)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ddm_drift_summary(ev, F.col("event_type") == "error")

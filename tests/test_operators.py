@@ -715,3 +715,30 @@ def test_bpe_train_multi_round_merges(spark):
     got = [(r["merge_round"], r["w1"], r["w2"], r["pair_cnt"])
            for r in bpe_train(docs, 3).orderBy("merge_round").collect()]
     assert got == [(0, "a", "a", 4), (1, "a", "b", 2), (2, "aa", "ab", 2)]
+
+
+def test_ddm_flags_an_error_burst(spark):
+    """A clean prefix followed by an error burst must raise warn then
+    drift; a stationary low-error stream raises neither."""
+    from datetime import datetime, timedelta
+
+    from omldm_spark.operators.drift import ddm_drift_summary
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: 10% baseline (every 10th errs) for 100, then 40 straight
+    # errors -> drift fires inside the burst
+    for i in range(140):
+        err = (i % 10 == 9) if i < 100 else True
+        rows.append((1, t0 + timedelta(seconds=i), i, err))
+    # user 2: the same stationary 10% throughout -> no drift
+    for i in range(140):
+        rows.append((2, t0 + timedelta(seconds=i), 1000 + i, i % 10 == 9))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, err boolean"
+    )
+    out = {r["user_id"]: r
+           for r in ddm_drift_summary(ev, F.col("err")).collect()}
+    assert out[1]["n_drift"] > 0 and out[1]["first_drift_i"] > 100
+    assert out[1]["n_warn"] >= out[1]["n_drift"]
+    assert out[2]["n_drift"] == 0
