@@ -145,3 +145,134 @@ SELECT CAST({key_col} AS BIGINT) AS {key_col},
 FROM flagged
 GROUP BY {key_col}
 """
+
+
+def page_hinkley_summary(events: DataFrame, value_col,
+                         delta: float = 0.005, lam: float = 50.0,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         id_col: str = "event_id") -> DataFrame:
+    """Page-Hinkley test per key over a NON-NEGATIVE numeric stream
+    (mean-increase form): with running mean mean_i = (Σ x)/i,
+
+        m_i  = Σ_{j<=i} (x_j - mean_j - delta)      cumulative deviation
+        PH_i = m_i - min_{j<=i}(m_j)
+        drift when PH_i > lam
+
+    The numeric-drift companion to ddm_drift_summary (DDM watches a
+    Bernoulli error rate; PH watches any metric — loss, latency, value).
+    Single-pass replay: no post-drift reset, same rationale as DDM.
+
+    Exactness design — ALL-INTEGER, deliberately: a cumulative float sum
+    is NOT portable across engines (window sums may reassociate — DuckDB
+    uses a segment tree — and float addition isn't associative), so every
+    quantity here is a quantized integer: xq = round(x * 1e6), running
+    sums are exact BIGINTs, the running mean is the integral division
+    sxq div i (== floor for the non-negative inputs this requires — feed
+    losses/latencies/values, not signed residuals), and the deviation,
+    cumulative m, running min, and lam threshold stay in BIGINT µ-units
+    end to end. The textbook deviation: the mean is quantized to 1e-6
+    before subtracting — bounded by 1µ per step, and identical on both
+    engines, which is the property that matters.
+
+    Scale shape: same as DDM — chained constant-memory window aggregates
+    over ONE (key)-partitioned (ts, id)-ordered exchange, then a per-key
+    rollup on the same partitioning.
+
+    Output: (key, n, n_drift, first_drift_i, max_ph_q) — max_ph_q in
+    µ-units (divide by 1e6 for the PH value).
+    """
+    Q = 1_000_000
+    dq = int(round(delta * Q))
+    lamq = int(round(lam * Q))
+    word = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    w = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    xq = (
+        F.round(F.col(value_col).cast("double") * Q, 0)
+        if isinstance(value_col, str)
+        else F.round(value_col.cast("double") * Q, 0)
+    ).cast("long")
+    seq = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), xq.alias("_xq")
+    ).select(
+        key_col,
+        F.row_number().over(word).alias("i"),
+        F.col("_xq"),
+        F.sum("_xq").over(w).alias("_sxq"),
+    )
+    dev = seq.select(
+        key_col, "i",
+        (F.col("_xq") - F.expr("_sxq div i") - F.lit(dq)).alias("_dq"),
+    )
+    wi = (
+        Window.partitionBy(key_col).orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = dev.select(
+        key_col, "i", F.sum("_dq").over(wi).alias("_m")
+    ).select(
+        key_col, "i",
+        (F.col("_m") - F.min("_m").over(wi)).alias("_ph"),
+    )
+    return (
+        ph.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("_ph") > lamq).cast("long")).cast("long")
+             .alias("n_drift"),
+            F.min(F.when(F.col("_ph") > lamq, F.col("i"))).cast("long")
+             .alias("first_drift_i"),
+            F.max("_ph").cast("long").alias("max_ph_q"),
+        )
+        .select(
+            F.col(key_col).cast("long").alias(key_col),
+            "n", "n_drift", "first_drift_i", "max_ph_q",
+        )
+    )
+
+
+def PAGE_HINKLEY_SQL(value_expr: str = "value", delta: float = 0.005,
+                     lam: float = 50.0, table: str = "events",
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id") -> str:
+    Q = 1_000_000
+    dq = int(round(delta * Q))
+    lamq = int(round(lam * Q))
+    return f"""
+WITH seq AS (
+  SELECT {key_col},
+         row_number() OVER wo AS i,
+         CAST(round(CAST({value_expr} AS DOUBLE) * {Q}, 0) AS BIGINT) AS xq,
+         CAST(sum(CAST(round(CAST({value_expr} AS DOUBLE) * {Q}, 0)
+                       AS BIGINT)) OVER
+           (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS sxq
+  FROM {table}
+  WINDOW wo AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+),
+dev AS (
+  SELECT {key_col}, i, xq - (sxq // i) - {dq} AS dq FROM seq
+),
+m AS (
+  SELECT {key_col}, i,
+         CAST(sum(dq) OVER wi AS BIGINT) AS mi
+  FROM dev
+  WINDOW wi AS (PARTITION BY {key_col} ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ph AS (
+  SELECT {key_col}, i, mi - min(mi) OVER wi AS ph
+  FROM m
+  WINDOW wi AS (PARTITION BY {key_col} ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST({key_col} AS BIGINT) AS {key_col},
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ph > {lamq} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_drift,
+       CAST(min(CASE WHEN ph > {lamq} THEN i END) AS BIGINT)
+         AS first_drift_i,
+       CAST(max(ph) AS BIGINT) AS max_ph_q
+FROM ph
+GROUP BY {key_col}
+"""

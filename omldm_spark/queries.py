@@ -3328,3 +3328,17 @@ def q_ddm_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/drift.py ddm_drift_summary)."""
     ev = load_table(spark, sf_dir, "events")
     return ddm_drift_summary(ev, F.col("event_type") == "error")
+
+
+from .operators.drift import PAGE_HINKLEY_SQL, page_hinkley_summary  # noqa: E402
+
+
+@query("page_hinkley_value_drift", oracle=PAGE_HINKLEY_SQL(lam=2000.0))
+def q_page_hinkley_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-increase test per user over the event value
+    stream — the numeric-drift companion to ddm_drift_summary, computed
+    ALL-INTEGER (quantized values, integral running mean, BIGINT
+    cumulative deviation) because cumulative float window sums reassociate
+    differently across engines (operators/drift.py page_hinkley_summary)."""
+    ev = load_table(spark, sf_dir, "events")
+    return page_hinkley_summary(ev, "value", lam=2000.0)

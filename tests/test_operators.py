@@ -742,3 +742,28 @@ def test_ddm_flags_an_error_burst(spark):
     assert out[1]["n_drift"] > 0 and out[1]["first_drift_i"] > 100
     assert out[1]["n_warn"] >= out[1]["n_drift"]
     assert out[2]["n_drift"] == 0
+
+
+def test_page_hinkley_detects_mean_shift(spark):
+    """A level shift in the value stream raises PH past lam shortly after
+    the change point; a flat stream never accumulates deviation."""
+    from datetime import datetime, timedelta
+
+    from omldm_spark.operators.drift import page_hinkley_summary
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        # user 1: mean 10 then mean 20 from i=100
+        rows.append((1, t0 + timedelta(seconds=i), i,
+                     10.0 if i < 100 else 20.0))
+        # user 2: flat 10 throughout
+        rows.append((2, t0 + timedelta(seconds=i), 1000 + i, 10.0))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r["user_id"]: r
+           for r in page_hinkley_summary(ev, "value", delta=0.1,
+                                         lam=50.0).collect()}
+    assert out[1]["n_drift"] > 0 and out[1]["first_drift_i"] > 100
+    assert out[2]["n_drift"] == 0
