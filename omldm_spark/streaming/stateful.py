@@ -227,3 +227,73 @@ def streaming_near_dedup(stream: DataFrame, k: int = 8, bands: int = 4,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DDM drift detection (the incremental twin of
+# operators/drift.ddm_drift_summary — SAME float operation sequence, so a
+# full replay reproduces the batch summary bit-for-bit)
+# ---------------------------------------------------------------------------
+
+def _ddm_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
+            min_instances: int = 30):
+    import math
+
+    if state.exists:
+        i, errs, pmin, smin, n_warn, n_drift, first_drift = state.get
+    else:
+        i, errs, pmin, smin, n_warn, n_drift, first_drift = (
+            0, 0, None, None, 0, 0, None,
+        )
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for err in pdf["err"].astype(bool):
+            i += 1
+            errs += int(err)
+            # identical operation tree to the batch operator: one division
+            # for p, sqrt(p*(1-p)/i), minima including the current row,
+            # STRICT comparisons, warm-up guard
+            p = errs / i
+            s = math.sqrt(p * (1.0 - p) / i)
+            if i >= min_instances:
+                pmin = p if pmin is None else min(pmin, p)
+                smin = s if smin is None else min(smin, s)
+            if pmin is not None:
+                ps = p + s
+                if ps > pmin + 2 * smin:
+                    n_warn += 1
+                if ps > pmin + 3 * smin:
+                    n_drift += 1
+                    if first_drift is None:
+                        first_drift = i
+    state.update((i, errs, pmin, smin, n_warn, n_drift, first_drift))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "n": [i], "n_warn": [n_warn],
+        "n_drift": [n_drift], "first_drift_i": [first_drift],
+    })
+
+
+def streaming_ddm(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key DDM over a stream with columns (key, ts, event_id, err).
+    One keyed shuffle; state is seven scalars per key, checkpointed;
+    every micro-batch emits the key's updated summary (update mode).
+    Cross-batch order contract: within a batch rows are sorted by
+    (ts, event_id); across batches the source must deliver a key's rows
+    in event order (file replay with time-ranged, mtime-ordered files, or
+    a Kafka partition per key) — same contract the reference's
+    record-at-a-time operators assume on their keyed Flink channels."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _ddm_fn,
+        outputStructType=(
+            "user_id bigint, n bigint, n_warn bigint, n_drift bigint, "
+            "first_drift_i bigint"
+        ),
+        stateStructType=(
+            "i bigint, errs bigint, pmin double, smin double, "
+            "n_warn bigint, n_drift bigint, first_drift bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -260,3 +260,72 @@ def test_streaming_near_dedup_state_survives_restart(spark, tmp_path):
     second = run_once()
     pairs = {(r["doc_id"], r["anchor_id"]) for r in second}
     assert (2, 1) in pairs                   # anchor recovered from ckpt
+
+
+def test_streaming_ddm_replay_equals_batch_summary(spark, tmp_path):
+    """The incremental streaming DDM, replayed over THREE time-ranged
+    micro-batches, lands on exactly the batch operator's summary — same
+    float operation sequence, state carries (i, errs, minima, counters)
+    across batches."""
+    import os as _os
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.drift import ddm_drift_summary
+    from omldm_spark.streaming.sources import file_replay_source
+    from omldm_spark.streaming.stateful import streaming_ddm
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(120):
+        rows.append((1, t0 + timedelta(seconds=i), i,
+                     (i % 10 == 9) if i < 80 else True))
+        rows.append((2, t0 + timedelta(seconds=i), 1000 + i, i % 7 == 6))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, err boolean"
+    )
+
+    batch = {r["user_id"]: r for r in ddm_drift_summary(
+        ev, F.col("err"), min_instances=30).collect()}
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    # three time-ranged slices, path-ordered names + spaced mtimes so
+    # FileStreamSource replays them in event order (NOTES_r2 recipe)
+    base = _time.time() - 1000
+    for b, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        part = ev.filter(
+            (F.col("event_id") % 1000 >= lo) & (F.col("event_id") % 1000 < hi)
+        )
+        p = f"{src}/b{b}.parquet"
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in [f"{p}/{x}" for x in _os.listdir(p)]:
+            _os.utime(f, (base + b * 10, base + b * 10))
+        _os.utime(p, (base + b * 10, base + b * 10))
+
+    stream = file_replay_source(spark, f"{src}/*", ev.schema,
+                                max_files_per_trigger=1)
+    out = streaming_ddm(stream)
+    q = (
+        out.writeStream.format("memory").queryName("ddm_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    upd = spark.sql(
+        "SELECT * FROM ddm_updates"
+    ).toPandas()
+    # last update per key == the batch replay summary
+    for uid in (1, 2):
+        last = upd[upd["user_id"] == uid].iloc[-1]
+        b = batch[uid]
+        assert int(last["n"]) == b["n"]
+        assert int(last["n_warn"]) == b["n_warn"]
+        assert int(last["n_drift"]) == b["n_drift"]
+        lf = last["first_drift_i"]
+        bf = b["first_drift_i"]
+        assert (pd.isna(lf) and bf is None) or int(lf) == bf
