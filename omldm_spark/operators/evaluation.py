@@ -1,0 +1,103 @@
+"""Model-evaluation metrics at corpus scale: exact AUC.
+
+Beyond-reference surface in the reference's own domain (OMLDM reports
+score/loss per QueryResponse, FlinkSpoke query path, but has no ranking
+metric): AUC-ROC for a binary label against a real-valued score — the
+metric every scoring-model pipeline reports.
+
+The scale problem with textbook AUC is the GLOBAL RANK: a window over all
+scores funnels the corpus through one task. This operator never ranks:
+
+    AUC = P(s_pos > s_neg) + P(s_pos = s_neg)/2
+        = [ Σ_s np_s * (2 * nn_<s + nn_s) ] / (2 * np * nn)
+
+computed over the QUANTIZED-SCORE HISTOGRAM — one hash-groupBy collapses
+the corpus to at most |quant levels| rows (bounded by the quantization
+range, NOT the corpus), and the cumulative negative count runs over that
+tiny histogram. The only ordered pass is histogram-sized; the corpus
+pass is one map-side-combinable aggregation.
+
+Exactness: scores quantize to integers (ties become exact integer
+equality — deterministic on both engines, unlike float ties), every
+count/cumsum/pair-product is BIGINT, and the final AUC is emitted as the
+integral division (num * 500000) div (np * nn) — microunit-exact,
+engine-identical. Overflow envelope: num <= 2 * np * nn <= 2 * (n/2)^2;
+with DECIMAL(38,0)/HUGEINT intermediates this holds to n ~ 1e18.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_exact(df: DataFrame, label_col, score_col,
+              quant: int = 100) -> DataFrame:
+    """One-row (n_pos, n_neg, auc_q) with auc_q = floor(1e6 * AUC).
+    ``label_col`` boolean Column; ``score_col`` numeric column/name."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    sq = F.round(score.cast("double") * quant, 0).cast("long")
+    hist = (
+        df.select(
+            sq.alias("sq"),
+            label_col.cast("int").alias("_pos"),
+        )
+        .groupBy("sq")
+        .agg(
+            F.sum("_pos").cast("long").alias("np_s"),
+            F.sum(1 - F.col("_pos")).cast("long").alias("nn_s"),
+        )
+    )
+    w = (
+        Window.orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # cum_nn includes the current bucket; nn_<s = cum_nn - nn_s
+    contrib = hist.select(
+        "np_s", "nn_s",
+        (F.sum("nn_s").over(w) - F.col("nn_s")).alias("nn_lt"),
+    ).select(
+        "np_s", "nn_s",
+        (
+            F.col("np_s").cast("decimal(38,0)")
+            * (2 * F.col("nn_lt") + F.col("nn_s"))
+        ).alias("_num_s"),
+        F.col("np_s").alias("_np"),
+        F.col("nn_s").alias("_nn"),
+    )
+    return contrib.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((sum(_num_s) * 500000) div "
+            "(sum(CAST(_np AS DECIMAL(38,0))) * sum(_nn)) AS BIGINT)"
+        ).alias("auc_q"),
+    )
+
+
+def AUC_SQL(label_expr: str, score_expr: str, table: str,
+            quant: int = 100) -> str:
+    return f"""
+WITH hist AS (
+  SELECT CAST(round(CAST({score_expr} AS DOUBLE) * {quant}, 0) AS BIGINT)
+           AS sq,
+         CAST(sum(CASE WHEN {label_expr} THEN 1 ELSE 0 END) AS BIGINT)
+           AS np_s,
+         CAST(sum(CASE WHEN {label_expr} THEN 0 ELSE 1 END) AS BIGINT)
+           AS nn_s
+  FROM {table}
+  GROUP BY 1
+),
+contrib AS (
+  SELECT np_s, nn_s,
+         CAST(sum(nn_s) OVER (ORDER BY sq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn_s
+           AS BIGINT) AS nn_lt
+  FROM hist
+)
+SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
+       CAST(sum(nn_s) AS BIGINT) AS n_neg,
+       CAST((sum(CAST(np_s AS HUGEINT) * (2 * nn_lt + nn_s)) * 500000)
+            // (sum(CAST(np_s AS HUGEINT)) * sum(nn_s)) AS BIGINT) AS auc_q
+FROM contrib
+"""

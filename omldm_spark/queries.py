@@ -3342,3 +3342,21 @@ def q_page_hinkley_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     differently across engines (operators/drift.py page_hinkley_summary)."""
     ev = load_table(spark, sf_dir, "events")
     return page_hinkley_summary(ev, "value", lam=2000.0)
+
+
+from .operators.evaluation import AUC_SQL, auc_exact  # noqa: E402
+
+
+@query(
+    "auc_purchase_value",
+    oracle=AUC_SQL("event_type = 'purchase'", "value", "events"),
+)
+def q_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of the event value as a purchase score, WITHOUT a
+    global rank: one corpus-scale groupBy collapses to the quantized-score
+    histogram (bounded by quant levels, not rows); the ordered cumulative
+    runs over that tiny histogram; ties are exact integer equality with
+    the standard half credit. Microunit-exact integral division both
+    engines (operators/evaluation.py auc_exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return auc_exact(ev, F.col("event_type") == "purchase", "value")

@@ -17,6 +17,10 @@ Operators:
 * ``streaming_running_stats`` per-key running count/sum/min/max — the
                               streaming StandardScaler fit (running moments,
                               SURVEY.md §7 step 5).
+* ``streaming_ddm``           incremental DDM drift detection; state =
+                              seven scalars per key with the SAME float
+                              sequence as operators/drift.ddm_drift_summary,
+                              so replay == batch bit-for-bit.
 
 Both shuffle once on the key; state lives with the partition and
 rescale/restore come from Structured Streaming checkpointing — the

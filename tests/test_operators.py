@@ -767,3 +767,39 @@ def test_page_hinkley_detects_mean_shift(spark):
                                          lam=50.0).collect()}
     assert out[1]["n_drift"] > 0 and out[1]["first_drift_i"] > 100
     assert out[2]["n_drift"] == 0
+
+
+def test_auc_exact_matches_sklearn_style_reference(spark):
+    """Histogram AUC equals the O(n log n) rank formulation computed in
+    plain Python, including tie half-credit; degenerate separable and
+    anti-separable streams hit 1.0 / 0.0."""
+    from omldm_spark.operators.evaluation import auc_exact
+
+    rows = [
+        # score, label: interleaved with ties on 0.5
+        (0.1, False), (0.2, False), (0.5, True), (0.5, False),
+        (0.7, True), (0.9, True), (0.3, False), (0.5, True),
+    ]
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in rows], "score double, lbl boolean"
+    )
+    out = auc_exact(df, F.col("lbl"), "score").collect()[0]
+
+    # reference: mean over all (pos, neg) pairs of 1/0.5/0
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    ref = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert out["n_pos"] == 4 and out["n_neg"] == 4
+    assert out["auc_q"] == int(ref * 1000000)
+
+    sep = spark.createDataFrame(
+        [(1.0, True), (2.0, True), (0.1, False)], "score double, lbl boolean"
+    )
+    assert auc_exact(sep, F.col("lbl"), "score").collect()[0]["auc_q"] == 1000000
+    anti = spark.createDataFrame(
+        [(0.1, True), (2.0, False)], "score double, lbl boolean"
+    )
+    assert auc_exact(anti, F.col("lbl"), "score").collect()[0]["auc_q"] == 0
