@@ -101,3 +101,65 @@ SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
             // (sum(CAST(np_s AS HUGEINT)) * sum(nn_s)) AS BIGINT) AS auc_q
 FROM contrib
 """
+
+
+def calibration_bins(df: DataFrame, label_col, score_col,
+                     n_bins: int = 10, lo: float = 0.0,
+                     hi: float = 1.0) -> DataFrame:
+    """Reliability diagram data: equal-width score bins on [lo, hi) ->
+    (bin_idx, n, n_pos, rate_ppm) with rate_ppm = floor(1e6 * n_pos / n).
+    The companion diagnostic to auc_exact (AUC ranks; calibration checks
+    the scores MEAN what they say).
+
+    Scale/exactness: bin assignment is row-local integer arithmetic on the
+    quantized score (floor of a scaled difference — no float binning, so a
+    score on a bin edge lands identically on both engines); one map-side
+    combinable groupBy over at most n_bins keys; the rate is an integral
+    division. Scores outside [lo, hi) clamp into the edge bins (standard
+    reliability-plot behavior)."""
+    Q = 1_000_000
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    sq = F.round(score.cast("double") * Q, 0).cast("long")
+    loq, hiq = int(round(lo * Q)), int(round(hi * Q))
+    width = (hiq - loq) // n_bins
+    if width <= 0:
+        raise ValueError("empty bin range")
+    raw = F.expr(f"(sq - {loq}) div {width}")
+    bin_idx = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(sq.alias("sq"), label_col.cast("long").alias("_pos"))
+        .select(bin_idx.cast("long").alias("bin_idx"), "_pos")
+        .groupBy("bin_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_pos").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin_idx", "n", "n_pos",
+            F.expr("CAST((n_pos * 1000000) div n AS BIGINT)")
+             .alias("rate_ppm"),
+        )
+    )
+
+
+def CALIBRATION_SQL(label_expr: str, score_expr: str, table: str,
+                    n_bins: int = 10, lo: float = 0.0,
+                    hi: float = 1.0) -> str:
+    Q = 1_000_000
+    loq, hiq = int(round(lo * Q)), int(round(hi * Q))
+    width = (hiq - loq) // n_bins
+    return f"""
+WITH b AS (
+  SELECT least(greatest(
+           (CAST(round(CAST({score_expr} AS DOUBLE) * {Q}, 0) AS BIGINT)
+            - {loq}) // {width}, 0), {n_bins - 1}) AS bin_idx,
+         CASE WHEN {label_expr} THEN 1 ELSE 0 END AS pos
+  FROM {table}
+)
+SELECT CAST(bin_idx AS BIGINT) AS bin_idx,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS rate_ppm
+FROM b
+GROUP BY bin_idx
+"""

@@ -3360,3 +3360,23 @@ def q_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (operators/evaluation.py auc_exact)."""
     ev = load_table(spark, sf_dir, "events")
     return auc_exact(ev, F.col("event_type") == "purchase", "value")
+
+
+from .operators.evaluation import CALIBRATION_SQL, calibration_bins  # noqa: E402
+
+
+@query(
+    "calibration_purchase_value",
+    oracle=CALIBRATION_SQL("event_type = 'purchase'", "value / 600.0",
+                           "events"),
+)
+def q_calibration_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins for the normalized event value as a purchase
+    score: row-local integer bin assignment (no float binning — edge
+    scores land identically cross-engine), one groupBy over <= 10 keys,
+    integral-division rates (operators/evaluation.py calibration_bins)."""
+    ev = load_table(spark, sf_dir, "events")
+    return calibration_bins(
+        ev, F.col("event_type") == "purchase",
+        F.col("value") / F.lit(600.0),
+    )

@@ -803,3 +803,26 @@ def test_auc_exact_matches_sklearn_style_reference(spark):
         [(0.1, True), (2.0, False)], "score double, lbl boolean"
     )
     assert auc_exact(anti, F.col("lbl"), "score").collect()[0]["auc_q"] == 0
+
+
+def test_calibration_bins_edges_and_rates(spark):
+    """Bin edges assign deterministically (0.2 lands in bin 2 for
+    width 0.1), out-of-range scores clamp into edge bins, rates are the
+    exact integral ppm."""
+    from omldm_spark.operators.evaluation import calibration_bins
+
+    rows = [
+        (-0.5, False),  # clamps to bin 0
+        (0.05, False), (0.05, True),
+        (0.2, True),    # exactly on the 0.1-width edge -> bin 2
+        (0.95, True), (1.7, True),  # 1.7 clamps to bin 9
+    ]
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in rows], "score double, lbl boolean"
+    )
+    out = {r["bin_idx"]: r
+           for r in calibration_bins(df, F.col("lbl"), "score").collect()}
+    assert out[0]["n"] == 3 and out[0]["n_pos"] == 1
+    assert out[0]["rate_ppm"] == 333333
+    assert out[2]["n"] == 1 and out[2]["n_pos"] == 1
+    assert out[9]["n"] == 2 and out[9]["rate_ppm"] == 1000000
