@@ -225,6 +225,29 @@ CHECKS = {
          or bool(re.search(r"\[l_partkey[^\]]*_salt", p))),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "ddm_drift_summary": [
+        # all window passes + the rollup share ONE user-keyed exchange
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("single keyed exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+    ],
+    "page_hinkley_value_drift": [
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("single keyed exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+    ],
+    "auc_purchase_value": [
+        # corpus collapses in the FIRST (partial+final) groupBy; the
+        # ordered pass sees only the histogram
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+        ("window is over the histogram, after the agg",
+         lambda p: "Window" in p),
+    ],
+    "calibration_purchase_value": [
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+        ("no shuffle beyond the bin groupBy",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+    ],
     "bpe_merge_round": [
         # corpus collapses in the FIRST groupBy (map-side combinable);
         # everything after is vocab-scale; chosen pair rides a broadcast
