@@ -109,3 +109,73 @@ def test_chunk_layout_roundtrip(values, bucket):
     buckets and re-concatenating in bucket order is the identity."""
     buckets = [values[i:i + bucket] for i in range(0, max(len(values), 1), bucket)]
     assert [v for b in buckets for v in b] == values
+
+
+@st.composite
+def spd_system(draw, d):
+    rows = [[draw(finite_floats) for _ in range(d + 1)] for _ in range(d + 1)]
+    A = np.array(rows) / 1e3
+    A = A @ A.T + (d + 1) * np.eye(d + 1)
+    b = np.array([draw(finite_floats) for _ in range(d + 1)]) / 1e3
+    return A, b
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(2, 3).flatmap(lambda d: st.tuples(st.just(d), spd_system(d))))
+def test_cramer_sql_solves_random_spd_systems(arg):
+    """The generated shared-Cramer text solves (A + lam I_aug) w = b for any
+    well-conditioned system, matching numpy to rounding tolerance."""
+    import duckdb
+
+    from omldm_spark.learners.orr import cramer_sql
+
+    d, (A, b) = arg
+    lam = 0.1
+    cols, vals = [], []
+    for i in range(d):
+        for j in range(i, d):
+            cols.append(f"m_{i}_{j}"); vals.append(A[i, j])
+        cols.append(f"m_{i}_b"); vals.append(A[i, d])
+        cols.append(f"v_{i}"); vals.append(b[i])
+    cols += ["v_b", "n"]; vals += [b[d], 10]
+    rel = "SELECT " + ", ".join(
+        f"CAST({v!r} AS DOUBLE) AS {c}" for c, v in zip(cols, vals)
+    )
+    out = duckdb.connect().execute(
+        cramer_sql(d).format(g=f"({rel})", lam=lam)
+    ).fetchdf()
+    A2 = A.copy()
+    A2[d, d] = 1.0
+    w = np.linalg.solve(A2 + lam * np.eye(d + 1), b)
+    got = np.array([out[f"w{k}"][0] for k in range(d)] + [out["bias"][0]])
+    assert np.allclose(got, w, atol=1e-4, rtol=1e-4)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(-50, 50), st.booleans()),
+                min_size=2, max_size=60))
+def test_auc_histogram_identity(pairs):
+    """The histogram AUC formula (operators/evaluation.py) equals the
+    pairwise definition P(s+ > s-) + P(s+ = s-)/2 on any integer-score
+    multiset with both classes present."""
+    if not any(l for _, l in pairs) or all(l for _, l in pairs):
+        return
+    from collections import Counter
+
+    np_c = Counter(s for s, l in pairs if l)
+    nn_c = Counter(s for s, l in pairs if not l)
+    scores = sorted(set(np_c) | set(nn_c))
+    cum_nn = 0
+    num2 = 0
+    for s in scores:
+        nn_lt = cum_nn
+        num2 += np_c[s] * (2 * nn_lt + nn_c[s])
+        cum_nn += nn_c[s]
+    npos, nneg = sum(np_c.values()), sum(nn_c.values())
+    hist_auc = num2 / (2 * npos * nneg)
+
+    pos = [s for s, l in pairs if l]
+    neg = [s for s, l in pairs if not l]
+    ref = sum(1.0 if p > n else (0.5 if p == n else 0.0)
+              for p in pos for n in neg) / (npos * nneg)
+    assert abs(hist_auc - ref) < 1e-12
