@@ -154,3 +154,161 @@ SELECT e.term, e.est_cnt,
        coalesce(t.true_cnt, CAST(0 AS BIGINT)) AS true_cnt
 FROM est e LEFT JOIN tru t ON e.term = t.term
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch.
+#
+# Beyond-reference surface (SURVEY.md §2.11): the cardinality twin of the
+# count-min sketch above — m = 2^b integer registers REGARDLESS of input
+# size, mergeable across partitions/shards/days by cell-wise max.  At 100 TB
+# a COUNT(DISTINCT user_id) shuffles every distinct key; the HLL build is
+# ONE groupBy whose key space is m registers (map-side combine collapses
+# each partition to <= m rows before the shuffle), and the register table
+# broadcasts anywhere.
+#
+# Determinism / cross-engine exactness:
+# * bucket + rho derive from md5 of the key via the same instr-fold SQL text
+#   in BOTH engines (CMS recipe above) — register tables hash-match exactly.
+# * rho (leading-zero rank) uses a generated integer CASE ladder
+#   (sum of `v >= 2^k` indicators), NOT floor(log2(v)): log2 in doubles
+#   rounds up at v = 2^48 - 1 (ulp(48) ≈ 1.4e-14 > the true gap), which
+#   would mis-rank real md5 outputs.  Integers never lie.
+# * the estimate divides integer Z_scaled = sum 2^(49 - M_j) (BIGINT-exact,
+#   <= 2^55) through ONE shared double-arithmetic SQL text, so even the
+#   float tail is bit-identical across engines (shared-Cramer recipe,
+#   learners/orr.py).
+# * no small-range ln() correction: libm ln may differ by ulps across
+#   engines; the raw estimator stays deterministic and the paired exact
+#   count exposes the small-cardinality bias honestly.
+# ---------------------------------------------------------------------------
+
+HLL_B = 6  # m = 64 registers; md5 bits: 8 -> bucket (256 % 64 uniform), 48 -> rho
+
+
+def _hll_hash_sql(key_expr: str) -> str:
+    """Shared SQL text for md5 hex of the (stringified) key."""
+    return f"md5(CAST({key_expr} AS STRING))"
+
+
+def hll_bucket_sql(key_expr: str) -> str:
+    """Register index 0..63 from the first two hex digits (0..255 uniform,
+    256 % 64 == 0 so the fold stays uniform)."""
+    h = _hll_hash_sql(key_expr)
+    return (
+        f"CAST((((instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1)) % 64) AS INT)"
+    )
+
+
+def _hll_v_sql(key_expr: str) -> str:
+    """48-bit integer from hex digits 3..14 of the key hash."""
+    h = _hll_hash_sql(key_expr)
+    terms = " + ".join(
+        f"CAST(instr('{_HEX}', substr({h}, {j}, 1)) - 1 AS BIGINT)"
+        f" * CAST({16 ** (14 - j)} AS BIGINT)"
+        for j in range(3, 15)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def hll_rho_sql(v_expr: str = "v") -> str:
+    """rho = (leading zeros of the 48-bit tail) + 1 = 49 - bit_length(v),
+    via an integer indicator ladder — exact for every v, unlike
+    floor(log2(v)).  ``v_expr`` should be a short column reference (the
+    1.5 KB md5 fold is materialized ONCE as a column, not inlined 48x)."""
+    bitlen = " + ".join(
+        f"(CASE WHEN ({v_expr}) >= {2 ** k} THEN 1 ELSE 0 END)"
+        for k in range(0, 48)
+    )
+    return f"CAST(49 - ({bitlen}) AS INT)"
+
+
+def hll_registers(df: DataFrame, key_expr: str) -> DataFrame:
+    """(bucket, max_rho) for non-empty registers — at most 64 rows.  The
+    multiset collapses inside max(): no DISTINCT pass is ever needed
+    (max is idempotent), so the only shuffle moves <= 64 rows per map
+    partition."""
+    return (
+        df.select(
+            F.expr(hll_bucket_sql(key_expr)).alias("bucket"),
+            F.expr(_hll_v_sql(key_expr)).alias("v"),
+        )
+        .select("bucket", F.expr(hll_rho_sql("v")).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _est_sql(z_expr: str) -> str:
+    """Shared double-arithmetic text: alpha_64 * 64^2 * 2^49 / Z_scaled.
+    Every literal is CAST to DOUBLE: DuckDB parses bare decimal literals
+    as DECIMAL and its scale-limited division would diverge from Spark's
+    double math in the 8th digit (same pitfall as token_budget_mix)."""
+    a, b, c = "CAST(0.7213 AS DOUBLE)", "CAST(1.0 AS DOUBLE)", "CAST(1.079 AS DOUBLE)"
+    m, two49 = "CAST(64.0 AS DOUBLE)", "CAST(562949953421312.0 AS DOUBLE)"
+    return (
+        f"{a} / ({b} + {c} / {m}) * {m} * {m}"
+        f" * {two49} / CAST({z_expr} AS DOUBLE)"
+    )
+
+
+def hll_distinct(df: DataFrame, key_expr: str) -> DataFrame:
+    """One summary row: (m, v_zero, z_scaled, est_distinct, true_distinct).
+
+    z_scaled = sum over ALL m registers of 2^(49 - M_j) with M_j = 0 for
+    empty registers — integer BIGINT math (shiftleft), <= 2^55.  The
+    est_distinct double derives from that integer through the shared SQL
+    text so it hash-matches the oracle bit-for-bit.  true_distinct is the
+    paired exact count (the honesty column, same pattern as CMS)."""
+    regs = hll_registers(df, key_expr)
+    summary = regs.agg(
+        F.count(F.lit(1)).cast("int").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - max_rho)"))
+         .cast("long").alias("z_present"),
+    ).select(
+        F.lit(64).cast("int").alias("m"),
+        (F.lit(64) - F.col("n_present")).cast("int").alias("v_zero"),
+        (F.col("z_present")
+         + (F.lit(64) - F.col("n_present")).cast("long")
+         * F.lit(562949953421312).cast("long")).alias("z_scaled"),
+    ).withColumn("est_distinct", F.expr(_est_sql("z_scaled")))
+    true = df.agg(
+        F.countDistinct(F.expr(key_expr)).cast("long").alias("true_distinct")
+    )
+    return summary.crossJoin(F.broadcast(true))
+
+
+def HLL_DISTINCT_SQL(table: str, key_expr: str) -> str:
+    """DuckDB oracle — same bucket/rho/est text; integer shifts via `<<`
+    (integer ops are exact in both engines, only FLOAT math needs the
+    shared-text guarantee)."""
+    return f"""
+WITH h AS (
+  SELECT {hll_bucket_sql(key_expr)} AS bucket,
+         {_hll_v_sql(key_expr)} AS v
+  FROM {table}
+),
+regs AS (
+  SELECT bucket, max({hll_rho_sql("v")}) AS max_rho
+  FROM h GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS INT) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+           AS z_present
+  FROM regs
+),
+summary AS (
+  SELECT CAST(64 AS INT) AS m,
+         CAST(64 - n_present AS INT) AS v_zero,
+         CAST(z_present + CAST(64 - n_present AS BIGINT)
+              * CAST(562949953421312 AS BIGINT) AS BIGINT) AS z_scaled
+  FROM s
+)
+SELECT m, v_zero, z_scaled,
+       {_est_sql("z_scaled")} AS est_distinct,
+       (SELECT CAST(count(DISTINCT {key_expr}) AS BIGINT) FROM {table})
+         AS true_distinct
+FROM summary
+"""

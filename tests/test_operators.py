@@ -826,3 +826,34 @@ def test_calibration_bins_edges_and_rates(spark):
     assert out[0]["rate_ppm"] == 333333
     assert out[2]["n"] == 1 and out[2]["n_pos"] == 1
     assert out[9]["n"] == 2 and out[9]["rate_ppm"] == 1000000
+
+
+def test_hll_registers_merge_by_cellwise_max(spark):
+    """HLL mergeability — registers(A ∪ B) == cell-wise max of
+    registers(A), registers(B); and the multiset collapses inside max()
+    (duplicate keys never move a register)."""
+    from omldm_spark.operators.sketch import hll_registers
+
+    a = spark.range(0, 400).selectExpr("id AS user_id")
+    b = spark.range(300, 700).selectExpr("id AS user_id")
+    full = hll_registers(a.union(b), "user_id").collect()
+    ra = {r["bucket"]: r["max_rho"] for r in hll_registers(a, "user_id").collect()}
+    rb = {r["bucket"]: r["max_rho"] for r in hll_registers(b, "user_id").collect()}
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert {r["bucket"]: r["max_rho"] for r in full} == merged
+    # idempotence under duplication: the register table ignores multiplicity
+    dup = hll_registers(a.union(a).union(a), "user_id").collect()
+    assert {r["bucket"]: r["max_rho"] for r in dup} == ra
+
+
+def test_hll_estimate_tracks_cardinality(spark):
+    """The raw estimator lands within the ~1.04/sqrt(64)=13% band (loose
+    3-sigma check) and v_zero/z_scaled stay consistent."""
+    from omldm_spark.operators.sketch import hll_distinct
+
+    df = spark.range(0, 5000).selectExpr("id AS user_id")
+    row = hll_distinct(df, "user_id").collect()[0]
+    assert row["true_distinct"] == 5000
+    assert row["m"] == 64
+    assert 0 <= row["v_zero"] < 64
+    assert abs(row["est_distinct"] - 5000) < 5000 * 0.40
