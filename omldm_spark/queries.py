@@ -3382,6 +3382,225 @@ def q_calibration_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q2_like",
+    oracle="""
+WITH rs AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(min(CAST(floor(l.l_extendedprice * 100.0 / l.l_quantity + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cost_c
+  FROM lineitem l JOIN rs ON l.l_suppkey = rs.s_suppkey
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, CAST(min(cost_c) AS BIGINT) AS min_cost_c
+  FROM cost GROUP BY 1
+)
+SELECT p.p_partkey, p.p_brand, rs.s_name, rs.n_name, c.cost_c AS min_cost_c
+FROM cost c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.cost_c = b.min_cost_c
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN rs ON rs.s_suppkey = c.l_suppkey
+WHERE p.p_size < 15 AND p.p_type = 'STANDARD'
+""",
+)
+def q_tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape — the correlated MIN
+    subquery, adapted to lineitem as the part x supplier relation since the
+    synthetic schema has no partsupp).  Decorrelation: per-(part, supplier)
+    unit cost -> per-part window MIN -> equality filter keeps every
+    tied-at-min supplier, exactly the subquery's semantics.
+
+    Scale: the region-restricted supplier x nation x region dim broadcasts
+    (two dims + a fraction of suppliers); lineitem shuffles ONCE on
+    (l_partkey, l_suppkey) for the cost agg, and the window MIN rides a
+    single l_partkey exchange of the already-aggregated (|part x supp|)
+    rows — no join back to the fact, no second fact shuffle.  part
+    broadcasts.  Exactness: unit cost quantized to integer cents through
+    identical floor text both engines; MIN and the tie equality are then
+    pure integer ops (ref: correlated-subquery surface, SURVEY.md §2.11)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    pa = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    rs = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(rs), li.l_suppkey == rs.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(floor(l_extendedprice * 100.0 / l_quantity + 0.5)"
+                    " AS BIGINT)"
+                )
+            ).cast("long").alias("cost_c")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        cost.withColumn("min_cost_c", F.min("cost_c").over(w))
+        .filter(F.col("cost_c") == F.col("min_cost_c"))
+    )
+    return (
+        winners.join(
+            F.broadcast(
+                pa.filter((F.col("p_size") < 15)
+                          & (F.col("p_type") == "STANDARD"))
+            ),
+            winners.l_partkey == pa.p_partkey,
+        )
+        .join(F.broadcast(rs), winners.l_suppkey == rs.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name",
+                F.col("cost_c").alias("min_cost_c"))
+    )
+
+
+@query(
+    "tpch_q20_like",
+    oracle="""
+WITH sh AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'large %'
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS qty_total FROM sh GROUP BY 1
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+FROM sh JOIN tot ON sh.l_partkey = tot.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE sh.qty * 10 > tot.qty_total * 3
+""",
+)
+def q_tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-share suppliers (TPC-H Q20 shape — the nested semi-join
+    chain: suppliers who shipped > 30% of some 'large *' part's 1995
+    volume; availqty becomes shipped volume, no partsupp in the schema).
+
+    Scale: shipdate + part-name predicates reach the lineitem scan
+    (broadcast part dim, pushed date filters) BEFORE the one fact shuffle
+    on (l_partkey, l_suppkey); the per-part total is a window SUM over the
+    aggregated rows (one narrow exchange); the final DISTINCT collapses to
+    |suppliers| and joins broadcast dims.  The share predicate is the
+    integer cross-multiplication qty*10 > total*3 — no float division to
+    flip on summation order."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    pa = load_table(spark, sf_dir, "part")
+    sh = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pa.filter(F.col("p_name").like("large %"))),
+              li.l_partkey == pa.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
+             .cast("long").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sh.withColumn("qty_total", F.sum("qty").over(w))
+        .filter(F.col("qty") * 10 > F.col("qty_total") * 3)
+        .select("l_suppkey").distinct()
+    )
+    return (
+        dominant.join(F.broadcast(su), dominant.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "tpch_q22_like",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+),
+stats AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, CAST(count(*) AS BIGINT) AS cnt
+  FROM c WHERE bal_c > 0
+),
+cand AS (
+  SELECT c.c_custkey, c.c_nationkey, c.bal_c
+  FROM c, stats WHERE c.bal_c * stats.cnt > stats.sum_c
+)
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cand.bal_c) AS BIGINT) AS totacctbal_c
+FROM cand JOIN nation n ON n.n_nationkey = cand.c_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cand.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+""",
+)
+def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich but lapsed customers (TPC-H Q22 shape: scalar AVG subquery +
+    NOT EXISTS anti join — above-mean balance, no order since 1999; phone
+    country codes become nation names, the synthetic customer has no
+    phone column).
+
+    Scale: the global mean is a one-row aggregate broadcast into the
+    filter as the integer cross-multiplication bal*cnt > sum (no float
+    mean, no re-scan); the NOT EXISTS is a LEFT ANTI join — the only
+    customer-scale shuffle (both sides hash on custkey; orders is pruned
+    to its join column by column pruning before the exchange); nation
+    broadcasts; the final groupBy is |nations| keys.  Balances are summed
+    as integer cents via identical floor text both engines."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+    c = cu.select(
+        "c_custkey", "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias("bal_c"),
+    )
+    stats = c.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("long").alias("sum_c"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    cand = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .join(
+            od.filter(F.col("o_orderdate")
+                      >= F.lit("1999-01-01").cast("timestamp")),
+            c.c_custkey == od.o_custkey, "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(na), cand.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_c").cast("long").alias("totacctbal_c"),
+        )
+    )
+
+
 from .operators.sketch import HLL_DISTINCT_SQL, hll_distinct  # noqa: E402
 
 

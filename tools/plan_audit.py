@@ -19,6 +19,47 @@ from omldm_spark.session import get_spark  # noqa: E402
 
 CHECKS = {
     # query -> list of (description, predicate over plan text)
+    "tpch_q2_like": [
+        # fact shuffles once on (partkey, suppkey); the per-part MIN is a
+        # window over the aggregated rows — dims broadcast, fact never does
+        # rs nests broadcast(nation)+broadcast(region) and is used twice
+        # (3 hints x 2 uses) + broadcast(part) = 7 hints, every one a dim;
+        # the lineitem side carries none
+        (
+            "fact not forced broadcast (dim hints only)",
+            lambda p, ext: _optimized(ext).count("strategy=broadcast") == 7,
+        ),
+        ("per-part window min, not a self-join",
+         lambda p: "SortMergeJoin" not in p),
+        ("partial aggregation before the cost shuffle",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "tpch_q20_like": [
+        ("date range pushed to the lineitem scan",
+         lambda p: "GreaterThanOrEqual(l_shipdate" in p
+         and "LessThan(l_shipdate" in p),
+        ("three dim broadcasts (part, supplier, nation)",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 3),
+        ("share predicate via window over aggregated rows",
+         lambda p: "SortMergeJoin" not in p),
+    ],
+    "tpch_q22_like": [
+        ("NOT EXISTS is a left anti join", lambda p: "LeftAnti" in p),
+        ("one-row stats + nation broadcast only",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 2),
+        ("orders pruned to the join column before the anti join",
+         lambda p: bool(re.search(
+             r"ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp",
+             p))),
+    ],
+    "hll_distinct_users": [
+        # the register build must map-side combine: every partition
+        # collapses to <= 64 rows before its shuffle
+        ("register agg partially aggregated",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("register shuffle is 64-key, no sort anywhere",
+         lambda p: "Sort " not in p),
+    ],
     "broadcast_pipeline_join": [
         ("dim join is broadcast", lambda p: "BroadcastHashJoin" in p),
         ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
