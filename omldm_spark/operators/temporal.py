@@ -216,3 +216,70 @@ def FUNNEL_SQL(stages: list[str], table: str = "events",
         for i, s in enumerate(stages)
     )
     return "WITH " + ",\n".join(ctes + [per_user]) + "\n" + selects
+
+
+def scd2_intervals(events: DataFrame, key: str = "user_id",
+                   state: str = "event_type", ts_s: str = "ts_s",
+                   tiebreak: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: collapse
+    each key's event stream to the runs of distinct consecutive ``state``
+    values and emit one versioned validity interval per run —
+    (key, state, valid_from_s, valid_to_s NULL-while-current, version,
+    is_current).
+
+    The warehouse upsert pattern a 100 TB pipeline runs nightly: the
+    change log is the only fact-scale input and it shuffles ONCE on the
+    key — the change filter (lag), version numbers (row_number) and
+    interval close (lead) are three frames over the SAME
+    (key x order) window spec, so Catalyst plans a single Exchange +
+    Sort and runs all of them in it (audited in tools/plan_audit.py).
+
+    Exactness: interval bounds are integer epoch seconds; ordering ties
+    break on the unique ``tiebreak`` column (synthetic events can share a
+    timestamp; see tests). A run's valid_to equals the NEXT run's
+    valid_from — adjacency is pinned by tests/test_temporal.py."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_s, tiebreak)
+    changes = (
+        events.withColumn("_prev", F.lag(state).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(state)))
+    )
+    wc = Window.partitionBy(key).orderBy(ts_s, tiebreak)
+    return (
+        changes.withColumn("version", F.row_number().over(wc))
+        .withColumn("valid_to_s", F.lead(ts_s).over(wc))
+        .select(
+            F.col(key),
+            F.col(state).alias("state"),
+            F.col(ts_s).cast("long").alias("valid_from_s"),
+            F.col("valid_to_s").cast("long").alias("valid_to_s"),
+            F.col("version").cast("int").alias("version"),
+            F.col("valid_to_s").isNull().alias("is_current"),
+        )
+    )
+
+
+def SCD2_SQL(table: str = "events", key: str = "user_id",
+             state: str = "event_type") -> str:
+    return f"""
+WITH ev AS (
+  SELECT {key}, {state}, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+  FROM {table}
+),
+changes AS (
+  SELECT * FROM (
+    SELECT {key}, {state}, ts_s, event_id,
+           lag({state}) OVER (PARTITION BY {key} ORDER BY ts_s, event_id)
+             AS prev_state
+    FROM ev
+  ) WHERE prev_state IS NULL OR prev_state <> {state}
+)
+SELECT {key}, {state} AS state,
+       CAST(ts_s AS BIGINT) AS valid_from_s,
+       CAST(lead(ts_s) OVER w AS BIGINT) AS valid_to_s,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(ts_s) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY {key} ORDER BY ts_s, event_id)
+"""

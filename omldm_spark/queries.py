@@ -3601,6 +3601,24 @@ def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.temporal import SCD2_SQL, scd2_intervals  # noqa: E402
+
+
+@query("scd2_user_state", oracle=SCD2_SQL("events"))
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event change log: per-user runs
+    of consecutive event_type values become versioned validity intervals
+    [valid_from_s, valid_to_s) with an is_current flag — the nightly
+    warehouse upsert shape.  One user-keyed exchange carries the change
+    filter, version row_number and interval-closing lead (same window
+    spec; operators/temporal.py scd2_intervals)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    return scd2_intervals(ev)
+
+
 from .operators.sketch import HLL_DISTINCT_SQL, hll_distinct  # noqa: E402
 
 

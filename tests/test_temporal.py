@@ -180,3 +180,44 @@ def test_funnel_first_touch_semantics(spark):
     out = {r["stage"]: r["users"]
            for r in funnel_counts(ev, ["view", "click"]).collect()}
     assert out == {"view": 1, "click": 1}
+
+
+def test_scd2_intervals_runs_versions_adjacency(spark):
+    """Consecutive duplicate states collapse into one version; intervals
+    are adjacent (valid_to == next valid_from); only the last run is
+    current; reopening a previous state starts a NEW version."""
+    from omldm_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, "free", 100, 1), (1, "free", 150, 2),   # same run
+        (1, "pro", 200, 3),
+        (1, "free", 300, 4),                          # reopened state
+        (2, "pro", 50, 5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s long, event_id long")
+    out = sorted(
+        scd2_intervals(ev).collect(),
+        key=lambda r: (r["user_id"], r["version"]),
+    )
+    got = [(r["user_id"], r["state"], r["valid_from_s"], r["valid_to_s"],
+            r["version"], r["is_current"]) for r in out]
+    assert got == [
+        (1, "free", 100, 200, 1, False),
+        (1, "pro", 200, 300, 2, False),
+        (1, "free", 300, None, 3, True),
+        (2, "pro", 50, None, 1, True),
+    ]
+
+
+def test_scd2_tie_breaks_on_event_id(spark):
+    """Two changes at the SAME timestamp order by the unique event_id, so
+    the interval chain is deterministic."""
+    from omldm_spark.operators.temporal import scd2_intervals
+
+    rows = [(1, "a", 100, 7), (1, "b", 100, 8), (1, "c", 200, 9)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s long, event_id long")
+    out = sorted(scd2_intervals(ev).collect(), key=lambda r: r["version"])
+    assert [(r["state"], r["valid_from_s"], r["valid_to_s"]) for r in out] == [
+        ("a", 100, 100), ("b", 100, 200), ("c", 200, None)]

@@ -52,6 +52,13 @@ CHECKS = {
              r"ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp",
              p))),
     ],
+    "scd2_user_state": [
+        # change filter + version row_number + closing lead all ride ONE
+        # user-keyed exchange and ONE sort (formatted output names each
+        # physical node twice: tree + detail section)
+        ("single key exchange", lambda p: p.count("Exchange") <= 2),
+        ("single sort for both window passes", lambda p: p.count("Sort ") <= 2),
+    ],
     "hll_distinct_users": [
         # the register build must map-side combine: every partition
         # collapses to <= 64 rows before its shuffle
