@@ -3601,6 +3601,60 @@ def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_click_attribution",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s,
+       CAST(floor(p.value * 100.0 + 0.5) AS BIGINT) AS value_c
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 600 SECOND
+""",
+)
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stream-stream interval join driven through availableNow:
+    clicks and purchases replayed as two file streams, watermarks on both
+    sides, purchases attributed to same-user clicks within 10 minutes
+    (streaming/windows.py stream_interval_join).  Replayed as one batch
+    the result is deterministic and the oracle reproduces it exactly —
+    the stream-stream join path with a hash-exact correctness gate; late
+    -data eviction semantics are pinned separately in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from .streaming.sources import file_replay_source
+    from .streaming.windows import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        # parquet timestamps read as NTZ; watermarks need TIMESTAMP — the
+        # session runs UTC so the instant is unchanged
+        F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="omldm_ssj_")
+    cdir, pdir = f"{tmp}/clicks", f"{tmp}/purchases"
+    ev.filter(F.col("event_type") == "click").write.parquet(cdir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(pdir)
+    schema = spark.read.parquet(cdir).schema
+    out = stream_interval_join(
+        file_replay_source(spark, cdir, schema),
+        file_replay_source(spark, pdir, schema),
+        window_s=600,
+    )
+    sink = f"{tmp}/attr"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
+
+
 from .operators.temporal import SCD2_SQL, scd2_intervals  # noqa: E402
 
 

@@ -74,3 +74,54 @@ class IdleTimeoutStopper:
                 self.query.stop()
                 return
             time.sleep(self.poll_sec)
+
+
+def stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_s: int = 600,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream event-time interval join (W2 surface the reference
+    lacks — its only two-stream operator is the data x control connect,
+    FlinkLearning.scala:61-77, which keys on pipeline id with no time
+    semantics): attribute each purchase to every click by the same user in
+    the preceding ``window_s`` seconds.
+
+    Scale: BOTH sides carry a watermark and the join predicate bounds
+    purchase_ts inside [click_ts, click_ts + window_s), so the engine
+    evicts join state older than watermark + window — state is
+    O(in-flight window), not O(stream).  The equality key (user_id) is the
+    shuffle key; the range predicate prunes inside each key group.
+
+    Exactness: microsecond timestamps compare exactly; output quantizes to
+    integer epoch seconds / cents only AFTER the join, so an availableNow
+    single-batch replay reproduces the batch SQL join bit-for-bit
+    (queries.py stream_click_attribution oracle)."""
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = F.expr(
+        f"user_id = p_user_id AND purchase_ts >= click_ts"
+        f" AND purchase_ts < click_ts + interval {window_s} seconds"
+    )
+    return c.join(p, cond).select(
+        "click_id", "purchase_id", "user_id",
+        F.unix_timestamp("click_ts").alias("click_ts_s"),
+        F.unix_timestamp("purchase_ts").alias("purchase_ts_s"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("value_c"),
+    )

@@ -273,3 +273,79 @@ def test_hub_parallelism_shards_shipping_stats(spark):
     # two rounds accumulate
     train_batch(df, cat, dim=3, num_partitions=4, batch_id=1)
     assert spec.hub_stats["0"]["models_shipped"] == 8
+
+
+def test_stream_interval_join_matches_and_drops_late(spark, tmp_path):
+    """Stream-stream interval join semantics across batches: an in-window
+    same-batch pair matches; a purchase arriving a batch AFTER the
+    watermark has passed its click's join window is dropped (bounded
+    state — the scale guarantee), so no late match appears."""
+    import os as _os
+    import time as _time
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omldm_spark.streaming.sources import file_replay_source
+    from omldm_spark.streaming.windows import stream_interval_join
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    def ts(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc) \
+            .replace(tzinfo=None)
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("value", pa.float64()),
+    ])
+    sschema = StructType([
+        StructField("event_id", LongType()), StructField("user_id", LongType()),
+        StructField("ts", TimestampType()), StructField("value", DoubleType()),
+    ])
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir(); pdir.mkdir()
+    t0 = _time.time() - 1000
+
+    def write(d, name, rows, order):
+        f = d / name
+        pq.write_table(pa.Table.from_pylist(
+            [dict(zip(["event_id", "user_id", "ts", "value"], r))
+             for r in rows], schema=schema), f)
+        _os.utime(f, (t0 + order * 10, t0 + order * 10))
+
+    # batch 1: user2 click+purchase in-window; user1 click; far-future
+    # events on BOTH sides push the GLOBAL watermark (min across inputs)
+    # past user1's click window
+    write(cdir, "b0.parquet",
+          [(1, 1, ts(1000), 0.0), (2, 2, ts(900), 0.0), (3, 8, ts(5000), 0.0)],
+          0)
+    write(pdir, "b0.parquet", [(10, 2, ts(1000), 5.0), (11, 9, ts(5000), 1.0)], 0)
+    # batch 2: watermark (computed at end of batch 1) now 4900; state
+    # cleanup runs during this batch
+    write(cdir, "b1.parquet", [(4, 8, ts(5100), 0.0)], 1)
+    write(pdir, "b1.parquet", [(13, 9, ts(5100), 1.0)], 1)
+    # batch 3: user1's matching purchase arrives too late (event time 1200
+    # << watermark) -> dropped, click state long evicted
+    write(cdir, "b2.parquet", [], 2)
+    write(pdir, "b2.parquet", [(12, 1, ts(1200), 7.0)], 2)
+
+    out = stream_interval_join(
+        file_replay_source(spark, str(cdir), sschema, max_files_per_trigger=1),
+        file_replay_source(spark, str(pdir), sschema, max_files_per_trigger=1),
+        window_s=600, watermark="100 seconds",
+    )
+    got: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    pairs = {(r["click_id"], r["purchase_id"]) for r in got}
+    assert (2, 10) in pairs            # in-window match emitted
+    assert (1, 12) not in pairs        # late purchase dropped with its state
