@@ -874,3 +874,53 @@ SELECT {id_col}, {group_col}, rk FROM (
 )
 WHERE rk <= {k}
 """
+
+
+def dup_line_removal(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """dup_span_removal at natural-boundary granularity: the dedup unit is
+    a LINE/PARAGRAPH (split on ``sep``) instead of a fixed token window —
+    the C4 rule as published (drop any line occurring in another document:
+    boilerplate headers, cookie banners, license footers).
+
+    Same 100 TB shape as the window variant (explode -> one window over
+    the unit hash -> one per-doc reassembly groupBy; no doc x doc): only
+    the splitter changed, which is why the synthetic no-newline corpus
+    keeps the window variant as its contract query and this one is pinned
+    by tests/test_streaming_corpus.py on real multi-paragraph text.
+
+    Output: (doc_id, n_units, n_dropped, clean_text); a unit repeated
+    WITHIN one doc is not 'shared' — only cross-document repetition
+    drops it (min!=max over doc ids), matching the window variant."""
+    from pyspark.sql import Window
+
+    units = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep)))
+             .alias("uidx", "unit_text"),
+        )
+        .filter(F.col("unit_text") != "")
+        .withColumn("uidx", F.col("uidx").cast("long"))
+        .withColumn("unit_hash", F.md5("unit_text"))
+    )
+    w = Window.partitionBy("unit_hash")
+    flagged = units.withColumn(
+        "_shared", F.min(id_col).over(w) != F.max(id_col).over(w)
+    )
+    kept = F.when(~F.col("_shared"),
+                  F.struct(F.col("uidx"), F.col("unit_text")))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum(F.col("_shared").cast("long")).cast("long")
+             .alias("n_dropped"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)),
+                            lambda s: s.getField("unit_text")),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select(id_col, "n_units", "n_dropped", "clean_text")
+    )

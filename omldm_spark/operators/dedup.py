@@ -692,3 +692,58 @@ SELECT CAST(b.{id_col} AS BIGINT) AS doc_id,
 FROM bandv b JOIN anch a ON b.band = a.band AND b.bval = a.bval
 WHERE b.{id_col} != a.anchor_id
 """
+
+
+def dedup_canonical_corpus(docs: DataFrame, pairs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """The materialization step after clustering: keep ONE canonical doc
+    per duplicate cluster (min id) and emit the deduplicated corpus with
+    its provenance — (doc_id, n_members, source, lang, text_fp).  This is
+    what actually ships to training: dedup_clusters decides, this query
+    rewrites the corpus.
+
+    Scale: the cluster table is |docs| narrow rows; member counts are one
+    groupBy over it; the final join back to documents is keyed on doc id
+    (both sides hash-partition on it; only kept ids reach the probe).
+    text_fp = md5(text) keeps the output narrow while still pinning the
+    full text bit-for-bit against the oracle."""
+    clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    kept = clusters.filter(F.col("keep")).join(sizes, "cluster_id")
+    return (
+        kept.join(docs, kept[id_col] == docs[id_col])
+        .select(
+            docs[id_col].alias(id_col), "n_members", "source", "lang",
+            F.md5(F.col("text")).alias("text_fp"),
+        )
+    )
+
+
+def CANONICAL_CORPUS_SQL(pairs_sql: str, table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+WITH RECURSIVE prs AS ({pairs_sql}),
+edges AS (
+  SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM prs
+  UNION
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM prs
+),
+closure(src, lbl) AS (
+  SELECT CAST({id_col} AS BIGINT), CAST({id_col} AS BIGINT) FROM {table}
+  UNION
+  SELECT e.dst, c.lbl FROM closure c JOIN edges e ON e.src = c.src
+),
+clusters AS (
+  SELECT src AS {id_col}, min(lbl) AS cluster_id FROM closure GROUP BY src
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM clusters GROUP BY 1
+)
+SELECT c.{id_col}, s.n_members, d.source, d.lang, md5(d.text) AS text_fp
+FROM clusters c
+JOIN sizes s ON s.cluster_id = c.cluster_id
+JOIN {table} d ON d.{id_col} = c.{id_col}
+WHERE c.{id_col} = c.cluster_id
+"""

@@ -878,7 +878,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, k=8, bands=2)
 
 
-from .operators.dedup import DEDUP_CLUSTERS_SQL, dedup_clusters  # noqa: E402
+from .operators.dedup import (CANONICAL_CORPUS_SQL, DEDUP_CLUSTERS_SQL,  # noqa: E402
+    dedup_canonical_corpus, dedup_clusters)
 
 
 @query(
@@ -896,6 +897,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs, k=8, n=3)
     pairs = lsh_candidate_pairs(sigs, k=8, bands=2)
     return dedup_clusters(docs, pairs)
+
+
+@query(
+    "dedup_canonical_corpus",
+    oracle=CANONICAL_CORPUS_SQL(
+        LSH_PAIRS_SQL(k=8, bands=2, table_sql=MINHASH_SQL(k=8, n=3))
+    ),
+)
+def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup materialization: MinHash signatures -> LSH bucket
+    pairs -> connected-component clusters -> the surviving corpus (one
+    canonical doc per cluster with member count + provenance + text
+    fingerprint).  The full 'run the dedup, ship the corpus' path as one
+    query (operators/dedup.py dedup_canonical_corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=8, n=3)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=2)
+    return dedup_canonical_corpus(docs, pairs)
 
 
 @query(

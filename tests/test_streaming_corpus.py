@@ -70,3 +70,37 @@ def test_text_quality_runs_on_stream(spark, tmp_path):
     stream = file_replay_source(spark, str(src), DOC_SCHEMA)
     out = text_metrics(stream)
     assert out.isStreaming  # projection-only: valid in append mode as-is
+
+
+def test_dup_line_removal_drops_cross_doc_boilerplate(spark):
+    """The C4 line rule on real multi-paragraph text: a header shared by
+    two docs is removed from BOTH; unique paragraphs survive in order; a
+    line repeated only WITHIN one doc stays."""
+    from omldm_spark.operators.corpus import dup_line_removal
+
+    header = "SUBSCRIBE TO OUR NEWSLETTER"
+    rows = [
+        (1, f"{header}\nalpha body one\nalpha body two"),
+        (2, f"{header}\nbeta body"),
+        (3, "solo paragraph\nsolo paragraph\ngamma end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_line_removal(docs).collect()}
+    assert out[1]["clean_text"] == "alpha body one\nalpha body two"
+    assert out[1]["n_dropped"] == 1 and out[1]["n_units"] == 3
+    assert out[2]["clean_text"] == "beta body"
+    # within-doc repetition is NOT cross-document sharing
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["clean_text"] == "solo paragraph\nsolo paragraph\ngamma end"
+
+
+def test_dup_line_removal_empty_when_all_shared(spark):
+    """A doc that is 100% boilerplate keeps its row with empty clean_text
+    (drop decision is visible; filtering is policy)."""
+    from omldm_spark.operators.corpus import dup_line_removal
+
+    rows = [(1, "same line"), (2, "same line")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_line_removal(docs).collect()}
+    assert out[1]["clean_text"] == "" and out[2]["clean_text"] == ""
+    assert out[1]["n_dropped"] == 1
