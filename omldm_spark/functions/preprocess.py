@@ -241,7 +241,18 @@ def apply_chain(
             degree = int(_hyper(p).get("degree", 2))
             expr, cur_dim = poly_expand_expr(cur, cur_dim, degree)
             df = df.withColumn(tmp, expr)
-        elif name in ("StandardScaler", "MinMaxScaler"):
+        elif name == "Normalizer":
+            # stateless row-local L2: no fit pass, no state slot
+            els = []
+            norm = sum(
+                (_el(cur, i) * _el(cur, i) for i in range(cur_dim)), F.lit(0.0)
+            )
+            norm = F.sqrt(norm)
+            for i in range(cur_dim):
+                x = _el(cur, i)
+                els.append(F.when(norm > 0, x / norm).otherwise(F.lit(0.0)))
+            df = df.withColumn(tmp, F.array(*els))
+        elif name in ("StandardScaler", "MinMaxScaler", "MaxAbsScaler"):
             if update:
                 row = df.agg(*_moment_aggs(cur, cur_dim, quant)).first()
                 if int(row["n"]) > 0:
@@ -260,6 +271,12 @@ def apply_chain(
                     els.append(
                         (x - F.lit(mean)) / F.lit(std) if std > 0 else F.lit(0.0)
                     )
+                elif name == "MaxAbsScaler":
+                    # max|x| falls out of the running min/max moments —
+                    # no new state shape for the streaming chain
+                    lo, hi = min_max_from_moments(st, i, quant)
+                    ma = max(abs(lo), abs(hi))
+                    els.append(x / F.lit(ma) if ma > 0 else F.lit(0.0))
                 else:
                     lo, hi = min_max_from_moments(st, i, quant)
                     rng = hi - lo
@@ -285,3 +302,39 @@ def chain_out_dim(preprocessors: list[dict], dim: int) -> int:
             degree = int(_hyper(p).get("degree", 2))
             d = sum(comb(d + k - 1, k) for k in range(1, degree + 1))
     return d
+
+
+def maxabs_scaler_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column max(|x|) — one pass, one tiny row (pyspark.ml
+    MaxAbsScaler counterpart; beyond the reference whitelist, SURVEY.md
+    §2.11). The statistic is a plain max, so it merges across batches /
+    partitions / days exactly — which is why the streaming chain derives
+    it from the SAME running min/max moments the other scalers keep."""
+    return df.agg(*[
+        F.max(F.abs(F.col(c))).alias(f"maxabs_{c}") for c in cols
+    ])
+
+
+def maxabs_scale(df: DataFrame, cols: list[str], stats: DataFrame) -> DataFrame:
+    """x' = x / max|x| (sparsity-preserving — zero stays zero; an all-zero
+    column maps to 0.0) via a broadcast one-row join."""
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_scaled",
+            F.when(F.col(f"maxabs_{c}") > 0,
+                   F.col(c) / F.col(f"maxabs_{c}")).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"maxabs_{c}" for c in cols])
+
+
+def l2_normalize_expr(cols: list[str]):
+    """Row-local L2 normalization expressions (pyspark.ml Normalizer
+    counterpart): x_i / sqrt(sum x_j^2), zero vector -> 0.0.  Stateless —
+    no fit pass, pure codegen arithmetic; sqrt and divide are both
+    correctly-rounded IEEE ops so the result is engine-exact."""
+    norm = F.sqrt(sum((F.col(c) * F.col(c) for c in cols), F.lit(0.0)))
+    return [
+        F.when(norm > 0, F.col(c) / norm).otherwise(F.lit(0.0)).alias(f"{c}_nrm")
+        for c in cols
+    ]

@@ -3620,6 +3620,56 @@ def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .functions.preprocess import l2_normalize_expr, maxabs_scale, maxabs_scaler_stats  # noqa: E402
+
+
+@query(
+    "maxabs_scaled_points",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(max(abs(q0)) AS BIGINT) AS maxabs_q0,
+         CAST(max(abs(q1)) AS BIGINT) AS maxabs_q1
+  FROM ({POINTS_SQL})
+)
+SELECT id, pk, sk,
+       CASE WHEN s.maxabs_q0 > 0 THEN q0 / s.maxabs_q0 ELSE 0.0 END AS q0_scaled,
+       CASE WHEN s.maxabs_q1 > 0 THEN q1 / s.maxabs_q1 ELSE 0.0 END AS q1_scaled
+FROM ({POINTS_SQL}), s
+""",
+)
+def q_maxabs_scaled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxAbsScaler (beyond the reference whitelist; pyspark.ml
+    counterpart): one max(|x|) pass broadcast back as pure arithmetic —
+    sparsity-preserving scaling whose statistic merges exactly across
+    batches, so the streaming chain derives it from the running min/max
+    moments it already keeps (functions/preprocess.py, apply_chain)."""
+    pts = _points(spark, sf_dir)
+    stats = maxabs_scaler_stats(pts, ["q0", "q1"])
+    return maxabs_scale(pts, ["q0", "q1"], stats).select(
+        "id", "pk", "sk", "q0_scaled", "q1_scaled"
+    )
+
+
+@query(
+    "l2_normalized_points",
+    oracle=f"""
+SELECT id, pk, sk,
+       CASE WHEN sqrt(q0*q0 + q1*q1) > 0
+            THEN q0 / sqrt(q0*q0 + q1*q1) ELSE 0.0 END AS q0_nrm,
+       CASE WHEN sqrt(q0*q0 + q1*q1) > 0
+            THEN q1 / sqrt(q0*q0 + q1*q1) ELSE 0.0 END AS q1_nrm
+FROM ({POINTS_SQL})
+""",
+)
+def q_l2_normalized_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local L2 normalization (pyspark.ml Normalizer counterpart,
+    beyond the reference whitelist): stateless, zero shuffles, whole-stage
+    codegen; sqrt and divide are correctly-rounded IEEE ops on the
+    integer-quantized inputs so both engines agree bit-for-bit."""
+    pts = _points(spark, sf_dir)
+    return pts.select("id", "pk", "sk", *l2_normalize_expr(["q0", "q1"]))
+
+
 @query(
     "stream_click_attribution",
     oracle="""

@@ -240,3 +240,47 @@ def test_orr_general_dim_and_prediction_path(spark):
     got = preds.sort_values("recordId")["prediction"].to_numpy()
     want = Xa @ w
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_create_with_maxabs_and_normalizer_chain(spark):
+    """The two beyond-reference preprocessors through the SAME catalog ->
+    train_batch path: MaxAbsScaler (stats from the running min/max
+    moments) then Normalizer (stateless row-local L2) — the loop result
+    equals manual apply_chain + fit and differs from raw training."""
+    chain = [{"name": "MaxAbsScaler"}, {"name": "Normalizer"}]
+    df = spark.createDataFrame(_pdf())
+    cat = PipelineCatalog()
+    _create(cat, 0, "PA", chain)
+    train_batch(df, cat, dim=2, num_partitions=1)
+    w_loop = np.asarray(cat.pipelines[0].model["w"], dtype=float)
+
+    scaled, eff_dim, _ = apply_chain(df, chain, "features", 2)
+    assert eff_dim == 2
+    manual = trainer.fit(
+        scaled, "PA", dim=2, features_col="_pp_features", label_col="label",
+        num_partitions=1,
+    )
+    assert np.allclose(w_loop, np.asarray(manual["w"]), atol=1e-12)
+
+    raw = trainer.fit(df, "PA", dim=2, num_partitions=1)
+    assert not np.allclose(w_loop, np.asarray(raw["w"]))
+
+    # transformed rows: |x| <= 1 after MaxAbs, unit (or zero) norm after L2
+    rows = scaled.select("_pp_features").limit(50).collect()
+    for r in rows:
+        v = np.asarray(r["_pp_features"], dtype=float)
+        n = np.linalg.norm(v)
+        assert n == pytest.approx(1.0, abs=1e-9) or n == 0.0
+
+
+def test_normalizer_rejected_before_fit_is_fine_stateless(spark):
+    """Normalizer needs no fitted stats: a transform-only (update=False)
+    application with empty state succeeds, while a scaler correctly
+    raises."""
+    df = spark.createDataFrame(_pdf(n=50))
+    out, _, _ = apply_chain(
+        df, [{"name": "Normalizer"}], "features", 2, update=False)
+    assert out.select("_pp_features").count() == 50
+    with pytest.raises(ValueError, match="no fitted stats"):
+        apply_chain(df, [{"name": "MaxAbsScaler"}], "features", 2,
+                    update=False)
