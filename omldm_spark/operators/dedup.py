@@ -747,3 +747,58 @@ JOIN sizes s ON s.cluster_id = c.cluster_id
 JOIN {table} d ON d.{id_col} = c.{id_col}
 WHERE c.{id_col} = c.cluster_id
 """
+
+
+def incremental_dedup(new_docs: DataFrame, seen_fps: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Daily-ingestion dedup: admit only incoming docs whose normalization
+    fingerprint is (a) absent from the already-ingested corpus and (b)
+    first (min id) within the incoming batch itself.  The incremental
+    complement of dedup_exact — at 100 TB you never re-dedup the corpus,
+    you anti-join each day's batch against the persisted fingerprint
+    table and append the survivors' fingerprints.
+
+    Scale: both shuffles key on the fingerprint — a LEFT ANTI against
+    seen_fps (narrow: one md5 column; at petabyte corpus scale this is
+    the bucketed/bloom side) and one window MIN for within-batch ties.
+    Output: (doc_id, fingerprint) of admitted docs."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
+
+    fps = fingerprint(new_docs, text_col=text_col, id_col=id_col)
+    fresh = fps.join(seen_fps.select("fingerprint"), "fingerprint",
+                     "left_anti")
+    w = Window.partitionBy("fingerprint")
+    return (
+        fresh.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .select(id_col, "fingerprint")
+    )
+
+
+def INCREMENTAL_DEDUP_SQL(table: str = "documents", text_expr: str = "text",
+                          id_col: str = "doc_id", mod: int = 3) -> str:
+    """Oracle over the deterministic corpus split: existing = id % mod
+    != 0, incoming = id % mod == 0."""
+    fp = f"md5(trim(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g')))"
+    return f"""
+WITH fps AS (
+  SELECT {id_col}, {fp} AS fingerprint FROM {table}
+),
+seen AS (
+  SELECT DISTINCT fingerprint FROM fps WHERE {id_col} % {mod} <> 0
+),
+incoming AS (
+  SELECT * FROM fps WHERE {id_col} % {mod} = 0
+)
+SELECT {id_col}, fingerprint
+FROM (
+  SELECT i.{id_col}, i.fingerprint,
+         min(i.{id_col}) OVER (PARTITION BY i.fingerprint) AS min_id
+  FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = i.fingerprint)
+)
+WHERE {id_col} = min_id
+"""

@@ -3620,6 +3620,25 @@ def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.dedup import INCREMENTAL_DEDUP_SQL, incremental_dedup  # noqa: E402
+
+
+@query("incremental_dedup_ingest", oracle=INCREMENTAL_DEDUP_SQL(mod=3))
+def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingestion dedup: the corpus split deterministically into
+    already-ingested (doc_id % 3 != 0) and incoming (== 0); incoming docs
+    are admitted only if their normalization fingerprint is new to the
+    corpus AND first within the batch (operators/dedup.py
+    incremental_dedup — anti join + window MIN, both keyed on the
+    fingerprint; the persisted fingerprint table is the only state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import fingerprint as _fp
+
+    existing = _fp(docs.filter(F.col("doc_id") % 3 != 0))
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    return incremental_dedup(incoming, existing)
+
+
 from .functions.preprocess import l2_normalize_expr, maxabs_scale, maxabs_scaler_stats  # noqa: E402
 
 

@@ -857,3 +857,24 @@ def test_hll_estimate_tracks_cardinality(spark):
     assert row["m"] == 64
     assert 0 <= row["v_zero"] < 64
     assert abs(row["est_distinct"] - 5000) < 5000 * 0.40
+
+
+def test_incremental_dedup_admits_only_new_and_first(spark):
+    """Admission rules: duplicate-of-corpus rejected, within-batch dup
+    keeps min id, whitespace/case variants share a fingerprint."""
+    from omldm_spark.functions.text import fingerprint
+    from omldm_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(100, "Already Ingested   Text")], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [
+            (3, "already ingested text"),     # dup of corpus (normalized)
+            (6, "brand new document"),
+            (9, "brand  NEW   document"),     # within-batch dup of 6
+            (12, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(incoming, fingerprint(existing)).collect()
+    assert sorted(r["doc_id"] for r in out) == [6, 12]
