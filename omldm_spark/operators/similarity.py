@@ -498,3 +498,170 @@ SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
          AS centroid_sums_q
 FROM assign GROUP BY cid
 """
+
+
+def _kmeans_assign_to(qe: DataFrame, cents: dict[int, list[int]],
+                      dim: int) -> DataFrame:
+    """(vid, qv, cid) argmin assignment against explicit integer centroids
+    (literal-folded; same (dist, cid) tiebreak as kmeans_assign_quantized)."""
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.array(*[F.lit(int(cv[i])) for i in range(dim)]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        )
+        for cid, cv in sorted(cents.items())
+    ])
+    return qe.select("vid", "qv", F.array_min(dists).getField("cid").alias("cid"))
+
+
+def kmeans_train_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's algorithm to ``rounds`` iterations, EXACT: centroids are
+    re-quantized to the integer grid every round with the floor-midpoint
+    rule c' = floor((2*sum + n) / (2n)) — round-half-up in pure integer
+    arithmetic — so every round's state is integers and any partial-agg
+    order produces identical clusters (float Lloyd is summation-order
+    chaos; quantized Lloyd is oracle-checkable end-to-end).
+
+    Driver loop = BPE-trainer pattern (bpe_train_merges): each round is
+    one distributed assign (zero-join broadcast argmin over k x dim
+    literals) + ONE map-side-combined k-group agg; only k centroid rows
+    (k*dim ints) ever reach the driver. The FINAL round stays in-plan:
+    the update expression runs in Catalyst and empty clusters keep their
+    previous centroid via a broadcast left join from the centroid table.
+
+    Output: (cid, n_assigned, centroid_q) after ``rounds`` updates.
+
+    floor((2s+n)/(2.0n)) in SQL doubles is exact here: fractional parts
+    of the true rational are multiples of 1/(2n) >> double ulp at these
+    magnitudes, so correct rounding can never cross the floor boundary —
+    mirrored by Python's (2s+n)//(2n) on exact ints in the driver loop."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+    qe = emb.select(F.col(id_col).cast("long").alias("vid"), qv.alias("qv"))
+    seed_rows = sorted(
+        qe.filter(F.col("vid") < k).collect(), key=lambda r: r["vid"]
+    )
+    cents = {int(r["vid"]): [int(x) for x in r["qv"]] for r in seed_rows}
+
+    sums = [
+        F.sum(F.element_at("qv", i + 1)).cast("long").alias(f"s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(rounds - 1):
+        agg = (
+            _kmeans_assign_to(qe, cents, dim)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"), *sums)
+        )
+        stats = {
+            int(r["cid"]): (int(r["n"]), [int(r[f"s{i}"]) for i in range(dim)])
+            for r in agg.collect()
+        }
+        cents = {
+            cid: (
+                [(2 * s + stats[cid][0]) // (2 * stats[cid][0])
+                 for s in stats[cid][1]]
+                if cid in stats else cv
+            )
+            for cid, cv in cents.items()
+        }
+
+    agg = (
+        _kmeans_assign_to(qe, cents, dim)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), *sums)
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, cv) for cid, cv in sorted(cents.items())],
+        "cid long, prev_cv array<long>",
+    )
+    upd = F.transform(
+        F.col("sv"),
+        lambda s: F.floor(
+            (F.lit(2).cast("long") * s + F.col("n"))
+            / (F.lit(2.0) * F.col("n"))
+        ).cast("long"),
+    )
+    return (
+        cent_df.join(F.broadcast(agg), "cid", "left")
+        .withColumn("sv", F.array(*[F.col(f"s{i}") for i in range(dim)]))
+        .select(
+            "cid",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_assigned"),
+            F.when(F.col("n").isNull(), F.col("prev_cv"))
+             .otherwise(upd).alias("centroid_q"),
+        )
+    )
+
+
+def KMEANS_TRAIN_SQL(k: int = 8, rounds: int = 3, dim: int = 64,
+                     quant: int = 1_000_000, table: str = "embeddings",
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    """Generated r-round oracle: chained assign/stats/update CTEs, same
+    floor-midpoint integer centroid rule."""
+    def assign(r):
+        return f"""a{r} AS (
+  SELECT e.vid, e.qv, c.cid
+  FROM qe e CROSS JOIN c{r} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid
+    ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                      i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))), c.cid
+  ) = 1
+)"""
+
+    def stats(r):
+        return f"""s{r} AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         [{", ".join(f"CAST(sum(qv[{i + 1}]) AS BIGINT)" for i in range(dim))}]
+           AS sv
+  FROM a{r} GROUP BY cid
+)"""
+
+    def update(r):
+        return f"""c{r + 1} AS (
+  SELECT p.cid,
+         CASE WHEN s.n IS NULL THEN p.cv
+              ELSE list_transform(range(1, {dim} + 1),
+                     i -> CAST(floor((2 * s.sv[i] + s.n) / (2.0 * s.n))
+                               AS BIGINT))
+         END AS cv
+  FROM c{r} p LEFT JOIN s{r} s ON s.cid = p.cid
+)"""
+
+    parts = [f"""qe AS (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
+                                  AS BIGINT)) AS qv
+  FROM {table}
+)""", f"c0 AS (SELECT vid AS cid, qv AS cv FROM qe WHERE vid < {k})"]
+    for r in range(rounds):
+        parts += [assign(r), stats(r), update(r)]
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT c.cid, coalesce(s.n, CAST(0 AS BIGINT)) AS n_assigned,
+       c.cv AS centroid_q
+FROM c{rounds} c LEFT JOIN s{rounds - 1} s ON s.cid = c.cid
+"""

@@ -312,3 +312,80 @@ SELECT m, v_zero, z_scaled,
          AS true_distinct
 FROM summary
 """
+
+
+def hll_grouped_distinct(df: DataFrame, group_cols: list[str],
+                         key_expr: str) -> DataFrame:
+    """Per-group HLL distinct estimates in ONE pass — the query shape a
+    100 TB pipeline uses for 'distinct users per (day, country)' style
+    rollups where COUNT(DISTINCT) per group would shuffle every distinct
+    (group, key) pair.  Here the shuffle is |groups| x m register rows,
+    map-side combined, independent of cardinality.
+
+    Output: group cols + (v_zero, z_scaled, est_distinct, true_distinct)
+    — integer registers aggregated per group, estimate from the shared
+    double text, paired exact count (the honesty column, one extra
+    aggregate over the same shuffle keys)."""
+    regs = (
+        df.select(
+            *group_cols,
+            F.expr(hll_bucket_sql(key_expr)).alias("bucket"),
+            F.expr(_hll_v_sql(key_expr)).alias("v"),
+        )
+        .select(*group_cols, "bucket", F.expr(hll_rho_sql("v")).alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    summary = (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_present"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - max_rho)"))
+             .cast("long").alias("z_present"),
+        )
+        .select(
+            *group_cols,
+            (F.lit(64) - F.col("n_present")).cast("int").alias("v_zero"),
+            (F.col("z_present")
+             + (F.lit(64) - F.col("n_present")).cast("long")
+             * F.lit(562949953421312).cast("long")).alias("z_scaled"),
+        )
+        .withColumn("est_distinct", F.expr(_est_sql("z_scaled")))
+    )
+    true = df.groupBy(*group_cols).agg(
+        F.countDistinct(F.expr(key_expr)).cast("long").alias("true_distinct")
+    )
+    return summary.join(true, group_cols)
+
+
+def HLL_GROUPED_SQL(table: str, group_cols: list[str], key_expr: str) -> str:
+    g = ", ".join(group_cols)
+    return f"""
+WITH h AS (
+  SELECT {g}, {hll_bucket_sql(key_expr)} AS bucket,
+         {_hll_v_sql(key_expr)} AS v
+  FROM {table}
+),
+regs AS (
+  SELECT {g}, bucket, max({hll_rho_sql("v")}) AS max_rho
+  FROM h GROUP BY {g}, bucket
+),
+s AS (
+  SELECT {g}, CAST(count(*) AS INT) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+           AS z_present
+  FROM regs GROUP BY {g}
+),
+summary AS (
+  SELECT {g}, CAST(64 - n_present AS INT) AS v_zero,
+         CAST(z_present + CAST(64 - n_present AS BIGINT)
+              * CAST(562949953421312 AS BIGINT) AS BIGINT) AS z_scaled
+  FROM s
+),
+true_c AS (
+  SELECT {g}, CAST(count(DISTINCT {key_expr}) AS BIGINT) AS true_distinct
+  FROM {table} GROUP BY {g}
+)
+SELECT summary.*, {_est_sql("z_scaled")} AS est_distinct, true_distinct
+FROM summary JOIN true_c USING ({g})
+"""

@@ -3780,6 +3780,42 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id")
 
 
+from .operators.similarity import KMEANS_TRAIN_SQL, kmeans_train_quantized  # noqa: E402
+
+
+@query("embedding_kmeans_train", oracle=KMEANS_TRAIN_SQL(k=8, rounds=3, dim=64))
+def q_embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means run to 3 FULL iterations as a driver loop (the
+    BPE-trainer pattern): every round one broadcast-argmin assignment +
+    one map-side-combined k-group agg; centroids re-quantize to the
+    integer grid with the floor-midpoint rule so all state stays integer
+    and the 3-round result is hash-exact against a generated chained-CTE
+    oracle.  Only k x dim ints touch the driver per round; the final
+    round's update runs in-plan (operators/similarity.py
+    kmeans_train_quantized)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_train_quantized(emb, k=8, rounds=3)
+
+
+from .operators.sketch import HLL_GROUPED_SQL, hll_grouped_distinct  # noqa: E402
+
+
+@query(
+    "hll_distinct_users_by_type",
+    oracle=HLL_GROUPED_SQL("events", ["event_type"], "user_id"),
+)
+def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL: distinct users per event_type in ONE pass — the
+    shuffle carries |groups| x 64 register rows (map-side combined)
+    instead of every distinct (group, user) pair, the rollup shape that
+    keeps 'distinct per (day, country)' queries flat at 100 TB.  Same
+    md5-fold registers and shared estimate text as hll_distinct_users;
+    paired exact counts ride the same shuffle keys
+    (operators/sketch.py hll_grouped_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hll_grouped_distinct(ev, ["event_type"], "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -98,3 +98,46 @@ def test_bm25_score_is_partitioning_invariant(spark):
         for r in bm25_scores(docs.repartition(7), q).collect()
     }
     assert one == many
+
+
+def test_kmeans_train_matches_numpy_replay(spark):
+    """3 rounds of quantized Lloyd == an exact integer numpy replay of
+    the same rules (argmin with (dist, cid) tiebreak; floor-midpoint
+    centroid requantization; empty cluster keeps previous centroid)."""
+    import numpy as np
+
+    from omldm_spark.operators.similarity import kmeans_train_quantized
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 4))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["cid"]: r for r in
+           kmeans_train_quantized(emb, k=3, rounds=3).collect()}
+
+    Q = np.rint(X * 1_000_000).astype(np.int64)
+    cents = {c: Q[c].tolist() for c in range(3)}
+    last_counts = {}
+    for _ in range(3):
+        assign = {}
+        for i in range(60):
+            best = min(
+                (sum((int(a) - int(b)) ** 2
+                     for a, b in zip(Q[i], cents[c])), c)
+                for c in cents
+            )[1]
+            assign.setdefault(best, []).append(i)
+        last_counts = {c: len(v) for c, v in assign.items()}
+        cents = {
+            c: (
+                [(2 * sum(int(Q[i][d]) for i in assign[c]) + len(assign[c]))
+                 // (2 * len(assign[c])) for d in range(4)]
+                if c in assign else cv
+            )
+            for c, cv in cents.items()
+        }
+    for c in range(3):
+        assert out[c]["n_assigned"] == last_counts.get(c, 0)
+        assert list(out[c]["centroid_q"]) == cents[c]
