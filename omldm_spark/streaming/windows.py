@@ -81,6 +81,7 @@ def stream_interval_join(
     purchases: DataFrame,
     window_s: int = 600,
     watermark: str = "20 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join (W2 surface the reference
     lacks — its only two-stream operator is the data x control connect,
@@ -97,7 +98,12 @@ def stream_interval_join(
     Exactness: microsecond timestamps compare exactly; output quantizes to
     integer epoch seconds / cents only AFTER the join, so an availableNow
     single-batch replay reproduces the batch SQL join bit-for-bit
-    (queries.py stream_click_attribution oracle)."""
+    (queries.py stream_click_attribution oracle).
+
+    ``how="left_outer"`` emits a null-padded row for a click whose window
+    closes with no purchase — Spark releases the outer row only when the
+    watermark passes the click's join window, one batch after the state
+    could first be evicted (tests/test_streaming.py pins the cadence)."""
     c = (
         clicks.select(
             F.col("event_id").alias("click_id"),
@@ -119,7 +125,8 @@ def stream_interval_join(
         f"user_id = p_user_id AND purchase_ts >= click_ts"
         f" AND purchase_ts < click_ts + interval {window_s} seconds"
     )
-    return c.join(p, cond).select(
+    joined = c.join(p, cond, how)
+    return joined.select(
         "click_id", "purchase_id", "user_id",
         F.unix_timestamp("click_ts").alias("click_ts_s"),
         F.unix_timestamp("purchase_ts").alias("purchase_ts_s"),

@@ -349,3 +349,75 @@ def test_stream_interval_join_matches_and_drops_late(spark, tmp_path):
     pairs = {(r["click_id"], r["purchase_id"]) for r in got}
     assert (2, 10) in pairs            # in-window match emitted
     assert (1, 12) not in pairs        # late purchase dropped with its state
+
+
+def test_stream_interval_join_left_outer_emits_null_padded_row(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a click with no purchase in its
+    window produces a null-padded row once the watermark closes the
+    window (not before) — the attribution report that still counts
+    unconverted clicks."""
+    import os as _os
+    import time as _time
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omldm_spark.streaming.sources import file_replay_source
+    from omldm_spark.streaming.windows import stream_interval_join
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    def ts(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc) \
+            .replace(tzinfo=None)
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("value", pa.float64()),
+    ])
+    sschema = StructType([
+        StructField("event_id", LongType()), StructField("user_id", LongType()),
+        StructField("ts", TimestampType()), StructField("value", DoubleType()),
+    ])
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir(); pdir.mkdir()
+    t0 = _time.time() - 1000
+
+    def write(d, name, rows, order):
+        f = d / name
+        pq.write_table(pa.Table.from_pylist(
+            [dict(zip(["event_id", "user_id", "ts", "value"], r))
+             for r in rows], schema=schema), f)
+        _os.utime(f, (t0 + order * 10, t0 + order * 10))
+
+    # batch 1: matched click (user 2) + unmatched click (user 1)
+    write(cdir, "b0.parquet", [(1, 1, ts(1000), 0.0), (2, 2, ts(900), 0.0)], 0)
+    write(pdir, "b0.parquet", [(10, 2, ts(1000), 5.0)], 0)
+    # batches 2-3: advance the watermark on both sides past user 1's
+    # window, then one more batch so the outer row is released
+    write(cdir, "b1.parquet", [(3, 8, ts(5000), 0.0)], 1)
+    write(pdir, "b1.parquet", [(11, 9, ts(5000), 1.0)], 1)
+    write(cdir, "b2.parquet", [(4, 8, ts(6000), 0.0)], 2)
+    write(pdir, "b2.parquet", [(12, 9, ts(6000), 1.0)], 2)
+
+    out = stream_interval_join(
+        file_replay_source(spark, str(cdir), sschema, max_files_per_trigger=1),
+        file_replay_source(spark, str(pdir), sschema, max_files_per_trigger=1),
+        window_s=600, watermark="100 seconds", how="left_outer",
+    )
+    got: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    by_click = {}
+    for r in got:
+        by_click.setdefault(r["click_id"], []).append(r)
+    assert [r["purchase_id"] for r in by_click[1]] == [None]   # unconverted
+    assert by_click[1][0]["value_c"] is None
+    assert [r["purchase_id"] for r in by_click[2]] == [10]     # converted
