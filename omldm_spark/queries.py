@@ -3780,6 +3780,113 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id")
 
 
+# fold passthrough on the shared Cramer text: same arithmetic tree, one
+# extra projected column — k gram rows in, k weight rows out
+_CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
+    "SELECT\n  n,", "SELECT\n  fold,\n  n,", 1
+).replace("SELECT n, v_0, v_1, v_b,", "SELECT fold, n, v_0, v_1, v_b,", 1)
+
+_KFOLD_GRAM_COLS = [
+    ("s00", "q0 * q0", 10000.0, "m_0_0"), ("s01", "q0 * q1", 10000.0, "m_0_1"),
+    ("s0", "q0", 100.0, "m_0_b"), ("sy0", "q0 * qy", 10000000.0, "v_0"),
+    ("s11", "q1 * q1", 10000.0, "m_1_1"), ("s1", "q1", 100.0, "m_1_b"),
+    ("sy1", "q1 * qy", 10000000.0, "v_1"), ("sy", "qy", 100000.0, "v_b"),
+]
+
+_KFOLD_SQL = f"""
+WITH pts AS (
+  SELECT *, CAST(id % 5 AS BIGINT) AS fold FROM ({POINTS_SQL})
+),
+fs AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         {", ".join(f"CAST(sum({e}) AS BIGINT) AS {s}" for s, e, _, _ in _KFOLD_GRAM_COLS)}
+  FROM pts GROUP BY fold
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         {", ".join(f"CAST(sum({s}) AS BIGINT) AS {s}" for s, _, _, _ in _KFOLD_GRAM_COLS)}
+  FROM fs
+),
+g AS (
+  SELECT f.fold, CAST(t.n - f.n AS BIGINT) AS n,
+         {", ".join(f"(t.{s} - f.{s}) / CAST(t.n - f.n AS DOUBLE) / {d} AS {m}" for s, _, d, m in _KFOLD_GRAM_COLS)}
+  FROM fs f, tot t
+),
+w AS ({_CRAMER_KFOLD_SQL.format(g="g", lam=ORR_LAMBDA)}),
+scored AS (
+  SELECT p.fold,
+         CAST(round((p.y - (w.w0 * p.x0 + w.w1 * p.x1 + w.bias)) * 10000, 0)
+              AS BIGINT) AS rq
+  FROM pts p JOIN w ON w.fold = p.fold
+),
+test AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(rq * rq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mse_test
+  FROM scored GROUP BY fold
+)
+SELECT w.fold, w.n AS n_train, t.n_test, w.w0, w.w1, w.bias, t.mse_test
+FROM w JOIN test t ON t.fold = w.fold
+"""
+
+
+@query("orr_kfold_cv", oracle=_KFOLD_SQL)
+def q_orr_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the closed-form ridge in ONE pass over
+    the data: per-fold integer sufficient statistics (one map-side-
+    combined groupBy), each fold's TRAINING gram = total minus its own
+    fold (complement subtraction — no per-fold rescan), five Cramer
+    solves through the shared SQL text, then one scoring pass where each
+    point is evaluated by the model that did NOT train on it.  The model-
+    selection loop (k models + holdout MSE) costs two corpus passes
+    total regardless of k.  Exactness: integer sums -> mirrored
+    single-division gram -> shared Cramer text -> per-row quantized
+    residuals summed in DECIMAL(38,0)/HUGEINT -> one mirrored double
+    division for the MSE."""
+    import uuid
+
+    pts = _points(spark, sf_dir).withColumn(
+        "fold", F.pmod(F.col("id"), F.lit(5)).cast("long")
+    )
+    fs = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(F.expr(e)).cast("long").alias(s)
+          for s, e, _, _ in _KFOLD_GRAM_COLS],
+    )
+    tot = fs.agg(
+        F.sum("n").cast("long").alias("t_n"),
+        *[F.sum(s).cast("long").alias(f"t_{s}")
+          for s, _, _, _ in _KFOLD_GRAM_COLS],
+    )
+    g = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        (F.col("t_n") - F.col("n")).cast("long").alias("n"),
+        *[((F.col(f"t_{s}") - F.col(s))
+           / (F.col("t_n") - F.col("n")).cast("double") / F.lit(d)).alias(m)
+          for s, _, d, m in _KFOLD_GRAM_COLS],
+    )
+    view = f"omldm_kfold_gram_{uuid.uuid4().hex[:8]}"
+    g.createOrReplaceTempView(view)
+    w = spark.sql(_CRAMER_KFOLD_SQL.format(g=view, lam=ORR_LAMBDA))
+    rq = F.round(
+        (F.col("y") - (F.col("w0") * F.col("x0") + F.col("w1") * F.col("x1")
+                       + F.col("bias"))) * 10000, 0
+    ).cast("long")
+    scored = pts.join(F.broadcast(w), "fold").select("fold", rq.alias("rq"))
+    test = scored.groupBy("fold").agg(
+        F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("sse"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+    ).select(
+        "fold", "n_test",
+        (F.col("sse").cast("double") / F.col("n_test").cast("double"))
+         .alias("mse_test"),
+    )
+    return (
+        w.join(test, "fold")
+        .select("fold", F.col("n").alias("n_train"), "n_test",
+                "w0", "w1", "bias", "mse_test")
+    )
+
+
 from .operators.similarity import KMEANS_TRAIN_SQL, kmeans_train_quantized  # noqa: E402
 
 

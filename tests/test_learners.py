@@ -207,3 +207,28 @@ def test_cramer_sql_generator_matches_numpy_and_2d_text():
             ).fetchdf()
             for c in ("w0", "w1", "bias"):
                 assert abs(ref[c][0] - out[c][0]) < 1e-9
+
+
+def test_orr_kfold_weights_are_complement_ridge(spark):
+    """orr_kfold_cv fold-f weights == numpy ridge solved on the points
+    OUTSIDE fold f (proves the complement-subtraction gram is the real
+    leave-fold-out estimator, not just cross-engine-consistent)."""
+    import numpy as np
+
+    from omldm_spark.queries import ORR_LAMBDA, QUERIES, _points
+
+    sf = "/root/testdata/sf0.001"
+    out = {int(r["fold"]): r for r in QUERIES["orr_kfold_cv"](spark, sf).collect()}
+    pts = _points(spark, sf).select("id", "x0", "x1", "y").toPandas()
+    fold = pts["id"].to_numpy() % 5
+    for f in (0, 3):
+        mask = fold != f
+        X = pts.loc[mask, ["x0", "x1"]].to_numpy()
+        y = pts.loc[mask, "y"].to_numpy()
+        Xb = np.hstack([X, np.ones((len(X), 1))])
+        A = Xb.T @ Xb / len(X) + ORR_LAMBDA * np.eye(3)
+        A[2, 2] = 1.0 + ORR_LAMBDA
+        w = np.linalg.solve(A, Xb.T @ y / len(X))
+        assert out[f]["n_train"] == int(mask.sum())
+        assert np.allclose(
+            [out[f]["w0"], out[f]["w1"], out[f]["bias"]], w, atol=2e-4)
