@@ -3943,31 +3943,32 @@ def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SNAPSHOT_TOP = [
     # parsing + control plane (reference parity: P1-P9, J2-J3, A3-A6, S7-S9)
- "parse_training_points", "bulk_parse_training_points",
- "train_test_split", "poll_markers", "union_points",
- "response_merge", "stats_rollup", "hub_broadcast_expand",
- "broadcast_pipeline_join", "job_statistics", "learning_curve",
+    "parse_training_points", "bulk_parse_training_points",
+    "train_test_split", "poll_markers", "union_points",
+    "response_merge", "stats_rollup", "hub_broadcast_expand",
+    "broadcast_pipeline_join", "job_statistics", "learning_curve",
     # learners with closed-form / decision-exact oracles
- "orr_gram", "orr_weights", "orr_predictions", "orr_query_response",
- "orr_scaled_query_response", "hub_sharded_stats",
- "ht_first_split_discrete", "ht_prequential",
+    "orr_gram", "orr_weights", "orr_predictions", "orr_query_response",
+    "orr_scaled_query_response", "hub_sharded_stats",
+    "ht_first_split_discrete", "ht_prequential",
     # preprocessors
- "standard_scaler_stats", "standard_scaled_points",
- "minmax_scaled_points", "polynomial_features",
+    "standard_scaler_stats", "polynomial_features",
     # dedup family
- "dedup_exact", "doc_fingerprint", "minhash_signatures",
- "minhash_lsh_pairs", "dedup_clusters", "ngram_jaccard_pairs",
- "simhash_docs", "dup_span_removal",
+    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "dedup_clusters", "simhash_docs", "dup_span_removal",
     # text analysis + corpus ops
- "text_quality", "repetition_filter", "lang_id", "token_counts",
- "decontaminate", "curriculum_order", "bpe_train_merges",
+    "text_quality", "lang_id", "token_counts",
+    "decontaminate", "curriculum_order", "bpe_train_merges",
     # similarity + multimodal
- "ann_cosine_topk", "multimodal_decode_meta",
-    # temporal / relational / sketch / eval
- "event_sessions", "grouped_quantiles",
- "asof_click_purchase", "range_join_click_window",
- "tpch_q1_like", "tpch_q3_like", "tpch_q5_like", "rollup_revenue",
- "streaming_near_dedup", "auc_purchase_value",
+    "ann_cosine_topk", "multimodal_decode_meta",
+    # sketches / skew / drift / stream-stream join
+    "cms_term_counts", "hll_distinct_users", "salted_agg_revenue",
+    "ddm_drift_summary", "stream_click_attribution",
+    # temporal / relational / eval
+    "event_sessions", "grouped_quantiles",
+    "asof_click_purchase", "range_join_click_window",
+    "tpch_q1_like", "tpch_q3_like", "tpch_q5_like", "rollup_revenue",
+    "streaming_near_dedup", "auc_purchase_value",
 ]
 
 

@@ -40,8 +40,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    import json
+    import os
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_path = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
+        None,
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
 
@@ -63,15 +72,18 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "spark_error", "err": str(e)[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             print(f"ok   {name}: rows-only ({len(sdf)} rows)")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "duckdb_error", "err": str(e)[:200]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         s_cols, o_cols = sorted(map(str.lower, sdf.columns)), sorted(
@@ -79,10 +91,12 @@ def main() -> int:
         )
         if s_cols != o_cols:
             failures.append(name)
+            results[name] = {"status": "schema_mismatch"}
             print(f"FAIL {name}: columns {s_cols} vs {o_cols}")
             continue
         if len(sdf) != len(odf):
             failures.append(name)
+            results[name] = {"status": "rowcount_mismatch"}
             print(f"FAIL {name}: rowcount {len(sdf)} vs {len(odf)}")
             continue
         sdf.columns = [c.lower() for c in sdf.columns]
@@ -92,12 +106,19 @@ def main() -> int:
             pd.testing.assert_frame_equal(
                 sn, on, check_dtype=False, check_exact=True
             )
+            results[name] = {"status": "exact_match", "rows": len(sdf)}
             print(f"ok   {name}: {len(sdf)} rows exact-match")
         except AssertionError as e:
             failures.append(name)
+            results[name] = {"status": "value_mismatch"}
             msg = str(e).split("\n")
             print(f"FAIL {name}: value mismatch: " + " | ".join(msg[:6]))
     spark.stop()
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "n_failures": len(failures),
+                       "results": results}, fh, indent=1, sort_keys=True)
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
