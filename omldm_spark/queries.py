@@ -3780,6 +3780,157 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id")
 
 
+def _replay_events(spark: SparkSession, sf_dir: str, prefix: str):
+    """Write the (timestamp-cast) events once and open a file stream over
+    them — the shared setup for the streaming-twin contract queries."""
+    import tempfile
+
+    from .streaming.sources import file_replay_source
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src = f"{tmp}/src"
+    ev.write.parquet(src)
+    return file_replay_source(spark, src, spark.read.parquet(src).schema), tmp
+
+
+def _run_update_stream(out, tmp: str, key_cols: list[str]):
+    """Drive an UPDATE-mode aggregation to completion and keep the LAST
+    update per key — the driver-side stand-in for an upsert sink (Delta
+    MERGE / compacted topic in production); the final state equals the
+    batch aggregate whatever the batch cadence."""
+    state: dict = {}
+
+    def upsert(df, _bid):
+        for r in df.collect():
+            state[tuple(r[k] for k in key_cols)] = r
+
+    q = (
+        out.writeStream.outputMode("update").foreachBatch(upsert)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return list(state.values())
+
+
+@query(
+    "streaming_hourly_counts",
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+""",
+)
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of hourly_event_counts (W2): tumbling 1-hour
+    event-time windows + watermark driven through a real availableNow run
+    (streaming/windows.py windowed_event_counts).  Update-mode emissions
+    land in an upsert stand-in (last write per window wins — in
+    production a Delta MERGE / compacted topic), so the final state
+    hash-matches the batch GROUP BY exactly, independent of batch
+    cadence; the shuffle is (window, type)-keyed and state is bounded by
+    the watermark horizon."""
+    from .streaming.windows import windowed_event_counts
+
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_swin_")
+    out = windowed_event_counts(
+        stream, window="1 hour", watermark="30 minutes"
+    ).select(
+        F.unix_timestamp(F.col("window_start")).alias("hour_s"),
+        "event_type", "cnt",
+    )
+    rows = _run_update_stream(out, tmp, ["hour_s", "event_type"])
+    return spark.createDataFrame(
+        [(r["hour_s"], r["event_type"], r["cnt"]) for r in rows],
+        "hour_s long, event_type string, cnt long",
+    )
+
+
+@query(
+    "streaming_event_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, ts_s,
+         CASE WHEN gap IS NULL OR gap >= 300 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_s) AS BIGINT) AS start_s,
+       CAST(max(ts_s) AS BIGINT) AS end_s
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (W3 streaming twin of
+    event_sessions): 300 s inactivity gap, per-user session aggregates
+    through a real availableNow run.  NOTE the boundary semantics the
+    oracle mirrors: session_window starts a NEW session when the gap is
+    >= the gap duration (window end is exclusive), whereas the batch
+    gap-islands query uses gap > 300 — the two differ exactly on
+    gap == 300 rows, documented here rather than papered over.  Update
+    Session windows only support APPEND output — a session emits once the
+    watermark finalizes it, so the replay source carries one far-future
+    SENTINEL row (user_id = -1, filtered from the result) that pushes the
+    watermark past every real session; the engine's no-data final batch
+    then flushes them all."""
+    import tempfile
+
+    from .streaming.sources import file_replay_source
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sentinel = ev.agg(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="omldm_ssess_")
+    src = f"{tmp}/src"
+    ev.unionByName(sentinel).write.parquet(src)
+    stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
+    out = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window(F.col("ts"), "5 minutes").alias("sw"),
+                 F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.unix_timestamp("ts")).cast("long").alias("start_s"),
+            F.max(F.unix_timestamp("ts")).cast("long").alias("end_s"),
+        )
+        .select("user_id", "n_events", "start_s", "end_s")
+    )
+    sink = f"{tmp}/sessions"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

@@ -329,3 +329,63 @@ def test_streaming_ddm_replay_equals_batch_summary(spark, tmp_path):
         lf = last["first_drift_i"]
         bf = b["first_drift_i"]
         assert (pd.isna(lf) and bf is None) or int(lf) == bf
+
+
+def test_session_window_merges_across_batches(spark, tmp_path):
+    """A session whose events arrive in DIFFERENT micro-batches merges
+    through the session-window state; a far-future sentinel flushes the
+    append-mode output (the same punctuation trick as the
+    streaming_event_sessions contract query)."""
+    import os as _os
+    import time as _time
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omldm_spark.streaming.sources import file_replay_source
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    def ts(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc) \
+            .replace(tzinfo=None)
+
+    schema = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
+    sschema = StructType([StructField("user_id", LongType()),
+                          StructField("ts", TimestampType())])
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t0 = _time.time() - 1000
+    batches = [
+        [(1, ts(0)), (1, ts(100))],
+        [(1, ts(200)), (1, ts(900))],          # 200 merges; 900 = new session
+        [(9, ts(10_000_000))],                 # sentinel flush
+    ]
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(
+            [{"user_id": u, "ts": t} for u, t in rows], schema=schema), f)
+        _os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    stream = file_replay_source(spark, str(src), sschema,
+                                max_files_per_trigger=1)
+    out = (
+        stream.withWatermark("ts", "100 seconds")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.min(F.unix_timestamp("ts")).cast("long").alias("start_s"))
+        .select("user_id", "n_events", "start_s")
+    )
+    got: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sess = sorted((r["start_s"], r["n_events"]) for r in got
+                  if r["user_id"] == 1)
+    assert sess == [(1704067200, 3), (1704068100, 1)]
