@@ -241,6 +241,49 @@ def apply_chain(
             degree = int(_hyper(p).get("degree", 2))
             expr, cur_dim = poly_expand_expr(cur, cur_dim, degree)
             df = df.withColumn(tmp, expr)
+        elif name == "RobustScaler":
+            # state = per-dim value-count histogram over round(x*RQ)
+            # integers: exact, batching-order-proof (counter addition is
+            # commutative), bounded by the DISTINCT quantized values seen
+            # (RQ=100 -> cents grid), not by row count
+            RQ = 100
+            if update:
+                hist_rows = (
+                    df.select(
+                        F.posexplode(
+                            F.array(*[
+                                F.round(_el(cur, i) * RQ, 0).cast("long")
+                                for i in range(cur_dim)
+                            ])
+                        ).alias("dim", "v")
+                    )
+                    .groupBy("dim", "v")
+                    .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                    .collect()
+                )
+                st = state[idx] or {"h": [dict() for _ in range(cur_dim)]}
+                hs = [dict(h) for h in st["h"]]
+                for r in hist_rows:
+                    key = str(int(r["v"]))
+                    hs[int(r["dim"])][key] = \
+                        hs[int(r["dim"])].get(key, 0) + int(r["c"])
+                state[idx] = {"h": hs}
+            st = state[idx]
+            if st is None:
+                raise ValueError(
+                    f"{name} at chain position {idx} has no fitted stats; "
+                    "transform-only application requires a prior fit pass"
+                )
+            els = []
+            for i in range(cur_dim):
+                p25, p50, p75 = _hist_quantiles(st["h"][i], (0.25, 0.5, 0.75))
+                iqr = p75 - p25
+                x = _el(cur, i)
+                els.append(
+                    (x - F.lit(float(p50) / RQ)) / F.lit(float(iqr) / RQ)
+                    if iqr > 0 else F.lit(0.0)
+                )
+            df = df.withColumn(tmp, F.array(*els))
         elif name == "Normalizer":
             # stateless row-local L2: no fit pass, no state slot
             els = []
@@ -338,3 +381,80 @@ def l2_normalize_expr(cols: list[str]):
         F.when(norm > 0, F.col(c) / norm).otherwise(F.lit(0.0)).alias(f"{c}_nrm")
         for c in cols
     ]
+
+
+def robust_scaler_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column p25/p50/p75 over INTEGER-VALUED columns via the bounded
+    histogram (one melted groupBy whose key space is the distinct
+    quantized values, NOT the row count — the two-pass quantile shape
+    that scales where rank-per-row doesn't; cf. grouped_quantiles'
+    docstring).  Disc semantics: smallest v with cumulative count >=
+    ceil(p*n) — a VALUE is picked, never interpolated, so the statistic
+    is engine- and partitioning-exact."""
+    from pyspark.sql import Window
+
+    melted = df.select(
+        F.posexplode(F.array(*[F.col(c).cast("long") for c in cols]))
+        .alias("dim", "v")
+    )
+    hist = melted.groupBy("dim", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wd = Window.partitionBy("dim")
+    wc = Window.partitionBy("dim").orderBy("v")
+    r = (
+        hist.withColumn("n", F.sum("c").over(wd))
+        .withColumn("cum", F.sum("c").over(wc))
+    )
+
+    def pick(p: float, i: int, name: str):
+        return F.min(
+            F.when(
+                (F.col("dim") == i)
+                & (F.col("cum") >= F.ceil(F.lit(p) * F.col("n")).cast("long")),
+                F.col("v"),
+            )
+        ).cast("long").alias(name)
+
+    return r.agg(*[
+        pick(p, i, f"{pn}_{c}")
+        for i, c in enumerate(cols)
+        for p, pn in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75")]
+    ])
+
+
+def robust_scale(df: DataFrame, cols: list[str], stats: DataFrame) -> DataFrame:
+    """x' = (x - median) / IQR via a broadcast one-row join; zero IQR
+    (constant column) maps to 0.0."""
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        iqr = F.col(f"p75_{c}") - F.col(f"p25_{c}")
+        out = out.withColumn(
+            f"{c}_scaled",
+            F.when(iqr > 0, (F.col(c) - F.col(f"p50_{c}")) / iqr)
+             .otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"{pn}_{c}" for c in cols
+                      for pn in ("p25", "p50", "p75")])
+
+
+def _hist_quantiles(hist: dict, ps: tuple) -> list[int]:
+    """Disc quantiles from a {quantized_value: count} histogram: smallest
+    v with cumulative count >= ceil(p*n) — the same rule as
+    robust_scaler_stats, evaluated on the driver over the tiny histogram."""
+    import math
+
+    items = sorted((int(v), int(c)) for v, c in hist.items())
+    n = sum(c for _, c in items)
+    out = []
+    for p in ps:
+        rank = math.ceil(p * n)
+        cum = 0
+        val = items[-1][0]
+        for v, c in items:
+            cum += c
+            if cum >= rank:
+                val = v
+                break
+        out.append(val)
+    return out

@@ -3780,6 +3780,60 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id")
 
 
+from .functions.preprocess import robust_scale, robust_scaler_stats  # noqa: E402
+
+
+@query(
+    "robust_scaled_points",
+    oracle=f"""
+WITH pts AS ({POINTS_SQL}),
+melted AS (
+  SELECT 0 AS dim, q0 AS v FROM pts
+  UNION ALL
+  SELECT 1 AS dim, q1 AS v FROM pts
+),
+hist AS (
+  SELECT dim, v, CAST(count(*) AS BIGINT) AS c FROM melted GROUP BY 1, 2
+),
+r AS (
+  SELECT dim, v,
+         sum(c) OVER (PARTITION BY dim) AS n,
+         sum(c) OVER (PARTITION BY dim ORDER BY v) AS cum
+  FROM hist
+),
+s AS (
+  SELECT
+    CAST(min(CASE WHEN dim = 0 AND cum >= ceil(0.25 * n) THEN v END) AS BIGINT) AS p25_q0,
+    CAST(min(CASE WHEN dim = 0 AND cum >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50_q0,
+    CAST(min(CASE WHEN dim = 0 AND cum >= ceil(0.75 * n) THEN v END) AS BIGINT) AS p75_q0,
+    CAST(min(CASE WHEN dim = 1 AND cum >= ceil(0.25 * n) THEN v END) AS BIGINT) AS p25_q1,
+    CAST(min(CASE WHEN dim = 1 AND cum >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50_q1,
+    CAST(min(CASE WHEN dim = 1 AND cum >= ceil(0.75 * n) THEN v END) AS BIGINT) AS p75_q1
+  FROM r
+)
+SELECT id, pk, sk,
+       CASE WHEN s.p75_q0 - s.p25_q0 > 0
+            THEN (q0 - s.p50_q0) / (s.p75_q0 - s.p25_q0) ELSE 0.0 END AS q0_scaled,
+       CASE WHEN s.p75_q1 - s.p25_q1 > 0
+            THEN (q1 - s.p50_q1) / (s.p75_q1 - s.p25_q1) ELSE 0.0 END AS q1_scaled
+FROM pts, s
+""",
+)
+def q_robust_scaled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler (beyond the reference whitelist; sklearn counterpart):
+    (x - median) / IQR with EXACT disc quantiles from the bounded
+    value-count histogram — one melted groupBy whose key space is the
+    distinct quantized values, not the row count, then a window scan over
+    the tiny histogram.  The outlier-resistant scaling a corpus-stats
+    pipeline wants when min/max are garbage (functions/preprocess.py
+    robust_scaler_stats)."""
+    pts = _points(spark, sf_dir)
+    stats = robust_scaler_stats(pts, ["q0", "q1"])
+    return robust_scale(pts, ["q0", "q1"], stats).select(
+        "id", "pk", "sk", "q0_scaled", "q1_scaled"
+    )
+
+
 def _replay_events(spark: SparkSession, sf_dir: str, prefix: str):
     """Write the (timestamp-cast) events once and open a file stream over
     them — the shared setup for the streaming-twin contract queries."""

@@ -107,12 +107,13 @@ STATISTICS_SCHEMA = StructType(
 )
 
 # Learner / preprocessor whitelists (PipelineMap.scala:66-69).
-# MaxAbsScaler and Normalizer extend the reference whitelist (SURVEY.md
-# §2.11): both reuse the chain's existing state machinery (max|x| derives
-# from the running min/max moments; Normalizer is stateless).
+# MaxAbsScaler, Normalizer and RobustScaler extend the reference whitelist
+# (SURVEY.md §2.11): MaxAbs reuses the chain's running min/max moments,
+# Normalizer is stateless, RobustScaler keeps a bounded per-dim value-count
+# histogram (exact disc quantiles, counter-addition mergeable).
 VALID_LEARNERS = {"PA", "RegressorPA", "ORR", "SVM", "MultiClassPA", "K-means", "NN", "HT"}
 VALID_PREPROCESSORS = {"PolynomialFeatures", "StandardScaler", "MinMaxScaler",
-                       "MaxAbsScaler", "Normalizer"}
+                       "MaxAbsScaler", "Normalizer", "RobustScaler"}
 
 # Learners forced onto the SingleLearner protocol (FlinkSpoke.scala:203-211).
 SINGLE_LEARNER_ONLY = {"K-means", "HT"}

@@ -284,3 +284,42 @@ def test_normalizer_rejected_before_fit_is_fine_stateless(spark):
     with pytest.raises(ValueError, match="no fitted stats"):
         apply_chain(df, [{"name": "MaxAbsScaler"}], "features", 2,
                     update=False)
+
+
+def test_robust_scaler_chain_histogram_state(spark):
+    """RobustScaler through the catalog: histogram state accumulates
+    exactly across batches (two halves == one full batch), training uses
+    median/IQR-scaled features, and transform-only without a fit raises."""
+    chain = [{"name": "RobustScaler"}]
+    pdf = _pdf()
+    df = spark.createDataFrame(pdf)
+    half1 = spark.createDataFrame(pdf.iloc[:200])
+    half2 = spark.createDataFrame(pdf.iloc[200:])
+
+    cat1 = PipelineCatalog()
+    _create(cat1, 0, "PA", chain)
+    train_batch(half1, cat1, dim=2, num_partitions=1, batch_id=0)
+    train_batch(half2, cat1, dim=2, num_partitions=1, batch_id=1)
+
+    cat2 = PipelineCatalog()
+    _create(cat2, 0, "PA", chain)
+    train_batch(df, cat2, dim=2, num_partitions=1)
+
+    h1 = cat1.pipelines[0].preproc_state[0]["h"]
+    h2 = cat2.pipelines[0].preproc_state[0]["h"]
+    assert h1 == h2
+    assert sum(h1[0].values()) == 400
+    w1 = np.asarray(cat1.pipelines[0].model["w"], dtype=float)
+
+    # == manual apply_chain + fit on the full batch
+    scaled, _, _ = apply_chain(df, chain, "features", 2)
+    manual = trainer.fit(
+        scaled, "PA", dim=2, features_col="_pp_features", label_col="label",
+        num_partitions=1,
+    )
+    w2 = np.asarray(cat2.pipelines[0].model["w"], dtype=float)
+    assert np.allclose(w2, np.asarray(manual["w"]), atol=1e-12)
+    assert not np.allclose(w1, np.zeros_like(w1))
+
+    with pytest.raises(ValueError, match="no fitted stats"):
+        apply_chain(df, chain, "features", 2, update=False)
