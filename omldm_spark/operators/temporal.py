@@ -283,3 +283,65 @@ SELECT {key}, {state} AS state,
 FROM changes
 WINDOW w AS (PARTITION BY {key} ORDER BY ts_s, event_id)
 """
+
+
+def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str,
+              val_cols: list[str], op_col: str = "op",
+              seq_col: str = "seq") -> DataFrame:
+    """MERGE-style CDC apply: fold a change log (upsert/delete ops with a
+    monotone sequence) into a keyed snapshot — the nightly Delta/Iceberg
+    MERGE INTO, as pure DataFrame ops.  Last-writer-wins per key by
+    (seq, op) with upserts replacing the row and deletes removing it;
+    keys untouched by the log pass through.
+
+    Scale: ONE window over the change log keyed by ``key`` picks each
+    key's final op (the log is the small side at 100 TB — a day of
+    changes vs the full snapshot), then one keyed outer join applies it;
+    the snapshot is never shuffled twice.  Deterministic: ties on seq
+    break on op ('delete' < 'upsert' lexically, pinned by test)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc(),
+                                        F.col(op_col).desc())
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, op_col, *val_cols)
+    )
+    joined = snapshot.alias("s").join(
+        last.alias("c"), on=key, how="full_outer"
+    )
+    keep = joined.filter(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") == "upsert")
+    )
+    return keep.select(
+        F.col(key),
+        *[
+            F.when(F.col(f"c.{op_col}") == "upsert", F.col(f"c.{v}"))
+             .otherwise(F.col(f"s.{v}")).alias(v)
+            for v in val_cols
+        ],
+    )
+
+
+def CDC_APPLY_SQL(snapshot_sql: str, changes_sql: str, key: str,
+                  val_cols: list[str]) -> str:
+    vals = ", ".join(val_cols)
+    sel = ", ".join(
+        f"CASE WHEN c.op = 'upsert' THEN c.{v} ELSE s.{v} END AS {v}"
+        for v in val_cols
+    )
+    return f"""
+WITH snap AS ({snapshot_sql}),
+chg AS ({changes_sql}),
+last AS (
+  SELECT {key}, op, {vals} FROM (
+    SELECT *, row_number() OVER (PARTITION BY {key}
+                                 ORDER BY seq DESC, op DESC) AS rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT coalesce(s.{key}, c.{key}) AS {key}, {sel}
+FROM snap s FULL OUTER JOIN last c ON s.{key} = c.{key}
+WHERE c.op IS NULL OR c.op = 'upsert'
+"""

@@ -3780,6 +3780,54 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id")
 
 
+from .operators.temporal import CDC_APPLY_SQL, cdc_apply  # noqa: E402
+
+_CDC_SNAP_SQL = """
+SELECT c_custkey AS k,
+       CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c,
+       c_mktsegment AS seg
+FROM customer
+"""
+_CDC_CHG_SQL = """
+SELECT user_id AS k,
+       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+       event_id AS seq,
+       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS bal_c,
+       event_type AS seg
+FROM events
+"""
+
+
+@query(
+    "cdc_apply_snapshot",
+    oracle=CDC_APPLY_SQL(_CDC_SNAP_SQL, _CDC_CHG_SQL, "k", ["bal_c", "seg"]),
+)
+def q_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply (the nightly Delta/Iceberg MERGE INTO as
+    DataFrame ops): the event log folds into the customer snapshot —
+    last-writer-wins per key by (seq desc, op desc), upserts replace,
+    deletes ('error' events) remove, untouched keys pass through, unknown
+    keys insert.  One window over the (small) change log + one keyed
+    full-outer join; the snapshot never shuffles twice
+    (operators/temporal.py cdc_apply)."""
+    cu = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    snap = cu.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    chg = ev.select(
+        F.col("user_id").alias("k"),
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("upsert").alias("op"),
+        F.col("event_id").alias("seq"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("bal_c"),
+        F.col("event_type").alias("seg"),
+    )
+    return cdc_apply(snap, chg, "k", ["bal_c", "seg"])
+
+
 from .functions.preprocess import robust_scale, robust_scaler_stats  # noqa: E402
 
 

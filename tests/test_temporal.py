@@ -221,3 +221,28 @@ def test_scd2_tie_breaks_on_event_id(spark):
     out = sorted(scd2_intervals(ev).collect(), key=lambda r: r["version"])
     assert [(r["state"], r["valid_from_s"], r["valid_to_s"]) for r in out] == [
         ("a", 100, 100), ("b", 100, 200), ("c", 200, None)]
+
+
+def test_cdc_apply_semantics(spark):
+    """Upsert replaces, delete removes, unknown key inserts, untouched
+    passes through; last-writer-wins by seq; seq tie breaks op desc
+    ('upsert' > 'delete')."""
+    from omldm_spark.operators.temporal import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k long, bal long, seg string")
+    chg = spark.createDataFrame(
+        [
+            (1, "upsert", 5, 11, "a2"),   # replace
+            (1, "upsert", 4, 99, "zz"),   # superseded by seq 5
+            (2, "delete", 6, 0, ""),      # remove
+            (4, "upsert", 7, 40, "d"),    # insert
+            (5, "delete", 8, 0, ""),      # delete of unknown key: no row
+            (6, "delete", 9, 0, ""),      # tie on seq 9 ...
+            (6, "upsert", 9, 60, "f"),    # ... upsert wins (op desc)
+        ],
+        "k long, op string, seq long, bal long, seg string")
+    out = {r["k"]: (r["bal"], r["seg"])
+           for r in cdc_apply(snap, chg, "k", ["bal", "seg"]).collect()}
+    assert out == {1: (11, "a2"), 3: (30, "c"), 4: (40, "d"), 6: (60, "f")}
