@@ -98,3 +98,69 @@ def salted_join(
         F.explode(F.array(*[F.lit(i).cast("int") for i in range(salt_buckets)])),
     )
     return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+def bloom_build(dim: DataFrame, key_col: str, bits: int = 1024,
+                k: int = 2) -> list[int]:
+    """Build a ``bits``-bit bloom filter over a dim's join keys as
+    ``bits/64`` BIGINT words (bit_or aggregation — one pass, mergeable,
+    the filter is KBs however large the dim).  Returns the words as
+    Python ints for literal-folding into the fact-side filter."""
+    from .sketch import bucket_sql
+
+    nwords = bits // 64
+    key = f"CAST({key_col} AS STRING)"
+    cells = dim.select(
+        F.explode(F.array(*[
+            F.expr(bucket_sql(key, i, bits)).alias("b") for i in range(k)
+        ])).alias("bucket")
+    ).select(
+        (F.col("bucket") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket % 64 AS INT))")
+         .alias("mask"),
+    )
+    rows = cells.groupBy("word").agg(
+        F.bit_or("mask").alias("bits")).collect()
+    words = [0] * nwords
+    for r in rows:
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_semi_reduce(fact: DataFrame, fact_key: str, dim: DataFrame,
+                      dim_key: str, bits: int = 1024, k: int = 2):
+    """Semi-join reduction: prefilter the FACT side with the dim's bloom
+    filter before the actual join — the runtime-filter pattern (AQE's
+    InSubqueryExec / Delta dynamic file pruning) made explicit, for
+    engines/joins where AQE can't inject it.  At 100 TB this turns 'join
+    then discard 95% of the fact' into 'scan-side prune then join'.
+
+    No false negatives (every true match passes the bloom — pinned by
+    test); false positives are eliminated by the real semi join that
+    follows, so the RESULT equals the plain semi join exactly and the
+    oracle is bloom-free.  Returns (reduced_join_df, filter_column) so
+    callers can also measure the pruning rate."""
+    from .sketch import bucket_sql
+
+    words = bloom_build(dim, dim_key, bits=bits, k=k)
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    key = f"CAST({fact_key} AS STRING)"
+    cond = F.lit(True)
+    for i in range(k):
+        bucket = F.expr(bucket_sql(key, i, bits))
+        word = F.element_at(lit_words, (bucket / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({bucket_sql(key, i, bits)} % 64 AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    reduced = fact.filter(cond)
+    return reduced.join(
+        dim.select(F.col(dim_key).alias("_bk")).distinct(),
+        F.col(fact_key) == F.col("_bk"),
+        "left_semi",
+    ), cond

@@ -878,3 +878,23 @@ def test_incremental_dedup_admits_only_new_and_first(spark):
     )
     out = incremental_dedup(incoming, fingerprint(existing)).collect()
     assert sorted(r["doc_id"] for r in out) == [6, 12]
+
+
+def test_bloom_semi_reduce_no_false_negatives_and_prunes(spark):
+    """The bloom prefilter admits EVERY true member (result == plain semi
+    join) and actually prunes non-members before the join."""
+    from omldm_spark.operators.skew import bloom_build, bloom_semi_reduce
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 5000).selectExpr("id AS fk")
+    dim = spark.range(0, 5000, 50).selectExpr("id AS dk")   # 100 members
+    reduced, cond = bloom_semi_reduce(fact, "fk", dim, "dk")
+    got = sorted(r["fk"] for r in reduced.collect())
+    want = sorted(r["fk"] for r in fact.join(
+        dim, fact.fk == dim.dk, "left_semi").collect())
+    assert got == want                      # exact semi-join result
+    admitted = fact.filter(cond).count()
+    assert admitted >= 100                  # no false negatives
+    assert admitted < 5000                  # the filter prunes non-members
+    words = bloom_build(dim, "dk")
+    assert len(words) == 16 and any(w != 0 for w in words)
