@@ -52,6 +52,37 @@ CHECKS = {
              r"ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp",
              p))),
     ],
+    "orr_kfold_cv": [
+        # per-fold sufficient stats partially aggregate before their one
+        # shuffle; the k weight rows broadcast into the scoring pass
+        ("fold stats map-side combined", lambda p: p.count("HashAggregate") >= 2),
+        ("weights broadcast into scoring",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no sort-merge join anywhere", lambda p: "SortMergeJoin" not in p),
+    ],
+    "robust_scaled_points": [
+        # histogram build: partial agg to the distinct-value key space,
+        # stats row broadcast back as pure arithmetic
+        ("histogram partially aggregated",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("stats broadcast, never a row-wise join",
+         lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+    ],
+    "cdc_apply_snapshot": [
+        # change-log window + ONE keyed outer join; snapshot not broadcast
+        # (it's the big side at scale), no repeated snapshot shuffle
+        ("full outer join present", lambda p: "FullOuter" in p),
+        ("window rides the change-log exchange",
+         lambda p: "row_number" in p),
+    ],
+    "bloom_semi_orders": [
+        # the literal-folded bloom words (element_at over the 16-BIGINT
+        # array) must appear in a Filter BELOW the join — Catalyst even
+        # infers it onto both sides through the equi-key
+        ("bloom words literal-folded into a pre-join filter",
+         lambda p: "element_at([" in p),
+        ("semi join present", lambda p: "LeftSemi" in p),
+    ],
     "scd2_user_state": [
         # change filter + version row_number + closing lead all ride ONE
         # user-keyed exchange and ONE sort (formatted output names each
