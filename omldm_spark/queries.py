@@ -2598,6 +2598,42 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.retrieval import RRF_FUSE_SQL, rrf_fuse  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    QUANTIZED_COSINE_TOPK_SQL,
+    quantized_cosine_topk,
+)
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle=RRF_FUSE_SQL(
+        BM25_TOPK_SQL(_BM25_QUERIES, k=20),
+        "SELECT * FROM ("
+        + QUANTIZED_COSINE_TOPK_SQL(k=20, max_query_id=4)
+        + ") WHERE query_id >= 1",
+        k=10,
+    ),
+)
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the modern pretraining-data selection shape):
+    BM25 top-20 and embedding-cosine top-20 per query fused by
+    reciprocal-rank fusion into a final top-10.  Queries 1-3 exist in both
+    modalities (term lists over `documents`, anchor vectors over the
+    id-aligned `embeddings`).  Both input rankings are already exact
+    integer scores, RRF adds two integer addends per doc, so the fused
+    ranking is hash-exact — an end-to-end-exact TWO-modality retrieval
+    pipeline.  The fusion join touches |queries| x 20 rows; all fact-scale
+    work stays in the upstream ranking passes (operators/retrieval.rrf_fuse)."""
+    lex = bm25_topk(
+        load_table(spark, sf_dir, "documents"), _bm25_query_df(spark), k=20
+    )
+    sem = quantized_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), k=20, max_query_id=4
+    ).filter(F.col("query_id") >= 1)
+    return rrf_fuse(lex, sem, k=10)
+
+
 @query("tfidf_doc_vectors", oracle=TFIDF_SQL())
 def q_tfidf_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed tf-idf weight per (doc, term) — the vectorizer behind
@@ -3399,6 +3435,39 @@ def q_calibration_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, F.col("event_type") == "purchase",
         F.col("value") / F.lit(600.0),
     )
+
+
+from .operators.evaluation import (  # noqa: E402
+    CLASSIFICATION_REPORT_SQL,
+    classification_report,
+)
+
+# Deterministic stand-in classifier for the report: predict the event type
+# from value bands. Integer band edges compare exactly on doubles in both
+# engines; the point is the METRIC operator, not the model.
+_PRED_BANDS = [(20, "view"), (60, "click"), (120, "signup"), (200, "error")]
+_PRED_SQL = (
+    "CASE "
+    + " ".join(f"WHEN value < {edge} THEN '{cls}'" for edge, cls in _PRED_BANDS)
+    + " ELSE 'purchase' END"
+)
+
+
+@query(
+    "eval_classification_report",
+    oracle=CLASSIFICATION_REPORT_SQL("event_type", _PRED_SQL, "events"),
+)
+def q_eval_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion-matrix report: per-class support, predicted
+    count, tp, precision/recall/F1 in exact ppm.  ONE corpus pass collapses
+    to the |classes|^2 confusion cells (map-side combined); every ratio is
+    a single integral division, so the report is hash-exact
+    (operators/evaluation.classification_report)."""
+    ev = load_table(spark, sf_dir, "events")
+    pred = F.lit("purchase")
+    for edge, cls in reversed(_PRED_BANDS):
+        pred = F.when(F.col("value") < edge, cls).otherwise(pred)
+    return classification_report(ev, F.col("event_type"), pred)
 
 
 @query(
@@ -4211,6 +4280,518 @@ def q_hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketch.py hll_grouped_distinct)."""
     ev = load_table(spark, sf_dir, "events")
     return hll_grouped_distinct(ev, ["event_type"], "user_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape completion: the remaining canonical plan patterns, adapted to
+# the synthetic star schema (no partsupp / shipmode / commitdate columns, so
+# each query substitutes a semantically-equivalent predicate and says so).
+# Reference parity: these exercise the join/agg surface of SURVEY §2.3-2.6 at
+# the plan shapes a warehouse user actually runs; all money math is integer
+# cents (q-units) so every aggregate is hash-exact across engines.
+# ---------------------------------------------------------------------------
+
+# Column builders, not module-level Columns: pyspark 4 requires an active
+# session to construct expressions, and queries.py imports session-free.
+def _ep100():
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+
+
+def _d100():
+    return F.round(F.col("l_discount") * 100, 0).cast("long")
+
+
+def _rev_q():
+    # revenue in 1e-4 dollar units: cents * (100 - discount-cents)
+    return _ep100() * (F.lit(100) - _d100())
+
+
+_REV_Q_SQL = (
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+)
+
+
+@query(
+    "tpch_q6_like",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_q
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): the pure pushdown
+    aggregate — every predicate (date range, discount band, quantity cap)
+    reaches the parquet scan as a PushedFilter, the projection prunes to 4
+    columns, and the only exchange is the single-row final agg.  This is
+    the query whose plan proves the scan layer works: at 100 TB it reads
+    only row groups whose min/max stats intersect the ranges.
+
+    Exactness: the discount literals 0.05/0.07 parse to the same doubles in
+    both engines and the stored values are the same doubles, so the band
+    compares identically; revenue is summed as cents x discount-cents
+    (BIGINT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(_ep100() * _d100()).cast("long").alias("revenue_q"),
+        )
+    )
+
+
+@query(
+    "tpch_q7_like",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+       CAST(sum({_REV_Q_SQL}) AS BIGINT) AS revenue_q
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+""",
+)
+def q_tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape): the fact
+    shuffles ONCE (lineitem join orders on orderkey — the only fact-fact
+    exchange); supplier+nation and customer+nation are broadcast dims, and
+    the nation-pair disjunction prunes both dim sides before the join so
+    the broadcast carries only the two nations' keys.  Group-by on
+    (supp_nation, cust_nation, year) partially aggregates map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_18", "NATION_19"]
+    sn = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(pair))),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = customer.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(pair))),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cn), orders["o_custkey"] == cn["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_rev_q()).cast("long").alias("revenue_q"))
+    )
+
+
+@query(
+    "tpch_q8_like",
+    oracle=f"""
+WITH rev AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN {_REV_Q_SQL} ELSE 0 END) AS BIGINT) AS nation_q,
+         CAST(sum({_REV_Q_SQL}) AS BIGINT) AS total_q
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+)
+SELECT o_year, nation_q, total_q,
+       round(CAST(nation_q AS DOUBLE) / CAST(total_q AS DOUBLE), 9)
+         AS mkt_share
+FROM rev
+""",
+)
+def q_tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share inside a region (TPC-H Q8 shape): conditional
+    aggregation — numerator and denominator ride the SAME single pass
+    (sum(CASE) + sum), so the share needs no self-join; customer side is
+    pre-filtered to the ASIA region before broadcasting, fact shuffles once
+    on orderkey.  Share is one BIGINT/BIGINT division on identical
+    operands, rounded for hashing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sn = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    asian = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey")
+    )
+    cust = customer.join(
+        F.broadcast(asian), customer["c_nationkey"] == asian["n_nationkey"]
+    ).select("c_custkey")
+    rev = (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3",
+                       _ep100() * (F.lit(100) - _d100())).otherwise(F.lit(0))
+            ).cast("long").alias("nation_q"),
+            F.sum(_rev_q()).cast("long").alias("total_q"),
+        )
+    )
+    return rev.select(
+        "o_year", "nation_q", "total_q",
+        F.round(
+            F.col("nation_q").cast("double") / F.col("total_q").cast("double"),
+            9,
+        ).alias("mkt_share"),
+    )
+
+
+@query(
+    "tpch_q9_like",
+    oracle=f"""
+SELECT sn.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(sum({_REV_Q_SQL}
+                - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                  * CAST(round(l.l_quantity, 0) AS BIGINT) * 100)
+         AS BIGINT) AS profit_q
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_type = 'PROMO'
+GROUP BY sn.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+""",
+)
+def q_tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape; p_retailprice stands in for the
+    absent ps_supplycost): profit = revenue - retail-cost x quantity per
+    line, aggregated by supplier nation and order year.  part + supplier +
+    nation broadcast after the p_type filter prunes part ~6x; the fact's
+    one shuffle is the orders join.  All terms are BIGINT q-units
+    (1e-4 dollars): the cost term is retail-cents x integer-quantity x 100
+    (quantities are whole numbers in the data), so every addend is exact
+    and the sum is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    promo = part.filter(F.col("p_type") == "PROMO").select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        .alias("rp100")
+    )
+    profit = (
+        _ep100() * (F.lit(100) - _d100())
+        - F.col("rp100") * F.round("l_quantity", 0).cast("long") * F.lit(100)
+    )
+    return (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_q"))
+    )
+
+
+@query(
+    "tpch_q10_like",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       round(c.c_acctbal, 2) AS acctbal,
+       CAST(sum({_REV_Q_SQL}) AS BIGINT) AS revenue_q
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, round(c.c_acctbal, 2)
+ORDER BY revenue_q DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q_tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    revenue lost to returns in one quarter.  The quarter filter prunes
+    orders BEFORE its shuffle join with lineitem (the only fact-fact
+    exchange); customer+nation broadcast; the top-20 runs as
+    TakeOrderedAndProject (per-partition heap + driver merge of 20 rows),
+    never a global sort.  Integer revenue_q makes the ranking
+    deterministic; c_custkey breaks ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select(
+        "c_custkey", "c_name", F.col("n_name").alias("nation"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    q = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name", "nation", "acctbal")
+        .agg(F.sum(_rev_q()).cast("long").alias("revenue_q"))
+    )
+    return q.orderBy(F.col("revenue_q").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+@query(
+    "tpch_q12_like",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+""",
+)
+def q_tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split (TPC-H Q12 shape; l_linestatus stands in for
+    the absent l_shipmode): the conditional-count pattern — both priority
+    classes counted in ONE pass with sum(CASE), no second join or union.
+    The year filter prunes lineitem at the scan before its one shuffle
+    join with orders; orders is pruned to (orderkey, priority) by column
+    projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_like",
+    oracle=f"""
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN {_REV_Q_SQL} ELSE 0 END) AS BIGINT) AS promo_q,
+       CAST(sum({_REV_Q_SQL}) AS BIGINT) AS total_q,
+       round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN {_REV_Q_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_REV_Q_SQL}) AS DOUBLE), 9) AS promo_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-02-01'
+""",
+)
+def q_tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): a ratio whose numerator and
+    denominator share one scan+join pass (sum(CASE) / sum) — the month
+    filter reaches the lineitem scan, part broadcasts, and the result is a
+    single row.  The percentage divides two BIGINTs computed identically
+    in both engines, then rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    ).join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    promo = F.when(F.col("p_type") == "PROMO",
+                   _ep100() * (F.lit(100) - _d100())).otherwise(F.lit(0))
+    agg = j.agg(
+        F.sum(promo).cast("long").alias("promo_q"),
+        F.sum(_rev_q()).cast("long").alias("total_q"),
+    )
+    return agg.select(
+        "promo_q", "total_q",
+        F.round(
+            F.lit(100.0) * F.col("promo_q").cast("double")
+            / F.col("total_q").cast("double"), 9,
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "tpch_q19_like",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum({_REV_Q_SQL}) AS BIGINT) AS revenue_q
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#10' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q_tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue disjunction (TPC-H Q19 shape): three conjunct
+    blocks OR'd together.  The part-side projection of the disjunction
+    (brand/size blocks) is applied BEFORE the broadcast so only matching
+    parts ship to executors and the pushed Or() filter prunes the part
+    scan; the mixed (brand x quantity) residual evaluates post-join.  The
+    fact side never shuffles — broadcast hash join only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    blocks = [
+        ("Brand#10", 15, 1, 11),
+        ("Brand#23", 25, 10, 20),
+        ("Brand#15", 35, 20, 30),
+    ]
+    part_side = None
+    residual = None
+    for brand, size_hi, q_lo, q_hi in blocks:
+        pp = (F.col("p_brand") == brand) & F.col("p_size").between(1, size_hi)
+        rr = (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= q_lo)
+            & (F.col("l_quantity") <= q_hi)
+        )
+        part_side = pp if part_side is None else (part_side | pp)
+        residual = rr if residual is None else (residual | rr)
+    pruned = part.filter(part_side).select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(pruned), li["l_partkey"] == pruned["p_partkey"])
+        .filter(residual)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(_rev_q()).cast("long").alias("revenue_q"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_like",
+    oracle="""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+),
+flagged AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM late l1
+  JOIN orders o ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flagged f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 10
+""",
+)
+def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape; returnflag='R'
+    stands in for receipt>commit lateness): the double correlated
+    subquery — EXISTS(another supplier in the order) AND NOT EXISTS
+    (another LATE supplier in the order) — becomes one semi-join and one
+    anti-join, BOTH keyed on l_orderkey so all three lineitem legs share a
+    single shuffle partitioning (no re-exchange between the joins; AQE
+    reuses it).  Supplier broadcasts for the name lookup; final top-10 is
+    TakeOrderedAndProject with name tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    # no broadcast hint: orders is a fact — the semi join shuffles on
+    # orderkey like every other leg (AQE may still pick broadcast at small
+    # SF, but nothing forces an O(|orders|) broadcast at scale)
+    l1 = late.join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        late["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    flagged = (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1["l_orderkey"] == l3["k3"]) & (l1["l_suppkey"] != l3["s3"]),
+            "left_anti",
+        )
+    )
+    q = (
+        flagged.join(
+            F.broadcast(supplier), flagged["l_suppkey"] == supplier["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+    return q.orderBy(F.col("numwait").desc(), F.col("s_name").asc()).limit(10)
 
 
 # ---------------------------------------------------------------------------

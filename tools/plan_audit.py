@@ -158,6 +158,90 @@ CHECKS = {
     "orr_gram": [
         ("partial+final aggregate", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "tpch_q6_like": [
+        # the pure-pushdown aggregate: every predicate at the scan, 4-column
+        # projection, one exchange (the single-row final agg)
+        ("date+discount+quantity pushed to the scan",
+         lambda p: bool(re.search(r"PushedFilters: \[[^\]]*l_shipdate", p))
+         and bool(re.search(r"PushedFilters: \[[^\]]*l_discount", p))
+         and bool(re.search(r"PushedFilters: \[[^\]]*l_quantity", p))),
+        ("scan prunes to 4 columns", lambda p: "l_orderkey" not in p),
+        ("single exchange", lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+    ],
+    "tpch_q7_like": [
+        # 4 dim-side hints (supplier⨝nation nests one, customer⨝nation
+        # nests one); the lineitem⨝orders fact join carries none
+        ("only the dim sides hinted broadcast",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 4
+         and not re.search(
+             r"Join Inner[^\n]*l_orderkey[^\n]*strategy=broadcast",
+             _optimized(ext))),
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "tpch_q8_like": [
+        # conditional agg: numerator+denominator in ONE pass — exactly one
+        # aggregate pair, no self-join of the revenue stream
+        # formatted explain names each node twice (tree + detail):
+        # partial+final = 2 nodes = 4 mentions, and nothing more
+        ("share computed in one pass (no self-join)",
+         lambda p: p.count("HashAggregate") == 4),
+        ("fact join not forced broadcast (5 dim hints)",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 5
+         and not re.search(
+             r"Join Inner[^\n]*l_orderkey[^\n]*strategy=broadcast",
+             _optimized(ext))),
+    ],
+    "tpch_q9_like": [
+        ("p_type filter prunes part before broadcast",
+         lambda p: bool(re.search(r"PushedFilters: \[[^\]]*p_type", p))),
+        ("fact join not forced broadcast (3 dim hints)",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 3
+         and not re.search(
+             r"Join Inner[^\n]*l_orderkey[^\n]*strategy=broadcast",
+             _optimized(ext))),
+    ],
+    "tpch_q10_like": [
+        ("top-20 is a bounded heap, not a global sort",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("quarter filter pushed to the orders scan",
+         lambda p: bool(re.search(r"PushedFilters: \[[^\]]*o_orderdate", p))),
+        ("fact join not forced broadcast (2 dim hints)",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 2),
+    ],
+    "tpch_q12_like": [
+        ("both priority classes in one sum(CASE) pass",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("year filter pushed to the lineitem scan",
+         lambda p: bool(re.search(r"PushedFilters: \[[^\]]*l_shipdate", p))),
+        ("no broadcast hint on the fact-fact join",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 0),
+    ],
+    "tpch_q14_like": [
+        ("month filter pushed to the lineitem scan",
+         lambda p: bool(re.search(r"PushedFilters: \[[^\]]*l_shipdate", p))),
+        ("part is the only broadcast hint",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 1),
+    ],
+    "tpch_q19_like": [
+        # the disjunction's per-side projections must prune BOTH scans
+        ("quantity disjunction pushed to the lineitem scan",
+         lambda p: bool(re.search(
+             r"PushedFilters: \[[^\]]*Or\([^\]]*l_quantity", p))),
+        ("brand/size disjunction pushed to the part scan",
+         lambda p: bool(re.search(
+             r"PushedFilters: \[[^\]]*p_brand", p))),
+        ("fact never shuffles (broadcast join only)",
+         lambda p: "SortMergeJoin" not in p),
+    ],
+    "tpch_q21_like": [
+        ("EXISTS is a semi join", lambda p: "LeftSemi" in p),
+        ("NOT EXISTS is an anti join", lambda p: "LeftAnti" in p),
+        ("top-10 is a bounded heap", lambda p: "TakeOrderedAndProject" in p),
+        # only supplier (the name lookup) is hinted; the orders semi leg and
+        # both lineitem self-legs pick their strategy via AQE
+        ("only supplier hinted broadcast",
+         lambda p, ext: _optimized(ext).count("strategy=broadcast") == 1),
+    ],
     "train_test_split": [
         (
             "scan prunes to the 4 needed columns",
