@@ -163,3 +163,92 @@ SELECT CAST(bin_idx AS BIGINT) AS bin_idx,
 FROM b
 GROUP BY bin_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Multiclass confusion matrix + per-class precision/recall/F1
+# ---------------------------------------------------------------------------
+
+def classification_report(df: DataFrame, label_col, pred_col) -> DataFrame:
+    """Per-class evaluation of a multiclass classifier at corpus scale:
+    (label, n_true, n_pred, tp, precision_ppm, recall_ppm, f1_ppm).
+
+    Scale shape: ONE corpus-scale groupBy collapses to the confusion
+    cells — at most |classes|^2 rows, bounded by the label space, not the
+    corpus — and every per-class sum runs over that tiny frame.  The
+    corpus pass is map-side combinable; nothing downstream touches a row
+    again.
+
+    Exactness: counts are BIGINT; each ratio is ONE integral division
+    floor(1e6 * num / den) (ppm), so the report is engine-identical.
+    f1_ppm = floor(2e6 * tp / (n_true + n_pred)) — the harmonic mean
+    computed from raw counts, not from the two rounded ratios.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    pred = F.col(pred_col) if isinstance(pred_col, str) else pred_col
+    cells = (
+        df.select(label.alias("label"), pred.alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    by_true = cells.groupBy("label").agg(
+        F.sum("n").cast("long").alias("n_true"),
+        F.sum(F.when(F.col("pred") == F.col("label"), F.col("n"))
+              .otherwise(F.lit(0))).cast("long").alias("tp"),
+    )
+    by_pred = cells.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    rep = by_true.join(by_pred, "label", "full_outer").select(
+        "label",
+        F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+    )
+    return rep.select(
+        "label", "n_true", "n_pred", "tp",
+        F.when(F.col("n_pred") > 0,
+               F.expr("CAST((tp * 1000000) div n_pred AS BIGINT)"))
+        .otherwise(F.lit(0)).alias("precision_ppm"),
+        F.when(F.col("n_true") > 0,
+               F.expr("CAST((tp * 1000000) div n_true AS BIGINT)"))
+        .otherwise(F.lit(0)).alias("recall_ppm"),
+        F.when(F.col("n_true") + F.col("n_pred") > 0,
+               F.expr("CAST((tp * 2000000) div (n_true + n_pred) AS BIGINT)"))
+        .otherwise(F.lit(0)).alias("f1_ppm"),
+    )
+
+
+def CLASSIFICATION_REPORT_SQL(label_expr: str, pred_expr: str,
+                              table: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {label_expr} AS label, {pred_expr} AS pred,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2
+),
+by_true AS (
+  SELECT label, CAST(sum(n) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN pred = label THEN n ELSE 0 END) AS BIGINT) AS tp
+  FROM cells GROUP BY label
+),
+by_pred AS (
+  SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY pred
+),
+rep AS (
+  SELECT COALESCE(t.label, p.label) AS label,
+         CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp
+  FROM by_true t FULL OUTER JOIN by_pred p ON t.label = p.label
+)
+SELECT label, n_true, n_pred, tp,
+       CAST(CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred ELSE 0 END
+            AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN n_true > 0 THEN (tp * 1000000) // n_true ELSE 0 END
+            AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_true + n_pred > 0
+                 THEN (tp * 2000000) // (n_true + n_pred) ELSE 0 END
+            AS BIGINT) AS f1_ppm
+FROM rep
+"""

@@ -272,3 +272,93 @@ SELECT p.{id_col}, p.term, p.tf, d.df,
          / 1000000.0 AS tfidf
 FROM post p JOIN dfs d ON p.term = d.term CROSS JOIN corpus c
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + semantic rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60           # the standard RRF dampening constant (Cormack 2009)
+RRF_SCALE = 10**12   # integer quantizer: round(1e12 / (60 + rank))
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings — the standard
+    hybrid-retrieval combiner (BM25 list + embedding-cosine list) used to
+    pick pretraining docs that match a seed set both lexically and
+    semantically.
+
+    Inputs are rank lists (query_id, <id>, rank); ``sem`` may name its id
+    column ``neighbor_id`` — it is normalized to ``id_col``.  Score:
+
+        rrf_q = round(1e12/(60+rank_lex)) + round(1e12/(60+rank_sem))
+
+    with a missing list contributing 0.  Both addends are integers derived
+    from integer ranks, so the fused score is EXACT on any engine; ties
+    break by doc id.
+
+    Scale: both inputs are top-k outputs (|queries| x k rows), so the
+    fusion join is a broadcast no-op next to the upstream ranking passes —
+    the operator adds no fact-scale shuffle.
+    """
+    l = lex.select(
+        "query_id", F.col(id_col).alias("fid"),
+        F.col("rank").cast("long").alias("rank_lex"),
+    )
+    s_id = "neighbor_id" if "neighbor_id" in sem.columns else id_col
+    s = sem.select(
+        "query_id", F.col(s_id).alias("fid"),
+        F.col("rank").cast("long").alias("rank_sem"),
+    )
+    fused = l.join(s, ["query_id", "fid"], "full_outer")
+    part = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(float(RRF_SCALE)) / (F.lit(60) + F.col(r)), 0)
+        .cast("long"),
+        F.lit(0).cast("long"),
+    )
+    scored = fused.select(
+        "query_id", F.col("fid").alias(id_col),
+        F.coalesce("rank_lex", F.lit(0)).cast("long").alias("rank_lex"),
+        F.coalesce("rank_sem", F.lit(0)).cast("long").alias("rank_sem"),
+        (part("rank_lex") + part("rank_sem")).alias("rrf_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def RRF_FUSE_SQL(lex_sql: str, sem_sql: str, k: int = 10,
+                 id_col: str = "doc_id") -> str:
+    """Oracle twin: fuse two rank-list SELECTs (columns query_id, <id>,
+    rank) with the same integer RRF arithmetic."""
+    return f"""
+WITH lex AS ({lex_sql}),
+sem AS ({sem_sql}),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.{id_col}, s.neighbor_id) AS {id_col},
+         CAST(COALESCE(l.rank, 0) AS BIGINT) AS rank_lex,
+         CAST(COALESCE(s.rank, 0) AS BIGINT) AS rank_sem,
+         COALESCE(CAST(round({RRF_SCALE}.0 / (60 + l.rank), 0) AS BIGINT), 0)
+         + COALESCE(CAST(round({RRF_SCALE}.0 / (60 + s.rank), 0) AS BIGINT), 0)
+           AS rrf_q
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.{id_col} = s.neighbor_id
+)
+SELECT * FROM (
+  SELECT query_id, {id_col}, rank_lex, rank_sem, rrf_q,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_q DESC, {id_col} ASC)
+         AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
