@@ -120,3 +120,39 @@ SELECT CAST({id_col} AS BIGINT) AS {id_col},
          '{PHONE_RE}', '[PHONE]', 'g') AS clean_text
 FROM planted
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity suppression over quasi-identifier groups
+# ---------------------------------------------------------------------------
+
+def k_anonymity_suppress(df: DataFrame, qi_cols: list, k: int = 5):
+    """Suppress rows whose quasi-identifier combination matches fewer than
+    ``k`` rows — the release gate a privacy-reviewed training export runs
+    before shipping user-derived tables.
+
+    Output: the surviving rows plus ``qi_count`` (the group's size).  The
+    group size rides ONE window over the QI key — a single QI-keyed
+    exchange shared by the count and the output, no join-back of a counts
+    table and no second shuffle.  At 100 TB the QI key-space is the
+    partitioning axis; skewed QI combos are exactly the ones k-anonymity
+    keeps, so the skew is benign (big groups pass through untouched).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*qi_cols)
+    return (
+        df.withColumn("qi_count", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("qi_count") >= k)
+    )
+
+
+def K_ANONYMITY_SQL(select_sql: str, qi_cols: list, k: int = 5) -> str:
+    """Oracle twin over any row-source SELECT."""
+    keys = ", ".join(str(c) for c in qi_cols)
+    return f"""
+SELECT * FROM (
+  SELECT *, CAST(count(*) OVER (PARTITION BY {keys}) AS BIGINT) AS qi_count
+  FROM ({select_sql})
+) WHERE qi_count >= {k}
+"""

@@ -345,3 +345,41 @@ SELECT coalesce(s.{key}, c.{key}) AS {key}, {sel}
 FROM snap s FULL OUTER JOIN last c ON s.{key} = c.{key}
 WHERE c.op IS NULL OR c.op = 'upsert'
 """
+
+
+# ---------------------------------------------------------------------------
+# Latest-per-key compaction (CDC/log-compaction primitive)
+# ---------------------------------------------------------------------------
+
+def latest_per_key(df: DataFrame, key_cols: list, order_cols: list):
+    """Keep the most recent row per key — Kafka log compaction / CDC
+    snapshot semantics as a batch operator.  ``order_cols`` must be a
+    TOTAL order within each key (pass a unique id last) or the winner is
+    partition-dependent.
+
+    ONE keyed exchange: the row_number window is the only shuffle, and at
+    scale it is the same plan Spark picks for max_by when every column is
+    needed.  Filter-to-rank-1 prunes before anything downstream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() if isinstance(c, str) else c for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def LATEST_PER_KEY_SQL(select_sql: str, key_cols: list,
+                       order_desc_cols: list) -> str:
+    keys = ", ".join(key_cols)
+    order = ", ".join(f"{c} DESC" for c in order_desc_cols)
+    return f"""
+SELECT * EXCLUDE (_rn) FROM (
+  SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order}) AS _rn
+  FROM ({select_sql})
+) WHERE _rn = 1
+"""

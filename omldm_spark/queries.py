@@ -3470,6 +3470,65 @@ def q_eval_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classification_report(ev, F.col("event_type"), pred)
 
 
+from .operators.pii import K_ANONYMITY_SQL, k_anonymity_suppress  # noqa: E402
+from .operators.temporal import LATEST_PER_KEY_SQL, latest_per_key  # noqa: E402
+
+_KANON_SRC_SQL = """
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS bal_band
+FROM customer
+"""
+
+
+@query(
+    "k_anonymity_customers",
+    oracle=K_ANONYMITY_SQL(
+        _KANON_SRC_SQL, ["c_mktsegment", "c_nationkey", "bal_band"], k=3
+    ),
+)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate: drop customers whose quasi-identifier
+    combination (segment, nation, $5000 balance band) matches < 3 rows.
+    ONE QI-keyed exchange carries both the group count and the output
+    (window, no counts-table join-back); skewed QI groups are the
+    surviving ones, so skew is benign (operators/pii.k_anonymity_suppress)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(5000.0)).cast("long")
+        .alias("bal_band"),
+    )
+    return k_anonymity_suppress(
+        cust, ["c_mktsegment", "c_nationkey", "bal_band"], k=3
+    )
+
+
+_LATEST_SRC_SQL = """
+SELECT user_id, event_type, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       CAST(round(value * 100, 0) AS BIGINT) AS value_c
+FROM events
+"""
+
+
+@query(
+    "latest_event_per_user_type",
+    oracle=LATEST_PER_KEY_SQL(
+        _LATEST_SRC_SQL, ["user_id", "event_type"], ["ts_s", "event_id"]
+    ),
+)
+def q_latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-compaction snapshot: the most recent event per (user, type) —
+    the CDC primitive behind feature-store 'current value' tables.  One
+    keyed exchange (row_number window), total order (ts, event_id), rank-1
+    filter prunes immediately (operators/temporal.latest_per_key)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+    )
+    return latest_per_key(ev, ["user_id", "event_type"], ["ts_s", "event_id"])
+
+
 @query(
     "tpch_q2_like",
     oracle="""

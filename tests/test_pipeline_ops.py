@@ -1,0 +1,76 @@
+"""Hand-checkable semantics pins for the round-4 pipeline operators:
+RRF fusion, classification report, k-anonymity, latest-per-key.
+(Contract-query exactness vs DuckDB is pinned by tools/oracle_check.py;
+these fix the operator semantics on corpora small enough to verify by eye.)
+"""
+
+from __future__ import annotations
+
+from omldm_spark.operators.evaluation import classification_report
+from omldm_spark.operators.pii import k_anonymity_suppress
+from omldm_spark.operators.retrieval import rrf_fuse
+from omldm_spark.operators.temporal import latest_per_key
+
+
+def test_rrf_fusion_prefers_doc_in_both_lists(spark):
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse(lex, sem, k=3).collect()}
+    # doc 11 is in both lists (ranks 2,1) -> highest fused score
+    assert rows[11]["rank"] == 1
+    assert rows[11]["rrf_q"] == round(1e12 / 62) + round(1e12 / 61)
+    # single-list docs: rank-1 lex vs rank-2 sem -> lex wins
+    assert rows[10]["rank"] == 2 and rows[12]["rank"] == 3
+    assert rows[10]["rank_sem"] == 0 and rows[12]["rank_lex"] == 0
+
+
+def test_classification_report_counts_and_ppm(spark):
+    # truth: a,a,a,b ; pred: a,a,b,b
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b")],
+        "y string, yhat string",
+    )
+    rep = {r["label"]: r for r in
+           classification_report(df, "y", "yhat").collect()}
+    a, b = rep["a"], rep["b"]
+    assert (a["n_true"], a["n_pred"], a["tp"]) == (3, 2, 2)
+    assert a["precision_ppm"] == 1_000_000
+    assert a["recall_ppm"] == 666_666          # floor(2e6/3)
+    assert a["f1_ppm"] == 800_000              # 2*2/(3+2)
+    assert (b["n_true"], b["n_pred"], b["tp"]) == (1, 2, 1)
+    assert b["precision_ppm"] == 500_000 and b["recall_ppm"] == 1_000_000
+
+
+def test_classification_report_class_never_predicted(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("c", "a")], "y string, yhat string"
+    )
+    rep = {r["label"]: r for r in
+           classification_report(df, "y", "yhat").collect()}
+    assert rep["c"]["n_pred"] == 0 and rep["c"]["precision_ppm"] == 0
+    assert rep["c"]["f1_ppm"] == 0
+
+
+def test_k_anonymity_drops_small_groups(spark):
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("x", 3), ("y", 4)], "qi string, id long"
+    )
+    kept = k_anonymity_suppress(df, ["qi"], k=3).collect()
+    assert {r["id"] for r in kept} == {1, 2, 3}
+    assert all(r["qi_count"] == 3 for r in kept)
+
+
+def test_latest_per_key_total_order_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10, 100), (1, "a", 10, 101), (1, "a", 9, 999),
+         (2, "a", 5, 7)],
+        "k long, g string, ts long, id long",
+    )
+    got = {(r["k"], r["g"]): r["id"]
+           for r in latest_per_key(df, ["k", "g"], ["ts", "id"]).collect()}
+    # ts tie at 10 -> larger id wins; ts 9 never wins despite larger id
+    assert got == {(1, "a"): 101, (2, "a"): 7}
