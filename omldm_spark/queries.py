@@ -4198,6 +4198,56 @@ def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
 
 
+@query(
+    "streaming_topk_users",
+    oracle="""
+SELECT * FROM (
+  SELECT event_type, user_id, total_c, n_events,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY total_c DESC, user_id ASC)
+         AS BIGINT) AS rank
+  FROM (
+    SELECT event_type, user_id,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_c,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rank <= 3
+""",
+)
+def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k materialization: the per-(type, user) value totals
+    are maintained by a REAL update-mode streaming aggregation (the
+    corpus-scale, keyed-state part); the top-3-per-type is a window over
+    the compacted state at read time — the production leaderboard shape
+    (aggregate in the stream, rank over the upsert sink, never rank inside
+    the stream).  Final state equals the batch GROUP BY at any batch
+    cadence, so the leaderboard is hash-exact; integer cents + user_id
+    tiebreak make the ranking total."""
+    from pyspark.sql import Window
+
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_stopk_")
+    agg = stream.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long")
+        .alias("total_c"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    rows = _run_update_stream(agg, tmp, ["event_type", "user_id"])
+    state = spark.createDataFrame(
+        [(r["event_type"], r["user_id"], r["total_c"], r["n_events"])
+         for r in rows],
+        "event_type string, user_id long, total_c long, n_events long",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_c").desc(), F.col("user_id").asc()
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

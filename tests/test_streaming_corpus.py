@@ -104,3 +104,46 @@ def test_dup_line_removal_empty_when_all_shared(spark):
     out = {r["doc_id"]: r for r in dup_line_removal(docs).collect()}
     assert out[1]["clean_text"] == "" and out[2]["clean_text"] == ""
     assert out[1]["n_dropped"] == 1
+
+
+def test_streaming_topk_state_cadence_independent(spark, tmp_path):
+    """The update-mode leaderboard state must equal the batch GROUP BY
+    whatever the batch cadence: replay the same rows as ONE batch and as
+    THREE single-file batches and compare final states."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType([
+        StructField("g", StringType()),
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+    ])
+    rows = [("a", i % 4, float(i)) for i in range(30)]
+
+    def run(n_files: int):
+        src = tmp_path / f"src_{n_files}"
+        src.mkdir()
+        for f in range(n_files):
+            spark.createDataFrame(
+                rows[f::n_files], schema
+            ).coalesce(1).write.parquet(str(src / f"f{f}.parquet"))
+        stream = file_replay_source(
+            spark, f"{src}/*", schema, max_files_per_trigger=1
+        )
+        agg = stream.groupBy("g", "k").agg(
+            F.sum(F.round(F.col("v") * 100, 0).cast("long")).alias("total_c")
+        )
+        state: dict = {}
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: state.update(
+                {(r["g"], r["k"]): r["total_c"] for r in df.collect()}
+            ))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{n_files}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return state
+
+    assert run(1) == run(3)
