@@ -26,7 +26,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import TOKENS_SQL, tokens_col
@@ -924,3 +924,86 @@ def dup_line_removal(docs: DataFrame, text_col: str = "text",
         )
         .select(id_col, "n_units", "n_dropped", "clean_text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES / Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+_HEX16 = "0123456789abcdef"
+
+
+def _u48_fold_sql(id_expr: str) -> str:
+    """48-bit integer from the first 12 hex digits of md5(id) — the
+    engine-shared instr-fold text (same idiom as operators/sketch.py)."""
+    # CAST each term to BIGINT: instr returns INT, and INT * 16^11
+    # overflows under Spark ANSI (the generated-fold-term trap, NOTES_r4)
+    return "(" + " + ".join(
+        f"CAST(instr('{_HEX16}', substr(md5(CAST({id_expr} AS STRING)), {j}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (12 - j)}"
+        for j in range(1, 13)
+    ) + ")"
+
+
+def aes_key_sql(id_expr: str, weight_expr: str) -> str:
+    """Quantized Efraimidis-Spirakis sort key: round(1e6 * ln(u)/w) with
+    u = (u48 + 0.5) / 2^48 derived from md5(id).  Bigger is better (all
+    values negative, approaching 0 as u -> 1 or w -> inf).  Shared text in
+    both engines; every literal CAST to DOUBLE (DuckDB parses bare
+    decimals as DECIMAL — the token_budget_mix pitfall)."""
+    u = (
+        f"(CAST({_u48_fold_sql(id_expr)} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST(281474976710656.0 AS DOUBLE)"
+    )
+    return (
+        f"CAST(round(ln({u}) / CAST({weight_expr} AS DOUBLE)"
+        f" * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT)"
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group —
+    the importance-weighted corpus picker (P(select) proportional to the
+    weight, e.g. doc length or a quality score).  Efraimidis-Spirakis:
+    rank by key = u^(1/w) — order-equivalent to ln(u)/w, which is what we
+    compute — with u a pure function of md5(id): row-local key, ONE
+    group-keyed window shuffle, reproducible on any engine/partitioning.
+
+    The float ln is quantized at 1e6 before ranking (BM25 precedent);
+    ties break by id, so the selected set is a deterministic function of
+    the table."""
+    key_q = F.expr(aes_key_sql(id_col, weight_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("aes_key_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("aes_key_q", key_q)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def WEIGHTED_SAMPLE_SQL(
+    k: int = 20,
+    table: str = "documents",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> str:
+    return f"""
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY {group_col}
+                 ORDER BY aes_key_q DESC, {id_col} ASC) AS BIGINT) AS rank
+  FROM (
+    SELECT *, {aes_key_sql(id_col, weight_col)} AS aes_key_q
+    FROM {table} WHERE {weight_col} > 0
+  )
+) WHERE rank <= {k}
+"""

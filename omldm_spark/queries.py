@@ -2691,6 +2691,19 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(load_table(spark, sf_dir, "documents"))
 
 
+from .operators.corpus import WEIGHTED_SAMPLE_SQL, weighted_sample  # noqa: E402
+
+
+@query("weighted_sample_docs", oracle=WEIGHTED_SAMPLE_SQL(k=20))
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus sampling (Efraimidis-Spirakis A-ES):
+    top-20 docs per source with P(select) proportional to n_chars — the
+    standard quality/length-weighted picker.  Row-local md5-derived key,
+    ONE group-keyed window shuffle, 1e6-quantized ln before ranking so
+    the selected set is engine-exact (operators/corpus.weighted_sample)."""
+    return weighted_sample(load_table(spark, sf_dir, "documents"), k=20)
+
+
 from .operators.similarity import (  # noqa: E402
     QUANTIZED_COSINE_TOPK_SQL,
     quantized_cosine_topk,

@@ -74,3 +74,22 @@ def test_latest_per_key_total_order_tiebreak(spark):
            for r in latest_per_key(df, ["k", "g"], ["ts", "id"]).collect()}
     # ts tie at 10 -> larger id wins; ts 9 never wins despite larger id
     assert got == {(1, "a"): 101, (2, "a"): 7}
+
+
+def test_weighted_sample_favors_heavy_weights_and_is_deterministic(spark):
+    from omldm_spark.operators.corpus import weighted_sample
+
+    rows = [(i, "s", 1 if i < 100 else 100_000) for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    picked = {r["doc_id"]
+              for r in weighted_sample(df, k=10, group_col="source").collect()}
+    # the ten 100k-weight docs (ids 100..109) should dominate the sample
+    assert len(picked & set(range(100, 110))) >= 8
+    again = {r["doc_id"]
+             for r in weighted_sample(df, k=10, group_col="source").collect()}
+    assert picked == again
+    # zero-weight rows can never be selected
+    z = df.union(spark.createDataFrame([(999, "s", 0)], df.schema))
+    assert 999 not in {
+        r["doc_id"] for r in weighted_sample(z, k=200, group_col="source").collect()
+    }
