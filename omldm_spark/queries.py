@@ -4212,6 +4212,46 @@ def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_enriched_counts",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_c
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (the remaining join mode of
+    Structured Streaming after the stream-stream interval joins): the
+    event stream joins the static customer dim — broadcast, stateless,
+    re-resolved per micro-batch in production — then an update-mode
+    per-(segment, type) aggregation materializes through the upsert
+    stand-in.  Exact batch-equivalent oracle; the dim join adds no
+    streaming state at all, which is exactly why the enrichment belongs
+    on the stream side rather than post-hoc."""
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_senr_")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long")
+        .alias("value_c"),
+    )
+    rows = _run_update_stream(agg, tmp, ["c_mktsegment", "event_type"])
+    return spark.createDataFrame(
+        [(r["c_mktsegment"], r["event_type"], r["cnt"], r["value_c"])
+         for r in rows],
+        "c_mktsegment string, event_type string, cnt long, value_c long",
+    )
+
+
+@query(
     "streaming_topk_users",
     oracle="""
 SELECT * FROM (
