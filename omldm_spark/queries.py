@@ -4977,31 +4977,38 @@ def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNAPSHOT_TOP = [
     # parsing + control plane (reference parity: P1-P9, J2-J3, A3-A6, S7-S9)
     "parse_training_points", "bulk_parse_training_points",
-    "train_test_split", "poll_markers", "union_points",
-    "response_merge", "stats_rollup", "hub_broadcast_expand",
-    "broadcast_pipeline_join", "job_statistics", "learning_curve",
+    "train_test_split", "response_merge", "stats_rollup",
+    "hub_broadcast_expand", "broadcast_pipeline_join",
     # learners with closed-form / decision-exact oracles
-    "orr_gram", "orr_weights", "orr_predictions", "orr_query_response",
-    "orr_scaled_query_response", "hub_sharded_stats",
-    "ht_first_split_discrete", "ht_prequential",
+    "orr_weights", "orr_predictions", "orr_query_response",
+    "orr_scaled_query_response", "hub_sharded_stats", "ht_prequential",
     # preprocessors
-    "standard_scaler_stats", "polynomial_features",
+    "polynomial_features",
     # dedup family
-    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "dedup_exact", "minhash_lsh_pairs",
     "dedup_clusters", "simhash_docs", "dup_span_removal",
     # text analysis + corpus ops
     "text_quality", "lang_id", "token_counts",
     "decontaminate", "curriculum_order", "bpe_train_merges",
-    # similarity + multimodal
-    "ann_cosine_topk", "multimodal_decode_meta",
-    # sketches / skew / drift / stream-stream join
+    "weighted_sample_docs",
+    # similarity + retrieval + multimodal
+    "ann_cosine_topk", "rrf_fusion_topk", "multimodal_decode_meta",
+    # sketches / skew / drift
     "cms_term_counts", "hll_distinct_users", "salted_agg_revenue",
-    "ddm_drift_summary", "stream_click_attribution",
-    # temporal / relational / eval
+    "ddm_drift_summary",
+    # streaming (stream-stream, stream-static, stateful dedup)
+    "stream_click_attribution", "streaming_enriched_counts",
+    "streaming_near_dedup",
+    # temporal / relational
     "event_sessions", "grouped_quantiles",
     "asof_click_purchase", "range_join_click_window",
-    "tpch_q1_like", "tpch_q3_like", "tpch_q5_like", "rollup_revenue",
-    "streaming_near_dedup", "auc_purchase_value",
+    "latest_event_per_user_type",
+    # TPC-H shapes (pushdown proof, top-k, dims, semi/anti composition)
+    "tpch_q1_like", "tpch_q3_like", "tpch_q5_like",
+    "tpch_q6_like", "tpch_q21_like", "rollup_revenue",
+    # evaluation + privacy
+    "auc_purchase_value", "eval_classification_report",
+    "k_anonymity_customers",
 ]
 
 
