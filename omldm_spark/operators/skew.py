@@ -164,3 +164,85 @@ def bloom_semi_reduce(fact: DataFrame, fact_key: str, dim: DataFrame,
         F.col(fact_key) == F.col("_bk"),
         "left_semi",
     ), cond
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler (the diagnostic you run BEFORE choosing salting)
+# ---------------------------------------------------------------------------
+
+def skew_profile(df: DataFrame, key_col: str, n_top: int = 5) -> DataFrame:
+    """Frequency profile of a join/agg key: one row per hot key (top
+    ``n_top`` by count) plus a '__total__' summary row carrying the
+    distinct-key count and the skew ratio (hottest / ceil-average)
+    in ppm — the number that decides whether a key needs salting or AQE
+    skew-join before a 100 TB run.
+
+    Shape: ONE map-side-combined groupBy collapses the corpus to the
+    distinct keys; the top-N and the summary aggregate over that keyed
+    frame.  Exactness: counts are BIGINT; the skew ratio is one integral
+    division floor(1e6 * max_cnt / ceil_avg) where
+    ceil_avg = (total + n_keys - 1) div n_keys.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # top-N via orderBy+limit = TakeOrderedAndProject (per-partition heap,
+    # driver merge of N rows) — NOT a global row_number window, which would
+    # funnel every distinct key through one task at scale; the rank window
+    # then runs over the N-row result only
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(n_top)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("key", "cnt", "rank")
+    )
+    summary = counts.agg(
+        F.lit("__total__").alias("key"),
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("rank"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    ).select(
+        "key", "cnt", "rank", "n_keys",
+        F.expr(
+            "CAST((max_cnt * 1000000) div ((cnt + n_keys - 1) div n_keys)"
+            " AS BIGINT)"
+        ).alias("skew_ppm"),
+    )
+    return top.select(
+        "key", "cnt", "rank",
+        F.lit(0).cast("long").alias("n_keys"),
+        F.lit(0).cast("long").alias("skew_ppm"),
+    ).unionByName(summary)
+
+
+def SKEW_PROFILE_SQL(select_sql: str, key_expr: str, n_top: int = 5) -> str:
+    return f"""
+WITH counts AS (
+  SELECT CAST({key_expr} AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({select_sql}) GROUP BY 1
+),
+top AS (
+  SELECT key, cnt, rank, CAST(0 AS BIGINT) AS n_keys,
+         CAST(0 AS BIGINT) AS skew_ppm
+  FROM (SELECT key, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS BIGINT)
+                 AS rank
+        FROM counts)
+  WHERE rank <= {n_top}
+),
+summary AS (
+  SELECT '__total__' AS key, CAST(sum(cnt) AS BIGINT) AS cnt,
+         CAST(0 AS BIGINT) AS rank,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST((max(cnt) * 1000000)
+              // ((sum(cnt) + count(*) - 1) // count(*)) AS BIGINT)
+           AS skew_ppm
+  FROM counts
+)
+SELECT * FROM top UNION ALL SELECT * FROM summary
+"""

@@ -383,3 +383,31 @@ SELECT * EXCLUDE (_rn) FROM (
   FROM ({select_sql})
 ) WHERE _rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate-view maintenance (algebraic partial-merge)
+# ---------------------------------------------------------------------------
+
+def incremental_agg_merge(state: DataFrame, delta: DataFrame,
+                          key_cols: list) -> DataFrame:
+    """Fold a new batch of PARTIAL aggregates into a materialized
+    aggregate view: union + one keyed groupBy summing every non-key
+    column — valid for any algebraic aggregate stored as mergeable
+    partials (sum, count; min/max via the same shape with max()).
+
+    This is the maintenance loop of a 100 TB rollup table: the daily job
+    aggregates ONLY the new partition (|delta| rows) and merges it with
+    the |keys|-sized state — never re-reading the history.  The merge
+    shuffle is keyed by the view key and both sides are already
+    aggregate-sized.  Correctness is the algebraic-merge identity:
+    merge(agg(old), agg(new)) == agg(old UNION new), which the contract
+    oracle asserts by recomputing from scratch.
+    """
+    val_cols = [c for c in state.columns if c not in key_cols]
+    assert val_cols == [c for c in delta.columns if c not in key_cols]
+    return (
+        state.unionByName(delta)
+        .groupBy(*key_cols)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in val_cols])
+    )

@@ -3224,6 +3224,59 @@ def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.skew import SKEW_PROFILE_SQL, skew_profile  # noqa: E402
+
+
+@query(
+    "skew_profile_partkey",
+    oracle=SKEW_PROFILE_SQL("SELECT l_partkey FROM lineitem", "l_partkey",
+                            n_top=5),
+)
+def q_skew_profile_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: top-5 hottest l_partkey values + a summary
+    row with distinct-key count and skew ratio (hottest / ceil-average,
+    ppm) — the diagnostic that decides salting vs AQE before a big join.
+    One map-side-combined groupBy to the key space; top-5 is a bounded
+    heap (TakeOrderedAndProject), NEVER a global window over the distinct
+    keys (operators/skew.skew_profile)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_profile(li, "l_partkey", n_top=5)
+
+
+from .operators.temporal import incremental_agg_merge  # noqa: E402
+
+
+@query(
+    "incremental_agg_users",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_c
+FROM events GROUP BY user_id
+""",
+)
+def q_incremental_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-user rollup is built as
+    state (events before Jan 15) MERGED with a delta batch (the rest) via
+    the algebraic partial-merge — the daily-maintenance plan that reads
+    only the new partition at 100 TB.  The oracle recomputes from scratch;
+    merge(agg(old), agg(new)) == agg(all) exactly because every stored
+    partial is an integer sum (operators/temporal.incremental_agg_merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def agg(part: DataFrame) -> DataFrame:
+        return part.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(cents).cast("long").alias("value_c"),
+        )
+
+    state = agg(ev.filter(F.col("ts") < cut))
+    delta = agg(ev.filter(F.col("ts") >= cut))
+    return incremental_agg_merge(state, delta, ["user_id"])
+
+
 from .operators.corpus import TOKEN_BUDGET_MIX_SQL, token_budget_mix  # noqa: E402
 
 _MIX_WEIGHTS = {"src0": 4, "src1": 2}

@@ -93,3 +93,39 @@ def test_weighted_sample_favors_heavy_weights_and_is_deterministic(spark):
     assert 999 not in {
         r["doc_id"] for r in weighted_sample(z, k=200, group_col="source").collect()
     }
+
+
+def test_skew_profile_summary_row(spark):
+    from omldm_spark.operators.skew import skew_profile
+
+    # key "a" x 6, "b" x 2, "c" x 1 -> total 9, 3 keys, ceil_avg 3, skew 2.0
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["key"]: r for r in skew_profile(df, "k", n_top=2).collect()}
+    assert out["a"]["rank"] == 1 and out["a"]["cnt"] == 6
+    assert out["b"]["rank"] == 2
+    assert "c" not in out  # beyond n_top
+    t = out["__total__"]
+    assert (t["cnt"], t["n_keys"], t["skew_ppm"]) == (9, 3, 2_000_000)
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    from omldm_spark.operators.temporal import incremental_agg_merge
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(20)], "k long, v long"
+    )
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("s"),
+        )
+
+    merged = incremental_agg_merge(
+        agg(df.filter("v < 7")), agg(df.filter("v >= 7")), ["k"]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, agg(df).collect())
+    )
