@@ -158,6 +158,57 @@ CHECKS = {
     "orr_gram": [
         ("partial+final aggregate", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "rrf_fusion_topk": [
+        # the fusion layer joins two top-k lists — never an unbounded
+        # all-pairs pass; the two nested-loop joins allowed are BM25's
+        # one-row corpus scalar and the cosine side's broadcast of the
+        # 3-row query set (the brute-force scan pattern, bounded by
+        # |queries|)
+        ("no unbounded all-pairs join",
+         lambda p: "CartesianProduct" not in p
+         and len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 2),
+        ("per-query rank window", lambda p: "row_number" in p),
+    ],
+    "weighted_sample_docs": [
+        # row-local key + one group-keyed window: no join, single exchange
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("single keyed exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("rank filter pushed into the window (group limit)",
+         lambda p: "WindowGroupLimit" in p),
+    ],
+    "k_anonymity_customers": [
+        ("no counts-table join-back", lambda p: "Join" not in p),
+        ("single QI-keyed exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+    ],
+    "latest_event_per_user_type": [
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("single keyed exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("rank-1 filter pushed into the window (group limit)",
+         lambda p: "WindowGroupLimit" in p),
+    ],
+    "eval_classification_report": [
+        # corpus collapses to |classes|^2 cells in the FIRST agg pair;
+        # everything after is cell-scale
+        ("corpus pass partially aggregated",
+         lambda p: p.count("HashAggregate") >= 2),
+        # the one shuffle join permitted is by_true⨝by_pred over the
+        # |classes|-sized cell aggregates — after the corpus collapsed
+        ("at most one cell-scale merge join",
+         lambda p: len(re.findall(r"\(\d+\) SortMergeJoin", p)) <= 1),
+    ],
+    "skew_profile_partkey": [
+        ("key counts partially aggregated",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("top-N is a bounded heap, not a global window over the key space",
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "incremental_agg_users": [
+        ("no join (union + keyed merge)", lambda p: "Join" not in p),
+        ("partials merge map-side", lambda p: p.count("HashAggregate") >= 2),
+    ],
     "tpch_q6_like": [
         # the pure-pushdown aggregate: every predicate at the scan, 4-column
         # projection, one exchange (the single-row final agg)
