@@ -3814,6 +3814,73 @@ def q_tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q11_like",
+    oracle="""
+WITH v AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS value_q
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_nationkey % 2 = 0
+  GROUP BY l.l_partkey
+),
+tot AS (
+  SELECT CAST(sum(value_q) AS BIGINT) AS total_q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v
+)
+SELECT v.l_partkey, v.value_q
+FROM v, tot
+WHERE v.value_q * tot.cnt * 10 > 12 * tot.total_q
+""",
+)
+def q_tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value restricted to a
+    supplier subset, kept only where it exceeds a global-scalar threshold
+    (HAVING against a one-row aggregate over the SAME derived relation).
+    The synthetic schema has no partsupp, so lineitem revenue stands in
+    for supplycost*availqty and the even-nationkey supplier subset stands
+    in for the single-nation filter (a fixed nation is absent at
+    sf0.001); the fixed-fraction HAVING of real Q11 is SF-degenerate on a
+    fixed fraction, so the threshold is mean-relative — value > 1.2x the
+    mean per-part value — written as the all-integer cross-multiplication
+    value_q*cnt*10 > 12*total_q (no float mean; engine-exact at ties).
+
+    Scale: supplier⨝nation is a broadcast into the lineitem scan (no
+    fact shuffle for the dims), the single fact shuffle is the partkey
+    groupBy with map-side partial sums, and the global threshold is a
+    ONE-ROW broadcast cross join back into v — the v lineage is reused,
+    not re-scanned (same decorrelation as tpch_q15/q22)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") % 2 == 0
+    )
+    dims = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    v = (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).cast("long").alias("value_q"))
+    )
+    tot = v.agg(
+        F.sum("value_q").cast("long").alias("total_q"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_q") * F.col("cnt") * 10 > 12 * F.col("total_q"))
+        .select("l_partkey", "value_q")
+    )
+
+
 from .operators.dedup import INCREMENTAL_DEDUP_SQL, incremental_dedup  # noqa: E402
 
 

@@ -424,6 +424,17 @@ CHECKS = {
          lambda p: bool(re.search(r"PushedFilters: \[[^\]]*l_shipdate", p))),
         ("partial aggregation map-side", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "tpch_q11_like": [
+        # supplier⨝nation broadcasts into the lineitem scan; the global
+        # threshold is a ONE-ROW broadcast cross join; the only fact
+        # shuffle is the partkey groupBy with map-side partial sums
+        ("dims and one-row total ride broadcasts",
+         lambda p: p.count("BroadcastHashJoin")
+         + p.count("BroadcastNestedLoopJoin") >= 2),
+        ("partial aggregation before the partkey shuffle",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("fact never sort-merge joined", lambda p: "SortMergeJoin" not in p),
+    ],
     "cms_term_counts": [
         # the sketch shuffle key space is depth*width cells: partial
         # aggregation collapses the explode before the exchange; probe and
