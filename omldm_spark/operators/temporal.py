@@ -308,6 +308,18 @@ def cdc_apply(snapshot: DataFrame, changes: DataFrame, key: str,
         .filter(F.col("_rn") == 1)
         .select(key, op_col, *val_cols)
     )
+    return cdc_apply_compacted(snapshot, last, key, val_cols, op_col)
+
+
+def cdc_apply_compacted(snapshot: DataFrame, last: DataFrame, key: str,
+                        val_cols: list[str],
+                        op_col: str = "op") -> DataFrame:
+    """Apply an already-compacted change set (exactly one final op per
+    key — e.g. the state of a streaming last-writer aggregation, or a
+    compacted Kafka topic) to a keyed snapshot.  This is the second half
+    of :func:`cdc_apply`; splitting it out lets the compaction run in a
+    different engine pass (streaming keyed state) while the MERGE-shaped
+    outer join stays a single batch shuffle of the snapshot."""
     joined = snapshot.alias("s").join(
         last.alias("c"), on=key, how="full_outer"
     )

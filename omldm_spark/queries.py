@@ -4421,6 +4421,93 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_cdc_apply",
+    oracle=CDC_APPLY_SQL(_CDC_SNAP_SQL, _CDC_CHG_SQL, "k", ["bal_c", "seg"]),
+)
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of cdc_apply_snapshot: the change log arrives
+    as a stream and the per-key last-writer state is maintained by a real
+    update-mode keyed aggregation — max_by over the (seq, op) order, so
+    the streaming state IS the compacted change set at every batch
+    boundary, whatever the cadence.  The compacted state then folds into
+    the static snapshot through the same MERGE-shaped outer join as the
+    batch operator (operators/temporal.py cdc_apply_compacted) — the
+    production shape: keyed state in the stream, one snapshot-scale join
+    at publish time, never a snapshot shuffle per micro-batch.  The
+    oracle is the BATCH CDC apply: streaming must be invisible in the
+    result."""
+    from .operators.temporal import cdc_apply_compacted
+
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_scdc_")
+    chg = stream.select(
+        F.col("user_id").alias("k"),
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("upsert").alias("op"),
+        F.col("event_id").alias("seq"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("bal_c"),
+        F.col("event_type").alias("seg"),
+    )
+    agg = chg.groupBy("k").agg(
+        F.max_by(
+            F.struct("op", "bal_c", "seg"), F.struct("seq", "op")
+        ).alias("last")
+    ).select("k", "last.op", "last.bal_c", "last.seg")
+    rows = _run_update_stream(agg, tmp, ["k"])
+    last = spark.createDataFrame(
+        [(r["k"], r["op"], r["bal_c"], r["seg"]) for r in rows],
+        "k long, op string, bal_c long, seg string",
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    snap = cu.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return cdc_apply_compacted(snap, last, "k", ["bal_c", "seg"])
+
+
+@query(
+    "streaming_distinct_keys",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def q_streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed dedup via the engine-native dropDuplicates state
+    operator (the third stateful-dedup mode next to the LSH keyed state
+    of streaming_near_dedup and the batch families): first arrival per
+    (user_id, event_type) emits, every later one is swallowed by the
+    keyed state store — append mode, so the sink is exactly the distinct
+    key set and the oracle is a plain SELECT DISTINCT.  Only the key
+    columns are output: WHICH duplicate row survives is arrival-order-
+    dependent, the key set is not — that boundary is what makes this
+    exact.  Unwatermarked state is O(distinct keys); the bounded-state
+    variant (dropDuplicatesWithinWatermark) trades re-emission of
+    beyond-horizon duplicates for GC and is pinned by a semantics test
+    rather than an oracle (tests/test_stateful.py)."""
+    import tempfile
+
+    from .streaming.sources import file_replay_source
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="omldm_sdis_")
+    src = f"{tmp}/src"
+    ev.write.parquet(src)
+    stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
+    out = stream.dropDuplicates(["user_id", "event_type"])
+    sink = f"{tmp}/distinct"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

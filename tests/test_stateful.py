@@ -389,3 +389,102 @@ def test_session_window_merges_across_batches(spark, tmp_path):
     sess = sorted((r["start_s"], r["n_events"]) for r in got
                   if r["user_id"] == 1)
     assert sess == [(1704067200, 3), (1704068100, 1)]
+
+
+def test_streaming_cdc_compaction_cadence_independent(spark, tmp_path):
+    """The max_by last-writer aggregation behind streaming_cdc_apply:
+    final compacted state is identical at 1-batch and 3-batch cadence,
+    and a seq tie breaks on op desc ('upsert' beats 'delete') — same
+    rule as the batch window (ORDER BY seq DESC, op DESC)."""
+    rows = [
+        ("a", "upsert", 1, 10), ("a", "delete", 3, 0), ("a", "upsert", 2, 20),
+        ("b", "upsert", 1, 5),  ("b", "delete", 1, 0),   # tie: upsert wins
+        ("c", "delete", 9, 0),  ("c", "upsert", 4, 40),
+    ]
+    schema = "k string, op string, seq bigint, val bigint"
+
+    def run(n_files: int):
+        src = tmp_path / f"cdc_src_{n_files}"
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = rows[i * per:(i + 1) * per]
+            if chunk:
+                spark.createDataFrame(chunk, schema).coalesce(1) \
+                    .write.mode("append").parquet(str(src))
+        stream = file_replay_source(spark, str(src), schema,
+                                    max_files_per_trigger=1)
+        agg = stream.groupBy("k").agg(
+            F.max_by(F.struct("op", "val"), F.struct("seq", "op"))
+            .alias("last")
+        ).select("k", "last.op", "last.val")
+        state: dict = {}
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(lambda df, _:
+                          state.update({r["k"]: (r["op"], r["val"])
+                                        for r in df.collect()}))
+            .option("checkpointLocation", str(tmp_path / f"cdc_ck_{n_files}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return state
+
+    expect = {"a": ("delete", 0), "b": ("upsert", 5), "c": ("delete", 0)}
+    assert run(1) == expect
+    assert run(3) == expect
+
+
+def test_dropdup_within_watermark_re_emits_beyond_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the delay are
+    suppressed (even across batches); once the watermark passes a key's
+    state it is evicted, and a later duplicate RE-EMITS — the documented
+    bounded-state trade-off vs the unbounded dropDuplicates used by
+    streaming_distinct_keys."""
+    import datetime as _dt
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ts(s):
+        return _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc) \
+            .replace(tzinfo=None) + _dt.timedelta(seconds=s)
+
+    schema = pa.schema([("k", pa.string()), ("ts", pa.timestamp("us"))])
+    src = tmp_path / "ddw_src"
+    src.mkdir()
+    t0 = _time.time() - 1000
+    batches = [
+        [("a", ts(0)), ("a", ts(30))],        # in-batch dup suppressed
+        [("a", ts(60)), ("z", ts(7200))],     # cross-batch dup; z advances wm
+        [("z", ts(7300))],                    # wm applied; 'a' state evicted
+        [("a", ts(7400))],                    # beyond horizon -> re-emits
+    ]
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.parquet"
+        pq.write_table(pa.Table.from_pylist(
+            [{"k": k, "ts": t} for k, t in rows], schema=schema), f)
+        _os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampType)
+
+    sschema = StructType([StructField("k", StringType()),
+                          StructField("ts", TimestampType())])
+    stream = file_replay_source(spark, str(src), sschema,
+                                max_files_per_trigger=1)
+    out = stream.withWatermark("ts", "10 minutes") \
+        .dropDuplicatesWithinWatermark(["k"])
+    got: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ddw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    a_times = sorted(r["ts"] for r in got if r["k"] == "a")
+    assert a_times == [ts(0), ts(7400)]       # dup at 30/60 suppressed
