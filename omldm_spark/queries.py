@@ -4508,6 +4508,35 @@ def q_streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+from .operators.graph import PAGERANK_EVENTS_SQL, pagerank_rounds  # noqa: E402
+
+
+@query("pagerank_user_props", oracle=PAGERANK_EVENTS_SQL(rounds=3))
+def q_pagerank_user_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (3 power-iteration rounds) over the bipartite
+    user <-> props.k interaction graph from the event log — the iterative
+    graph-algorithm shape (operators/graph.py): all-BIGINT rank state and
+    truncating-integer-division contributions make every round
+    bit-identical cross-engine, so the DuckDB oracle is the SAME
+    recurrence generated as 3 chained CTEs.  Scale: edges shuffle once by
+    src per round with map-side partial sums into the dst groupBy; rank
+    state is vertex-scale and exchanges by vertex id each round — the
+    Pregel pattern as plain DataFrame ops, no graph library."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k"),
+    ).distinct()
+    edges = pairs.select(
+        (F.col("u") * 2).alias("src"), (F.col("k") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("k") * 2 + 1).alias("src"), (F.col("u") * 2).alias("dst")
+        )
+    )
+    return pagerank_rounds(edges, rounds=3)
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

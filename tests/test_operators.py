@@ -898,3 +898,21 @@ def test_bloom_semi_reduce_no_false_negatives_and_prunes(spark):
     assert admitted < 5000                  # the filter prunes non-members
     words = bloom_build(dim, "dk")
     assert len(words) == 16 and any(w != 0 for w in words)
+
+
+def test_pagerank_integer_star_graph(spark):
+    """Hand-computed 2-round integer PageRank on a symmetric star: hub h
+    (outdeg 3) and three leaves. Pins the exact BIGINT recurrence
+    (base 150000 + sum(pr*850 div (1000*outdeg)))."""
+    from omldm_spark.operators.graph import pagerank_rounds
+
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"),
+         ("a", "h"), ("b", "h"), ("c", "h")],
+        "src string, dst string",
+    )
+    got = {r["v"]: r["pr"] for r in pagerank_rounds(edges, 2).collect()}
+    # r1: leaf = 150000 + (1e6*850) div 3000 = 433333; h = 150000 + 3*850000
+    # r2: leaf = 150000 + (2700000*850) div 3000 = 915000
+    #     h    = 150000 + 3*((433333*850) div 1000) = 1254999
+    assert got == {"h": 1254999, "a": 915000, "b": 915000, "c": 915000}
