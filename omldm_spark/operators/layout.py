@@ -1,0 +1,65 @@
+"""Storage-layout operators: Z-order clustering for multi-column data
+skipping (beyond-reference §2.11; the Delta OPTIMIZE ZORDER BY / Iceberg
+sort-order idea as engine-level DataFrame ops).
+
+Why it matters at 100 TB: parquet scans prune row groups and files on
+min/max statistics, but a layout sorted on ONE column leaves every other
+column's min/max spanning the full domain — filters on those columns read
+everything.  Interleaving the bits of k quantized columns into a single
+Z-value and range-partitioning + sorting on it gives every written file a
+tight hyper-rectangle in ALL k dimensions, so pushdown filters on ANY of
+them skip most files.  The Z-value is pure Catalyst bit arithmetic
+(`<<`, `>>`, `&` have identical semantics in Spark SQL and DuckDB, so the
+contract oracle runs the SAME generated text), and the layout write is one
+range shuffle — no UDFs, no sampling pass beyond the range partitioner's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue_sql(cols: list[str], bits: int) -> str:
+    """Generated shared-text expression interleaving ``bits`` low bits of
+    each (non-negative BIGINT) column: bit i of column j lands at position
+    i * len(cols) + j.  With bits*len(cols) <= 62 the result fits BIGINT."""
+    n = len(cols)
+    assert n >= 2 and bits * n <= 62
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_layout(
+    df: DataFrame, quantized_cols: list[str], bits: int, num_files: int
+) -> DataFrame:
+    """Cluster ``df`` for multi-dimensional data skipping: compute the
+    Z-value over pre-quantized columns, then range-partition into
+    ``num_files`` output partitions and sort within each — written out,
+    every file covers a tight range of EVERY quantized column, so parquet
+    min/max pruning works for filters on any of them.
+
+    One shuffle (the range exchange; its boundaries come from the range
+    partitioner's reservoir sample) + an in-partition sort; the Z-value
+    itself is whole-stage-codegen bit arithmetic."""
+    z = df.withColumn("zval", F.expr(zvalue_sql(quantized_cols, bits)))
+    return z.repartitionByRange(num_files, "zval").sortWithinPartitions("zval")
+
+
+def file_ranges(spark, path: str, cols: list[str]):
+    """Per-file min/max of ``cols`` for a parquet directory — the
+    clustering-quality probe used by the layout tests (narrow per-file
+    ranges == effective data skipping)."""
+    import pyspark.sql.functions as Fn
+
+    df = spark.read.parquet(path).withColumn(
+        "_file", Fn.input_file_name()
+    )
+    aggs = []
+    for c in cols:
+        aggs += [Fn.min(c).alias(f"min_{c}"), Fn.max(c).alias(f"max_{c}")]
+    return df.groupBy("_file").agg(*aggs)

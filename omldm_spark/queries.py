@@ -4537,6 +4537,47 @@ def q_pagerank_user_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_rounds(edges, rounds=3)
 
 
+from .operators.layout import zvalue_sql  # noqa: E402
+
+_Z_COLS = ["x", "y"]
+_Z_BITS = 16
+
+
+@query(
+    "zorder_events_key",
+    oracle=f"""
+SELECT event_id, {zvalue_sql(_Z_COLS, _Z_BITS)} AS zval
+FROM (
+  SELECT event_id,
+         CAST(user_id & 65535 AS BIGINT) AS x,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) >> 12) & 65535 AS BIGINT)
+           AS y
+  FROM events
+)
+""",
+)
+def q_zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (user_id, time bucket) — the
+    multi-column data-skipping layout (operators/layout.py): 16 bits of
+    each quantized dimension interleave into one BIGINT entirely in
+    whole-stage-codegen bit arithmetic; `<<`/`>>`/`&` behave identically
+    in Spark SQL and DuckDB, so the oracle runs the SAME generated
+    expression text.  Writing repartitionByRange(zval) +
+    sortWithinPartitions gives every parquet file a tight min/max
+    hyper-rectangle in BOTH dimensions — filters on either column prune
+    files (clustering quality pinned by tests/test_operators.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    inner = ev.select(
+        "event_id",
+        (F.col("user_id").bitwiseAND(F.lit(65535))).cast("long").alias("x"),
+        F.expr("CAST((unix_timestamp(ts) >> 12) & 65535 AS BIGINT)")
+        .alias("y"),
+    )
+    return inner.select(
+        "event_id", F.expr(zvalue_sql(_Z_COLS, _Z_BITS)).alias("zval")
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

@@ -916,3 +916,36 @@ def test_pagerank_integer_star_graph(spark):
     # r2: leaf = 150000 + (2700000*850) div 3000 = 915000
     #     h    = 150000 + 3*((433333*850) div 1000) = 1254999
     assert got == {"h": 1254999, "a": 915000, "b": 915000, "c": 915000}
+
+
+def test_zorder_layout_tightens_per_file_ranges(spark, tmp_path):
+    """Z-order vs single-column ordering: with 16 output files, the
+    z-ordered layout must give materially tighter per-file user ranges
+    than a time-sorted layout (whose files each span the FULL user
+    domain) while keeping time ranges bounded — that tightness is what
+    parquet min/max pruning turns into skipped files."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.layout import file_ranges, zorder_layout
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath, tpath = str(tmp_path / "z"), str(tmp_path / "t")
+    zorder_layout(grid, ["x", "y"], 6, 16).write.parquet(zpath)
+    grid.repartitionByRange(16, "y").sortWithinPartitions("y") \
+        .write.parquet(tpath)
+
+    def mean_span(path, col):
+        rows = file_ranges(spark, path, [col]).collect()
+        spans = [r[f"max_{col}"] - r[f"min_{col}"] for r in rows]
+        return sum(spans) / len(spans)
+
+    # 16 files over the 64x64 z-curve are ~16x16 quadrant blocks: both
+    # dims stay tight. The y-sorted layout leaves x spanning the full
+    # domain (63) in every file.
+    z_x, t_x = mean_span(zpath, "x"), mean_span(tpath, "x")
+    z_y = mean_span(zpath, "y")
+    assert t_x == 63.0, t_x
+    assert z_x < 24, z_x
+    assert z_y < 24, z_y
