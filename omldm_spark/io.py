@@ -85,3 +85,73 @@ SELECT
        THEN 'forecasting' ELSE 'training' END AS operation
 FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-format batch connectors (S11 generalized beyond parquet)
+# ---------------------------------------------------------------------------
+
+# Formats shipped with vanilla Spark — no extra packages. avro/delta/iceberg
+# need their connector jars on the cluster and are deliberately NOT listed;
+# requesting them raises here instead of failing mid-job on the executors.
+SUPPORTED_BATCH_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+):
+    """Read a batch source in any supported format.
+
+    Scale notes per format: parquet/orc are the scan formats of choice
+    (columnar, min/max pruning, predicate pushdown, splittable); json and
+    csv are ingest formats — splittable only uncompressed or with a
+    splittable codec, no pushdown, full-row parse cost — so pipelines
+    should land them once and rewrite to parquet (see write_sink).  For
+    json/csv ALWAYS pass an explicit schema: schema inference triggers an
+    extra full scan of the data and may type-drift between runs — at
+    100 TB that is both a 2x read and a correctness hazard."""
+    if fmt not in SUPPORTED_BATCH_FORMATS:
+        raise ValueError(
+            f"format {fmt!r} not in {SUPPORTED_BATCH_FORMATS}; avro/delta "
+            "need their connector packages on the cluster"
+        )
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        raise ValueError(f"{fmt} read requires an explicit schema")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    **options,
+):
+    """Write a batch sink in any supported format.
+
+    ``partition_by`` produces hive-style directory partitioning — the
+    coarse pruning layer above parquet row-group stats (use LOW-cardinality
+    columns only; a high-cardinality partition column creates a
+    small-files explosion).  CSV timestamps round-trip via the explicit
+    timestampFormat option; callers moving data between engines should
+    prefer integer epoch columns (see tests/test_io_formats.py)."""
+    if fmt not in SUPPORTED_BATCH_FORMATS:
+        raise ValueError(
+            f"format {fmt!r} not in {SUPPORTED_BATCH_FORMATS}"
+        )
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)

@@ -1,0 +1,55 @@
+"""Round-trip contracts for the multi-format batch connectors (io.py
+read_source/write_sink): whatever lands in json/csv/orc must read back
+exactly — schema-pinned, no inference pass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from omldm_spark.io import (SUPPORTED_BATCH_FORMATS, load_table, read_source,
+                            write_sink)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _frame(spark):
+    # scalars only; ts as integer epoch-seconds so csv round-trips exactly
+    return load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("value_c"),
+    )
+
+
+@pytest.mark.parametrize("fmt", SUPPORTED_BATCH_FORMATS)
+def test_round_trip_exact(spark, tmp_path, fmt):
+    df = _frame(spark)
+    path = str(tmp_path / fmt)
+    opts = {"header": "true"} if fmt == "csv" else {}
+    write_sink(df, path, fmt=fmt, **opts)
+    back = read_source(spark, path, fmt=fmt, schema=df.schema, **opts)
+    assert back.schema == df.schema
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    df = _frame(spark)
+    path = str(tmp_path / "part")
+    write_sink(df, path, fmt="parquet", partition_by=["event_type"])
+    one = read_source(spark, path, fmt="parquet").filter(
+        F.col("event_type") == "click"
+    )
+    # hive-style partition pruning: only the click directory is scanned
+    files = one.select(F.input_file_name()).distinct().collect()
+    assert files and all("event_type=click" in r[0] for r in files)
+
+
+def test_unknown_format_raises(spark, tmp_path):
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="avro"):
+        write_sink(df, str(tmp_path / "x"), fmt="avro")
+    with pytest.raises(ValueError, match="schema"):
+        read_source(spark, str(tmp_path / "x"), fmt="json")
