@@ -262,6 +262,17 @@ def hll_distinct(df: DataFrame, key_expr: str) -> DataFrame:
     text so it hash-matches the oracle bit-for-bit.  true_distinct is the
     paired exact count (the honesty column, same pattern as CMS)."""
     regs = hll_registers(df, key_expr)
+    true = df.agg(
+        F.countDistinct(F.expr(key_expr)).cast("long").alias("true_distinct")
+    )
+    return hll_summary_from_registers(regs, true)
+
+
+def hll_summary_from_registers(regs: DataFrame, true: DataFrame) -> DataFrame:
+    """Fold a (bucket, max_rho) register table into the one-row summary —
+    shared by the batch path and the streaming twin (whose registers are
+    the compacted state of an update-mode max aggregation; HLL's max-merge
+    is exactly the streaming-agg merge, so the twin is free)."""
     summary = regs.agg(
         F.count(F.lit(1)).cast("int").alias("n_present"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - max_rho)"))
@@ -273,9 +284,6 @@ def hll_distinct(df: DataFrame, key_expr: str) -> DataFrame:
          + (F.lit(64) - F.col("n_present")).cast("long")
          * F.lit(562949953421312).cast("long")).alias("z_scaled"),
     ).withColumn("est_distinct", F.expr(_est_sql("z_scaled")))
-    true = df.agg(
-        F.countDistinct(F.expr(key_expr)).cast("long").alias("true_distinct")
-    )
     return summary.crossJoin(F.broadcast(true))
 
 

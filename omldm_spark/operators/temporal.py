@@ -423,3 +423,93 @@ def incremental_agg_merge(state: DataFrame, delta: DataFrame,
         .groupBy(*key_cols)
         .agg(*[F.sum(c).cast("long").alias(c) for c in val_cols])
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (feature-store) join
+# ---------------------------------------------------------------------------
+
+def pit_features(spine: DataFrame, updates: DataFrame, key: str,
+                 ts_col: str, seq_col: str, ftype_col: str, val_col: str,
+                 types: list[str]) -> DataFrame:
+    """Feature-store point-in-time join: for every spine row, the latest
+    value of EACH feature type with update time <= spine time — training-
+    set assembly without label leakage (a feature written after the
+    prediction moment must be invisible).
+
+    Not k as-of joins: spine and updates UNION into one relation and a
+    single per-key window carries one running ``last(..., ignorenulls)``
+    per feature type; spine rows read the running values at their
+    position.  ONE key-hash exchange + ONE in-partition sort TOTAL,
+    independent of the number of features — the k-join formulation costs
+    k shuffles of the spine.  Ties (update ts == spine ts) include the
+    update: updates sort before spine rows at equal ts via the kind flag.
+    Output: spine columns + one BIGINT feature column per type (null =
+    no update yet)."""
+    other = [c for c in spine.columns if c not in (key, ts_col)]
+    u = updates.select(
+        F.col(key), F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_kind"), F.col(seq_col).alias("_seq"),
+        F.col(ftype_col).alias("_ftype"), F.col(val_col).alias("_val"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c)
+          for c in other],
+    )
+    s = spine.select(
+        F.col(key), F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_kind"), F.lit(0).cast("long").alias("_seq"),
+        F.lit(None).cast("string").alias("_ftype"),
+        F.lit(None).cast("long").alias("_val"),
+        *[F.col(c) for c in other],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_kind", "_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feats = [
+        F.last(F.when(F.col("_ftype") == t, F.col("_val")), ignorenulls=True)
+        .over(w).alias(f"f_{t}")
+        for t in types
+    ]
+    return (
+        u.unionByName(s)
+        .select(key, F.col("_ts").alias(ts_col), "_kind", *other, *feats)
+        .filter(F.col("_kind") == 1)
+        .drop("_kind")
+    )
+
+
+def PIT_FEATURES_SQL(spine_sql: str, updates_sql: str, key: str,
+                     ts_alias: str, other_cols: list[str],
+                     types: list[str]) -> str:
+    """DuckDB oracle: same union + running last_value(... IGNORE NULLS)
+    window; identical (ts, kind, seq) total order.  ``spine_sql`` must
+    yield ({key}, _ts, *other_cols); ``updates_sql`` must yield
+    ({key}, _ts, _seq, _ftype, _val)."""
+    feats = ",\n       ".join(
+        f"last_value(CASE WHEN _ftype = '{t}' THEN _val END IGNORE NULLS)"
+        f" OVER w AS f_{t}"
+        for t in types
+    )
+    null_spine = ", ".join(f"NULL AS {c}" for c in other_cols)
+    sel_spine = ", ".join(other_cols)
+    return f"""
+WITH sp AS ({spine_sql}),
+up AS ({updates_sql}),
+unioned AS (
+  SELECT {key}, _ts, 0 AS _kind, _seq, _ftype, _val, {null_spine} FROM up
+  UNION ALL
+  SELECT {key}, _ts, 1 AS _kind, CAST(0 AS BIGINT) AS _seq,
+         NULL AS _ftype, CAST(NULL AS BIGINT) AS _val, {sel_spine} FROM sp
+),
+ranked AS (
+  SELECT {key}, _ts, _kind, {sel_spine},
+       {feats}
+  FROM unioned
+  WINDOW w AS (PARTITION BY {key} ORDER BY _ts, _kind, _seq
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT {key}, _ts AS {ts_alias}, {sel_spine},
+       {", ".join(f"f_{t}" for t in types)}
+FROM ranked WHERE _kind = 1
+"""

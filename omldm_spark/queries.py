@@ -4578,6 +4578,90 @@ def q_zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.sketch import (HLL_DISTINCT_SQL,  # noqa: E402
+                               hll_bucket_sql, hll_rho_sql,
+                               hll_summary_from_registers, _hll_v_sql)
+
+
+@query("streaming_hll_users", oracle=HLL_DISTINCT_SQL("events", "user_id"))
+def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of hll_distinct_users: HLL register maintenance
+    IS a streaming aggregation — max merges cell-wise, so an update-mode
+    groupBy(bucket).max(rho) carries the whole sketch as 64 state rows,
+    constant memory at any stream length (vs streaming COUNT DISTINCT
+    whose state grows with cardinality).  The compacted final registers
+    fold through the same summary code as the batch path
+    (operators/sketch.py hll_summary_from_registers) and hash-match the
+    batch oracle exactly, independent of batch cadence."""
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_shll_")
+    regs = (
+        stream.select(
+            F.expr(hll_bucket_sql("user_id")).alias("bucket"),
+            F.expr(_hll_v_sql("user_id")).alias("v"),
+        )
+        .select("bucket", F.expr(hll_rho_sql("v")).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    rows = _run_update_stream(regs, tmp, ["bucket"])
+    regs_df = spark.createDataFrame(
+        [(r["bucket"], r["max_rho"]) for r in rows],
+        "bucket int, max_rho int",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    true = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return hll_summary_from_registers(regs_df, true)
+
+
+from .operators.temporal import PIT_FEATURES_SQL, pit_features  # noqa: E402
+
+_PIT_SPINE_SQL = """
+SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS _ts,
+       event_id AS spine_id
+FROM events WHERE event_type = 'purchase'
+"""
+_PIT_UPDATES_SQL = """
+SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS _ts,
+       event_id AS _seq, event_type AS _ftype,
+       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS _val
+FROM events WHERE event_type IN ('click', 'view')
+"""
+
+
+@query(
+    "pit_feature_join",
+    oracle=PIT_FEATURES_SQL(_PIT_SPINE_SQL, _PIT_UPDATES_SQL, "k", "ts_s",
+                            ["spine_id"], ["click", "view"]),
+)
+def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join (operators/temporal.py
+    pit_features): every purchase (the training spine) gains the LATEST
+    click value and LATEST view value at-or-before its time — label-leak-
+    safe training-set assembly.  Not k as-of joins: spine and updates
+    union once and ONE per-user window carries a running
+    last(ignorenulls) per feature type, so the plan is ONE key exchange +
+    ONE sort regardless of how many features ride along; the k-join
+    formulation would shuffle the spine k times.  Ties include the
+    same-second update (update rows sort before spine rows at equal ts),
+    pinned in the shared (ts, kind, seq) total order."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = F.unix_timestamp("ts").cast("long").alias("ts_s")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), ts_s,
+        F.col("event_id").alias("spine_id"),
+    )
+    updates = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("k"), ts_s,
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("ftype"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("val"),
+    )
+    return pit_features(spine, updates, "k", "ts_s", "seq", "ftype", "val",
+                        ["click", "view"])
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
