@@ -4662,6 +4662,54 @@ def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ["click", "view"])
 
 
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH wk AS (
+  SELECT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800.0) AS BIGINT)
+           AS w
+  FROM events
+),
+aged AS (
+  SELECT user_id, min(w) OVER (PARTITION BY user_id) AS cohort_w, w
+  FROM wk
+)
+SELECT cohort_w, CAST(w - cohort_w AS BIGINT) AS age_w,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM aged GROUP BY 1, 2
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users bucketed by first-seen week
+    (cohort), counted distinct per (cohort, weeks-since-cohort) — the
+    standard growth-analytics triangle.  Plan: the cohort week is a
+    per-user window MIN (no sort — min needs no frame order) riding ONE
+    user-keyed exchange; the per-(user, cohort, age) dedup then
+    aggregates WITHOUT re-shuffling because a user-hash distribution
+    already clusters any grouping set containing user_id; only the tiny
+    (cohort, age) rollup exchanges again.  Two exchanges total, vs the
+    naive self-join + COUNT DISTINCT's three corpus-scale shuffles.
+    Week = floor(epoch/604800) in shared IEEE double text."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 604800.0) AS BIGINT)")
+        .alias("w"),
+    )
+    aged = wk.withColumn(
+        "cohort_w", F.min("w").over(Window.partitionBy("user_id"))
+    )
+    per_user = aged.select(
+        "user_id", "cohort_w", (F.col("w") - F.col("cohort_w")).alias("age_w")
+    ).distinct()
+    return per_user.groupBy("cohort_w", "age_w").agg(
+        F.count(F.lit(1)).cast("long").alias("users")
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

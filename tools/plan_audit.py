@@ -435,6 +435,36 @@ CHECKS = {
          lambda p: p.count("HashAggregate") >= 2),
         ("fact never sort-merge joined", lambda p: "SortMergeJoin" not in p),
     ],
+    "pit_feature_join": [
+        # union + ONE per-key window carries every feature: no join node,
+        # one key exchange + one sort regardless of feature count
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("single keyed exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+        ("running-last window over the union", lambda p: "Window" in p),
+    ],
+    "retention_cohorts": [
+        # per-user MIN window + user-clustered dedup reuse ONE exchange;
+        # only the tiny (cohort, age) rollup exchanges again
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("at most two exchanges",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+    ],
+    "pagerank_user_props": [
+        # every round's dst groupBy partially aggregates map-side; rank
+        # state joins hash (broadcast under AQE at this scale) — never a
+        # cartesian
+        ("partial aggregation per round",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "zorder_events_key": [
+        # the clustering key is pure whole-stage-codegen bit arithmetic:
+        # no exchange, no join, scan + project only
+        ("zero exchanges",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("whole-stage codegen", lambda p: "codegen id" in p),
+    ],
     "cms_term_counts": [
         # the sketch shuffle key space is depth*width cells: partial
         # aggregation collapses the explode before the exchange; probe and
