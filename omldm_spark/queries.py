@@ -5395,7 +5395,7 @@ _SNAPSHOT_TOP = [
     "polynomial_features",
     # dedup family
     "dedup_exact", "minhash_lsh_pairs",
-    "dedup_clusters", "simhash_docs", "dup_span_removal",
+    "dedup_clusters", "simhash_docs", "zorder_events_key",
     # text analysis + corpus ops
     "text_quality", "lang_id", "token_counts",
     "decontaminate", "curriculum_order", "bpe_train_merges",
@@ -5410,11 +5410,11 @@ _SNAPSHOT_TOP = [
     "streaming_near_dedup",
     # temporal / relational
     "event_sessions", "grouped_quantiles",
-    "asof_click_purchase", "range_join_click_window",
+    "pit_feature_join", "range_join_click_window",
     "latest_event_per_user_type",
     # TPC-H shapes (pushdown proof, top-k, dims, semi/anti composition)
     "tpch_q1_like", "tpch_q3_like", "tpch_q5_like",
-    "tpch_q6_like", "tpch_q21_like", "rollup_revenue",
+    "pagerank_user_props", "tpch_q21_like", "rollup_revenue",
     # evaluation + privacy
     "auc_purchase_value", "eval_classification_report",
     "k_anonymity_customers",
