@@ -37,6 +37,8 @@ HEADLINE = [
     "tpch_q5_like",            # multi-way broadcast star join
     "rollup_revenue",          # grouping sets over the star join
     "event_sessions",          # gap-and-island sessionization
+    "pagerank_user_props",     # iterative graph rounds (3x join+agg)
+    "pit_feature_join",        # point-in-time multi-feature window join
 ]
 
 

@@ -4022,6 +4022,30 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(ev)
 
 
+@query("scd2_incremental_user_state", oracle=SCD2_SQL("events"))
+def q_scd2_incremental_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly SCD2 MERGE instead of a full rebuild: the dimension is
+    built from history (ts < 2024-01-15), then ONE delta partition
+    (ts >= 2024-01-15) folds in through scd2_incremental_merge — close
+    the open interval at the key's first kept change, number new
+    versions from the current version, pass closed history through
+    untouched.  The oracle is the FULL-log rebuild: incremental apply
+    must be indistinguishable from recomputation (the MERGE identity
+    every warehouse pipeline relies on).  Scale: the nightly cost is
+    one delta-sized window + a |keys|-sized join against the current
+    slice — never a re-shuffle of years of history."""
+    from .operators.temporal import scd2_incremental_merge
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    split_s = F.unix_timestamp(F.lit("2024-01-15").cast("timestamp"))
+    dim = scd2_intervals(ev.filter(F.col("ts_s") < split_s))
+    delta = ev.filter(F.col("ts_s") >= split_s)
+    return scd2_incremental_merge(dim, delta)
+
+
 from .operators.sketch import HLL_DISTINCT_SQL, hll_distinct  # noqa: E402
 
 

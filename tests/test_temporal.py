@@ -246,3 +246,37 @@ def test_cdc_apply_semantics(spark):
     out = {r["k"]: (r["bal"], r["seg"])
            for r in cdc_apply(snap, chg, "k", ["bal", "seg"]).collect()}
     assert out == {1: (11, "a2"), 3: (30, "c"), 4: (40, "d"), 6: (60, "f")}
+
+
+def test_scd2_incremental_merge_edge_cases(spark):
+    """The MERGE identity on a hand-built log covering every case: key
+    untouched by the delta, key with a no-op delta row, key changing
+    state, and a brand-new key first seen in the delta."""
+    from omldm_spark.operators.temporal import (scd2_incremental_merge,
+                                                scd2_intervals)
+
+    hist = spark.createDataFrame(
+        [(1, "a", 10, 100), (1, "b", 20, 101),   # key 1: a then b
+         (2, "x", 10, 102),                      # key 2: untouched later
+         (3, "p", 10, 103)],                     # key 3: no-op delta
+        "user_id long, event_type string, ts_s long, event_id long",
+    )
+    delta = spark.createDataFrame(
+        [(1, "b", 30, 200),                      # no-op (still b)
+         (1, "c", 40, 201),                      # real change
+         (3, "p", 35, 202),                      # no-op
+         (9, "z", 50, 203)],                     # new key
+        "user_id long, event_type string, ts_s long, event_id long",
+    )
+    dim = scd2_intervals(hist)
+    merged = scd2_incremental_merge(dim, delta)
+    full = scd2_intervals(
+        hist.unionByName(delta).select(
+            "user_id", "event_type", "ts_s", "event_id")
+    )
+    key = ["user_id", "version"]
+    got = sorted(map(tuple, merged.select(
+        *key, "state", "valid_from_s", "valid_to_s", "is_current").collect()))
+    want = sorted(map(tuple, full.select(
+        *key, "state", "valid_from_s", "valid_to_s", "is_current").collect()))
+    assert got == want
