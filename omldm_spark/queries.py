@@ -4734,6 +4734,48 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "observed_corpus_metrics",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_non_en
+FROM documents
+""",
+)
+def q_observed_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-native statistics plane (reference parity: the per-job
+    counters of StatisticsOperator.scala:110-127 — records seen, drops,
+    volume): ``df.observe`` attaches accumulator-backed aggregates to the
+    SAME pass as the real work, so the metrics cost ZERO extra scans —
+    exactly how a 100 TB pipeline should count its drops (a second
+    metrics query would double the read).  The observed frame is driven
+    through a noop write (the production job's own action) and the
+    collected metrics come back as one exact-integer row."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("corpus_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum((F.col("n_chars") < 200).cast("long")).cast("long")
+        .alias("n_short"),
+        F.sum((F.col("lang") != "en").cast("long")).cast("long")
+        .alias("n_non_en"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_docs"], m["total_chars"], m["n_short"], m["n_non_en"])],
+        "n_docs long, total_chars long, n_short long, n_non_en long",
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

@@ -81,3 +81,49 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     import glob
     all_parts = glob.glob(f"{path}/source=*")
     assert len(all_parts) == 4
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling evidence: one hot key dominating a
+    sort-merge join is split by AQE into parallel sub-partitions
+    (SortMergeJoin(skew=true) + 'skewed' shuffle read in the EXECUTED
+    plan) — the engine-native fallback behind the explicit salted_join
+    operator. Note the payload must be incompressible (md5 here): skew
+    detection runs on COMPRESSED map-output sizes, so a repetitive
+    column can hide a 400x row skew below the byte threshold."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        pad = F.md5(F.col("id").cast("string"))
+        hot = spark.range(50000).select(F.lit(0).alias("k"), pad.alias("p"))
+        cold = spark.range(1000).select(
+            (F.col("id") % 100 + 1).alias("k"), pad.alias("p"))
+        dim = spark.range(101).select(
+            F.col("id").alias("k"), pad.alias("q"))
+        j = hot.unionByName(cold).join(dim, "k")
+        assert len(j.collect()) == 51000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

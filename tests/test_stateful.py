@@ -488,3 +488,52 @@ def test_dropdup_within_watermark_re_emits_beyond_horizon(spark, tmp_path):
     q.awaitTermination(120)
     a_times = sorted(r["ts"] for r in got if r["k"] == "a")
     assert a_times == [ts(0), ts(7400)]       # dup at 30/60 suppressed
+
+
+def test_idempotent_sink_exactly_once(spark, tmp_path):
+    """Replayed foreachBatch calls (the at-least-once crash/retry path)
+    must not duplicate sink rows; torn writes (data dir without commit
+    record) are invisible to readers and healed by the replay."""
+    from omldm_spark.streaming.sinks import IdempotentBatchSink
+
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)      # crash-replay of batch 0: must be a no-op
+    sink(b1, 1)
+    rows = sorted(map(tuple, spark.read.parquet(
+        *sink.committed_dirs()).collect()))
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+    # torn write: data lands for batch 2 but the commit record does not
+    b2 = spark.createDataFrame([(9, "z")], "id long, v string")
+    b2.write.mode("overwrite").parquet(str(tmp_path / "out" / "batch_id=2"))
+    assert sink.committed_dirs() == [
+        str(tmp_path / "out" / "batch_id=0"),
+        str(tmp_path / "out" / "batch_id=1"),
+    ]
+    sink(b2, 2)      # replay commits it
+    rows = sorted(map(tuple, spark.read.parquet(
+        *sink.committed_dirs()).collect()))
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (9, "z")]
+
+
+def test_idempotent_sink_under_real_stream(spark, tmp_path):
+    """Drive the sink through an actual multi-batch availableNow run."""
+    from omldm_spark.streaming.sinks import IdempotentBatchSink
+
+    stream = _write_batches(spark, tmp_path)
+    sink = IdempotentBatchSink(str(tmp_path / "sout"))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["rid"] for r in spark.read.parquet(
+        *sink.committed_dirs()).collect())
+    assert got == [1, 2, 3, 4, 5]
