@@ -63,3 +63,39 @@ def file_ranges(spark, path: str, cols: list[str]):
     for c in cols:
         aggs += [Fn.min(c).alias(f"min_{c}"), Fn.max(c).alias(f"max_{c}")]
     return df.groupBy("_file").agg(*aggs)
+
+
+def compact_small_files(
+    spark, src_path: str, dst_path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Table-maintenance compaction (the OPTIMIZE half of Delta/Iceberg
+    maintenance): rewrite a directory of many small parquet files into
+    ~target-sized files.
+
+    The small-files problem is a first-order 100 TB cost: every file is
+    a scan task + a name-node entry + a footer read, so a streaming sink
+    that wrote 10k × 1 MB files makes every downstream query pay 10k
+    task launches for 10 GB of data.  Sizing from the SOURCE bytes (not
+    row counts) keeps the rewrite a single narrow repartition; the
+    shuffle is round-robin, so output files are uniformly sized with no
+    skew regardless of source layout.
+
+    Returns {"files_before", "files_after", "bytes"} for the maintenance
+    log."""
+    import glob
+    import math
+    import os
+
+    files = [f for f in glob.glob(os.path.join(src_path, "*.parquet"))
+             if os.path.isfile(f)] or [
+        f for f in glob.glob(os.path.join(src_path, "*"))
+        if os.path.isfile(f) and not os.path.basename(f).startswith("_")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    after = [f for f in glob.glob(os.path.join(dst_path, "*.parquet"))
+             if os.path.isfile(f)]
+    return {"files_before": len(files), "files_after": len(after),
+            "bytes": total}

@@ -4776,6 +4776,108 @@ def q_observed_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_report_orders",
+    oracle="""
+WITH rpt AS (
+  SELECT 'not_null(o_custkey)' AS check_name,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'in_range(o_totalprice,0,400000)',
+         CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0 OR o_totalprice > 400000)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)',
+         CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O', 'F')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM (
+            SELECT count(*) AS n FROM orders
+            GROUP BY o_orderkey HAVING count(*) > 1))
+  UNION ALL
+  SELECT 'references(o_custkey)',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+)
+SELECT check_name, violations, violations = 0 AS passed FROM rpt
+""",
+)
+def q_dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over orders (operators/quality.py
+    dq_report — the Deequ shape as engine ops): every row-local check
+    (not-null, range, set-membership) compiles into ONE aggregate over
+    one scan, so adding checks costs zero extra reads; uniqueness adds
+    one keyed groupBy and the orders→customer referential check one
+    LEFT ANTI against the (broadcast) parent keys.  Violation counts are
+    exact BIGINTs — the range and set constraints are deliberately
+    tightened so the report shows failing rows, not just green ticks."""
+    from .operators.quality import dq_report, in_range, in_set, not_null
+
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return dq_report(
+        o,
+        row_checks=[
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 400000),
+            in_set("o_orderstatus", ["O", "F"]),
+        ],
+        unique=[["o_orderkey"]],
+        references=[("o_custkey", cu, "c_custkey")],
+    )
+
+
+@query(
+    "scd2_temporal_lookup",
+    oracle=f"""
+WITH dim AS ({SCD2_SQL("events")}),
+sp AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 3600 AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT sp.event_id, sp.user_id, d.state AS state_1h_ago
+FROM sp LEFT JOIN dim d
+  ON d.user_id = sp.user_id
+ AND d.valid_from_s <= sp.t
+ AND (d.valid_to_s IS NULL OR sp.t < d.valid_to_s)
+""",
+)
+def q_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-dimension enrichment: each purchase looks up the user's
+    SCD2 state AS OF one hour before the purchase — the warehouse
+    pattern 'join the fact to the dim version valid at fact time'.
+    Because SCD2 intervals partition each key's timeline, the interval
+    join collapses to a backward as-of join on valid_from
+    (operators/temporal.py asof_join: union + one keyed window, no
+    range explosion) — the oracle states the semantics as the explicit
+    interval join and must agree row-for-row."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    dim = scd2_intervals(ev).select(
+        "user_id", F.col("valid_from_s").alias("t"),
+        F.col("state").alias("state_1h_ago"), "version",
+    )
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", (F.col("ts_s") - 3600).alias("t")
+    )
+    out = asof_join(spine, dim, on=["user_id"], ts_col="t",
+                    payload_cols=["state_1h_ago"], tie_col="version")
+    return out.select("event_id", "user_id", "state_1h_ago")
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

@@ -949,3 +949,58 @@ def test_zorder_layout_tightens_per_file_ranges(spark, tmp_path):
     assert t_x == 63.0, t_x
     assert z_x < 24, z_x
     assert z_y < 24, z_y
+
+
+def test_dq_report_detects_violations(spark):
+    """Dirty synthetic frame: nulls, out-of-range, bad category,
+    duplicate keys, and an orphaned foreign key all counted exactly."""
+    from omldm_spark.operators.quality import (dq_report, in_range, in_set,
+                                               not_null)
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A", 100), (1, -5.0, "B", 100),   # dup id; range viol
+         (2, None, "A", 999),                        # null amount; orphan fk
+         (3, 20.0, "X", 101)],                       # bad category
+        "id long, amount double, cat string, fk long",
+    )
+    parent = spark.createDataFrame([(100,), (101,)], "pk long")
+    rpt = {r["check_name"]: (r["violations"], r["passed"])
+           for r in dq_report(
+               df,
+               row_checks=[not_null("amount"),
+                           in_range("amount", 0, 100),
+                           in_set("cat", ["A", "B"])],
+               unique=[["id"]],
+               references=[("fk", parent, "pk")],
+           ).collect()}
+    assert rpt["not_null(amount)"] == (1, False)
+    assert rpt["in_range(amount,0,100)"] == (1, False)   # null not counted
+    assert rpt["in_set(cat)"] == (1, False)
+    assert rpt["unique(id)"] == (2, False)               # both dup rows
+    assert rpt["references(fk)"] == (1, False)
+
+
+def test_compact_small_files(spark, tmp_path):
+    """50 tiny files compact into the byte-sized target count with
+    identical content."""
+    from omldm_spark.operators.layout import compact_small_files
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    df = spark.range(50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(50).write.parquet(src)
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 50
+
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(src + "/*.parquet")
+    )
+    report = compact_small_files(spark, src, dst,
+                                 target_bytes=total // 4 + 1)
+    assert report["files_before"] == 50
+    assert report["files_after"] == 4
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == b
