@@ -100,3 +100,36 @@ def dq_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def table_diff(a: DataFrame, b: DataFrame, key: str,
+               val_cols: list[str]) -> DataFrame:
+    """Reconciliation diff of two keyed snapshots (the anti-entropy /
+    migration-validation primitive): one row per differing key with
+    status 'added' (in b only), 'removed' (in a only) or 'changed'
+    (both present, any value column differs — null-safe comparison).
+    Identical keys produce NO row, so diffing replicas of a 100 TB
+    table returns only the (tiny) discrepancy set.
+
+    One co-partitioned full-outer join on the key; values compare
+    inside the join projection, so nothing but the keys and compared
+    columns ever shuffles."""
+    # presence must come from the join side, not a value column (a value
+    # may legitimately be null): carry explicit marker columns
+    pa = a.select(key, F.lit(1).alias("_ina"), *val_cols).alias("a")
+    pb = b.select(key, F.lit(1).alias("_inb"), *val_cols).alias("b")
+    j = pa.join(pb, on=key, how="full_outer")
+    changed = None
+    for v in val_cols:
+        ne = ~F.col(f"a.{v}").eqNullSafe(F.col(f"b.{v}"))
+        changed = ne if changed is None else (changed | ne)
+    status = (
+        F.when(F.col("a._ina").isNull(), F.lit("added"))
+        .when(F.col("b._inb").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(key, "status")
+    )

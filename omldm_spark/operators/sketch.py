@@ -344,6 +344,18 @@ def hll_grouped_distinct(df: DataFrame, group_cols: list[str],
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
+    true = df.groupBy(*group_cols).agg(
+        F.countDistinct(F.expr(key_expr)).cast("long").alias("true_distinct")
+    )
+    return hll_grouped_summary_from_registers(regs, group_cols, true)
+
+
+def hll_grouped_summary_from_registers(regs: DataFrame,
+                                       group_cols: list[str],
+                                       true: DataFrame) -> DataFrame:
+    """Grouped version of :func:`hll_summary_from_registers` — also the
+    read side of the windowed streaming sketch (per-window registers are
+    streaming agg state; this folds the compacted state per group)."""
     summary = (
         regs.groupBy(*group_cols)
         .agg(
@@ -359,9 +371,6 @@ def hll_grouped_distinct(df: DataFrame, group_cols: list[str],
              * F.lit(562949953421312).cast("long")).alias("z_scaled"),
         )
         .withColumn("est_distinct", F.expr(_est_sql("z_scaled")))
-    )
-    true = df.groupBy(*group_cols).agg(
-        F.countDistinct(F.expr(key_expr)).cast("long").alias("true_distinct")
     )
     return summary.join(true, group_cols)
 

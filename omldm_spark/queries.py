@@ -4602,7 +4602,7 @@ def q_zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .operators.sketch import (HLL_DISTINCT_SQL,  # noqa: E402
+from .operators.sketch import (HLL_DISTINCT_SQL, HLL_GROUPED_SQL,  # noqa: E402
                                hll_bucket_sql, hll_rho_sql,
                                hll_summary_from_registers, _hll_v_sql)
 
@@ -4876,6 +4876,111 @@ def q_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(spine, dim, on=["user_id"], ts_col="t",
                     payload_cols=["state_1h_ago"], tie_col="version")
     return out.select("event_id", "user_id", "state_1h_ago")
+
+
+@query(
+    "snapshot_diff_cdc",
+    oracle=f"""
+WITH snap AS ({_CDC_SNAP_SQL}),
+applied AS ({CDC_APPLY_SQL(_CDC_SNAP_SQL, _CDC_CHG_SQL, "k", ["bal_c", "seg"])}),
+j AS (
+  SELECT coalesce(s.k, p.k) AS k,
+         s.k IS NOT NULL AS a_in, p.k IS NOT NULL AS b_in,
+         s.bal_c AS ab, s.seg AS asg, p.bal_c AS bb, p.seg AS bsg
+  FROM snap s FULL OUTER JOIN applied p ON s.k = p.k
+),
+st AS (
+  SELECT k,
+         CASE WHEN NOT a_in THEN 'added'
+              WHEN NOT b_in THEN 'removed'
+              WHEN ab IS DISTINCT FROM bb OR asg IS DISTINCT FROM bsg
+                THEN 'changed' END AS status
+  FROM j
+)
+SELECT k, status FROM st WHERE status IS NOT NULL
+""",
+)
+def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/quality.py table_diff): diff
+    the customer snapshot against its CDC-applied successor — the
+    anti-entropy primitive for validating a migration or replica.  The
+    diff is exactly the CDC effect set (inserted keys 'added', deleted
+    keys 'removed', upserted-with-new-values 'changed'; untouched and
+    no-op-upserted keys produce NO row), so the oracle derives both
+    sides independently and diffs them in SQL.  One co-partitioned
+    full-outer join; only keys + compared columns shuffle."""
+    from .operators.quality import table_diff
+
+    cu = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    snap = cu.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias("bal_c"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    chg = ev.select(
+        F.col("user_id").alias("k"),
+        F.when(F.col("event_type") == "error", "delete")
+         .otherwise("upsert").alias("op"),
+        F.col("event_id").alias("seq"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("bal_c"),
+        F.col("event_type").alias("seg"),
+    )
+    applied = cdc_apply(snap, chg, "k", ["bal_c", "seg"])
+    return table_diff(snap, applied, "k", ["bal_c", "seg"])
+
+
+_HLL_HOURLY_TBL = (
+    "(SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_s,"
+    " user_id FROM events)"
+)
+
+
+@query(
+    "streaming_hll_hourly",
+    oracle=HLL_GROUPED_SQL(_HLL_HOURLY_TBL, ["hour_s"], "user_id"),
+)
+def q_streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming cardinality: per-hour distinct-user HLL where
+    the (event-time window x register) cells ARE the streaming
+    aggregation state — 64 integer rows per open hour whatever the
+    traffic, vs a per-window COUNT DISTINCT whose state holds every
+    distinct key.  Watermarked tumbling windows bound the open-state
+    horizon; the compacted cells fold through the shared grouped-summary
+    code (operators/sketch.py hll_grouped_summary_from_registers) and
+    hash-match the batch grouped-HLL oracle at any cadence."""
+    from .operators.sketch import hll_grouped_summary_from_registers
+
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_shllw_")
+    cells = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.expr(hll_bucket_sql("user_id")).alias("bucket"),
+        )
+        .agg(F.max(F.expr(hll_rho_sql(_hll_v_sql("user_id"))))
+             .alias("max_rho"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long")
+            .alias("hour_s"),
+            "bucket", "max_rho",
+        )
+    )
+    rows = _run_update_stream(cells, tmp, ["hour_s", "bucket"])
+    regs = spark.createDataFrame(
+        [(r["hour_s"], r["bucket"], r["max_rho"]) for r in rows],
+        "hour_s long, bucket int, max_rho int",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    true = (
+        ev.select(
+            F.expr("CAST(floor(unix_timestamp(ts) / 3600) * 3600 AS BIGINT)")
+            .alias("hour_s"), "user_id",
+        )
+        .groupBy("hour_s")
+        .agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
+    )
+    return hll_grouped_summary_from_registers(regs, ["hour_s"], true)
 
 
 # fold passthrough on the shared Cramer text: same arithmetic tree, one

@@ -101,3 +101,26 @@ def test_caller_filter_on_parsed_output_is_pushed_but_correct(spark):
         "caller predicate no longer pushed below the parse — the Spark "
         "optimizer changed; re-run the A/B in parsing.py's boundary note"
     )
+
+
+def test_chunk_words_udtf_lateral_sql(spark):
+    """Python UDTF surface (§2.10): registered table function usable
+    from pure SQL via LATERAL, correct ordering, trailing partial
+    window, and empty-text contract."""
+    from omldm_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, t.chunk_idx, t.n_words, t.chunk "
+        "FROM udtf_docs d, LATERAL chunk_words(d.text, 2) t "
+        "ORDER BY d.doc_id, t.chunk_idx"
+    ).collect()
+    got = [(r.doc_id, r.chunk_idx, r.n_words, r.chunk) for r in rows]
+    assert got == [
+        (1, 0, 2, "a b"), (1, 1, 2, "c d"), (1, 2, 1, "e"),
+        (2, 0, 1, "x"),
+    ]  # doc 3 (null text) emits nothing
