@@ -4983,6 +4983,67 @@ def q_streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_grouped_summary_from_registers(regs, ["hour_s"], true)
 
 
+@query(
+    "streaming_scd2_lookup",
+    oracle=f"""
+WITH dim AS ({SCD2_SQL("events")}),
+sp AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 3600 AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT sp.event_id, sp.user_id, d.state AS state_1h_ago
+FROM sp LEFT JOIN dim d
+  ON d.user_id = sp.user_id
+ AND d.valid_from_s <= sp.t
+ AND (d.valid_to_s IS NULL OR sp.t < d.valid_to_s)
+""",
+)
+def q_streaming_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of scd2_temporal_lookup: purchases arrive as a
+    stream and enrich against the STATIC versioned dimension through a
+    stream-static LEFT OUTER join on a NON-EQUI interval condition
+    (user equality + valid_from <= t < valid_to) — the join mode a
+    production scorer uses when the dim updates nightly but facts
+    stream.  Stateless: the static side re-resolves per micro-batch and
+    the join adds zero streaming state; results append directly.  The
+    oracle is the batch interval join — cadence must be invisible."""
+    import tempfile
+
+    from .streaming.sources import file_replay_source
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    dim = scd2_intervals(ev)
+    tmp = tempfile.mkdtemp(prefix="omldm_sscd2_")
+    src = f"{tmp}/src"
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", (F.col("ts_s") - 3600).alias("t")
+    ).write.parquet(src)
+    stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
+    cond = (
+        (dim["user_id"] == stream["user_id"])
+        & (dim["valid_from_s"] <= stream["t"])
+        & (dim["valid_to_s"].isNull() | (stream["t"] < dim["valid_to_s"]))
+    )
+    joined = stream.join(dim, cond, "left_outer").select(
+        stream["event_id"], stream["user_id"],
+        dim["state"].alias("state_1h_ago"),
+    )
+    sink = f"{tmp}/out"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

@@ -465,6 +465,32 @@ CHECKS = {
          lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 0),
         ("whole-stage codegen", lambda p: "codegen id" in p),
     ],
+    "dq_report_orders": [
+        # the three row-local checks share ONE aggregate over one scan;
+        # uniqueness adds a keyed groupBy; the FK check is a broadcast
+        # anti join — never a second full scan per check
+        ("row checks collapse into one scan",
+         lambda p: len(re.findall(r"Scan parquet .*orders", p)) <= 3),
+        ("fk check is a broadcast anti join",
+         lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p),
+    ],
+    "snapshot_diff_cdc": [
+        ("single full-outer reconciliation join",
+         lambda p: p.count("FullOuter") >= 1),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "scd2_incremental_user_state": [
+        # the delta shuffles once for its change window; history is
+        # touched via the current slice + first-change join only
+        ("windowed change detection", lambda p: "Window" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "scd2_temporal_lookup": [
+        # interval lookup collapses to the as-of union window: exactly
+        # one corpus-scale exchange feeds it; no range/theta join
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ("as-of via window", lambda p: "Window" in p),
+    ],
     "cms_term_counts": [
         # the sketch shuffle key space is depth*width cells: partial
         # aggregation collapses the explode before the exchange; probe and
