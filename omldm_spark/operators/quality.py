@@ -133,3 +133,34 @@ def table_diff(a: DataFrame, b: DataFrame, key: str,
         .filter(F.col("status").isNotNull())
         .select(key, "status")
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profiling in ONE aggregate pass: (col_name, n_rows,
+    n_nulls, n_distinct) — the stats a warehouse uses to pick encodings,
+    sort keys and partition columns (distinct ratio ~1 => id column,
+    tiny => dictionary-encode / partition-by candidate).
+
+    All count_distinct aggregates share a single Expand-based aggregate,
+    so profiling k columns still reads the table ONCE; every metric is
+    an exact BIGINT (no approx_count_distinct — at profile time you
+    want truth; the HLL family covers the streaming/approximate case)."""
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_rows"),
+        *[F.sum(F.col(c).isNull().cast("long")).cast("long")
+          .alias(f"_n_{c}") for c in cols],
+        *[F.countDistinct(c).cast("long").alias(f"_d_{c}") for c in cols],
+    )
+    return agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("_rows").alias("n_rows"),
+                    F.col(f"_n_{c}").alias("n_nulls"),
+                    F.col(f"_d_{c}").alias("n_distinct"),
+                )
+                for c in cols
+            ])
+        ).alias("_r")
+    ).select("_r.*")

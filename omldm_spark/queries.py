@@ -5044,6 +5044,35 @@ def q_streaming_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink)
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"]
+
+
+@query(
+    "profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (operators/quality.py column_profile): n_rows /
+    n_nulls / n_distinct for four orders columns in ONE aggregate pass —
+    the stats that drive encoding, sort-key and partition-column
+    decisions (distinct ratio ~1 -> id; tiny -> dictionary/partition).
+    The k count_distinct aggregates share a single Expand-based
+    aggregate so the table is read once; the oracle spells the same
+    metrics as k scalar queries."""
+    from .operators.quality import column_profile
+
+    return column_profile(load_table(spark, sf_dir, "orders"),
+                          _PROFILE_COLS)
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
