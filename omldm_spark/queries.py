@@ -5760,7 +5760,7 @@ _SNAPSHOT_TOP = [
     "dedup_exact", "minhash_lsh_pairs",
     "dedup_clusters", "simhash_docs", "zorder_events_key",
     # text analysis + corpus ops
-    "text_quality", "lang_id", "token_counts",
+    "text_quality", "lang_id", "dq_report_orders",
     "decontaminate", "curriculum_order", "bpe_train_merges",
     "weighted_sample_docs",
     # similarity + retrieval + multimodal
