@@ -5073,6 +5073,130 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                           _PROFILE_COLS)
 
 
+@query(
+    "markov_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM events
+),
+pairs AS (
+  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE next_state IS NOT NULL
+  GROUP BY state, next_state
+),
+tot AS (
+  SELECT state, CAST(sum(n) AS BIGINT) AS row_n FROM pairs GROUP BY state
+)
+SELECT p.state, p.next_state, p.n,
+       CAST(p.n * 1000000 // t.row_n AS BIGINT) AS p_ppm
+FROM pairs p JOIN tot t ON p.state = t.state
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: per-user
+    event sequences yield (state -> next_state) counts and row-
+    normalized probabilities in integer ppm (truncating division — both
+    engines agree exactly; float probabilities would drift).  The
+    sequential-pattern primitive behind next-event prediction and
+    session simulation.  Plan: ONE user-keyed exchange for the lead
+    window, then a |states|^2-key groupBy with map-side combine; the
+    row totals join is |states|-sized and broadcasts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(w).alias("next_state"),
+    )
+    pairs = (
+        ordered.filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("state").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return (
+        pairs.join(F.broadcast(tot), "state")
+        .select(
+            "state", "next_state", "n",
+            F.expr("CAST(n * 1000000 div row_n AS BIGINT)").alias("p_ppm"),
+        )
+    )
+
+
+@query(
+    "item_cooccurrence",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+  FROM events
+),
+n_users AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM ui),
+item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY item),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT c.item_a, c.item_b, c.n_co,
+       CAST(c.n_co * nu.nu * 1000000 // (ia.n * ib.n) AS BIGINT)
+         AS lift_ppm
+FROM co c
+JOIN item_n ia ON ia.item = c.item_a
+JOIN item_n ib ON ib.item = c.item_b
+CROSS JOIN n_users nu
+WHERE c.n_co >= 3
+""",
+)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with integer lift (the recommender /
+    'users also touched' primitive): distinct (user, item) pairs
+    self-join per user into co-occurring item pairs, counted and scored
+    by lift = P(a,b)/(P(a)P(b)) in truncated ppm — all-BIGINT, exact
+    cross-engine.  Scale: the self-join is quadratic in PER-USER degree,
+    not corpus size — the standard mitigation (cap each user at their
+    top-m items before the join) drops in as one window; item margins
+    and the user count are item-scale and broadcast.  The n_co >= 3
+    support floor keeps the pair set sparse.  Integer envelope:
+    n_co*nu*1e6 stays < 2^63 while n_co*nu < 9.2e12 (true through
+    ~sf 100); past that, divide by one margin before multiplying."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct()
+    nu = ui.agg(F.countDistinct("u").cast("long").alias("nu"))
+    item_n = ui.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    return (
+        co.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "item_a", "item_b", "n_co",
+            F.expr("CAST(n_co * nu * 1000000 div (na * nb) AS BIGINT)")
+            .alias("lift_ppm"),
+        )
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
