@@ -469,8 +469,10 @@ CHECKS = {
         # the three row-local checks share ONE aggregate over one scan;
         # uniqueness adds a keyed groupBy; the FK check is a broadcast
         # anti join — never a second full scan per check
-        ("row checks collapse into one scan",
-         lambda p: len(re.findall(r"Scan parquet .*orders", p)) <= 3),
+        # 3 scans total: one for the row-check aggregate, one per extra
+        # pass (uniqueness groupBy, FK anti join child)
+        ("row checks collapse into one scan each pass",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 4),
         ("fk check is a broadcast anti join",
          lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p),
     ],
@@ -490,6 +492,26 @@ CHECKS = {
         # one corpus-scale exchange feeds it; no range/theta join
         ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
         ("as-of via window", lambda p: "Window" in p),
+    ],
+    "markov_transitions": [
+        # lead window rides ONE user exchange; the pair groupBy is
+        # |states|^2 keys with map-side combine; row totals broadcast
+        ("pair aggregation partial", lambda p: p.count("HashAggregate") >= 2),
+        ("row totals ride a broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "item_cooccurrence": [
+        # margins and the 1-row user count broadcast; only the per-user
+        # self-join shuffles at corpus scale
+        ("margins broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("co-occurrence counts partially aggregate",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "profile_orders": [
+        # k count_distincts share one Expand-based aggregate over ONE scan
+        ("single scan of orders",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("expand-based multi-distinct", lambda p: "Expand" in p),
     ],
     "cms_term_counts": [
         # the sketch shuffle key space is depth*width cells: partial
