@@ -362,3 +362,89 @@ def BPE_TRAIN_SQL(n_merges: int = 3, table: str = "documents",
         for r in range(n_merges)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def bpe_encode_vocab(docs: DataFrame, n_merges: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Apply the trained BPE merges — the ENCODE half of the tokenizer
+    loop (train with :func:`bpe_train`, then this encodes the corpus).
+    Returns corpus frequencies of every merged symbol (len >= 2).
+
+    The load-bearing trick: encoding is deterministic per token TYPE, so
+    the corpus never re-encodes — the frequency-weighted VOCABULARY
+    (thousands of rows at any corpus size) encodes once and corpus
+    symbol counts are a weighted sum over it.  A 100 TB corpus pays one
+    token-count aggregation; everything after is vocab-scale.  Merges
+    apply in training order as literal space-sentinel replaces (the
+    exact mechanism the trainer used, so train->encode round-trips)."""
+    merges = [(r["w1"], r["w2"])
+              for r in bpe_train(docs, n_merges, text_col)
+              .orderBy("merge_round").collect()]
+    vocab = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.concat_ws(" ", F.split(F.col("tok"), "")).alias("seq"), "cnt"
+        )
+    )
+    for w1, w2 in merges:
+        vocab = vocab.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {w1} {w2} "),
+                    F.lit(f" {w1}{w2} "),
+                )
+            ).alias("seq"),
+            "cnt",
+        )
+    return (
+        vocab.select(F.explode(F.split("seq", " ")).alias("symbol"), "cnt")
+        .filter(F.length("symbol") >= 2)
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def BPE_ENCODE_SQL(n_merges: int = 3, table: str = "documents",
+                   text_expr: str = "text") -> str:
+    """Oracle for :func:`bpe_encode_vocab`: the trainer's CTE chain
+    extended through the LAST vocabulary state, then symbol counts."""
+    ctes = [
+        f"""v0 AS (
+  SELECT array_to_string(string_split(tok, ''), ' ') AS seq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({TOKENS_SQL(text_expr)}) AS tok FROM {table})
+  GROUP BY tok
+)"""
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+  SELECT syms[CAST(u.i AS INTEGER)] AS w1,
+         syms[CAST(u.i AS INTEGER) + 1] AS w2,
+         CAST(sum(cnt) AS BIGINT) AS pair_cnt
+  FROM (SELECT string_split(seq, ' ') AS syms, cnt FROM v{r}),
+       unnest(range(1, CAST(len(syms) AS BIGINT))) AS u(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"c{r} AS (SELECT * FROM p{r} "
+            f"ORDER BY pair_cnt DESC, w1, w2 LIMIT 1)"
+        )
+        ctes.append(f"""v{r + 1} AS (
+  SELECT trim(replace(' ' || v.seq || ' ',
+                      ' ' || c.w1 || ' ' || c.w2 || ' ',
+                      ' ' || c.w1 || c.w2 || ' ')) AS seq, v.cnt
+  FROM v{r} v, c{r} c
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT symbol, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(string_split(seq, ' ')) AS symbol, cnt FROM v{n_merges}
+)
+WHERE len(symbol) >= 2
+GROUP BY symbol"""
+    )

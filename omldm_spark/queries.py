@@ -5197,6 +5197,84 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.lm import BPE_ENCODE_SQL, bpe_encode_vocab  # noqa: E402
+
+
+@query("bpe_encode_vocab", oracle=BPE_ENCODE_SQL(n_merges=3))
+def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE half of the BPE tokenizer loop (operators/lm.py
+    bpe_encode_vocab): the 3 trained merges apply to the frequency-
+    weighted vocabulary — encoding is deterministic per token TYPE, so
+    the corpus is read once for the token counts and everything after
+    is vocab-scale; corpus symbol frequencies are a weighted sum over
+    the encoded vocab.  Merges apply as the same space-sentinel literal
+    replaces the trainer used, so train -> encode round-trips exactly;
+    the oracle chains the trainer CTEs through the final vocabulary
+    state."""
+    return bpe_encode_vocab(load_table(spark, sf_dir, "documents"),
+                            n_merges=3)
+
+
+@query(
+    "item_triangles",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+  FROM events
+),
+e AS (
+  SELECT a.item AS a, b.item AS b
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2 HAVING CAST(count(*) AS BIGINT) >= 3
+),
+wedges AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM wedges w WHERE EXISTS (
+  SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c
+)
+""",
+)
+def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the item co-occurrence graph — the clustering-
+    coefficient primitive (community density, spam-ring detection).
+    Ordered edges (a < b) make each triangle count exactly once: wedges
+    join edge-to-edge on the shared middle vertex, and a LEFT SEMI join
+    closes them against the edge set.  Scale: wedge count is the cost
+    driver and is Σ deg² — the standard refinement (orient each edge
+    from its lower-degree endpoint, making wedge count Σ min-deg²)
+    drops into the same plan by replacing the a<b order with a
+    (deg, id) order; both joins hash-partition on their key, no
+    cartesian anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    e = (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("a"), F.col("b.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select("a", "b")
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    closed = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")),
+        on=["a", "c"], how="left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
