@@ -1007,3 +1007,46 @@ SELECT * FROM (
   )
 ) WHERE rank <= {k}
 """
+
+
+def distributed_global_rank(df: DataFrame, sort_cols: list,
+                            num_ranges: int = 32):
+    """Two-phase exact global rank without a single-node sort (the
+    curriculum_order plan, generalized): repartitionByRange on the
+    (total-order) ``sort_cols``, per-partition row_number, plus the
+    cumulative counts of earlier ranges — ``num_ranges`` tiny offset
+    rows are the only driver-side data at any corpus size, and the
+    largest single-node obligation is one range (~corpus/num_ranges).
+
+    ``sort_cols`` MUST be a total order (include a unique id last) or
+    ranks are partition-dependent.  Returns (ranked_df, total_rows);
+    the input is persisted so the offsets job and the rank job see the
+    SAME sampled range boundaries — callers should unpersist via
+    ranked_df.unpersist() when done."""
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(num_ranges, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[
+            x for pid in sorted(offsets)
+            for x in (F.lit(pid), F.lit(offsets[pid]))
+        ]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    ranked = ranged.select(
+        *[c for c in df.columns],
+        (F.row_number().over(w) + off_expr).cast("long").alias("rank"),
+    )
+    return ranked, acc

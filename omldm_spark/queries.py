@@ -5275,6 +5275,97 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
+@query(
+    "seasonality_profile",
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_c,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+            // count(*) AS BIGINT) AS mean_c
+FROM events GROUP BY 1, 2
+""",
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality: the (day-of-week x hour-of-day) activity
+    matrix — event counts, value totals and truncated integer mean per
+    cell; the profile behind load forecasting, anomaly baselines and
+    window sizing.  ONE map-side-combined groupBy with a 7x24-key space
+    — the shuffle payload is the matrix itself regardless of corpus
+    size.  Engine trap: Spark dayofweek is 1-based (Sunday=1), DuckDB's
+    is 0-based — the oracle adds 1; hour agrees.  The mean is
+    truncating integer division of exact cents."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("value_c"),
+        )
+        .withColumn("mean_c",
+                    F.expr("CAST(value_c div n_events AS BIGINT)"))
+    )
+
+
+@query(
+    "order_value_deciles",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         ntile(10) OVER (ORDER BY CAST(round(o_totalprice * 100, 0)
+                                       AS BIGINT), o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(price_c) AS BIGINT) AS lo_c,
+       CAST(max(price_c) AS BIGINT) AS hi_c,
+       CAST(sum(price_c) AS BIGINT) AS total_c
+FROM t GROUP BY decile
+""",
+)
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile segmentation of order value: per-decile count,
+    bounds and totals — the revenue-segmentation report shape.  NOT the
+    naive global ntile (Window.orderBy with no partition funnels the
+    whole table through ONE task): ranks come from the two-phase
+    distributed global rank (operators/corpus.py
+    distributed_global_rank — range partition + per-range row_number +
+    offset map), and ntile(k)'s bucket assignment is reproduced exactly
+    by the integer identity bucket = (rank-1)*k div n + 1 (first n%k
+    buckets one larger — matches the SQL ntile spec at every n).  The
+    (price, orderkey) key is a total order, so boundaries are
+    engine-identical even at price ties."""
+    from .operators.corpus import distributed_global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("price_c"),
+    )
+    ranked, n = distributed_global_rank(
+        keyed, [F.col("price_c"), F.col("o_orderkey")]
+    )
+    t = ranked.withColumn(
+        "decile",
+        F.expr(f"CAST((rank - 1) * 10 div {n} AS INT) + 1"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("price_c").cast("long").alias("lo_c"),
+        F.max("price_c").cast("long").alias("hi_c"),
+        F.sum("price_c").cast("long").alias("total_c"),
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

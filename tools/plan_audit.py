@@ -513,6 +513,18 @@ CHECKS = {
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
         ("expand-based multi-distinct", lambda p: "Expand" in p),
     ],
+    "order_value_deciles": [
+        # the whole point: exact global deciles WITHOUT funneling the
+        # table through one task — range partition + offset map
+        ("no single-partition exchange",
+         lambda p: "SinglePartition" not in p),
+        ("range-partitioned rank", lambda p: "rangepartitioning" in p),
+    ],
+    "seasonality_profile": [
+        ("one map-side-combined groupBy",
+         lambda p: p.count("HashAggregate") >= 2
+         and len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+    ],
     "cms_term_counts": [
         # the sketch shuffle key space is depth*width cells: partial
         # aggregation collapses the explode before the exchange; probe and
