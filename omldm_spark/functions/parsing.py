@@ -267,3 +267,53 @@ def expand_hub_broadcast(
 def to_json_sink(df: DataFrame) -> DataFrame:
     """P8/S7-S9: rows -> one JSON string column named ``value`` (Kafka shape)."""
     return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def parse_data_instances_quarantine(
+    raw: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """P1 with a dead-letter lane instead of the silent drop: every raw
+    row comes back with a ``reject_reason`` — NULL for good rows,
+    'malformed_json' / 'bad_operation' / 'no_features' otherwise (first
+    matching reason wins, in that order).  Production pipelines route
+    the non-null lane to a quarantine sink for replay and alert on its
+    rate; the reference drops silently (DataInstanceParser.scala:12-22),
+    which hides upstream schema drift — this keeps its semantics on the
+    good lane (same filter) while making the drops observable.  Still
+    ONE parse per row, one projection.
+
+    Engine fact: PERMISSIVE from_json yields an ALL-NULL STRUCT for
+    malformed input, not a null struct — malformed detection needs the
+    explicit columnNameOfCorruptRecord field in the parse schema."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    q_schema = StructType(
+        list(DATA_INSTANCE_SCHEMA.fields)
+        + [StructField("_corrupt", StringType())]
+    )
+    di = F.col("di")
+    has_features = (
+        (F.size(F.coalesce(di["numericalFeatures"], F.array())) > 0)
+        | (F.size(F.coalesce(di["discreteFeatures"], F.array())) > 0)
+        | (F.size(F.coalesce(di["categoricalFeatures"], F.array())) > 0)
+    )
+    _tune_json_parsing(raw)
+    good_cols = [f.name for f in DATA_INSTANCE_SCHEMA.fields]
+    return (
+        raw.select(
+            F.from_json(
+                F.col(value_col), q_schema,
+                {"columnNameOfCorruptRecord": "_corrupt"},
+            ).alias("di")
+        )
+        .select(
+            *[F.col(f"di.{c}").alias(c) for c in good_cols],
+            F.when(di.isNull() | di["_corrupt"].isNotNull(),
+                   "malformed_json")
+            .when(~F.coalesce(
+                di["operation"].isin("training", "forecasting"),
+                F.lit(False)), "bad_operation")
+            .when(~has_features, "no_features")
+            .alias("reject_reason"),
+        )
+    )

@@ -5366,6 +5366,45 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "parse_quarantine",
+    oracle="""
+SELECT 'good' AS lane, CAST(count(*) AS BIGINT) AS n FROM lineitem
+UNION ALL SELECT 'malformed_json', CAST(3 AS BIGINT)
+UNION ALL SELECT 'bad_operation', CAST(1 AS BIGINT)
+UNION ALL SELECT 'no_features', CAST(1 AS BIGINT)
+""",
+)
+def q_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter parsing (functions/parsing.py
+    parse_data_instances_quarantine): the ingest path keeps the
+    reference's good-lane semantics but CLASSIFIES every drop —
+    malformed JSON, invalid operation, featureless record — instead of
+    silently swallowing it, so schema drift upstream becomes an
+    alertable rate, and the quarantine lane can replay after a fix.
+    The same five junk shapes the parse_training_points query injects
+    (plus a featureless record) come back with exact per-reason counts;
+    every derived lineitem row lands in the good lane.  One parse per
+    row; the lane rollup is a 4-key groupBy."""
+    di = data_instances(spark, sf_dir)
+    raw = to_json_sink(di)
+    junk = spark.createDataFrame(
+        [("EOS",), ("{not json",), ('{"operation": "nope"}',), ("",),
+         ('{"operation": "training"}',)],
+        ["value"],
+    )
+    from .functions.parsing import parse_data_instances_quarantine
+
+    parsed = parse_data_instances_quarantine(raw.unionByName(junk))
+    return (
+        parsed.select(
+            F.coalesce(F.col("reject_reason"), F.lit("good")).alias("lane")
+        )
+        .groupBy("lane")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

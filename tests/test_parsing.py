@@ -124,3 +124,28 @@ def test_chunk_words_udtf_lateral_sql(spark):
         (1, 0, 2, "a b"), (1, 1, 2, "c d"), (1, 2, 1, "e"),
         (2, 0, 1, "x"),
     ]  # doc 3 (null text) emits nothing
+
+
+def test_sql_surface_end_to_end(spark):
+    """SQL-first usability: register_views + the registered UDTFs give a
+    SQL-only user the whole analytic surface — here a revenue rollup
+    joined through two dims plus a LATERAL UDTF, no DataFrame API."""
+    from omldm_spark.functions.udtfs import register_udtfs
+    from omldm_spark.io import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    register_udtfs(spark)
+    row = spark.sql(
+        "SELECT n.n_name, "
+        "CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) "
+        "AS BIGINT) AS rev_c "
+        "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name ORDER BY rev_c DESC LIMIT 1"
+    ).collect()[0]
+    assert row["rev_c"] > 0
+    chunks = spark.sql(
+        "SELECT count(*) AS c FROM documents d, "
+        "LATERAL chunk_words(d.text, 50) t"
+    ).collect()[0]["c"]
+    assert chunks >= spark.table("documents").count()
