@@ -5405,6 +5405,55 @@ def q_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_gram",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT)
+           AS qe
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(sum(a.qe * b.qe) AS BIGINT) AS s_q,
+       CAST(count(*) AS BIGINT) AS n
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+""",
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding Gram/covariance sufficient statistic: the dim x dim
+    upper triangle of sum(e_i * e_j) over the corpus — everything PCA /
+    whitening / Mahalanobis needs, reduced to 2080 integer cells for
+    dim 64.  Quantized at 1e3 per coordinate so products sum exactly in
+    BIGINT (envelope: 1e6 * 1e9 rows < 2^63 holds through ~1e9 vectors;
+    drop to coarser quantization beyond).  Plan: posexplode to
+    (vec, i, q), self-join co-partitioned on vec_id, and the dim²-key
+    groupBy map-side-combines each partition to <= 2080 rows before the
+    shuffle — the eigensolve then happens driver-side on a 64x64
+    matrix, the same sufficient-statistic pattern as the ORR Gram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("i", "e"),
+    ).select(
+        "vec_id", "i",
+        F.expr("CAST(round(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)")
+        .alias("qe"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    return (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+               & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.col("a.qe") * F.col("b.qe")).cast("long").alias("s_q"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(

@@ -1004,3 +1004,30 @@ def test_compact_small_files(spark, tmp_path):
     a = sorted(r["id"] for r in spark.read.parquet(src).collect())
     b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_embedding_gram_reconstructs_pca(spark):
+    """The Gram sufficient statistic actually suffices: eigendecompose
+    the 64x64 matrix assembled from the query output and match the top
+    eigenvalue computed directly by numpy on the raw embeddings (same
+    1e3 quantization)."""
+    import numpy as np
+
+    from omldm_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_gram"](spark, SF_DIR).collect()
+    dim = 64
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r["i"], r["j"]] = r["s_q"]
+        g[r["j"], r["i"]] = r["s_q"]
+    emb = np.array([
+        np.round(np.array(r["embedding"], dtype=np.float64) * 1000)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("embedding").collect()
+    ])
+    direct = emb.T @ emb
+    assert np.array_equal(g, direct)
+    ev_q = np.linalg.eigvalsh(g)[-1]
+    ev_d = np.linalg.eigvalsh(direct)[-1]
+    assert abs(ev_q - ev_d) / ev_d < 1e-12
