@@ -1031,3 +1031,35 @@ def test_embedding_gram_reconstructs_pca(spark):
     ev_q = np.linalg.eigvalsh(g)[-1]
     ev_d = np.linalg.eigvalsh(direct)[-1]
     assert abs(ev_q - ev_d) / ev_d < 1e-12
+
+
+def test_zvalue_interleave_bijective(spark):
+    """The generated z-value expression is the exact bit interleave: it
+    matches a Python reference on random coordinates and is injective
+    over a dense grid (bijectivity is what makes z-range scans cover
+    hyper-rectangles)."""
+    import random
+
+    from omldm_spark.operators.layout import zvalue_sql
+
+    rnd = random.Random(7)
+    pts = [(rnd.randrange(1 << 16), rnd.randrange(1 << 16))
+           for _ in range(200)]
+
+    def py_z(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.selectExpr(
+        "x", "y", f"{zvalue_sql(['x', 'y'], 16)} AS z").collect()}
+    for x, y in pts:
+        assert got[(x, y)] == py_z(x, y)
+    grid = spark.range(32 * 32).selectExpr(
+        "id % 32 AS x", "CAST(id / 32 AS BIGINT) AS y")
+    zs = [r["z"] for r in grid.selectExpr(
+        f"{zvalue_sql(['x', 'y'], 5)} AS z").collect()]
+    assert len(set(zs)) == 32 * 32 and max(zs) == 32 * 32 - 1

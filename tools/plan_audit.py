@@ -525,6 +525,20 @@ CHECKS = {
          lambda p: p.count("HashAggregate") >= 2
          and len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
     ],
+    "embedding_gram": [
+        # partitions collapse to <= dim^2 cells before the shuffle; the
+        # self-join is vec_id-keyed, never cartesian
+        ("partial aggregation to dim^2 cells",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "bpe_encode_vocab": [
+        # corpus collapses in the FIRST groupBy; every merge round is
+        # vocab-scale string work
+        ("corpus collapses before merges",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no join anywhere", lambda p: "Join" not in p),
+    ],
     "cms_term_counts": [
         # the sketch shuffle key space is depth*width cells: partial
         # aggregation collapses the explode before the exchange; probe and
