@@ -5461,6 +5461,120 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_user_activity",
+    oracle="""
+SELECT user_id,
+       """ + ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    ) + """
+FROM events GROUP BY user_id
+""",
+)
+def q_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pivot relational operator (long -> wide): per-user event
+    counts spread into one column per event type — the feature-matrix
+    shape fed to downstream trainers.  The value list is EXPLICIT,
+    which matters twice: Spark skips the extra distinct-values
+    collection pass, and the output schema is stable (an unexpected
+    new event type cannot silently widen the table).  The pivot
+    compiles to sum(CASE) aggregates — same single map-side-combined
+    groupBy as the hand-written oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _PIVOT_TYPES],
+    )
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+SELECT coalesce(l_returnflag, '__ALL__') AS returnflag,
+       coalesce(l_linestatus, '__ALL__') AS linestatus,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS rev_q,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^k grouping combinations in one pass —
+    the OLAP twin of rollup_revenue's hierarchy): revenue and counts by
+    (returnflag, linestatus), each alone, and the grand total, computed
+    through ONE Expand + one map-side-combined aggregate — never 4
+    separate scans.  Null grouping markers are coalesced to '__ALL__'
+    in both engines so subtotal rows hash identically (a real NULL
+    dimension value would be ambiguous with the subtotal marker —
+    grouping() disambiguates in production; the synthetic columns are
+    non-null)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(cents).cast("long").alias("rev_q"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("linestatus"),
+            "rev_q", "n",
+        )
+    )
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+SELECT c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (§2.6 completion next to the
+    union family): customers ordering in BOTH 1995 and 1996, minus any
+    who ever placed an urgent order.  Catalyst plans INTERSECT as a
+    left-semi and EXCEPT as a left-anti over distinct inputs — the
+    same hash-join machinery as the TPC-H q4/q21/q22 shapes, with
+    distinct's partial aggregation collapsing each side before its
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return y95.intersect(y96).exceptAll(urgent.distinct())
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
