@@ -5575,6 +5575,51 @@ def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.intersect(y96).exceptAll(urgent.distinct())
 
 
+@query(
+    "streaming_union_sources",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_c
+FROM events GROUP BY event_type
+""",
+)
+def q_streaming_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source streaming topology (the reference's several Kafka
+    topics feeding ONE job, Job.scala:42-105): the event log split into
+    two disjoint file sources (even/odd event ids — two 'topics'), each
+    opened as its own stream, unioned INSIDE the streaming query into
+    one update-mode aggregation.  Each source keeps its own offset
+    tracking; the union is plan-level (no shuffle); final compacted
+    state equals the single-source batch GROUP BY exactly — source
+    topology must be invisible in the result."""
+    import tempfile
+
+    from .streaming.sources import file_replay_source
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="omldm_sunion_")
+    even, odd = f"{tmp}/even", f"{tmp}/odd"
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(even)
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(odd)
+    schema = spark.read.parquet(even).schema
+    s1 = file_replay_source(spark, even, schema)
+    s2 = file_replay_source(spark, odd, schema)
+    agg = s1.unionByName(s2).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long")
+        .alias("value_c"),
+    )
+    rows = _run_update_stream(agg, tmp, ["event_type"])
+    return spark.createDataFrame(
+        [(r["event_type"], r["cnt"], r["value_c"]) for r in rows],
+        "event_type string, cnt long, value_c long",
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
