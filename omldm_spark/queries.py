@@ -5620,6 +5620,82 @@ def q_streaming_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "conversion_latency_deciles",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_signup
+  FROM events GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         CAST(min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS BIGINT)
+           AS t_purchase
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) > f.t_signup
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT f.user_id, CAST(p.t_purchase - f.t_signup AS BIGINT) AS lat_s
+  FROM f JOIN p ON f.user_id = p.user_id
+  WHERE f.t_signup IS NOT NULL
+),
+r AS (
+  SELECT lat_s, row_number() OVER (ORDER BY lat_s, user_id) AS rk,
+         count(*) OVER () AS n
+  FROM lat
+)
+SELECT CAST(d AS INT) AS decile, r.lat_s AS latency_s
+FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS dd(d)
+JOIN r ON r.rk = (r.n * dd.d + 9) // 10
+""",
+)
+def q_conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile VALUES of signup->first-purchase latency (the
+    funnel-timing report): first-touch signup per user, earliest
+    strictly-later purchase, and the order statistic at rank
+    ceil(n*d/10) for each decile — discrete quantiles, so both engines
+    pick the IDENTICAL element (no interpolation floats).  Ranks come
+    from the distributed two-phase global rank, NOT a single-task
+    window (the oracle's count-over-() spelling is fine for DuckDB;
+    Spark-side the latency set is still user-scale and must not funnel
+    through one partition); the nine cut rows broadcast."""
+    from .operators.corpus import distributed_global_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_s")))
+        .alias("t_signup")
+    ).filter(F.col("t_signup").isNotNull())
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .filter(F.col("ts_s") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_purchase"),
+             F.first("t_signup").alias("t_signup"))
+    )
+    lat = p.select(
+        "user_id", (F.col("t_purchase") - F.col("t_signup")).alias("lat_s")
+    )
+    ranked, n = distributed_global_rank(
+        lat, [F.col("lat_s"), F.col("user_id")]
+    )
+    cuts = spark.createDataFrame(
+        [(d, (n * d + 9) // 10) for d in range(1, 10)],
+        "decile int, rank long",
+    )
+    return ranked.join(F.broadcast(cuts), "rank").select(
+        "decile", F.col("lat_s").alias("latency_s")
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
