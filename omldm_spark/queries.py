@@ -5696,6 +5696,79 @@ def q_conversion_latency_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_covisitation",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+sessions AS (
+  SELECT user_id, item,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM ordered
+),
+ui AS (SELECT DISTINCT user_id, sid, item FROM sessions)
+SELECT a.item AS item_a, b.item AS item_b,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM ui a JOIN ui b
+  ON a.user_id = b.user_id AND a.sid = b.sid AND a.item < b.item
+GROUP BY 1, 2
+""",
+)
+def q_session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped co-visitation (the composition of the gap-islands
+    sessionizer with the co-occurrence pair join): items count together
+    only when the SAME user touched both within one 300 s-gap session —
+    far sharper signal than whole-history co-occurrence, and the shape
+    behind 'viewed together' recommenders.  The session id, the
+    per-session item dedup and the pair self-join all key on (user,
+    sid): ONE user exchange carries the lag + running-sum windows, and
+    the join stays within session groups, so its blowup is per-SESSION
+    degree — bounded by the inactivity gap no matter how active the
+    user is over a year."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_id", "ts",
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    ).withColumn(
+        "gap", F.col("ts_s") - F.lag("ts_s").over(w)
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts_s", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ordered.withColumn(
+        "sid",
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > 300), 1)
+            .otherwise(0)
+        ).over(ws).cast("long"),
+    )
+    ui = sessions.select("user_id", "sid", "item").distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
