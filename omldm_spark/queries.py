@@ -5769,6 +5769,70 @@ def q_session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_parse_quarantine",
+    oracle="""
+SELECT 'good' AS lane, CAST(count(*) AS BIGINT) AS n FROM lineitem
+UNION ALL SELECT 'malformed_json', CAST(3 AS BIGINT)
+UNION ALL SELECT 'bad_operation', CAST(1 AS BIGINT)
+UNION ALL SELECT 'no_features', CAST(1 AS BIGINT)
+""",
+)
+def q_streaming_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ingest pipeline with a dead-letter lane: raw JSON
+    (plus the five junk shapes) streams through the quarantine parse,
+    and foreachBatch routes each micro-batch into TWO exactly-once
+    sinks — good rows to the training lane, classified rejects to the
+    quarantine lane (streaming/sinks.py IdempotentBatchSink: per-batch
+    dirs + commit log, so a crash-replayed batch cannot double-count a
+    reject).  Lane totals read back from the committed sinks and must
+    equal the batch classification — the same oracle as
+    parse_quarantine; replay and topology invisible."""
+    import tempfile
+
+    from .functions.parsing import parse_data_instances_quarantine
+    from .streaming.sinks import IdempotentBatchSink
+    from .streaming.sources import file_replay_source
+
+    di = data_instances(spark, sf_dir)
+    raw = to_json_sink(di)
+    junk = spark.createDataFrame(
+        [("EOS",), ("{not json",), ('{"operation": "nope"}',), ("",),
+         ('{"operation": "training"}',)],
+        ["value"],
+    )
+    tmp = tempfile.mkdtemp(prefix="omldm_squar_")
+    src = f"{tmp}/src"
+    raw.unionByName(junk).write.parquet(src)
+    stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
+    good_sink = IdempotentBatchSink(f"{tmp}/good")
+    dlq_sink = IdempotentBatchSink(f"{tmp}/dlq")
+
+    def route(batch, bid):
+        parsed = parse_data_instances_quarantine(batch).persist()
+        good_sink(parsed.filter(F.col("reject_reason").isNull())
+                  .select(F.lit(1).alias("one")), bid)
+        dlq_sink(parsed.filter(F.col("reject_reason").isNotNull())
+                 .select("reject_reason"), bid)
+        parsed.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    good_n = spark.read.parquet(*good_sink.committed_dirs()).count()
+    dlq = (
+        spark.read.parquet(*dlq_sink.committed_dirs())
+        .groupBy(F.col("reject_reason").alias("lane"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    good = spark.createDataFrame([("good", good_n)], "lane string, n long")
+    return dlq.unionByName(good)
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
