@@ -5833,6 +5833,67 @@ def q_streaming_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dlq.unionByName(good)
 
 
+@query(
+    "als_rank1_round",
+    oracle="""
+WITH ratings AS (
+  SELECT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS i,
+         CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_q
+  FROM events GROUP BY 1, 2
+),
+c1 AS (
+  SELECT i,
+         CAST(sum(v_q) * 10 // count(*) AS BIGINT) AS c_q
+  FROM ratings GROUP BY i
+),
+r1 AS (
+  SELECT r.u,
+         CAST(10000 * sum(r.v_q * c.c_q) // sum(c.c_q * c.c_q) AS BIGINT)
+           AS r_q
+  FROM ratings r JOIN c1 c ON r.i = c.i
+  GROUP BY r.u
+)
+SELECT u, r_q FROM r1
+""",
+)
+def q_als_rank1_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One alternation of rank-1 ALS on the user x item rating matrix
+    (matrix factorization as closed-form DataFrame rounds — the
+    recommender-model shape next to the k-means/PageRank/ORR iterative
+    family): with user factors initialized to 1, the item solve is the
+    per-item least-squares mean and the user solve projects each user's
+    ratings onto the item factor, both as single keyed aggregations
+    with truncating integer division (factors in 1e-3 units, ratings in
+    cents — every division exact cross-engine; int64 envelope noted in
+    the exprs).  Scale: ratings shuffle once per solve on the solved
+    side's key with map-side partial sums; item factors are item-scale
+    and broadcast into the user solve.  Further rounds repeat the same
+    two aggregations — the full ALS loop is this round iterated."""
+    ev = load_table(spark, sf_dir, "events")
+    ratings = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("i"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_q"),
+        )
+        .groupBy("u", "i")
+        .agg(F.max("v_q").alias("v_q"))
+    )
+    c1 = ratings.groupBy("i").agg(
+        F.expr("CAST(sum(v_q) * 10 div count(*) AS BIGINT)").alias("c_q")
+    )
+    return (
+        ratings.join(F.broadcast(c1), "i")
+        .groupBy("u")
+        .agg(
+            F.expr(
+                "CAST(10000 * sum(v_q * c_q) div sum(c_q * c_q) AS BIGINT)"
+            ).alias("r_q")
+        )
+    )
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
