@@ -5894,6 +5894,77 @@ def q_als_rank1_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ALS_TRAIN_SQL(rounds: int) -> str:
+    """Generated chained-CTE oracle for the iterated rank-1 ALS: each
+    round is the same two integer aggregations (item solve from the
+    previous user factors, user solve from the fresh item factors)."""
+    ctes = ["""ratings AS (
+  SELECT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS i,
+         CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_q
+  FROM events GROUP BY 1, 2
+)""", "r0 AS (SELECT DISTINCT u, CAST(1000 AS BIGINT) AS r_q FROM ratings)"]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""c{t} AS (
+  SELECT rt.i,
+         CAST(10000 * sum(rt.v_q * r.r_q) // sum(r.r_q * r.r_q) AS BIGINT)
+           AS c_q
+  FROM ratings rt JOIN r{t - 1} r ON rt.u = r.u
+  GROUP BY rt.i
+)""")
+        ctes.append(f"""r{t} AS (
+  SELECT rt.u,
+         CAST(10000 * sum(rt.v_q * c.c_q) // sum(c.c_q * c.c_q) AS BIGINT)
+           AS r_q
+  FROM ratings rt JOIN c{t} c ON rt.i = c.i
+  GROUP BY rt.u
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT u, r_q FROM r{rounds}"
+
+
+@query("als_rank1_train", oracle=_ALS_TRAIN_SQL(rounds=2))
+def q_als_rank1_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS iterated to 2 full alternations (the trained model,
+    extending als_rank1_round the way embedding_kmeans_train extends
+    the single Lloyd step): factors stay BIGINT in 1e-3 units through
+    every round, so the whole trajectory is bit-identical cross-engine
+    and the oracle is the generated CTE chain of the same recurrences.
+    Per round: one item-keyed and one user-keyed aggregation with
+    map-side partial sums; the factor tables are entity-scale and
+    broadcast into the opposite solve; ratings never re-shuffle beyond
+    those two keyed exchanges (and persist once for all rounds)."""
+    ev = load_table(spark, sf_dir, "events")
+    ratings = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("i"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_q"),
+        )
+        .groupBy("u", "i")
+        .agg(F.max("v_q").alias("v_q"))
+        .persist()
+    )
+    r = ratings.select("u").distinct().withColumn(
+        "r_q", F.lit(1000).cast("long")
+    )
+    for _ in range(2):
+        c = (
+            ratings.join(F.broadcast(r), "u")
+            .groupBy("i")
+            .agg(F.expr(
+                "CAST(10000 * sum(v_q * r_q) div sum(r_q * r_q) AS BIGINT)"
+            ).alias("c_q"))
+        )
+        r = (
+            ratings.join(F.broadcast(c), "i")
+            .groupBy("u")
+            .agg(F.expr(
+                "CAST(10000 * sum(v_q * c_q) div sum(c_q * c_q) AS BIGINT)"
+            ).alias("r_q"))
+        )
+    return r
+
+
 # fold passthrough on the shared Cramer text: same arithmetic tree, one
 # extra projected column — k gram rows in, k weight rows out
 _CRAMER_KFOLD_SQL = CRAMER_2D_SQL.replace(
