@@ -539,6 +539,21 @@ CHECKS = {
          lambda p: p.count("HashAggregate") >= 2),
         ("no join anywhere", lambda p: "Join" not in p),
     ],
+    "als_rank1_round": [
+        # item factors broadcast into the user solve; both solves
+        # partially aggregate before their keyed exchange
+        ("item factors ride a broadcast",
+         lambda p: "BroadcastHashJoin" in p),
+        ("partial aggregation both solves",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "session_covisitation": [
+        # session id + dedup + pair join all key on (user, sid): the
+        # lag/running-sum windows share one user exchange
+        ("windowed sessionizer", lambda p: "Window" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
     "cms_term_counts": [
         # the sketch shuffle key space is depth*width cells: partial
         # aggregation collapses the explode before the exchange; probe and
