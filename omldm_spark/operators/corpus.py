@@ -1050,3 +1050,50 @@ def distributed_global_rank(df: DataFrame, sort_cols: list,
         (F.row_number().over(w) + off_expr).cast("long").alias("rank"),
     )
     return ranked, acc
+
+
+def distributed_running_sum(df: DataFrame, sort_cols: list,
+                            val_col: str, num_ranges: int = 32) -> DataFrame:
+    """Two-phase exact global PREFIX SUM without a single-partition sort —
+    the distributed_global_rank pattern generalized from row counting to an
+    integer value column (the sweep-line / cumulative-balance primitive).
+
+    Phase 1 repartitionByRange on the (total-order) ``sort_cols`` and takes
+    per-range totals of ``val_col``; phase 2 adds each row's within-range
+    running sum to the cumulative total of every EARLIER range.  Only
+    ``num_ranges`` offset rows ever reach the driver, and the largest
+    single-node obligation is one range's sort (~rows/num_ranges) — the
+    global-ORDER-BY window that a naive running sum needs collapses every
+    row onto one task and is exactly what this avoids at 100 TB.
+
+    ``sort_cols`` MUST be a total order (include a unique id last) or the
+    prefix at ties is partition-dependent.  ``val_col`` must be integral
+    (BIGINT running sums are exact; float prefix sums would re-associate).
+    The input is persisted so the offsets job and the output job see the
+    same sampled range boundaries; callers unpersist via the result."""
+    ranged = df.repartitionByRange(num_ranges, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(val_col).cast("long").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_expr = F.element_at(
+        F.create_map(*[
+            x for pid in sorted(offsets)
+            for x in (F.lit(pid), F.lit(offsets[pid]))
+        ]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*sort_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranged.select(
+        *[c for c in df.columns],
+        (F.sum(val_col).over(w) + off_expr).cast("long").alias("running"),
+    )

@@ -584,3 +584,82 @@ def scd2_incremental_merge(dim: DataFrame, delta: DataFrame,
         .alias("is_current"),
     )
     return closed.unionByName(new_rows)
+
+
+# ---------------------------------------------------------------------------
+# Z-set incremental view maintenance (retractions) + sweep-line concurrency
+# ---------------------------------------------------------------------------
+
+def zset_agg_apply(mv: DataFrame, delta: DataFrame, key_cols: list,
+                   sum_cols: list, sign_col: str = "sign") -> DataFrame:
+    """Incremental maintenance of a materialized GROUP BY under INSERTS AND
+    DELETES — the Z-set / DBSP signed-multiplicity fold that
+    ``incremental_agg_merge`` (insert-only) cannot express.
+
+    ``mv`` holds the current aggregate state ``(key_cols..., cnt,
+    sum_cols...)``; ``delta`` is the change log at the BASE-TABLE grain with
+    ``sign_col`` = +1 (insert) / -1 (delete / retraction; an update is a
+    -1/+1 pair).  The delta collapses to per-key signed partials in one
+    map-side-combined aggregate, merges with the |keys|-sized state in one
+    keyed shuffle, and groups whose multiplicity reaches zero VANISH — the
+    invariant the cnt>0 filter enforces and the contract oracle checks by
+    recomputing from scratch (merge(agg(base), Δ) == agg(base ⊎ Δ)).
+
+    Scale shape: the nightly job touches |delta| + |keys| rows, never the
+    100 TB history; count/sum (and anything derivable from them: avg, and
+    min/max under insert-only) are the self-maintainable aggregates this
+    covers — holistic aggregates (exact quantiles) need the base table and
+    are out of scope by design."""
+    val_aggs = [
+        F.sum(F.col(sign_col) * F.col(c)).cast("long").alias(c)
+        for c in sum_cols
+    ]
+    delta_agg = delta.groupBy(*key_cols).agg(
+        F.sum(sign_col).cast("long").alias("cnt"), *val_aggs
+    )
+    return (
+        mv.unionByName(delta_agg)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols],
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def sweep_concurrency(intervals: DataFrame, start_col: str, end_col: str,
+                      id_col: str, num_ranges: int = 32) -> DataFrame:
+    """Sweep-line concurrency over CLOSED integer intervals: every interval
+    emits +1 at its start and -1 at its end, and the exact global running
+    sum over the boundary stream IS the number of concurrently-open
+    intervals at each boundary instant (peak load, max connections,
+    room-booking overlap — the classic interval-analytics primitive).
+
+    Ordering at equal timestamps is starts-before-ends (``ord`` 0/1) so
+    touching intervals count as overlapping, with ``id_col`` (unique per
+    interval) as the final tie-break — (ts, ord, id) is a total order, which
+    the prefix sum requires for cross-engine determinism.
+
+    The running sum is the two-phase distributed prefix sum
+    (corpus.distributed_running_sum): no global single-partition window at
+    any corpus size.  Returns one row per boundary: (ts, ord, iid, delta,
+    conc)."""
+    from .corpus import distributed_running_sum
+
+    starts = intervals.select(
+        F.col(start_col).cast("long").alias("ts"),
+        F.lit(0).alias("ord"),
+        F.col(id_col).cast("long").alias("iid"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    ends = intervals.select(
+        F.col(end_col).cast("long").alias("ts"),
+        F.lit(1).alias("ord"),
+        F.col(id_col).cast("long").alias("iid"),
+        F.lit(-1).cast("long").alias("delta"),
+    )
+    out = distributed_running_sum(
+        starts.unionByName(ends), ["ts", "ord", "iid"], "delta", num_ranges
+    )
+    return out.withColumnRenamed("running", "conc")

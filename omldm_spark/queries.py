@@ -6621,6 +6621,169 @@ def q_tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-set incremental view maintenance + sweep-line interval analytics
+# ---------------------------------------------------------------------------
+
+from .operators.temporal import sweep_concurrency, zset_agg_apply  # noqa: E402
+
+
+@query(
+    "mv_retractable_revenue",
+    oracle="""
+SELECT o_orderpriority AS pri,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_c
+FROM orders
+WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q_mv_retractable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-set incremental materialized-view maintenance WITH DELETES: the
+    monthly revenue rollup is materialized from the base partition, then a
+    change batch carrying inserts (+1: new orders, o_orderkey%7==0) and
+    retractions (-1: cancelled orders, %7!=0 and %11==0) folds in via ONE
+    signed delta aggregate + ONE |keys|-sized merge — the DBSP/Materialize
+    maintenance loop that insert-only incremental_agg_merge cannot express.
+    The oracle recomputes the view from scratch over the post-change base
+    table: merge(agg(base), Δ) == agg(base ⊎ Δ), including groups whose
+    multiplicity hits zero vanishing.  avg_c shows a non-mergeable
+    aggregate derived from the self-maintainable (sum, cnt) pair
+    (operators/temporal.py zset_agg_apply)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("revenue_c"),
+    )
+    base = od.filter(F.col("k") % 7 != 0)
+    mv = base.groupBy("pri", "yr", "mo").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("revenue_c").cast("long").alias("revenue_c"),
+    )
+    inserts = od.filter(F.col("k") % 7 == 0).withColumn(
+        "sign", F.lit(1).cast("long")
+    )
+    retracts = base.filter(F.col("k") % 11 == 0).withColumn(
+        "sign", F.lit(-1).cast("long")
+    )
+    merged = zset_agg_apply(
+        mv, inserts.unionByName(retracts), ["pri", "yr", "mo"], ["revenue_c"]
+    )
+    return merged.select(
+        "pri", "yr", "mo", "cnt", "revenue_c",
+        F.expr("revenue_c div cnt").cast("long").alias("avg_c"),
+    )
+
+
+@query(
+    "concurrent_users_peak",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s,
+         CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts_s, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(min(ts_s) AS BIGINT) AS start_s,
+         CAST(max(ts_s) AS BIGINT) AS end_s
+  FROM numbered GROUP BY 1, 2
+),
+deltas AS (
+  SELECT start_s AS ts, 0 AS ord,
+         user_id * 1000000000 + session_id AS iid,
+         CAST(1 AS BIGINT) AS delta
+  FROM sess
+  UNION ALL
+  SELECT end_s, 1, user_id * 1000000000 + session_id, CAST(-1 AS BIGINT)
+  FROM sess
+),
+run AS (
+  SELECT ts,
+         CAST(sum(delta) OVER (ORDER BY ts, ord, iid
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM deltas
+)
+SELECT CAST(ts // 86400 AS BIGINT) AS day_idx,
+       CAST(max(conc) AS BIGINT) AS peak_conc,
+       CAST(count(*) AS BIGINT) AS n_boundaries
+FROM run
+GROUP BY 1
+""",
+)
+def q_concurrent_users_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: user sessions (the event_sessions
+    gap-islands, 300 s) become closed [start, end] intervals; each emits
+    +1/-1 boundary deltas and the EXACT global running sum — the number of
+    simultaneously-active sessions — is computed with the two-phase
+    distributed prefix sum (corpus.distributed_running_sum), never a
+    global single-partition ORDER-BY window.  Peak per UTC day plus the
+    boundary count; day-boundary plateaus between deltas are attributed to
+    the day of the last boundary (documented sampling semantics — the
+    curve only changes at boundaries).  Tie order is starts-before-ends
+    (touching sessions overlap) with the interval id as the final
+    tie-break (operators/temporal.py sweep_concurrency)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = ev.withColumn(
+        "gap", F.col("ts_s") - F.lag("ts_s").over(w)
+    ).withColumn(
+        "new_session",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 300), 1).otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_s").cast("long").alias("start_s"),
+            F.max("ts_s").cast("long").alias("end_s"),
+        )
+        .select(
+            (F.col("user_id") * 1000000000 + F.col("session_id"))
+            .cast("long").alias("iid"),
+            "start_s", "end_s",
+        )
+    )
+    conc = sweep_concurrency(sess, "start_s", "end_s", "iid")
+    return conc.groupBy(
+        F.expr("ts div 86400").cast("long").alias("day_idx")
+    ).agg(
+        F.max("conc").cast("long").alias("peak_conc"),
+        F.count(F.lit(1)).cast("long").alias("n_boundaries"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -129,3 +129,51 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, agg(df).collect())
     )
+
+
+def test_zset_apply_vanishing_group_and_identity(spark):
+    """Z-set fold == full recompute, and a group retracted to multiplicity
+    zero disappears from the maintained view entirely."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.temporal import zset_agg_apply
+
+    base = spark.createDataFrame(
+        [(0, 10), (0, 20), (1, 5), (2, 7)], "k long, v long"
+    )
+    mv = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("v").cast("long").alias("v"),
+    )
+    # delete BOTH k=0 rows (group vanishes), insert a new k=3 row,
+    # update k=1: retract (1,5), insert (1,6)
+    delta = spark.createDataFrame(
+        [(0, 10, -1), (0, 20, -1), (3, 9, 1), (1, 5, -1), (1, 6, 1)],
+        "k long, v long, sign long",
+    )
+    out = {r["k"]: (r["cnt"], r["v"])
+           for r in zset_agg_apply(mv, delta, ["k"], ["v"]).collect()}
+    assert out == {1: (1, 6), 2: (1, 7), 3: (1, 9)}  # k=0 vanished
+
+
+def test_distributed_running_sum_range_invariance(spark):
+    """The two-phase prefix sum is exact and independent of the range
+    count (1 range == single window == 32 ranges)."""
+    from omldm_spark.operators.corpus import distributed_running_sum
+
+    rows = [(i * 7 % 50, i, 1 if i % 3 else -1) for i in range(200)]
+    df = spark.createDataFrame(rows, "ts long, iid long, delta long")
+
+    def run(n):
+        out = distributed_running_sum(df, ["ts", "iid"], "delta", n)
+        got = {(r["ts"], r["iid"]): r["running"] for r in out.collect()}
+        out.unpersist()
+        return got
+
+    expected = {}
+    acc = 0
+    for ts, iid, d in sorted((t, i, d) for t, i, d in rows):
+        acc += d
+        expected[(ts, iid)] = acc
+    assert run(1) == expected
+    assert run(32) == expected
