@@ -112,3 +112,67 @@ def PAGERANK_EVENTS_SQL(rounds: int, idiv: str = "//") -> str:
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT v, pr FROM r{rounds}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS (shortest unweighted hop distance)
+# ---------------------------------------------------------------------------
+
+def bfs_rounds(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` synchronous BFS expansions from a seed vertex set over a
+    directed edge list (``src``, ``dst``): after round R, every vertex
+    whose hop distance from the nearest seed is <= R carries that EXACT
+    distance (min-plus semiring power iteration — the label-correcting
+    twin of pagerank_rounds' sum-times iteration).
+
+    State after each round is the REACHED set only (frontier + interior),
+    so early rounds are tiny however large the graph; each round is one
+    join of edges with the reached set keyed by src + one min-groupBy on
+    dst with map-side combine. All-BIGINT distances — bit-identical on any
+    engine/partitioning, so the oracle is the same recurrence as chained
+    CTEs. At diameter-many rounds this IS single-source/multi-source
+    shortest paths for unweighted graphs; weighted min-plus drops in by
+    replacing d + 1 with d + w."""
+    reached = seeds.select(
+        F.col("v").cast("long").alias("v"),
+        F.lit(0).cast("long").alias("d"),
+    ).distinct()
+    for _ in range(rounds):
+        expanded = edges.join(reached, edges["src"] == reached["v"]).select(
+            F.col("dst").alias("v"), (F.col("d") + 1).cast("long").alias("d")
+        )
+        reached = (
+            reached.unionByName(expanded)
+            .groupBy("v")
+            .agg(F.min("d").cast("long").alias("d"))
+        )
+    return reached
+
+
+def BFS_EVENTS_SQL(rounds: int, seed_pred: str = "user_id < 3") -> str:
+    """Chained-CTE DuckDB oracle for bfs_rounds over the bipartite
+    user <-> props.k event graph (PAIRS_SQL/EDGES_SQL), seeded from the
+    user vertices matching ``seed_pred``."""
+    ctes = [
+        f"pairs AS ({PAIRS_SQL})",
+        f"edges AS ({EDGES_SQL})",
+        "r0 AS (SELECT DISTINCT user_id * 2 AS v, CAST(0 AS BIGINT) AS d"
+        f" FROM events WHERE {seed_pred})",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"""r{t + 1} AS (
+  SELECT v, CAST(min(d) AS BIGINT) AS d FROM (
+    SELECT v, d FROM r{t}
+    UNION ALL
+    SELECT e.dst AS v, r.d + 1 AS d FROM edges e JOIN r{t} r ON e.src = r.v
+  ) GROUP BY v
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v, CAST(v % 2 AS BIGINT) AS is_item,
+       CAST(v // 2 AS BIGINT) AS orig_id, d
+FROM r{rounds}"""
+    )

@@ -6784,6 +6784,79 @@ def q_concurrent_users_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (closed-form generative classifier)
+# ---------------------------------------------------------------------------
+
+from .learners.nbayes import (  # noqa: E402
+    NB_MODEL_SQL,
+    NB_SCORES_SQL,
+    nb_model,
+    nb_scores,
+)
+
+
+@query("nb_train_lang", oracle=NB_MODEL_SQL("lang"))
+def q_nb_train_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING on the documents corpus (class =
+    lang): the model is two map-side-combined aggregates over the token
+    stream — per-(class, token) counts and class totals — plus the corpus
+    vocabulary size; no iteration, no Python, no shuffle wider than
+    |classes| x |vocab|.  Laplace-smoothed log-likelihoods ship as integer
+    micro-nats via the deterministic HALF-UP quantized ln (one transcendental
+    per MODEL cell, never per corpus row — learners/nbayes.py docstring)."""
+    return nb_model(load_table(spark, sf_dir, "documents"), "lang")
+
+
+@query("nb_doc_scores", oracle=NB_SCORES_SQL("lang"))
+def q_nb_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB scoring + argmax prediction for every document: docs pre-combine
+    to DISTINCT (token, multiplicity) pairs BEFORE the vocab-sized model
+    join (broadcast when it fits), scores reduce in ONE (doc, class)-keyed
+    BIGINT aggregate, and the per-doc argmax is a window with a class-name
+    tie-break.  Resubstitution protocol (fit and scored on the same corpus)
+    — a train/test split composes by passing different frames
+    (learners/nbayes.py nb_scores)."""
+    return nb_scores(load_table(spark, sf_dir, "documents"), "lang")
+
+
+from .operators.graph import BFS_EVENTS_SQL, bfs_rounds  # noqa: E402
+
+
+@query("bfs_user_distance", oracle=BFS_EVENTS_SQL(rounds=4))
+def q_bfs_user_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (4 rounds) from the user_id < 3 seed set over the
+    bipartite user <-> props.k event graph: exact hop distances on the
+    min-plus semiring — the label-correcting twin of the pagerank
+    sum-times iteration, same chained-CTE oracle generation, all-BIGINT
+    state (operators/graph.py bfs_rounds).  Per round: edges join the
+    reached set by src (frontier-sized early, vertex-scale late) + one
+    min-groupBy with map-side combine; the reached set IS the state, so
+    round cost tracks reachability, not graph size."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k"),
+    ).distinct()
+    edges = pairs.select(
+        (F.col("u") * 2).alias("src"), (F.col("k") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("k") * 2 + 1).alias("src"), (F.col("u") * 2).alias("dst")
+        )
+    )
+    seeds = ev.filter(F.col("user_id") < 3).select(
+        (F.col("user_id") * 2).alias("v")
+    )
+    out = bfs_rounds(edges, seeds, rounds=4)
+    return out.select(
+        "v",
+        (F.col("v") % 2).cast("long").alias("is_item"),
+        F.expr("v div 2").cast("long").alias("orig_id"),
+        "d",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -232,3 +232,56 @@ def test_orr_kfold_weights_are_complement_ridge(spark):
         assert out[f]["n_train"] == int(mask.sum())
         assert np.allclose(
             [out[f]["w0"], out[f]["w1"], out[f]["bias"]], w, atol=2e-4)
+
+
+def test_nb_separable_corpus_and_unseen_fallback(spark):
+    """NB on a hand-separable corpus predicts the right class for every
+    doc, and a doc made ONLY of tokens unseen in either class falls back
+    to priors + lp0 (the larger class wins)."""
+    import math
+
+    from omldm_spark.learners.nbayes import nb_model, nb_scores
+
+    rows = [
+        (1, "cat cat purr", "en"),
+        (2, "cat purr purr", "en"),
+        (3, "chat chat ronron", "fr"),
+        (4, "zzz qqq", "en"),  # unseen tokens relative to a fit on 1-3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    fit = docs.filter("doc_id <= 3")
+
+    model = {(r["cls"], r["tok"]): r for r in nb_model(fit).collect()}
+    # exact sufficient statistics: 'cat' appears 3x in en; vocab = 4
+    assert model[("en", "cat")]["cnt"] == 3
+    assert model[("en", "cat")]["cls_total"] == 6
+    assert model[("en", "cat")]["vsz"] == 4
+    # quantized ln matches the HALF-UP rule on python floats
+    lp = math.floor(math.log((3 + 1) / float(6 + 4)) * 1e6 + 0.5)
+    assert model[("en", "cat")]["lp_mu"] == lp
+
+    # scoring the FIT frame: every doc classified correctly
+    scored = {r["doc_id"]: r for r in nb_scores(fit).collect()}
+    assert scored[1]["pred_cls"] == "en" and scored[1]["correct"]
+    assert scored[3]["pred_cls"] == "fr" and scored[3]["correct"]
+
+    # all-unseen doc: scores collapse to prior + 2*lp0 per class; the
+    # 2-doc 'en' prior beats the 1-doc 'fr' prior only if lp0 agrees —
+    # en has the LARGER class total (6 vs 3) so smaller lp0; verify the
+    # argmax against the hand fold
+    full = {r["doc_id"]: r for r in nb_scores(docs).collect()}
+    assert full[4]["pred_cls"] in ("en", "fr")
+    m4 = {(r["cls"], r["tok"]): r["lp_mu"]
+          for r in nb_model(docs).collect()}
+    vsz = 6  # cat purr chat ronron zzz qqq
+    by_cls = {}
+    for cls, n_cls, tot in (("en", 3, 8), ("fr", 1, 3)):
+        prior = math.floor(math.log(n_cls / 4.0) * 1e6 + 0.5)
+        lp0 = math.floor(math.log(1.0 / (tot + vsz)) * 1e6 + 0.5)
+        s = prior
+        for t in ("zzz", "qqq"):
+            s += m4.get((cls, t), lp0)
+        by_cls[cls] = s
+    want = max(sorted(by_cls), key=lambda c: (by_cls[c], ))
+    assert full[4]["pred_cls"] == want
+    assert full[4]["score_mu"] == by_cls[want]

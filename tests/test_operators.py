@@ -1063,3 +1063,25 @@ def test_zvalue_interleave_bijective(spark):
     zs = [r["z"] for r in grid.selectExpr(
         f"{zvalue_sql(['x', 'y'], 5)} AS z").collect()]
     assert len(set(zs)) == 32 * 32 and max(zs) == 32 * 32 - 1
+
+
+def test_bfs_path_graph_distances(spark):
+    """BFS on a hand path graph 0-1-2-3-4 (+ isolated 9) from seeds {0}:
+    after R rounds vertices at hops <= R carry the exact distance; beyond-R
+    and unreachable vertices are absent."""
+    from omldm_spark.operators.graph import bfs_rounds
+
+    links = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(
+        links + [(b, a) for a, b in links], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "v long")
+    got2 = {r["v"]: r["d"] for r in bfs_rounds(edges, seeds, 2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2}
+    got4 = {r["v"]: r["d"] for r in bfs_rounds(edges, seeds, 4).collect()}
+    assert got4 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    # multi-source: nearest seed wins
+    seeds2 = spark.createDataFrame([(0,), (4,)], "v long")
+    got = {r["v"]: r["d"] for r in bfs_rounds(edges, seeds2, 2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
