@@ -164,3 +164,105 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             ])
         ).alias("_r")
     ).select("_r.*")
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier detection
+# ---------------------------------------------------------------------------
+
+def mad_outliers(df: DataFrame, group_col: str, val_col: str,
+                 key_col: str, k_x10000: int = 44478) -> DataFrame:
+    """Per-group robust outliers: flag rows where |x - median| exceeds
+    k * MAD, the median-absolute-deviation rule that survives the garbage
+    values a mean/stddev z-score is wrecked by (k_x10000 = 44478 is the
+    classic 3 * 1.4826 consistency-scaled threshold, carried x10000 so
+    the comparison is an exact BIGINT cross-multiplication — no floats
+    anywhere).
+
+    Both the median and the MAD are EXACT disc quantiles from value-count
+    histograms (the robust_scaler bound: aggregation key space = distinct
+    quantized values per group, not rows): one histogram pass for the
+    median, one for the deviations, each followed by a window scan over
+    the tiny per-group CDF; the fact table is read twice and shuffled
+    zero times (group stats broadcast back).  Returns ONLY the flagged
+    rows: (key, group, val, med, mad, dev)."""
+    from pyspark.sql import Window
+
+    def _disc_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        hist = frame.groupBy(group_col, F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w = Window.partitionBy(group_col).orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot = Window.partitionBy(group_col)
+        cdf = hist.select(
+            group_col, "v",
+            F.sum("c").over(w).cast("long").alias("cum"),
+            F.sum("c").over(tot).cast("long").alias("n"),
+        )
+        return (
+            cdf.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy(group_col)
+            .agg(F.min("v").cast("long").alias(out))
+        )
+
+    med = _disc_median(df, val_col, "med")
+    with_med = df.join(F.broadcast(med), group_col).withColumn(
+        "dev", F.abs(F.col(val_col) - F.col("med")).cast("long")
+    )
+    mad = _disc_median(with_med, "dev", "mad")
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .filter(F.col("dev") * 10000 > F.lit(k_x10000) * F.col("mad"))
+        .select(
+            F.col(key_col), F.col(group_col), F.col(val_col).alias("val"),
+            "med", "mad", "dev",
+        )
+    )
+
+
+def MAD_OUTLIERS_SQL(select_sql: str, group_col: str, val_col: str,
+                     key_col: str, k_x10000: int = 44478) -> str:
+    """DuckDB oracle: identical histogram-CDF disc medians and BIGINT
+    cross-multiplied threshold."""
+    return f"""
+WITH base AS ({select_sql}),
+h1 AS (
+  SELECT {group_col} AS g, {val_col} AS v, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+),
+c1 AS (
+  SELECT g, v,
+         CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM h1
+),
+med AS (
+  SELECT g, CAST(min(v) AS BIGINT) AS med FROM c1
+  WHERE cum >= (n + 1) // 2 GROUP BY g
+),
+devs AS (
+  SELECT b.{key_col} AS key, b.{group_col} AS g, b.{val_col} AS val,
+         m.med, CAST(abs(b.{val_col} - m.med) AS BIGINT) AS dev
+  FROM base b JOIN med m ON b.{group_col} = m.g
+),
+h2 AS (
+  SELECT g, dev AS v, CAST(count(*) AS BIGINT) AS c FROM devs GROUP BY 1, 2
+),
+c2 AS (
+  SELECT g, v,
+         CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM h2
+),
+mad AS (
+  SELECT g, CAST(min(v) AS BIGINT) AS mad FROM c2
+  WHERE cum >= (n + 1) // 2 GROUP BY g
+)
+SELECT d.key AS {key_col}, d.g AS {group_col}, d.val, d.med, a.mad, d.dev
+FROM devs d JOIN mad a ON d.g = a.g
+WHERE d.dev * 10000 > {k_x10000} * a.mad
+"""

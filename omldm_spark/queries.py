@@ -6857,6 +6857,108 @@ def q_bfs_user_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Feature encoders (target encoding, quantile binning, hashing trick) + MAD
+# ---------------------------------------------------------------------------
+
+from .functions.encoders import (  # noqa: E402
+    HASH_FEATURES_SQL,
+    QUANTILE_BIN_SQL,
+    TARGET_ENCODE_SQL,
+    hash_features,
+    quantile_bin,
+    target_encode_loo,
+)
+from .operators.quality import MAD_OUTLIERS_SQL, mad_outliers  # noqa: E402
+
+_ORD_VAL_SQL = """
+SELECT o_orderkey AS k, o_orderpriority AS pri,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS val_c
+FROM orders
+"""
+
+
+def _ord_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("val_c"),
+    )
+
+
+@query(
+    "target_encoded_priority",
+    oracle=TARGET_ENCODE_SQL(_ORD_VAL_SQL, "k", "pri", "val_c"),
+)
+def q_target_encoded_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_orderpriority against order
+    value cents, plus the m=20 additively-smoothed variant — the
+    high-cardinality categorical encoder with the target-leakage fix
+    (each row's own label subtracted from its category statistic).
+    Category stats and the global mean broadcast back over ONE fact scan;
+    the fact table never shuffles, unlike a partitionBy(cat) window that
+    hot-spots skewed categories (functions/encoders.py
+    target_encode_loo).  All-BIGINT — truncating cents division, exact
+    both engines."""
+    return target_encode_loo(_ord_val(spark, sf_dir), "k", "pri", "val_c")
+
+
+@query(
+    "quantile_binned_orders",
+    oracle=QUANTILE_BIN_SQL(_ORD_VAL_SQL, "k", "val_c", bins=10),
+)
+def q_quantile_binned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuantileDiscretizer fit+transform: exact decile bin edges from the
+    value-count histogram CDF (key space = distinct cents values, the
+    robust_scaler bound), then bin assignment via ONE broadcast sorted
+    edge array + a higher-order filter — right-closed bins, no rank pass
+    or second shuffle of the fact table (functions/encoders.py
+    quantile_bin).  Differs from order_value_deciles (exact per-ROW ntile
+    rank) in being a reusable fitted TRANSFORMER: the 9 edges are the
+    model and apply unchanged to new data."""
+    return quantile_bin(_ord_val(spark, sf_dir), "k", "val_c", bins=10)
+
+
+@query("hashed_doc_features", oracle=HASH_FEATURES_SQL(dim=64))
+def q_hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (Weinberger et al.) of the documents token
+    stream into 64 slots: slot and sign from the shared md5 instr-fold
+    SQL text (sketch.bucket_sql — engine-identical collisions), weights
+    reduce in ONE (doc, slot) map-side-combined groupBy.  O(dim) memory
+    per doc at ANY vocabulary size — no dictionary to fit or broadcast;
+    the fixed-width featurizer that feeds the hashed linear models
+    (functions/encoders.py hash_features)."""
+    return hash_features(load_table(spark, sf_dir, "documents"), dim=64)
+
+
+_EV_VAL_SQL = """
+SELECT event_id AS k, event_type AS g,
+       CAST(round(value * 100, 0) AS BIGINT) AS val_c
+FROM events
+"""
+
+
+@query(
+    "mad_outlier_events",
+    oracle=MAD_OUTLIERS_SQL(_EV_VAL_SQL, "g", "val_c", "k"),
+)
+def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outliers on the heavy-tailed value column:
+    |x - median| > 3 * 1.4826 * MAD with the threshold carried x10000 as
+    an exact BIGINT cross-multiplication — no floats.  Median and MAD are
+    exact disc quantiles from per-group value-count histograms (two
+    histogram passes + tiny CDF windows; group stats broadcast back, the
+    fact table shuffles zero times) — the outlier screen that survives
+    the garbage values a mean/stddev z-score is wrecked by
+    (operators/quality.py mad_outliers)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("val_c"),
+    )
+    return mad_outliers(ev, "g", "val_c", "k")
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of
