@@ -6959,6 +6959,193 @@ def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Integer EWMA, item-item similarity top-k, streaming Z-set fold
+# ---------------------------------------------------------------------------
+
+@query(
+    "ewma_user_value",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_c
+  FROM events
+),
+arrs AS (
+  SELECT user_id, list(v_c ORDER BY ts_s, event_id) AS vs
+  FROM base GROUP BY 1
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+       CAST(list_reduce(vs, (acc, x) -> (3 * x + 7 * acc) // 10) AS BIGINT)
+         AS ewma_c
+FROM arrs
+""",
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user integer EWMA of event value (alpha = 0.3 as the rational
+    3/10): s_i = (3*v_i + 7*s_{i-1}) div 10, seeded with the first value —
+    truncating integer division makes the inherently-sequential fold
+    BIT-IDENTICAL across engines, so the oracle is DuckDB's list_reduce
+    over the same ordered list.  The fold is a Catalyst higher-order
+    `aggregate` over the per-user value array: ONE user-keyed exchange,
+    no Python, no per-row state machinery — the per-key sequential
+    semantics the SGD learners need a mapInPandas loop for, here free
+    because state is one integer.  Per-user history must fit an array
+    cell (fine to ~1e6 events/user); beyond that, chunk by time window
+    and fold the chunk EWMAs with the same recurrence."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    arrs = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts_s, event_id, v_c))),"
+            " s -> s.v_c)"
+        ).alias("vs")
+    )
+    return arrs.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),"
+            " (acc, x) -> (3L * x + 7L * acc) div 10L)"
+        ).cast("long").alias("ewma_c"),
+    )
+
+
+@query(
+    "item_similarity_topk",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+  FROM events
+),
+item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY item),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= 3
+),
+sym AS (
+  SELECT item_a AS item, item_b AS nbr, n_co FROM co
+  UNION ALL
+  SELECT item_b, item_a, n_co FROM co
+),
+scored AS (
+  SELECT s.item, s.nbr, s.n_co,
+         CAST(s.n_co * s.n_co * 1000000 // (ia.n * ib.n) AS BIGINT)
+           AS sim2_ppm
+  FROM sym s
+  JOIN item_n ia ON ia.item = s.item
+  JOIN item_n ib ON ib.item = s.nbr
+)
+SELECT item, nbr, n_co, sim2_ppm, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY item
+              ORDER BY sim2_ppm DESC, n_co DESC, nbr ASC) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+)
+def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: cosine^2 similarity
+    over the binary user-item matrix, n_co^2/(na*nb) in truncated integer
+    ppm — exact cross-engine, no sqrt (squaring is monotone, so the top-k
+    ranking is THE cosine ranking).  Co-occurrence pairs symmetrize and a
+    per-item window keeps the 5 nearest neighbors — the precomputed
+    item-to-item table (Amazon-style) that serves 'users also touched'
+    lookups.  Scale: inherits the per-user-degree-capped self-join from
+    item_cooccurrence; margins broadcast; the top-k window partitions by
+    item (never global).  Integer envelope: n_co^2 * 1e6 < 2^63 up to
+    n_co ~ 3e6 co-occurrences; divide by one margin first past that."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct().persist()
+    item_n = ui.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    sym = co.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("nbr"), "n_co"
+    ).unionByName(
+        co.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("nbr"),
+            "n_co",
+        )
+    )
+    ia = item_n.select(F.col("item").alias("item"), F.col("n").alias("na"))
+    ib = item_n.select(F.col("item").alias("nbr"), F.col("n").alias("nb"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim2_ppm").desc(), F.col("n_co").desc(), F.col("nbr").asc()
+    )
+    return (
+        sym.join(F.broadcast(ia), "item")
+        .join(F.broadcast(ib), "nbr")
+        .select(
+            "item", "nbr", "n_co",
+            F.expr("CAST(n_co * n_co * 1000000 div (na * nb) AS BIGINT)")
+            .alias("sim2_ppm"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "streaming_mv_retractable",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+            AS BIGINT) AS cnt,
+       CAST(sum((CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+                * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS bal_c
+FROM events
+GROUP BY 1
+HAVING sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) > 0
+""",
+)
+def q_streaming_mv_retractable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of mv_retractable_revenue: the Z-set signed
+    fold AS the streaming aggregation state — inserts (+1) and
+    retractions (-1, 'error' events) maintain (cnt, bal_c) per user
+    in ONE update-mode agg; the compacted upsert state filtered to
+    cnt > 0 at publish time hash-matches the batch fold at any batch
+    cadence, including keys whose multiplicity returns to zero
+    vanishing.  State is |keys| rows; emissions are per-key updates —
+    the change-data path of an incrementally-maintained view, in-stream
+    (operators/temporal.py zset_agg_apply is the batch shape)."""
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_zset_")
+    signed = stream.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", -1).otherwise(1)
+        .cast("long").alias("sign"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    out = signed.groupBy("user_id").agg(
+        F.sum("sign").cast("long").alias("cnt"),
+        F.sum(F.col("sign") * F.col("v_c")).cast("long").alias("bal_c"),
+    )
+    rows = _run_update_stream(out, tmp, ["user_id"])
+    return spark.createDataFrame(
+        [(r["user_id"], r["cnt"], r["bal_c"]) for r in rows],
+        "user_id long, cnt long, bal_c long",
+    ).filter(F.col("cnt") > 0)
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -1085,3 +1085,37 @@ def test_bfs_path_graph_distances(spark):
     seeds2 = spark.createDataFrame([(0,), (4,)], "v long")
     got = {r["v"]: r["d"] for r in bfs_rounds(edges, seeds2, 2).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_ewma_fold_matches_python_loop(spark):
+    """The Catalyst higher-order EWMA fold reproduces the sequential
+    Python recurrence exactly, at any partitioning."""
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["user_id"]: r for r in QUERIES["ewma_user_value"](spark, sf).collect()}
+
+    from omldm_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf, "events")
+        .select(
+            "user_id", "event_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts_s"], r["event_id"], r["v_c"])
+        )
+    for u, rows in by_user.items():
+        vs = [v for _, _, v in sorted(rows)]
+        s = vs[0]
+        for x in vs[1:]:
+            s = (3 * x + 7 * s) // 10
+        assert out[u]["ewma_c"] == s, u
+        assert out[u]["n_events"] == len(vs)

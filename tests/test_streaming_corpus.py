@@ -147,3 +147,50 @@ def test_streaming_topk_state_cadence_independent(spark, tmp_path):
         return state
 
     assert run(1) == run(3)
+
+
+def test_streaming_zset_fold_cadence_and_vanish(spark, tmp_path):
+    """The signed (cnt, sum) streaming fold equals the batch Z-set fold at
+    any cadence, and a key whose multiplicity returns to zero is absent
+    from the published (cnt > 0) view."""
+    from pyspark.sql import functions as F
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("sign", LongType()),
+        StructField("v", LongType()),
+    ])
+    # key 7: +1 then -1 -> multiplicity 0 (must vanish); key 1: net 2
+    rows = [(1, 1, 10), (7, 1, 5), (1, 1, 20), (7, -1, 5), (1, -1, 10),
+            (1, 1, 40), (2, 1, 9)]
+
+    def run(n_files: int):
+        src = tmp_path / f"zsrc_{n_files}"
+        src.mkdir()
+        for f in range(n_files):
+            spark.createDataFrame(
+                rows[f::n_files], schema
+            ).coalesce(1).write.parquet(str(src / f"f{f}.parquet"))
+        stream = file_replay_source(
+            spark, f"{src}/*", schema, max_files_per_trigger=1
+        )
+        agg = stream.groupBy("k").agg(
+            F.sum("sign").cast("long").alias("cnt"),
+            F.sum(F.col("sign") * F.col("v")).cast("long").alias("bal"),
+        )
+        state: dict = {}
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: state.update(
+                {r["k"]: (r["cnt"], r["bal"]) for r in df.collect()}
+            ))
+            .option("checkpointLocation", str(tmp_path / f"zckpt_{n_files}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {k: v for k, v in state.items() if v[0] > 0}
+
+    expect = {1: (2, 60), 2: (1, 9)}  # 7 vanished
+    assert run(1) == expect
+    assert run(3) == expect
