@@ -617,6 +617,67 @@ CHECKS = {
         ("hash-partitioned window",
          lambda p: bool(re.search(r"windowspecdefinition\(span_hash", p))),
     ],
+    "mv_retractable_revenue": [
+        # the Z-set fold is union + groupBy: partial aggregation before
+        # the keyed merge shuffle, and never a join
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("map-side combined merge", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "concurrent_users_peak": [
+        # the whole point of the two-phase prefix sum: no global
+        # single-partition window; per-range running sums ride the range
+        # partitioning, session windows ride the user hash partitioning
+        ("no single-partition exchange",
+         lambda p: "SinglePartition" not in p),
+        ("range-partitioned prefix sum", lambda p: "rangepartitioning" in p),
+    ],
+    "target_encoded_priority": [
+        # category stats + global mean broadcast back; the fact table is
+        # never shuffled by category and never window-scanned
+        ("stats broadcast into the fact scan",
+         lambda p: "BroadcastHashJoin" in p),
+        ("fact never shuffle-joined", lambda p: "SortMergeJoin" not in p),
+        ("no per-category window",
+         lambda p: "windowspecdefinition(pri" not in p),
+    ],
+    "quantile_binned_orders": [
+        # the transform is a broadcast of the 9-edge array over the fact
+        # scan (BNLJ for the conditionless join); the only windows are
+        # histogram-scale (documented)
+        ("edges broadcast over the fact",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+        ("fact never shuffle-joined", lambda p: "SortMergeJoin" not in p),
+    ],
+    "item_similarity_topk": [
+        # margins broadcast; the top-k window partitions by item, never
+        # globally
+        ("margins broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("per-item window",
+         lambda p: bool(re.search(r"windowspecdefinition\(item", p))),
+        ("no single-partition exchange",
+         lambda p: "SinglePartition" not in p),
+    ],
+    "ewma_user_value": [
+        # one user-keyed exchange; the sequential fold is a Catalyst
+        # higher-order function, never Python
+        ("single exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+        ("no Python in the fold", lambda p: "EvalPython" not in p),
+    ],
+    "hashed_doc_features": [
+        # one explode + ONE (doc, slot) groupBy with map-side combine
+        ("single exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+        ("map-side combined", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "nb_doc_scores": [
+        # the argmax window partitions by doc; class frame broadcast
+        ("per-doc argmax window",
+         lambda p: bool(re.search(r"windowspecdefinition\(doc_id", p))),
+        ("class frame broadcast",
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+    ],
 }
 
 
