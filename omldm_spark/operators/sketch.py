@@ -406,3 +406,85 @@ true_c AS (
 SELECT summary.*, {_est_sql("z_scaled")} AS est_distinct, true_distinct
 FROM summary JOIN true_c USING ({g})
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: CMS-prefiltered exact counting
+# ---------------------------------------------------------------------------
+
+def cms_heavy_hitters(docs: DataFrame, threshold: int, depth: int = 4,
+                      width: int = 256, text_col: str = "text") -> DataFrame:
+    """Terms with exact corpus frequency >= ``threshold``, found WITHOUT a
+    vocabulary-scale aggregate: the count-min sketch (depth x width cells,
+    map-side combined) acts as a candidate filter — a term can reach the
+    threshold only if EVERY one of its depth cells does, so the corpus
+    token stream inner-joins the broadcast hot-cell set (cells with
+    cnt >= threshold) once per depth row and only survivors reach the
+    exact count.  No false negatives (CMS never undercounts); false
+    positives (cold terms sharing hot cells) die in the final exact
+    filter.
+
+    This is the two-pass heavy-hitters plan for when the vocabulary
+    doesn't fit a groupBy's key space at 100 TB: pass 1 state is bounded
+    at depth*width cells whatever the corpus; pass 2's aggregate keys are
+    only the candidates, which Zipf keeps tiny for any meaningful
+    threshold.  Returns (tok, cnt, est) with est = min over the term's
+    cells — always >= cnt, both exact integers."""
+    toks = docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+    with_buckets = toks.select(
+        "tok",
+        *[F.expr(bucket_sql("tok", d, width)).alias(f"b{d}")
+          for d in range(depth)],
+    )
+    sketch = countmin_sketch(docs, depth=depth, width=width,
+                             text_col=text_col)
+    hot = sketch.filter(F.col("cnt") >= threshold)
+    cand = with_buckets
+    for d in range(depth):
+        hd = hot.filter(F.col("d") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("cnt").alias(f"c{d}")
+        )
+        cand = cand.join(F.broadcast(hd), f"b{d}")
+    return (
+        cand.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min(F.least(*[F.col(f"c{d}") for d in range(depth)]))
+            .cast("long").alias("est"),
+        )
+        .filter(F.col("cnt") >= threshold)
+    )
+
+
+def CMS_HEAVY_HITTERS_SQL(threshold: int, depth: int = 4, width: int = 256,
+                          table: str = "documents",
+                          text_expr: str = "text") -> str:
+    """DuckDB oracle: exact counts filtered at the threshold, paired with
+    the same sketch-cell minimum (the oracle recomputes est from the
+    shared md5 instr-fold cells — identical collisions)."""
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket_sql('tok', d, width)} AS bucket FROM toks"
+        for d in range(depth)
+    )
+    est_joins = "\n".join(
+        f"JOIN cells c{d} ON c{d}.d = {d}"
+        f" AND c{d}.bucket = {bucket_sql('e.tok', d, width)}"
+        for d in range(depth)
+    )
+    least = ", ".join(f"c{d}.cnt" for d in range(depth))
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_SQL(text_expr)}) AS tok FROM {table}
+),
+cells AS (
+  SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({cell_selects}) GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+)
+SELECT e.tok, e.cnt, CAST(least({least}) AS BIGINT) AS est
+FROM exact e
+{est_joins}
+WHERE e.cnt >= {threshold}
+"""

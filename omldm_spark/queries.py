@@ -7146,6 +7146,232 @@ def q_streaming_mv_retractable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CMS-prefiltered heavy hitters, grouped closed-form ridge, time-series
+# resampling, blocked fuzzy join
+# ---------------------------------------------------------------------------
+
+from .operators.sketch import (  # noqa: E402
+    CMS_HEAVY_HITTERS_SQL,
+    cms_heavy_hitters,
+)
+
+
+@query("heavy_hitters_terms", oracle=CMS_HEAVY_HITTERS_SQL(threshold=200))
+def q_heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters: terms with exact corpus frequency >= 200,
+    found WITHOUT a vocabulary-scale aggregate — the count-min sketch's
+    hot cells (cnt >= T, bounded at depth x width rows) broadcast as a
+    candidate filter over the token stream (a term can reach T only if
+    every one of its cells does — no false negatives), and only survivors
+    reach the exact count whose key space Zipf keeps tiny.  False
+    positives die in the final exact filter, so the result — and the
+    oracle — is exactly 'count >= T', with the paired est column
+    recomputed from the shared md5 instr-fold cells
+    (operators/sketch.py cms_heavy_hitters)."""
+    return cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), threshold=200
+    )
+
+
+_SEG_POINTS_SQL = """
+SELECT l_returnflag AS grp,
+       CAST(round(l_quantity * 100, 0) AS BIGINT) AS q0,
+       CAST(round(l_discount * 100, 0) AS BIGINT) AS q1,
+       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS qy
+FROM lineitem
+"""
+
+_SEG_GRAM_SQL = f"""
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n,
+       avg(q0 * q0) / 10000.0 AS m_0_0,
+       avg(q0 * q1) / 10000.0 AS m_0_1,
+       avg(q0) / 100.0 AS m_0_b,
+       avg(q0 * qy) / 10000000.0 AS v_0,
+       avg(q1 * q1) / 10000.0 AS m_1_1,
+       avg(q1) / 100.0 AS m_1_b,
+       avg(q1 * qy) / 10000000.0 AS v_1,
+       avg(qy) / 100000.0 AS v_b
+FROM ({_SEG_POINTS_SQL})
+GROUP BY grp
+"""
+
+# group passthrough on the shared Cramer text (the kfold pattern): k gram
+# rows in, k per-segment weight rows out — same arithmetic tree
+_CRAMER_SEG_SQL = CRAMER_2D_SQL.replace(
+    "SELECT\n  n,", "SELECT\n  grp,\n  n,", 1
+).replace("SELECT n, v_0, v_1, v_b,", "SELECT grp, n, v_0, v_1, v_b,", 1)
+
+_ORR_SEG_LAMBDA = 0.1
+
+
+@query(
+    "orr_per_segment",
+    oracle=_CRAMER_SEG_SQL.format(g=f"({_SEG_GRAM_SQL})",
+                                  lam=_ORR_SEG_LAMBDA),
+)
+def q_orr_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented closed-form ridge: one independent 2-feature model PER
+    l_returnflag, all fitted in ONE grouped Gram aggregation (map-side
+    combined — |segments| x 9 sufficient statistics, never a per-segment
+    job or loop) and solved with the shared-Cramer text with group
+    passthrough (the orr_kfold_cv pattern).  The many-models-in-one-pass
+    shape a feature platform uses for per-country / per-category models;
+    exactness inherits the quantized-integer Gram envelope
+    (learners/orr.py, queries.py POINTS_SQL note)."""
+    import uuid
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("q0"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("q1"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("qy"),
+    )
+    q0, q1, qy = F.col("q0"), F.col("q1"), F.col("qy")
+    gram = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.avg(q0 * q0) / F.lit(10000.0)).alias("m_0_0"),
+        (F.avg(q0 * q1) / F.lit(10000.0)).alias("m_0_1"),
+        (F.avg(q0) / F.lit(100.0)).alias("m_0_b"),
+        (F.avg(q0 * qy) / F.lit(10000000.0)).alias("v_0"),
+        (F.avg(q1 * q1) / F.lit(10000.0)).alias("m_1_1"),
+        (F.avg(q1) / F.lit(100.0)).alias("m_1_b"),
+        (F.avg(q1 * qy) / F.lit(10000000.0)).alias("v_1"),
+        (F.avg(qy) / F.lit(100000.0)).alias("v_b"),
+    )
+    view = f"omldm_seg_gram_{uuid.uuid4().hex[:8]}"
+    gram.createOrReplaceTempView(view)
+    return spark.sql(_CRAMER_SEG_SQL.format(g=view, lam=_ORR_SEG_LAMBDA))
+
+
+@query(
+    "resampled_user_values",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_c
+  FROM events
+),
+bounds AS (
+  SELECT user_id,
+         CAST(min(ts_s) // 3600 AS BIGINT) AS hs,
+         CAST(max(ts_s) // 3600 AS BIGINT) AS he
+  FROM base GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(hs, he)) AS h FROM bounds
+),
+merged AS (
+  SELECT user_id, ts_s AS ts, 0 AS kind, event_id AS tb, v_c,
+         CAST(NULL AS BIGINT) AS h
+  FROM base
+  UNION ALL
+  SELECT user_id, h * 3600 + 3599, 1, -h, CAST(NULL AS BIGINT), h
+  FROM grid
+),
+filled AS (
+  SELECT user_id, kind, h,
+         last_value(v_c IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind, tb
+           ROWS UNBOUNDED PRECEDING) AS fv
+  FROM merged
+)
+SELECT user_id, CAST(h * 3600 AS BIGINT) AS hour_s,
+       CAST(fv AS BIGINT) AS v_c
+FROM filled WHERE kind = 1
+""",
+)
+def q_resampled_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: each user's event values
+    regularized onto an hourly grid (their own [first, last] hour span),
+    carrying the last observation at-or-before each hour's end — the
+    gap-filling join every feature/monitoring pipeline needs.  The grid
+    generates from per-user bounds via sequence() (no calendar table),
+    unions with the events, and ONE per-user window with
+    last(ignorenulls) fills every marker — the pit_feature_join union-
+    window as-of plan: one exchange + one sort however long the span,
+    never a per-hour join or range explosion."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.expr("min(ts_s) div 3600").cast("long").alias("hs"),
+        F.expr("max(ts_s) div 3600").cast("long").alias("he"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("hs", "he")).alias("h")
+    )
+    ev_rows = ev.select(
+        "user_id", F.col("ts_s").alias("ts"), F.lit(0).alias("kind"),
+        F.col("event_id").alias("tb"), "v_c",
+        F.lit(None).cast("long").alias("h"),
+    )
+    marker_rows = grid.select(
+        "user_id", (F.col("h") * 3600 + 3599).alias("ts"),
+        F.lit(1).alias("kind"), (-F.col("h")).cast("long").alias("tb"),
+        F.lit(None).cast("long").alias("v_c"), "h",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "kind", "tb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = ev_rows.unionByName(marker_rows).select(
+        "user_id", "kind", "h",
+        F.last("v_c", ignorenulls=True).over(w).alias("fv"),
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        "user_id",
+        (F.col("h") * 3600).cast("long").alias("hour_s"),
+        F.col("fv").cast("long").alias("v_c"),
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+WITH blocked AS (
+  SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+  FROM customer
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM blocked a
+JOIN blocked b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity-resolution candidate scoring):
+    customer names within the same 16-char prefix block compared by
+    Levenshtein edit distance, pairs at distance <= 1 kept.  Blocking
+    turns the O(n^2) all-pairs distance into an equi-join whose quadratic
+    cost is per-BLOCK (the standard ER mitigation; recall lost to
+    blocking is recovered by additional passes on different key
+    projections — documented trade-off).  Spark and DuckDB both implement
+    classic Levenshtein, so the distance — and the result set — is
+    engine-identical."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a, b = cu.alias("a"), cu.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

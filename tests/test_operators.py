@@ -1119,3 +1119,54 @@ def test_ewma_fold_matches_python_loop(spark):
             s = (3 * x + 7 * s) // 10
         assert out[u]["ewma_c"] == s, u
         assert out[u]["n_events"] == len(vs)
+
+
+def test_cms_heavy_hitters_no_false_negatives(spark):
+    """Every term at-or-above the threshold survives the hot-cell
+    prefilter (CMS never undercounts), sub-threshold terms are absent,
+    and est >= cnt cell-wise."""
+    from omldm_spark.operators.sketch import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, ("hot " * 10 + f"cold{i} warm") if i < 8 else "warm tail")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r["tok"]: r for r in
+           cms_heavy_hitters(docs, threshold=9, width=16).collect()}
+    assert set(out) == {"hot", "warm"}  # hot=80, warm=10; cold*=1, tail=2
+    assert out["hot"]["cnt"] == 80 and out["warm"]["cnt"] == 10
+    assert all(r["est"] >= r["cnt"] for r in out.values())
+
+
+def test_resample_forward_fill_hand_case(spark):
+    """Two events in hour 0 and hour 2: the hour-1 marker carries the
+    hour-0 value forward; the hour-2 marker picks up the newer value; an
+    in-hour event at the marker second is included (at-or-before)."""
+    from omldm_spark.queries import QUERIES
+    import pyspark.sql.functions as F
+
+    # build a miniature events frame and run the same plan via a temp dir
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="omldm_resample_")
+    # ts1 = 1700000100 (hour h); ts2 = 1700009999 == the EXACT second of
+    # hour h+2's marker (h*3600 offset: 1700000100//3600*3600 = 1699999200,
+    # +2h +3599s = 1700009999) — pins the at-or-before tie rule
+    ev = spark.createDataFrame(
+        [(1, 0, 100, 5.0), (2, 0, 9999, 7.0)],
+        "event_id long, user_id long, off long, value double",
+    ).select(
+        "event_id", "user_id",
+        F.expr("timestamp_seconds(1700000000 + off)").alias("ts"),
+        "value", F.lit("x").alias("event_type"), F.lit("{}").alias("props"),
+    )
+    os.makedirs(f"{tmp}", exist_ok=True)
+    ev.write.parquet(f"{tmp}/events.parquet")
+    out = {r["hour_s"]: r["v_c"] for r in
+           QUERIES["resampled_user_values"](spark, tmp).collect()}
+    base_h = (1700000000 + 100) // 3600
+    assert out == {
+        base_h * 3600: 500,          # hour of first event
+        (base_h + 1) * 3600: 500,    # gap hour forward-filled
+        (base_h + 2) * 3600: 700,    # event AT the marker second included
+    }

@@ -678,6 +678,36 @@ CHECKS = {
          lambda p: "BroadcastNestedLoopJoin" in p
          or "BroadcastHashJoin" in p),
     ],
+    "heavy_hitters_terms": [
+        # hot cells broadcast as the candidate filter — one per depth row
+        ("hot-cell broadcasts per depth",
+         lambda p: p.count("BroadcastHashJoin") >= 4),
+        ("exact count map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "orr_per_segment": [
+        # all segments fit in ONE grouped Gram aggregation — one exchange,
+        # map-side combined; never a per-segment job
+        ("single exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+        ("grouped gram map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "resampled_user_values": [
+        # the fill is ONE per-user window over the union — never a
+        # per-hour join and never a global sort
+        ("per-user fill window",
+         lambda p: bool(re.search(r"windowspecdefinition\(user_id", p))),
+        ("no single-partition exchange",
+         lambda p: "SinglePartition" not in p),
+    ],
+    "fuzzy_name_pairs": [
+        # blocking makes it an equi-join: no cartesian/nested-loop pair
+        # generation anywhere
+        ("equi-join on the block key",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 
