@@ -7372,6 +7372,250 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Experiment analytics: Welch t-test, chi-square independence, CMS in-stream
+# ---------------------------------------------------------------------------
+
+@query(
+    "ab_test_report",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(user_id % 2 AS BIGINT) AS grp,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_c
+  FROM events
+),
+stats AS (
+  SELECT event_type, grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_c) AS BIGINT) AS s,
+         CAST(sum(v_c * v_c) AS HUGEINT) AS ss
+  FROM base GROUP BY 1, 2
+),
+wide AS (
+  SELECT event_type,
+         max(CASE WHEN grp = 0 THEN n END) AS n0,
+         max(CASE WHEN grp = 0 THEN s END) AS s0,
+         max(CASE WHEN grp = 0 THEN ss END) AS ss0,
+         max(CASE WHEN grp = 1 THEN n END) AS n1,
+         max(CASE WHEN grp = 1 THEN s END) AS s1,
+         max(CASE WHEN grp = 1 THEN ss END) AS ss1
+  FROM stats GROUP BY 1
+),
+derived AS (
+  SELECT event_type, n0, n1, s0, s1,
+         CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(n0 * ss0 - CAST(s0 AS HUGEINT) * s0 AS DOUBLE)
+           / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) AS v0,
+         CAST(n1 * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1
+  FROM wide
+)
+SELECT event_type, n0, n1, s0, s1,
+       round(m1 - m0, 6) AS mean_diff_c,
+       round((m1 - m0) / sqrt(v1 / CAST(n1 AS DOUBLE)
+                              + v0 / CAST(n0 AS DOUBLE)), 6) AS t_stat,
+       abs((m1 - m0) / sqrt(v1 / CAST(n1 AS DOUBLE)
+                            + v0 / CAST(n0 AS DOUBLE))) > 1.96
+         AS significant
+FROM derived
+""",
+)
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event_type (assignment = user_id parity):
+    Welch's t on the value metric from BIGINT sufficient statistics — n,
+    sum, sum-of-squares per arm in ONE map-side-combined aggregate, means
+    and variances derived with a MIRRORED operation sequence, and the t
+    statistic closed with +, -, *, / and sqrt only — all IEEE-mandated
+    correctly-rounded ops on identical operands, so the statistic is
+    bit-identical cross-engine (no erf/p-value: the 1.96 two-sided-5%%
+    threshold is the decision).  sum(v^2) and the n*ss - s^2 numerator
+    ride DECIMAL(38,0)/HUGEINT (int64 overflows past ~sf1 — the POINTS_SQL
+    envelope note)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    stats = ev.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_c").cast("long").alias("s"),
+        F.sum(F.col("v_c").cast("decimal(38,0)")
+              * F.col("v_c").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("ss"),
+    )
+    wide = stats.groupBy("event_type").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("grp") == 0, F.col("ss"))).alias("ss0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 1, F.col("ss"))).alias("ss1"),
+    )
+    derived = wide.select(
+        "event_type", "n0", "n1", "s0", "s1",
+        F.expr("CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)").alias("m0"),
+        F.expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)").alias("m1"),
+        F.expr(
+            "CAST(CAST(n0 AS DECIMAL(38,0)) * ss0"
+            " - CAST(s0 AS DECIMAL(38,0)) * CAST(s0 AS DECIMAL(38,0))"
+            " AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE))"
+        ).alias("v0"),
+        F.expr(
+            "CAST(CAST(n1 AS DECIMAL(38,0)) * ss1"
+            " - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))"
+            " AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))"
+        ).alias("v1"),
+    )
+    t = (
+        "(m1 - m0) / sqrt(v1 / CAST(n1 AS DOUBLE)"
+        " + v0 / CAST(n0 AS DOUBLE))"
+    )
+    return derived.select(
+        "event_type", "n0", "n1", "s0", "s1",
+        F.expr("round(m1 - m0, 6)").alias("mean_diff_c"),
+        F.expr(f"round({t}, 6)").alias("t_stat"),
+        F.expr(f"abs({t}) > 1.96").alias("significant"),
+    )
+
+
+@query(
+    "chi2_type_dow",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events
+),
+o AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o_cnt
+  FROM base GROUP BY 1, 2
+),
+margins AS (
+  SELECT o.event_type, o.dow, o.o_cnt,
+         CAST(sum(o.o_cnt) OVER (PARTITION BY o.event_type) AS BIGINT) AS r,
+         CAST(sum(o.o_cnt) OVER (PARTITION BY o.dow) AS BIGINT) AS c,
+         CAST(sum(o.o_cnt) OVER () AS BIGINT) AS n
+  FROM o
+),
+cells AS (
+  SELECT event_type, dow, o_cnt,
+         CAST(floor(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0
+                    + 0.5) AS BIGINT) AS e_ppm,
+         CAST(floor(
+           ((CAST(o_cnt AS DOUBLE)
+             - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(o_cnt AS DOUBLE)
+               - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS contrib_ppm
+  FROM margins
+)
+SELECT CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm,
+       CAST((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT dow) - 1) AS BIGINT) AS df,
+       CAST(sum(o_cnt) AS BIGINT) AS n
+FROM cells
+""",
+)
+def q_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type x day-of-week (the
+    data-profiling dependence screen): observed counts and margins are
+    exact BIGINTs; each cell's (o-e)^2/e rides identical IEEE divisions
+    and is HALF-UP quantized to integer ppm BEFORE the final sum, so the
+    statistic is exact cross-engine despite engines summing the 35 cells
+    in different orders (the quantize-then-sum rule the float-sum trap
+    NOTES document).  Spark dayofweek is 1-based vs DuckDB 0-based —
+    normalized Spark-side (the seasonality_profile trap)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    )
+    o = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o_cnt")
+    )
+    from pyspark.sql import Window
+
+    margins = o.select(
+        "event_type", "dow", "o_cnt",
+        F.sum("o_cnt").over(Window.partitionBy("event_type"))
+        .cast("long").alias("r"),
+        F.sum("o_cnt").over(Window.partitionBy("dow"))
+        .cast("long").alias("c"),
+        F.sum("o_cnt").over(
+            Window.partitionBy()
+        ).cast("long").alias("n"),
+    )
+    e = "CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)"
+    cells = margins.select(
+        "event_type", "dow", "o_cnt",
+        F.expr(
+            f"CAST(floor({e} * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("e_ppm"),
+        F.expr(
+            f"CAST(floor(((CAST(o_cnt AS DOUBLE) - {e})"
+            f" * (CAST(o_cnt AS DOUBLE) - {e}) / ({e}))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("contrib_ppm"),
+    )
+    return cells.agg(
+        F.sum("contrib_ppm").cast("long").alias("chi2_ppm"),
+        ((F.countDistinct("event_type") - 1)
+         * (F.countDistinct("dow") - 1)).cast("long").alias("df"),
+        F.sum("o_cnt").cast("long").alias("n"),
+    )
+
+
+from .operators.sketch import bucket_sql as _bucket_sql  # noqa: E402
+
+_CMS_STREAM_DEPTH, _CMS_STREAM_WIDTH = 4, 64
+
+
+@query(
+    "streaming_cms_cells",
+    oracle=f"""
+SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT {d} AS d, "
+      f"{_bucket_sql('event_type', d, _CMS_STREAM_WIDTH)} AS bucket "
+      "FROM events"
+      for d in range(_CMS_STREAM_DEPTH)
+  )}
+)
+GROUP BY 1, 2
+""",
+)
+def q_streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained AS streaming aggregation state (the
+    CMS twin of streaming_hll_users): each event expands to depth cell
+    keys via the shared md5 instr-fold text and ONE update-mode
+    (d, bucket) groupBy counts them — state is bounded at depth x width
+    rows at ANY stream length, emissions are per-cell updates, and the
+    compacted final cells hash-match the batch sketch exactly (counts
+    are sum-mergeable, cadence-independent)."""
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_cms_")
+    cells = stream.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("d"),
+                    F.expr(_bucket_sql("event_type", d, _CMS_STREAM_WIDTH))
+                    .alias("bucket"),
+                )
+                for d in range(_CMS_STREAM_DEPTH)
+            ])
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    out = cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    rows = _run_update_stream(out, tmp, ["d", "bucket"])
+    return spark.createDataFrame(
+        [(r["d"], r["bucket"], r["cnt"]) for r in rows],
+        "d long, bucket long, cnt long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

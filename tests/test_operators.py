@@ -1170,3 +1170,28 @@ def test_resample_forward_fill_hand_case(spark):
         (base_h + 1) * 3600: 500,    # gap hour forward-filled
         (base_h + 2) * 3600: 700,    # event AT the marker second included
     }
+
+
+def test_ab_test_welch_t_matches_numpy(spark):
+    """The Welch t statistic from integer sufficient statistics matches
+    the straightforward numpy computation on the raw values."""
+    import numpy as np
+
+    from omldm_spark.queries import QUERIES
+    from omldm_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["event_type"]: r for r in QUERIES["ab_test_report"](spark, sf).collect()}
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    ).collect()
+    for et in {r["event_type"] for r in ev}:
+        a = np.array([r["v_c"] for r in ev if r["event_type"] == et and r["grp"] == 1], dtype=float)
+        b = np.array([r["v_c"] for r in ev if r["event_type"] == et and r["grp"] == 0], dtype=float)
+        t = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        assert abs(out[et]["t_stat"] - t) < 1e-4, et
+        assert out[et]["significant"] == (abs(t) > 1.96), et
