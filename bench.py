@@ -39,6 +39,7 @@ HEADLINE = [
     "event_sessions",          # gap-and-island sessionization
     "pagerank_user_props",     # iterative graph rounds (3x join+agg)
     "pit_feature_join",        # point-in-time multi-feature window join
+    "nb_doc_scores",           # NB train + score + argmax over the corpus
 ]
 
 

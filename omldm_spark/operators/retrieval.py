@@ -362,3 +362,78 @@ SELECT * FROM (
   FROM fused
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Positional index + phrase search
+# ---------------------------------------------------------------------------
+
+def positional_postings(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted-index rows: (doc_id, pos, term), 1-based
+    positions (matching SQL generate_subscripts).  A narrow explode — no
+    shuffle; phrase/proximity operators filter this to their query terms
+    BEFORE any join."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("pos0", "term"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "term")
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase matching over the positional index: the phrase
+    [t_0..t_k] matches at position p iff term t_i sits at p+i for every i
+    — a chain of equi-joins on (doc, position+offset), each side already
+    filtered to ONE query term.  Returns (doc_id, n_matches, first_pos).
+
+    Scale shape: the corpus-sized positional index is filtered to the
+    phrase's terms before the first join (term-selective pruning — the
+    classic optimization is to start from the RAREST term; the chain here
+    is left-to-right since every side is already term-filtered), so join
+    inputs are posting-list-sized, keyed by doc — co-partitioned after
+    the first shuffle.  No regex over raw text, no per-doc Python."""
+    pp = positional_postings(docs, text_col, id_col)
+    cand = pp.filter(F.col("term").isin(list(set(phrase))))
+    m = (
+        cand.filter(F.col("term") == phrase[0])
+        .select(F.col(id_col), F.col("pos").alias("p0"))
+    )
+    for i, t in enumerate(phrase[1:], 1):
+        nxt = cand.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        m = m.join(nxt, [id_col, "p0"])
+    return m.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )
+
+
+def PHRASE_SEARCH_SQL(phrase: list[str], table: str = "documents",
+                      text_expr: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB oracle: same positional chain over generate_subscripts."""
+    joins = "\n".join(
+        f"JOIN pp t{i} ON t{i}.{id_col} = t0.{id_col}"
+        f" AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'"
+        for i, t in enumerate(phrase[1:], 1)
+    )
+    return f"""
+WITH arr AS (
+  SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table}
+),
+pp AS (
+  SELECT {id_col}, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM arr
+)
+SELECT t0.{id_col},
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(t0.pos) AS BIGINT) AS first_pos
+FROM pp t0
+{joins}
+WHERE t0.term = '{phrase[0]}'
+GROUP BY t0.{id_col}
+"""

@@ -488,3 +488,117 @@ FROM exact e
 {est_joins}
 WHERE e.cnt >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct via sketch merging
+# ---------------------------------------------------------------------------
+
+def hll_trailing_daily(df: DataFrame, key_expr: str, ts_s_col: str,
+                       trailing_days: int = 7) -> DataFrame:
+    """Trailing-N-day distinct counts per observed day from MERGED daily
+    HLL registers — the sliding-window COUNT DISTINCT that has no cheap
+    exact form at scale (each day's users overlap the next; re-counting
+    every window re-reads N days of raw data).  The corpus is read ONCE
+    into per-(day, bucket) registers; each cell then fans out to the <= N
+    trailing windows it serves (cells x N rows, sketch-scale, nowhere
+    near the corpus) and cell-wise max — HLL's lossless merge — rebuilds
+    every window's registers.  Windows are reported at OBSERVED days
+    (semi-join).  The paired true_distinct column is the exact audit
+    (computed from day-deduplicated pairs, the only corpus-scale part an
+    exact answer inherently needs)."""
+    day = f"CAST({ts_s_col} div 86400 AS BIGINT)"
+    cells = (
+        df.select(
+            F.expr(day).alias("day_idx"),
+            F.expr(hll_bucket_sql(key_expr)).alias("bucket"),
+            F.expr(_hll_v_sql(key_expr)).alias("v"),
+        )
+        .select("day_idx", "bucket", F.expr(hll_rho_sql("v")).alias("rho"))
+        .groupBy("day_idx", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    days = cells.select("day_idx").distinct()
+    fan = cells.select(
+        F.explode(
+            F.sequence(F.col("day_idx"),
+                       F.col("day_idx") + (trailing_days - 1))
+        ).alias("day_idx"),
+        F.col("bucket"),
+        F.col("max_rho"),
+    ).join(days, "day_idx", "left_semi")
+    regs = fan.groupBy("day_idx", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    pairs = df.select(
+        F.expr(day).alias("day_idx"), F.expr(key_expr).alias("k")
+    ).distinct()
+    true = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day_idx"),
+                           F.col("day_idx") + (trailing_days - 1))
+            ).alias("day_idx"),
+            "k",
+        )
+        .join(days, "day_idx", "left_semi")
+        .groupBy("day_idx")
+        .agg(F.countDistinct("k").cast("long").alias("true_distinct"))
+    )
+    return hll_grouped_summary_from_registers(regs, ["day_idx"], true)
+
+
+def HLL_TRAILING_DAILY_SQL(table: str, key_expr: str, ts_s_expr: str,
+                           trailing_days: int = 7) -> str:
+    n1 = trailing_days - 1
+    return f"""
+WITH base AS (
+  SELECT CAST(({ts_s_expr}) // 86400 AS BIGINT) AS day_idx, {key_expr} AS k
+  FROM {table}
+),
+h AS (
+  SELECT day_idx, {hll_bucket_sql("k")} AS bucket, {_hll_v_sql("k")} AS v
+  FROM base
+),
+cells AS (
+  SELECT day_idx, bucket, max({hll_rho_sql("v")}) AS max_rho
+  FROM h GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day_idx FROM cells),
+fan AS (
+  SELECT c.day_idx + off AS day_idx, c.bucket, c.max_rho
+  FROM cells c CROSS JOIN (
+    SELECT unnest(generate_series(0, {n1})) AS off
+  )
+  WHERE c.day_idx + off IN (SELECT day_idx FROM days)
+),
+regs AS (
+  SELECT day_idx, bucket, max(max_rho) AS max_rho FROM fan GROUP BY 1, 2
+),
+s AS (
+  SELECT day_idx, CAST(count(*) AS INT) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+           AS z_present
+  FROM regs GROUP BY 1
+),
+summary AS (
+  SELECT day_idx, CAST(64 - n_present AS INT) AS v_zero,
+         CAST(z_present + CAST(64 - n_present AS BIGINT)
+              * CAST(562949953421312 AS BIGINT) AS BIGINT) AS z_scaled
+  FROM s
+),
+pairs AS (SELECT DISTINCT day_idx, k FROM base),
+true_c AS (
+  SELECT f.day_idx, CAST(count(DISTINCT f.k) AS BIGINT) AS true_distinct
+  FROM (
+    SELECT p.day_idx + off AS day_idx, p.k
+    FROM pairs p CROSS JOIN (
+      SELECT unnest(generate_series(0, {n1})) AS off
+    )
+    WHERE p.day_idx + off IN (SELECT day_idx FROM days)
+  ) f
+  GROUP BY 1
+)
+SELECT summary.*, {_est_sql("z_scaled")} AS est_distinct, true_distinct
+FROM summary JOIN true_c USING (day_idx)
+"""

@@ -7616,6 +7616,160 @@ def q_streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Phrase search, sliding-window HLL, Pareto analysis, MoM growth
+# ---------------------------------------------------------------------------
+
+from .operators.retrieval import (  # noqa: E402
+    PHRASE_SEARCH_SQL,
+    phrase_search,
+)
+
+_PHRASE = ["order", "fast"]
+
+
+@query("phrase_search_docs", oracle=PHRASE_SEARCH_SQL(_PHRASE))
+def q_phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('order fast') over the positional
+    inverted index: term t_i must sit at position p+i — a chain of
+    (doc, position+offset) equi-joins, every side filtered to ONE query
+    term BEFORE joining, so join inputs are posting-list-sized and
+    co-partition by doc after the first shuffle.  The phrase/proximity
+    capability BM25 bag-of-words retrieval can't express — no regex over
+    raw text, no per-doc Python (operators/retrieval.py phrase_search)."""
+    return phrase_search(load_table(spark, sf_dir, "documents"), _PHRASE)
+
+
+from .operators.sketch import (  # noqa: E402
+    HLL_TRAILING_DAILY_SQL,
+    hll_trailing_daily,
+)
+
+
+@query(
+    "hll_trailing_users_7d",
+    oracle=HLL_TRAILING_DAILY_SQL(
+        "events", "user_id", "CAST(floor(epoch(ts)) AS BIGINT)"
+    ),
+)
+def q_hll_trailing_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED daily HLL
+    registers — the sliding COUNT DISTINCT that exact methods must
+    re-read N days of raw data per window for: here the corpus is read
+    ONCE into (day, bucket) registers and each cell fans out to the <= 7
+    windows it serves (sketch-scale, cell-wise max = HLL's lossless
+    merge).  est derives from the shared Z-sum text; the paired
+    true_distinct column is the exact audit
+    (operators/sketch.py hll_trailing_daily)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    return hll_trailing_daily(ev, "user_id", "ts_s", trailing_days=7)
+
+
+@query(
+    "pareto_items",
+    oracle="""
+WITH item_rev AS (
+  SELECT CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM item_rev),
+run AS (
+  SELECT item, rev_c,
+         CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, item
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+  FROM item_rev
+)
+SELECT r.item, r.rev_c, r.cum_c,
+       (r.cum_c - r.rev_c) * 100 < t.total_c * 80 AS in_core80
+FROM run r CROSS JOIN tot t
+""",
+)
+def q_pareto_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / contribution analysis: items ranked by revenue with the
+    exact cumulative share and the 80%%-core flag (an item is core iff
+    the cumulative revenue BEFORE it is under 80%% — so the crossing item
+    is included, the classic rule).  The running total is the two-phase
+    distributed prefix sum ordered (rev desc, item) — catalog-scale
+    Pareto without a single-partition window; the threshold is an exact
+    BIGINT cross-multiplication, no percentages in floats."""
+    ev = load_table(spark, sf_dir, "events")
+    item_rev = ev.select(
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    ).groupBy("item").agg(F.sum("v_c").cast("long").alias("rev_c"))
+    tot = item_rev.agg(F.sum("rev_c").cast("long").alias("total_c"))
+    from .operators.corpus import distributed_running_sum
+
+    run = distributed_running_sum(
+        item_rev.withColumn("neg_rev", -F.col("rev_c")),
+        ["neg_rev", "item"], "rev_c",
+    )
+    return run.crossJoin(F.broadcast(tot)).select(
+        "item", "rev_c",
+        F.col("running").alias("cum_c"),
+        ((F.col("running") - F.col("rev_c")) * 100
+         < F.col("total_c") * 80).alias("in_core80"),
+    )
+
+
+@query(
+    "revenue_mom_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1, 2
+),
+with_prev AS (
+  SELECT yr, mo, rev_c,
+         lag(rev_c) OVER (ORDER BY yr, mo) AS prev_c
+  FROM monthly
+)
+SELECT yr, mo, rev_c,
+       CAST(rev_c - prev_c AS BIGINT) AS delta_c,
+       CAST(CASE WHEN prev_c IS NULL THEN NULL
+            ELSE floor(CAST((rev_c - prev_c) * 1000000 AS DOUBLE)
+                       / CAST(prev_c AS DOUBLE) + 0.5) END AS BIGINT)
+         AS growth_ppm
+FROM with_prev
+""",
+)
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup (map-side
+    combined), lag over the months-scale frame, growth in HALF-UP ppm
+    computed on doubles (floor(x + 0.5) — NOT integer div, whose
+    truncation direction differs between engines for NEGATIVE deltas;
+    the NOTES `div` rule only holds for positive operands).  The
+    window is over the tiny monthly frame, never the fact table."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("rev_c")
+    )
+    w = Window.orderBy("yr", "mo")
+    wp = monthly.withColumn("prev_c", F.lag("rev_c").over(w))
+    return wp.select(
+        "yr", "mo", "rev_c",
+        (F.col("rev_c") - F.col("prev_c")).cast("long").alias("delta_c"),
+        F.expr(
+            "CAST(CASE WHEN prev_c IS NULL THEN NULL"
+            " ELSE floor(CAST((rev_c - prev_c) * 1000000 AS DOUBLE)"
+            " / CAST(prev_c AS DOUBLE) + 0.5) END AS BIGINT)"
+        ).alias("growth_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

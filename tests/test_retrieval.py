@@ -141,3 +141,21 @@ def test_kmeans_train_matches_numpy_replay(spark):
     for c in range(3):
         assert out[c]["n_assigned"] == last_counts.get(c, 0)
         assert list(out[c]["centroid_q"]) == cents[c]
+
+
+def test_phrase_search_overlaps_and_positions(spark):
+    """Overlapping occurrences each count ('a a a' matches 'a a' twice);
+    first_pos is 1-based; docs without the full phrase are absent."""
+    from omldm_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x a a y a a"), (3, "a b a"), (4, "b b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in phrase_search(docs, ["a", "a"]).collect()}
+    assert out[1]["n_matches"] == 2 and out[1]["first_pos"] == 1
+    assert out[2]["n_matches"] == 2 and out[2]["first_pos"] == 2
+    assert 3 not in out and 4 not in out
+
+    tri = {r["doc_id"]: r for r in phrase_search(docs, ["a", "a", "a"]).collect()}
+    assert set(tri) == {1} and tri[1]["n_matches"] == 1
