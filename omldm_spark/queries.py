@@ -7795,26 +7795,26 @@ _SNAPSHOT_TOP = [
     # learners with closed-form / decision-exact oracles
     "orr_weights", "orr_predictions", "orr_query_response",
     "orr_scaled_query_response", "hub_sharded_stats", "ht_prequential",
-    # preprocessors
-    "polynomial_features",
+    # preprocessors / feature encoders
+    "target_encoded_priority",
     # dedup family
     "dedup_exact", "minhash_lsh_pairs",
     "dedup_clusters", "simhash_docs", "zorder_events_key",
     # text analysis + corpus ops
-    "text_quality", "lang_id", "dq_report_orders",
-    "decontaminate", "curriculum_order", "bpe_train_merges",
+    "text_quality", "nb_doc_scores", "dq_report_orders",
+    "heavy_hitters_terms", "curriculum_order", "bpe_train_merges",
     "weighted_sample_docs",
     # similarity + retrieval + multimodal
     "ann_cosine_topk", "rrf_fusion_topk", "multimodal_decode_meta",
     # sketches / skew / drift
-    "cms_term_counts", "hll_distinct_users", "salted_agg_revenue",
+    "hll_trailing_users_7d", "hll_distinct_users", "salted_agg_revenue",
     "ddm_drift_summary",
     # streaming (stream-stream, stream-static, stateful dedup)
     "stream_click_attribution", "streaming_enriched_counts",
     "streaming_near_dedup",
     # temporal / relational
-    "event_sessions", "grouped_quantiles",
-    "pit_feature_join", "range_join_click_window",
+    "event_sessions", "ab_test_report",
+    "pit_feature_join", "mv_retractable_revenue",
     "latest_event_per_user_type",
     # TPC-H shapes (pushdown proof, top-k, dims, semi/anti composition)
     "tpch_q1_like", "tpch_q3_like", "tpch_q5_like",
