@@ -7770,6 +7770,148 @@ def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence mining, quantile transform, streaming experiment stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_event_trigrams",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT event_type AS t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+  FROM ordered WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, cnt, rn FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY cnt DESC, t1, t2, t3) AS BIGINT) AS rn
+  FROM tri
+) WHERE rn <= 20
+""",
+)
+def q_top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step behavioral sequences (the sequence-mining step after
+    markov_transitions' 2-step matrix): per-user ordered lead/lead(2)
+    windows ride ONE user-keyed exchange — consecutive triples, not a
+    self-join — then one (t1,t2,t3) groupBy with map-side combine; the
+    final top-20 ranks the |types|^3-bounded aggregate, never row-scale
+    data.  Ties break lexicographically for determinism."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wr = Window.orderBy(
+        F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc(),
+        F.col("t3").asc(),
+    )
+    return tri.withColumn("rn", F.row_number().over(wr).cast("long")).filter(
+        F.col("rn") <= 20
+    )
+
+
+@query(
+    "quantile_transform_orders",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS val_c
+  FROM orders
+),
+ranked AS (
+  SELECT k, val_c,
+         CAST(row_number() OVER (ORDER BY val_c, k) AS BIGINT) AS rank,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM base
+)
+SELECT k, val_c, rank,
+       CAST((rank - 1) * 1000000 // (n - 1) AS BIGINT) AS quantile_ppm
+FROM ranked
+""",
+)
+def q_quantile_transform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuantileTransformer (rank -> uniform [0, 1e6] ppm): every order
+    value mapped to its exact empirical quantile — the monotone
+    normalization that defeats arbitrary skew where min-max scaling
+    can't.  The rank is the two-phase distributed global rank (range
+    partition + per-range offsets, the curriculum_order plan — never a
+    single-partition ORDER BY over the fact table); the ppm is a
+    truncating BIGINT division, exact cross-engine.  Ordering
+    (val_c, k) is total, so ranks are partitioning-independent."""
+    from .operators.corpus import distributed_global_rank
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("val_c"),
+    )
+    ranked, n = distributed_global_rank(od, ["val_c", "k"])
+    return ranked.select(
+        "k", "val_c", "rank",
+        F.expr(f"(rank - 1) * 1000000 div ({n} - 1)").cast("long")
+        .alias("quantile_ppm"),
+    )
+
+
+@query(
+    "streaming_ab_stats",
+    oracle="""
+SELECT event_type,
+       CAST(user_id % 2 AS BIGINT) AS grp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS ss
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_streaming_ab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of ab_test_report: the experiment's sufficient
+    statistics (n, sum, sum-of-squares per arm) maintained as update-mode
+    streaming aggregation state — the t statistic derives from the
+    compacted state at READ time (ab_test_report's closed form), so the
+    dashboard pays one tiny projection per refresh while the stream pays
+    one bounded-state agg.  Final state hash-matches the batch statistics
+    at any cadence.  ss stays in BIGINT here (v_c^2 sums overflow int64
+    only past ~sf1 — the envelope note on ab_test_report governs when to
+    switch the state column to DECIMAL)."""
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_ab_")
+    sig = stream.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    out = sig.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_c").cast("long").alias("s"),
+        F.sum(F.col("v_c") * F.col("v_c")).cast("long").alias("ss"),
+    )
+    rows = _run_update_stream(out, tmp, ["event_type", "grp"])
+    return spark.createDataFrame(
+        [(r["event_type"], r["grp"], r["n"], r["s"], r["ss"]) for r in rows],
+        "event_type string, grp long, n long, s long, ss long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

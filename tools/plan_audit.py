@@ -708,6 +708,21 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "quantile_transform_orders": [
+        # rank -> uniform without funneling the fact through one task
+        ("no single-partition exchange",
+         lambda p: "SinglePartition" not in p),
+        ("range-partitioned rank", lambda p: "rangepartitioning" in p),
+    ],
+    "top_event_trigrams": [
+        # triples from per-user leads (one keyed exchange), counted with
+        # map-side combine; the global top-20 window sees only the
+        # |types|^3 aggregate
+        ("per-user lead window",
+         lambda p: bool(re.search(r"windowspecdefinition\(user_id", p))),
+        ("trigram counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
 }
 
 
