@@ -1,0 +1,142 @@
+"""Exact distributed greedy split: the histogram tree-node primitive.
+
+Beyond-reference surface complementing HT (learners/ht.py): the Hoeffding
+tree grows from STREAMED per-leaf observer sketches with a statistical
+bound; this module is the BATCH exact counterpart — the histogram-based
+best-split search that XGBoost/LightGBM run per tree node, expressed as
+plain DataFrame aggregation.  One corpus pass melts every row into its
+(feature, value) pairs and ONE map-side-combined groupBy produces the
+per-feature value histograms with class counts; everything downstream
+(cumulative left/right counts, split scores, argmax) runs on the
+value-domain-scale histogram, never on rows.
+
+Split criterion: maximize sum_children n_c * (1 - Gini_c) rewritten as
+S(t) = (posL^2 + negL^2)/nL + (posR^2 + negR^2)/nR — monotone-equivalent
+to minimizing weighted Gini.  Exactness: the squares and sums are exact
+BIGINTs (n^2-scale: int64-safe to ~3e9 rows per node; past that lift the
+numerators to DECIMAL(38,0)), and each candidate's score is ONE IEEE
+division of identical integers per term — identical doubles cross-engine,
+so ORDER BY score is deterministic (ties break on the threshold value).
+Thresholds are left-inclusive: x <= t goes left.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCORE_TXT = (
+    "(CAST(pos_l * pos_l + neg_l * neg_l AS DOUBLE) / CAST(n_l AS DOUBLE)"
+    " + CAST(pos_r * pos_r + neg_r * neg_r AS DOUBLE)"
+    " / CAST(n_r AS DOUBLE))"
+)
+
+
+def best_splits(df: DataFrame, feature_cols: list[str],
+                label_col: str) -> DataFrame:
+    """Per-feature best binary split of the 0/1 ``label_col`` over the
+    integer ``feature_cols``, plus a global rank.  Returns one row per
+    feature: (feat, thr, n_l, n_r, pos_l, pos_r, score, rn) with rn = 1
+    marking the stump the tree would take."""
+    # ONE scan: each row explodes to its |features| (feat, value) pairs
+    # (a union of per-feature selects would re-scan the corpus per feature)
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("feat"),
+                    F.col(c).cast("long").alias("v"),
+                )
+                for c in feature_cols
+            ])
+        ).alias("fv"),
+        F.col(label_col).cast("long").alias("y"),
+    ).select(F.col("fv.feat").alias("feat"), F.col("fv.v").alias("v"), "y")
+    hist = melted.groupBy("feat", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.partitionBy("feat").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("feat")
+    cum = hist.select(
+        "feat", "v",
+        F.sum("n").over(w).cast("long").alias("n_l"),
+        F.sum("pos").over(w).cast("long").alias("pos_l"),
+        F.sum("n").over(tot).cast("long").alias("n_tot"),
+        F.sum("pos").over(tot).cast("long").alias("pos_tot"),
+    )
+    cand = cum.filter(F.col("n_l") < F.col("n_tot")).select(
+        "feat", F.col("v").alias("thr"), "n_l", "pos_l",
+        (F.col("n_tot") - F.col("n_l")).alias("n_r"),
+        (F.col("pos_tot") - F.col("pos_l")).alias("pos_r"),
+        (F.col("n_l") - F.col("pos_l")).alias("neg_l"),
+        (F.col("n_tot") - F.col("n_l") - F.col("pos_tot")
+         + F.col("pos_l")).alias("neg_r"),
+    ).withColumn("score", F.expr(_SCORE_TXT))
+    wb = Window.partitionBy("feat").orderBy(
+        F.col("score").desc(), F.col("thr").asc()
+    )
+    per_feat = cand.withColumn("brn", F.row_number().over(wb)).filter(
+        F.col("brn") == 1
+    )
+    wg = Window.orderBy(F.col("score").desc(), F.col("feat").asc())
+    return per_feat.select(
+        "feat", "thr", "n_l", "n_r", "pos_l", "pos_r",
+        F.round("score", 6).alias("score"),
+        F.row_number().over(wg).cast("long").alias("rn"),
+    )
+
+
+def BEST_SPLITS_SQL(select_sql: str, feature_cols: list[str],
+                    label_col: str) -> str:
+    """DuckDB oracle: identical histogram, cumulative counts, score text
+    and tie rules."""
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS feat, CAST({c} AS BIGINT) AS v,"
+        f" CAST({label_col} AS BIGINT) AS y FROM base"
+        for c in feature_cols
+    )
+    return f"""
+WITH base AS ({select_sql}),
+melted AS ({melt}),
+hist AS (
+  SELECT feat, v, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM melted GROUP BY 1, 2
+),
+cum AS (
+  SELECT feat, v,
+         CAST(sum(n) OVER (PARTITION BY feat ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l,
+         CAST(sum(pos) OVER (PARTITION BY feat ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos_l,
+         CAST(sum(n) OVER (PARTITION BY feat) AS BIGINT) AS n_tot,
+         CAST(sum(pos) OVER (PARTITION BY feat) AS BIGINT) AS pos_tot
+  FROM hist
+),
+cand AS (
+  SELECT feat, v AS thr, n_l, pos_l,
+         n_tot - n_l AS n_r,
+         pos_tot - pos_l AS pos_r,
+         n_l - pos_l AS neg_l,
+         n_tot - n_l - pos_tot + pos_l AS neg_r
+  FROM cum WHERE n_l < n_tot
+),
+scored AS (
+  SELECT feat, thr, n_l, n_r, pos_l, pos_r,
+         {_SCORE_TXT} AS score
+  FROM cand
+),
+per_feat AS (
+  SELECT *, row_number() OVER (PARTITION BY feat
+              ORDER BY score DESC, thr ASC) AS brn
+  FROM scored
+)
+SELECT feat, thr, n_l, n_r, pos_l, pos_r,
+       round(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, feat ASC) AS BIGINT)
+         AS rn
+FROM per_feat WHERE brn = 1
+"""

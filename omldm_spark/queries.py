@@ -7912,6 +7912,52 @@ def q_streaming_ab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact greedy split (batch histogram tree node)
+# ---------------------------------------------------------------------------
+
+from .learners.stump import BEST_SPLITS_SQL, best_splits  # noqa: E402
+
+_STUMP_BASE_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS f_hour,
+       CAST(dayofweek(ts) AS BIGINT) AS f_dow,
+       CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 16
+            AS BIGINT) AS f_item16,
+       CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT)
+         AS y
+FROM events
+"""
+
+
+@query(
+    "stump_best_split",
+    oracle=BEST_SPLITS_SQL(_STUMP_BASE_SQL, ["f_hour", "f_dow", "f_item16"],
+                           "y"),
+)
+def q_stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed greedy split (the XGBoost/LightGBM histogram
+    method as one tree node): is-purchase split over hour-of-day,
+    day-of-week and item bucket — ONE corpus pass melts rows to
+    (feature, value, label) and one map-side-combined groupBy builds the
+    class histograms; cumulative left/right counts, the Gini-equivalent
+    score (posL^2+negL^2)/nL + (posR^2+negR^2)/nR and both argmaxes run
+    on the value-domain-scale histogram only.  Scores are single IEEE
+    divisions of exact BIGINTs — identical doubles cross-engine — with
+    threshold/feature tie-breaks; left-inclusive splits (x <= thr).
+    The batch exact counterpart of the streaming Hoeffding-tree split
+    decision (learners/ht.py; reference HT observers
+    NumericalGaussianObserver.scala) (learners/stump.py best_splits)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("f_hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f_dow"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("long") % 16)
+        .cast("long").alias("f_item16"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .cast("long").alias("y"),
+    )
+    return best_splits(ev, ["f_hour", "f_dow", "f_item16"], "y")
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -285,3 +285,20 @@ def test_nb_separable_corpus_and_unseen_fallback(spark):
     want = max(sorted(by_cls), key=lambda c: (by_cls[c], ))
     assert full[4]["pred_cls"] == want
     assert full[4]["score_mu"] == by_cls[want]
+
+
+def test_stump_picks_the_separating_feature(spark):
+    """On a corpus where f1 separates the label perfectly at v <= 1 and f2
+    is noise, the stump must choose f1 at threshold 1 with a pure split."""
+    from omldm_spark.learners.stump import best_splits
+
+    rows = [(v, v % 3, 1 if v <= 1 else 0) for v in range(4) for _ in range(10)]
+    df = spark.createDataFrame(rows, "f1 long, f2 long, y long")
+    out = {r["feat"]: r for r in best_splits(df, ["f1", "f2"], "y").collect()}
+    top = next(r for r in out.values() if r["rn"] == 1)
+    assert top["feat"] == "f1" and top["thr"] == 1
+    assert top["pos_l"] == 20 and top["pos_r"] == 0
+    assert top["n_l"] == 20 and top["n_r"] == 20
+    # a perfect split scores (20^2+0)/20 + (0+20^2)/20 = 40
+    assert abs(top["score"] - 40.0) < 1e-9
+    assert out["f2"]["score"] < 40.0

@@ -723,6 +723,16 @@ CHECKS = {
         ("trigram counts map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "stump_best_split": [
+        # the melt is an explode, not a per-feature union: ONE scan of
+        # the fact table feeds all feature histograms
+        ("single corpus scan",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("histogram map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("per-feature cumulative window",
+         lambda p: bool(re.search(r"windowspecdefinition\(feat", p))),
+    ],
 }
 
 
