@@ -33,14 +33,22 @@ _SCORE_TXT = (
 
 
 def best_splits(df: DataFrame, feature_cols: list[str],
-                label_col: str) -> DataFrame:
+                label_col: str, group_cols: list[str] | None = None
+                ) -> DataFrame:
     """Per-feature best binary split of the 0/1 ``label_col`` over the
-    integer ``feature_cols``, plus a global rank.  Returns one row per
-    feature: (feat, thr, n_l, n_r, pos_l, pos_r, score, rn) with rn = 1
-    marking the stump the tree would take."""
+    integer ``feature_cols``, plus a rank.  Returns one row per
+    (group..., feature): (group..., feat, thr, n_l, n_r, pos_l, pos_r,
+    score, rn) with rn = 1 marking the split the tree takes.
+
+    ``group_cols`` turns this into the per-NODE search of a deeper tree:
+    every window and the final rank partition by the group, so ALL nodes
+    of a tree level train in the same single corpus pass (the
+    level-synchronous histogram strategy XGBoost uses)."""
+    g = list(group_cols or [])
     # ONE scan: each row explodes to its |features| (feat, value) pairs
     # (a union of per-feature selects would re-scan the corpus per feature)
     melted = df.select(
+        *g,
         F.explode(
             F.array(*[
                 F.struct(
@@ -51,50 +59,57 @@ def best_splits(df: DataFrame, feature_cols: list[str],
             ])
         ).alias("fv"),
         F.col(label_col).cast("long").alias("y"),
-    ).select(F.col("fv.feat").alias("feat"), F.col("fv.v").alias("v"), "y")
-    hist = melted.groupBy("feat", "v").agg(
+    ).select(*g, F.col("fv.feat").alias("feat"), F.col("fv.v").alias("v"),
+             "y")
+    hist = melted.groupBy(*g, "feat", "v").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
     )
-    w = Window.partitionBy("feat").orderBy("v").rowsBetween(
+    w = Window.partitionBy(*g, "feat").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = Window.partitionBy("feat")
+    tot = Window.partitionBy(*g, "feat")
     cum = hist.select(
-        "feat", "v",
+        *g, "feat", "v",
         F.sum("n").over(w).cast("long").alias("n_l"),
         F.sum("pos").over(w).cast("long").alias("pos_l"),
         F.sum("n").over(tot).cast("long").alias("n_tot"),
         F.sum("pos").over(tot).cast("long").alias("pos_tot"),
     )
     cand = cum.filter(F.col("n_l") < F.col("n_tot")).select(
-        "feat", F.col("v").alias("thr"), "n_l", "pos_l",
+        *g, "feat", F.col("v").alias("thr"), "n_l", "pos_l",
         (F.col("n_tot") - F.col("n_l")).alias("n_r"),
         (F.col("pos_tot") - F.col("pos_l")).alias("pos_r"),
         (F.col("n_l") - F.col("pos_l")).alias("neg_l"),
         (F.col("n_tot") - F.col("n_l") - F.col("pos_tot")
          + F.col("pos_l")).alias("neg_r"),
     ).withColumn("score", F.expr(_SCORE_TXT))
-    wb = Window.partitionBy("feat").orderBy(
+    wb = Window.partitionBy(*g, "feat").orderBy(
         F.col("score").desc(), F.col("thr").asc()
     )
     per_feat = cand.withColumn("brn", F.row_number().over(wb)).filter(
         F.col("brn") == 1
     )
-    wg = Window.orderBy(F.col("score").desc(), F.col("feat").asc())
+    wg = Window.partitionBy(*g).orderBy(
+        F.col("score").desc(), F.col("feat").asc()
+    ) if g else Window.orderBy(F.col("score").desc(), F.col("feat").asc())
     return per_feat.select(
-        "feat", "thr", "n_l", "n_r", "pos_l", "pos_r",
+        *g, "feat", "thr", "n_l", "n_r", "pos_l", "pos_r",
         F.round("score", 6).alias("score"),
         F.row_number().over(wg).cast("long").alias("rn"),
     )
 
 
 def BEST_SPLITS_SQL(select_sql: str, feature_cols: list[str],
-                    label_col: str) -> str:
+                    label_col: str, group_col: str | None = None) -> str:
     """DuckDB oracle: identical histogram, cumulative counts, score text
-    and tie rules."""
+    and tie rules.  ``group_col`` mirrors best_splits' group_cols (the
+    per-node search of a deeper tree level)."""
+    gs = f"{group_col}, " if group_col else ""
+    gp = f"PARTITION BY {group_col}, feat" if group_col else "PARTITION BY feat"
+    gt = (f"PARTITION BY {group_col} " if group_col else "")
     melt = " UNION ALL ".join(
-        f"SELECT '{c}' AS feat, CAST({c} AS BIGINT) AS v,"
+        f"SELECT {gs}'{c}' AS feat, CAST({c} AS BIGINT) AS v,"
         f" CAST({label_col} AS BIGINT) AS y FROM base"
         for c in feature_cols
     )
@@ -102,22 +117,22 @@ def BEST_SPLITS_SQL(select_sql: str, feature_cols: list[str],
 WITH base AS ({select_sql}),
 melted AS ({melt}),
 hist AS (
-  SELECT feat, v, CAST(count(*) AS BIGINT) AS n,
+  SELECT {gs}feat, v, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(y) AS BIGINT) AS pos
-  FROM melted GROUP BY 1, 2
+  FROM melted GROUP BY ALL
 ),
 cum AS (
-  SELECT feat, v,
-         CAST(sum(n) OVER (PARTITION BY feat ORDER BY v
+  SELECT {gs}feat, v,
+         CAST(sum(n) OVER ({gp} ORDER BY v
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l,
-         CAST(sum(pos) OVER (PARTITION BY feat ORDER BY v
+         CAST(sum(pos) OVER ({gp} ORDER BY v
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos_l,
-         CAST(sum(n) OVER (PARTITION BY feat) AS BIGINT) AS n_tot,
-         CAST(sum(pos) OVER (PARTITION BY feat) AS BIGINT) AS pos_tot
+         CAST(sum(n) OVER ({gp}) AS BIGINT) AS n_tot,
+         CAST(sum(pos) OVER ({gp}) AS BIGINT) AS pos_tot
   FROM hist
 ),
 cand AS (
-  SELECT feat, v AS thr, n_l, pos_l,
+  SELECT {gs}feat, v AS thr, n_l, pos_l,
          n_tot - n_l AS n_r,
          pos_tot - pos_l AS pos_r,
          n_l - pos_l AS neg_l,
@@ -125,18 +140,76 @@ cand AS (
   FROM cum WHERE n_l < n_tot
 ),
 scored AS (
-  SELECT feat, thr, n_l, n_r, pos_l, pos_r,
+  SELECT {gs}feat, thr, n_l, n_r, pos_l, pos_r,
          {_SCORE_TXT} AS score
   FROM cand
 ),
 per_feat AS (
-  SELECT *, row_number() OVER (PARTITION BY feat
+  SELECT *, row_number() OVER ({gp}
               ORDER BY score DESC, thr ASC) AS brn
   FROM scored
 )
-SELECT feat, thr, n_l, n_r, pos_l, pos_r,
+SELECT {gs}feat, thr, n_l, n_r, pos_l, pos_r,
        round(score, 6) AS score,
-       CAST(row_number() OVER (ORDER BY score DESC, feat ASC) AS BIGINT)
+       CAST(row_number() OVER ({gt}ORDER BY score DESC, feat ASC) AS BIGINT)
          AS rn
 FROM per_feat WHERE brn = 1
+"""
+
+
+def tree_depth2(df: DataFrame, feature_cols: list[str],
+                label_col: str) -> DataFrame:
+    """A depth-2 exact greedy tree, fully declarative (no driver collect):
+    the root split comes from best_splits, the 1-row (root_feat,
+    root_thr) frame broadcasts into a CASE that assigns each row its
+    branch, and BOTH child nodes train in ONE further grouped pass
+    (best_splits with group_cols=['branch'] — the level-synchronous
+    strategy).  Returns the root (branch = -1) plus the chosen split per
+    branch; deeper trees iterate the same two steps per level with the
+    node id accumulating into the group key."""
+    splits = best_splits(df, feature_cols, label_col)
+    root = splits.filter(F.col("rn") == 1).select(
+        F.col("feat").alias("root_feat"), F.col("thr").alias("root_thr")
+    )
+    val = None
+    for c in feature_cols:
+        cond = F.col("root_feat") == c
+        val = F.when(cond, F.col(c)) if val is None else val.when(
+            cond, F.col(c)
+        )
+    branched = df.crossJoin(F.broadcast(root)).withColumn(
+        "branch",
+        F.when(val <= F.col("root_thr"), 0).otherwise(1).cast("long"),
+    )
+    children = best_splits(branched, feature_cols, label_col, ["branch"])
+    root_row = splits.filter(F.col("rn") == 1).select(
+        F.lit(-1).cast("long").alias("branch"),
+        "feat", "thr", "n_l", "n_r", "pos_l", "pos_r", "score", "rn",
+    )
+    return root_row.unionByName(children.filter(F.col("rn") == 1))
+
+
+def TREE_DEPTH2_SQL(select_sql: str, feature_cols: list[str],
+                    label_col: str) -> str:
+    root_q = BEST_SPLITS_SQL(select_sql, feature_cols, label_col)
+    case = ("CASE r.root_feat "
+            + "".join(f"WHEN '{c}' THEN b.{c} " for c in feature_cols)
+            + "END")
+    branched_sql = f"""
+SELECT b.*,
+       CASE WHEN ({case}) <= r.root_thr THEN CAST(0 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) END AS branch
+FROM ({select_sql}) b
+CROSS JOIN (SELECT feat AS root_feat, thr AS root_thr
+            FROM ({root_q}) WHERE rn = 1) r
+"""
+    children_q = BEST_SPLITS_SQL(branched_sql, feature_cols, label_col,
+                                 group_col="branch")
+    return f"""
+SELECT CAST(-1 AS BIGINT) AS branch,
+       feat, thr, n_l, n_r, pos_l, pos_r, score, rn
+FROM ({root_q}) WHERE rn = 1
+UNION ALL
+SELECT branch, feat, thr, n_l, n_r, pos_l, pos_r, score, rn
+FROM ({children_q}) WHERE rn = 1
 """

@@ -7957,6 +7957,33 @@ def q_stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_splits(ev, ["f_hour", "f_dow", "f_item16"], "y")
 
 
+from .learners.stump import TREE_DEPTH2_SQL, tree_depth2  # noqa: E402
+
+
+@query(
+    "tree_depth2_events",
+    oracle=TREE_DEPTH2_SQL(_STUMP_BASE_SQL, ["f_hour", "f_dow", "f_item16"],
+                           "y"),
+)
+def q_tree_depth2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 exact greedy tree, fully declarative: the stump's root
+    split broadcasts as a 1-row frame into a CASE that branches every
+    row, then BOTH children train in ONE grouped histogram pass
+    (best_splits group_cols=['branch'] — XGBoost's level-synchronous
+    strategy; level k costs one corpus pass whatever 2^k nodes it has).
+    No driver collect anywhere in the lineage; the oracle nests the same
+    generated pipeline three times (learners/stump.py tree_depth2)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("f_hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f_dow"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("long") % 16)
+        .cast("long").alias("f_item16"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .cast("long").alias("y"),
+    )
+    return tree_depth2(ev, ["f_hour", "f_dow", "f_item16"], "y")
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

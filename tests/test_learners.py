@@ -302,3 +302,24 @@ def test_stump_picks_the_separating_feature(spark):
     # a perfect split scores (20^2+0)/20 + (0+20^2)/20 = 40
     assert abs(top["score"] - 40.0) < 1e-9
     assert out["f2"]["score"] < 40.0
+
+
+def test_tree_depth2_refines_the_stump(spark):
+    """Depth-2 on a 2-bit XOR-ish corpus: the root splits on f1, each
+    child then splits on f2 — and the child splits are pure."""
+    from omldm_spark.learners.stump import tree_depth2
+
+    # y = 1 iff (f1 <= 0 and f2 <= 0); counts chosen so the f1 root
+    # scores 104/12 + 144/12 = 20.67 vs f2's 200/20 + 16/4 = 14
+    counts = {(0, 0, 1): 10, (0, 1, 0): 2, (1, 0, 0): 10, (1, 1, 0): 2}
+    rows = [k for k, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "f1 long, f2 long, y long")
+    out = {r["branch"]: r for r in tree_depth2(df, ["f1", "f2"], "y").collect()}
+    assert set(out) == {-1, 0, 1}
+    assert out[-1]["feat"] == "f1" and out[-1]["thr"] == 0
+    # left branch (f1 <= 0): f2 separates perfectly (10 pos / 2 neg)
+    assert out[0]["feat"] == "f2" and out[0]["thr"] == 0
+    assert out[0]["pos_l"] == 10 and out[0]["pos_r"] == 0
+    assert out[0]["n_l"] == 10 and out[0]["n_r"] == 2
+    # right branch is all-negative; any split stays pure
+    assert out[1]["pos_l"] == 0 and out[1]["pos_r"] == 0
