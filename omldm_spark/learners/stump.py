@@ -213,3 +213,194 @@ UNION ALL
 SELECT branch, feat, thr, n_l, n_r, pos_l, pos_r, score, rn
 FROM ({children_q}) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Regression (variance-reduction) splits + one boosting round
+# ---------------------------------------------------------------------------
+
+def _score_reg_txt(int_type: str) -> str:
+    """SSE-reduction score sum_l^2/n_l + sum_r^2/n_r.  The squares need
+    128-bit exact arithmetic (sum^2 overflows int64 past ~3e10-cent
+    sums): DECIMAL(38,0) in Spark, HUGEINT in DuckDB — both exact, and
+    integer -> double conversion is correctly rounded in both, so the
+    score doubles are identical (the ab_test_report envelope)."""
+    return (
+        f"(CAST(CAST(sum_l AS {int_type}) * sum_l AS DOUBLE)"
+        " / CAST(n_l AS DOUBLE)"
+        f" + CAST(CAST(sum_r AS {int_type}) * sum_r AS DOUBLE)"
+        " / CAST(n_r AS DOUBLE))"
+    )
+
+
+def best_splits_reg(df: DataFrame, feature_cols: list[str],
+                    target_col: str, group_cols: list[str] | None = None
+                    ) -> DataFrame:
+    """Regression twin of best_splits: maximize sum_l^2/n_l + sum_r^2/n_r
+    (monotone-equivalent to minimizing child SSE — the variance-reduction
+    criterion CART/XGBoost use for squared loss).  Same single-scan melt,
+    histogram, cumulative-window and tie rules; also returns the exact
+    integer child sums so leaf means (sum div n) derive downstream."""
+    g = list(group_cols or [])
+    melted = df.select(
+        *g,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("feat"),
+                    F.col(c).cast("long").alias("v"),
+                )
+                for c in feature_cols
+            ])
+        ).alias("fv"),
+        F.col(target_col).cast("long").alias("y"),
+    ).select(*g, F.col("fv.feat").alias("feat"), F.col("fv.v").alias("v"),
+             "y")
+    hist = melted.groupBy(*g, "feat", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    w = Window.partitionBy(*g, "feat").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*g, "feat")
+    cum = hist.select(
+        *g, "feat", "v",
+        F.sum("n").over(w).cast("long").alias("n_l"),
+        F.sum("s").over(w).cast("long").alias("sum_l"),
+        F.sum("n").over(tot).cast("long").alias("n_tot"),
+        F.sum("s").over(tot).cast("long").alias("sum_tot"),
+    )
+    cand = cum.filter(F.col("n_l") < F.col("n_tot")).select(
+        *g, "feat", F.col("v").alias("thr"), "n_l", "sum_l",
+        (F.col("n_tot") - F.col("n_l")).alias("n_r"),
+        (F.col("sum_tot") - F.col("sum_l")).alias("sum_r"),
+    ).withColumn("score", F.expr(_score_reg_txt("DECIMAL(38,0)")))
+    wb = Window.partitionBy(*g, "feat").orderBy(
+        F.col("score").desc(), F.col("thr").asc()
+    )
+    per_feat = cand.withColumn("brn", F.row_number().over(wb)).filter(
+        F.col("brn") == 1
+    )
+    wg = Window.partitionBy(*g).orderBy(
+        F.col("score").desc(), F.col("feat").asc()
+    ) if g else Window.orderBy(F.col("score").desc(), F.col("feat").asc())
+    return per_feat.select(
+        *g, "feat", "thr", "n_l", "n_r", "sum_l", "sum_r",
+        F.round("score", 4).alias("score"),
+        F.row_number().over(wg).cast("long").alias("rn"),
+    )
+
+
+def BEST_SPLITS_REG_SQL(select_sql: str, feature_cols: list[str],
+                        target_col: str) -> str:
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS feat, CAST({c} AS BIGINT) AS v,"
+        f" CAST({target_col} AS BIGINT) AS y FROM base"
+        for c in feature_cols
+    )
+    return f"""
+WITH base AS ({select_sql}),
+melted AS ({melt}),
+hist AS (
+  SELECT feat, v, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s
+  FROM melted GROUP BY ALL
+),
+cum AS (
+  SELECT feat, v,
+         CAST(sum(n) OVER (PARTITION BY feat ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l,
+         CAST(sum(s) OVER (PARTITION BY feat ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sum_l,
+         CAST(sum(n) OVER (PARTITION BY feat) AS BIGINT) AS n_tot,
+         CAST(sum(s) OVER (PARTITION BY feat) AS BIGINT) AS sum_tot
+  FROM hist
+),
+cand AS (
+  SELECT feat, v AS thr, n_l, sum_l,
+         n_tot - n_l AS n_r, sum_tot - sum_l AS sum_r
+  FROM cum WHERE n_l < n_tot
+),
+scored AS (
+  SELECT feat, thr, n_l, n_r, sum_l, sum_r,
+         {_score_reg_txt("HUGEINT")} AS score
+  FROM cand
+),
+per_feat AS (
+  SELECT *, row_number() OVER (PARTITION BY feat
+              ORDER BY score DESC, thr ASC) AS brn
+  FROM scored
+)
+SELECT feat, thr, n_l, n_r, sum_l, sum_r,
+       round(score, 4) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, feat ASC) AS BIGINT)
+         AS rn
+FROM per_feat WHERE brn = 1
+"""
+
+
+def gbt_residual_round(df: DataFrame, feature_cols: list[str],
+                       target_col: str) -> DataFrame:
+    """One gradient-boosting round for squared loss, exactly: round 0
+    fits the variance-reduction stump on the target; its integer leaf
+    means (sum div n — quantized so residuals STAY integers) broadcast
+    back and round 1 fits the next stump on the residuals.  Returns the
+    rn = 1 split per round tagged (round 0, 1).  The residual pass is
+    the whole boosting recurrence — further rounds iterate the same two
+    steps; keeping predictions in quantized integer units is what lets
+    every round stay bit-exact cross-engine (float leaf values would
+    re-associate)."""
+    r0 = best_splits_reg(df, feature_cols, target_col)
+    root = r0.filter(F.col("rn") == 1).select(
+        F.col("feat").alias("root_feat"), F.col("thr").alias("root_thr"),
+        F.expr("sum_l div n_l").cast("long").alias("mean_l"),
+        F.expr("sum_r div n_r").cast("long").alias("mean_r"),
+    )
+    val = None
+    for c in feature_cols:
+        cond = F.col("root_feat") == c
+        val = F.when(cond, F.col(c)) if val is None else val.when(
+            cond, F.col(c)
+        )
+    resid = df.crossJoin(F.broadcast(root)).withColumn(
+        "resid",
+        (F.col(target_col)
+         - F.when(val <= F.col("root_thr"), F.col("mean_l"))
+         .otherwise(F.col("mean_r"))).cast("long"),
+    )
+    r1 = best_splits_reg(resid, feature_cols, "resid")
+    out_cols = ["feat", "thr", "n_l", "n_r", "sum_l", "sum_r", "score"]
+    return (
+        r0.filter(F.col("rn") == 1)
+        .select(F.lit(0).cast("long").alias("round"), *out_cols)
+        .unionByName(
+            r1.filter(F.col("rn") == 1)
+            .select(F.lit(1).cast("long").alias("round"), *out_cols)
+        )
+    )
+
+
+def GBT_RESIDUAL_ROUND_SQL(select_sql: str, feature_cols: list[str],
+                           target_col: str) -> str:
+    r0_q = BEST_SPLITS_REG_SQL(select_sql, feature_cols, target_col)
+    case = ("CASE r.root_feat "
+            + "".join(f"WHEN '{c}' THEN b.{c} " for c in feature_cols)
+            + "END")
+    resid_sql = f"""
+SELECT b.*,
+       CAST(b.{target_col} - CASE WHEN ({case}) <= r.root_thr
+            THEN r.mean_l ELSE r.mean_r END AS BIGINT) AS resid
+FROM ({select_sql}) b
+CROSS JOIN (SELECT feat AS root_feat, thr AS root_thr,
+                   CAST(sum_l // n_l AS BIGINT) AS mean_l,
+                   CAST(sum_r // n_r AS BIGINT) AS mean_r
+            FROM ({r0_q}) WHERE rn = 1) r
+"""
+    r1_q = BEST_SPLITS_REG_SQL(resid_sql, feature_cols, "resid")
+    cols = "feat, thr, n_l, n_r, sum_l, sum_r, score"
+    return f"""
+SELECT CAST(0 AS BIGINT) AS round, {cols} FROM ({r0_q}) WHERE rn = 1
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS round, {cols} FROM ({r1_q}) WHERE rn = 1
+"""

@@ -1,0 +1,110 @@
+"""Kaplan-Meier survival estimation over session durations.
+
+Beyond-reference surface: the churn/retention estimator — S(t) = product
+over death times t_i <= t of (1 - d_i/n_i) with right-censored
+observations leaving the risk set silently.  The engine-side work is all
+histogram-scale: one pass collapses the observations to per-duration
+(deaths, at-risk) counts, and the KM product folds over the DISTINCT
+death times only.
+
+Exactness design: the survival curve is an inherently SEQUENTIAL product,
+so it uses the integer-fold envelope (the ewma_user_value pattern): S in
+integer ppm with S' = S * (n_i - d_i) div n_i — truncating division makes
+every prefix bit-identical cross-engine.  Each output row's S folds its
+own prefix of the (t, d, n) array (O(k^2) lambda work for k distinct
+death times — k is duration-domain-sized, e.g. minutes, never
+observation-sized).  The (n, d) pair is carried through the fold encoded
+as one BIGINT n*K + d (K = 1e9) because DuckDB's list_reduce types its
+accumulator as the element type; valid while n < 1e9 per cohort
+(documented), and the decode arithmetic is shared text in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_K = 1_000_000_000
+
+_FOLD_LAMBDA = (
+    f"(acc, b) -> (acc * ((b div CAST({_K} AS BIGINT))"
+    f" - (b % CAST({_K} AS BIGINT))))"
+    f" div (b div CAST({_K} AS BIGINT))"
+)
+
+
+def km_curve(obs: DataFrame, dur_col: str, death_col: str) -> DataFrame:
+    """Kaplan-Meier curve from (duration, is-death) observations: one row
+    per distinct death time with (t, n_risk, d, s_ppm).  ``death_col`` is
+    0/1 (0 = right-censored).  Risk set n(t) = observations with
+    duration >= t, exact from the cumulative histogram."""
+    hist = obs.groupBy(F.col(dur_col).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum(death_col).cast("long").alias("d"),
+    )
+    total = hist.agg(F.sum("c_all").cast("long").alias("n_obs"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    steps = (
+        hist.select(
+            "t", "c_all", "d",
+            F.sum("c_all").over(w).cast("long").alias("cum_le"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("d") > 0)
+        .select(
+            "t", "d",
+            (F.col("n_obs") - F.col("cum_le") + F.col("c_all"))
+            .cast("long").alias("n"),
+        )
+    )
+    arr = steps.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "n"))).alias("arr")
+    )
+    rows = arr.select(
+        F.col("arr"), F.posexplode("arr").alias("i0", "s")
+    ).select("arr", (F.col("i0") + 1).alias("i"), "s.*")
+    return rows.select(
+        "t", F.col("n").alias("n_risk"), "d",
+        F.expr(
+            f"aggregate(transform(slice(arr, 1, i),"
+            f" x -> CAST(x.n AS BIGINT) * CAST({_K} AS BIGINT) + x.d),"
+            f" CAST(1000000 AS BIGINT), {_FOLD_LAMBDA})"
+        ).cast("long").alias("s_ppm"),
+    )
+
+
+def KM_CURVE_SQL(obs_sql: str, dur_col: str, death_col: str) -> str:
+    """DuckDB oracle: same histogram, risk-set and encoded prefix fold."""
+    return f"""
+WITH obs AS ({obs_sql}),
+hist AS (
+  SELECT {dur_col} AS t, CAST(count(*) AS BIGINT) AS c_all,
+         CAST(sum({death_col}) AS BIGINT) AS d
+  FROM obs GROUP BY 1
+),
+total AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_obs FROM hist),
+steps AS (
+  SELECT t, d,
+         CAST(n_obs - sum(c_all) OVER (ORDER BY t
+              ROWS UNBOUNDED PRECEDING) + c_all AS BIGINT) AS n
+  FROM hist CROSS JOIN total
+  WHERE d > 0
+),
+arr AS (
+  SELECT list({{'t': t, 'd': d, 'n': n}} ORDER BY t) AS arr FROM steps
+),
+rows AS (
+  SELECT a.arr, unnest(a.arr) AS s, generate_subscripts(a.arr, 1) AS i
+  FROM arr a
+)
+SELECT s.t, s.n AS n_risk, s.d,
+       CAST(list_reduce(
+         list_prepend(CAST(1000000 AS BIGINT),
+           list_transform(arr[1:i],
+             x -> CAST(x.n AS BIGINT) * CAST({_K} AS BIGINT) + x.d)),
+         (acc, b) -> (acc * ((b // CAST({_K} AS BIGINT))
+                      - (b % CAST({_K} AS BIGINT))))
+                     // (b // CAST({_K} AS BIGINT))) AS BIGINT) AS s_ppm
+FROM rows
+"""

@@ -7984,6 +7984,132 @@ def q_tree_depth2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_depth2(ev, ["f_hour", "f_dow", "f_item16"], "y")
 
 
+from .learners.stump import (  # noqa: E402
+    GBT_RESIDUAL_ROUND_SQL,
+    gbt_residual_round,
+)
+
+_GBT_BASE_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS f_hour,
+       CAST(dayofweek(ts) AS BIGINT) AS f_dow,
+       CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 16
+            AS BIGINT) AS f_item16,
+       CAST(round(value * 100, 0) AS BIGINT) AS v_c
+FROM events
+"""
+
+
+@query(
+    "gbt_residual_round",
+    oracle=GBT_RESIDUAL_ROUND_SQL(_GBT_BASE_SQL,
+                                  ["f_hour", "f_dow", "f_item16"], "v_c"),
+)
+def q_gbt_residual_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT gradient-boosting round for squared loss on the event
+    value: round 0 fits the variance-reduction stump (SSE score via
+    DECIMAL(38)/HUGEINT squares — int64 overflows on cent sums), its
+    integer leaf means broadcast back, and round 1 fits the residual
+    stump — the boosting recurrence with predictions kept in quantized
+    integer units so every round is bit-exact cross-engine (float leaf
+    values would re-associate).  Fully declarative, no driver collect
+    (learners/stump.py gbt_residual_round)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("f_hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f_dow"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("long") % 16)
+        .cast("long").alias("f_item16"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    return gbt_residual_round(ev, ["f_hour", "f_dow", "f_item16"], "v_c")
+
+
+from .operators.survival import KM_CURVE_SQL, km_curve  # noqa: E402
+
+_KM_OBS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, ts_s,
+         CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts_s
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(min(ts_s) AS BIGINT) AS start_s,
+         CAST(max(ts_s) AS BIGINT) AS end_s
+  FROM numbered GROUP BY 1, 2
+),
+last_seen AS (
+  SELECT user_id, CAST(max(end_s) AS BIGINT) AS last_s FROM sess GROUP BY 1
+)
+SELECT CAST((s.end_s - s.start_s) // 60 AS BIGINT) AS dur_m,
+       CAST(CASE WHEN s.end_s = l.last_s THEN 0 ELSE 1 END AS BIGINT)
+         AS is_death
+FROM sess s JOIN last_seen l ON s.user_id = l.user_id
+"""
+
+
+@query(
+    "km_session_survival",
+    oracle=KM_CURVE_SQL(_KM_OBS_SQL, "dur_m", "is_death"),
+)
+def q_km_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of session length (minutes): each user's
+    FINAL session is right-censored (the observation window closed while
+    it could still be running — dropping it would bias sessions short),
+    censored sessions leave the risk set without counting as deaths.
+    The curve is the integer-ppm truncating product fold over the
+    duration-domain-sized (t, d, n) array — sequential by nature, exact
+    by the ewma envelope; risk sets come from one cumulative histogram
+    (operators/survival.py km_curve)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    sess = (
+        ev.withColumn("gap", F.col("ts_s") - F.lag("ts_s").over(w))
+        .withColumn(
+            "new_session",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 300), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_s").cast("long").alias("start_s"),
+            F.max("ts_s").cast("long").alias("end_s"),
+        )
+    )
+    last = sess.groupBy("user_id").agg(
+        F.max("end_s").cast("long").alias("last_s")
+    )
+    obs = sess.join(last, "user_id").select(
+        F.expr("(end_s - start_s) div 60").cast("long").alias("dur_m"),
+        F.when(F.col("end_s") == F.col("last_s"), 0).otherwise(1)
+        .cast("long").alias("is_death"),
+    )
+    return km_curve(obs, "dur_m", "is_death")
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

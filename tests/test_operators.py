@@ -1195,3 +1195,21 @@ def test_ab_test_welch_t_matches_numpy(spark):
             a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
         assert abs(out[et]["t_stat"] - t) < 1e-4, et
         assert out[et]["significant"] == (abs(t) > 1.96), et
+
+
+def test_km_curve_hand_case(spark):
+    """Textbook KM: durations 1,2,2,3 (deaths) + censored 2: risk sets
+    5,4,1 and S = (4/5), (4/5)(2/4), (4/5)(2/4)(0/1) in truncated ppm."""
+    from omldm_spark.operators.survival import km_curve
+
+    obs = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1), (3, 1), (2, 0)], "dur_m long, is_death long"
+    )
+    out = {r["t"]: r for r in km_curve(obs, "dur_m", "is_death").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_risk"] == 5 and out[1]["d"] == 1
+    assert out[2]["n_risk"] == 4 and out[2]["d"] == 2
+    assert out[3]["n_risk"] == 1 and out[3]["d"] == 1
+    assert out[1]["s_ppm"] == 800000          # 1e6 * 4 // 5
+    assert out[2]["s_ppm"] == 400000          # 800000 * 2 // 4
+    assert out[3]["s_ppm"] == 0               # * 0 // 1
