@@ -120,6 +120,22 @@ def quantile_bin(df: DataFrame, key_col: str, val_col: str,
     count); the transform broadcasts the sorted (bins-1)-element edge
     array and assigns bin = 1 + |{e < v}| with one higher-order filter —
     right-closed bins, no second shuffle of the fact table."""
+    edges = quantile_edges(df, val_col, bins)
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .select(
+            F.col(key_col),
+            F.col(val_col),
+            bin_expr(val_col).alias("bin"),
+        )
+    )
+
+
+def quantile_edges(df: DataFrame, val_col: str, bins: int) -> DataFrame:
+    """The FIT half of the discretizer: a one-row frame with the sorted
+    (bins-1)-element edge array from the value-count histogram CDF —
+    broadcastable, reusable against any frame (the transform half is
+    ``bin_expr`` over a crossJoin of this)."""
     hist = df.groupBy(F.col(val_col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -135,19 +151,15 @@ def quantile_bin(df: DataFrame, key_col: str, val_col: str,
             F.col("cum") >= F.expr(f"({b} * n + {bins} - 1) div {bins}")
         ).agg(F.min("v").cast("long").alias("e"))
         edge_rows = cond if edge_rows is None else edge_rows.unionByName(cond)
-    edges = edge_rows.agg(
-        F.array_sort(F.collect_list("e")).alias("arr")
-    )
-    return (
-        df.crossJoin(F.broadcast(edges))
-        .select(
-            F.col(key_col),
-            F.col(val_col),
-            (1 + F.size(F.filter(
-                F.col("arr"), lambda e: e < F.col(val_col)
-            ))).cast("long").alias("bin"),
-        )
-    )
+    return edge_rows.agg(F.array_sort(F.collect_list("e")).alias("arr"))
+
+
+def bin_expr(val_col: str):
+    """bin = 1 + |{edges < v}| (right-closed), over the broadcast ``arr``
+    column from quantile_edges."""
+    return (1 + F.size(F.filter(
+        F.col("arr"), lambda e: e < F.col(val_col)
+    ))).cast("long")
 
 
 def QUANTILE_BIN_SQL(select_sql: str, key_col: str, val_col: str,

@@ -80,14 +80,11 @@ def nb_model(docs: DataFrame, class_col: str = "lang",
     )
 
 
-def nb_scores(docs: DataFrame, class_col: str = "lang",
+def nb_scored(docs: DataFrame, class_col: str = "lang",
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Score every document against every class and pick the argmax:
-    score(d, c) = prior_mu(c) + sum_t mult(d, t) * lp_mu(c, t), with the
-    per-class unseen-token fallback lp0_mu. Returns (doc_id, pred_cls,
-    score_mu, true_cls, correct) — resubstitution predictions (the model
-    is fit on the same corpus; a train/score split composes by passing
-    different frames)."""
+    """The full (doc_id, cls, score_mu) score matrix — the shared
+    derivation under nb_scores (argmax prediction) and nb_label_noise
+    (margin screening)."""
     model = nb_model(docs, class_col, text_col)
     doc_toks = (
         docs.select(
@@ -125,6 +122,18 @@ def nb_scores(docs: DataFrame, class_col: str = "lang",
             ).cast("long").alias("score_mu")
         )
     )
+    return scored
+
+
+def nb_scores(docs: DataFrame, class_col: str = "lang",
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Score every document against every class and pick the argmax:
+    score(d, c) = prior_mu(c) + sum_t mult(d, t) * lp_mu(c, t), with the
+    per-class unseen-token fallback lp0_mu. Returns (doc_id, pred_cls,
+    score_mu, true_cls, correct) — resubstitution predictions (the model
+    is fit on the same corpus; a train/score split composes by passing
+    different frames)."""
+    scored = nb_scored(docs, class_col, text_col, id_col)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_mu").desc(), F.col("cls").asc()
     )
@@ -141,6 +150,46 @@ def nb_scores(docs: DataFrame, class_col: str = "lang",
             "score_mu",
             "true_cls",
             (F.col("cls") == F.col("true_cls")).alias("correct"),
+        )
+    )
+
+
+def nb_label_noise(docs: DataFrame, margin_mu: int,
+                   class_col: str = "lang", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Confident-learning-style label-noise screen: documents whose
+    model-preferred class beats their GIVEN label by more than
+    ``margin_mu`` micro-nats — the candidates a relabeling/filter pass
+    reviews before training.  One join of the score matrix against the
+    per-doc true-class score; margin is an exact BIGINT difference of the
+    quantized scores.  Returns (doc_id, true_cls, pred_cls, margin_mu)
+    for flagged docs only."""
+    scored = nb_scored(docs, class_col, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_mu").desc(), F.col("cls").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).select("doc_id", F.col("cls").alias("pred_cls"),
+             F.col("score_mu").alias("s_pred"))
+    truth = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(class_col).alias("true_cls")
+    )
+    own = scored.join(
+        truth, (scored["doc_id"] == truth["doc_id"])
+        & (scored["cls"] == truth["true_cls"])
+    ).select(truth["doc_id"], "true_cls",
+             F.col("score_mu").alias("s_true"))
+    return (
+        best.join(own, "doc_id")
+        .filter(
+            (F.col("pred_cls") != F.col("true_cls"))
+            & (F.col("s_pred") - F.col("s_true") > margin_mu)
+        )
+        .select(
+            "doc_id", "true_cls", "pred_cls",
+            (F.col("s_pred") - F.col("s_true")).cast("long")
+            .alias("margin_mu"),
         )
     )
 
@@ -173,8 +222,9 @@ CROSS JOIN vocab v
 """
 
 
-def NB_SCORES_SQL(class_col: str = "lang", text_expr: str = "text",
-                  id_col: str = "doc_id", table: str = "documents") -> str:
+def _NB_SCORED_CTES(class_col: str, text_expr: str, id_col: str,
+                    table: str) -> str:
+    """Shared WITH-body through the (doc_id, cls, score_mu) matrix."""
     return f"""
 WITH toks AS (
   SELECT {class_col} AS cls, unnest({TOKENS_SQL(text_expr)}) AS tok
@@ -228,11 +278,38 @@ picked AS (
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score_mu DESC, cls ASC) AS rn
   FROM scored
-)
+)"""
+
+
+def NB_SCORES_SQL(class_col: str = "lang", text_expr: str = "text",
+                  id_col: str = "doc_id", table: str = "documents") -> str:
+    return f"""
+{_NB_SCORED_CTES(class_col, text_expr, id_col, table)}
 SELECT p.doc_id, p.cls AS pred_cls, p.score_mu,
        t.{class_col} AS true_cls,
        p.cls = t.{class_col} AS correct
 FROM picked p
 JOIN {table} t ON p.doc_id = t.{id_col}
 WHERE p.rn = 1
+"""
+
+
+def NB_LABEL_NOISE_SQL(margin_mu: int, class_col: str = "lang",
+                       text_expr: str = "text", id_col: str = "doc_id",
+                       table: str = "documents") -> str:
+    return f"""
+{_NB_SCORED_CTES(class_col, text_expr, id_col, table)},
+best AS (
+  SELECT doc_id, cls AS pred_cls, score_mu AS s_pred
+  FROM picked WHERE rn = 1
+),
+own AS (
+  SELECT s.doc_id, t.{class_col} AS true_cls, s.score_mu AS s_true
+  FROM scored s
+  JOIN {table} t ON s.doc_id = t.{id_col} AND s.cls = t.{class_col}
+)
+SELECT b.doc_id, o.true_cls, b.pred_cls,
+       CAST(b.s_pred - o.s_true AS BIGINT) AS margin_mu
+FROM best b JOIN own o ON b.doc_id = o.doc_id
+WHERE b.pred_cls <> o.true_cls AND b.s_pred - o.s_true > {margin_mu}
 """

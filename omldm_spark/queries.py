@@ -8111,6 +8111,240 @@ def q_km_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ML monitoring: PSI drift, cohort LTV, NB label-noise screen
+# ---------------------------------------------------------------------------
+
+from .functions.encoders import bin_expr, quantile_edges  # noqa: E402
+from .learners.nbayes import (  # noqa: E402
+    NB_LABEL_NOISE_SQL,
+    nb_label_noise,
+)
+
+_PSI_SMOOTH_BINS = 10
+
+
+@query(
+    "psi_value_drift",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+  FROM events
+),
+d0 AS (SELECT CAST(min(day_idx) AS BIGINT) AS min_day FROM base),
+tagged AS (
+  SELECT v_c, CASE WHEN day_idx - min_day < 15 THEN 0 ELSE 1 END AS period
+  FROM base CROSS JOIN d0
+),
+hist AS (
+  SELECT v_c AS v, CAST(count(*) AS BIGINT) AS c
+  FROM tagged WHERE period = 0 GROUP BY 1
+),
+cdf AS (
+  SELECT v,
+         CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM hist
+),
+edges AS ({" UNION ALL ".join(
+    f"SELECT CAST(min(v) AS BIGINT) AS e FROM cdf"
+    f" WHERE cum >= ({b} * n + 9) // 10"
+    for b in range(1, 10)
+)}),
+arr AS (SELECT list(e ORDER BY e) AS arr FROM edges),
+binned AS (
+  SELECT t.period,
+         CAST(1 + len(list_filter(a.arr, e -> e < t.v_c)) AS BIGINT) AS bin
+  FROM tagged t CROSS JOIN arr a
+),
+counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ref_cnt,
+         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cur_cnt
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ref_cnt) AS BIGINT) AS n_ref,
+         CAST(sum(cur_cnt) AS BIGINT) AS n_cur
+  FROM counts
+),
+cells AS (
+  SELECT bin, ref_cnt, cur_cnt,
+         CAST(floor(
+           ((CAST(ref_cnt + 1 AS DOUBLE)
+             / CAST(n_ref + {_PSI_SMOOTH_BINS} AS DOUBLE))
+            - (CAST(cur_cnt + 1 AS DOUBLE)
+               / CAST(n_cur + {_PSI_SMOOTH_BINS} AS DOUBLE)))
+           * ln((CAST(ref_cnt + 1 AS DOUBLE)
+                 / CAST(n_ref + {_PSI_SMOOTH_BINS} AS DOUBLE))
+                / (CAST(cur_cnt + 1 AS DOUBLE)
+                   / CAST(n_cur + {_PSI_SMOOTH_BINS} AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS contrib_ppm
+  FROM counts CROSS JOIN tot
+)
+SELECT bin, ref_cnt, cur_cnt, contrib_ppm,
+       CAST(sum(contrib_ppm) OVER () AS BIGINT) AS psi_ppm
+FROM cells
+""",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor on the value metric:
+    decile bins FITTED on the reference period (first 15 days) via the
+    exact histogram-CDF edges, applied to both periods with the
+    broadcast edge array; per-bin (p - q) * ln(p / q) with add-one
+    smoothing rides identical IEEE divisions and is HALF-UP quantized to
+    ppm BEFORE the total (the chi2 quantize-then-sum rule; quantized-ln
+    caveat as weighted_sample_docs).  The fitted-edges/apply split is
+    the production monitoring shape: edges freeze with the model,
+    current traffic only ever pays one broadcast filter."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day_idx"),
+    )
+    d0 = ev.agg(F.min("day_idx").cast("long").alias("min_day"))
+    tagged = ev.crossJoin(F.broadcast(d0)).select(
+        "v_c",
+        F.when(F.col("day_idx") - F.col("min_day") < 15, 0).otherwise(1)
+        .alias("period"),
+    )
+    edges = quantile_edges(tagged.filter(F.col("period") == 0), "v_c", 10)
+    binned = tagged.crossJoin(F.broadcast(edges)).select(
+        "period", bin_expr("v_c").alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("long").alias("ref_cnt"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("long").alias("cur_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("ref_cnt").cast("long").alias("n_ref"),
+        F.sum("cur_cnt").cast("long").alias("n_cur"),
+    )
+    m = _PSI_SMOOTH_BINS
+    p = f"(CAST(ref_cnt + 1 AS DOUBLE) / CAST(n_ref + {m} AS DOUBLE))"
+    q = f"(CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + {m} AS DOUBLE))"
+    cells = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "ref_cnt", "cur_cnt",
+        F.expr(
+            f"CAST(floor(({p} - {q}) * ln({p} / {q})"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("contrib_ppm"),
+    )
+    return cells.select(
+        "bin", "ref_cnt", "cur_cnt", "contrib_ppm",
+        F.sum("contrib_ppm").over(
+            Window.partitionBy()
+        ).cast("long").alias("psi_ppm"),
+    )
+
+
+@query(
+    "ltv_cohort_curves",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS week_idx
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, CAST(min(week_idx) AS BIGINT) AS cohort_w
+  FROM base GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_w, CAST(count(*) AS BIGINT) AS users
+  FROM cohorts GROUP BY 1
+),
+rev AS (
+  SELECT c.cohort_w, CAST(b.week_idx - c.cohort_w AS BIGINT) AS age_w,
+         CAST(sum(b.v_c) AS BIGINT) AS rev_c
+  FROM base b JOIN cohorts c ON b.user_id = c.user_id
+  WHERE b.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_w, age_w, rev_c,
+         CAST(sum(rev_c) OVER (PARTITION BY cohort_w ORDER BY age_w
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
+  FROM rev
+)
+SELECT r.cohort_w, r.age_w, s.users, r.rev_c, r.cum_rev_c,
+       CAST(r.cum_rev_c // s.users AS BIGINT) AS ltv_c
+FROM cum r JOIN sizes s ON r.cohort_w = s.cohort_w
+""",
+)
+def q_ltv_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: purchase revenue per (signup-week
+    cohort x age week), accumulated per cohort and normalized by cohort
+    size to LTV cents-per-user — the growth-analytics companion to
+    retention_cohorts.  One user-keyed cohort assignment (window-free:
+    groupBy min + join back), one (cohort, age) rollup, cumulative
+    window over the tiny cohort x age matrix; ages are reported where
+    purchases happened (gaps carry forward implicitly in the cumsum).
+    All-BIGINT, truncating per-user division."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        F.expr("unix_timestamp(ts) div 86400 div 7").cast("long")
+        .alias("week_idx"),
+    )
+    cohorts = ev.groupBy("user_id").agg(
+        F.min("week_idx").cast("long").alias("cohort_w")
+    )
+    sizes = cohorts.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).cast("long").alias("users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_w",
+            (F.col("week_idx") - F.col("cohort_w")).cast("long")
+            .alias("age_w"),
+        )
+        .agg(F.sum("v_c").cast("long").alias("rev_c"))
+    )
+    w = Window.partitionBy("cohort_w").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.withColumn(
+        "cum_rev_c", F.sum("rev_c").over(w).cast("long")
+    )
+    return cum.join(F.broadcast(sizes), "cohort_w").select(
+        "cohort_w", "age_w", "users", "rev_c", "cum_rev_c",
+        F.expr("cum_rev_c div users").cast("long").alias("ltv_c"),
+    )
+
+
+_NOISE_MARGIN_MU = 1_000_000
+
+
+@query(
+    "nb_label_noise",
+    oracle=NB_LABEL_NOISE_SQL(_NOISE_MARGIN_MU),
+)
+def q_nb_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning-style label-noise screen over the documents
+    corpus: docs whose NB-preferred class beats the GIVEN lang label by
+    more than 1.0 nats (1e6 micro-nats) — the relabel/filter candidates
+    a training-data pipeline reviews before fitting on the corpus.  One
+    extra join of the score matrix against each doc's own-label score;
+    the margin is an exact BIGINT difference of quantized scores
+    (learners/nbayes.py nb_label_noise)."""
+    return nb_label_noise(
+        load_table(spark, sf_dir, "documents"), _NOISE_MARGIN_MU
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of
