@@ -8345,6 +8345,228 @@ def q_nb_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact bitmap distinct, WoE/IV encoding, deterministic negative sampling
+# ---------------------------------------------------------------------------
+
+_BMP_TXT = "bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))"
+
+
+@query(
+    "bitmap_distinct_users",
+    oracle=f"""
+WITH segs AS (
+  SELECT event_type, CAST(user_id // 63 AS BIGINT) AS seg,
+         {_BMP_TXT} AS bmp
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(bit_count(bmp)) AS BIGINT) AS distinct_users
+  FROM segs GROUP BY 1
+),
+truth AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+  FROM events GROUP BY 1
+)
+SELECT a.event_type, a.n_segments, a.distinct_users, t.true_distinct
+FROM agg a JOIN truth t ON a.event_type = t.event_type
+""",
+)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via 63-bit bitmap segments
+    (the roaring-bitmap pattern as plain SQL): ids OR into per-segment
+    BIGINT bitmaps — |ids|/63 rows whatever the row count, mergeable
+    across shards/time with plain bit_or (unlike COUNT DISTINCT, whose
+    partials aren't reusable) — and popcounts sum to the exact distinct.
+    The exact-but-mergeable middle ground between COUNT DISTINCT (exact,
+    not mergeable) and HLL (mergeable, approximate); `<<`, bit_or and
+    bit_count are shared SQL text in both engines.  true_distinct is the
+    paired audit column."""
+    ev = load_table(spark, sf_dir, "events")
+    segs = ev.groupBy(
+        "event_type", F.expr("CAST(user_id div 63 AS BIGINT)").alias("seg")
+    ).agg(F.expr(_BMP_TXT).alias("bmp"))
+    agg = segs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.expr("bit_count(bmp)")).cast("long").alias("distinct_users"),
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return agg.join(truth, "event_type")
+
+
+@query(
+    "woe_item_purchase",
+    oracle="""
+WITH base AS (
+  SELECT CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 16
+              AS BIGINT) AS cat,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+cats AS (
+  SELECT cat, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS neg
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+         CAST(sum(neg) AS BIGINT) AS n_tot
+  FROM cats
+),
+cells AS (
+  SELECT cat, pos, neg,
+         CAST(floor(ln((CAST(pos + 1 AS DOUBLE) / CAST(p_tot + 16 AS DOUBLE))
+                       / (CAST(neg + 1 AS DOUBLE)
+                          / CAST(n_tot + 16 AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS woe_ppm,
+         CAST(floor(((CAST(pos + 1 AS DOUBLE) / CAST(p_tot + 16 AS DOUBLE))
+                     - (CAST(neg + 1 AS DOUBLE)
+                        / CAST(n_tot + 16 AS DOUBLE)))
+                    * ln((CAST(pos + 1 AS DOUBLE)
+                          / CAST(p_tot + 16 AS DOUBLE))
+                         / (CAST(neg + 1 AS DOUBLE)
+                            / CAST(n_tot + 16 AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS iv_contrib_ppm
+  FROM cats CROSS JOIN tot
+)
+SELECT cat, pos, neg, woe_ppm, iv_contrib_ppm,
+       CAST(sum(iv_contrib_ppm) OVER () AS BIGINT) AS iv_ppm
+FROM cells
+""",
+)
+def q_woe_item_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value of the item bucket
+    against the purchase label (the credit-scoring feature screen): per
+    category WoE = ln(P(cat|pos)/P(cat|neg)) with add-one smoothing, IV =
+    sum of (p - q) * WoE — identical IEEE divisions, HALF-UP ppm
+    quantization per cell BEFORE the total (the chi2/PSI rule), BIGINT
+    everywhere after.  Category stats are one map-side-combined groupBy;
+    totals broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.regexp_extract("props", "[0-9]+", 0).cast("long") % 16)
+        .cast("long").alias("cat"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cats = ev.groupBy("cat").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    tot = cats.agg(
+        F.sum("pos").cast("long").alias("p_tot"),
+        F.sum("neg").cast("long").alias("n_tot"),
+    )
+    p = "(CAST(pos + 1 AS DOUBLE) / CAST(p_tot + 16 AS DOUBLE))"
+    q = "(CAST(neg + 1 AS DOUBLE) / CAST(n_tot + 16 AS DOUBLE))"
+    cells = cats.crossJoin(F.broadcast(tot)).select(
+        "cat", "pos", "neg",
+        F.expr(
+            f"CAST(floor(ln({p} / {q}) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("woe_ppm"),
+        F.expr(
+            f"CAST(floor(({p} - {q}) * ln({p} / {q})"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("iv_contrib_ppm"),
+    )
+    return cells.select(
+        "cat", "pos", "neg", "woe_ppm", "iv_contrib_ppm",
+        F.sum("iv_contrib_ppm").over(Window.partitionBy())
+        .cast("long").alias("iv_ppm"),
+    )
+
+
+from .operators.sketch import _HEX as _HEX_DIGITS  # noqa: E402
+
+_NEG_K = 3
+_NEG_KEY = ("concat(CAST(u AS STRING), '_', CAST(item AS STRING), '_',"
+            " CAST(j AS STRING))")
+_NEG_FOLD = "(" + " + ".join(
+    f"(instr('{_HEX_DIGITS}', substr(md5(concat('neg|', {_NEG_KEY})),"
+    f" {i}, 1)) - 1) * {16 ** (6 - i)}"
+    for i in range(1, 7)
+) + ")"
+
+
+@query(
+    "negative_samples",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+  FROM events
+),
+items AS (
+  SELECT item, CAST(row_number() OVER (ORDER BY item) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT item FROM pos)
+),
+n_items AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM items),
+expanded AS (
+  SELECT p.u, p.item, j.j,
+         CAST({_NEG_FOLD} % ni AS BIGINT) AS neg_idx
+  FROM pos p
+  CROSS JOIN (SELECT unnest(generate_series(1, {_NEG_K})) AS j) j
+  CROSS JOIN n_items
+),
+cand AS (
+  SELECT e.u, e.item, e.j, i.item AS neg_item
+  FROM expanded e JOIN items i ON e.neg_idx = i.idx
+)
+SELECT c.u, c.item, c.j, c.neg_item
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p2 WHERE p2.u = c.u AND p2.item = c.neg_item
+)
+""",
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the skip-gram / BPR data-prep step): every positive (user, item)
+    pair draws K=3 candidate negatives via the shared md5 instr-fold of
+    (u, item, j) mod |items|, mapped through the broadcast item index,
+    then anti-joined against the positives — sample-then-filter, so a
+    user's true items can never leak in as negatives (expected yield
+    slightly under K, deterministic, reproducible across engines and
+    runs — no rand()).  The only corpus-scale work is the distinct pass
+    and the final anti join, both keyed by user."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    items = pos.select("item").distinct().select(
+        "item",
+        (F.row_number().over(Window.orderBy("item")) - 1).cast("long")
+        .alias("idx"),
+    )
+    ni = items.agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    expanded = (
+        pos.crossJoin(F.broadcast(ni))
+        .select("u", "item", "ni",
+                F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("j"))
+        .select(
+            "u", "item", "j",
+            F.expr(f"CAST({_NEG_FOLD} % ni AS BIGINT)").alias("neg_idx"),
+        )
+    )
+    cand = expanded.join(
+        F.broadcast(items.select(F.col("idx").alias("neg_idx"),
+                                 F.col("item").alias("neg_item"))),
+        "neg_idx",
+    )
+    return cand.join(
+        pos.select(F.col("u").alias("u2"), F.col("item").alias("item2")),
+        (F.col("u") == F.col("u2")) & (F.col("neg_item") == F.col("item2")),
+        "left_anti",
+    ).select("u", "item", "j", "neg_item")
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -1213,3 +1213,46 @@ def test_km_curve_hand_case(spark):
     assert out[1]["s_ppm"] == 800000          # 1e6 * 4 // 5
     assert out[2]["s_ppm"] == 400000          # 800000 * 2 // 4
     assert out[3]["s_ppm"] == 0               # * 0 // 1
+
+
+def test_bitmap_segments_merge_across_shards(spark):
+    """Bitmap distinct partials are reusable: OR-merging two shards'
+    per-segment bitmaps gives the union's exact distinct (the property
+    COUNT DISTINCT partials lack)."""
+    from pyspark.sql import functions as F
+
+    def segs(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+        return df.groupBy(
+            F.expr("CAST(user_id div 63 AS BIGINT)").alias("seg")
+        ).agg(F.expr(
+            "bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))"
+        ).alias("bmp"))
+
+    a, b = segs([1, 2, 100, 200]), segs([2, 3, 100, 999])
+    merged = a.unionByName(b).groupBy("seg").agg(
+        F.expr("bit_or(bmp)").alias("bmp")
+    )
+    total = merged.agg(F.expr("sum(bit_count(bmp))").alias("d")).collect()
+    assert total[0]["d"] == 6  # |{1,2,3,100,200,999}|
+
+
+def test_negative_samples_never_hit_positives(spark):
+    """Sampled negatives can never be one of the user's positive items,
+    and re-running yields the identical sample (no rand)."""
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out1 = {(r["u"], r["item"], r["j"], r["neg_item"])
+            for r in QUERIES["negative_samples"](spark, sf).collect()}
+    out2 = {(r["u"], r["item"], r["j"], r["neg_item"])
+            for r in QUERIES["negative_samples"](spark, sf).collect()}
+    assert out1 == out2 and out1
+    from omldm_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    pos = {(r["u"], r["item"]) for r in load_table(spark, sf, "events").select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct().collect()}
+    assert all((u, neg) not in pos for u, _, _, neg in out1)
