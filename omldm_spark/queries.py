@@ -8567,6 +8567,189 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming bitmap distinct + leave-last-out recommender evaluation
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_bitmap_distinct",
+    oracle=f"""
+SELECT event_type, CAST(user_id // 63 AS BIGINT) AS seg,
+       {_BMP_TXT} AS bmp
+FROM events GROUP BY 1, 2
+""",
+)
+def q_streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of bitmap_distinct_users: per-(type, segment)
+    bitmaps AS update-mode streaming aggregation state — bit_or is
+    idempotent and mergeable, so state is |ids|/63 rows at any stream
+    length and the compacted final bitmaps hash-match the batch segments
+    exactly; summing popcounts at read time gives the EXACT running
+    distinct (what HLL state gives approximately)."""
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_bmp_")
+    out = stream.groupBy(
+        "event_type", F.expr("CAST(user_id div 63 AS BIGINT)").alias("seg")
+    ).agg(F.expr(_BMP_TXT).alias("bmp"))
+    rows = _run_update_stream(out, tmp, ["event_type", "seg"])
+    return spark.createDataFrame(
+        [(r["event_type"], r["seg"], r["bmp"]) for r in rows],
+        "event_type string, seg long, bmp long",
+    )
+
+
+@query(
+    "item_rec_hitrate",
+    oracle="""
+WITH first_ts AS (
+  SELECT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item,
+         CAST(min(floor(epoch(ts))) AS BIGINT) AS t0
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT u, item, t0,
+         row_number() OVER (PARTITION BY u
+                            ORDER BY t0 DESC, item DESC) AS rn,
+         count(*) OVER (PARTITION BY u) AS n_items
+  FROM first_ts
+),
+held AS (
+  SELECT u, item AS heldout FROM ranked WHERE rn = 1 AND n_items >= 2
+),
+profile AS (
+  SELECT u, item FROM ranked WHERE rn > 1
+),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM profile a JOIN profile b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+item_n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n FROM profile GROUP BY 1
+),
+sym AS (
+  SELECT item_a AS p, item_b AS cand, n_co FROM co
+  UNION ALL
+  SELECT item_b, item_a, n_co FROM co
+),
+sim AS (
+  SELECT s.p, s.cand,
+         CAST(s.n_co * s.n_co * 1000000 // (ia.n * ib.n) AS BIGINT)
+           AS sim2_ppm
+  FROM sym s
+  JOIN item_n ia ON ia.item = s.p
+  JOIN item_n ib ON ib.item = s.cand
+),
+scores AS (
+  SELECT pr.u, si.cand,
+         CAST(sum(si.sim2_ppm) AS BIGINT) AS score
+  FROM profile pr JOIN sim si ON pr.item = si.p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM profile p2 WHERE p2.u = pr.u AND p2.item = si.cand
+  )
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT u, cand,
+         CAST(row_number() OVER (PARTITION BY u
+              ORDER BY score DESC, cand ASC) AS BIGINT) AS rnk
+  FROM scores
+)
+SELECT h.u, h.heldout,
+       CAST(min(CASE WHEN t.cand = h.heldout THEN t.rnk END) AS BIGINT)
+         AS hit_rank
+FROM held h
+LEFT JOIN topk t ON t.u = h.u AND t.rnk <= 5
+GROUP BY 1, 2
+""",
+)
+def q_item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-out recommender evaluation (the standard implicit-
+    feedback protocol, leakage-free): each user's LATEST first-
+    interaction item is held out, the item-item cosine^2 graph is
+    rebuilt on the REMAINING profile only (training on the full log
+    would leak the answer), each user's candidates score by summed
+    similarity to their profile with seen items anti-joined away, and
+    hit_rank records where the held-out item landed in the top-5 (NULL =
+    miss).  Everything off the event log is item-domain-scale after the
+    first distinct; tie-breaks are total (operators: the
+    item_cooccurrence self-join + per-user windows)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_ts = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    ).groupBy("u", "item").agg(F.min("ts_s").cast("long").alias("t0"))
+    w = Window.partitionBy("u").orderBy(F.col("t0").desc(),
+                                        F.col("item").desc())
+    ranked = first_ts.select(
+        "u", "item", "t0",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("u")).alias("n_items"),
+    )
+    held = ranked.filter((F.col("rn") == 1) & (F.col("n_items") >= 2)).select(
+        "u", F.col("item").alias("heldout")
+    )
+    profile = ranked.filter(F.col("rn") > 1).select("u", "item").persist()
+    a, b = profile.alias("a"), profile.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    item_n = profile.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sym = co.select(
+        F.col("item_a").alias("p"), F.col("item_b").alias("cand"), "n_co"
+    ).unionByName(
+        co.select(F.col("item_b").alias("p"), F.col("item_a").alias("cand"),
+                  "n_co")
+    )
+    sim = (
+        sym.join(F.broadcast(item_n.select(F.col("item").alias("p"),
+                                           F.col("n").alias("na"))), "p")
+        .join(F.broadcast(item_n.select(F.col("item").alias("cand"),
+                                        F.col("n").alias("nb"))), "cand")
+        .select("p", "cand",
+                F.expr("CAST(n_co * n_co * 1000000 div (na * nb) AS BIGINT)")
+                .alias("sim2_ppm"))
+    )
+    scores = (
+        profile.join(sim, profile["item"] == sim["p"])
+        .select("u", "cand", "sim2_ppm")
+        .join(
+            profile.select(F.col("u").alias("u3"),
+                           F.col("item").alias("item3")),
+            (F.col("u") == F.col("u3")) & (F.col("cand") == F.col("item3")),
+            "left_anti",
+        )
+        .groupBy("u", "cand")
+        .agg(F.sum("sim2_ppm").cast("long").alias("score"))
+    )
+    wt = Window.partitionBy("u").orderBy(F.col("score").desc(),
+                                         F.col("cand").asc())
+    topk = scores.select(
+        "u", "cand", F.row_number().over(wt).cast("long").alias("rnk")
+    ).filter(F.col("rnk") <= 5)
+    return (
+        held.join(topk, "u", "left")
+        .groupBy("u", "heldout")
+        .agg(
+            F.min(
+                F.when(F.col("cand") == F.col("heldout"), F.col("rnk"))
+            ).cast("long").alias("hit_rank")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of
