@@ -8750,6 +8750,66 @@ def q_item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Differential-privacy-style noisy release (deterministic seeded Laplace)
+# ---------------------------------------------------------------------------
+
+_DP_KEY = "concat('dp|', event_type, '|', CAST(day_idx AS STRING))"
+_DP_FOLD = "(" + " + ".join(
+    f"(instr('{_HEX_DIGITS}', substr(md5({_DP_KEY}), {i}, 1)) - 1)"
+    f" * {16 ** (6 - i)}"
+    for i in range(1, 7)
+) + ")"
+# u in (0,1) strictly; a in (-0.5, 0.5); Laplace(b=1/eps) via inverse CDF
+_DP_NOISE = (
+    f"(CASE WHEN (({_DP_FOLD} + 0.5) / 16777216.0) >= 0.5 THEN -1.0"
+    " ELSE 1.0 END)"
+    f" * ln(1.0 - 2.0 * abs((({_DP_FOLD} + 0.5) / 16777216.0) - 0.5))"
+)
+
+
+@query(
+    "dp_event_counts",
+    oracle=f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+         CAST(count(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_idx, true_cnt,
+       CAST(true_cnt + CAST(floor({_DP_NOISE} + 0.5) AS BIGINT) AS BIGINT)
+         AS noisy_cnt
+FROM counts
+""",
+)
+def q_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release (epsilon = 1, sensitivity 1 per
+    cell): daily per-type counts plus integer Laplace noise drawn by
+    INVERSE CDF from an md5-seeded uniform — the privacy-release shape
+    (noisy marginals for dashboards/sharing) with fully reproducible
+    noise.  Determinism caveat stated plainly: seeded noise makes the
+    release reproducible and testable, but REAL differential privacy
+    requires secret randomness — swap the md5 fold for a secret-keyed
+    PRF in production (the plan is identical).  Noise is HALF-UP
+    quantized to integer counts; the ln rides identical IEEE operands
+    (the quantized-ln envelope)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day_idx"),
+    )
+    counts = ev.groupBy("event_type", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return counts.select(
+        "event_type", "day_idx", "true_cnt",
+        F.expr(
+            f"CAST(true_cnt + CAST(floor({_DP_NOISE} + 0.5) AS BIGINT)"
+            " AS BIGINT)"
+        ).alias("noisy_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -53,3 +53,30 @@ def test_unknown_format_raises(spark, tmp_path):
         write_sink(df, str(tmp_path / "x"), fmt="avro")
     with pytest.raises(ValueError, match="schema"):
         read_source(spark, str(tmp_path / "x"), fmt="json")
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: a later partition adds a column; a
+    mergeSchema read sees the union schema with nulls backfilled, and
+    column pruning still reaches the scan."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(
+        f"{p}/day=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, x string, score double"
+    ).write.parquet(f"{p}/day=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "x", "score", "day"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    # pruned projection must not carry the late column to the scan
+    import io as _io
+    import contextlib
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.select("id").explain("formatted")
+    assert "score" not in buf.getvalue().split("ReadSchema")[1][:80]
