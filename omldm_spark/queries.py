@@ -8810,6 +8810,184 @@ def q_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Conformal prediction intervals + seasonal-naive backtest
+# ---------------------------------------------------------------------------
+
+_CONF_LEVEL_NUM, _CONF_LEVEL_DEN = 9, 10  # 90% split-conformal
+
+
+@query(
+    "conformal_interval_orr",
+    oracle=f"""
+WITH split AS ({{split_sql}}),
+w AS ({{weights_sql}}),
+cal AS (
+  SELECT CAST(floor(abs(s.y - (w.w0 * s.x0 + w.w1 * s.x1 + w.bias))
+                    * 100000.0 + 0.5) AS BIGINT) AS rc
+  FROM split s CROSS JOIN w
+  WHERE s.split = 'test'
+),
+n_cal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+hist AS (SELECT rc, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY 1),
+cdf AS (
+  SELECT rc, CAST(sum(c) OVER (ORDER BY rc
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM hist
+),
+qhat AS (
+  SELECT CAST(min(rc) AS BIGINT) AS q_hat_u
+  FROM cdf CROSS JOIN n_cal
+  WHERE cum >= ({_CONF_LEVEL_NUM} * (n + 1) + {_CONF_LEVEL_DEN} - 1)
+               // {_CONF_LEVEL_DEN}
+),
+fc AS (
+  SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+         l_quantity AS x0, l_discount AS x1,
+         l_extendedprice / 1000.0 AS y
+  FROM lineitem
+  WHERE (l_orderkey * 8 + l_linenumber) % 10 = 0
+),
+test AS (
+  SELECT CAST(floor(abs(f.y - (w.w0 * f.x0 + w.w1 * f.x1 + w.bias))
+                    * 100000.0 + 0.5) AS BIGINT) AS rc
+  FROM fc f CROSS JOIN w
+)
+SELECT n_cal.n AS n_cal, q.q_hat_u,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.rc <= q.q_hat_u THEN 1 ELSE 0 END) AS BIGINT)
+         AS covered,
+       CAST(sum(CASE WHEN t.rc <= q.q_hat_u THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS coverage_ppm
+FROM test t CROSS JOIN qhat q CROSS JOIN n_cal
+GROUP BY 1, 2
+""".format(split_sql=SPLIT_POINTS_SQL, weights_sql=WEIGHTS_SQL),
+)
+def q_conformal_interval_orr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the closed-form ridge:
+    absolute calibration residuals (the holdout 'test' split — never the
+    training rows) quantized to integer micro-units, q_hat = the
+    ceil(0.9 * (n+1))-th smallest via the exact histogram CDF, then the
+    marginal coverage CHECK on the disjoint forecasting partition
+    (id %% 10 == 0) — finite-sample ~90%% coverage is the split-conformal
+    guarantee, here verified exactly.  Residuals ride identical IEEE
+    doubles from the shared Cramer weights; everything after
+    quantization is BIGINT."""
+    cal = _split_points(spark, sf_dir).filter(F.col("split") == "test")
+    w = _weights(spark, sf_dir)
+    pred = "(w0 * x0 + w1 * x1 + bias)"
+    rc = (f"CAST(floor(abs(y - {pred}) * 100000.0 + 0.5) AS BIGINT)")
+    cal_rc = cal.crossJoin(F.broadcast(w)).select(F.expr(rc).alias("rc"))
+    n_cal = cal_rc.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    hist = cal_rc.groupBy("rc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cdf = hist.select(
+        "rc",
+        F.sum("c").over(
+            Window.orderBy("rc").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+        ).cast("long").alias("cum"),
+    )
+    qhat = (
+        cdf.crossJoin(F.broadcast(n_cal))
+        .filter(F.col("cum") >= F.expr(
+            f"({_CONF_LEVEL_NUM} * (n + 1) + {_CONF_LEVEL_DEN} - 1)"
+            f" div {_CONF_LEVEL_DEN}"
+        ))
+        .agg(F.min("rc").cast("long").alias("q_hat_u"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).cast("long")
+    fc = li.select(
+        rid.alias("id"),
+        F.col("l_quantity").alias("x0"),
+        F.col("l_discount").alias("x1"),
+        (F.col("l_extendedprice") / F.lit(1000.0)).alias("y"),
+    ).filter(F.pmod(F.col("id"), F.lit(10)) == 0)
+    test = fc.crossJoin(F.broadcast(w)).select(F.expr(rc).alias("rc"))
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(n_cal))
+        .groupBy(F.col("n").alias("n_cal"), "q_hat_u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("rc") <= F.col("q_hat_u"), 1).otherwise(0))
+            .cast("long").alias("covered"),
+        )
+        .select(
+            "n_cal", "q_hat_u", "n_test", "covered",
+            F.expr("covered * 1000000 div n_test").cast("long")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS hour_s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cutoff AS (
+  SELECT CAST(max(hour_s) // 86400 * 86400 AS BIGINT) AS test_day
+  FROM hourly
+),
+pairs AS (
+  SELECT a.event_type, a.hour_s, a.cnt AS actual, f.cnt AS forecast
+  FROM hourly a
+  JOIN cutoff c ON a.hour_s >= c.test_day
+  JOIN hourly f ON f.event_type = a.event_type
+              AND f.hour_s = a.hour_s - 86400
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(abs(forecast - actual) * 2000000
+                // (forecast + actual)) // count(*) AS BIGINT)
+         AS mean_smape_ppm
+FROM pairs
+GROUP BY 1
+""",
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting backtest: the final day's hourly event
+    counts forecast by the same hour one day earlier, scored with sMAPE
+    in truncated integer ppm — the baseline every forecasting system
+    must beat, and the backtest harness shape (as-of split, lag join,
+    exact integer metric).  Hourly rollup is one map-side-combined pass;
+    the lag is an equi-join on (type, hour - 24h), never a window over
+    raw events; hours lacking a prior-day observation are excluded
+    (documented)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600 * 3600").cast("long")
+        .alias("hour_s"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cutoff = hourly.agg(
+        F.expr("max(hour_s) div 86400 * 86400").cast("long")
+        .alias("test_day")
+    )
+    a = hourly.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("hour_s") >= F.col("test_day")
+    ).select("event_type", "hour_s", F.col("cnt").alias("actual"))
+    f = hourly.select(
+        "event_type", (F.col("hour_s") + 86400).alias("hour_s"),
+        F.col("cnt").alias("forecast"),
+    )
+    pairs = a.join(f, ["event_type", "hour_s"])
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.expr(
+            "CAST(sum(abs(forecast - actual) * 2000000"
+            " div (forecast + actual)) div count(1) AS BIGINT)"
+        ).alias("mean_smape_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -323,3 +323,16 @@ def test_tree_depth2_refines_the_stump(spark):
     assert out[0]["n_l"] == 10 and out[0]["n_r"] == 2
     # right branch is all-negative; any split stays pure
     assert out[1]["pos_l"] == 0 and out[1]["pos_r"] == 0
+
+
+def test_conformal_coverage_near_level(spark):
+    """The split-conformal interval must actually cover ~90% of the
+    disjoint forecast partition (finite-sample guarantee: >= 0.9 in
+    expectation; allow sampling slack below)."""
+    from omldm_spark.queries import QUERIES
+
+    r = QUERIES["conformal_interval_orr"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_cal"] > 50 and r["n_test"] > 50
+    assert 850000 <= r["coverage_ppm"] <= 980000
+    assert r["q_hat_u"] > 0
