@@ -9011,13 +9011,13 @@ _SNAPSHOT_TOP = [
     "train_test_split", "response_merge", "stats_rollup",
     "hub_broadcast_expand", "broadcast_pipeline_join",
     # learners with closed-form / decision-exact oracles
-    "orr_weights", "orr_predictions", "orr_query_response",
+    "stump_best_split", "orr_predictions", "orr_query_response",
     "orr_scaled_query_response", "hub_sharded_stats", "ht_prequential",
     # preprocessors / feature encoders
     "target_encoded_priority",
     # dedup family
     "dedup_exact", "minhash_lsh_pairs",
-    "dedup_clusters", "simhash_docs", "zorder_events_key",
+    "dedup_clusters", "km_session_survival", "zorder_events_key",
     # text analysis + corpus ops
     "text_quality", "nb_doc_scores", "dq_report_orders",
     "heavy_hitters_terms", "curriculum_order", "bpe_train_merges",
@@ -9025,7 +9025,7 @@ _SNAPSHOT_TOP = [
     # similarity + retrieval + multimodal
     "ann_cosine_topk", "rrf_fusion_topk", "multimodal_decode_meta",
     # sketches / skew / drift
-    "hll_trailing_users_7d", "hll_distinct_users", "salted_agg_revenue",
+    "hll_trailing_users_7d", "bitmap_distinct_users", "salted_agg_revenue",
     "ddm_drift_summary",
     # streaming (stream-stream, stream-static, stateful dedup)
     "stream_click_attribution", "streaming_enriched_counts",
@@ -9033,12 +9033,12 @@ _SNAPSHOT_TOP = [
     # temporal / relational
     "event_sessions", "ab_test_report",
     "pit_feature_join", "mv_retractable_revenue",
-    "latest_event_per_user_type",
+    "item_rec_hitrate",
     # TPC-H shapes (pushdown proof, top-k, dims, semi/anti composition)
     "tpch_q1_like", "tpch_q3_like", "tpch_q5_like",
     "pagerank_user_props", "tpch_q21_like", "rollup_revenue",
     # evaluation + privacy
-    "auc_purchase_value", "eval_classification_report",
+    "auc_purchase_value", "conformal_interval_orr",
     "k_anonymity_customers",
 ]
 
