@@ -8988,6 +8988,133 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming split histograms + largest-remainder budget apportionment
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_split_hist",
+    oracle="""
+SELECT feat, v, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+FROM (
+  SELECT 'f_hour' AS feat, CAST(hour(ts) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  UNION ALL
+  SELECT 'f_dow', CAST(dayofweek(ts) AS BIGINT),
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+  FROM events
+)
+GROUP BY 1, 2
+""",
+)
+def q_streaming_split_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree-split class histograms maintained AS streaming aggregation
+    state (the Hoeffding-tree observer shape, reference
+    NumericalGaussianObserver.scala, kept EXACT instead of Gaussian-
+    sketched): every event explodes to its (feature, value) pairs and one
+    update-mode groupBy keeps (n, pos) per cell — state is value-domain-
+    sized at any stream length, and the compacted cells hash-match the
+    batch histograms, so stump_best_split's exact split derives from the
+    live state at ANY point in the stream."""
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_shist_")
+    melted = stream.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("f_hour").alias("feat"),
+                    F.hour("ts").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("f_dow").alias("feat"),
+                    (F.dayofweek("ts") - 1).cast("long").alias("v"),
+                ),
+            )
+        ).alias("fv"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).select("fv.feat", "fv.v", "y")
+    out = melted.groupBy("feat", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    rows = _run_update_stream(out, tmp, ["feat", "v"])
+    return spark.createDataFrame(
+        [(r["feat"], r["v"], r["n"], r["pos"]) for r in rows],
+        "feat string, v long, n long, pos long",
+    )
+
+
+_APPORTION_BUDGET = 10_000
+
+
+@query(
+    "budget_apportion_sources",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
+quotas AS (
+  SELECT source, n_docs,
+         CAST({_APPORTION_BUDGET} * n_docs // total AS BIGINT) AS floor_q,
+         CAST({_APPORTION_BUDGET} * n_docs % total AS BIGINT) AS rem
+  FROM counts CROSS JOIN tot
+),
+short AS (
+  SELECT CAST({_APPORTION_BUDGET} - sum(floor_q) AS BIGINT) AS k
+  FROM quotas
+),
+ranked AS (
+  SELECT source, n_docs, floor_q,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+  FROM quotas
+)
+SELECT r.source, r.n_docs,
+       CAST(r.floor_q + CASE WHEN r.rr <= s.k THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked r CROSS JOIN short s
+""",
+)
+def q_budget_apportion_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 10k-row sampling
+    budget across document sources: floor quotas by exact integer
+    division, the shortfall handed to the largest remainders with a
+    deterministic source tie-break — quotas sum EXACTLY to the budget
+    (proportional rounding never does), the property a multi-tenant
+    sampler needs before sample_k_per_source draws the rows.  All
+    arithmetic on the |sources|-sized frame; one corpus-scale count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("total"))
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.expr(f"{_APPORTION_BUDGET} * n_docs div total").cast("long")
+        .alias("floor_q"),
+        F.expr(f"{_APPORTION_BUDGET} * n_docs % total").cast("long")
+        .alias("rem"),
+    )
+    short = quotas.agg(
+        (F.lit(_APPORTION_BUDGET) - F.sum("floor_q")).cast("long").alias("k")
+    )
+    ranked = quotas.withColumn(
+        "rr",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source", "n_docs",
+        (F.col("floor_q")
+         + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0))
+        .cast("long").alias("quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -1256,3 +1256,17 @@ def test_negative_samples_never_hit_positives(spark):
         F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
     ).distinct().collect()}
     assert all((u, neg) not in pos for u, _, _, neg in out1)
+
+
+def test_apportionment_sums_to_budget_exactly(spark):
+    """Hamilton quotas must sum exactly to the budget and never differ
+    from the proportional share by more than 1 (quota property)."""
+    from omldm_spark.queries import QUERIES
+
+    rows = QUERIES["budget_apportion_sources"](
+        spark, "/root/testdata/sf0.001").collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert sum(r["quota"] for r in rows) == 10_000
+    for r in rows:
+        exact = 10_000 * r["n_docs"] / total_docs
+        assert exact - 1 < r["quota"] < exact + 1
