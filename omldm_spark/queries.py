@@ -9115,6 +9115,88 @@ def q_budget_apportion_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deletion-propagation manifest (right-to-erasure planning)
+# ---------------------------------------------------------------------------
+
+@query(
+    "gdpr_delete_manifest",
+    oracle="""
+WITH del AS (
+  SELECT DISTINCT user_id AS k FROM events WHERE user_id % 97 = 0
+),
+ev AS (
+  SELECT 'events' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_keys
+  FROM events e JOIN del d ON e.user_id = d.k
+),
+cu AS (
+  SELECT 'customer' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_keys
+  FROM customer c JOIN del d ON c.c_custkey = d.k
+),
+od AS (
+  SELECT 'orders' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_keys
+  FROM orders o JOIN del d ON o.o_custkey = d.k
+),
+li AS (
+  SELECT 'lineitem' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_keys
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN del d ON o.o_custkey = d.k
+)
+SELECT * FROM ev UNION ALL SELECT * FROM cu
+UNION ALL SELECT * FROM od UNION ALL SELECT * FROM li
+""",
+)
+def q_gdpr_delete_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure planning: one deletion-request key set (here
+    user_id %% 97 == 0) propagated through the schema's foreign-key
+    paths — direct hits (events, customer, orders) and the transitive
+    lineitem rows reachable only THROUGH orders — producing the per-table
+    manifest (rows to rewrite, distinct subjects) a compliance job
+    needs before touching any file.  The key set broadcasts into every
+    probe; the transitive path is a semi-join chain, so each fact table
+    is scanned once and nothing shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_keys = ev.filter(F.col("user_id") % 97 == 0).select(
+        F.col("user_id").alias("k")
+    ).distinct()
+
+    def manifest(name, df, key_col):
+        return df.join(
+            F.broadcast(del_keys), df[key_col] == del_keys["k"]
+        ).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(key_col).cast("long").alias("n_keys"),
+        )
+
+    li_hit = li.join(
+        od.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == od["o_orderkey"],
+    ).join(F.broadcast(del_keys), F.col("o_custkey") == F.col("k")).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_keys"),
+    )
+    return (
+        manifest("events", ev, "user_id")
+        .unionByName(manifest("customer", cu, "c_custkey"))
+        .unionByName(manifest("orders", od, "o_custkey"))
+        .unionByName(li_hit)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of
