@@ -404,3 +404,83 @@ SELECT CAST(0 AS BIGINT) AS round, {cols} FROM ({r0_q}) WHERE rn = 1
 UNION ALL
 SELECT CAST(1 AS BIGINT) AS round, {cols} FROM ({r1_q}) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-depth greedy tree (level-synchronous loop)
+# ---------------------------------------------------------------------------
+
+def tree_train(df: DataFrame, feature_cols: list[str], label_col: str,
+               depth: int) -> DataFrame:
+    """Exact greedy tree to ``depth`` levels: the tree_depth2 two-step
+    (grouped level search -> broadcast split frame -> branch-digit CASE)
+    iterated, with the node PATH ('' at the root, then '0'/'1' digits)
+    as the single group key — every level trains ALL its nodes in one
+    corpus pass, so a depth-d tree costs d passes whatever its 2^d-1
+    nodes (the XGBoost level-synchronous bound).  Returns one row per
+    node: (node, feat, thr, n_l, n_r, pos_l, pos_r, score).  Leaves that
+    become pure or single-valued simply stop producing candidate rows
+    (n_l < n_tot filters them), so degenerate branches terminate early
+    for free."""
+    cur = df.withColumn("node", F.lit(""))
+    out = None
+    for _level in range(depth):
+        splits = best_splits(
+            cur, feature_cols, label_col, ["node"]
+        ).filter(F.col("rn") == 1)
+        picked = splits.select(
+            "node", "feat", "thr", "n_l", "n_r", "pos_l", "pos_r", "score"
+        )
+        out = picked if out is None else out.unionByName(picked)
+        sp = splits.select(
+            F.col("node").alias("s_node"), F.col("feat").alias("s_feat"),
+            F.col("thr").alias("s_thr"),
+        )
+        val = None
+        for c in feature_cols:
+            cond = F.col("s_feat") == c
+            val = F.when(cond, F.col(c)) if val is None else val.when(
+                cond, F.col(c)
+            )
+        cur = (
+            cur.join(F.broadcast(sp), cur["node"] == sp["s_node"])
+            .withColumn(
+                "node",
+                F.concat(
+                    F.col("node"),
+                    F.when(val <= F.col("s_thr"), "0").otherwise("1"),
+                ),
+            )
+            .drop("s_node", "s_feat", "s_thr")
+        )
+    return out
+
+
+def TREE_TRAIN_SQL(select_sql: str, feature_cols: list[str],
+                   label_col: str, depth: int) -> str:
+    """Generated oracle: the grouped split pipeline nested per level with
+    the same branch-digit CASE chaining the node path."""
+
+    def grouped_splits(base_sql: str) -> str:
+        return BEST_SPLITS_SQL(base_sql, feature_cols, label_col,
+                               group_col="node")
+
+    case = ("CASE s.feat "
+            + "".join(f"WHEN '{c}' THEN b.{c} " for c in feature_cols)
+            + "END")
+    level_base = f"SELECT b.*, '' AS node FROM ({select_sql}) b"
+    selects = []
+    for _level in range(depth):
+        sq = grouped_splits(level_base)
+        selects.append(
+            f"SELECT node, feat, thr, n_l, n_r, pos_l, pos_r, score"
+            f" FROM ({sq}) WHERE rn = 1"
+        )
+        level_base = f"""
+SELECT b.*  EXCLUDE (node),
+       b.node || CASE WHEN ({case}) <= s.thr THEN '0' ELSE '1' END AS node
+FROM ({level_base}) b
+JOIN (SELECT node, feat, thr FROM ({sq}) WHERE rn = 1) s
+  ON b.node = s.node
+"""
+    return "\nUNION ALL\n".join(selects)

@@ -9196,6 +9196,34 @@ def q_gdpr_delete_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .learners.stump import TREE_TRAIN_SQL, tree_train  # noqa: E402
+
+
+@query(
+    "tree_depth3_events",
+    oracle=TREE_TRAIN_SQL(_STUMP_BASE_SQL, ["f_hour", "f_dow", "f_item16"],
+                          "y", depth=3),
+)
+def q_tree_depth3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-3 exact greedy tree via the generalized level loop
+    (learners/stump.py tree_train): the node PATH string is the one
+    group key, every level's nodes train in a single corpus pass (3
+    passes for up to 7 nodes — the level-synchronous bound), each
+    level's chosen splits broadcast back as a branch-digit CASE.  The
+    generated oracle nests the grouped split pipeline per level.
+    Supersedes-and-contains tree_depth2 (kept — its oracle shape is the
+    two-level special case)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("f_hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f_dow"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("long") % 16)
+        .cast("long").alias("f_item16"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .cast("long").alias("y"),
+    )
+    return tree_train(ev, ["f_hour", "f_dow", "f_item16"], "y", depth=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

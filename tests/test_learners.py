@@ -336,3 +336,36 @@ def test_conformal_coverage_near_level(spark):
     assert r["n_cal"] > 50 and r["n_test"] > 50
     assert 850000 <= r["coverage_ppm"] <= 980000
     assert r["q_hat_u"] > 0
+
+
+def test_tree_train_depth_consistency(spark):
+    """tree_train depth=1 equals the stump's rn=1 row; depth=2's first
+    two levels equal tree_depth2's root and children."""
+    from omldm_spark.learners.stump import best_splits, tree_depth2, tree_train
+    from omldm_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.hour("ts").cast("long").alias("f1"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f2"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .cast("long").alias("y"),
+    )
+    cols = ["f1", "f2"]
+    d1 = {r["node"]: r for r in tree_train(ev, cols, "y", 1).collect()}
+    stump = best_splits(ev, cols, "y").filter("rn = 1").collect()[0]
+    assert d1[""]["feat"] == stump["feat"] and d1[""]["thr"] == stump["thr"]
+
+    d2 = {r["node"]: r for r in tree_train(ev, cols, "y", 2).collect()}
+    t2 = {r["branch"]: r for r in tree_depth2(ev, cols, "y").collect()}
+    assert d2[""]["feat"] == t2[-1]["feat"] and d2[""]["thr"] == t2[-1]["thr"]
+    assert d2["0"]["feat"] == t2[0]["feat"] and d2["0"]["thr"] == t2[0]["thr"]
+    assert d2["1"]["feat"] == t2[1]["feat"] and d2["1"]["thr"] == t2[1]["thr"]
+    # depth-3 node partition sizes: children partition the parent
+    d3 = {r["node"]: r for r in tree_train(ev, cols, "y", 3).collect()}
+    for parent in ("", "0", "1"):
+        kids = [d3.get(parent + "0"), d3.get(parent + "1")]
+        if all(k is not None for k in kids):
+            assert (kids[0]["n_l"] + kids[0]["n_r"]
+                    + kids[1]["n_l"] + kids[1]["n_r"]) == (
+                d3[parent]["n_l"] + d3[parent]["n_r"])
