@@ -484,3 +484,168 @@ JOIN (SELECT node, feat, thr FROM ({sq}) WHERE rn = 1) s
   ON b.node = s.node
 """
     return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Bagged stumps: deterministic Poisson bootstrap, all trees in one pass
+# ---------------------------------------------------------------------------
+
+# Poisson(1) pmf quantized onto the 16^6 md5-fold range: P(0)=P(1)=e^-1,
+# P(2)=e^-1/2, remainder -> weight 3.  Integer thresholds, identical text.
+_POIS_T1 = 6_172_840          # floor(e^-1 * 16^6)
+_POIS_T2 = 12_345_680         # 2 * e^-1
+_POIS_T3 = 15_432_100         # + e^-1/2
+
+
+def bag_weight_sql(row_key_expr: str, tree_col: str = "tree") -> str:
+    """Deterministic Poisson(1)-bootstrap multiplicity for (row, tree):
+    0/1/2/3 from the shared md5 instr-fold — every engine and every run
+    draws the same bootstrap."""
+    fold = "(" + " + ".join(
+        f"(instr('{_HEX}', substr(md5(concat('bag|', CAST({tree_col}"
+        f" AS STRING), '|', {row_key_expr})), {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    ) + ")"
+    return (f"CAST(CASE WHEN {fold} < {_POIS_T1} THEN 0"
+            f" WHEN {fold} < {_POIS_T2} THEN 1"
+            f" WHEN {fold} < {_POIS_T3} THEN 2"
+            " ELSE 3 END AS BIGINT)")
+
+
+_HEX = "0123456789abcdef"
+
+
+def bagged_stumps(df: DataFrame, feature_cols: list[str], label_col: str,
+                  row_key_expr: str, n_trees: int) -> DataFrame:
+    """A bag of ``n_trees`` stumps, ALL trained in one corpus pass: each
+    row fans out to every tree with its deterministic Poisson-bootstrap
+    multiplicity as the histogram weight (rows drawn 0 times vanish —
+    the ~37% out-of-bag mass per tree), and best_splits' grouped search
+    (group = tree id) finds every tree's split in the same shuffle.
+    Weighted counts stay exact BIGINTs, so the ensemble is bit-identical
+    cross-engine — a deterministic random forest over one feature.
+    Disagreement across trees is the stability signal bagging exists
+    for."""
+    trees = df.sparkSession.range(n_trees).select(
+        F.col("id").cast("long").alias("tree")
+    )
+    expanded = df.crossJoin(F.broadcast(trees)).withColumn(
+        "w", F.expr(bag_weight_sql(row_key_expr))
+    ).filter(F.col("w") > 0)
+    g = ["tree"]
+    melted = expanded.select(
+        *g,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("feat"),
+                    F.col(c).cast("long").alias("v"),
+                )
+                for c in feature_cols
+            ])
+        ).alias("fv"),
+        F.col(label_col).cast("long").alias("y"),
+        "w",
+    ).select(*g, F.col("fv.feat").alias("feat"), F.col("fv.v").alias("v"),
+             "y", "w")
+    hist = melted.groupBy(*g, "feat", "v").agg(
+        F.sum("w").cast("long").alias("n"),
+        F.sum(F.col("w") * F.col("y")).cast("long").alias("pos"),
+    )
+    w_cum = Window.partitionBy(*g, "feat").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*g, "feat")
+    cum = hist.select(
+        *g, "feat", "v",
+        F.sum("n").over(w_cum).cast("long").alias("n_l"),
+        F.sum("pos").over(w_cum).cast("long").alias("pos_l"),
+        F.sum("n").over(tot).cast("long").alias("n_tot"),
+        F.sum("pos").over(tot).cast("long").alias("pos_tot"),
+    )
+    cand = cum.filter(F.col("n_l") < F.col("n_tot")).select(
+        *g, "feat", F.col("v").alias("thr"), "n_l", "pos_l",
+        (F.col("n_tot") - F.col("n_l")).alias("n_r"),
+        (F.col("pos_tot") - F.col("pos_l")).alias("pos_r"),
+        (F.col("n_l") - F.col("pos_l")).alias("neg_l"),
+        (F.col("n_tot") - F.col("n_l") - F.col("pos_tot")
+         + F.col("pos_l")).alias("neg_r"),
+    ).withColumn("score", F.expr(_SCORE_TXT))
+    wb = Window.partitionBy(*g, "feat").orderBy(
+        F.col("score").desc(), F.col("thr").asc()
+    )
+    per_feat = cand.withColumn("brn", F.row_number().over(wb)).filter(
+        F.col("brn") == 1
+    )
+    wg = Window.partitionBy(*g).orderBy(
+        F.col("score").desc(), F.col("feat").asc()
+    )
+    return per_feat.withColumn(
+        "rn", F.row_number().over(wg).cast("long")
+    ).filter(F.col("rn") == 1).select(
+        "tree", "feat", "thr", "n_l", "n_r", "pos_l", "pos_r",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def BAGGED_STUMPS_SQL(select_sql: str, feature_cols: list[str],
+                      label_col: str, row_key_expr: str,
+                      n_trees: int) -> str:
+    melt = " UNION ALL ".join(
+        f"SELECT tree, '{c}' AS feat, CAST({c} AS BIGINT) AS v,"
+        f" CAST({label_col} AS BIGINT) AS y, w FROM expanded"
+        for c in feature_cols
+    )
+    return f"""
+WITH base AS ({select_sql}),
+trees AS (SELECT unnest(generate_series(0, {n_trees - 1})) AS tree),
+expanded AS (
+  SELECT b.*, t.tree, {bag_weight_sql(row_key_expr)} AS w
+  FROM base b CROSS JOIN trees t
+),
+melted AS (
+  SELECT * FROM ({melt}) WHERE w > 0
+),
+hist AS (
+  SELECT tree, feat, v, CAST(sum(w) AS BIGINT) AS n,
+         CAST(sum(w * y) AS BIGINT) AS pos
+  FROM melted GROUP BY ALL
+),
+cum AS (
+  SELECT tree, feat, v,
+         CAST(sum(n) OVER (PARTITION BY tree, feat ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l,
+         CAST(sum(pos) OVER (PARTITION BY tree, feat ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pos_l,
+         CAST(sum(n) OVER (PARTITION BY tree, feat) AS BIGINT) AS n_tot,
+         CAST(sum(pos) OVER (PARTITION BY tree, feat) AS BIGINT) AS pos_tot
+  FROM hist
+),
+cand AS (
+  SELECT tree, feat, v AS thr, n_l, pos_l,
+         n_tot - n_l AS n_r,
+         pos_tot - pos_l AS pos_r,
+         n_l - pos_l AS neg_l,
+         n_tot - n_l - pos_tot + pos_l AS neg_r
+  FROM cum WHERE n_l < n_tot
+),
+scored AS (
+  SELECT tree, feat, thr, n_l, n_r, pos_l, pos_r,
+         {_SCORE_TXT} AS score
+  FROM cand
+),
+per_feat AS (
+  SELECT *, row_number() OVER (PARTITION BY tree, feat
+              ORDER BY score DESC, thr ASC) AS brn
+  FROM scored
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY tree
+              ORDER BY score DESC, feat ASC) AS rn
+  FROM per_feat WHERE brn = 1
+)
+SELECT tree, feat, thr, n_l, n_r, pos_l, pos_r,
+       round(score, 6) AS score
+FROM best WHERE rn = 1
+"""

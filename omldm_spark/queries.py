@@ -9224,6 +9224,45 @@ def q_tree_depth3_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_train(ev, ["f_hour", "f_dow", "f_item16"], "y", depth=3)
 
 
+from .learners.stump import BAGGED_STUMPS_SQL, bagged_stumps  # noqa: E402
+
+
+@query(
+    "bagged_stumps_events",
+    oracle=BAGGED_STUMPS_SQL(
+        _STUMP_BASE_SQL.replace(
+            "FROM events",
+            ", event_id\nFROM events",
+        ).replace("SELECT ", "SELECT ", 1),
+        ["f_hour", "f_dow", "f_item16"], "y",
+        "CAST(event_id AS STRING)", n_trees=5,
+    ),
+)
+def q_bagged_stumps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 5-tree bag of stumps, ALL trained in one corpus pass: every row
+    fans out to each tree with a DETERMINISTIC Poisson(1)-bootstrap
+    multiplicity (md5 instr-fold thresholds at the quantized pmf — same
+    draw on every engine and run; ~37% of rows are out-of-bag per tree),
+    multiplicities become exact BIGINT histogram weights, and the
+    grouped split search finds every tree's stump in the same shuffle.
+    Cross-tree disagreement is the stability signal bagging exists for —
+    a bit-exact deterministic random forest over one level
+    (learners/stump.py bagged_stumps)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("f_hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f_dow"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("long") % 16)
+        .cast("long").alias("f_item16"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .cast("long").alias("y"),
+        "event_id",
+    )
+    return bagged_stumps(
+        ev, ["f_hour", "f_dow", "f_item16"], "y",
+        "CAST(event_id AS STRING)", n_trees=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

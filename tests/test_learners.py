@@ -369,3 +369,27 @@ def test_tree_train_depth_consistency(spark):
             assert (kids[0]["n_l"] + kids[0]["n_r"]
                     + kids[1]["n_l"] + kids[1]["n_r"]) == (
                 d3[parent]["n_l"] + d3[parent]["n_r"])
+
+
+def test_bagged_stumps_determinism_and_oob_mass(spark):
+    """The bootstrap is reproducible (two runs identical) and the weight
+    distribution tracks Poisson(1): ~37% zeros per tree."""
+    from omldm_spark.learners.stump import bag_weight_sql
+    from omldm_spark.queries import QUERIES
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["bagged_stumps_events"](spark, sf).collect()))
+    b = sorted(map(tuple, QUERIES["bagged_stumps_events"](spark, sf).collect()))
+    assert a == b and len(a) == 5
+
+    w = (
+        spark.range(4000).select(F.lit(0).cast("long").alias("tree"),
+                                 F.col("id"))
+        .withColumn("w", F.expr(bag_weight_sql("CAST(id AS STRING)")))
+        .groupBy("w").count().collect()
+    )
+    dist = {r["w"]: r["count"] / 4000 for r in w}
+    assert 0.33 < dist.get(0, 0) < 0.41   # e^-1 = 0.368
+    assert 0.33 < dist.get(1, 0) < 0.41
+    assert 0.14 < dist.get(2, 0) < 0.22   # e^-1/2 = 0.184
