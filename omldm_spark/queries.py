@@ -4288,7 +4288,7 @@ WITH ordered AS (
 ),
 flagged AS (
   SELECT user_id, ts_s,
-         CASE WHEN gap IS NULL OR gap >= 300 THEN 1 ELSE 0 END AS new_session
+         CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END AS new_session
   FROM ordered
 ),
 sessions AS (
@@ -4307,11 +4307,13 @@ FROM sessions GROUP BY user_id, sid
 def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization (W3 streaming twin of
     event_sessions): 300 s inactivity gap, per-user session aggregates
-    through a real availableNow run.  NOTE the boundary semantics the
-    oracle mirrors: session_window starts a NEW session when the gap is
-    >= the gap duration (window end is exclusive), whereas the batch
-    gap-islands query uses gap > 300 — the two differ exactly on
-    gap == 300 rows, documented here rather than papered over.  Update
+    through a real availableNow run.  Boundary semantics (measured, not
+    assumed — a gap of exactly 300 s appears ~twice in 99k sessions at
+    sf0.1): session_window MERGES at gap == duration and splits only at
+    gap > duration, the same strict-> rule as the batch gap-islands
+    query; the event time is truncated to whole seconds below so both
+    engines make that comparison on the same clock (a raw gap of
+    300.4 s floors to 300: engine would split, oracle merge).  Update
     Session windows only support APPEND output — a session emits once the
     watermark finalizes it, so the replay source carries one far-future
     SENTINEL row (user_id = -1, filtered from the result) that pushes the
@@ -4321,8 +4323,12 @@ def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.sources import file_replay_source
 
+    # second-truncated event time (see docstring: keeps the strict->
+    # gap comparison on the same clock in both engines)
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts")
+        "user_id",
+        F.expr("timestamp_seconds(unix_timestamp(CAST(ts AS TIMESTAMP)))")
+        .alias("ts"),
     )
     sentinel = ev.agg(
         F.lit(-1).cast("long").alias("user_id"),
@@ -9260,6 +9266,111 @@ def q_bagged_stumps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bagged_stumps(
         ev, ["f_hour", "f_dow", "f_item16"], "y",
         "CAST(event_id AS STRING)", n_trees=5,
+    )
+
+
+from .learners.stump import bag_weight_sql  # noqa: E402
+
+_BAG_BASE_SQL = _STUMP_BASE_SQL.replace(
+    "FROM events", ", event_id\nFROM events"
+)
+_BAG_STUMPS_ORACLE = BAGGED_STUMPS_SQL(
+    _BAG_BASE_SQL, ["f_hour", "f_dow", "f_item16"], "y",
+    "CAST(event_id AS STRING)", n_trees=5,
+)
+_BAG_CASE = ("CASE s.feat WHEN 'f_hour' THEN o.f_hour"
+             " WHEN 'f_dow' THEN o.f_dow"
+             " WHEN 'f_item16' THEN o.f_item16 END")
+
+
+@query(
+    "bagged_oob_accuracy",
+    oracle=f"""
+WITH base AS ({_BAG_BASE_SQL}),
+stumps AS ({_BAG_STUMPS_ORACLE}),
+trees AS (SELECT unnest(generate_series(0, 4)) AS tree),
+expanded AS (
+  SELECT b.*, t.tree,
+         {bag_weight_sql("CAST(event_id AS STRING)")} AS w
+  FROM base b CROSS JOIN trees t
+),
+oob AS (SELECT * FROM expanded WHERE w = 0),
+preds AS (
+  SELECT o.event_id, any_value(o.y) AS y,
+         CAST(sum(CASE WHEN ({_BAG_CASE}) <= s.thr
+              THEN CASE WHEN 2 * s.pos_l > s.n_l THEN 1 ELSE 0 END
+              ELSE CASE WHEN 2 * s.pos_r > s.n_r THEN 1 ELSE 0 END END)
+           AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM oob o JOIN stumps s ON o.tree = s.tree
+  GROUP BY o.event_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN (CASE WHEN 2 * v > nv THEN 1 ELSE 0 END) = y
+                THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+       CAST(sum(CASE WHEN (CASE WHEN 2 * v > nv THEN 1 ELSE 0 END) = y
+                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS acc_ppm
+FROM preds
+""",
+)
+def q_bagged_oob_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-bag evaluation of the bagged stumps — the free validation
+    set bagging carries: each row is scored ONLY by the trees whose
+    bootstrap drew it zero times (~37%% per tree), votes aggregate to a
+    majority prediction (ties -> 0, documented), and OOB accuracy
+    approximates held-out accuracy with no extra split.  The stump
+    frame broadcasts; the vote is one (row)-keyed aggregate over the
+    OOB (row, tree) pairs.  Fully deterministic: the bootstrap is the
+    md5-fold draw, so the OOB set itself is reproducible."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("f_hour"),
+        (F.dayofweek("ts") - 1).cast("long").alias("f_dow"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("long") % 16)
+        .cast("long").alias("f_item16"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .cast("long").alias("y"),
+        "event_id",
+    )
+    stumps = bagged_stumps(
+        ev, ["f_hour", "f_dow", "f_item16"], "y",
+        "CAST(event_id AS STRING)", n_trees=5,
+    ).select(
+        F.col("tree").alias("s_tree"), F.col("feat").alias("s_feat"),
+        F.col("thr").alias("s_thr"), "n_l", "pos_l", "n_r", "pos_r",
+    )
+    trees = spark.range(5).select(F.col("id").cast("long").alias("tree"))
+    oob = ev.crossJoin(F.broadcast(trees)).withColumn(
+        "w", F.expr(bag_weight_sql("CAST(event_id AS STRING)"))
+    ).filter(F.col("w") == 0)
+    val = (
+        F.when(F.col("s_feat") == "f_hour", F.col("f_hour"))
+        .when(F.col("s_feat") == "f_dow", F.col("f_dow"))
+        .when(F.col("s_feat") == "f_item16", F.col("f_item16"))
+    )
+    pred = F.when(
+        val <= F.col("s_thr"),
+        F.when(2 * F.col("pos_l") > F.col("n_l"), 1).otherwise(0),
+    ).otherwise(
+        F.when(2 * F.col("pos_r") > F.col("n_r"), 1).otherwise(0)
+    )
+    votes = (
+        oob.join(F.broadcast(stumps), oob["tree"] == stumps["s_tree"])
+        .groupBy("event_id")
+        .agg(
+            F.first("y").alias("y"),
+            F.sum(pred).cast("long").alias("v"),
+            F.count(F.lit(1)).cast("long").alias("nv"),
+        )
+    )
+    maj = F.when(2 * F.col("v") > F.col("nv"), 1).otherwise(0)
+    return votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(maj == F.col("y"), 1).otherwise(0))
+        .cast("long").alias("correct"),
+    ).select(
+        "n_rows", "correct",
+        F.expr("correct * 1000000 div n_rows").cast("long").alias("acc_ppm"),
     )
 
 
