@@ -9375,6 +9375,136 @@ def q_bagged_oob_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recommender NDCG summary + churn training-set builder
+# ---------------------------------------------------------------------------
+
+@query(
+    "item_rec_summary",
+    oracle="""
+WITH hits AS ({hit_sql})
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(hit_rank) AS BIGINT) AS hits,
+       CAST(count(hit_rank) * 1000000 // count(*) AS BIGINT)
+         AS hitrate_ppm,
+       CAST(sum(coalesce(
+              CAST(floor(1000000.0 / log2(CAST(hit_rank + 1 AS DOUBLE))
+                         + 0.5) AS BIGINT), 0)) // count(*) AS BIGINT)
+         AS mean_ndcg_ppm
+FROM hits
+""",
+)
+def q_item_rec_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level recommender scorecard over the leave-last-out
+    protocol: hit-rate@5 and mean NDCG@5 (single-relevant-item form:
+    NDCG = 1/log2(rank+1), misses contribute 0) in exact integer ppm —
+    each user's NDCG is HALF-UP quantized BEFORE the mean (the
+    quantize-then-sum rule), so the scorecard is bit-identical
+    cross-engine.  Composes directly over item_rec_hitrate's per-user
+    rows."""
+    hits = QUERIES["item_rec_hitrate"](spark, sf_dir)
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("hit_rank").cast("long").alias("hits"),
+    ).crossJoin(
+        F.broadcast(
+            hits.agg(
+                F.sum(
+                    F.coalesce(
+                        F.expr(
+                            "CAST(floor(1000000.0"
+                            " / log2(CAST(hit_rank + 1 AS DOUBLE))"
+                            " + 0.5) AS BIGINT)"
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+                ).cast("long").alias("ndcg_sum")
+            )
+        )
+    ).select(
+        "n_users", "hits",
+        F.expr("hits * 1000000 div n_users").cast("long")
+        .alias("hitrate_ppm"),
+        F.expr("ndcg_sum div n_users").cast("long").alias("mean_ndcg_ppm"),
+    )
+
+
+# fill in the oracle's hit_sql placeholder now that ORACLES has the entry
+ORACLES["item_rec_summary"] = ORACLES["item_rec_summary"].format(
+    hit_sql=ORACLES["item_rec_hitrate"]
+)
+
+
+@query(
+    "churn_training_set",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+  FROM events
+),
+bounds AS (
+  SELECT CAST(max(day_idx) - 6 AS BIGINT) AS t_split FROM base
+),
+feats AS (
+  SELECT b.user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN b.event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(count(DISTINCT b.day_idx) AS BIGINT) AS n_active_days,
+         CAST(min(t.t_split - 1 - b.day_idx) AS BIGINT) AS recency_d,
+         CAST(sum(b.v_c) AS BIGINT) AS value_c
+  FROM base b CROSS JOIN bounds t
+  WHERE b.day_idx < t.t_split
+  GROUP BY 1
+)
+SELECT f.user_id, f.n_events, f.n_purchases, f.n_active_days,
+       f.recency_d, f.value_c,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM base b2 CROSS JOIN bounds t2
+         WHERE b2.user_id = f.user_id AND b2.day_idx >= t2.t_split
+       ) THEN 0 ELSE 1 END AS churned
+FROM feats f
+""",
+)
+def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporally-hygienic churn training set: features aggregate ONLY
+    activity before the split day (last 7 days reserved), the label is
+    absence of any activity in the reserved window — the time-split
+    discipline that keeps label information out of the features (the
+    leakage every naive churn join commits).  One feature pass + one
+    label semi-join, all integers; recency measured to the last
+    pre-split day."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day_idx"),
+    )
+    bounds = ev.agg((F.max("day_idx") - 6).cast("long").alias("t_split"))
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    feats = tagged.filter(F.col("day_idx") < F.col("t_split")).groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("n_purchases"),
+        F.countDistinct("day_idx").cast("long").alias("n_active_days"),
+        F.min(F.col("t_split") - 1 - F.col("day_idx")).cast("long")
+        .alias("recency_d"),
+        F.sum("v_c").cast("long").alias("value_c"),
+    )
+    active_late = tagged.filter(
+        F.col("day_idx") >= F.col("t_split")
+    ).select("user_id").distinct().withColumn("active", F.lit(1))
+    return feats.join(active_late, "user_id", "left").select(
+        "user_id", "n_events", "n_purchases", "n_active_days",
+        "recency_d", "value_c",
+        F.when(F.col("active").isNull(), 1).otherwise(0).cast("int")
+        .alias("churned"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -1270,3 +1270,31 @@ def test_apportionment_sums_to_budget_exactly(spark):
     for r in rows:
         exact = 10_000 * r["n_docs"] / total_docs
         assert exact - 1 < r["quota"] < exact + 1
+
+
+def test_churn_training_set_no_label_leakage(spark):
+    """Features must be computable from pre-split data only: recompute
+    the feature columns on the pre-split frame and compare; a user
+    active ONLY in the label window must be absent entirely."""
+    from omldm_spark.queries import QUERIES
+    from omldm_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["user_id"]: r for r in QUERIES["churn_training_set"](spark, sf).collect()}
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).collect()
+    t_split = max(r["d"] for r in ev) - 6
+    pre = {}
+    post = set()
+    for r in ev:
+        if r["d"] < t_split:
+            pre.setdefault(r["user_id"], []).append(r["d"])
+        else:
+            post.add(r["user_id"])
+    assert set(out) == set(pre)  # only users with pre-split activity
+    for u, days in pre.items():
+        assert out[u]["n_events"] == len(days)
+        assert out[u]["recency_d"] == t_split - 1 - max(days)
+        assert out[u]["churned"] == (0 if u in post else 1)
