@@ -9505,6 +9505,163 @@ def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Nearest-centroid embedding classifier + content fingerprints
+# ---------------------------------------------------------------------------
+
+@query(
+    "nearest_centroid_embeddings",
+    oracle="""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000.0, 0)
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+cents AS (
+  SELECT label, pos,
+         CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2
+),
+dists AS (
+  SELECT v.vec_id, c.label AS cand,
+         CAST(sum((v.qv - c.c) * (v.qv - c.c)) AS BIGINT) AS dist_q
+  FROM q v JOIN cents c ON v.pos = c.pos
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, cand, dist_q,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist_q ASC, cand ASC) AS rn
+  FROM dists
+)
+SELECT b.vec_id, b.cand AS pred_label,
+       CAST(e.label AS BIGINT) AS true_label, b.dist_q,
+       b.cand = CAST(e.label AS BIGINT) AS correct
+FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
+WHERE b.rn = 1
+""",
+)
+def q_nearest_centroid_embeddings(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the embeddings
+    table: per-label integer centroids from the globally-quantized
+    vectors (HALF-UP mean — `div` truncation differs cross-engine on
+    the negative sums these embeddings produce), then every vector
+    argmins its exact BIGINT squared distance over the |labels| x dim
+    centroid table (broadcast-sized) with a label tie-break.  The
+    simplest embedding classifier and the centroid-quality probe for
+    the k-means family — resubstitution accuracy rides in the correct
+    column."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos0", "e"),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("e").cast("double") * 1000.0, 0).cast("long")
+        .alias("qv"),
+    )
+    cents = q.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(1) AS DOUBLE)"
+            " + 0.5) AS BIGINT)"
+        ).alias("c")
+    ).select(F.col("label").alias("cand"), "pos", "c")
+    dists = (
+        q.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cand")
+        .agg(
+            F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
+            .cast("long").alias("dist_q")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist_q").asc(), F.col("cand").asc()
+    )
+    truth = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(truth, "vec_id")
+        .select(
+            "vec_id", F.col("cand").alias("pred_label"), "true_label",
+            "dist_q",
+            (F.col("cand") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def _row_fp_sql(expr: str) -> str:
+    return "(" + " + ".join(
+        f"(instr('{_HEX_DIGITS}', substr(md5({expr}), {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    ) + ")"
+
+
+_FP_CUSTOMER = ("concat(CAST(c_custkey AS STRING), '|', c_mktsegment, '|',"
+                " CAST(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)"
+                " AS STRING))")
+_FP_ORDERS = ("concat(CAST(o_orderkey AS STRING), '|', o_orderstatus, '|',"
+              " CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+              " AS STRING))")
+_FP_NATION = "concat(CAST(n_nationkey AS STRING), '|', n_name)"
+
+
+@query(
+    "table_fingerprints",
+    oracle=f"""
+SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_row_fp_sql(_FP_CUSTOMER)}) AS BIGINT) AS fingerprint
+FROM customer
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT),
+       CAST(sum({_row_fp_sql(_FP_ORDERS)}) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'nation', CAST(count(*) AS BIGINT),
+       CAST(sum({_row_fp_sql(_FP_NATION)}) AS BIGINT)
+FROM nation
+""",
+)
+def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprints: each row canonicalizes to
+    a stable string, md5 instr-folds to an integer, and the SUM is the
+    table's fingerprint — commutative, so partitioning/order can't move
+    it, and mergeable, so shard fingerprints add.  Two replicas agree
+    iff fingerprints AND row counts agree (up to the 2^24 fold space —
+    pair with snapshot_diff_cdc to LOCATE any divergence this detects).
+    One map-side-combined aggregate per table, no data movement — the
+    cheap continuous reconciliation probe."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+
+    def fp(df, name, expr):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr(_row_fp_sql(expr))).cast("long")
+            .alias("fingerprint"),
+        )
+
+    return (
+        fp(cu, "customer", _FP_CUSTOMER)
+        .unionByName(fp(od, "orders", _FP_ORDERS))
+        .unionByName(fp(na, "nation", _FP_NATION))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

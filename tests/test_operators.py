@@ -1298,3 +1298,22 @@ def test_churn_training_set_no_label_leakage(spark):
         assert out[u]["n_events"] == len(days)
         assert out[u]["recency_d"] == t_split - 1 - max(days)
         assert out[u]["churned"] == (0 if u in post else 1)
+
+
+def test_table_fingerprint_order_insensitive_and_sensitive_to_change(spark):
+    """The fingerprint is invariant to row order/partitioning but moves
+    when any row's content changes."""
+    from omldm_spark.queries import _row_fp_sql
+    import pyspark.sql.functions as F
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    expr = "concat(CAST(k AS STRING), '|', s)"
+
+    def fp(data, parts):
+        df = spark.createDataFrame(data, "k long, s string").repartition(parts)
+        return df.agg(F.sum(F.expr(_row_fp_sql(expr)))).collect()[0][0]
+
+    base = fp(rows, 1)
+    assert fp(list(reversed(rows)), 7) == base          # order/partition blind
+    changed = rows[:50] + [(50, "CHANGED")] + rows[51:]
+    assert fp(changed, 3) != base                        # content sensitive
