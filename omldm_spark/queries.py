@@ -9662,6 +9662,130 @@ def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming fingerprint + hierarchical percent-of-parent rollup
+# ---------------------------------------------------------------------------
+
+_FP_EVENTS = ("concat(CAST(event_id AS STRING), '|', event_type, '|',"
+              " CAST(CAST(round(value * 100, 0) AS BIGINT) AS STRING))")
+
+
+@query(
+    "streaming_table_fingerprint",
+    oracle=f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_row_fp_sql(_FP_EVENTS)}) AS BIGINT) AS fingerprint
+FROM events GROUP BY 1
+""",
+)
+def q_streaming_table_fingerprint(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The STREAMING half of table_fingerprints: per-type row counts and
+    md5-fold SUM fingerprints maintained as update-mode streaming agg
+    state — sums are commutative and mergeable, so state is |groups|
+    rows at any stream length and the compacted fingerprints hash-match
+    the batch aggregate at any cadence.  Continuous reconciliation: a
+    downstream replica's batch fingerprint compares against the live
+    state without re-reading either side."""
+    stream, tmp = _replay_events(spark, sf_dir, "omldm_fp_")
+    out = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.expr(_row_fp_sql(_FP_EVENTS))).cast("long")
+        .alias("fingerprint"),
+    )
+    rows = _run_update_stream(out, tmp, ["event_type"])
+    return spark.createDataFrame(
+        [(r["event_type"], r["n_rows"], r["fingerprint"]) for r in rows],
+        "event_type string, n_rows long, fingerprint long",
+    )
+
+
+@query(
+    "hierarchy_revenue_shares",
+    oracle="""
+WITH cust_rev AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+with_geo AS (
+  SELECT cr.c_custkey, cr.rev_c, n.n_nationkey, n.n_name AS nation,
+         r.r_name AS region
+  FROM cust_rev cr
+  JOIN nation n ON cr.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+shares AS (
+  SELECT region, nation, c_custkey, rev_c,
+         CAST(sum(rev_c) OVER (PARTITION BY region, nation) AS BIGINT)
+           AS nation_rev_c,
+         CAST(sum(rev_c) OVER (PARTITION BY region) AS BIGINT)
+           AS region_rev_c,
+         CAST(sum(rev_c) OVER () AS BIGINT) AS total_rev_c
+  FROM with_geo
+)
+SELECT region, nation, c_custkey, rev_c,
+       CAST(rev_c * 1000000 // nation_rev_c AS BIGINT)
+         AS share_of_nation_ppm,
+       CAST(nation_rev_c * 1000000 // region_rev_c AS BIGINT)
+         AS nation_share_of_region_ppm,
+       CAST(region_rev_c * 1000000 // total_rev_c AS BIGINT)
+         AS region_share_ppm
+FROM shares
+""",
+)
+def q_hierarchy_revenue_shares(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution down the region -> nation ->
+    customer hierarchy: every customer's share of their nation, each
+    nation's share of its region, each region's share of the total —
+    all in truncated integer ppm from ONE customer-grain revenue
+    aggregate; the three parent totals are windows over the aggregated
+    (customer-scale) frame, never the fact table, and the geo dims
+    broadcast.  The drill-down contribution report every BI layer
+    builds on rollup output."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    cust_rev = (
+        od.join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+             .cast("long").alias("rev_c"))
+    )
+    geo = cust_rev.join(
+        F.broadcast(na), cust_rev["c_nationkey"] == na["n_nationkey"]
+    ).join(
+        F.broadcast(re), na["n_regionkey"] == re["r_regionkey"]
+    ).select(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+        "c_custkey", "rev_c",
+    )
+    wn = Window.partitionBy("region", "nation")
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    shares = geo.select(
+        "region", "nation", "c_custkey", "rev_c",
+        F.sum("rev_c").over(wn).cast("long").alias("nation_rev_c"),
+        F.sum("rev_c").over(wr).cast("long").alias("region_rev_c"),
+        F.sum("rev_c").over(wt).cast("long").alias("total_rev_c"),
+    )
+    return shares.select(
+        "region", "nation", "c_custkey", "rev_c",
+        F.expr("rev_c * 1000000 div nation_rev_c").cast("long")
+        .alias("share_of_nation_ppm"),
+        F.expr("nation_rev_c * 1000000 div region_rev_c").cast("long")
+        .alias("nation_share_of_region_ppm"),
+        F.expr("region_rev_c * 1000000 div total_rev_c").cast("long")
+        .alias("region_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of
