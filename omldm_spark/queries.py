@@ -9786,6 +9786,141 @@ def q_hierarchy_revenue_shares(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (transcendental-free)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ks_value_periods",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+  FROM events
+),
+d0 AS (SELECT CAST(min(day_idx) AS BIGINT) AS min_day FROM base),
+tagged AS (
+  SELECT v_c, CASE WHEN day_idx - min_day < 15 THEN 0 ELSE 1 END AS period
+  FROM base CROSS JOIN d0
+),
+hist AS (
+  SELECT v_c AS v,
+         CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM tagged GROUP BY 1
+),
+cdf AS (
+  SELECT v,
+         CAST(sum(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f0,
+         CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f1,
+         CAST(sum(c0) OVER () AS BIGINT) AS n0,
+         CAST(sum(c1) OVER () AS BIGINT) AS n1
+  FROM hist
+)
+SELECT CAST(max(abs(f0 * n1 - f1 * n0)) AS BIGINT) AS ks_num,
+       CAST(any_value(n0) * any_value(n1) AS BIGINT) AS ks_den,
+       CAST(any_value(n0) AS BIGINT) AS n0,
+       CAST(any_value(n1) AS BIGINT) AS n1,
+       CAST(max(abs(f0 * n1 - f1 * n0)) * 1000000
+            // (any_value(n0) * any_value(n1)) AS BIGINT) AS ks_ppm
+FROM cdf
+""",
+)
+def q_ks_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the PSI
+    query's two periods, EXACTLY: D = sup |F0 - F1| evaluated at every
+    distinct value via the cross-multiplied integer |f0*n1 - f1*n0| —
+    no binning, no floats, no transcendentals anywhere (the
+    distribution-free companion to psi_value_drift: KS needs no
+    reference-fitted edges and catches shape changes PSI's deciles
+    smooth over).  One value-count histogram + one CDF window over the
+    value domain; ks_ppm = D in truncated ppm."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day_idx"),
+    )
+    d0 = ev.agg(F.min("day_idx").cast("long").alias("min_day"))
+    tagged = ev.crossJoin(F.broadcast(d0)).select(
+        "v_c",
+        F.when(F.col("day_idx") - F.col("min_day") < 15, 0).otherwise(1)
+        .alias("period"),
+    )
+    hist = tagged.groupBy(F.col("v_c").alias("v")).agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long")
+        .alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    tot = Window.partitionBy()
+    cdf = hist.select(
+        "v",
+        F.sum("c0").over(w).cast("long").alias("f0"),
+        F.sum("c1").over(w).cast("long").alias("f1"),
+        F.sum("c0").over(tot).cast("long").alias("n0"),
+        F.sum("c1").over(tot).cast("long").alias("n1"),
+    )
+    return cdf.agg(
+        F.max(F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")))
+        .cast("long").alias("ks_num"),
+        (F.first("n0") * F.first("n1")).cast("long").alias("ks_den"),
+        F.first("n0").cast("long").alias("n0"),
+        F.first("n1").cast("long").alias("n1"),
+    ).select(
+        "ks_num", "ks_den", "n0", "n1",
+        F.expr("ks_num * 1000000 div ks_den").cast("long").alias("ks_ppm"),
+    )
+
+
+@query(
+    "streaming_conformal_hist",
+    oracle=f"""
+WITH split AS ({SPLIT_POINTS_SQL}),
+w AS ({WEIGHTS_SQL})
+SELECT CAST(floor(abs(s.y - (w.w0 * s.x0 + w.w1 * s.x1 + w.bias))
+                  * 100000.0 + 0.5) AS BIGINT) AS rc,
+       CAST(count(*) AS BIGINT) AS c
+FROM split s CROSS JOIN w
+WHERE s.split = 'test'
+GROUP BY 1
+""",
+)
+def q_streaming_conformal_hist(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The STREAMING half of conformal_interval_orr: the calibration
+    residual histogram maintained as update-mode streaming aggregation
+    state — residuals of arriving holdout points (scored against the
+    broadcast frozen model) count into (rc, c) cells whose compacted
+    state hash-matches the batch histogram at any cadence, so the
+    split-conformal q_hat (exact order statistic over this CDF) derives
+    from LIVE state at any point in the stream: continuously-calibrated
+    prediction intervals without re-reading history."""
+    import tempfile
+
+    from .streaming.sources import file_replay_source
+
+    cal = _split_points(spark, sf_dir).filter(F.col("split") == "test")
+    w = _weights(spark, sf_dir)
+    rc = "CAST(floor(abs(y - (w0 * x0 + w1 * x1 + bias)) * 100000.0 + 0.5) AS BIGINT)"
+    cal_rc = cal.crossJoin(F.broadcast(w)).select(F.expr(rc).alias("rc"))
+    tmp = tempfile.mkdtemp(prefix="omldm_conf_")
+    src = f"{tmp}/src"
+    cal_rc.write.parquet(src)
+    stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
+    out = stream.groupBy("rc").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rows = _run_update_stream(out, tmp, ["rc"])
+    return spark.createDataFrame(
+        [(r["rc"], r["c"]) for r in rows], "rc long, c long"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of
