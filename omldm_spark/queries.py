@@ -9920,6 +9920,112 @@ def q_streaming_conformal_hist(spark: SparkSession,
     )
 
 
+@query(
+    "contingency_effect_sizes",
+    oracle="""
+WITH base AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events
+),
+o AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o_cnt
+  FROM base GROUP BY 1, 2
+),
+margins AS (
+  SELECT o.event_type, o.dow, o.o_cnt,
+         CAST(sum(o.o_cnt) OVER (PARTITION BY o.event_type) AS BIGINT) AS r,
+         CAST(sum(o.o_cnt) OVER (PARTITION BY o.dow) AS BIGINT) AS c,
+         CAST(sum(o.o_cnt) OVER () AS BIGINT) AS n
+  FROM o
+),
+cells AS (
+  SELECT event_type, dow, o_cnt, r, c, n,
+         CAST(floor(
+           ((CAST(o_cnt AS DOUBLE)
+             - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(o_cnt AS DOUBLE)
+               - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS chi2_contrib_ppm,
+         CAST(floor(
+           (CAST(o_cnt AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln((CAST(o_cnt AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS mi_contrib_ppm
+  FROM margins
+),
+agg AS (
+  SELECT CAST(sum(chi2_contrib_ppm) AS BIGINT) AS chi2_ppm,
+         CAST(sum(mi_contrib_ppm) AS BIGINT) AS mi_ppm,
+         CAST((count(DISTINCT event_type) - 1) AS BIGINT) AS rm1,
+         CAST((count(DISTINCT dow) - 1) AS BIGINT) AS cm1,
+         CAST(any_value(n) AS BIGINT) AS n
+  FROM cells
+)
+SELECT chi2_ppm, mi_ppm, n,
+       CAST(floor(sqrt((CAST(chi2_ppm AS DOUBLE) / 1000000.0)
+                       / (CAST(n AS DOUBLE)
+                          * CAST(least(rm1, cm1) AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS cramers_v_ppm
+FROM agg
+""",
+)
+def q_contingency_effect_sizes(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Effect sizes for the event_type x day-of-week contingency: mutual
+    information (the feature-relevance screen; per-cell p*ln(pn/(rc))
+    HALF-UP ppm-quantized BEFORE summation — the chi2/PSI rule) and
+    Cramer's V (chi-square normalized to [0,1]; the closing sqrt is
+    IEEE-correctly-rounded on identical operands).  Chi-square alone
+    (chi2_type_dow) grows with n — these are the size-free companions
+    an analyst actually compares across datasets."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")
+    )
+    o = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o_cnt")
+    )
+    margins = o.select(
+        "event_type", "dow", "o_cnt",
+        F.sum("o_cnt").over(Window.partitionBy("event_type"))
+        .cast("long").alias("r"),
+        F.sum("o_cnt").over(Window.partitionBy("dow"))
+        .cast("long").alias("c"),
+        F.sum("o_cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    e = "CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)"
+    cells = margins.select(
+        "event_type", "dow", "o_cnt", "r", "c", "n",
+        F.expr(
+            f"CAST(floor(((CAST(o_cnt AS DOUBLE) - {e})"
+            f" * (CAST(o_cnt AS DOUBLE) - {e}) / ({e}))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("chi2_contrib_ppm"),
+        F.expr(
+            "CAST(floor((CAST(o_cnt AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * ln((CAST(o_cnt AS DOUBLE) * CAST(n AS DOUBLE))"
+            " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("mi_contrib_ppm"),
+    )
+    agg = cells.agg(
+        F.sum("chi2_contrib_ppm").cast("long").alias("chi2_ppm"),
+        F.sum("mi_contrib_ppm").cast("long").alias("mi_ppm"),
+        (F.countDistinct("event_type") - 1).cast("long").alias("rm1"),
+        (F.countDistinct("dow") - 1).cast("long").alias("cm1"),
+        F.first("n").cast("long").alias("n"),
+    )
+    return agg.select(
+        "chi2_ppm", "mi_ppm", "n",
+        F.expr(
+            "CAST(floor(sqrt((CAST(chi2_ppm AS DOUBLE) / 1000000.0)"
+            " / (CAST(n AS DOUBLE) * CAST(least(rm1, cm1) AS DOUBLE)))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("cramers_v_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
