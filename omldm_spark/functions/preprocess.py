@@ -219,6 +219,7 @@ def apply_chain(
     update: bool = True,
     out_col: str = "_pp_features",
     quant: int = STATS_QUANT,
+    robust_hist_max: int = 8192,
 ):
     """Apply the pipeline's preprocessor chain to an ARRAY<DOUBLE> column.
 
@@ -248,35 +249,24 @@ def apply_chain(
             # (RQ=100 -> cents grid), not by row count
             RQ = 100
             if update:
-                hist_rows = (
-                    df.select(
-                        F.posexplode(
-                            F.array(*[
-                                F.round(_el(cur, i) * RQ, 0).cast("long")
-                                for i in range(cur_dim)
-                            ])
-                        ).alias("dim", "v")
-                    )
-                    .groupBy("dim", "v")
-                    .agg(F.count(F.lit(1)).cast("long").alias("c"))
-                    .collect()
+                state[idx] = _robust_fit_batch(
+                    df, cur, cur_dim, state[idx], RQ, robust_hist_max
                 )
-                st = state[idx] or {"h": [dict() for _ in range(cur_dim)]}
-                hs = [dict(h) for h in st["h"]]
-                for r in hist_rows:
-                    key = str(int(r["v"]))
-                    hs[int(r["dim"])][key] = \
-                        hs[int(r["dim"])].get(key, 0) + int(r["c"])
-                state[idx] = {"h": hs}
             st = state[idx]
             if st is None:
                 raise ValueError(
                     f"{name} at chain position {idx} has no fitted stats; "
                     "transform-only application requires a prior fit pass"
                 )
+            ks = st.get("k", [0] * cur_dim)
             els = []
             for i in range(cur_dim):
                 p25, p50, p75 = _hist_quantiles(st["h"][i], (0.25, 0.5, 0.75))
+                # histogram keys live at grid level k: one bin spans 2^k
+                # quanta, so map back to the value scale before building
+                # the (exact-at-k=0) scaling expression
+                scale = 1 << ks[i]
+                p25, p50, p75 = p25 * scale, p50 * scale, p75 * scale
                 iqr = p75 - p25
                 x = _el(cur, i)
                 els.append(
@@ -436,6 +426,87 @@ def robust_scale(df: DataFrame, cols: list[str], stats: DataFrame) -> DataFrame:
         )
     return out.drop(*[f"{pn}_{c}" for c in cols
                       for pn in ("p25", "p50", "p75")])
+
+
+def _robust_fit_batch(
+    df: DataFrame, cur: str, cur_dim: int, st: dict | None,
+    rq: int, hist_max: int,
+) -> dict:
+    """Fold one batch into the RobustScaler's per-dim value-count
+    histogram state with a BOUNDED driver footprint (grid clamping).
+
+    Each dim carries a coarsening level ``k``: histogram keys are
+    ``shiftright(round(x*RQ), k)`` (arithmetic shift — floor semantics on
+    negatives in Spark SQL and Python alike), so one bin spans ``2^k``
+    quanta.  Before anything sizable is collected, a one-row-per-dim
+    probe reads (min, max, distinct-bins); ``k`` is bumped until the
+    range-derived bin bound fits ``hist_max/2``, which caps BOTH the
+    collected batch histogram and the carried state deterministically —
+    the driver never holds more than ~``hist_max`` entries per dim, no
+    matter the value range.  At k=0 (any data whose quantized span fits
+    the bound) the quantiles are exact and two-halves == full-batch state
+    equality holds; at k>0 the disc quantile is exact on the coarse grid,
+    i.e. within ``2^k/RQ`` of the true value.  Counter addition stays
+    commutative, so batching order cannot change the state either way."""
+    st = st or {"h": [dict() for _ in range(cur_dim)]}
+    hs = [dict(h) for h in st["h"]]
+    old = list(st.get("k", [0] * cur_dim))
+    ks = list(old)
+    target = max(2, hist_max // 2)
+    raw = df.select(
+        F.posexplode(
+            F.array(*[
+                F.round(_el(cur, i) * rq, 0).cast("long")
+                for i in range(cur_dim)
+            ])
+        ).alias("dim", "v")
+    )
+
+    def at_levels(levels):
+        karr = F.array(*[F.lit(int(k)) for k in levels])
+        return raw.withColumn(
+            "kk", F.element_at(karr, F.col("dim") + 1)
+        ).withColumn("vq", F.expr("shiftright(v, kk)"))
+
+    probe = {
+        int(r["dim"]): (int(r["mn"]), int(r["mx"]), int(r["nb"]))
+        for r in at_levels(ks).groupBy("dim").agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+            F.countDistinct("vq").alias("nb"),
+        ).collect()
+    }
+    for i in range(cur_dim):
+        if i not in probe:
+            continue  # empty batch for this dim
+        mn, mx, nb = probe[i]
+        if nb + len(hs[i]) <= target:
+            continue  # already fits at the current level
+        while ((mx - mn) >> ks[i]) + 1 > target:
+            ks[i] += 1
+    # coarsen the carried state to the (possibly bumped) level; keep
+    # halving past that until the state itself fits the bound
+    for i in range(cur_dim):
+        while True:
+            d = ks[i] - old[i]
+            if d and hs[i]:
+                merged: dict = {}
+                for v, c in hs[i].items():
+                    key = str(int(v) >> d)
+                    merged[key] = merged.get(key, 0) + int(c)
+                hs[i] = merged
+                old[i] = ks[i]
+            if len(hs[i]) <= target or not hs[i]:
+                break
+            ks[i] += 1
+    # the bounded histogram collect (<= ~hist_max rows per dim by the
+    # range bound above)
+    for r in (
+        at_levels(ks).groupBy("dim", "vq")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")).collect()
+    ):
+        key = str(int(r["vq"]))
+        hs[int(r["dim"])][key] = hs[int(r["dim"])].get(key, 0) + int(r["c"])
+    return {"h": hs, "k": ks}
 
 
 def _hist_quantiles(hist: dict, ps: tuple) -> list[int]:

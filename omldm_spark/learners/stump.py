@@ -492,9 +492,9 @@ JOIN (SELECT node, feat, thr FROM ({sq}) WHERE rn = 1) s
 
 # Poisson(1) pmf quantized onto the 16^6 md5-fold range: P(0)=P(1)=e^-1,
 # P(2)=e^-1/2, remainder -> weight 3.  Integer thresholds, identical text.
-_POIS_T1 = 6_172_840          # floor(e^-1 * 16^6)
-_POIS_T2 = 12_345_680         # 2 * e^-1
-_POIS_T3 = 15_432_100         # + e^-1/2
+_POIS_T1 = 6_171_992          # floor(e^-1 * 16^6)
+_POIS_T2 = 12_343_985         # floor(2 * e^-1 * 16^6)
+_POIS_T3 = 15_429_982         # floor(2.5 * e^-1 * 16^6)
 
 
 def bag_weight_sql(row_key_expr: str, tree_col: str = "tree") -> str:

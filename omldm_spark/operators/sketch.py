@@ -242,13 +242,15 @@ def hll_registers(df: DataFrame, key_expr: str) -> DataFrame:
 
 def _est_sql(z_expr: str) -> str:
     """Shared double-arithmetic text: alpha_64 * 64^2 * 2^49 / Z_scaled.
+    alpha_64 = 0.709, the canonical Flajolet constant for m = 64 (the
+    0.7213/(1 + 1.079/m) approximation is specified only for m >= 128).
     Every literal is CAST to DOUBLE: DuckDB parses bare decimal literals
     as DECIMAL and its scale-limited division would diverge from Spark's
     double math in the 8th digit (same pitfall as token_budget_mix)."""
-    a, b, c = "CAST(0.7213 AS DOUBLE)", "CAST(1.0 AS DOUBLE)", "CAST(1.079 AS DOUBLE)"
+    a = "CAST(0.709 AS DOUBLE)"
     m, two49 = "CAST(64.0 AS DOUBLE)", "CAST(562949953421312.0 AS DOUBLE)"
     return (
-        f"{a} / ({b} + {c} / {m}) * {m} * {m}"
+        f"{a} * {m} * {m}"
         f" * {two49} / CAST({z_expr} AS DOUBLE)"
     )
 

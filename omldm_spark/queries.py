@@ -4221,25 +4221,30 @@ def _replay_events(spark: SparkSession, sf_dir: str, prefix: str):
     return file_replay_source(spark, src, spark.read.parquet(src).schema), tmp
 
 
-def _run_update_stream(out, tmp: str, key_cols: list[str]):
-    """Drive an UPDATE-mode aggregation to completion and keep the LAST
-    update per key — the driver-side stand-in for an upsert sink (Delta
-    MERGE / compacted topic in production); the final state equals the
-    batch aggregate whatever the batch cadence."""
-    state: dict = {}
+def _run_update_stream(out, tmp: str, key_cols: list[str]) -> DataFrame:
+    """Drive an UPDATE-mode aggregation to completion through the
+    DISTRIBUTED keyed upsert sink (streaming/sinks.py KeyedUpsertSink):
+    last write per key wins, so the compacted state equals the batch
+    aggregate whatever the batch cadence.  No data row touches the driver
+    — the sink merges hash-bucketed parquet state versions (the
+    lakehouse-MERGE shape; tests/test_stateful.py pins collect-free
+    operation) and the state is read back as a distributed DataFrame with
+    ``out``'s column order."""
+    from .streaming.sinks import KeyedUpsertSink
 
-    def upsert(df, _bid):
-        for r in df.collect():
-            state[tuple(r[k] for k in key_cols)] = r
-
+    sink = KeyedUpsertSink(f"{tmp}/upsert", key_cols)
     q = (
-        out.writeStream.outputMode("update").foreachBatch(upsert)
+        out.writeStream.outputMode("update").foreachBatch(sink)
         .option("checkpointLocation", f"{tmp}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
-    return list(state.values())
+    spark = out.sparkSession
+    state = sink.current_state(spark, out.columns)
+    if state is None:
+        return spark.createDataFrame([], out.schema)
+    return state
 
 
 @query(
@@ -4269,10 +4274,11 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("window_start")).alias("hour_s"),
         "event_type", "cnt",
     )
-    rows = _run_update_stream(out, tmp, ["hour_s", "event_type"])
-    return spark.createDataFrame(
-        [(r["hour_s"], r["event_type"], r["cnt"]) for r in rows],
-        "hour_s long, event_type string, cnt long",
+    state = _run_update_stream(out, tmp, ["hour_s", "event_type"])
+    return state.selectExpr(
+        "CAST(hour_s AS LONG) AS hour_s",
+        "CAST(event_type AS STRING) AS event_type",
+        "CAST(cnt AS LONG) AS cnt"
     )
 
 
@@ -4280,20 +4286,21 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_event_sessions",
     oracle="""
 WITH ordered AS (
-  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
          CAST(floor(epoch(ts)) AS BIGINT)
            - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 flagged AS (
-  SELECT user_id, ts_s,
+  SELECT user_id, event_id, ts_s,
          CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END AS new_session
   FROM ordered
 ),
 sessions AS (
   SELECT user_id, ts_s,
-         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts_s, event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM flagged
 )
@@ -4393,11 +4400,12 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long")
         .alias("value_c"),
     )
-    rows = _run_update_stream(agg, tmp, ["c_mktsegment", "event_type"])
-    return spark.createDataFrame(
-        [(r["c_mktsegment"], r["event_type"], r["cnt"], r["value_c"])
-         for r in rows],
-        "c_mktsegment string, event_type string, cnt long, value_c long",
+    state = _run_update_stream(agg, tmp, ["c_mktsegment", "event_type"])
+    return state.selectExpr(
+        "CAST(c_mktsegment AS STRING) AS c_mktsegment",
+        "CAST(event_type AS STRING) AS event_type",
+        "CAST(cnt AS LONG) AS cnt",
+        "CAST(value_c AS LONG) AS value_c"
     )
 
 
@@ -4436,11 +4444,12 @@ def q_streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_c"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    rows = _run_update_stream(agg, tmp, ["event_type", "user_id"])
-    state = spark.createDataFrame(
-        [(r["event_type"], r["user_id"], r["total_c"], r["n_events"])
-         for r in rows],
-        "event_type string, user_id long, total_c long, n_events long",
+    state = _run_update_stream(agg, tmp, ["event_type", "user_id"])
+    state = state.selectExpr(
+        "CAST(event_type AS STRING) AS event_type",
+        "CAST(user_id AS LONG) AS user_id",
+        "CAST(total_c AS LONG) AS total_c",
+        "CAST(n_events AS LONG) AS n_events"
     )
     w = Window.partitionBy("event_type").orderBy(
         F.col("total_c").desc(), F.col("user_id").asc()
@@ -4483,10 +4492,12 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("op", "bal_c", "seg"), F.struct("seq", "op")
         ).alias("last")
     ).select("k", "last.op", "last.bal_c", "last.seg")
-    rows = _run_update_stream(agg, tmp, ["k"])
-    last = spark.createDataFrame(
-        [(r["k"], r["op"], r["bal_c"], r["seg"]) for r in rows],
-        "k long, op string, bal_c long, seg string",
+    state = _run_update_stream(agg, tmp, ["k"])
+    last = state.selectExpr(
+        "CAST(k AS LONG) AS k",
+        "CAST(op AS STRING) AS op",
+        "CAST(bal_c AS LONG) AS bal_c",
+        "CAST(seg AS STRING) AS seg"
     )
     cu = load_table(spark, sf_dir, "customer")
     snap = cu.select(
@@ -4633,10 +4644,10 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
-    rows = _run_update_stream(regs, tmp, ["bucket"])
-    regs_df = spark.createDataFrame(
-        [(r["bucket"], r["max_rho"]) for r in rows],
-        "bucket int, max_rho int",
+    state = _run_update_stream(regs, tmp, ["bucket"])
+    regs_df = state.selectExpr(
+        "CAST(bucket AS INT) AS bucket",
+        "CAST(max_rho AS INT) AS max_rho"
     )
     ev = load_table(spark, sf_dir, "events")
     true = ev.agg(
@@ -4972,10 +4983,11 @@ def q_streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket", "max_rho",
         )
     )
-    rows = _run_update_stream(cells, tmp, ["hour_s", "bucket"])
-    regs = spark.createDataFrame(
-        [(r["hour_s"], r["bucket"], r["max_rho"]) for r in rows],
-        "hour_s long, bucket int, max_rho int",
+    state = _run_update_stream(cells, tmp, ["hour_s", "bucket"])
+    regs = state.selectExpr(
+        "CAST(hour_s AS LONG) AS hour_s",
+        "CAST(bucket AS INT) AS bucket",
+        "CAST(max_rho AS INT) AS max_rho"
     )
     ev = load_table(spark, sf_dir, "events")
     true = (
@@ -5619,10 +5631,11 @@ def q_streaming_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long")
         .alias("value_c"),
     )
-    rows = _run_update_stream(agg, tmp, ["event_type"])
-    return spark.createDataFrame(
-        [(r["event_type"], r["cnt"], r["value_c"]) for r in rows],
-        "event_type string, cnt long, value_c long",
+    state = _run_update_stream(agg, tmp, ["event_type"])
+    return state.selectExpr(
+        "CAST(event_type AS STRING) AS event_type",
+        "CAST(cnt AS LONG) AS cnt",
+        "CAST(value_c AS LONG) AS value_c"
     )
 
 
@@ -6989,9 +7002,13 @@ FROM arrs
 def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user integer EWMA of event value (alpha = 0.3 as the rational
     3/10): s_i = (3*v_i + 7*s_{i-1}) div 10, seeded with the first value —
-    truncating integer division makes the inherently-sequential fold
-    BIT-IDENTICAL across engines, so the oracle is DuckDB's list_reduce
-    over the same ordered list.  The fold is a Catalyst higher-order
+    FLOOR integer division makes the inherently-sequential fold
+    BIT-IDENTICAL across engines for ANY operand sign: DuckDB's `//`
+    floors natively, and the Spark side floors explicitly via
+    ``(t - pmod(t, 10)) div 10`` (pmod is non-negative, so the dividend
+    is made exactly divisible — Spark's bare `div` truncates toward zero
+    and would diverge on a negative 3*x + 7*acc).  The oracle is DuckDB's
+    list_reduce over the same ordered list.  The fold is a Catalyst higher-order
     `aggregate` over the per-user value array: ONE user-keyed exchange,
     no Python, no per-row state machinery — the per-key sequential
     semantics the SGD learners need a mapInPandas loop for, here free
@@ -7014,7 +7031,8 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vs").cast("long").alias("n_events"),
         F.expr(
             "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),"
-            " (acc, x) -> (3L * x + 7L * acc) div 10L)"
+            " (acc, x) -> (3L * x + 7L * acc"
+            " - pmod(3L * x + 7L * acc, 10L)) div 10L)"
         ).cast("long").alias("ewma_c"),
     )
 
@@ -7144,10 +7162,11 @@ def q_streaming_mv_retractable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("long").alias("cnt"),
         F.sum(F.col("sign") * F.col("v_c")).cast("long").alias("bal_c"),
     )
-    rows = _run_update_stream(out, tmp, ["user_id"])
-    return spark.createDataFrame(
-        [(r["user_id"], r["cnt"], r["bal_c"]) for r in rows],
-        "user_id long, cnt long, bal_c long",
+    state = _run_update_stream(out, tmp, ["user_id"])
+    return state.selectExpr(
+        "CAST(user_id AS LONG) AS user_id",
+        "CAST(cnt AS LONG) AS cnt",
+        "CAST(bal_c AS LONG) AS bal_c"
     ).filter(F.col("cnt") > 0)
 
 
@@ -7614,10 +7633,11 @@ def q_streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cells.groupBy("d", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    rows = _run_update_stream(out, tmp, ["d", "bucket"])
-    return spark.createDataFrame(
-        [(r["d"], r["bucket"], r["cnt"]) for r in rows],
-        "d long, bucket long, cnt long",
+    state = _run_update_stream(out, tmp, ["d", "bucket"])
+    return state.selectExpr(
+        "CAST(d AS LONG) AS d",
+        "CAST(bucket AS LONG) AS bucket",
+        "CAST(cnt AS LONG) AS cnt"
     )
 
 
@@ -7910,10 +7930,13 @@ def q_streaming_ab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_c").cast("long").alias("s"),
         F.sum(F.col("v_c") * F.col("v_c")).cast("long").alias("ss"),
     )
-    rows = _run_update_stream(out, tmp, ["event_type", "grp"])
-    return spark.createDataFrame(
-        [(r["event_type"], r["grp"], r["n"], r["s"], r["ss"]) for r in rows],
-        "event_type string, grp long, n long, s long, ss long",
+    state = _run_update_stream(out, tmp, ["event_type", "grp"])
+    return state.selectExpr(
+        "CAST(event_type AS STRING) AS event_type",
+        "CAST(grp AS LONG) AS grp",
+        "CAST(n AS LONG) AS n",
+        "CAST(s AS LONG) AS s",
+        "CAST(ss AS LONG) AS ss"
     )
 
 
@@ -8040,14 +8063,14 @@ WITH ordered AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 flagged AS (
-  SELECT user_id, ts_s,
+  SELECT user_id, event_id, ts_s,
          CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END AS new_session
   FROM ordered
 ),
 numbered AS (
   SELECT user_id, ts_s,
          CAST(sum(new_session) OVER (PARTITION BY user_id
-              ORDER BY ts_s
+              ORDER BY ts_s, event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 ),
@@ -8595,10 +8618,11 @@ def q_streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream.groupBy(
         "event_type", F.expr("CAST(user_id div 63 AS BIGINT)").alias("seg")
     ).agg(F.expr(_BMP_TXT).alias("bmp"))
-    rows = _run_update_stream(out, tmp, ["event_type", "seg"])
-    return spark.createDataFrame(
-        [(r["event_type"], r["seg"], r["bmp"]) for r in rows],
-        "event_type string, seg long, bmp long",
+    state = _run_update_stream(out, tmp, ["event_type", "seg"])
+    return state.selectExpr(
+        "CAST(event_type AS STRING) AS event_type",
+        "CAST(seg AS LONG) AS seg",
+        "CAST(bmp AS LONG) AS bmp"
     )
 
 
@@ -9042,10 +9066,12 @@ def q_streaming_split_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
     )
-    rows = _run_update_stream(out, tmp, ["feat", "v"])
-    return spark.createDataFrame(
-        [(r["feat"], r["v"], r["n"], r["pos"]) for r in rows],
-        "feat string, v long, n long, pos long",
+    state = _run_update_stream(out, tmp, ["feat", "v"])
+    return state.selectExpr(
+        "CAST(feat AS STRING) AS feat",
+        "CAST(v AS LONG) AS v",
+        "CAST(n AS LONG) AS n",
+        "CAST(pos AS LONG) AS pos"
     )
 
 
@@ -9692,10 +9718,11 @@ def q_streaming_table_fingerprint(spark: SparkSession,
         F.sum(F.expr(_row_fp_sql(_FP_EVENTS))).cast("long")
         .alias("fingerprint"),
     )
-    rows = _run_update_stream(out, tmp, ["event_type"])
-    return spark.createDataFrame(
-        [(r["event_type"], r["n_rows"], r["fingerprint"]) for r in rows],
-        "event_type string, n_rows long, fingerprint long",
+    state = _run_update_stream(out, tmp, ["event_type"])
+    return state.selectExpr(
+        "CAST(event_type AS STRING) AS event_type",
+        "CAST(n_rows AS LONG) AS n_rows",
+        "CAST(fingerprint AS LONG) AS fingerprint"
     )
 
 
@@ -9914,9 +9941,10 @@ def q_streaming_conformal_hist(spark: SparkSession,
     out = stream.groupBy("rc").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    rows = _run_update_stream(out, tmp, ["rc"])
-    return spark.createDataFrame(
-        [(r["rc"], r["c"]) for r in rows], "rc long, c long"
+    state = _run_update_stream(out, tmp, ["rc"])
+    return state.selectExpr(
+        "CAST(rc AS LONG) AS rc",
+        "CAST(c AS LONG) AS c"
     )
 
 

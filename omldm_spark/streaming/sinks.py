@@ -63,3 +63,176 @@ class IdempotentBatchSink:
             if f.endswith(".committed")
         )
         return [os.path.join(self.path, f"batch_id={i}") for i in ids]
+
+
+class KeyedUpsertSink:
+    """foreachBatch handler delivering a DISTRIBUTED keyed upsert sink —
+    the lakehouse-MERGE shape (Delta/Iceberg ``MERGE INTO`` on the key)
+    built from parquet + a commit log, for update-mode streaming
+    aggregations whose result is "last write per key wins".
+
+    Layout (a miniature copy-on-write table, bucketed by key hash)::
+
+        path/_staged/<batch_id>/__bucket=B/...   raw batch, hash-bucketed
+        path/state/<batch_id>/__bucket=B/...     merged state version
+        path/_commits/<batch_id>.json            touched-bucket manifest
+
+    Per batch: the updates are written once ``partitionBy(__bucket)``
+    (only buckets with rows materialize a directory — that filesystem
+    listing, not a ``collect()``, is how the touched set is discovered),
+    then ONLY those buckets' current state is read back, anti-joined
+    against the batch's keys, unioned with the updates and rewritten as a
+    new version of those buckets.  Work per batch is proportional to the
+    touched buckets' size, never to the whole state, and no data row ever
+    crosses to the driver — the driver handles only bucket numbers and
+    commit records (tests/test_stateful.py pins collect-free operation).
+
+    Exactly-once: the commit record is written only after the new state
+    version is complete.  A replayed committed batch is skipped before
+    any write; a torn (uncommitted) version is invisible to readers and
+    simply overwritten by the replay.  The merge itself is idempotent —
+    re-applying a batch against the last COMMITTED state yields byte-equal
+    state — so crash-replay cannot diverge.
+
+    At 100 TB: ``n_buckets`` picks the merge granularity (buckets ~=
+    shuffle partitions of the state); versions accrue one directory per
+    touched bucket per batch and ``vacuum()`` drops superseded ones, the
+    same compaction discipline Delta applies.  The reference publishes
+    results through Kafka sinks and leaves compaction to the consumer
+    (Job.scala:89-105); this sink IS that compacted view, queryable
+    in-place.
+    """
+
+    BUCKET = "__bucket"
+
+    def __init__(self, path: str, key_cols: list[str], n_buckets: int = 32):
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+        self.log_dir = os.path.join(path, "_commits")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- commit log -------------------------------------------------------
+    def _commit_file(self, batch_id: int) -> str:
+        return os.path.join(self.log_dir, f"{batch_id}.json")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_file(batch_id))
+
+    def _committed(self) -> list[tuple[int, list[int]]]:
+        """(batch_id, touched buckets) in commit order."""
+        import json
+
+        out = []
+        for f in sorted(os.listdir(self.log_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(self.log_dir, f)) as fh:
+                    out.append((int(f.split(".")[0]), json.load(fh)["buckets"]))
+        return sorted(out)
+
+    def _latest(self) -> dict[int, int]:
+        """bucket -> batch_id of its latest committed version."""
+        latest: dict[int, int] = {}
+        for bid, buckets in self._committed():
+            for b in buckets:
+                latest[b] = bid
+        return latest
+
+    # -- helpers ----------------------------------------------------------
+    def _with_bucket(self, df):
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            self.BUCKET,
+            F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
+            .cast("int"),
+        )
+
+    @staticmethod
+    def _bucket_dirs(root: str) -> list[int]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith(KeyedUpsertSink.BUCKET + "=")
+        )
+
+    def _read_buckets(self, spark, latest: dict[int, int], buckets: list[int]):
+        """Union the latest committed version of each requested bucket.
+        The partition column is re-derived from the keys (deterministic),
+        so no basePath juggling across versions is needed."""
+        paths = [
+            os.path.join(
+                self.path, "state", str(latest[b]), f"{self.BUCKET}={b}"
+            )
+            for b in buckets
+            if b in latest
+        ]
+        if not paths:
+            return None
+        return self._with_bucket(spark.read.parquet(*paths))
+
+    # -- the handler ------------------------------------------------------
+    def __call__(self, df, batch_id: int) -> None:
+        import json
+
+        if self.is_committed(batch_id):
+            return  # replayed committed batch: already merged
+        spark = df.sparkSession
+        staged_dir = os.path.join(self.path, "_staged", str(batch_id))
+        up = self._with_bucket(df)
+        up.write.partitionBy(self.BUCKET).mode("overwrite").parquet(staged_dir)
+        touched = self._bucket_dirs(staged_dir)
+        if touched:
+            staged = self._with_bucket(
+                spark.read.parquet(
+                    *[os.path.join(staged_dir, f"{self.BUCKET}={b}")
+                      for b in touched]
+                )
+            )
+            cur = self._read_buckets(spark, self._latest(), touched)
+            if cur is not None:
+                cond = None
+                for k in self.key_cols:
+                    c = cur[k].eqNullSafe(staged[k])
+                    cond = c if cond is None else (cond & c)
+                keep = cur.join(staged, cond, "left_anti")
+                merged = staged.unionByName(keep)
+            else:
+                merged = staged
+            merged.write.partitionBy(self.BUCKET).mode("overwrite").parquet(
+                os.path.join(self.path, "state", str(batch_id))
+            )
+        with open(self._commit_file(batch_id), "w") as fh:
+            json.dump({"buckets": touched}, fh)
+
+    # -- readers / maintenance -------------------------------------------
+    def current_state(self, spark, columns: list[str] | None = None):
+        """The compacted keyed state as a DataFrame (one row per key) —
+        a distributed read of each bucket's latest committed version."""
+        latest = self._latest()
+        cur = self._read_buckets(spark, latest, sorted(latest))
+        if cur is None:
+            return None
+        out = cur.drop(self.BUCKET)
+        return out.select(*columns) if columns else out
+
+    def vacuum(self) -> int:
+        """Delete superseded bucket versions; returns dirs removed."""
+        import shutil
+
+        latest = self._latest()
+        removed = 0
+        state_root = os.path.join(self.path, "state")
+        for bid, buckets in self._committed():
+            for b in buckets:
+                if latest.get(b) != bid:
+                    d = os.path.join(
+                        state_root, str(bid), f"{self.BUCKET}={b}"
+                    )
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
+                        removed += 1
+        shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+        return removed

@@ -323,3 +323,45 @@ def test_robust_scaler_chain_histogram_state(spark):
 
     with pytest.raises(ValueError, match="no fitted stats"):
         apply_chain(df, chain, "features", 2, update=False)
+
+
+def test_robust_scaler_grid_clamp_bounds_state(spark):
+    """VERDICT r4 item 2: the RobustScaler histogram grid is CLAMPED —
+    with a tiny bound the per-dim state stays under it whatever the
+    value range (the driver never holds an unbounded histogram), the
+    coarsening level k rises, and the coarse-grid quantiles stay within
+    2^k quanta of the exact ones."""
+    import pandas as pd
+
+    from omldm_spark.functions.preprocess import (
+        _hist_quantiles, apply_chain)
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(-5000.0, 5000.0, size=500)   # ~10^6 cents span
+    pdf = pd.DataFrame({"features": [[float(v), 0.0] for v in vals]})
+    df = spark.createDataFrame(pdf)
+
+    chain = [{"name": "RobustScaler"}]
+    bound = 64
+    out, _, st = apply_chain(
+        df, chain, "features", 2, robust_hist_max=bound)
+    h, ks = st[0]["h"], st[0]["k"]
+    assert len(h[0]) <= bound
+    assert ks[0] > 0                      # wide dim was coarsened
+    assert ks[1] == 0                     # constant dim stayed exact
+    assert sum(h[0].values()) == 500      # no mass lost to coarsening
+
+    # coarse-grid disc quantiles within one coarse bin of the exact ones
+    q = sorted(int(round(v * 100)) for v in vals)
+    import math
+    for p, got in zip((0.25, 0.5, 0.75),
+                      _hist_quantiles(h[0], (0.25, 0.5, 0.75))):
+        exact = q[math.ceil(p * len(q)) - 1]
+        assert abs((got << ks[0]) - exact) <= (1 << ks[0])
+
+    # second batch folds into the already-coarse state and stays bounded
+    out2, _, st2 = apply_chain(
+        df, chain, "features", 2, state=st, robust_hist_max=bound)
+    assert len(st2[0]["h"][0]) <= bound
+    assert sum(st2[0]["h"][0].values()) == 1000
+    assert out2.select("_pp_features").count() == 500
