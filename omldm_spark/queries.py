@@ -10072,41 +10072,46 @@ def q_contingency_effect_sizes(spark: SparkSession,
 # gate over ALL queries is tools/oracle_check.py.
 # ---------------------------------------------------------------------------
 
+# Round-5 rotation (VERDICT r4 item 4): 22 slots that already carried
+# driver rows in r01-r04 are swapped for exact-oracle queries that have
+# never had one, so driver-side evidence accumulates across families
+# round-over-round.  Family coverage is unchanged — every group below
+# keeps at least one representative.
 _SNAPSHOT_TOP = [
     # parsing + control plane (reference parity: P1-P9, J2-J3, A3-A6, S7-S9)
     "parse_training_points", "bulk_parse_training_points",
-    "train_test_split", "response_merge", "stats_rollup",
-    "hub_broadcast_expand", "broadcast_pipeline_join",
+    "train_test_split", "response_merge", "broadcast_pipeline_join",
     # learners with closed-form / decision-exact oracles
-    "stump_best_split", "orr_predictions", "orr_query_response",
-    "orr_scaled_query_response", "hub_sharded_stats", "ht_prequential",
+    "stump_best_split", "orr_predictions", "orr_kfold_cv",
+    "embedding_kmeans_train", "ht_prequential",
     # preprocessors / feature encoders
-    "target_encoded_priority",
+    "robust_scaled_points",
     # dedup family
     "dedup_exact", "minhash_lsh_pairs",
-    "dedup_clusters", "km_session_survival", "zorder_events_key",
+    "dedup_clusters", "km_session_survival", "dedup_canonical_corpus",
+    "incremental_dedup_ingest",
     # text analysis + corpus ops
-    "text_quality", "nb_doc_scores", "dq_report_orders",
-    "heavy_hitters_terms", "curriculum_order", "bpe_train_merges",
-    "weighted_sample_docs",
+    "text_quality", "nb_doc_scores", "table_fingerprints",
+    "bpe_encode_vocab", "sequence_packing", "bpe_train_merges",
+    "token_budget_mix", "decontaminate",
     # similarity + retrieval + multimodal
-    "ann_cosine_topk", "rrf_fusion_topk", "multimodal_decode_meta",
+    "ann_cosine_topk", "bm25_topk", "multimodal_decode_meta",
     # sketches / skew / drift
-    "hll_trailing_users_7d", "bitmap_distinct_users", "salted_agg_revenue",
-    "ddm_drift_summary",
-    # streaming (stream-stream, stream-static, stateful dedup)
-    "stream_click_attribution", "streaming_enriched_counts",
+    "hll_distinct_users", "bitmap_distinct_users", "salted_agg_revenue",
+    "ks_value_periods",
+    # streaming (stream-stream, keyed upsert publish, stateful dedup)
+    "stream_click_attribution", "streaming_cdc_apply",
     "streaming_near_dedup",
     # temporal / relational
-    "event_sessions", "ab_test_report",
+    "scd2_user_state", "contingency_effect_sizes",
     "pit_feature_join", "mv_retractable_revenue",
-    "item_rec_hitrate",
+    "funnel_conversion",
     # TPC-H shapes (pushdown proof, top-k, dims, semi/anti composition)
-    "tpch_q1_like", "tpch_q3_like", "tpch_q5_like",
-    "pagerank_user_props", "tpch_q21_like", "rollup_revenue",
+    "tpch_q2_like", "tpch_q20_like", "tpch_q5_like",
+    "pagerank_user_props", "tpch_q22_like", "tpch_q11_like",
     # evaluation + privacy
-    "auc_purchase_value", "conformal_interval_orr",
-    "k_anonymity_customers",
+    "auc_purchase_value", "eval_classification_report",
+    "k_anonymity_customers", "pii_redact",
 ]
 
 
