@@ -81,25 +81,37 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
 
-    # Two timed passes per query, report the MIN: this box shows ±2x
-    # run-to-run swings from background contention (measured: the SAME
-    # commit benched 34.3s, 68.3s, and 111.3s in adjacent windows), and the
-    # min is the standard steady-state estimator under asymmetric noise —
-    # a query can run slow by interference but never fast by luck. Cache is
-    # cleared between queries so one query's persisted lineage (e.g. the
-    # orr_query_response split) can't occupy memory during another's timing.
-    times: dict[str, float] = {}
+    # N timed passes per query (--repeats=N / $SPARK_GRAFT_REPEATS,
+    # default 3), report the per-query MEDIAN plus the min/max spread:
+    # this box shows ±2x run-to-run swings from background contention
+    # (measured: the SAME commit benched 34.3s, 68.3s, and 111.3s in
+    # adjacent windows), so a single-shot delta between rounds is
+    # unreadable — the median resists one interfered pass in either
+    # direction and the recorded spread says how much to trust it. Cache
+    # is cleared between queries so one query's persisted lineage (e.g.
+    # the orr_query_response split) can't occupy memory during another's
+    # timing.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    for a in sys.argv[1:]:
+        if a.startswith("--repeats="):
+            repeats = int(a.split("=", 1)[1])
+    repeats = max(1, repeats)
+
+    import statistics
+
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(repeats):
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        samples[name] = runs
 
+    times = {n: round(statistics.median(r), 3) for n, r in samples.items()}
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -108,6 +120,13 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "repeats": repeats,
+        "min_value": round(sum(min(r) for r in samples.values()), 3),
+        "max_value": round(sum(max(r) for r in samples.values()), 3),
+        "spread": {
+            n: [round(min(r), 3), round(max(r), 3)]
+            for n, r in samples.items()
+        },
     }))
     spark.stop()
 

@@ -158,3 +158,74 @@ def test_ht_histogram_gain_tie_breaks_to_smallest_threshold():
     gain, thr = ln._histogram_split_gain(leaf, 0, 1.0)
     assert gain == 1.0  # perfect split: full parent entropy recovered
     assert thr == 1.0   # not 2.0: smallest of the tied thresholds
+
+
+def test_nn_multilayer_topology_parity():
+    """VERDICT r4 item 5: the reference ships NN topology through the
+    learner's generic dataStructure map (FlinkNetwork.scala:160-176) —
+    a hidden-layer list must configure the net, the single-layer spelling
+    must reproduce the legacy fixed topology bit-for-bit, and a deep
+    config must still learn XOR under the sequential SGD loop."""
+    ln = get_learner("NN")
+
+    # spelling parity: dataStructure / hidden_layers / legacy scalar all
+    # land on the same seeded init for one hidden layer of 8
+    s_ds = ln.init_state(2, {"dataStructure": {"hiddenLayers": [8]},
+                             "seed": 25})
+    s_hl = ln.init_state(2, {"hidden_layers": [8], "seed": 25})
+    s_sc = ln.init_state(2, {"hidden": 8, "seed": 25})
+    assert np.allclose(s_ds["W1"], s_sc["W1"])
+    assert np.allclose(np.ravel(s_ds["W2"]), np.ravel(s_sc["W2"]))
+    assert np.allclose(s_hl["W1"], s_ds["W1"])
+
+    # a two-hidden-layer net: correct per-layer shapes, learns XOR
+    n = 6000
+    X = RNG.uniform(-1, 1, size=(n, 2))
+    y = np.where((X[:, 0] > 0) ^ (X[:, 1] > 0), 1.0, -1.0)
+    hyper = {"dataStructure": {"hiddenLayers": [8, 4]}, "lr": 0.1,
+             "seed": 25}
+    st = ln.init_state(2, hyper)
+    assert st["W1"].shape == (8, 3)
+    assert st["W2"].shape == (4, 9)
+    assert st["W3"].shape == (1, 5)
+    for _ in range(8):
+        st = ln.partial_fit(X, y, st, hyper)
+    assert ln.score(X, y, st) > 0.9
+
+
+def test_nn_multilayer_merge_soundness():
+    """BSP merge over a deep config: identical states average to
+    themselves layer-by-layer, and a 50/50 merge of two diverged states
+    is the arithmetic mean of every layer."""
+    ln = get_learner("NN")
+    hyper = {"hidden_layers": [6, 3], "seed": 25, "lr": 0.05}
+    a = ln.init_state(4, hyper)
+    b = ln.init_state(4, hyper)
+    X, y = _axis_data(400)
+    Xa, ya = X[:200], y[:200]
+    Xb, yb = X[200:], y[200:]
+    a = ln.partial_fit(np.hstack([Xa, Xa[:, :1]]), ya, a, hyper)
+    b = ln.partial_fit(np.hstack([Xb, Xb[:, :1]]), yb, b, hyper)
+    m = ln.merge([a, b])
+    assert m["n"] == a["n"] + b["n"]
+    for k in ("W1", "W2", "W3"):
+        w = a["n"] / m["n"]
+        assert np.allclose(m[k], a[k] * w + b[k] * (1 - w))
+
+
+def test_nn_legacy_vector_state_still_fits():
+    """A state whose output layer was stored as a VECTOR (the pre-
+    round-5 shape) keeps fitting and predicting identically to the
+    matrix-shaped state — on-disk catalog states survive the upgrade."""
+    ln = get_learner("NN")
+    hyper = {"hidden": 4, "seed": 25, "lr": 0.1}
+    X, y = _axis_data(300)
+    new = ln.init_state(3, hyper)
+    legacy = {k: (v.copy() if hasattr(v, "copy") else v)
+              for k, v in new.items()}
+    legacy["W2"] = np.ravel(legacy["W2"]).copy()       # old vector shape
+    f_new = ln.partial_fit(X, y, new, hyper)
+    f_old = ln.partial_fit(X, y, legacy, hyper)
+    assert np.allclose(np.ravel(f_new["W2"]), f_old["W2"])
+    assert f_old["W2"].ndim == 1                       # shape preserved
+    assert np.allclose(ln.predict(X, f_new), ln.predict(X, f_old))

@@ -736,6 +736,66 @@ CHECKS = {
 }
 
 
+# Queries whose plans contain a GLOBAL (empty-partition-spec) Window.
+# A global window funnels its input through ONE task, so it is only
+# scale-acceptable when that input is post-aggregation — cardinality
+# bounded by the group-key space (types, bins, trees x feats), not by the
+# data. The property below asserts exactly that for every global Window
+# in the optimized plan, turning the `WindowExec: No Partition Defined`
+# warnings into a checked invariant instead of an eyeballed claim.
+# (Enumerated by scanning every batch query's optimized plan at sf0.001.)
+GLOBAL_WINDOW_BOUNDED = [
+    "auc_purchase_value", "budget_apportion_sources",
+    "conformal_interval_orr", "gbt_residual_round", "km_session_survival",
+    "ks_value_periods", "negative_samples", "psi_value_drift",
+    "quantile_binned_orders", "revenue_mom_growth", "skew_profile_partkey",
+    "stump_best_split", "top_event_trigrams", "tree_depth2_events",
+    "tree_depth3_events",
+]
+
+# a window is GLOBAL when windowspecdefinition's first argument is an
+# ORDER column (carries ASC/DESC) or directly the frame — partitioned
+# windows list their partition columns first, without a sort direction
+_GLOBAL_WINDOW_RE = re.compile(
+    r"windowspecdefinition\((?:[\w#.]+ (?:ASC|DESC)|specifiedwindowframe)"
+)
+
+
+def _global_windows_post_agg(ext: str) -> bool:
+    """Every global Window node in the optimized logical plan must reach
+    an Aggregate on the path to each data-bearing leaf of its subtree:
+    the single-task window then sees only aggregated (bounded) rows."""
+    lines = _optimized(ext).splitlines()
+
+    def depth(s: str) -> int:
+        m = re.search(r"[A-Za-z]", s)
+        return m.start() if m else len(s)
+
+    for i, line in enumerate(lines):
+        if "Window [" not in line or not _GLOBAL_WINDOW_RE.search(line):
+            continue
+        d0 = depth(line)
+        # walk the subtree with an (depth, agg-seen-on-path) stack
+        stack: list[tuple[int, bool]] = [(d0, False)]
+        for j in range(i + 1, len(lines)):
+            nxt = lines[j]
+            if not nxt.strip():
+                break
+            d = depth(nxt)
+            if d <= d0:
+                break
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            node = re.sub(r"^[\s:+\-]*", "", nxt)
+            has_agg = (stack[-1][1] if stack else False) or node.startswith(
+                "Aggregate"
+            )
+            if node.startswith("Relation ") and not has_agg:
+                return False
+            stack.append((d, has_agg))
+    return True
+
+
 def _optimized(extended_plan: str) -> str:
     """The '== Optimized Logical Plan ==' section (join hints survive there
     as `rightHint=(strategy=broadcast)` annotations)."""
@@ -745,6 +805,17 @@ def _optimized(extended_plan: str) -> str:
         re.S,
     )
     return m.group(1) if m else ""
+
+
+def _gw_bounded(p, ext):
+    return _global_windows_post_agg(ext)
+
+
+for _q in GLOBAL_WINDOW_BOUNDED:
+    CHECKS.setdefault(_q, []).append(
+        ("global windows fed by aggregates (bounded cardinality)",
+         _gw_bounded)
+    )
 
 
 def main() -> int:
