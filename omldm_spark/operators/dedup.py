@@ -511,7 +511,8 @@ WHERE round(list_inner_product(ea.v, eb.v)
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   max_iter: int = 20) -> DataFrame:
+                   max_iter: int = 20, algorithm: str = "propagate",
+                   ) -> DataFrame:
     """Connected components over candidate-pair edges -> duplicate CLUSTERS
     with a canonical keeper per cluster (cluster_id = min doc id reachable;
     keep = doc_id == cluster_id). The step a real dedup pipeline needs
@@ -524,9 +525,11 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     in a handful of rounds — convergence is detected by the strictly
     decreasing label SUM (min-propagation is monotone), one tiny agg per
     round. ``localCheckpoint`` truncates the growing lineage each round.
-    For adversarially deep graphs swap the step for the large-star/
-    small-star rounds of Kiveris et al. (CC in MapReduce, SoCC 2014) —
-    same join shape, O(log n) rounds.
+    For DEEP graphs (entity-resolution chains, transitive fuzzy
+    matches) pass ``algorithm="stars"`` to run the alternating
+    large-star/small-star rounds instead (``cc_alternating_stars``):
+    same join shape per round, O(log n) rounds instead of
+    diameter-many.
     """
     nodes = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
     edges = (
@@ -537,6 +540,13 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                          F.col("id_a").cast("long").alias("dst")))
         .distinct()
     )
+    if algorithm == "stars":
+        labels, _ = cc_alternating_stars(nodes, edges, max_iter=max_iter)
+        return labels.select(
+            F.col("id").alias(id_col),
+            F.col("lbl").alias("cluster_id"),
+            (F.col("id") == F.col("lbl")).alias("keep"),
+        )
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
@@ -561,6 +571,92 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         F.col("lbl").alias("cluster_id"),
         (F.col("id") == F.col("lbl")).alias("keep"),
     )
+
+
+def cc_alternating_stars(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 12,
+) -> tuple[DataFrame, int]:
+    """O(log n)-round connected components: the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) — the scale path for DEEP
+    components where min-label propagation's diameter-many rounds
+    (``dedup_clusters``) would not terminate in time.
+
+    Each round is two keyed shuffles over the CURRENT edge set only:
+
+    * large-star: every node u computes m = min(neighbors ∪ {u}) and
+      re-attaches each LARGER neighbor v to m — long chains fold toward
+      small labels from everywhere at once;
+    * small-star: every node u re-attaches its smaller neighbors (and
+      itself) to its minimum neighbor — stars flatten.
+
+    Both steps strictly shrink a monotone potential and converge to
+    star graphs centered at each component's minimum id in O(log n)
+    alternations (the chain test pins ⌈log₂ diameter⌉ + 1 on a
+    100-long path).  Convergence is detected by a (count, sum, sum)
+    fingerprint of the canonical edge set — one tiny agg per round —
+    and ``localCheckpoint`` truncates lineage exactly like the
+    propagation variant.
+
+    ``nodes``: one column ``id``; ``edges``: ``src``/``dst`` (any
+    direction, self-loops ignored).  Returns ``(labels, rounds)`` with
+    labels (id, lbl = component min).
+    """
+    E = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    fp = E.agg(
+        F.count(F.lit(1)), F.sum("a"), F.sum("b")
+    ).first()
+    rounds = 0
+    for _ in range(max_iter):
+        if fp[0] == 0:
+            break
+        rounds += 1
+        # ---- large-star: (v, m_u) for every neighbor v > u ----------
+        dirs = E.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .unionByName(E.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v")))
+        mins = dirs.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        E = (
+            dirs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star: attach smaller neighbors and self to the
+        # minimum neighbor ------------------------------------------
+        dirs = E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins = dirs.groupBy("u").agg(F.min("v").alias("m"))
+        att = dirs.join(mins, "u")
+        E = (
+            att.filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(att.select(F.col("m").alias("a"),
+                                    F.col("u").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        nfp = E.agg(F.count(F.lit(1)), F.sum("a"), F.sum("b")).first()
+        if tuple(nfp) == tuple(fp):
+            break
+        fp = nfp
+    stars = E.select(F.col("b").alias("id"), F.col("a").alias("lbl"))
+    labels = (
+        nodes.select("id")
+        .join(stars, "id", "left")
+        .select("id", F.coalesce("lbl", F.col("id")).alias("lbl"))
+    )
+    return labels, rounds
 
 
 def DEDUP_CLUSTERS_SQL(pairs_sql: str, table: str = "documents",

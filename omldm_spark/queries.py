@@ -7396,6 +7396,62 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_PAIRS_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+FROM (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer) a
+JOIN (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer) b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@query(
+    "entity_resolution_clusters",
+    oracle=None,  # filled below: recursive-CTE transitive closure
+)
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution CLOSURE over the fuzzy candidate edges: the
+    transitive A~B, B~C chains from fuzzy_name_pairs collapse to one
+    canonical customer per cluster via connected components — run with
+    the O(log n) alternating large-star/small-star rounds
+    (operators/dedup.py cc_alternating_stars, Kiveris et al. SoCC 2014)
+    rather than diameter-many label-propagation rounds, because ER
+    chains are DEEP (name ladders link transitively ~100 long; a
+    100-hop chain converges in ~⌈log₂ 100⌉ alternations, pinned in
+    tests/test_operators.py).  Oracle: DuckDB recursive-CTE transitive
+    closure — the streaming-free ground truth."""
+    from .operators.dedup import dedup_clusters
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a, b = cu.alias("a"), cu.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(dist <= 1)
+        .select(F.col("a.c_custkey").alias("id_a"),
+                F.col("b.c_custkey").alias("id_b"))
+    )
+    out = dedup_clusters(
+        cu.select("c_custkey"), pairs, id_col="c_custkey",
+        algorithm="stars",
+    )
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "keep",
+    )
+
+
+from .operators.dedup import DEDUP_CLUSTERS_SQL as _DC_SQL  # noqa: E402
+
+ORACLES["entity_resolution_clusters"] = _DC_SQL(
+    _FUZZY_PAIRS_SQL, table="customer", id_col="c_custkey"
+)
+
+
 # ---------------------------------------------------------------------------
 # Experiment analytics: Welch t-test, chi-square independence, CMS in-stream
 # ---------------------------------------------------------------------------
