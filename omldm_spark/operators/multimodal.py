@@ -74,28 +74,50 @@ def _fake_decode(media_id: str, data: bytes, width: int, height: int) -> np.ndar
     return (raw % 1000).astype(np.float64) / 1000.0
 
 
+def _real_decode(data: bytes) -> np.ndarray:
+    """Real image decode path, imported LAZILY inside the executor so the
+    operator upgrades transparently on a cluster image that ships PIL —
+    this container does not, and the ImportError surfaces as the same
+    clearly-marked NotImplementedError as before.  Feature = the
+    FEATURE_DIM-bin grayscale intensity histogram of the decoded image
+    (normalized to sum 1) — deterministic, resolution-independent, and
+    cheap enough that decode dominates, which is the honest cost model."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "real media decode requires PIL/av; run with fake=True "
+            "or install decoders on the cluster image"
+        ) from exc
+    img = Image.open(io.BytesIO(data)).convert("L")
+    px = np.asarray(img, dtype=np.float64).ravel()
+    hist, _ = np.histogram(px, bins=FEATURE_DIM, range=(0.0, 256.0))
+    total = float(hist.sum()) or 1.0
+    return hist.astype(np.float64) / total
+
+
 def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode media bytes -> fixed-dim feature vectors via mapInPandas.
 
     Arrow-batched: the binary column transfers as one buffer per batch; the
     output drops the bytes (project early — decoded features are ~1000x
-    smaller than media, so everything downstream shuffles cheap)."""
+    smaller than media, so everything downstream shuffles cheap).
+    ``fake=False`` runs the real PIL decode (lazy import, executor-side);
+    where PIL is absent it raises the marked NotImplementedError."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                # Real path: PIL.Image.open(io.BytesIO(b)) etc. — decode
-                # libs are not installed in this container.
-                raise NotImplementedError(
-                    "real media decode requires PIL/av; run with fake=True "
-                    "or install decoders on the cluster image"
-                )
             feats, sums = [], []
             for b in pdf["bytes"]:
                 data = bytes(b)
-                feats.append(_fake_decode("", data, 0, 0).tolist())
+                if fake:
+                    feats.append(_fake_decode("", data, 0, 0).tolist())
+                else:
+                    feats.append(_real_decode(data).tolist())
                 sums.append(hashlib.md5(data).hexdigest())
             yield pd.DataFrame(
                 {
