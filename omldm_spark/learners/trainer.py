@@ -171,10 +171,25 @@ def evaluate(
     *,
     features_col: str = "features",
     label_col: str = "label",
+    max_rows: int = 100_000,
 ) -> dict:
     """Holdout loss/score on a (small) test split — the reference's
-    Query-on-testSet path (FlinkSpoke.scala:160-163)."""
+    Query-on-testSet path (FlinkSpoke.scala:160-163).
+
+    The ``toPandas`` here is deliberate and BOUNDED: the reference's
+    holdout is a 256-point rolling test set (FlinkSpoke.scala:41), so
+    the collect is model-query-sized, not data-sized.  ``max_rows``
+    guards the contract — a caller that feeds a full table gets a loud
+    error instead of a silent driver OOM; score big frames with the
+    distributed prediction path instead."""
     learner = get_learner(learner_name)
+    # limit+count probes the bound without materializing the full frame
+    if points.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"evaluate() collects the holdout to the driver; more than "
+            f"{max_rows} rows supplied. Score large frames distributed "
+            "instead."
+        )
     pdf = points.select(features_col, label_col).toPandas()
     if len(pdf) == 0:
         return {"loss": math.nan, "score": math.nan, "n_test": 0}

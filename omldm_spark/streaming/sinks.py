@@ -218,6 +218,25 @@ class KeyedUpsertSink:
         out = cur.drop(self.BUCKET)
         return out.select(*columns) if columns else out
 
+    def state_as_of(self, spark, batch_id: int,
+                    columns: list[str] | None = None):
+        """TIME TRAVEL: the compacted keyed state as it stood after
+        ``batch_id`` committed — per bucket, the latest version with id
+        <= batch_id is read.  Free with the copy-on-write layout (the
+        same mechanism Delta's VERSION AS OF rides); versions survive
+        until ``vacuum()`` discards them."""
+        latest: dict[int, int] = {}
+        for bid, buckets in self._committed():
+            if bid > batch_id:
+                break
+            for b in buckets:
+                latest[b] = bid
+        cur = self._read_buckets(spark, latest, sorted(latest))
+        if cur is None:
+            return None
+        out = cur.drop(self.BUCKET)
+        return out.select(*columns) if columns else out
+
     def vacuum(self) -> int:
         """Delete superseded bucket versions; returns dirs removed."""
         import shutil

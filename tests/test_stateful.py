@@ -628,3 +628,33 @@ def test_keyed_upsert_sink_under_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = _upsert_rows(spark, sink)
     assert got == [("a", 7), ("b", 3), ("c", 5)]  # == batch GROUP BY
+
+
+def test_keyed_upsert_sink_time_travel(spark, tmp_path):
+    """VERSION AS OF over the copy-on-write bucket layout: the state as
+    of each committed batch is reconstructible until vacuum discards the
+    superseded versions."""
+    from omldm_spark.streaming.sinks import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(str(tmp_path / "tt"), ["k"], n_buckets=4)
+    sink(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"), 0)
+    sink(spark.createDataFrame([("a", 10)], "k string, v long"), 1)
+    sink(spark.createDataFrame([("c", 3), ("b", 20)],
+                               "k string, v long"), 2)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect())) if df is not None else []
+
+    assert rows(sink.state_as_of(spark, 0, ["k", "v"])) == [
+        ("a", 1), ("b", 2)]
+    assert rows(sink.state_as_of(spark, 1, ["k", "v"])) == [
+        ("a", 10), ("b", 2)]
+    assert rows(sink.state_as_of(spark, 2, ["k", "v"])) == [
+        ("a", 10), ("b", 20), ("c", 3)]
+    # current == as-of latest
+    assert rows(sink.current_state(spark, ["k", "v"])) == rows(
+        sink.state_as_of(spark, 2, ["k", "v"]))
+    # vacuum keeps only the live versions; current still intact
+    sink.vacuum()
+    assert rows(sink.current_state(spark, ["k", "v"])) == [
+        ("a", 10), ("b", 20), ("c", 3)]
