@@ -79,7 +79,7 @@ class NN(Learner):
             h = np.tanh(W @ a)
             a = np.append(h, 1.0)
             acts.append(a)
-        z = float(ws[-1] @ a)
+        z = float((ws[-1] @ a)[0])
         p = 1.0 / (1.0 + np.exp(-z))
         return acts, p
 

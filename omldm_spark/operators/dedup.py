@@ -242,6 +242,65 @@ WHERE common * {threshold_den} >= (sa.sz + sb.sz - common) * {threshold_num}
 """
 
 
+def ngram_containment_pairs(docs: DataFrame, n: int = 3,
+                            threshold_num: int = 1, threshold_den: int = 2,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Pairs where the SMALLER shingle set is >= num/den contained in the
+    other: containment = common / min(|A|, |B|).
+
+    The asymmetric companion to Jaccard that pretraining dedup needs for
+    the doc-inside-doc case (a quote, a mirrored article inside a longer
+    page): a short doc fully contained in a long one has tiny Jaccard
+    (union is dominated by the long doc) but containment 1.0.  Same
+    posting-list equi self-join as ngram_jaccard_pairs — one shingle
+    shuffle, per-shingle quadratic only (cap hot shingles upstream the
+    same way); integer cross-multiplied threshold, exact division last."""
+    sets_ = shingles(docs, n=n, text_col=text_col, id_col=id_col).distinct()
+    sizes = sets_.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("sz"))
+    a, b = sets_.alias("a"), sets_.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("common") * threshold_den
+                >= F.least("sa", "sb") * threshold_num)
+        .select(
+            "id_a", "id_b", "common",
+            (F.col("common") / F.least("sa", "sb")).alias("containment"),
+        )
+    )
+
+
+def CONTAINMENT_PAIRS_SQL(n: int = 3, threshold_num: int = 1,
+                          threshold_den: int = 2, table: str = "documents",
+                          text_expr: str = "text",
+                          id_col: str = "doc_id") -> str:
+    return f"""
+WITH sets_ AS (SELECT DISTINCT * FROM ({SHINGLES_SQL(n, table, text_expr, id_col)})),
+sizes AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS sz FROM sets_ GROUP BY {id_col}),
+common AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM sets_ a JOIN sets_ b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+)
+SELECT id_a, id_b, common,
+       common / least(sa.sz, sb.sz) AS containment
+FROM common
+JOIN sizes sa ON sa.{id_col} = id_a
+JOIN sizes sb ON sb.{id_col} = id_b
+WHERE common * {threshold_den} >= least(sa.sz, sb.sz) * {threshold_num}
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 # 32-bit SimHash over unigram tokens. Bits come from the first 8 hex chars of
 # md5(token); per-bit votes (+1/-1) are summed per document; the signature
@@ -897,4 +956,126 @@ FROM (
   WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = i.fingerprint)
 )
 WHERE {id_col} = min_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage weights (entity resolution scoring)
+# ---------------------------------------------------------------------------
+
+# Shared double-arithmetic text for a field's ppm-quantized match weight:
+# agree -> round(1e6 * ln(m / u)), disagree -> round(1e6 * ln((1-m)/(1-u)))
+# with m = 0.9 fixed and u the field's random-agreement probability
+# u_num / n^2.  EVERY literal CAST to DOUBLE (DuckDB parses bare decimals
+# as DECIMAL — the NOTES_r4 trap); both engines evaluate the identical
+# text over identical integers, so the quantized weight hash-matches.
+def fs_weight_sql(agree: str, u_num: str, n: str) -> str:
+    u = (f"(CAST({u_num} AS DOUBLE)"
+         f" / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)))")
+    m, one = "CAST(0.9 AS DOUBLE)", "CAST(1.0 AS DOUBLE)"
+    ppm, half = "CAST(1000000.0 AS DOUBLE)", "CAST(0.5 AS DOUBLE)"
+    return (
+        f"CAST(floor(CASE WHEN {agree} = 1"
+        f" THEN {ppm} * ln({m} / {u})"
+        f" ELSE {ppm} * ln(({one} - {m}) / ({one} - {u})) END"
+        f" + {half}) AS BIGINT)"
+    )
+
+
+def fs_linkage_scores(records: DataFrame, pairs: DataFrame,
+                      key_col: str, fields: list[str]) -> DataFrame:
+    """Fellegi-Sunter pair scoring over candidate pairs.
+
+    The probabilistic record-linkage layer after blocking: each compared
+    field contributes log2/ln-odds evidence — positive when the pair
+    AGREES on a field that random pairs rarely share, negative when it
+    disagrees.  u (random-agreement probability) is estimated from the
+    data itself as sum(cnt_v^2)/n^2 per field (the with-replacement
+    approximation, exact integer arithmetic up to the final shared
+    double text); m is the classic 0.9 prior.  Scores are ppm-quantized
+    per field THEN summed, so the result is engine-exact.
+
+    Scale shape: u-statistics are one tiny (field, value) groupBy whose
+    key space is the distinct values (map-side combined); the per-pair
+    score is a melt of the candidate pairs (|pairs| x |fields| rows)
+    joined to the |fields|-row broadcast stats — no new quadratic
+    anywhere; blocking already bounded |pairs|.
+
+    Returns (key_a, key_b, n_agree, score_ppm), higher = more likely the
+    same entity.  Reference analogue: none (beyond-reference ER surface,
+    same family as fuzzy_name_pairs)."""
+    n_fields = len(fields)
+    melted = records.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(
+            F.array(*[F.col(f).cast("string") for f in fields])
+        ).alias("field", "v"),
+    )
+    stats = (
+        melted.groupBy("field", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("field")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("u_num"),
+             F.sum("cnt").cast("long").alias("n"))
+    )
+    a = records.select(
+        F.col(key_col).alias("key_a"),
+        *[F.col(f).cast("string").alias(f"a_{f}") for f in fields])
+    b = records.select(
+        F.col(key_col).alias("key_b"),
+        *[F.col(f).cast("string").alias(f"b_{f}") for f in fields])
+    wide = pairs.join(a, "key_a").join(b, "key_b")
+    flags = wide.select(
+        "key_a", "key_b",
+        F.posexplode(F.array(*[
+            F.when(F.col(f"a_{f}") == F.col(f"b_{f}"), 1).otherwise(0)
+            for f in fields
+        ])).alias("field", "agree"),
+    )
+    scored = flags.join(F.broadcast(stats), "field").select(
+        "key_a", "key_b", "agree",
+        F.expr(fs_weight_sql("agree", "u_num", "n")).alias("w_ppm"),
+    )
+    return (
+        scored.groupBy("key_a", "key_b")
+        .agg(F.sum("agree").cast("long").alias("n_agree"),
+             F.sum("w_ppm").cast("long").alias("score_ppm"))
+    )
+
+
+def FS_LINKAGE_SQL(pairs_sql: str, table: str, key_col: str,
+                   fields: list[str]) -> str:
+    field_sel = " UNION ALL ".join(
+        f"SELECT {key_col} AS k, {i} AS field,"
+        f" CAST({f} AS VARCHAR) AS v FROM {table}"
+        for i, f in enumerate(fields)
+    )
+    flag_sel = " UNION ALL ".join(
+        f"SELECT key_a, key_b, {i} AS field,"
+        f" CASE WHEN CAST(a.{f} AS VARCHAR) = CAST(b.{f} AS VARCHAR)"
+        f" THEN 1 ELSE 0 END AS agree"
+        f" FROM prs JOIN {table} a ON a.{key_col} = prs.key_a"
+        f" JOIN {table} b ON b.{key_col} = prs.key_b"
+        for i, f in enumerate(fields)
+    )
+    return f"""
+WITH prs AS ({pairs_sql}),
+melted AS ({field_sel}),
+stats AS (
+  SELECT field, CAST(sum(cnt * cnt) AS BIGINT) AS u_num,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM (SELECT field, v, CAST(count(*) AS BIGINT) AS cnt
+        FROM melted GROUP BY 1, 2)
+  GROUP BY field
+),
+flags AS ({flag_sel}),
+scored AS (
+  SELECT key_a, key_b, agree,
+         {fs_weight_sql("agree", "u_num", "n")} AS w_ppm
+  FROM flags JOIN stats USING (field)
+)
+SELECT key_a, key_b,
+       CAST(sum(agree) AS BIGINT) AS n_agree,
+       CAST(sum(w_ppm) AS BIGINT) AS score_ppm
+FROM scored GROUP BY 1, 2
 """

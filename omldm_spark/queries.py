@@ -927,6 +927,29 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.dedup import (  # noqa: E402
+    CONTAINMENT_PAIRS_SQL,
+    ngram_containment_pairs,
+)
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=CONTAINMENT_PAIRS_SQL(n=3, threshold_num=3, threshold_den=10),
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment = common / min(|A|,|B|) over
+    3-gram shingle sets — catches the doc-INSIDE-doc duplicates (quotes,
+    mirrored articles in longer pages) that symmetric Jaccard misses
+    because the union is dominated by the longer document
+    (operators/dedup.py ngram_containment_pairs; same posting-list
+    equi-join scale shape as the Jaccard variant)."""
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3, threshold_num=3, threshold_den=10,
+    )
+
+
 @query(
     "simhash_docs",
     oracle=simhash_sql(
@@ -7450,6 +7473,58 @@ from .operators.dedup import DEDUP_CLUSTERS_SQL as _DC_SQL  # noqa: E402
 ORACLES["entity_resolution_clusters"] = _DC_SQL(
     _FUZZY_PAIRS_SQL, table="customer", id_col="c_custkey"
 )
+
+
+from .operators.dedup import FS_LINKAGE_SQL, fs_linkage_scores  # noqa: E402
+
+_FS_TABLE_SQL = (
+    "(SELECT c_custkey, c_nationkey, c_mktsegment,"
+    " CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band FROM customer)"
+)
+_FS_PAIRS_SQL = _FUZZY_PAIRS_SQL.replace(
+    "AS id_a", "AS key_a").replace("AS id_b", "AS key_b")
+
+
+@query(
+    "record_linkage_scores",
+    oracle=FS_LINKAGE_SQL(
+        _FS_PAIRS_SQL, _FS_TABLE_SQL, "c_custkey",
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+    ),
+)
+def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over the blocked fuzzy
+    candidates: nation / segment / balance-band agreement contributes
+    ppm-quantized ln-odds evidence with u estimated from the data's own
+    value frequencies (operators/dedup.py fs_linkage_scores) — the
+    scoring layer between candidate generation (fuzzy_name_pairs) and
+    the transitive closure (entity_resolution_clusters).  u-stats are a
+    value-keyed map-side-combined groupBy; scoring is a |pairs| x 3 melt
+    against the 3-row broadcast stats — no new quadratic."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a, b = cu.alias("a"), cu.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(dist <= 1)
+        .select(F.col("a.c_custkey").alias("key_a"),
+                F.col("b.c_custkey").alias("key_b"))
+    )
+    recs = cu.select("c_custkey", "c_nationkey", "c_mktsegment",
+                     "bal_band")
+    return fs_linkage_scores(
+        recs, pairs, "c_custkey",
+        ["c_nationkey", "c_mktsegment", "bal_band"]
+    ).select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+        "n_agree", "score_ppm",
+    )
 
 
 # ---------------------------------------------------------------------------

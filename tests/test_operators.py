@@ -1372,3 +1372,62 @@ def test_cc_alternating_stars_forest_and_isolated(spark):
     assert got[9] == got[10] == got[11] == 9
     for iso in (3, 4, 7, 8):
         assert got[iso] == iso
+
+
+def test_ngram_containment_catches_doc_inside_doc(spark):
+    """A short doc fully contained in a long one: containment = 1.0
+    while Jaccard stays below a typical near-dup threshold — the exact
+    asymmetric case the operator exists for."""
+    from omldm_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta"                      # 2 3-shingles
+    long_ = short + " " + " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, long_), (2, short)], "doc_id long, text string")
+    cont = ngram_containment_pairs(
+        docs, n=3, threshold_num=1, threshold_den=2).collect()
+    assert len(cont) == 1
+    assert cont[0]["containment"] == 1.0                  # fully contained
+    jac = ngram_jaccard_pairs(
+        docs, n=3, threshold_num=1, threshold_den=2).collect()
+    assert jac == []                                      # jaccard misses it
+
+
+def test_fs_linkage_weights_order_and_sign(spark):
+    """Fellegi-Sunter evidence structure (field-level u, the canonical
+    model): agreement on a SELECTIVE field (many distinct values, low u)
+    carries more weight than agreement on a near-constant field (high
+    u); more agreements always dominate; disagreements subtract."""
+    import math
+
+    from omldm_spark.operators.dedup import fs_linkage_scores
+
+    # city: 5 distinct values evenly (selective, u = 0.2);
+    # seg: constant 's' (useless, u = 1 - eps -> weight ~ ln(0.9) < 0...
+    # keep it 9-of-10 so u = 0.82)
+    recs = spark.createDataFrame(
+        [(i, f"c{i % 5}", "s" if i < 9 else "t") for i in range(10)],
+        "k long, city string, seg string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 5),    # agree city (c0), agree seg      -> strongest
+         (0, 9),    # agree city? 9%5=4 != 0 -> disagree city, disagree seg
+         (0, 1)],   # disagree city, agree seg
+        "key_a long, key_b long",
+    )
+    out = {(r["key_a"], r["key_b"]): r for r in fs_linkage_scores(
+        recs, pairs, "k", ["city", "seg"]).collect()}
+    assert out[(0, 5)]["n_agree"] == 2
+    assert out[(0, 1)]["n_agree"] == 1
+    assert out[(0, 9)]["n_agree"] == 0
+    # ordering: both-agree > seg-only-agree > none
+    assert (out[(0, 5)]["score_ppm"] > out[(0, 1)]["score_ppm"]
+            > out[(0, 9)]["score_ppm"])
+    # the city agreement's weight is ln(0.9/0.2) in ppm (u = 20/100):
+    # diff(0,5 vs 0,1) = W_agree(city) - W_disagree(city)
+    diff = out[(0, 5)]["score_ppm"] - out[(0, 1)]["score_ppm"]
+    w_dis = round(1e6 * math.log(0.1 / (1 - 0.2)))
+    assert abs((diff + w_dis) - round(1e6 * math.log(0.9 / 0.2))) <= 1
+    # full disagreement scores negative overall
+    assert out[(0, 9)]["score_ppm"] < 0
