@@ -4816,6 +4816,125 @@ def q_observed_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FK_EDGES = [('orders', 'o_custkey', 'customer', 'c_custkey'), ('lineitem', 'l_orderkey', 'orders', 'o_orderkey'), ('lineitem', 'l_partkey', 'part', 'p_partkey'), ('lineitem', 'l_suppkey', 'supplier', 's_suppkey'), ('customer', 'c_nationkey', 'nation', 'n_nationkey'), ('supplier', 's_nationkey', 'nation', 'n_nationkey'), ('nation', 'n_regionkey', 'region', 'r_regionkey')]
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+  SELECT 'orders.o_custkey->customer.c_custkey' AS fk_edge,
+         CAST((SELECT count(*) FROM orders) AS BIGINT) AS child_rows,
+         CAST((SELECT count(*) FROM orders ch
+               WHERE NOT EXISTS (SELECT 1 FROM customer pa
+                                 WHERE pa.c_custkey = ch.o_custkey)) AS BIGINT)
+           AS orphan_rows,
+         CAST((SELECT count(DISTINCT ch.o_custkey) FROM orders ch
+               WHERE NOT EXISTS (SELECT 1 FROM customer pa
+                                 WHERE pa.c_custkey = ch.o_custkey)) AS BIGINT)
+           AS orphan_keys
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS child_rows,
+         CAST((SELECT count(*) FROM lineitem ch
+               WHERE NOT EXISTS (SELECT 1 FROM orders pa
+                                 WHERE pa.o_orderkey = ch.l_orderkey)) AS BIGINT)
+           AS orphan_rows,
+         CAST((SELECT count(DISTINCT ch.l_orderkey) FROM lineitem ch
+               WHERE NOT EXISTS (SELECT 1 FROM orders pa
+                                 WHERE pa.o_orderkey = ch.l_orderkey)) AS BIGINT)
+           AS orphan_keys
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part.p_partkey' AS fk_edge,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS child_rows,
+         CAST((SELECT count(*) FROM lineitem ch
+               WHERE NOT EXISTS (SELECT 1 FROM part pa
+                                 WHERE pa.p_partkey = ch.l_partkey)) AS BIGINT)
+           AS orphan_rows,
+         CAST((SELECT count(DISTINCT ch.l_partkey) FROM lineitem ch
+               WHERE NOT EXISTS (SELECT 1 FROM part pa
+                                 WHERE pa.p_partkey = ch.l_partkey)) AS BIGINT)
+           AS orphan_keys
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier.s_suppkey' AS fk_edge,
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS child_rows,
+         CAST((SELECT count(*) FROM lineitem ch
+               WHERE NOT EXISTS (SELECT 1 FROM supplier pa
+                                 WHERE pa.s_suppkey = ch.l_suppkey)) AS BIGINT)
+           AS orphan_rows,
+         CAST((SELECT count(DISTINCT ch.l_suppkey) FROM lineitem ch
+               WHERE NOT EXISTS (SELECT 1 FROM supplier pa
+                                 WHERE pa.s_suppkey = ch.l_suppkey)) AS BIGINT)
+           AS orphan_keys
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation.n_nationkey' AS fk_edge,
+         CAST((SELECT count(*) FROM customer) AS BIGINT) AS child_rows,
+         CAST((SELECT count(*) FROM customer ch
+               WHERE NOT EXISTS (SELECT 1 FROM nation pa
+                                 WHERE pa.n_nationkey = ch.c_nationkey)) AS BIGINT)
+           AS orphan_rows,
+         CAST((SELECT count(DISTINCT ch.c_nationkey) FROM customer ch
+               WHERE NOT EXISTS (SELECT 1 FROM nation pa
+                                 WHERE pa.n_nationkey = ch.c_nationkey)) AS BIGINT)
+           AS orphan_keys
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation.n_nationkey' AS fk_edge,
+         CAST((SELECT count(*) FROM supplier) AS BIGINT) AS child_rows,
+         CAST((SELECT count(*) FROM supplier ch
+               WHERE NOT EXISTS (SELECT 1 FROM nation pa
+                                 WHERE pa.n_nationkey = ch.s_nationkey)) AS BIGINT)
+           AS orphan_rows,
+         CAST((SELECT count(DISTINCT ch.s_nationkey) FROM supplier ch
+               WHERE NOT EXISTS (SELECT 1 FROM nation pa
+                                 WHERE pa.n_nationkey = ch.s_nationkey)) AS BIGINT)
+           AS orphan_keys
+  UNION ALL
+  SELECT 'nation.n_regionkey->region.r_regionkey' AS fk_edge,
+         CAST((SELECT count(*) FROM nation) AS BIGINT) AS child_rows,
+         CAST((SELECT count(*) FROM nation ch
+               WHERE NOT EXISTS (SELECT 1 FROM region pa
+                                 WHERE pa.r_regionkey = ch.n_regionkey)) AS BIGINT)
+           AS orphan_rows,
+         CAST((SELECT count(DISTINCT ch.n_regionkey) FROM nation ch
+               WHERE NOT EXISTS (SELECT 1 FROM region pa
+                                 WHERE pa.r_regionkey = ch.n_regionkey)) AS BIGINT)
+           AS orphan_keys
+""",
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass referential-integrity audit of every FK edge in the star
+    schema: per edge, child rows, orphan rows (child keys with no
+    parent), and distinct orphan keys.  Each edge is ONE left-anti join
+    against the parent's key projection — the parent side prunes to its
+    key column at the scan (ReadSchema), small parents broadcast, and
+    the per-edge outputs are one-row aggregates unioned together; at
+    100 TB this is the join-hygiene gate you run before shipping a
+    training join, since silent FK rot turns inner joins into row loss
+    (extends dq_report_orders' single-edge check to the whole graph)."""
+    rows = []
+    for child, ck, parent, pk in _FK_EDGES:
+        ch = load_table(spark, sf_dir, child)
+        pa = load_table(spark, sf_dir, parent).select(pk).distinct()
+        orphans = ch.select(ck).join(
+            F.broadcast(pa), ch[ck] == pa[pk], "left_anti")
+        rows.append(
+            ch.agg(F.count(F.lit(1)).cast("long").alias("child_rows"))
+            .crossJoin(orphans.agg(
+                F.count(F.lit(1)).cast("long").alias("orphan_rows"),
+                F.countDistinct(ck).cast("long").alias("orphan_keys"),
+            ))
+            .select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}"
+                      .format(child=child, ck=ck, parent=parent, pk=pk))
+                .alias("fk_edge"),
+                "child_rows", "orphan_rows", "orphan_keys",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 @query(
     "dq_report_orders",
     oracle="""
@@ -5503,6 +5622,129 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+_POWER_Q = 1_000_000
+_GRAM_Q_SQL = """
+SELECT a.i AS i, b.i AS j, CAST(sum(a.qe * b.qe) AS BIGINT) AS s_q
+FROM (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT)
+           AS qe
+  FROM embeddings
+) a JOIN (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT)
+           AS qe
+  FROM embeddings
+) b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
+def _power_scale_sql(u: str, s: str) -> str:
+    """Shared double text: vq' = floor(Q * u / s + 0.5) with the SIGNED
+    max-abs component as s — fixes the eigenvector's sign
+    deterministically; every literal CAST to DOUBLE (NOTES_r4)."""
+    return (
+        f"CAST(floor(CAST({_POWER_Q}.0 AS DOUBLE) * CAST({u} AS DOUBLE)"
+        f" / CAST({s} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def POWER_ITER_SQL(rounds: int = 5) -> str:
+    # every CTE MATERIALIZED: DuckDB inlines CTEs by default, and each
+    # round references the previous one three times (u, argmax scalar,
+    # scale scalar) — inlining makes the plan 3^R copies of the gram
+    # (measured: >120 s at 5 rounds vs <1 s materialized); the Spark
+    # side localCheckpoints each round for the same reason
+    ctes = [
+        f"g0 AS MATERIALIZED ({_GRAM_Q_SQL})",
+        "g AS MATERIALIZED (SELECT i, j, s_q FROM g0 UNION ALL"
+        " SELECT j, i, s_q FROM g0 WHERE i < j)",
+        f"v0 AS MATERIALIZED"
+        f" (SELECT DISTINCT i, CAST({_POWER_Q} AS BIGINT) AS vq FROM g)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"u{r} AS MATERIALIZED (SELECT g.i AS i,"
+            f" CAST(sum(g.s_q * v{r-1}.vq) AS BIGINT) AS u"
+            f" FROM g JOIN v{r-1} ON g.j = v{r-1}.i GROUP BY g.i)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT u FROM u{r} WHERE i ="
+            f" (SELECT min(i) FROM u{r} WHERE abs(u) ="
+            f" (SELECT max(abs(u)) FROM u{r})))"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT i,"
+            f" {_power_scale_sql('u', f'(SELECT u FROM s{r})')} AS vq"
+            f" FROM u{r})"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT i, vq AS v_q FROM v{rounds}")
+
+
+@query("embedding_power_iteration", oracle=POWER_ITER_SQL(rounds=5))
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding Gram by POWER ITERATION —
+    the first PCA component, computed at the right altitude: the corpus
+    collapses ONCE into the dim x dim integer Gram (embedding_gram's
+    sufficient-statistic pass, map-side combined to <= dim^2 rows), and
+    the R multiply-normalize rounds then run over that 64^2-row frame —
+    dim-scale joins, corpus never rescanned (the BPE-trainer altitude
+    rule).  Per round: u = G v (BIGINT dot products, overflow envelope
+    |g| * Q * dim < 2^63 holds through ~1e8 vectors at this
+    quantization), then vq' = floor(Q*u/s + 0.5) with s the SIGNED
+    max-abs component (min-index tiebreak) — sign-deterministic
+    normalization through a shared double text, so 5 rounds stay
+    hash-exact vs the chained-CTE oracle.  Convergence to the true
+    eigenvector is pinned in tests/test_similarity.py against numpy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i", "e"),
+    ).select(
+        "vec_id", "i",
+        F.expr("CAST(round(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT)")
+        .alias("qe"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    g0 = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+               & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qe") * F.col("b.qe")).cast("long").alias("s_q"))
+    )
+    g = g0.unionByName(
+        g0.filter(F.col("i") < F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), "s_q")
+    ).localCheckpoint()
+    v = g.select("i").distinct().select(
+        "i", F.lit(_POWER_Q).cast("long").alias("vq")
+    )
+    for _ in range(5):
+        u = (
+            g.join(v.select(F.col("i").alias("j"), "vq"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("s_q") * F.col("vq")).cast("long").alias("u"))
+        )
+        mx = u.agg(F.max(F.abs("u")).alias("ma")).select("ma")
+        arg = (
+            u.join(F.broadcast(mx), F.abs(F.col("u")) == F.col("ma"))
+            .agg(F.min("i").alias("ai"))
+        )
+        s = (
+            u.join(F.broadcast(arg), F.col("i") == F.col("ai"))
+            .select(F.col("u").alias("s"))
+        )
+        # localCheckpoint the 64-row v: without it each round re-embeds
+        # u's plan THREE times (mx/arg/s) and the logical plan doubles
+        # per round — 2^R copies of the gram by round R
+        v = u.crossJoin(F.broadcast(s)).select(
+            "i", F.expr(_power_scale_sql("u", "s")).alias("vq")
+        ).localCheckpoint()
+    return v.select("i", F.col("vq").alias("v_q"))
+
 
 
 @query(
