@@ -982,8 +982,28 @@ def fs_weight_sql(agree: str, u_num: str, n: str) -> str:
     )
 
 
+def fs_tf_weight_sql(agree: str, cnt_v: str, u_num: str, n: str) -> str:
+    """Value-specific (term-frequency-adjusted) agreement weight: a pair
+    agreeing on a RARE value is stronger evidence than one agreeing on a
+    common value — u for the agreement branch is the shared value's own
+    frequency cnt_v/n (the Splink-style TF adjustment); disagreement
+    keeps the field-level u.  Same shared-double-text discipline."""
+    u_f = (f"(CAST({u_num} AS DOUBLE)"
+           f" / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)))")
+    u_v = f"(CAST({cnt_v} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    m, one = "CAST(0.9 AS DOUBLE)", "CAST(1.0 AS DOUBLE)"
+    ppm, half = "CAST(1000000.0 AS DOUBLE)", "CAST(0.5 AS DOUBLE)"
+    return (
+        f"CAST(floor(CASE WHEN {agree} = 1"
+        f" THEN {ppm} * ln({m} / {u_v})"
+        f" ELSE {ppm} * ln(({one} - {m}) / ({one} - {u_f})) END"
+        f" + {half}) AS BIGINT)"
+    )
+
+
 def fs_linkage_scores(records: DataFrame, pairs: DataFrame,
-                      key_col: str, fields: list[str]) -> DataFrame:
+                      key_col: str, fields: list[str],
+                      value_specific: bool = False) -> DataFrame:
     """Fellegi-Sunter pair scoring over candidate pairs.
 
     The probabilistic record-linkage layer after blocking: each compared
@@ -1011,10 +1031,10 @@ def fs_linkage_scores(records: DataFrame, pairs: DataFrame,
             F.array(*[F.col(f).cast("string") for f in fields])
         ).alias("field", "v"),
     )
+    vcounts = melted.groupBy("field", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
     stats = (
-        melted.groupBy("field", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .groupBy("field")
+        vcounts.groupBy("field")
         .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("u_num"),
              F.sum("cnt").cast("long").alias("n"))
     )
@@ -1028,14 +1048,33 @@ def fs_linkage_scores(records: DataFrame, pairs: DataFrame,
     flags = wide.select(
         "key_a", "key_b",
         F.posexplode(F.array(*[
-            F.when(F.col(f"a_{f}") == F.col(f"b_{f}"), 1).otherwise(0)
+            F.struct(
+                F.when(F.col(f"a_{f}") == F.col(f"b_{f}"), 1)
+                .otherwise(0).alias("agree"),
+                F.when(F.col(f"a_{f}") == F.col(f"b_{f}"),
+                       F.col(f"a_{f}")).alias("v"),
+            )
             for f in fields
-        ])).alias("field", "agree"),
-    )
-    scored = flags.join(F.broadcast(stats), "field").select(
-        "key_a", "key_b", "agree",
-        F.expr(fs_weight_sql("agree", "u_num", "n")).alias("w_ppm"),
-    )
+        ])).alias("field", "fl"),
+    ).select("key_a", "key_b", "field", "fl.agree", "fl.v")
+    if value_specific:
+        # agreement joins the shared VALUE's own frequency; the
+        # value-count table is distinct-values-sized (the robust_scaler
+        # bound) and broadcastable per field
+        scored = (
+            flags.join(F.broadcast(stats), "field")
+            .join(F.broadcast(vcounts), ["field", "v"], "left")
+            .select(
+                "key_a", "key_b", "agree",
+                F.expr(fs_tf_weight_sql("agree", "cnt", "u_num", "n"))
+                .alias("w_ppm"),
+            )
+        )
+    else:
+        scored = flags.join(F.broadcast(stats), "field").select(
+            "key_a", "key_b", "agree",
+            F.expr(fs_weight_sql("agree", "u_num", "n")).alias("w_ppm"),
+        )
     return (
         scored.groupBy("key_a", "key_b")
         .agg(F.sum("agree").cast("long").alias("n_agree"),
@@ -1044,7 +1083,8 @@ def fs_linkage_scores(records: DataFrame, pairs: DataFrame,
 
 
 def FS_LINKAGE_SQL(pairs_sql: str, table: str, key_col: str,
-                   fields: list[str]) -> str:
+                   fields: list[str],
+                   value_specific: bool = False) -> str:
     field_sel = " UNION ALL ".join(
         f"SELECT {key_col} AS k, {i} AS field,"
         f" CAST({f} AS VARCHAR) AS v FROM {table}"
@@ -1053,29 +1093,70 @@ def FS_LINKAGE_SQL(pairs_sql: str, table: str, key_col: str,
     flag_sel = " UNION ALL ".join(
         f"SELECT key_a, key_b, {i} AS field,"
         f" CASE WHEN CAST(a.{f} AS VARCHAR) = CAST(b.{f} AS VARCHAR)"
-        f" THEN 1 ELSE 0 END AS agree"
+        f" THEN 1 ELSE 0 END AS agree,"
+        f" CASE WHEN CAST(a.{f} AS VARCHAR) = CAST(b.{f} AS VARCHAR)"
+        f" THEN CAST(a.{f} AS VARCHAR) END AS v"
         f" FROM prs JOIN {table} a ON a.{key_col} = prs.key_a"
         f" JOIN {table} b ON b.{key_col} = prs.key_b"
         for i, f in enumerate(fields)
     )
+    if value_specific:
+        scored = f"""
+  SELECT key_a, key_b, agree,
+         {fs_tf_weight_sql("agree", "vc.cnt", "u_num", "n")} AS w_ppm
+  FROM flags JOIN stats USING (field)
+  LEFT JOIN vcounts vc USING (field, v)"""
+    else:
+        scored = f"""
+  SELECT key_a, key_b, agree,
+         {fs_weight_sql("agree", "u_num", "n")} AS w_ppm
+  FROM flags JOIN stats USING (field)"""
     return f"""
 WITH prs AS ({pairs_sql}),
 melted AS ({field_sel}),
+vcounts AS (
+  SELECT field, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM melted GROUP BY 1, 2
+),
 stats AS (
   SELECT field, CAST(sum(cnt * cnt) AS BIGINT) AS u_num,
          CAST(sum(cnt) AS BIGINT) AS n
-  FROM (SELECT field, v, CAST(count(*) AS BIGINT) AS cnt
-        FROM melted GROUP BY 1, 2)
-  GROUP BY field
+  FROM vcounts GROUP BY field
 ),
 flags AS ({flag_sel}),
-scored AS (
-  SELECT key_a, key_b, agree,
-         {fs_weight_sql("agree", "u_num", "n")} AS w_ppm
-  FROM flags JOIN stats USING (field)
+scored AS ({scored}
 )
 SELECT key_a, key_b,
        CAST(sum(agree) AS BIGINT) AS n_agree,
        CAST(sum(w_ppm) AS BIGINT) AS score_ppm
 FROM scored GROUP BY 1, 2
 """
+
+
+def incremental_cc_merge(prev_stars: DataFrame | None, new_edges: DataFrame,
+                         max_iter: int = 12) -> DataFrame:
+    """One incremental connected-components step: fold a BATCH of new
+    edges into the star-compressed forest of everything seen so far.
+
+    ``prev_stars`` is the previous state — (a=root, b=node) star edges,
+    one row per non-root node (star compression preserves connectivity,
+    so CC(stars ∪ batch) == CC(all historical edges ∪ batch)); the new
+    state is again a star forest.  Because the carried state is already
+    diameter-2, each batch converges in O(log batch-diameter)
+    alternations regardless of history depth — the distributed
+    union-find-forest pattern (per-batch work ∝ state + batch, never
+    ∝ history).  Returns the new star edge set."""
+    E = new_edges.select(F.col("src"), F.col("dst"))
+    if prev_stars is not None:
+        E = E.unionByName(
+            prev_stars.select(F.col("a").alias("src"),
+                              F.col("b").alias("dst")))
+    nodes = (
+        E.select(F.col("src").alias("id"))
+        .unionByName(E.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels, _ = cc_alternating_stars(nodes, E, max_iter=max_iter)
+    return labels.filter(F.col("id") != F.col("lbl")).select(
+        F.col("lbl").alias("a"), F.col("id").alias("b")
+    )

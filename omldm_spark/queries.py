@@ -7717,6 +7717,82 @@ ORACLES["entity_resolution_clusters"] = _DC_SQL(
 )
 
 
+@query("streaming_entity_clusters", oracle=None)  # oracle filled below
+def q_streaming_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components: the fuzzy candidate edges
+    arrive as a multi-batch STREAM and each batch folds into a
+    star-compressed forest (operators/dedup.py incremental_cc_merge) —
+    the distributed union-find pattern: carried state is one edge per
+    non-root node (diameter 2), so per-batch cost is O(state + batch)
+    with O(log batch-diameter) alternations, never a function of
+    history depth.  Streaming must be invisible: the oracle is the SAME
+    recursive-CTE transitive closure as the batch
+    entity_resolution_clusters."""
+    import os
+    import tempfile
+
+    from .operators.dedup import incremental_cc_merge
+    from .streaming.sources import file_replay_source
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a, b = cu.alias("a"), cu.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(dist <= 1)
+        .select(F.col("a.c_custkey").cast("long").alias("src"),
+                F.col("b.c_custkey").cast("long").alias("dst"))
+    )
+    tmp = tempfile.mkdtemp(prefix="omldm_scc_")
+    src_dir = f"{tmp}/src"
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
+    pairs.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, "src long, dst long", max_files_per_trigger=1
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(df, bid):
+        prev_path = None
+        if os.path.isdir(state_dir):
+            vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                        if d.startswith("v"))
+            if vs:
+                prev_path = f"{state_dir}/v{vs[-1]}"
+        prev = spark.read.parquet(prev_path) if prev_path else None
+        stars = incremental_cc_merge(prev, df)
+        stars.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                if d.startswith("v"))
+    stars = spark.read.parquet(f"{state_dir}/v{vs[-1]}")
+    nodes = cu.select(F.col("c_custkey").cast("long").alias("id"))
+    return (
+        nodes.join(stars.select(F.col("b").alias("id"),
+                                F.col("a").alias("lbl")), "id", "left")
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.coalesce("lbl", F.col("id")).alias("cluster_id"),
+            (F.coalesce("lbl", F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )
+
+
+ORACLES["streaming_entity_clusters"] = _DC_SQL(
+    _FUZZY_PAIRS_SQL, table="customer", id_col="c_custkey"
+)
+
+
 from .operators.dedup import FS_LINKAGE_SQL, fs_linkage_scores  # noqa: E402
 
 _FS_TABLE_SQL = (
@@ -7762,6 +7838,47 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_linkage_scores(
         recs, pairs, "c_custkey",
         ["c_nationkey", "c_mktsegment", "bal_band"]
+    ).select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+        "n_agree", "score_ppm",
+    )
+
+
+@query(
+    "record_linkage_tf_scores",
+    oracle=FS_LINKAGE_SQL(
+        _FS_PAIRS_SQL, _FS_TABLE_SQL, "c_custkey",
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        value_specific=True,
+    ),
+)
+def q_record_linkage_tf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-adjusted Fellegi-Sunter (the Splink-style value-
+    specific u): agreeing on a RARE nation/segment/balance-band value
+    scores higher than agreeing on a common one — the agreement branch
+    joins the shared value's own frequency from the distinct-values-
+    sized broadcast count table; disagreement keeps the field-level u.
+    Same blocked candidates, same ppm shared-double-text exactness."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a, b = cu.alias("a"), cu.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+        .filter(dist <= 1)
+        .select(F.col("a.c_custkey").alias("key_a"),
+                F.col("b.c_custkey").alias("key_b"))
+    )
+    recs = cu.select("c_custkey", "c_nationkey", "c_mktsegment",
+                     "bal_band")
+    return fs_linkage_scores(
+        recs, pairs, "c_custkey",
+        ["c_nationkey", "c_mktsegment", "bal_band"], value_specific=True,
     ).select(
         F.col("key_a").cast("long").alias("key_a"),
         F.col("key_b").cast("long").alias("key_b"),

@@ -1431,3 +1431,56 @@ def test_fs_linkage_weights_order_and_sign(spark):
     assert abs((diff + w_dis) - round(1e6 * math.log(0.9 / 0.2))) <= 1
     # full disagreement scores negative overall
     assert out[(0, 9)]["score_ppm"] < 0
+
+
+def test_incremental_cc_merge_equals_batch(spark):
+    """Edges split across three batches, components crossing batch
+    boundaries: the star-forest fold must equal the all-at-once CC, and
+    the carried state stays one edge per non-root node."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.dedup import (
+        cc_alternating_stars, incremental_cc_merge)
+
+    batches = [
+        [(0, 1), (4, 5)],
+        [(1, 2), (6, 7)],          # 2 joins {0,1}; new {6,7}
+        [(5, 6), (2, 3)],          # bridges {4,5}+{6,7}; extends chain
+    ]
+    stars = None
+    for rows in batches:
+        df = spark.createDataFrame(rows, "src long, dst long")
+        stars = incremental_cc_merge(stars, df)
+    got = {r["b"]: r["a"] for r in stars.collect()}
+    # batch ground truth over the union
+    all_edges = spark.createDataFrame(
+        [e for rows in batches for e in rows], "src long, dst long")
+    nodes = spark.range(8).select(F.col("id"))
+    labels, _ = cc_alternating_stars(nodes, all_edges)
+    want = {r["id"]: r["lbl"] for r in labels.collect()}
+    for node, root in want.items():
+        if node != root:
+            assert got[node] == root
+    # star forest: exactly one parent edge per non-root node
+    assert len(got) == sum(1 for n, r in want.items() if n != r)
+
+
+def test_fs_tf_weights_rank_rare_above_common(spark):
+    """The value-specific variant DOES distinguish rare from common
+    agreement (the field-level model scores them equally)."""
+    from omldm_spark.operators.dedup import fs_linkage_scores
+
+    recs = spark.createDataFrame(
+        [(i, "x" if i < 8 else "r") for i in range(10)],
+        "k long, city string",
+    )
+    pairs = spark.createDataFrame(
+        [(8, 9), (0, 1)], "key_a long, key_b long")
+    tf = {(r["key_a"], r["key_b"]): r["score_ppm"]
+          for r in fs_linkage_scores(
+              recs, pairs, "k", ["city"], value_specific=True).collect()}
+    flat = {(r["key_a"], r["key_b"]): r["score_ppm"]
+            for r in fs_linkage_scores(
+                recs, pairs, "k", ["city"]).collect()}
+    assert tf[(8, 9)] > tf[(0, 1)]            # rare beats common
+    assert flat[(8, 9)] == flat[(0, 1)]       # field-level: equal
