@@ -40,6 +40,8 @@ HEADLINE = [
     "pagerank_user_props",     # iterative graph rounds (3x join+agg)
     "pit_feature_join",        # point-in-time multi-feature window join
     "nb_doc_scores",           # NB train + score + argmax over the corpus
+    "ngram_containment_pairs", # asymmetric near-dup posting-list join
+    "referential_integrity_audit",  # per-FK-edge anti-join hygiene gate
 ]
 
 

@@ -723,6 +723,39 @@ CHECKS = {
         ("trigram counts map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "ngram_containment_pairs": [
+        # posting-list equi self-join: per-shingle quadratic only, never
+        # an unbounded pair generator
+        ("equi-join on the shingle key",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("pair counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "record_linkage_scores": [
+        # the 3-row field stats broadcast into the melt; the blocked
+        # candidate set is the only quadratic anywhere
+        ("stats broadcast into scoring", lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian pair generation", lambda p: "CartesianProduct" not in p),
+        ("u-stats map-side combined", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "referential_integrity_audit": [
+        # every parent joins as a pruned broadcast; orphan detection is
+        # anti-join, never an outer-join + filter
+        ("anti joins present", lambda p: "LeftAnti" in p),
+        ("parents broadcast", lambda p: p.count("BroadcastHashJoin") >= 7),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "embedding_power_iteration": [
+        # the corpus is read for the Gram only; the rounds run over the
+        # checkpointed dim^2 frame (scans beyond the gram are the tiny
+        # localCheckpoint RDD scans, not parquet)
+        # the final plan reads the checkpointed 64-row iterate — the
+        # corpus-scale gram ran once inside the checkpoints, so the
+        # published plan must contain NO parquet scan at all
+        ("result is checkpoint-backed, corpus not rescanned",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+    ],
     "stump_best_split": [
         # the melt is an explode, not a per-feature union: ONE scan of
         # the fact table feeds all feature histograms
