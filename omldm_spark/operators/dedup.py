@@ -1160,3 +1160,130 @@ def incremental_cc_merge(prev_stars: DataFrame | None, new_edges: DataFrame,
     return labels.filter(F.col("id") != F.col("lbl")).select(
         F.col("lbl").alias("a"), F.col("id").alias("b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (AllPairs/PPJoin prefix filter)
+# ---------------------------------------------------------------------------
+
+def prefix_filter_jaccard_pairs(docs: DataFrame, threshold_num: int = 1,
+                                threshold_den: int = 2,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                n: int | None = None) -> DataFrame:
+    """Exact token-set Jaccard join with the AllPairs/PPJoin PREFIX
+    FILTER (Bayardo et al. WWW'07; Xiao et al. WWW'08): a pair with
+    J >= t MUST share a token among each side's first
+    ``|d| - ceil(t*|d|) + 1`` tokens in the global rarity order, so the
+    candidate join runs over the short rare-token prefixes instead of
+    every posting — the standard way the posting-list join survives web
+    scale, where one stop-word posting would otherwise pair everything
+    with everything.  Verification then computes the EXACT Jaccard on
+    survivors only (integer cross-multiplication).
+
+    The filter is lossless, and the contract query's oracle IS the
+    plain unfiltered Jaccard join — the optimization must be invisible
+    in the result.  Ordering: ascending document frequency with the
+    token string as the tie-break, so both engines (and every run) use
+    the identical prefix.
+
+    Scale: candidate generation shuffles only prefix tokens (rare by
+    construction — each posting list is short); the one per-doc window
+    that ranks tokens rides a doc-keyed exchange."""
+    from pyspark.sql import Window
+
+    if n is None:
+        toks = (
+            docs.select(F.col(id_col), F.explode(tokens_col(text_col))
+                        .alias("tok"))
+            .distinct()
+        )
+    else:
+        # n-gram shingle sets: the selective representation when the
+        # corpus shares most unigrams (templated text)
+        toks = (
+            shingles(docs, n=n, text_col=text_col, id_col=id_col)
+            .select(F.col(id_col), F.col("shingle").alias("tok"))
+            .distinct()
+        )
+    dfreq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    sized = toks.join(dfreq, "tok")
+    w = Window.partitionBy(id_col).orderBy("df", "tok")
+    ranked = sized.select(
+        id_col, "tok",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("long")
+        .alias("sz"),
+    )
+    # prefix length = sz - ceil(t*sz) + 1  (integer ceil via (a+b-1)/b)
+    plen = (
+        F.col("sz")
+        - F.floor((F.col("sz") * threshold_num + threshold_den - 1)
+                  / threshold_den).cast("long")
+        + 1
+    )
+    prefix = ranked.filter(F.col("pos") <= plen).select(id_col, "tok")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(pb, (F.col("pa.tok") == F.col("pb.tok"))
+                & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")))
+        .select(F.col(f"pa.{id_col}").alias("id_a"),
+                F.col(f"pb.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    # exact verification over candidates only
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .join(cand, ["id_a", "id_b"], "left_semi")
+    )
+    sizes = ranked.select(id_col, "sz").distinct()
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("common") * threshold_den
+                >= (F.col("sa") + F.col("sb") - F.col("common"))
+                * threshold_num)
+        .select(
+            "id_a", "id_b",
+            (F.col("common")
+             / (F.col("sa") + F.col("sb") - F.col("common")))
+            .alias("jaccard"),
+        )
+    )
+
+
+def TOKEN_JACCARD_SQL(threshold_num: int = 1, threshold_den: int = 2,
+                      table: str = "documents", text_expr: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """The PLAIN token-set Jaccard join — deliberately WITHOUT the
+    prefix filter, so it is the oracle proving the filter lossless."""
+    return f"""
+WITH sets_ AS (
+  SELECT DISTINCT {id_col},
+         unnest({TOKENS_SQL(text_expr)}) AS tok
+  FROM {table}
+),
+sizes AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS sz
+          FROM sets_ GROUP BY {id_col}),
+common AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         CAST(count(*) AS BIGINT) AS common
+  FROM sets_ a JOIN sets_ b
+    ON a.tok = b.tok AND a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+)
+SELECT id_a, id_b,
+       common / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.{id_col} = id_a
+JOIN sizes sb ON sb.{id_col} = id_b
+WHERE common * {threshold_den}
+      >= (sa.sz + sb.sz - common) * {threshold_num}
+"""

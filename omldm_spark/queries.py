@@ -930,7 +930,29 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.dedup import (  # noqa: E402
     CONTAINMENT_PAIRS_SQL,
     ngram_containment_pairs,
+    prefix_filter_jaccard_pairs,
 )
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle=JACCARD_PAIRS_SQL(n=3, threshold_num=1, threshold_den=5),
+)
+def q_prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering (operators/dedup.py
+    prefix_filter_jaccard_pairs): the shingle-set Jaccard join generates
+    candidates only from each doc's rare-shingle PREFIX — the lossless
+    prune that keeps posting-list joins alive at web scale, where one
+    hot posting would otherwise pair everything with everything.  The
+    ORACLE is the plain UNfiltered Jaccard join (the same SQL backing
+    ngram_jaccard_pairs): the filter must be invisible in the result.
+    Shingle sets, not unigrams: the synthetic corpus shares most tokens
+    (templated text), so unigram Jaccard is non-selective there —
+    measured 90k/125k pairs over 0.5 vs the shingle join's tens."""
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold_num=1, threshold_den=5, n=3,
+    )
 
 
 @query(

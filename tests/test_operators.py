@@ -1484,3 +1484,67 @@ def test_fs_tf_weights_rank_rare_above_common(spark):
                 recs, pairs, "k", ["city"]).collect()}
     assert tf[(8, 9)] > tf[(0, 1)]            # rare beats common
     assert flat[(8, 9)] == flat[(0, 1)]       # field-level: equal
+
+
+def test_prefix_filter_lossless_and_actually_prunes(spark):
+    """PPJoin prefix filter: identical results to the plain posting-list
+    join (lossless) while generating strictly fewer candidate pairs on a
+    corpus with a HOT shingle shared by every doc — the case where the
+    unfiltered join degenerates to all-pairs."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filter_jaccard_pairs, shingles)
+
+    # every doc shares the hot prefix "common stop words"; only doc
+    # pairs (2i, 2i+1) share their rare tail
+    rows = []
+    for i in range(20):
+        tail = f"rare{i // 2} tail{i // 2} unique{i // 2}"
+        rows.append((i, f"common stop words {tail} x{i} y{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, n=3, threshold_num=2, threshold_den=5).collect()))
+    fast = sorted(map(tuple, prefix_filter_jaccard_pairs(
+        docs, threshold_num=2, threshold_den=5, n=3).collect()))
+    assert fast == plain and len(plain) > 0   # lossless
+
+    # pruning really happens: the hot shingle pairs all 20 docs in the
+    # plain posting join (>= C(20,2) candidate rows through it), while
+    # the prefix relation excludes it for docs whose prefix is shorter
+    sh = shingles(docs, n=3).distinct()
+    hot = (
+        sh.groupBy("shingle").count().orderBy(F.desc("count")).first()
+    )
+    assert hot["count"] == 20                 # genuinely hot
+    full_cand = (
+        sh.alias("a").join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert full_cand == 190                   # all pairs via hot shingle
+
+    # rebuild the operator's prefix relation and count ITS candidates
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc_id", "shingle",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    plen = F.col("sz") - F.floor((F.col("sz") * 2 + 4) / 5) + 1
+    pref = ranked.filter(F.col("pos") <= plen).select("doc_id", "shingle")
+    pruned_cand = (
+        pref.alias("a").join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert pruned_cand < full_cand            # the filter prunes
+    assert pruned_cand >= len(plain)          # but keeps every match
