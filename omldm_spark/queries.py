@@ -7325,6 +7325,85 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fading_prequential_accuracy",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+seq AS (
+  SELECT user_id,
+         list(CASE WHEN event_type = prev THEN 1 ELSE 0 END
+              ORDER BY ts_s, event_id) AS hits
+  FROM (
+    SELECT user_id, event_id, ts_s, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts_s, event_id) AS prev
+    FROM base
+  ) WHERE prev IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(hits) AS BIGINT) AS n_preds,
+       CAST(list_reduce(list_prepend(0, hits),
+              (acc, x) -> (49 * acc) // 50 + x * 1000000) AS BIGINT)
+         AS fading_num,
+       CAST(list_reduce(list_prepend(0, list_transform(hits, x -> 1)),
+              (acc, x) -> (49 * acc) // 50 + 1000000) AS BIGINT)
+         AS fading_den
+FROM seq
+""",
+)
+def q_fading_prequential_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prequential evaluation with a FADING FACTOR (Gama et al., the
+    standard stream-eval upgrade over the reference's cumulative loss,
+    FlinkSpoke.scala:160-163): each per-user prediction sequence — here
+    the deterministic persistence model, predict the previous
+    event_type — folds into faded hit/weight sums with alpha = 49/50,
+    so recent performance dominates and old regime behavior decays.
+    num_t = (49*num)/50 + hit*1e6 and den_t likewise are truncating
+    integer recurrences over the ordered array (the ewma_user_value
+    shape: one user-keyed exchange, a Catalyst higher-order aggregate,
+    zero Python); fading accuracy = num/den at read time.  Non-negative
+    operands make Spark `div` == DuckDB `//` exact here."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    hits = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id", "ts_s", "event_id",
+            F.when(F.col("event_type") == F.col("prev"), 1)
+            .otherwise(0).alias("hit"),
+        )
+    )
+    arrs = hits.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts_s, event_id,"
+            " hit))), s -> s.hit)"
+        ).alias("hs")
+    )
+    return arrs.select(
+        "user_id",
+        F.size("hs").cast("long").alias("n_preds"),
+        F.expr(
+            "aggregate(hs, 0L,"
+            " (acc, x) -> (49L * acc) div 50L + x * 1000000L)"
+        ).cast("long").alias("fading_num"),
+        F.expr(
+            "aggregate(hs, 0L,"
+            " (acc, x) -> (49L * acc) div 50L + 1000000L)"
+        ).cast("long").alias("fading_den"),
+    )
+
+
+@query(
     "item_similarity_topk",
     oracle="""
 WITH ui AS (
