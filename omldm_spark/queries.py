@@ -2764,6 +2764,119 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+_IVF_C, _IVF_P, _IVF_K, _IVF_NQ = 16, 4, 5, 10
+
+_IVF_EXACT_SQL = f"""
+WITH qe AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS MATERIALIZED (
+  SELECT vid AS cid, qv AS cv FROM qe WHERE vid < {_IVF_C}
+),
+assigned AS MATERIALIZED (
+  SELECT e.vid, e.qv, c.cid
+  FROM qe e CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid
+    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))), c.cid
+  ) = 1
+),
+probes AS MATERIALIZED (
+  SELECT q.vid AS query_id, c.cid
+  FROM (SELECT vid, qv FROM qe WHERE vid < {_IVF_NQ}) q
+  CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vid
+    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid
+  ) <= {_IVF_P}
+),
+cand AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (q.qv[i] - a.qv[i]) * (q.qv[i] - a.qv[i]))) AS d2
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid AND a.vid != p.query_id
+  JOIN qe q ON q.vid = p.query_id
+)
+SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) AS rk
+  FROM cand
+) WHERE rk <= {_IVF_K}
+"""
+
+
+@query("ann_ivf_exact_topk", oracle=_IVF_EXACT_SQL)
+def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with an EXACT oracle for the MECHANISM: deterministic seed
+    centroids (first C vectors), exact integer cell assignment, each
+    query probes its P nearest cells, and the top-k squared-L2 search
+    runs over probed cells only — the oracle performs the identical
+    restricted search, so cell routing, probe selection, and the
+    restricted ranking are all hash-pinned (the trained-quantizer
+    variant ann_ivf_topk stays rows-only with recall tests; this twin
+    proves the search plumbing).  Scale shape: assignment is one
+    broadcast-centroid crossJoin + per-vector argmin window; the
+    candidate join touches ~P/C of the corpus (operators/similarity.py
+    ivf_topk)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            " * 1000000, 0) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint()
+    cents = qe.filter(F.col("vid") < _IVF_C).select(
+        F.col("vid").alias("cid"), F.col("qv").alias("cv"))
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    scored = qe.crossJoin(F.broadcast(cents)).select(
+        "vid", "qv", "cid", d2.alias("dc"))
+    wv = Window.partitionBy("vid").orderBy("dc", "cid")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1).select("vid", "qv", "cid")
+    )
+    probes = (
+        scored.filter(F.col("vid") < _IVF_NQ)
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _IVF_P)
+        .select(F.col("vid").alias("query_id"), "cid",
+                F.col("qv").alias("q_qv"))
+    )
+    dq = F.expr(
+        "aggregate(zip_with(q_qv, qv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    cand = (
+        probes.join(assigned, "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"),
+                dq.alias("d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id",
+                F.col("d2").cast("long").alias("d2"), "rank")
+    )
+
+
 from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
 
 
