@@ -301,3 +301,79 @@ def streaming_ddm(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_user_totals_v2(stream):
+    """Per-(event_type, user) cents totals on the Spark 4.x STATE API v2
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` MapState) —
+    the successor of the GroupState operators above, with typed
+    composite state, timers, and per-state TTL available.
+
+    ENV GATE: the v2 state-server protocol needs ``protobuf`` on the
+    Python side, which this container does not ship — the pre-flight
+    check below turns the otherwise-cryptic JVM worker crash into the
+    marked NotImplementedError (same gating discipline as Kafka / Delta
+    / PIL); tests/test_stateful.py carries a skip-marked run for
+    clusters that have it.
+
+    One processor instance per event_type key; the MapState holds
+    user_id -> (total_c, n_events), so state size is bounded by distinct
+    users per type and lives in the state store (RocksDB on a cluster),
+    not the JVM heap.  Emissions are update-mode (changed users only),
+    which composes with the KeyedUpsertSink publish path exactly like
+    the classic update-mode aggregations — the final compacted state
+    equals the batch GROUP BY at any cadence (contract query
+    streaming_topk_users_v2).  Input rows need columns
+    (event_type, user_id, val_c)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package for "
+            "its state-server protocol; use the applyInPandasWithState "
+            "operators above where it is absent"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle):
+            self._totals = handle.getMapState(
+                "totals", "user_id long", "total_c long, n_events long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            et = key[0]
+            delta: dict = {}
+            for pdf in rows:
+                for uid, vc in zip(pdf["user_id"], pdf["val_c"]):
+                    d = delta.get(int(uid), [0, 0])
+                    d[0] += int(vc)
+                    d[1] += 1
+                    delta[int(uid)] = d
+            out = []
+            for uid, (dv, dn) in delta.items():
+                if self._totals.exists() and self._totals.containsKey(
+                        (uid,)):
+                    old = self._totals.getValue((uid,))
+                    nv = (int(old[0]) + dv, int(old[1]) + dn)
+                else:
+                    nv = (dv, dn)
+                self._totals.updateValue((uid,), nv)
+                out.append((et, uid, nv[0], nv[1]))
+            yield pd.DataFrame(
+                out, columns=["event_type", "user_id", "total_c",
+                              "n_events"])
+
+        def close(self):
+            pass
+
+    return stream.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=(
+            "event_type string, user_id long, total_c long, n_events long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -690,3 +690,50 @@ def test_delta_upsert_sink_gated_without_delta(spark, tmp_path):
     sink = DeltaUpsertSink(str(tmp_path / "dlt2"), ["k"])
     with pytest.raises(NotImplementedError, match="delta-spark"):
         sink(spark.createDataFrame([("a", 1)], "k string, v long"), 0)
+
+
+def test_state_api_v2_totals_when_protobuf_available(spark, tmp_path):
+    """Runs the transformWithStateInPandas MapState operator where the
+    v2 state-server protocol's protobuf dependency exists (skipped
+    here); totals must equal the batch GROUP BY."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from omldm_spark.streaming.stateful import streaming_user_totals_v2
+
+    pdf = pd.DataFrame({"event_type": ["a", "a", "b"],
+                        "user_id": [1, 1, 2], "val_c": [10, 20, 5]})
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "v2src"))
+    stream = file_replay_source(
+        spark, str(tmp_path / "v2src"),
+        "event_type string, user_id long, val_c long")
+    out = streaming_user_totals_v2(stream)
+    rows: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "v2ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["event_type"], r["user_id"], r["total_c"],
+                  r["n_events"]) for r in rows)
+    assert got == [("a", 1, 30, 2), ("b", 2, 5, 1)]
+
+
+def test_state_api_v2_gated_without_protobuf(spark):
+    """Without protobuf the operator raises the marked error up front
+    instead of crashing the JVM-spawned state-server worker."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf present; gating path not reachable")
+    except ImportError:
+        pass
+    from omldm_spark.streaming.stateful import streaming_user_totals_v2
+
+    stream = file_replay_source(
+        spark, "/root/testdata/sf0.001", "event_type string")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        streaming_user_totals_v2(stream)
