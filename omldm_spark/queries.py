@@ -1929,6 +1929,66 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_three_way_split",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority AS cls, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                     o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+tagged AS (
+  SELECT cls, o_orderkey,
+         CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+              WHEN rn <= (n * 9) // 10 THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT cls, split,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+FROM tagged GROUP BY 1, 2
+""",
+)
+def q_stratified_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED 80/10/10 train/val/test split: within
+    each class, rows rank by md5 of their key (a seedless, reproducible
+    shuffle — identical on every engine and every run) and the split
+    boundaries are EXACT integer quotas floor(n*8/10) / floor(n*9/10),
+    so per-class proportions hold to the row, not in expectation (the
+    sampling-noise failure mode of rand()-based splits on skewed
+    classes).  One class-keyed exchange carries the rank and both
+    boundary computations; id_sum pins the ASSIGNMENT, not just the
+    counts — any membership change flips the hash.  Time-based splits
+    (churn_training_set) remain the right tool when leakage is
+    temporal; this is the i.i.d. counterpart."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cls"), "o_orderkey")
+    w = Window.partitionBy("cls").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
+    wn = Window.partitionBy("cls")
+    ranked = o.select(
+        "cls", "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    tagged = ranked.select(
+        "cls", "o_orderkey",
+        F.when(F.col("rn") <= F.expr("(n * 8) div 10"), "train")
+         .when(F.col("rn") <= F.expr("(n * 9) div 10"), "val")
+         .otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("cls", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("id_sum"),
+    )
+
+
+@query(
     "stratified_sample_orders",
     oracle=f"""
 SELECT o_orderstatus AS grp, CAST(count(*) AS BIGINT) AS kept
