@@ -604,3 +604,127 @@ true_c AS (
 SELECT summary.*, {_est_sql("z_scaled")} AS est_distinct, true_distinct
 FROM summary JOIN true_c USING (day_idx)
 """
+
+
+def hll_overlap(df: DataFrame, key_expr: str, cond_a, cond_b) -> DataFrame:
+    """Audience-overlap estimate from MERGEABLE HLL registers: |A∩B| is
+    not directly sketchable, but |A∪B| is free (cell-wise max of the two
+    register sets — the same merge the shards/streams already use), so
+    inclusion-exclusion gives est_overlap = est_a + est_b - est_union
+    without ever joining the two audiences.  The join-free shape is the
+    point at 100 TB: three constant-size register sets instead of a
+    distinct-user semi join.  Error grows when the overlap is small
+    relative to the audiences (differences of estimates) — the paired
+    exact columns (true_a/true_b/true_overlap, one extra aggregate) are
+    the honesty check, as everywhere in this module.
+
+    Output one row: z_a, z_b, z_union (BIGINT register sums), est_a,
+    est_b, est_union, est_overlap (shared-double-text derived — hash-
+    exact cross-engine), true_a, true_b, true_overlap."""
+    def regs(cond):
+        return (
+            df.filter(cond)
+            .select(
+                F.expr(hll_bucket_sql(key_expr)).alias("bucket"),
+                F.expr(_hll_v_sql(key_expr)).alias("v"),
+            )
+            .select("bucket", F.expr(hll_rho_sql("v")).alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+
+    def z_of(r, name):
+        return (
+            r.agg(
+                F.count(F.lit(1)).cast("long").alias("np"),
+                F.sum(F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), 49 - max_rho)"))
+                .cast("long").alias("zp"),
+            )
+            .select(
+                (F.col("zp") + (F.lit(64) - F.col("np"))
+                 * F.lit(562949953421312).cast("long")).alias(name)
+            )
+        )
+
+    ra, rb = regs(cond_a), regs(cond_b)
+    runion = (
+        ra.unionByName(rb).groupBy("bucket").agg(
+            F.max("max_rho").alias("max_rho"))
+    )
+    za, zb, zu = z_of(ra, "z_a"), z_of(rb, "z_b"), z_of(runion, "z_union")
+    ka = F.expr(key_expr)
+    true = df.agg(
+        F.countDistinct(F.when(cond_a, ka)).cast("long").alias("true_a"),
+        F.countDistinct(F.when(cond_b, ka)).cast("long").alias("true_b"),
+    )
+    t_overlap = (
+        df.filter(cond_a).select(ka.alias("k")).distinct()
+        .join(df.filter(cond_b).select(ka.alias("k")).distinct(), "k",
+              "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_overlap"))
+    )
+    out = za.crossJoin(zb).crossJoin(zu)
+    return (
+        out.withColumn("est_a", F.expr(_est_sql("z_a")))
+        .withColumn("est_b", F.expr(_est_sql("z_b")))
+        .withColumn("est_union", F.expr(_est_sql("z_union")))
+        .withColumn(
+            "est_overlap",
+            F.expr(f"{_est_sql('z_a')} + {_est_sql('z_b')}"
+                   f" - {_est_sql('z_union')}"),
+        )
+        .crossJoin(true).crossJoin(t_overlap)
+    )
+
+
+def HLL_OVERLAP_SQL(table: str, key_expr: str, cond_a_sql: str,
+                    cond_b_sql: str) -> str:
+    def regs(name, cond):
+        return f"""{name} AS (
+  SELECT bucket, max({hll_rho_sql("v")}) AS max_rho
+  FROM (SELECT {hll_bucket_sql(key_expr)} AS bucket,
+               {_hll_v_sql(key_expr)} AS v
+        FROM {table} WHERE {cond})
+  GROUP BY bucket
+)"""
+
+    def z(name, src):
+        return f"""{name} AS (
+  SELECT CAST(sum(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+         + CAST(64 - count(*) AS BIGINT)
+           * CAST(562949953421312 AS BIGINT) AS z
+  FROM {src}
+)"""
+
+    return f"""
+WITH {regs("ra", cond_a_sql)},
+{regs("rb", cond_b_sql)},
+ru AS (
+  SELECT bucket, max(max_rho) AS max_rho
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket
+),
+{z("za", "ra")}, {z("zb", "rb")}, {z("zu", "ru")},
+tr AS (
+  SELECT CAST(count(DISTINCT CASE WHEN {cond_a_sql} THEN {key_expr} END)
+              AS BIGINT) AS true_a,
+         CAST(count(DISTINCT CASE WHEN {cond_b_sql} THEN {key_expr} END)
+              AS BIGINT) AS true_b
+  FROM {table}
+),
+tov AS (
+  SELECT CAST(count(*) AS BIGINT) AS true_overlap FROM (
+    SELECT DISTINCT {key_expr} AS k FROM {table} WHERE {cond_a_sql}
+    INTERSECT
+    SELECT DISTINCT {key_expr} AS k FROM {table} WHERE {cond_b_sql}
+  )
+)
+SELECT za.z AS z_a, zb.z AS z_b, zu.z AS z_union,
+       {_est_sql("za.z")} AS est_a,
+       {_est_sql("zb.z")} AS est_b,
+       {_est_sql("zu.z")} AS est_union,
+       {_est_sql("za.z")} + {_est_sql("zb.z")} - {_est_sql("zu.z")}
+         AS est_overlap,
+       tr.true_a, tr.true_b, tov.true_overlap
+FROM za, zb, zu, tr, tov
+"""

@@ -4874,6 +4874,34 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_summary_from_registers(regs_df, true)
 
 
+from .operators.sketch import HLL_OVERLAP_SQL, hll_overlap  # noqa: E402
+
+
+@query(
+    "hll_audience_overlap",
+    oracle=HLL_OVERLAP_SQL(
+        "events", "user_id",
+        "event_type = 'purchase'", "event_type = 'click'",
+    ),
+)
+def q_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap WITHOUT the join: purchasers ∩ clickers
+    estimated by inclusion-exclusion over mergeable HLL registers
+    (operators/sketch.py hll_overlap) — |A∪B| is the free cell-wise-max
+    register merge, so est_overlap = est_a + est_b - est_union from
+    three constant-size sketches instead of a distinct-user semi join
+    at 100 TB.  All estimates derive from BIGINT register sums through
+    the shared double text (hash-exact); paired exact audience sizes and
+    true overlap are the honesty columns (difference-of-estimates error
+    grows as the overlap shrinks — visible in the output)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hll_overlap(
+        ev, "user_id",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "click",
+    )
+
+
 from .operators.temporal import PIT_FEATURES_SQL, pit_features  # noqa: E402
 
 _PIT_SPINE_SQL = """

@@ -1548,3 +1548,31 @@ def test_prefix_filter_lossless_and_actually_prunes(spark):
     )
     assert pruned_cand < full_cand            # the filter prunes
     assert pruned_cand >= len(plain)          # but keeps every match
+
+
+def test_hll_overlap_union_merge_and_bounds(spark):
+    """The union registers are the cell-wise max of the two audience
+    register sets (the sketch's merge law), and on disjoint audiences
+    the estimated overlap is near zero while the exact columns pin the
+    truth."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.sketch import hll_overlap
+
+    pdf = pd.DataFrame({
+        "user_id": list(range(0, 400)) + list(range(1000, 1400)),
+        "event_type": ["a"] * 400 + ["b"] * 400,
+    })
+    df = spark.createDataFrame(pdf)
+    row = hll_overlap(
+        df, "user_id",
+        F.col("event_type") == "a", F.col("event_type") == "b",
+    ).first()
+    assert row["true_a"] == 400 and row["true_b"] == 400
+    assert row["true_overlap"] == 0
+    # union >= each side in distinct mass => z_union <= min(z_a, z_b)
+    assert row["z_union"] <= min(row["z_a"], row["z_b"])
+    assert row["est_union"] >= max(row["est_a"], row["est_b"]) - 1e-9
+    # disjoint: overlap estimate is small relative to audience size
+    assert abs(row["est_overlap"]) < 0.35 * row["est_union"]
