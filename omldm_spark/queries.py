@@ -1929,6 +1929,94 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s_c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pre AS (
+  SELECT d, s_c,
+         CAST(sum(s_c) OVER w AS BIGINT) AS cs,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(sum(s_c) OVER () AS BIGINT) AS tot,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT d, k, n, cs, tot,
+         CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(k AS DOUBLE)
+         + CAST(tot - cs AS DOUBLE) * CAST(tot - cs AS DOUBLE)
+           / CAST(n - k AS DOUBLE) AS gain
+  FROM pre WHERE k < n
+)
+SELECT d AS split_day, k AS n_left, n - k AS n_right,
+       cs AS left_sum_c, tot - cs AS right_sum_c,
+       CAST(floor(gain + CAST(0.5 AS DOUBLE)) AS BIGINT) AS gain_floor
+FROM scored
+QUALIFY row_number() OVER (ORDER BY gain DESC, d ASC) = 1
+""",
+)
+def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-changepoint detection on the daily purchase-revenue
+    series: the optimal mean-shift split minimizes total SSE, which (ss
+    being constant) maximizes gain(k) = s_l^2/n_l + s_r^2/n_r — computed
+    from integer cents prefix sums through identical IEEE divisions on
+    both engines, argmax with a day tie-break (the stump_best_split
+    recipe applied over TIME instead of feature values; Page/CUSUM
+    family, offline form).  The series is bounded (one row per day), so
+    the global windows ride the tiny aggregated frame — the audit's
+    bounded-global-window rule.  Envelope: s^2 < 2^63 holds through
+    ~9e9 total cents; beyond, requantize.  Drift monitors (ddm, PH, KS,
+    PSI) flag THAT distributions moved; this locates WHEN the level
+    shifted."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+            .alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .cast("long").alias("s_c"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    pre = daily.select(
+        "d", "s_c",
+        F.sum("s_c").over(w).cast("long").alias("cs"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("k"),
+        F.sum("s_c").over(wall).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    scored = pre.filter(F.col("k") < F.col("n")).withColumn(
+        "gain",
+        F.expr(
+            "CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(k AS DOUBLE)"
+            " + CAST(tot - cs AS DOUBLE) * CAST(tot - cs AS DOUBLE)"
+            " / CAST(n - k AS DOUBLE)"
+        ),
+    )
+    best = Window.orderBy(F.col("gain").desc(), F.col("d").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("k").alias("n_left"),
+            (F.col("n") - F.col("k")).alias("n_right"),
+            F.col("cs").alias("left_sum_c"),
+            (F.col("tot") - F.col("cs")).alias("right_sum_c"),
+            F.expr("CAST(floor(gain + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+            .alias("gain_floor"),
+        )
+    )
+
+
+@query(
     "stratified_three_way_split",
     oracle="""
 WITH ranked AS (

@@ -1576,3 +1576,33 @@ def test_hll_overlap_union_merge_and_bounds(spark):
     assert row["est_union"] >= max(row["est_a"], row["est_b"]) - 1e-9
     # disjoint: overlap estimate is small relative to audience size
     assert abs(row["est_overlap"]) < 0.35 * row["est_union"]
+
+
+def test_revenue_changepoint_finds_planted_shift(spark):
+    """A planted mean shift is recovered at the exact boundary: 30 days
+    at level ~100 then 30 days at level ~500 -> split after day 29."""
+    import pandas as pd
+
+    from omldm_spark.queries import QUERIES  # noqa: F401  (pattern ref)
+    from pyspark.sql import functions as F, Window
+
+    days = list(range(60))
+    vals = [100 + (i % 3) for i in range(30)] + [
+        500 + (i % 3) for i in range(30)]
+    daily = spark.createDataFrame(
+        pd.DataFrame({"d": days, "s_c": vals}))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    pre = daily.select(
+        "d", F.sum("s_c").over(w).cast("long").alias("cs"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("k"),
+        F.sum("s_c").over(wall).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    scored = pre.filter(F.col("k") < F.col("n")).withColumn(
+        "gain",
+        F.expr("CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(k AS"
+               " DOUBLE) + CAST(tot - cs AS DOUBLE) * CAST(tot - cs AS"
+               " DOUBLE) / CAST(n - k AS DOUBLE)"))
+    best = scored.orderBy(F.col("gain").desc(), F.col("d").asc()).first()
+    assert best["d"] == 29 and best["k"] == 30
