@@ -2017,6 +2017,90 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_acf",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+         CAST(floor(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0)
+              AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM daily
+),
+cent AS (
+  SELECT d, CAST(n * x - s AS BIGINT) AS y, n FROM daily, stats
+),
+den AS (SELECT CAST(sum(y * y) AS BIGINT) AS dd FROM cent),
+lags AS (
+  SELECT l.lag,
+         CAST(sum(a.y * b.y) AS BIGINT) AS num,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM cent a
+  JOIN (SELECT unnest(range(1, 8)) AS lag) l ON true
+  JOIN cent b ON b.d = a.d + l.lag
+  GROUP BY l.lag
+)
+SELECT lag, num, n_pairs,
+       CAST(floor(CAST(1000000.0 AS DOUBLE) * CAST(num AS DOUBLE)
+                  / CAST(dd AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS acf_ppm
+FROM lags, den
+""",
+)
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample autocorrelation of daily purchase revenue at lags
+    1..7 — the time-series diagnostic that quantifies the weekly
+    structure seasonality_profile only displays.  All integer until one
+    shared double text: daily dollars x, centered as y = n*x - S (the
+    multiply-through-by-n trick avoids the rational mean), numerator =
+    sum(y_t * y_{t+k}) via a self-join on day+lag (missing days simply
+    produce no pair — the irregular-grid-honest convention), denominator
+    = sum(y^2), acf_ppm = floor(1e6*num/den + 0.5).  Overflow envelope:
+    dollars (not cents) keep n*y products within 2^63 through ~1e5-day
+    series at these magnitudes — documented, requantize beyond.  The
+    7-row lag join broadcasts; everything else is the one-row-per-day
+    frame."""
+    from pyspark.sql import Window  # noqa: F401  (symmetry with siblings)
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+            .alias("d"))
+        .agg(F.expr(
+            "CAST(floor(sum(CAST(round(value * 100, 0) AS BIGINT))"
+            " / 100.0) AS BIGINT)").alias("x"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    cent = daily.crossJoin(F.broadcast(stats)).select(
+        "d", (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("y"))
+    den = cent.agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("dd"))
+    lag_df = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = cent.alias("a")
+    b = cent.select(F.col("d").alias("bd"), F.col("y").alias("by"))
+    pairs = (
+        a.crossJoin(F.broadcast(lag_df))
+        .join(b, F.col("bd") == F.col("d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("y") * F.col("by")).cast("long").alias("num"),
+             F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        "lag", "num", "n_pairs",
+        F.expr(
+            "CAST(floor(CAST(1000000.0 AS DOUBLE) * CAST(num AS DOUBLE)"
+            " / CAST(dd AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("acf_ppm"),
+    )
+
+
+@query(
     "stratified_three_way_split",
     oracle="""
 WITH ranked AS (
