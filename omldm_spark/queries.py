@@ -2017,6 +2017,63 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "srm_check",
+    oracle="""
+WITH g AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT max(CASE WHEN grp = 0 THEN n_users END) AS n0,
+         max(CASE WHEN grp = 1 THEN n_users END) AS n1
+  FROM g
+)
+SELECT n0, n1,
+       CAST(floor(CAST(1000000.0 AS DOUBLE)
+                  * CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                  / CAST(n0 + n1 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            AS BIGINT) AS chi2_ppm,
+       CAST(CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                      / CAST(n0 + n1 AS DOUBLE)
+                      > CAST(3.841 AS DOUBLE)
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM w
+""",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch check — the first experiment-integrity gate
+    before reading ANY A/B result: under a 50/50 split, the user counts
+    per arm give chi2 = (n0-n1)^2/(n0+n1) (the 2-cell equal-expectation
+    simplification), flagged at the 3.841 one-dof 5% critical value.  An
+    SRM means assignment or logging is broken and every downstream
+    metric is untrustworthy (the ab_test_report family assumes this gate
+    passed).  Integer counts through one shared double text; two
+    map-side-combined aggregates total."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("grp")
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("n1"),
+    )
+    chi = ("CAST((n0 - n1) * (n0 - n1) AS DOUBLE)"
+           " / CAST(n0 + n1 AS DOUBLE)")
+    return w.select(
+        "n0", "n1",
+        F.expr(
+            f"CAST(floor(CAST(1000000.0 AS DOUBLE) * {chi}"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("chi2_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {chi} > CAST(3.841 AS DOUBLE)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_flag"),
+    )
+
+
+@query(
     "revenue_acf",
     oracle="""
 WITH daily AS (
