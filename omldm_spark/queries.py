@@ -2016,6 +2016,122 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pooled-theta CUPED: every literal CAST to DOUBLE; theta and the
+# adjusted means derive from BIGINT sufficient stats through this one
+# shared text so both engines agree bit-for-bit
+_CUPED_THETA = (
+    "(CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE)"
+    " / CAST(n_all * sxx_all - sx_all * sx_all AS DOUBLE))"
+)
+
+
+@query(
+    "cuped_adjusted_metrics",
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS t0,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS t1
+  FROM events
+),
+per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            < (b.t0 + b.t1) // 2
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            >= (b.t0 + b.t1) // 2
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events, bounds b
+  GROUP BY user_id, b.t0, b.t1
+),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(x) AS BIGINT) AS sx_all,
+         CAST(sum(y) AS BIGINT) AS sy_all,
+         CAST(sum(x * y) AS BIGINT) AS sxy_all,
+         CAST(sum(x * x) AS BIGINT) AS sxx_all
+  FROM per_user
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM per_user GROUP BY arm
+)
+SELECT arm, n, sx, sy,
+       CAST(floor({_CUPED_THETA} * CAST(1000000.0 AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS theta_ppm,
+       CAST(floor(
+         (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+          - {_CUPED_THETA}
+            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+         * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS cuped_mean_tenmilli
+FROM arms, pooled
+""",
+)
+def q_cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM'13) — the industry-standard variance-reduction adjustment:
+    each user's post-period metric y is shifted by theta*(x - x_bar)
+    where x is the PRE-period covariate and theta = cov(x,y)/var(x)
+    pooled across arms, removing the between-user variance that x
+    explains without biasing the treatment contrast.  The experiment
+    window splits at the data's midpoint timestamp (deterministic from
+    the data itself).  Everything is two aggregates — per-user integer
+    sufficient stats, then per-arm + pooled moments — with theta and
+    the adjusted means derived through ONE shared double text; at
+    100 TB this is two map-side-combined shuffles, no per-user state
+    anywhere downstream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("ts_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    bounds = ev.agg(
+        F.min("ts_s").alias("t0"), F.max("ts_s").alias("t1"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("mid", F.expr("(t0 + t1) div 2"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"),
+            F.sum(F.when(F.col("ts_s") < F.col("mid"), F.col("v_c"))
+                  .otherwise(0)).cast("long").alias("x"),
+            F.sum(F.when(F.col("ts_s") >= F.col("mid"), F.col("v_c"))
+                  .otherwise(0)).cast("long").alias("y"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("x").cast("long").alias("sx_all"),
+        F.sum("y").cast("long").alias("sy_all"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_all"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_all"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        "arm", "n", "sx", "sy",
+        F.expr(
+            f"CAST(floor({_CUPED_THETA} * CAST(1000000.0 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("theta_ppm"),
+        F.expr(
+            f"CAST(floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - {_CUPED_THETA} * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)))"
+            " * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("cuped_mean_tenmilli"),
+    )
+
+
 @query(
     "srm_check",
     oracle="""
