@@ -1,0 +1,81 @@
+"""Cross-SF scaling probe: measured evidence for "would this survive a
+100x scale-up?".
+
+Runs every bench HEADLINE query at sf0.001 / sf0.01 / sf0.1 (a 100x
+data-volume span) on the same session and reports, per query, the
+runtimes and the large-step scaling factor t(sf0.1)/t(sf0.01) against
+the 10x data growth.  A factor well under 10 means the runtime is
+dominated by fixed plan/JVM overhead (healthy — the work itself is
+sub-linear at this scale); a factor near or above 10 at local scale
+flags the queries whose data-proportional term already dominates and
+which therefore deserve first scrutiny on a real cluster.
+
+Usage:  python tools/scale_probe.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from bench import HEADLINE  # noqa: E402
+from omldm_spark.queries import QUERIES  # noqa: E402
+from omldm_spark.session import get_spark  # noqa: E402
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+       "/root/testdata/sf0.1"]
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r5.json"
+    spark = get_spark("scale-probe", master="local[32]",
+                      shuffle_partitions=32)
+    # warm codegen/JIT at the smallest SF so the timings compare work,
+    # not first-compilation (bench.py rationale)
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, SFS[0]).write.format("noop").mode(
+                "overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
+
+    results: dict[str, dict] = {}
+    for name in HEADLINE:
+        row: dict = {}
+        for sf in SFS:
+            key = sf.rsplit("/", 1)[1]
+            spark.catalog.clearCache()
+            t0 = time.time()
+            QUERIES[name](spark, sf).write.format("noop").mode(
+                "overwrite").save()
+            row[key] = round(time.time() - t0, 3)
+        row["factor_10x"] = (
+            round(row["sf0.1"] / row["sf0.01"], 2)
+            if row["sf0.01"] > 0 else None
+        )
+        results[name] = row
+        print(f"{name:32s} {row['sf0.001']:7.2f} {row['sf0.01']:7.2f} "
+              f"{row['sf0.1']:7.2f}  x10 factor {row['factor_10x']}")
+
+    factors = sorted(
+        (r["factor_10x"], n) for n, r in results.items()
+        if r["factor_10x"] is not None
+    )
+    summary = {
+        "queries": results,
+        "median_factor_10x": factors[len(factors) // 2][0],
+        "worst": [{"query": n, "factor_10x": f} for f, n in factors[-3:]],
+    }
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    print(f"\nmedian 10x-data runtime factor: "
+          f"{summary['median_factor_10x']}  (wrote {out_path})")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
