@@ -2133,6 +2133,160 @@ def q_cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorized_arm_means",
+    oracle="""
+WITH hist AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT v_c, c,
+         CAST(sum(c) OVER (ORDER BY v_c ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cs,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM hist
+),
+cap AS (
+  SELECT CAST(min(v_c) AS BIGINT) AS p99
+  FROM cum WHERE cs >= CAST(ceil(0.99 * n) AS BIGINT)
+)
+SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(least(CAST(round(value * 100, 0) AS BIGINT), cap.p99))
+            AS BIGINT) AS wins_sum_c,
+       CAST(sum(CASE WHEN CAST(round(value * 100, 0) AS BIGINT) > cap.p99
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+       cap.p99
+FROM events, cap
+GROUP BY 1, cap.p99
+""",
+)
+def q_winsorized_arm_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-arm revenue metric: values capped at the POOLED
+    p99 (computed once across arms so the cap cannot differ between
+    them — capping per arm would bias the contrast), then per-arm
+    capped sums and capped-row counts.  The standard outlier-robust
+    alternative to raw means in experiments, where one whale in one arm
+    swamps the t-test.  The p99 is a disc quantile over the value-count
+    histogram (bounded by distinct cents, the robust_scaler bound), its
+    cumulative window rides the aggregated frame, and the cap broadcasts
+    back — the fact table shuffles once for the histogram and once for
+    the arms."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    from pyspark.sql import Window
+
+    hist = ev.groupBy("v_c").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.orderBy("v_c").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "v_c",
+        F.sum("c").over(wc).cast("long").alias("cs"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    cap = cum.filter(
+        F.col("cs") >= F.ceil(F.lit(0.99) * F.col("n")).cast("long")
+    ).agg(F.min("v_c").cast("long").alias("p99"))
+    return (
+        ev.crossJoin(F.broadcast(cap))
+        .groupBy(F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"), "p99")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.least(F.col("v_c"), F.col("p99"))).cast("long")
+            .alias("wins_sum_c"),
+            F.sum(F.when(F.col("v_c") > F.col("p99"), 1).otherwise(0))
+            .cast("long").alias("n_capped"),
+        )
+        .select("arm", "n", "wins_sum_c", "n_capped", "p99")
+    )
+
+
+@query(
+    "diff_in_diff_revenue",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS t0,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS t1
+  FROM events
+),
+cells AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                        >= (b.t0 + b.t1) // 2 THEN 1 ELSE 0 END
+              AS BIGINT) AS period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s_c
+  FROM events, bounds b
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT max(CASE WHEN arm = 0 AND period = 0 THEN s_c END) AS s00,
+         max(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n00,
+         max(CASE WHEN arm = 0 AND period = 1 THEN s_c END) AS s01,
+         max(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n01,
+         max(CASE WHEN arm = 1 AND period = 0 THEN s_c END) AS s10,
+         max(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n10,
+         max(CASE WHEN arm = 1 AND period = 1 THEN s_c END) AS s11,
+         max(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n11
+  FROM cells
+)
+SELECT n00, n01, n10, n11,
+       CAST(floor(
+         ((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+           - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+          - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+             - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+         * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS did_tenmilli
+FROM wide
+""",
+)
+def q_diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the (arm x period) design: the
+    treatment effect estimate (y̅_t,post - y̅_t,pre) - (y̅_c,post -
+    y̅_c,pre), which nets out both the fixed between-arm level gap and
+    the common time trend — the workhorse causal estimator when
+    randomization is imperfect or the change rolled out by cohort.  The
+    period boundary is the data's midpoint timestamp (deterministic);
+    four integer sufficient-stat cells from ONE map-side-combined
+    aggregate, the estimate through one shared double text."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("ts_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    bounds = ev.agg(F.min("ts_s").alias("t0"), F.max("ts_s").alias("t1"))
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"),
+            F.expr("CAST(CASE WHEN ts_s >= (t0 + t1) div 2 THEN 1"
+                   " ELSE 0 END AS BIGINT)").alias("period"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("v_c").cast("long").alias("s_c"))
+    )
+    wide = cells.agg(*[
+        F.max(F.when((F.col("arm") == a) & (F.col("period") == p),
+                     F.col(c))).alias(f"{c[0]}{a}{p}")
+        for a in (0, 1) for p in (0, 1) for c in ("s_c", "n")
+    ])
+    return wide.select(
+        "n00", "n01", "n10", "n11",
+        F.expr(
+            "CAST(floor(((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)"
+            " - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))"
+            " - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)"
+            " - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)))"
+            " * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("did_tenmilli"),
+    )
+
+
+@query(
     "srm_check",
     oracle="""
 WITH g AS (
