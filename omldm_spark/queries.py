@@ -917,6 +917,82 @@ def q_dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_canonical_corpus(docs, pairs)
 
 
+_DEDUP_SAVINGS_ORACLE = """
+WITH RECURSIVE prs AS ({pairs}),
+edges AS (
+  SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM prs
+  UNION
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM prs
+),
+closure(src, lbl) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM closure c JOIN edges e ON e.src = c.src
+),
+clusters AS (
+  SELECT src AS doc_id, min(lbl) AS cluster_id FROM closure GROUP BY src
+),
+tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t != '')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS docs_before,
+       CAST(sum(t.n_tok) AS BIGINT) AS tokens_before,
+       CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_after,
+       CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN t.n_tok ELSE 0 END)
+            AS BIGINT) AS tokens_after,
+       CAST(floor(CAST(1000000.0 AS DOUBLE)
+                  * CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN 0
+                                  ELSE t.n_tok END) AS DOUBLE)
+                  / CAST(sum(t.n_tok) AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS saved_tokens_ppm
+FROM tok t JOIN clusters c ON c.doc_id = t.doc_id
+GROUP BY t.source
+""".format(pairs=LSH_PAIRS_SQL(k=8, bands=2,
+                               table_sql=MINHASH_SQL(k=8, n=3)))
+
+
+@query("dedup_savings_report", oracle=_DEDUP_SAVINGS_ORACLE)
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI accounting per source: documents and whitespace tokens
+    before vs after the MinHash->LSH->connected-components canonical
+    pass, with the saved-token fraction in exact ppm — the number the
+    pipeline owner actually reports ("near-dedup removed X% of source
+    Y's tokens") and the per-source skew detector (one mirrored source
+    saving 60% while others save 2% localizes the duplication).  Pure
+    composition of the existing cluster machinery plus one token-count
+    aggregate; everything joins on doc_id."""
+    from .operators.dedup import dedup_clusters, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=8, n=3)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=2)
+    clusters = dedup_clusters(docs, pairs)
+    tok = docs.select(
+        "doc_id", "source",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    j = tok.join(clusters, "doc_id")
+    kept = F.when(F.col("keep"), 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before"),
+        F.sum("n_tok").cast("long").alias("tokens_before"),
+        F.sum(kept).cast("long").alias("docs_after"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+        .cast("long").alias("tokens_after"),
+        F.expr(
+            "CAST(floor(CAST(1000000.0 AS DOUBLE)"
+            " * CAST(sum(CASE WHEN keep THEN 0 ELSE n_tok END) AS DOUBLE)"
+            " / CAST(sum(n_tok) AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("saved_tokens_ppm"),
+    )
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=JACCARD_PAIRS_SQL(n=3, threshold_num=1, threshold_den=5),
