@@ -784,6 +784,10 @@ GLOBAL_WINDOW_BOUNDED = [
     "quantile_binned_orders", "revenue_mom_growth", "skew_profile_partkey",
     "stump_best_split", "top_event_trigrams", "tree_depth2_events",
     "tree_depth3_events",
+    # round-5 additions, all over aggregated bounded frames: the daily
+    # series (changepoint/acf) and the distinct-cents histogram
+    # (winsorized p99)
+    "revenue_changepoint", "revenue_acf", "winsorized_arm_means",
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
