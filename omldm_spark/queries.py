@@ -2209,6 +2209,72 @@ def q_cuped_adjusted_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "linear_attribution_credits",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, event_id AS pid,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tp
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id AS cid,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tc
+  FROM events WHERE event_type = 'click'
+),
+touches AS (
+  SELECT p.pid, c.cid, c.tc,
+         CAST(count(*) OVER (PARTITION BY p.pid) AS BIGINT) AS n_touch
+  FROM purchases p
+  JOIN clicks c ON c.user_id = p.user_id
+   AND c.tc >= p.tp - 604800 AND c.tc < p.tp
+)
+SELECT CAST(floor(tc / 86400) AS BIGINT) AS click_day,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_ppm
+FROM touches
+GROUP BY 1
+""",
+)
+def q_linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every click in the 7 days before
+    a purchase shares that conversion's credit equally
+    (floor(1e6/n_touch) ppm each — exact integer division, positive
+    operands so Spark div == DuckDB //), rolled up by click day.  The
+    multi-touch complement of stream_click_attribution's last-touch
+    interval join: same user-keyed range-join shape (equi on user +
+    bounded time predicate — at scale this is the watermarkable
+    stream-stream interval join, never a cartesian), then one
+    per-purchase count window over the matched touches and a day-keyed
+    rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("t"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("t").alias("tp"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("t").alias("tc"))
+    touches = p.join(
+        c, (F.col("cu") == F.col("pu"))
+        & (F.col("tc") >= F.col("tp") - 604800)
+        & (F.col("tc") < F.col("tp")))
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("pid")
+    credited = touches.select(
+        "tc", F.count(F.lit(1)).over(wn).cast("long").alias("n_touch"))
+    return credited.groupBy(
+        F.expr("CAST(floor(tc / 86400.0) AS BIGINT)").alias("click_day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(F.expr("1000000L div n_touch")).cast("long")
+        .alias("credit_ppm"),
+    )
+
+
+@query(
     "winsorized_arm_means",
     oracle="""
 WITH hist AS (
