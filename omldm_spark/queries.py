@@ -2275,6 +2275,78 @@ def q_linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion_windowed",
+    oracle="""
+WITH su AS (
+  SELECT user_id,
+         CAST(min(floor(epoch(ts))) AS BIGINT) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+cl AS (
+  SELECT e.user_id,
+         CAST(min(floor(epoch(e.ts))) AS BIGINT) AS t_click
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.t_signup
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) < su.t_signup + 604800
+  GROUP BY e.user_id
+),
+pu AS (
+  SELECT e.user_id,
+         CAST(min(floor(epoch(e.ts))) AS BIGINT) AS t_purchase
+  FROM events e JOIN cl ON cl.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= cl.t_click
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) < cl.t_click + 604800
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM su) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_click_7d,
+       CAST((SELECT count(*) FROM pu) AS BIGINT) AS n_purchase_7d
+""",
+)
+def q_funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CAPPED funnel: signup -> first click within 7 days of the
+    signup -> first purchase within 7 days of THAT click.  The uncapped
+    funnel (funnel_conversion) answers "ever converted, in order"; this
+    one answers the activation question product teams actually ask
+    ("converted within the window"), where a purchase months later must
+    NOT count.  Each stage is one user-keyed conditional-min aggregate
+    joined back — the per-stage anchor (previous stage's earliest
+    qualifying time) rides the join, so three keyed passes total and no
+    per-user state wider than two timestamps."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("t"),
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("t").cast("long").alias("t_signup"))
+    )
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter((F.col("t") >= F.col("t_signup"))
+                & (F.col("t") < F.col("t_signup") + 604800))
+        .groupBy("user_id").agg(F.min("t").cast("long").alias("t_click"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter((F.col("t") >= F.col("t_click"))
+                & (F.col("t") < F.col("t_click") + 604800))
+        .groupBy("user_id").agg(F.min("t").cast("long").alias("t_purchase"))
+    )
+    return (
+        su.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+        .crossJoin(cl.agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_click_7d")))
+        .crossJoin(pu.agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_purchase_7d")))
+    )
+
+
+@query(
     "winsorized_arm_means",
     oracle="""
 WITH hist AS (
