@@ -788,6 +788,7 @@ GLOBAL_WINDOW_BOUNDED = [
     # series (changepoint/acf) and the distinct-cents histogram
     # (winsorized p99)
     "revenue_changepoint", "revenue_acf", "winsorized_arm_means",
+    "gini_revenue_concentration",   # rank over the per-user aggregate
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
