@@ -2342,6 +2342,129 @@ def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_total_reconciliation",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS li_sum_c
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS o_c,
+         coalesce(li.li_sum_c, CAST(0 AS BIGINT)) AS li_c,
+         CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END AS no_items
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(no_items) AS BIGINT) AS n_without_items,
+       CAST(sum(CASE WHEN o_c != li_c AND no_items = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       CAST(max(CASE WHEN no_items = 0 THEN abs(o_c - li_c) END)
+            AS BIGINT) AS max_abs_delta_c,
+       CAST(sum(CASE WHEN no_items = 0 THEN abs(o_c - li_c) ELSE 0 END)
+            AS BIGINT) AS total_abs_delta_c
+FROM j
+""",
+)
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: every order's stated total
+    against the cents sum of its line items (one keyed pre-aggregation,
+    one LEFT join — the detail side never shuffles twice), reporting
+    childless headers, mismatch counts, and the max/total absolute
+    deltas.  The invoice-integrity shape of the DQ family: dq_report
+    checks single-table constraints, referential_integrity_audit checks
+    key reachability, and this closes the loop on VALUE consistency
+    across the join (the synthetic generator does not reconcile totals
+    — which is exactly what the report should reveal, loudly)."""
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long").alias("li_sum_c"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("o_c"))
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left").select(
+        "o_c",
+        F.coalesce("li_sum_c", F.lit(0).cast("long")).alias("li_c"),
+        F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+        .alias("no_items"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("no_items").cast("long").alias("n_without_items"),
+        F.sum(F.when((F.col("o_c") != F.col("li_c"))
+                     & (F.col("no_items") == 0), 1).otherwise(0))
+        .cast("long").alias("n_mismatched"),
+        F.max(F.when(F.col("no_items") == 0,
+                     F.abs(F.col("o_c") - F.col("li_c"))))
+        .cast("long").alias("max_abs_delta_c"),
+        F.sum(F.when(F.col("no_items") == 0,
+                     F.abs(F.col("o_c") - F.col("li_c"))).otherwise(0))
+        .cast("long").alias("total_abs_delta_c"),
+    )
+
+
+@query(
+    "retention_horizons",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(min(floor(floor(epoch(ts)) / 86400)) AS BIGINT) AS d0
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(floor(floor(epoch(e.ts)) / 86400) AS BIGINT) - f.d0 AS age_d
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CASE WHEN age_d = 1 THEN user_id END)
+            AS BIGINT) AS d1,
+       CAST(count(DISTINCT CASE WHEN age_d >= 7 AND age_d < 14
+                                THEN user_id END) AS BIGINT) AS d7w,
+       CAST(count(DISTINCT CASE WHEN age_d >= 30 AND age_d < 37
+                                THEN user_id END) AS BIGINT) AS d30w
+FROM activity
+""",
+)
+def q_retention_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-horizon retention (the dashboard D1 / D7 / D30 numbers the
+    cohort triangle generalizes): per user, activity age in days from
+    their first event; D1 = exact next-day return, D7/D30 = the
+    standard week-window forms (active on any day in [7,14) / [30,37)).
+    Two keyed passes — first-day per user, then a distinct (user, age)
+    projection — and one conditional-distinct aggregate; no window at
+    all, so nothing to bound."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)")
+        .alias("d"),
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("d").cast("long").alias("d0"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select("user_id", (F.col("d") - F.col("d0")).alias("age_d"))
+        .distinct()
+    )
+    return activity.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("age_d") == 1, F.col("user_id"))
+        ).cast("long").alias("d1"),
+        F.countDistinct(
+            F.when((F.col("age_d") >= 7) & (F.col("age_d") < 14),
+                   F.col("user_id"))
+        ).cast("long").alias("d7w"),
+        F.countDistinct(
+            F.when((F.col("age_d") >= 30) & (F.col("age_d") < 37),
+                   F.col("user_id"))
+        ).cast("long").alias("d30w"),
+    )
+
+
+@query(
     "floored_running_balance",
     oracle="""
 WITH base AS (
