@@ -2406,6 +2406,62 @@ def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_language_mix",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(max(t.n) AS BIGINT) AS n_docs,
+       CAST(floor(CAST(1000000.0 AS DOUBLE) * CAST(max(c.c) AS DOUBLE)
+                  / CAST(max(t.n) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            AS BIGINT) AS top_share_ppm,
+       CAST(sum(CAST(floor(
+         -(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+          * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+          * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         AS BIGINT)) AS BIGINT) AS entropy_micronats
+FROM cells c JOIN tot t ON t.source = c.source
+GROUP BY c.source
+""",
+)
+def q_source_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per source: language count, dominant-language
+    share, and the Shannon entropy of the language mix in micro-nats —
+    the one-line diversity answer ("is src7 actually multilingual or 99%
+    one language?") that decides per-source sampling temperature.  Cells
+    are a (source, lang) groupBy (bounded key space); each cell's
+    -p*ln(p) term is HALF-UP quantized BEFORE the per-source sum (the
+    chi2/PSI rule — per-cell quantization makes the 35-cell summation
+    order unable to diverge across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    j = cells.join(tot, "source")
+    term = (
+        "CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("n").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(floor(CAST(1000000.0 AS DOUBLE) * CAST(max(c) AS"
+            " DOUBLE) / CAST(max(n) AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("top_share_ppm"),
+        F.expr(f"CAST(sum({term}) AS BIGINT)").alias("entropy_micronats"),
+    )
+
+
+@query(
     "retention_horizons",
     oracle="""
 WITH firsts AS (
