@@ -289,6 +289,24 @@ FROM b GROUP BY {group}
 """
 
 
+def SEQUENCE_PACKING_FLAT_SQL(budget: int = 512, table: str = "documents",
+                              text_expr: str = "text", id_col: str = "doc_id",
+                              shard_col: str | None = None) -> str:
+    """Driver-canonicalizable twin of SEQUENCE_PACKING_SQL: the
+    ``doc_ids`` array is unnested to one (shard, bin_id, doc_id) row per
+    member, per-bin stats repeated per row — scalar cells only, so the
+    driver's pandas sort canonicalizer can handle the result
+    (VERDICT r5 item 1)."""
+    inner = SEQUENCE_PACKING_SQL(budget=budget, table=table,
+                                 text_expr=text_expr, id_col=id_col,
+                                 shard_col=shard_col)
+    shard_sel = f"{shard_col}, " if shard_col else ""
+    return f"""
+SELECT {shard_sel}bin_id, unnest(doc_ids) AS {id_col}, n_docs, total_tokens
+FROM ({inner}) base
+"""
+
+
 def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization per vector: q_i = round(127 * x_i /

@@ -719,12 +719,17 @@ def cc_alternating_stars(
 
 
 def DEDUP_CLUSTERS_SQL(pairs_sql: str, table: str = "documents",
-                       id_col: str = "doc_id") -> str:
+                       id_col: str = "doc_id",
+                       extra_ctes: list[str] | None = None) -> str:
     """Recursive-CTE oracle: the transitive closure of the symmetric edge
     set, then cluster_id = min reachable label per node (UNION dedup makes
-    the recursion terminate)."""
+    the recursion terminate).  ``extra_ctes`` are spliced flat ahead of
+    the pair CTE so pairs_sql may reference them — required because the
+    DuckDB binder rejects a nested WITH inside a WITH RECURSIVE member
+    (the scored-ER oracle composes the Fellegi-Sunter CTEs this way)."""
+    pre = "".join(c + ",\n" for c in (extra_ctes or []))
     return f"""
-WITH RECURSIVE prs AS ({pairs_sql}),
+WITH RECURSIVE {pre}prs AS ({pairs_sql}),
 edges AS (
   SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM prs
   UNION
@@ -1082,9 +1087,15 @@ def fs_linkage_scores(records: DataFrame, pairs: DataFrame,
     )
 
 
-def FS_LINKAGE_SQL(pairs_sql: str, table: str, key_col: str,
-                   fields: list[str],
-                   value_specific: bool = False) -> str:
+def FS_LINKAGE_CTES(pairs_sql: str, table: str, key_col: str,
+                    fields: list[str],
+                    value_specific: bool = False,
+                    prs_name: str = "prs") -> list[str]:
+    """The Fellegi-Sunter scoring as a FLAT list of ``name AS (body)``
+    CTE strings ending in ``fs_scores`` (key_a, key_b, n_agree,
+    score_ppm), so callers can splice them into a larger WITH list —
+    DuckDB's binder cannot handle a nested WITH inside a WITH RECURSIVE
+    member, so composed oracles (the scored ER closure) must flatten."""
     field_sel = " UNION ALL ".join(
         f"SELECT {key_col} AS k, {i} AS field,"
         f" CAST({f} AS VARCHAR) AS v FROM {table}"
@@ -1096,8 +1107,8 @@ def FS_LINKAGE_SQL(pairs_sql: str, table: str, key_col: str,
         f" THEN 1 ELSE 0 END AS agree,"
         f" CASE WHEN CAST(a.{f} AS VARCHAR) = CAST(b.{f} AS VARCHAR)"
         f" THEN CAST(a.{f} AS VARCHAR) END AS v"
-        f" FROM prs JOIN {table} a ON a.{key_col} = prs.key_a"
-        f" JOIN {table} b ON b.{key_col} = prs.key_b"
+        f" FROM {prs_name} JOIN {table} a ON a.{key_col} = {prs_name}.key_a"
+        f" JOIN {table} b ON b.{key_col} = {prs_name}.key_b"
         for i, f in enumerate(fields)
     )
     if value_specific:
@@ -1111,25 +1122,38 @@ def FS_LINKAGE_SQL(pairs_sql: str, table: str, key_col: str,
   SELECT key_a, key_b, agree,
          {fs_weight_sql("agree", "u_num", "n")} AS w_ppm
   FROM flags JOIN stats USING (field)"""
-    return f"""
-WITH prs AS ({pairs_sql}),
-melted AS ({field_sel}),
-vcounts AS (
+    return [
+        f"{prs_name} AS ({pairs_sql})",
+        f"melted AS ({field_sel})",
+        """vcounts AS (
   SELECT field, v, CAST(count(*) AS BIGINT) AS cnt
   FROM melted GROUP BY 1, 2
-),
-stats AS (
+)""",
+        """stats AS (
   SELECT field, CAST(sum(cnt * cnt) AS BIGINT) AS u_num,
          CAST(sum(cnt) AS BIGINT) AS n
   FROM vcounts GROUP BY field
-),
-flags AS ({flag_sel}),
-scored AS ({scored}
-)
-SELECT key_a, key_b,
-       CAST(sum(agree) AS BIGINT) AS n_agree,
-       CAST(sum(w_ppm) AS BIGINT) AS score_ppm
-FROM scored GROUP BY 1, 2
+)""",
+        f"flags AS ({flag_sel})",
+        f"scored AS ({scored}\n)",
+        """fs_scores AS (
+  SELECT key_a, key_b,
+         CAST(sum(agree) AS BIGINT) AS n_agree,
+         CAST(sum(w_ppm) AS BIGINT) AS score_ppm
+  FROM scored GROUP BY 1, 2
+)""",
+    ]
+
+
+def FS_LINKAGE_SQL(pairs_sql: str, table: str, key_col: str,
+                   fields: list[str],
+                   value_specific: bool = False) -> str:
+    parts = FS_LINKAGE_CTES(pairs_sql, table, key_col, fields,
+                            value_specific=value_specific)
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT key_a, key_b, n_agree, score_ppm FROM fs_scores
 """
 
 

@@ -613,12 +613,15 @@ def kmeans_train_quantized(
     )
 
 
-def KMEANS_TRAIN_SQL(k: int = 8, rounds: int = 3, dim: int = 64,
-                     quant: int = 1_000_000, table: str = "embeddings",
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> str:
-    """Generated r-round oracle: chained assign/stats/update CTEs, same
-    floor-midpoint integer centroid rule."""
+def KMEANS_TRAIN_CTES(k: int = 8, rounds: int = 3, dim: int = 64,
+                      quant: int = 1_000_000, table: str = "embeddings",
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[str]:
+    """The r-round k-means recurrence as a FLAT ``name AS (body)`` CTE
+    list (qe, c0, a0, s0, c1, ...) ending with the trained centroid
+    table ``c{rounds}`` — flat so composed oracles (ANN_IVF_TRAINED_SQL)
+    can splice it into one WITH list; the DuckDB binder mis-handles a
+    nested WITH inside another statement's CTE member."""
     def assign(r):
         return f"""a{r} AS (
   SELECT e.vid, e.qv, c.cid
@@ -658,10 +661,154 @@ def KMEANS_TRAIN_SQL(k: int = 8, rounds: int = 3, dim: int = 64,
 )""", f"c0 AS (SELECT vid AS cid, qv AS cv FROM qe WHERE vid < {k})"]
     for r in range(rounds):
         parts += [assign(r), stats(r), update(r)]
+    return parts
+
+
+def KMEANS_TRAIN_SQL(k: int = 8, rounds: int = 3, dim: int = 64,
+                     quant: int = 1_000_000, table: str = "embeddings",
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    """Generated r-round oracle: chained assign/stats/update CTEs, same
+    floor-midpoint integer centroid rule."""
+    parts = KMEANS_TRAIN_CTES(k=k, rounds=rounds, dim=dim, quant=quant,
+                              table=table, id_col=id_col, vec_col=vec_col)
     joined = ",\n".join(parts)
     return f"""
 WITH {joined}
 SELECT c.cid, coalesce(s.n, CAST(0 AS BIGINT)) AS n_assigned,
        c.cv AS centroid_q
 FROM c{rounds} c LEFT JOIN s{rounds - 1} s ON s.cid = c.cid
+"""
+
+
+def ivf_search_quantized(qe: DataFrame, cents: DataFrame,
+                         n_probe: int = 4, topk: int = 5,
+                         n_queries: int = 10) -> DataFrame:
+    """The IVF restricted search over ANY integer centroid table — shared
+    by the seed-centroid twin (ann_ivf_exact_topk) and the TRAINED-
+    quantizer twin (ann_ivf_trained_topk): exact integer cell assignment
+    (broadcast-centroid crossJoin + per-vector argmin window), each query
+    probes its ``n_probe`` nearest cells, and the top-k squared-L2 search
+    runs over probed cells only.  ``qe``: (vid, qv bigint-array);
+    ``cents``: (cid, cv bigint-array), assumed tiny (broadcast).
+
+    Scale shape: assignment cost is |corpus| x |cells| integer distance
+    evals inside codegen; the candidate join touches ~n_probe/n_cells of
+    the corpus — never all-pairs."""
+    from pyspark.sql import Window
+
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    scored = qe.crossJoin(F.broadcast(cents)).select(
+        "vid", "qv", "cid", d2.alias("dc"))
+    wv = Window.partitionBy("vid").orderBy("dc", "cid")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1).select("vid", "qv", "cid")
+    )
+    probes = (
+        scored.filter(F.col("vid") < n_queries)
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col("vid").alias("query_id"), "cid",
+                F.col("qv").alias("q_qv"))
+    )
+    dq = F.expr(
+        "aggregate(zip_with(q_qv, qv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    cand = (
+        probes.join(assigned, "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"),
+                dq.alias("d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id",
+                F.col("d2").cast("long").alias("d2"), "rank")
+    )
+
+
+def ANN_IVF_TRAINED_SQL(n_cells: int = 16, rounds: int = 2,
+                        n_probe: int = 4, topk: int = 5,
+                        n_queries: int = 10, dim: int = 64,
+                        quant: int = 1_000_000,
+                        table: str = "embeddings", id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    """Oracle for IVF over TRAINED centroids: the full chained k-means
+    recurrence (KMEANS_TRAIN_SQL) feeds the cell table, then the identical
+    restricted search as _IVF_EXACT_SQL runs over it — index training and
+    search plumbing pinned end-to-end in one query.  The trained-centroid
+    CTE is MATERIALIZED (NOTES_r5: DuckDB inlines CTEs by default and a
+    3x-referenced chained-round CTE explodes the plan)."""
+    kparts = KMEANS_TRAIN_CTES(k=n_cells, rounds=rounds, dim=dim,
+                               quant=quant, table=table, id_col=id_col,
+                               vec_col=vec_col)
+    # qe is re-referenced by every training round AND the search CTEs:
+    # materialize it once (NOTES_r5: DuckDB inlines CTEs by default)
+    kparts[0] = kparts[0].replace("qe AS (", "qe AS MATERIALIZED (", 1)
+    joined = ",\n".join(kparts)  # defines qe + the chain ending in c{rounds}
+    return f"""
+WITH {joined},
+tc AS MATERIALIZED (
+  SELECT cid, cv FROM c{rounds}
+),
+assigned AS MATERIALIZED (
+  SELECT e.vid, e.qv, c.cid
+  FROM qe e CROSS JOIN tc c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid
+    ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                      i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))), c.cid
+  ) = 1
+),
+probes AS MATERIALIZED (
+  SELECT q.vid AS query_id, c.cid
+  FROM (SELECT vid, qv FROM qe WHERE vid < {n_queries}) q
+  CROSS JOIN tc c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vid
+    ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid
+  ) <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  i -> (q.qv[i] - a.qv[i]) * (q.qv[i] - a.qv[i]))) AS d2
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid AND a.vid != p.query_id
+  JOIN qe q ON q.vid = p.query_id
+)
+SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) AS rk
+  FROM cand
+) WHERE rk <= {topk}
+"""
+
+
+def KMEANS_TRAIN_FLAT_SQL(k: int = 8, rounds: int = 3, dim: int = 64,
+                          quant: int = 1_000_000, table: str = "embeddings",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> str:
+    """Driver-canonicalizable twin of KMEANS_TRAIN_SQL: the array
+    ``centroid_q`` is exploded to one (cid, n_assigned, dim, q) row per
+    coordinate — array cells are unsortable/unhashable in the driver's
+    pandas canonicalizer, scalar rows are not (VERDICT r5 item 1)."""
+    inner = KMEANS_TRAIN_SQL(k=k, rounds=rounds, dim=dim, quant=quant,
+                             table=table, id_col=id_col, vec_col=vec_col)
+    return f"""
+SELECT base.cid, base.n_assigned, CAST(u.i AS BIGINT) AS dim,
+       base.centroid_q[u.i + 1] AS q
+FROM ({inner}) base
+CROSS JOIN (SELECT unnest(range({dim})) AS i) u
 """
