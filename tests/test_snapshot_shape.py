@@ -1,0 +1,80 @@
+"""Registry lint for the driver snapshot (VERDICT r5 item 1).
+
+The driver's CORRECTNESS gate records only the FIRST 50 ``queries()``
+entries and canonicalizes results with a pandas sort — array/struct/map
+cells are unhashable there and turn a correct query into an ``err`` row
+(CORRECTNESS_r05: embedding_kmeans_train, sequence_packing).  Every
+snapshot-facing query must therefore present a scalar-only schema; the
+array-output originals stay registered (the local gate tuple-izes
+arrays) but out of the snapshot head, with ``_flat`` twins in their
+place.
+
+The lint reads each snapshot oracle's schema via DuckDB ``DESCRIBE``
+(binder only — no execution, no Spark), which is exactly the schema the
+driver's compare sees on the oracle side; schema_match then pins the
+Spark side to the same shape.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from omldm_spark.queries import ORACLES, QUERIES, _SNAPSHOT_TOP  # noqa: E402
+from omldm_spark.schemas import TABLES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def test_snapshot_is_the_registry_head():
+    assert len(_SNAPSHOT_TOP) == 50
+    assert len(set(_SNAPSHOT_TOP)) == 50
+    head = list(QUERIES)[:50]
+    assert head == _SNAPSHOT_TOP
+
+
+def test_snapshot_queries_all_have_exact_oracles():
+    missing = [n for n in _SNAPSHOT_TOP if n not in ORACLES]
+    assert not missing, missing
+
+
+def test_no_snapshot_oracle_yields_nested_columns(con):
+    """DESCRIBE each snapshot oracle: no column type may be a DuckDB
+    list (``T[]``), STRUCT, or MAP — those cells break the driver's
+    pandas canonicalizer sort."""
+    offenders: dict[str, list[tuple[str, str]]] = {}
+    for name in _SNAPSHOT_TOP:
+        desc = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+        bad = [
+            (col, typ)
+            for col, typ, *_ in desc
+            if "[]" in typ or "STRUCT" in typ or "MAP" in typ
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_known_array_outputs_are_kept_out_of_snapshot():
+    """The two r5 canonicalizer errs stay registered (local gate covers
+    them) but must never re-enter the snapshot head in array shape."""
+    for name in ("embedding_kmeans_train", "sequence_packing"):
+        assert name in QUERIES and name in ORACLES
+        assert name not in _SNAPSHOT_TOP
+        assert f"{name}_flat" in _SNAPSHOT_TOP
