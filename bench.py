@@ -42,6 +42,7 @@ HEADLINE = [
     "nb_doc_scores",           # NB train + score + argmax over the corpus
     "ngram_containment_pairs", # asymmetric near-dup posting-list join
     "referential_integrity_audit",  # per-FK-edge anti-join hygiene gate
+    "streaming_cdc_apply",     # update-mode publish through KeyedUpsertSink
 ]
 
 

@@ -28,14 +28,26 @@ from omldm_spark.session import get_spark  # noqa: E402
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
 
+# Beyond the bench headline: the queries whose scaling story the 100 TB
+# claim rests on (VERDICT r5 item 6) — iterative CC/ER closures, the
+# prefix-filtered set-similarity join, and an update-mode twin driven
+# through the KeyedUpsertSink publish path.
+EXTRA = [
+    "dedup_clusters",
+    "entity_resolution_clusters",
+    "prefix_filter_jaccard_pairs",
+    "streaming_near_dedup",
+]
+
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r5.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r6.json"
     spark = get_spark("scale-probe", master="local[32]",
                       shuffle_partitions=32)
     # warm codegen/JIT at the smallest SF so the timings compare work,
     # not first-compilation (bench.py rationale)
-    for name in HEADLINE:
+    probe_set = HEADLINE + EXTRA
+    for name in probe_set:
         try:
             QUERIES[name](spark, SFS[0]).write.format("noop").mode(
                 "overwrite").save()
@@ -43,7 +55,7 @@ def main() -> int:
             pass
 
     results: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in probe_set:
         row: dict = {}
         for sf in SFS:
             key = sf.rsplit("/", 1)[1]
