@@ -756,6 +756,27 @@ CHECKS = {
         ("result is checkpoint-backed, corpus not rescanned",
          lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
     ],
+    "ann_ivf_trained_topk": [
+        # both the quantized corpus and the 16-row trained centroid table
+        # are localCheckpointed, so the published search plan re-scans
+        # NEITHER parquet nor the trainer's agg chain
+        ("search is checkpoint-backed, corpus/trainer not rescanned",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+        ("centroids broadcast into assignment/probes (tiny side only)",
+         lambda p: p.count("BroadcastNestedLoopJoin") >= 2),
+        ("no non-broadcast cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "entity_resolution_scored_clusters": [
+        # FS scoring gates the edges BEFORE the closure; the stars CC
+        # iterate is checkpoint-backed; nothing quadratic beyond the
+        # blocked candidates
+        ("closure rides the checkpointed stars state",
+         lambda p: "ExistingRDD" in p),
+        ("no cartesian pair generation",
+         lambda p: "CartesianProduct" not in p),
+        ("u-stats map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "stump_best_split": [
         # the melt is an explode, not a per-feature union: ONE scan of
         # the fact table feeds all feature histograms
