@@ -812,3 +812,314 @@ SELECT base.cid, base.n_assigned, CAST(u.i AS BIGINT) AS dim,
 FROM ({inner}) base
 CROSS JOIN (SELECT unnest(range({dim})) AS i) u
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: subspace codebooks + ADC lookup-table search —
+# the memory-bound scale path for embedding retrieval (Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011).  A
+# 64-dim float vector compresses to m single-byte codes; search never
+# touches the raw vectors, only the code table joined against a tiny
+# per-query distance LUT.  All state rides the same integer grid +
+# floor-midpoint k-means recurrence as kmeans_train_quantized, so
+# training AND search are hash-exact against generated DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+def pq_subvectors(emb: DataFrame, m: int = 4, dim: int = 64,
+                  quant: int = 1_000_000, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vid, sub, sv): the quantized vector split into ``m`` contiguous
+    subspaces of dim/m ints — one explode, no shuffle."""
+    d = dim // m
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).cast("long").alias("sub"),
+            F.slice(qv, s * d + 1, d).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    return emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.explode(subs).alias("e"),
+    ).select("vid", "e.sub", "e.sv")
+
+
+def pq_train_quantized(emb: DataFrame, m: int = 4, k: int = 16,
+                       rounds: int = 2, dim: int = 64,
+                       quant: int = 1_000_000, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Per-subspace Lloyd's to ``rounds`` iterations, EXACT: every
+    subspace trains its own k codewords with the identical integer
+    floor-midpoint rule as kmeans_train_quantized, but ALL m subspaces
+    ride ONE DataFrame keyed (sub, cid) — one assignment join + one
+    map-side-combined (sub, cid) agg per round, never m separate jobs.
+    Seeds: vector s of the first k vectors per subspace.  Only m*k
+    codeword rows reach the driver per round (m=4, k=16 -> 64 rows).
+
+    Output: (sub, cid, n_assigned, codeword_q) after ``rounds`` updates
+    (final update in-plan, empty cells keep their previous codeword)."""
+    spark = emb.sparkSession
+    d = dim // m
+    sv = pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                       vec_col=vec_col).localCheckpoint()
+
+    def assign_to(cent_df):
+        d2 = F.expr(
+            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        )
+        w = Window.partitionBy("vid", "sub").orderBy("d2", "cid")
+        return (
+            sv.join(F.broadcast(cent_df), "sub")
+            .select("vid", "sub", "sv", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vid", "sub", "sv", "cid")
+        )
+
+    def cent_frame(cents):
+        return spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(cents.items())],
+            "sub long, cid long, cv array<long>",
+        )
+
+    seed_rows = sv.filter(F.col("vid") < k).collect()
+    cents = {(int(r["sub"]), int(r["vid"])): [int(x) for x in r["sv"]]
+             for r in seed_rows}
+
+    sums = [
+        F.sum(F.element_at("sv", i + 1)).cast("long").alias(f"s{i}")
+        for i in range(d)
+    ]
+    for _ in range(rounds - 1):
+        agg = (
+            assign_to(cent_frame(cents))
+            .groupBy("sub", "cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"), *sums)
+        )
+        stats = {
+            (int(r["sub"]), int(r["cid"])): (
+                int(r["n"]), [int(r[f"s{i}"]) for i in range(d)]
+            )
+            for r in agg.collect()
+        }
+        cents = {
+            key: (
+                [(2 * s + stats[key][0]) // (2 * stats[key][0])
+                 for s in stats[key][1]]
+                if key in stats else cv
+            )
+            for key, cv in cents.items()
+        }
+
+    agg = (
+        assign_to(cent_frame(cents))
+        .groupBy("sub", "cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), *sums)
+    )
+    prev = cent_frame(cents).withColumnRenamed("cv", "prev_cv")
+    upd = F.transform(
+        F.col("svec"),
+        lambda s: F.floor(
+            (F.lit(2).cast("long") * s + F.col("n"))
+            / (F.lit(2.0) * F.col("n"))
+        ).cast("long"),
+    )
+    return (
+        prev.join(F.broadcast(agg), ["sub", "cid"], "left")
+        .withColumn("svec", F.array(*[F.col(f"s{i}") for i in range(d)]))
+        .select(
+            "sub", "cid",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_assigned"),
+            F.when(F.col("n").isNull(), F.col("prev_cv"))
+             .otherwise(upd).alias("codeword_q"),
+        )
+    )
+
+
+def ann_pq_adc_topk(emb: DataFrame, m: int = 4, k: int = 16,
+                    rounds: int = 2, n_queries: int = 10, topk: int = 5,
+                    dim: int = 64, quant: int = 1_000_000,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    ENCODED once (argmin codeword per (vector, subspace) — N*m small
+    ints), each query precomputes its distance to every codeword (an
+    n_queries x m x k LUT — 640 rows here), and the search is the code
+    table joined against the BROADCAST LUT + a (query, neighbor) sum —
+    linear in N, zero access to raw vectors at query time.  This is the
+    shape that serves 100 TB of embeddings from RAM: 64B codes instead
+    of 256B floats, and the scan is an integer add per (code, query).
+
+    Distances are exact integer sums, so ranking (tie-break neighbor_id)
+    is engine-identical; the oracle chains training + encoding + the LUT
+    join in one flattened CTE pipeline (ANN_PQ_ADC_SQL)."""
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    sv = pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                       vec_col=vec_col).localCheckpoint()
+    books = (
+        pq_train_quantized(emb, m=m, k=k, rounds=rounds, dim=dim,
+                           quant=quant, id_col=id_col, vec_col=vec_col)
+        .select("sub", "cid", F.col("codeword_q").alias("cv"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("vid", "sub").orderBy("d2", "cid")
+    codes = (
+        sv.join(F.broadcast(books), "sub")
+        .select("vid", "sub", "cid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vid", "sub", "cid")
+    )
+    lut = (
+        sv.filter(F.col("vid") < n_queries)
+        .join(F.broadcast(books), "sub")
+        .select(F.col("vid").alias("query_id"), "sub", "cid",
+                d2.alias("d2"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def PQ_TRAIN_CTES(m: int = 4, k: int = 16, rounds: int = 2,
+                  dim: int = 64, quant: int = 1_000_000,
+                  table: str = "embeddings", id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[str]:
+    """Flat CTE list for the per-subspace codebook recurrence: pv (the
+    subvector melt), p0, pa0, ps0, p1, ... ending in p{rounds} =
+    (sub, cid, cv).  Same flattening rationale as KMEANS_TRAIN_CTES."""
+    d = dim // m
+    melt = " UNION ALL ".join(
+        f"SELECT vid, CAST({s} AS BIGINT) AS sub,"
+        f" qv[{s * d + 1}:{(s + 1) * d}] AS sv FROM pq_qe"
+        for s in range(m)
+    )
+
+    def dist(e, c):
+        return (f"list_sum(list_transform(range(1, {d} + 1),"
+                f" i -> ({e}.sv[i] - {c}.cv[i]) * ({e}.sv[i] - {c}.cv[i])))")
+
+    def assign(r):
+        return f"""pa{r} AS (
+  SELECT e.vid, e.sub, e.sv, c.cid
+  FROM pv e JOIN p{r} c ON c.sub = e.sub
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid, e.sub ORDER BY {dist('e', 'c')}, c.cid
+  ) = 1
+)"""
+
+    def stats(r):
+        return f"""ps{r} AS (
+  SELECT sub, cid, CAST(count(*) AS BIGINT) AS n,
+         [{", ".join(f"CAST(sum(sv[{i + 1}]) AS BIGINT)" for i in range(d))}]
+           AS svec
+  FROM pa{r} GROUP BY sub, cid
+)"""
+
+    def update(r):
+        return f"""p{r + 1} AS (
+  SELECT p.sub, p.cid,
+         CASE WHEN s.n IS NULL THEN p.cv
+              ELSE list_transform(range(1, {d} + 1),
+                     i -> CAST(floor((2 * s.svec[i] + s.n) / (2.0 * s.n))
+                               AS BIGINT))
+         END AS cv
+  FROM p{r} p LEFT JOIN ps{r} s ON s.sub = p.sub AND s.cid = p.cid
+)"""
+
+    parts = [f"""pq_qe AS MATERIALIZED (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
+                                  AS BIGINT)) AS qv
+  FROM {table}
+)""", f"pv AS MATERIALIZED ({melt})",
+        f"p0 AS (SELECT sub, vid AS cid, sv AS cv FROM pv WHERE vid < {k})"]
+    for r in range(rounds):
+        parts += [assign(r), stats(r), update(r)]
+    return parts
+
+
+def PQ_TRAIN_FLAT_SQL(m: int = 4, k: int = 16, rounds: int = 2,
+                      dim: int = 64, quant: int = 1_000_000,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """Codebook training oracle in driver-canonicalizable shape: one
+    (sub, cid, n_assigned, dim, q) row per codeword coordinate."""
+    d = dim // m
+    parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim, quant=quant,
+                          table=table, id_col=id_col, vec_col=vec_col)
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT c.sub, c.cid,
+       coalesce(s.n, CAST(0 AS BIGINT)) AS n_assigned,
+       CAST(u.i AS BIGINT) AS dim, c.cv[u.i + 1] AS q
+FROM p{rounds} c
+LEFT JOIN ps{rounds - 1} s ON s.sub = c.sub AND s.cid = c.cid
+CROSS JOIN (SELECT unnest(range({d})) AS i) u
+"""
+
+
+def ANN_PQ_ADC_SQL(m: int = 4, k: int = 16, rounds: int = 2,
+                   n_queries: int = 10, topk: int = 5, dim: int = 64,
+                   quant: int = 1_000_000, table: str = "embeddings",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """Training -> encoding -> LUT -> ADC ranking as ONE flattened CTE
+    pipeline (the search twin of PQ_TRAIN_FLAT_SQL)."""
+    d = dim // m
+    parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim, quant=quant,
+                          table=table, id_col=id_col, vec_col=vec_col)
+    joined = ",\n".join(parts)
+
+    def dist(e, c):
+        return (f"list_sum(list_transform(range(1, {d} + 1),"
+                f" i -> ({e}.sv[i] - {c}.cv[i]) * ({e}.sv[i] - {c}.cv[i])))")
+
+    return f"""
+WITH {joined},
+codes AS MATERIALIZED (
+  SELECT e.vid, e.sub, c.cid
+  FROM pv e JOIN p{rounds} c ON c.sub = e.sub
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid, e.sub ORDER BY {dist('e', 'c')}, c.cid
+  ) = 1
+),
+lut AS MATERIALIZED (
+  SELECT q.vid AS query_id, c.sub, c.cid, {dist('q', 'c')} AS d2
+  FROM pv q JOIN p{rounds} c ON c.sub = q.sub
+  WHERE q.vid < {n_queries}
+),
+adc AS (
+  SELECT l.query_id, co.vid AS neighbor_id,
+         CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cid = co.cid
+  WHERE co.vid != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rk
+  FROM adc
+) WHERE rk <= {topk}
+"""

@@ -4019,6 +4019,47 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.similarity import (  # noqa: E402
+    ANN_PQ_ADC_SQL,
+    PQ_TRAIN_FLAT_SQL,
+    ann_pq_adc_topk,
+    pq_train_quantized,
+)
+
+
+@query("pq_train_codebooks", oracle=PQ_TRAIN_FLAT_SQL(m=4, k=16, rounds=2))
+def q_pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebooks (Jegou et al. TPAMI 2011): each of
+    4 contiguous 16-dim subspaces trains its own 16 codewords with the
+    integer floor-midpoint k-means recurrence — ALL subspaces in ONE
+    assignment join + ONE (sub, cid) map-side-combined agg per round,
+    64 codeword rows to the driver per round.  Output pre-exploded to
+    (sub, cid, n_assigned, dim, q) so it is driver-canonicalizable
+    (operators/similarity.py pq_train_quantized)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_train_quantized(emb, m=4, k=16, rounds=2)
+    return out.select(
+        "sub", "cid", "n_assigned",
+        F.posexplode("codeword_q").alias("dim", "q"),
+    ).select("sub", "cid", "n_assigned",
+             F.col("dim").cast("long").alias("dim"), "q")
+
+
+@query("ann_pq_adc_topk", oracle=ANN_PQ_ADC_SQL(m=4, k=16, rounds=2))
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k — the memory-bound serving path for 100 TB embedding
+    search: the corpus collapses to N x 4 small-int codes, each query
+    precomputes a 4x16 distance LUT against the trained codewords, and
+    search is the code table joined to the BROADCAST LUT + a
+    (query, neighbor) integer sum — raw vectors are never touched after
+    encoding.  Training + encoding + LUT ranking all integer-exact, so
+    the chained oracle pins the whole pipeline; approximation quality vs
+    brute force is pinned separately in tests/test_similarity.py
+    (operators/similarity.py ann_pq_adc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_pq_adc_topk(emb, m=4, k=16, rounds=2, n_queries=10, topk=5)
+
+
 from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
 
 

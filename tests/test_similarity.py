@@ -58,6 +58,71 @@ def test_ivf_trained_recall_monotone_in_n_probe(spark):
     assert recalls[0] < 1.0 or recalls == [1.0] * 5  # pruning is real
 
 
+def test_pq_adc_reconstruction_invariant_and_recall(spark):
+    """Product quantization, two pinned properties:
+
+    1. DEFINITIONAL (bit-exact vs numpy): every returned adc_d2 equals
+       the exact squared L2 between the query and the neighbor
+       RECONSTRUCTED from its codes — i.e. encoding (argmin codeword per
+       subspace), the per-query LUT, and the (sub-wise sum) search agree
+       end-to-end.
+    2. QUALITY (loose floor): true-top-5 recall inside the ADC top-20
+       beats random candidate selection by 10x.  The synthetic
+       embeddings are near-isotropic (NOTES_r5: lambda2/lambda1 ~ 0.93),
+       the worst case for PQ, so absolute recall is low by construction
+       — measured 0.46 vs the 0.02 random baseline."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.similarity import (
+        ann_pq_adc_topk,
+        pq_train_quantized,
+    )
+
+    m, k, d = 4, 16, 16
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ann_pq_adc_topk(emb, m=m, k=k, rounds=2, topk=20).toPandas()
+    books = pq_train_quantized(emb, m=m, k=k, rounds=2).toPandas()
+    cw = {(int(r.sub), int(r.cid)): np.array(r.codeword_q, dtype=np.int64)
+          for r in books.itertuples()}
+
+    pdf = emb.select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            " * 1000000, 0) AS BIGINT))"
+        ).alias("qv"),
+    ).toPandas()
+    vids = pdf["vid"].to_numpy()
+    mat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+    vec = {int(v): mat[i] for i, v in enumerate(vids)}
+
+    def encode(x):
+        return [
+            min(range(k), key=lambda c: (
+                int(((x[s * d:(s + 1) * d] - cw[(s, c)]) ** 2).sum()), c))
+            for s in range(m)
+        ]
+
+    # 1. reconstruction invariant on every returned row
+    for r in got.itertuples():
+        q, n = vec[int(r.query_id)], vec[int(r.neighbor_id)]
+        recon = np.concatenate([cw[(s, c)] for s, c in enumerate(encode(n))])
+        assert int(((q - recon) ** 2).sum()) == int(r.adc_d2), (
+            r.query_id, r.neighbor_id)
+
+    # 2. recall floor vs random candidates
+    rec = []
+    for qi in range(10):
+        qrow = vec[qi]
+        d2 = ((mat - qrow) ** 2).sum(axis=1)
+        order = sorted((int(x), int(v)) for x, v in zip(d2, vids) if v != qi)
+        truth = {v for _, v in order[:5]}
+        cand = set(got[got.query_id == qi]["neighbor_id"])
+        rec.append(len(truth & cand) / 5)
+    assert sum(rec) / len(rec) > 0.2, rec      # random-20-of-999 ~ 0.02
+
+
 def test_power_iteration_matches_numpy_and_converges(spark):
     """Two checks with numpy as referee: (1) the engine's 5-round
     quantized iterate is BIT-IDENTICAL to the same recurrence run in

@@ -777,6 +777,31 @@ CHECKS = {
         ("u-stats map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "pq_train_codebooks": [
+        # the subvector melt is checkpointed once; codebooks only ever
+        # join as tiny broadcasts; the (sub,cid) stats agg is map-side
+        # combined
+        ("training rides the checkpointed melt, no parquet rescan",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+        ("codewords broadcast into assignment",
+         lambda p: p.count("BroadcastHashJoin") >= 1),
+        ("codeword stats map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no sort-merge join, no cartesian",
+         lambda p: "SortMergeJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
+    "ann_pq_adc_topk": [
+        # ADC: the code table joins a BROADCAST per-query LUT — the big
+        # side never shuffles for the lookup; scoring is one keyed agg
+        ("LUT and codebooks broadcast, codes never shuffle to join",
+         lambda p: p.count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in p),
+        ("search is checkpoint-backed, no parquet rescan",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+        ("per-(query,neighbor) sum map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "stump_best_split": [
         # the melt is an explode, not a per-feature union: ONE scan of
         # the fact table feeds all feature histograms
