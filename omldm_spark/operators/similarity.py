@@ -1123,3 +1123,70 @@ FROM (
   FROM adc
 ) WHERE rk <= {topk}
 """
+
+
+def pq_distortion_report(emb: DataFrame, m: int = 4, k: int = 16,
+                         rounds: int = 2, dim: int = 64,
+                         quant: int = 1_000_000, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per-subspace quantization distortion — the index-quality report
+    that tells you whether PQ's compression is costing recall BEFORE you
+    serve it: for every (vector, subspace) the distance to its nearest
+    codeword, aggregated per subspace.  Two keyed aggs after the
+    broadcast assignment join (min per (vid, sub), then the sub rollup)
+    — no window, no shuffle of raw vectors.  avg is integer
+    floor-division so the report is engine-exact at any scale (a double
+    mean would exceed 2^53 exactness on large corpora)."""
+    sv = pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                       vec_col=vec_col)
+    books = (
+        pq_train_quantized(emb, m=m, k=k, rounds=rounds, dim=dim,
+                           quant=quant, id_col=id_col, vec_col=vec_col)
+        .select("sub", "cid", F.col("codeword_q").alias("cv"))
+        .localCheckpoint()
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    best = (
+        sv.join(F.broadcast(books), "sub")
+        .select("vid", "sub", d2.alias("d2"))
+        .groupBy("vid", "sub")
+        .agg(F.min("d2").alias("best_d2"))
+    )
+    return (
+        best.groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("best_d2").cast("long").alias("total_d2"),
+        )
+        .select(
+            "sub", "n_vectors", "total_d2",
+            F.expr("total_d2 div n_vectors").alias("avg_d2"),
+        )
+    )
+
+
+def PQ_DISTORTION_SQL(m: int = 4, k: int = 16, rounds: int = 2,
+                      dim: int = 64, quant: int = 1_000_000,
+                      table: str = "embeddings", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    d = dim // m
+    parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim, quant=quant,
+                          table=table, id_col=id_col, vec_col=vec_col)
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+pbest AS (
+  SELECT e.vid, e.sub,
+         min(list_sum(list_transform(range(1, {d} + 1),
+             i -> (e.sv[i] - c.cv[i]) * (e.sv[i] - c.cv[i])))) AS best_d2
+  FROM pv e JOIN p{rounds} c ON c.sub = e.sub
+  GROUP BY 1, 2
+)
+SELECT sub, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(best_d2) AS BIGINT) AS total_d2,
+       CAST(sum(best_d2) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_d2
+FROM pbest GROUP BY sub
+"""

@@ -4060,6 +4060,23 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_adc_topk(emb, m=4, k=16, rounds=2, n_queries=10, topk=5)
 
 
+from .operators.similarity import (  # noqa: E402
+    PQ_DISTORTION_SQL,
+    pq_distortion_report,
+)
+
+
+@query("pq_distortion_report", oracle=PQ_DISTORTION_SQL(m=4, k=16, rounds=2))
+def q_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion (index-quality gate before
+    serving): min-codeword d2 per (vector, subspace) via the broadcast
+    assignment join, rolled up per subspace with integer floor-division
+    avg — engine-exact at any corpus size (operators/similarity.py
+    pq_distortion_report)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_distortion_report(emb, m=4, k=16, rounds=2)
+
+
 from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
 
 
