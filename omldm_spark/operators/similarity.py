@@ -1190,3 +1190,108 @@ SELECT sub, CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(sum(best_d2) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_d2
 FROM pbest GROUP BY sub
 """
+
+
+def dedup_pq_block_pairs(emb: DataFrame, m: int = 4, k: int = 16,
+                         rounds: int = 2, block_subs: int = 2,
+                         dim: int = 64, quant: int = 1_000_000,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup CANDIDATE GENERATION by PQ-code collision —
+    the coarse-quantizer blocking scheme (FAISS-style): two vectors are
+    candidates iff their first ``block_subs`` PQ codes agree (k^b cells,
+    so the self-join is quadratic only within a cell, like LSH bands but
+    with TRAINED, data-adaptive cells), then every candidate pair is
+    verified with the exact integer squared-L2 on the full vectors.
+    Output: (id_a, id_b, d2) per colliding pair.
+
+    Scale shape: encode is the broadcast codebook join; the pair join is
+    an equi-join on the code signature; exact verification touches only
+    survivors.  Everything integer -> the oracle chains training +
+    encoding + blocking + verification in one CTE pipeline."""
+    sv = pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                       vec_col=vec_col).localCheckpoint()
+    books = (
+        pq_train_quantized(emb, m=m, k=k, rounds=rounds, dim=dim,
+                           quant=quant, id_col=id_col, vec_col=vec_col)
+        .select("sub", "cid", F.col("codeword_q").alias("cv"))
+        .localCheckpoint()
+    )
+    d2c = F.expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vid", "sub").orderBy("d2", "cid")
+    codes = (
+        sv.filter(F.col("sub") < block_subs)
+        .join(F.broadcast(books), "sub")
+        .select("vid", "sub", "cid", d2c.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("vid")
+        .agg(F.concat_ws(
+            ",", *[F.max(F.when(F.col("sub") == s, F.col("cid")))
+                   for s in range(block_subs)]).alias("sig"))
+    )
+    qe = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+        ).alias("qv"),
+    )
+    a = codes.join(qe, "vid").select(
+        F.col("vid").alias("id_a"), F.col("qv").alias("qa"), "sig")
+    b = codes.join(qe, "vid").select(
+        F.col("vid").alias("id_b"), F.col("qv").alias("qb"), "sig")
+    pair_d2 = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", pair_d2.alias("d2"))
+    )
+
+
+def DEDUP_PQ_BLOCK_SQL(m: int = 4, k: int = 16, rounds: int = 2,
+                       block_subs: int = 2, dim: int = 64,
+                       quant: int = 1_000_000, table: str = "embeddings",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    d = dim // m
+    parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim, quant=quant,
+                          table=table, id_col=id_col, vec_col=vec_col)
+    joined = ",\n".join(parts)
+
+    def dist(e, c):
+        return (f"list_sum(list_transform(range(1, {d} + 1),"
+                f" i -> ({e}.sv[i] - {c}.cv[i]) * ({e}.sv[i] - {c}.cv[i])))")
+
+    sig = " || ',' || ".join(
+        f"CAST(max(CASE WHEN sub = {s} THEN cid END) AS VARCHAR)"
+        for s in range(block_subs)
+    )
+    return f"""
+WITH {joined},
+bcodes AS MATERIALIZED (
+  SELECT e.vid, e.sub, c.cid
+  FROM pv e JOIN p{rounds} c ON c.sub = e.sub
+  WHERE e.sub < {block_subs}
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid, e.sub ORDER BY {dist('e', 'c')}, c.cid
+  ) = 1
+),
+sigs AS MATERIALIZED (
+  SELECT vid, {sig} AS sig FROM bcodes GROUP BY vid
+)
+SELECT a.vid AS id_a, b.vid AS id_b,
+       CAST(list_sum(list_transform(range(1, {dim} + 1),
+            i -> (qa.qv[i] - qb.qv[i]) * (qa.qv[i] - qb.qv[i])))
+            AS BIGINT) AS d2
+FROM sigs a
+JOIN sigs b ON a.sig = b.sig AND a.vid < b.vid
+JOIN pq_qe qa ON qa.vid = a.vid
+JOIN pq_qe qb ON qb.vid = b.vid
+"""

@@ -4077,6 +4077,27 @@ def q_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_distortion_report(emb, m=4, k=16, rounds=2)
 
 
+from .operators.similarity import (  # noqa: E402
+    DEDUP_PQ_BLOCK_SQL,
+    dedup_pq_block_pairs,
+)
+
+
+@query(
+    "dedup_pq_block_pairs",
+    oracle=DEDUP_PQ_BLOCK_SQL(m=4, k=16, rounds=2, block_subs=2),
+)
+def q_dedup_pq_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates by PQ-code collision: vectors whose
+    first 2 trained codes agree (256 data-adaptive cells — LSH-band
+    shape but learned) pair up within their cell only, then the exact
+    integer L2 verifies each survivor — training, encoding, blocking and
+    verification all chained under one exact oracle
+    (operators/similarity.py dedup_pq_block_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup_pq_block_pairs(emb, m=4, k=16, rounds=2, block_subs=2)
+
+
 from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
 
 
