@@ -156,3 +156,48 @@ SELECT * FROM (
   FROM ({select_sql})
 ) WHERE qi_count >= {k}
 """
+
+
+def l_diversity_audit(df: DataFrame, qi_cols: list, sensitive_col: str,
+                      l: int = 3) -> DataFrame:
+    """Per-QI-group sensitive-value diversity — the attribute-disclosure
+    gate k-anonymity misses (Machanavajjhala et al., "l-Diversity",
+    ICDE 2006): a group of >= k rows that all share ONE sensitive value
+    still discloses it, so the release gate must also require >= l
+    distinct sensitive values per group.
+
+    Output: one row per QI group — (qi..., n_rows, l_distinct,
+    top_sensitive_n, passes_l).  Shape: TWO stacked map-side-combined
+    aggs ((qi, sensitive) partials, then the qi rollup) — never a
+    countDistinct window, so the shuffle carries |qi x sensitive| partial
+    rows, bounded by the key space, not the data."""
+    per_val = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    return (
+        per_val.groupBy(*qi_cols)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.max("__cnt").cast("long").alias("top_sensitive_n"),
+        )
+        .withColumn("passes_l", F.col("l_distinct") >= l)
+    )
+
+
+def L_DIVERSITY_SQL(select_sql: str, qi_cols: list, sensitive_col: str,
+                    l: int = 3) -> str:
+    keys = ", ".join(str(c) for c in qi_cols)
+    return f"""
+WITH per_val AS (
+  SELECT {keys}, {sensitive_col} AS sv,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ({select_sql}) GROUP BY {keys}, {sensitive_col}
+)
+SELECT {keys},
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       CAST(max(cnt) AS BIGINT) AS top_sensitive_n,
+       count(*) >= {l} AS passes_l
+FROM per_val GROUP BY {keys}
+"""

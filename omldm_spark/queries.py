@@ -4947,6 +4947,34 @@ def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.pii import L_DIVERSITY_SQL, l_diversity_audit  # noqa: E402
+
+
+@query(
+    "l_diversity_customers",
+    oracle=L_DIVERSITY_SQL(
+        "SELECT c_mktsegment, c_nationkey,"
+        " CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band"
+        " FROM customer",
+        ["c_mktsegment", "c_nationkey"], "bal_band", l=3,
+    ),
+)
+def q_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. ICDE 2006) — the
+    attribute-disclosure companion to k_anonymity_customers: per
+    (segment, nation) QI group, the balance band plays the sensitive
+    attribute; groups with < 3 distinct bands fail.  Two stacked
+    map-side-combined aggs, shuffle bounded by the QI x sensitive key
+    space (operators/pii.l_diversity_audit)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+    )
+    return l_diversity_audit(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_band", l=3
+    )
+
+
 _LATEST_SRC_SQL = """
 SELECT user_id, event_type, event_id,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
