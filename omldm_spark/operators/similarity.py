@@ -1295,3 +1295,63 @@ JOIN sigs b ON a.sig = b.sig AND a.vid < b.vid
 JOIN pq_qe qa ON qa.vid = a.vid
 JOIN pq_qe qb ON qb.vid = b.vid
 """
+
+
+def pq_encode_wide(vectors: DataFrame, books: DataFrame, m: int = 4,
+                   dim: int = 64, quant: int = 1_000_000,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors against FIXED codebooks -> one wide row per vector
+    (vec_id, c0..c{m-1}): the steady-state ingest shape — codebooks are a
+    static broadcast index, encoding is stateless per vector, so the same
+    call serves batch backfill and per-micro-batch streaming ingest."""
+    sv = pq_subvectors(vectors, m=m, dim=dim, quant=quant, id_col=id_col,
+                       vec_col=vec_col)
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vid", "sub").orderBy("d2", "cid")
+    codes = (
+        sv.join(F.broadcast(books), "sub")
+        .select("vid", "sub", "cid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return codes.groupBy(F.col("vid").alias(id_col)).agg(*[
+        F.max(F.when(F.col("sub") == s, F.col("cid"))).cast("long")
+        .alias(f"c{s}")
+        for s in range(m)
+    ])
+
+
+def PQ_ENCODE_WIDE_SQL(m: int = 4, k: int = 16, rounds: int = 2,
+                       dim: int = 64, quant: int = 1_000_000,
+                       table: str = "embeddings", id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """Batch oracle for the wide encode: training CTEs + argmin codes +
+    the per-vector pivot."""
+    d = dim // m
+    parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim, quant=quant,
+                          table=table, id_col=id_col, vec_col=vec_col)
+    joined = ",\n".join(parts)
+
+    def dist(e, c):
+        return (f"list_sum(list_transform(range(1, {d} + 1),"
+                f" i -> ({e}.sv[i] - {c}.cv[i]) * ({e}.sv[i] - {c}.cv[i])))")
+
+    wide = ", ".join(
+        f"CAST(max(CASE WHEN sub = {s} THEN cid END) AS BIGINT) AS c{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH {joined},
+codes AS (
+  SELECT e.vid, e.sub, c.cid
+  FROM pv e JOIN p{rounds} c ON c.sub = e.sub
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid, e.sub ORDER BY {dist('e', 'c')}, c.cid
+  ) = 1
+)
+SELECT vid AS {id_col}, {wide} FROM codes GROUP BY vid
+"""

@@ -4098,6 +4098,59 @@ def q_dedup_pq_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pq_block_pairs(emb, m=4, k=16, rounds=2, block_subs=2)
 
 
+from .operators.similarity import (  # noqa: E402
+    PQ_ENCODE_WIDE_SQL,
+    pq_encode_wide,
+)
+
+
+@query("streaming_pq_encode", oracle=PQ_ENCODE_WIDE_SQL(m=4, k=16, rounds=2))
+def q_streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest for the PQ index: vectors arrive as a multi-batch
+    file stream and each micro-batch encodes against the FIXED trained
+    codebooks (a static broadcast index — the steady-state serving
+    posture: train rarely, encode continuously), publishing
+    (vec_id, c0..c3) through the distributed KeyedUpsertSink.  Streaming
+    must be invisible: the oracle is the one-shot batch encode of the
+    whole corpus (operators/similarity.py pq_encode_wide)."""
+    import tempfile
+
+    from .operators.similarity import pq_train_quantized as _pq_train
+    from .streaming.sinks import KeyedUpsertSink
+    from .streaming.sources import file_replay_source
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = (
+        _pq_train(emb, m=4, k=16, rounds=2)
+        .select("sub", "cid", F.col("codeword_q").alias("cv"))
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp(prefix="omldm_pqenc_")
+    src = f"{tmp}/src"
+    emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
+    stream = file_replay_source(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    sink = KeyedUpsertSink(f"{tmp}/upsert", ["vec_id"])
+
+    def encode_batch(df, bid):
+        sink(pq_encode_wide(df, books, m=4), bid)
+
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cols = ["vec_id", "c0", "c1", "c2", "c3"]
+    state = sink.current_state(spark, cols)
+    if state is None:
+        return spark.createDataFrame(
+            [], "vec_id long, c0 long, c1 long, c2 long, c3 long")
+    return state.select(*[F.col(c).cast("long").alias(c) for c in cols])
+
+
 from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
 
 
