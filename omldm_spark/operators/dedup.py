@@ -1311,3 +1311,78 @@ JOIN sizes sb ON sb.{id_col} = id_b
 WHERE common * {threshold_den}
       >= (sa.sz + sb.sz - common) * {threshold_num}
 """
+
+
+def cross_source_overlap(docs: DataFrame, n: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         src_col: str = "source") -> DataFrame:
+    """Source-to-source contamination matrix: for every pair of corpus
+    sources, how many distinct n-token shingles they SHARE, with the
+    containment ratio against the smaller side — the corpus-hygiene
+    report that catches one feed republishing another (mirrors, scrapes,
+    syndication) before near-dup pair generation ever runs.
+
+    Scale shape: distinct (source, shingle) postings (one groupBy whose
+    key space is bounded by content, not rows), then the pair join runs
+    PER SHINGLE over the few sources sharing it — quadratic only in the
+    sources-per-shingle fan-out, never docs x docs; the 20-row per-source
+    totals broadcast into the ratio."""
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    per_src = (
+        sh.join(docs.select(id_col, src_col), id_col)
+        .select(F.col(src_col).alias("src"), "shingle")
+        .distinct()
+    )
+    totals = per_src.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    a = per_src.select(F.col("src").alias("src_a"), "shingle")
+    b = per_src.select(F.col("src").alias("src_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("src_a"),
+                       F.col("n_shingles").alias("tot_a"))
+    tb = totals.select(F.col("src").alias("src_b"),
+                       F.col("n_shingles").alias("tot_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a").join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "tot_a", "tot_b",
+            F.expr("CAST(n_shared * 1000000 AS BIGINT)"
+                   " div least(tot_a, tot_b)").alias("containment_ppm"),
+        )
+    )
+
+
+def CROSS_SOURCE_OVERLAP_SQL(n: int = 8, table: str = "documents",
+                             text_expr: str = "text",
+                             id_col: str = "doc_id",
+                             src_col: str = "source") -> str:
+    return f"""
+WITH sh AS ({SHINGLES_SQL(n, table, text_expr, id_col)}),
+per_src AS (
+  SELECT DISTINCT d.{src_col} AS src, sh.shingle
+  FROM sh JOIN {table} d ON d.{id_col} = sh.{id_col}
+),
+totals AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_shingles
+  FROM per_src GROUP BY src
+),
+shared AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM per_src a JOIN per_src b
+    ON a.shingle = b.shingle AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.n_shared,
+       ta.n_shingles AS tot_a, tb.n_shingles AS tot_b,
+       (s.n_shared * 1000000) // least(ta.n_shingles, tb.n_shingles)
+         AS containment_ppm
+FROM shared s
+JOIN totals ta ON ta.src = s.src_a
+JOIN totals tb ON tb.src = s.src_b
+"""

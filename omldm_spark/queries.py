@@ -4151,6 +4151,22 @@ def q_streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(*[F.col(c).cast("long").alias(c) for c in cols])
 
 
+from .operators.dedup import (  # noqa: E402
+    CROSS_SOURCE_OVERLAP_SQL,
+    cross_source_overlap,
+)
+
+
+@query("cross_source_overlap", oracle=CROSS_SOURCE_OVERLAP_SQL(n=8))
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source contamination matrix: distinct shared 8-token
+    shingles + containment ppm per source pair — catches one feed
+    republishing another before any pair generation runs; quadratic only
+    in sources-per-shingle, totals broadcast (operators/dedup.py
+    cross_source_overlap)."""
+    return cross_source_overlap(load_table(spark, sf_dir, "documents"), n=8)
+
+
 from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
 
 
