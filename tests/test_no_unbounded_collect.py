@@ -42,6 +42,8 @@ ALLOWLIST = {
         "k-means|| seeding sample: limit(1024) upstream",
     ("operators/similarity.py", 'F.col("vid") < k).collect(), key=lambda'):
         "k seed centroids (two call sites share this shape): k x dim ints",
+    ("operators/similarity.py", 'seed_rows = sv.filter(F.col("vid") < k).collect()'):
+        "PQ seed codewords: m x k rows of dim/m ints (64 rows at m=4)",
     ("operators/similarity.py", "for r in agg.collect()"):
         "per-centroid sufficient stats: k rows",
     ("operators/skew.py", 'F.bit_or("mask")'):
