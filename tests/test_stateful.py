@@ -748,6 +748,38 @@ def test_keyed_upsert_sink_log_compaction(spark, tmp_path):
         sink.state_as_of(spark, 1, ["k", "v"])
 
 
+def test_keyed_upsert_sink_torn_commit_record_invisible(spark, tmp_path):
+    """fsio.write_text publishes atomically (full bytes to ``.tmp``,
+    then rename).  A crash BETWEEN those steps leaves only the .tmp —
+    which the log scanner must ignore entirely: the batch reads as
+    uncommitted, its state version is invisible, and the replay heals
+    it.  This is the commit-record half of the exactly-once argument
+    (the data-version half is test_keyed_upsert_sink_merges_and_replays)."""
+    from omldm_spark.streaming.sinks import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(str(tmp_path / "torn"), ["k"], n_buckets=4)
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    sink(b0, 0)
+
+    # simulate the torn publish: record survives only as partial .tmp
+    fs = sink._fs()
+    fs.delete(sink._commit_file(0), False)
+    with open(str(tmp_path / "torn" / "_commits" / "0.json.tmp"),
+              "w") as fh:
+        fh.write('{"buck')                     # truncated JSON
+
+    assert not sink.is_committed(0)
+    assert sink.current_state(spark, ["k", "v"]) is None  # torn invisible
+    ckpts, commits = sink._log_names()
+    assert commits == [] and ckpts == []       # .tmp never parsed as log
+
+    sink(b0, 0)                                # replay heals
+    assert sink.is_committed(0)
+    assert sorted(map(tuple,
+                      sink.current_state(spark, ["k", "v"]).collect())) == [
+        ("a", 1), ("b", 2)]
+
+
 def test_delta_upsert_sink_when_available(spark, tmp_path):
     """Runs the real Delta MERGE backend where delta-spark is installed
     (skipped here); the contract mirrors KeyedUpsertSink."""
