@@ -537,6 +537,10 @@ def test_idempotent_sink_under_real_stream(spark, tmp_path):
     got = sorted(r["rid"] for r in spark.read.parquet(
         *sink.committed_dirs()).collect())
     assert got == [1, 2, 3, 4, 5]
+    # current_state is the same committed view as a single reader call
+    got2 = sorted(r["rid"]
+                  for r in sink.current_state(spark, ["rid"]).collect())
+    assert got2 == got
 
 
 def _upsert_rows(spark, sink):
