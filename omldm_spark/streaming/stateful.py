@@ -175,6 +175,78 @@ def shingle_array_from(toks_expr, n: int):
                          else F.col(toks_expr), n)
 
 
+def minhash_bands_project(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          bands: int = 4, n: int = 3) -> DataFrame:
+    """(doc_id, band, bval) via STAGED projections — the performant twin
+    of ``minhash_bands_col`` for the streaming hot path.
+
+    The single-expression form re-evaluates the tokenizer + shingle
+    construction inside EVERY hash lambda (CollapseProject inlines the
+    shared subexpression into all k ``transform``s; measured 13 ms/doc —
+    67 s for 5k docs at sf0.1).  Here tokens, shingles, and the
+    per-shingle k-hash array each materialize in their OWN projection —
+    a nondeterministic pin column blocks CollapseProject, the same
+    guard the batch path uses (operators/dedup.shingles) — so the
+    regex split runs ONCE per row and the md5s once per
+    (shingle, hash): the necessary work and nothing else.  Projections
+    are stream-safe; the pin never reaches the output schema.  Same
+    hash family as minhash_bands_col, so oracles are unchanged."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import shingle_array, tokens_col
+
+    r = k // bands
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(text_col).alias("_toks"),
+        F.rand(25).alias("_p"),
+    ).drop("_p")
+    sh = toks.select(
+        "doc_id", shingle_array("_toks", n).alias("_sh"),
+        F.rand(26).alias("_p"),
+    ).drop("_p")
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            "_sh",
+            lambda s: F.array(*[
+                F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(k)
+            ]),
+        ).alias("_h"),
+        F.rand(27).alias("_p"),
+    ).drop("_p")
+    def _pick(i: int):
+        # NB: a (lambda a, i=i: ...) default arg would be shadowed by
+        # F.transform's (element, index) two-parameter convention — the
+        # same trap minhash_bands_col documents; bind i via a factory.
+        return lambda a: F.element_at(a, i + 1)
+
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.coalesce(
+                F.array_min(F.transform("_h", _pick(i))),
+                F.lit("~empty"),
+            ).alias(f"_s{i}")
+            for i in range(k)
+        ],
+        F.rand(28).alias("_p"),
+    ).drop("_p")
+    bb = F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"_s{j}") for j in range(b * r, (b + 1) * r)]
+            )).alias("bval"),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select("doc_id", F.explode(bb).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"),
+        F.col("bb.bval").alias("bval"))
+
+
 def _near_dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     """State per (band, bval): the anchor doc id (first doc ever seen in
     this bucket). Every later doc in the bucket emits a candidate pair
@@ -220,10 +292,8 @@ def streaming_near_dedup(stream: DataFrame, k: int = 8, bands: int = 4,
     """
     from pyspark.sql import functions as F
 
-    sigs = stream.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(minhash_bands_col(text_col, k=k, bands=bands, n=n)).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    sigs = minhash_bands_project(stream, text_col=text_col, id_col=id_col,
+                                 k=k, bands=bands, n=n)
     return sigs.groupBy("band", "bval").applyInPandasWithState(
         _near_dedup_fn,
         outputStructType="doc_id long, anchor_id long, band int",
