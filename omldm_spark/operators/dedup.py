@@ -1328,10 +1328,17 @@ def cross_source_overlap(docs: DataFrame, n: int = 8,
     sources-per-shingle fan-out, never docs x docs; the 20-row per-source
     totals broadcast into the ratio."""
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    # the distinct posting set fans out to THREE consumers (both sides of
+    # the pair join + the totals agg); without materialization Spark
+    # re-derives the whole corpus-scan + shingle pipeline per consumer
+    # (measured: 16 parquet scans in the optimized plan).  Persist the
+    # postings once — disk-backed, bounded by distinct content — and
+    # every consumer reads the one materialized exchange.
     per_src = (
         sh.join(docs.select(id_col, src_col), id_col)
         .select(F.col(src_col).alias("src"), "shingle")
         .distinct()
+        .persist()
     )
     totals = per_src.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"))

@@ -802,6 +802,38 @@ CHECKS = {
         ("per-(query,neighbor) sum map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "pq_distortion_report": [
+        ("codebooks broadcast; report is two stacked keyed aggs",
+         lambda p: p.count("BroadcastHashJoin") >= 1
+         and p.count("HashAggregate") >= 4
+         and "SortMergeJoin" not in p),
+    ],
+    "dedup_pq_block_pairs": [
+        # blocking is an equi-join on the code signature; verification
+        # only on survivors; no cartesian anywhere
+        ("signature equi-join, no cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("codebooks broadcast into encoding",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+    ],
+    "cross_source_overlap": [
+        # the distinct posting set materializes ONCE (persist) and all
+        # three consumers (pair join x2, totals) read the cache instead
+        # of re-deriving the corpus-scan + shingle pipeline
+        ("postings cached, consumers read InMemoryTableScan",
+         lambda p: "InMemoryTableScan" in p),
+        ("per-source totals broadcast into the ratio",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian pair generation",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "l_diversity_customers": [
+        # two stacked map-side-combined aggs; never a countDistinct
+        # window or a join
+        ("stacked aggs only — no join, no window, no expand",
+         lambda p: p.count("HashAggregate") >= 4 and "Join" not in p
+         and "Window" not in p),
+    ],
     "stump_best_split": [
         # the melt is an explode, not a per-feature union: ONE scan of
         # the fact table feeds all feature histograms
