@@ -550,13 +550,22 @@ def kmeans_train_quantized(
     of the true rational are multiples of 1/(2n) >> double ulp at these
     magnitudes, so correct rounding can never cross the floor boundary —
     mirrored by Python's (2s+n)//(2n) on exact ints in the driver loop."""
-    spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
     )
     qe = emb.select(F.col(id_col).cast("long").alias("vid"), qv.alias("qv"))
+    return kmeans_train_core(qe, k=k, rounds=rounds, dim=dim)
+
+
+def kmeans_train_core(qe: DataFrame, k: int = 8, rounds: int = 3,
+                      dim: int = 64) -> DataFrame:
+    """The integer Lloyd's recurrence over an ALREADY-quantized
+    (vid, qv bigint-array) frame — factored out so residual quantization
+    can train its second level on integer residuals directly (the input
+    needn't come from the float->grid quantizer)."""
+    spark = qe.sparkSession
     seed_rows = sorted(
         qe.filter(F.col("vid") < k).collect(), key=lambda r: r["vid"]
     )
@@ -613,6 +622,53 @@ def kmeans_train_quantized(
     )
 
 
+def KMEANS_CORE_CTES(src: str, k: int = 8, rounds: int = 3, dim: int = 64,
+                     prefix: str = "") -> list[str]:
+    """The r-round integer k-means recurrence as flat CTEs over ANY
+    source CTE ``src`` exposing (vid, qv) — the SQL twin of
+    kmeans_train_core.  ``prefix`` namespaces the chain
+    ({prefix}c0, {prefix}a0, ...) so two levels (residual quantization)
+    can coexist in one WITH list."""
+    p = prefix
+
+    def assign(r):
+        return f"""{p}a{r} AS (
+  SELECT e.vid, e.qv, c.cid
+  FROM {src} e CROSS JOIN {p}c{r} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid
+    ORDER BY list_sum(list_transform(range(1, {dim} + 1),
+                      i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))), c.cid
+  ) = 1
+)"""
+
+    def stats(r):
+        return f"""{p}s{r} AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         [{", ".join(f"CAST(sum(qv[{i + 1}]) AS BIGINT)" for i in range(dim))}]
+           AS sv
+  FROM {p}a{r} GROUP BY cid
+)"""
+
+    def update(r):
+        return f"""{p}c{r + 1} AS (
+  SELECT p.cid,
+         CASE WHEN s.n IS NULL THEN p.cv
+              ELSE list_transform(range(1, {dim} + 1),
+                     i -> CAST(floor((2 * s.sv[i] + s.n) / (2.0 * s.n))
+                               AS BIGINT))
+         END AS cv
+  FROM {p}c{r} p LEFT JOIN {p}s{r} s ON s.cid = p.cid
+)"""
+
+    parts = [
+        f"{p}c0 AS (SELECT vid AS cid, qv AS cv FROM {src} WHERE vid < {k})"
+    ]
+    for r in range(rounds):
+        parts += [assign(r), stats(r), update(r)]
+    return parts
+
+
 def KMEANS_TRAIN_CTES(k: int = 8, rounds: int = 3, dim: int = 64,
                       quant: int = 1_000_000, table: str = "embeddings",
                       id_col: str = "vec_id",
@@ -622,46 +678,14 @@ def KMEANS_TRAIN_CTES(k: int = 8, rounds: int = 3, dim: int = 64,
     table ``c{rounds}`` — flat so composed oracles (ANN_IVF_TRAINED_SQL)
     can splice it into one WITH list; the DuckDB binder mis-handles a
     nested WITH inside another statement's CTE member."""
-    def assign(r):
-        return f"""a{r} AS (
-  SELECT e.vid, e.qv, c.cid
-  FROM qe e CROSS JOIN c{r} c
-  QUALIFY row_number() OVER (
-    PARTITION BY e.vid
-    ORDER BY list_sum(list_transform(range(1, {dim} + 1),
-                      i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))), c.cid
-  ) = 1
-)"""
-
-    def stats(r):
-        return f"""s{r} AS (
-  SELECT cid, CAST(count(*) AS BIGINT) AS n,
-         [{", ".join(f"CAST(sum(qv[{i + 1}]) AS BIGINT)" for i in range(dim))}]
-           AS sv
-  FROM a{r} GROUP BY cid
-)"""
-
-    def update(r):
-        return f"""c{r + 1} AS (
-  SELECT p.cid,
-         CASE WHEN s.n IS NULL THEN p.cv
-              ELSE list_transform(range(1, {dim} + 1),
-                     i -> CAST(floor((2 * s.sv[i] + s.n) / (2.0 * s.n))
-                               AS BIGINT))
-         END AS cv
-  FROM c{r} p LEFT JOIN s{r} s ON s.cid = p.cid
-)"""
-
     parts = [f"""qe AS (
   SELECT CAST({id_col} AS BIGINT) AS vid,
          list_transform({vec_col},
                         x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
                                   AS BIGINT)) AS qv
   FROM {table}
-)""", f"c0 AS (SELECT vid AS cid, qv AS cv FROM qe WHERE vid < {k})"]
-    for r in range(rounds):
-        parts += [assign(r), stats(r), update(r)]
-    return parts
+)"""]
+    return parts + KMEANS_CORE_CTES("qe", k=k, rounds=rounds, dim=dim)
 
 
 def KMEANS_TRAIN_SQL(k: int = 8, rounds: int = 3, dim: int = 64,
@@ -1354,4 +1378,192 @@ codes AS (
   ) = 1
 )
 SELECT vid AS {id_col}, {wide} FROM codes GROUP BY vid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Residual quantization (two-level): the additive-codebook alternative to
+# product quantization (Chen et al., "Approximate Nearest Neighbor Search
+# by Residual Vector Quantization", Sensors 2010; the RQ/IVFADC family) —
+# level 1 coarsely quantizes the vector, level 2 quantizes what level 1
+# missed, and reconstruction is the SUM of one codeword per level.  Both
+# levels ride the same integer floor-midpoint recurrence, so training,
+# encoding, and the ADC search are hash-exact end-to-end.
+# ---------------------------------------------------------------------------
+
+def rq_train_encode(emb: DataFrame, k1: int = 16, k2: int = 16,
+                    rounds: int = 2, dim: int = 64,
+                    quant: int = 1_000_000, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Train both RQ levels and encode the corpus.  Returns
+    (codes, cents1, cents2): codes = (vid, cid1, cid2); cents1/cents2 =
+    (cid, cv) integer codebooks (localCheckpointed — tiny).
+
+    Level 2 trains on the integer residuals qv - cv1 of each vector's
+    level-1 assignment (seeds: residuals of the first k2 vids), via the
+    factored kmeans_train_core — no float path anywhere after the
+    initial grid quantization."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+    qe = emb.select(
+        F.col(id_col).cast("long").alias("vid"), qv.alias("qv")
+    ).localCheckpoint()
+    cents1 = (
+        kmeans_train_core(qe, k=k1, rounds=rounds, dim=dim)
+        .select("cid", F.col("centroid_q").alias("cv"))
+        .localCheckpoint()
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vid").orderBy("d2", "cid")
+    a1 = (
+        qe.crossJoin(F.broadcast(cents1))
+        .select("vid", "qv", "cid", "cv", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    resid = a1.select(
+        "vid",
+        F.expr("zip_with(qv, cv, (a, b) -> a - b)").alias("qv"),
+        F.col("cid").alias("cid1"),
+    ).localCheckpoint()
+    cents2 = (
+        kmeans_train_core(resid.select("vid", "qv"), k=k2, rounds=rounds,
+                          dim=dim)
+        .select("cid", F.col("centroid_q").alias("cv"))
+        .localCheckpoint()
+    )
+    a2 = (
+        resid.crossJoin(F.broadcast(cents2))
+        .select("vid", "cid1", F.col("cid"), d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    codes = a2.select("vid", "cid1", F.col("cid").alias("cid2"))
+    return codes, cents1, cents2, qe
+
+
+def ann_rq_adc_topk(emb: DataFrame, k1: int = 16, k2: int = 16,
+                    rounds: int = 2, n_queries: int = 10, topk: int = 5,
+                    dim: int = 64, quant: int = 1_000_000,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k over two-level RQ codes: each query precomputes its
+    distance to every RECONSTRUCTION c1+c2 (an n_queries x k1 x k2 LUT —
+    2560 rows here), and the search is the (vid, cid1, cid2) code table
+    joined against the BROADCAST LUT — one integer lookup per corpus
+    vector, raw vectors untouched at query time.  Versus PQ the codes
+    are coupled (additive, full-dimension), so at equal bits RQ spends
+    them on the vector's actual error direction instead of fixed
+    subspaces.  Ranking ties break on neighbor_id; the oracle chains
+    both training levels + encoding + the LUT join (ANN_RQ_ADC_SQL)."""
+    codes, cents1, cents2, qe = rq_train_encode(
+        emb, k1=k1, k2=k2, rounds=rounds, dim=dim, quant=quant,
+        id_col=id_col, vec_col=vec_col)
+    recon_d2 = F.expr(
+        "aggregate(zip_with(qv, recon, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    lut = (
+        qe.filter(F.col("vid") < n_queries)
+        .crossJoin(F.broadcast(
+            cents1.select(F.col("cid").alias("cid1"),
+                          F.col("cv").alias("cv1"))))
+        .crossJoin(F.broadcast(
+            cents2.select(F.col("cid").alias("cid2"),
+                          F.col("cv").alias("cv2"))))
+        .select(
+            F.col("vid").alias("query_id"), "cid1", "cid2",
+            F.expr("zip_with(cv1, cv2, (a, b) -> a + b)").alias("recon"),
+            "qv",
+        )
+        .select("query_id", "cid1", "cid2", recon_d2.alias("d2"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cid1", "cid2"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"),
+                F.col("d2").alias("adc_d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id",
+                F.col("adc_d2").cast("long").alias("adc_d2"), "rank")
+    )
+
+
+def ANN_RQ_ADC_SQL(k1: int = 16, k2: int = 16, rounds: int = 2,
+                   n_queries: int = 10, topk: int = 5, dim: int = 64,
+                   quant: int = 1_000_000, table: str = "embeddings",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """Both RQ levels + encoding + LUT ranking as ONE flattened CTE
+    pipeline (level 2's chain rides KMEANS_CORE_CTES with prefix 'r'
+    over the residual CTE)."""
+    def dist(a, b):
+        return (f"list_sum(list_transform(range(1, {dim} + 1),"
+                f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+    l1 = KMEANS_CORE_CTES("qe", k=k1, rounds=rounds, dim=dim)
+    l2 = KMEANS_CORE_CTES("resid", k=k2, rounds=rounds, dim=dim,
+                          prefix="r")
+    joined1 = ",\n".join(l1)
+    joined2 = ",\n".join(l2)
+    return f"""
+WITH qe AS MATERIALIZED (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
+                                  AS BIGINT)) AS qv
+  FROM {table}
+),
+{joined1},
+fa1 AS MATERIALIZED (
+  SELECT e.vid, e.qv, c.cid AS cid1, c.cv
+  FROM qe e CROSS JOIN c{rounds} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid ORDER BY {dist('e.qv', 'c.cv')}, c.cid
+  ) = 1
+),
+resid AS MATERIALIZED (
+  SELECT vid, list_transform(range(1, {dim} + 1),
+                             i -> qv[i] - cv[i]) AS qv, cid1
+  FROM fa1
+),
+{joined2},
+codes AS MATERIALIZED (
+  SELECT e.vid, e.cid1, c.cid AS cid2
+  FROM resid e CROSS JOIN rc{rounds} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid ORDER BY {dist('e.qv', 'c.cv')}, c.cid
+  ) = 1
+),
+lut AS MATERIALIZED (
+  SELECT q.vid AS query_id, c1.cid AS cid1, c2.cid AS cid2,
+         list_sum(list_transform(range(1, {dim} + 1),
+           i -> (q.qv[i] - (c1.cv[i] + c2.cv[i]))
+              * (q.qv[i] - (c1.cv[i] + c2.cv[i])))) AS d2
+  FROM (SELECT vid, qv FROM qe WHERE vid < {n_queries}) q
+  CROSS JOIN c{rounds} c1
+  CROSS JOIN rc{rounds} c2
+),
+adc AS (
+  SELECT l.query_id, co.vid AS neighbor_id, CAST(l.d2 AS BIGINT) AS adc_d2
+  FROM codes co
+  JOIN lut l ON l.cid1 = co.cid1 AND l.cid2 = co.cid2
+  WHERE co.vid != l.query_id
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rk
+  FROM adc
+) WHERE rk <= {topk}
 """

@@ -4167,6 +4167,24 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_overlap(load_table(spark, sf_dir, "documents"), n=8)
 
 
+from .operators.similarity import ANN_RQ_ADC_SQL, ann_rq_adc_topk  # noqa: E402
+
+
+@query("ann_rq_adc_topk", oracle=ANN_RQ_ADC_SQL(k1=16, k2=16, rounds=2))
+def q_ann_rq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level RESIDUAL quantization ADC top-k (the additive-codebook
+    sibling of ann_pq_adc_topk; Chen et al. 2010 / the IVFADC family):
+    level 1 coarsely quantizes each vector, level 2 quantizes the
+    residual, search joins the (vid, cid1, cid2) code table against a
+    broadcast per-query reconstruction-distance LUT (k1 x k2 cells).
+    Both levels ride the factored integer k-means recurrence
+    (kmeans_train_core), so the chained oracle pins training + encoding
+    + ranking end-to-end (operators/similarity.py ann_rq_adc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_rq_adc_topk(emb, k1=16, k2=16, rounds=2,
+                           n_queries=10, topk=5)
+
+
 from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
 
 

@@ -802,6 +802,18 @@ CHECKS = {
         ("per-(query,neighbor) sum map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "ann_rq_adc_topk": [
+        # both codebooks + the per-query reconstruction LUT only ever
+        # join as broadcasts; everything downstream of the checkpointed
+        # quantized frame — no parquet rescan, no cartesian
+        ("search is checkpoint-backed, no parquet rescan",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+        ("codebooks and LUT broadcast only",
+         lambda p: p.count("BroadcastHashJoin")
+         + p.count("BroadcastNestedLoopJoin") >= 3
+         and "SortMergeJoin" not in p),
+        ("no non-broadcast cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     "pq_distortion_report": [
         ("codebooks broadcast; report is two stacked keyed aggs",
          lambda p: p.count("BroadcastHashJoin") >= 1
