@@ -1567,3 +1567,141 @@ FROM (
   FROM adc
 ) WHERE rk <= {topk}
 """
+
+
+def ann_ivfadc_topk(emb: DataFrame, k1: int = 16, k2: int = 16,
+                    rounds: int = 2, n_probe: int = 4,
+                    n_queries: int = 10, topk: int = 5, dim: int = 64,
+                    quant: int = 1_000_000, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVFADC — the canonical billion-scale serving architecture (Jegou
+    et al. TPAMI 2011 §V): the level-1 codebook doubles as the IVF
+    coarse quantizer (cells = inverted lists), each query probes only
+    its ``n_probe`` nearest cells, and within probed cells distances
+    come from the level-2 residual codes via the ADC LUT.  Implemented
+    as the RQ search with the per-query LUT RESTRICTED to the probed
+    cid1 rows — the candidate join then touches ~n_probe/k1 of the code
+    table, and because the join key is (cid1, cid2) the pruning is free
+    (codes in unprobed cells simply find no LUT row).  Training,
+    routing, and ranking all integer-exact; the oracle performs the
+    identical restricted search."""
+    codes, cents1, cents2, qe = rq_train_encode(
+        emb, k1=k1, k2=k2, rounds=rounds, dim=dim, quant=quant,
+        id_col=id_col, vec_col=vec_col)
+    d2c = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    wq1 = Window.partitionBy("vid").orderBy("d2", "cid")
+    probed = (
+        qe.filter(F.col("vid") < n_queries)
+        .crossJoin(F.broadcast(cents1))
+        .select("vid", "qv", "cid", "cv", d2c.alias("d2"))
+        .withColumn("rk", F.row_number().over(wq1))
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col("vid").alias("query_id"), F.col("qv").alias("q_qv"),
+                F.col("cid").alias("cid1"),
+                F.col("cv").alias("cv1"))
+    )
+    recon_d2 = F.expr(
+        "aggregate(zip_with(q_qv, recon, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    lut = (
+        probed.crossJoin(F.broadcast(
+            cents2.select(F.col("cid").alias("cid2"),
+                          F.col("cv").alias("cv2"))))
+        .select(
+            "query_id", "cid1", "cid2",
+            F.expr("zip_with(cv1, cv2, (a, b) -> a + b)").alias("recon"),
+            "q_qv",
+        )
+        .select("query_id", "cid1", "cid2", recon_d2.alias("d2"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cid1", "cid2"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"),
+                F.col("d2").alias("adc_d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id",
+                F.col("adc_d2").cast("long").alias("adc_d2"), "rank")
+    )
+
+
+def ANN_IVFADC_SQL(k1: int = 16, k2: int = 16, rounds: int = 2,
+                   n_probe: int = 4, n_queries: int = 10, topk: int = 5,
+                   dim: int = 64, quant: int = 1_000_000,
+                   table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    def dist(a, b):
+        return (f"list_sum(list_transform(range(1, {dim} + 1),"
+                f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+    l1 = KMEANS_CORE_CTES("qe", k=k1, rounds=rounds, dim=dim)
+    l2 = KMEANS_CORE_CTES("resid", k=k2, rounds=rounds, dim=dim,
+                          prefix="r")
+    joined1 = ",\n".join(l1)
+    joined2 = ",\n".join(l2)
+    return f"""
+WITH qe AS MATERIALIZED (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
+                                  AS BIGINT)) AS qv
+  FROM {table}
+),
+{joined1},
+fa1 AS MATERIALIZED (
+  SELECT e.vid, e.qv, c.cid AS cid1, c.cv
+  FROM qe e CROSS JOIN c{rounds} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid ORDER BY {dist('e.qv', 'c.cv')}, c.cid
+  ) = 1
+),
+resid AS MATERIALIZED (
+  SELECT vid, list_transform(range(1, {dim} + 1),
+                             i -> qv[i] - cv[i]) AS qv, cid1
+  FROM fa1
+),
+{joined2},
+codes AS MATERIALIZED (
+  SELECT e.vid, e.cid1, c.cid AS cid2
+  FROM resid e CROSS JOIN rc{rounds} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid ORDER BY {dist('e.qv', 'c.cv')}, c.cid
+  ) = 1
+),
+probed AS MATERIALIZED (
+  SELECT q.vid AS query_id, q.qv AS q_qv, c.cid AS cid1, c.cv AS cv1
+  FROM (SELECT vid, qv FROM qe WHERE vid < {n_queries}) q
+  CROSS JOIN c{rounds} c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vid ORDER BY {dist('q.qv', 'c.cv')}, c.cid
+  ) <= {n_probe}
+),
+lut AS MATERIALIZED (
+  SELECT p.query_id, p.cid1, c2.cid AS cid2,
+         list_sum(list_transform(range(1, {dim} + 1),
+           i -> (p.q_qv[i] - (p.cv1[i] + c2.cv[i]))
+              * (p.q_qv[i] - (p.cv1[i] + c2.cv[i])))) AS d2
+  FROM probed p CROSS JOIN rc{rounds} c2
+),
+adc AS (
+  SELECT l.query_id, co.vid AS neighbor_id, CAST(l.d2 AS BIGINT) AS adc_d2
+  FROM codes co
+  JOIN lut l ON l.cid1 = co.cid1 AND l.cid2 = co.cid2
+  WHERE co.vid != l.query_id
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rk
+  FROM adc
+) WHERE rk <= {topk}
+"""

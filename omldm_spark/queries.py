@@ -4185,6 +4185,28 @@ def q_ann_rq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_queries=10, topk=5)
 
 
+from .operators.similarity import ANN_IVFADC_SQL, ann_ivfadc_topk  # noqa: E402
+
+
+@query(
+    "ann_ivfadc_topk",
+    oracle=ANN_IVFADC_SQL(k1=16, k2=16, rounds=2, n_probe=4),
+)
+def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jegou et al. TPAMI 2011 §V — the canonical billion-scale
+    layout): the RQ level-1 codebook doubles as the IVF coarse
+    quantizer, each query probes its 4 nearest cells, and distances
+    within probed cells come from the residual codes via the broadcast
+    ADC LUT — restricting the LUT to probed cid1 rows prunes the
+    candidate join to ~n_probe/k1 of the code table for free (codes in
+    unprobed cells find no LUT row).  Chained oracle pins coarse
+    routing + both codebooks + ranking (operators/similarity.py
+    ann_ivfadc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivfadc_topk(emb, k1=16, k2=16, rounds=2, n_probe=4,
+                           n_queries=10, topk=5)
+
+
 from .operators.corpus import CORPUS_PIPELINE_SQL, corpus_pipeline  # noqa: E402
 
 

@@ -216,6 +216,27 @@ def test_rq_refines_l1_and_reconstruction_invariant(spark):
     assert sum(rec) / len(rec) >= 0.4, rec
 
 
+def test_ivfadc_degenerates_to_full_rq_adc_at_all_probes(spark):
+    """IVFADC with n_probe == k1 probes every cell, so the restricted
+    search must return EXACTLY the unrestricted RQ ADC result — the
+    pruning is lossless at full probe (same two trained codebooks, same
+    LUT values, same tie-breaks), pinning that probe restriction is the
+    ONLY thing IVFADC adds."""
+    from omldm_spark.operators.similarity import (
+        ann_ivfadc_topk,
+        ann_rq_adc_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = ann_rq_adc_topk(emb, k1=16, k2=16, rounds=2).toPandas()
+    ivf = ann_ivfadc_topk(emb, k1=16, k2=16, rounds=2,
+                          n_probe=16).toPandas()
+    key = ["query_id", "neighbor_id", "adc_d2", "rank"]
+    a = full[key].sort_values(key).reset_index(drop=True)
+    b = ivf[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_power_iteration_matches_numpy_and_converges(spark):
     """Two checks with numpy as referee: (1) the engine's 5-round
     quantized iterate is BIT-IDENTICAL to the same recurrence run in

@@ -802,6 +802,16 @@ CHECKS = {
         ("per-(query,neighbor) sum map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "ann_ivfadc_topk": [
+        # probe restriction lives in the LUT: unprobed cells find no LUT
+        # row, so the candidate join prunes for free — still broadcast-
+        # only, still checkpoint-backed
+        ("search is checkpoint-backed, no parquet rescan",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+        ("LUT and codebooks broadcast only",
+         lambda p: "SortMergeJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
     "ann_rq_adc_topk": [
         # both codebooks + the per-query reconstruction LUT only ever
         # join as broadcasts; everything downstream of the checkpointed
