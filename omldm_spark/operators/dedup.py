@@ -1364,6 +1364,108 @@ def cross_source_overlap(docs: DataFrame, n: int = 8,
     )
 
 
+def cross_source_overlap_merge(prev, batch_docs: DataFrame, n: int = 8,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               src_col: str = "source"):
+    """One micro-batch fold of the source-contamination matrix — true
+    incremental view maintenance, not recompute-from-state: carried
+    state is (postings, shared, totals) and each batch only pays for
+    its OWN postings plus the shingle-keyed probe of new postings
+    against the accumulated set.
+
+    A (pair, shingle) contribution transitions exactly once — the batch
+    where the SECOND source first acquires the shingle — so the delta is
+    (new x old postings on shingle) + (new x new, src_a < src_b), with
+    no double count: a posting in N was anti-joined out of S, so an
+    N x N pair can never also appear in N x S.  Counter merges are
+    full-outer coalesce-sums keyed (src_a, src_b) / src — both bounded
+    by the number of SOURCES, not rows.  At 100 TB the postings state
+    is the only big side; bucket it by shingle so the per-batch probe
+    co-locates without reshuffling history.
+
+    Returns (postings, shared, totals); ``prev`` is None on the first
+    batch or the same tuple from the previous fold."""
+    P = (
+        shingles(batch_docs, n=n, text_col=text_col, id_col=id_col)
+        .join(batch_docs.select(id_col, src_col), id_col)
+        .select(F.col(src_col).alias("src"), "shingle")
+        .distinct()
+    )
+    if prev is None:
+        S, shared0, totals0 = None, None, None
+        N = P
+    else:
+        S, shared0, totals0 = prev
+        N = P.join(S, ["src", "shingle"], "left_anti")
+    new_new = (
+        N.alias("x").join(N.alias("y"), "shingle")
+        .filter(F.col("x.src") < F.col("y.src"))
+        .select(F.col("x.src").alias("src_a"), F.col("y.src").alias("src_b"))
+    )
+    if S is not None:
+        new_old = (
+            N.alias("nw").join(S.alias("ol"), "shingle")
+            .filter(F.col("nw.src") != F.col("ol.src"))
+            .select(
+                F.least("nw.src", "ol.src").alias("src_a"),
+                F.greatest("nw.src", "ol.src").alias("src_b"),
+            )
+        )
+        pair_delta = new_new.unionByName(new_old)
+    else:
+        pair_delta = new_new
+    d_shared = (
+        pair_delta.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    if shared0 is None:
+        shared = d_shared.select(
+            "src_a", "src_b", F.col("d").alias("n_shared"))
+    else:
+        shared = (
+            shared0.join(d_shared, ["src_a", "src_b"], "full_outer")
+            .select(
+                "src_a", "src_b",
+                (F.coalesce("n_shared", F.lit(0).cast("long"))
+                 + F.coalesce("d", F.lit(0).cast("long"))).alias("n_shared"),
+            )
+        )
+    d_tot = N.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    if totals0 is None:
+        totals = d_tot.select("src", F.col("d").alias("n_shingles"))
+    else:
+        totals = (
+            totals0.join(d_tot, "src", "full_outer")
+            .select(
+                "src",
+                (F.coalesce("n_shingles", F.lit(0).cast("long"))
+                 + F.coalesce("d", F.lit(0).cast("long")))
+                .alias("n_shingles"),
+            )
+        )
+    postings = P if S is None else S.unionByName(N)
+    return postings, shared, totals
+
+
+def overlap_matrix_from_counters(shared: DataFrame,
+                                 totals: DataFrame) -> DataFrame:
+    """Assemble the contamination report from the maintained counters —
+    the same tail as cross_source_overlap, with the per-source totals
+    broadcast into the ratio."""
+    ta = totals.select(F.col("src").alias("src_a"),
+                       F.col("n_shingles").alias("tot_a"))
+    tb = totals.select(F.col("src").alias("src_b"),
+                       F.col("n_shingles").alias("tot_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a").join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "tot_a", "tot_b",
+            F.expr("CAST(n_shared * 1000000 AS BIGINT)"
+                   " div least(tot_a, tot_b)").alias("containment_ppm"),
+        )
+    )
+
+
 def CROSS_SOURCE_OVERLAP_SQL(n: int = 8, table: str = "documents",
                              text_expr: str = "text",
                              id_col: str = "doc_id",

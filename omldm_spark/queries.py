@@ -4167,6 +4167,66 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_overlap(load_table(spark, sf_dir, "documents"), n=8)
 
 
+@query("streaming_cross_source_overlap", oracle=CROSS_SOURCE_OVERLAP_SQL(n=8))
+def q_streaming_cross_source_overlap(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """INCREMENTAL contamination matrix: documents arrive as a
+    multi-batch stream and each batch folds into maintained
+    (postings, shared, totals) counters (operators/dedup.py
+    cross_source_overlap_merge) — true incremental view maintenance:
+    a (pair, shingle) contribution is counted exactly once, in the
+    batch where the second source first acquires the shingle, so
+    per-batch cost is O(batch postings + shingle-keyed probe of the
+    accumulated set), never a recompute over history.  Streaming must
+    be invisible: the oracle is the one-shot batch
+    cross_source_overlap over the whole corpus."""
+    import os
+    import tempfile
+
+    from .operators.dedup import (
+        cross_source_overlap_merge,
+        overlap_matrix_from_counters,
+    )
+    from .streaming.sources import file_replay_source
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    tmp = tempfile.mkdtemp(prefix="omldm_xsrc_")
+    src_dir = f"{tmp}/src"
+    docs.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+    parts = ("postings", "shared", "totals")
+
+    def _latest():
+        if not os.path.isdir(state_dir):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                    if d.startswith("v"))
+        if not vs:
+            return None
+        return tuple(
+            spark.read.parquet(f"{state_dir}/v{vs[-1]}/{p}") for p in parts)
+
+    def fold(df, bid):
+        new_state = cross_source_overlap_merge(_latest(), df, n=8)
+        for p, sdf in zip(parts, new_state):
+            sdf.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/{p}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _, shared, totals = _latest()
+    return overlap_matrix_from_counters(shared, totals)
+
+
 from .operators.similarity import ANN_RQ_ADC_SQL, ann_rq_adc_topk  # noqa: E402
 
 

@@ -194,3 +194,81 @@ def test_streaming_zset_fold_cadence_and_vanish(spark, tmp_path):
     expect = {1: (2, 60), 2: (1, 9)}  # 7 vanished
     assert run(1) == expect
     assert run(3) == expect
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-source overlap (cross_source_overlap_merge)
+# ---------------------------------------------------------------------------
+
+
+def _overlap_docs(spark):
+    # 3 sources; "alpha beta gamma delta" is shared by web+books (planted
+    # contamination), "one two three four" by web+wiki; wiki also repeats a
+    # web shingle inside a longer doc so containment != jaccard.
+    rows = [
+        (1, "alpha beta gamma delta", "web"),
+        (2, "alpha beta gamma delta", "books"),
+        (3, "one two three four", "web"),
+        (4, "one two three four", "wiki"),
+        (5, "zzz yyy xxx www", "books"),
+        (6, "one two three four five six", "wiki"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+def _fold_in_batches(spark, docs, n_batches, n=4):
+    from omldm_spark.operators.dedup import cross_source_overlap_merge
+
+    state = None
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for b in range(n_batches):
+        batch_ids = [i for j, i in enumerate(sorted(ids))
+                     if j % n_batches == b]
+        batch = docs.filter(docs.doc_id.isin(batch_ids))
+        state = cross_source_overlap_merge(state, batch, n=n)
+        # materialize like the streaming query does per batch (the fold
+        # contract: state versions are persisted, not lazily chained)
+        state = tuple(s.localCheckpoint() for s in state)
+    return state
+
+
+def _counters_dict(state):
+    _, shared, totals = state
+    return (
+        {(r.src_a, r.src_b): r.n_shared for r in shared.collect()
+         if r.n_shared > 0},
+        {r.src: r.n_shingles for r in totals.collect()},
+    )
+
+
+def test_overlap_merge_matches_batch_any_cadence(spark):
+    from omldm_spark.operators.dedup import cross_source_overlap
+
+    docs = _overlap_docs(spark)
+    batch = {
+        (r.src_a, r.src_b): (r.n_shared, r.tot_a, r.tot_b, r.containment_ppm)
+        for r in cross_source_overlap(docs, n=4).collect()
+    }
+    for cadence in (1, 2, 3, 6):
+        state = _fold_in_batches(spark, docs, cadence, n=4)
+        shared, totals = _counters_dict(state)
+        assert shared == {k: v[0] for k, v in batch.items()}, cadence
+        for (a, b), (_, ta, tb, _) in batch.items():
+            assert totals[a] == ta and totals[b] == tb
+
+
+def test_overlap_merge_reseen_posting_is_free(spark):
+    """Replaying an already-absorbed document must change NOTHING: the
+    anti-join makes re-seen postings zero-cost and zero-effect (the
+    exactly-once transition per (pair, shingle))."""
+    from omldm_spark.operators.dedup import cross_source_overlap_merge
+
+    docs = _overlap_docs(spark)
+    state = _fold_in_batches(spark, docs, 2, n=4)
+    before = _counters_dict(state)
+    replay = docs.filter(docs.doc_id.isin([1, 3, 4]))
+    state2 = cross_source_overlap_merge(state, replay, n=4)
+    assert _counters_dict(state2) == before
+    # postings set unchanged too
+    assert state2[0].count() == state[0].count()
