@@ -872,10 +872,95 @@ def pq_subvectors(emb: DataFrame, m: int = 4, dim: int = 64,
     ).select("vid", "e.sub", "e.sv")
 
 
+def opq_dim_assignment(emb: DataFrame, m: int = 4, dim: int = 64,
+                       quant: int = 1_000_000, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Variance-balanced dimension-to-subspace permutation — the
+    eigenvalue-allocation baseline of OPQ (Ge et al., CVPR 2013 §4:
+    balancing variance across subspaces is what the learned rotation
+    buys; the free version is a permutation).  Per-dim variance is the
+    EXACT integer proxy n*sum(q^2) - (sum q)^2 (= n^2 * var), dims are
+    ranked by it, and rank r snakes into subspace r%m (even pass) /
+    m-1-r%m (odd pass) at position r div m — so every subspace gets one
+    dim per pass, alternating pick order, and total variance splits as
+    evenly as a permutation can.
+
+    Scale shape: one posexplode + a dim-keyed agg (map-side combined;
+    key space = dim, not rows) + a window over the `dim` aggregate rows
+    only.  Integer bound: n * sum(q^2) must stay under 2^63 — with
+    |q| <= quant = 1e6 that is n^2 * 1e12 < 9.2e18, i.e. exact to ~3M
+    vectors per training sample; beyond that, train the permutation on
+    a fixed-size sample (the assignment is 64 rows either way).
+
+    Output: (dim, sub, pos, var_q), all BIGINT, dim/pos 0-based."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+    st = (
+        emb.select(F.posexplode(qv).alias("dim", "q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").cast("long").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+        )
+    )
+    w = Window.orderBy(F.desc("var_q"), "dim")
+    r = F.row_number().over(w) - 1
+    ranked = (
+        st.select(
+            F.col("dim").cast("long").alias("dim"),
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            .alias("var_q"),
+        )
+        .withColumn("r", r)
+    )
+    p, j = F.floor(F.col("r") / m), F.col("r") % m
+    return ranked.select(
+        "dim",
+        F.when(p % 2 == 0, j).otherwise(m - 1 - j)
+         .cast("long").alias("sub"),
+        p.cast("long").alias("pos"),
+        "var_q",
+    )
+
+
+def opq_subvectors(emb: DataFrame, m: int = 4, dim: int = 64,
+                   quant: int = 1_000_000, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   assign: DataFrame | None = None) -> DataFrame:
+    """(vid, sub, sv) with the variance-balanced PERMUTED subspaces:
+    the melt joins the broadcast 64-row dim->(sub, pos) map and gathers
+    each subvector in pos order (array_sort over (pos, q) structs —
+    pos is unique per (vid, sub), so the gather is deterministic
+    regardless of collect_list order).  One explode + one keyed agg."""
+    if assign is None:
+        assign = opq_dim_assignment(emb, m=m, dim=dim, quant=quant,
+                                    id_col=id_col, vec_col=vec_col)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+    md = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.posexplode(qv).alias("dim", "q"),
+    )
+    gathered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "q"))), lambda s: s.q
+    )
+    return (
+        md.join(F.broadcast(assign.select("dim", "sub", "pos")), "dim")
+        .groupBy("vid", "sub")
+        .agg(gathered.alias("sv"))
+    )
+
+
 def pq_train_quantized(emb: DataFrame, m: int = 4, k: int = 16,
                        rounds: int = 2, dim: int = 64,
                        quant: int = 1_000_000, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       subvec: DataFrame | None = None) -> DataFrame:
     """Per-subspace Lloyd's to ``rounds`` iterations, EXACT: every
     subspace trains its own k codewords with the identical integer
     floor-midpoint rule as kmeans_train_quantized, but ALL m subspaces
@@ -885,11 +970,14 @@ def pq_train_quantized(emb: DataFrame, m: int = 4, k: int = 16,
     codeword rows reach the driver per round (m=4, k=16 -> 64 rows).
 
     Output: (sub, cid, n_assigned, codeword_q) after ``rounds`` updates
-    (final update in-plan, empty cells keep their previous codeword)."""
+    (final update in-plan, empty cells keep their previous codeword).
+    ``subvec`` overrides the contiguous-slice melt with a caller-built
+    (vid, sub, sv) frame — the OPQ permuted-subspace hook."""
     spark = emb.sparkSession
     d = dim // m
-    sv = pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
-                       vec_col=vec_col).localCheckpoint()
+    sv = (pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                        vec_col=vec_col)
+          if subvec is None else subvec).localCheckpoint()
 
     def assign_to(cent_df):
         d2 = F.expr(
@@ -969,7 +1057,8 @@ def ann_pq_adc_topk(emb: DataFrame, m: int = 4, k: int = 16,
                     rounds: int = 2, n_queries: int = 10, topk: int = 5,
                     dim: int = 64, quant: int = 1_000_000,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    subvec: DataFrame | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
     ENCODED once (argmin codeword per (vector, subspace) — N*m small
     ints), each query precomputes its distance to every codeword (an
@@ -986,11 +1075,13 @@ def ann_pq_adc_topk(emb: DataFrame, m: int = 4, k: int = 16,
         "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
         " 0L, (acc, x) -> acc + x)"
     )
-    sv = pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
-                       vec_col=vec_col).localCheckpoint()
+    sv = (pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                        vec_col=vec_col)
+          if subvec is None else subvec).localCheckpoint()
     books = (
         pq_train_quantized(emb, m=m, k=k, rounds=rounds, dim=dim,
-                           quant=quant, id_col=id_col, vec_col=vec_col)
+                           quant=quant, id_col=id_col, vec_col=vec_col,
+                           subvec=sv)
         .select("sub", "cid", F.col("codeword_q").alias("cv"))
         .localCheckpoint()
     )
@@ -1022,19 +1113,75 @@ def ann_pq_adc_topk(emb: DataFrame, m: int = 4, k: int = 16,
     )
 
 
+def OPQ_ASSIGN_PARTS(m: int = 4) -> list[str]:
+    """Flat CTE parts for the variance-balanced snake permutation over
+    the quantized melt: opq_md (vid, dim, q), opq_st (per-dim integer
+    moment sums), opq_map (dim -> sub, pos, var_q).  Expects pq_qe in
+    scope (the quantized-vector CTE from PQ_TRAIN_CTES)."""
+    return [
+        """opq_md AS MATERIALIZED (
+  SELECT vid, gs - 1 AS dim, q
+  FROM (SELECT vid, unnest(qv) AS q, generate_subscripts(qv, 1) AS gs
+        FROM pq_qe)
+)""",
+        """opq_st AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s1,
+         CAST(sum(q * q) AS BIGINT) AS s2
+  FROM opq_md GROUP BY dim
+)""",
+        f"""opq_map AS (
+  SELECT CAST(dim AS BIGINT) AS dim, var_q,
+         CAST(CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+              ELSE {m} - 1 - (r % {m}) END AS BIGINT) AS sub,
+         CAST(r // {m} AS BIGINT) AS pos
+  FROM (
+    SELECT dim, n * s2 - s1 * s1 AS var_q,
+           row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, dim) - 1 AS r
+    FROM opq_st
+  )
+)""",
+    ]
+
+
+def OPQ_ASSIGN_SQL(m: int = 4, quant: int = 1_000_000,
+                   table: str = "embeddings", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """Standalone (dim, sub, pos, var_q) oracle for opq_dim_assignment."""
+    qe = f"""pq_qe AS (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         list_transform({vec_col},
+                        x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
+                                  AS BIGINT)) AS qv
+  FROM {table}
+)"""
+    joined = ",\n".join([qe] + OPQ_ASSIGN_PARTS(m))
+    return f"""
+WITH {joined}
+SELECT dim, sub, pos, var_q FROM opq_map
+"""
+
+
 def PQ_TRAIN_CTES(m: int = 4, k: int = 16, rounds: int = 2,
                   dim: int = 64, quant: int = 1_000_000,
                   table: str = "embeddings", id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> list[str]:
+                  vec_col: str = "embedding",
+                  opq: bool = False) -> list[str]:
     """Flat CTE list for the per-subspace codebook recurrence: pv (the
     subvector melt), p0, pa0, ps0, p1, ... ending in p{rounds} =
-    (sub, cid, cv).  Same flattening rationale as KMEANS_TRAIN_CTES."""
+    (sub, cid, cv).  Same flattening rationale as KMEANS_TRAIN_CTES.
+    ``opq=True`` swaps the contiguous-slice melt for the
+    variance-balanced snake permutation (OPQ_ASSIGN_PARTS), gathering
+    each subvector in pos order."""
     d = dim // m
     melt = " UNION ALL ".join(
         f"SELECT vid, CAST({s} AS BIGINT) AS sub,"
         f" qv[{s * d + 1}:{(s + 1) * d}] AS sv FROM pq_qe"
         for s in range(m)
     )
+    if opq:
+        melt = """SELECT md.vid, mp.sub, list(md.q ORDER BY mp.pos) AS sv
+  FROM opq_md md JOIN opq_map mp ON mp.dim = md.dim
+  GROUP BY md.vid, mp.sub"""
 
     def dist(e, c):
         return (f"list_sum(list_transform(range(1, {d} + 1),"
@@ -1074,7 +1221,11 @@ def PQ_TRAIN_CTES(m: int = 4, k: int = 16, rounds: int = 2,
                         x -> CAST(round(CAST(x AS DOUBLE) * {quant}, 0)
                                   AS BIGINT)) AS qv
   FROM {table}
-)""", f"pv AS MATERIALIZED ({melt})",
+)"""]
+    if opq:
+        parts += OPQ_ASSIGN_PARTS(m)
+    parts += [
+        f"pv AS MATERIALIZED ({melt})",
         f"p0 AS (SELECT sub, vid AS cid, sv AS cv FROM pv WHERE vid < {k})"]
     for r in range(rounds):
         parts += [assign(r), stats(r), update(r)]
@@ -1084,12 +1235,13 @@ def PQ_TRAIN_CTES(m: int = 4, k: int = 16, rounds: int = 2,
 def PQ_TRAIN_FLAT_SQL(m: int = 4, k: int = 16, rounds: int = 2,
                       dim: int = 64, quant: int = 1_000_000,
                       table: str = "embeddings", id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> str:
+                      vec_col: str = "embedding", opq: bool = False) -> str:
     """Codebook training oracle in driver-canonicalizable shape: one
     (sub, cid, n_assigned, dim, q) row per codeword coordinate."""
     d = dim // m
     parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim, quant=quant,
-                          table=table, id_col=id_col, vec_col=vec_col)
+                          table=table, id_col=id_col, vec_col=vec_col,
+                          opq=opq)
     joined = ",\n".join(parts)
     return f"""
 WITH {joined}
@@ -1106,12 +1258,13 @@ def ANN_PQ_ADC_SQL(m: int = 4, k: int = 16, rounds: int = 2,
                    n_queries: int = 10, topk: int = 5, dim: int = 64,
                    quant: int = 1_000_000, table: str = "embeddings",
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> str:
+                   vec_col: str = "embedding", opq: bool = False) -> str:
     """Training -> encoding -> LUT -> ADC ranking as ONE flattened CTE
     pipeline (the search twin of PQ_TRAIN_FLAT_SQL)."""
     d = dim // m
     parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim, quant=quant,
-                          table=table, id_col=id_col, vec_col=vec_col)
+                          table=table, id_col=id_col, vec_col=vec_col,
+                          opq=opq)
     joined = ",\n".join(parts)
 
     def dist(e, c):
@@ -1152,7 +1305,8 @@ FROM (
 def pq_distortion_report(emb: DataFrame, m: int = 4, k: int = 16,
                          rounds: int = 2, dim: int = 64,
                          quant: int = 1_000_000, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         subvec: DataFrame | None = None) -> DataFrame:
     """Per-subspace quantization distortion — the index-quality report
     that tells you whether PQ's compression is costing recall BEFORE you
     serve it: for every (vector, subspace) the distance to its nearest
@@ -1161,11 +1315,13 @@ def pq_distortion_report(emb: DataFrame, m: int = 4, k: int = 16,
     — no window, no shuffle of raw vectors.  avg is integer
     floor-division so the report is engine-exact at any scale (a double
     mean would exceed 2^53 exactness on large corpora)."""
-    sv = pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
-                       vec_col=vec_col)
+    sv = (pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                        vec_col=vec_col)
+          if subvec is None else subvec)
     books = (
         pq_train_quantized(emb, m=m, k=k, rounds=rounds, dim=dim,
-                           quant=quant, id_col=id_col, vec_col=vec_col)
+                           quant=quant, id_col=id_col, vec_col=vec_col,
+                           subvec=sv)
         .select("sub", "cid", F.col("codeword_q").alias("cv"))
         .localCheckpoint()
     )

@@ -4227,6 +4227,62 @@ def q_streaming_cross_source_overlap(spark: SparkSession,
     return overlap_matrix_from_counters(shared, totals)
 
 
+from .operators.similarity import (  # noqa: E402
+    OPQ_ASSIGN_SQL,
+    opq_dim_assignment,
+    opq_subvectors,
+)
+
+
+@query("opq_dim_assignment", oracle=OPQ_ASSIGN_SQL(m=4))
+def q_opq_dim_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-balanced dimension permutation for OPQ (Ge et al. CVPR
+    2013 eigenvalue-allocation baseline): per-dim EXACT integer variance
+    proxy n*sum(q^2)-(sum q)^2, ranked, snaked into subspaces so each
+    gets one dim per alternating pass — one posexplode + a dim-keyed agg
+    + a window over the 64 aggregate rows
+    (operators/similarity.py opq_dim_assignment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return opq_dim_assignment(emb, m=4)
+
+
+@query(
+    "pq_train_codebooks_opq",
+    oracle=PQ_TRAIN_FLAT_SQL(m=4, k=16, rounds=2, opq=True),
+)
+def q_pq_train_codebooks_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebooks over PERMUTED subspaces: the variance-balanced snake
+    assignment feeds the identical integer floor-midpoint recurrence —
+    OPQ's balancing benefit without the rotation matrix, and the whole
+    permute+train chain pinned under one exact oracle
+    (operators/similarity.py opq_subvectors + pq_train_quantized)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sv = opq_subvectors(emb, m=4)
+    out = pq_train_quantized(emb, m=4, k=16, rounds=2, subvec=sv)
+    return out.select(
+        "sub", "cid", "n_assigned",
+        F.posexplode("codeword_q").alias("dim", "q"),
+    ).select("sub", "cid", "n_assigned",
+             F.col("dim").cast("long").alias("dim"), "q")
+
+
+@query(
+    "ann_opq_adc_topk",
+    oracle=ANN_PQ_ADC_SQL(m=4, k=16, rounds=2, opq=True),
+)
+def q_ann_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the OPQ-permuted codes: same broadcast-LUT search
+    as ann_pq_adc_topk but every subspace now carries a balanced share
+    of the corpus variance, the regime where PQ distortion (hence
+    recall) improves at zero extra serving cost — permute + train +
+    encode + rank all integer-exact under one chained oracle
+    (operators/similarity.py ann_pq_adc_topk(subvec=...))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sv = opq_subvectors(emb, m=4)
+    return ann_pq_adc_topk(emb, m=4, k=16, rounds=2, n_queries=10,
+                           topk=5, subvec=sv)
+
+
 from .operators.similarity import ANN_RQ_ADC_SQL, ann_rq_adc_topk  # noqa: E402
 
 

@@ -284,3 +284,74 @@ def test_power_iteration_matches_numpy_and_converges(spark):
     c5, c30, c60 = cos(5), cos(30), cos(60)
     assert c5 < c30 < c60                    # monotone alignment
     assert c60 > 0.99                        # converged
+
+
+def test_opq_assignment_is_balanced_snake_permutation(spark):
+    """The OPQ dim assignment must be (a) the EXACT snake over the
+    integer variance ranking — verified against an independent numpy
+    referee — and (b) a bijection: every dim exactly once, every
+    subspace exactly dim/m dims at positions 0..d-1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.similarity import opq_dim_assignment
+
+    m, dim = 4, 64
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = opq_dim_assignment(emb, m=m).toPandas()
+
+    # referee
+    pdf = emb.select(
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            " * 1000000, 0) AS BIGINT))"
+        ).alias("qv"),
+    ).toPandas()
+    mat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+    n = mat.shape[0]
+    s1 = mat.sum(axis=0, dtype=np.int64)
+    s2 = (mat.astype(object) ** 2).sum(axis=0)  # object: no int64 overflow
+    var_q = [int(n) * int(s2[i]) - int(s1[i]) ** 2 for i in range(dim)]
+    order = sorted(range(dim), key=lambda i: (-var_q[i], i))
+    expect = {}
+    for r, i in enumerate(order):
+        p, j = divmod(r, m)
+        sub = j if p % 2 == 0 else m - 1 - j
+        expect[i] = (sub, p, var_q[i])
+
+    assert len(got) == dim
+    for row in got.itertuples():
+        assert expect[int(row.dim)] == (
+            int(row.sub), int(row.pos), int(row.var_q)), row
+    # bijection / balance
+    per_sub = got.groupby("sub")["pos"].apply(
+        lambda s: sorted(int(x) for x in s))
+    assert set(per_sub.index) == set(range(m))
+    assert all(v == list(range(dim // m)) for v in per_sub)
+
+
+def test_opq_balances_variance_and_distortion(spark):
+    """What the permutation BUYS (Ge et al. CVPR 2013): per-subspace
+    variance spread must shrink vs the contiguous split (measured ~7.6x
+    tighter here), and total trained distortion must not regress —
+    on the near-isotropic synthetic embeddings the distortion gain is
+    small by construction (the rotation-free regime), but it must never
+    be a loss."""
+    from omldm_spark.operators.similarity import (
+        opq_dim_assignment,
+        opq_subvectors,
+        pq_distortion_report,
+    )
+
+    m, d = 4, 16
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    am = opq_dim_assignment(emb, m=m).toPandas()
+    opq_sub = am.groupby("sub")["var_q"].sum()
+    contig_sub = am.assign(cs=am["dim"] // d).groupby("cs")["var_q"].sum()
+    assert opq_sub.max() - opq_sub.min() < contig_sub.max() - contig_sub.min()
+
+    plain = pq_distortion_report(emb, m=m, k=16, rounds=2).toPandas()
+    sv = opq_subvectors(emb, m=m)
+    opq = pq_distortion_report(
+        emb, m=m, k=16, rounds=2, subvec=sv).toPandas()
+    assert opq["total_d2"].sum() <= plain["total_d2"].sum()

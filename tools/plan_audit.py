@@ -838,6 +838,50 @@ CHECKS = {
         ("codebooks broadcast into encoding",
          lambda p: p.count("BroadcastHashJoin") >= 2),
     ],
+    "opq_dim_assignment": [
+        # one scan melts every dim; the moment agg's key space is `dim`
+        # (map-side combined); ranking is a window over the 64 aggregate
+        # rows (GLOBAL_WINDOW_BOUNDED covers it) — no join anywhere
+        ("one corpus scan feeding the dim-keyed agg",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("moment sums map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no join anywhere", lambda p: "Join" not in p),
+    ],
+    "pq_train_codebooks_opq": [
+        # same contract as pq_train_codebooks: the permuted melt is
+        # checkpointed once, codebooks broadcast, stats map-side combined
+        ("training rides the checkpointed melt, no parquet rescan",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+        ("codewords broadcast into assignment",
+         lambda p: p.count("BroadcastHashJoin") >= 1),
+        ("codeword stats map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no sort-merge join, no cartesian",
+         lambda p: "SortMergeJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
+    "ann_opq_adc_topk": [
+        # identical serving shape to ann_pq_adc_topk — the permutation
+        # costs nothing at query time
+        ("LUT and codebooks broadcast, codes never shuffle to join",
+         lambda p: p.count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in p),
+        ("search is checkpoint-backed, no parquet rescan",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+        ("per-(query,neighbor) sum map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "streaming_cross_source_overlap": [
+        # the published matrix assembles from the MAINTAINED counters
+        # (state parquet), never re-deriving the corpus shingle pipeline
+        ("matrix reads counters, corpus never rescanned",
+         lambda p: "documents" not in p),
+        ("per-source totals broadcast into the ratio",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian pair generation",
+         lambda p: "CartesianProduct" not in p),
+    ],
     "cross_source_overlap": [
         # the distinct posting set materializes ONCE (persist) and all
         # three consumers (pair join x2, totals) read the cache instead
@@ -889,6 +933,7 @@ GLOBAL_WINDOW_BOUNDED = [
     # (winsorized p99)
     "revenue_changepoint", "revenue_acf", "winsorized_arm_means",
     "gini_revenue_concentration",   # rank over the per-user aggregate
+    "opq_dim_assignment",           # rank over the 64 per-dim moment rows
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
