@@ -861,3 +861,101 @@ def test_state_api_v2_gated_without_protobuf(spark):
         spark, "/root/testdata/sf0.001", "event_type string")
     with pytest.raises(NotImplementedError, match="protobuf"):
         streaming_user_totals_v2(stream)
+
+
+class _FlakyFS:
+    """HadoopFS double injecting metadata-write failures: the Nth
+    write_text whose path matches `fail_when` leaves a COMPLETE .tmp at
+    the destination name (crash in the window between tmp write and
+    rename) and raises — everything else delegates to the real shim."""
+
+    def __init__(self, real, fail_when, max_failures=1):
+        self._real = real
+        self._fail_when = fail_when
+        self._max = max_failures
+        self.failures = 0
+
+    def write_text(self, path, text):
+        if self.failures < self._max and self._fail_when(path):
+            self.failures += 1
+            # the real write_text is tmp+rename; aiming it at the .tmp
+            # name leaves exactly the crash artifact: full bytes, never
+            # renamed into place
+            self._real.write_text(path + ".tmp", text)
+            raise IOError(f"injected rename crash: {path}")
+        return self._real.write_text(path, text)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_keyed_upsert_sink_commit_rename_crash_exactly_once(
+        spark, tmp_path):
+    """NOTES_r6 candidate 5: crash INSIDE the commit publish (tmp fully
+    written, rename never happens).  The batch must read as uncommitted,
+    its state version must stay invisible, and the replay must converge
+    to the same state as a crash-free run — with the stale .tmp artifact
+    swept by the replay's own publish."""
+    from omldm_spark.streaming.sinks import KeyedUpsertSink
+
+    b0 = [("a", 1), ("b", 2), ("c", 3)]
+    b1 = [("a", 10), ("d", 4)]
+
+    # crash-free reference
+    ref = KeyedUpsertSink(str(tmp_path / "ref"), ["k"], n_buckets=4)
+    for i, rows in enumerate([b0, b1]):
+        ref(spark.createDataFrame(rows, "k string, total long"), i)
+    want = _upsert_rows(spark, ref)
+
+    sink = KeyedUpsertSink(str(tmp_path / "crash"), ["k"], n_buckets=4)
+    sink(spark.createDataFrame(b0, "k string, total long"), 0)
+    flaky = _FlakyFS(sink._fs(spark),
+                     lambda p: p.endswith("_commits/1.json"))
+    sink._fs_handle = flaky
+    import pytest as _pytest
+    with _pytest.raises(IOError, match="injected"):
+        sink(spark.createDataFrame(b1, "k string, total long"), 1)
+    assert flaky.failures == 1
+    # crash artifact exists; batch reads uncommitted; state unchanged
+    assert flaky.exists(sink._commit_file(1) + ".tmp")
+    assert not sink.is_committed(1)
+    assert _upsert_rows(spark, sink) == [("a", 1), ("b", 2), ("c", 3)]
+
+    # replay heals: same driver retry path as a stream restart
+    sink(spark.createDataFrame(b1, "k string, total long"), 1)
+    assert sink.is_committed(1)
+    assert _upsert_rows(spark, sink) == want
+    # the stale .tmp was overwritten and renamed away by the replay
+    assert not flaky.exists(sink._commit_file(1) + ".tmp")
+
+
+def test_keyed_upsert_sink_ckpt_write_crash_is_recoverable(
+        spark, tmp_path):
+    """Checkpoint publish is an OPTIMIZATION: a crash while folding the
+    log into _ckpt.N.json happens AFTER the batch's commit record, so
+    the batch stays committed (replay = no-op) and the NEXT commit
+    re-attempts the fold — the log can never wedge the stream."""
+    from omldm_spark.streaming.sinks import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(str(tmp_path / "ckptcrash"), ["k"],
+                           n_buckets=4, checkpoint_every=2)
+    flaky = _FlakyFS(sink._fs(spark), lambda p: "_ckpt." in p)
+    sink._fs_handle = flaky
+
+    sink(spark.createDataFrame([("a", 1)], "k string, total long"), 0)
+    import pytest as _pytest
+    with _pytest.raises(IOError, match="injected"):
+        # trailing commits reach checkpoint_every -> fold attempt crashes
+        sink(spark.createDataFrame([("b", 2)], "k string, total long"), 1)
+    assert sink.is_committed(1)          # commit preceded the fold
+    assert _upsert_rows(spark, sink) == [("a", 1), ("b", 2)]
+    # replay of the committed batch is a clean no-op (no new fold try)
+    sink(spark.createDataFrame([("b", 2)], "k string, total long"), 1)
+
+    # next batch: fold retried and succeeds (injector exhausted)
+    sink(spark.createDataFrame([("c", 3)], "k string, total long"), 2)
+    ckpts, _ = sink._log_names()
+    assert ckpts == [2]
+    assert _upsert_rows(spark, sink) == [("a", 1), ("b", 2), ("c", 3)]
+    # the fold is complete: the checkpointed map IS the latest map
+    assert sink._read_ckpt(2) == sink._latest()
