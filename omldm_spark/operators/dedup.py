@@ -1364,6 +1364,128 @@ def cross_source_overlap(docs: DataFrame, n: int = 8,
     )
 
 
+def positioned_shingles(docs: DataFrame, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, shingle) with the 1-based token START position — the
+    positional posting list that span analyses need (shingles() drops
+    position).  Same projection-barrier discipline: the token array is
+    pinned before the shingle lambda."""
+    with_toks = docs.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("_toks"),
+        F.rand(27).alias("_pin"),
+    ).drop("_pin")
+    return with_toks.select(
+        F.col(id_col),
+        F.posexplode(shingle_array("_toks", n)).alias("pos0", "shingle"),
+    ).select(
+        F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"),
+        "shingle",
+    )
+
+
+def shared_span_pairs(docs: DataFrame, n: int = 3, min_tokens: int = 6,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Longest shared CONTIGUOUS token run per document pair — the
+    substring-contamination report Jaccard dilutes away (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022 motivates exact substring dedup; this is its pairwise audit):
+    a 50-token verbatim quote inside two long documents barely moves
+    their Jaccard but is exactly the memorization vector you scrub.
+
+    Algorithm: positional shingle postings join on the shingle, matches
+    fall on diagonals (pos_a - pos_b), and maximal runs are
+    gaps-and-islands per (pair, diagonal) — pos_a minus its rank is
+    constant exactly along a consecutive run.  A run of L shingles
+    covers L + n - 1 contiguous shared tokens.
+
+    Scale shape: a posting equi-join (quadratic only in docs-per-
+    shingle, the ngram_jaccard discipline — at 100 TB feed it LSH/
+    prefix-filter candidates first), then windows partitioned by
+    (pair, diagonal), never global.  Output bounded by pairs sharing a
+    run of >= min_tokens tokens.
+
+    Output: (doc_a, doc_b, span_tokens, n_spans) where span_tokens is
+    the longest shared run and n_spans counts maximal shared runs."""
+    from pyspark.sql import Window
+
+    # both sides of the self-join read ONE materialization of the
+    # positional posting set (same lesson as cross_source_overlap:
+    # without it the tokenizer+shingle pipeline runs once per side)
+    sp = positioned_shingles(docs, n=n, text_col=text_col,
+                             id_col=id_col).persist()
+    a = sp.select(F.col(id_col).alias("doc_a"),
+                  F.col("pos").alias("pos_a"), "shingle")
+    b = sp.select(F.col(id_col).alias("doc_b"),
+                  F.col("pos").alias("pos_b"), "shingle")
+    m = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a",
+                (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + (n - 1)).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+    )
+
+
+def SHARED_SPAN_SQL(n: int = 3, min_tokens: int = 6,
+                    table: str = "documents", text_expr: str = "text",
+                    id_col: str = "doc_id") -> str:
+    leads = ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+    concat = " || ' ' || ".join(leads)
+    return f"""
+WITH sp AS (
+  SELECT {id_col}, pos, shingle FROM (
+    SELECT {id_col}, pos,
+           {concat} AS shingle,
+           lead(tok, {n - 1}) OVER w AS _last
+    FROM (
+      SELECT {id_col},
+             unnest({TOKENS_SQL(text_expr)}) AS tok,
+             generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+      FROM {table}
+    )
+    WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+  ) WHERE _last IS NOT NULL
+),
+m AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM sp a JOIN sp b
+    ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         pos_a - row_number() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b,
+       CAST(max(run_len) + {n - 1} AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM runs GROUP BY doc_a, doc_b
+HAVING max(run_len) + {n - 1} >= {min_tokens}
+"""
+
+
 def cross_source_overlap_merge(prev, batch_docs: DataFrame, n: int = 8,
                                text_col: str = "text", id_col: str = "doc_id",
                                src_col: str = "source"):

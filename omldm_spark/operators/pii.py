@@ -201,3 +201,128 @@ SELECT {keys},
        count(*) >= {l} AS passes_l
 FROM per_val GROUP BY {keys}
 """
+
+
+def t_closeness_audit(df: DataFrame, qi_cols: list, sensitive_col: str,
+                      t_ppm: int = 200_000) -> DataFrame:
+    """Per-QI-group t-closeness over an ORDERED sensitive attribute —
+    the distribution-skew gate completing the release-audit trio
+    (k-anonymity -> l-diversity -> t-closeness; Li et al., ICDE 2007):
+    a group can be k-anonymous AND l-diverse yet still leak because its
+    sensitive distribution differs sharply from the table's.  For an
+    ordered attribute the earth-mover's distance collapses to the mean
+    absolute cumulative gap: EMD = sum_i |cum_i(P - Q)| / (m - 1).
+
+    Arithmetic is EXACT integer end-to-end on the common denominator
+    n_g * N: diff_j = cnt_g_j * N - cnt_t_j * n_g, cumulated in value
+    order, and emd_ppm = 10^6 * sum|cum| div (n_g * N * (m-1)).
+    Overflow bound: 10^6 * m * n_g * N must stay under 2^63 — fine to
+    ~10^5-row groups against ~10^8-row tables; beyond that, audit
+    against a fixed-size global sample (the reference distribution is a
+    constant anyway).
+
+    Shape: ONE scan — the (QI x value) partial count persists and every
+    other distribution (global per-value, totals, group sizes) rolls up
+    from it; the dense (group x value) grid comes from a BROADCAST of
+    the tiny per-value global table; the window partitions BY GROUP
+    (never global).
+
+    Output: (qi..., n_rows, emd_ppm, passes_t)."""
+    sv = F.col(sensitive_col).alias("__sv")
+    per_group = (
+        df.groupBy(*qi_cols, sv)
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt_g"))
+        .persist()
+    )
+    glob = (
+        per_group.groupBy("__sv")
+        .agg(F.sum("__cnt_g").cast("long").alias("__cnt_t"))
+    )
+    tot = glob.agg(
+        F.sum("__cnt_t").cast("long").alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("__m"),
+    )
+    glob = glob.crossJoin(F.broadcast(tot))
+    groups = (
+        per_group.groupBy(*qi_cols)
+        .agg(F.sum("__cnt_g").cast("long").alias("n_rows"))
+    )
+    dense = (
+        groups.join(F.broadcast(glob))
+        .join(per_group, [*qi_cols, "__sv"], "left")
+        .select(
+            *qi_cols, "__sv", "n_rows", "__N", "__m",
+            (F.coalesce("__cnt_g", F.lit(0).cast("long")) * F.col("__N")
+             - F.col("__cnt_t") * F.col("n_rows")).alias("__diff"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*qi_cols).orderBy("__sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn("__cum", F.sum("__diff").over(w))
+    return (
+        cum.groupBy(*qi_cols)
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.sum(F.abs("__cum")).cast("long").alias("__emd_num"),
+            F.first("__N").alias("__N"),
+            F.first("__m").alias("__m"),
+        )
+        .select(
+            *qi_cols, "n_rows",
+            F.expr("CAST(1000000 * __emd_num AS BIGINT)"
+                   " div (n_rows * __N * (__m - 1))").alias("emd_ppm"),
+        )
+        .withColumn("passes_t", F.col("emd_ppm") <= t_ppm)
+    )
+
+
+def T_CLOSENESS_SQL(select_sql: str, qi_cols: list, sensitive_col: str,
+                    t_ppm: int = 200_000) -> str:
+    keys = ", ".join(str(c) for c in qi_cols)
+    gk = ", ".join(f"g.{c}" for c in qi_cols)
+    pj = " AND ".join(f"p.{c} = g.{c}" for c in qi_cols)
+    return f"""
+WITH src AS ({select_sql}),
+gdist AS (
+  SELECT {sensitive_col} AS sv, CAST(count(*) AS BIGINT) AS cnt_t
+  FROM src GROUP BY {sensitive_col}
+),
+tot AS (
+  SELECT CAST(sum(cnt_t) AS BIGINT) AS N,
+         CAST(count(*) AS BIGINT) AS m
+  FROM gdist
+),
+per_group AS (
+  SELECT {keys}, {sensitive_col} AS sv,
+         CAST(count(*) AS BIGINT) AS cnt_g
+  FROM src GROUP BY {keys}, {sensitive_col}
+),
+groups AS (
+  SELECT {keys}, CAST(sum(cnt_g) AS BIGINT) AS n_rows
+  FROM per_group GROUP BY {keys}
+),
+dense AS (
+  SELECT {gk}, v.sv, g.n_rows, t.N, t.m,
+         coalesce(p.cnt_g, 0) * t.N - v.cnt_t * g.n_rows AS diff
+  FROM groups g CROSS JOIN gdist v CROSS JOIN tot t
+  LEFT JOIN per_group p ON {pj} AND p.sv = v.sv
+),
+cum AS (
+  SELECT *, CAST(sum(diff) OVER (
+    PARTITION BY {keys} ORDER BY sv
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM dense
+)
+SELECT {keys}, any_value(n_rows) AS n_rows,
+       CAST(1000000 * sum(abs(c)) AS BIGINT)
+         // (any_value(n_rows) * any_value(N) * (any_value(m) - 1))
+         AS emd_ppm,
+       CAST(1000000 * sum(abs(c)) AS BIGINT)
+         // (any_value(n_rows) * any_value(N) * (any_value(m) - 1))
+         <= {t_ppm} AS passes_t
+FROM cum GROUP BY {keys}
+"""

@@ -4167,6 +4167,21 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_overlap(load_table(spark, sf_dir, "documents"), n=8)
 
 
+from .operators.dedup import SHARED_SPAN_SQL, shared_span_pairs  # noqa: E402
+
+
+@query("shared_span_pairs", oracle=SHARED_SPAN_SQL(n=3, min_tokens=6))
+def q_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared contiguous token run per doc pair (the pairwise
+    audit behind exact-substring dedup, Lee et al. ACL 2022): positional
+    shingle postings join on the shingle, maximal runs fall out of
+    gaps-and-islands along (pos_a - pos_b) diagonals — catches verbatim
+    quotes Jaccard dilutes.  Posting equi-join + per-(pair, diagonal)
+    windows, never global (operators/dedup.py shared_span_pairs)."""
+    return shared_span_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, min_tokens=6)
+
+
 @query("streaming_cross_source_overlap", oracle=CROSS_SOURCE_OVERLAP_SQL(n=8))
 def q_streaming_cross_source_overlap(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
@@ -5197,6 +5212,34 @@ def q_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return l_diversity_audit(
         cust, ["c_mktsegment", "c_nationkey"], "bal_band", l=3
+    )
+
+
+from .operators.pii import T_CLOSENESS_SQL, t_closeness_audit  # noqa: E402
+
+
+@query(
+    "t_closeness_customers",
+    oracle=T_CLOSENESS_SQL(
+        "SELECT c_mktsegment, c_nationkey,"
+        " CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band"
+        " FROM customer",
+        ["c_mktsegment", "c_nationkey"], "bal_band", t_ppm=200_000,
+    ),
+)
+def q_t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. ICDE 2007) — completes the release
+    trio: per (segment, nation) group, integer EMD (mean absolute
+    cumulative gap over the ordered balance bands, common-denominator
+    exact) between the group's and the table's sensitive distribution;
+    groups drifting past 0.2 fail.  Two keyed aggs + a broadcast dense
+    grid + a per-group window (operators/pii.t_closeness_audit)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+    )
+    return t_closeness_audit(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_band", t_ppm=200_000
     )
 
 
@@ -8795,6 +8838,46 @@ def q_bfs_user_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") % 2).cast("long").alias("is_item"),
         F.expr("v div 2").cast("long").alias("orig_id"),
         "d",
+    )
+
+
+from .operators.graph import (  # noqa: E402
+    LABEL_PROP_EVENTS_SQL,
+    label_propagation_rounds,
+)
+
+
+@query(
+    "label_propagation_communities",
+    oracle=LABEL_PROP_EVENTS_SQL(rounds=3),
+)
+def q_label_propagation_communities(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds, Raghavan
+    et al. 2007 with (cnt DESC, lbl ASC) tie-breaks) over the bipartite
+    user <-> props.k event graph — community detection where the CC
+    family only finds connected blobs.  Per round: one edge join + two
+    map-side-combined keyed aggs (the argmax is a max over (cnt, -lbl)
+    structs, never a window)
+    (operators/graph.py label_propagation_rounds)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k"),
+    ).distinct()
+    edges = pairs.select(
+        (F.col("u") * 2).alias("src"), (F.col("k") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("k") * 2 + 1).alias("src"), (F.col("u") * 2).alias("dst")
+        )
+    )
+    out = label_propagation_rounds(edges, rounds=3)
+    return out.select(
+        "v",
+        (F.col("v") % 2).cast("long").alias("is_item"),
+        F.expr("v div 2").cast("long").alias("orig_id"),
+        F.col("lbl").alias("community"),
     )
 
 

@@ -1606,3 +1606,90 @@ def test_revenue_changepoint_finds_planted_shift(spark):
                " DOUBLE) / CAST(n - k AS DOUBLE)"))
     best = scored.orderBy(F.col("gain").desc(), F.col("d").asc()).first()
     assert best["d"] == 29 and best["k"] == 30
+
+
+# ---------------------------------------------------------------------------
+# t-closeness / shared spans / label propagation (round 6 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_known_emd(spark):
+    """Hand-computable EMD: global sensitive dist {1:2, 2:2}; group 'a'
+    holds both 1s (maximal skew for m=2 -> EMD=0.5), group 'b' both 2s
+    (symmetric), and a 'u' group mirroring the global mix scores 0."""
+    from omldm_spark.operators.pii import t_closeness_audit
+
+    rows = [("a", 1), ("a", 1), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, s long")
+    out = {r.g: (r.emd_ppm, r.passes_t)
+           for r in t_closeness_audit(df, ["g"], "s",
+                                      t_ppm=400_000).collect()}
+    assert out == {"a": (500000, False), "b": (500000, False)}
+
+    rows2 = rows + [("u", 1), ("u", 2)]
+    df2 = spark.createDataFrame(rows2, "g string, s long")
+    out2 = {r.g: (r.emd_ppm, r.passes_t)
+            for r in t_closeness_audit(df2, ["g"], "s",
+                                       t_ppm=400_000).collect()}
+    # global is still 50/50, so 'u' matches it exactly
+    assert out2["u"] == (0, True)
+    assert out2["a"] == (500000, False)
+
+
+def test_shared_span_pairs_planted_quote(spark):
+    """A verbatim 5-token quote inside otherwise-different docs must
+    surface as span_tokens=5; two disjoint shared runs count as two
+    spans; sub-threshold overlap stays out."""
+    from omldm_spark.operators.dedup import shared_span_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "q w a b c d e f g h"),
+            (2, "x y a b c d e z z z"),          # one 5-token run with 1
+            (3, "a b c d r r r f g h k l"),      # two runs with 1 (4 + 3)
+            (4, "m n o p q r s t u v"),          # nothing long enough
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): (r.span_tokens, r.n_spans)
+           for r in shared_span_pairs(docs, n=3, min_tokens=4).collect()}
+    assert got[(1, 2)] == (5, 1)
+    assert got[(1, 3)] == (4, 2)     # 'a b c d' and 'f g h'
+    assert (1, 4) not in got and (2, 4) not in got
+    # 2 vs 3 share only 'a b c d' -> 4 tokens, one span
+    assert got[(2, 3)] == (4, 1)
+
+
+def test_label_propagation_matches_python_referee(spark):
+    """The deterministic sync-LPA recurrence vs an independent python
+    referee on a two-community barbell: two triangles bridged by one
+    edge must keep two distinct labels, and every round must match the
+    referee exactly (the argmax-over-(cnt, -lbl) trick == the spec)."""
+    from collections import Counter
+
+    from omldm_spark.operators.graph import label_propagation_rounds
+
+    und = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    edges = und + [(b, a) for a, b in und]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(b, []).append(a)
+
+    def referee(rounds):
+        lbl = {v: v for v in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for v, nbrs in adj.items():
+                c = Counter(lbl[u] for u in nbrs)
+                nxt[v] = min(c, key=lambda x: (-c[x], x))
+            lbl = nxt
+        return lbl
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (1, 2, 3, 4):
+        got = {r.v: r.lbl
+               for r in label_propagation_rounds(edf, rounds).collect()}
+        assert got == referee(rounds), rounds
+    # communities: the two triangle cores never merge
+    final = referee(4)
+    assert len({final[0], final[5]}) == 2

@@ -838,6 +838,40 @@ CHECKS = {
         ("codebooks broadcast into encoding",
          lambda p: p.count("BroadcastHashJoin") >= 2),
     ],
+    "t_closeness_customers": [
+        # ONE scan: every distribution rolls up from the persisted
+        # (QI x value) partial; the dense grid is a broadcast of the
+        # tiny per-value table; the EMD window partitions by group
+        ("single fact scan, partials reused from cache",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "InMemoryTableScan" in p),
+        ("dense grid via broadcast, no sort-merge join",
+         lambda p: ("BroadcastHashJoin" in p
+                    or "BroadcastNestedLoopJoin" in p)
+         and "SortMergeJoin" not in p),
+        ("no global window (EMD cum-sums partition by QI group)",
+         lambda p, ext: _global_windows_post_agg(ext)),
+    ],
+    "shared_span_pairs": [
+        # positional posting self-join: one materialization feeds both
+        # sides; runs are windows keyed by (pair, diagonal), never global
+        ("posting set materialized once for both join sides",
+         lambda p: "InMemoryTableScan" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1),
+        ("no cartesian pair generation",
+         lambda p: "CartesianProduct" not in p),
+        ("run detection map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "label_propagation_communities": [
+        # per round: one edge join + two keyed aggs; the argmax is a
+        # max over (cnt, -lbl) structs — NO window anywhere
+        ("argmax via keyed agg, no window",
+         lambda p: "Window" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+        ("rounds read the cached edge list",
+         lambda p: "InMemoryTableScan" in p),
+    ],
     "opq_dim_assignment": [
         # one scan melts every dim; the moment agg's key space is `dim`
         # (map-side combined); ranking is a window over the 64 aggregate
