@@ -33,11 +33,10 @@ _FOLD_LAMBDA = (
 )
 
 
-def km_curve(obs: DataFrame, dur_col: str, death_col: str) -> DataFrame:
-    """Kaplan-Meier curve from (duration, is-death) observations: one row
-    per distinct death time with (t, n_risk, d, s_ppm).  ``death_col`` is
-    0/1 (0 = right-censored).  Risk set n(t) = observations with
-    duration >= t, exact from the cumulative histogram."""
+def _risk_steps(obs: DataFrame, dur_col: str, death_col: str) -> DataFrame:
+    """(t, d, n) per distinct DEATH time: d deaths at t, n at risk
+    (duration >= t), exact from one cumulative histogram — the shared
+    core of the KM product and the Nelson-Aalen sum."""
     hist = obs.groupBy(F.col(dur_col).alias("t")).agg(
         F.count(F.lit(1)).cast("long").alias("c_all"),
         F.sum(death_col).cast("long").alias("d"),
@@ -45,7 +44,7 @@ def km_curve(obs: DataFrame, dur_col: str, death_col: str) -> DataFrame:
     total = hist.agg(F.sum("c_all").cast("long").alias("n_obs"))
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
-    steps = (
+    return (
         hist.select(
             "t", "c_all", "d",
             F.sum("c_all").over(w).cast("long").alias("cum_le"),
@@ -58,6 +57,14 @@ def km_curve(obs: DataFrame, dur_col: str, death_col: str) -> DataFrame:
             .cast("long").alias("n"),
         )
     )
+
+
+def km_curve(obs: DataFrame, dur_col: str, death_col: str) -> DataFrame:
+    """Kaplan-Meier curve from (duration, is-death) observations: one row
+    per distinct death time with (t, n_risk, d, s_ppm).  ``death_col`` is
+    0/1 (0 = right-censored).  Risk set n(t) = observations with
+    duration >= t, exact from the cumulative histogram."""
+    steps = _risk_steps(obs, dur_col, death_col)
     arr = steps.agg(
         F.sort_array(F.collect_list(F.struct("t", "d", "n"))).alias("arr")
     )
@@ -107,4 +114,54 @@ SELECT s.t, s.n AS n_risk, s.d,
                       - (b % CAST({_K} AS BIGINT))))
                      // (b // CAST({_K} AS BIGINT))) AS BIGINT) AS s_ppm
 FROM rows
+"""
+
+
+def nelson_aalen_curve(obs: DataFrame, dur_col: str,
+                       death_col: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve — the ADDITIVE estimator
+    next to km_curve's product (Aalen 1978; the pair every survival
+    report ships): H(t) = sum_{t_i <= t} d_i / n_i over the same
+    (t, d, n) risk steps.
+
+    Exactness: each hazard increment is the integer floor
+    (d * 10^6) div n and the curve is a plain BIGINT window cumsum —
+    no product fold needed, so unlike km_curve this stays a pure
+    window over the aggregate-bounded step rows (one row per distinct
+    death time), never collecting the step array.
+
+    Output: (t, n_risk, d, h_ppm)."""
+    steps = _risk_steps(obs, dur_col, death_col)
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    term = F.expr("(d * CAST(1000000 AS BIGINT)) div n")
+    return steps.select(
+        "t", F.col("n").alias("n_risk"), "d", term.alias("_term")
+    ).select(
+        "t", "n_risk", "d",
+        F.sum("_term").over(w).cast("long").alias("h_ppm"),
+    )
+
+
+def NA_CURVE_SQL(obs_sql: str, dur_col: str, death_col: str) -> str:
+    """DuckDB oracle: same histogram/risk steps, integer hazard cumsum."""
+    return f"""
+WITH obs AS ({obs_sql}),
+hist AS (
+  SELECT {dur_col} AS t, CAST(count(*) AS BIGINT) AS c_all,
+         CAST(sum({death_col}) AS BIGINT) AS d
+  FROM obs GROUP BY 1
+),
+total AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_obs FROM hist),
+steps AS (
+  SELECT t, d,
+         CAST(n_obs - sum(c_all) OVER (ORDER BY t
+              ROWS UNBOUNDED PRECEDING) + c_all AS BIGINT) AS n
+  FROM hist CROSS JOIN total
+  WHERE d > 0
+)
+SELECT t, n AS n_risk, d,
+       CAST(sum((d * CAST(1000000 AS BIGINT)) // n) OVER (
+         ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_ppm
+FROM steps
 """

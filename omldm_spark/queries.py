@@ -10520,6 +10520,58 @@ def q_km_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_curve(obs, "dur_m", "is_death")
 
 
+from .operators.survival import NA_CURVE_SQL, nelson_aalen_curve  # noqa: E402
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle=NA_CURVE_SQL(_KM_OBS_SQL, "dur_m", "is_death"),
+)
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the SAME censored session
+    durations as km_session_survival (Aalen 1978 — the additive
+    estimator shipped beside every KM curve): H(t) = sum d_i/n_i in
+    integer ppm, a plain window cumsum over the aggregate-bounded risk
+    steps — no product fold, no array collect
+    (operators/survival.py nelson_aalen_curve)."""
+    # identical observation derivation as km_session_survival — the two
+    # estimators must read the same censoring
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    sess = (
+        ev.withColumn("gap", F.col("ts_s") - F.lag("ts_s").over(w))
+        .withColumn(
+            "new_session",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 300), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_s").cast("long").alias("start_s"),
+            F.max("ts_s").cast("long").alias("end_s"),
+        )
+    )
+    last = sess.groupBy("user_id").agg(
+        F.max("end_s").cast("long").alias("last_s")
+    )
+    obs = sess.join(last, "user_id").select(
+        F.expr("(end_s - start_s) div 60").cast("long").alias("dur_m"),
+        F.when(F.col("end_s") == F.col("last_s"), 0).otherwise(1)
+        .cast("long").alias("is_death"),
+    )
+    return nelson_aalen_curve(obs, "dur_m", "is_death")
+
+
 # ---------------------------------------------------------------------------
 # ML monitoring: PSI drift, cohort LTV, NB label-noise screen
 # ---------------------------------------------------------------------------

@@ -1215,6 +1215,25 @@ def test_km_curve_hand_case(spark):
     assert out[3]["s_ppm"] == 0               # * 0 // 1
 
 
+def test_nelson_aalen_hand_case(spark):
+    """Same textbook observations as the KM hand case — the two
+    estimators must read identical risk sets; H is the truncated-ppm
+    cumsum of d/n: 1/5, +2/4, +1/1."""
+    from omldm_spark.operators.survival import nelson_aalen_curve
+
+    obs = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1), (3, 1), (2, 0)], "dur_m long, is_death long"
+    )
+    out = {r["t"]: r
+           for r in nelson_aalen_curve(obs, "dur_m", "is_death").collect()}
+    assert set(out) == {1, 2, 3}
+    assert [(out[t]["n_risk"], out[t]["d"]) for t in (1, 2, 3)] == [
+        (5, 1), (4, 2), (1, 1)]
+    assert out[1]["h_ppm"] == 200000                  # 1e6 * 1 // 5
+    assert out[2]["h_ppm"] == 700000                  # + 2e6 // 4
+    assert out[3]["h_ppm"] == 1700000                 # + 1e6 // 1
+
+
 def test_bitmap_segments_merge_across_shards(spark):
     """Bitmap distinct partials are reusable: OR-merging two shards'
     per-segment bitmaps gives the union's exact distinct (the property

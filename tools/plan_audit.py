@@ -968,6 +968,7 @@ GLOBAL_WINDOW_BOUNDED = [
     "revenue_changepoint", "revenue_acf", "winsorized_arm_means",
     "gini_revenue_concentration",   # rank over the per-user aggregate
     "opq_dim_assignment",           # rank over the 64 per-dim moment rows
+    "nelson_aalen_hazard",          # hazard cumsum over the risk steps
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
