@@ -350,6 +350,77 @@ def simhash(spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return spark.sql(simhash_sql(f"SELECT * FROM {view}", id_col=id_col))
 
 
+def _simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) per pigeonhole block, near-equal widths."""
+    base, rem = divmod(bits, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_hamming_pairs(spark, docs: DataFrame, k: int = 4,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """All document pairs within Hamming distance ``k`` of each other's
+    SimHash — via Manku-Jain-Sarma pigeonhole blocking (WWW 2007): split
+    the 32-bit signature into k+1 blocks; any pair with <= k differing
+    bits must agree EXACTLY on at least one block, so candidates come
+    from k+1 equi-joins on (block_id, block_value) and only candidates
+    pay the bit_count verify.  The oracle is the UNFILTERED quadratic
+    Hamming join, so the blocking's losslessness is itself the gate
+    (the prefix_filter_jaccard_pairs discipline).
+
+    Scale shape: signatures are one row per doc; the block join is
+    equi-keyed (md5-uniform values balance the shuffle); the quadratic
+    blow-up exists only inside a (block_id, value) bucket — exactly the
+    docs whose signatures agree on those bits."""
+    b = k + 1
+    sh = simhash(spark, docs, text_col=text_col, id_col=id_col)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("bid"),
+            F.expr(f"(simhash div {1 << off}) % {1 << w}")
+            .cast("long").alias("bval"),
+        )
+        for i, (off, w) in enumerate(_simhash_blocks(32, b))
+    ])
+    bl = sh.select(F.col(id_col), F.explode(blocks).alias("e")).select(
+        id_col, "e.bid", "e.bval")
+    cand = (
+        bl.alias("x").join(bl.alias("y"), ["bid", "bval"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+    )
+
+
+def SIMHASH_HAMMING_SQL(tokens_relation: str, k: int = 4,
+                        id_col: str = "doc_id") -> str:
+    """The unfiltered quadratic referee: every pair, exact bit_count —
+    what the pigeonhole blocking must reproduce losslessly."""
+    return f"""
+WITH sh AS ({simhash_sql(tokens_relation, id_col=id_col)})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+"""
+
+
 # --- Winnowing (rolling-hash fingerprints) ----------------------------------
 # Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
 # Fingerprinting", SIGMOD 2003. Character k-gram hashes; each window of w

@@ -1059,6 +1059,31 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark, load_table(spark, sf_dir, "documents"))
 
 
+from .operators.dedup import (  # noqa: E402
+    SIMHASH_HAMMING_SQL,
+    simhash_hamming_pairs,
+)
+
+_SIMHASH_TOKS = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),"
+    " '\\s+'), t -> t != '')) AS tok FROM documents"
+)
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=SIMHASH_HAMMING_SQL(_SIMHASH_TOKS, k=2),
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 2 via
+    Manku-Jain-Sarma pigeonhole blocking (WWW 2007): 3 block equi-joins
+    + bit_count verify on candidates only; the oracle is the UNFILTERED
+    quadratic Hamming join, so the blocking's losslessness is itself
+    the gate (operators/dedup.py simhash_hamming_pairs)."""
+    return simhash_hamming_pairs(
+        spark, load_table(spark, sf_dir, "documents"), k=2)
+
+
 @query("text_quality", oracle=text_metrics_sql())
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_metrics(load_table(spark, sf_dir, "documents"))

@@ -1712,3 +1712,34 @@ def test_label_propagation_matches_python_referee(spark):
     # communities: the two triangle cores never merge
     final = referee(4)
     assert len({final[0], final[5]}) == 2
+
+
+def test_simhash_hamming_pairs_blocking_lossless(spark):
+    """Pigeonhole blocking vs a python brute-force referee over the
+    actual signatures: every pair within Hamming k must surface with
+    its exact distance, none beyond k, at several k (block counts)."""
+    from omldm_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox leaps over the lazy dog",
+        "completely different content about spark engines",
+        "completely different content about spark engines",  # exact dup
+        "unrelated words entirely here now",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash(spark, docs).collect()}
+    for k in (0, 2, 5):
+        want = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in simhash_hamming_pairs(spark, docs, k=k).collect()}
+        assert got == want, k
+    # the exact dup is Hamming 0
+    assert sigs[3] == sigs[4]

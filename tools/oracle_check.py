@@ -69,6 +69,10 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            # several operators persist bounded frames (postings, edges,
+            # QI partials); drop them between queries so the 279-query
+            # gate doesn't accumulate cache across unrelated plans
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)

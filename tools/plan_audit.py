@@ -838,6 +838,15 @@ CHECKS = {
         ("codebooks broadcast into encoding",
          lambda p: p.count("BroadcastHashJoin") >= 2),
     ],
+    "simhash_hamming_pairs": [
+        # candidates come from (block_id, value) equi-joins; the
+        # quadratic exists only inside a bucket, never as a cartesian
+        ("pigeonhole block equi-join, no cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("signature agg map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "t_closeness_customers": [
         # ONE scan: every distribution rolls up from the persisted
         # (QI x value) partial; the dense grid is a broadcast of the

@@ -37,6 +37,11 @@ EXTRA = [
     "entity_resolution_clusters",
     "prefix_filter_jaccard_pairs",
     "streaming_near_dedup",
+    # round-6 continuation: the positional posting self-join (quadratic
+    # only along shared diagonals) and the incremental contamination
+    # matrix (per-batch cost vs corpus-sized oracle)
+    "shared_span_pairs",
+    "streaming_cross_source_overlap",
 ]
 
 
