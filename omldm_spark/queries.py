@@ -8968,6 +8968,113 @@ def q_quantile_binned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bin(_ord_val(spark, sf_dir), "k", "val_c", bins=10)
 
 
+def _RFM_SQL(bins: int = 5) -> str:
+    def edge_pipe(tag: str, metric: str) -> str:
+        edges = " UNION ALL ".join(
+            f"SELECT CAST(min(v) AS BIGINT) AS e FROM c{tag}"
+            f" WHERE cum >= ({b} * n + {bins} - 1) // {bins}"
+            for b in range(1, bins)
+        )
+        return f"""h{tag} AS (
+  SELECT {metric} AS v, CAST(count(*) AS BIGINT) AS c FROM rec GROUP BY 1
+),
+t{tag} AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h{tag}),
+c{tag} AS (
+  SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum, n
+  FROM h{tag} CROSS JOIN t{tag}
+),
+e{tag} AS (SELECT list(e ORDER BY e) AS arr_{tag} FROM ({edges}))"""
+
+    def score(tag: str, metric: str) -> str:
+        return f"(1 + len(list_filter(arr_{tag}, e -> e < r.{metric})))"
+
+    return f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS last_s,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (
+  SELECT CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS anchor_s
+  FROM orders
+),
+rec AS (
+  SELECT o_custkey, (anchor_s - last_s) // 86400 AS rec_days,
+         n_orders, m_cents
+  FROM per CROSS JOIN anchor
+),
+{edge_pipe('r', 'rec_days')},
+{edge_pipe('f', 'n_orders')},
+{edge_pipe('m', 'm_cents')}
+SELECT r.o_custkey, r.rec_days, r.n_orders, r.m_cents,
+       CAST({bins + 1} - {score('r', 'rec_days')} AS BIGINT) AS r_score,
+       CAST({score('f', 'n_orders')} AS BIGINT) AS f_score,
+       CAST({score('m', 'm_cents')} AS BIGINT) AS m_score,
+       CAST(({bins + 1} - {score('r', 'rec_days')}) * 100
+            + {score('f', 'n_orders')} * 10
+            + {score('m', 'm_cents')} AS BIGINT) AS segment
+FROM rec r CROSS JOIN er CROSS JOIN ef CROSS JOIN em
+"""
+
+
+@query("rfm_segments", oracle=_RFM_SQL(bins=5))
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores composed from the fitted quantile discipline: one
+    per-customer agg (persisted, three consumers), three edge fits over
+    its value-count histograms (the quantile_binned_orders machinery —
+    edges are the model, broadcastable to new data), and one broadcast
+    transform pass; segment = r*100 + f*10 + m, r oriented so 5 = most
+    recent.  All-BIGINT (floored epoch days, cents)."""
+    from .functions.encoders import quantile_edges
+
+    o = load_table(spark, sf_dir, "orders")
+    secs = F.unix_timestamp("o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        F.max(secs).cast("long").alias("last_s"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long").alias("m_cents"),
+    )
+    anchor = o.agg(F.max(secs).cast("long").alias("anchor_s"))
+    rec = per.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.expr("(anchor_s - last_s) div 86400").cast("long")
+        .alias("rec_days"),
+        "n_orders", "m_cents",
+    ).persist()
+    er = quantile_edges(rec, "rec_days", 5).select(
+        F.col("arr").alias("arr_r"))
+    ef = quantile_edges(rec, "n_orders", 5).select(
+        F.col("arr").alias("arr_f"))
+    em = quantile_edges(rec, "m_cents", 5).select(
+        F.col("arr").alias("arr_m"))
+    j = (
+        rec.crossJoin(F.broadcast(er))
+        .crossJoin(F.broadcast(ef))
+        .crossJoin(F.broadcast(em))
+    )
+
+    def nbin(arr: str, v: str):
+        return (1 + F.size(F.filter(
+            F.col(arr), lambda e: e < F.col(v)))).cast("long")
+
+    rb = nbin("arr_r", "rec_days")
+    fb = nbin("arr_f", "n_orders")
+    mb = nbin("arr_m", "m_cents")
+    return j.select(
+        "o_custkey", "rec_days", "n_orders", "m_cents",
+        (6 - rb).cast("long").alias("r_score"),
+        fb.alias("f_score"),
+        mb.alias("m_score"),
+        ((6 - rb) * 100 + fb * 10 + mb).cast("long").alias("segment"),
+    )
+
+
 @query("hashed_doc_features", oracle=HASH_FEATURES_SQL(dim=64))
 def q_hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature hashing (Weinberger et al.) of the documents token

@@ -1743,3 +1743,32 @@ def test_simhash_hamming_pairs_blocking_lossless(spark):
         assert got == want, k
     # the exact dup is Hamming 0
     assert sigs[3] == sigs[4]
+
+
+def test_rfm_segments_hand_quintiles(spark, tmp_path):
+    """5 customers, one per quintile on every axis: most-recent/
+    most-frequent/biggest-spend must land (5,5,5) -> segment 555, the
+    stalest single small order (1,1,1) -> 111."""
+    import datetime as dt
+
+    from omldm_spark.queries import QUERIES
+
+    rows = []
+    base = dt.datetime(2024, 1, 10)
+    for i in range(5):                     # customer i: i+1 orders,
+        for j in range(i + 1):             # newest i days before anchor
+            rows.append((i, base - dt.timedelta(days=(4 - i) + j),
+                         100.0 * (i + 1)))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    out = {r.o_custkey: r
+           for r in QUERIES["rfm_segments"](spark, str(tmp_path)).collect()}
+    assert out[4].r_score == 5 and out[4].f_score == 5 and out[4].m_score == 5
+    assert out[4].segment == 555
+    assert out[0].segment == 111
+    # monotone on every axis
+    for i in range(4):
+        assert out[i].r_score <= out[i + 1].r_score
+        assert out[i].f_score <= out[i + 1].f_score
+        assert out[i].m_score <= out[i + 1].m_score

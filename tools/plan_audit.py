@@ -978,6 +978,7 @@ GLOBAL_WINDOW_BOUNDED = [
     "gini_revenue_concentration",   # rank over the per-user aggregate
     "opq_dim_assignment",           # rank over the 64 per-dim moment rows
     "nelson_aalen_hazard",          # hazard cumsum over the risk steps
+    "rfm_segments",                 # three CDFs over value-count hists
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
