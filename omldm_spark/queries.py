@@ -12652,8 +12652,10 @@ _SNAPSHOT_TOP = [
     # anchors: learners / preprocess
     "stump_best_split", "orr_predictions", "robust_scaled_points",
     # anchors: dedup / text / similarity / retrieval / multimodal
-    "dedup_exact", "minhash_lsh_pairs", "text_quality",
-    "ann_cosine_topk", "bm25_topk", "multimodal_decode_meta",
+    # (dedup_exact / text_quality / bm25_topk rotated out — driver-green
+    # since r1 — for three round-6-continuation queries)
+    "simhash_hamming_pairs", "minhash_lsh_pairs", "t_closeness_customers",
+    "ann_cosine_topk", "rfm_segments", "multimodal_decode_meta",
     # anchors: streaming / temporal / TPC-H / evaluation
     "stream_click_attribution", "streaming_cdc_apply", "scd2_user_state",
     "tpch_q2_like", "auc_purchase_value",
