@@ -9075,6 +9075,117 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _UPLIFT_SQL(bins: int = 10) -> str:
+    edges = " UNION ALL ".join(
+        f"SELECT CAST(min(v) AS BIGINT) AS e FROM cdfu"
+        f" WHERE cum >= ({b} * n + {bins} - 1) // {bins}"
+        for b in range(1, bins)
+    )
+    return f"""
+WITH pu AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS trt,
+         CAST(count(*) AS BIGINT) AS score,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+hu AS (SELECT score AS v, CAST(count(*) AS BIGINT) AS c FROM pu GROUP BY 1),
+tu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hu),
+cdfu AS (
+  SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum, n
+  FROM hu CROSS JOIN tu
+),
+eu AS (SELECT list(e ORDER BY e) AS arr FROM ({edges})),
+binned AS (
+  SELECT p.*, CAST(1 + len(list_filter(arr, e -> e < p.score))
+                   AS BIGINT) AS decile
+  FROM pu p CROSS JOIN eu
+),
+per_dec AS (
+  SELECT decile,
+         CAST(sum(trt) AS BIGINT) AS n_t,
+         CAST(sum(1 - trt) AS BIGINT) AS n_c,
+         CAST(sum(trt * conv) AS BIGINT) AS conv_t,
+         CAST(sum((1 - trt) * conv) AS BIGINT) AS conv_c
+  FROM binned GROUP BY decile
+)
+SELECT decile, n_t, n_c, conv_t, conv_c,
+       CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+            ELSE (conv_t * 1000000) // n_t - (conv_c * 1000000) // n_c
+       END AS uplift_ppm,
+       CASE WHEN CAST(sum(n_t) OVER wd AS BIGINT) = 0
+              OR CAST(sum(n_c) OVER wd AS BIGINT) = 0 THEN NULL
+            ELSE CAST(sum(conv_t) OVER wd AS BIGINT) * 1000000
+                   // CAST(sum(n_t) OVER wd AS BIGINT)
+               - CAST(sum(conv_c) OVER wd AS BIGINT) * 1000000
+                   // CAST(sum(n_c) OVER wd AS BIGINT)
+       END AS cum_uplift_ppm
+FROM per_dec
+WINDOW wd AS (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@query("uplift_decile_report", oracle=_UPLIFT_SQL(bins=10))
+def q_uplift_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile report (the Qini construction, Radcliffe 2007):
+    users rank into activity-score deciles via the fitted quantile
+    edges, each decile compares treated (user_id % 2) vs control
+    purchase conversion, and the cumulative top-down uplift says how
+    deep a targeted rollout stays better than blanket treatment.
+    Integer ppm end-to-end; the decile window runs over 10 aggregate
+    rows."""
+    from .functions.encoders import quantile_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("conv"),
+    ).select(
+        "user_id", F.expr("CAST(user_id % 2 AS BIGINT)").alias("trt"),
+        "score", "conv",
+    ).persist()
+    edges = quantile_edges(pu, "score", 10)
+    binned = pu.crossJoin(F.broadcast(edges)).select(
+        "trt", "conv",
+        (1 + F.size(F.filter(
+            F.col("arr"), lambda e: e < F.col("score")))).cast("long")
+        .alias("decile"),
+    )
+    per_dec = binned.groupBy("decile").agg(
+        F.sum("trt").cast("long").alias("n_t"),
+        F.sum(1 - F.col("trt")).cast("long").alias("n_c"),
+        F.sum(F.col("trt") * F.col("conv")).cast("long").alias("conv_t"),
+        F.sum((1 - F.col("trt")) * F.col("conv")).cast("long")
+        .alias("conv_c"),
+    )
+    from pyspark.sql import Window
+
+    wd = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = per_dec.select(
+        "decile", "n_t", "n_c", "conv_t", "conv_c",
+        F.sum("conv_t").over(wd).cast("long").alias("_cct"),
+        F.sum("n_t").over(wd).cast("long").alias("_cnt"),
+        F.sum("conv_c").over(wd).cast("long").alias("_ccc"),
+        F.sum("n_c").over(wd).cast("long").alias("_cnc"),
+    )
+    return cum.select(
+        "decile", "n_t", "n_c", "conv_t", "conv_c",
+        F.expr(
+            "CASE WHEN n_t = 0 OR n_c = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE (conv_t * 1000000) div n_t"
+            " - (conv_c * 1000000) div n_c END"
+        ).alias("uplift_ppm"),
+        F.expr(
+            "CASE WHEN _cnt = 0 OR _cnc = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE (_cct * 1000000) div _cnt"
+            " - (_ccc * 1000000) div _cnc END"
+        ).alias("cum_uplift_ppm"),
+    )
+
+
 @query("hashed_doc_features", oracle=HASH_FEATURES_SQL(dim=64))
 def q_hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature hashing (Weinberger et al.) of the documents token

@@ -1772,3 +1772,77 @@ def test_rfm_segments_hand_quintiles(spark, tmp_path):
         assert out[i].r_score <= out[i + 1].r_score
         assert out[i].f_score <= out[i + 1].f_score
         assert out[i].m_score <= out[i + 1].m_score
+
+
+def test_uplift_decile_report_matches_python_referee(spark, tmp_path):
+    """Planted heterogeneous effect: high-activity users convert only
+    when treated, low-activity never convert — the top decile must show
+    positive uplift and the report must match an independent python
+    referee (same edge formula, duplicate edges counted)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from omldm_spark.queries import QUERIES
+
+    rows = []
+    ts = dt.datetime(2024, 1, 1)
+    for u in range(40):
+        n_ev = 1 + (u // 4)              # activity grows with id
+        for _ in range(n_ev):
+            rows.append((u, "view", ts))
+        if n_ev >= 8 and u % 2 == 1:     # high activity + treated
+            rows.append((u, "purchase", ts))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.decile: r
+           for r in QUERIES["uplift_decile_report"](
+               spark, str(tmp_path)).collect()}
+
+    # referee
+    score, conv = defaultdict(int), defaultdict(int)
+    for u, et, _ in rows:
+        if et == "view":
+            score[u] += 1
+        else:
+            conv[u] = 1
+    # purchases also count toward the activity score (count(*))
+    for u, et, _ in rows:
+        if et == "purchase":
+            score[u] += 1
+    hist = defaultdict(int)
+    for u in score:
+        hist[score[u]] += 1
+    vs = sorted(hist)
+    n = len(score)
+    edges = []
+    for b in range(1, 10):
+        need = (b * n + 9) // 10
+        cum = 0
+        for v in vs:
+            cum += hist[v]
+            if cum >= need:
+                edges.append(v)
+                break
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n_t n_c conv_t conv_c
+    for u in score:
+        d = 1 + sum(1 for e in edges if e < score[u])
+        t = u % 2
+        a = agg[d]
+        a[0] += t
+        a[1] += 1 - t
+        a[2] += t * conv.get(u, 0)
+        a[3] += (1 - t) * conv.get(u, 0)
+    for d, (nt, nc, ct, cc) in agg.items():
+        r = got[d]
+        assert (r.n_t, r.n_c, r.conv_t, r.conv_c) == (nt, nc, ct, cc), d
+        if nt and nc:
+            assert r.uplift_ppm == (ct * 10**6) // nt - (cc * 10**6) // nc
+    # the purchase event itself bumps treated users' activity score, so
+    # the very top decile can be all-treated -> NULL uplift (pinned)
+    only_treated = [d for d, (nt, nc, _, _) in agg.items() if nc == 0]
+    for d in only_treated:
+        assert got[d].uplift_ppm is None, d
+    top = max(d for d, (nt, nc, _, _) in agg.items() if nt and nc)
+    assert got[top].uplift_ppm > 0          # the planted effect surfaces
+    assert got[min(agg)].uplift_ppm == 0    # no effect at the bottom

@@ -979,6 +979,7 @@ GLOBAL_WINDOW_BOUNDED = [
     "opq_dim_assignment",           # rank over the 64 per-dim moment rows
     "nelson_aalen_hazard",          # hazard cumsum over the risk steps
     "rfm_segments",                 # three CDFs over value-count hists
+    "uplift_decile_report",         # score CDF + 10-row decile cumsum
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
