@@ -12731,6 +12731,136 @@ def q_contingency_effect_sizes(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# T-learner uplift: two closed-form ORR models (one per arm) fitted in ONE
+# grouped Gram pass, then every unit cross-scored with BOTH models.
+# ---------------------------------------------------------------------------
+
+_TLEARN_PU_SQL = """
+SELECT user_id,
+       CAST(user_id % 2 AS BIGINT) AS trt,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS x0,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS x1,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS conv
+FROM events GROUP BY user_id
+"""
+
+_TLEARN_GRAM_SQL = f"""
+SELECT trt AS grp,
+       CAST(count(*) AS BIGINT) AS n,
+       avg(x0 * x0) AS m_0_0,
+       avg(x0 * x1) AS m_0_1,
+       avg(x0) AS m_0_b,
+       avg(x0 * conv) AS v_0,
+       avg(x1 * x1) AS m_1_1,
+       avg(x1) AS m_1_b,
+       avg(x1 * conv) AS v_1,
+       avg(conv) AS v_b
+FROM ({_TLEARN_PU_SQL})
+GROUP BY trt
+"""
+
+_TLEARN_LAMBDA = 0.1
+
+# the same wide pivot + cross-score text runs on both engines
+_TLEARN_SCORE_SQL = """
+SELECT p.user_id, p.trt, p.x0, p.x1, p.conv,
+       round(ww.w0_t * p.x0 + ww.w1_t * p.x1 + ww.b_t, 6) AS pred_t,
+       round(ww.w0_c * p.x0 + ww.w1_c * p.x1 + ww.b_c, 6) AS pred_c,
+       CAST(floor((round(ww.w0_t * p.x0 + ww.w1_t * p.x1 + ww.b_t, 6)
+                   - round(ww.w0_c * p.x0 + ww.w1_c * p.x1 + ww.b_c, 6))
+                  * 1000000.0 + 0.5) AS BIGINT) AS tau_ppm
+FROM ({pu}) p CROSS JOIN ({ww}) ww
+"""
+
+_TLEARN_WIDE_SQL = """
+SELECT max(CASE WHEN grp = 1 THEN w0 END) AS w0_t,
+       max(CASE WHEN grp = 1 THEN w1 END) AS w1_t,
+       max(CASE WHEN grp = 1 THEN bias END) AS b_t,
+       max(CASE WHEN grp = 0 THEN w0 END) AS w0_c,
+       max(CASE WHEN grp = 0 THEN w1 END) AS w1_c,
+       max(CASE WHEN grp = 0 THEN bias END) AS b_c
+FROM ({w})
+"""
+
+
+@query(
+    "uplift_t_learner_orr",
+    oracle=_TLEARN_SCORE_SQL.format(
+        pu=_TLEARN_PU_SQL,
+        ww=_TLEARN_WIDE_SQL.format(
+            w=_CRAMER_SEG_SQL.format(g=f"({_TLEARN_GRAM_SQL})",
+                                     lam=_TLEARN_LAMBDA)
+        ),
+    ),
+)
+def q_uplift_t_learner_orr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-learner uplift modeling (Kunzel et al. PNAS 2019): one ridge
+    response model PER ARM — both fitted in a SINGLE grouped Gram
+    aggregation (the orr_per_segment many-models-in-one-pass shape,
+    grp = treatment) and solved by the shared-Cramer text — then EVERY
+    unit is cross-scored with both models; tau = pred_treated -
+    pred_control is the per-unit estimated treatment effect (HALF-UP
+    ppm).  Features are integer activity counts so the Gram is exact;
+    weights round to 6dp before scoring, making the float tail
+    IEEE-identical across engines.  At scale: one fact pass for
+    features, one for the two Grams, a 1-row broadcast of the pivoted
+    weights — no per-arm job, no shuffle in scoring."""
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x0"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("x1"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("conv"),
+    ).select(
+        "user_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long").alias("trt"),
+        "x0", "x1", "conv",
+    ).persist()
+    x0, x1, conv = F.col("x0"), F.col("x1"), F.col("conv")
+    gram = pu.groupBy(F.col("trt").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(x0 * x0).alias("m_0_0"),
+        F.avg(x0 * x1).alias("m_0_1"),
+        F.avg(x0).alias("m_0_b"),
+        F.avg(x0 * conv).alias("v_0"),
+        F.avg(x1 * x1).alias("m_1_1"),
+        F.avg(x1).alias("m_1_b"),
+        F.avg(x1 * conv).alias("v_1"),
+        F.avg(conv).alias("v_b"),
+    )
+    gview = f"omldm_tlearn_gram_{uuid.uuid4().hex[:8]}"
+    gram.createOrReplaceTempView(gview)
+    w = spark.sql(_CRAMER_SEG_SQL.format(g=gview, lam=_TLEARN_LAMBDA))
+    ww = w.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("w0"))).alias("w0_t"),
+        F.max(F.when(F.col("grp") == 1, F.col("w1"))).alias("w1_t"),
+        F.max(F.when(F.col("grp") == 1, F.col("bias"))).alias("b_t"),
+        F.max(F.when(F.col("grp") == 0, F.col("w0"))).alias("w0_c"),
+        F.max(F.when(F.col("grp") == 0, F.col("w1"))).alias("w1_c"),
+        F.max(F.when(F.col("grp") == 0, F.col("bias"))).alias("b_c"),
+    )
+    scored = pu.crossJoin(F.broadcast(ww))
+    pt = "(w0_t * x0 + w1_t * x1 + b_t)"
+    pc = "(w0_c * x0 + w1_c * x1 + b_c)"
+    return scored.select(
+        "user_id", "trt", "x0", "x1", "conv",
+        F.expr(f"round({pt}, 6)").alias("pred_t"),
+        F.expr(f"round({pc}, 6)").alias("pred_c"),
+        F.expr(
+            f"CAST(floor((round({pt}, 6) - round({pc}, 6))"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("tau_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -1846,3 +1846,66 @@ def test_uplift_decile_report_matches_python_referee(spark, tmp_path):
     top = max(d for d, (nt, nc, _, _) in agg.items() if nt and nc)
     assert got[top].uplift_ppm > 0          # the planted effect surfaces
     assert got[min(agg)].uplift_ppm == 0    # no effect at the bottom
+
+
+def test_uplift_t_learner_matches_numpy_ridge_referee(spark, tmp_path):
+    """Planted heterogeneous effect: treated users convert iff they have
+    >= 3 clicks, control never convert.  The per-arm weights and every
+    cross-scored tau must match an independent numpy ridge referee
+    (linear solve vs the query's Cramer text), and tau must be
+    monotone in clicks — the planted signal."""
+    import datetime as dt
+
+    import numpy as np
+
+    from omldm_spark.queries import QUERIES
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        clicks = u // 4
+        views = 2 + (u % 3)
+        for _ in range(clicks):
+            rows.append((u, "click", ts))
+        for _ in range(views):
+            rows.append((u, "view", ts))
+        if u % 2 == 1 and clicks >= 3:
+            rows.append((u, "purchase", ts))
+        if not clicks and not views:
+            rows.append((u, "error", ts))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: r
+           for r in QUERIES["uplift_t_learner_orr"](
+               spark, str(tmp_path)).collect()}
+    assert len(got) == 40
+
+    # referee: per-arm ridge via numpy linear solve on the same moments
+    feats = {}
+    for u in range(40):
+        feats[u] = (u // 4, 2 + (u % 3),
+                    1 if (u % 2 == 1 and u // 4 >= 3) else 0)
+    w = {}
+    for arm in (0, 1):
+        xs = np.array([[feats[u][0], feats[u][1], 1.0]
+                       for u in range(40) if u % 2 == arm])
+        ys = np.array([float(feats[u][2])
+                       for u in range(40) if u % 2 == arm])
+        n = len(xs)
+        g = xs.T @ xs / n + 0.1 * np.eye(3)
+        v = xs.T @ ys / n
+        w[arm] = np.round(np.linalg.solve(g, v), 6)
+    for u, r in got.items():
+        x = np.array([feats[u][0], feats[u][1], 1.0])
+        pt = round(float(w[1] @ x), 6)
+        pc = round(float(w[0] @ x), 6)
+        assert abs(r.pred_t - pt) < 1e-9, u
+        assert abs(r.pred_c - pc) < 1e-9, u
+        assert r.tau_ppm == int(np.floor((pt - pc) * 1e6 + 0.5)), u
+    # the planted effect: tau increases with clicks at fixed views
+    taus = [got[u].tau_ppm for u in range(40) if u % 3 == 0]
+    xs0 = [got[u].x0 for u in range(40) if u % 3 == 0]
+    order = np.argsort(xs0)
+    assert list(np.array(taus)[order]) == sorted(taus)
+    assert max(r.tau_ppm for r in got.values()) > 100000  # > 0.1 lift
