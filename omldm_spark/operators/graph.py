@@ -264,3 +264,76 @@ SELECT v, CAST(v % 2 AS BIGINT) AS is_item,
        lbl AS community
 FROM l{rounds}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round synchronous peeling)
+# ---------------------------------------------------------------------------
+
+def kcore_rounds(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` synchronous peeling steps toward the k-core of a
+    symmetric edge list (``src``, ``dst``): each round drops every vertex
+    whose degree WITHIN the current survivor set is < k (Matula/Beck
+    1983; the BSP formulation is Montresor et al. TPDS 2013).  After
+    enough rounds the survivor set is exactly the k-core — the maximal
+    subgraph with minimum degree >= k, the standard "dense kernel"
+    filter a graph-mining pipeline runs before community detection.
+
+    Per round: survivors semi-join the edge list on BOTH endpoints (two
+    keyed joins, each shuffling at most |E| rows on the vertex key), one
+    count-groupBy with map-side combine, one filter.  The peeling is
+    monotone (survivor set only shrinks), so at scale the per-round cost
+    FALLS as the periphery burns off; the edge relation is persisted
+    once and every round reads the materialization.  The recurrence
+    references its previous round TWICE (both endpoint joins), so each
+    round localCheckpoints — the bfs_rounds lineage discipline (an
+    un-truncated subtree doubles per round).
+
+    Returns survivors after round R with their within-core degree.
+    Fixed R (not run-to-fixpoint) keeps the oracle a finite chained-CTE
+    unroll; callers pin fixpoint by checking round R == R-1 where the
+    contract needs the true core (tests do)."""
+    edges = edges.persist()
+    surv = edges.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    out = None
+    for _ in range(rounds):
+        alive = (
+            edges
+            .join(surv.withColumnRenamed("v", "src"), "src")
+            .join(surv.withColumnRenamed("v", "dst"), "dst")
+        )
+        deg = alive.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        out = deg.filter(F.col("deg") >= k).localCheckpoint()
+        surv = out.select(F.col("src").alias("v"))
+    return out.select(F.col("src").alias("v"), "deg")
+
+
+def KCORE_EVENTS_SQL(k: int, rounds: int) -> str:
+    """Chained-CTE DuckDB oracle for kcore_rounds over the bipartite
+    user <-> props.k event graph (PAIRS_SQL/EDGES_SQL): the same
+    peel-below-k recurrence unrolled R times."""
+    ctes = [
+        f"pairs AS ({PAIRS_SQL})",
+        f"edges AS ({EDGES_SQL})",
+        "s0 AS (SELECT DISTINCT src AS v FROM edges)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"""s{t + 1} AS (
+  SELECT e.src AS v, CAST(count(*) AS BIGINT) AS deg
+  FROM edges e
+  JOIN s{t} a ON e.src = a.v
+  JOIN s{t} b ON e.dst = b.v
+  GROUP BY e.src
+  HAVING count(*) >= {k}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v, CAST(v % 2 AS BIGINT) AS is_item,
+       CAST(v // 2 AS BIGINT) AS orig_id, deg
+FROM s{rounds}"""
+    )

@@ -8906,6 +8906,42 @@ def q_label_propagation_communities(spark: SparkSession,
     )
 
 
+from .operators.graph import KCORE_EVENTS_SQL, kcore_rounds  # noqa: E402
+
+
+@query("kcore_vertices", oracle=KCORE_EVENTS_SQL(k=8, rounds=4))
+def q_kcore_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-core of the bipartite user <-> props.k event graph via 4
+    synchronous peeling rounds (Matula/Beck 1983; BSP shape Montresor
+    et al. TPDS 2013): drop every vertex with within-survivor degree
+    < 8 until the dense kernel remains — the standard pre-filter before
+    community detection / dense-subgraph mining.  Per round: two keyed
+    semi-joins + one map-side-combined count; survivor set only
+    shrinks, so per-round cost FALLS as the periphery burns off;
+    per-round localCheckpoint (the recurrence references its previous
+    round twice).  Fixpoint at this SF is pinned in
+    tests/test_operators.py (operators/graph.py kcore_rounds)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("k"),
+    ).distinct()
+    edges = pairs.select(
+        (F.col("u") * 2).alias("src"), (F.col("k") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("k") * 2 + 1).alias("src"), (F.col("u") * 2).alias("dst")
+        )
+    )
+    out = kcore_rounds(edges, k=8, rounds=4)
+    return out.select(
+        "v",
+        (F.col("v") % 2).cast("long").alias("is_item"),
+        F.expr("v div 2").cast("long").alias("orig_id"),
+        "deg",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Feature encoders (target encoding, quantile binning, hashing trick) + MAD
 # ---------------------------------------------------------------------------

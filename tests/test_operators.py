@@ -1909,3 +1909,62 @@ def test_uplift_t_learner_matches_numpy_ridge_referee(spark, tmp_path):
     order = np.argsort(xs0)
     assert list(np.array(taus)[order]) == sorted(taus)
     assert max(r.tau_ppm for r in got.values()) > 100000  # > 0.1 lift
+
+
+def test_kcore_peeling_cascade_and_fixpoint(spark):
+    """Lollipop graph: a 4-clique with a 4-vertex tail.  At k=2 the tail
+    peels exactly one vertex per round (the cascade), the clique never
+    peels, and the survivor set reaches fixpoint — all against a python
+    referee running the same synchronous recurrence."""
+    from omldm_spark.operators.graph import kcore_rounds
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    tail = []
+    for i in range(4):          # 3 - 10 - 11 - 12 - 13
+        a, b = (3 if i == 0 else 9 + i), 10 + i
+        tail += [(a, b), (b, a)]
+    edges = spark.createDataFrame(clique + tail, "src long, dst long")
+
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for s, t in clique + tail:
+        adj[s].add(t)
+
+    def referee(k, rounds):
+        surv = set(adj)
+        deg = {}
+        for _ in range(rounds):
+            deg = {v: len(adj[v] & surv) for v in surv}
+            surv = {v for v in surv if deg[v] >= k}
+        return {v: deg[v] for v in surv}
+
+    for rounds in (1, 2, 3, 4, 5):
+        got = {r.v: r.deg for r in
+               kcore_rounds(edges, k=2, rounds=rounds).collect()}
+        assert got == referee(2, rounds), rounds
+    # the cascade: each early round removes exactly one tail vertex
+    sizes = [len(referee(2, r)) for r in (1, 2, 3, 4, 5)]
+    assert sizes == [7, 6, 5, 4, 4]          # fixpoint at round 4
+    assert set(referee(2, 5)) == {0, 1, 2, 3}  # the clique is the 2-core
+    # k=3: the clique alone survives
+    assert {r.v for r in kcore_rounds(edges, k=3, rounds=4).collect()} \
+        == {0, 1, 2, 3}
+
+
+def test_kcore_events_graph_fixpoint_at_contract_rounds(spark):
+    """The contract query's 4 rounds reach the true 8-core at sf0.001:
+    round 4 == round 5 (fixpoint), so the fixed-round unroll IS the
+    k-core here, not a truncation."""
+    from omldm_spark.io import load_table
+    from omldm_spark.operators.graph import kcore_rounds
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pairs = ev.selectExpr(
+        "user_id AS u",
+        "CAST(regexp_extract(props, '[0-9]+', 0) AS LONG) AS k",
+    ).distinct()
+    edges = pairs.selectExpr("u * 2 AS src", "k * 2 + 1 AS dst").unionByName(
+        pairs.selectExpr("k * 2 + 1 AS src", "u * 2 AS dst"))
+    r4 = {(r.v, r.deg) for r in kcore_rounds(edges, k=8, rounds=4).collect()}
+    r5 = {(r.v, r.deg) for r in kcore_rounds(edges, k=8, rounds=5).collect()}
+    assert r4 == r5 and len(r4) == 63
