@@ -12897,6 +12897,84 @@ def q_uplift_t_learner_orr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Association rules over order baskets (directional confidence + lift)
+# ---------------------------------------------------------------------------
+
+_BASKETS_SQL = """
+SELECT DISTINCT l_orderkey AS o,
+       CAST(l_partkey % 64 AS BIGINT) AS item
+FROM lineitem
+"""
+
+
+@query(
+    "association_rules_baskets",
+    oracle=f"""
+WITH b AS ({_BASKETS_SQL}),
+nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b),
+item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY item),
+co AS (
+  SELECT a.item AS ante, c.item AS cons, CAST(count(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b c ON a.o = c.o AND a.item <> c.item
+  GROUP BY a.item, c.item
+  HAVING count(*) >= 5
+)
+SELECT co.ante, co.cons, co.n_ab, ia.n AS n_ante, ic.n AS n_cons,
+       CAST(co.n_ab * 1000000 // nb.n AS BIGINT) AS support_ppm,
+       CAST(co.n_ab * 1000000 // ia.n AS BIGINT) AS confidence_ppm,
+       CAST((co.n_ab * 1000000 // ia.n) * nb.n // ic.n AS BIGINT)
+         AS lift_ppm
+FROM co
+JOIN item_n ia ON ia.item = co.ante
+JOIN item_n ic ON ic.item = co.cons
+CROSS JOIN nb
+""",
+)
+def q_association_rules_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules ante -> cons over order baskets
+    (Agrawal/Srikant VLDB 1994's A-Priori output contract at pair
+    length, mined the SON/Spark way): distinct (order, item) pairs
+    self-join within the basket key into DIRECTED co-occurring pairs,
+    support/confidence in truncated ppm, lift as the TWO-STAGE integer
+    division (confidence_ppm * n_baskets // n_cons) so every
+    intermediate stays < n_baskets * 1e6 — overflow-safe at any corpus
+    size, unlike the naive n_ab*n*1e6/(n_a*n_b).  Scale: the self-join
+    is quadratic in basket WIDTH, not corpus size; the rule space is
+    bounded by the item-vocabulary square whatever the row count; item
+    margins + the basket count broadcast.  Support floor n_ab >= 5."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % 64).cast("long").alias("item"),
+    ).distinct().persist()
+    nb = b.agg(F.countDistinct("o").cast("long").alias("n"))
+    item_n = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, c = b.alias("a"), b.alias("c")
+    co = (
+        a.join(c, (F.col("a.o") == F.col("c.o"))
+               & (F.col("a.item") != F.col("c.item")))
+        .groupBy(F.col("a.item").alias("ante"), F.col("c.item").alias("cons"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ia = item_n.select(F.col("item").alias("ante"), F.col("n").alias("n_ante"))
+    ic = item_n.select(F.col("item").alias("cons"), F.col("n").alias("n_cons"))
+    out = (
+        co.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(nb))
+    )
+    return out.select(
+        "ante", "cons", "n_ab", "n_ante", "n_cons",
+        F.expr("n_ab * 1000000 div n").cast("long").alias("support_ppm"),
+        F.expr("n_ab * 1000000 div n_ante").cast("long")
+        .alias("confidence_ppm"),
+        F.expr("(n_ab * 1000000 div n_ante) * n div n_cons").cast("long")
+        .alias("lift_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

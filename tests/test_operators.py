@@ -1968,3 +1968,33 @@ def test_kcore_events_graph_fixpoint_at_contract_rounds(spark):
     r4 = {(r.v, r.deg) for r in kcore_rounds(edges, k=8, rounds=4).collect()}
     r5 = {(r.v, r.deg) for r in kcore_rounds(edges, k=8, rounds=5).collect()}
     assert r4 == r5 and len(r4) == 63
+
+
+def test_association_rules_planted_correlation(spark, tmp_path):
+    """Planted rule: item 1 appears iff item 2 appears (perfect
+    correlation -> confidence 100%, lift = n/n_cons); item 3 rides in
+    every basket (lift exactly 1.0 against anything)."""
+    rows = []
+    for o in range(20):
+        rows.append((o, 3, 1))
+        if o % 2 == 0:
+            rows.append((o, 1, 2))
+            rows.append((o, 2, 3))
+        else:
+            rows.append((o, 4 + (o % 3), 4))
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber int")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    from omldm_spark.queries import QUERIES
+
+    out = {(r.ante, r.cons): r for r in
+           QUERIES["association_rules_baskets"](
+               spark, str(tmp_path)).collect()}
+    r12 = out[(1, 2)]
+    assert r12.n_ab == 10 and r12.n_ante == 10
+    assert r12.confidence_ppm == 1000000          # always together
+    assert r12.lift_ppm == 1000000 * 20 // 10     # 2.0x
+    r13 = out[(1, 3)]
+    assert r13.confidence_ppm == 1000000
+    assert r13.lift_ppm == 1000000                # item 3 is everywhere
+    assert out[(3, 1)].confidence_ppm == 500000   # reverse direction
