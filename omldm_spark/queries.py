@@ -12975,6 +12975,102 @@ def q_association_rules_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Top session paths (user-journey mining)
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_session_paths",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, event_type, ts_s,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM ordered
+),
+first5 AS (
+  SELECT * FROM (
+    SELECT user_id, session_id, event_type, ts_s, event_id,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts_s, event_id) AS rn
+    FROM sessions
+  ) WHERE rn <= 5
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts_s, event_id) AS path
+  FROM first5 GROUP BY user_id, session_id
+),
+pc AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM paths GROUP BY path)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+            AS BIGINT) AS rank
+FROM pc
+QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path) <= 20
+""",
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journeys: the first five event types of every
+    session (300 s gap sessionization, the event_sessions machinery)
+    concatenated into a path string, counted across sessions, ranked
+    (count DESC, path ASC) — the funnel-discovery twin of
+    funnel_conversion: instead of checking a GIVEN sequence it MINES
+    the frequent ones.  Ordering inside a path is (ts_s, event_id) via
+    array_sort over structs — engine-exact because event_id is unique.
+    Scale: the truncate-to-5 filter bounds every collected array; the
+    path-count relation is bounded by the event-type vocabulary to the
+    5th power however large the corpus, so the final global top-k
+    window feeds from a tiny aggregate, never the fact relation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    sess = ev.withColumn(
+        "gap", F.col("ts_s") - F.lag("ts_s").over(w)
+    ).withColumn(
+        "session_id",
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > 300), 1)
+            .otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    wse = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_s", "event_id")
+    first5 = sess.withColumn("rn", F.row_number().over(wse)).filter(
+        F.col("rn") <= 5)
+    paths = first5.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("ts_s", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    pc = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    wtop = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        pc.withColumn("rank", F.row_number().over(wtop).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

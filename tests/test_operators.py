@@ -1998,3 +1998,39 @@ def test_association_rules_planted_correlation(spark, tmp_path):
     assert r13.confidence_ppm == 1000000
     assert r13.lift_ppm == 1000000                # item 3 is everywhere
     assert out[(3, 1)].confidence_ppm == 500000   # reverse direction
+
+
+def test_top_session_paths_truncation_and_ranking(spark, tmp_path):
+    """Planted journeys: 6 sessions of 'view>click>purchase', 3 of
+    'view>view', one 8-event session that must truncate to its first 5
+    events; ranking ties break on path ASC."""
+    import datetime as dt
+
+    rows, eid = [], 0
+
+    def session(u, start, types):
+        nonlocal eid
+        for i, t in enumerate(types):
+            rows.append((eid, u, t,
+                         start + dt.timedelta(seconds=10 * i)))
+            eid += 1
+
+    t0 = dt.datetime(2024, 1, 1)
+    for s in range(6):
+        session(s, t0 + dt.timedelta(hours=s),
+                ["view", "click", "purchase"])
+    for s in range(3):
+        session(10 + s, t0, ["view", "view"])
+    session(20, t0, ["signup"] * 8)            # truncates to 5
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from omldm_spark.queries import QUERIES
+
+    out = QUERIES["top_session_paths"](spark, str(tmp_path)).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].path == "view>click>purchase"
+    assert by_rank[1].n_sessions == 6
+    assert by_rank[2].path == "view>view" and by_rank[2].n_sessions == 3
+    assert by_rank[3].path == ">".join(["signup"] * 5)  # truncated
+    assert len(out) == 3
