@@ -1861,3 +1861,222 @@ FROM (
   FROM adc
 ) WHERE rk <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Optimized Product Quantization with a LEARNED rotation (OPQ-NP, Ge et
+# al., CVPR 2013 §5): alternate (a) PQ codebook training in the rotated
+# space with (b) an orthogonal-Procrustes update of the rotation from the
+# cross-covariance between ORIGINAL vectors and their rotated-space
+# reconstructions.  The distributed statistic (the d x d cross-Gram) is
+# EXACT integers — only the 64 x 64 SVD runs on the driver (numpy), the
+# same driver/executor split as the k-means centroid solve.  The
+# permutation baseline (opq_dim_assignment) remains the oracle-exact
+# variant; the learned rotation is float-SVD-dependent and is pinned by
+# tests (orthogonality, distortion non-increase, determinism) instead.
+# ---------------------------------------------------------------------------
+
+def pq_reconstructions(emb: DataFrame, books: DataFrame, m: int = 4,
+                       dim: int = 64, quant: int = 1_000_000,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(vid, rv): each vector's PQ reconstruction under FIXED codebooks —
+    argmin codeword per subspace, codewords concatenated in sub order
+    (array_sort over (sub, cv) structs; sub is unique per vid).  One
+    broadcast join + one keyed agg; never touches the driver."""
+    sv = pq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                       vec_col=vec_col)
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vid", "sub").orderBy("d2", "cid")
+    codes = (
+        sv.join(F.broadcast(books), "sub")
+        .select("vid", "sub", "cid", "cv", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return codes.groupBy("vid").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cv"))),
+                lambda s: s["cv"],
+            )
+        ).alias("rv")
+    )
+
+
+def pq_cross_gram(emb: DataFrame, books: DataFrame, m: int = 4,
+                  dim: int = 64, quant: int = 1_000_000,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  recon: DataFrame | None = None) -> DataFrame:
+    """(j, k, a): the d x d cross-Gram A[j][k] = sum_i recon_i[j] *
+    q_i[k] between each vector's PQ reconstruction (rows ``j``) and its
+    original quantized coordinates (columns ``k``) — the sufficient
+    statistic of the orthogonal-Procrustes rotation update.
+
+    Scale shape: mapInPandas computes ONE d x d integer partial per
+    Arrow batch (numpy int64 matmul — exact, no BLAS float path for
+    integer dtypes), so the shuffle is (#batches x d^2) tiny rows into
+    a map-side-combined (j, k) sum — the treeAggregate pattern, never
+    an N x d^2 explode.  Exactness envelope: |recon*q| <= quant^2 =
+    1e12 per term; int64 holds to ~9.2e6 summed rows per batch and the
+    cross-batch sum is Spark BIGINT — same envelope as
+    opq_dim_assignment, train on a bounded sample past ~3M vectors.
+    The DuckDB oracle is the naive quadratic unnest of the same
+    product (OPQ_GRAM_SQL) — engine does the partial-aggregate shape,
+    oracle does the definition."""
+    import pandas as pd
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant, 0).cast("long"),
+    )
+    if recon is None:
+        recon = pq_reconstructions(emb, books, m=m, dim=dim, quant=quant,
+                                   id_col=id_col, vec_col=vec_col)
+    joined = (
+        emb.select(F.col(id_col).cast("long").alias("vid"), qv.alias("qv"))
+        .join(recon, "vid")
+        .select("qv", "rv")
+    )
+
+    def partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array([list(v) for v in pdf["qv"]], dtype=np.int64)
+            r = np.array([list(v) for v in pdf["rv"]], dtype=np.int64)
+            a = r.T @ q          # exact: numpy integer matmul never BLAS
+            jj, kk = np.meshgrid(np.arange(a.shape[0]),
+                                 np.arange(a.shape[1]), indexing="ij")
+            yield pd.DataFrame({
+                "j": jj.ravel().astype("int64"),
+                "k": kk.ravel().astype("int64"),
+                "a": a.ravel(),
+            })
+
+    return (
+        joined.mapInPandas(partials, schema="j long, k long, a long")
+        .groupBy("j", "k")
+        .agg(F.sum("a").cast("long").alias("a"))
+    )
+
+
+def OPQ_GRAM_SQL(m: int = 4, k: int = 16, rounds: int = 2,
+                 dim: int = 64, quant: int = 1_000_000,
+                 table: str = "embeddings", id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> str:
+    """DuckDB oracle for pq_cross_gram at identity rotation: the PQ
+    training chain, the argmin encode, then the DEFINITIONAL quadratic
+    unnest sum(recon[j] * q[k]) — losslessness of the engine's
+    partial-aggregate shape IS the gate."""
+    d = dim // m
+    parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim, quant=quant,
+                          table=table, id_col=id_col, vec_col=vec_col)
+    joined = ",\n".join(parts)
+
+    def dist(e, c):
+        return (f"list_sum(list_transform(range(1, {d} + 1),"
+                f" i -> ({e}.sv[i] - {c}.cv[i]) * ({e}.sv[i] - {c}.cv[i])))")
+
+    return f"""
+WITH {joined},
+codes AS (
+  SELECT e.vid, e.sub, c.cv
+  FROM pv e JOIN p{rounds} c ON c.sub = e.sub
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid, e.sub ORDER BY {dist('e', 'c')}, c.cid
+  ) = 1
+),
+recon AS (
+  SELECT co.vid, CAST(co.sub * {d} + t.i - 1 AS BIGINT) AS j,
+         co.cv[t.i] AS rq
+  FROM codes co CROSS JOIN range(1, {d} + 1) t(i)
+),
+xq AS (
+  SELECT vid, CAST(t.i - 1 AS BIGINT) AS k, qv[t.i] AS q
+  FROM pq_qe CROSS JOIN range(1, {dim} + 1) t(i)
+)
+SELECT r.j, x.k, CAST(sum(r.rq * x.q) AS BIGINT) AS a
+FROM recon r JOIN xq x ON x.vid = r.vid
+GROUP BY r.j, x.k
+"""
+
+
+def rotate_embeddings(emb: DataFrame, rot, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding): each vector premultiplied by the d x d
+    rotation — one Arrow-batched numpy matmul per batch, no shuffle;
+    the rotation rides the task closure (64 x 64 floats)."""
+    import pandas as pd
+
+    rows = [[float(x) for x in r] for r in rot]
+
+    def run(batches):
+        import numpy as np
+
+        rm = np.array(rows, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            y = x @ rm.T
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                vec_col: list(y),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, {vec_col} array<double>")
+
+
+def opq_rotation_train(emb: DataFrame, m: int = 4, k: int = 16,
+                       rounds: int = 2, alternations: int = 2,
+                       dim: int = 64, quant: int = 1_000_000,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Alternating-minimization OPQ: returns (rot, books) — the learned
+    d x d orthogonal rotation (numpy float64) and the final integer
+    codebooks trained in the rotated space.
+
+    Each alternation: (a) rotate the corpus (Arrow-batched matmul, no
+    shuffle), (b) train PQ codebooks on the rotated integer grid (the
+    exact floor-midpoint recurrence), (c) aggregate the EXACT integer
+    cross-Gram between original coordinates and rotated-space
+    reconstructions (pq_cross_gram — d^2 bounded rows to the driver),
+    (d) solve orthogonal Procrustes R = V U^T from the 64 x 64 SVD.
+    Driver work per alternation is O(d^3) on a d x d matrix — the same
+    tiny-solve/big-aggregate split as the ORR normal equations.  The
+    rotated reconstruction must be compared against R-rotated originals,
+    so the Procrustes target uses the CURRENT rotation's gram; R is
+    composed fresh each alternation from the identity-space gram."""
+    import numpy as np
+
+    rot = np.eye(dim)
+    books = None
+    for _ in range(alternations):
+        src = emb if np.allclose(rot, np.eye(dim)) else rotate_embeddings(
+            emb, rot, id_col=id_col, vec_col=vec_col)
+        books = pq_train_quantized(
+            src, m=m, k=k, rounds=rounds, dim=dim, quant=quant,
+            id_col=id_col, vec_col=vec_col,
+        ).select("sub", "cid", F.col("codeword_q").alias("cv")) \
+         .localCheckpoint()
+        recon = pq_reconstructions(src, books, m=m, dim=dim, quant=quant,
+                                   id_col=id_col, vec_col=vec_col)
+        gram_rows = pq_cross_gram(
+            emb, books, m=m, dim=dim, quant=quant, id_col=id_col,
+            vec_col=vec_col, recon=recon,
+        ).collect()   # bounded: d^2 rows (4096 at dim=64)
+        a = np.zeros((dim, dim))
+        for r in gram_rows:
+            a[int(r["j"])][int(r["k"])] = float(r["a"])
+        # minimize sum ||R x - y||^2 = const - 2 tr(R M), M = sum x y^T
+        # = a.T; with M = U S V^T the maximizer is R = V U^T
+        u, _, vt = np.linalg.svd(a.T)
+        rot = vt.T @ u.T
+    return rot, books

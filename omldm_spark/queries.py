@@ -4323,6 +4323,55 @@ def q_ann_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            topk=5, subvec=sv)
 
 
+from .operators.similarity import (  # noqa: E402
+    OPQ_GRAM_SQL,
+    opq_rotation_train,
+    pq_cross_gram,
+)
+
+
+@query("opq_procrustes_gram", oracle=OPQ_GRAM_SQL(m=4, k=16, rounds=2))
+def q_opq_procrustes_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed statistic of TRUE OPQ (Ge et al. CVPR 2013 §5):
+    the exact integer d x d cross-Gram A[j][k] = sum_i recon_i[j] *
+    q_i[k] between every vector's PQ reconstruction and its original
+    quantized coordinates — the input to the orthogonal-Procrustes
+    rotation update, aggregated as ONE d^2-rows-per-Arrow-batch
+    partial (numpy int64 matmul inside mapInPandas, map-side-combined
+    (j, k) sum — the treeAggregate shape).  The oracle recomputes it
+    as the DEFINITIONAL quadratic unnest over the same PQ training
+    chain, so the partial-aggregate optimization is gated lossless
+    (operators/similarity.py pq_cross_gram)."""
+    from .operators.similarity import pq_train_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_quantized(emb, m=4, k=16, rounds=2).select(
+        "sub", "cid", F.col("codeword_q").alias("cv"))
+    return pq_cross_gram(emb, books, m=4)
+
+
+@query("opq_rotation_train")
+def q_opq_rotation_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full alternating-minimization OPQ (2 alternations): rotate ->
+    train integer PQ codebooks -> exact cross-Gram -> 64 x 64 SVD on
+    the driver -> orthogonal rotation, composed twice; output is the
+    learned rotation flattened to (j, k, r_ppb) HALF-AWAY BIGINT.
+    Rows-only by documented design — the SVD is float LAPACK, not
+    reproducible in SQL — with orthogonality / distortion-non-increase
+    / determinism pinned in tests/test_similarity.py
+    (operators/similarity.py opq_rotation_train)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rot, _books = opq_rotation_train(emb, m=4, k=16, rounds=2,
+                                     alternations=2)
+    rows = [
+        (int(j), int(k), int(np.round(rot[j][k] * 1_000_000_000)))
+        for j in range(rot.shape[0]) for k in range(rot.shape[1])
+    ]
+    return spark.createDataFrame(rows, "j long, k long, r_ppb long")
+
+
 from .operators.similarity import ANN_RQ_ADC_SQL, ann_rq_adc_topk  # noqa: E402
 
 

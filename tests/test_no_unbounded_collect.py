@@ -46,6 +46,9 @@ ALLOWLIST = {
         "PQ seed codewords: m x k rows of dim/m ints (64 rows at m=4)",
     ("operators/similarity.py", "for r in agg.collect()"):
         "per-centroid sufficient stats: k rows",
+    ("operators/similarity.py", "# bounded: d^2 rows"):
+        "OPQ Procrustes cross-Gram: d x d integer matrix (4096 rows at "
+        "dim=64), the rotation-solve sufficient statistic",
     ("operators/skew.py", 'F.bit_or("mask")'):
         "bloom filter words: fixed 16-BIGINT array",
     ("learners/trainer.py", "mapInPandas(run_partition, schema=STATE_SCHEMA"):
