@@ -964,6 +964,49 @@ CHECKS = {
 # in the optimized plan, turning the `WindowExec: No Partition Defined`
 # warnings into a checked invariant instead of an eyeballed claim.
 # (Enumerated by scanning every batch query's optimized plan at sf0.001.)
+CHECKS.update({
+    "kcore_vertices": [
+        # every peel round localCheckpoints; the published plan reads
+        # ONLY materialized round state — no parquet rescan, no
+        # re-derivation of the edge pipeline per round
+        ("final round is checkpoint-backed, zero parquet scans",
+         lambda p: "Scan parquet" not in p and "ExistingRDD" in p),
+        ("no cartesian / sort-merge blowup",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "uplift_t_learner_orr": [
+        # per-user features persist once; the two per-arm Grams are ONE
+        # grouped map-side-combined agg; the pivoted weight row
+        # broadcasts into scoring (never a shuffle on the unit table)
+        ("weights broadcast into cross-scoring",
+         lambda p: p.count("BroadcastNestedLoopJoin") >= 1),
+        ("no sort-merge join anywhere", lambda p: "SortMergeJoin" not in p),
+        ("features/Gram map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "association_rules_baskets": [
+        # margins + basket count broadcast; the only non-broadcast work
+        # is the within-basket self-join keyed on the basket id
+        ("margins and totals broadcast",
+         lambda p: p.count("BroadcastHashJoin")
+         + p.count("BroadcastNestedLoopJoin") >= 3),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ("pair counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "opq_procrustes_gram": [
+        # the cross-Gram is Arrow-batched partials (MapInPandas), then a
+        # map-side-combined (j,k) sum; codebooks ride checkpoints and
+        # broadcast into the encode
+        ("Arrow-batched partial aggregation (treeAggregate shape)",
+         lambda p: "MapInPandas" in p),
+        ("codebooks checkpoint-backed and broadcast",
+         lambda p: "ExistingRDD" in p and "BroadcastHashJoin" in p),
+        ("(j,k) sum map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+})
+
 GLOBAL_WINDOW_BOUNDED = [
     "auc_purchase_value", "budget_apportion_sources",
     "conformal_interval_orr", "gbt_residual_round", "km_session_survival",
@@ -980,6 +1023,7 @@ GLOBAL_WINDOW_BOUNDED = [
     "nelson_aalen_hazard",          # hazard cumsum over the risk steps
     "rfm_segments",                 # three CDFs over value-count hists
     "uplift_decile_report",         # score CDF + 10-row decile cumsum
+    "top_session_paths",            # top-20 rank over the path counts
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
