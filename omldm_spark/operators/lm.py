@@ -36,7 +36,7 @@ LLM-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import TOKENS_SQL, tokens_col
@@ -448,3 +448,107 @@ FROM (
 WHERE len(symbol) >= 2
 GROUP BY symbol"""
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus phrase mining)
+# ---------------------------------------------------------------------------
+
+# the one shared double-expression: identical text runs on both engines, so
+# the single ln() sees bit-identical operands (all inputs exact BIGINTs,
+# composed as moderate ratios — no >2^53 products anywhere)
+_PMI_EXPR = (
+    "CAST(floor(ln((CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))"
+    " * (CAST(t1 AS DOUBLE) / CAST(c2 AS DOUBLE))"
+    " * (CAST(t1 AS DOUBLE) / CAST(t2 AS DOUBLE)))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 5,
+                     topk: int = 50) -> DataFrame:
+    """Top-``topk`` collocations by pointwise mutual information
+    (Church & Hanks, CL 1990): bigrams whose corpus probability most
+    exceeds independence, PMI = ln(p12 / (p1 p2)) with p12 = c12/T2,
+    p_w = c_w/T1 — the phrase-mining filter (new-york, machine-learning)
+    a tokenizer/vocab pipeline runs before merging multiword units.
+
+    All counts are exact BIGINTs off TWO map-side-combined aggs (bigram
+    pairs + unigrams, both derived from the same tokens projection); the
+    PMI is ONE ln() over a product of moderate ratios — no integer
+    product ever approaches 2^53, so the double is loss-free and the
+    HALF-UP ppm quantization is engine-exact.  The ``min_count`` floor
+    kills hapax pairs (PMI's classic failure mode) and bounds the ranked
+    set; the final global top-k window feeds the pair AGGREGATE, never
+    row-scale data.  Margins join on vocab-scale keys (w1/w2 keyed
+    shuffles); totals broadcast as one-row frames."""
+    db = _doc_bigrams(docs, text_col, id_col)
+    c12 = (
+        db.groupBy("w1", "w2")
+        .agg(F.sum("k").cast("long").alias("c12"))
+    )
+    uni = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t1 = uni.agg(F.sum("c").cast("long").alias("t1"))
+    t2 = c12.agg(F.sum("c12").cast("long").alias("t2"))
+    w = Window.orderBy(F.desc("pmi_ppm"), "w1", "w2")
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")),
+              "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")),
+              "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select("w1", "w2", "c12", "c1", "c2",
+                F.expr(_PMI_EXPR).alias("pmi_ppm"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )
+
+
+def PMI_COLLOCATIONS_SQL(table: str = "documents", text_expr: str = "text",
+                         id_col: str = "doc_id", min_count: int = 5,
+                         topk: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({TOKENS_SQL(text_expr)}) AS tok,
+         generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+  FROM {table}
+),
+bi AS (
+  SELECT {id_col}, tok AS w1, lead(tok, 1) OVER w AS w2
+  FROM toks WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+),
+db AS (
+  SELECT {id_col}, w1, w2, CAST(count(*) AS BIGINT) AS k
+  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+t1 AS (SELECT CAST(sum(c) AS BIGINT) AS t1 FROM uni),
+t2 AS (SELECT CAST(sum(c12) AS BIGINT) AS t2 FROM c12),
+scored AS (
+  SELECT w1, w2, c12, c1, c2, {_PMI_EXPR} AS pmi_ppm
+  FROM (
+    SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+           t1.t1 AS t1, t2.t2 AS t2
+    FROM c12 p
+    JOIN uni u1 ON u1.tok = p.w1
+    JOIN uni u2 ON u2.tok = p.w2
+    CROSS JOIN t1 CROSS JOIN t2
+    WHERE p.c12 >= {min_count}
+  )
+)
+SELECT w1, w2, c12, c1, c2, pmi_ppm,
+       CAST(row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2) <= {topk}
+"""

@@ -13119,6 +13119,22 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.lm import PMI_COLLOCATIONS_SQL, pmi_collocations  # noqa: E402
+
+
+@query("pmi_collocations", oracle=PMI_COLLOCATIONS_SQL())
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations by pointwise mutual information
+    (Church & Hanks CL 1990) — the phrase-mining screen before merging
+    multiword units into a tokenizer vocab.  Two map-side-combined
+    count aggs (bigrams + unigrams) off one tokens projection,
+    vocab-keyed margin joins, broadcast one-row totals, ONE shared ln()
+    over moderate ratios quantized HALF-UP to ppm; hapax pairs killed
+    by the min_count floor so the ranked set is bounded
+    (operators/lm.py pmi_collocations)."""
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

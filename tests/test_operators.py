@@ -2034,3 +2034,38 @@ def test_top_session_paths_truncation_and_ranking(spark, tmp_path):
     assert by_rank[2].path == "view>view" and by_rank[2].n_sessions == 3
     assert by_rank[3].path == ">".join(["signup"] * 5)  # truncated
     assert len(out) == 3
+
+
+def test_pmi_collocations_planted_phrase(spark, tmp_path):
+    """Planted collocation: 'aurora borealis' only ever appear together;
+    filler words pair freely.  The planted phrase must rank first and
+    its PMI must match a python referee to the ppm."""
+    import math
+
+    docs = []
+    fill = ["the", "of", "and", "data"]
+    for i in range(30):
+        base = " ".join(fill[(i + j) % 4] for j in range(6))
+        if i % 3 == 0:
+            docs.append((i, base + " aurora borealis"))
+        else:
+            docs.append((i, base))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    from omldm_spark.queries import QUERIES
+
+    out = QUERIES["pmi_collocations"](spark, str(tmp_path)).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert (top.w1, top.w2) == ("aurora", "borealis")
+    assert top.c12 == 10 and top.c1 == 10 and top.c2 == 10
+
+    # referee on the same counts
+    toks = [t for _, text in docs for t in text.lower().split()]
+    t1 = len(toks)
+    t2 = sum(len(text.split()) - 1 for _, text in docs)
+    want = math.floor(
+        math.log((10 / 10) * (t1 / 10) * (t1 / t2)) * 1e6 + 0.5)
+    assert top.pmi_ppm == want
+    # ubiquitous filler bigrams sit near PMI ~ ln(t1^2/(c1*c2*t2)) ~ small
+    fillers = [r for r in out if r.w1 in fill and r.w2 in fill]
+    assert fillers and all(r.pmi_ppm < top.pmi_ppm for r in fillers)
