@@ -13165,16 +13165,20 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNAPSHOT_TOP = [
     # anchors: parsing + control plane + split (P1-P9, J2-J3, A5)
     "parse_training_points", "train_test_split", "response_merge",
-    # anchors: learners / preprocess
-    "stump_best_split", "orr_predictions", "robust_scaled_points",
+    # anchors: learners / preprocess (stump rotated out — driver-green —
+    # for the round-6 k-core query; tree family keeps tree_depth2/3)
+    "kcore_vertices", "orr_predictions", "robust_scaled_points",
     # anchors: dedup / text / similarity / retrieval / multimodal
-    # (dedup_exact / text_quality / bm25_topk rotated out — driver-green
-    # since r1 — for three round-6-continuation queries)
-    "simhash_hamming_pairs", "minhash_lsh_pairs", "t_closeness_customers",
-    "ann_cosine_topk", "rfm_segments", "multimodal_decode_meta",
+    # (dedup_exact / text_quality / bm25_topk / minhash_lsh_pairs /
+    # ann_cosine_topk rotated out — driver-green — for round-6 queries)
+    "simhash_hamming_pairs", "association_rules_baskets",
+    "t_closeness_customers",
+    "opq_procrustes_gram", "rfm_segments", "multimodal_decode_meta",
     # anchors: streaming / temporal / TPC-H / evaluation
-    "stream_click_attribution", "streaming_cdc_apply", "scd2_user_state",
-    "tpch_q2_like", "auc_purchase_value",
+    # (stream_click_attribution / scd2_user_state / auc_purchase_value
+    # rotated out — driver-green — for session-path / PMI / T-learner)
+    "top_session_paths", "streaming_cdc_apply", "pmi_collocations",
+    "tpch_q2_like", "uplift_t_learner_orr",
     # re-shaped array-output twins (VERDICT r5 item 1)
     "embedding_kmeans_train_flat", "sequence_packing_flat",
     # experimentation suite (never driver-verified)
