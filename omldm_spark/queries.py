@@ -13119,6 +13119,90 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (integer power iteration)
+# ---------------------------------------------------------------------------
+
+_MARKOV_BASE_CTES = """ordered AS (
+  SELECT user_id, event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM events
+),
+pairs AS (
+  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE next_state IS NOT NULL
+  GROUP BY state, next_state
+),
+tot AS (
+  SELECT state, CAST(sum(n) AS BIGINT) AS row_n FROM pairs GROUP BY state
+),
+m AS (
+  SELECT p.state, p.next_state, p.n, t.row_n
+  FROM pairs p JOIN tot t ON p.state = t.state
+)"""
+
+
+def _MARKOV_STATIONARY_SQL(rounds: int) -> str:
+    ctes = [
+        _MARKOV_BASE_CTES,
+        "pi0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM tot)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"""pi{t + 1} AS (
+  SELECT m.next_state AS state,
+         CAST(sum((p.pi * m.n) // m.row_n) AS BIGINT) AS pi
+  FROM m JOIN pi{t} p ON m.state = p.state
+  GROUP BY m.next_state
+)"""
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT state, pi AS pi_micro FROM pi{rounds}")
+
+
+@query("markov_stationary", oracle=_MARKOV_STATIONARY_SQL(rounds=6))
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain: 6 integer
+    power-iteration rounds pi' = pi P over the markov_transitions
+    counts, every contribution the truncating (pi * n) div row_n — the
+    pagerank_rounds recurrence without damping, so R rounds are
+    BIT-IDENTICAL on any engine/partitioning and the oracle is the same
+    chained-CTE unroll.  Where next-event prediction uses one step of
+    P, the stationary pi is the long-run occupancy (the 'equilibrium
+    mix' of user behavior).  Plan: the transition matrix builds once
+    (one user-keyed exchange + one |S|^2 map-side-combined agg, then
+    persists); each round joins the broadcast |S|-row state against it
+    and re-aggregates by next_state.  Integer envelope: pi stays below
+    total initial mass |S|*1e6, so pi*n < 2^63 while |S|*1e6*max_n <
+    9.2e18 — document-scale safe; for item-level chains quantize mass
+    down."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(w).alias("next_state"),
+    )
+    pairs = (
+        ordered.filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("state").agg(F.sum("n").cast("long").alias("row_n"))
+    m = pairs.join(F.broadcast(tot), "state").persist()
+    pi = tot.select("state", F.lit(1_000_000).cast("long").alias("pi"))
+    for _ in range(6):
+        pi = (
+            m.join(F.broadcast(pi), "state")
+            .groupBy(F.col("next_state").alias("state"))
+            .agg(F.sum(F.expr("(pi * n) div row_n")).cast("long")
+                 .alias("pi"))
+        )
+    return pi.select("state", F.col("pi").alias("pi_micro"))
+
+
 from .operators.lm import PMI_COLLOCATIONS_SQL, pmi_collocations  # noqa: E402
 
 

@@ -2069,3 +2069,50 @@ def test_pmi_collocations_planted_phrase(spark, tmp_path):
     # ubiquitous filler bigrams sit near PMI ~ ln(t1^2/(c1*c2*t2)) ~ small
     fillers = [r for r in out if r.w1 in fill and r.w2 in fill]
     assert fillers and all(r.pmi_ppm < top.pmi_ppm for r in fillers)
+
+
+def test_markov_stationary_converges_to_referee_fixpoint(spark, tmp_path):
+    """A two-state chain with known stationary distribution: the query's
+    integer iterate must match an exact python replay of the same
+    recurrence AND sit within 1% of the analytic stationary point."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    ts = dt.datetime(2024, 1, 1)
+    # pattern A B B repeated: A->B always; from B half the time B->B,
+    # half B->A => P = [[0,1],[1/2,1/2]] -> stationary pi = (1/3, 2/3)
+    seq = ["A", "B", "B"] * 40
+    for u in range(5):
+        for i, s in enumerate(seq):
+            rows.append((eid, u, s, ts + dt.timedelta(seconds=i)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    from collections import defaultdict
+
+    from omldm_spark.queries import QUERIES
+
+    got = {r.state: r.pi_micro
+           for r in QUERIES["markov_stationary"](
+               spark, str(tmp_path)).collect()}
+
+    # referee: identical integer recurrence
+    n = defaultdict(int)
+    for u in range(5):
+        for a, b in zip(seq, seq[1:]):
+            n[(a, b)] += 1
+    row_n = defaultdict(int)
+    for (a, _), c in n.items():
+        row_n[a] += c
+    pi = {s: 10**6 for s in row_n}
+    for _ in range(6):
+        nxt = defaultdict(int)
+        for (a, b), c in n.items():
+            nxt[b] += (pi[a] * c) // row_n[a]
+        pi = dict(nxt)
+    assert got == pi
+    # analytic: pi ~ (1/3, 2/3) of the surviving mass
+    mass = sum(got.values())
+    assert abs(got["A"] / mass - 1 / 3) < 0.01
+    assert abs(got["B"] / mass - 2 / 3) < 0.01
