@@ -252,3 +252,88 @@ SELECT label, n_true, n_pred, tp,
             AS BIGINT) AS f1_ppm
 FROM rep
 """
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (synchronous pool-adjacent-violators rounds)
+# ---------------------------------------------------------------------------
+
+def isotonic_pava_rounds(blocks: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` synchronous pool-adjacent-violators merges toward the
+    isotonic (non-decreasing) fit of weighted rates (Ayer et al. 1955;
+    PAVA's merge order is irrelevant to the fixpoint, which makes the
+    BSP formulation exact): state is ordered blocks (bx, xmax, sy, w);
+    each round flags every adjacent pair whose pooled means violate
+    monotonicity — compared as the INTEGER cross product
+    prev.sy * w > sy * prev.w, no float rates anywhere — then merges
+    each maximal violating run in one gaps-and-islands pass (one
+    ordered window + one grouped sum).
+
+    The isotonic fit is THE calibration map for ML scores (the
+    non-parametric alternative to Platt scaling) and the monotone-
+    binning step in credit scoring.  At fixpoint the blocks are the
+    unique isotonic solution; callers pin fixpoint by comparing rounds
+    R and R+1 (tests do).  Scale: blocks live on the BUCKET key space
+    (bounded by the upstream binning, not row count), so the global
+    ordered windows ride aggregate-sized frames; the input aggregation
+    is the only row-scale pass.  Integer envelope: sy * w < 2^63 —
+    safe below ~3e9 weighted rows per side."""
+    from pyspark.sql import Window
+
+    cur = blocks.select(
+        F.col("bx").cast("long").alias("bx"),
+        F.col("xmax").cast("long").alias("xmax"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("w").cast("long").alias("w"),
+    )
+    wo = Window.orderBy("bx")
+    run = Window.orderBy("bx").rowsBetween(Window.unboundedPreceding, 0)
+    for _ in range(rounds):
+        flagged = cur.select(
+            "bx", "xmax", "sy", "w",
+            F.when(
+                F.lag("sy").over(wo).isNull()
+                | ~(F.lag("sy").over(wo) * F.col("w")
+                    > F.col("sy") * F.lag("w").over(wo)),
+                1,
+            ).otherwise(0).alias("flag"),
+        ).select(
+            "bx", "xmax", "sy", "w",
+            F.sum("flag").over(run).cast("long").alias("grp"),
+        )
+        cur = flagged.groupBy("grp").agg(
+            F.min("bx").cast("long").alias("bx"),
+            F.max("xmax").cast("long").alias("xmax"),
+            F.sum("sy").cast("long").alias("sy"),
+            F.sum("w").cast("long").alias("w"),
+        ).select("bx", "xmax", "sy", "w")
+    return cur.select(
+        "bx", "xmax", "sy", "w",
+        F.expr("CAST((sy * 1000000) div w AS BIGINT)").alias("fit_ppm"),
+    )
+
+
+def ISOTONIC_ROUND_CTES(rounds: int, base: str = "b0") -> list[str]:
+    """Chained-CTE unroll of the same synchronous PAVA recurrence:
+    b0 must provide (bx, xmax, sy, w); yields b1..b{rounds}."""
+    parts = []
+    for t in range(rounds):
+        src = base if t == 0 else f"b{t}"
+        parts.append(f"""b{t + 1} AS (
+  SELECT CAST(min(bx) AS BIGINT) AS bx, CAST(max(xmax) AS BIGINT) AS xmax,
+         CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(w) AS BIGINT) AS w
+  FROM (
+    SELECT bx, xmax, sy, w,
+           CAST(sum(flag) OVER (ORDER BY bx ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS grp
+    FROM (
+      SELECT bx, xmax, sy, w,
+             CASE WHEN lag(sy) OVER (ORDER BY bx) IS NULL
+                       OR NOT (lag(sy) OVER (ORDER BY bx) * w
+                               > sy * lag(w) OVER (ORDER BY bx))
+                  THEN 1 ELSE 0 END AS flag
+      FROM {src}
+    )
+  ) GROUP BY grp
+)""")
+    return parts

@@ -13120,6 +13120,66 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Isotonic calibration (distributed PAVA)
+# ---------------------------------------------------------------------------
+
+from .operators.evaluation import (  # noqa: E402
+    ISOTONIC_ROUND_CTES,
+    isotonic_pava_rounds,
+)
+
+_ISO_ROUNDS = 8
+_ISO_BASE_SQL = """b0 AS (
+  SELECT bx, bx AS xmax, sy, w FROM (
+    SELECT CAST(least(CAST(floor(o_totalprice) AS BIGINT) // 20000, 15)
+                AS BIGINT) AS bx,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+           CAST(count(*) AS BIGINT) AS w
+    FROM orders GROUP BY 1
+  )
+)"""
+
+
+@query(
+    "isotonic_calibration",
+    oracle=("WITH " + ",\n".join([_ISO_BASE_SQL]
+                                 + ISOTONIC_ROUND_CTES(_ISO_ROUNDS))
+            + f"""
+SELECT bx, xmax, sy, w,
+       CAST((sy * 1000000) // w AS BIGINT) AS fit_ppm
+FROM b{_ISO_ROUNDS}"""),
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of purchase rate
+    against user activity — the non-parametric calibration map (Ayer
+    et al. 1955 PAVA; Zadrozny/Elkan KDD 2002 use it exactly here):
+    per-user activity buckets become weighted (bucket, conversions,
+    users) blocks and 8 synchronous pool-adjacent-violators rounds
+    merge every monotonicity violation, ALL comparisons the integer
+    cross product sy_prev * w > sy * w_prev — no float rate anywhere,
+    so the unrolled chained-CTE oracle is bit-exact.  Here it fits the
+    urgency rate against 16 order-value buckets — noisy and
+    non-monotone raw, so the rounds do real pooling.  Fixpoint at this
+    SF is pinned in tests (rounds R == R+1).  Plan: one row-scale agg,
+    then every round is two windows + one grouped sum over the
+    BUCKET-scale block frame
+    (operators/evaluation.py isotonic_pava_rounds)."""
+    o = load_table(spark, sf_dir, "orders")
+    blocks = o.groupBy(
+        F.least(F.expr("CAST(floor(o_totalprice) AS BIGINT) div 20000"),
+                F.lit(15)).cast("long").alias("bx")
+    ).agg(
+        F.sum(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+        ).cast("long").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    ).select("bx", F.col("bx").alias("xmax"), "sy", "w")
+    return isotonic_pava_rounds(blocks, rounds=_ISO_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # Markov stationary distribution (integer power iteration)
 # ---------------------------------------------------------------------------
 

@@ -2116,3 +2116,68 @@ def test_markov_stationary_converges_to_referee_fixpoint(spark, tmp_path):
     mass = sum(got.values())
     assert abs(got["A"] / mass - 1 / 3) < 0.01
     assert abs(got["B"] / mass - 2 / 3) < 0.01
+
+
+def _pava_referee(blocks):
+    """Classic sequential PAVA over (bx, sy, w), exact rationals."""
+    st = []
+    for bx, sy, w in sorted(blocks):
+        st.append([bx, bx, sy, w])
+        while len(st) >= 2 and st[-2][2] * st[-1][3] > st[-1][2] * st[-2][3]:
+            b = st.pop()
+            st[-1][1] = b[1]
+            st[-1][2] += b[2]
+            st[-1][3] += b[3]
+    return [(a, b, c, d) for a, b, c, d in st]
+
+
+def test_isotonic_pava_matches_sequential_referee(spark):
+    """The synchronous-rounds fit must equal classic sequential PAVA on
+    an adversarial staircase (violating runs of different lengths), and
+    the fitted means must be non-decreasing (integer cross products)."""
+    from omldm_spark.operators.evaluation import isotonic_pava_rounds
+
+    # rates: .9 .1 .2 .8 .7 .6 .05 .5 -> multiple nested violations
+    raw = [(0, 90, 100), (1, 10, 100), (2, 20, 100), (3, 80, 100),
+           (4, 70, 100), (5, 60, 100), (6, 5, 100), (7, 50, 100)]
+    df = spark.createDataFrame(
+        [(bx, bx, sy, w) for bx, sy, w in raw],
+        "bx long, xmax long, sy long, w long")
+    got = sorted(
+        (r.bx, r.xmax, r.sy, r.w)
+        for r in isotonic_pava_rounds(df, rounds=6).collect())
+    assert got == _pava_referee(raw)
+    # non-decreasing pooled means
+    for (_, _, s1, w1), (_, _, s2, w2) in zip(got, got[1:]):
+        assert s1 * w2 <= s2 * w1
+    # fixpoint: one more round changes nothing
+    got7 = sorted(
+        (r.bx, r.xmax, r.sy, r.w)
+        for r in isotonic_pava_rounds(df, rounds=7).collect())
+    assert got7 == got
+
+
+def test_isotonic_contract_query_fixpoint(spark):
+    """The contract query's 8 rounds reach the PAVA fixpoint at
+    sf0.001 and the result equals the sequential referee on the same
+    base blocks."""
+    import duckdb
+
+    from omldm_spark.queries import QUERIES
+
+    got = sorted(
+        (r.bx, r.xmax, r.sy, r.w, r.fit_ppm)
+        for r in QUERIES["isotonic_calibration"](
+            spark, "/root/testdata/sf0.001").collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW orders AS SELECT * FROM "
+                "'/root/testdata/sf0.001/orders.parquet'")
+    base = con.execute("""
+SELECT least(CAST(floor(o_totalprice) AS BIGINT) // 20000, 15) AS bx,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+       CAST(count(*) AS BIGINT) AS w
+FROM orders GROUP BY 1""").fetchall()
+    want = [(a, b, c, d, c * 10**6 // d)
+            for a, b, c, d in _pava_referee(base)]
+    assert got == sorted(want)
