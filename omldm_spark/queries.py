@@ -13120,6 +13120,87 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Brier score decomposition (Murphy 1973) over the calibration bins
+# ---------------------------------------------------------------------------
+
+_BRIER_F = "(CAST(bin_idx AS DOUBLE) * 0.1 + 0.05)"
+_BRIER_O = "(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))"
+_BRIER_OBAR = "(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))"
+_BRIER_EXPRS = {
+    "bs_contrib_ppm": (
+        f"CAST(floor((CAST(n AS DOUBLE) * {_BRIER_F} * {_BRIER_F}"
+        f" - 2.0 * {_BRIER_F} * CAST(n_pos AS DOUBLE)"
+        " + CAST(n_pos AS DOUBLE)) / CAST(tn AS DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    ),
+    "rel_contrib_ppm": (
+        f"CAST(floor(CAST(n AS DOUBLE) * ({_BRIER_F} - {_BRIER_O})"
+        f" * ({_BRIER_F} - {_BRIER_O}) / CAST(tn AS DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    ),
+    "res_contrib_ppm": (
+        f"CAST(floor(CAST(n AS DOUBLE) * ({_BRIER_O} - {_BRIER_OBAR})"
+        f" * ({_BRIER_O} - {_BRIER_OBAR}) / CAST(tn AS DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    ),
+    "unc_ppm": (
+        f"CAST(floor({_BRIER_OBAR} * (1.0 - {_BRIER_OBAR})"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    ),
+}
+
+
+@query(
+    "brier_decomposition",
+    oracle=f"""
+WITH bins AS ({CALIBRATION_SQL("event_type = 'purchase'", "value / 600.0",
+                               "events").strip()}),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp
+  FROM bins
+)
+SELECT bin_idx, n, n_pos,
+       CAST(bin_idx * 100000 + 50000 AS BIGINT) AS f_ppm,
+       {_BRIER_EXPRS['bs_contrib_ppm']} AS bs_contrib_ppm,
+       {_BRIER_EXPRS['rel_contrib_ppm']} AS rel_contrib_ppm,
+       {_BRIER_EXPRS['res_contrib_ppm']} AS res_contrib_ppm,
+       {_BRIER_EXPRS['unc_ppm']} AS unc_ppm
+FROM bins CROSS JOIN tot
+""",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over the
+    calibration_purchase_value bins: per-bin contributions to
+    reliability (miscalibration), resolution (discrimination), and the
+    shared uncertainty term, plus the raw per-bin Brier mass — the
+    decomposition BS = REL - RES + UNC is pinned (to quantization
+    slack) in tests.  Forecast f_k is the bin midpoint, observed o_k
+    the bin rate; every term is ONE shared double expression over
+    exact integers quantized HALF-UP per cell (the chi2/WoE rule), so
+    the oracle is hash-exact.  Plan: the 10-row bin aggregate crosses
+    a broadcast one-row total — nothing row-scale after the first
+    agg."""
+    ev = load_table(spark, sf_dir, "events")
+    bins = calibration_bins(
+        ev, F.col("event_type") == "purchase",
+        F.col("value") / F.lit(600.0),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("n_pos").cast("long").alias("tp"),
+    )
+    out = bins.crossJoin(F.broadcast(tot))
+    return out.select(
+        "bin_idx", "n", "n_pos",
+        (F.col("bin_idx") * 100000 + 50000).cast("long").alias("f_ppm"),
+        F.expr(_BRIER_EXPRS["bs_contrib_ppm"]).alias("bs_contrib_ppm"),
+        F.expr(_BRIER_EXPRS["rel_contrib_ppm"]).alias("rel_contrib_ppm"),
+        F.expr(_BRIER_EXPRS["res_contrib_ppm"]).alias("res_contrib_ppm"),
+        F.expr(_BRIER_EXPRS["unc_ppm"]).alias("unc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Isotonic calibration (distributed PAVA)
 # ---------------------------------------------------------------------------
 

@@ -2181,3 +2181,49 @@ FROM orders GROUP BY 1""").fetchall()
     want = [(a, b, c, d, c * 10**6 // d)
             for a, b, c, d in _pava_referee(base)]
     assert got == sorted(want)
+
+
+def test_brier_decomposition_identity_and_referee(spark):
+    """BS = REL - RES + UNC must hold to per-cell quantization slack,
+    and every contribution must match a python referee on the sf0.001
+    bins."""
+    import duckdb
+    import math
+
+    from omldm_spark.queries import QUERIES
+
+    rows = QUERIES["brier_decomposition"](
+        spark, "/root/testdata/sf0.001").collect()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    bins = con.execute("""
+SELECT least(greatest((CAST(round(value / 600.0 * 1000000, 0) AS BIGINT)
+         - 0) // 100000, 0), 9) AS b,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pos
+FROM events GROUP BY 1""").fetchall()
+    tn = sum(n for _, n, _ in bins)
+    tp = sum(p for _, _, p in bins)
+    obar = tp / tn
+    ref = {}
+    for b, n, p in bins:
+        f = b * 0.1 + 0.05
+        o = p / n
+        ref[b] = (
+            math.floor((n * f * f - 2.0 * f * p + p) / tn * 1e6 + 0.5),
+            math.floor(n * (f - o) * (f - o) / tn * 1e6 + 0.5),
+            math.floor(n * (o - obar) * (o - obar) / tn * 1e6 + 0.5),
+            math.floor(obar * (1.0 - obar) * 1e6 + 0.5),
+        )
+    assert len(rows) == len(bins)
+    for r in rows:
+        assert (r.bs_contrib_ppm, r.rel_contrib_ppm,
+                r.res_contrib_ppm, r.unc_ppm) == ref[r.bin_idx], r.bin_idx
+    # Murphy identity with <= 1ppm-per-cell quantization slack
+    bs = sum(r.bs_contrib_ppm for r in rows)
+    rel = sum(r.rel_contrib_ppm for r in rows)
+    res = sum(r.res_contrib_ppm for r in rows)
+    unc = rows[0].unc_ppm
+    assert abs(bs - (rel - res + unc)) <= len(rows) * 3 + 3
