@@ -13361,6 +13361,169 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benford first-significant-digit audit (fraud / synthetic-data screen)
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+# Expected Benford shares floor(log10(1+1/d)*1e6+0.5), computed ONCE in
+# Python and embedded as literals on BOTH engines — no cross-engine log10
+# anywhere.  The nine ppm constants sum to exactly 1_000_000.
+_BENFORD_PPM = {d: int(math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5))
+                for d in range(1, 10)}
+assert sum(_BENFORD_PPM.values()) == 1_000_000
+
+_BENFORD_EXP_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()) + " END")
+
+# one shared double expression (the Brier/chi2 rule): identical integer
+# operands -> identical IEEE result -> HALF-UP milli quantization exact
+_BENFORD_CHI2_MILLI = (
+    "CAST(floor((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * exp_ppm / 1e6)"
+    " * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * exp_ppm / 1e6)"
+    " / (CAST(tot AS DOUBLE) * exp_ppm / 1e6) * 1000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+WITH vals AS (
+  SELECT 'orders' AS src,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1.0
+  UNION ALL
+  SELECT 'lineitem' AS src,
+         CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1.0
+),
+cnt AS (
+  SELECT src, digit, CAST(count(*) AS BIGINT) AS n
+  FROM vals GROUP BY 1, 2
+),
+tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1)
+SELECT src, digit, n, tot,
+       CAST((n * 1000000) // tot AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_EXP_CASE} AS BIGINT) AS exp_ppm,
+       CAST((n * 1000000) // tot - {_BENFORD_EXP_CASE} AS BIGINT) AS dev_ppm,
+       {_BENFORD_CHI2_MILLI} AS chi2_milli
+FROM (SELECT c.src, c.digit, c.n, t.tot, {_BENFORD_EXP_CASE} AS exp_ppm
+      FROM cnt c JOIN tot t ON c.src = t.src)
+""",
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit of the two monetary columns — the
+    classic fraud / synthetic-data screen (Nigrini 1996; generalizes the
+    reference's job-statistics normalization A4 from volume counts to
+    distributional shape).  First significant digit is taken through the
+    STRING of the floored integer (no float log10 on the data path);
+    expected shares are the nine Benford constants precomputed in Python
+    and embedded as identical literals on both engines; the chi-squared
+    contribution is ONE shared double expression over exact integers,
+    quantized HALF-UP per the chi2/WoE rule.  Plan: one map-side-combined
+    (src, digit) count per fact table (18 cells total), a broadcast-
+    joined per-src total, then pure arithmetic — nothing row-scale after
+    the first agg."""
+    def digits(tbl: str, src: str, col: str) -> DataFrame:
+        t = load_table(spark, sf_dir, tbl)
+        return t.filter(F.col(col) >= 1.0).select(
+            F.lit(src).alias("src"),
+            F.substring(F.floor(F.col(col)).cast("long").cast("string"),
+                        1, 1).cast("long").alias("digit"),
+        )
+
+    vals = digits("orders", "orders", "o_totalprice").unionByName(
+        digits("lineitem", "lineitem", "l_extendedprice"))
+    cnt = vals.groupBy("src", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").cast("long").alias("tot"))
+    j = cnt.join(F.broadcast(tot), "src").withColumn(
+        "exp_ppm", F.expr(_BENFORD_EXP_CASE).cast("long"))
+    return j.select(
+        "src", "digit", "n", "tot",
+        F.expr("CAST((n * 1000000) div tot AS BIGINT)").alias("obs_ppm"),
+        F.col("exp_ppm"),
+        F.expr(f"CAST((n * 1000000) div tot - {_BENFORD_EXP_CASE}"
+               " AS BIGINT)").alias("dev_ppm"),
+        F.expr(_BENFORD_CHI2_MILLI).alias("chi2_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard assignment + elastic-rebalance audit
+# ---------------------------------------------------------------------------
+
+_HRW_SHARDS = 8  # audit scales the ring 8 -> 9
+
+
+def _hrw_weight_sql(key_expr: str, shard: int) -> str:
+    """Shared SQL text: md5 hex of key||'|'||shard, compared
+    LEXICOGRAPHICALLY (uniform, identical byte order on both engines)."""
+    return f"md5(concat(CAST({key_expr} AS STRING), '|{shard}'))"
+
+
+def _hrw_argmax_sql(n_shards: int) -> str:
+    """CASE argmax over the per-shard hash columns h0..h{n-1} (md5 ties are
+    impossible in practice; CASE first-match is engine-identical)."""
+    branches = []
+    for s in range(n_shards):
+        cond = " AND ".join(
+            f"h{s} >= h{t}" for t in range(n_shards) if t != s)
+        branches.append(f"WHEN {cond} THEN {s}")
+    return "CAST(CASE " + " ".join(branches) + " END AS BIGINT)"
+
+
+@query(
+    "rendezvous_shard_rebalance",
+    oracle=f"""
+WITH h AS (
+  SELECT c_custkey,
+         {", ".join(f"{_hrw_weight_sql('c_custkey', s)} AS h{s}"
+                    for s in range(_HRW_SHARDS + 1))}
+  FROM customer
+),
+a AS (
+  SELECT c_custkey,
+         {_hrw_argmax_sql(_HRW_SHARDS)} AS shard_old,
+         {_hrw_argmax_sql(_HRW_SHARDS + 1)} AS shard_new
+  FROM h
+)
+SELECT shard_old, shard_new, CAST(count(*) AS BIGINT) AS n_keys
+FROM a GROUP BY 1, 2
+""",
+)
+def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1998) and the elastic-rebalance audit when the ring grows
+    8 -> 9 shards — the placement discipline behind the reference's
+    round-robin/keyed partitioners (SURVEY §2 R1-R4) that a 100 TB
+    deployment actually needs: HRW guarantees ONLY keys whose new-shard
+    weight wins move, and they ALL land on the new shard (~1/9 of keys;
+    pinned in tests).  Weight = md5(key || '|' || shard) compared
+    lexicographically — uniform and byte-identical across engines, so the
+    assignment matrix is hash-exact.  Plan: the nine hashes are computed
+    once in a rand-pinned projection (CollapseProject would otherwise
+    inline each md5 into every CASE comparison — the minhash lesson), the
+    argmax is pure per-row arithmetic, and the only shuffle is the final
+    81-cell (old, new) count — NO keyed shuffle at any scale."""
+    cu = load_table(spark, sf_dir, "customer")
+    h = cu.select(
+        "c_custkey",
+        *[F.expr(_hrw_weight_sql("c_custkey", s)).alias(f"h{s}")
+          for s in range(_HRW_SHARDS + 1)],
+        F.rand(29).alias("_pin"),
+    ).drop("_pin")
+    a = h.select(
+        F.expr(_hrw_argmax_sql(_HRW_SHARDS)).alias("shard_old"),
+        F.expr(_hrw_argmax_sql(_HRW_SHARDS + 1)).alias("shard_new"),
+    )
+    return a.groupBy("shard_old", "shard_new").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"))
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

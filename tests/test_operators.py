@@ -2227,3 +2227,45 @@ FROM events GROUP BY 1""").fetchall()
     res = sum(r.res_contrib_ppm for r in rows)
     unc = rows[0].unc_ppm
     assert abs(bs - (rel - res + unc)) <= len(rows) * 3 + 3
+
+
+def test_benford_digit_audit_properties(spark):
+    from omldm_spark.queries import QUERIES, _BENFORD_PPM
+
+    rows = QUERIES["benford_digit_audit"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert sum(_BENFORD_PPM.values()) == 1_000_000
+    by_src = {}
+    for r in rows:
+        assert 1 <= r.digit <= 9
+        assert r.exp_ppm == _BENFORD_PPM[r.digit]
+        assert r.dev_ppm == r.obs_ppm - r.exp_ppm
+        assert r.chi2_milli >= 0
+        by_src.setdefault(r.src, []).append(r)
+    assert set(by_src) == {"orders", "lineitem"}
+    for src, rs in by_src.items():
+        # every observed count accounted for: floor-div shares sum to
+        # within 9 ppm of unity, counts sum to the shared total
+        assert sum(r.n for r in rs) == rs[0].tot
+        assert 1_000_000 - 9 <= sum(r.obs_ppm for r in rs) <= 1_000_000
+
+
+def test_rendezvous_rebalance_invariant(spark):
+    """HRW guarantee: growing the ring 8->9 moves keys ONLY onto the new
+    shard, and the moved fraction concentrates near 1/9."""
+    from omldm_spark.queries import QUERIES
+
+    rows = QUERIES["rendezvous_shard_rebalance"](
+        spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_keys for r in rows)
+    moved = 0
+    for r in rows:
+        assert 0 <= r.shard_old <= 7
+        assert 0 <= r.shard_new <= 8
+        if r.shard_old != r.shard_new:
+            # the ONLY allowed move target is the new shard 8
+            assert r.shard_new == 8, (r.shard_old, r.shard_new)
+            moved += r.n_keys
+    assert total == 150
+    # binomial(150, 1/9): mean ~16.7, sd ~3.85 — pin a generous 4-sigma band
+    assert 2 <= moved <= 33, moved
