@@ -13524,6 +13524,182 @@ def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Seasonal anomaly detection (profile-residual outliers)
+# ---------------------------------------------------------------------------
+
+@query(
+    "seasonal_anomaly_events",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hod,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_c
+  FROM events
+),
+prof AS (
+  SELECT event_type, hod,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_c) // count(*) AS BIGINT) AS mean_c
+  FROM ev GROUP BY 1, 2
+),
+j AS (
+  SELECT e.event_id, e.event_type, e.hod, e.v_c, p.mean_c, p.n,
+         abs(e.v_c - p.mean_c) AS dev_c
+  FROM ev e JOIN prof p ON e.event_type = p.event_type AND e.hod = p.hod
+),
+mad AS (
+  SELECT event_type, hod, n,
+         CAST(sum(dev_c) // n AS BIGINT) AS mad_c
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT j.event_id, j.event_type, j.hod, j.v_c, j.mean_c, m.mad_c, j.dev_c
+FROM j JOIN mad m ON j.event_type = m.event_type AND j.hod = m.hod
+WHERE j.dev_c > greatest(4 * m.mad_c, 10)
+""",
+)
+def q_seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: events whose value deviates from
+    their (event_type, hour-of-day) profile by more than 4x the cell's
+    mean absolute deviation — the residual-vs-seasonal-baseline outlier
+    screen (the seasonality_profile turned into a detector; the
+    hour-of-day axis is what plain mad_outlier_events cannot see).  All
+    arithmetic is exact integer cents: the profile mean is truncating
+    floor-div, deviations are vs that floored mean, and the MAD is a
+    second floor-div — no float anywhere, so the flagged set is
+    hash-exact.  The greatest(.., 10) floor stops zero-MAD cells from
+    flagging cent-level noise.  Plan: two tiny (type x 24)-cell
+    aggregates, each broadcast back into a pruned 4-column fact scan —
+    the fact never shuffles; output is the anomaly set only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    prof = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(v_c) div count(*) AS BIGINT)").alias("mean_c"),
+    )
+    j = ev.join(F.broadcast(prof), ["event_type", "hod"]).withColumn(
+        "dev_c", F.abs(F.col("v_c") - F.col("mean_c")))
+    mad = j.groupBy("event_type", "hod", "n").agg(
+        F.expr("CAST(sum(dev_c) div n AS BIGINT)").alias("mad_c"))
+    out = j.join(F.broadcast(mad.select("event_type", "hod", "mad_c")),
+                 ["event_type", "hod"])
+    return out.filter(
+        F.col("dev_c") > F.greatest(F.lit(4) * F.col("mad_c"), F.lit(10))
+    ).select("event_id", "event_type", "hod", "v_c", "mean_c", "mad_c",
+             "dev_c")
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking (filter-method feature selection)
+# ---------------------------------------------------------------------------
+
+# one shared double expression per (feature, x, y) cell: all operands exact
+# BIGINTs, one ln() over a moderate ratio, HALF-UP ppm quantization — the
+# PMI/chi2 rule.  Negative cell contributions are real (sub-independence
+# cells) and floor(x + 0.5) is engine-identical for them too.
+_MI_CELL_PPM = (
+    "CAST(floor(ln(CAST(n_xy AS DOUBLE) * CAST(nn AS DOUBLE)"
+    " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
+    " * CAST(n_xy AS DOUBLE) / CAST(nn AS DOUBLE)"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+_MI_BASE_SQL = """
+SELECT o.o_orderkey,
+       CASE WHEN o.o_totalprice >= 300000.0 THEN 1 ELSE 0 END AS y,
+       o.o_orderpriority AS f_priority,
+       c.c_mktsegment AS f_segment,
+       CAST(least(CAST(floor(o.o_totalprice) AS BIGINT) // 100000, 4)
+            AS VARCHAR) AS f_price_band,
+       CAST(dayofweek(o.o_orderdate) + 1 AS VARCHAR) AS f_dow
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query(
+    "mutual_information_features",
+    oracle=f"""
+WITH base AS ({_MI_BASE_SQL}),
+un AS (
+  SELECT 'priority' AS feature, f_priority AS x, y FROM base
+  UNION ALL
+  SELECT 'segment' AS feature, f_segment AS x, y FROM base
+  UNION ALL
+  SELECT 'price_band' AS feature, f_price_band AS x, y FROM base
+  UNION ALL
+  SELECT 'dow' AS feature, f_dow AS x, y FROM base
+),
+cells AS (
+  SELECT feature, x, y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM un GROUP BY 1, 2, 3
+),
+mx AS (SELECT feature, x, CAST(sum(n_xy) AS BIGINT) AS n_x
+       FROM cells GROUP BY 1, 2),
+my AS (SELECT feature, y, CAST(sum(n_xy) AS BIGINT) AS n_y
+       FROM cells GROUP BY 1, 2),
+nn AS (SELECT feature, CAST(sum(n_xy) AS BIGINT) AS nn
+       FROM cells GROUP BY 1)
+SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum({_MI_CELL_PPM}) AS BIGINT) AS mi_ppm
+FROM (
+  SELECT c.feature, c.n_xy, mx.n_x, my.n_y, nn.nn
+  FROM cells c
+  JOIN mx ON mx.feature = c.feature AND mx.x = c.x
+  JOIN my ON my.feature = c.feature AND my.y = c.y
+  JOIN nn ON nn.feature = c.feature
+)
+GROUP BY feature
+""",
+)
+def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking against a binary high-value
+    label — the filter-method feature-selection screen (Battiti 1994)
+    beside the chi2/Cramer tests: MI(X;Y) = sum_xy p(xy) ln(p(xy) /
+    (p(x)p(y))), one contribution per OBSERVED cell, each ONE shared
+    ln() over exact BIGINT counts quantized HALF-UP to ppm — negative
+    sub-independence cells included, so the per-feature sum is the
+    plug-in MI estimate to per-cell quantization.  Four features (order
+    priority, customer segment, price band, order day-of-week) unpivot
+    from ONE pass over the keyed orders x customer join; every margin
+    join after that is cell-scale.  price_band >= the label threshold
+    band makes the ranking's sanity direction obvious (pinned in
+    tests: MI(price_band) > MI(dow)).  Engine traps: DuckDB dayofweek
+    is 0-based (+1 in the oracle); counts stay BIGINT-cast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.when(F.col("o_totalprice") >= 300000.0, 1).otherwise(0).alias("y"),
+        F.col("o_orderpriority").alias("f_priority"),
+        F.col("c_mktsegment").alias("f_segment"),
+        F.least(F.expr("CAST(floor(o_totalprice) AS BIGINT) div 100000"),
+                F.lit(4)).cast("string").alias("f_price_band"),
+        F.dayofweek("o_orderdate").cast("string").alias("f_dow"),
+    )
+    un = base.select(F.expr(
+        "stack(4, 'priority', f_priority, 'segment', f_segment,"
+        " 'price_band', f_price_band, 'dow', f_dow) AS (feature, x)"
+    ), "y")
+    cells = un.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy"))
+    mx = cells.groupBy("feature", "x").agg(
+        F.sum("n_xy").cast("long").alias("n_x"))
+    my = cells.groupBy("feature", "y").agg(
+        F.sum("n_xy").cast("long").alias("n_y"))
+    nn = cells.groupBy("feature").agg(
+        F.sum("n_xy").cast("long").alias("nn"))
+    j = (
+        cells.join(F.broadcast(mx), ["feature", "x"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .join(F.broadcast(nn), ["feature"])
+    )
+    return j.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.expr(_MI_CELL_PPM)).cast("long").alias("mi_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2269,3 +2269,55 @@ def test_rendezvous_rebalance_invariant(spark):
     assert total == 150
     # binomial(150, 1/9): mean ~16.7, sd ~3.85 — pin a generous 4-sigma band
     assert 2 <= moved <= 33, moved
+
+
+def test_seasonal_anomaly_flags_are_profile_residuals(spark):
+    """Every flagged event violates its OWN (type, hod) cell threshold,
+    recomputed by an independent python referee; no non-flagged event
+    violates it."""
+    from collections import defaultdict
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_id: r for r in
+           QUERIES["seasonal_anomaly_events"](spark, sf).collect()}
+    from pyspark.sql import functions as F
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    ).collect()
+    cells = defaultdict(list)
+    for r in ev:
+        cells[(r.event_type, r.hod)].append(r)
+    expect = {}
+    for key, rows in cells.items():
+        n = len(rows)
+        mean_c = sum(r.v_c for r in rows) // n
+        mad_c = sum(abs(r.v_c - mean_c) for r in rows) // n
+        thr = max(4 * mad_c, 10)
+        for r in rows:
+            if abs(r.v_c - mean_c) > thr:
+                expect[r.event_id] = (mean_c, mad_c)
+    assert set(got) == set(expect)
+    for eid, (mean_c, mad_c) in expect.items():
+        assert got[eid].mean_c == mean_c and got[eid].mad_c == mad_c
+    assert len(expect) > 0  # the detector actually fires at this SF
+
+
+def test_mutual_information_ranking_direction(spark):
+    """price_band determines the label band -> its MI must dominate the
+    near-independent dow feature; all four features present; MI of the
+    (near-)independent features is ~0 but the estimator may go slightly
+    negative per-cell-quantization."""
+    from omldm_spark.queries import QUERIES
+
+    rows = {r.feature: r for r in QUERIES["mutual_information_features"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"priority", "segment", "price_band", "dow"}
+    assert rows["price_band"].mi_ppm > 10 * max(
+        abs(rows["dow"].mi_ppm), abs(rows["segment"].mi_ppm), 1)
+    for r in rows.values():
+        assert r.n_cells >= 2
