@@ -13700,6 +13700,122 @@ def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Link prediction over the item co-occurrence graph
+# ---------------------------------------------------------------------------
+
+# per-MIDDLE-vertex Adamic-Adar weight: ONE ln() over the exact BIGINT
+# degree, quantized HALF-UP to ppm BEFORE the integer sum (so the pair
+# score is an exact integer sum of identically-quantized terms)
+_AA_TERM_PPM = ("CAST(floor(1000000.0 / ln(CAST(deg_w AS DOUBLE)) + 0.5)"
+                " AS BIGINT)")
+
+_ITEM_EDGES_SQL = """
+SELECT a.item AS a, b.item AS b
+FROM (SELECT DISTINCT user_id AS u,
+             CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+      FROM events) a
+JOIN (SELECT DISTINCT user_id AS u,
+             CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+      FROM events) b
+  ON a.u = b.u AND a.item < b.item
+GROUP BY 1, 2 HAVING CAST(count(*) AS BIGINT) >= 3
+"""
+
+
+@query(
+    "link_prediction_items",
+    oracle=f"""
+WITH e AS ({_ITEM_EDGES_SQL}),
+sym AS (SELECT a AS src, b AS dst FROM e
+        UNION ALL SELECT b AS src, a AS dst FROM e),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+cand AS (
+  SELECT t1.src AS u, t2.src AS v,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum({_AA_TERM_PPM}) AS BIGINT) AS aa_ppm
+  FROM sym t1
+  JOIN sym t2 ON t1.dst = t2.dst AND t1.src < t2.src
+  JOIN (SELECT v AS w, deg AS deg_w FROM deg) d ON d.w = t1.dst
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.u AND e.b = c.v)
+)
+SELECT n.u, n.v, n.cn, n.aa_ppm,
+       CAST((n.cn * 1000000) // (du.deg + dv.deg - n.cn) AS BIGINT)
+         AS jaccard_ppm
+FROM nonedge n
+JOIN deg du ON du.v = n.u
+JOIN deg dv ON dv.v = n.v
+""",
+)
+def q_link_prediction_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the item co-occurrence graph (Liben-Nowell &
+    Kleinberg CIKM 2003): for every NON-adjacent item pair with at least
+    one common neighbor, the three classic scores — common-neighbor
+    count, Adamic-Adar (sum of 1/ln(deg) over shared neighbors, each
+    term ONE ln() over an exact BIGINT degree quantized HALF-UP to ppm
+    before the integer sum), and Jaccard of the neighbor sets as integer
+    floor-div ppm.  Exactness: every score is either an integer count or
+    a sum/floor-div of identically-quantized integers, so the oracle is
+    hash-exact.  Plan: the thresholded edge set builds once and persists
+    (three consumers: both wedge sides via sym, the anti-join, and the
+    degree table); wedges join edge-to-edge on the shared middle with
+    the middle's degree joined BEFORE the pair groupBy (map-side
+    combine); existing edges leave via LEFT ANTI; the vertex-scale
+    degree table broadcasts into the final pair-scale projection.
+    Wedge cost is sum deg^2 — the same min-degree orientation refinement
+    as item_triangles drops in if hubs appear."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    e = (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("a"), F.col("b.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select("a", "b")
+        .persist()
+    )
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    t1, t2 = sym.alias("t1"), sym.alias("t2")
+    wedges = (
+        t1.join(t2, (F.col("t1.dst") == F.col("t2.dst"))
+                & (F.col("t1.src") < F.col("t2.src")))
+        .join(F.broadcast(deg.select(F.col("v").alias("w"),
+                                     F.col("deg").alias("deg_w"))),
+              F.col("t1.dst") == F.col("w"))
+        .select(F.col("t1.src").alias("u"), F.col("t2.src").alias("v"),
+                "deg_w")
+    )
+    cand = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum(F.expr(_AA_TERM_PPM)).cast("long").alias("aa_ppm"),
+    )
+    nonedge = cand.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"], "left_anti")
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        nonedge.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+        .select(
+            "u", "v", "cn", "aa_ppm",
+            F.expr("CAST((cn * 1000000) div (deg_u + deg_v - cn) AS BIGINT)")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

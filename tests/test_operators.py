@@ -2321,3 +2321,53 @@ def test_mutual_information_ranking_direction(spark):
         abs(rows["dow"].mi_ppm), abs(rows["segment"].mi_ppm), 1)
     for r in rows.values():
         assert r.n_cells >= 2
+
+
+def test_link_prediction_python_referee(spark):
+    """Scores recomputed by an independent adjacency-set referee: exact
+    cn/jaccard, AA as the same per-middle quantized sum; candidates are
+    exactly the non-adjacent pairs with >= 1 common neighbor."""
+    import math
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.u, r.v): r for r in
+           QUERIES["link_prediction_items"](spark, sf).collect()}
+    ui = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct().collect()
+    from collections import defaultdict
+    by_user = defaultdict(set)
+    for r in ui:
+        by_user[r.u].add(r.item)
+    co = defaultdict(int)
+    for items in by_user.values():
+        for x, y in combinations(sorted(items), 2):
+            co[(x, y)] += 1
+    edges = {p for p, n in co.items() if n >= 3}
+    nbr = defaultdict(set)
+    for x, y in edges:
+        nbr[x].add(y)
+        nbr[y].add(x)
+    expect = {}
+    for x, y in combinations(sorted(nbr), 2):
+        if (x, y) in edges:
+            continue
+        common = nbr[x] & nbr[y]
+        if not common:
+            continue
+        aa = sum(int(math.floor(1e6 / math.log(len(nbr[w])) + 0.5))
+                 for w in common)
+        jac = (len(common) * 1000000) // (len(nbr[x]) + len(nbr[y])
+                                          - len(common))
+        expect[(x, y)] = (len(common), aa, jac)
+    assert set(got) == set(expect)
+    for p, (cn, aa, jac) in expect.items():
+        assert (got[p].cn, got[p].aa_ppm, got[p].jaccard_ppm) == (cn, aa, jac)
+    assert len(expect) > 10
