@@ -13816,6 +13816,83 @@ def q_link_prediction_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval-overlap self-join (bucket-blocked; quadratic oracle = gate)
+# ---------------------------------------------------------------------------
+
+# fulfillment window per sampled order: starts at the order date, runs
+# one second per dollar — heterogeneous spans (22 min .. 5.8 days) that
+# overlap richly, unlike the sparse synthetic event sessions
+_OVERLAP_INTERVALS_SQL = """
+SELECT o_orderkey AS k,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS start_s,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT)
+         + CAST(floor(o_totalprice) AS BIGINT) AS end_s
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle=f"""
+WITH s AS ({_OVERLAP_INTERVALS_SQL})
+SELECT a.k AS k_a, b.k AS k_b,
+       CAST(greatest(a.start_s, b.start_s) AS BIGINT) AS overlap_start_s,
+       CAST(least(a.end_s, b.end_s)
+            - greatest(a.start_s, b.start_s) AS BIGINT) AS overlap_s
+FROM s a JOIN s b
+  ON a.k < b.k
+ AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+""",
+)
+def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join — the interval join Spark has no
+    native operator for (IEJoin territory; Khayyat et al. SIGMOD 2015).
+    Intervals are per-order fulfillment windows (order date + one
+    second per dollar — spans from 22 minutes to 5.8 days); two closed
+    intervals match when they intersect.  Spark plan: each interval
+    explodes to the 1-DAY buckets it covers (<= 7 per interval at the
+    longest span), the self-join becomes an EQUI-join on bucket plus
+    the residual overlap predicate — and each pair survives ONLY in
+    the canonical bucket of its overlap start
+    (floor(max(start)/86400)), so every overlapping pair appears
+    exactly once with no dedup pass.  Per-bucket cost is quadratic in
+    CONCURRENCY, not corpus size; the oracle is the UNFILTERED
+    quadratic range join, so the blocking's losslessness IS the gate
+    (the prefix-filter/simhash discipline).  Bucket width trades
+    replication against per-bucket density — at higher concurrency,
+    shrink the bucket."""
+    s = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("start_s"),
+        (F.unix_timestamp("o_orderdate").cast("long")
+         + F.floor("o_totalprice").cast("long")).alias("end_s"),
+    )
+    bucketed = s.select(
+        "*", F.explode(F.sequence(
+            F.expr("start_s div 86400"), F.expr("end_s div 86400")
+        )).alias("bkt"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    ov_start = F.greatest(F.col("a.start_s"), F.col("b.start_s"))
+    return (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
+               & (F.col("a.k") < F.col("b.k"))
+               & (F.col("a.start_s") <= F.col("b.end_s"))
+               & (F.col("b.start_s") <= F.col("a.end_s")))
+        .filter(F.col("a.bkt") == F.expr(
+            "greatest(a.start_s, b.start_s) div 86400"))
+        .select(
+            F.col("a.k").alias("k_a"),
+            F.col("b.k").alias("k_b"),
+            ov_start.cast("long").alias("overlap_start_s"),
+            (F.least(F.col("a.end_s"), F.col("b.end_s")) - ov_start)
+            .cast("long").alias("overlap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

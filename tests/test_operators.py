@@ -2371,3 +2371,37 @@ def test_link_prediction_python_referee(spark):
     for p, (cn, aa, jac) in expect.items():
         assert (got[p].cn, got[p].aa_ppm, got[p].jaccard_ppm) == (cn, aa, jac)
     assert len(expect) > 10
+
+
+def test_interval_overlap_canonical_bucket_dedup(spark):
+    """Bucket blocking must emit each overlapping pair EXACTLY once even
+    when the pair shares many day-buckets, and never a non-overlap."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["interval_overlap_pairs"](spark, sf).collect()
+    pairs = [(r.k_a, r.k_b) for r in rows]
+    assert len(pairs) == len(set(pairs))  # exactly-once per pair
+    iv = {r.k: (r.start_s, r.end_s) for r in load_table(
+        spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("start_s"),
+        (F.unix_timestamp("o_orderdate").cast("long")
+         + F.floor("o_totalprice").cast("long")).alias("end_s")).collect()}
+    expect = set()
+    keys = sorted(iv)
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            (sa, ea), (sb, eb) = iv[ka], iv[kb]
+            if sa <= eb and sb <= ea:
+                expect.add((ka, kb))
+    assert set(pairs) == expect and len(expect) > 0
+    for r in rows:
+        sa, ea = iv[r.k_a]
+        sb, eb = iv[r.k_b]
+        assert r.overlap_start_s == max(sa, sb)
+        assert r.overlap_s == min(ea, eb) - max(sa, sb)
+        assert r.overlap_s >= 0
