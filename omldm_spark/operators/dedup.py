@@ -1688,3 +1688,70 @@ FROM shared s
 JOIN totals ta ON ta.src = s.src_a
 JOIN totals tb ON tb.src = s.src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# PassJoin: lossless segment-blocked edit-distance pair join
+# ---------------------------------------------------------------------------
+
+def passjoin_edit_pairs(docs: DataFrame, prefix_len: int = 30,
+                        n_segs: int = 3, max_dist: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        len_col: str = "n_chars") -> DataFrame:
+    """All document pairs whose ``prefix_len``-char prefixes are within
+    Levenshtein distance ``max_dist`` — WITHOUT the quadratic all-pairs
+    scan, via PassJoin segment blocking (Li, Deng, Feng ICDE 2011).
+
+    Pigeonhole: partition one string of a pair into ``n_segs`` =
+    max_dist+1 contiguous segments; if ed <= max_dist, the OTHER string
+    contains at least one segment verbatim, starting within +-max_dist
+    of the segment's own start.  So the larger-id doc of each candidate
+    pair posts its exact segments (index side), every doc posts all
+    substrings of segment length at starts within the band (probe
+    side), and candidates are the DISTINCT pair hits of one equi-join
+    on (segment_idx, gram) — per-bucket cost is quadratic in SEGMENT
+    collision count, never in corpus size.  Survivors verify with the
+    exact Levenshtein (identical classic implementation on both
+    engines), so the result equals the unfiltered quadratic join: the
+    blocking's losslessness is the oracle gate.  Fixed-length prefixes
+    (docs shorter than ``prefix_len`` are excluded) keep the segment
+    geometry static; the general variable-length op adds the standard
+    |len_a - len_b| <= d length filter in front.  At web scale the
+    known hot spot is a low-entropy segment shared by many docs — the
+    standard mitigation (segment-frequency cap + a second pass on a
+    different partition) composes without changing the contract."""
+    assert n_segs == max_dist + 1
+    q = prefix_len // n_segs
+    starts = [1 + i * q for i in range(n_segs)]
+    s = docs.filter(F.col(len_col) >= prefix_len).select(
+        F.col(id_col).alias("id"),
+        F.substring(text_col, 1, prefix_len).alias("s"),
+    )
+    idx_specs = F.array(*[
+        F.struct(F.lit(i).alias("seg"), F.lit(st).alias("st"))
+        for i, st in enumerate(starts)])
+    probe_specs = F.array(*[
+        F.struct(F.lit(i).alias("seg"), F.lit(p).alias("st"))
+        for i, st in enumerate(starts)
+        for p in range(max(1, st - max_dist),
+                       min(prefix_len - q + 1, st + max_dist) + 1)])
+    index = s.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"),
+        F.explode(idx_specs).alias("sp"),
+    ).select("id_b", "s_b", F.col("sp.seg").alias("seg"),
+             F.expr(f"substring(s_b, sp.st, {q})").alias("gram"))
+    probe = s.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"),
+        F.explode(probe_specs).alias("sp"),
+    ).select("id_a", "s_a", F.col("sp.seg").alias("seg"),
+             F.expr(f"substring(s_a, sp.st, {q})").alias("gram"))
+    cand = (
+        probe.join(index, ["seg", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+    )
+    dist = F.levenshtein("s_a", "s_b")
+    return cand.filter(dist <= max_dist).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        dist.cast("long").alias("dist"))

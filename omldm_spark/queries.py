@@ -13893,6 +13893,40 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PassJoin edit-distance pairs (oracle = the unfiltered quadratic join)
+# ---------------------------------------------------------------------------
+
+from .operators.dedup import passjoin_edit_pairs  # noqa: E402
+
+
+@query(
+    "passjoin_edit_pairs",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, substr(text, 1, 30) AS s
+  FROM documents WHERE n_chars >= 30
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 2
+""",
+)
+def q_passjoin_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join over 30-char document
+    prefixes at threshold 2, computed by PassJoin segment blocking
+    (operators/dedup.py passjoin_edit_pairs) — candidates from ONE
+    posting equi-join on (segment, gram) instead of the all-pairs
+    Levenshtein, then exact verification.  The oracle IS the unfiltered
+    quadratic join, so the segment blocking's losslessness is the gate
+    (same discipline as prefix_filter_jaccard_pairs /
+    simhash_hamming_pairs).  Unlike fuzzy_name_pairs' single-key
+    16-char prefix blocking (lossy by design, recall recovered by extra
+    passes), PassJoin is exact by the pigeonhole theorem."""
+    return passjoin_edit_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2405,3 +2405,51 @@ def test_interval_overlap_canonical_bucket_dedup(spark):
         assert r.overlap_start_s == max(sa, sb)
         assert r.overlap_s == min(ea, eb) - max(sa, sb)
         assert r.overlap_s >= 0
+
+
+def test_passjoin_catches_indel_shifts(spark):
+    """Planted adversarial pairs: substitutions in DIFFERENT segments and
+    an ins+del pair that shifts a whole middle segment by one — the case
+    naive shift-0 segment blocking misses; PassJoin's +-d band must
+    catch every pair the quadratic referee finds."""
+    import itertools
+
+    from omldm_spark.operators.dedup import passjoin_edit_pairs
+
+    base = "abcdefghijklmnopqrstuvwxyz0123"  # 30 chars
+    docs = {
+        0: base,
+        # two substitutions, one in segment 0 and one in segment 2
+        1: "Xbcdefghij" + base[10:20] + "klmnopqrsX"[:0] + base[20:29] + "X",
+        # one insert at pos 3 + one delete at pos 25: middle segment
+        # shifts right by one
+        2: base[:3] + "Z" + base[3:24] + base[25:],
+        # distance 3 from base (three substitutions) — must NOT pair
+        # with base at threshold 2
+        3: "XbcdefghiX" + base[10:19] + "X" + base[20:],
+        # identical twin of base
+        4: base,
+    }
+    assert all(len(s) == 30 for s in docs.values())
+    df = spark.createDataFrame(
+        [(k, v, len(v)) for k, v in docs.items()],
+        "doc_id long, text string, n_chars long")
+    got = {(r.doc_a, r.doc_b): r.dist
+           for r in passjoin_edit_pairs(df).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = {(x, y): lev(docs[x], docs[y])
+              for x, y in itertools.combinations(sorted(docs), 2)
+              if lev(docs[x], docs[y]) <= 2}
+    assert got == expect
+    assert (0, 2) in expect  # the indel-shift pair is really in play
+    assert (0, 1) in expect and (0, 4) in expect
