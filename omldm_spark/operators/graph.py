@@ -92,15 +92,16 @@ SELECT k * 2 + 1 AS src, u * 2 AS dst FROM pairs
 """
 
 
-def PAGERANK_EVENTS_SQL(rounds: int, idiv: str = "//") -> str:
-    """The chained-CTE DuckDB oracle: same constants, same truncating
-    integer division (``//`` in DuckDB, ``div`` in Spark — all operands
-    positive, so both truncate to the same floor)."""
+def PAGERANK_ROUNDS_CTES(rounds: int, idiv: str = "//",
+                         edges_cte: str = "edges") -> list[str]:
+    """The recurrence as flat CTE parts over an EXISTING ``edges_cte``
+    (src, dst) relation — splice after your own graph-derivation CTEs
+    (the flat-CTE composition rule: DuckDB cannot bind nested WITHs
+    inside recursive members, and flat parts compose for free).  Final
+    state is ``r{rounds}`` (v, pr)."""
     ctes = [
-        f"pairs AS ({PAIRS_SQL})",
-        f"edges AS ({EDGES_SQL})",
-        "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS outdeg"
-        " FROM edges GROUP BY src)",
+        f"deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS outdeg"
+        f" FROM {edges_cte} GROUP BY src)",
         f"r0 AS (SELECT v, CAST({INIT_PR} AS BIGINT) AS pr FROM deg)",
     ]
     for t in range(rounds):
@@ -109,12 +110,23 @@ def PAGERANK_EVENTS_SQL(rounds: int, idiv: str = "//") -> str:
   SELECT e.dst AS v,
          CAST({BASE_PR} + sum((r.pr * CAST({DAMP_NUM} AS BIGINT))
               {idiv} (CAST({DAMP_DEN} AS BIGINT) * d.outdeg)) AS BIGINT) AS pr
-  FROM edges e
+  FROM {edges_cte} e
   JOIN r{t} r ON e.src = r.v
   JOIN deg d ON e.src = d.v
   GROUP BY e.dst
 )"""
         )
+    return ctes
+
+
+def PAGERANK_EVENTS_SQL(rounds: int, idiv: str = "//") -> str:
+    """The chained-CTE DuckDB oracle: same constants, same truncating
+    integer division (``//`` in DuckDB, ``div`` in Spark — all operands
+    positive, so both truncate to the same floor)."""
+    ctes = [
+        f"pairs AS ({PAIRS_SQL})",
+        f"edges AS ({EDGES_SQL})",
+    ] + PAGERANK_ROUNDS_CTES(rounds, idiv)
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT v, pr FROM r{rounds}"
     )

@@ -13927,6 +13927,110 @@ def q_passjoin_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+from .operators.dedup import TOKENS_SQL as _TR_TOKENS_SQL  # noqa: E402
+from .operators.graph import PAGERANK_ROUNDS_CTES  # noqa: E402
+from .operators.lm import _doc_bigrams  # noqa: E402
+
+_TEXTRANK_ROUNDS = 3
+_TEXTRANK_TOPK = 30
+
+_TEXTRANK_GRAPH_CTES = [
+    f"""toks AS (
+  SELECT doc_id, unnest({_TR_TOKENS_SQL("text")}) AS tok,
+         generate_subscripts({_TR_TOKENS_SQL("text")}, 1) AS pos
+  FROM documents
+)""",
+    """bi AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+)""",
+    """wpairs AS (
+  SELECT DISTINCT least(w1, w2) AS wa, greatest(w1, w2) AS wb
+  FROM bi WHERE w2 IS NOT NULL AND w1 <> w2
+)""",
+    """vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS vid
+  FROM (SELECT DISTINCT wa AS w FROM wpairs
+        UNION SELECT DISTINCT wb AS w FROM wpairs)
+)""",
+    """edges AS (
+  SELECT va.vid AS src, vb.vid AS dst
+  FROM wpairs p JOIN vocab va ON va.w = p.wa JOIN vocab vb ON vb.w = p.wb
+  UNION ALL
+  SELECT vb.vid AS src, va.vid AS dst
+  FROM wpairs p JOIN vocab va ON va.w = p.wa JOIN vocab vb ON vb.w = p.wb
+)""",
+]
+
+
+@query(
+    "textrank_keywords",
+    oracle=("WITH " + ",\n".join(
+        _TEXTRANK_GRAPH_CTES + PAGERANK_ROUNDS_CTES(_TEXTRANK_ROUNDS)
+    ) + f"""
+SELECT v.w AS word, r.pr,
+       CAST(row_number() OVER (ORDER BY r.pr DESC, v.w) AS BIGINT) AS rank
+FROM r{_TEXTRANK_ROUNDS} r JOIN vocab v ON v.vid = r.v
+QUALIFY row_number() OVER (ORDER BY r.pr DESC, v.w) <= {_TEXTRANK_TOPK}
+"""),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau EMNLP 2004): the
+    top-30 corpus keywords by integer PageRank over the undirected word
+    co-occurrence graph (adjacent-token pairs, window 2).  Words map to
+    BIGINT vertex ids by row_number over the sorted vocabulary —
+    deterministic on both engines — and the SAME all-BIGINT
+    power-iteration recurrence as pagerank_user_props runs 3 rounds
+    (operators/graph.py pagerank_rounds; oracle splices
+    PAGERANK_ROUNDS_CTES after the graph-derivation CTEs, the flat-CTE
+    composition rule).  Scale: the pair set dedups corpus-wide before
+    anything else (vocab-scale from there on); the id-assignment global
+    window and the final top-k window both ride vocab-scale aggregates,
+    never the corpus; per-round cost is one keyed join + one
+    map-side-combined groupBy."""
+    from pyspark.sql import Window
+
+    from .operators.graph import pagerank_rounds
+
+    docs = load_table(spark, sf_dir, "documents")
+    bi = _doc_bigrams(docs, "text", "doc_id")
+    wpairs = (
+        bi.filter(F.col("w1") != F.col("w2"))
+        .select(F.least("w1", "w2").alias("wa"),
+                F.greatest("w1", "w2").alias("wb"))
+        .distinct()
+        .persist()
+    )
+    vocab = (
+        wpairs.select(F.col("wa").alias("w"))
+        .union(wpairs.select(F.col("wb").alias("w")))
+        .distinct()
+        .withColumn("vid", F.row_number().over(
+            Window.orderBy("w")).cast("long"))
+        .persist()
+    )
+    va = vocab.select(F.col("w").alias("wa"), F.col("vid").alias("ida"))
+    vb = vocab.select(F.col("w").alias("wb"), F.col("vid").alias("idb"))
+    ids = wpairs.join(F.broadcast(va), "wa").join(F.broadcast(vb), "wb")
+    edges = ids.select(F.col("ida").alias("src"), F.col("idb").alias("dst")) \
+        .unionByName(ids.select(F.col("idb").alias("src"),
+                                F.col("ida").alias("dst")))
+    pr = pagerank_rounds(edges, rounds=_TEXTRANK_ROUNDS)
+    w = Window.orderBy(F.desc("pr"), "word")
+    return (
+        pr.join(F.broadcast(vocab.select(F.col("vid").alias("v"),
+                                         F.col("w").alias("word"))), "v")
+        .select("word", "pr")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TEXTRANK_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2453,3 +2453,43 @@ def test_passjoin_catches_indel_shifts(spark):
     assert got == expect
     assert (0, 2) in expect  # the indel-shift pair is really in play
     assert (0, 1) in expect and (0, 4) in expect
+
+
+def test_textrank_python_referee(spark):
+    """The integer-PageRank recurrence replayed exactly in python over an
+    independently-built co-occurrence graph reproduces the top-30."""
+    from collections import defaultdict
+
+    from omldm_spark.io import load_table
+    from omldm_spark.operators.graph import (
+        BASE_PR, DAMP_DEN, DAMP_NUM, INIT_PR,
+    )
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r.rank, r.word, r.pr) for r in sorted(
+        QUERIES["textrank_keywords"](spark, sf).collect(),
+        key=lambda r: r.rank)]
+    docs = load_table(spark, sf, "documents").select("text").collect()
+    pairs = set()
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        for w1, w2 in zip(toks, toks[1:]):
+            if w1 != w2:
+                pairs.add((min(w1, w2), max(w1, w2)))
+    nbr = defaultdict(set)
+    for a, b in pairs:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    deg = {w: len(ns) for w, ns in nbr.items()}
+    pr = {w: INIT_PR for w in nbr}
+    for _ in range(3):
+        nxt = defaultdict(lambda: BASE_PR)
+        for w, ns in nbr.items():
+            c = (pr[w] * DAMP_NUM) // (DAMP_DEN * deg[w])
+            for v in ns:
+                nxt[v] += c
+        pr = dict(nxt)
+    ranked = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    expect = [(i + 1, w, p) for i, (w, p) in enumerate(ranked)]
+    assert got == expect
