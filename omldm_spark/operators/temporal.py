@@ -663,3 +663,56 @@ def sweep_concurrency(intervals: DataFrame, start_col: str, end_col: str,
         starts.unionByName(ends), ["ts", "ord", "iid"], "delta", num_ranges
     )
     return out.withColumnRenamed("running", "conc")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (canonical-bucket blocking)
+# ---------------------------------------------------------------------------
+
+def interval_overlap_pairs(a: DataFrame, b: DataFrame | None = None,
+                           bucket_s: int = 86400) -> DataFrame:
+    """Pairs of overlapping closed intervals — the interval join Spark
+    has no native operator for (IEJoin territory, Khayyat et al. SIGMOD
+    2015), as an EQUI-join: each interval explodes to the ``bucket_s``
+    buckets it covers; a pair survives ONLY in the canonical bucket of
+    its overlap start, so every overlapping pair appears exactly once
+    with no dedup pass.  Inputs carry (k, start_s, end_s).
+
+    ``b is None``: self-join (pairs with a.k < b.k).  Otherwise a CROSS
+    overlap join of two disjoint interval sets (used by the incremental
+    streaming twin: new x old), with output keys oriented (least,
+    greatest) so the pair identity matches the batch self-join's.
+    Per-bucket cost is quadratic in CONCURRENCY, never corpus size."""
+    def bucketed(df, side):
+        return df.select(
+            F.col("k").alias(f"k_{side}"),
+            F.col("start_s").alias(f"start_{side}"),
+            F.col("end_s").alias(f"end_{side}"),
+            F.explode(F.sequence(
+                F.expr(f"start_s div {bucket_s}"),
+                F.expr(f"end_s div {bucket_s}"))).alias(f"bkt_{side}"),
+        )
+
+    self_join = b is None
+    left = bucketed(a, "a")
+    right = bucketed(a if self_join else b, "b")
+    key_cond = (F.col("k_a") < F.col("k_b")) if self_join \
+        else (F.col("k_a") != F.col("k_b"))
+    ov_start = F.greatest(F.col("start_a"), F.col("start_b"))
+    pairs = (
+        left.join(right, [
+            F.col("bkt_a") == F.col("bkt_b"),
+            key_cond,
+            F.col("start_a") <= F.col("end_b"),
+            F.col("start_b") <= F.col("end_a"),
+        ])
+        .filter(F.col("bkt_a") == F.expr(
+            f"greatest(start_a, start_b) div {bucket_s}"))
+    )
+    return pairs.select(
+        F.least("k_a", "k_b").alias("k_a"),
+        F.greatest("k_a", "k_b").alias("k_b"),
+        ov_start.cast("long").alias("overlap_start_s"),
+        (F.least(F.col("end_a"), F.col("end_b")) - ov_start)
+        .cast("long").alias("overlap_s"),
+    )

@@ -13861,6 +13861,8 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the prefix-filter/simhash discipline).  Bucket width trades
     replication against per-bucket density — at higher concurrency,
     shrink the bucket."""
+    from .operators.temporal import interval_overlap_pairs
+
     s = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 10 == 0
     ).select(
@@ -13869,27 +13871,7 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("o_orderdate").cast("long")
          + F.floor("o_totalprice").cast("long")).alias("end_s"),
     )
-    bucketed = s.select(
-        "*", F.explode(F.sequence(
-            F.expr("start_s div 86400"), F.expr("end_s div 86400")
-        )).alias("bkt"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    ov_start = F.greatest(F.col("a.start_s"), F.col("b.start_s"))
-    return (
-        a.join(b, (F.col("a.bkt") == F.col("b.bkt"))
-               & (F.col("a.k") < F.col("b.k"))
-               & (F.col("a.start_s") <= F.col("b.end_s"))
-               & (F.col("b.start_s") <= F.col("a.end_s")))
-        .filter(F.col("a.bkt") == F.expr(
-            "greatest(a.start_s, b.start_s) div 86400"))
-        .select(
-            F.col("a.k").alias("k_a"),
-            F.col("b.k").alias("k_b"),
-            ov_start.cast("long").alias("overlap_start_s"),
-            (F.least(F.col("a.end_s"), F.col("b.end_s")) - ov_start)
-            .cast("long").alias("overlap_s"),
-        )
-    )
+    return interval_overlap_pairs(s)
 
 
 # ---------------------------------------------------------------------------
@@ -14028,6 +14010,95 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _TEXTRANK_TOPK)
     )
+
+
+@query(
+    "streaming_interval_overlap",
+    oracle=f"""
+WITH s AS ({_OVERLAP_INTERVALS_SQL})
+SELECT a.k AS k_a, b.k AS k_b,
+       CAST(greatest(a.start_s, b.start_s) AS BIGINT) AS overlap_start_s,
+       CAST(least(a.end_s, b.end_s)
+            - greatest(a.start_s, b.start_s) AS BIGINT) AS overlap_s
+FROM s a JOIN s b
+  ON a.k < b.k
+ AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+""",
+)
+def q_streaming_interval_overlap(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INCREMENTAL interval-overlap maintenance: intervals arrive as a
+    multi-batch stream and each batch emits exactly the pairs it
+    completes — new x accumulated (the pair is found in the batch where
+    the LATER interval arrives) plus new x new within the batch, both
+    through the same canonical-bucket blocking as the batch operator
+    (operators/temporal.py interval_overlap_pairs) — so every
+    overlapping pair is discovered EXACTLY once and per-batch cost is
+    O(batch x concurrency), never a recompute over history.  Streaming
+    must be invisible: the oracle is the one-shot batch quadratic
+    join over the whole interval set."""
+    import os
+    import tempfile
+
+    from .operators.temporal import interval_overlap_pairs
+    from .streaming.sources import file_replay_source
+
+    iv = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("start_s"),
+        (F.unix_timestamp("o_orderdate").cast("long")
+         + F.floor("o_totalprice").cast("long")).alias("end_s"),
+    )
+    tmp = tempfile.mkdtemp(prefix="omldm_sivl_")
+    src_dir = f"{tmp}/src"
+    iv.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+    parts = ("intervals", "pairs")
+
+    def _latest():
+        if not os.path.isdir(state_dir):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                    if d.startswith("v"))
+        if not vs:
+            return None
+        return tuple(
+            spark.read.parquet(f"{state_dir}/v{vs[-1]}/{p}") for p in parts)
+
+    def fold(new, bid):
+        prev = _latest()
+        newpairs = interval_overlap_pairs(new)
+        if prev is not None:
+            old_iv, old_pairs = prev
+            newpairs = newpairs.unionByName(
+                interval_overlap_pairs(new, old_iv))
+            all_iv = old_iv.unionByName(new.select("k", "start_s", "end_s"))
+            all_pairs = old_pairs.unionByName(newpairs)
+        else:
+            all_iv = new.select("k", "start_s", "end_s")
+            all_pairs = newpairs
+        all_iv.write.mode("overwrite").parquet(
+            f"{state_dir}/v{bid}/intervals")
+        all_pairs.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/pairs")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = _latest()
+    if state is None:
+        return spark.createDataFrame(
+            [], "k_a long, k_b long, overlap_start_s long, overlap_s long")
+    return state[1]
 
 
 # ---------------------------------------------------------------------------

@@ -272,3 +272,23 @@ def test_overlap_merge_reseen_posting_is_free(spark):
     assert _counters_dict(state2) == before
     # postings set unchanged too
     assert state2[0].count() == state[0].count()
+
+
+def test_incremental_overlap_decomposition(spark):
+    """new x new + new x old decomposition over arbitrary batch splits
+    reproduces the one-shot self-join exactly (exactly-once per pair)."""
+    from omldm_spark.operators.temporal import interval_overlap_pairs
+
+    rows = [(k, 100 * k, 100 * k + 250) for k in range(1, 21)]
+    df = spark.createDataFrame(rows, "k long, start_s long, end_s long")
+    want = sorted(tuple(r) for r in interval_overlap_pairs(df).collect())
+    assert len(want) > 10
+    for split in (5, 9, 13):
+        old = df.filter(df.k <= split)
+        new = df.filter(df.k > split)
+        got = (interval_overlap_pairs(new).unionByName(
+            interval_overlap_pairs(new, old)).unionByName(
+            interval_overlap_pairs(old)))
+        got_rows = sorted(tuple(r) for r in got.collect())
+        assert got_rows == want, split
+        assert len(got_rows) == len(set(got_rows))
