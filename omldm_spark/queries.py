@@ -14102,6 +14102,104 @@ def q_streaming_interval_overlap(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Per-dimension class-separation report over the embedding table
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_class_scatter",
+    oracle="""
+WITH md AS (
+  SELECT label, gs - 1 AS dim, q
+  FROM (SELECT label,
+               unnest(list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0)
+                                AS BIGINT))) AS q,
+               generate_subscripts(embedding, 1) AS gs
+        FROM embeddings)
+),
+per_class AS (
+  SELECT dim, label, CAST(count(*) AS BIGINT) AS n_l,
+         CAST(sum(q) AS BIGINT) AS s1_l, CAST(sum(q * q) AS BIGINT) AS s2_l,
+         CAST(sum(q) // count(*) AS BIGINT) AS mean_l
+  FROM md GROUP BY 1, 2
+),
+per_dim AS (
+  SELECT dim, CAST(sum(n_l) AS BIGINT) AS n,
+         CAST(sum(s1_l) // sum(n_l) AS BIGINT) AS mean_all
+  FROM per_class GROUP BY 1
+),
+sc AS (
+  SELECT c.dim,
+         CAST(sum(c.n_l * (c.mean_l - d.mean_all)
+                  * (c.mean_l - d.mean_all)) AS BIGINT) AS between_q,
+         CAST(sum(c.s2_l - 2 * c.mean_l * c.s1_l
+                  + c.n_l * c.mean_l * c.mean_l) AS BIGINT) AS within_q
+  FROM per_class c JOIN per_dim d ON d.dim = c.dim
+  GROUP BY 1
+)
+SELECT CAST(dim AS BIGINT) AS dim, between_q, within_q,
+       CAST(CASE WHEN within_q > 0 THEN (between_q * 1000000) // within_q
+            END AS BIGINT) AS fisher_ppm,
+       CAST(row_number() OVER (
+         ORDER BY CASE WHEN within_q > 0
+                       THEN (between_q * 1000000) // within_q END DESC
+                  NULLS LAST, dim) AS BIGINT) AS rank
+FROM sc
+""",
+)
+def q_embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher class-separation audit of the embedding
+    space: between-class vs within-class scatter of each coordinate
+    against the label column, ranked by the Fisher ratio — the
+    feature-quality screen before training a probe/classifier on
+    embeddings (Fisher 1936; the LDA diagonal).  All moments are exact
+    BIGINTs over the standard 1e6-quantized coordinates (the OPQ
+    variance-proxy envelope: exact to ~3M vectors); class means are
+    floored integer division, scatters recompose from (n, s1, s2) with
+    no float, and the ratio is integer floor-div ppm — hash-exact.
+    Plan: ONE posexplode melt + ONE (dim, label)-keyed map-side-combined
+    agg; everything after is (64 x classes)-scale, and the ranking
+    window rides the 64-row aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long"),
+    )
+    md = emb.select("label", F.posexplode(qv).alias("dim", "q"))
+    per_class = md.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.sum("q").cast("long").alias("s1_l"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2_l"),
+    ).withColumn("mean_l", F.expr("CAST(s1_l div n_l AS BIGINT)"))
+    per_dim = per_class.groupBy("dim").agg(
+        F.sum("n_l").cast("long").alias("n"),
+        F.expr("CAST(sum(s1_l) div sum(n_l) AS BIGINT)").alias("mean_all"),
+    )
+    sc = (
+        per_class.join(F.broadcast(per_dim), "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("n_l") * (F.col("mean_l") - F.col("mean_all"))
+                  * (F.col("mean_l") - F.col("mean_all")))
+            .cast("long").alias("between_q"),
+            F.sum(F.col("s2_l") - 2 * F.col("mean_l") * F.col("s1_l")
+                  + F.col("n_l") * F.col("mean_l") * F.col("mean_l"))
+            .cast("long").alias("within_q"),
+        )
+    )
+    from pyspark.sql import Window
+    fisher = F.expr(
+        "CAST(CASE WHEN within_q > 0 THEN (between_q * 1000000)"
+        " div within_q END AS BIGINT)")
+    w = Window.orderBy(F.desc_nulls_last("fisher_ppm"), "dim")
+    return (
+        sc.select(F.col("dim").cast("long").alias("dim"), "between_q",
+                  "within_q", fisher.alias("fisher_ppm"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -438,3 +438,58 @@ def test_opq_rotation_orthogonal_deterministic_and_tighter(spark, tmp_path):
     assert d2_rot <= d2_plain
     # and on this correlated data the improvement is LARGE, not noise
     assert d2_rot < 0.7 * d2_plain
+
+
+def test_embedding_class_scatter_referee(spark):
+    """Scatter identity vs a python referee: between + within == total
+    scatter about the global floored mean, up to the integer-mean
+    flooring slack; fisher ranking consistent."""
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.dim: r for r in
+            QUERIES["embedding_class_scatter"](spark, sf).collect()}
+    emb = load_table(spark, sf, "embeddings").select(
+        "label", "embedding").collect()
+    import math
+    from collections import defaultdict
+
+    def q6(x):  # Spark/DuckDB round(): half AWAY from zero, not banker's
+        v = float(x) * 1_000_000
+        return int(math.floor(v + 0.5)) if v >= 0 \
+            else -int(math.floor(-v + 0.5))
+
+    def tdiv(a, b):  # Spark div / DuckDB // truncate toward ZERO
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    per = defaultdict(lambda: defaultdict(list))
+    for r in emb:
+        for d, x in enumerate(r.embedding):
+            per[d][r.label].append(q6(x))
+    for d, by_label in per.items():
+        allq = [q for vs in by_label.values() for q in vs]
+        mean_all = tdiv(sum(allq), len(allq))
+        between = within = 0
+        for vs in by_label.values():
+            m = tdiv(sum(vs), len(vs))
+            between += len(vs) * (m - mean_all) ** 2
+            within += sum((q - m) ** 2 for q in vs) \
+                - sum(2 * (q - m) * 0 for q in vs)
+            # within via moments exactly as the query composes it:
+        got = rows[d]
+        assert got.between_q == between, d
+        # recompute within via the moment identity the query uses
+        w2 = 0
+        for vs in by_label.values():
+            n_l, s1, s2 = len(vs), sum(vs), sum(q * q for q in vs)
+            m = tdiv(s1, n_l)
+            w2 += s2 - 2 * m * s1 + n_l * m * m
+        assert got.within_q == w2, d
+        if got.within_q > 0:
+            assert got.fisher_ppm == tdiv(between * 1000000, w2)
+    ranks = sorted(rows.values(), key=lambda r: r.rank)
+    fs = [(-(r.fisher_ppm if r.fisher_ppm is not None else -1), r.dim)
+          for r in ranks]
+    assert fs == sorted(fs)
