@@ -14200,6 +14200,156 @@ def q_embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Zone-map pruning audit: arrival layout vs z-order layout
+# ---------------------------------------------------------------------------
+
+# shared derivation: every event with its two probe dimensions and both
+# candidate file assignments (32 "files" each, FIXED deterministic range
+# boundaries — the cross-engine stand-in for repartitionByRange's sampled
+# ones, and exactly what a writer with static boundaries produces)
+_ZONEMAP_RAW_SQL = f"""
+SELECT event_id, u, day, {zvalue_sql(["x", "y"], 16)} AS zval
+FROM (
+  SELECT event_id, user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(user_id & 65535 AS BIGINT) AS x,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) >> 12) & 65535 AS BIGINT)
+           AS y
+  FROM events
+)
+"""
+
+# file assignment: 32 fixed ranges over the OBSERVED key span (the
+# deterministic stand-in for repartitionByRange's sampled boundaries —
+# adaptive to the data so small SFs don't collapse into one file)
+_ZONEMAP_BASE_SQL = f"""
+SELECT event_id, u, day,
+       CAST(event_id // w AS BIGINT) AS file_arrival,
+       CAST(((zval - z0) * 32) // (z1 - z0 + 1) AS BIGINT) AS file_zorder
+FROM ({_ZONEMAP_RAW_SQL}) raw CROSS JOIN (
+  SELECT CAST(max(event_id) // 32 + 1 AS BIGINT) AS w,
+         CAST(min(zval) AS BIGINT) AS z0, CAST(max(zval) AS BIGINT) AS z1
+  FROM ({_ZONEMAP_RAW_SQL})
+) st
+"""
+
+
+@query(
+    "zonemap_pruning_report",
+    oracle=f"""
+WITH base AS ({_ZONEMAP_BASE_SQL}),
+zones AS (
+  SELECT layout, file_id,
+         CAST(min(u) AS BIGINT) AS min_u, CAST(max(u) AS BIGINT) AS max_u,
+         CAST(min(day) AS BIGINT) AS min_d, CAST(max(day) AS BIGINT) AS max_d
+  FROM (
+    SELECT 'arrival' AS layout, file_arrival AS file_id, u, day FROM base
+    UNION ALL
+    SELECT 'zorder' AS layout, file_zorder AS file_id, u, day FROM base
+  ) GROUP BY 1, 2
+),
+probes AS (
+  SELECT 'user_point' AS probe_kind, u AS p FROM
+    (SELECT DISTINCT u FROM base WHERE u % 7 = 0)
+  UNION ALL
+  SELECT 'day_point' AS probe_kind, day AS p FROM
+    (SELECT DISTINCT day FROM base WHERE day % 11 = 0)
+),
+hits AS (
+  SELECT z.layout, pr.probe_kind, pr.p,
+         CAST(count(*) FILTER (
+           (pr.probe_kind = 'user_point' AND pr.p BETWEEN z.min_u AND z.max_u)
+           OR
+           (pr.probe_kind = 'day_point' AND pr.p BETWEEN z.min_d AND z.max_d)
+         ) AS BIGINT) AS touched,
+         CAST(count(*) AS BIGINT) AS files_total
+  FROM probes pr CROSS JOIN zones z
+  GROUP BY 1, 2, 3
+)
+SELECT layout, probe_kind,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(max(files_total) AS BIGINT) AS files_total,
+       CAST(sum(touched) AS BIGINT) AS files_touched,
+       CAST((sum(touched) * 1000000) // (count(*) * max(files_total))
+            AS BIGINT) AS touch_ppm
+FROM hits GROUP BY 1, 2
+""",
+)
+def q_zonemap_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit: the SAME fact laid out by
+    arrival order vs by z-order key, 32 files each with fixed range
+    boundaries, zone maps (per-file min/max of user and day), and a
+    deterministic probe workload (every 7th user as a point lookup,
+    every 11th day) counting how many files each probe cannot prune —
+    the quantified "why z-order" answer (Moerkotte small-materialized-
+    aggregates 1998; the layout question a 100 TB table lives or dies
+    by).  Arrival order gives perfect day pruning and useless user
+    pruning; z-order makes BOTH bounded — the report shows the exact
+    trade, and tests pin the direction.  All arithmetic exact integers;
+    bit-interleave text shared between engines (operators/layout.py
+    zvalue_sql).  Plan: one scan -> two 32-cell zone aggregates; probes
+    are distinct-key aggregates; the probe x zone cross join is
+    (probes x 64) broadcast work, nothing row-scale after the first
+    agg."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id", F.col("user_id").alias("u"),
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("day"),
+        (F.col("user_id").bitwiseAND(F.lit(65535))).cast("long").alias("x"),
+        F.expr("CAST((unix_timestamp(ts) >> 12) & 65535 AS BIGINT)")
+        .alias("y"),
+    ).select("event_id", "u", "day",
+             F.expr(zvalue_sql(["x", "y"], 16)).alias("zval"))
+    st = raw.agg(
+        F.expr("CAST(max(event_id) div 32 + 1 AS BIGINT)").alias("w"),
+        F.min("zval").cast("long").alias("z0"),
+        F.max("zval").cast("long").alias("z1"),
+    )
+    base = raw.crossJoin(F.broadcast(st)).select(
+        "event_id", "u", "day",
+        F.expr("CAST(event_id div w AS BIGINT)").alias("file_arrival"),
+        F.expr("CAST(((zval - z0) * 32) div (z1 - z0 + 1) AS BIGINT)")
+        .alias("file_zorder"),
+    )
+    both = base.select(F.lit("arrival").alias("layout"),
+                       F.col("file_arrival").alias("file_id"), "u", "day") \
+        .unionByName(base.select(F.lit("zorder").alias("layout"),
+                                 F.col("file_zorder").alias("file_id"),
+                                 "u", "day"))
+    zones = both.groupBy("layout", "file_id").agg(
+        F.min("u").cast("long").alias("min_u"),
+        F.max("u").cast("long").alias("max_u"),
+        F.min("day").cast("long").alias("min_d"),
+        F.max("day").cast("long").alias("max_d"),
+    )
+    probes = base.filter(F.col("u") % 7 == 0).select(
+        F.lit("user_point").alias("probe_kind"), F.col("u").alias("p")
+    ).distinct().unionByName(
+        base.filter(F.col("day") % 11 == 0).select(
+            F.lit("day_point").alias("probe_kind"), F.col("day").alias("p")
+        ).distinct())
+    hit = F.when(
+        ((F.col("probe_kind") == "user_point")
+         & F.col("p").between(F.col("min_u"), F.col("max_u")))
+        | ((F.col("probe_kind") == "day_point")
+           & F.col("p").between(F.col("min_d"), F.col("max_d"))), 1)
+    hits = (
+        probes.crossJoin(F.broadcast(zones))
+        .groupBy("layout", "probe_kind", "p")
+        .agg(F.count(hit).cast("long").alias("touched"),
+             F.count(F.lit(1)).cast("long").alias("files_total"))
+    )
+    return hits.groupBy("layout", "probe_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.max("files_total").cast("long").alias("files_total"),
+        F.sum("touched").cast("long").alias("files_touched"),
+        F.expr("CAST((sum(touched) * 1000000)"
+               " div (count(*) * max(files_total)) AS BIGINT)")
+        .alias("touch_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2493,3 +2493,25 @@ def test_textrank_python_referee(spark):
     ranked = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
     expect = [(i + 1, w, p) for i, (w, p) in enumerate(ranked)]
     assert got == expect
+
+
+def test_zonemap_pruning_direction(spark):
+    """The layout trade must point the right way at the driver SF:
+    z-order prunes user point-lookups better than arrival order (which
+    cannot prune them), and arrival order keeps its perfect-day-sort
+    advantage on day probes.  Also: both layouts' zone maps cover every
+    probe at least once (no probe prunes to zero everywhere)."""
+    from omldm_spark.queries import QUERIES
+
+    rows = {(r.layout, r.probe_kind): r
+            for r in QUERIES["zonemap_pruning_report"](
+                spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {("arrival", "user_point"), ("arrival", "day_point"),
+                         ("zorder", "user_point"), ("zorder", "day_point")}
+    assert (rows[("zorder", "user_point")].touch_ppm
+            < rows[("arrival", "user_point")].touch_ppm)
+    assert (rows[("arrival", "day_point")].touch_ppm
+            <= rows[("zorder", "day_point")].touch_ppm)
+    for r in rows.values():
+        assert 0 < r.files_touched <= r.n_probes * r.files_total
+        assert r.files_touched >= r.n_probes  # every probe hits >= 1 file
