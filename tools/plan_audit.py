@@ -1007,6 +1007,104 @@ CHECKS.update({
     ],
 })
 
+CHECKS.update({
+    # --- round-6 third-wave queries ---
+    "rendezvous_shard_rebalance": [
+        # the whole assignment is per-row arithmetic: no join of any
+        # kind, one map-side-combined 81-cell agg
+        ("no joins at all",
+         lambda p: "Join" not in p),
+        ("(old, new) count map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        # the rand-pinned projection computes each md5 ONCE: 9 hashes
+        # in the physical plan, not 9 x 17 CASE-inlined copies
+        ("hashes computed once behind the projection barrier",
+         lambda p: p.count("md5(") == 9),
+    ],
+    "benford_digit_audit": [
+        ("per-src totals broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("digit counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "seasonal_anomaly_events": [
+        # both profile tables broadcast back into the pruned fact scan
+        ("profile + MAD broadcast, fact never shuffles",
+         lambda p: p.count("BroadcastHashJoin") >= 2
+         and "SortMergeJoin" not in p),
+        ("fact scan pruned to four columns; profile scans drop event_id",
+         lambda p: bool(re.search(
+             r"ReadSchema: struct<event_id:bigint,ts:[^,]+,"
+             r"event_type:string,value:double>", p))
+         and bool(re.search(
+             r"ReadSchema: struct<ts:[^,]+,event_type:string,"
+             r"value:double>", p))),
+    ],
+    "mutual_information_features": [
+        ("margins and totals broadcast into cell-scale joins",
+         lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("cell counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "link_prediction_items": [
+        ("existing edges leave via LEFT ANTI", lambda p: "LeftAnti" in p),
+        ("edge set persisted once for its three consumers",
+         lambda p: "InMemoryTableScan" in p),
+        ("degree tables broadcast into pair-scale projections",
+         lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("no cartesian anywhere",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
+    "interval_overlap_pairs": [
+        # the bucket equi-join IS the plan: no inequality-driven
+        # cartesian, no window, no dedup aggregate (canonical bucket
+        # makes exactly-once structural)
+        ("bucket equi-join, never a cartesian",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("no dedup pass needed",
+         lambda p: "Window" not in p),
+    ],
+    "passjoin_edit_pairs": [
+        ("(segment, gram) posting equi-join, never a cartesian",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("candidate dedup before verification",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("doc scan pruned to id/text/length",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string,"
+         "n_chars:bigint" in p),
+    ],
+    "textrank_keywords": [
+        ("pair set and vocab persisted (multi-consumer)",
+         lambda p: "InMemoryTableScan" in p),
+        ("vocab ids broadcast into edge building",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian anywhere",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
+    "embedding_class_scatter": [
+        ("one melt agg map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("per-dim totals broadcast",
+         lambda p: "BroadcastHashJoin" in p or
+         "BroadcastNestedLoopJoin" in p),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "zonemap_pruning_report": [
+        # zone maps + probes are aggregates; the probe x zone join is
+        # a broadcast nested loop over 64 zone rows BY DESIGN
+        ("stats row and zones broadcast",
+         lambda p: p.count("BroadcastNestedLoopJoin") >= 1),
+        ("no row-scale window anywhere", lambda p: "Window" not in p),
+        ("zone maps map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
+})
+
 GLOBAL_WINDOW_BOUNDED = [
     "auc_purchase_value", "budget_apportion_sources",
     "conformal_interval_orr", "gbt_residual_round", "km_session_survival",
@@ -1024,6 +1122,10 @@ GLOBAL_WINDOW_BOUNDED = [
     "rfm_segments",                 # three CDFs over value-count hists
     "uplift_decile_report",         # score CDF + 10-row decile cumsum
     "top_session_paths",            # top-20 rank over the path counts
+    # round-6 third wave: vocab-id + final-rank windows ride the
+    # distinct-pair / 64-row scatter aggregates
+    "textrank_keywords",
+    "embedding_class_scatter",
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
