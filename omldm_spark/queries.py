@@ -14350,6 +14350,255 @@ def q_zonemap_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stratified ATT (covariate-adjusted treatment effect, experimentation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stratified_att_report",
+    oracle=f"""
+WITH pu AS ({_TLEARN_PU_SQL}),
+cells AS (
+  SELECT CAST(least((x0 + x1) // 4, 4) AS BIGINT) AS stratum, trt,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS k
+  FROM pu GROUP BY 1, 2
+),
+wide AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN trt = 1 THEN n END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN trt = 1 THEN k END) AS BIGINT) AS k_t,
+         CAST(sum(CASE WHEN trt = 0 THEN n END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN trt = 0 THEN k END) AS BIGINT) AS k_c
+  FROM cells GROUP BY 1
+),
+per AS (
+  SELECT stratum, n_t, k_t, n_c, k_c,
+         CAST(CASE WHEN n_t > 0 AND n_c > 0
+              THEN (k_t * 1000000) // n_t - (k_c * 1000000) // n_c
+              END AS BIGINT) AS diff_ppm
+  FROM wide
+)
+SELECT stratum, n_t, k_t, n_c, k_c, diff_ppm FROM per
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS stratum,
+       CAST(sum(n_t) AS BIGINT) AS n_t, CAST(sum(k_t) AS BIGINT) AS k_t,
+       CAST(sum(n_c) AS BIGINT) AS n_c, CAST(sum(k_c) AS BIGINT) AS k_c,
+       CAST(sum(n_t * diff_ppm) // sum(CASE WHEN diff_ppm IS NOT NULL
+                                       THEN n_t END) AS BIGINT) AS diff_ppm
+FROM per
+""",
+)
+def q_stratified_att_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect-on-the-treated: the classic
+    covariate-adjustment estimator (Cochran 1968 subclassification; the
+    propensity-strata special case of Rosenbaum & Rubin 1983) beside
+    CUPED/DiD/T-learner on the same experimentation surface — units
+    stratified by activity, per-stratum treated-minus-control conversion
+    in ppm, and the treated-weighted overall ATT row (stratum = -1).
+    Both arms' counts pivot out of ONE (stratum, trt) aggregate; every
+    rate is integer floor-div ppm; empty arms yield NULL per-stratum and
+    drop from the weighted overall — all engine-exact.  Plan: one
+    user-keyed aggregate (fact-scale) then 10-cell arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x0"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("x1"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("conv"),
+    ).withColumn("trt", (F.col("user_id") % 2).cast("long"))
+    cells = pu.groupBy(
+        F.least(F.expr("(x0 + x1) div 4"), F.lit(4)).cast("long")
+        .alias("stratum"), "trt",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"),
+          F.sum("conv").cast("long").alias("k"))
+    wide = cells.groupBy("stratum").agg(
+        F.sum(F.when(F.col("trt") == 1, F.col("n"))).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("trt") == 1, F.col("k"))).cast("long").alias("k_t"),
+        F.sum(F.when(F.col("trt") == 0, F.col("n"))).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("trt") == 0, F.col("k"))).cast("long").alias("k_c"),
+    )
+    per = wide.withColumn("diff_ppm", F.expr(
+        "CAST(CASE WHEN n_t > 0 AND n_c > 0 THEN"
+        " (k_t * 1000000) div n_t - (k_c * 1000000) div n_c"
+        " END AS BIGINT)"))
+    overall = per.agg(
+        F.lit(-1).cast("long").alias("stratum"),
+        F.sum("n_t").cast("long").alias("n_t"),
+        F.sum("k_t").cast("long").alias("k_t"),
+        F.sum("n_c").cast("long").alias("n_c"),
+        F.sum("k_c").cast("long").alias("k_c"),
+        F.expr("CAST(sum(n_t * diff_ppm) div sum(CASE WHEN diff_ppm IS"
+               " NOT NULL THEN n_t END) AS BIGINT)").alias("diff_ppm"),
+    )
+    return per.select("stratum", "n_t", "k_t", "n_c", "k_c",
+                      "diff_ppm").unionByName(overall)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer/vocab sizing)
+# ---------------------------------------------------------------------------
+
+_VOCAB_KS = [1, 10, 30, 100, 300, 1000]
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TR_TOKENS_SQL("text")}) AS tok FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT tok, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS r,
+         CAST(sum(freq) OVER (ORDER BY freq DESC, tok
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(freq) OVER () AS BIGINT) AS tot,
+         CAST(count(*) OVER () AS BIGINT) AS vocab
+  FROM tf
+)
+SELECT r AS k, cum, tot, vocab,
+       CAST((cum * 1000000) // tot AS BIGINT) AS coverage_ppm
+FROM ranked
+WHERE r IN ({", ".join(str(k) for k in _VOCAB_KS)}) OR r = vocab
+""",
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of corpus tokens the top-k
+    most frequent types cover, at the standard sizing checkpoints plus
+    the full-vocabulary row — the Zipf audit behind choosing a tokenizer
+    vocab size (and the first question of any BPE budget).  ONE
+    map-side-combined term-frequency aggregate; ranking, running sum and
+    totals are windows over the VOCAB-scale aggregate (never the
+    corpus); coverage is integer floor-div ppm — hash-exact."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(F.explode(tokens_col("text")).alias("tok")) \
+        .groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    wr = Window.orderBy(F.desc("freq"), "tok")
+    ranked = tf.select(
+        "tok", "freq",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.sum("freq").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("cum"),
+        F.sum("freq").over(
+            Window.partitionBy()).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()).cast("long").alias("vocab"),
+    )
+    return ranked.filter(
+        F.col("r").isin(_VOCAB_KS) | (F.col("r") == F.col("vocab"))
+    ).select(
+        F.col("r").alias("k"), "cum", "tot", "vocab",
+        F.expr("CAST((cum * 1000000) div tot AS BIGINT)")
+        .alias("coverage_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness audit (two-phase prefix max, streaming ops)
+# ---------------------------------------------------------------------------
+
+_WM_DELAYS = [0, 60, 300, 900, 3600]
+_WM_BUCKET = 1000
+
+
+@query(
+    "watermark_lateness_report",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(event_id // {_WM_BUCKET} AS BIGINT) AS bkt
+  FROM events
+),
+bmax AS (
+  SELECT bkt, CAST(max(ts_s) AS BIGINT) AS mx FROM ev GROUP BY 1
+),
+bpre AS (
+  SELECT bkt, CAST(max(mx) OVER (ORDER BY bkt
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS pre
+  FROM bmax
+),
+lateness AS (
+  SELECT e.event_id,
+         greatest(
+           CAST(0 AS BIGINT),
+           greatest(coalesce(b.pre, CAST(-1 AS BIGINT)),
+                    coalesce(CAST(max(e.ts_s) OVER (PARTITION BY e.bkt
+                      ORDER BY e.event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), CAST(-1 AS BIGINT))) - e.ts_s
+         ) AS late_s
+  FROM ev e JOIN bpre b ON b.bkt = e.bkt
+)
+SELECT CAST(w AS BIGINT) AS watermark_delay_s,
+       CAST(count(*) FILTER (late_s > w) AS BIGINT) AS n_dropped,
+       CAST((count(*) FILTER (late_s > w) * 1000000) // count(*) AS BIGINT)
+         AS drop_ppm,
+       CAST(max(late_s) AS BIGINT) AS max_late_s
+FROM lateness CROSS JOIN (
+  SELECT unnest([{", ".join(str(w) for w in _WM_DELAYS)}]) AS w)
+GROUP BY 1
+""",
+)
+def q_watermark_lateness_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Watermark sizing audit: how late each event arrives relative to
+    the maximum event-time seen before it in ARRIVAL order (event_id),
+    and, for each candidate watermark delay, how many events a
+    Structured Streaming watermark at that delay would drop — the
+    measurement that decides `withWatermark` for every streaming twin in
+    this engine (W2; Akidau et al. VLDB 2015 on watermark choice).  The
+    running max is TWO-PHASE: per-bucket maxima prefix-combine in a
+    window over the BUCKET aggregate (bounded rows), and only the
+    within-bucket running max touches row-scale data — partitioned by
+    bucket, never a global row-scale window (the corpus.py prefix-sum
+    discipline).  All lateness arithmetic is integer seconds; shares are
+    floor-div ppm."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.expr(f"CAST(event_id div {_WM_BUCKET} AS BIGINT)").alias("bkt"),
+    )
+    bmax = ev.groupBy("bkt").agg(F.max("ts_s").cast("long").alias("mx"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmax.select("bkt", F.max("mx").over(wb).cast("long").alias("pre"))
+    wi = Window.partitionBy("bkt").orderBy("event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    late = (
+        ev.join(F.broadcast(bpre), "bkt")
+        .withColumn("prev_in", F.max("ts_s").over(wi).cast("long"))
+        .select(F.greatest(
+            F.lit(0).cast("long"),
+            F.greatest(F.coalesce(F.col("pre"), F.lit(-1).cast("long")),
+                       F.coalesce(F.col("prev_in"),
+                                  F.lit(-1).cast("long")))
+            - F.col("ts_s")).alias("late_s"))
+    )
+    ws = spark.createDataFrame([(w,) for w in _WM_DELAYS],
+                               "watermark_delay_s long")
+    return (
+        late.crossJoin(F.broadcast(ws))
+        .groupBy("watermark_delay_s")
+        .agg(
+            F.sum(F.when(F.col("late_s") > F.col("watermark_delay_s"), 1)
+                  .otherwise(0)).cast("long").alias("n_dropped"),
+            F.expr("CAST((sum(CASE WHEN late_s > watermark_delay_s THEN 1"
+                   " ELSE 0 END) * 1000000) div count(*) AS BIGINT)")
+            .alias("drop_ppm"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2515,3 +2515,90 @@ def test_zonemap_pruning_direction(spark):
     for r in rows.values():
         assert 0 < r.files_touched <= r.n_probes * r.files_total
         assert r.files_touched >= r.n_probes  # every probe hits >= 1 file
+
+
+def test_stratified_att_python_referee(spark):
+    """Per-stratum diffs and the treated-weighted overall row recomputed
+    by an independent referee over the unit table."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r.stratum: r for r in
+            QUERIES["stratified_att_report"](spark, sf).collect()}
+    ev = load_table(spark, sf, "events").groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("x0"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("x1"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("conv")).collect()
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # n_t, k_t, n_c, k_c
+    for r in ev:
+        s = min((r.x0 + r.x1) // 4, 4)
+        trt = r.user_id % 2
+        c = cells[s]
+        if trt:
+            c[0] += 1
+            c[1] += r.conv
+        else:
+            c[2] += 1
+            c[3] += r.conv
+    num = den = 0
+    for s, (n_t, k_t, n_c, k_c) in cells.items():
+        got = rows[s]
+        assert (got.n_t or 0, got.k_t or 0, got.n_c or 0, got.k_c or 0) \
+            == (n_t, k_t, n_c, k_c), s
+        if n_t > 0 and n_c > 0:
+            d = tdiv(k_t * 1000000, n_t) - tdiv(k_c * 1000000, n_c)
+            assert got.diff_ppm == d, s
+            num += n_t * d
+            den += n_t
+    assert rows[-1].diff_ppm == tdiv(num, den)
+
+
+def test_vocab_coverage_monotone_and_complete(spark):
+    from omldm_spark.queries import QUERIES
+
+    rows = sorted(QUERIES["vocab_coverage_curve"](
+        spark, "/root/testdata/sf0.001").collect(), key=lambda r: r.k)
+    cov = [r.coverage_ppm for r in rows]
+    assert cov == sorted(cov)
+    assert rows[-1].k == rows[-1].vocab
+    assert rows[-1].cum == rows[-1].tot  # full vocab covers everything
+    assert 999999 <= rows[-1].coverage_ppm <= 1000000
+
+
+def test_watermark_lateness_referee(spark):
+    """Two-phase running max == the sequential scan's running max."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.watermark_delay_s: r for r in
+           QUERIES["watermark_lateness_report"](spark, sf).collect()}
+    ev = sorted(load_table(spark, sf, "events").select(
+        "event_id", F.unix_timestamp("ts").cast("long").alias("ts_s")
+    ).collect(), key=lambda r: r.event_id)
+    run = None
+    lates = []
+    for r in ev:
+        lates.append(max(0, (run if run is not None else -1) - r.ts_s))
+        run = r.ts_s if run is None else max(run, r.ts_s)
+    for w in (0, 60, 300, 900, 3600):
+        n = sum(1 for x in lates if x > w)
+        assert got[w].n_dropped == n, w
+        assert got[w].max_late_s == max(lates)
+        assert got[w].drop_ppm == (n * 1000000) // len(lates)
+    assert got[0].n_dropped >= got[3600].n_dropped
