@@ -14627,21 +14627,27 @@ def q_watermark_lateness_report(spark: SparkSession,
 # array/struct/map column (the driver canonicalizer cannot sort them).
 _SNAPSHOT_TOP = [
     # anchors: parsing + control plane + split (P1-P9, J2-J3, A5)
-    "parse_training_points", "train_test_split", "response_merge",
+    # (parse_training_points / train_test_split / response_merge
+    #  rotated out — driver-green r01-r05 — for round-6 session-3
+    #  queries)
+    "passjoin_edit_pairs", "link_prediction_items", "textrank_keywords",
     # anchors: learners / preprocess (stump rotated out — driver-green —
     # for the round-6 k-core query; tree family keeps tree_depth2/3)
-    "kcore_vertices", "orr_predictions", "robust_scaled_points",
+    "kcore_vertices", "rendezvous_shard_rebalance",
+    "zonemap_pruning_report",
     # anchors: dedup / text / similarity / retrieval / multimodal
     # (dedup_exact / text_quality / bm25_topk / minhash_lsh_pairs /
     # ann_cosine_topk rotated out — driver-green — for round-6 queries)
+    "benford_digit_audit",
     "simhash_hamming_pairs", "association_rules_baskets",
     "t_closeness_customers",
-    "opq_procrustes_gram", "rfm_segments", "multimodal_decode_meta",
+    # (multimodal_decode_meta rotated out — driver-green r05)
+    "opq_procrustes_gram", "rfm_segments",
     # anchors: streaming / temporal / TPC-H / evaluation
     # (stream_click_attribution / scd2_user_state / auc_purchase_value
     # rotated out — driver-green — for session-path / PMI / T-learner)
-    "top_session_paths", "streaming_cdc_apply", "pmi_collocations",
-    "tpch_q2_like", "uplift_t_learner_orr",
+    "top_session_paths", "watermark_lateness_report", "pmi_collocations",
+    "mutual_information_features", "uplift_t_learner_orr",
     # re-shaped array-output twins (VERDICT r5 item 1)
     "embedding_kmeans_train_flat", "sequence_packing_flat",
     # experimentation suite (never driver-verified)
