@@ -1103,6 +1103,25 @@ CHECKS.update({
         ("zone maps map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
     ],
+    "stratified_att_report": [
+        # unit agg -> 10-cell pivot -> arithmetic: never a join
+        ("no joins at all", lambda p: "Join" not in p),
+        ("unit aggregate map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "vocab_coverage_curve": [
+        ("term frequencies map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no joins at all", lambda p: "Join" not in p),
+    ],
+    "watermark_lateness_report": [
+        # bucket-prefix maxima broadcast back; candidate delays are a
+        # broadcast 5-row cross join
+        ("bucket prefix maxima broadcast",
+         lambda p: "BroadcastHashJoin" in p),
+        ("candidate delays broadcast cross join",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+    ],
 })
 
 GLOBAL_WINDOW_BOUNDED = [
@@ -1126,6 +1145,8 @@ GLOBAL_WINDOW_BOUNDED = [
     # distinct-pair / 64-row scatter aggregates
     "textrank_keywords",
     "embedding_class_scatter",
+    "vocab_coverage_curve",         # rank/cumsum over the vocab aggregate
+    "watermark_lateness_report",    # prefix max over the bucket aggregate
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
