@@ -43,6 +43,7 @@ HEADLINE = [
     "ngram_containment_pairs", # asymmetric near-dup posting-list join
     "referential_integrity_audit",  # per-FK-edge anti-join hygiene gate
     "streaming_cdc_apply",     # update-mode publish through KeyedUpsertSink
+    "passjoin_edit_pairs",     # lossless segment-blocked edit-distance join
 ]
 
 

@@ -14599,6 +14599,205 @@ def q_watermark_lateness_report(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Markov removal-effect attribution (multi-touch attribution)
+# ---------------------------------------------------------------------------
+
+_MRA_ROUNDS = 8
+
+_MRA_BASE_CTES = """seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fp AS (
+  SELECT user_id, CAST(min(rn) AS BIGINT) AS fp_rn
+  FROM seq WHERE event_type = 'purchase' GROUP BY 1
+),
+jr AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN s.event_type = 'purchase' THEN 'conv'
+              ELSE s.event_type END AS s
+  FROM seq s LEFT JOIN fp ON fp.user_id = s.user_id
+  WHERE fp.fp_rn IS NULL OR s.rn <= fp.fp_rn
+),
+tr AS (
+  SELECT user_id, s AS state,
+         coalesce(lead(s) OVER (PARTITION BY user_id ORDER BY rn),
+                  'null') AS next_state
+  FROM jr
+),
+mpairs AS (
+  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT state, next_state FROM tr WHERE state <> 'conv'
+    UNION ALL
+    SELECT 'start' AS state, s AS next_state FROM jr WHERE rn = 1
+  ) GROUP BY 1, 2
+),
+chans AS (SELECT DISTINCT state AS ch FROM mpairs WHERE state <> 'start'),
+vm AS (
+  SELECT variant, state, next_state, CAST(sum(n) AS BIGINT) AS n FROM (
+    SELECT 'full' AS variant, state, next_state, n FROM mpairs
+    UNION ALL
+    SELECT c.ch AS variant, p.state,
+           CASE WHEN p.next_state = c.ch THEN 'null'
+                ELSE p.next_state END AS next_state, p.n
+    FROM mpairs p CROSS JOIN chans c WHERE p.state <> c.ch
+  ) GROUP BY 1, 2, 3
+),
+vt AS (SELECT variant, state, CAST(sum(n) AS BIGINT) AS row_n
+       FROM vm GROUP BY 1, 2),
+mm AS (SELECT v.variant, v.state, v.next_state, v.n, t.row_n
+       FROM vm v JOIN vt t ON t.variant = v.variant AND t.state = v.state),
+a0 AS (
+  SELECT variant, 'conv' AS state, CAST(1000000 AS BIGINT) AS a
+  FROM (SELECT DISTINCT variant FROM mm)
+)"""
+
+
+def _MRA_SQL(rounds: int) -> str:
+    ctes = [_MRA_BASE_CTES]
+    for t in range(rounds):
+        ctes.append(f"""a{t + 1} AS (
+  SELECT * FROM (
+    SELECT m.variant, m.state,
+           CAST(sum((m.n * a.a) // m.row_n) AS BIGINT) AS a
+    FROM mm m JOIN a{t} a
+      ON a.variant = m.variant AND a.state = m.next_state
+    GROUP BY 1, 2
+  )
+  UNION ALL
+  SELECT variant, 'conv' AS state, CAST(1000000 AS BIGINT) AS a
+  FROM (SELECT DISTINCT variant FROM mm)
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+, res AS (
+  SELECT c.ch AS channel,
+         coalesce(af.a, CAST(0 AS BIGINT)) AS p_full_micro,
+         coalesce(ac.a, CAST(0 AS BIGINT)) AS p_removed_micro
+  FROM chans c
+  LEFT JOIN a{rounds} af ON af.variant = 'full' AND af.state = 'start'
+  LEFT JOIN a{rounds} ac ON ac.variant = c.ch AND ac.state = 'start'
+),
+eff AS (
+  SELECT channel, p_full_micro, p_removed_micro,
+         CAST(CASE WHEN p_full_micro > 0 THEN
+           ((p_full_micro - p_removed_micro) * 1000000) // p_full_micro
+           END AS BIGINT) AS removal_ppm
+  FROM res
+)
+SELECT channel, p_full_micro, p_removed_micro, removal_ppm,
+       CAST(CASE WHEN sum(removal_ppm) OVER () > 0 THEN
+         (removal_ppm * 1000000) // sum(removal_ppm) OVER ()
+         END AS BIGINT) AS share_ppm
+FROM eff""")
+
+
+@query("markov_removal_attribution", oracle=_MRA_SQL(_MRA_ROUNDS))
+def q_markov_removal_attribution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. IJRM 2016) — the
+    data-driven multi-touch model beside linear_attribution_credits:
+    user journeys truncated at first purchase become a first-order chain
+    with absorbing conv/null states; each channel's credit is how much
+    the start->conv absorption probability (within K=8 integer power
+    rounds) DROPS when visits to that channel are redirected to null.
+    Every probability is exact-integer micro units with per-term
+    truncating division (the markov_stationary recurrence), so all six
+    chain variants — full + one per removed channel — run as ONE keyed
+    recurrence grouped by variant and the chained-CTE oracle is
+    bit-exact.  Removal is monotone (redirecting to null can only
+    destroy conversion paths), pinned in tests.  Plan: one user-keyed
+    window pass builds the matrix (fact-scale), then K rounds of
+    |variants x states|-scale joins off the persisted matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn"))
+    fp = seq.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id").agg(F.min("rn").cast("long").alias("fp_rn"))
+    jr = seq.join(fp, "user_id", "left").filter(
+        F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn"))
+    ).select(
+        "user_id", "rn",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type")).alias("s"),
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    tr = jr.select(
+        F.col("s").alias("state"),
+        F.coalesce(F.lead("s").over(wj), F.lit("null")).alias("next_state"),
+    ).filter(F.col("state") != "conv")
+    starts = jr.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("state"), F.col("s").alias("next_state"))
+    mpairs = tr.unionByName(starts).groupBy("state", "next_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    chans = mpairs.filter(F.col("state") != "start") \
+        .select(F.col("state").alias("ch")).distinct()
+    full = mpairs.select(F.lit("full").alias("variant"), "state",
+                         "next_state", "n")
+    removed = (
+        mpairs.crossJoin(F.broadcast(chans))
+        .filter(F.col("state") != F.col("ch"))
+        .select(
+            F.col("ch").alias("variant"), "state",
+            F.when(F.col("next_state") == F.col("ch"), "null")
+            .otherwise(F.col("next_state")).alias("next_state"), "n",
+        )
+    )
+    vm = full.unionByName(removed).groupBy(
+        "variant", "state", "next_state").agg(
+        F.sum("n").cast("long").alias("n"))
+    vt = vm.groupBy("variant", "state").agg(
+        F.sum("n").cast("long").alias("row_n"))
+    mm = vm.join(vt, ["variant", "state"]).persist()
+    conv_rows = mm.select("variant").distinct().select(
+        "variant", F.lit("conv").alias("state"),
+        F.lit(1_000_000).cast("long").alias("a")).persist()
+    a = conv_rows
+    for _ in range(_MRA_ROUNDS):
+        contrib = (
+            mm.join(F.broadcast(a.select(
+                "variant", F.col("state").alias("next_state"), "a")),
+                ["variant", "next_state"])
+            .groupBy("variant", "state")
+            .agg(F.sum(F.expr("(n * a) div row_n")).cast("long").alias("a"))
+        )
+        a = contrib.unionByName(conv_rows)
+    start_a = a.filter(F.col("state") == "start") \
+        .select("variant", F.col("a").alias("pa"))
+    res = (
+        chans.crossJoin(
+            F.broadcast(start_a.filter(F.col("variant") == "full")
+                        .select(F.col("pa").alias("p_full_micro"))))
+        .join(F.broadcast(start_a.select(F.col("variant").alias("ch"),
+                                         F.col("pa")
+                                         .alias("p_removed_micro"))),
+              "ch", "left")
+        .select(
+            F.col("ch").alias("channel"),
+            F.coalesce("p_full_micro", F.lit(0)).cast("long")
+            .alias("p_full_micro"),
+            F.coalesce("p_removed_micro", F.lit(0)).cast("long")
+            .alias("p_removed_micro"),
+        )
+    )
+    eff = res.withColumn("removal_ppm", F.expr(
+        "CAST(CASE WHEN p_full_micro > 0 THEN"
+        " ((p_full_micro - p_removed_micro) * 1000000) div p_full_micro"
+        " END AS BIGINT)"))
+    return eff.select(
+        "channel", "p_full_micro", "p_removed_micro", "removal_ppm",
+        F.expr("CAST(CASE WHEN sum(removal_ppm) OVER () > 0 THEN"
+               " (removal_ppm * 1000000) div sum(removal_ppm) OVER ()"
+               " END AS BIGINT)").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2602,3 +2602,72 @@ def test_watermark_lateness_referee(spark):
         assert got[w].max_late_s == max(lates)
         assert got[w].drop_ppm == (n * 1000000) // len(lates)
     assert got[0].n_dropped >= got[3600].n_dropped
+
+
+def test_markov_removal_monotone_and_python_referee(spark):
+    """Removal can only destroy conversion paths (p_removed <= p_full);
+    the K-round absorption recurrence replayed exactly in python over an
+    independently-built journey chain reproduces every output."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import _MRA_ROUNDS, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.channel: r for r in
+           QUERIES["markov_removal_attribution"](spark, sf).collect()}
+    ev = sorted(load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id))
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r.event_type)
+    pairs = defaultdict(int)
+    for seq in by_user.values():
+        cut = seq
+        if "purchase" in seq:
+            cut = seq[: seq.index("purchase") + 1]
+        states = ["start"] + ["conv" if s == "purchase" else s for s in cut]
+        if states[-1] != "conv":
+            states.append("null")
+        for a, b in zip(states, states[1:]):
+            pairs[(a, b)] += 1
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    def absorb(pp):
+        row_n = defaultdict(int)
+        for (s, _), n in pp.items():
+            row_n[s] += n
+        a = {"conv": 1_000_000}
+        for _ in range(_MRA_ROUNDS):
+            nxt = defaultdict(int)
+            for (s, t), n in pp.items():
+                if t in a:
+                    nxt[s] += tdiv(n * a[t], row_n[s])
+            nxt["conv"] = 1_000_000
+            a = dict(nxt)
+        return a.get("start", 0)
+
+    p_full = absorb(pairs)
+    chans = {s for (s, _) in pairs if s != "start"}
+    removal = {}
+    for c in sorted(chans):
+        pp = defaultdict(int)
+        for (s, t), n in pairs.items():
+            if s == c:
+                continue
+            pp[(s, "null" if t == c else t)] += n
+        p_rm = absorb(pp)
+        assert p_rm <= p_full, c  # monotone
+        removal[c] = tdiv((p_full - p_rm) * 1_000_000, p_full)
+    tot = sum(removal.values())
+    assert set(got) == chans
+    for c, r in got.items():
+        assert r.p_full_micro == p_full
+        assert r.removal_ppm == removal[c]
+        assert r.share_ppm == tdiv(removal[c] * 1_000_000, tot)

@@ -42,6 +42,14 @@ EXTRA = [
     # matrix (per-batch cost vs corpus-sized oracle)
     "shared_span_pairs",
     "streaming_cross_source_overlap",
+    # round-6 third wave: the PassJoin posting join (per-segment-bucket
+    # quadratic), the canonical-bucket interval join (quadratic in
+    # concurrency), the wedge join behind link prediction (sum deg^2),
+    # and TextRank's per-round keyed joins over the word graph
+    "passjoin_edit_pairs",
+    "interval_overlap_pairs",
+    "link_prediction_items",
+    "textrank_keywords",
 ]
 
 
