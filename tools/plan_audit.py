@@ -1109,6 +1109,16 @@ CHECKS.update({
         ("unit aggregate map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "markov_removal_attribution": [
+        # the six chain variants ride ONE persisted matrix; per-round
+        # state joins broadcast the |variants x states| frame
+        ("variant matrix persisted across the K rounds",
+         lambda p: "InMemoryTableScan" in p),
+        ("per-round state broadcast into the matrix join",
+         lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("one fact-scale window pass only (journeys), rest cell-scale",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "vocab_coverage_curve": [
         ("term frequencies map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
