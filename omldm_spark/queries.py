@@ -14798,6 +14798,161 @@ def q_markov_removal_attribution(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Covariate-shift importance weights (the corrective op behind PSI)
+# ---------------------------------------------------------------------------
+
+@query(
+    "importance_weights_bins",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+  FROM events
+),
+d0 AS (SELECT CAST(min(day_idx) AS BIGINT) AS min_day FROM base),
+tagged AS (
+  SELECT least(v_c // 2000, 15) AS bin,
+         CASE WHEN day_idx - min_day < 15 THEN 0 ELSE 1 END AS period
+  FROM base CROSS JOIN d0
+),
+cells AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_src,
+         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tgt
+  FROM tagged GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_src) AS BIGINT) AS t_src,
+         CAST(sum(n_tgt) AS BIGINT) AS t_tgt
+  FROM cells
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_src, n_tgt,
+       CAST(CASE WHEN n_src > 0
+            THEN (n_tgt * t_src * 1000000) // (n_src * t_tgt)
+            END AS BIGINT) AS w_ppm
+FROM cells CROSS JOIN tot
+""",
+)
+def q_importance_weights_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned density-ratio importance weights between the first-15-day
+    source period and the rest (the covariate-shift CORRECTIVE op whose
+    diagnostic twin is psi_value_drift; Shimodaira 2000): per value bin,
+    w = p_target / p_source as exact integer floor-div ppm — reweighting
+    source rows by w makes the binned source distribution match the
+    target's exactly (pinned in tests: weighted source shares ==
+    target shares to quantization).  Empty-source bins yield NULL (no
+    support — the honest failure of importance weighting).  Plan: one
+    pruned fact scan, a broadcast one-row min-day, a 16-cell pivot agg,
+    then arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400")
+        .alias("day_idx"),
+    )
+    d0 = ev.agg(F.min("day_idx").cast("long").alias("min_day"))
+    tagged = ev.crossJoin(F.broadcast(d0)).select(
+        F.least(F.expr("v_c div 2000"), F.lit(15)).alias("bin"),
+        F.when(F.col("day_idx") - F.col("min_day") < 15, 0).otherwise(1)
+        .alias("period"),
+    )
+    cells = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("long").alias("n_src"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("long").alias("n_tgt"),
+    )
+    tot = cells.agg(F.sum("n_src").cast("long").alias("t_src"),
+                    F.sum("n_tgt").cast("long").alias("t_tgt"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"), "n_src", "n_tgt",
+        F.expr("CAST(CASE WHEN n_src > 0 THEN"
+               " (n_tgt * t_src * 1000000) div (n_src * t_tgt)"
+               " END AS BIGINT)").alias("w_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "theil_sen_revenue_trend",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s_c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+slopes AS (
+  SELECT a.d AS d_i, b.d AS d_j,
+         CAST(((b.s_c - a.s_c) * 1000000) // (b.d - a.d) AS BIGINT)
+           AS slope_ppm
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ranked AS (
+  SELECT slope_ppm,
+         CAST(row_number() OVER (ORDER BY slope_ppm, d_i, d_j) AS BIGINT)
+           AS r,
+         CAST(count(*) OVER () AS BIGINT) AS n_pairs
+  FROM slopes
+)
+SELECT n_pairs,
+       CAST(max(CASE WHEN r = (n_pairs + 1) // 2 THEN slope_ppm END)
+            AS BIGINT) AS slope_med_ppm,
+       CAST(max(CASE WHEN r = (n_pairs + 3) // 4 THEN slope_ppm END)
+            AS BIGINT) AS slope_q1_ppm,
+       CAST(max(CASE WHEN r = (3 * n_pairs + 1) // 4 THEN slope_ppm END)
+            AS BIGINT) AS slope_q3_ppm
+FROM ranked GROUP BY n_pairs
+""",
+)
+def q_theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily purchase revenue: the median (and
+    quartile band) of all pairwise slopes — the outlier-resistant
+    alternative to OLS trend fitting (Sen 1968; up to 29% contamination
+    tolerated).  Slopes are exact integer floor-div ppm of cents/day;
+    the median is positional over the deterministic (slope, d_i, d_j)
+    order, so the whole statistic is hash-exact.  Plan: the pairwise
+    join is quadratic in DAYS, not rows — the fact aggregates to the
+    daily series first (map-side combined), and every window afterwards
+    rides that bounded aggregate; at 10 years of daily grain the pair
+    count is ~6.6M, still broadcastable."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.filter(F.col("event_type") == "purchase").groupBy(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+          .cast("long").alias("s_c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.col("a.d").alias("d_i"), F.col("b.d").alias("d_j"),
+        F.expr("CAST(((b.s_c - a.s_c) * 1000000) div (b.d - a.d)"
+               " AS BIGINT)").alias("slope_ppm"),
+    )
+    w = Window.orderBy("slope_ppm", "d_i", "d_j")
+    ranked = slopes.select(
+        "slope_ppm",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+        .alias("n_pairs"),
+    )
+    return ranked.groupBy("n_pairs").agg(
+        F.max(F.expr("CASE WHEN r = (n_pairs + 1) div 2"
+                     " THEN slope_ppm END")).cast("long")
+        .alias("slope_med_ppm"),
+        F.max(F.expr("CASE WHEN r = (n_pairs + 3) div 4"
+                     " THEN slope_ppm END")).cast("long")
+        .alias("slope_q1_ppm"),
+        F.max(F.expr("CASE WHEN r = (3 * n_pairs + 1) div 4"
+                     " THEN slope_ppm END")).cast("long")
+        .alias("slope_q3_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

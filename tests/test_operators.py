@@ -2671,3 +2671,57 @@ def test_markov_removal_monotone_and_python_referee(spark):
         assert r.p_full_micro == p_full
         assert r.removal_ppm == removal[c]
         assert r.share_ppm == tdiv(removal[c] * 1_000_000, tot)
+
+
+def test_importance_weights_reweight_source_to_target(spark):
+    """The defining property: reweighting source bin shares by w
+    reproduces target bin shares exactly (up to the ppm quantization of
+    w itself)."""
+    from omldm_spark.queries import QUERIES
+
+    rows = QUERIES["importance_weights_bins"](
+        spark, "/root/testdata/sf0.01").collect()
+    t_src = sum(r.n_src for r in rows)
+    t_tgt = sum(r.n_tgt for r in rows)
+    for r in rows:
+        if r.n_src > 0:
+            assert r.w_ppm == (r.n_tgt * t_src * 1000000) \
+                // (r.n_src * t_tgt)
+            # reweighted source mass == target mass, to w's quantization
+            reweighted = r.n_src * r.w_ppm * t_tgt
+            exact = r.n_tgt * t_src * 1000000
+            assert 0 <= exact - reweighted < r.n_src * t_tgt
+        else:
+            assert r.w_ppm is None
+
+
+def test_theil_sen_python_referee(spark):
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["theil_sen_revenue_trend"](spark, sf).collect()[0]
+    daily = sorted(
+        (r.d, r.s_c) for r in load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400")
+                 .alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .alias("s_c")).collect())
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    slopes = sorted(
+        (tdiv((sj - si) * 1000000, dj - di), di, dj)
+        for i, (di, si) in enumerate(daily)
+        for dj, sj in daily[i + 1:])
+    n = len(slopes)
+    assert got.n_pairs == n
+    assert got.slope_med_ppm == slopes[(n + 1) // 2 - 1][0]
+    assert got.slope_q1_ppm == slopes[(n + 3) // 4 - 1][0]
+    assert got.slope_q3_ppm == slopes[(3 * n + 1) // 4 - 1][0]
+    assert got.slope_q1_ppm <= got.slope_med_ppm <= got.slope_q3_ppm
