@@ -14953,6 +14953,106 @@ def q_theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# UCB1 daily replay (batched bandit evaluation over logged data)
+# ---------------------------------------------------------------------------
+
+# one shared double expression over exact BIGINTs (mean in ppm + the
+# exploration bonus), HALF-UP ppm quantization — the PMI/chi2 rule.
+# day_no >= 2 whenever prior stats exist, so ln() operands are > 0.
+_UCB_SCORE_PPM = (
+    "CAST(floor(CAST(cum_s AS DOUBLE) / CAST(cum_n AS DOUBLE) * 10000.0"
+    " + 2000000.0 * sqrt(ln(CAST(day_no AS DOUBLE))"
+    " / CAST(cum_n AS DOUBLE)) + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "ucb_daily_replay",
+    oracle=f"""
+WITH da AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         event_type AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s_c
+  FROM events GROUP BY 1, 2
+),
+days AS (
+  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS day_no
+  FROM (SELECT DISTINCT d FROM da)
+),
+pre AS (
+  SELECT da.d, days.day_no, da.arm, da.n, da.s_c,
+         CAST(sum(da.n) OVER w AS BIGINT) AS cum_n,
+         CAST(sum(da.s_c) OVER w AS BIGINT) AS cum_s
+  FROM da JOIN days ON days.d = da.d
+  WINDOW w AS (PARTITION BY da.arm ORDER BY da.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT d, day_no, arm, n, s_c,
+         CASE WHEN cum_n IS NULL OR cum_n = 0 THEN NULL
+              ELSE {_UCB_SCORE_PPM} END AS ucb_ppm
+  FROM pre
+),
+chosen AS (
+  SELECT d, day_no, arm, n, s_c, ucb_ppm
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY d
+    ORDER BY CASE WHEN ucb_ppm IS NULL THEN 0 ELSE 1 END,
+             ucb_ppm DESC, arm) = 1
+)
+SELECT d AS day, day_no, arm AS chosen_arm, ucb_ppm,
+       CAST((s_c * 100) // n AS BIGINT) AS realized_mean_cc
+FROM chosen
+""",
+)
+def q_ucb_daily_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit replay at daily grain (Auer et al. 2002; the offline
+    replay evaluation of Li et al. WSDM 2011 batched to days): each day
+    the policy picks the arm (event type) maximizing mean-so-far plus
+    the sqrt(ln t / n) exploration bonus computed ONLY from days before
+    it — cold arms (no prior pulls) are forced first by the NULL-first
+    ordering, exactly UCB1's play-each-arm-once rule.  The score is ONE
+    shared double expression over exact prefix-sum integers, HALF-UP
+    ppm-quantized, so the whole replay is hash-exact.  Plan: one
+    (day x arm) map-side-combined aggregate; prefix stats are
+    arm-partitioned windows over that bounded frame; the per-day argmax
+    is a QUALIFY row_number — never row-scale after the first agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    da = ev.groupBy(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("d"),
+        F.col("event_type").alias("arm"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"),
+          F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+          .cast("long").alias("s_c"))
+    days = da.select("d").distinct().withColumn(
+        "day_no", F.row_number().over(Window.orderBy("d")).cast("long"))
+    wpre = Window.partitionBy("arm").orderBy("d") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    pre = da.join(F.broadcast(days), "d").select(
+        "d", "day_no", "arm", "n", "s_c",
+        F.sum("n").over(wpre).cast("long").alias("cum_n"),
+        F.sum("s_c").over(wpre).cast("long").alias("cum_s"),
+    )
+    scored = pre.withColumn("ucb_ppm", F.expr(
+        f"CASE WHEN cum_n IS NULL OR cum_n = 0 THEN NULL"
+        f" ELSE {_UCB_SCORE_PPM} END"))
+    wd = Window.partitionBy("d").orderBy(
+        F.when(F.col("ucb_ppm").isNull(), 0).otherwise(1),
+        F.desc("ucb_ppm"), "arm")
+    return (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(F.col("d").alias("day"), "day_no",
+                F.col("arm").alias("chosen_arm"), "ucb_ppm",
+                F.expr("CAST((s_c * 100) div n AS BIGINT)")
+                .alias("realized_mean_cc"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2725,3 +2725,54 @@ def test_theil_sen_python_referee(spark):
     assert got.slope_q1_ppm == slopes[(n + 3) // 4 - 1][0]
     assert got.slope_q3_ppm == slopes[(3 * n + 1) // 4 - 1][0]
     assert got.slope_q1_ppm <= got.slope_med_ppm <= got.slope_q3_ppm
+
+
+def test_ucb_daily_replay_python_referee(spark):
+    """UCB1 recurrence replayed in python: same prefix stats, same
+    quantized score, same cold-arm-first rule, same argmax tie-breaks."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.day: r for r in
+           QUERIES["ucb_daily_replay"](spark, sf).collect()}
+    da = load_table(spark, sf, "events").groupBy(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("d"),
+        F.col("event_type").alias("arm"),
+    ).agg(F.count(F.lit(1)).alias("n"),
+          F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+          .alias("s_c")).collect()
+    by_day = defaultdict(dict)
+    for r in da:
+        by_day[r.d][r.arm] = (r.n, r.s_c)
+    cum = defaultdict(lambda: [0, 0])
+    for day_no, d in enumerate(sorted(by_day), 1):
+        best = None
+        for arm, (n, s_c) in sorted(by_day[d].items()):
+            cn, cs = cum[arm]
+            if cn == 0:
+                key = (0, 0, arm)          # cold arm: forced first
+                ucb = None
+            else:
+                ucb = int(math.floor(
+                    cs / cn * 10000.0
+                    + 2000000.0 * math.sqrt(math.log(day_no) / cn) + 0.5))
+                key = (1, -ucb, arm)
+            if best is None or key < best[0]:
+                best = (key, arm, ucb, n, s_c)
+        _, arm, ucb, n, s_c = best
+        g = got[d]
+        assert (g.chosen_arm, g.ucb_ppm, g.day_no) == (arm, ucb, day_no), d
+        assert g.realized_mean_cc == (s_c * 100) // n
+        for a2, (n2, s2) in by_day[d].items():
+            cum[a2][0] += n2
+            cum[a2][1] += s2
+    # early days must be cold-start picks; later days scored
+    days_sorted = sorted(got)
+    assert got[days_sorted[0]].ucb_ppm is None
+    assert got[days_sorted[-1]].ucb_ppm is not None
