@@ -15053,6 +15053,98 @@ def q_ucb_daily_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Column-encoding audit (RLE run counts + dictionary width)
+# ---------------------------------------------------------------------------
+
+# ceil(log2(nd)) for nd >= 1 as ONE shared double expression (same
+# BIGINT operand -> same IEEE ln ratio -> same floor on both engines)
+_ENC_DICT_BITS = (
+    "CAST(CASE WHEN n_distinct <= 1 THEN 0 ELSE"
+    " CAST(floor(ln(CAST(n_distinct - 1 AS DOUBLE)) / ln(2.0)) AS BIGINT)"
+    " + 1 END AS BIGINT)"
+)
+
+_ENC_MELT_SQL = """
+SELECT 'event_type' AS col, event_id, event_type AS val FROM events
+UNION ALL
+SELECT 'user_id' AS col, event_id, CAST(user_id AS VARCHAR) AS val
+FROM events
+UNION ALL
+SELECT 'value_c' AS col, event_id,
+       CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS val
+FROM events
+"""
+
+
+@query(
+    "encoding_audit_report",
+    oracle=f"""
+WITH melt AS ({_ENC_MELT_SQL}),
+runs AS (
+  SELECT a.col, CAST(count(*) AS BIGINT) AS n_breaks
+  FROM melt a JOIN melt b ON b.col = a.col AND b.event_id = a.event_id - 1
+  WHERE a.val <> b.val
+  GROUP BY 1
+),
+stats AS (
+  SELECT col, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
+  FROM melt GROUP BY 1
+)
+SELECT s.col, s.n, s.n_distinct,
+       CAST(coalesce(r.n_breaks, 0) + 1 AS BIGINT) AS n_runs,
+       CAST(((coalesce(r.n_breaks, 0) + 1) * 1000000) // s.n AS BIGINT)
+         AS rle_ratio_ppm,
+       {_ENC_DICT_BITS} AS dict_bits
+FROM stats s LEFT JOIN runs r ON r.col = s.col
+""",
+)
+def q_encoding_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding audit: per column, the run count in arrival
+    order (the RLE payoff), distinct cardinality, and the dictionary
+    code width — the statistics a lakehouse writer needs to pick
+    parquet encodings (and the reason sorted layouts compress: compare
+    rle_ratio after zorder_events_key).  Run boundaries come from an
+    EQUI-join of each row to event_id - 1 (the ids are dense), so the
+    arrival-order scan needs no window, no sort, no single partition —
+    a keyed shuffle join at any scale; with gappy ids the two-phase
+    bucket-boundary variant (watermark_lateness_report's discipline)
+    drops in.  dict_bits is ceil(log2(nd)) as one shared double
+    expression over the exact BIGINT cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    melt = ev.select(
+        F.lit("event_type").alias("col"), "event_id",
+        F.col("event_type").alias("val"),
+    ).unionByName(ev.select(
+        F.lit("user_id").alias("col"), "event_id",
+        F.col("user_id").cast("string").alias("val"),
+    )).unionByName(ev.select(
+        F.lit("value_c").alias("col"), "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").cast("string")
+        .alias("val"),
+    ))
+    a, b = melt.alias("a"), melt.alias("b")
+    runs = (
+        a.join(b, (F.col("b.col") == F.col("a.col"))
+               & (F.col("b.event_id") == F.col("a.event_id") - 1))
+        .filter(F.col("a.val") != F.col("b.val"))
+        .groupBy(F.col("a.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_breaks"))
+    )
+    stats = melt.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+    )
+    return stats.join(F.broadcast(runs), "col", "left").select(
+        "col", "n", "n_distinct",
+        F.expr("CAST(coalesce(n_breaks, 0) + 1 AS BIGINT)").alias("n_runs"),
+        F.expr("CAST(((coalesce(n_breaks, 0) + 1) * 1000000) div n"
+               " AS BIGINT)").alias("rle_ratio_ppm"),
+        F.expr(_ENC_DICT_BITS).alias("dict_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2776,3 +2776,36 @@ def test_ucb_daily_replay_python_referee(spark):
     days_sorted = sorted(got)
     assert got[days_sorted[0]].ucb_ppm is None
     assert got[days_sorted[-1]].ucb_ppm is not None
+
+
+def test_encoding_audit_python_referee(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.col: r for r in
+           QUERIES["encoding_audit_report"](spark, sf).collect()}
+    rows = sorted(load_table(spark, sf, "events").select(
+        "event_id", "event_type", "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    ).collect(), key=lambda r: r.event_id)
+    series = {
+        "event_type": [r.event_type for r in rows],
+        "user_id": [str(r.user_id) for r in rows],
+        "value_c": [str(r.v_c) for r in rows],
+    }
+    for col, vs in series.items():
+        runs = 1 + sum(1 for a, b in zip(vs, vs[1:]) if a != b)
+        nd = len(set(vs))
+        g = got[col]
+        assert (g.n, g.n_distinct, g.n_runs) == (len(vs), nd, runs), col
+        assert g.rle_ratio_ppm == (runs * 1000000) // len(vs)
+        want_bits = 0 if nd <= 1 else int(
+            math.floor(math.log(nd - 1) / math.log(2.0))) + 1
+        assert g.dict_bits == want_bits == math.ceil(math.log2(nd))
+    # high-cardinality value column must not look RLE-friendly
+    assert got["value_c"].rle_ratio_ppm > got["event_type"].rle_ratio_ppm
