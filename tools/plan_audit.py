@@ -1109,6 +1109,38 @@ CHECKS.update({
         ("unit aggregate map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "importance_weights_bins": [
+        ("min-day and totals broadcast, one fact pass",
+         lambda p: p.count("BroadcastNestedLoopJoin") >= 2
+         and "SortMergeJoin" not in p),
+        ("bin counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "theil_sen_revenue_trend": [
+        # the quadratic pair join rides the DAILY aggregate, so both
+        # sides are bounded and broadcastable; no fact-scale window
+        ("pair join over the daily aggregate (broadcast)",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+        ("daily series map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "ucb_daily_replay": [
+        ("day index broadcast into the (day x arm) frame",
+         lambda p: "BroadcastHashJoin" in p),
+        ("(day, arm) stats map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "encoding_audit_report": [
+        # run boundaries are a keyed equi-join on (col, event_id - 1):
+        # no window, no sort, no single partition anywhere
+        ("no window anywhere", lambda p: "Window" not in p),
+        ("run-boundary equi-join never a cartesian",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("per-column stats map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "markov_removal_attribution": [
         # the six chain variants ride ONE persisted matrix; per-round
         # state joins broadcast the |variants x states| frame
