@@ -15145,6 +15145,97 @@ def q_encoding_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Max-F1 operating point (threshold selection for a score column)
+# ---------------------------------------------------------------------------
+
+@query(
+    "max_f1_threshold",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+hist AS (
+  SELECT v_c, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM pts GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p FROM hist),
+cdf AS (
+  SELECT v_c,
+         CAST(sum(n) OVER w AS BIGINT) AS pred_pos,
+         CAST(sum(n_pos) OVER w AS BIGINT) AS tp
+  FROM hist
+  WINDOW w AS (ORDER BY v_c DESC ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT c.v_c AS threshold_c, c.tp,
+         c.pred_pos - c.tp AS fp, t.p - c.tp AS fn,
+         CAST((2 * c.tp * 1000000) // (c.pred_pos + t.p) AS BIGINT)
+           AS f1_ppm
+  FROM cdf c CROSS JOIN tot t
+)
+SELECT threshold_c, tp, fp, fn,
+       CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+       CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_ppm,
+       f1_ppm
+FROM scored
+QUALIFY row_number() OVER (ORDER BY f1_ppm DESC, threshold_c) = 1
+""",
+)
+def q_max_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold selection: the operating point maximizing F1 for the
+    value-scores-purchase classifier (the decision-layer complement of
+    auc_purchase_value's ranking metric and the calibration suite).
+    Candidate thresholds are every DISTINCT score: the value-cents
+    histogram aggregates once (bounded by distinct cents, the
+    auc/winsorize discipline), descending cumulative sums give TP and
+    predicted-positive per threshold, and F1 = 2TP/(pred_pos + P) in
+    exact floor-div ppm; ties break to the lowest threshold.  Plan: one
+    map-side-combined histogram, windows over the histogram aggregate
+    only, broadcast one-row positive total."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).groupBy("v_c").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = hist.agg(F.sum("n_pos").cast("long").alias("p"))
+    w = Window.orderBy(F.desc("v_c")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    cdf = hist.select(
+        "v_c",
+        F.sum("n").over(w).cast("long").alias("pred_pos"),
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+    )
+    scored = cdf.crossJoin(F.broadcast(tot)).select(
+        F.col("v_c").alias("threshold_c"), "tp",
+        (F.col("pred_pos") - F.col("tp")).alias("fp"),
+        (F.col("p") - F.col("tp")).alias("fn"),
+        F.expr("CAST((2 * tp * 1000000) div (pred_pos + p) AS BIGINT)")
+        .alias("f1_ppm"),
+    )
+    wr = Window.orderBy(F.desc("f1_ppm"), "threshold_c")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "threshold_c", "tp", "fp", "fn",
+            F.expr("CAST((tp * 1000000) div (tp + fp) AS BIGINT)")
+            .alias("precision_ppm"),
+            F.expr("CAST((tp * 1000000) div (tp + fn) AS BIGINT)")
+            .alias("recall_ppm"),
+            "f1_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -2809,3 +2809,32 @@ def test_encoding_audit_python_referee(spark):
         assert g.dict_bits == want_bits == math.ceil(math.log2(nd))
     # high-cardinality value column must not look RLE-friendly
     assert got["value_c"].rle_ratio_ppm > got["event_type"].rle_ratio_ppm
+
+
+def test_max_f1_threshold_python_referee(spark):
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["max_f1_threshold"](spark, sf).collect()[0]
+    pts = load_table(spark, sf, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("y")).collect()
+    total_p = sum(r.y for r in pts)
+    best = None
+    for t in sorted({r.v_c for r in pts}):
+        tp = sum(r.y for r in pts if r.v_c >= t)
+        pp = sum(1 for r in pts if r.v_c >= t)
+        f1 = (2 * tp * 1000000) // (pp + total_p)
+        key = (-f1, t)
+        if best is None or key < best[0]:
+            best = (key, t, tp, pp)
+    _, t, tp, pp = best
+    assert got.threshold_c == t
+    assert got.tp == tp and got.fp == pp - tp and got.fn == total_p - tp
+    assert got.precision_ppm == (tp * 1000000) // pp
+    assert got.recall_ppm == (tp * 1000000) // total_p
+    assert got.f1_ppm == (2 * tp * 1000000) // (pp + total_p)
