@@ -437,3 +437,98 @@ FROM pp t0
 WHERE t0.term = '{phrase[0]}'
 GROUP BY t0.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sparse tf-idf cosine similarity join (posting-list dot product)
+# ---------------------------------------------------------------------------
+
+# the one shared double expression: dot and both squared norms are exact
+# BIGINTs (envelope: w <= ~6e7 -> w^2 <= 3.6e15, <= 64 terms/doc ->
+# sums < 2.4e17, int64-safe; the n2a*n2b product would overflow, so it
+# multiplies as doubles), HALF-UP milli-ppm quantization
+_SPARSE_COS_MPPM = (
+    "CAST(floor(CAST(dot AS DOUBLE)"
+    " / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Document pairs with tf-idf cosine >= threshold, by SPARSE dot
+    product: the posting-list self-join on shared TERMS (quadratic only
+    within a term's posting list — the inverted-index plan every sparse
+    similarity engine uses), never a dense vector comparison.  The
+    complement of the dense-embedding cosine join (dedup_embedding_*):
+    same contract, lexical space.  Weights are the exact integer
+    tfidf_q; dot and norms are exact BIGINT sums; only the final
+    cosine is one shared double expression.  Rare-term prefix
+    filtering (prefix_filter_jaccard_pairs) composes in front when
+    posting lists skew at corpus scale."""
+    tv = tfidf_doc_vectors(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc"), "term", F.col("tfidf_q").alias("w"))
+    tv = tv.persist()
+    n2 = tv.groupBy("doc").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
+    a, b = tv.alias("a"), tv.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"),
+             F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = n2.select(F.col("doc").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("doc").alias("doc_b"), F.col("n2").alias("n2b"))
+    scored = dots.join(na, "doc_a").join(nb, "doc_b").select(
+        "doc_a", "doc_b", "n_shared", "dot",
+        F.expr(_SPARSE_COS_MPPM).alias("cos_mppm"),
+    )
+    return scored.filter(F.col("cos_mppm") >= min_cos_mppm)
+
+
+def TFIDF_COSINE_PAIRS_SQL(min_cos_mppm: int = 900_000,
+                           table: str = "documents",
+                           text_expr: str = "text",
+                           id_col: str = "doc_id") -> str:
+    return f"""
+WITH toked AS (
+  SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table}
+),
+post AS (
+  SELECT term, {id_col}, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest(toks) AS term FROM toked)
+  GROUP BY term, {id_col}
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toked WHERE len(toks) > 0
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+tv AS (
+  SELECT p.{id_col} AS doc, p.term,
+         CAST(round(CAST(p.tf AS DOUBLE)
+                    * ln((1.0 + CAST(c.n_docs AS DOUBLE))
+                         / (1.0 + CAST(d.df AS DOUBLE))) * {SCALE}, 0)
+              AS BIGINT) AS w
+  FROM post p JOIN dfs d ON p.term = d.term CROSS JOIN corpus c
+),
+n2 AS (SELECT doc, CAST(sum(w * w) AS BIGINT) AS n2 FROM tv GROUP BY doc),
+dots AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM tv a JOIN tv b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.n_shared, d.dot, {_SPARSE_COS_MPPM} AS cos_mppm
+FROM (
+  SELECT d.doc_a, d.doc_b, d.n_shared, d.dot, na.n2 AS n2a, nb.n2 AS n2b
+  FROM dots d
+  JOIN n2 na ON na.doc = d.doc_a
+  JOIN n2 nb ON nb.doc = d.doc_b
+) d
+WHERE {_SPARSE_COS_MPPM} >= {min_cos_mppm}
+"""

@@ -15236,6 +15236,27 @@ def q_max_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sparse tf-idf cosine pair join
+# ---------------------------------------------------------------------------
+
+from .operators.retrieval import (  # noqa: E402
+    TFIDF_COSINE_PAIRS_SQL,
+    tfidf_cosine_pairs,
+)
+
+
+@query("tfidf_cosine_pairs", oracle=TFIDF_COSINE_PAIRS_SQL())
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-duplicate pairs by SPARSE tf-idf cosine: the
+    inverted-index posting self-join computes the dot product only over
+    shared terms — the sparse-similarity complement of the dense
+    embedding joins, with exact integer dots/norms and one shared
+    double for the final cosine (operators/retrieval.py
+    tfidf_cosine_pairs)."""
+    return tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -159,3 +159,41 @@ def test_phrase_search_overlaps_and_positions(spark):
 
     tri = {r["doc_id"]: r for r in phrase_search(docs, ["a", "a", "a"]).collect()}
     assert set(tri) == {1} and tri[1]["n_matches"] == 1
+
+
+def test_tfidf_cosine_pairs_python_referee(spark):
+    """Sparse posting-join cosine == dense numpy cosine over the same
+    integer tf-idf weights, for every emitted pair; and the emitted set
+    is exactly the pairs above threshold."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    from omldm_spark.io import load_table
+    from omldm_spark.operators.retrieval import tfidf_doc_vectors
+    from omldm_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.doc_a, r.doc_b): r for r in
+           QUERIES["tfidf_cosine_pairs"](spark, sf).collect()}
+    tv = tfidf_doc_vectors(load_table(spark, sf, "documents")).collect()
+    vec = defaultdict(dict)
+    for r in tv:
+        vec[r.doc_id][r.term] = r.tfidf_q
+    expect = {}
+    for a, b in combinations(sorted(vec), 2):
+        va, vb = vec[a], vec[b]
+        shared = set(va) & set(vb)
+        if not shared:
+            continue
+        dot = sum(va[t] * vb[t] for t in shared)
+        n2a = sum(w * w for w in va.values())
+        n2b = sum(w * w for w in vb.values())
+        cos = int(math.floor(dot / math.sqrt(float(n2a) * float(n2b))
+                             * 1e6 + 0.5))
+        if cos >= 900_000:
+            expect[(a, b)] = (len(shared), dot, cos)
+    assert set(got) == set(expect) and len(expect) > 5
+    for p, (ns, dot, cos) in expect.items():
+        g = got[p]
+        assert (g.n_shared, g.dot, g.cos_mppm) == (ns, dot, cos), p

@@ -1141,6 +1141,12 @@ CHECKS.update({
         ("per-column stats map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "max_f1_threshold": [
+        ("histogram map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("positive total broadcast",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+    ],
     "markov_removal_attribution": [
         # the six chain variants ride ONE persisted matrix; per-round
         # state joins broadcast the |variants x states| frame
@@ -1189,6 +1195,7 @@ GLOBAL_WINDOW_BOUNDED = [
     "embedding_class_scatter",
     "vocab_coverage_curve",         # rank/cumsum over the vocab aggregate
     "watermark_lateness_report",    # prefix max over the bucket aggregate
+    "max_f1_threshold",             # CDF over the distinct-cents histogram
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
