@@ -1141,6 +1141,16 @@ CHECKS.update({
         ("per-column stats map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "tfidf_cosine_pairs": [
+        ("weight table persisted for norms + both join sides",
+         lambda p: "InMemoryTableScan" in p),
+        # the only nested-loop joins are the one-row n_docs broadcasts
+        # inside the vectorizer; the pair join itself is hash on term
+        ("no unbounded cartesian (one-row corpus broadcasts only)",
+         lambda p: "CartesianProduct" not in p),
+        ("dot products map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "max_f1_threshold": [
         ("histogram map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
