@@ -2838,3 +2838,61 @@ def test_max_f1_threshold_python_referee(spark):
     assert got.precision_ppm == (tp * 1000000) // pp
     assert got.recall_ppm == (tp * 1000000) // total_p
     assert got.f1_ppm == (2 * tp * 1000000) // (pp + total_p)
+
+
+def test_forecast_backtest_python_referee(spark):
+    """Gram, Cramer solve, and holdout predictions replayed in numpy."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import (
+        _FCAST_LAMBDA,
+        _FCAST_TRAIN_DAYS,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.day: r for r in
+           QUERIES["forecast_orr_backtest"](spark, sf).collect()}
+    daily = sorted(
+        (r.d, r.y) for r in load_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400")
+                 .alias("d"))
+        .agg(F.expr("CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+                    " AS BIGINT) div 100 AS BIGINT)").alias("y"))
+        .collect())
+    ys = [y for _, y in daily]
+    rows = []
+    for i, (d, y) in enumerate(daily):
+        if i >= 7:
+            rows.append((d, i + 1, y, ys[i - 1], ys[i - 7]))
+    train = [(x0, x1, y) for _, dn, y, x0, x1 in rows
+             if dn <= _FCAST_TRAIN_DAYS]
+    X = np.array([[x0, x1] for x0, x1, _ in train], dtype=np.float64)
+    yv = np.array([y for *_, y in train], dtype=np.float64)
+    n = len(train)
+    A = np.zeros((3, 3))
+    A[:2, :2] = X.T @ X / n
+    A[2, :2] = X.mean(axis=0)
+    A[:2, 2] = X.mean(axis=0)
+    A[2, 2] = 1.0
+    A += _FCAST_LAMBDA * np.eye(3)
+    b = np.array([(X[:, 0] * yv).mean(), (X[:, 1] * yv).mean(), yv.mean()])
+    w = np.linalg.solve(A, b)
+    w = np.round(w, 6)  # the Cramer text rounds to 6 decimals
+    test = [(d, dn, y, x0, x1) for d, dn, y, x0, x1 in rows
+            if dn > _FCAST_TRAIN_DAYS]
+    assert set(got) == {d for d, *_ in test} and len(test) >= 5
+    for d, dn, y, x0, x1 in test:
+        yhat = int(math.floor(
+            (w[0] * x0 + w[1] * x1 + w[2]) * 1000.0 + 0.5))
+        g = got[d]
+        # Cramer's per-term IEEE tree differs from np.linalg.solve —
+        # allow 1 milli of slack on the referee (the ORACLE is exact)
+        assert abs(g.yhat_milli - yhat) <= 1, d
+        assert g.naive7 == x1 and g.y == y and g.day_no == dn
+        assert g.naive_abs_err_milli == abs(y - x1) * 1000
