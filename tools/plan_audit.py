@@ -1141,6 +1141,13 @@ CHECKS.update({
         ("per-column stats map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "forecast_orr_backtest": [
+        ("one-row weight frame broadcast into the holdout projection",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+        ("daily series map-side combined + persisted for train/test",
+         lambda p: p.count("HashAggregate") >= 2
+         and "InMemoryTableScan" in p),
+    ],
     "tfidf_cosine_pairs": [
         ("weight table persisted for norms + both join sides",
          lambda p: "InMemoryTableScan" in p),
@@ -1206,6 +1213,7 @@ GLOBAL_WINDOW_BOUNDED = [
     "vocab_coverage_curve",         # rank/cumsum over the vocab aggregate
     "watermark_lateness_report",    # prefix max over the bucket aggregate
     "max_f1_threshold",             # CDF over the distinct-cents histogram
+    "forecast_orr_backtest",        # lag windows over the daily aggregate
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
