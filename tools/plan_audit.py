@@ -1067,6 +1067,37 @@ CHECKS.update({
         ("no dedup pass needed",
          lambda p: "Window" not in p),
     ],
+    "grid_epsilon_pairs": [
+        # the 3x3-cell grid equi-join IS the plan: constant 9x replication
+        # (two explodes), one equi-join on (cx, cy), no inequality-driven
+        # cartesian, and exactly-once is structural — no dedup pass
+        ("cell equi-join, never a cartesian",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("no dedup window/aggregate needed",
+         lambda p: "Window" not in p and "HashAggregate" not in p),
+        ("constant 9x replication: exactly two explodes",
+         lambda p: p.count("Generate") == 2),
+    ],
+    "dbscan_core_points": [
+        ("cell equi-join, never a cartesian",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("degree count map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "dbscan_clusters": [
+        # pairs + core persist and fan out (degrees, core-core edges,
+        # border attach); CC rounds are checkpointed off-plan, so the
+        # published plan joins a tiny star table — never a cartesian
+        ("no cartesian anywhere (incl. cached lineage)",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("epsilon pair set persisted and reused",
+         lambda p: "InMemoryTableScan" in p),
+        ("border attach is an aggregate, not a window",
+         lambda p: "Window" not in p),
+    ],
     "passjoin_edit_pairs": [
         ("(segment, gram) posting equi-join, never a cartesian",
          lambda p: "BroadcastNestedLoopJoin" not in p
