@@ -15465,6 +15465,75 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _DBSCAN_MIN_PTS)
 
 
+@query(
+    "streaming_grid_epsilon",
+    oracle=f"WITH {_EPS_CTES}\nSELECT id_a, id_b, d2 FROM prs",
+)
+def q_streaming_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL epsilon-join maintenance: points arrive as a
+    multi-batch stream and each batch emits exactly the pairs it
+    completes — new x accumulated (a pair is discovered in the batch
+    where its LATER point arrives) plus new x new within the batch,
+    both through the same 3x3-cell grid blocking as the batch operator
+    — so every qualifying pair is found EXACTLY once and per-batch cost
+    is O(batch x local density), never a recompute over history (the
+    streaming_interval_overlap IVM discipline on a metric join).
+    Streaming must be invisible: the oracle is the one-shot batch
+    quadratic join over the whole point set."""
+    import os
+    import tempfile
+
+    from .streaming.sources import file_replay_source
+
+    pts = _grid_points(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="omldm_sgrid_")
+    src_dir = f"{tmp}/src"
+    pts.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+    parts = ("points", "pairs")
+
+    def _latest():
+        if not os.path.isdir(state_dir):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                    if d.startswith("v"))
+        if not vs:
+            return None
+        return tuple(
+            spark.read.parquet(f"{state_dir}/v{vs[-1]}/{p}") for p in parts)
+
+    def fold(new, bid):
+        prev = _latest()
+        newpairs = grid_epsilon_pairs(new, _GRID_EPS)
+        if prev is not None:
+            old_pts, old_pairs = prev
+            newpairs = newpairs.unionByName(
+                grid_epsilon_pairs(new, _GRID_EPS, old_pts))
+            all_pts = old_pts.unionByName(new.select("id", "x", "y"))
+            all_pairs = old_pairs.unionByName(newpairs)
+        else:
+            all_pts = new.select("id", "x", "y")
+            all_pairs = newpairs
+        all_pts.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/points")
+        all_pairs.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/pairs")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = _latest()
+    if state is None:
+        return spark.createDataFrame([], "id_a long, id_b long, d2 long")
+    return state[1]
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -144,3 +144,26 @@ def test_dbscan_chain_merges_through_core_points(spark):
     out = dbscan_labels(_pts(spark, knots), eps, min_pts)
     assert out.select("cluster_id").distinct().count() == 1
     assert out.filter(F.col("role") != "core").count() == 0
+
+
+def test_incremental_identity_any_cadence(spark):
+    # the IVM identity behind streaming_grid_epsilon: at ANY batch
+    # cadence, sum over batches of (new x new) + (new x accumulated)
+    # equals the one-shot self-join — each pair counted in the batch
+    # where its later point arrives, never twice.
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(-250, 250), rng.randrange(-250, 250))
+            for i in range(90)]
+    eps = 40
+    want = _brute_pairs(rows, eps)
+    for n_batches in (1, 2, 3, 5):
+        got = set()
+        seen = []
+        for b in range(n_batches):
+            new = rows[b::n_batches]
+            got |= _got_pairs(grid_epsilon_pairs(_pts(spark, new), eps))
+            if seen:
+                got |= _got_pairs(grid_epsilon_pairs(
+                    _pts(spark, new), eps, _pts(spark, seen)))
+            seen += new
+        assert got == want, n_batches

@@ -1076,8 +1076,9 @@ CHECKS.update({
          and "CartesianProduct" not in p),
         ("no dedup window/aggregate needed",
          lambda p: "Window" not in p and "HashAggregate" not in p),
+        # formatted explain names each node twice (tree + detail)
         ("constant 9x replication: exactly two explodes",
-         lambda p: p.count("Generate") == 2),
+         lambda p: p.count("Generate") == 4),
     ],
     "dbscan_core_points": [
         ("cell equi-join, never a cartesian",
