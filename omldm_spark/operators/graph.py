@@ -349,3 +349,84 @@ SELECT v, CAST(v % 2 AS BIGINT) AS is_item,
        CAST(v // 2 AS BIGINT) AS orig_id, deg
 FROM s{rounds}"""
     )
+
+
+def wl_refinement(nodes: DataFrame, sym_edges: DataFrame,
+                  rounds: int = 3) -> DataFrame:
+    """Weisfeiler-Lehman label refinement (1-WL color refinement;
+    Weisfeiler & Lehman 1968, the graph-feature hash of WL-kernels,
+    Shervashidze et al. JMLR 2011): label_0 = degree; each round,
+    label(v) = md5(label(v) || '|' || comma-joined SORTED multiset of
+    neighbor labels).  After R rounds two vertices share a label iff
+    their radius-R neighborhood structure is 1-WL-indistinguishable —
+    the canonical cheap structural fingerprint for entity graphs
+    (dedup of near-isomorphic subgraphs, orbit detection, graph
+    feature hashing).
+
+    ``nodes``: one column ``item``; ``sym_edges``: symmetric
+    (src, dst).  Output (item, wl_label, class_size) where class_size
+    is the number of vertices sharing the final label.
+
+    Exactness: labels are md5 hex strings of deterministic
+    concatenations — identical on any engine with md5 + lexicographic
+    string sort (the oracle unrolls the same R rounds as chained
+    CTEs).  Scale shape: one edges-by-dst join + one src-keyed
+    sort-agg per round (the GraphX aggregateMessages shape); label
+    state is vertex-scale and PERSISTED per round — the recurrence
+    references the previous round twice (self label + neighbor
+    labels), so an un-truncated plan subtree would double per round
+    (the BFS lineage lesson).
+    """
+    deg = sym_edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("_d"))
+    lbl = (
+        nodes.join(deg.withColumnRenamed("src", "item"), "item", "left")
+        .select("item",
+                F.coalesce(F.col("_d"), F.lit(0)).cast("string").alias("lbl"))
+    )
+    for _ in range(rounds):
+        lbl = lbl.persist()
+        nb = (
+            sym_edges.join(
+                lbl.select(F.col("item").alias("dst"),
+                           F.col("lbl").alias("_nlbl")), "dst")
+            .groupBy("src")
+            .agg(F.concat_ws(
+                ",", F.sort_array(F.collect_list("_nlbl"))).alias("_nbs"))
+        )
+        lbl = (
+            lbl.join(nb.withColumnRenamed("src", "item"), "item", "left")
+            .select("item", F.md5(F.concat(
+                F.col("lbl"), F.lit("|"),
+                F.coalesce(F.col("_nbs"), F.lit("")))).alias("lbl"))
+        )
+    from pyspark.sql import Window
+    w = Window.partitionBy("lbl")
+    return lbl.select(
+        F.col("item").cast("long").alias("item"),
+        F.col("lbl").alias("wl_label"),
+        F.count(F.lit(1)).over(w).cast("long").alias("class_size"),
+    )
+
+
+def WL_ROUNDS_CTES(rounds: int = 3) -> list[str]:
+    """Flat `name AS (body)` parts unrolling the same recurrence:
+    expects ``sym`` (src, dst) and ``wl_nodes`` (item) CTEs upstream;
+    yields ``l{rounds}`` (item, lbl)."""
+    parts = [
+        "wl_deg AS (SELECT src AS item, CAST(count(*) AS BIGINT) AS d"
+        " FROM sym GROUP BY 1)",
+        "l0 AS (SELECT n.item,"
+        " CAST(COALESCE(wl_deg.d, 0) AS VARCHAR) AS lbl"
+        " FROM wl_nodes n LEFT JOIN wl_deg ON n.item = wl_deg.item)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS (SELECT s.src AS item,"
+            f" string_agg(l.lbl, ',' ORDER BY l.lbl) AS nbs"
+            f" FROM sym s JOIN l{r - 1} l ON s.dst = l.item GROUP BY 1)")
+        parts.append(
+            f"l{r} AS (SELECT l.item,"
+            f" md5(l.lbl || '|' || COALESCE(n{r}.nbs, '')) AS lbl"
+            f" FROM l{r - 1} l LEFT JOIN n{r} ON l.item = n{r}.item)")
+    return parts

@@ -15535,6 +15535,62 @@ def q_streaming_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weisfeiler-Lehman structural fingerprints on the item graph
+# ---------------------------------------------------------------------------
+
+from .operators.graph import WL_ROUNDS_CTES, wl_refinement  # noqa: E402
+
+_WL_ROUNDS = 3
+_WL_PRE = ",\n".join(
+    [f"e AS ({_ITEM_EDGES_SQL})",
+     "sym AS (SELECT a AS src, b AS dst FROM e"
+     " UNION ALL SELECT b AS src, a AS dst FROM e)",
+     "wl_nodes AS (SELECT DISTINCT"
+     " CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item"
+     " FROM events)"]
+    + WL_ROUNDS_CTES(_WL_ROUNDS))
+
+
+@query(
+    "wl_item_classes",
+    oracle=f"""
+WITH {_WL_PRE}
+SELECT item, lbl AS wl_label,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS class_size
+FROM l{_WL_ROUNDS}
+""",
+)
+def q_wl_item_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement over the item co-occurrence graph
+    (operators/graph.py wl_refinement): after 3 rounds two items share
+    a wl_label iff their radius-3 neighborhood structure is
+    WL-indistinguishable — the structural-fingerprint dedup/orbit
+    primitive of WL graph kernels (Shervashidze et al. JMLR 2011).
+    Labels are md5 hex chains over degree seeds, exact on both engines;
+    the class-size window rides the vertex-scale label frame
+    partitioned by label, never a global window."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    e = (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("a"), F.col("b.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select("a", "b")
+    )
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .unionByName(e.select(F.col("b").alias("src"),
+                              F.col("a").alias("dst")))
+    nodes = ui.select("item").distinct()
+    return wl_refinement(nodes, sym, rounds=_WL_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -1,0 +1,86 @@
+"""1-WL color refinement (operators/graph.py wl_refinement) vs a hashlib
+referee, plus the classic expressiveness boundary cases."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import defaultdict
+
+from omldm_spark.operators.graph import wl_refinement
+
+
+def _frames(spark, n_nodes, edges):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "item long")
+    sym = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "src long, dst long")
+    return nodes, sym
+
+
+def _referee(n_nodes, edges, rounds):
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lbl = {v: str(len(nbrs[v])) for v in range(n_nodes)}
+    for _ in range(rounds):
+        nxt = {}
+        for v in range(n_nodes):
+            nbs = ",".join(sorted(lbl[u] for u in nbrs[v]))
+            nxt[v] = hashlib.md5(
+                (lbl[v] + "|" + nbs).encode()).hexdigest()
+        lbl = nxt
+    sizes = defaultdict(int)
+    for v in lbl:
+        sizes[lbl[v]] += 1
+    return {v: (lbl[v], sizes[lbl[v]]) for v in range(n_nodes)}
+
+
+def _got(spark, n_nodes, edges, rounds):
+    nodes, sym = _frames(spark, n_nodes, edges)
+    return {r.item: (r.wl_label, r.class_size)
+            for r in wl_refinement(nodes, sym, rounds).collect()}
+
+
+def test_wl_matches_hashlib_referee_on_random_graph(spark):
+    rng = random.Random(5)
+    n = 40
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(n), rng.randrange(n))
+                                 for _ in range(80)) if a != b})
+    for rounds in (1, 3):
+        assert _got(spark, n, edges, rounds) == _referee(n, edges, rounds)
+
+
+def test_wl_cannot_split_c6_from_two_triangles(spark):
+    # the canonical 1-WL blind spot: C6 and 2xC3 are both 2-regular and
+    # stay a single color class at every depth — pinned so the operator's
+    # documented expressiveness limit is explicit, not accidental.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),   # C6
+             (6, 7), (7, 8), (8, 6), (9, 10), (10, 11), (11, 9)]  # 2xC3
+    out = _got(spark, 12, edges, 3)
+    labels = {lab for lab, _ in out.values()}
+    assert len(labels) == 1
+    assert all(size == 12 for _, size in out.values())
+
+
+def test_wl_distinguishes_path_positions_and_isolated(spark):
+    # P4 (0-1-2-3) + isolated vertex 4: round-1 already separates
+    # endpoints from middles; the isolated vertex is its own class.
+    edges = [(0, 1), (1, 2), (2, 3)]
+    out = _got(spark, 5, edges, 2)
+    assert out[0] == out[3] and out[1] == out[2]   # mirror symmetry
+    assert out[0][0] != out[1][0]
+    assert out[4][1] == 1
+    assert len({lab for lab, _ in out.values()}) == 3
+
+
+def test_wl_isomorphic_components_share_labels(spark):
+    # two disjoint copies of the same 5-vertex graph: corresponding
+    # vertices land in the same class, so class sizes are all even.
+    base = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
+    edges = base + [(a + 5, b + 5) for a, b in base]
+    out = _got(spark, 10, edges, 3)
+    assert all(out[v] == out[v + 5] for v in range(5))
+    assert all(size % 2 == 0 for _, size in out.values())

@@ -1099,6 +1099,18 @@ CHECKS.update({
         ("border attach is an aggregate, not a window",
          lambda p: "Window" not in p),
     ],
+    "wl_item_classes": [
+        # label state persists per round (the recurrence references the
+        # previous round twice: self label + neighbor agg), the class-size
+        # window is partitioned by label, and every join is keyed
+        ("per-round label state persisted",
+         lambda p: "InMemoryTableScan" in p),
+        ("no cartesian anywhere",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("class-size window partitioned by label",
+         lambda p: "count(1) windowspecdefinition(lbl" in p),
+    ],
     "passjoin_edit_pairs": [
         ("(segment, gram) posting equi-join, never a cartesian",
          lambda p: "BroadcastNestedLoopJoin" not in p
