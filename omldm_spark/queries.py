@@ -15590,6 +15590,96 @@ def q_wl_item_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_refinement(nodes, sym, rounds=_WL_ROUNDS)
 
 
+@query(
+    "streaming_retention_cohorts",
+    oracle="""
+WITH wk AS (
+  SELECT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800.0) AS BIGINT)
+           AS w
+  FROM events
+),
+aged AS (
+  SELECT user_id, min(w) OVER (PARTITION BY user_id) AS cohort_w, w
+  FROM wk
+)
+SELECT cohort_w, CAST(w - cohort_w AS BIGINT) AS age_w,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM aged GROUP BY 1, 2
+""",
+)
+def q_streaming_retention_cohorts(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """INCREMENTAL retention-cohort maintenance under OUT-OF-ORDER
+    arrival: events stream in whatever order the replay delivers them,
+    and a late early-week event must both (a) re-base the user's cohort
+    and (b) retract every (cohort, age) cell the user previously
+    contributed.  Counter-increment IVM cannot do that; the carried
+    state is instead the MINIMAL SUFFICIENT STATISTIC — the distinct
+    (user_id, week) set (users x active-weeks, orders of magnitude
+    below event scale) — folded per batch by an anti-join append
+    (O(batch + state-probe), never a history rescan), with the
+    cohort/age matrix recomputed from state (the retractable-MV
+    discipline of streaming_mv_retractable).  Streaming must be
+    invisible: the oracle is the one-shot batch cohort matrix."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .streaming.sources import file_replay_source
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 604800.0) AS BIGINT)")
+        .alias("w"),
+    )
+    tmp = tempfile.mkdtemp(prefix="omldm_sret_")
+    src_dir = f"{tmp}/src"
+    ev.repartition(6).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def _latest():
+        if not os.path.isdir(state_dir):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                    if d.startswith("v"))
+        return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+
+    def fold(new, bid):
+        prev = _latest()
+        pairs = new.select("user_id", "w").distinct()
+        if prev is not None:
+            pairs = prev.unionByName(
+                pairs.join(prev, ["user_id", "w"], "left_anti"))
+        pairs.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = _latest()
+    if state is None:
+        return spark.createDataFrame(
+            [], "cohort_w long, age_w long, users long")
+    aged = state.withColumn(
+        "cohort_w", F.min("w").over(Window.partitionBy("user_id")))
+    return (
+        aged.select("user_id", "cohort_w",
+                    (F.col("w") - F.col("cohort_w")).alias("age_w"))
+        .distinct()
+        .groupBy("cohort_w", "age_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -292,3 +292,41 @@ def test_incremental_overlap_decomposition(spark):
         got_rows = sorted(tuple(r) for r in got.collect())
         assert got_rows == want, split
         assert len(got_rows) == len(set(got_rows))
+
+
+def test_retention_state_fold_rebases_cohort_out_of_order(spark):
+    # the streaming_retention_cohorts fold: carried state is the distinct
+    # (user, week) set.  A user first seen at week 7 (batch 1) whose week-2
+    # event arrives LATE (batch 2) must re-base cohort 7 -> 2 and retract
+    # the (7, 0) cell — counter-increment IVM cannot; state-recompute must.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def matrix(state):
+        aged = state.withColumn(
+            "cohort_w", F.min("w").over(Window.partitionBy("user_id")))
+        return {
+            (r.cohort_w, r.age_w): r.users
+            for r in aged.select(
+                "user_id", "cohort_w",
+                (F.col("w") - F.col("cohort_w")).alias("age_w"))
+            .distinct().groupBy("cohort_w", "age_w")
+            .agg(F.count(F.lit(1)).alias("users")).collect()}
+
+    def fold(prev, batch):
+        pairs = batch.select("user_id", "w").distinct()
+        if prev is None:
+            return pairs
+        return prev.unionByName(
+            pairs.join(prev, ["user_id", "w"], "left_anti"))
+
+    b1 = spark.createDataFrame([(1, 7), (1, 9), (2, 7)], "user_id long, w long")
+    b2 = spark.createDataFrame([(1, 2), (2, 7)], "user_id long, w long")
+    s1 = fold(None, b1)
+    assert matrix(s1) == {(7, 0): 2, (7, 2): 1}
+    s2 = fold(s1, b2)
+    # user 1 re-based to cohort 2: ages now 0 (w2), 5 (w7), 7 (w9); the
+    # (7, 2) cell is retracted and (7, 0) shrinks to user 2 alone
+    assert matrix(s2) == {(2, 0): 1, (2, 5): 1, (2, 7): 1, (7, 0): 1}
+    # duplicate (2, 7) arrival did not double-count: state stays distinct
+    assert s2.count() == 4
