@@ -490,45 +490,66 @@ def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
     return scored.filter(F.col("cos_mppm") >= min_cos_mppm)
 
 
-def TFIDF_COSINE_PAIRS_SQL(min_cos_mppm: int = 900_000,
-                           table: str = "documents",
-                           text_expr: str = "text",
-                           id_col: str = "doc_id") -> str:
-    return f"""
-WITH toked AS (
+def TFIDF_PAIR_CTES(table: str = "documents",
+                    text_expr: str = "text",
+                    id_col: str = "doc_id") -> list[str]:
+    """Flat `name AS (body)` parts for the sparse tf-idf pair pipeline:
+    toked -> post -> corpus -> dfs -> tv -> n2 -> dots -> spairs
+    (doc_a, doc_b, n_shared, dot, cos_mppm).  Spliceable ahead of
+    window/QUALIFY consumers — the DuckDB binder rejects a nested WITH
+    referenced through window chains (NOTES r6), so composed oracles
+    (mutual_knn_docs) need the parts flat, the FS_LINKAGE/KMEANS_TRAIN
+    discipline."""
+    return [
+        f"""toked AS (
   SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table}
-),
-post AS (
+)""",
+        f"""post AS (
   SELECT term, {id_col}, CAST(count(*) AS BIGINT) AS tf
   FROM (SELECT {id_col}, unnest(toks) AS term FROM toked)
   GROUP BY term, {id_col}
-),
-corpus AS (
+)""",
+        """corpus AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toked WHERE len(toks) > 0
-),
-dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
-tv AS (
+)""",
+        "dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df"
+        " FROM post GROUP BY term)",
+        f"""tv AS (
   SELECT p.{id_col} AS doc, p.term,
          CAST(round(CAST(p.tf AS DOUBLE)
                     * ln((1.0 + CAST(c.n_docs AS DOUBLE))
                          / (1.0 + CAST(d.df AS DOUBLE))) * {SCALE}, 0)
               AS BIGINT) AS w
   FROM post p JOIN dfs d ON p.term = d.term CROSS JOIN corpus c
-),
-n2 AS (SELECT doc, CAST(sum(w * w) AS BIGINT) AS n2 FROM tv GROUP BY doc),
-dots AS (
+)""",
+        "n2 AS (SELECT doc, CAST(sum(w * w) AS BIGINT) AS n2"
+        " FROM tv GROUP BY doc)",
+        """dots AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b,
          CAST(sum(a.w * b.w) AS BIGINT) AS dot,
          CAST(count(*) AS BIGINT) AS n_shared
   FROM tv a JOIN tv b ON a.term = b.term AND a.doc < b.doc
   GROUP BY 1, 2
-)
-SELECT d.doc_a, d.doc_b, d.n_shared, d.dot, {_SPARSE_COS_MPPM} AS cos_mppm
-FROM (
-  SELECT d.doc_a, d.doc_b, d.n_shared, d.dot, na.n2 AS n2a, nb.n2 AS n2b
-  FROM dots d
-  JOIN n2 na ON na.doc = d.doc_a
-  JOIN n2 nb ON nb.doc = d.doc_b
-) d
-WHERE {_SPARSE_COS_MPPM} >= {min_cos_mppm}
+)""",
+        f"""spairs AS (
+  SELECT d.doc_a, d.doc_b, d.n_shared, d.dot, {_SPARSE_COS_MPPM} AS cos_mppm
+  FROM (
+    SELECT d.doc_a, d.doc_b, d.n_shared, d.dot, na.n2 AS n2a, nb.n2 AS n2b
+    FROM dots d
+    JOIN n2 na ON na.doc = d.doc_a
+    JOIN n2 nb ON nb.doc = d.doc_b
+  ) d
+)""",
+    ]
+
+
+def TFIDF_COSINE_PAIRS_SQL(min_cos_mppm: int = 900_000,
+                           table: str = "documents",
+                           text_expr: str = "text",
+                           id_col: str = "doc_id") -> str:
+    pre = ",\n".join(TFIDF_PAIR_CTES(table, text_expr, id_col))
+    return f"""
+WITH {pre}
+SELECT doc_a, doc_b, n_shared, dot, cos_mppm
+FROM spairs WHERE cos_mppm >= {min_cos_mppm}
 """

@@ -15681,6 +15681,82 @@ def q_streaming_retention_cohorts(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Mutual (reciprocal) k-nearest-neighbor pairs over sparse tf-idf space
+# ---------------------------------------------------------------------------
+
+from .operators.retrieval import TFIDF_PAIR_CTES  # noqa: E402
+
+_MKNN_K = 5
+_MKNN_PRE = ",\n".join(TFIDF_PAIR_CTES())
+
+
+@query(
+    "mutual_knn_docs",
+    oracle=f"""
+WITH {_MKNN_PRE},
+sympairs AS (
+  SELECT doc_a AS src, doc_b AS dst, cos_mppm FROM spairs
+  UNION ALL
+  SELECT doc_b, doc_a, cos_mppm FROM spairs
+),
+ranked AS (
+  SELECT src, dst, cos_mppm,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos_mppm DESC, dst) AS BIGINT)
+           AS rnk
+  FROM sympairs
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= {_MKNN_K})
+SELECT a.src AS doc_a, a.dst AS doc_b, a.cos_mppm,
+       a.rnk AS rank_ab, b.rnk AS rank_ba
+FROM topk a JOIN topk b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+""",
+)
+def q_mutual_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal k-NN pairs in sparse tf-idf space: (a, b) survives iff
+    b is in a's top-{_MKNN_K} AND a is in b's — the mutual-NN filter
+    that hardens near-dup/ER candidates against hub documents (a hub is
+    everyone's neighbor but reciprocates few; cf. k-reciprocal re-rank,
+    Zhong et al. CVPR 2017).  Candidates come from the SPARSE posting
+    self-join (no dense all-pairs; quadratic only within a term's
+    posting list), per-doc ranking is a window over the symmetrized
+    pair set with deterministic (cos DESC, id) tie-break, and
+    reciprocity is a self-equi-join of the directed top-k edge set on
+    the swapped key.  Exactness: integer dots/norms, one shared double
+    cosine, integer ranks."""
+    from pyspark.sql import Window
+
+    from .operators.retrieval import tfidf_cosine_pairs
+
+    scored = tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), min_cos_mppm=0)
+    sym = scored.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        "cos_mppm",
+    ).unionByName(scored.select(
+        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"),
+        "cos_mppm"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos_mppm"), "dst")
+    topk = (
+        sym.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _MKNN_K)
+        .persist()
+    )
+    a, b = topk.alias("a"), topk.alias("b")
+    return (
+        a.join(b, (F.col("a.src") == F.col("b.dst"))
+               & (F.col("a.dst") == F.col("b.src")))
+        .filter(F.col("a.src") < F.col("a.dst"))
+        .select(
+            F.col("a.src").alias("doc_a"), F.col("a.dst").alias("doc_b"),
+            F.col("a.cos_mppm").alias("cos_mppm"),
+            F.col("a.rnk").alias("rank_ab"), F.col("b.rnk").alias("rank_ba"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -197,3 +197,37 @@ def test_tfidf_cosine_pairs_python_referee(spark):
     for p, (ns, dot, cos) in expect.items():
         g = got[p]
         assert (g.n_shared, g.dot, g.cos_mppm) == (ns, dot, cos), p
+
+
+def test_mutual_knn_docs_matches_python_referee(spark):
+    # referee: take the SAME scored pair set the operator consumes,
+    # rank per-doc in python with the (cos DESC, id) tie-break, keep
+    # reciprocal top-k pairs — the query must match exactly.
+    from collections import defaultdict
+
+    from omldm_spark.operators.retrieval import tfidf_cosine_pairs
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES, _MKNN_K
+    from tests.conftest import SF_DIR as sf_dir
+
+    scored = tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), min_cos_mppm=0).collect()
+    nbrs = defaultdict(list)
+    for r in scored:
+        nbrs[r.doc_a].append((-r.cos_mppm, r.doc_b))
+        nbrs[r.doc_b].append((-r.cos_mppm, r.doc_a))
+    rank = {}
+    for src, lst in nbrs.items():
+        for i, (_, dst) in enumerate(sorted(lst), start=1):
+            if i <= _MKNN_K:
+                rank[(src, dst)] = i
+    want = {(a, b, rank[(a, b)], rank[(b, a)])
+            for (a, b) in rank
+            if a < b and (b, a) in rank}
+    got = {(r.doc_a, r.doc_b, r.rank_ab, r.rank_ba)
+           for r in QUERIES["mutual_knn_docs"](spark, sf_dir).collect()}
+    assert got == want
+    assert want  # non-vacuous: the synthetic corpus has reciprocal pairs
+    # the mutual filter is strict: some directed top-k edge is dropped
+    directed = {(s, d) for (s, d) in rank}
+    assert any((d, s) not in rank for (s, d) in directed)

@@ -1202,6 +1202,17 @@ CHECKS.update({
         ("dot products map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "mutual_knn_docs": [
+        ("directed top-k edge set persisted for both reciprocity sides",
+         lambda p: "InMemoryTableScan" in p),
+        ("no unbounded cartesian (one-row corpus broadcasts only)",
+         lambda p: "CartesianProduct" not in p),
+        ("per-doc ranking window partitioned by source, never global",
+         lambda p: "row_number() windowspecdefinition(src" in p),
+        ("reciprocity is a hash equi-join on the swapped key",
+         lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p
+         or "BroadcastHashJoin" in p),
+    ],
     "max_f1_threshold": [
         ("histogram map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
