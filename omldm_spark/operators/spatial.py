@@ -214,3 +214,77 @@ FROM pts p
 LEFT JOIN lab la ON p.id = la.id
 LEFT JOIN bor bo ON p.id = bo.id
 """
+
+
+def grid_hotspot_cells(pts: DataFrame, eps: int) -> DataFrame:
+    """Spatial hotspot audit over the occupied eps-grid (the practical
+    sparse-grid variant of Getis-Ord Gi*, Getis & Ord GeogrAnal 1992:
+    each occupied cell's 3x3 neighborhood density against the global
+    mean; empty cells carry no mass and are skipped identically on both
+    engines).  All integer: local mean over OCCUPIED neighbor cells
+    (incl. self) vs global mean N/C as the exact floor-div ratio
+    (nbhd_n * C * 1e6) div (nbhd_cells * N); hot = ratio >= 2x.
+
+    Scale shape: ONE cell rollup (map-side combined: points collapse to
+    occupied cells before any join), then the 9x offset replication of
+    the CELL table (not the points) and an equi-join on neighbor cell —
+    cost is O(occupied cells), corpus-scale work ends at the first agg.
+    """
+    cells = pts.select(
+        F.expr(f"(x + {_OFF}) div {eps}").alias("cx"),
+        F.expr(f"(y + {_OFF}) div {eps}").alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = cells.persist()
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("_N"),
+        F.count(F.lit(1)).cast("long").alias("_C"))
+    repl = (
+        cells.withColumn("_ox", F.explode(F.expr("array(-1, 0, 1)")))
+        .withColumn("_oy", F.explode(F.expr("array(-1, 0, 1)")))
+        .select((F.col("cx") + F.col("_ox")).alias("cx"),
+                (F.col("cy") + F.col("_oy")).alias("cy"),
+                F.col("n").alias("_nn"))
+    )
+    nbhd = (
+        cells.join(repl, ["cx", "cy"])
+        .groupBy("cx", "cy", "n")
+        .agg(F.sum("_nn").cast("long").alias("nbhd_n"),
+             F.count(F.lit(1)).cast("long").alias("nbhd_cells"))
+    )
+    ratio = F.expr(
+        "CAST((nbhd_n * _C * 1000000) div (nbhd_cells * _N) AS BIGINT)")
+    return (
+        nbhd.join(F.broadcast(tot))
+        .select("cx", "cy", "n", "nbhd_n", "nbhd_cells",
+                ratio.alias("density_ratio_ppm"),
+                (ratio >= 2_000_000).alias("hot"))
+    )
+
+
+def GRID_HOTSPOT_SQL(points_sql: str, eps: int) -> str:
+    return f"""
+WITH pts AS ({points_sql}),
+cells AS (
+  SELECT (x + {_OFF}) // {eps} AS cx, (y + {_OFF}) // {eps} AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS C
+  FROM cells
+),
+nbhd AS (
+  SELECT c.cx, c.cy, c.n,
+         CAST(sum(d.n) AS BIGINT) AS nbhd_n,
+         CAST(count(*) AS BIGINT) AS nbhd_cells
+  FROM cells c JOIN cells d
+    ON d.cx BETWEEN c.cx - 1 AND c.cx + 1
+   AND d.cy BETWEEN c.cy - 1 AND c.cy + 1
+  GROUP BY 1, 2, 3
+)
+SELECT b.cx, b.cy, b.n, b.nbhd_n, b.nbhd_cells,
+       CAST((b.nbhd_n * t.C * 1000000) // (b.nbhd_cells * t.N) AS BIGINT)
+         AS density_ratio_ppm,
+       (b.nbhd_n * t.C * 1000000) // (b.nbhd_cells * t.N) >= 2000000 AS hot
+FROM nbhd b CROSS JOIN tot t
+"""

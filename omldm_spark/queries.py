@@ -15756,6 +15756,23 @@ def q_mutual_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.spatial import GRID_HOTSPOT_SQL, grid_hotspot_cells  # noqa: E402
+
+
+@query(
+    "grid_hotspot_cells",
+    oracle=GRID_HOTSPOT_SQL(_GRID_POINTS_SQL, _GRID_EPS),
+)
+def q_grid_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot audit (sparse-grid Getis-Ord Gi* variant, Getis &
+    Ord 1992): each occupied eps-cell's 3x3 neighborhood density vs the
+    global mean as an exact integer floor-div ppm ratio; hot = >= 2x.
+    Corpus-scale work ends at the FIRST map-side-combined cell rollup —
+    the 9x offset replication and neighbor equi-join run over occupied
+    CELLS, not points (operators/spatial.py grid_hotspot_cells)."""
+    return grid_hotspot_cells(_grid_points(spark, sf_dir), _GRID_EPS)
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -167,3 +167,28 @@ def test_incremental_identity_any_cadence(spark):
                     _pts(spark, new), eps, _pts(spark, seen)))
             seen += new
         assert got == want, n_batches
+
+
+def test_grid_hotspot_planted_dense_cell(spark):
+    # 12 points in one cell, 1 point in each of 8 far-apart cells:
+    # global mean = 20/9 per cell; the dense cell's neighborhood (only
+    # itself occupied) has local mean 12 -> ratio 5.4x, hot; the
+    # singletons sit at 0.45x, cold.  Two singletons are placed in
+    # ADJACENT cells to pin the neighbor-join direction (their local
+    # mean stays 1 -> still cold, but nbhd_cells becomes 2).
+    eps = 40
+    rows = [(i, 5 + (i % 4), 5 + (i // 4)) for i in range(12)]       # cell (0,0)
+    far = [(100 + k, 1000 * (k + 1), -1000 * (k + 1)) for k in range(6)]
+    adj = [(200, 2000, 2000), (201, 2041, 2000)]  # cells (50,50),(51,50)
+    pts = _pts(spark, rows + far + adj)
+    from omldm_spark.operators.spatial import grid_hotspot_cells
+    out = {(r.cx, r.cy): r for r in grid_hotspot_cells(pts, eps).collect()}
+    assert len(out) == 9
+    off = (1 << 22) // eps  # cell index of coordinate 0
+    dense = out[(off, off)]
+    assert dense.n == 12 and dense.nbhd_cells == 1 and dense.hot
+    assert dense.density_ratio_ppm == 12 * 9 * 1_000_000 // 20
+    a = out[(off + 50, off + 50)]
+    b = out[(off + 51, off + 50)]
+    assert a.nbhd_cells == 2 and b.nbhd_cells == 2 and a.nbhd_n == 2
+    assert not a.hot and not b.hot

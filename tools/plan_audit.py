@@ -1080,6 +1080,16 @@ CHECKS.update({
         ("constant 9x replication: exactly two explodes",
          lambda p: p.count("Generate") == 4),
     ],
+    "grid_hotspot_cells": [
+        # corpus-scale work ends at the first cell rollup; the 9x offset
+        # replication and neighbor join run over occupied cells only
+        ("cell rollup map-side combined before any join",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("cell table persisted for totals + neighbor fan-out",
+         lambda p: "InMemoryTableScan" in p),
+        ("one-row totals broadcast; no unbounded cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
     "dbscan_core_points": [
         ("cell equi-join, never a cartesian",
          lambda p: "BroadcastNestedLoopJoin" not in p
