@@ -15774,6 +15774,93 @@ def q_grid_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Additive seasonal decomposition of daily revenue (STL-lite)
+# ---------------------------------------------------------------------------
+
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+         CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              // 100 AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tr AS (
+  SELECT d, y,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN CAST(sum(y) OVER w7 // 7 AS BIGINT) END AS trend
+  FROM daily
+  WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT d, y, trend, CAST(d % 7 AS BIGINT) AS dow,
+         y - trend AS detr
+  FROM tr
+),
+seas AS (
+  SELECT dow, CAST(sum(detr) AS BIGINT) AS s1,
+         CAST(count(detr) AS BIGINT) AS n
+  FROM det WHERE detr IS NOT NULL GROUP BY 1
+)
+SELECT t.d AS day, t.y, t.trend, t.dow,
+       CAST(s.s1 // s.n AS BIGINT) AS seasonal,
+       CAST(t.y - t.trend - s.s1 // s.n AS BIGINT) AS resid
+FROM det t JOIN seas s ON t.dow = s.dow
+""",
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily purchase revenue
+    (classical decompose, the STL ancestor — Cleveland et al. 1990 §2's
+    baseline): trend = centered 7-day moving mean over OBSERVED days
+    (NULL at series edges where the window is short), weekly seasonal =
+    per-day-of-week mean of the detrended series, residual = the rest.
+    All integer: daily totals in exact dollars, trend and seasonal as
+    truncating integer division — identical on both engines because
+    Spark `div` and DuckDB `//` both truncate toward zero even on the
+    NEGATIVE detrended sums (NOTES r6).  Plan: ONE fact-scale
+    map-side-combined daily agg; the centered window and the 7-row
+    seasonal rollup ride the day-scale aggregate (the global-window
+    discipline: windows only ever see aggregated series)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.filter(F.col("event_type") == "purchase").groupBy(
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("d")
+    ).agg(F.expr(
+        "CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)"
+        " div 100 AS BIGINT)").alias("y"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "y",
+        F.when(F.count(F.lit(1)).over(w7) == 7,
+               F.expr("CAST(1 AS BIGINT)")).alias("_full"),
+        F.sum("y").over(w7).alias("_s7"),
+    ).select(
+        "d", "y",
+        F.when(F.col("_full").isNotNull(),
+               F.expr("CAST(_s7 div 7 AS BIGINT)")).alias("trend"),
+    )
+    det = tr.select(
+        "d", "y", "trend",
+        F.expr("CAST(d % 7 AS BIGINT)").alias("dow"),
+        (F.col("y") - F.col("trend")).alias("detr"),
+    )
+    seas = det.filter(F.col("detr").isNotNull()).groupBy("dow").agg(
+        F.sum("detr").cast("long").alias("s1"),
+        F.count("detr").cast("long").alias("n"),
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("d").alias("day"), "y", "trend", "dow",
+            F.expr("CAST(s1 div n AS BIGINT)").alias("seasonal"),
+            F.expr("CAST(y - trend - s1 div n AS BIGINT)").alias("resid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -179,3 +179,55 @@ def test_auc_histogram_identity(pairs):
     ref = sum(1.0 if p > n else (0.5 if p == n else 0.0)
               for p in pos for n in neg) / (npos * nneg)
     assert abs(hist_auc - ref) < 1e-12
+
+
+def test_seasonal_decompose_matches_python_referee(spark):
+    # full python reconstruction of the decomposition from the raw daily
+    # series (duckdb-derived), with TRUNCATING division — python's
+    # flooring // diverges on negative detrended sums (NOTES r6), so the
+    # referee uses int() truncation explicitly.
+    import duckdb
+
+    from omldm_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    daily = duckdb.sql(f"""
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                    // 100 AS BIGINT) AS y
+        FROM '{SF_DIR}/events.parquet'
+        WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    ds = [d for d, _ in daily]
+    ys = [y for _, y in daily]
+
+    def tdiv(a, b):
+        return int(a / b) if a * b >= 0 else -(abs(a) // abs(b))
+
+    trend = {}
+    for i in range(len(ys)):
+        if 3 <= i < len(ys) - 3:
+            trend[ds[i]] = sum(ys[i - 3:i + 4]) // 7  # positive: floor==trunc
+    from collections import defaultdict
+    acc = defaultdict(lambda: [0, 0])
+    for i, d in enumerate(ds):
+        if d in trend:
+            acc[d % 7][0] += ys[i] - trend[d]
+            acc[d % 7][1] += 1
+    seasonal = {dow: tdiv(s, n) for dow, (s, n) in acc.items()}
+    want = {}
+    for i, d in enumerate(ds):
+        t = trend.get(d)
+        s = seasonal[d % 7]
+        want[d] = (ys[i], t, d % 7, s,
+                   ys[i] - t - s if t is not None else None)
+    got = {r.day: (r.y, r.trend, r.dow, r.seasonal, r.resid)
+           for r in QUERIES["seasonal_decompose_daily"](
+               spark, SF_DIR).collect()}
+    assert got == want
+    # at least one detrended DOW sum is negative at this SF, so the
+    # trunc-vs-floor distinction is actually exercised
+    assert any(s < 0 for s, _ in acc.values())
+    # reconstruction identity wherever trend exists
+    assert all(y == t + s + r for (y, t, _, s, r) in got.values()
+               if t is not None for r in [y - t - s])

@@ -1279,6 +1279,8 @@ GLOBAL_WINDOW_BOUNDED = [
     "watermark_lateness_report",    # prefix max over the bucket aggregate
     "max_f1_threshold",             # CDF over the distinct-cents histogram
     "forecast_orr_backtest",        # lag windows over the daily aggregate
+    "seasonal_decompose_daily",     # centered 7-day window over the
+                                    # daily aggregate
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
