@@ -230,10 +230,23 @@ def grid_hotspot_cells(pts: DataFrame, eps: int) -> DataFrame:
     the CELL table (not the points) and an equi-join on neighbor cell —
     cost is O(occupied cells), corpus-scale work ends at the first agg.
     """
-    cells = pts.select(
+    cells = cell_counts(pts, eps)
+    return hotspot_from_cells(cells)
+
+
+def cell_counts(pts: DataFrame, eps: int) -> DataFrame:
+    """Occupied-cell point counts — the ADDITIVE sufficient statistic of
+    the hotspot report (cell counts merge by sum, so the streaming twin
+    carries exactly this frame as state)."""
+    return pts.select(
         F.expr(f"(x + {_OFF}) div {eps}").alias("cx"),
         F.expr(f"(y + {_OFF}) div {eps}").alias("cy"),
     ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def hotspot_from_cells(cells: DataFrame) -> DataFrame:
+    """The cell-scale tail of grid_hotspot_cells: totals, 3x3 offset
+    replication, neighbor equi-join, integer ppm ratio."""
     cells = cells.persist()
     tot = cells.agg(
         F.sum("n").cast("long").alias("_N"),

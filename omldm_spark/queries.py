@@ -15860,6 +15860,66 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_grid_hotspot",
+    oracle=GRID_HOTSPOT_SQL(_GRID_POINTS_SQL, _GRID_EPS),
+)
+def q_streaming_grid_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL hotspot maintenance: the carried state is the
+    occupied-cell count table — the report's ADDITIVE sufficient
+    statistic (counts merge by sum, arrival order irrelevant), so each
+    batch folds in one cell-scale merge agg and the Gi*-style report
+    recomputes from state (cell-scale, not point-scale).  The purest
+    point on the IVM spectrum the streaming twins span: additive
+    counters here, anti-join append (retention), full
+    sufficient-statistic recompute (mv_retractable).  Oracle = the
+    one-shot batch report."""
+    import os
+    import tempfile
+
+    from .operators.spatial import cell_counts, hotspot_from_cells
+    from .streaming.sources import file_replay_source
+
+    pts = _grid_points(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="omldm_shot_")
+    src_dir = f"{tmp}/src"
+    pts.repartition(5).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def _latest():
+        if not os.path.isdir(state_dir):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                    if d.startswith("v"))
+        return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+
+    def fold(new, bid):
+        prev = _latest()
+        cells = cell_counts(new, _GRID_EPS)
+        if prev is not None:
+            cells = prev.unionByName(cells).groupBy("cx", "cy").agg(
+                F.sum("n").cast("long").alias("n"))
+        cells.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = _latest()
+    if state is None:
+        return spark.createDataFrame(
+            [], "cx long, cy long, n long, nbhd_n long, nbhd_cells long,"
+            " density_ratio_ppm long, hot boolean")
+    return hotspot_from_cells(state)
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
