@@ -430,3 +430,98 @@ def WL_ROUNDS_CTES(rounds: int = 3) -> list[str]:
             f" md5(l.lbl || '|' || COALESCE(n{r}.nbs, '')) AS lbl"
             f" FROM l{r - 1} l LEFT JOIN n{r} ON l.item = n{r}.item)")
     return parts
+
+
+def ktruss_edges(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-truss peeling (Cohen 2008): ``rounds`` synchronous rounds of
+    dropping every edge whose triangle support in the CURRENT graph is
+    below k-2, then the final support recomputed on the surviving
+    graph.  The edge-level cohesion filter between k-core (too loose)
+    and clique (too expensive) — on a metric epsilon graph it prunes
+    bridge/noise edges that single-linkage CC would happily traverse.
+
+    ``edges``: canonical (a, b) with a < b.  Output (a, b, support).
+
+    Triangle enumeration is the standard ordered wedge join (a<b<c:
+    e1=(a,b) x e2=(b,c) matched against e3=(a,c)) — two keyed
+    equi-joins, each triangle found exactly once, support unpivoted to
+    its three edges and counted in one map-side-combined agg.  The
+    per-round edge frame is PERSISTED: the recurrence references it
+    three times (both wedge sides + the closing probe), so an
+    un-truncated lineage would triple per round (the BFS lesson).
+    Fixed-round peeling keeps the oracle unrollable as chained CTEs;
+    convergence inside R rounds is data-dependent and NOT asserted
+    (the pagerank fixed-round discipline).
+    """
+    e = edges.select("a", "b").persist()
+    for _ in range(rounds):
+        sup = _triangle_support(e)
+        e = (
+            e.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .persist()
+        )
+    final = _triangle_support(e)
+    return (
+        e.join(final, ["a", "b"], "left")
+        .select("a", "b",
+                F.coalesce(F.col("support"), F.lit(0))
+                .cast("long").alias("support"))
+    )
+
+
+def _triangle_support(e: DataFrame) -> DataFrame:
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a"), F.col("b").alias("c"),
+                  F.lit(1).alias("_close"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    unp = (
+        tri.select("a", "b")
+        .unionByName(tri.select("a", F.col("c").alias("b")))
+        .unionByName(tri.select(F.col("b").alias("a"),
+                                F.col("c").alias("b")))
+    )
+    return unp.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support"))
+
+
+def KTRUSS_CTES(k: int, rounds: int, edges_cte: str = "e0") -> list[str]:
+    """Flat `name AS (body)` parts unrolling the same peeling: expects
+    ``{edges_cte}`` (a, b) upstream; yields ``te{rounds}`` (surviving
+    edges) and ``tsf`` (final support) — SELECT from tsf."""
+    parts = []
+    prev = edges_cte
+    for r in range(rounds + 1):
+        cur = f"te{r}"
+        parts.append(f"""tr_{r} AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.b
+  JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+)""")
+        parts.append(f"""sp_{r} AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT a, b FROM tr_{r}
+    UNION ALL SELECT a, c AS b FROM tr_{r}
+    UNION ALL SELECT b AS a, c AS b FROM tr_{r}
+  ) GROUP BY 1, 2
+)""")
+        if r < rounds:
+            parts.append(f"""{cur} AS (
+  SELECT e.a, e.b FROM {prev} e
+  LEFT JOIN sp_{r} s ON s.a = e.a AND s.b = e.b
+  WHERE COALESCE(s.support, 0) >= {k - 2}
+)""")
+            prev = cur
+    parts.append(f"""tsf AS (
+  SELECT e.a, e.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+  FROM {prev} e
+  LEFT JOIN sp_{rounds} s ON s.a = e.a AND s.b = e.b
+)""")
+    return parts

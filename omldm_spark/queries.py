@@ -15921,6 +15921,40 @@ def q_streaming_grid_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-truss peeling over the epsilon graph
+# ---------------------------------------------------------------------------
+
+from .operators.graph import KTRUSS_CTES, ktruss_edges  # noqa: E402
+
+_KTRUSS_K = 5
+_KTRUSS_ROUNDS = 3
+_KTRUSS_PRE = ",\n".join(
+    EPSILON_PAIRS_CTES(_GRID_POINTS_SQL, _GRID_EPS)
+    + ["e0 AS (SELECT id_a AS a, id_b AS b FROM prs)"]
+    + KTRUSS_CTES(_KTRUSS_K, _KTRUSS_ROUNDS))
+
+
+@query(
+    "ktruss_epsilon_edges",
+    oracle=f"WITH {_KTRUSS_PRE}\nSELECT a, b, support FROM tsf",
+)
+def q_ktruss_epsilon_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KTRUSS_K}-truss peeling of the epsilon graph (Cohen 2008):
+    3 synchronous rounds dropping edges with triangle support below
+    k-2, final support recomputed on the survivors — the edge-cohesion
+    filter between k-core and clique, here pruning the bridge/noise
+    edges of the metric graph that single-linkage CC (dbscan_clusters)
+    happily traverses.  Triangles by the ordered wedge equi-join (each
+    found once), support unpivoted + map-side combined, per-round edge
+    state persisted (the recurrence references it three times).
+    Oracle: the same peeling unrolled as chained CTEs over the
+    UNFILTERED quadratic epsilon join."""
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS)
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    return ktruss_edges(edges, _KTRUSS_K, _KTRUSS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -84,3 +84,58 @@ def test_wl_isomorphic_components_share_labels(spark):
     out = _got(spark, 10, edges, 3)
     assert all(out[v] == out[v + 5] for v in range(5))
     assert all(size % 2 == 0 for _, size in out.values())
+
+
+def _truss(spark, edges, k, rounds):
+    from omldm_spark.operators.graph import ktruss_edges
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {(r.a, r.b): r.support
+            for r in ktruss_edges(df, k, rounds).collect()}
+
+
+def test_ktruss_clique_survives_bridge_peels(spark):
+    # 5-clique (every edge in 3 triangles) + a bridge edge + a pendant:
+    # at k=5 (support >= 3) the clique survives intact, everything
+    # else peels in round 0.
+    import itertools
+    clique = [(a, b) for a, b in itertools.combinations(range(5), 2)]
+    extra = [(4, 10), (10, 11)]
+    out = _truss(spark, clique + extra, k=5, rounds=2)
+    assert out == {e: 3 for e in clique}
+
+
+def test_ktruss_cascade_needs_multiple_rounds(spark):
+    # diamond (4-cycle + chord): rim edges sit in 1 triangle, the chord
+    # in 2.  At k=4 (support >= 2) round 0 peels the rim, which drops
+    # the chord's support to 0 — the cascade only a further round sees.
+    diamond = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    assert _truss(spark, diamond, k=4, rounds=1) == {(1, 2): 0}
+    assert _truss(spark, diamond, k=4, rounds=2) == {}
+
+
+def test_ktruss_matches_python_referee_random(spark):
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    n = 25
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(n), rng.randrange(n))
+                                 for _ in range(120)) if a != b})
+
+    def referee(es, k, rounds):
+        es = set(es)
+        def support(cur):
+            sup = {e: 0 for e in cur}
+            for a, b, c in itertools.combinations(range(n), 3):
+                if (a, b) in cur and (b, c) in cur and (a, c) in cur:
+                    for e in ((a, b), (b, c), (a, c)):
+                        sup[e] += 1
+            return sup
+        for _ in range(rounds):
+            sup = support(es)
+            es = {e for e in es if sup[e] >= k - 2}
+        return {e: s for e, s in support(es).items()}
+
+    for k, rounds in ((4, 2), (5, 3)):
+        assert _truss(spark, edges, k, rounds) == referee(edges, k, rounds)

@@ -1090,6 +1090,17 @@ CHECKS.update({
         ("one-row totals broadcast; no unbounded cartesian",
          lambda p: "CartesianProduct" not in p),
     ],
+    "ktruss_epsilon_edges": [
+        # the ordered wedge join is pure equi-joins; per-round edge state
+        # persists (the recurrence references it three times)
+        ("wedge enumeration never a cartesian",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("per-round edge state persisted",
+         lambda p: "InMemoryTableScan" in p),
+        ("support count map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "dbscan_core_points": [
         ("cell equi-join, never a cartesian",
          lambda p: "BroadcastNestedLoopJoin" not in p
