@@ -553,3 +553,111 @@ WITH {pre}
 SELECT doc_a, doc_b, n_shared, dot, cos_mppm
 FROM spairs WHERE cos_mppm >= {min_cos_mppm}
 """
+
+
+def rake_keywords(docs: DataFrame, top_n: int = 25,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal stopword-free token runs (gaps-and-islands per doc),
+    word score = degree/frequency where degree sums the lengths of the
+    phrases each occurrence sits in, phrase score = sum of member word
+    scores — the graph-free complement of textrank_keywords on the same
+    corpus.  All integer: word scores are floor-div ppm summed exactly;
+    ties break (score DESC, phrase).
+
+    Scale shape: token-scale work is one doc-partitioned window (the
+    island id) + three keyed aggs off ONE persisted phrase-token frame;
+    the ranking window rides the distinct-phrase aggregate.  Stopwords
+    are the shared en list (functions/text.py STOPWORDS) embedded as
+    literals on both engines."""
+    from pyspark.sql import Window
+
+    from ..functions.text import STOPWORDS
+    from .dedup import tokens_col
+
+    stop = STOPWORDS["en"]
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    ph = (
+        toks.filter(~F.col("tok").isin(stop))
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .persist()
+    )
+    inst = ph.groupBy("doc", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("plen"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"])).alias("phrase"),
+    ).persist()
+    occ = ph.join(inst.select("doc", "grp", "plen"), ["doc", "grp"])
+    wscore = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    ).select("tok", F.expr(
+        "CAST(deg * 1000000 div freq AS BIGINT)").alias("wscore"))
+    pscore = ph.join(wscore, "tok").groupBy("doc", "grp").agg(
+        F.sum("wscore").cast("long").alias("score_ppm"))
+    phrases = inst.join(pscore, ["doc", "grp"]).groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.max("plen").cast("long").alias("n_words"),
+        F.max("score_ppm").cast("long").alias("score_ppm"),
+    )
+    wr = Window.orderBy(F.desc("score_ppm"), "phrase")
+    return (
+        phrases.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def RAKE_KEYWORDS_SQL(top_n: int = 25, table: str = "documents",
+                      text_expr: str = "text",
+                      id_col: str = "doc_id") -> str:
+    from ..functions.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH rtoks AS (
+  SELECT {id_col} AS doc,
+         unnest({TOKENS_SQL(text_expr)}) AS tok,
+         generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+  FROM {table}
+),
+rph AS (
+  SELECT doc, tok, pos,
+         pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
+  FROM rtoks WHERE tok NOT IN ({stop})
+),
+rinst AS (
+  SELECT doc, grp, CAST(count(*) AS BIGINT) AS plen,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM rph GROUP BY 1, 2
+),
+rocc AS (
+  SELECT p.tok, i.plen
+  FROM rph p JOIN rinst i ON p.doc = i.doc AND p.grp = i.grp
+),
+rwsc AS (
+  SELECT tok,
+         CAST(CAST(sum(plen) AS BIGINT) * 1000000
+              // CAST(count(*) AS BIGINT) AS BIGINT) AS wscore
+  FROM rocc GROUP BY 1
+),
+rps AS (
+  SELECT p.doc, p.grp, CAST(sum(w.wscore) AS BIGINT) AS score_ppm
+  FROM rph p JOIN rwsc w ON p.tok = w.tok GROUP BY 1, 2
+),
+rphr AS (
+  SELECT i.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(max(i.plen) AS BIGINT) AS n_words,
+         CAST(max(s.score_ppm) AS BIGINT) AS score_ppm
+  FROM rinst i JOIN rps s ON i.doc = s.doc AND i.grp = s.grp
+  GROUP BY 1
+)
+SELECT phrase, n_words, n_occ, score_ppm,
+       CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase) AS BIGINT)
+         AS rank
+FROM rphr QUALIFY rank <= {top_n}
+"""

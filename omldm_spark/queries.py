@@ -16070,6 +16070,24 @@ def q_graph_cohesion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+from .operators.retrieval import RAKE_KEYWORDS_SQL, rake_keywords  # noqa: E402
+
+
+@query("rake_keywords", oracle=RAKE_KEYWORDS_SQL())
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — stopword-delimited
+    candidate phrases by gaps-and-islands, word score = degree/freq in
+    exact floor-div ppm, phrase score = exact member-score sum, top-25
+    with deterministic ties.  The graph-free complement of
+    textrank_keywords over the same corpus (operators/retrieval.py
+    rake_keywords)."""
+    return rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -231,3 +231,35 @@ def test_mutual_knn_docs_matches_python_referee(spark):
     # the mutual filter is strict: some directed top-k edge is dropped
     directed = {(s, d) for (s, d) in rank}
     assert any((d, s) not in rank for (s, d) in directed)
+
+
+def test_rake_keywords_planted_semantics(spark):
+    # classic RAKE behavior on a planted corpus: "deep neural network"
+    # appears as a 3-word stopword-free run; its member words score
+    # deg/freq > 1 because they co-occur in a long phrase; a word that
+    # only ever appears alone ("cat") scores exactly 1.0 (1e6 ppm).
+    from omldm_spark.operators.retrieval import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the deep neural network of deep learning"),
+            (2, "a deep neural network"),
+            (3, "cat and the cat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in rake_keywords(docs, top_n=10).collect()}
+    # phrase splitting: stopwords never appear inside a phrase
+    assert all(
+        not set(p.split()) & {"the", "a", "of", "and", "to", "in", "is"}
+        for p in out
+    )
+    assert out["cat"].n_occ == 2 and out["cat"].score_ppm == 1_000_000
+    dnn = out["deep neural network"]
+    assert dnn.n_occ == 2 and dnn.n_words == 3
+    # referee arithmetic: deep freq 3 deg 3+3+2=8, neural/network freq 2
+    # deg 6 -> phrase = 8/3 + 3 + 3 in ppm (floor-div on deep)
+    assert dnn.score_ppm == (8 * 1_000_000) // 3 + 3_000_000 + 3_000_000
+    assert out["deep learning"].score_ppm == (8 * 1_000_000) // 3 + 2_000_000
+    # ranking: the 3-word phrase outranks everything
+    assert dnn.rank == 1

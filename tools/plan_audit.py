@@ -1223,6 +1223,15 @@ CHECKS.update({
         ("dot products map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "rake_keywords": [
+        ("phrase-token frame persisted (three consumers)",
+         lambda p: "InMemoryTableScan" in p),
+        ("island id window partitioned by doc",
+         lambda p: "row_number() windowspecdefinition(doc" in p),
+        ("no cartesian anywhere",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
     "mutual_knn_docs": [
         ("directed top-k edge set persisted for both reciprocity sides",
          lambda p: "InMemoryTableScan" in p),
@@ -1292,6 +1301,8 @@ GLOBAL_WINDOW_BOUNDED = [
     "forecast_orr_backtest",        # lag windows over the daily aggregate
     "seasonal_decompose_daily",     # centered 7-day window over the
                                     # daily aggregate
+    "rake_keywords",                # top-25 rank over the distinct-phrase
+                                    # aggregate
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
