@@ -525,3 +525,77 @@ def KTRUSS_CTES(k: int, rounds: int, edges_cte: str = "e0") -> list[str]:
   LEFT JOIN sp_{rounds} s ON s.a = e.a AND s.b = e.b
 )""")
     return parts
+
+
+HITS_INIT = 1_000_000  # micro-units; per-round sum-normalization to 1e6
+
+
+def hits_rounds(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg JACM 1999) on a bipartite
+    user-item graph, all-integer: authority starts at 1e6 micro-units;
+    each round hub(u) = sum of neighbor authorities then SUM-normalized
+    to 1e6 total by floor division (the L1 stand-in for Kleinberg's L2
+    norm — same fixpoint direction, integer-exact on any engine), and
+    authority(i) likewise from normalized hubs.  Bit-identical across
+    engines/partitionings for the same reason the integer PageRank is:
+    integer sums re-associate freely, the one division per value is
+    floor-div on identical operands.
+
+    ``edges``: distinct (u, i).  Returns (i, auth_ppm) after ``rounds``
+    full hub->authority alternations.  Envelope: sum(hub) peaks at
+    |E| * 1e6 — int64-exact to ~9e12 edges.
+
+    Scale shape: edges persist once and carry every round's two keyed
+    aggs; the one-row normalization totals broadcast (never a driver
+    collect); per-round state is vertex-scale.
+    """
+    E = edges.select("u", "i").distinct().persist()
+    auth = E.select("i").distinct().select(
+        "i", F.lit(HITS_INIT).cast("long").alias("a"))
+    for _ in range(rounds):
+        hub = E.join(auth, "i").groupBy("u").agg(
+            F.sum("a").cast("long").alias("h_raw"))
+        htot = hub.agg(F.sum("h_raw").cast("long").alias("ht"))
+        hub = hub.crossJoin(F.broadcast(htot)).select(
+            "u", F.expr(f"CAST(h_raw * {HITS_INIT} div ht AS BIGINT)")
+            .alias("h")).persist()
+        auth = E.join(hub, "u").groupBy("i").agg(
+            F.sum("h").cast("long").alias("a_raw"))
+        atot = auth.agg(F.sum("a_raw").cast("long").alias("at"))
+        auth = auth.crossJoin(F.broadcast(atot)).select(
+            "i", F.expr(f"CAST(a_raw * {HITS_INIT} div at AS BIGINT)")
+            .alias("a")).persist()
+    return auth.select("i", F.col("a").alias("auth_ppm"))
+
+
+def HITS_ROUNDS_CTES(rounds: int = 2) -> list[str]:
+    """Flat parts unrolling the same alternation: expects ``be`` (u, i)
+    upstream; yields ``ha{rounds}`` (i, a)."""
+    parts = [
+        f"ha0 AS (SELECT DISTINCT i, CAST({HITS_INIT} AS BIGINT) AS a"
+        " FROM be)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"""hh{r}_raw AS (
+  SELECT e.u, CAST(sum(a.a) AS BIGINT) AS h_raw
+  FROM be e JOIN ha{r - 1} a ON e.i = a.i GROUP BY 1
+)""",
+            f"hh{r}_tot AS (SELECT CAST(sum(h_raw) AS BIGINT) AS ht"
+            f" FROM hh{r}_raw)",
+            f"""hh{r} AS (
+  SELECT u, CAST(h_raw * {HITS_INIT} // ht AS BIGINT) AS h
+  FROM hh{r}_raw CROSS JOIN hh{r}_tot
+)""",
+            f"""ha{r}_raw AS (
+  SELECT e.i, CAST(sum(h.h) AS BIGINT) AS a_raw
+  FROM be e JOIN hh{r} h ON e.u = h.u GROUP BY 1
+)""",
+            f"ha{r}_tot AS (SELECT CAST(sum(a_raw) AS BIGINT) AS at"
+            f" FROM ha{r}_raw)",
+            f"""ha{r} AS (
+  SELECT i, CAST(a_raw * {HITS_INIT} // at AS BIGINT) AS a
+  FROM ha{r}_raw CROSS JOIN ha{r}_tot
+)""",
+        ]
+    return parts

@@ -16088,6 +16088,53 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HITS on the bipartite user-item graph
+# ---------------------------------------------------------------------------
+
+from .operators.graph import HITS_ROUNDS_CTES, hits_rounds  # noqa: E402
+
+_HITS_ROUNDS = 2
+_HITS_PRE = ",\n".join(
+    ["be AS (SELECT DISTINCT user_id AS u,"
+     " CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS i"
+     " FROM events)"]
+    + HITS_ROUNDS_CTES(_HITS_ROUNDS))
+
+
+@query(
+    "hits_item_authorities",
+    oracle=f"""
+WITH {_HITS_PRE}
+SELECT i AS item, a AS auth_ppm,
+       CAST(row_number() OVER (ORDER BY a DESC, i) AS BIGINT) AS rank
+FROM ha{_HITS_ROUNDS}
+""",
+)
+def q_hits_item_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities over the bipartite user-item interaction graph
+    (Kleinberg JACM 1999): {_HITS_ROUNDS} full hub->authority
+    alternations in integer micro-units with per-round L1
+    sum-normalization by floor division — the engagement-weighted item
+    importance score a pure interaction count misses (items touched by
+    high-activity hub users score higher).  Bit-identical on both
+    engines (the integer-PageRank discipline); final rank window rides
+    the item-scale aggregate (operators/graph.py hits_rounds)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("i"),
+    ).distinct()
+    auth = hits_rounds(edges, _HITS_ROUNDS)
+    w = Window.orderBy(F.desc("auth_ppm"), "i")
+    return auth.select(
+        F.col("i").alias("item"), "auth_ppm",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -178,3 +178,34 @@ def test_cohesion_metrics_on_planted_graphs(spark):
     tri_s, wedges_s, r_s = metrics(star)
     assert tri_s == 0 and wedges_s == 10
     assert r_s < -0.99                          # stars are disassortative
+
+
+def test_hits_planted_hub_boosts_its_items(spark):
+    # users 1..3 each touch one distinct item; hub user 9 touches items
+    # a and b.  After one alternation the hub concentrates mass: items
+    # touched by the hub outrank the singleton item, and totals
+    # normalize to ~1e6 (floor-div remainder < n_items).
+    from omldm_spark.operators.graph import hits_rounds
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 12), (9, 10), (9, 11)], "u long, i long")
+    out = {r.i: r.auth_ppm for r in hits_rounds(edges, 2).collect()}
+    assert out[10] == out[11] > out[12]
+    assert 0 <= 1_000_000 - sum(out.values()) < len(out)
+
+    # python referee replicating the integer recurrence exactly
+    def referee(es, rounds):
+        items = sorted({i for _, i in es})
+        users = sorted({u for u, _ in es})
+        a = {i: 1_000_000 for i in items}
+        for _ in range(rounds):
+            h = {u: sum(a[i] for uu, i in es if uu == u) for u in users}
+            ht = sum(h.values())
+            h = {u: v * 1_000_000 // ht for u, v in h.items()}
+            ar = {i: sum(h[u] for u, ii in es if ii == i) for i in items}
+            at = sum(ar.values())
+            a = {i: v * 1_000_000 // at for i, v in ar.items()}
+        return a
+
+    es = [(1, 10), (2, 11), (3, 12), (9, 10), (9, 11)]
+    assert out == referee(es, 2)

@@ -1120,6 +1120,14 @@ CHECKS.update({
         ("border attach is an aggregate, not a window",
          lambda p: "Window" not in p),
     ],
+    "hits_item_authorities": [
+        ("edge set persisted across rounds",
+         lambda p: "InMemoryTableScan" in p),
+        ("per-round sums map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("one-row normalization totals broadcast, no unbounded cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
     "wl_item_classes": [
         # label state persists per round (the recurrence references the
         # previous round twice: self label + neighbor agg), the class-size
@@ -1302,6 +1310,8 @@ GLOBAL_WINDOW_BOUNDED = [
     "seasonal_decompose_daily",     # centered 7-day window over the
                                     # daily aggregate
     "rake_keywords",                # top-25 rank over the distinct-phrase
+                                    # aggregate
+    "hits_item_authorities",        # rank over the item-scale authority
                                     # aggregate
 ]
 
