@@ -16135,6 +16135,74 @@ def q_hits_item_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inter-arrival burstiness per user (point-process diagnostics)
+# ---------------------------------------------------------------------------
+
+# B = (sigma - mu) / (sigma + mu) over the gap distribution reduces to
+# (sqrt(D) - s1) / (sqrt(D) + s1) with D = n*s2 - s1^2 — the 1/n factors
+# cancel, so the whole coefficient is ONE shared double expression over
+# exact BIGINT moments (the sparse-cosine discipline).
+_BURST_PPM = (
+    "CAST(CASE WHEN s1 > 0 OR n * s2 - s1 * s1 > 0 THEN"
+    " floor((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) - CAST(s1 AS DOUBLE))"
+    " / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) + CAST(s1 AS DOUBLE))"
+    " * 1000000.0 + 0.5) END AS BIGINT)")
+
+
+@query(
+    "interarrival_burstiness",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS gap
+  FROM events
+),
+st AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap) AS BIGINT) AS s1,
+         CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT user_id, n AS n_gaps,
+       CAST(s1 // n AS BIGINT) AS mean_gap_s,
+       {_BURST_PPM} AS burstiness_ppm
+FROM st
+""",
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival burstiness (Goh & Barabasi EPL 2008):
+    B = (sigma - mu)/(sigma + mu) of the event-gap distribution — -1
+    for clockwork arrivals, 0 for Poisson, toward +1 for bursts; the
+    point-process complement of the seasonal/session diagnostics.  Gaps
+    ride ONE user-partitioned lag window with the (ts, event_id)
+    tie-safe order; moments are exact BIGINTs and B is one shared
+    double sqrt/divide quantized HALF-UP (the 1/n factors cancel
+    algebraically, so no intermediate division exists to disagree on).
+    Degenerate all-zero-gap users yield NULL by the shared guard."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    g = ev.select("user_id", ts_s.alias("ts_s"), "event_id").withColumn(
+        "gap", F.col("ts_s") - F.lag("ts_s").over(w))
+    st = g.filter(F.col("gap").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
+    ).filter(F.col("n") >= 2)
+    return st.select(
+        "user_id", F.col("n").alias("n_gaps"),
+        F.expr("CAST(s1 div n AS BIGINT)").alias("mean_gap_s"),
+        F.expr(_BURST_PPM).alias("burstiness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -231,3 +231,41 @@ def test_seasonal_decompose_matches_python_referee(spark):
     # reconstruction identity wherever trend exists
     assert all(y == t + s + r for (y, t, _, s, r) in got.values()
                if t is not None for r in [y - t - s])
+
+
+def test_burstiness_closed_forms(spark):
+    # clockwork gaps -> B = -1 exactly; a heavy burst + long silence
+    # drives B positive; python referee over the shared moment formula.
+    import math
+
+    from pyspark.sql import functions as F
+    from omldm_spark.queries import QUERIES  # noqa: F401  (query is gated)
+
+    def burst(gaps):
+        n = len(gaps)
+        s1, s2 = sum(gaps), sum(g * g for g in gaps)
+        d = n * s2 - s1 * s1
+        if not (s1 > 0 or d > 0):
+            return None
+        return math.floor((math.sqrt(d) - s1) / (math.sqrt(d) + s1)
+                          * 1e6 + 0.5)
+
+    assert burst([60] * 10) == -1_000_000
+    assert burst([1, 1, 1, 1, 10000]) > 300_000
+    assert burst([0, 0, 0]) is None
+
+    # and the Spark expression agrees with the referee on planted rows
+    rows = [(1, t, i) for i, t in enumerate([0, 60, 120, 180])] + \
+           [(2, t, 100 + i) for i, t in enumerate([0, 1, 2, 3, 10003])]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long, event_id long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    g = df.withColumn("gap", F.col("ts_s") - F.lag("ts_s").over(w))
+    st = g.filter(F.col("gap").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"))
+    from omldm_spark.queries import _BURST_PPM
+    out = {r.user_id: r.b for r in st.select(
+        "user_id", F.expr(_BURST_PPM).alias("b")).collect()}
+    assert out[1] == -1_000_000
+    assert out[2] == burst([1, 1, 1, 10000])
