@@ -44,6 +44,8 @@ HEADLINE = [
     "referential_integrity_audit",  # per-FK-edge anti-join hygiene gate
     "streaming_cdc_apply",     # update-mode publish through KeyedUpsertSink
     "passjoin_edit_pairs",     # lossless segment-blocked edit-distance join
+    "grid_epsilon_pairs",      # spatial 3x3-cell equi-join (round-6 family)
+    "wl_item_classes",         # 3-round WL refinement (persist-per-round)
 ]
 
 

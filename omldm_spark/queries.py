@@ -16203,6 +16203,68 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal decode-shard manifest (byte-budget batching per kind)
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 4096  # bytes per decode shard
+
+
+@query(
+    "multimodal_shard_manifest",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id,
+         'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST(octet_length(text) AS BIGINT) AS nbytes
+  FROM documents
+)
+SELECT media_id, kind, nbytes,
+       CAST(COALESCE(sum(nbytes) OVER (
+              PARTITION BY kind ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {_SHARD_BUDGET} AS BIGINT) AS shard_idx
+FROM media
+""",
+)
+def q_multimodal_shard_manifest(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Decode-shard manifest for the media table: within each modality,
+    media batch into byte-budget shards for the GPU/decoder workers —
+    shard = running byte prefix BEFORE the row, floor-divided by the
+    budget, so a shard never splits a media item and every shard except
+    the last holds >= budget-arriving bytes in deterministic doc order.
+    The batching step in front of decode_and_featurize (the
+    sequence_packing discipline applied to bytes).  Prefix sums are
+    kind-partitioned windows here (three modality partitions); at
+    billions of media per kind the same manifest composes from the
+    curriculum_order two-phase rank (operators/corpus.py:522) — the
+    documented escape hatch for the per-kind total order."""
+    from pyspark.sql import Window
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(F.lit("m"), F.col("doc_id").cast("string"))
+        .alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("nbytes"),
+    )
+    w = Window.partitionBy("kind").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return media.select(
+        "media_id", "kind", "nbytes",
+        F.expr(f"CAST(COALESCE(sum(nbytes) OVER (PARTITION BY kind"
+               f" ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+               f" 1 PRECEDING), 0) div {_SHARD_BUDGET} AS BIGINT)")
+        .alias("shard_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

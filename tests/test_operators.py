@@ -2896,3 +2896,34 @@ def test_forecast_backtest_python_referee(spark):
         assert abs(g.yhat_milli - yhat) <= 1, d
         assert g.naive7 == x1 and g.y == y and g.day_no == dn
         assert g.naive_abs_err_milli == abs(y - x1) * 1000
+
+
+def test_shard_manifest_never_splits_and_fills_shards(spark):
+    # the manifest contract: within a kind, shard indices are
+    # non-decreasing in doc order, no item is split, and every shard
+    # except the last carries >= budget bytes counting its first item's
+    # arrival (prefix-before floor-div semantics).
+    from collections import defaultdict
+
+    from omldm_spark.queries import QUERIES, _SHARD_BUDGET
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["multimodal_shard_manifest"](spark, SF_DIR).collect()
+    by_kind = defaultdict(list)
+    for r in rows:
+        by_kind[r.kind].append((int(r.media_id[1:]), r.nbytes, r.shard_idx))
+    assert set(by_kind) == {"image", "audio", "video"}
+    for kind, items in by_kind.items():
+        items.sort()
+        prefix = 0
+        for doc, nb, shard in items:
+            assert shard == prefix // _SHARD_BUDGET  # referee recompute
+            prefix += nb
+        shards = [s for _, _, s in items]
+        assert shards == sorted(shards)
+        # every non-final shard spans >= budget bytes of arrivals
+        sizes = defaultdict(int)
+        for _, nb, s in items:
+            sizes[s] += nb
+        assert all(s2 - s1 <= 1 or sizes[s1] >= _SHARD_BUDGET
+                   for s1, s2 in zip(shards, shards[1:]))

@@ -50,6 +50,14 @@ EXTRA = [
     "interval_overlap_pairs",
     "link_prediction_items",
     "textrank_keywords",
+    # round-6 fourth wave: the spatial family (grid equi-join + CC-based
+    # DBSCAN + truss peeling — per-cell quadratic in LOCAL density), the
+    # reciprocal-kNN posting join, and the WL/HITS keyed round loops
+    "dbscan_clusters",
+    "ktruss_epsilon_edges",
+    "mutual_knn_docs",
+    "rake_keywords",
+    "hits_item_authorities",
 ]
 
 
