@@ -599,3 +599,83 @@ def HITS_ROUNDS_CTES(rounds: int = 2) -> list[str]:
 )""",
         ]
     return parts
+
+
+def temporal_contacts(ue: DataFrame, window_s: int = 3600) -> DataFrame:
+    """Directed contact events (u -> v, t) from co-presence: two users
+    touching the same item within ``window_s`` seconds contact at
+    t = max of the two instants (when the link completes).  The
+    time-bucket blocking of interval_overlap_pairs: one side home in
+    its window_s bucket, the other replicated +-1 bucket, so every
+    ordered event pair meets EXACTLY once in the (item, bucket)
+    equi-join (the home bucket is fixed and replica cells are
+    distinct); repeats collapse in one keyed distinct.
+
+    ``ue``: (u, item, t).  Output (u, v, t), symmetric by construction.
+    """
+    home = ue.select(
+        F.col("u").alias("ua"), F.col("item"), F.col("t").alias("ta"),
+        F.expr(f"t div {window_s}").alias("bkt"))
+    repl = (
+        ue.select(F.col("u").alias("ub"), F.col("item"),
+                  F.col("t").alias("tb"),
+                  F.expr(f"t div {window_s}").alias("bkt"))
+        .withColumn("_o", F.explode(F.expr("array(-1, 0, 1)")))
+        .select("ub", "item", "tb", (F.col("bkt") + F.col("_o")).alias("bkt"))
+    )
+    return (
+        home.join(repl, ["item", "bkt"])
+        .filter((F.col("ua") != F.col("ub"))
+                & (F.abs(F.col("ta") - F.col("tb")) <= window_s))
+        .select(F.col("ua").alias("u"), F.col("ub").alias("v"),
+                F.greatest("ta", "tb").cast("long").alias("t"))
+        .distinct()
+    )
+
+
+def temporal_reachability(contacts: DataFrame, seeds: DataFrame,
+                          rounds: int = 3) -> DataFrame:
+    """Time-respecting reachability (Holme & Saramaki Phys.Rep. 2012):
+    seeds start reachable at time 0; each round a user becomes (or gets
+    earlier-)reachable at min contact time t among contacts (u -> v, t)
+    with t at or after u's arrival — paths must move forward in time,
+    so plain BFS over the flattened graph OVERCOUNTS (a v-via-u path
+    using a contact before u was reached is invalid; pinned in tests).
+    Fixed ``rounds`` keeps the oracle unrollable; per-round state is
+    localCheckpointed (referenced twice: relax join + min-merge).
+
+    ``seeds``: (u).  Output (u, arrival_s) for reached users.
+    """
+    arr = seeds.select("u", F.lit(0).cast("long").alias("a"))
+    for _ in range(rounds):
+        arr = arr.localCheckpoint()
+        nxt = (
+            contacts.join(arr.select(F.col("u"), F.col("a")), "u")
+            .filter(F.col("t") >= F.col("a"))
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.min("t").cast("long").alias("a"))
+        )
+        arr = arr.unionByName(nxt).groupBy("u").agg(
+            F.min("a").cast("long").alias("a"))
+    return arr.select(F.col("u").cast("long").alias("u"),
+                      F.col("a").alias("arrival_s"))
+
+
+def TEMPORAL_REACH_CTES(rounds: int = 3) -> list[str]:
+    """Flat parts: expects ``tcontacts`` (u, v, t) and ``tseeds`` (u)
+    upstream; yields ``tarr{rounds}`` (u, a)."""
+    parts = ["tarr0 AS (SELECT u, CAST(0 AS BIGINT) AS a FROM tseeds)"]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"""tnx{r} AS (
+  SELECT c.v AS u, CAST(min(c.t) AS BIGINT) AS a
+  FROM tcontacts c JOIN tarr{r - 1} s ON c.u = s.u AND c.t >= s.a
+  GROUP BY 1
+)""",
+            f"""tarr{r} AS (
+  SELECT u, CAST(min(a) AS BIGINT) AS a FROM (
+    SELECT u, a FROM tarr{r - 1} UNION ALL SELECT u, a FROM tnx{r}
+  ) GROUP BY 1
+)""",
+        ]
+    return parts

@@ -16265,6 +16265,63 @@ def q_multimodal_shard_manifest(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Time-respecting reachability over co-presence contacts
+# ---------------------------------------------------------------------------
+
+from .operators.graph import (  # noqa: E402
+    TEMPORAL_REACH_CTES,
+    temporal_contacts,
+    temporal_reachability,
+)
+
+_TREACH_ROUNDS = 3
+_TREACH_WINDOW = 3600
+_TREACH_PRE = ",\n".join([
+    "tue AS (SELECT user_id AS u,"
+    " CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item,"
+    " CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)",
+    f"""tcontacts AS (
+  SELECT a.u AS u, b.u AS v, CAST(greatest(a.t, b.t) AS BIGINT) AS t
+  FROM tue a JOIN tue b
+    ON a.item = b.item AND a.u != b.u
+   AND abs(a.t - b.t) <= {_TREACH_WINDOW}
+  GROUP BY 1, 2, 3
+)""",
+    "tseeds AS (SELECT DISTINCT u FROM tue WHERE u < 3)",
+] + TEMPORAL_REACH_CTES(_TREACH_ROUNDS))
+
+
+@query(
+    "temporal_reachability",
+    oracle=f"""
+WITH {_TREACH_PRE}
+SELECT u AS user_id, a AS arrival_s FROM tarr{_TREACH_ROUNDS}
+""",
+)
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (Holme & Saramaki 2012) over
+    co-presence contacts: users touching the same item within an hour
+    contact at the later instant; from seed users, {_TREACH_ROUNDS}
+    rounds of earliest-arrival relaxation where every hop must use a
+    contact AT OR AFTER the carrier's own arrival — the
+    influence/contagion primitive static BFS overcounts.  Contacts ride
+    the +-1 time-bucket blocking (every ordered event pair meets
+    exactly once in the (item, bucket) equi-join); the ORACLE'S contact
+    set is the unfiltered quadratic join, so the blocking's
+    losslessness is part of the gate."""
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    )
+    contacts = temporal_contacts(ue, _TREACH_WINDOW).persist()
+    seeds = ue.filter(F.col("u") < 3).select("u").distinct()
+    return temporal_reachability(contacts, seeds, _TREACH_ROUNDS).select(
+        F.col("u").alias("user_id"), "arrival_s")
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

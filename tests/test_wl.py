@@ -209,3 +209,41 @@ def test_hits_planted_hub_boosts_its_items(spark):
 
     es = [(1, 10), (2, 11), (3, 12), (9, 10), (9, 11)]
     assert out == referee(es, 2)
+
+
+def test_temporal_reachability_respects_time_ordering(spark):
+    # the defining case: u->v at t=100, v->w at t=50.  Static BFS says w
+    # is reachable from u; time-respecting says NO (v arrives at 100,
+    # after its only outgoing contact).  Plus earliest-arrival min and
+    # the waiting case (later contact IS usable).
+    from omldm_spark.operators.graph import temporal_reachability
+
+    contacts = spark.createDataFrame(
+        [(1, 2, 100), (2, 3, 50),          # dead path: 50 < arrival(2)=100
+         (2, 4, 150), (4, 5, 150),         # same-instant relay is allowed
+         (1, 6, 30), (6, 3, 200)],         # 3 reached late via 6
+        "u long, v long, t long")
+    seeds = spark.createDataFrame([(1,)], "u long")
+    out = {r.u: r.arrival_s
+           for r in temporal_reachability(contacts, seeds, 4).collect()}
+    assert out == {1: 0, 2: 100, 4: 150, 5: 150, 6: 30, 3: 200}
+
+
+def test_temporal_contacts_blocking_matches_quadratic(spark):
+    # losslessness referee: random events, bucket blocking == brute force
+    import random
+
+    from omldm_spark.operators.graph import temporal_contacts
+
+    rng = random.Random(17)
+    rows = [(rng.randrange(8), rng.randrange(3), rng.randrange(0, 20000))
+            for _ in range(150)]
+    ue = spark.createDataFrame(rows, "u long, item long, t long")
+    got = {(r.u, r.v, r.t)
+           for r in temporal_contacts(ue, 3600).collect()}
+    want = set()
+    for (ua, ia, ta) in rows:
+        for (ub, ib, tb) in rows:
+            if ia == ib and ua != ub and abs(ta - tb) <= 3600:
+                want.add((ua, ub, max(ta, tb)))
+    assert got == want

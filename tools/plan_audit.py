@@ -1120,6 +1120,15 @@ CHECKS.update({
         ("border attach is an aggregate, not a window",
          lambda p: "Window" not in p),
     ],
+    "temporal_reachability": [
+        ("contact blocking is an (item, bucket) equi-join, no cartesian",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("contact set persisted across relax rounds",
+         lambda p: "InMemoryTableScan" in p),
+        ("min-merge map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "hits_item_authorities": [
         ("edge set persisted across rounds",
          lambda p: "InMemoryTableScan" in p),
