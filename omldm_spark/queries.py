@@ -16322,6 +16322,80 @@ def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Power-law (Zipf) tail fit: user activity + term frequencies
+# ---------------------------------------------------------------------------
+
+_PL_DMIN = 5
+
+# per-value ln(d/dmin) quantized HALF-UP to ppm BEFORE the sum (the
+# Adamic-Adar discipline), so the aggregate is an exact integer sum and
+# the continuous-MLE alpha = 1 + n / sum(ln(d/dmin)) becomes exact
+# integer arithmetic: alpha_ppm = 1e6 + n * 1e12 div sum_ln_ppm.
+_PL_LN_PPM = (f"CAST(floor(ln(CAST(d AS DOUBLE) / {_PL_DMIN}.0)"
+              " * 1000000.0 + 0.5) AS BIGINT)")
+
+
+@query(
+    "powerlaw_fit_report",
+    oracle=f"""
+WITH uact AS (
+  SELECT 'user_events' AS series, CAST(count(*) AS BIGINT) AS d
+  FROM events GROUP BY user_id
+),
+tfreq AS (
+  SELECT 'term_freqs' AS series, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+               '\\s+'), t -> t != '')) AS term FROM documents)
+  GROUP BY term
+),
+tail AS (
+  SELECT series, d, {_PL_LN_PPM} AS ln_ppm
+  FROM (SELECT * FROM uact UNION ALL SELECT * FROM tfreq)
+  WHERE d >= {_PL_DMIN}
+)
+SELECT series, CAST(count(*) AS BIGINT) AS n_tail,
+       CAST(max(d) AS BIGINT) AS d_max,
+       CAST(sum(ln_ppm) AS BIGINT) AS sum_ln_ppm,
+       CAST(CASE WHEN sum(ln_ppm) > 0 THEN
+            1000000 + count(*) * 1000000000000 // sum(ln_ppm)
+            END AS BIGINT) AS alpha_ppm
+FROM tail GROUP BY 1
+""",
+)
+def q_powerlaw_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail diagnostics: the continuous power-law MLE exponent
+    (Clauset, Shalizi & Newman SIAM Rev. 2009, eq. 3.1) fitted to two
+    tails at once — per-user event counts (activity skew: how salted
+    the user-keyed shuffles must be) and corpus term frequencies (the
+    Zipf profile behind posting-list skew and the prefix-filter/
+    stop-word design point).  Per-value ln(d/dmin) quantizes HALF-UP
+    to ppm before the sum, making alpha exact integer floor-div
+    arithmetic; both series roll up map-side-combined from one scan
+    each."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import tokens_col
+
+    uact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("d")).select(
+        F.lit("user_events").alias("series"), "d")
+    tfreq = docs.select(
+        F.explode(tokens_col("text")).alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("d")).select(
+        F.lit("term_freqs").alias("series"), "d")
+    tail = uact.unionByName(tfreq).filter(F.col("d") >= _PL_DMIN).select(
+        "series", "d", F.expr(_PL_LN_PPM).alias("ln_ppm"))
+    return tail.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.max("d").cast("long").alias("d_max"),
+        F.sum("ln_ppm").cast("long").alias("sum_ln_ppm"),
+        F.expr("CAST(CASE WHEN sum(ln_ppm) > 0 THEN"
+               " 1000000 + count(1) * 1000000000000 div sum(ln_ppm)"
+               " END AS BIGINT)").alias("alpha_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

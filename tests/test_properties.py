@@ -269,3 +269,27 @@ def test_burstiness_closed_forms(spark):
         "user_id", F.expr(_BURST_PPM).alias("b")).collect()}
     assert out[1] == -1_000_000
     assert out[2] == burst([1, 1, 1, 10000])
+
+
+def test_powerlaw_alpha_referee_on_planted_tail(spark):
+    # planted pareto-ish counts with known MLE: alpha = 1 + n/sum(ln(d/dmin))
+    # under the shared ppm quantization; also pins the dmin cut.
+    import math
+
+    from pyspark.sql import functions as F
+    from omldm_spark.queries import _PL_DMIN, _PL_LN_PPM
+
+    counts = [5, 5, 6, 8, 10, 20, 50, 400, 3]   # 3 is below dmin=5
+    df = spark.createDataFrame([(c,) for c in counts], "d long")
+    tail = df.filter(F.col("d") >= _PL_DMIN).select(
+        "d", F.expr(_PL_LN_PPM).alias("ln_ppm"))
+    got = tail.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ln_ppm").alias("s"),
+    ).collect()[0]
+    want_n = sum(1 for c in counts if c >= _PL_DMIN)
+    want_s = sum(math.floor(math.log(c / _PL_DMIN) * 1e6 + 0.5)
+                 for c in counts if c >= _PL_DMIN)
+    assert (got.n, got.s) == (want_n, want_s)
+    alpha_ppm = 1_000_000 + got.n * 10**12 // got.s
+    assert 1_500_000 < alpha_ppm < 3_500_000   # plausible tail exponent
