@@ -16396,6 +16396,132 @@ def q_powerlaw_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Edge embeddedness / local bridges on the epsilon graph
+# ---------------------------------------------------------------------------
+
+@query(
+    "edge_embeddedness",
+    oracle=f"""
+WITH {_EPS_CTES},
+e0 AS (SELECT id_a AS a, id_b AS b FROM prs),
+cn AS (
+  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS n_common
+  FROM e0 e
+  JOIN sym sa ON sa.src = e.a
+  JOIN sym sb ON sb.src = e.b AND sb.dst = sa.dst
+  GROUP BY 1, 2
+)
+SELECT e.a, e.b, CAST(COALESCE(cn.n_common, 0) AS BIGINT) AS embeddedness,
+       COALESCE(cn.n_common, 0) = 0 AS is_local_bridge
+FROM e0 e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+""",
+)
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness (Easley & Kleinberg ch. 3): per edge, the
+    number of common neighbors of its endpoints; zero marks a LOCAL
+    BRIDGE — the weak-tie edges whose removal lengthens paths, exactly
+    the bridge/noise edges k-truss peels (ktruss support == 2 x this
+    view's triangle membership per edge, different aggregation).  One
+    wedge equi-join off the shared symmetric pair frame, LEFT-joined
+    back so bridges keep their zero."""
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS) \
+        .persist()
+    e0 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = pairs.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sa = sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    sb = sym.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+    cn = (
+        e0.join(sa, "a").join(sb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return e0.join(cn, ["a", "b"], "left").select(
+        "a", "b",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("embeddedness"),
+        (F.coalesce("n_common", F.lit(0)) == 0).alias("is_local_bridge"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label homophily of the epsilon graph (embedding label-noise audit)
+# ---------------------------------------------------------------------------
+
+@query(
+    "label_homophily_report",
+    oracle=f"""
+WITH {_EPS_CTES},
+lab AS (SELECT CAST(vec_id AS BIGINT) AS id,
+               CAST(label AS BIGINT) AS lbl FROM embeddings),
+ed AS (
+  SELECT la.lbl AS lbl_a, lb.lbl AS lbl_b
+  FROM prs JOIN lab la ON prs.id_a = la.id
+  JOIN lab lb ON prs.id_b = lb.id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN lbl_a = lbl_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS same FROM ed),
+stubs AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS k FROM (
+    SELECT lbl_a AS lbl FROM ed UNION ALL SELECT lbl_b FROM ed
+  ) GROUP BY 1
+),
+exp_ AS (
+  SELECT CAST(sum(k * k) AS BIGINT) AS sum_k2 FROM stubs
+)
+SELECT t.m AS n_edges, t.same AS n_same,
+       CAST(t.same * 1000000 // t.m AS BIGINT) AS same_ppm,
+       CAST(e.sum_k2 * 1000000 // (4 * t.m * t.m) AS BIGINT)
+         AS expected_ppm,
+       CAST((t.same * 4 * t.m - e.sum_k2) * 1000000
+            // (4 * t.m * t.m - e.sum_k2) AS BIGINT) AS homophily_ppm
+FROM tot t CROSS JOIN exp_ e
+""",
+)
+def q_label_homophily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label homophily of the epsilon graph — the modularity-style
+    assortativity coefficient for a categorical attribute (Newman PRE
+    2003 eq. 2): observed same-label edge share vs the configuration-
+    model expectation from label stub counts, normalized to
+    (same - expected)/(1 - expected).  All integer over a common
+    denominator 4m^2 (no float anywhere).  The one-query audit of
+    whether embedding-space proximity respects class labels — the
+    geometric sibling of embedding_class_scatter's per-dimension
+    Fisher view."""
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS)
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("lbl"))
+    ed = (
+        pairs.join(lab.select(F.col("id").alias("id_a"),
+                              F.col("lbl").alias("lbl_a")), "id_a")
+        .join(lab.select(F.col("id").alias("id_b"),
+                         F.col("lbl").alias("lbl_b")), "id_b")
+        .select("lbl_a", "lbl_b")
+        .persist()
+    )
+    tot = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("lbl_a") == F.col("lbl_b"), 1).otherwise(0))
+        .cast("long").alias("same"))
+    stubs = ed.select(F.col("lbl_a").alias("lbl")).unionByName(
+        ed.select(F.col("lbl_b").alias("lbl"))).groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("k"))
+    exp_ = stubs.agg(F.sum(F.col("k") * F.col("k")).cast("long")
+                     .alias("sum_k2"))
+    return tot.crossJoin(F.broadcast(exp_)).select(
+        F.col("m").alias("n_edges"), F.col("same").alias("n_same"),
+        F.expr("CAST(same * 1000000 div m AS BIGINT)").alias("same_ppm"),
+        F.expr("CAST(sum_k2 * 1000000 div (4 * m * m) AS BIGINT)")
+        .alias("expected_ppm"),
+        F.expr("CAST((same * 4 * m - sum_k2) * 1000000"
+               " div (4 * m * m - sum_k2) AS BIGINT)")
+        .alias("homophily_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

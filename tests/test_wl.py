@@ -247,3 +247,45 @@ def test_temporal_contacts_blocking_matches_quadratic(spark):
             if ia == ib and ua != ub and abs(ta - tb) <= 3600:
                 want.add((ua, ub, max(ta, tb)))
     assert got == want
+
+
+def test_edge_embeddedness_bridge_vs_triangle(spark):
+    # triangle edges have embeddedness 1; the bridge between two
+    # triangles has 0 common neighbors -> local bridge.
+    from pyspark.sql import functions as F
+    from omldm_spark.operators.spatial import grid_epsilon_pairs  # noqa: F401
+
+    # replicate the query tail on an explicit edge set
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+        "a long, b long")
+    sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .unionByName(pairs.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst")))
+    sa = sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+    sb = sym.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+    cn = (pairs.join(sa, "a").join(sb, ["b", "w"])
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")))
+    out = {(r.a, r.b): r.n for r in cn.collect()}
+    assert out.get((2, 3)) is None          # the bridge closes no wedge
+    assert out[(0, 1)] == 1 and out[(3, 4)] == 1
+
+
+def test_label_homophily_closed_forms(spark):
+    # perfect homophily -> 1e6 exactly; a planted checkerboard (all
+    # edges cross-label) -> strictly negative coefficient.
+    def hom(edges_lbls):
+        m = len(edges_lbls)
+        same = sum(1 for a, b in edges_lbls if a == b)
+        from collections import Counter
+        k = Counter()
+        for a, b in edges_lbls:
+            k[a] += 1
+            k[b] += 1
+        sum_k2 = sum(v * v for v in k.values())
+        num = same * 4 * m - sum_k2
+        den = 4 * m * m - sum_k2
+        return (num * 10**6) // den if num >= 0 else -((-num * 10**6) // den)
+
+    assert hom([(0, 0), (0, 0), (1, 1)]) == 1_000_000
+    assert hom([(0, 1), (0, 1), (1, 0)]) < 0
