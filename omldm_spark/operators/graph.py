@@ -679,3 +679,92 @@ def TEMPORAL_REACH_CTES(rounds: int = 3) -> list[str]:
 )""",
         ]
     return parts
+
+
+# LCG mixing constants for the deterministic walk choice (Knuth/glibc
+# lineage); all arithmetic stays far inside int64 for vertex ids < ~2^31
+_WALK_A = 1103515245
+_WALK_B = 12345
+_WALK_C = 2654435761
+_WALK_M = 2147483647
+
+
+def _walk_pick(cur: str, start: str, step: int) -> str:
+    """Shared Spark/DuckDB text: pseudo-random index in [0, deg)."""
+    return (f"(({cur} * {_WALK_A} + {step} * {_WALK_B}"
+            f" + {start} * {_WALK_C}) % {_WALK_M}) % deg")
+
+
+def walk_corpus(sym_edges: DataFrame, length: int = 4) -> DataFrame:
+    """Deterministic random-walk corpus (the DeepWalk/node2vec sampling
+    step, Perozzi KDD 2014, with the RNG replaced by an LCG hash of
+    (current, start, step) so every engine and every re-run emits the
+    SAME walks — the determinism-over-entropy trade every exact oracle
+    in this repo makes).  One walk of ``length`` steps starts from
+    every non-isolated vertex; step choice is neighbors[h mod deg]
+    over the dst-sorted adjacency.
+
+    ``sym_edges``: symmetric (src, dst).  Output (start, step, node),
+    step 0..length.
+
+    Scale shape: the adjacency gets a per-src index ONCE (row_number
+    partitioned by src — the natural key distribution); each step is
+    ONE broadcast-free (src, idx) equi-join after computing the target
+    index from the carried degree — no fan-out-then-filter, the walk
+    frontier stays one row per walk.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("dst")
+    nb = sym_edges.select(
+        "src", "dst",
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+    ).persist()
+    deg = nb.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    walks = deg.select(F.col("src").alias("start"),
+                       F.col("src").alias("cur"))
+    out = walks.select("start", F.lit(0).cast("long").alias("step"),
+                       F.col("cur").alias("node"))
+    for s in range(1, length + 1):
+        hop = (
+            walks.join(deg.withColumnRenamed("src", "cur"), "cur")
+            .withColumn("_idx", F.expr(_walk_pick("cur", "start", s))
+                        .cast("long"))
+            .join(nb.select(F.col("src").alias("cur"),
+                            F.col("idx").alias("_idx"),
+                            F.col("dst").alias("nxt")), ["cur", "_idx"])
+        )
+        walks = hop.select("start", F.col("nxt").alias("cur"))
+        out = out.unionByName(walks.select(
+            "start", F.lit(s).cast("long").alias("step"),
+            F.col("cur").alias("node")))
+    return out
+
+
+def WALK_CORPUS_CTES(length: int = 4) -> list[str]:
+    """Flat parts: expects ``sym`` (src, dst) upstream; yields
+    ``wk_out`` (start, step, node)."""
+    parts = [
+        """wk_nb AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+              AS BIGINT) AS idx
+  FROM sym
+)""",
+        "wk_deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg"
+        " FROM sym GROUP BY 1)",
+        "wk0 AS (SELECT src AS start, src AS cur FROM wk_deg)",
+    ]
+    unions = ["SELECT start, CAST(0 AS BIGINT) AS step, cur AS node"
+              " FROM wk0"]
+    for s in range(1, length + 1):
+        parts.append(f"""wk{s} AS (
+  SELECT w.start, n.dst AS cur
+  FROM wk{s - 1} w
+  JOIN wk_deg d ON d.src = w.cur
+  JOIN wk_nb n ON n.src = w.cur
+   AND n.idx = {_walk_pick('w.cur', 'w.start', s)}
+)""")
+        unions.append(f"SELECT start, CAST({s} AS BIGINT), cur FROM wk{s}")
+    parts.append("wk_out AS (" + "\nUNION ALL ".join(unions) + ")")
+    return parts

@@ -16522,6 +16522,41 @@ def q_label_homophily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic random-walk corpus over the epsilon graph
+# ---------------------------------------------------------------------------
+
+from .operators.graph import WALK_CORPUS_CTES, walk_corpus  # noqa: E402
+
+_WALK_LEN = 4
+_WALK_PRE = ",\n".join(EPSILON_PAIRS_CTES(_GRID_POINTS_SQL, _GRID_EPS)
+                       + WALK_CORPUS_CTES(_WALK_LEN))
+
+
+@query(
+    "embedding_walk_corpus",
+    oracle=f"""
+WITH {_WALK_PRE}
+SELECT start, step, node FROM wk_out
+""",
+)
+def q_embedding_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-corpus generation for graph-embedding pretraining (the
+    DeepWalk sampling pass, Perozzi KDD 2014) over the epsilon graph:
+    one {_WALK_LEN}-step walk from every non-isolated point, next hop =
+    dst-sorted neighbor at an LCG hash of (current, start, step) mod
+    degree — deterministic on every engine and re-run, so the walks
+    themselves carry an exact oracle.  Each step is one (src, idx)
+    equi-join with the target index computed from the CARRIED degree
+    (no fan-out-then-filter); the frontier stays one row per walk
+    (operators/graph.py walk_corpus)."""
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS)
+    sym = pairs.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return walk_corpus(sym, _WALK_LEN)
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

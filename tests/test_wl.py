@@ -289,3 +289,40 @@ def test_label_homophily_closed_forms(spark):
 
     assert hom([(0, 0), (0, 0), (1, 1)]) == 1_000_000
     assert hom([(0, 1), (0, 1), (1, 0)]) < 0
+
+
+def test_walk_corpus_referee_and_validity(spark):
+    # every consecutive (node, next) in a walk must be a real edge, the
+    # chosen neighbor must equal the LCG pick over the dst-sorted
+    # adjacency, and walks are reproducible (two runs identical).
+    from collections import defaultdict
+
+    from omldm_spark.operators.graph import (
+        _WALK_A, _WALK_B, _WALK_C, _WALK_M, walk_corpus)
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0), (5, 6)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src long, dst long")
+    out = [(r.start, r.step, r.node)
+           for r in walk_corpus(sym, 4).collect()]
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    for v in nbrs:
+        nbrs[v].sort()
+    walks = defaultdict(dict)
+    for start, step, node in out:
+        walks[start][step] = node
+    assert set(walks) == set(nbrs)          # every non-isolated vertex
+    for start, path in walks.items():
+        assert path[0] == start and len(path) == 5
+        for s in range(1, 5):
+            cur = path[s - 1]
+            pick = ((cur * _WALK_A + s * _WALK_B + start * _WALK_C)
+                    % _WALK_M) % len(nbrs[cur])
+            assert path[s] == nbrs[cur][pick]
+    # reproducibility
+    again = [(r.start, r.step, r.node)
+             for r in walk_corpus(sym, 4).collect()]
+    assert sorted(again) == sorted(out)
