@@ -426,7 +426,7 @@ def WL_ROUNDS_CTES(rounds: int = 3) -> list[str]:
             f" string_agg(l.lbl, ',' ORDER BY l.lbl) AS nbs"
             f" FROM sym s JOIN l{r - 1} l ON s.dst = l.item GROUP BY 1)")
         parts.append(
-            f"l{r} AS (SELECT l.item,"
+            f"l{r} AS MATERIALIZED (SELECT l.item,"
             f" md5(l.lbl || '|' || COALESCE(n{r}.nbs, '')) AS lbl"
             f" FROM l{r - 1} l LEFT JOIN n{r} ON l.item = n{r}.item)")
     return parts
@@ -499,13 +499,13 @@ def KTRUSS_CTES(k: int, rounds: int, edges_cte: str = "e0") -> list[str]:
     prev = edges_cte
     for r in range(rounds + 1):
         cur = f"te{r}"
-        parts.append(f"""tr_{r} AS (
+        parts.append(f"""tr_{r} AS MATERIALIZED (
   SELECT e1.a, e1.b, e2.b AS c
   FROM {prev} e1
   JOIN {prev} e2 ON e2.a = e1.b
   JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
 )""")
-        parts.append(f"""sp_{r} AS (
+        parts.append(f"""sp_{r} AS MATERIALIZED (
   SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
     SELECT a, b FROM tr_{r}
     UNION ALL SELECT a, c AS b FROM tr_{r}
@@ -513,7 +513,7 @@ def KTRUSS_CTES(k: int, rounds: int, edges_cte: str = "e0") -> list[str]:
   ) GROUP BY 1, 2
 )""")
         if r < rounds:
-            parts.append(f"""{cur} AS (
+            parts.append(f"""{cur} AS MATERIALIZED (
   SELECT e.a, e.b FROM {prev} e
   LEFT JOIN sp_{r} s ON s.a = e.a AND s.b = e.b
   WHERE COALESCE(s.support, 0) >= {k - 2}
@@ -672,7 +672,7 @@ def TEMPORAL_REACH_CTES(rounds: int = 3) -> list[str]:
   FROM tcontacts c JOIN tarr{r - 1} s ON c.u = s.u AND c.t >= s.a
   GROUP BY 1
 )""",
-            f"""tarr{r} AS (
+            f"""tarr{r} AS MATERIALIZED (
   SELECT u, CAST(min(a) AS BIGINT) AS a FROM (
     SELECT u, a FROM tarr{r - 1} UNION ALL SELECT u, a FROM tnx{r}
   ) GROUP BY 1

@@ -164,8 +164,8 @@ def EPSILON_PAIRS_CTES(points_sql: str, eps: int) -> list[str]:
     pts -> prs (UNFILTERED quadratic join: the grid blocking's
     losslessness is the gate) -> sym."""
     return [
-        f"pts AS ({points_sql})",
-        f"""prs AS (
+        f"pts AS MATERIALIZED ({points_sql})",
+        f"""prs AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b,
          CAST((a.x - b.x) * (a.x - b.x)
               + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
@@ -174,7 +174,7 @@ def EPSILON_PAIRS_CTES(points_sql: str, eps: int) -> list[str]:
    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
        <= {eps * eps}
 )""",
-        """sym AS (
+        """sym AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM prs
   UNION ALL
   SELECT id_b, id_a FROM prs

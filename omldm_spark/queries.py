@@ -16217,7 +16217,7 @@ WITH media AS (
          'm' || CAST(doc_id AS VARCHAR) AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS kind,
-         CAST(octet_length(text) AS BIGINT) AS nbytes
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes
   FROM documents
 )
 SELECT media_id, kind, nbytes,

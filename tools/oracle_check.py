@@ -48,14 +48,25 @@ def main() -> int:
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
         None,
     )
+    only_args = [a for a in args if a.startswith("--only=")]
+    args = [a for a in args if not a.startswith("--only=")]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+    for a in only_args:
+        only |= {n for n in a.split("=", 1)[1].split(",") if n}
     results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # a misspelled name must ERROR, never pass vacuously: a filter that
+    # matches nothing once printed "all queries match" for a flag typo
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
