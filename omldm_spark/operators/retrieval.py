@@ -456,7 +456,8 @@ _SPARSE_COS_MPPM = (
 
 def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       prefix_filter: bool = False) -> DataFrame:
     """Document pairs with tf-idf cosine >= threshold, by SPARSE dot
     product: the posting-list self-join on shared TERMS (quadratic only
     within a term's posting list — the inverted-index plan every sparse
@@ -464,23 +465,70 @@ def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
     complement of the dense-embedding cosine join (dedup_embedding_*):
     same contract, lexical space.  Weights are the exact integer
     tfidf_q; dot and norms are exact BIGINT sums; only the final
-    cosine is one shared double expression.  Rare-term prefix
-    filtering (prefix_filter_jaccard_pairs) composes in front when
-    posting lists skew at corpus scale."""
+    cosine is one shared double expression.
+
+    ``prefix_filter=True`` (high thresholds): the all-pairs suffix-bound
+    filter (Bayardo et al. WWW 2007, here via Cauchy-Schwarz): with
+    terms in a fixed global order, cos(a, b) <= S_a(t*) * S_b(t*) where
+    t* is the pair's FIRST shared term and S_d(t) the normalized mass
+    of d's terms from t onward — so any qualifying pair shares a term
+    whose suffix mass is >= tau in BOTH docs, and each doc indexes only
+    that prefix.  Candidates come from the indexed-prefix self-join;
+    exact dots are then computed only for candidates (the full posting
+    rows of candidate pairs).  The filter is deliberately CONSERVATIVE
+    (double compare with slack, threshold relaxed one mppm for the
+    half-up rounding), and the unfiltered quadratic oracle is the gate:
+    a single dropped pair fails the round."""
     tv = tfidf_doc_vectors(docs, text_col, id_col).select(
         F.col(id_col).alias("doc"), "term", F.col("tfidf_q").alias("w"))
     tv = tv.persist()
     n2 = tv.groupBy("doc").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
-    a, b = tv.alias("a"), tv.alias("b")
-    dots = (
-        a.join(b, (F.col("a.term") == F.col("b.term"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"),
-                 F.col("b.doc").alias("doc_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"),
-             F.count(F.lit(1)).cast("long").alias("n_shared"))
-    )
+    if prefix_filter and min_cos_mppm > 0:
+        from pyspark.sql import Window
+
+        wsfx = Window.partitionBy("doc").orderBy(F.desc("term")) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        suff = tv.withColumn(
+            "_sfx", F.sum(F.col("w") * F.col("w")).over(wsfx))
+        # conservative: tau relaxed 1 mppm (half-up rounding of the
+        # reported cosine) and 1e-9 relative slack for the double compare
+        tau2 = ((min_cos_mppm - 1) / 1e6) ** 2 * (1 - 1e-9)
+        indexed = (
+            suff.join(n2, "doc")
+            .filter(F.col("_sfx").cast("double")
+                    >= F.lit(tau2) * F.col("n2").cast("double"))
+            .select("doc", "term")
+        )
+        ia = indexed.select(F.col("doc").alias("doc_a"), "term")
+        ib = indexed.select(F.col("doc").alias("doc_b"), "term")
+        cand = (
+            ia.join(ib, "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        dots = (
+            cand.join(tv.select(F.col("doc").alias("doc_a"), "term",
+                                F.col("w").alias("_wa")), "doc_a")
+            .join(tv.select(F.col("doc").alias("doc_b"), "term",
+                            F.col("w").alias("_wb")), ["doc_b", "term"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("_wa") * F.col("_wb")).cast("long")
+                 .alias("dot"),
+                 F.count(F.lit(1)).cast("long").alias("n_shared"))
+        )
+    else:
+        a, b = tv.alias("a"), tv.alias("b")
+        dots = (
+            a.join(b, (F.col("a.term") == F.col("b.term"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long")
+                 .alias("dot"),
+                 F.count(F.lit(1)).cast("long").alias("n_shared"))
+        )
     na = n2.select(F.col("doc").alias("doc_a"), F.col("n2").alias("n2a"))
     nb = n2.select(F.col("doc").alias("doc_b"), F.col("n2").alias("n2b"))
     scored = dots.join(na, "doc_a").join(nb, "doc_b").select(

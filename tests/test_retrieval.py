@@ -210,8 +210,10 @@ def test_mutual_knn_docs_matches_python_referee(spark):
     from omldm_spark.queries import QUERIES, _MKNN_K
     from tests.conftest import SF_DIR as sf_dir
 
+    from omldm_spark.queries import _MKNN_TAU
     scored = tfidf_cosine_pairs(
-        load_table(spark, sf_dir, "documents"), min_cos_mppm=0).collect()
+        load_table(spark, sf_dir, "documents"),
+        min_cos_mppm=_MKNN_TAU).collect()
     nbrs = defaultdict(list)
     for r in scored:
         nbrs[r.doc_a].append((-r.cos_mppm, r.doc_b))
