@@ -768,3 +768,146 @@ def WALK_CORPUS_CTES(length: int = 4) -> list[str]:
         unions.append(f"SELECT start, CAST({s} AS BIGINT), cur FROM wk{s}")
     parts.append("wk_out AS (" + "\nUNION ALL ".join(unions) + ")")
     return parts
+
+
+# ---------------------------------------------------------------------------
+# Luby maximal independent set — hash-priority symmetry breaking
+# ---------------------------------------------------------------------------
+
+def _mis_priority(round_no: int):
+    """Engine-identical per-round vertex priority: md5 of a round-salted
+    id, with the zero-padded id appended so the 44-char string is a
+    STRICT total order (md5 ties, however improbable, cannot make two
+    adjacent vertices both win)."""
+    return F.concat(
+        F.md5(F.concat(F.lit(f"mis|{round_no}|"), F.col("id").cast("string"))),
+        F.lpad(F.col("id").cast("string"), 12, "0"))
+
+
+def luby_mis(nodes: DataFrame, sym_edges: DataFrame,
+             rounds: int = 4) -> DataFrame:
+    """Luby's maximal-independent-set algorithm (Luby SICOMP 1986), the
+    canonical O(log n)-round parallel symmetry breaker, with the coin
+    flips replaced by a deterministic per-round md5 priority (the
+    embedding_walk_corpus discipline: engine-identical pseudo-randomness
+    so the RESULT itself carries an exact oracle).
+
+    Per round: an active vertex joins the MIS iff its priority is
+    strictly smaller than every active neighbor's (isolated actives
+    win immediately); winners' active neighbors become dominated; both
+    leave the active set.  Priorities are a strict total order, so two
+    adjacent actives can never both win — independence is structural,
+    no conflict-resolution pass.  In expectation half the EDGES die per
+    round, hence O(log n) rounds; after ``rounds`` the residue stays
+    ``undecided`` (deterministically).
+
+    ``nodes``: one column ``id``; ``sym_edges``: symmetric (src, dst).
+    Output (id, status in {in_mis, dominated, undecided},
+    rnd = decision round, 0 if undecided).
+
+    Scale shape: per round ONE min-priority keyed agg over the live
+    edges + two hash anti-joins; vertex state is localCheckpointed per
+    round (the recurrence references it three times — the BFS lineage
+    lesson: `state = f(state, state.join(...))` doubles the plan
+    subtree per round without truncation).  The reference engine has no
+    graph surface (SURVEY.md §2); this extends the alternating-stars /
+    k-truss round discipline (cf. `src/main/scala` job graph, which
+    hard-codes its one topology at `OMLDM_Job.scala`-scale).
+    """
+    edges = sym_edges.persist()
+    active = nodes.select(F.col("id").cast("long").alias("id"))
+    parts = []
+    for r in range(1, rounds + 1):
+        active = active.persist()
+        pr = active.select("id", _mis_priority(r).alias("p")).persist()
+        ae = (
+            edges.join(active.select(F.col("id").alias("src")), "src")
+            .join(active.select(F.col("id").alias("dst")), "dst")
+        ).persist()
+        nm = (
+            ae.join(pr.select(F.col("id").alias("dst"),
+                              F.col("p").alias("_np")), "dst")
+            .groupBy("src").agg(F.min("_np").alias("np"))
+            .withColumnRenamed("src", "id")
+        )
+        win = (
+            pr.join(nm, "id", "left")
+            .filter(F.col("np").isNull() | (F.col("p") < F.col("np")))
+            .select("id")
+        ).persist()
+        dom = (
+            ae.join(win.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id")).distinct()
+        ).persist()
+        parts.append(win.select(
+            "id", F.lit("in_mis").alias("status"),
+            F.lit(r).cast("long").alias("rnd")))
+        parts.append(dom.select(
+            "id", F.lit("dominated").alias("status"),
+            F.lit(r).cast("long").alias("rnd")))
+        active = (
+            active.join(win, "id", "left_anti")
+            .join(dom, "id", "left_anti")
+        ).localCheckpoint()
+    decided = parts[0]
+    for p in parts[1:]:
+        decided = decided.unionByName(p)
+    return (
+        nodes.select(F.col("id").cast("long").alias("id"))
+        .join(decided, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("status"), F.lit("undecided")).alias("status"),
+            F.coalesce(F.col("rnd"), F.lit(0)).cast("long").alias("rnd"),
+        )
+    )
+
+
+def LUBY_MIS_CTES(rounds: int = 4) -> list[str]:
+    """Flat parts unrolling the same recurrence: expects ``sym``
+    (src, dst) and ``mis_nodes`` (id) upstream; yields ``mis_out``
+    (id, status, rnd).  Reused-per-round parts are MATERIALIZED (the
+    ktruss fd-blow-up lesson: DuckDB inlines CTEs by default, and the
+    active set is referenced three times per round)."""
+
+    def prio(r: int, idc: str) -> str:
+        return (f"md5('mis|{r}|' || CAST({idc} AS VARCHAR))"
+                f" || lpad(CAST({idc} AS VARCHAR), 12, '0')")
+
+    parts = ["mact0 AS MATERIALIZED (SELECT id FROM mis_nodes)"]
+    unions = []
+    for r in range(1, rounds + 1):
+        a = f"mact{r - 1}"
+        parts.append(
+            f"mpr{r} AS MATERIALIZED (SELECT id, {prio(r, 'id')} AS p"
+            f" FROM {a})")
+        parts.append(f"""mae{r} AS MATERIALIZED (
+  SELECT s.src, s.dst FROM sym s
+  JOIN {a} a1 ON s.src = a1.id JOIN {a} a2 ON s.dst = a2.id
+)""")
+        parts.append(
+            f"mnm{r} AS (SELECT e.src AS id, min(p.p) AS np"
+            f" FROM mae{r} e JOIN mpr{r} p ON e.dst = p.id GROUP BY 1)")
+        parts.append(f"""mwin{r} AS MATERIALIZED (
+  SELECT p.id FROM mpr{r} p LEFT JOIN mnm{r} n ON p.id = n.id
+  WHERE n.np IS NULL OR p.p < n.np
+)""")
+        parts.append(
+            f"mdom{r} AS MATERIALIZED (SELECT DISTINCT e.dst AS id"
+            f" FROM mae{r} e JOIN mwin{r} w ON e.src = w.id)")
+        parts.append(f"""mact{r} AS MATERIALIZED (
+  SELECT id FROM {a}
+  WHERE id NOT IN (SELECT id FROM mwin{r})
+    AND id NOT IN (SELECT id FROM mdom{r})
+)""")
+        unions.append(f"SELECT id, 'in_mis' AS status,"
+                      f" CAST({r} AS BIGINT) AS rnd FROM mwin{r}")
+        unions.append(f"SELECT id, 'dominated',"
+                      f" CAST({r} AS BIGINT) FROM mdom{r}")
+    parts.append("mdec AS (" + "\nUNION ALL ".join(unions) + ")")
+    parts.append("""mis_out AS (
+  SELECT n.id, COALESCE(d.status, 'undecided') AS status,
+         CAST(COALESCE(d.rnd, 0) AS BIGINT) AS rnd
+  FROM mis_nodes n LEFT JOIN mdec d ON n.id = d.id
+)""")
+    return parts

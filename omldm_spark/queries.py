@@ -16565,6 +16565,45 @@ def q_embedding_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Parallel symmetry breaking over the epsilon graph: Luby MIS.
+# ---------------------------------------------------------------------------
+
+from .operators.graph import LUBY_MIS_CTES, luby_mis  # noqa: E402
+
+_MIS_ROUNDS = 4
+_MIS_PRE = ",\n".join(
+    EPSILON_PAIRS_CTES(_GRID_POINTS_SQL, _GRID_EPS)
+    + ["mis_nodes AS (SELECT id FROM pts)"]
+    + LUBY_MIS_CTES(_MIS_ROUNDS))
+
+
+@query(
+    "mis_epsilon_luby",
+    oracle=f"WITH {_MIS_PRE}\nSELECT id, status, rnd FROM mis_out",
+)
+def q_mis_epsilon_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby's maximal independent set (Luby SICOMP 1986) over the
+    epsilon graph, {_MIS_ROUNDS} synchronous rounds — the parallel
+    symmetry breaker behind distributed coloring, landmark selection
+    and conflict-free scheduling, here picking a spread-out point
+    subset no two of which are within eps (the blue-noise sampling of
+    a corpus).  Coin flips are deterministic round-salted md5
+    priorities with a zero-padded id suffix (strict total order: two
+    adjacent actives can NEVER both win, so independence is
+    structural).  Per round ONE min-priority keyed agg over live edges
+    + two anti-joins; vertex state localCheckpointed per round (the
+    BFS lineage lesson).  Oracle: the same rounds unrolled as
+    MATERIALIZED CTEs over the unfiltered quadratic epsilon join
+    (operators/graph.py luby_mis)."""
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS)
+    sym = pairs.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = _grid_points(spark, sf_dir).select("id")
+    return luby_mis(nodes, sym, _MIS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

@@ -1101,6 +1101,17 @@ CHECKS.update({
         ("support count map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "mis_epsilon_luby": [
+        # per-round min-priority agg over live edges; active/winner state
+        # persisted (referenced 3x per round) and checkpointed per round
+        ("live-edge restriction is equi-joins, never a cartesian",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("per-round vertex state persisted",
+         lambda p: "InMemoryTableScan" in p),
+        ("min-priority agg map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "dbscan_core_points": [
         ("cell equi-join, never a cartesian",
          lambda p: "BroadcastNestedLoopJoin" not in p
