@@ -911,3 +911,177 @@ def LUBY_MIS_CTES(rounds: int = 4) -> list[str]:
   FROM mis_nodes n LEFT JOIN mdec d ON n.id = d.id
 )""")
     return parts
+
+
+# ---------------------------------------------------------------------------
+# Jones-Plassmann greedy coloring — fixed-priority local minima + mex
+# ---------------------------------------------------------------------------
+
+def _jp_priority():
+    """Fixed (round-independent) strict-total-order vertex priority —
+    same construction as :func:`_mis_priority` but unsalted per round:
+    Jones-Plassmann keeps ONE priority for the whole run and lets the
+    shrinking active set move the local minima."""
+    return F.concat(
+        F.md5(F.concat(F.lit("jp|"), F.col("id").cast("string"))),
+        F.lpad(F.col("id").cast("string"), 12, "0"))
+
+
+def jones_plassmann_coloring(nodes: DataFrame, sym_edges: DataFrame,
+                             rounds: int = 5,
+                             ckpt_every: int = 3) -> DataFrame:
+    """Jones-Plassmann parallel greedy coloring (Jones & Plassmann
+    SISC 1993): per round, every uncolored vertex whose fixed priority
+    is a strict minimum among its uncolored neighbors picks the
+    smallest color absent from its already-colored neighborhood (the
+    mex).  Same-round winners form an independent set by the strict
+    total order, so simultaneous assignment can never conflict and the
+    result is a valid (<= maxdeg + 1)-coloring of the decided region.
+
+    The mex is computed engine-parallel with no list lambdas: each
+    winner explodes candidate colors 0..cnt (cnt = distinct colors in
+    its colored neighborhood — the mex is always <= cnt), anti-joins
+    the used (winner, color) pairs, and takes the min survivor.
+
+    Output: (id, color, rnd); undecided after ``rounds`` -> color -1,
+    rnd 0.  Scale shape mirrors :func:`luby_mis` — per round one
+    min-priority agg over live edges, one distinct used-color join
+    against the colored state, one bounded candidate explode.  JP needs
+    ~e*maxdeg rounds (the longest decreasing-priority path), far more
+    than Luby's 4, so the per-round state truncation is LAZY: every
+    round localCheckpoints with eager=False (the logical plan is cut to
+    an RDD-scan node immediately, so Catalyst analysis stays O(1) per
+    round, but no job runs), going eager only every ``ckpt_every``
+    rounds to bound the deferred RDD chain (the BFS lineage lesson,
+    amortized — persist WITHOUT checkpoint is not enough here: the
+    3-references-per-round recurrence grows the analyzed plan
+    geometrically even when execution is cached).  The reference
+    engine has no
+    graph surface (SURVEY.md §2); this extends the alternating-stars /
+    Luby round discipline.
+    """
+    edges = sym_edges.persist()
+    active = nodes.select(F.col("id").cast("long").alias("id"))
+    colored = None
+    for r in range(1, rounds + 1):
+        active = active.persist()
+        pr = active.select("id", _jp_priority().alias("p")).persist()
+        ae = (
+            edges.join(active.select(F.col("id").alias("src")), "src")
+            .join(active.select(F.col("id").alias("dst")), "dst")
+        ).persist()
+        nm = (
+            ae.join(pr.select(F.col("id").alias("dst"),
+                              F.col("p").alias("_np")), "dst")
+            .groupBy("src").agg(F.min("_np").alias("np"))
+            .withColumnRenamed("src", "id")
+        )
+        win = (
+            pr.join(nm, "id", "left")
+            .filter(F.col("np").isNull() | (F.col("p") < F.col("np")))
+            .select("id")
+        ).persist()
+        if colored is None:
+            used = win.select(
+                F.col("id"), F.lit(None).cast("long").alias("color")
+            ).filter(F.lit(False))
+        else:
+            used = (
+                edges.join(win.withColumnRenamed("id", "src"), "src")
+                .join(colored.select(F.col("id").alias("dst"), "color"),
+                      "dst")
+                .select(F.col("src").alias("id"), "color").distinct()
+            )
+        used = used.persist()
+        cnt = (
+            win.join(used.groupBy("id").agg(
+                F.count("color").alias("cnt")), "id", "left")
+            .select("id", F.coalesce(F.col("cnt"), F.lit(0))
+                    .cast("long").alias("cnt"))
+        )
+        cand = cnt.select(
+            "id", F.explode(F.sequence(F.lit(0).cast("long"),
+                                       F.col("cnt"))).alias("c"))
+        newly = (
+            cand.join(used.withColumnRenamed("color", "c"),
+                      ["id", "c"], "left_anti")
+            .groupBy("id").agg(F.min("c").alias("color"))
+            .select("id", "color", F.lit(r).cast("long").alias("rnd"))
+        )
+        colored = (newly if colored is None
+                   else colored.unionByName(newly))
+        active = active.join(win, "id", "left_anti")
+        eager = r % ckpt_every == 0 or r == rounds
+        colored = colored.localCheckpoint(eager=eager)
+        active = active.localCheckpoint(eager=eager)
+    return (
+        nodes.select(F.col("id").cast("long").alias("id"))
+        .join(colored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("color"), F.lit(-1)).cast("long")
+            .alias("color"),
+            F.coalesce(F.col("rnd"), F.lit(0)).cast("long").alias("rnd"),
+        )
+    )
+
+
+def JP_COLORING_CTES(rounds: int = 5) -> list[str]:
+    """Flat parts unrolling the same recurrence: expects ``sym``
+    (src, dst) and ``jp_nodes`` (id) upstream; yields ``jp_out``
+    (id, color, rnd).  Reused-per-round parts are MATERIALIZED (the
+    ktruss fd-blow-up lesson)."""
+
+    prio = ("md5('jp|' || CAST(id AS VARCHAR))"
+            " || lpad(CAST(id AS VARCHAR), 12, '0')")
+    parts = [
+        f"jpr AS MATERIALIZED (SELECT id, {prio} AS p FROM jp_nodes)",
+        "jact0 AS MATERIALIZED (SELECT id FROM jp_nodes)",
+        "jcol0 AS (SELECT CAST(NULL AS BIGINT) AS id,"
+        " CAST(NULL AS BIGINT) AS color, CAST(NULL AS BIGINT) AS rnd"
+        " WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        a = f"jact{r - 1}"
+        parts.append(f"""jae{r} AS MATERIALIZED (
+  SELECT s.src, s.dst FROM sym s
+  JOIN {a} a1 ON s.src = a1.id JOIN {a} a2 ON s.dst = a2.id
+)""")
+        parts.append(
+            f"jnm{r} AS (SELECT e.src AS id, min(p.p) AS np"
+            f" FROM jae{r} e JOIN jpr p ON e.dst = p.id GROUP BY 1)")
+        parts.append(f"""jwin{r} AS MATERIALIZED (
+  SELECT p.id FROM {a} a JOIN jpr p ON a.id = p.id
+  LEFT JOIN jnm{r} n ON p.id = n.id
+  WHERE n.np IS NULL OR p.p < n.np
+)""")
+        parts.append(f"""jused{r} AS MATERIALIZED (
+  SELECT DISTINCT w.id, c.color FROM sym e
+  JOIN jwin{r} w ON e.src = w.id
+  JOIN jcol{r - 1} c ON e.dst = c.id
+)""")
+        parts.append(
+            f"jcnt{r} AS (SELECT w.id, count(u.color) AS cnt"
+            f" FROM jwin{r} w LEFT JOIN jused{r} u ON w.id = u.id"
+            f" GROUP BY 1)")
+        parts.append(
+            f"jcand{r} AS (SELECT id,"
+            f" unnest(range(0, cnt + 1)) AS c FROM jcnt{r})")
+        parts.append(f"""jmex{r} AS (
+  SELECT cd.id, min(cd.c) AS color FROM jcand{r} cd
+  LEFT JOIN jused{r} u ON cd.id = u.id AND cd.c = u.color
+  WHERE u.color IS NULL GROUP BY 1
+)""")
+        parts.append(f"""jcol{r} AS MATERIALIZED (
+  SELECT * FROM jcol{r - 1}
+  UNION ALL SELECT id, color, CAST({r} AS BIGINT) FROM jmex{r}
+)""")
+        parts.append(f"""jact{r} AS MATERIALIZED (
+  SELECT id FROM {a} WHERE id NOT IN (SELECT id FROM jwin{r})
+)""")
+    parts.append(f"""jp_out AS (
+  SELECT n.id, CAST(COALESCE(c.color, -1) AS BIGINT) AS color,
+         CAST(COALESCE(c.rnd, 0) AS BIGINT) AS rnd
+  FROM jp_nodes n LEFT JOIN jcol{rounds} c ON n.id = c.id
+)""")
+    return parts

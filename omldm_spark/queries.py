@@ -16603,6 +16603,42 @@ def q_mis_epsilon_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(nodes, sym, _MIS_ROUNDS)
 
 
+from .operators.graph import JP_COLORING_CTES, jones_plassmann_coloring  # noqa: E402
+
+_JP_ROUNDS = 22
+_JP_PRE = ",\n".join(
+    EPSILON_PAIRS_CTES(_GRID_POINTS_SQL, _GRID_EPS)
+    + ["jp_nodes AS (SELECT id FROM pts)"]
+    + JP_COLORING_CTES(_JP_ROUNDS))
+
+
+@query(
+    "jp_coloring_epsilon",
+    oracle=f"WITH {_JP_PRE}\nSELECT id, color, rnd FROM jp_out",
+)
+def q_jp_coloring_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann parallel greedy coloring (Jones & Plassmann SISC
+    1993) over the epsilon graph, 22 synchronous rounds (JP needs
+    ~e*maxdeg rounds — the longest decreasing-priority path — so far
+    more than Luby's 4; 22 decides >98% here) — the
+    distributed scheduling primitive that partitions a conflict graph
+    into parallel-safe waves (no two eps-close points share a color, so
+    each color class can be processed concurrently).  One FIXED md5
+    priority with zero-padded id suffix (strict total order); per round
+    the local minima among uncolored neighbors pick the mex of their
+    colored neighborhood via a bounded candidate explode + anti-join
+    (no list lambdas on either engine).  Same-round winners are
+    independent by the strict order, so simultaneous assignment can
+    never conflict.  Oracle: the same rounds unrolled as MATERIALIZED
+    CTEs (operators/graph.py jones_plassmann_coloring)."""
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS)
+    sym = pairs.select(F.col("id_a").alias("src"),
+                       F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = _grid_points(spark, sf_dir).select("id")
+    return jones_plassmann_coloring(nodes, sym, _JP_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

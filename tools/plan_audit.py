@@ -1112,6 +1112,16 @@ CHECKS.update({
         ("min-priority agg map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "jp_coloring_epsilon": [
+        # 22-round recurrence: the published plan must be lineage-truncated
+        # (final join reads the checkpointed colored state as an RDD scan,
+        # not a 22-round re-derivation) and join-shaped, never cartesian
+        ("final plan reads checkpointed state, not the 22-round lineage",
+         lambda p: "ExistingRDD" in p),
+        ("no cartesian anywhere",
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
     "dbscan_core_points": [
         ("cell equi-join, never a cartesian",
          lambda p: "BroadcastNestedLoopJoin" not in p
