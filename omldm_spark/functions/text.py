@@ -348,3 +348,115 @@ SELECT *,
         AND dup_3gram_frac < {t["dup_3gram_frac"]}) AS keep
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered quality-filter funnel (Gopher-rule style, Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+# (rule name, survives-this-rule predicate over the integer features
+# nt / sl / ns / m).  ORDER matters: the funnel reports, per rule, how
+# many docs that survived every earlier rule die here — the operational
+# report a corpus-cleaning pipeline tunes thresholds against.  Every
+# predicate is an INTEGER cross-multiplication (mean token length in
+# [4.0, 5.0] is sl*10 BETWEEN 40*nt AND 50*nt), so both engines agree
+# bit-for-bit with no ratio arithmetic.
+FUNNEL_RULES = [
+    ("min_tokens_20", "nt >= 20"),
+    ("max_tokens_90", "nt <= 90"),
+    ("mean_token_len_4_5", "sl * 10 BETWEEN 40 * nt AND 50 * nt"),
+    ("min_stopword_3pct", "ns * 100 >= 3 * nt"),
+    ("top_word_10pct", "m * 10 <= nt"),
+]
+
+
+def quality_funnel(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-rule kill/survive counts for the ordered quality funnel.
+
+    One tokenized scan yields the integer features (token count nt,
+    summed token length sl, stopword hits ns) plus one explode +
+    doc-keyed agg for the top-word count m; the funnel itself is ONE
+    global aggregate with a conditional count per prefix (map-side
+    combined — 6 longs per partition), unpivoted to one row per rule.
+    Docs with zero tokens carry m = 0 via the left join and die at
+    rule 1 like every other short doc.
+
+    Output: (rule_no, rule, n_in, n_killed, n_out) with
+    n_in = n_out of the previous rule (n_in of rule 1 = corpus size).
+    Scale: linear scan + one bounded agg; nothing quadratic, no UDFs.
+    """
+    toks = tokens_col(text_col)
+    en = STOPWORDS["en"]
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    feats = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("nt"),
+        F.aggregate("toks", F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t).cast("long"))
+        .alias("sl"),
+        F.size(F.filter("toks", lambda t: t.isin(en))).cast("long")
+        .alias("ns"),
+    )
+    tw = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id").agg(F.max("count").alias("m"))
+    )
+    f = feats.join(tw, "doc_id", "left").select(
+        "nt", "sl", "ns",
+        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m"))
+    prefix = []
+    aggs = [F.count(F.lit(1)).cast("long").alias("s0")]
+    for i, (_, pred) in enumerate(FUNNEL_RULES, start=1):
+        prefix.append(pred)
+        conj = " AND ".join(prefix)
+        aggs.append(
+            F.count(F.when(F.expr(conj), 1)).cast("long").alias(f"s{i}"))
+    row = f.agg(*aggs)
+    stack_args = []
+    for i, (name, _) in enumerate(FUNNEL_RULES, start=1):
+        stack_args.append(
+            f"CAST({i} AS BIGINT), '{name}', s{i - 1},"
+            f" s{i - 1} - s{i}, s{i}")
+    return row.selectExpr(
+        f"stack({len(FUNNEL_RULES)}, {', '.join(stack_args)})"
+        " AS (rule_no, rule, n_in, n_killed, n_out)")
+
+
+def quality_funnel_sql(table: str = "documents", text_expr: str = "text",
+                       id_col: str = "doc_id") -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = (f"list_filter(regexp_split_to_array(lower({text_expr}),"
+            " '\\s+'), t -> t != '')")
+    prefix, selects = [], []
+    counters = ["CAST(count(*) AS BIGINT) AS s0"]
+    for i, (_, pred) in enumerate(FUNNEL_RULES, start=1):
+        prefix.append(pred)
+        conj = " AND ".join(prefix)
+        counters.append(f"CAST(count(*) FILTER ({conj}) AS BIGINT) AS s{i}")
+    for i, (name, _) in enumerate(FUNNEL_RULES, start=1):
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS rule_no, '{name}' AS rule,"
+            f" s{i - 1} AS n_in, s{i - 1} - s{i} AS n_killed,"
+            f" s{i} AS n_out FROM agg")
+    return f"""
+WITH base AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
+feats AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sl,
+         CAST(len(list_filter(toks, t -> t IN ({en}))) AS BIGINT) AS ns
+  FROM base),
+tw AS (
+  SELECT doc_id, max(c) AS m FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2)
+  GROUP BY 1),
+f AS (
+  SELECT nt, sl, ns, CAST(coalesce(m, 0) AS BIGINT) AS m
+  FROM feats LEFT JOIN tw USING (doc_id)),
+agg AS (SELECT {', '.join(counters)} FROM f)
+{chr(10).join(s + (' UNION ALL' if i < len(selects) else '')
+              for i, s in enumerate(selects, start=1))}
+"""

@@ -820,6 +820,8 @@ from .functions.text import (  # noqa: E402
     fingerprint_sql,
     lang_scores,
     lang_scores_sql,
+    quality_funnel,
+    quality_funnel_sql,
     repetition_metrics,
     repetition_metrics_sql,
     text_metrics,
@@ -1087,6 +1089,18 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_quality", oracle=text_metrics_sql())
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@query("quality_filter_funnel", oracle=quality_funnel_sql())
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered Gopher-rule quality funnel (Rae et al. 2021 §A1.1 style;
+    functions/text.py FUNNEL_RULES): per rule, how many docs that
+    survived every earlier rule die here — the report a corpus-cleaning
+    pipeline tunes thresholds against.  All-integer predicates; one
+    tokenized scan + one doc-keyed top-word agg + ONE global
+    conditional-count aggregate (6 longs per partition, map-side
+    combined) unpivoted to a row per rule.  Scales linearly; no UDFs."""
+    return quality_funnel(load_table(spark, sf_dir, "documents"))
 
 
 @query("repetition_filter", oracle=repetition_metrics_sql())
@@ -2483,6 +2497,82 @@ def q_source_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("top_share_ppm"),
         F.expr(f"CAST(sum({term}) AS BIGINT)").alias("entropy_micronats"),
+    )
+
+
+# Temperature-T source mixing at T=2: weight_s ∝ n_tokens_s^(1/2).
+# sqrt is the ONE transcendental-free root both engines compute
+# correctly-rounded (IEEE 754 requires it), so floor(sqrt(n)*1e6) is
+# bit-identical with no per-cell half-up dance; every later step is
+# integer (truncating div on both engines).
+_MIX_BUDGET_EPOCHS = 2  # token budget = 2x the corpus
+
+
+@query(
+    "source_mixture_plan",
+    oracle=f"""
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text),
+              '\\s+'), t -> t != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                       * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS q_sqrt
+  FROM src
+),
+tot AS (
+  SELECT CAST(sum(q_sqrt) AS BIGINT) AS qs,
+         CAST(sum(n_tokens) AS BIGINT) AS toks FROM q
+)
+SELECT source, n_docs, n_tokens, q_sqrt,
+       q_sqrt * 1000000 // qs AS share_ppm,
+       ({_MIX_BUDGET_EPOCHS} * toks) * (q_sqrt * 1000000 // qs)
+         // 1000000 AS alloc_tokens,
+       (({_MIX_BUDGET_EPOCHS} * toks) * (q_sqrt * 1000000 // qs)
+         // 1000000) * 1000000 // n_tokens AS epochs_ppm
+FROM q, tot
+""",
+)
+def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing plan (the T=2 upsampling rule of
+    multilingual/multi-source LM training, cf. Conneau & Lample 2019
+    §3.1): per-source token mass -> sqrt-tempered share -> token
+    allocation under a fixed budget -> effective epochs per source
+    (>1e6 ppm = the source is upsampled / repeated).  sqrt is
+    IEEE-correctly-rounded on both engines so floor(sqrt(n)*1e6) needs
+    no quantization dance; shares and allocations are pure truncating
+    integer division.  The planning-report twin of the row-level
+    ``temperature_sample`` keep-pass (operators/corpus.py:353): that one
+    decides per DOC by doc-count weights; this one budgets TOKENS and
+    reports effective epochs (>1e6 ppm = the source is repeated).
+    Shape: one tokenized scan -> per-source agg (bounded key space)
+    x ONE-ROW broadcast total — no window, no second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    src = docs.select(
+        "source", F.size(toks).cast("long").alias("ntok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+    q = src.withColumn(
+        "q_sqrt",
+        F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))"
+               " * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"))
+    tot = q.agg(F.sum("q_sqrt").cast("long").alias("qs"),
+                F.sum("n_tokens").cast("long").alias("toks"))
+    b = _MIX_BUDGET_EPOCHS
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .withColumn("share_ppm", F.expr("q_sqrt * 1000000 div qs"))
+        .withColumn("alloc_tokens",
+                    F.expr(f"({b} * toks) * share_ppm div 1000000"))
+        .withColumn("epochs_ppm",
+                    F.expr("alloc_tokens * 1000000 div n_tokens"))
+        .select("source", "n_docs", "n_tokens", "q_sqrt", "share_ppm",
+                "alloc_tokens", "epochs_ppm")
     )
 
 

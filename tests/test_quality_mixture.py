@@ -1,0 +1,123 @@
+"""Quality-filter funnel (functions/text.py quality_funnel) and the
+temperature source-mixture plan (queries.py source_mixture_plan) vs
+pure-python referees on the real sf0.001 documents table, plus the
+invariants each report must satisfy by construction.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import duckdb
+
+from omldm_spark.functions.text import FUNNEL_RULES, quality_funnel
+from omldm_spark.io import load_table
+from tests.conftest import SF_DIR
+
+
+def _docs_rows():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text, source FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _toks(text):
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+_STOP = {"the", "a", "of", "and", "to", "in", "is"}
+
+
+def _funnel_referee(rows):
+    feats = []
+    for _, text, _ in rows:
+        toks = _toks(text)
+        nt = len(toks)
+        sl = sum(len(t) for t in toks)
+        ns = sum(1 for t in toks if t in _STOP)
+        m = max(Counter(toks).values()) if toks else 0
+        feats.append((nt, sl, ns, m))
+    preds = [
+        lambda f: f[0] >= 20,
+        lambda f: f[0] <= 90,
+        lambda f: 40 * f[0] <= f[1] * 10 <= 50 * f[0],
+        lambda f: f[2] * 100 >= 3 * f[0],
+        lambda f: f[3] * 10 <= f[0],
+    ]
+    out, survivors = [], feats
+    for i, p in enumerate(preds, start=1):
+        nxt = [f for f in survivors if p(f)]
+        out.append((i, FUNNEL_RULES[i - 1][0], len(survivors),
+                    len(survivors) - len(nxt), len(nxt)))
+        survivors = nxt
+    return out
+
+
+def test_quality_funnel_matches_python_referee(spark):
+    rows = _docs_rows()
+    got = sorted(
+        (r.rule_no, r.rule, r.n_in, r.n_killed, r.n_out)
+        for r in quality_funnel(
+            load_table(spark, SF_DIR, "documents")).collect())
+    assert got == _funnel_referee(rows)
+
+
+def test_quality_funnel_is_conservative(spark):
+    # Chain invariants: n_in of rule 1 == corpus size; every row's
+    # n_in == n_killed + n_out; n_in of rule i+1 == n_out of rule i;
+    # every rule kills someone on this corpus (thresholds discriminate).
+    rows = sorted(quality_funnel(
+        load_table(spark, SF_DIR, "documents")).collect(),
+        key=lambda r: r.rule_no)
+    assert rows[0].n_in == len(_docs_rows())
+    for r in rows:
+        assert r.n_in == r.n_killed + r.n_out
+        assert r.n_killed > 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_in == a.n_out
+
+
+def test_source_mixture_plan_matches_python_referee(spark):
+    from omldm_spark.queries import QUERIES
+
+    rows = _docs_rows()
+    mass = Counter()
+    docs = Counter()
+    for _, text, source in rows:
+        mass[source] += len(_toks(text))
+        docs[source] += 1
+    q = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in mass.items()}
+    qs, toks = sum(q.values()), sum(mass.values())
+    got = {r.source: r for r in QUERIES["source_mixture_plan"](
+        spark, SF_DIR).collect()}
+    assert set(got) == set(mass)
+    for s in mass:
+        r = got[s]
+        share = q[s] * 1_000_000 // qs
+        alloc = (2 * toks) * share // 1_000_000
+        assert (r.n_docs, r.n_tokens, r.q_sqrt) == (docs[s], mass[s], q[s])
+        assert r.share_ppm == share
+        assert r.alloc_tokens == alloc
+        assert r.epochs_ppm == alloc * 1_000_000 // mass[s]
+
+
+def test_source_mixture_plan_tempers_toward_uniform(spark):
+    # T=2 flattening: every source's share sits strictly between its
+    # raw token share and the uniform share (unless already uniform),
+    # and shares sum to <= 1e6 (truncation) within n_sources ppm.
+    from omldm_spark.queries import QUERIES
+
+    rows = QUERIES["source_mixture_plan"](spark, SF_DIR).collect()
+    toks = sum(r.n_tokens for r in rows)
+    uniform = 1_000_000 // len(rows)
+    total_share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
+    for r in rows:
+        raw = r.n_tokens * 1_000_000 // toks
+        lo, hi = sorted((raw, uniform))
+        assert lo - 1 <= r.share_ppm <= hi + 1, (r.source, raw, r.share_ppm)

@@ -1112,6 +1112,23 @@ CHECKS.update({
         ("min-priority agg map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "quality_filter_funnel": [
+        # one global conditional-count agg: partial map-side, 6 longs per
+        # partition; the top-word join is hash-shaped, never a cartesian
+        ("funnel counters map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("top-word join never a cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "source_mixture_plan": [
+        # per-source agg map-side combined; the grand total rides a
+        # ONE-ROW broadcast cross join back onto the bounded source frame
+        ("per-source partial aggregation",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("one-row total broadcast, no shuffle cross join",
+         lambda p: "BroadcastNestedLoopJoin" in p
+         and "CartesianProduct" not in p),
+    ],
     "jp_coloring_epsilon": [
         # 22-round recurrence: the published plan must be lineage-truncated
         # (final join reads the checkpointed colored state as an RDD scan,
