@@ -1755,3 +1755,116 @@ def passjoin_edit_pairs(docs: DataFrame, prefix_len: int = 30,
     return cand.filter(dist <= max_dist).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
         dist.cast("long").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# LSH banding calibration: precision/recall vs exact Jaccard truth
+# ---------------------------------------------------------------------------
+
+def lsh_pr_calibration(docs: DataFrame, k: int = 8, n: int = 3,
+                       bands_sweep: tuple = (1, 2, 4, 8),
+                       threshold_num: int = 1, threshold_den: int = 5,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Banding-parameter calibration report: for each bands config the
+    LSH candidate set is scored against the EXACT Jaccard >= num/den
+    pair set (the operating point the near-dup pipeline targets), so
+    the S-curve trade the Leskovec/Rajaraman/Ullman banding analysis
+    predicts (more bands -> higher recall, lower precision) is measured
+    on the actual corpus rather than assumed.  This is how b and r get
+    picked before a 100 TB run — on a sample, with the exact join as
+    referee, exactly this query.
+
+    Signatures are computed ONCE and reused across configs; the truth
+    join is the posting-list Jaccard self-join.  Each config's
+    (tp, n_candidates) reduce to ONE row via bounded aggregates and
+    one-row broadcast cross joins — nothing quadratic beyond the truth
+    join itself, no collect.
+
+    Output: one row per bands config — (bands, n_candidates, n_truth,
+    tp, fp, fn, precision_ppm, recall_ppm); ppm are truncating integer
+    divisions, NULL when the denominator is 0.
+    """
+    sigs = minhash_signatures(docs, k=k, n=n, text_col=text_col,
+                              id_col=id_col).persist()
+    truth = (
+        ngram_jaccard_pairs(docs, n=n, threshold_num=threshold_num,
+                            threshold_den=threshold_den,
+                            text_col=text_col, id_col=id_col)
+        .select("id_a", "id_b").persist()
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    reports = []
+    for bands in bands_sweep:
+        cand = lsh_candidate_pairs(sigs, k=k, bands=bands,
+                                   id_col=id_col).persist()
+        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        tp = (cand.join(truth, ["id_a", "id_b"])
+              .agg(F.count(F.lit(1)).cast("long").alias("tp")))
+        reports.append(
+            nc.crossJoin(F.broadcast(tp)).crossJoin(F.broadcast(nt))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                "n_candidates", "n_truth", "tp",
+                (F.col("n_candidates") - F.col("tp")).alias("fp"),
+                (F.col("n_truth") - F.col("tp")).alias("fn"),
+                F.expr("CASE WHEN n_candidates > 0"
+                       " THEN tp * 1000000 div n_candidates END")
+                .alias("precision_ppm"),
+                F.expr("CASE WHEN n_truth > 0"
+                       " THEN tp * 1000000 div n_truth END")
+                .alias("recall_ppm"),
+            ))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def LSH_PR_CALIBRATION_SQL(k: int = 8, n: int = 3,
+                           bands_sweep: tuple = (1, 2, 4, 8),
+                           threshold_num: int = 1, threshold_den: int = 5,
+                           table: str = "documents",
+                           text_expr: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """Flattened oracle: sigs + per-config banded candidate sets +
+    the exact-Jaccard truth set (nested WITH inside a FROM-subquery is
+    binder-safe here — no window/QUALIFY consumers), then one report
+    row per config.  Heavy reused parts are MATERIALIZED (the ktruss
+    fd lesson)."""
+    parts = [f"sigs AS MATERIALIZED ({MINHASH_SQL(k, n, table, text_expr, id_col)})",
+             "truth AS MATERIALIZED (SELECT id_a, id_b FROM ("
+             + JACCARD_PAIRS_SQL(n, threshold_num, threshold_den, table,
+                                 text_expr, id_col)
+             + "))"]
+    selects = []
+    for bands in bands_sweep:
+        rpb = k // bands
+        band_selects = " UNION ALL ".join(
+            f"SELECT {id_col}, {b} AS band_idx, "
+            + " || ".join(f"h{i}" for i in range(b * rpb, (b + 1) * rpb))
+            + " AS band_val FROM sigs"
+            for b in range(bands))
+        parts.append(f"banded{bands} AS ({band_selects})")
+        parts.append(f"""cand{bands} AS MATERIALIZED (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM banded{bands} a JOIN banded{bands} b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.{id_col} < b.{id_col})""")
+        parts.append(f"""rep{bands} AS (
+  SELECT CAST({bands} AS BIGINT) AS bands,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand{bands}) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT)
+            FROM cand{bands} c JOIN truth t
+              ON c.id_a = t.id_a AND c.id_b = t.id_b) AS tp)""")
+        selects.append(
+            f"SELECT bands, n_candidates, n_truth, tp,"
+            f" n_candidates - tp AS fp, n_truth - tp AS fn,"
+            f" CASE WHEN n_candidates > 0"
+            f" THEN tp * 1000000 // n_candidates END AS precision_ppm,"
+            f" CASE WHEN n_truth > 0"
+            f" THEN tp * 1000000 // n_truth END AS recall_ppm"
+            f" FROM rep{bands}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL ".join(selects))

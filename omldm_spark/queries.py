@@ -832,9 +832,11 @@ from .functions.text import (  # noqa: E402
 from .operators.dedup import (  # noqa: E402
     JACCARD_PAIRS_SQL,
     LSH_PAIRS_SQL,
+    LSH_PR_CALIBRATION_SQL,
     MINHASH_SQL,
     exact_dedup,
     lsh_candidate_pairs,
+    lsh_pr_calibration,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -878,6 +880,17 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), k=8, n=3)
     return lsh_candidate_pairs(sigs, k=8, bands=2)
+
+
+@query("minhash_pr_calibration", oracle=LSH_PR_CALIBRATION_SQL())
+def q_minhash_pr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding calibration sweep (operators/dedup.py lsh_pr_calibration):
+    per bands config in {1,2,4,8} at k=8, the LSH candidate set scored
+    against the exact Jaccard >= 1/5 truth join — precision/recall ppm
+    per config, the measured S-curve trade (LRU ch.3 banding analysis)
+    that picks (b, r) before a 100 TB dedup run.  Signatures computed
+    once; per-config counts reduce through one-row broadcast joins."""
+    return lsh_pr_calibration(load_table(spark, sf_dir, "documents"))
 
 
 from .operators.dedup import (CANONICAL_CORPUS_SQL, DEDUP_CLUSTERS_SQL,  # noqa: E402

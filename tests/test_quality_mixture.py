@@ -121,3 +121,52 @@ def test_source_mixture_plan_tempers_toward_uniform(spark):
         raw = r.n_tokens * 1_000_000 // toks
         lo, hi = sorted((raw, uniform))
         assert lo - 1 <= r.share_ppm <= hi + 1, (r.source, raw, r.share_ppm)
+
+
+# ---------------------------------------------------------------------------
+# LSH banding calibration (operators/dedup.py lsh_pr_calibration)
+# ---------------------------------------------------------------------------
+
+def test_lsh_pr_calibration_s_curve_invariants(spark):
+    # Finer banding can only ADD candidates (matching a coarse band
+    # implies matching every sub-band), so n_candidates and recall are
+    # nondecreasing in bands and fn is nonincreasing; counts are
+    # mutually consistent; at bands == k (rows-per-band 1) recall is
+    # maximal for the sweep.
+    from omldm_spark.queries import QUERIES
+
+    rows = sorted(QUERIES["minhash_pr_calibration"](spark, SF_DIR).collect(),
+                  key=lambda r: r.bands)
+    assert [r.bands for r in rows] == [1, 2, 4, 8]
+    nt = rows[0].n_truth
+    assert nt > 0
+    for r in rows:
+        assert r.n_truth == nt
+        assert r.tp <= min(r.n_candidates, r.n_truth)
+        assert r.fp == r.n_candidates - r.tp
+        assert r.fn == r.n_truth - r.tp
+        if r.n_candidates:
+            assert r.precision_ppm == r.tp * 1_000_000 // r.n_candidates
+        assert r.recall_ppm == r.tp * 1_000_000 // nt
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.recall_ppm >= a.recall_ppm
+        assert b.fn <= a.fn
+    assert rows[-1].recall_ppm == max(r.recall_ppm for r in rows)
+
+
+def test_lsh_pr_calibration_planted_pair(spark):
+    # A planted near-dup pair must be truth AND a candidate at the
+    # permissive end (bands=8); an unrelated doc pair must be neither.
+    from omldm_spark.operators.dedup import lsh_pr_calibration
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"),
+         (3, "completely different words about spark catalyst plans"),
+         (4, "unrelated text mentioning parquet shuffles and joins")],
+        "doc_id long, text string")
+    rows = {r.bands: r for r in lsh_pr_calibration(docs).collect()}
+    assert rows[8].n_truth == 1          # only the planted pair
+    assert rows[8].tp == 1               # rows-per-band 1 catches it
+    assert rows[1].n_candidates <= rows[8].n_candidates

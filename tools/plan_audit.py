@@ -1112,6 +1112,17 @@ CHECKS.update({
         ("min-priority agg map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "minhash_pr_calibration": [
+        # signatures computed once and reused across the 4 banding
+        # configs (persisted); band self-joins and the truth join are
+        # equi-joins; per-config scalars ride one-row broadcasts
+        ("signatures reused via cache across configs",
+         lambda p: "InMemoryTableScan" in p),
+        ("band and truth joins never cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("one-row count reductions broadcast",
+         lambda p: "BroadcastNestedLoopJoin" in p),
+    ],
     "quality_filter_funnel": [
         # one global conditional-count agg: partial map-side, 6 longs per
         # partition; the top-word join is hash-shaped, never a cartesian
