@@ -46,6 +46,8 @@ HEADLINE = [
     "passjoin_edit_pairs",     # lossless segment-blocked edit-distance join
     "grid_epsilon_pairs",      # spatial 3x3-cell equi-join (round-6 family)
     "wl_item_classes",         # 3-round WL refinement (persist-per-round)
+    "quality_filter_funnel",   # ordered Gopher-rule funnel, 1 global agg
+    "mis_epsilon_luby",        # 4-round Luby MIS (per-round keyed min-agg)
 ]
 
 

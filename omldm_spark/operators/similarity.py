@@ -63,6 +63,90 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_query_id: int | None = 10,
+) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-k cosine
+    neighbors carrying a DIFFERENT label — the metric-learning /
+    contrastive-training curation step (the nearest wrong-class points
+    are the gradients that matter, cf. FaceNet semi-hard mining,
+    Schroff CVPR 2015).  Identical plan shape to :func:`cosine_topk`
+    (broadcast query set against the full scan; candidates never
+    shuffle, only (query, neighbor, score) triples do) plus one
+    row-local label-inequality predicate — the optimal brute-force
+    plan at any scale; swap the scan side for the LSH/IVF variants
+    when the corpus outgrows it.
+
+    Output: query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim (round 6), rank.
+    """
+    emb = embeddings.select(
+        F.col(id_col).cast("long").alias(id_col),
+        to_double_array(vec_col).alias(vec_col),
+        F.col(label_col).cast("long").alias("lbl"),
+    )
+    q = emb.filter(F.col(id_col) < max_query_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.col("lbl").alias("query_label"),
+    )
+    joined = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("lbl") != F.col("query_label"))
+    )
+    scored = joined.select(
+        "query_id", "query_label",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("lbl").alias("neighbor_label"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negative_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_query_id: int = 10,
+) -> str:
+    return f"""
+WITH emb AS (
+  SELECT CAST({id_col} AS BIGINT) AS {id_col},
+         CAST({vec_col} AS DOUBLE[]) AS v,
+         CAST({label_col} AS BIGINT) AS lbl,
+         sqrt(list_inner_product(CAST({vec_col} AS DOUBLE[]),
+                                 CAST({vec_col} AS DOUBLE[]))) AS nrm
+  FROM {table}
+),
+q AS (SELECT {id_col} AS query_id, v AS qv, nrm AS qnrm, lbl AS qlbl
+      FROM emb WHERE {id_col} < {max_query_id}),
+scored AS (
+  SELECT q.query_id, q.qlbl AS query_label, e.{id_col} AS neighbor_id,
+         e.lbl AS neighbor_label,
+         round(CASE WHEN e.nrm * q.qnrm > 0
+                    THEN list_inner_product(e.v, q.qv) / (e.nrm * q.qnrm)
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM emb e, q WHERE e.lbl != q.qlbl
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def cosine_topk_sql(
     table: str = "embeddings",
     k: int = 5,

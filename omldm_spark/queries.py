@@ -847,6 +847,8 @@ from .operators.similarity import (  # noqa: E402
     anchor_lsh_topk,
     cosine_topk,
     cosine_topk_sql,
+    hard_negative_topk,
+    hard_negative_topk_sql,
 )
 
 
@@ -1139,6 +1141,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         load_table(spark, sf_dir, "embeddings"), k=5, max_query_id=10
     )
+
+
+@query("hard_negative_topk", oracle=hard_negative_topk_sql(k=5, max_query_id=10))
+def q_hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py
+    hard_negative_topk): per query vector, the top-5 cosine neighbors
+    with a DIFFERENT label — the curation step that feeds metric /
+    contrastive training.  Same broadcast-queries-against-the-scan
+    plan as ann_cosine_topk plus a row-local label filter."""
+    return hard_negative_topk(
+        load_table(spark, sf_dir, "embeddings"), k=5, max_query_id=10)
 
 
 @query("ann_anchor_lsh")  # rows-only: bucketed ANN (recall<1 by design)
@@ -6789,6 +6802,78 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
+    return out
+
+
+# Candidate shuffle keys per fact table for the skew diagnostic.
+_SKEW_KEYS = {
+    "events": ["user_id", "event_type"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+
+
+def _skew_oracle() -> str:
+    parts, selects = [], []
+    for table, cols in _SKEW_KEYS.items():
+        unions = " UNION ALL ".join(
+            f"SELECT '{c}' AS key_col, CAST({c} AS VARCHAR) AS key_val"
+            f" FROM {table}" for c in cols)
+        parts.append(f"u_{table} AS ({unions})")
+        parts.append(
+            f"g_{table} AS (SELECT key_col, key_val,"
+            f" CAST(count(*) AS BIGINT) AS c FROM u_{table} GROUP BY 1, 2)")
+        selects.append(f"""
+SELECT '{table}' AS fact_table, key_col,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       max(c) * 1000000 // sum(c) AS top_share_ppm,
+       max(c) * count(*) * 1000000 // sum(c) AS skew_ratio_ppm,
+       max(c) * count(*) * 1000000 // sum(c) > 4000000
+         AS salting_recommended
+FROM g_{table} GROUP BY 1, 2""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nUNION ALL ".join(selects))
+
+
+@query("shuffle_skew_report", oracle=_skew_oracle())
+def q_shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over the fact tables: for every
+    candidate join/groupBy key, the hottest key's row count, its ppm
+    share, and the max/mean ratio (skew_ratio_ppm; 1e6 = perfectly
+    uniform) with a salting recommendation above 4x mean — the probe
+    you run BEFORE picking partition keys at 100 TB, because one hot
+    key serializes an entire stage (AQE skew-join splits help joins
+    but not aggregations).  One unpivoted pass per fact (stack -> one
+    (key_col, value) groupBy -> bounded per-col rollup); integer ppm,
+    no windows."""
+    outs = []
+    for table, cols in _SKEW_KEYS.items():
+        t = load_table(spark, sf_dir, table)
+        stack = ", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in cols)
+        u = t.selectExpr(
+            f"stack({len(cols)}, {stack}) AS (key_col, key_val)")
+        g = u.groupBy("key_col", "key_val").agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+        outs.append(
+            g.groupBy("key_col").agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("c").cast("long").alias("max_key_rows"),
+            ).select(
+                F.lit(table).alias("fact_table"), "key_col",
+                "n_rows", "n_keys", "max_key_rows",
+                F.expr("max_key_rows * 1000000 div n_rows")
+                .alias("top_share_ppm"),
+                F.expr("max_key_rows * n_keys * 1000000 div n_rows")
+                .alias("skew_ratio_ppm"),
+                F.expr("max_key_rows * n_keys * 1000000 div n_rows"
+                       " > 4000000").alias("salting_recommended"),
+            ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
     return out
 
 

@@ -170,3 +170,74 @@ def test_lsh_pr_calibration_planted_pair(spark):
     assert rows[8].n_truth == 1          # only the planted pair
     assert rows[8].tp == 1               # rows-per-band 1 catches it
     assert rows[1].n_candidates <= rows[8].n_candidates
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining + shuffle-skew diagnostic
+# ---------------------------------------------------------------------------
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from omldm_spark.queries import QUERIES
+
+    rows = QUERIES["hard_negative_topk"](spark, SF_DIR).collect()
+    assert rows
+    per_q = Counter(r.query_id for r in rows)
+    for r in rows:
+        assert r.neighbor_label != r.query_label
+        assert 1 <= r.rank <= 5
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_hard_negative_topk_is_cross_label_slice_of_brute_force(spark):
+    # The hard negatives are exactly the top-5 of the FULL neighbor
+    # ranking restricted to cross-label rows (same scores, same
+    # tie-break) — mining never invents or re-scores a neighbor.
+    from omldm_spark.operators.similarity import (cosine_topk,
+                                                  hard_negative_topk)
+    from omldm_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    full = cosine_topk(emb, k=10_000, max_query_id=3).collect()
+    expect = {}
+    for r in sorted(full, key=lambda r: (r.query_id, r.rank)):
+        if labels[r.neighbor_id] != labels[r.query_id]:
+            lst = expect.setdefault(r.query_id, [])
+            if len(lst) < 5:
+                lst.append((r.neighbor_id, r.cos_sim))
+    got = {}
+    for r in sorted(hard_negative_topk(emb, k=5, max_query_id=3).collect(),
+                    key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.cos_sim))
+    assert got == expect
+
+
+def test_shuffle_skew_report_flags_planted_hot_key(spark):
+    # Referee on a planted 50%-hot-key table: the ratio math must flag
+    # it; a uniform key must not be flagged.
+    import pyspark.sql.functions as F
+    from omldm_spark.queries import _SKEW_KEYS, QUERIES
+
+    rows = {(r.fact_table, r.key_col): r
+            for r in QUERIES["shuffle_skew_report"](spark, SF_DIR).collect()}
+    assert set(rows) == {(t, c) for t, cs in _SKEW_KEYS.items() for c in cs}
+    for r in rows.values():
+        assert r.max_key_rows <= r.n_rows
+        assert r.top_share_ppm == r.max_key_rows * 1_000_000 // r.n_rows
+        assert (r.skew_ratio_ppm
+                == r.max_key_rows * r.n_keys * 1_000_000 // r.n_rows)
+        assert r.salting_recommended == (r.skew_ratio_ppm > 4_000_000)
+        assert r.skew_ratio_ppm >= 1_000_000 - r.n_keys  # max >= mean
+    # planted: 100 rows, one key owns 60, 40 spread over 40 keys
+    import omldm_spark.queries as qmod
+    planted = spark.createDataFrame(
+        [(0, 777)] * 60 + [(i, i) for i in range(1, 41)],
+        "user_id long, event_type long")
+    u = planted.selectExpr(
+        "stack(1, 'user_id', CAST(user_id AS STRING)) AS (key_col, key_val)")
+    g = u.groupBy("key_col", "key_val").agg(F.count(F.lit(1)).alias("c"))
+    agg = g.groupBy("key_col").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k"),
+        F.max("c").alias("m")).collect()[0]
+    ratio = agg.m * agg.k * 1_000_000 // agg.n
+    assert ratio > 4_000_000  # 60/100 hot over 41 keys -> ~24.6x mean

@@ -1112,6 +1112,23 @@ CHECKS.update({
         ("min-priority agg map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "hard_negative_topk": [
+        # bounded query set broadcast against the scan (the optimal
+        # brute-force plan); ranking shuffles only (query, id, score)
+        ("query side rides a broadcast",
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("no shuffle cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "shuffle_skew_report": [
+        # one unpivoted pass per fact: value-group partial-aggregates
+        # map-side; the per-col rollup is bounded; no joins at all
+        ("value groupBy map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no joins in the profiling pass",
+         lambda p: "Join" not in p),
+    ],
     "minhash_pr_calibration": [
         # signatures computed once and reused across the 4 banding
         # configs (persisted); band self-joins and the truth join are

@@ -58,6 +58,13 @@ EXTRA = [
     "mutual_knn_docs",
     "rake_keywords",
     "hits_item_authorities",
+    # round-6 fifth wave: symmetry breaking (Luby in HEADLINE already),
+    # the 22-round JP coloring recurrence, the signature-reuse banding
+    # sweep (its truth join is the quadratic posting join), and the
+    # token-mass mixing plan (pure scan + bounded agg)
+    "jp_coloring_epsilon",
+    "minhash_pr_calibration",
+    "source_mixture_plan",
 ]
 
 
