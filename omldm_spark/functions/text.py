@@ -386,6 +386,16 @@ def quality_funnel(docs: DataFrame, text_col: str = "text",
     n_in = n_out of the previous rule (n_in of rule 1 = corpus size).
     Scale: linear scan + one bounded agg; nothing quadratic, no UDFs.
     """
+    return funnel_report_from_counters(funnel_counters(docs, text_col,
+                                                       id_col))
+
+
+def funnel_counters(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The funnel's sufficient statistic: ONE row (s0..sK) where s_i =
+    docs surviving rules 1..i.  Counters are ADDITIVE over docs (every
+    predicate is row-local), so they merge by plain sum — the state the
+    streaming twin carries per batch."""
     toks = tokens_col(text_col)
     en = STOPWORDS["en"]
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
@@ -413,7 +423,12 @@ def quality_funnel(docs: DataFrame, text_col: str = "text",
         conj = " AND ".join(prefix)
         aggs.append(
             F.count(F.when(F.expr(conj), 1)).cast("long").alias(f"s{i}"))
-    row = f.agg(*aggs)
+    return f.agg(*aggs)
+
+
+def funnel_report_from_counters(row: DataFrame) -> DataFrame:
+    """Unpivot the one-row counter state to the per-rule funnel report —
+    shared by the batch path and the streaming twin."""
     stack_args = []
     for i, (name, _) in enumerate(FUNNEL_RULES, start=1):
         stack_args.append(

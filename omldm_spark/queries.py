@@ -1118,6 +1118,65 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_funnel(load_table(spark, sf_dir, "documents"))
 
 
+@query("streaming_quality_funnel", oracle=quality_funnel_sql())
+def q_streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL quality funnel: the carried state is the one-row
+    counter vector (s0..s5) — the funnel's ADDITIVE sufficient
+    statistic (every rule predicate is row-local, so counters merge by
+    plain sum; arrival order irrelevant).  Each micro-batch folds its
+    own counters into state with one 2-row sum; the report unpivots
+    from state only.  Sits at the additive-counter end of the IVM
+    spectrum the streaming twins span, on the corpus side (the
+    events-side peer is streaming_grid_hotspot).  Oracle = the
+    one-shot batch funnel."""
+    import os
+    import tempfile
+
+    from .functions.text import (funnel_counters,
+                                 funnel_report_from_counters)
+    from .streaming.sources import file_replay_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="omldm_sqf_")
+    src_dir = f"{tmp}/src"
+    docs.repartition(5).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def _latest():
+        if not os.path.isdir(state_dir):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                    if d.startswith("v"))
+        return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+
+    def fold(new, bid):
+        prev = _latest()
+        cnt = funnel_counters(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).agg(
+                *[F.sum(f"s{i}").cast("long").alias(f"s{i}")
+                  for i in range(6)])
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = _latest()
+    if state is None:
+        return spark.createDataFrame(
+            [], "rule_no long, rule string, n_in long, n_killed long,"
+            " n_out long")
+    return funnel_report_from_counters(state)
+
+
 @query("repetition_filter", oracle=repetition_metrics_sql())
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter (functions/text.py): top-word
@@ -6799,6 +6858,74 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
                 "child_rows", "orphan_rows", "orphan_keys",
             )
         )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _join_size_oracle() -> str:
+    selects = []
+    for child, ck, parent, pk in _FK_EDGES:
+        selects.append(f"""
+SELECT '{child}.{ck}->{parent}.{pk}' AS fk_edge,
+       s.n_child, s.n_parent, s.d_child, s.d_parent,
+       s.n_child * s.n_parent
+         // CASE WHEN s.d_child > s.d_parent
+                 THEN s.d_child ELSE s.d_parent END AS est_rows,
+       s.actual_rows,
+       (s.n_child * s.n_parent
+         // CASE WHEN s.d_child > s.d_parent
+                 THEN s.d_child ELSE s.d_parent END
+        - s.actual_rows) * 1000000 // s.actual_rows AS err_ppm
+FROM (
+  SELECT CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+         CAST((SELECT count(*) FROM {parent}) AS BIGINT) AS n_parent,
+         CAST((SELECT count(DISTINCT {ck}) FROM {child}) AS BIGINT)
+           AS d_child,
+         CAST((SELECT count(DISTINCT {pk}) FROM {parent}) AS BIGINT)
+           AS d_parent,
+         CAST((SELECT count(*) FROM {child} c JOIN {parent} p
+               ON c.{ck} = p.{pk}) AS BIGINT) AS actual_rows
+) s""")
+    return "\nUNION ALL ".join(selects)
+
+
+@query("join_size_estimate_report", oracle=_join_size_oracle())
+def q_join_size_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit over every FK edge: the
+    textbook System R / Selinger 1979 formula
+    |A ⋈ B| ≈ |A|·|B| / max(d_A, d_B) against the ACTUAL join count,
+    signed error in ppm — the calibration report that tells you where
+    a cost-based planner's independence assumption breaks on THIS data
+    (skew and orphaned keys both show up as error).  Per edge: four
+    bounded count aggregates + one equi-join count, parents broadcast;
+    per-edge outputs are one-row frames unioned — nothing beyond the
+    joins a planner would run anyway."""
+    rows = []
+    for child, ck, parent, pk in _FK_EDGES:
+        ch = load_table(spark, sf_dir, child)
+        pa = load_table(spark, sf_dir, parent)
+        stats = ch.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.countDistinct(ck).cast("long").alias("d_child"),
+        ).crossJoin(F.broadcast(pa.agg(
+            F.count(F.lit(1)).cast("long").alias("n_parent"),
+            F.countDistinct(pk).cast("long").alias("d_parent"),
+        ))).crossJoin(F.broadcast(
+            ch.select(ck).join(F.broadcast(pa.select(pk)),
+                               ch[ck] == pa[pk])
+            .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))))
+        rows.append(stats.select(
+            F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+            "n_child", "n_parent", "d_child", "d_parent",
+            F.expr("n_child * n_parent div greatest(d_child, d_parent)")
+            .alias("est_rows"),
+            "actual_rows",
+            F.expr("(n_child * n_parent div greatest(d_child, d_parent)"
+                   " - actual_rows) * 1000000 div actual_rows")
+            .alias("err_ppm"),
+        ))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

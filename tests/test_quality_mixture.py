@@ -241,3 +241,21 @@ def test_shuffle_skew_report_flags_planted_hot_key(spark):
         F.max("c").alias("m")).collect()[0]
     ratio = agg.m * agg.k * 1_000_000 // agg.n
     assert ratio > 4_000_000  # 60/100 hot over 41 keys -> ~24.6x mean
+
+
+def test_funnel_counters_are_additive(spark):
+    # The IVM property the streaming twin rides: counters over any
+    # partition of the corpus sum to the whole-corpus counters.
+    import pyspark.sql.functions as F
+    from omldm_spark.functions.text import funnel_counters
+
+    docs = load_table(spark, SF_DIR, "documents")
+    whole = funnel_counters(docs).collect()[0]
+    parts = [funnel_counters(docs.filter(F.col("doc_id") % 3 == i))
+             for i in range(3)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    summed = u.agg(*[F.sum(f"s{i}").cast("long").alias(f"s{i}")
+                     for i in range(6)]).collect()[0]
+    assert tuple(summed) == tuple(whole)
