@@ -7430,6 +7430,114 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "itemknn_recommendations",
+    oracle="""
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+  FROM events
+),
+item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY item),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= 2
+),
+sim AS (
+  SELECT c.item_a, c.item_b,
+         CAST(c.n_co * 1000000 // (ia.n + ib.n - c.n_co) AS BIGINT)
+           AS sim_ppm
+  FROM co c
+  JOIN item_n ia ON ia.item = c.item_a
+  JOIN item_n ib ON ib.item = c.item_b
+),
+sym AS (
+  SELECT item_a AS src, item_b AS dst, sim_ppm FROM sim
+  UNION ALL
+  SELECT item_b, item_a, sim_ppm FROM sim
+),
+scores AS (
+  SELECT h.u AS user_id, s.dst AS item,
+         CAST(sum(s.sim_ppm) AS BIGINT) AS score,
+         CAST(count(*) AS BIGINT) AS n_src
+  FROM ui h JOIN sym s ON h.item = s.src
+  WHERE h.u < 30
+    AND NOT EXISTS (SELECT 1 FROM ui o WHERE o.u = h.u AND o.item = s.dst)
+  GROUP BY 1, 2
+)
+SELECT user_id, item, score, n_src,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY score DESC, item) AS INTEGER)
+         AS rank
+FROM scores
+QUALIFY rank <= 5
+""",
+)
+def q_itemknn_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-kNN collaborative filtering (Sarwar WWW 2001, the
+    industrial-recommender workhorse): item-item Jaccard over user
+    sets (integer ppm, support >= 2), then each sample user's score
+    for an UNSEEN item is the summed ppm similarity to their history —
+    top-5 per user, rank ties broken by item id.  Exactness: sims and
+    scores are integer ppm sums throughout.  Scale: the item-pair join
+    is quadratic in PER-USER degree (cap per-user history first at
+    web scale); the sim table is catalog-scale and BROADCASTS into the
+    user-history scoring join — the fact table shuffles once for the
+    (user, item) rollup and never again; the history anti-join removes
+    already-seen items before ranking."""
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct().persist()
+    item_n = ui.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    sim = (
+        co.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select("item_a", "item_b",
+                F.expr("CAST(n_co * 1000000 div (na + nb - n_co)"
+                       " AS BIGINT)").alias("sim_ppm"))
+    )
+    sym = sim.select(F.col("item_a").alias("src"),
+                     F.col("item_b").alias("dst"), "sim_ppm").unionByName(
+        sim.select(F.col("item_b").alias("src"),
+                   F.col("item_a").alias("dst"), "sim_ppm"))
+    hist = ui.filter(F.col("u") < 30)
+    scores = (
+        hist.join(F.broadcast(sym), hist["item"] == sym["src"])
+        .select(F.col("u").alias("user_id"), F.col("dst").alias("item"),
+                "sim_ppm")
+        .join(ui.select(F.col("u").alias("user_id"),
+                        F.col("item")),
+              ["user_id", "item"], "left_anti")
+        .groupBy("user_id", "item")
+        .agg(F.sum("sim_ppm").cast("long").alias("score"),
+             F.count(F.lit(1)).cast("long").alias("n_src"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("item"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 from .operators.lm import BPE_ENCODE_SQL, bpe_encode_vocab  # noqa: E402
 
 

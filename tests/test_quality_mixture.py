@@ -259,3 +259,49 @@ def test_funnel_counters_are_additive(spark):
     summed = u.agg(*[F.sum(f"s{i}").cast("long").alias(f"s{i}")
                      for i in range(6)]).collect()[0]
     assert tuple(summed) == tuple(whole)
+
+
+def test_itemknn_recommendations_python_referee(spark):
+    # Full referee: Jaccard item sims (support >= 2) and summed-sim
+    # scoring over unseen items, top-5 with (score desc, item) order.
+    from itertools import combinations
+    from omldm_spark.queries import QUERIES
+
+    con = duckdb.connect()
+    ui = set(con.execute(
+        f"""SELECT DISTINCT user_id,
+                   CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet'""").fetchall())
+    con.close()
+    by_user, by_item = {}, {}
+    for u, i in ui:
+        by_user.setdefault(u, set()).add(i)
+        by_item.setdefault(i, set()).add(u)
+    sim = {}
+    for a, b in combinations(sorted(by_item), 2):
+        co = len(by_item[a] & by_item[b])
+        if co >= 2:
+            s = co * 1_000_000 // (len(by_item[a]) + len(by_item[b]) - co)
+            sim[(a, b)] = sim[(b, a)] = s
+    expect = {}
+    for u in by_user:
+        if u >= 30:
+            continue
+        scores = {}
+        for j in by_user[u]:
+            for (src, dst), s in ((k, v) for k, v in sim.items()
+                                  if k[0] == j):
+                if dst not in by_user[u]:
+                    e = scores.setdefault(dst, [0, 0])
+                    e[0] += s
+                    e[1] += 1
+        top = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
+        for r, (item, (sc, ns)) in enumerate(top, start=1):
+            expect[(u, item)] = (sc, ns, r)
+    got = {(r.user_id, r.item): (r.score, r.n_src, r.rank)
+           for r in QUERIES["itemknn_recommendations"](spark,
+                                                       SF_DIR).collect()}
+    assert got == expect
+    # never recommend something already in the history
+    for (u, item) in got:
+        assert item not in by_user[u]

@@ -1112,6 +1112,18 @@ CHECKS.update({
         ("min-priority agg map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "itemknn_recommendations": [
+        # catalog-scale sim table broadcasts into the history scoring
+        # join; the fact shuffles once for the (user, item) rollup;
+        # margins broadcast into the pair join
+        ("sim/margin tables ride broadcasts",
+         lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("no cartesian anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("pair counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "hard_negative_topk": [
         # bounded query set broadcast against the scan (the optimal
         # brute-force plan); ranking shuffles only (query, id, score)
