@@ -17063,6 +17063,222 @@ def q_jp_coloring_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Optimizer-statistics diagnostics (round 7): the calibration reports a
+# cost-based planner needs on THIS data before it plans a 100 TB job —
+# where the attribute-independence assumption breaks (correlated
+# predicates), how well an equi-depth histogram estimates range
+# selectivity, and how far the HLL NDV estimate (the stat every engine
+# actually stores) sits from truth.  Companions to shuffle_skew_report
+# and join_size_estimate_report.
+# ---------------------------------------------------------------------------
+
+# (pair_id, table, derived-cols SQL/Spark shared text, pred_a, pred_b).
+# Predicates are integer/equality only, so every count is exact on both
+# engines; the derived cents columns are exact integers (<=2 decimals).
+_SEL_PAIRS = [
+    ("events:click_x_value_ge_50", "events",
+     "event_type = 'click'", "v_c >= 5000"),
+    ("events:purchase_x_even_user", "events",
+     "event_type = 'purchase'", "user_id % 2 = 0"),
+    ("lineitem:returned_x_qty_ge_25", "lineitem",
+     "l_returnflag = 'R'", "l_quantity >= 25"),
+    ("lineitem:disc_ge_5_x_qty_ge_25", "lineitem",
+     "d_c >= 5", "l_quantity >= 25"),
+    ("orders:final_x_price_ge_250k", "orders",
+     "o_orderstatus = 'F'", "p_c >= 25000000"),
+]
+
+_SEL_DERIVED = {
+    "events": "CAST(round(value * 100, 0) AS BIGINT) AS v_c",
+    "lineitem": "CAST(round(l_discount * 100, 0) AS BIGINT) AS d_c",
+    "orders": "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS p_c",
+}
+
+
+def _sel_audit_oracle() -> str:
+    parts, selects = [], []
+    for table in ("events", "lineitem", "orders"):
+        pairs = [p for p in _SEL_PAIRS if p[1] == table]
+        cnts = ", ".join(
+            f"CAST(count(*) FILTER ({pa}) AS BIGINT) AS ca_{i},"
+            f" CAST(count(*) FILTER ({pb}) AS BIGINT) AS cb_{i},"
+            f" CAST(count(*) FILTER (({pa}) AND ({pb})) AS BIGINT) AS cj_{i}"
+            for i, (_, _, pa, pb) in enumerate(pairs))
+        parts.append(
+            f"s_{table} AS (SELECT CAST(count(*) AS BIGINT) AS n, {cnts}"
+            f" FROM (SELECT *, {_SEL_DERIVED[table]} FROM {table}))")
+        for i, (pid, _, _, _) in enumerate(pairs):
+            selects.append(f"""
+SELECT '{pid}' AS pair_id, n AS n_rows, ca_{i} AS c_a, cb_{i} AS c_b,
+       cj_{i} AS c_joint,
+       ca_{i} * cb_{i} // n AS est_joint,
+       CASE WHEN ca_{i} * cb_{i} = 0 THEN NULL
+            ELSE cj_{i} * n * 1000000 // (ca_{i} * cb_{i}) END AS lift_ppm,
+       CASE WHEN cj_{i} = 0 THEN NULL
+            ELSE (ca_{i} * cb_{i} // n - cj_{i}) * 1000000 // cj_{i}
+       END AS err_ppm
+FROM s_{table}""")
+    return "WITH " + ",\n".join(parts) + "\nUNION ALL ".join(selects)
+
+
+@query("correlated_selectivity_audit", oracle=_sel_audit_oracle())
+def q_correlated_selectivity_audit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Predicate-correlation audit: for each conjunctive predicate pair,
+    the ACTUAL joint row count vs the independence estimate
+    |A AND B| ~ c_a * c_b / n every textbook planner uses (Selinger
+    1979 §4) — lift_ppm = actual/independent ratio (1e6 = independent)
+    and the signed estimator error.  The report that tells you which
+    WHERE clauses on THIS data will make a cost-based optimizer
+    misorder joins at 100 TB.  One conditional-count aggregate per fact
+    table (map-side combined, a handful of longs per partition), per-pair
+    one-row projections unioned — no joins, no shuffle beyond the agg."""
+    out = None
+    for table in ("events", "lineitem", "orders"):
+        pairs = [p for p in _SEL_PAIRS if p[1] == table]
+        base = load_table(spark, sf_dir, table).select(
+            "*", F.expr(_SEL_DERIVED[table]))
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for i, (_, _, pa, pb) in enumerate(pairs):
+            aggs += [
+                F.sum(F.when(F.expr(pa), 1).otherwise(0)).cast("long")
+                .alias(f"ca_{i}"),
+                F.sum(F.when(F.expr(pb), 1).otherwise(0)).cast("long")
+                .alias(f"cb_{i}"),
+                F.sum(F.when(F.expr(f"({pa}) AND ({pb})"), 1).otherwise(0))
+                .cast("long").alias(f"cj_{i}"),
+            ]
+        stats = base.agg(*aggs)
+        for i, (pid, _, _, _) in enumerate(pairs):
+            row = stats.select(
+                F.lit(pid).alias("pair_id"),
+                F.col("n").alias("n_rows"),
+                F.col(f"ca_{i}").alias("c_a"),
+                F.col(f"cb_{i}").alias("c_b"),
+                F.col(f"cj_{i}").alias("c_joint"),
+                F.expr(f"ca_{i} * cb_{i} div n").alias("est_joint"),
+                F.expr(f"CASE WHEN ca_{i} * cb_{i} = 0 THEN NULL"
+                       f" ELSE cj_{i} * n * 1000000 div (ca_{i} * cb_{i})"
+                       f" END").alias("lift_ppm"),
+                F.expr(f"CASE WHEN cj_{i} = 0 THEN NULL ELSE"
+                       f" (ca_{i} * cb_{i} div n - cj_{i}) * 1000000"
+                       f" div cj_{i} END").alias("err_ppm"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+# Range-predicate thresholds (o_totalprice cents) for the histogram
+# estimator audit — absolute literals inside the observed span at every SF.
+_HIST_THRESHOLDS = [5000000, 10000000, 20000000, 30000000, 40000000]
+_HIST_BINS = 10
+
+
+def _hist_sel_oracle() -> str:
+    edge_selects = " UNION ALL ".join(
+        f"SELECT CAST(min(v) AS BIGINT) AS e FROM cdf"
+        f" WHERE cum >= ({b} * n + {_HIST_BINS} - 1) // {_HIST_BINS}"
+        for b in range(1, _HIST_BINS))
+    thr_rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS threshold_c"
+        for t in _HIST_THRESHOLDS)
+    return f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS p_c FROM orders
+),
+hist0 AS (
+  SELECT p_c AS v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1
+),
+cdf AS (
+  SELECT v,
+         CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM hist0
+),
+edges AS ({edge_selects}),
+arr AS (SELECT list(e ORDER BY e) AS arr FROM edges),
+binned AS (
+  SELECT b.p_c,
+         CAST(1 + len(list_filter(a.arr, e -> e < b.p_c)) AS BIGINT) AS bin
+  FROM base b CROSS JOIN arr a
+),
+hist AS (
+  SELECT bin, CAST(min(p_c) AS BIGINT) AS lo, CAST(max(p_c) AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY 1
+),
+thr AS ({thr_rows}),
+est AS (
+  SELECT t.threshold_c,
+         CAST(sum(CASE WHEN h.hi <= t.threshold_c THEN h.cnt
+                       WHEN h.lo > t.threshold_c THEN 0
+                       ELSE h.cnt * (t.threshold_c - h.lo + 1)
+                            // (h.hi - h.lo + 1) END) AS BIGINT) AS est_rows
+  FROM thr t CROSS JOIN hist h GROUP BY 1
+),
+act AS (
+  SELECT t.threshold_c,
+         CAST((SELECT count(*) FROM base WHERE p_c <= t.threshold_c)
+              AS BIGINT) AS actual_rows
+  FROM thr t
+)
+SELECT e.threshold_c, e.est_rows, a.actual_rows,
+       CASE WHEN a.actual_rows = 0 THEN NULL
+            ELSE (e.est_rows - a.actual_rows) * 1000000 // a.actual_rows
+       END AS err_ppm
+FROM est e JOIN act a USING (threshold_c)
+"""
+
+
+@query("histogram_selectivity_report", oracle=_hist_sel_oracle())
+def q_histogram_selectivity_report(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Equi-depth-histogram selectivity audit: fit a {_HIST_BINS}-bucket
+    equi-depth histogram on o_totalprice (exact value-histogram CDF
+    edges, the functions/encoders.py quantile_edges discipline), then
+    for each range predicate p <= T compare the classic
+    full-buckets + uniform-within-bucket interpolation estimate
+    (Piatetsky-Shapiro & Connell SIGMOD 1984) against the actual count,
+    signed err in ppm.  The report that sizes histogram bucket counts
+    for ANALYZE on the real corpus.  One fact scan for the histogram,
+    one conditional-count scan for the actuals; the 10-row histogram and
+    5-row threshold list broadcast — nothing else moves."""
+    from .functions.encoders import bin_expr, quantile_edges
+
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("p_c"))
+    edges = quantile_edges(cents, "p_c", _HIST_BINS)
+    binned = cents.crossJoin(F.broadcast(edges)).select(
+        "p_c", bin_expr("p_c").alias("bin"))
+    hist = binned.groupBy("bin").agg(
+        F.min("p_c").cast("long").alias("lo"),
+        F.max("p_c").cast("long").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    thr = spark.createDataFrame(
+        [(t,) for t in _HIST_THRESHOLDS], "threshold_c long")
+    est = thr.crossJoin(F.broadcast(hist)).groupBy("threshold_c").agg(
+        F.sum(F.expr(
+            "CASE WHEN hi <= threshold_c THEN cnt"
+            " WHEN lo > threshold_c THEN 0"
+            " ELSE cnt * (threshold_c - lo + 1) div (hi - lo + 1) END"
+        )).cast("long").alias("est_rows"))
+    act = cents.agg(*[
+        F.sum(F.when(F.col("p_c") <= t, 1).otherwise(0)).cast("long")
+        .alias(f"a_{t}") for t in _HIST_THRESHOLDS])
+    act_rows = act.select(F.expr(
+        "stack({n}, {cells}) AS (threshold_c, actual_rows)".format(
+            n=len(_HIST_THRESHOLDS),
+            cells=", ".join(f"CAST({t} AS BIGINT), a_{t}"
+                            for t in _HIST_THRESHOLDS))))
+    return est.join(F.broadcast(act_rows), "threshold_c").select(
+        "threshold_c", "est_rows", "actual_rows",
+        F.expr("CASE WHEN actual_rows = 0 THEN NULL ELSE"
+               " (est_rows - actual_rows) * 1000000 div actual_rows END")
+        .alias("err_ppm"))
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
 # The driver's correctness gate compares only the FIRST 50 entries of

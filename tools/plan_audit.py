@@ -1133,6 +1133,25 @@ CHECKS.update({
         ("no shuffle cartesian",
          lambda p: "CartesianProduct" not in p),
     ],
+    "correlated_selectivity_audit": [
+        # one conditional-count agg per fact table: partial map-side, a
+        # handful of longs per partition; per-pair rows are projections
+        # of the one-row stats — no joins anywhere
+        ("conditional counters map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no joins in the audit pass", lambda p: "Join" not in p),
+    ],
+    "histogram_selectivity_report": [
+        # 10-row histogram and 5-row threshold/actuals frames broadcast;
+        # the orders scan aggregates map-side for both histogram and
+        # actual counts; nothing bigger than bins x thresholds joins
+        ("histogram/threshold frames ride broadcasts",
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("fact aggregations map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no shuffle cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     "shuffle_skew_report": [
         # one unpivoted pass per fact: value-group partial-aggregates
         # map-side; the per-col rollup is bounded; no joins at all
