@@ -454,6 +454,117 @@ _SPARSE_COS_MPPM = (
 )
 
 
+# dense-strategy gate: the block-Gram path materializes one int64 matrix
+# of ~block_rows x vocab per task side — 1024 x 2048 x 8 B = 16 MiB, a
+# comfortable executor-task footprint.  Natural-text vocabularies blow
+# past this immediately (Heaps' law: ~1e6+ types), which is exactly when
+# the inverted-index prefix path wins instead.
+DENSE_VOCAB_MAX = 2048
+DENSE_BLOCK_ROWS = 1024
+
+
+def _dense_block_cosine(tv: DataFrame, min_cos_mppm: int,
+                        n_docs: int) -> DataFrame:
+    """Exact all-pairs sparse-dot via blocked int64 Gram products —
+    the physical strategy for DENSE corpora (vocab <= DENSE_VOCAB_MAX),
+    where posting-list prefix filtering is structurally useless: with a
+    tiny shared vocabulary EVERY doc pair shares common terms, so ANY
+    term-ordered prefix index degenerates to the all-pairs join (the
+    sf testdata corpus has a 31-term vocabulary and its true pair
+    count at tau=0.9 grows ~quadratically: 25 pairs at sf0.01 -> 2502
+    at sf0.1 — output-proportional work IS quadratic there, so the
+    win is a ~1e-9 s/pair SIMD constant, not asymptotics).
+
+    Plan: docs hash into ceil(n/DENSE_BLOCK_ROWS) row blocks; each
+    posting row replicates to its block's B block-pair keys (the
+    standard distributed matrix-multiply replication, B = n/block_rows
+    copies); one applyInPandas per block pair pivots both sides to
+    dense int64 matrices and emits only pairs passing a CONSERVATIVE
+    threshold (2 mppm + double slack below tau, so no exactly-
+    qualifying pair can be lost to the float prefilter).  dot and
+    n_shared are exact int64 (w <= ~6e7, <= 64 terms/doc -> sums
+    < 2.4e17, the POINTS_SQL envelope); the caller re-scores with the
+    shared exact expression, so dense and posting strategies are
+    bit-identical.  Returns (doc_a, doc_b, n_shared, dot)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n_blocks = max(1, math.ceil(n_docs / DENSE_BLOCK_ROWS))
+    # vocab-scale rank: the single-partition window is gated by
+    # DENSE_VOCAB_MAX, never corpus-scale
+    dims = tv.select("term").distinct().select(
+        "term",
+        (F.row_number().over(Window.orderBy("term")) - 1).alias("_ti"),
+    )
+    blocked = (
+        tv.join(dims, "term")
+        .select(
+            F.col("doc"), F.col("_ti"), F.col("w"),
+            F.pmod(F.hash("doc"), F.lit(n_blocks)).alias("_blk"),
+        )
+        .select(
+            "doc", "_ti", "w", "_blk",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+            .alias("_other"),
+        )
+        .select(
+            "doc", "_ti", "w",
+            F.least("_blk", "_other").alias("_bi"),
+            F.greatest("_blk", "_other").alias("_bj"),
+            (F.col("_blk") <= F.col("_other")).alias("_left"),
+        )
+    )
+    tau = (min_cos_mppm - 2) / 1e6 * (1 - 1e-9)
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group-local width: dims absent from BOTH sides contribute 0
+        # to every dot, so sizing to the group's max index is exact
+        width = int(pdf["_ti"].max()) + 1
+
+        def dense(side: pd.DataFrame):
+            ids = np.sort(side["doc"].unique())
+            pos = {d: i for i, d in enumerate(ids)}
+            m = np.zeros((len(ids), width), dtype=np.int64)
+            m[side["doc"].map(pos).to_numpy(),
+              side["_ti"].to_numpy()] = side["w"].to_numpy()
+            return ids, m
+
+        diag = bool(pdf["_bi"].iat[0] == pdf["_bj"].iat[0])
+        la, ma = dense(pdf[pdf["_left"]])
+        lb, mb = (la, ma) if diag else dense(pdf[~pdf["_left"]])
+        dot = ma @ mb.T
+        n2a = (ma * ma).sum(axis=1)
+        n2b = (mb * mb).sum(axis=1)
+        cos = dot / np.sqrt(
+            np.maximum(n2a[:, None].astype(np.float64), 1.0)
+            * np.maximum(n2b[None, :].astype(np.float64), 1.0))
+        keep = cos >= tau
+        if diag:
+            # both orderings present within one block: keep the upper
+            # triangle so each unordered pair emits exactly once
+            keep &= la[:, None] < lb[None, :]
+        ia, ib = np.nonzero(keep)
+        if not len(ia):
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "n_shared": pd.Series(dtype="int64"),
+                 "dot": pd.Series(dtype="int64")})
+        nsh = ((ma[ia] != 0) & (mb[ib] != 0)).sum(axis=1)
+        # cross-block pairs appear once but with arbitrary id order:
+        # canonicalize to doc_a < doc_b here
+        av, bv = la[ia], lb[ib]
+        return pd.DataFrame({
+            "doc_a": np.minimum(av, bv), "doc_b": np.maximum(av, bv),
+            "n_shared": nsh.astype(np.int64), "dot": dot[ia, ib],
+        })
+
+    return blocked.groupBy("_bi", "_bj").applyInPandas(
+        gram, "doc_a long, doc_b long, n_shared long, dot long")
+
+
 def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
                        text_col: str = "text",
                        id_col: str = "doc_id",
@@ -473,21 +584,57 @@ def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
     t* is the pair's FIRST shared term and S_d(t) the normalized mass
     of d's terms from t onward — so any qualifying pair shares a term
     whose suffix mass is >= tau in BOTH docs, and each doc indexes only
-    that prefix.  Candidates come from the indexed-prefix self-join;
-    exact dots are then computed only for candidates (the full posting
-    rows of candidate pairs).  The filter is deliberately CONSERVATIVE
+    that prefix.  The bound holds under ANY fixed total order; the
+    ORDER chosen is rare-first — ascending document frequency with the
+    term string as tie-break, the same discipline as the Jaccard prefix
+    filter (operators/dedup.py prefix_filter_jaccard_pairs) — so the
+    indexed prefixes hold RARE terms and the candidate self-join runs
+    over short posting lists instead of the corpus-wide stopword lists
+    a lexicographic order would index (Bayardo's own ordering insight:
+    candidate cost is sum of squared prefix-posting lengths).
+    Candidates come from the indexed-prefix self-join; exact dots are
+    then computed only for candidates (the full posting rows of
+    candidate pairs).  The filter is deliberately CONSERVATIVE
     (double compare with slack, threshold relaxed one mppm for the
     half-up rounding), and the unfiltered quadratic oracle is the gate:
     a single dropped pair fails the round."""
     tv = tfidf_doc_vectors(docs, text_col, id_col).select(
-        F.col(id_col).alias("doc"), "term", F.col("tfidf_q").alias("w"))
+        F.col(id_col).alias("doc"), "term", "df",
+        F.col("tfidf_q").alias("w"))
     tv = tv.persist()
     n2 = tv.groupBy("doc").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
     if prefix_filter and min_cos_mppm > 0:
+        # stats-driven physical strategy (the AQE idea applied at the
+        # operator level): two bounded scalar aggregates decide the
+        # plan.  A DENSE corpus — vocab small enough that every doc
+        # pair shares common terms — defeats ANY term-prefix index
+        # (candidates degenerate to all-pairs: measured 10.7M of a
+        # possible 12.5M on the 31-term sf0.1 corpus), so the blocked
+        # int64 Gram path wins there; a natural-text vocab (1e6+)
+        # takes the rare-first prefix-filter posting path below.
+        stats = tv.agg(
+            F.countDistinct("term").alias("v"),
+            F.countDistinct("doc").alias("n")).collect()[0]
+        if stats["v"] <= DENSE_VOCAB_MAX:
+            dots = _dense_block_cosine(tv, min_cos_mppm, int(stats["n"]))
+            na = n2.select(F.col("doc").alias("doc_a"),
+                           F.col("n2").alias("n2a"))
+            nb = n2.select(F.col("doc").alias("doc_b"),
+                           F.col("n2").alias("n2b"))
+            scored = dots.join(na, "doc_a").join(nb, "doc_b").select(
+                "doc_a", "doc_b", "n_shared", "dot",
+                F.expr(_SPARSE_COS_MPPM).alias("cos_mppm"),
+            )
+            return scored.filter(F.col("cos_mppm") >= min_cos_mppm)
         from pyspark.sql import Window
 
-        wsfx = Window.partitionBy("doc").orderBy(F.desc("term")) \
+        # suffix mass along the ascending (df, term) order: the window
+        # runs DESC so the running sum at a row covers all terms at or
+        # after it in rare-first order; indexed rows (large suffix) are
+        # then the doc's rarest terms.
+        wsfx = Window.partitionBy("doc") \
+            .orderBy(F.desc("df"), F.desc("term")) \
             .rowsBetween(Window.unboundedPreceding, 0)
         suff = tv.withColumn(
             "_sfx", F.sum(F.col("w") * F.col("w")).over(wsfx))

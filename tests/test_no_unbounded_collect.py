@@ -49,6 +49,9 @@ ALLOWLIST = {
     ("operators/similarity.py", "# bounded: d^2 rows"):
         "OPQ Procrustes cross-Gram: d x d integer matrix (4096 rows at "
         "dim=64), the rotation-solve sufficient statistic",
+    ("operators/retrieval.py", 'F.countDistinct("doc").alias("n")).collect()'):
+        "stats-driven strategy pick: ONE row (vocab size + doc count), "
+        "the operator-level AQE decision for dense vs posting plans",
     ("operators/skew.py", 'F.bit_or("mask")'):
         "bloom filter words: fixed 16-BIGINT array",
     ("learners/trainer.py", "mapInPandas(run_partition, schema=STATE_SCHEMA"):
