@@ -894,6 +894,45 @@ WHERE rk <= {k}
 """
 
 
+def cap_key_degree(df: DataFrame, cap: int, key_col: str = "u",
+                   item_col: str = "item") -> DataFrame:
+    """Deterministic per-key degree cap: keep at most ``cap`` items per
+    key, selected by the engine-identical pseudo-random order
+    (md5(key:item), item) — the sample_k_per_group discipline applied
+    to graph degree.  THE standard skew mitigation before any
+    within-key self-join (co-occurrence, item-item similarity, wedge
+    generation): the join cost is sum(deg^2), and one power-law hub
+    key — a crawler account touching 1e6 items — otherwise contributes
+    1e12 pairs on its own.  Capping introduces a DOCUMENTED sampling
+    bias (hyperactive keys are subsampled uniformly, not truncated by
+    recency or id); every consumer mirrors the cap in its oracle, so
+    exactness is preserved by construction.  Keyed window, map-side
+    prunable, no driver state."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.concat_ws(
+            ":", F.col(key_col).cast("string"),
+            F.col(item_col).cast("string"))),
+        F.col(item_col))
+    return (
+        df.withColumn("_kr", F.row_number().over(w))
+        .filter(F.col("_kr") <= cap)
+        .drop("_kr")
+    )
+
+
+def CAP_DEGREE_SQL(cap: int, src: str, key: str = "u",
+                   item: str = "item") -> str:
+    """DuckDB mirror of cap_key_degree as a subquery body over CTE
+    ``src``: same md5 order, same tie-break, same cap."""
+    return f"""SELECT {key}, {item} FROM (
+  SELECT {key}, {item},
+         row_number() OVER (PARTITION BY {key}
+           ORDER BY md5(CAST({key} AS VARCHAR) || ':'
+                        || CAST({item} AS VARCHAR)), {item}) AS _kr
+  FROM {src}
+) WHERE _kr <= {cap}"""
+
+
 def dup_line_removal(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
     """dup_span_removal at natural-boundary granularity: the dedup unit is

@@ -7358,15 +7358,29 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "item_cooccurrence",
-    oracle="""
-WITH ui AS (
+from .operators.corpus import CAP_DEGREE_SQL, cap_key_degree  # noqa: E402
+
+# per-user history cap for the three basket self-joins below
+# (co-occurrence, item-kNN, triangles): sum(deg^2) is the join cost and
+# one hyperactive user otherwise owns it; 64 bites mildly on the test
+# data (max observed degree 67) so the cap path is exercised, and every
+# oracle mirrors the same deterministic md5-ordered subsample.
+HIST_CAP = 64
+
+# shared oracle head: distinct baskets, then the mirrored degree cap
+_UI_CAPPED_CTES = f"""ui0 AS (
   SELECT DISTINCT user_id AS u,
          CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
   FROM events
 ),
-n_users AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM ui),
+ui AS ({CAP_DEGREE_SQL(HIST_CAP, "ui0")})"""
+
+
+@query(
+    "item_cooccurrence",
+    oracle=f"""
+WITH {_UI_CAPPED_CTES},
+n_users AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM ui),""" + """
 item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY item),
 co AS (
   SELECT a.item AS item_a, b.item AS item_b,
@@ -7390,21 +7404,26 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join per user into co-occurring item pairs, counted and scored
     by lift = P(a,b)/(P(a)P(b)) in truncated ppm — all-BIGINT, exact
     cross-engine.  Scale: the self-join is quadratic in PER-USER degree,
-    not corpus size — the standard mitigation (cap each user at their
-    top-m items before the join) drops in as one window; item margins
-    and the user count are item-scale and broadcast.  The n_co >= 3
-    support floor keeps the pair set sparse.  Integer envelope:
-    n_co*nu*1e6 stays < 2^63 while n_co*nu < 9.2e12 (true through
-    ~sf 100); past that, divide by one margin before multiplying."""
+    not corpus size — mitigated by cap_key_degree(HIST_CAP): each user
+    keeps a deterministic md5-ordered subsample of at most 64 items
+    BEFORE the join (sum(deg^2) bounded at 64*|rows|; the oracle
+    mirrors the cap, so the documented sampling bias is exact on both
+    engines); item margins and the user count are item-scale and
+    broadcast.  The n_co >= 3 support floor keeps the pair set sparse.
+    Integer envelope: n_co*nu*1e6 stays < 2^63 while n_co*nu < 9.2e12
+    (true through ~sf 100); past that, divide by one margin before
+    multiplying."""
     ev = load_table(spark, sf_dir, "events")
-    # persist the distinct pairs: margins, the user count and BOTH join
-    # sides derive from it — without this, only 2 of 5 identical
-    # subplans get AQE exchange reuse and the corpus is re-scanned
-    # (measured: 8 scan nodes -> 1 + cache hits)
-    ui = ev.select(
-        F.col("user_id").alias("u"),
-        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
-    ).distinct().persist()
+    # persist the distinct capped pairs: margins, the user count and
+    # BOTH join sides derive from it — without this, only 2 of 5
+    # identical subplans get AQE exchange reuse and the corpus is
+    # re-scanned (measured: 8 scan nodes -> 1 + cache hits)
+    ui = cap_key_degree(
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.regexp_extract("props", "[0-9]+", 0).cast("long")
+            .alias("item"),
+        ).distinct(), HIST_CAP).persist()
     nu = ui.agg(F.countDistinct("u").cast("long").alias("nu"))
     item_n = ui.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a, b = ui.alias("a"), ui.alias("b")
@@ -7432,13 +7451,9 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "itemknn_recommendations",
-    oracle="""
-WITH ui AS (
-  SELECT DISTINCT user_id AS u,
-         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
-  FROM events
-),
-item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY item),
+    oracle=f"""
+WITH {_UI_CAPPED_CTES},
+item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY item),""" + """
 co AS (
   SELECT a.item AS item_a, b.item AS item_b,
          CAST(count(*) AS BIGINT) AS n_co
@@ -7483,16 +7498,20 @@ def q_itemknn_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an UNSEEN item is the summed ppm similarity to their history —
     top-5 per user, rank ties broken by item id.  Exactness: sims and
     scores are integer ppm sums throughout.  Scale: the item-pair join
-    is quadratic in PER-USER degree (cap per-user history first at
-    web scale); the sim table is catalog-scale and BROADCASTS into the
-    user-history scoring join — the fact table shuffles once for the
-    (user, item) rollup and never again; the history anti-join removes
-    already-seen items before ranking."""
+    is quadratic in PER-USER degree — capped by
+    cap_key_degree(HIST_CAP): each user keeps a deterministic
+    md5-ordered subsample of at most 64 items before any join, the
+    oracle mirrors the cap; the sim table is catalog-scale and
+    BROADCASTS into the user-history scoring join — the fact table
+    shuffles once for the (user, item) rollup and never again; the
+    history anti-join removes already-seen items before ranking."""
     ev = load_table(spark, sf_dir, "events")
-    ui = ev.select(
-        F.col("user_id").alias("u"),
-        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
-    ).distinct().persist()
+    ui = cap_key_degree(
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.regexp_extract("props", "[0-9]+", 0).cast("long")
+            .alias("item"),
+        ).distinct(), HIST_CAP).persist()
     item_n = ui.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
     a, b = ui.alias("a"), ui.alias("b")
@@ -7558,12 +7577,8 @@ def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "item_triangles",
-    oracle="""
-WITH ui AS (
-  SELECT DISTINCT user_id AS u,
-         CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
-  FROM events
-),
+    oracle=f"""
+WITH {_UI_CAPPED_CTES},""" + """
 e AS (
   SELECT a.item AS a, b.item AS b
   FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item
@@ -7582,22 +7597,26 @@ FROM wedges w WHERE EXISTS (
 def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the item co-occurrence graph — the clustering-
     coefficient primitive (community density, spam-ring detection).
-    Ordered edges (a < b) make each triangle count exactly once: wedges
-    join edge-to-edge on the shared middle vertex, and a LEFT SEMI join
-    closes them against the edge set.  Scale: wedge count is the cost
-    driver and is Σ deg² — the standard refinement (orient each edge
-    from its lower-degree endpoint, making wedge count Σ min-deg²)
-    drops into the same plan by replacing the a<b order with a
-    (deg, id) order; both joins hash-partition on their key, no
-    cartesian anywhere."""
+    The edge-generating basket self-join rides the same
+    cap_key_degree(HIST_CAP) subsample as item_cooccurrence (oracle
+    mirrored); enumeration is DEGREE-ORIENTED (operators/graph.py
+    oriented_triangles): each edge directed from its lower-(deg, id)
+    endpoint, wedges from out-neighborhoods only — Σ out-deg², bounded
+    by O(arboricity x |E|), instead of the Σ deg-by-id² the naive
+    a<b<c wedge join pays when a hub lands on a small id.  The count
+    is enumeration-order-invariant, so the simple a<b<c oracle is
+    unchanged; both joins hash-partition on their key, no cartesian
+    anywhere."""
+    from .operators.graph import oriented_triangles
+
     ev = load_table(spark, sf_dir, "events")
-    ui = ev.select(
-        F.col("user_id").alias("u"),
-        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
-    ).distinct()
+    ui = cap_key_degree(
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.regexp_extract("props", "[0-9]+", 0).cast("long")
+            .alias("item"),
+        ).distinct(), HIST_CAP)
     a, b = ui.alias("a"), ui.alias("b")
-    # persist the edge set: it feeds both wedge sides AND the closing
-    # semi join — three uses of one corpus-derived relation
     e = (
         a.join(b, (F.col("a.u") == F.col("b.u"))
                & (F.col("a.item") < F.col("b.item")))
@@ -7607,16 +7626,8 @@ def q_item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .persist()
     )
-    e1, e2 = e.alias("e1"), e.alias("e2")
-    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
-        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
-        F.col("e2.b").alias("c"),
-    )
-    closed = wedges.join(
-        e.select(F.col("a"), F.col("b").alias("c")),
-        on=["a", "c"], how="left_semi",
-    )
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return oriented_triangles(e).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
 @query(

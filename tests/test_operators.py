@@ -2927,3 +2927,24 @@ def test_shard_manifest_never_splits_and_fills_shards(spark):
             sizes[s] += nb
         assert all(s2 - s1 <= 1 or sizes[s1] >= _SHARD_BUDGET
                    for s1, s2 in zip(shards, shards[1:]))
+
+
+def test_cap_key_degree_planted_hot_user(spark):
+    # one crawler-grade user with 200 items among normal users: the cap
+    # keeps exactly 64 for the hot key, everything else untouched, and
+    # the kept subset is deterministic (md5 order, not partition order).
+    from omldm_spark.operators.corpus import cap_key_degree
+
+    rows = ([(99, i) for i in range(200)]
+            + [(1, i) for i in range(10)] + [(2, 5)])
+    df = spark.createDataFrame(rows, "u long, item long")
+    out = cap_key_degree(df, 64).collect()
+    by_u = {}
+    for r in out:
+        by_u.setdefault(r.u, set()).add(r.item)
+    assert len(by_u[99]) == 64
+    assert by_u[99] < set(range(200))
+    assert by_u[1] == set(range(10)) and by_u[2] == {5}
+    again = {(r.u, r.item)
+             for r in cap_key_degree(df.repartition(7), 64).collect()}
+    assert again == {(r.u, r.item) for r in out}

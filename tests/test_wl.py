@@ -326,3 +326,36 @@ def test_walk_corpus_referee_and_validity(spark):
     again = [(r.start, r.step, r.node)
              for r in walk_corpus(sym, 4).collect()]
     assert sorted(again) == sorted(out)
+
+
+def test_oriented_triangles_planted_hot_hub(spark):
+    # star hub 0 touching 40 spokes plus two planted triangles, one of
+    # which rides the hub: degree orientation must find both exactly
+    # once, and the hub (deg 41) must source NO wedges toward its
+    # lower-degree spokes — the sum(out-deg^2) bound the docstring
+    # claims.  Referee: brute-force closure over the edge set.
+    import itertools
+
+    from omldm_spark.operators.graph import oriented_triangles
+
+    star = [(0, s) for s in range(1, 41)]
+    planted = [(1, 2), (50, 51), (50, 52), (51, 52)]
+    edges = sorted(set(star + planted))
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = sorted(tuple(sorted((r.v1, r.v2, r.v3)))
+                 for r in oriented_triangles(df).collect())
+    es = set(edges)
+    verts = sorted({v for e in edges for v in e})
+    ref = sorted(
+        (a, b, c) for a, b, c in itertools.combinations(verts, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es)
+    assert got == ref == [(0, 1, 2), (50, 51, 52)]
+    # orientation property: v1 is the minimum-(deg, id) vertex, so the
+    # hub (highest degree) can only ever appear as v2/v3
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for r in oriented_triangles(df).collect():
+        keys = sorted((deg[v], v) for v in (r.v1, r.v2, r.v3))
+        assert (deg[r.v1], r.v1) == keys[0]
