@@ -1472,11 +1472,18 @@ def shared_span_pairs(docs: DataFrame, n: int = 3, min_tokens: int = 6,
     constant exactly along a consecutive run.  A run of L shingles
     covers L + n - 1 contiguous shared tokens.
 
-    Scale shape: a posting equi-join (quadratic only in docs-per-
-    shingle, the ngram_jaccard discipline — at 100 TB feed it LSH/
-    prefix-filter candidates first), then windows partitioned by
-    (pair, diagonal), never global.  Output bounded by pairs sharing a
-    run of >= min_tokens tokens.
+    Scale shape: candidate pairs come from a posting join on
+    MIN_TOKENS-GRAMS, not n-grams — a pair qualifies iff it shares a
+    contiguous run of >= min_tokens tokens, which is EXACTLY sharing
+    one min_tokens-gram, so the candidate set is lossless AND equals
+    the output pair set; long shingles are geometrically rarer than
+    the n-gram diagonals (vocab^min_tokens key space), so their
+    posting lists stay short where the n-gram join was quadratic on
+    templated text.  The n-gram diagonal machinery that computes the
+    exact span/count statistics then runs only over docs that appear
+    in some candidate pair (left-semi pruned on both join sides), and
+    its matches are pair-semi-joined before the per-(pair, diagonal)
+    windows — never global.
 
     Output: (doc_a, doc_b, span_tokens, n_spans) where span_tokens is
     the longest shared run and n_spans counts maximal shared runs."""
@@ -1491,12 +1498,41 @@ def shared_span_pairs(docs: DataFrame, n: int = 3, min_tokens: int = 6,
                   F.col("pos").alias("pos_a"), "shingle")
     b = sp.select(F.col(id_col).alias("doc_b"),
                   F.col("pos").alias("pos_b"), "shingle")
-    m = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a",
-                (F.col("pos_a") - F.col("pos_b")).alias("diag"))
-    )
+    if min_tokens > n:
+        spm = positioned_shingles(docs, n=min_tokens, text_col=text_col,
+                                  id_col=id_col)
+        ca = spm.select(F.col(id_col).alias("doc_a"), "shingle")
+        cb = spm.select(F.col(id_col).alias("doc_b"), "shingle")
+        cand = (
+            ca.join(cb, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .persist()
+        )
+        cdocs = (
+            cand.select(F.col("doc_a").alias(id_col))
+            .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        a = a.join(cdocs.select(F.col(id_col).alias("doc_a")),
+                   "doc_a", "left_semi")
+        b = b.join(cdocs.select(F.col(id_col).alias("doc_b")),
+                   "doc_b", "left_semi")
+        m = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .join(cand, ["doc_a", "doc_b"], "left_semi")
+            .select("doc_a", "doc_b", "pos_a",
+                    (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+        )
+    else:
+        m = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "pos_a",
+                    (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+        )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     isl = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
     runs = (

@@ -17106,6 +17106,21 @@ _SEL_DERIVED = {
 }
 
 
+# overflow-bounded ppm arithmetic shared by Spark and oracle texts (the
+# POINTS_SQL mirrored-sequence discipline): cj <= ca and est <= n keep
+# every intermediate <= 1e6 * n, so the report is int64-exact through
+# n ~ 9.2e12 rows/table — the naive cj*n*1e6 form overflows (DuckDB
+# raises, non-ANSI Spark silently wraps) once cj*n passes ~9.2e12,
+# i.e. a few million qualifying rows.  Cost: two truncating divisions
+# instead of one — a <=ca/(cj*1e6) relative quantization, noise-level
+# for a selectivity diagnostic.
+_SEL_EST = "({m} * 1000000 {d} n) * {cb} {d} 1000000"
+_SEL_LIFT = ("CASE WHEN {ca} = 0 OR {cb} = 0 THEN NULL"
+             " ELSE (({cj} * 1000000 {d} {ca}) * n) {d} {cb} END")
+_SEL_ERR = ("CASE WHEN {cj} = 0 THEN NULL"
+            " ELSE ({est} - {cj}) * 1000000 {d} {cj} END")
+
+
 def _sel_audit_oracle() -> str:
     parts, selects = [], []
     for table in ("events", "lineitem", "orders"):
@@ -17119,15 +17134,14 @@ def _sel_audit_oracle() -> str:
             f"s_{table} AS (SELECT CAST(count(*) AS BIGINT) AS n, {cnts}"
             f" FROM (SELECT *, {_SEL_DERIVED[table]} FROM {table}))")
         for i, (pid, _, _, _) in enumerate(pairs):
+            est = _SEL_EST.format(m=f"ca_{i}", cb=f"cb_{i}", d="//")
             selects.append(f"""
 SELECT '{pid}' AS pair_id, n AS n_rows, ca_{i} AS c_a, cb_{i} AS c_b,
        cj_{i} AS c_joint,
-       ca_{i} * cb_{i} // n AS est_joint,
-       CASE WHEN ca_{i} * cb_{i} = 0 THEN NULL
-            ELSE cj_{i} * n * 1000000 // (ca_{i} * cb_{i}) END AS lift_ppm,
-       CASE WHEN cj_{i} = 0 THEN NULL
-            ELSE (ca_{i} * cb_{i} // n - cj_{i}) * 1000000 // cj_{i}
-       END AS err_ppm
+       {est} AS est_joint,
+       {_SEL_LIFT.format(ca=f"ca_{i}", cb=f"cb_{i}", cj=f"cj_{i}", d="//")}
+         AS lift_ppm,
+       {_SEL_ERR.format(est=est, cj=f"cj_{i}", d="//")} AS err_ppm
 FROM s_{table}""")
     return "WITH " + ",\n".join(parts) + "\nUNION ALL ".join(selects)
 
@@ -17142,8 +17156,14 @@ def q_correlated_selectivity_audit(spark: SparkSession,
     and the signed estimator error.  The report that tells you which
     WHERE clauses on THIS data will make a cost-based optimizer
     misorder joins at 100 TB.  One conditional-count aggregate per fact
-    table (map-side combined, a handful of longs per partition), per-pair
-    one-row projections unioned — no joins, no shuffle beyond the agg."""
+    table (map-side combined, a handful of longs per partition); the
+    per-pair rows unpivot from that ONE one-row stats frame with a
+    single stack() projection, so each fact table is scanned and
+    aggregated exactly once (a per-pair select-union would specialize
+    column pruning per branch and re-plan the scan per pair).  The ppm
+    math is overflow-bounded (_SEL_LIFT/_SEL_EST): every intermediate
+    <= 1e6 * n, int64-exact through ~9.2e12 rows/table, identical text
+    on both engines."""
     out = None
     for table in ("events", "lineitem", "orders"):
         pairs = [p for p in _SEL_PAIRS if p[1] == table]
@@ -17160,22 +17180,25 @@ def q_correlated_selectivity_audit(spark: SparkSession,
                 .cast("long").alias(f"cj_{i}"),
             ]
         stats = base.agg(*aggs)
-        for i, (pid, _, _, _) in enumerate(pairs):
-            row = stats.select(
-                F.lit(pid).alias("pair_id"),
-                F.col("n").alias("n_rows"),
-                F.col(f"ca_{i}").alias("c_a"),
-                F.col(f"cb_{i}").alias("c_b"),
-                F.col(f"cj_{i}").alias("c_joint"),
-                F.expr(f"ca_{i} * cb_{i} div n").alias("est_joint"),
-                F.expr(f"CASE WHEN ca_{i} * cb_{i} = 0 THEN NULL"
-                       f" ELSE cj_{i} * n * 1000000 div (ca_{i} * cb_{i})"
-                       f" END").alias("lift_ppm"),
-                F.expr(f"CASE WHEN cj_{i} = 0 THEN NULL ELSE"
-                       f" (ca_{i} * cb_{i} div n - cj_{i}) * 1000000"
-                       f" div cj_{i} END").alias("err_ppm"),
-            )
-            out = row if out is None else out.unionByName(row)
+        stacked = ", ".join(
+            f"'{pid}', ca_{i}, cb_{i}, cj_{i}"
+            for i, (pid, _, _, _) in enumerate(pairs))
+        unp = stats.select(
+            "n",
+            F.expr(f"stack({len(pairs)}, {stacked})"
+                   " AS (pair_id, c_a, c_b, c_joint)"))
+        est = _SEL_EST.format(m="c_a", cb="c_b", d="div")
+        rows = unp.select(
+            "pair_id",
+            F.col("n").alias("n_rows"),
+            "c_a", "c_b", "c_joint",
+            F.expr(est).alias("est_joint"),
+            F.expr(_SEL_LIFT.format(ca="c_a", cb="c_b", cj="c_joint",
+                                    d="div")).alias("lift_ppm"),
+            F.expr(_SEL_ERR.format(est=est, cj="c_joint", d="div"))
+            .alias("err_ppm"),
+        )
+        out = rows if out is None else out.unionByName(rows)
     return out
 
 

@@ -54,12 +54,15 @@ def test_correlated_selectivity_matches_python_referee(spark):
         ca = sum(1 for r in rows if pa(r))
         cb = sum(1 for r in rows if pb(r))
         cj = sum(1 for r in rows if pa(r) and pb(r))
-        est = _tdiv(ca * cb, n)
+        # mirror the overflow-bounded operation order (_SEL_EST/_SEL_LIFT):
+        # every intermediate <= 1e6 * n, so the report stays int64-exact
+        # at table sizes where cj*n*1e6 would overflow
+        est = _tdiv(_tdiv(ca * 1000000, n) * cb, 1000000)
         r = got[pid]
         assert (r["n_rows"], r["c_a"], r["c_b"], r["c_joint"]) == (
             n, ca, cb, cj), pid
         assert r["est_joint"] == est, pid
-        assert r["lift_ppm"] == (_tdiv(cj * n * 1000000, ca * cb)
+        assert r["lift_ppm"] == (_tdiv(_tdiv(cj * 1000000, ca) * n, cb)
                                  if ca * cb else None), pid
         assert r["err_ppm"] == (_tdiv((est - cj) * 1000000, cj)
                                 if cj else None), pid
@@ -117,11 +120,16 @@ def test_histogram_selectivity_matches_python_referee(spark):
 
 def test_histogram_estimates_bounded_by_bin_mass(spark):
     """The interpolation estimate can never be off by more than one
-    bucket's mass — the classic equi-depth error bound; with 10 buckets
-    that is ~10% of n, and on this data it should be far tighter."""
-    from omldm_spark.queries import QUERIES
+    bucket's mass — the classic equi-depth error bound: only the bucket
+    CONTAINING the threshold is interpolated, every other bucket
+    contributes its exact count.  n is the exact table row count (not
+    the largest threshold's cumulative count), and the asserted bound
+    is the stated one-bucket mass ceil(n / bins) plus 1 for integer
+    edge rounding."""
+    from omldm_spark.queries import _HIST_BINS, QUERIES
 
     rows = QUERIES["histogram_selectivity_report"](spark, SF_DIR).collect()
-    n = max(r["actual_rows"] for r in rows)  # largest threshold ~ most rows
+    n = len(_fetch("orders", "1"))
+    bound = -(-n // _HIST_BINS) + 1
     for r in rows:
-        assert abs(r["est_rows"] - r["actual_rows"]) <= n // 5 + 1
+        assert abs(r["est_rows"] - r["actual_rows"]) <= bound
