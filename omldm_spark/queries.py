@@ -17339,54 +17339,50 @@ def q_histogram_selectivity_report(spark: SparkSession,
 # two new r6 queries.  17 anchors keep every family represented.
 # tests/test_snapshot_shape.py lints that no snapshot oracle yields an
 # array/struct/map column (the driver canonicalizer cannot sort them).
+# Round-8 rotation (VERDICT r7 item 6): the ENTIRE r7 snapshot came
+# back driver-green (CORRECTNESS_r07 50/50), so all 50 slots rotate.
+# Priorities: (a) every query whose semantics or physical plan changed
+# this round (degree caps, dense-Gram strategy, span candidates,
+# oriented k-truss, overflow-bounded audit math) so the driver
+# re-certifies the NEW behavior, (b) the rounds-6/7 graph / similarity
+# / planner-diagnostics families the r7 verdict flagged with zero
+# driver rows, (c) never-verified names across the remaining families.
+# 135 exact-oracle queries remain unseen after this set.
 _SNAPSHOT_TOP = [
-    # anchors: parsing + control plane + split (P1-P9, J2-J3, A5)
-    # (parse_training_points / train_test_split / response_merge
-    #  rotated out — driver-green r01-r05 — for round-6 session-3
-    #  queries)
-    "passjoin_edit_pairs", "link_prediction_items", "textrank_keywords",
-    # anchors: learners / preprocess (stump rotated out — driver-green —
-    # for the round-6 k-core query; tree family keeps tree_depth2/3)
-    "kcore_vertices", "rendezvous_shard_rebalance",
-    "zonemap_pruning_report",
-    # anchors: dedup / text / similarity / retrieval / multimodal
-    # (dedup_exact / text_quality / bm25_topk / minhash_lsh_pairs /
-    # ann_cosine_topk rotated out — driver-green — for round-6 queries)
-    "benford_digit_audit",
-    "simhash_hamming_pairs", "association_rules_baskets",
-    "t_closeness_customers",
-    # (multimodal_decode_meta rotated out — driver-green r05)
-    "opq_procrustes_gram", "rfm_segments",
-    # anchors: streaming / temporal / TPC-H / evaluation
-    # (stream_click_attribution / scd2_user_state / auc_purchase_value
-    # rotated out — driver-green — for session-path / PMI / T-learner)
-    "top_session_paths", "watermark_lateness_report", "pmi_collocations",
-    "mutual_information_features", "uplift_t_learner_orr",
-    # re-shaped array-output twins (VERDICT r5 item 1)
+    # round-8 changed semantics/plans — driver must re-certify
+    "item_triangles", "item_cooccurrence", "itemknn_recommendations",
+    "tfidf_cosine_pairs", "mutual_knn_docs", "shared_span_pairs",
+    "ktruss_epsilon_edges", "correlated_selectivity_audit",
+    "histogram_selectivity_report",
+    # epsilon-graph family (r6, zero driver rows)
+    "grid_epsilon_pairs", "dbscan_core_points", "dbscan_clusters",
+    "wl_item_classes", "mis_epsilon_luby", "jp_coloring_epsilon",
+    "hits_item_authorities", "edge_embeddedness", "graph_cohesion_report",
+    "label_propagation_communities", "temporal_reachability",
+    "label_homophily_report", "embedding_walk_corpus",
+    # vector quantization / ANN (r6-r7, zero driver rows;
+    # quantize_embeddings is array-shaped, so the contamination-matrix
+    # report takes its slot)
+    "cross_source_overlap", "dedup_embedding_lsh", "ann_ivf_exact_topk",
+    "pq_train_codebooks", "ann_pq_adc_topk", "pq_distortion_report",
+    "dedup_pq_block_pairs", "opq_dim_assignment",
+    "nearest_centroid_embeddings", "embedding_power_iteration",
+    # planner diagnostics + skew
+    "join_size_estimate_report", "shuffle_skew_report",
+    "skew_profile_partkey", "salted_join_brand_revenue",
+    # TPC-H spine (never driver-verified slices)
+    "tpch_q6_like", "tpch_q17_like",
+    # streaming twins (exact IVM oracles, never driver-verified)
+    "streaming_hourly_counts", "streaming_topk_users",
+    # array-output flat twins: pinned in-snapshot by
+    # tests/test_snapshot_shape.py (the r5 canonicalizer lesson)
     "embedding_kmeans_train_flat", "sequence_packing_flat",
-    # experimentation suite (never driver-verified)
-    "srm_check", "cuped_adjusted_metrics", "diff_in_diff_revenue",
-    "winsorized_arm_means",
-    # time-series diagnostics + drift
-    "revenue_changepoint", "revenue_acf", "seasonality_profile",
-    "psi_value_drift", "page_hinkley_value_drift", "ewma_user_value",
-    # tree ensembles
-    "tree_depth2_events", "tree_depth3_events", "bagged_stumps_events",
-    "gbt_residual_round",
-    # survival / retention / LTV
-    "retention_cohorts", "retention_horizons", "ltv_cohort_curves",
-    # sketches (cont.)
-    "cms_term_counts", "hll_distinct_users_by_type", "hll_audience_overlap",
-    # graph
-    "bfs_user_distance", "item_triangles",
-    # ER / linkage (incl. the new scored-closure composition)
-    "fuzzy_name_pairs", "record_linkage_tf_scores",
-    "entity_resolution_clusters", "entity_resolution_scored_clusters",
-    # dedup (cont.) + hygiene + privacy
-    "prefix_filter_jaccard_pairs", "ngram_containment_pairs",
-    "referential_integrity_audit", "gdpr_delete_manifest",
-    # ANN over the trained quantizer (new r6)
-    "ann_ivf_trained_topk",
+    # text / LM
+    "token_counts_bpe", "bigram_lm_scores", "vocab_top_terms",
+    "top_event_trigrams",
+    # corpus prep / sampling
+    "dup_span_removal", "temperature_sample",
+    "budget_apportion_sources", "stratified_three_way_split",
 ]
 
 

@@ -65,6 +65,11 @@ EXTRA = [
     "jp_coloring_epsilon",
     "minhash_pr_calibration",
     "source_mixture_plan",
+    # round-8: the degree-capped basket self-joins and the oriented
+    # triangle count — the sum(deg^2) family the r7 verdict flagged
+    "item_cooccurrence",
+    "itemknn_recommendations",
+    "item_triangles",
 ]
 
 
