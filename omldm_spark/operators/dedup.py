@@ -1499,8 +1499,9 @@ def shared_span_pairs(docs: DataFrame, n: int = 3, min_tokens: int = 6,
     b = sp.select(F.col(id_col).alias("doc_b"),
                   F.col("pos").alias("pos_b"), "shingle")
     if min_tokens > n:
+        # persisted: both candidate join sides read it
         spm = positioned_shingles(docs, n=min_tokens, text_col=text_col,
-                                  id_col=id_col)
+                                  id_col=id_col).persist()
         ca = spm.select(F.col(id_col).alias("doc_a"), "shingle")
         cb = spm.select(F.col(id_col).alias("doc_b"), "shingle")
         cand = (

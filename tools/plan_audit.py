@@ -506,6 +506,21 @@ CHECKS = {
         ("margins broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
         ("co-occurrence counts partially aggregate",
          lambda p: p.count("HashAggregate") >= 2),
+        # the r8 skew mitigation: per-user history capped by the keyed
+        # row_number BEFORE the quadratic self-join
+        ("degree cap window applied pre-join",
+         lambda p: "_kr" in p and "row_number" in p),
+    ],
+    "item_triangles": [
+        ("degree cap window applied pre-join",
+         lambda p: "_kr" in p and "row_number" in p),
+        # degree orientation: the persisted oriented edge frame feeds
+        # both wedge sides and the closing semi-join probe
+        ("oriented edges materialized once; closure is a semi join",
+         lambda p: "InMemoryTableScan" in p and "LeftSemi" in p),
+        ("no cartesian anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
     ],
     "profile_orders": [
         # k count_distincts share one Expand-based aggregate over ONE scan
@@ -862,11 +877,13 @@ CHECKS = {
          lambda p, ext: _global_windows_post_agg(ext)),
     ],
     "shared_span_pairs": [
-        # positional posting self-join: one materialization feeds both
-        # sides; runs are windows keyed by (pair, diagonal), never global
-        ("posting set materialized once for both join sides",
-         lambda p: "InMemoryTableScan" in p
-         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1),
+        # two persisted posting sets — the n-gram diagonals AND the
+        # min_tokens-gram candidate shingles — each feeding both sides
+        # of its self-join; runs are windows keyed by (pair, diagonal),
+        # never global
+        ("both posting sets materialized once for their join sides",
+         lambda p: p.count("InMemoryTableScan") >= 2
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
         ("no cartesian pair generation",
          lambda p: "CartesianProduct" not in p),
         ("run detection map-side combined",
@@ -1091,12 +1108,16 @@ CHECKS.update({
          lambda p: "CartesianProduct" not in p),
     ],
     "ktruss_epsilon_edges": [
-        # the ordered wedge join is pure equi-joins; per-round edge state
-        # persists (the recurrence references it three times)
+        # degree-oriented wedges are pure equi-joins; per-round edge
+        # state localCheckpoints (lineage truncation), and the oriented
+        # edge frame inside each support pass persists (three consumers)
         ("wedge enumeration never a cartesian",
          lambda p: "BroadcastNestedLoopJoin" not in p
          and "CartesianProduct" not in p),
-        ("per-round edge state persisted",
+        ("per-round edge state lineage-truncated",
+         lambda p: "ExistingRDD" in p or "LogicalRDD" in p
+         or "Scan RDD" in p),
+        ("oriented edge frame persisted for its three consumers",
          lambda p: "InMemoryTableScan" in p),
         ("support count map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
@@ -1336,6 +1357,11 @@ CHECKS.update({
          lambda p: "CartesianProduct" not in p),
         ("dot products map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
+        # the 31-term test corpus trips the stats-driven DENSE strategy:
+        # exact dots come from the blocked int64 Gram applyInPandas, not
+        # a degenerate all-pairs posting join
+        ("dense block-Gram strategy selected on the dense corpus",
+         lambda p: "FlatMapGroupsInPandas" in p),
     ],
     "rake_keywords": [
         ("phrase-token frame persisted (three consumers)",
