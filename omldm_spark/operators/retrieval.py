@@ -568,7 +568,8 @@ def _dense_block_cosine(tv: DataFrame, min_cos_mppm: int,
 def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
                        text_col: str = "text",
                        id_col: str = "doc_id",
-                       prefix_filter: bool = False) -> DataFrame:
+                       prefix_filter: bool = False,
+                       strategy: str = "auto") -> DataFrame:
     """Document pairs with tf-idf cosine >= threshold, by SPARSE dot
     product: the posting-list self-join on shared TERMS (quadratic only
     within a term's posting list — the inverted-index plan every sparse
@@ -613,10 +614,13 @@ def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
         # possible 12.5M on the 31-term sf0.1 corpus), so the blocked
         # int64 Gram path wins there; a natural-text vocab (1e6+)
         # takes the rare-first prefix-filter posting path below.
+        # `strategy` pins a path for tests/benchmarks ('dense' |
+        # 'prefix'); 'auto' (production) lets the stats decide
         stats = tv.agg(
             F.countDistinct("term").alias("v"),
             F.countDistinct("doc").alias("n")).collect()[0]
-        if stats["v"] <= DENSE_VOCAB_MAX:
+        if strategy == "dense" or (
+                strategy == "auto" and stats["v"] <= DENSE_VOCAB_MAX):
             dots = _dense_block_cosine(tv, min_cos_mppm, int(stats["n"]))
             na = n2.select(F.col("doc").alias("doc_a"),
                            F.col("n2").alias("n2a"))

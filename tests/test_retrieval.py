@@ -265,3 +265,39 @@ def test_rake_keywords_planted_semantics(spark):
     assert out["deep learning"].score_ppm == (8 * 1_000_000) // 3 + 2_000_000
     # ranking: the 3-word phrase outranks everything
     assert dnn.rank == 1
+
+
+def test_tfidf_cosine_strategies_bit_identical(spark):
+    # the three physical strategies — unfiltered posting join, rare-first
+    # prefix filter, dense block-Gram — are alternative PLANS for one
+    # logical operator and must agree bit-for-bit, including on pairs
+    # sitting exactly at the threshold.  Corpus: near-dup template pairs
+    # (above tau), a shared-prefix decoy (below), singletons, plus a
+    # rare-term pair — df skew so the rare-first prefix order matters.
+    from omldm_spark.operators.retrieval import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),          # exact dup of 1
+        (3, "alpha beta gamma delta zeta"),             # near dup of 1/2
+        (4, "alpha alpha alpha beta"),                  # common-term heavy
+        (5, "omega psi chi phi"),                       # disjoint block
+        (6, "omega psi chi upsilon"),                   # near dup of 5
+        (7, "rho rho rho rho"),                         # singleton
+        (8, "beta gamma"),                              # short decoy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def got(**kw):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_shared, r.dot, r.cos_mppm)
+            for r in tfidf_cosine_pairs(docs, min_cos_mppm=600_000,
+                                        **kw).collect())
+
+    posting = got(prefix_filter=False)
+    prefix = got(prefix_filter=True, strategy="prefix")
+    dense = got(prefix_filter=True, strategy="dense")
+    assert posting == prefix == dense
+    pairs = {(a, b) for a, b, *_ in posting}
+    assert (1, 2) in pairs and (5, 6) in pairs   # planted dups survive
+    assert posting  # non-vacuous
