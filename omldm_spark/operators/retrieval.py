@@ -526,14 +526,24 @@ def _dense_block_cosine(tv: DataFrame, min_cos_mppm: int,
         def dense(side: pd.DataFrame):
             ids = np.sort(side["doc"].unique())
             pos = {d: i for i, d in enumerate(ids)}
+            rows = side["doc"].map(pos).to_numpy()
+            cols = side["_ti"].to_numpy()
             m = np.zeros((len(ids), width), dtype=np.int64)
-            m[side["doc"].map(pos).to_numpy(),
-              side["_ti"].to_numpy()] = side["w"].to_numpy()
-            return ids, m
+            m[rows, cols] = side["w"].to_numpy()
+            # presence is a SEPARATE matrix: tfidf_doc_vectors keeps
+            # zero-weight postings (a term in EVERY doc has idf=0 ->
+            # w=0), and the posting-join strategies + the DuckDB oracle
+            # count n_shared over ALL shared posting rows including
+            # w=0 — deriving presence from w != 0 would silently
+            # diverge exactly on dense corpora, where universal terms
+            # are most likely (ADVICE r8)
+            p = np.zeros((len(ids), width), dtype=bool)
+            p[rows, cols] = True
+            return ids, m, p
 
         diag = bool(pdf["_bi"].iat[0] == pdf["_bj"].iat[0])
-        la, ma = dense(pdf[pdf["_left"]])
-        lb, mb = (la, ma) if diag else dense(pdf[~pdf["_left"]])
+        la, ma, pa = dense(pdf[pdf["_left"]])
+        lb, mb, pb = (la, ma, pa) if diag else dense(pdf[~pdf["_left"]])
         dot = ma @ mb.T
         n2a = (ma * ma).sum(axis=1)
         n2b = (mb * mb).sum(axis=1)
@@ -548,11 +558,10 @@ def _dense_block_cosine(tv: DataFrame, min_cos_mppm: int,
         ia, ib = np.nonzero(keep)
         if not len(ia):
             return pd.DataFrame(
-                {"doc_a": pd.Series(dtype="int64"),
-                 "doc_b": pd.Series(dtype="int64"),
+                {"doc_a": la[:0], "doc_b": lb[:0],
                  "n_shared": pd.Series(dtype="int64"),
                  "dot": pd.Series(dtype="int64")})
-        nsh = ((ma[ia] != 0) & (mb[ib] != 0)).sum(axis=1)
+        nsh = (pa[ia] & pb[ib]).sum(axis=1)
         # cross-block pairs appear once but with arbitrary id order:
         # canonicalize to doc_a < doc_b here
         av, bv = la[ia], lb[ib]
@@ -561,8 +570,14 @@ def _dense_block_cosine(tv: DataFrame, min_cos_mppm: int,
             "n_shared": nsh.astype(np.int64), "dot": dot[ia, ib],
         })
 
+    # output id columns carry the INPUT id type (ADVICE r8: a
+    # hardcoded `doc_a long` broke the generic id_col contract for
+    # string/decimal doc ids that the posting paths handle fine; the
+    # kernel's numpy ops — sort, map, minimum/maximum, broadcasting
+    # compare — all have object-dtype loops, so non-numeric ids work)
+    id_dt = tv.schema["doc"].dataType.simpleString()
     return blocked.groupBy("_bi", "_bj").applyInPandas(
-        gram, "doc_a long, doc_b long, n_shared long, dot long")
+        gram, f"doc_a {id_dt}, doc_b {id_dt}, n_shared long, dot long")
 
 
 def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
@@ -599,6 +614,18 @@ def tfidf_cosine_pairs(docs: DataFrame, min_cos_mppm: int = 900_000,
     (double compare with slack, threshold relaxed one mppm for the
     half-up rounding), and the unfiltered quadratic oracle is the gate:
     a single dropped pair fails the round."""
+    if strategy not in ("auto", "dense", "prefix"):
+        raise ValueError(f"unknown strategy {strategy!r}: "
+                         "expected 'auto', 'dense' or 'prefix'")
+    if strategy != "auto" and not (prefix_filter and min_cos_mppm > 0):
+        # an unsatisfiable pin must ERROR, not silently fall through to
+        # the quadratic join (ADVICE r8): both physical strategies live
+        # inside the prefix_filter branch, and a test that pins 'dense'
+        # with prefix_filter=False would measure the wrong plan
+        raise ValueError(
+            f"strategy={strategy!r} requires prefix_filter=True and "
+            f"min_cos_mppm > 0 (got prefix_filter={prefix_filter}, "
+            f"min_cos_mppm={min_cos_mppm})")
     tv = tfidf_doc_vectors(docs, text_col, id_col).select(
         F.col(id_col).alias("doc"), "term", "df",
         F.col("tfidf_q").alias("w"))

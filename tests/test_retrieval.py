@@ -276,15 +276,21 @@ def test_tfidf_cosine_strategies_bit_identical(spark):
     # rare-term pair — df skew so the rare-first prefix order matters.
     from omldm_spark.operators.retrieval import tfidf_cosine_pairs
 
+    # "ubiq" appears in EVERY doc: df == n_docs -> idf = 0 -> w = 0, but
+    # tfidf_doc_vectors KEEPS the zero-weight posting and the posting-
+    # join strategies count it in n_shared — the dense kernel must count
+    # term PRESENCE, not w != 0, to agree (ADVICE r8: a universal term
+    # is most likely exactly on the dense corpora the auto strategy
+    # routes to this path)
     rows = [
-        (1, "alpha beta gamma delta epsilon"),
-        (2, "alpha beta gamma delta epsilon"),          # exact dup of 1
-        (3, "alpha beta gamma delta zeta"),             # near dup of 1/2
-        (4, "alpha alpha alpha beta"),                  # common-term heavy
-        (5, "omega psi chi phi"),                       # disjoint block
-        (6, "omega psi chi upsilon"),                   # near dup of 5
-        (7, "rho rho rho rho"),                         # singleton
-        (8, "beta gamma"),                              # short decoy
+        (1, "ubiq alpha beta gamma delta epsilon"),
+        (2, "ubiq alpha beta gamma delta epsilon"),     # exact dup of 1
+        (3, "ubiq alpha beta gamma delta zeta"),        # near dup of 1/2
+        (4, "ubiq alpha alpha alpha beta"),             # common-term heavy
+        (5, "ubiq omega psi chi phi"),                  # disjoint block
+        (6, "ubiq omega psi chi upsilon"),              # near dup of 5
+        (7, "ubiq rho rho rho rho"),                    # singleton
+        (8, "ubiq beta gamma"),                         # short decoy
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -298,6 +304,55 @@ def test_tfidf_cosine_strategies_bit_identical(spark):
     prefix = got(prefix_filter=True, strategy="prefix")
     dense = got(prefix_filter=True, strategy="dense")
     assert posting == prefix == dense
-    pairs = {(a, b) for a, b, *_ in posting}
-    assert (1, 2) in pairs and (5, 6) in pairs   # planted dups survive
+    by_pair = {(a, b): (ns, dot, cos)
+               for a, b, ns, dot, cos in posting}
+    assert (1, 2) in by_pair and (5, 6) in by_pair  # planted dups survive
+    # the universal zero-weight term IS counted in n_shared (6 = 5 real
+    # shared terms + ubiq) while contributing 0 to the dot product
+    assert by_pair[(1, 2)][0] == 6
     assert posting  # non-vacuous
+
+
+def test_tfidf_cosine_dense_string_ids(spark):
+    # the dense block-Gram path honors the generic id_col contract:
+    # string doc ids flow through blocking, the numpy kernel, and the
+    # canonical doc_a < doc_b ordering (ADVICE r8: the schema was
+    # hardcoded `doc_a long`)
+    from omldm_spark.operators.retrieval import tfidf_cosine_pairs
+
+    rows = [
+        ("doc-a", "alpha beta gamma delta"),
+        ("doc-b", "alpha beta gamma delta"),
+        ("doc-c", "omega psi chi"),
+        ("doc-d", "alpha beta gamma zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def got(**kw):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_shared, r.dot, r.cos_mppm)
+            for r in tfidf_cosine_pairs(docs, min_cos_mppm=600_000,
+                                        **kw).collect())
+
+    posting = got(prefix_filter=False)
+    dense = got(prefix_filter=True, strategy="dense")
+    assert posting == dense
+    assert any(a == "doc-a" and b == "doc-b" for a, b, *_ in posting)
+    assert all(a < b for a, b, *_ in dense)  # canonical string order
+
+
+def test_tfidf_cosine_unsatisfiable_pin_raises(spark):
+    # a pinned strategy outside the prefix_filter branch must raise,
+    # not silently run the quadratic join (ADVICE r8)
+    import pytest
+
+    from omldm_spark.operators.retrieval import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="requires prefix_filter"):
+        tfidf_cosine_pairs(docs, prefix_filter=False, strategy="dense")
+    with pytest.raises(ValueError, match="requires prefix_filter"):
+        tfidf_cosine_pairs(docs, min_cos_mppm=0, prefix_filter=True,
+                           strategy="prefix")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        tfidf_cosine_pairs(docs, strategy="blocked")
