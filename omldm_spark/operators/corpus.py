@@ -907,12 +907,23 @@ def cap_key_degree(df: DataFrame, cap: int, key_col: str = "u",
     bias (hyperactive keys are subsampled uniformly, not truncated by
     recency or id); every consumer mirrors the cap in its oracle, so
     exactness is preserved by construction.  Keyed window, map-side
-    prunable, no driver state."""
+    prunable, no driver state.
+
+    NULL keys/items coalesce to '' BEFORE hashing: Spark's concat_ws
+    SKIPS null arguments (dropping the separator) while DuckDB's ||
+    propagates NULL through md5, and Spark sorts NULLS FIRST ascending
+    where DuckDB defaults NULLS LAST — either would let the two engines
+    keep a different subsample of a >cap key containing NULLs (ADVICE
+    r8).  The '' sentinel can collide with a real empty string, which
+    is fine: the hash order is then shared, deterministic, and
+    identical on both engines, and the item tie-break still
+    disambiguates."""
     w = Window.partitionBy(key_col).orderBy(
         F.md5(F.concat_ws(
-            ":", F.col(key_col).cast("string"),
-            F.col(item_col).cast("string"))),
-        F.col(item_col))
+            ":",
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+            F.coalesce(F.col(item_col).cast("string"), F.lit("")))),
+        F.col(item_col).asc_nulls_last())
     return (
         df.withColumn("_kr", F.row_number().over(w))
         .filter(F.col("_kr") <= cap)
@@ -923,12 +934,14 @@ def cap_key_degree(df: DataFrame, cap: int, key_col: str = "u",
 def CAP_DEGREE_SQL(cap: int, src: str, key: str = "u",
                    item: str = "item") -> str:
     """DuckDB mirror of cap_key_degree as a subquery body over CTE
-    ``src``: same md5 order, same tie-break, same cap."""
+    ``src``: same md5 order (NULLs coalesced to the '' sentinel, see
+    cap_key_degree), same NULLS-LAST item tie-break, same cap."""
     return f"""SELECT {key}, {item} FROM (
   SELECT {key}, {item},
          row_number() OVER (PARTITION BY {key}
-           ORDER BY md5(CAST({key} AS VARCHAR) || ':'
-                        || CAST({item} AS VARCHAR)), {item}) AS _kr
+           ORDER BY md5(coalesce(CAST({key} AS VARCHAR), '') || ':'
+                        || coalesce(CAST({item} AS VARCHAR), '')),
+                    {item} NULLS LAST) AS _kr
   FROM {src}
 ) WHERE _kr <= {cap}"""
 

@@ -501,13 +501,19 @@ def oriented_triangles(e: DataFrame) -> DataFrame:
     fwd = (F.col("_da") < F.col("_db")) | (
         (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
     # oriented edge src -> dst with dst's (deg, id) carried for the
-    # wedge-side ordering; persisted: it feeds both wedge sides and the
-    # closing probe (three uses of one shuffle)
+    # wedge-side ordering; it feeds both wedge sides and the closing
+    # probe (three uses of one shuffle).  localCheckpoint, NOT persist:
+    # a persist() here registers in the CacheManager and is never
+    # released — ktruss_edges calls this rounds+1 times and accumulated
+    # rounds+1 cached frames for the life of the job (ADVICE r8) —
+    # while a lazy localCheckpoint materializes once on first use and
+    # the ContextCleaner reclaims the blocks when the frame is GC'd
+    # (the jp_coloring per-round discipline, NOTES_r6)
     o = ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("_db")).otherwise(F.col("_da")).alias("_dd"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     o1 = o.select("src", F.col("dst").alias("v2"),
                   F.col("_dd").alias("_d2"))
     o2 = o.select("src", F.col("dst").alias("v3"),

@@ -6954,8 +6954,9 @@ SELECT '{table}' AS fact_table, key_col,
        CAST(sum(c) AS BIGINT) AS n_rows,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(max(c) AS BIGINT) AS max_key_rows,
-       max(c) * 1000000 // sum(c) AS top_share_ppm,
-       max(c) * count(*) * 1000000 // sum(c) AS skew_ratio_ppm,
+       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm,
+       CAST(max(c) * count(*) * 1000000 // sum(c) AS BIGINT)
+         AS skew_ratio_ppm,
        max(c) * count(*) * 1000000 // sum(c) > 4000000
          AS salting_recommended
 FROM g_{table} GROUP BY 1, 2""")

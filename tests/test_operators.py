@@ -2948,3 +2948,34 @@ def test_cap_key_degree_planted_hot_user(spark):
     again = {(r.u, r.item)
              for r in cap_key_degree(df.repartition(7), 64).collect()}
     assert again == {(r.u, r.item) for r in out}
+
+
+def test_cap_key_degree_null_keys_engine_identical(spark):
+    # NULL keys/items coalesce to the '' sentinel before hashing on
+    # BOTH engines (ADVICE r8: Spark concat_ws skips NULLs and sorts
+    # NULLS FIRST; DuckDB || propagates NULL and sorts NULLS LAST — a
+    # >cap key containing a NULL item kept a different subsample per
+    # engine). Referee: CAP_DEGREE_SQL on DuckDB over the same rows.
+    import duckdb
+
+    from omldm_spark.operators.corpus import CAP_DEGREE_SQL, cap_key_degree
+
+    rows = ([("hot", str(i)) for i in range(20)] + [("hot", None)]
+            + [(None, str(i)) for i in range(20)] + [(None, None)]
+            + [("cold", "x")])
+    df = spark.createDataFrame(rows, "u string, item string")
+    got = {(r.u, r.item) for r in cap_key_degree(df, 8).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (u VARCHAR, item VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+    want = {tuple(r) for r in con.execute(
+        "WITH src2 AS (SELECT * FROM src) "
+        + CAP_DEGREE_SQL(8, "src2", key="u", item="item")).fetchall()}
+    assert got == want
+    # both engines capped the hot and NULL keys to 8
+    from collections import Counter
+
+    per_key = Counter(u for u, _ in got)
+    assert per_key["hot"] == 8 and per_key[None] == 8
+    assert per_key["cold"] == 1

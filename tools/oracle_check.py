@@ -117,6 +117,25 @@ def main() -> int:
         sdf.columns = [c.lower() for c in sdf.columns]
         odf.columns = [c.lower() for c in odf.columns]
         sn, on = normalize(sdf), normalize(odf)
+        # the driver's value hash is dtype-sensitive: a DuckDB HUGEINT
+        # (sum of BIGINT) comes back to pandas as float64 and hashes
+        # "201700.0" against Spark's int64 "201700" even when every
+        # value is equal — caught live by CORRECTNESS_r08
+        # shuffle_skew_report.  Flag any float-vs-integer/bool kind
+        # split so the local gate fails where the driver would.
+        kind_bad = [
+            c for c in sn.columns
+            if {sn[c].dtype.kind, on[c].dtype.kind} <= set("ifub")
+            and (sn[c].dtype.kind == "f") != (on[c].dtype.kind == "f")
+        ]
+        if kind_bad:
+            failures.append(name)
+            results[name] = {"status": "dtype_kind_mismatch",
+                             "cols": kind_bad}
+            print(f"FAIL {name}: float-vs-int dtype split on {kind_bad} "
+                  f"(spark {[str(sn[c].dtype) for c in kind_bad]} vs "
+                  f"oracle {[str(on[c].dtype) for c in kind_bad]})")
+            continue
         try:
             pd.testing.assert_frame_equal(
                 sn, on, check_dtype=False, check_exact=True
