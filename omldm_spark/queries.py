@@ -17349,41 +17349,47 @@ def q_histogram_selectivity_report(spark: SparkSession,
 # / planner-diagnostics families the r7 verdict flagged with zero
 # driver rows, (c) never-verified names across the remaining families.
 # 135 exact-oracle queries remain unseen after this set.
+# Round-9 rotation: the entire r8 snapshot came back green except
+# shuffle_skew_report (a DuckDB HUGEINT->float dtype split, oracle now
+# CAST to BIGINT), which keeps its slot so the driver re-certifies the
+# fix.  The other 49 slots rotate to never-driver-verified exact-oracle
+# queries (138 remained after r8), prioritizing whole families with
+# zero driver rows: the TPC-H spine, streaming-IVM twins, CDC/SCD2,
+# corpus prep, VQ/ANN, and the stats/diagnostics suite.  ~89 exact
+# names remain unseen after this set.
 _SNAPSHOT_TOP = [
-    # round-8 changed semantics/plans — driver must re-certify
-    "item_triangles", "item_cooccurrence", "itemknn_recommendations",
-    "tfidf_cosine_pairs", "mutual_knn_docs", "shared_span_pairs",
-    "ktruss_epsilon_edges", "correlated_selectivity_audit",
-    "histogram_selectivity_report",
-    # epsilon-graph family (r6, zero driver rows)
-    "grid_epsilon_pairs", "dbscan_core_points", "dbscan_clusters",
-    "wl_item_classes", "mis_epsilon_luby", "jp_coloring_epsilon",
-    "hits_item_authorities", "edge_embeddedness", "graph_cohesion_report",
-    "label_propagation_communities", "temporal_reachability",
-    "label_homophily_report", "embedding_walk_corpus",
-    # vector quantization / ANN (r6-r7, zero driver rows;
-    # quantize_embeddings is array-shaped, so the contamination-matrix
-    # report takes its slot)
-    "cross_source_overlap", "dedup_embedding_lsh", "ann_ivf_exact_topk",
-    "pq_train_codebooks", "ann_pq_adc_topk", "pq_distortion_report",
-    "dedup_pq_block_pairs", "opq_dim_assignment",
-    "nearest_centroid_embeddings", "embedding_power_iteration",
-    # planner diagnostics + skew
-    "join_size_estimate_report", "shuffle_skew_report",
-    "skew_profile_partkey", "salted_join_brand_revenue",
-    # TPC-H spine (never driver-verified slices)
-    "tpch_q6_like", "tpch_q17_like",
-    # streaming twins (exact IVM oracles, never driver-verified)
-    "streaming_hourly_counts", "streaming_topk_users",
+    # re-certify the r8 red row (dtype fix)
+    "shuffle_skew_report",
+    # TPC-H spine, never driver-verified slices
+    "tpch_q4_like", "tpch_q7_like", "tpch_q8_like", "tpch_q9_like",
+    "tpch_q10_like", "tpch_q12_like", "tpch_q13_like", "tpch_q14_like",
+    "tpch_q15_like", "tpch_q16_like", "tpch_q18_like", "tpch_q19_like",
+    # streaming twins (exact IVM oracles, zero driver rows)
+    "streaming_hll_users", "streaming_distinct_keys",
+    "streaming_event_sessions", "streaming_mv_retractable",
+    "streaming_cms_cells", "streaming_bitmap_distinct",
+    "streaming_table_fingerprint", "streaming_scd2_lookup",
+    # CDC / SCD2 / log compaction
+    "cdc_apply_snapshot", "scd2_incremental_user_state",
+    "scd2_temporal_lookup", "snapshot_diff_cdc",
+    "latest_event_per_user_type",
+    # corpus prep / quality / dedup reporting
+    "quality_filter_funnel", "dedup_savings_report", "corpus_clean",
+    "doc_chunks", "shared_chunk_stats", "sample_k_per_source",
+    "source_language_mix",
+    # retrieval / text
+    "hard_negative_topk", "phrase_search_docs", "rake_keywords",
     # array-output flat twins: pinned in-snapshot by
     # tests/test_snapshot_shape.py (the r5 canonicalizer lesson)
     "embedding_kmeans_train_flat", "sequence_packing_flat",
-    # text / LM
-    "token_counts_bpe", "bigram_lm_scores", "vocab_top_terms",
-    "top_event_trigrams",
-    # corpus prep / sampling
-    "dup_span_removal", "temperature_sample",
-    "budget_apportion_sources", "stratified_three_way_split",
+    # VQ / ANN, remaining zero-driver-row variants
+    "ann_quantized_topk", "ann_opq_adc_topk", "ann_rq_adc_topk",
+    "ann_ivfadc_topk", "pq_train_codebooks_opq",
+    # analytics / stats diagnostics
+    "gini_revenue_concentration",
+    "pivot_user_activity", "cube_revenue", "powerlaw_fit_report",
+    # learners / calibration
+    "ht_observer_stats", "orr_per_segment", "isotonic_calibration",
 ]
 
 
