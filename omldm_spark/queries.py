@@ -3999,6 +3999,37 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(plant_pii(load_table(spark, sf_dir, "documents")))
 
 
+from .operators.web import (  # noqa: E402
+    URL_CANONICAL_DEDUP_SQL,
+    URL_HOST_REPORT_SQL,
+    plant_urls,
+    url_canonical_dedup,
+    url_host_report,
+)
+
+
+@query("url_canonical_dedup", oracle=URL_CANONICAL_DEDUP_SQL())
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization (scheme/host case, www,
+    default ports, utm/ref/fbclid/gclid params, fragments, trailing
+    slashes): plant deterministic raw spellings keyed by doc_id — two
+    spellings of one page per doc plus CDN assets — then collapse to
+    (canon_url, n_raw_rows, n_raw_forms, n_docs, keep_doc).  Map-only
+    canonicalization + one count/min groupBy (map-side combined)."""
+    return url_canonical_dedup(
+        plant_urls(load_table(spark, sf_dir, "documents")))
+
+
+@query("url_host_report", oracle=URL_HOST_REPORT_SQL())
+def q_url_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl rollup after canonicalization: (host, n_urls,
+    n_canon_urls, n_docs) — the per-domain-quota view web-corpus
+    curation caps spam domains with.  Same map-only + single-groupBy
+    shape as the dedup report."""
+    return url_host_report(
+        plant_urls(load_table(spark, sf_dir, "documents")))
+
+
 @query("decontaminate", oracle=DECONTAMINATE_SQL())
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 8-gram overlap of every training doc

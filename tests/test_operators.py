@@ -353,6 +353,54 @@ def test_dedup_clusters_transitive_and_isolated(spark):
     assert sorted(keepers) == [0, 3, 4, 5, 7]
 
 
+def test_canonical_url_rules(spark):
+    # every documented rule, one planted case each, plus a referee that
+    # two raw spellings of one page collapse while distinct pages don't
+    from omldm_spark.operators.web import canonical_url
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/A/B/?utm_source=x&q=1#top",
+         "http://example.com/A/B?q=1"),           # case, www, :80, utm, frag
+        ("https://example.com:443/", "https://example.com/"),  # :443, root
+        ("https://example.com", "https://example.com/"),       # empty path
+        ("http://example.com/p?utm_a=1&utm_b=2",
+         "http://example.com/p"),                 # all params tracking
+        ("http://example.com/p?a=1&ref=r&b=2",
+         "http://example.com/p?a=1&b=2"),         # order preserved
+        ("http://example.com:8080/p", "http://example.com:8080/p"),
+        ("https://example.com:80/p", "https://example.com:80/p"),
+        ("http://example.com/p?fbclid=x&gclid=y",
+         "http://example.com/p"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # path CASE is preserved (only scheme+host lowercase)
+    assert got[0] == "http://example.com/A/B?q=1"
+
+
+def test_url_canonical_dedup_collapses_planted_forms(spark):
+    from omldm_spark.operators.web import plant_urls, url_canonical_dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long")
+    out = {r.canon_url: r for r in
+           url_canonical_dedup(plant_urls(docs)).collect()}
+    # every page canon collapsed exactly two raw forms from one doc
+    page = [r for c, r in out.items() if "/path/" in c]
+    assert page and all(r.n_raw_forms == 2 for r in page)
+    # cdn assets: every 4th doc, 5 distinct images, one raw form each
+    cdn = [r for c, r in out.items() if "cdn.example.com" in c]
+    assert len(cdn) == 5
+    assert sum(r.n_raw_rows for r in cdn) == 10  # docs 0,4,...,36
+    assert all(":443" not in c and "#" not in c and "utm_" not in c
+               for c in out)
+
+
 def test_pii_redact_counts_and_placeholders(spark):
     from omldm_spark.operators.pii import pii_redact
 
