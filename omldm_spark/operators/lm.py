@@ -552,3 +552,127 @@ SELECT w1, w2, c12, c1, c2, pmi_ppm,
 FROM scored
 QUALIFY row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2) <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# PLSA topic-model EM round (distributed EM over the inverted index)
+# ---------------------------------------------------------------------------
+
+def _plsa_fold(expr: str) -> str:
+    """Engine-shared 48-bit md5 fold (the corpus._u48_fold_sql idiom,
+    inlined so lm.py doesn't import a private helper across modules)."""
+    hexd = "0123456789abcdef"
+    return "(" + " + ".join(
+        f"CAST(instr('{hexd}', substr(md5(CAST({expr} AS STRING)), {j}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (12 - j)}"
+        for j in range(1, 13)
+    ) + ")"
+
+
+def _plsa_aff(kind: str, col: str, z: int) -> str:
+    """Deterministic integer affinity in [1, 997]: the EM seed.  A pure
+    function of the (term|doc, topic) pair via the shared md5 fold, so
+    both engines start from the identical initialization."""
+    seed = f"concat('{kind}:', {col}, ':', '{z}')"
+    return f"(1 + ({_plsa_fold(seed)} % 997))"
+
+
+def _plsa_r_ppm(z: int, k: int) -> str:
+    """E-step responsibility r(z | d, w) in floor-ppm as ONE shared-text
+    expression over columns (doc, term): r ∝ b(d,z)·a(w,z) with the
+    normalizer a literal sum over the k topics — entirely map-side, no
+    shuffle, no window.  Envelope: b·a <= 997^2, ×1e6 <= ~1e12 < 2^53,
+    so the double floor-division is exact and engine-identical."""
+    terms = [f"({_plsa_aff('d', 'doc', zz)} * {_plsa_aff('w', 'term', zz)})"
+             for zz in range(k)]
+    num = terms[z]
+    den = " + ".join(terms)
+    return (f"CAST(floor(CAST({num} AS DOUBLE)"
+            f" * CAST(1000000.0 AS DOUBLE)"
+            f" / CAST(({den}) AS DOUBLE)) AS BIGINT)")
+
+
+def plsa_round(docs: DataFrame, k: int = 4, top_n: int = 15,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """One exact EM round of PLSA (Hofmann SIGIR'99) over the corpus:
+    from a deterministic seeded factorization p(z|d) ∝ b(d,z),
+    p(w|z) ∝ a(w,z), compute the E-step responsibilities r(z|d,w) and
+    the M-step topic-term counts n̂(w,z) = Σ_d tf(d,w)·r(z|d,w); report
+    the ``top_n`` terms per topic by n̂ (the topic keyword view).
+
+    Output: (topic, term, n_hat_q, rank) — n̂ carried as the exact
+    BIGINT Σ tf·r_ppm (per-row tf·r <= 1e4·1e6 = 1e10; a term-topic
+    group overflows int64 only past ~9e8 posting rows for ONE term,
+    beyond any real corpus' document frequency).
+
+    Scale shape — the part that matters at 100 TB: the E-step is pure
+    map-side Catalyst expressions (both affinities and the per-(d,w)
+    normalizer are literal sums over the k topics — k is a model
+    constant, so no per-topic shuffle, no window, no join against a
+    factor matrix).  The only shuffles are the postings groupBy
+    (map-side combined) and the (term, topic) M-step aggregation;
+    the final top-n window partitions by topic over the vocab-sized
+    aggregate.  Further EM rounds at scale would persist n̂ as the new
+    a(w,z) — the factor frame is vocab×k, broadcast-sized.
+
+    Reference scope note: OMLDM has no topic-model surface (its
+    learners are supervised, OMLDM §2.9); beyond-reference charter."""
+    from .retrieval import postings
+
+    posts = postings(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc"), "term", "tf")
+    with_r = posts.select(
+        "doc", "term", "tf",
+        *[F.expr(_plsa_r_ppm(z, k)).alias(f"r{z}") for z in range(k)],
+    )
+    stacked = with_r.selectExpr(
+        "term", "tf",
+        "stack(" + str(k) + ", "
+        + ", ".join(f"CAST({z} AS BIGINT), r{z}" for z in range(k))
+        + ") AS (topic, r_ppm)",
+    )
+    nhat = stacked.groupBy("topic", "term").agg(
+        F.sum(F.col("tf") * F.col("r_ppm")).cast("long").alias("n_hat_q"))
+    w = Window.partitionBy("topic").orderBy(
+        F.desc("n_hat_q"), F.asc("term"))
+    return (
+        nhat.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def PLSA_ROUND_SQL(k: int = 4, top_n: int = 15, table: str = "documents",
+                   text_expr: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB mirror: identical fold, affinities, and floor-ppm E-step
+    (shared expression text); the k-way stack becomes a UNION ALL."""
+    branches = "\nUNION ALL ".join(
+        f"SELECT CAST({z} AS BIGINT) AS topic, term, tf,"
+        f" {_plsa_r_ppm(z, k)} AS r_ppm FROM posts"
+        for z in range(k)
+    )
+    return f"""
+WITH toked AS (
+  SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table}
+),
+posts AS (
+  SELECT term, {id_col} AS doc, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest(toks) AS term FROM toked)
+  GROUP BY term, {id_col}
+),
+resp AS (
+{branches}
+),
+nhat AS (
+  SELECT topic, term, CAST(sum(tf * r_ppm) AS BIGINT) AS n_hat_q
+  FROM resp GROUP BY 1, 2
+)
+SELECT topic, term, n_hat_q,
+       CAST(row_number() OVER (PARTITION BY topic
+                               ORDER BY n_hat_q DESC, term) AS BIGINT)
+         AS rank
+FROM nhat
+QUALIFY row_number() OVER (PARTITION BY topic
+                           ORDER BY n_hat_q DESC, term) <= {top_n}
+"""

@@ -4047,6 +4047,19 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
 
 
+from .operators.lm import PLSA_ROUND_SQL, plsa_round  # noqa: E402
+
+
+@query("plsa_topic_round", oracle=PLSA_ROUND_SQL())
+def q_plsa_topic_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact distributed EM round of PLSA topic modeling: seeded
+    integer factorization, map-side-only E-step (responsibilities are
+    literal k-term Catalyst expressions — no per-topic shuffle), one
+    (term, topic) M-step aggregation, top-15 terms per topic.  All
+    integer/floor-ppm math under the shared <2^53 envelope."""
+    return plsa_round(load_table(spark, sf_dir, "documents"))
+
+
 from .operators.corpus import (  # noqa: E402
     TEMPERATURE_SAMPLE_SQL,
     temperature_sample,
@@ -12850,6 +12863,115 @@ def q_nearest_centroid_embeddings(spark: SparkSession,
             "dist_q",
             (F.col("cand") == F.col("true_label")).alias("correct"),
         )
+    )
+
+
+# silhouette vs max(a,b): exact through ppm — (b-a)*1e6 <= 64 dims *
+# (2*1000)^2 * 1e6 = 2.56e14 < 2^53, so the BIGINT->DOUBLE cast is
+# exact and floor(div) is bit-identical cross-engine
+_SIL_PPM = ("CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(floor(CAST((b - a) * 1000000 AS DOUBLE)"
+            " / CAST(greatest(a, b) AS DOUBLE)) AS BIGINT) END")
+
+
+@query(
+    "embedding_silhouette_report",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000.0, 0)
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+cents AS (
+  SELECT label AS cand, pos,
+         CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2
+),
+dists AS (
+  SELECT v.vec_id, v.label, c.cand,
+         CAST(sum((v.qv - c.c) * (v.qv - c.c)) AS BIGINT) AS dist_q
+  FROM q v JOIN cents c ON v.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN cand = label THEN dist_q END) AS a,
+         min(CASE WHEN cand <> label THEN dist_q END) AS b
+  FROM dists GROUP BY 1, 2
+),
+sil AS (SELECT vec_id, label, {_SIL_PPM} AS s_ppm FROM ab)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(floor(CAST(sum(s_ppm) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_sil_ppm,
+       CAST(min(s_ppm) AS BIGINT) AS min_sil_ppm,
+       CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM sil GROUP BY label
+""",
+)
+def q_embedding_silhouette_report(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Centroid-silhouette cluster-quality report over the label
+    clustering of the embeddings table: per vector, a = exact BIGINT
+    squared distance to its OWN label centroid, b = min distance over
+    the other centroids, s = (b-a)/max(a,b) in floor-ppm; rolled up
+    per label to (n_vecs, mean_sil_ppm, min_sil_ppm, n_negative) —
+    n_negative counts vectors closer to a foreign centroid than their
+    own, the classic misassignment signal the kmeans family needs
+    before trusting a clustering for curation decisions.
+
+    The medoid-free simplified silhouette (Hruschka 2004): full
+    silhouette is a pairwise O(n^2) construct; against centroids it is
+    one |labels| x dim broadcast and stays linear — the only silhouette
+    anyone computes at 100 TB.  Same quantized exactness recipe as
+    nearest_centroid_embeddings: half-up integer centroids, BIGINT
+    distances, one shared floor-div ppm expression (envelope 2.56e14 <
+    2^53, so every double step is exact cross-engine)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos0", "e"),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("e").cast("double") * 1000.0, 0).cast("long")
+        .alias("qv"),
+    )
+    cents = q.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(qv) AS DOUBLE) / CAST(count(1) AS DOUBLE)"
+            " + 0.5) AS BIGINT)"
+        ).alias("c")
+    ).select(F.col("label").alias("cand"), "pos", "c")
+    dists = (
+        q.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label", "cand")
+        .agg(
+            F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")))
+            .cast("long").alias("dist_q")
+        )
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("cand") == F.col("label"),
+                     F.col("dist_q"))).alias("a"),
+        F.min(F.when(F.col("cand") != F.col("label"),
+                     F.col("dist_q"))).alias("b"),
+    )
+    sil = ab.select("vec_id", "label", F.expr(_SIL_PPM).alias("s_ppm"))
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("CAST(floor(CAST(sum(s_ppm) AS DOUBLE)"
+               " / CAST(count(1) AS DOUBLE)) AS BIGINT)")
+        .alias("mean_sil_ppm"),
+        F.min("s_ppm").cast("long").alias("min_sil_ppm"),
+        F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0)).cast("long")
+        .alias("n_negative"),
     )
 
 

@@ -3027,3 +3027,55 @@ def test_cap_key_degree_null_keys_engine_identical(spark):
     per_key = Counter(u for u, _ in got)
     assert per_key["hot"] == 8 and per_key[None] == 8
     assert per_key["cold"] == 1
+
+
+def test_embedding_silhouette_planted_geometry(spark):
+    # two tight, well-separated clusters -> strongly positive mean
+    # silhouette; one planted traitor sitting on the foreign centroid ->
+    # counted negative for its own label
+    from omldm_spark.queries import QUERIES
+    import pyspark.sql.functions as F  # noqa: F401
+
+    rows = []
+    for i in range(8):
+        rows.append((i, 0, [1.0, 0.0, 0.0, 0.0]))
+    for i in range(8, 16):
+        rows.append((i, 1, [0.0, 1.0, 0.0, 0.0]))
+    rows.append((16, 0, [0.0, 1.0, 0.0, 0.0]))  # traitor: label 0 at c1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    emb.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r.label: r for r in
+           QUERIES["embedding_silhouette_report"](spark, d).collect()}
+    assert out[1].n_negative == 0 and out[1].mean_sil_ppm > 900_000
+    assert out[0].n_negative == 1          # the traitor
+    assert out[0].min_sil_ppm < 0
+    assert out[0].n_vecs == 9 and out[1].n_vecs == 8
+
+
+def test_plsa_round_partition_invariant_and_shaped(spark):
+    from omldm_spark.operators.lm import plsa_round
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 5} delta epsilon zeta")
+         for i in range(30)],
+        "doc_id long, text string")
+    a = {(r.topic, r.term): (r.n_hat_q, r.rank)
+         for r in plsa_round(docs, k=3, top_n=4).collect()}
+    b = {(r.topic, r.term): (r.n_hat_q, r.rank)
+         for r in plsa_round(docs.repartition(7), k=3, top_n=4).collect()}
+    assert a == b                      # exact integer EM: order-free
+    topics = {t for t, _ in a}
+    assert topics == {0, 1, 2}
+    for t in topics:                   # dense rank 1..top_n per topic
+        ranks = sorted(rk for (tt, _), (_, rk) in a.items() if tt == t)
+        assert ranks == [1, 2, 3, 4]
+    # responsibilities split mass: a term's n_hat summed over topics is
+    # close to 1e6 * corpus tf (floor-ppm loses < k per posting row);
+    # needs the UNtruncated aggregate, so rank over the full vocab
+    full = {(r.topic, r.term): r.n_hat_q
+            for r in plsa_round(docs, k=3, top_n=1000).collect()}
+    tot_alpha = sum(n for (t, term), n in full.items() if term == "alpha")
+    assert 0 <= 30 * 1_000_000 - tot_alpha < 3 * 30
