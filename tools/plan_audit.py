@@ -19,6 +19,44 @@ from omldm_spark.session import get_spark  # noqa: E402
 
 CHECKS = {
     # query -> list of (description, predicate over plan text)
+    "url_canonical_dedup": [
+        # map-only canonicalization pipelines into the scan; the dedup
+        # itself is one groupBy — the two countDistincts expand into
+        # Spark's canonical two-phase distinct aggregate, so exactly
+        # TWO keyed exchanges and never more (no join, no window)
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("at most the two distinct-agg shuffles",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+        ("counts partially aggregate",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "url_host_report": [
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("at most the two distinct-agg shuffles",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+        ("counts partially aggregate",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "plsa_topic_round": [
+        # the whole E-step is map-side expressions: no factor-matrix
+        # join, no per-topic shuffle — only the postings groupBy, the
+        # (term, topic) M-step agg, and the per-topic top-n window
+        ("no factor-matrix join",
+         lambda p: "Join" not in p and "CartesianProduct" not in p),
+        ("postings + M-step aggregations map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("top-n window keyed by topic (never single-partition)",
+         lambda p: "SinglePartition" not in p),
+    ],
+    "embedding_silhouette_report": [
+        # the |labels| x dim centroid table broadcasts into the distance
+        # pass; everything else is keyed aggregation
+        ("centroids broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("distance + rollup aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
     "tpch_q2_like": [
         # fact shuffles once on (partkey, suppkey); the per-part MIN is a
         # window over the aggregated rows — dims broadcast, fact never does
@@ -1117,6 +1155,11 @@ CHECKS.update({
         ("per-round edge state lineage-truncated",
          lambda p: "ExistingRDD" in p or "LogicalRDD" in p
          or "Scan RDD" in p),
+        # the FINAL support pass's oriented-edge frame persists for its
+        # three consumers (the per-ROUND frames are unpersisted inside
+        # ktruss_edges once each round materializes, ADVICE r8 — only
+        # this one bounded entry survives, referenced by the lazy
+        # output)
         ("oriented edge frame persisted for its three consumers",
          lambda p: "InMemoryTableScan" in p),
         ("support count map-side combined",
