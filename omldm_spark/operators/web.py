@@ -218,3 +218,91 @@ SELECT regexp_extract(canon_url, '{_HOSTPORT_RE}', 1) AS host,
 FROM canon
 GROUP BY 1
 """
+
+
+def host_quota_sample(urls: DataFrame, quota: int = 8,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-host page quota after canonicalization: keep at most ``quota``
+    DISTINCT canonical pages per host, selected by the engine-identical
+    md5 order — the anti-spam lever of web-corpus curation (one link-farm
+    domain otherwise floods the corpus; C4 capped pages per domain for
+    exactly this reason).  Composition of canonical_url with the
+    cap_key_degree discipline (operators/corpus.py): distinct
+    (host, canon_url) pairs -> one keyed row_number window -> filter.
+    Returns (host, canon_url, n_docs) for the kept pages.
+
+    Scale: the window partitions by host over DISTINCT pages, so a hot
+    host costs its page count, not its raw crawl count — the distinct
+    agg collapses recrawls map-side first."""
+    from .corpus import cap_key_degree
+
+    canon = canonical_url(F.col("url"))
+    host = F.regexp_extract(canon, _HOSTPORT_RE, 1)
+    pages = (
+        urls.select(host.alias("host"), canon.alias("canon_url"),
+                    F.col(id_col))
+        .groupBy("host", "canon_url")
+        .agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+    )
+    kept = cap_key_degree(pages, quota, key_col="host",
+                          item_col="canon_url")
+    return kept.select("host", "canon_url", "n_docs")
+
+
+def HOST_QUOTA_SQL(quota: int = 8, table: str = "documents",
+                   id_col: str = "doc_id") -> str:
+    from .corpus import CAP_DEGREE_SQL
+
+    canon = CANONICAL_URL_SQL("url")
+    return f"""
+WITH planted AS ({PLANT_URLS_SQL(table, id_col)}),
+pages AS (
+  SELECT regexp_extract({canon}, '{_HOSTPORT_RE}', 1) AS host,
+         {canon} AS canon_url,
+         CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs
+  FROM planted
+  GROUP BY 1, 2
+),
+kept AS ({CAP_DEGREE_SQL(quota, "pages", key="host", item="canon_url")})
+SELECT k.host, k.canon_url, p.n_docs
+FROM kept k JOIN pages p
+  ON p.host = k.host AND p.canon_url = k.canon_url
+"""
+
+
+def blocklist_filter(urls: DataFrame, blocked_hosts: list[str],
+                     id_col: str = "doc_id") -> DataFrame:
+    """Domain-blocklist scrub: drop every URL whose canonical host is on
+    the list, report per-host keep/drop counts — (host, blocked, n_urls,
+    n_docs).  The blocklist is model-scale (curated lists are 1e4-1e6
+    hosts): broadcast into a map-side membership check; at list sizes
+    beyond broadcast this becomes a LEFT ANTI join on host, same keyed
+    shape.  Here the list rides an isin literal — Catalyst compiles it
+    to a hash-set probe inside the scan projection."""
+    canon = canonical_url(F.col("url"))
+    host = F.regexp_extract(canon, _HOSTPORT_RE, 1)
+    return (
+        urls.select(F.col(id_col), host.alias("host"))
+        .withColumn("blocked", F.col("host").isin(blocked_hosts))
+        .groupBy("host", "blocked")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+    )
+
+
+def BLOCKLIST_SQL(blocked_hosts: list[str], table: str = "documents",
+                  id_col: str = "doc_id") -> str:
+    canon = CANONICAL_URL_SQL("url")
+    inlist = ", ".join(f"'{h}'" for h in blocked_hosts)
+    return f"""
+WITH planted AS ({PLANT_URLS_SQL(table, id_col)})
+SELECT regexp_extract({canon}, '{_HOSTPORT_RE}', 1) AS host,
+       regexp_extract({canon}, '{_HOSTPORT_RE}', 1) IN ({inlist})
+         AS blocked,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs
+FROM planted
+GROUP BY 1, 2
+"""

@@ -4000,12 +4000,21 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .operators.web import (  # noqa: E402
+    BLOCKLIST_SQL,
+    HOST_QUOTA_SQL,
     URL_CANONICAL_DEDUP_SQL,
     URL_HOST_REPORT_SQL,
+    blocklist_filter,
+    host_quota_sample,
     plant_urls,
     url_canonical_dedup,
     url_host_report,
 )
+
+# curated blocklist for the scrub query: a deterministic slice of the
+# planted hosts so both keep and drop branches are non-vacuous
+_BLOCKED_HOSTS = ["site3.example.com", "site7.example.com",
+                  "site11.example.com", "spam.example.net"]
 
 
 @query("url_canonical_dedup", oracle=URL_CANONICAL_DEDUP_SQL())
@@ -4028,6 +4037,28 @@ def q_url_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the dedup report."""
     return url_host_report(
         plant_urls(load_table(spark, sf_dir, "documents")))
+
+
+@query("url_host_quota_sample", oracle=HOST_QUOTA_SQL(quota=3))
+def q_url_host_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain page quota (the C4 anti-link-farm cap): at most 3
+    DISTINCT canonical pages per host, picked by the engine-identical
+    md5 order — canonical_url composed with the cap_key_degree window
+    discipline.  Distinct pages collapse map-side before the keyed
+    window, so a hot host costs its page count, not its crawl count."""
+    return host_quota_sample(
+        plant_urls(load_table(spark, sf_dir, "documents")), quota=3)
+
+
+@query("url_blocklist_filter", oracle=BLOCKLIST_SQL(_BLOCKED_HOSTS))
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist scrub report: per (host, blocked) URL/doc counts
+    with the curated list compiled into a hash-set membership probe
+    inside the scan projection (broadcast/anti-join shape at larger
+    list sizes).  Both branches non-vacuous by construction."""
+    return blocklist_filter(
+        plant_urls(load_table(spark, sf_dir, "documents")),
+        _BLOCKED_HOSTS)
 
 
 @query("decontaminate", oracle=DECONTAMINATE_SQL())

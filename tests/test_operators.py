@@ -3079,3 +3079,33 @@ def test_plsa_round_partition_invariant_and_shaped(spark):
             for r in plsa_round(docs, k=3, top_n=1000).collect()}
     tot_alpha = sum(n for (t, term), n in full.items() if term == "alpha")
     assert 0 <= 30 * 1_000_000 - tot_alpha < 3 * 30
+
+
+def test_host_quota_sample_bites_and_deterministic(spark):
+    from omldm_spark.operators.web import host_quota_sample, plant_urls
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    urls = plant_urls(docs)
+    out = host_quota_sample(urls, quota=3).collect()
+    from collections import Counter
+
+    per_host = Counter(r.host for r in out)
+    # every site host has 7 distinct pages planted (doc_id % 7 paths x
+    # one query id per path combo appears; >= 3 pages) -> quota bites
+    assert all(v <= 3 for v in per_host.values())
+    assert per_host["cdn.example.com"] == 3
+    again = {(r.host, r.canon_url) for r in
+             host_quota_sample(urls.repartition(11), quota=3).collect()}
+    assert again == {(r.host, r.canon_url) for r in out}
+
+
+def test_blocklist_filter_branches(spark):
+    from omldm_spark.operators.web import blocklist_filter, plant_urls
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = blocklist_filter(plant_urls(docs),
+                           ["site3.example.com"]).collect()
+    blocked = {r.host for r in out if r.blocked}
+    kept = {r.host for r in out if not r.blocked}
+    assert blocked == {"site3.example.com"}
+    assert "site3.example.com" not in kept and kept
