@@ -147,3 +147,105 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
         )
         .filter(F.pmod(F.col("frame_idx"), F.lit(every_n)) == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio framing: overlapping-window feature extraction over PCM samples
+# ---------------------------------------------------------------------------
+
+AUDIO_WIN = 128   # samples per analysis frame
+AUDIO_HOP = 64    # hop between frame starts (50% overlap)
+
+
+def audio_frame_energy(docs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-frame audio features over synthetic PCM: the canonical DSP
+    framing pass (STFT/MFCC front ends all start here) — overlapping
+    windows of AUDIO_WIN samples every AUDIO_HOP, per frame the exact
+    integer energy (sum of squared samples), peak magnitude, and
+    zero-crossing count.  Output (doc_id, frame, n_samples, energy_q,
+    peak, n_zero_cross).
+
+    The container has no audio decode libs (operators/multimodal.py
+    header), so PCM is synthesized by a CLOSED-FORM integer recurrence
+    of (doc_id, sample index): s_i = ((doc_id*31 + i*17) % 256) - 128,
+    track length 512 + (doc_id % 7)*128 samples.  Closed form, not a
+    planted byte column: each frame row derives its samples by formula,
+    which is exactly how the real pass behaves after a mapInPandas
+    decode — every sample is read win/hop times by design, and the
+    plan (two explodes + one keyed map-side-combined aggregate, no
+    joins, no windows) is the 100 TB shape of the real thing.  A real
+    deployment swaps the formula for the decoded array column and
+    F.aggregate over slices; everything downstream is unchanged.
+
+    Exactness: samples in [-128, 127], energy <= 128 * 2^14 < 2^21 per
+    frame — every aggregate is a small exact BIGINT on both engines."""
+    d = F.col(id_col)
+    n = (F.lit(512) + (d % 7) * 128).alias("n")
+    nframes = F.floor((F.col("n") - AUDIO_WIN) / AUDIO_HOP) + 1
+    base = docs.select(d.cast("long").alias(id_col), n)
+    frames = base.select(
+        id_col, "n",
+        F.explode(F.sequence(F.lit(0), (nframes - 1).cast("int")))
+        .alias("frame"),
+    )
+    expanded = frames.select(
+        id_col, "frame",
+        F.explode(F.sequence(F.lit(0), F.lit(AUDIO_WIN - 1))).alias("j"),
+    ).select(
+        id_col, "frame", "j",
+        (F.col("frame") * AUDIO_HOP + F.col("j")).alias("i"),
+    )
+    s = ((F.col(id_col) * 31 + F.col("i") * 17) % 256 - 128).alias("s")
+    s_next = ((F.col(id_col) * 31 + (F.col("i") + 1) * 17) % 256 - 128)
+    samples = expanded.select(
+        id_col, "frame", "j", s,
+        F.when(F.col("j") < AUDIO_WIN - 1, s_next).alias("s1"),
+    )
+    return samples.groupBy(id_col, "frame").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("energy_q"),
+        F.max(F.abs("s")).cast("long").alias("peak"),
+        F.sum(F.when(F.col("s") * F.col("s1") < 0, 1).otherwise(0))
+        .cast("long").alias("n_zero_cross"),
+    )
+
+
+def AUDIO_FRAME_SQL(table: str = "documents",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB mirror: same closed-form PCM, same framing arithmetic."""
+    win, hop = AUDIO_WIN, AUDIO_HOP
+    return f"""
+WITH base AS (
+  SELECT CAST({id_col} AS BIGINT) AS {id_col},
+         512 + ({id_col} % 7) * 128 AS n
+  FROM {table}
+),
+frames AS (
+  SELECT {id_col}, unnest(generate_series(0,
+           CAST((n - {win}) // {hop} AS INT))) AS frame
+  FROM base
+),
+expanded AS (
+  SELECT {id_col}, frame, j, frame * {hop} + j AS i
+  FROM (SELECT {id_col}, frame,
+               unnest(generate_series(0, {win - 1})) AS j
+        FROM frames)
+),
+samples AS (
+  SELECT {id_col}, frame, j,
+         (({id_col} * 31 + i * 17) % 256) - 128 AS s,
+         CASE WHEN j < {win - 1}
+              THEN (({id_col} * 31 + (i + 1) * 17) % 256) - 128
+         END AS s1
+  FROM expanded
+)
+SELECT {id_col}, CAST(frame AS BIGINT) AS frame,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS energy_q,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN s * s1 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_cross
+FROM samples
+GROUP BY 1, 2
+"""

@@ -16891,6 +16891,24 @@ def q_multimodal_shard_manifest(spark: SparkSession,
     )
 
 
+from .operators.multimodal import (  # noqa: E402
+    AUDIO_FRAME_SQL,
+    audio_frame_energy,
+)
+
+
+@query("audio_frame_energy", oracle=AUDIO_FRAME_SQL())
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window audio framing (the STFT/MFCC front-end
+    shape): 128-sample frames every 64 over closed-form synthetic PCM,
+    per frame the exact integer energy, peak, and zero-crossing count.
+    Two explodes + one keyed map-side-combined aggregate — no joins,
+    no windows; every sample read win/hop times by design (the true
+    DSP cost model).  A production image swaps the sample formula for
+    the mapInPandas-decoded array column; the plan is unchanged."""
+    return audio_frame_energy(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Time-respecting reachability over co-presence contacts
 # ---------------------------------------------------------------------------

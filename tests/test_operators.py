@@ -3109,3 +3109,27 @@ def test_blocklist_filter_branches(spark):
     kept = {r.host for r in out if not r.blocked}
     assert blocked == {"site3.example.com"}
     assert "site3.example.com" not in kept and kept
+
+
+def test_audio_frame_energy_referee(spark):
+    # brute-force python referee on tiny ids: frame boundaries, energy,
+    # peak, zero crossings all match the closed-form samples
+    from omldm_spark.operators.multimodal import (
+        AUDIO_HOP, AUDIO_WIN, audio_frame_energy)
+
+    docs = spark.createDataFrame([(1,), (6,)], "doc_id long")
+    got = {(r.doc_id, r.frame): (r.n_samples, r.energy_q, r.peak,
+                                 r.n_zero_cross)
+           for r in audio_frame_energy(docs).collect()}
+    for d in (1, 6):
+        n = 512 + (d % 7) * 128
+        s = [((d * 31 + i * 17) % 256) - 128 for i in range(n + 1)]
+        nframes = (n - AUDIO_WIN) // AUDIO_HOP + 1
+        for f in range(nframes):
+            seg = s[f * AUDIO_HOP: f * AUDIO_HOP + AUDIO_WIN]
+            nxt = s[f * AUDIO_HOP + 1: f * AUDIO_HOP + AUDIO_WIN]
+            zc = sum(1 for a, b in zip(seg[:-1], nxt) if a * b < 0)
+            assert got[(d, f)] == (
+                AUDIO_WIN, sum(v * v for v in seg),
+                max(abs(v) for v in seg), zc)
+        assert {fr for dd, fr in got if dd == d} == set(range(nframes))
