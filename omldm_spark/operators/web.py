@@ -306,3 +306,39 @@ SELECT regexp_extract({canon}, '{_HOSTPORT_RE}', 1) AS host,
 FROM planted
 GROUP BY 1, 2
 """
+
+
+def url_frontier_ingest(incoming: DataFrame, existing: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Crawl-frontier admission (incremental URL dedup): an incoming URL
+    batch is admitted only if its CANONICAL form is (a) new to the
+    already-crawled set and (b) first within the batch (min doc id per
+    canonical page).  The operators/dedup.incremental_dedup shape on
+    canonical URLs: one LEFT ANTI join against the persisted canonical
+    set + one canonical-keyed min — both keyed on the canonical string,
+    per-batch cost O(batch + probe), never a recrawl-history scan.
+    Returns (canon_url, doc_id) for the admitted URLs."""
+    seen = existing.select(
+        canonical_url(F.col("url")).alias("canon_url")).distinct()
+    cand = incoming.select(
+        F.col(id_col), canonical_url(F.col("url")).alias("canon_url"))
+    fresh = cand.join(seen, "canon_url", "left_anti")
+    return fresh.groupBy("canon_url").agg(
+        F.min(id_col).cast("long").alias(id_col))
+
+
+def URL_FRONTIER_SQL(mod: int = 3, table: str = "documents",
+                     id_col: str = "doc_id") -> str:
+    canon = CANONICAL_URL_SQL("url")
+    return f"""
+WITH planted AS ({PLANT_URLS_SQL(table, id_col)}),
+canon AS (SELECT {id_col}, {canon} AS canon_url FROM planted),
+seen AS (
+  SELECT DISTINCT canon_url FROM canon WHERE {id_col} % {mod} != 0
+),
+cand AS (SELECT * FROM canon WHERE {id_col} % {mod} = 0)
+SELECT c.canon_url, CAST(min(c.{id_col}) AS BIGINT) AS {id_col}
+FROM cand c LEFT JOIN seen s ON s.canon_url = c.canon_url
+WHERE s.canon_url IS NULL
+GROUP BY 1
+"""

@@ -4061,6 +4061,24 @@ def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BLOCKED_HOSTS)
 
 
+from .operators.web import URL_FRONTIER_SQL, url_frontier_ingest  # noqa: E402
+
+
+@query("url_frontier_ingest", oracle=URL_FRONTIER_SQL(mod=3))
+def q_url_frontier_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-frontier admission: the planted crawl splits
+    deterministically into already-crawled (doc_id % 3 != 0) and an
+    incoming batch (== 0); an incoming URL is admitted only if its
+    canonical form is new to the crawled set and first within the
+    batch — one canonical-keyed LEFT ANTI join + one min, per-batch
+    cost O(batch + probe), never a history recrawl (the
+    incremental_dedup_ingest discipline on canonical URLs)."""
+    urls = plant_urls(load_table(spark, sf_dir, "documents"))
+    existing = urls.filter(F.col("doc_id") % 3 != 0)
+    incoming = urls.filter(F.col("doc_id") % 3 == 0)
+    return url_frontier_ingest(incoming, existing)
+
+
 @query("decontaminate", oracle=DECONTAMINATE_SQL())
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 8-gram overlap of every training doc
