@@ -48,6 +48,10 @@ HEADLINE = [
     "wl_item_classes",         # 3-round WL refinement (persist-per-round)
     "quality_filter_funnel",   # ordered Gopher-rule funnel, 1 global agg
     "mis_epsilon_luby",        # 4-round Luby MIS (per-round keyed min-agg)
+    "url_canonical_dedup",     # map-only canonicalization + 1 groupBy (r9)
+    "plsa_topic_round",        # map-side EM E-step + (term,topic) M-step
+    "audio_frame_energy",      # 2 explodes + keyed agg (win/hop framing)
+    "embedding_silhouette_report",  # centroid broadcast + keyed rollups
 ]
 
 

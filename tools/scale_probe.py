@@ -70,6 +70,11 @@ EXTRA = [
     "item_cooccurrence",
     "itemknn_recommendations",
     "item_triangles",
+    # round-9: the web-curation family (map-only canonicalization +
+    # keyed groupBys / windows) and the frontier anti-join
+    "url_host_quota_sample",
+    "url_frontier_ingest",
+    "tfidf_cosine_pairs",
 ]
 
 
