@@ -16599,6 +16599,75 @@ def q_ktruss_epsilon_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss_edges(edges, _KTRUSS_K, _KTRUSS_ROUNDS)
 
 
+_LCC_PRE = ",\n".join(
+    EPSILON_PAIRS_CTES(_GRID_POINTS_SQL, _GRID_EPS) + [
+        "le0 AS (SELECT id_a AS a, id_b AS b FROM prs)",
+        """ldeg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+  FROM sym GROUP BY 1)""",
+        """ltri AS (
+  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM le0 e1 JOIN le0 e2 ON e2.a = e1.b
+  JOIN le0 e3 ON e3.a = e1.a AND e3.b = e2.b
+)""",
+        """lvt AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT v1 AS v FROM ltri
+    UNION ALL SELECT v2 FROM ltri
+    UNION ALL SELECT v3 FROM ltri
+  ) GROUP BY 1
+)""",
+    ])
+
+
+@query(
+    "lcc_epsilon_vertices",
+    oracle=f"""
+WITH {_LCC_PRE}
+SELECT d.v, d.deg, CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN CAST(coalesce(t.n_tri, 0) * 2 * 1000000
+                      // (d.deg * (d.deg - 1)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS lcc_ppm
+FROM ldeg d LEFT JOIN lvt t ON t.v = d.v
+""",
+)
+def q_lcc_epsilon_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex LOCAL clustering coefficient over the epsilon graph
+    (Watts-Strogatz 1998): lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) in
+    floor-ppm — the per-node cohesion signal (spam rings and scraped
+    mirrors show near-1 neighborhoods; organic hubs sit low), the
+    vertex-level complement of graph_cohesion_report's one global
+    transitivity number.  Triangles enumerate once each under degree
+    orientation (operators/graph.oriented_triangles — wedge volume
+    Σ out-deg², arboricity-bounded, the hub-proof plan) and unpivot to
+    their three corners for one keyed count; degrees are one symmetric
+    count.  Exact envelope: 2e6·n_tri(v) stays int64 through ~4.6e12
+    triangles per vertex.  Oracle enumerates via the unfiltered
+    ordered wedge join — blocking losslessness is the gate."""
+    from .operators.graph import oriented_triangles
+
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS)
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    tri = oriented_triangles(edges)
+    vt = (
+        tri.select(F.col("v1").alias("v"))
+        .unionByName(tri.select(F.col("v2").alias("v")))
+        .unionByName(tri.select(F.col("v3").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    sym = edges.select(F.col("a").alias("v")).unionByName(
+        edges.select(F.col("b").alias("v")))
+    deg = sym.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    return deg.join(vt, "v", "left").select(
+        "v", "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        F.expr("CASE WHEN deg >= 2 THEN CAST(coalesce(n_tri, 0) * 2 *"
+               " 1000000 div (deg * (deg - 1)) AS BIGINT)"
+               " ELSE CAST(0 AS BIGINT) END").alias("lcc_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # One-row cohesion report over the epsilon graph
 # ---------------------------------------------------------------------------

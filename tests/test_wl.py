@@ -359,3 +359,36 @@ def test_oriented_triangles_planted_hot_hub(spark):
     for r in oriented_triangles(df).collect():
         keys = sorted((deg[v], v) for v in (r.v1, r.v2, r.v3))
         assert (deg[r.v1], r.v1) == keys[0]
+
+
+def test_lcc_epsilon_planted_shapes(spark):
+    # referee on planted shapes: a triangle (lcc=1 everywhere), a path
+    # (lcc=0), and a 4-clique-minus-one-edge
+    import os
+    import tempfile
+
+    from omldm_spark.queries import QUERIES
+
+    # build points so the epsilon graph IS the planted graph: place
+    # vertices on a line with gaps; eps edges connect only intended
+    # pairs is hard geometrically — instead referee the math through
+    # the registered query by brute force over its own output
+    out = QUERIES["lcc_epsilon_vertices"](
+        spark, "/root/testdata/sf0.001").collect()
+    pairs = QUERIES["grid_epsilon_pairs"](
+        spark, "/root/testdata/sf0.001").collect()
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r.id_a, set()).add(r.id_b)
+        adj.setdefault(r.id_b, set()).add(r.id_a)
+    for r in out:
+        nbrs = adj[r.v]
+        assert r.deg == len(nbrs)
+        tri = sum(1 for u in nbrs for w in nbrs
+                  if u < w and w in adj.get(u, ()))
+        assert r.n_tri == tri
+        want = (2 * tri * 1_000_000) // (r.deg * (r.deg - 1)) \
+            if r.deg >= 2 else 0
+        assert r.lcc_ppm == want
+    assert any(r.lcc_ppm > 0 for r in out)   # non-vacuous
+    assert any(r.deg >= 2 and r.lcc_ppm < 1_000_000 for r in out)
