@@ -4061,6 +4061,55 @@ def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BLOCKED_HOSTS)
 
 
+@query(
+    "corpus_datasheet",
+    oracle="""
+WITH rows_ AS (
+  SELECT source, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t != '')) AS BIGINT) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) // count(*) AS mean_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+       (CAST(count(*) AS BIGINT) - count(DISTINCT fp)) * 1000000
+         // count(*) AS dup_ppm
+FROM rows_
+GROUP BY source
+""",
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet (the 'datasheets for datasets' /
+    dataset-card rollup every corpus release ships): doc and exact
+    token counts, mean length, language spread, normalization-
+    fingerprint uniqueness and the implied duplicate rate in ppm — one
+    scan, one source-keyed groupBy whose count-distincts ride Spark's
+    Expand-based partial aggregation (sources are bounded, so the
+    output is report-sized at any corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    rows = docs.select(
+        "source", "lang",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    )
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("CAST(sum(n_tokens) AS BIGINT) div count(1)")
+        .alias("mean_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+        F.expr("(CAST(count(1) AS BIGINT) - count(DISTINCT fp)) * 1000000"
+               " div count(1)").alias("dup_ppm"),
+    )
+
+
 from .operators.web import URL_FRONTIER_SQL, url_frontier_ingest  # noqa: E402
 
 
