@@ -676,3 +676,152 @@ FROM nhat
 QUALIFY row_number() OVER (PARTITION BY topic
                            ORDER BY n_hat_q DESC, term) <= {top_n}
 """
+
+
+def plsa_second_round(docs: DataFrame, k: int = 4, top_n: int = 15,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """TWO exact EM rounds of PLSA — the round where real EM structure
+    appears.  Round 1's responsibilities are closed-form (plsa_round);
+    round 2 re-estimates BOTH factors from round 1's M-step and runs a
+    genuine factor-join E-step:
+
+      a2(w,z) = n̂1(w,z)·1e6 div Σ_z n̂1(w,·)     (term-keyed share)
+      b2(d,z) = m̂1(d,z)·1e6 div Σ_z m̂1(d,·)     (doc-keyed share,
+                 m̂1(d,z) = Σ_w tf·r1 — the p(z|d) M-step)
+      r2(z|d,w) = b2·a2·1e6 div Σ_z b2·a2        (pure integer, exact)
+
+    and reports round 2's top terms per topic: (topic, term, n_hat2_q,
+    rank).
+
+    Scale shape: round 1's stacked responsibilities materialize ONCE
+    (persist) and feed both M-step aggregations; the round-2 E-step is
+    posts ⨝ b2 (doc-keyed, k rows per doc) ⨝ a2 (term-keyed, k rows
+    per term) — the honest distributed-EM plan (factor frames are
+    data-keyed shuffles; at vocab scale a2 is still |vocab|·k, a keyed
+    join, never a driver collect) — with the per-(d,w) normalizer a
+    k-row window on the already-co-partitioned join output.
+
+    Exactness envelope: r ≤ 1e6, so n̂1(w,z) ≤ 1e6·ctf(w) and the a2
+    numerator n̂1·1e6 ≤ 1e12·ctf(w) — int64-exact through ctf(w) ≈
+    9.2e6 corpus occurrences of one term; beyond that, downscale n̂1
+    (÷2^20) before the share with no other change.  Every division is
+    positive-integer div — bit-identical on both engines.  b2·a2 ≤
+    1e12, ·1e6 ≤ 1e18 < int64 max.  Seeds give every topic nonzero
+    round-1 mass (min responsibility ≥ 1e6/(k·997²) > 0), so no share
+    denominator can vanish."""
+    from pyspark.sql import Window as W
+
+    from .retrieval import postings
+
+    posts = postings(docs, text_col, id_col).select(
+        F.col(id_col).alias("doc"), "term", "tf")
+    with_r = posts.select(
+        "doc", "term", "tf",
+        *[F.expr(_plsa_r_ppm(z, k)).alias(f"r{z}") for z in range(k)],
+    )
+    stacked = with_r.selectExpr(
+        "doc", "term", "tf",
+        "stack(" + str(k) + ", "
+        + ", ".join(f"CAST({z} AS BIGINT), r{z}" for z in range(k))
+        + ") AS (topic, r_ppm)",
+    ).persist()
+    nhat1 = stacked.groupBy("term", "topic").agg(
+        F.sum(F.col("tf") * F.col("r_ppm")).cast("long").alias("nh"))
+    mdoc1 = stacked.groupBy("doc", "topic").agg(
+        F.sum(F.col("tf") * F.col("r_ppm")).cast("long").alias("mh"))
+    a2 = nhat1.join(
+        nhat1.groupBy("term").agg(F.sum("nh").alias("_tot")), "term",
+    ).select("term", "topic",
+             F.expr("CAST(nh * 1000000 div _tot AS BIGINT)").alias("a2"))
+    b2 = mdoc1.join(
+        mdoc1.groupBy("doc").agg(F.sum("mh").alias("_tot")), "doc",
+    ).select("doc", "topic",
+             F.expr("CAST(mh * 1000000 div _tot AS BIGINT)").alias("b2"))
+    joined = (
+        posts.join(b2, "doc")
+        .join(a2, ["term", "topic"])
+        .withColumn("num", F.col("b2") * F.col("a2"))
+    )
+    r2 = joined.withColumn(
+        "r2_ppm",
+        F.expr("CAST(num * 1000000 div sum(num) OVER"
+               " (PARTITION BY doc, term) AS BIGINT)"))
+    nhat2 = r2.groupBy("topic", "term").agg(
+        F.sum(F.col("tf") * F.col("r2_ppm")).cast("long")
+        .alias("n_hat2_q"))
+    wtop = W.partitionBy("topic").orderBy(F.desc("n_hat2_q"),
+                                          F.asc("term"))
+    return (
+        nhat2.withColumn("rank", F.row_number().over(wtop).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def PLSA_TWO_ROUNDS_SQL(k: int = 4, top_n: int = 15,
+                        table: str = "documents",
+                        text_expr: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB mirror: identical round-1 responsibilities, shares, and
+    integer round-2 E-step."""
+    branches = "\nUNION ALL ".join(
+        f"SELECT CAST({z} AS BIGINT) AS topic, doc, term, tf,"
+        f" {_plsa_r_ppm(z, k)} AS r_ppm FROM posts"
+        for z in range(k)
+    )
+    return f"""
+WITH toked AS (
+  SELECT {id_col}, {TOKENS_SQL(text_expr)} AS toks FROM {table}
+),
+posts AS (
+  SELECT term, {id_col} AS doc, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest(toks) AS term FROM toked)
+  GROUP BY term, {id_col}
+),
+resp AS (
+{branches}
+),
+nhat1 AS (
+  SELECT term, topic, CAST(sum(tf * r_ppm) AS BIGINT) AS nh
+  FROM resp GROUP BY 1, 2
+),
+mdoc1 AS (
+  SELECT doc, topic, CAST(sum(tf * r_ppm) AS BIGINT) AS mh
+  FROM resp GROUP BY 1, 2
+),
+a2 AS (
+  SELECT term, topic,
+         CAST(nh * 1000000 // sum(nh) OVER (PARTITION BY term)
+              AS BIGINT) AS a2
+  FROM nhat1
+),
+b2 AS (
+  SELECT doc, topic,
+         CAST(mh * 1000000 // sum(mh) OVER (PARTITION BY doc)
+              AS BIGINT) AS b2
+  FROM mdoc1
+),
+joined AS (
+  SELECT p.doc, p.term, p.tf, b.topic, b.b2 * a.a2 AS num
+  FROM posts p
+  JOIN b2 b ON b.doc = p.doc
+  JOIN a2 a ON a.term = p.term AND a.topic = b.topic
+),
+r2 AS (
+  SELECT doc, term, tf, topic,
+         CAST(num * 1000000 // sum(num) OVER (PARTITION BY doc, term)
+              AS BIGINT) AS r2_ppm
+  FROM joined
+),
+nhat2 AS (
+  SELECT topic, term, CAST(sum(tf * r2_ppm) AS BIGINT) AS n_hat2_q
+  FROM r2 GROUP BY 1, 2
+)
+SELECT topic, term, n_hat2_q,
+       CAST(row_number() OVER (PARTITION BY topic
+                               ORDER BY n_hat2_q DESC, term) AS BIGINT)
+         AS rank
+FROM nhat2
+QUALIFY row_number() OVER (PARTITION BY topic
+                           ORDER BY n_hat2_q DESC, term) <= {top_n}
+"""

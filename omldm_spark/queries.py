@@ -4145,7 +4145,23 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
 
 
-from .operators.lm import PLSA_ROUND_SQL, plsa_round  # noqa: E402
+from .operators.lm import (  # noqa: E402
+    PLSA_ROUND_SQL,
+    PLSA_TWO_ROUNDS_SQL,
+    plsa_round,
+    plsa_second_round,
+)
+
+
+@query("plsa_two_rounds", oracle=PLSA_TWO_ROUNDS_SQL())
+def q_plsa_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact PLSA EM rounds: round 2 re-estimates both factors from
+    round 1's M-step and runs the genuine distributed-EM E-step — posts
+    joined with the doc-keyed p(z|d) share and the term-keyed p(w|z)
+    share, normalizer a k-row window on the co-partitioned join output.
+    All positive-integer division; factor frames stay data-keyed
+    shuffles, never driver state."""
+    return plsa_second_round(load_table(spark, sf_dir, "documents"))
 
 
 @query("plsa_topic_round", oracle=PLSA_ROUND_SQL())

@@ -3133,3 +3133,27 @@ def test_audio_frame_energy_referee(spark):
                 AUDIO_WIN, sum(v * v for v in seg),
                 max(abs(v) for v in seg), zc)
         assert {fr for dd, fr in got if dd == d} == set(range(nframes))
+
+
+def test_plsa_second_round_invariant_and_moves(spark):
+    from omldm_spark.operators.lm import plsa_round, plsa_second_round
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 5} delta epsilon zeta")
+         for i in range(30)],
+        "doc_id long, text string")
+    a = {(r.topic, r.term): (r.n_hat2_q, r.rank)
+         for r in plsa_second_round(docs, k=3, top_n=4).collect()}
+    b = {(r.topic, r.term): (r.n_hat2_q, r.rank)
+         for r in plsa_second_round(docs.repartition(7), k=3,
+                                    top_n=4).collect()}
+    assert a == b                       # exact integer EM round 2
+    for t in {0, 1, 2}:
+        ranks = sorted(rk for (tt, _), (_, rk) in a.items() if tt == t)
+        assert ranks == [1, 2, 3, 4]
+    # EM moved the factors: round-2 masses differ from round-1 masses
+    r1 = {(r.topic, r.term): r.n_hat_q
+          for r in plsa_round(docs, k=3, top_n=4).collect()}
+    common = set(a) & set(r1)
+    assert common
+    assert any(a[key][0] != r1[key] for key in common)
