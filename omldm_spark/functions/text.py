@@ -475,3 +475,60 @@ agg AS (SELECT {', '.join(counters)} FROM f)
 {chr(10).join(s + (' UNION ALL' if i < len(selects) else '')
               for i, s in enumerate(selects, start=1))}
 """
+
+
+def char_simpson_scores(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-doc character-level Simpson index (Rényi-2 collision
+    probability): Σ c_i² · 1e6 div n² over the character histogram —
+    the transcendental-free cousin of byte entropy used to screen
+    degenerate text (a one-character flood scores 1e6; diverse prose
+    sits near the language's collision floor, English ≈ 6-7%).  The
+    bigram_lm_scores discipline applies: Shannon entropy needs log(),
+    which IEEE does NOT require correctly rounded, so a log-based
+    oracle can differ in the last ulp cross-engine — the collision sum
+    is pure integer and bit-identical.  One explode over character
+    positions + two keyed aggs; n² ≤ 9.2e18 holds through ~3e9 chars
+    per doc.
+
+    Output: (doc_id, n_chars, n_distinct_chars, simpson_ppm)."""
+    chars = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("_i"),
+    ).select(
+        id_col, F.expr(f"substr({text_col}, _i, 1)").alias("ch"),
+    )
+    hist = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    return hist.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.expr("CAST(sum(c * c) * 1000000 div"
+               " (sum(c) * sum(c)) AS BIGINT)").alias("simpson_ppm"),
+    )
+
+
+def char_simpson_sql(table: str = "documents", text_expr: str = "text",
+                     id_col: str = "doc_id") -> str:
+    return f"""
+WITH chars AS (
+  SELECT {id_col}, substr({text_expr}, i, 1) AS ch
+  FROM (
+    SELECT {id_col}, {text_expr},
+           unnest(generate_series(1, len({text_expr}))) AS i
+    FROM {table}
+  )
+),
+hist AS (
+  SELECT {id_col}, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars GROUP BY 1, 2
+)
+SELECT CAST({id_col} AS BIGINT) AS {id_col},
+       CAST(sum(c) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
+         AS simpson_ppm
+FROM hist
+GROUP BY 1
+"""

@@ -816,6 +816,8 @@ def q_broadcast_pipeline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from .functions.text import (  # noqa: E402
+    char_simpson_scores,
+    char_simpson_sql,
     fingerprint,
     fingerprint_sql,
     lang_scores,
@@ -1104,6 +1106,16 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_quality", oracle=text_metrics_sql())
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@query("char_simpson_scores", oracle=char_simpson_sql())
+def q_char_simpson_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Simpson index per doc (Rényi-2 collision mass in
+    ppm) — the transcendental-free degenerate-text screen: log-based
+    entropy is not IEEE-correctly-rounded and can differ cross-engine
+    in the last ulp, while the collision sum is exact integer.  One
+    position explode + two keyed map-side-combined aggs."""
+    return char_simpson_scores(load_table(spark, sf_dir, "documents"))
 
 
 @query("quality_filter_funnel", oracle=quality_funnel_sql())

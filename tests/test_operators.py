@@ -3157,3 +3157,18 @@ def test_plsa_second_round_invariant_and_moves(spark):
     common = set(a) & set(r1)
     assert common
     assert any(a[key][0] != r1[key] for key in common)
+
+
+def test_char_simpson_planted_extremes(spark):
+    from omldm_spark.functions.text import char_simpson_scores
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"),            # degenerate: collision mass 1e6
+         (2, "abcdefgh"),            # all distinct: 1/8 -> 125000
+         (3, "aabb")],               # 2*(2/4)^2 -> 500000
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in char_simpson_scores(docs).collect()}
+    assert out[1].simpson_ppm == 1_000_000 and out[1].n_distinct_chars == 1
+    assert out[2].simpson_ppm == 125_000
+    assert out[3].simpson_ppm == 500_000
+    assert out[3].n_chars == 4
