@@ -5433,6 +5433,89 @@ def q_orr3_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(cramer_sql(3).format(g=view, lam=_ORR3_LAMBDA))
 
 
+# --- Logistic regression: one exact IRLS/Newton step from w = 0 -----------
+#
+# At w = 0 every fitted probability is 1/2, so the IRLS working weights
+# are the constant 1/4 and the Newton step collapses to a RIDGE solve:
+#   (1/4·E[x̃x̃'] + λI) w = E[x̃·(y − 1/2)]   ⇔   (M + 4λI) w = 2·E[x̃·s]
+# with s = 2y−1 ∈ {−1,+1} — exactly the ORR Gram layout with the ridge
+# scaled 4λ and v columns 2·avg(q·s), so the generated shared-Cramer text
+# (learners/orr.py cramer_sql) solves it IEEE-identically on both
+# engines.  Features quantity/discount (centi-scale), label
+# l_returnflag = 'R'; integer products ≤ 5.1e3 per row keep the double
+# sums exact far past sf1.
+_LOGREG_PTS_SQL = """
+SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS q0,
+       CAST(round(l_discount * 100, 0) AS BIGINT) AS q1,
+       CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS s
+FROM lineitem
+"""
+
+_LOGREG_GRAM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       avg(q0 * q0) / 10000.0 AS m_0_0,
+       avg(q0 * q1) / 10000.0 AS m_0_1,
+       avg(q0) / 100.0 AS m_0_b,
+       avg(q0 * s) / 100.0 * 2.0 AS v_0,
+       avg(q1 * q1) / 10000.0 AS m_1_1,
+       avg(q1) / 100.0 AS m_1_b,
+       avg(q1 * s) / 100.0 * 2.0 AS v_1,
+       avg(CAST(s AS DOUBLE)) * 2.0 AS v_b
+FROM {pts}
+"""
+
+_LOGREG_LAMBDA = "0.4"  # 4 * lambda, lambda = 0.1
+
+
+def _logreg_sql(pts: str) -> str:
+    gram = _LOGREG_GRAM_SQL.format(pts=pts)
+    solve = cramer_sql(2).format(g=f"({gram})", lam=_LOGREG_LAMBDA)
+    return f"""
+WITH w AS ({solve}),
+scored AS (
+  SELECT p.s,
+         CASE WHEN (w.w0 * (p.q0 / 100.0) + w.w1 * (p.q1 / 100.0))
+                   + w.bias > 0.0 THEN 1 ELSE -1 END AS pred
+  FROM {pts} p CROSS JOIN w
+)
+SELECT w.w0, w.w1, w.bias,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pred = s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(floor(CAST(sum(CASE WHEN pred = s THEN 1 ELSE 0 END)
+                       * 1000000 AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT) AS acc_ppm
+FROM scored CROSS JOIN w
+GROUP BY w.w0, w.w1, w.bias
+"""
+
+
+@query("logreg_irls_round", oracle=_logreg_sql(f"({_LOGREG_PTS_SQL})"))
+def q_logreg_irls_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact IRLS/Newton step of L2-regularized logistic regression
+    from w = 0 (quantity, discount → returnflag='R'), plus the
+    resubstitution accuracy of the stepped model.  The step is a ridge
+    solve in disguise (constant working weights 1/4 at w = 0), so it
+    rides the ORR machinery: ONE map-side-combinable Gram aggregate
+    over the fact table, the generated shared-Cramer solve text (same
+    float operation tree on both engines), and a broadcast of the
+    1-row weight frame back over the points for scoring — no Python,
+    no iteration state, the exact plan further IRLS steps repeat with
+    re-weighted sums.  Beyond the reference learner whitelist
+    (SURVEY §2.9); logistic joins PA/SVM/ORR as the classic linear
+    family member."""
+    import uuid
+
+    li = load_table(spark, sf_dir, "lineitem")
+    view = f"omldm_logreg_{uuid.uuid4().hex[:8]}"
+    li.selectExpr(
+        "CAST(round(l_quantity * 100, 0) AS BIGINT) AS q0",
+        "CAST(round(l_discount * 100, 0) AS BIGINT) AS q1",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS s",
+    ).createOrReplaceTempView(view)
+    return spark.sql(_logreg_sql(view))
+
+
 from .operators.lm import BPE_MERGE_SQL, bpe_merge_round  # noqa: E402
 
 

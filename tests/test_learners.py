@@ -393,3 +393,40 @@ def test_bagged_stumps_determinism_and_oob_mass(spark):
     assert 0.33 < dist.get(0, 0) < 0.41   # e^-1 = 0.368
     assert 0.33 < dist.get(1, 0) < 0.41
     assert 0.14 < dist.get(2, 0) < 0.22   # e^-1/2 = 0.184
+
+
+def test_logreg_irls_round_referee(spark):
+    # numpy referee: one Newton step from w=0 with ridge 0.1 (the 4*lam
+    # Cramer reduction) reproduces the query's weights to the round(,6)
+    # quantum, and accuracy matches a direct scoring pass
+    import numpy as np
+
+    from omldm_spark.queries import QUERIES
+
+    row = QUERIES["logreg_irls_round"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/lineitem.parquet')")
+    pts = con.execute(
+        "SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS q0,"
+        " CAST(round(l_discount * 100, 0) AS BIGINT) AS q1,"
+        " CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS s"
+        " FROM lineitem").df()
+    X = np.column_stack([pts.q0.to_numpy() / 100.0,
+                         pts.q1.to_numpy() / 100.0,
+                         np.ones(len(pts))])
+    s = pts.s.to_numpy().astype(float)
+    n = len(pts)
+    M = X.T @ X / n
+    v = 2.0 * (X.T @ s) / n
+    lam4 = 0.4
+    w = np.linalg.solve(M + lam4 * np.eye(3), v)
+    assert abs(row.w0 - w[0]) < 2e-6
+    assert abs(row.w1 - w[1]) < 2e-6
+    assert abs(row.bias - w[2]) < 2e-6
+    pred = np.where(X @ np.array([row.w0, row.w1, row.bias]) > 0, 1, -1)
+    assert row.n == n
+    assert row.n_correct == int((pred == pts.s.to_numpy()).sum())
+    assert 0 < row.acc_ppm <= 1_000_000
