@@ -57,6 +57,64 @@ CHECKS = {
         ("distance + rollup aggs map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
     ],
+    "plsa_two_rounds": [
+        # round 2 is the genuine factor-join EM: both factor frames
+        # join KEYED (doc / term+topic), never cartesian; the
+        # normalizer window partitions by (doc, term), never global
+        ("factor joins keyed, no cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no single-partition window",
+         lambda p: "SinglePartition" not in p),
+        ("M-step aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
+    "audio_frame_energy": [
+        # two explodes + ONE keyed aggregate: no joins, no windows
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("no window", lambda p: "Window" not in p),
+        ("frame aggregate map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "corpus_datasheet": [
+        ("single scan of documents",
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("expand-based multi-distinct", lambda p: "Expand" in p),
+    ],
+    "lcc_epsilon_vertices": [
+        # degree-oriented triangle enumeration: keyed equi-joins only
+        ("no cartesian", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("corner + degree counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
+    "logreg_irls_round": [
+        # one Gram aggregate + a 1-row weight frame broadcast back over
+        # the points (the cross join is the bounded weight row)
+        ("gram aggregate map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no shuffle-side join",
+         lambda p: "SortMergeJoin" not in p
+         and "ShuffledHashJoin" not in p),
+    ],
+    "char_simpson_scores": [
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("histogram + rollup aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
+    "url_frontier_ingest": [
+        # admission is ONE canonical-keyed anti join + one min agg
+        ("anti join on the canonical key", lambda p: "LeftAnti" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "url_host_quota_sample": [
+        # distinct pages collapse BEFORE the host-keyed quota window
+        ("keyed quota window, never single-partition",
+         lambda p: "SinglePartition" not in p and "row_number" in p),
+        ("page collapse map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "tpch_q2_like": [
         # fact shuffles once on (partkey, suppkey); the per-part MIN is a
         # window over the aggregated rows — dims broadcast, fact never does
