@@ -1155,3 +1155,185 @@ def JP_COLORING_CTES(rounds: int = 5) -> list[str]:
   FROM jp_nodes n LEFT JOIN jcol{rounds} c ON n.id = c.id
 )""")
     return parts
+
+
+def brandes_bounded(edges: DataFrame, n_sources: int = 4,
+                    rounds: int = 3) -> DataFrame:
+    """Sampled, depth-bounded Brandes betweenness (Brandes 2001;
+    source-sampling per Brandes-Pich 2007): from the ``n_sources``
+    smallest vertex ids, run ``rounds`` levels of level-synchronous BFS
+    counting shortest paths (sigma), then accumulate the dependency
+    delta backward along the shortest-path DAG:
+
+        delta(u) = sum over successors v of sigma_u·(1e6 + delta_v)
+                   div sigma_v          (exact positive-integer terms)
+
+    and report bc_q(v) = sum over sources s != v of delta_s(v) — the
+    standard scalable estimator (exact betweenness is O(nm) and never
+    computed at 100 TB; source sampling + depth bounding is what
+    Brandes-Pich and every production graph engine ship).
+
+    Output: (v, bc_q) for every vertex reached by some source's DAG.
+
+    Scale shape: each BFS level is one keyed join frontier ⨝ edges +
+    one anti-join against the settled set + one (source, vertex) agg —
+    all equi-joins; the backward pass processes levels DESCENDING, one
+    keyed join of the level's DAG edges against the accumulated delta
+    map per level.  Per-round state localCheckpoints (the jp_coloring
+    lineage discipline).  Work is O(sources · edges · rounds), linear
+    in |E| for fixed samples — the estimator's entire point.
+
+    Exactness: sigma and delta are integers; the per-edge term
+    sigma_u·(1e6 + delta_v) stays int64 through sigma·delta ≈ 9e18 —
+    on dense graphs re-quantize delta (÷2^10) past ~1e6-path vertices
+    (documented escape hatch, not needed at test SFs).  Positive
+    integer div is bit-identical cross-engine."""
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    srcs = verts.orderBy("v").limit(n_sources) \
+        .select(F.col("v").alias("s"))
+    settled = srcs.select(
+        "s", F.col("s").alias("v"), F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"))
+    frontier = settled
+    for k in range(1, rounds + 1):
+        cand = (
+            frontier.join(sym, frontier["v"] == sym["src"])
+            .select("s", F.col("dst").alias("v"), "sigma")
+        )
+        new = (
+            cand.join(settled.select("s", "v"), ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .select("s", "v", F.lit(k).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    # shortest-path DAG edges: (s, u at dist d, v at dist d+1)
+    su = settled.select(F.col("s").alias("su_s"),
+                        F.col("v").alias("u"),
+                        F.col("dist").alias("du"),
+                        F.col("sigma").alias("sigma_u"))
+    sv = settled.select(F.col("s").alias("sv_s"),
+                        F.col("v").alias("vv"),
+                        F.col("dist").alias("dv"),
+                        F.col("sigma").alias("sigma_v"))
+    dag = (
+        su.join(sym, F.col("u") == F.col("src"))
+        .join(sv, (F.col("sv_s") == F.col("su_s"))
+              & (F.col("vv") == F.col("dst")))
+        .filter(F.col("dv") == F.col("du") + 1)
+        .select(F.col("su_s").alias("s"), "u", F.col("vv").alias("v"),
+                "du", "dv", "sigma_u", "sigma_v")
+        .localCheckpoint(eager=False)
+    )
+    # backward accumulation, deepest level first
+    delta = None  # (s, v, dq) for vertices with computed dependency
+    for lv in range(rounds, 0, -1):
+        lvl = dag.filter(F.col("dv") == lv)
+        if delta is not None:
+            lvl = lvl.join(
+                delta.select("s", F.col("v"), F.col("dq")),
+                ["s", "v"], "left")
+        else:
+            lvl = lvl.withColumn("dq", F.lit(None).cast("long"))
+        terms = lvl.select(
+            "s", "u",
+            F.expr("CAST(sigma_u * (1000000 + coalesce(dq, 0))"
+                   " div sigma_v AS BIGINT)").alias("t"))
+        dl = terms.groupBy("s", F.col("u").alias("v")).agg(
+            F.sum("t").cast("long").alias("dq"))
+        delta = (dl if delta is None
+                 else delta.unionByName(dl)
+                 .groupBy("s", "v").agg(F.sum("dq").cast("long")
+                                        .alias("dq"))
+                 ).localCheckpoint(eager=True)
+    if delta is None:
+        return settled.select("v").distinct().select(
+            "v", F.lit(0).cast("long").alias("bc_q")).limit(0)
+    return (
+        delta.filter(F.col("v") != F.col("s"))
+        .groupBy("v").agg(F.sum("dq").cast("long").alias("bc_q"))
+    )
+
+
+def BRANDES_CTES(edges_cte: str, n_sources: int = 4,
+                 rounds: int = 3) -> list[str]:
+    """Flat CTE parts mirroring brandes_bounded over ``edges_cte``
+    (a, b): yields ``bbc`` (v, bc_q).  Level-unrolled: lev0..levR,
+    settled_k unions, DAG, and the per-level backward deltas."""
+    parts = [
+        f"""bsym AS (
+  SELECT a AS src, b AS dst FROM {edges_cte}
+  UNION ALL SELECT b AS src, a AS dst FROM {edges_cte}
+)""",
+        f"""bsrc AS (
+  SELECT v AS s FROM (SELECT DISTINCT src AS v FROM bsym)
+  ORDER BY v LIMIT {n_sources}
+)""",
+        """lev0 AS (
+  SELECT s, s AS v, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM bsrc
+)""",
+    ]
+    settled_terms = ["SELECT * FROM lev0"]
+    for k in range(1, rounds + 1):
+        prev_settled = " UNION ALL ".join(settled_terms)
+        parts.append(f"""lev{k} AS (
+  SELECT c.s, c.v, {k} AS dist, CAST(sum(c.sigma) AS BIGINT) AS sigma
+  FROM (
+    SELECT f.s, e.dst AS v, f.sigma
+    FROM lev{k - 1} f JOIN bsym e ON e.src = f.v
+  ) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({prev_settled}) st
+    WHERE st.s = c.s AND st.v = c.v
+  )
+  GROUP BY c.s, c.v
+)""")
+        settled_terms.append(f"SELECT * FROM lev{k}")
+    parts.append("bset AS (" + " UNION ALL ".join(settled_terms) + ")")
+    parts.append("""bdag AS (
+  SELECT su.s, su.v AS u, sv.v, su.dist AS du, sv.dist AS dv,
+         su.sigma AS sigma_u, sv.sigma AS sigma_v
+  FROM bset su
+  JOIN bsym e ON e.src = su.v
+  JOIN bset sv ON sv.s = su.s AND sv.v = e.dst
+  WHERE sv.dist = su.dist + 1
+)""")
+    delta_terms = []
+    for lv in range(rounds, 0, -1):
+        if not delta_terms:
+            dq_join = "CAST(0 AS BIGINT) AS dq"
+            src = f"""SELECT d.s, d.u, d.sigma_u, d.sigma_v, {dq_join}
+  FROM bdag d WHERE d.dv = {lv}"""
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT * FROM bdelta{x}" for x in delta_terms)
+            src = f"""SELECT d.s, d.u, d.sigma_u, d.sigma_v,
+         coalesce(pd.dq, 0) AS dq
+  FROM bdag d
+  LEFT JOIN (SELECT s, v, CAST(sum(dq) AS BIGINT) AS dq
+             FROM ({prev}) GROUP BY 1, 2) pd
+    ON pd.s = d.s AND pd.v = d.v
+  WHERE d.dv = {lv}"""
+        parts.append(f"""bdelta{lv} AS (
+  SELECT s, u AS v, CAST(sum(sigma_u * (1000000 + dq) // sigma_v)
+                         AS BIGINT) AS dq
+  FROM ({src})
+  GROUP BY 1, 2
+)""")
+        delta_terms.append(lv)
+    all_delta = " UNION ALL ".join(
+        f"SELECT * FROM bdelta{x}" for x in delta_terms)
+    parts.append(f"""bbc AS (
+  SELECT v, CAST(sum(dq) AS BIGINT) AS bc_q
+  FROM ({all_delta}) WHERE v != s
+  GROUP BY v
+)""")
+    return parts

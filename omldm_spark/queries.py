@@ -16759,6 +16759,34 @@ def q_ktruss_epsilon_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss_edges(edges, _KTRUSS_K, _KTRUSS_ROUNDS)
 
 
+from .operators.graph import BRANDES_CTES, brandes_bounded  # noqa: E402
+
+_BRANDES_PRE = ",\n".join(
+    EPSILON_PAIRS_CTES(_GRID_POINTS_SQL, _GRID_EPS)
+    + ["be0 AS (SELECT id_a AS a, id_b AS b FROM prs)"]
+    + BRANDES_CTES("be0", n_sources=4, rounds=3))
+
+
+@query(
+    "betweenness_sampled",
+    oracle=f"WITH {_BRANDES_PRE}\nSELECT v, bc_q FROM bbc",
+)
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled, depth-bounded Brandes betweenness over the epsilon
+    graph: 4 deterministic sources, 3 BFS levels of exact path
+    counting, dependency accumulated backward along the shortest-path
+    DAG in exact integer ppm (operators/graph.brandes_bounded — the
+    Brandes-Pich estimator, the only betweenness anyone computes at
+    100 TB; exact is O(nm)).  Every pass is keyed equi-joins +
+    map-side-combined aggs; per-round state localCheckpoints.  Oracle:
+    the same recursion unrolled as chained CTEs with NOT EXISTS
+    frontier pruning."""
+    pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS)
+    edges = pairs.select(F.col("id_a").alias("a"),
+                         F.col("id_b").alias("b"))
+    return brandes_bounded(edges, n_sources=4, rounds=3)
+
+
 _LCC_PRE = ",\n".join(
     EPSILON_PAIRS_CTES(_GRID_POINTS_SQL, _GRID_EPS) + [
         "le0 AS (SELECT id_a AS a, id_b AS b FROM prs)",

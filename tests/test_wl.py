@@ -392,3 +392,55 @@ def test_lcc_epsilon_planted_shapes(spark):
         assert r.lcc_ppm == want
     assert any(r.lcc_ppm > 0 for r in out)   # non-vacuous
     assert any(r.deg >= 2 and r.lcc_ppm < 1_000_000 for r in out)
+
+
+def test_brandes_bounded_planted_referee(spark):
+    # path 0-1-2-3 plus hub 10 connected to 11,12,13: brute-force
+    # python Brandes (depth-bounded, same ppm quantization) referee
+    from collections import defaultdict
+
+    from omldm_spark.operators.graph import brandes_bounded
+
+    E = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    edges = spark.createDataFrame(E, "a long, b long")
+    got = {r.v: r.bc_q for r in
+           brandes_bounded(edges, n_sources=4, rounds=3).collect()}
+
+    adj = defaultdict(set)
+    for a, b in E:
+        adj[a].add(b)
+        adj[b].add(a)
+    sources = sorted(adj)[:4]       # 0,1,2,3 — the path vertices
+    want = defaultdict(int)
+    R = 3
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for k in range(1, R + 1):
+            nxt = defaultdict(int)
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        nxt[v] += sigma[u]
+            for v, sg in nxt.items():
+                dist[v] = k
+                sigma[v] = sg
+            frontier = list(nxt)
+        delta = {}
+        for lv in range(R, 0, -1):
+            for u in dist:
+                if dist[u] != lv - 1:
+                    continue
+                t = 0
+                for v in adj[u]:
+                    if dist.get(v) == lv:
+                        t += sigma[u] * (1_000_000 + delta.get(v, 0)) \
+                            // sigma[v]
+                if t:
+                    delta[u] = delta.get(u, 0) + t
+        for v, d in delta.items():
+            if v != s:
+                want[v] += d
+    assert got == dict(want)
+    assert want[1] > 0 and want[2] > 0     # interior path vertices carry load

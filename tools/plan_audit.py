@@ -82,6 +82,20 @@ CHECKS = {
         ("no join anywhere", lambda p: "Join" not in p),
         ("expand-based multi-distinct", lambda p: "Expand" in p),
     ],
+    "betweenness_sampled": [
+        # forward BFS + DAG + backward deltas: keyed equi-joins and
+        # anti-joins only; per-round state lineage-truncated
+        # NOTE: the forward BFS (keyed joins + LeftAnti frontier
+        # pruning) materializes EAGERLY during construction, so the
+        # final frame's plan shows only the backward tail over RDD
+        # scans — the anti-join is asserted by the referee test
+        # (tests/test_wl.py) instead of plan text
+        ("no cartesian anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("round state lineage-truncated",
+         lambda p: "ExistingRDD" in p or "Scan RDD" in p),
+    ],
     "lcc_epsilon_vertices": [
         # degree-oriented triangle enumeration: keyed equi-joins only
         ("no cartesian", lambda p: "CartesianProduct" not in p
