@@ -4013,7 +4013,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.web import (  # noqa: E402
     BLOCKLIST_SQL,
+    CANONICAL_URL_SQL,
     HOST_QUOTA_SQL,
+    PLANT_URLS_SQL,
     URL_CANONICAL_DEDUP_SQL,
     URL_HOST_REPORT_SQL,
     blocklist_filter,
@@ -4120,6 +4122,53 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(CAST(count(1) AS BIGINT) - count(DISTINCT fp)) * 1000000"
                " div count(1)").alias("dup_ppm"),
     )
+
+
+@query(
+    "streaming_url_dedup",
+    oracle=f"""
+WITH planted AS ({PLANT_URLS_SQL()})
+SELECT DISTINCT {CANONICAL_URL_SQL("url")} AS canon_url FROM planted
+""",
+)
+def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING canonical-URL dedup: raw crawl URLs arrive as a
+    multi-batch file-replay stream, canonicalize MAP-SIDE inside the
+    stream (canonical_url is pure Catalyst, so it runs unchanged under
+    micro-batching), and the engine-native dropDuplicates keyed state
+    swallows every later raw spelling of an already-seen page — append
+    mode, so the sink is exactly the canonical page set and the oracle
+    is a plain SELECT DISTINCT over the same planted URLs.  The
+    emitted SET is arrival-order-independent (which raw spelling
+    arrives first is not), which is what makes the twin exact — the
+    streaming_distinct_keys boundary applied to the web family.
+    Unwatermarked state is O(distinct pages); production bounds it
+    with dropDuplicatesWithinWatermark at the recrawl horizon."""
+    import tempfile
+
+    from .operators.web import canonical_url as _canon_col
+    from .streaming.sources import file_replay_source
+
+    urls = plant_urls(load_table(spark, sf_dir, "documents"))
+    tmp = tempfile.mkdtemp(prefix="omldm_surl_")
+    src = f"{tmp}/src"
+    urls.repartition(4).write.parquet(src)
+    stream = file_replay_source(
+        spark, src, spark.read.parquet(src).schema,
+        max_files_per_trigger=1)
+    out = stream.select(
+        _canon_col(F.col("url")).alias("canon_url")
+    ).dropDuplicates(["canon_url"])
+    sink = f"{tmp}/canon"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
 
 
 from .operators.web import URL_FRONTIER_SQL, url_frontier_ingest  # noqa: E402
