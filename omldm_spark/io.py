@@ -94,7 +94,8 @@ FROM lineitem
 # Formats shipped with vanilla Spark — no extra packages. avro/delta/iceberg
 # need their connector jars on the cluster and are deliberately NOT listed;
 # requesting them raises here instead of failing mid-job on the executors.
-SUPPORTED_BATCH_FORMATS = ("parquet", "json", "csv", "orc")
+SUPPORTED_BATCH_FORMATS = ("parquet", "json", "csv", "orc",
+                           "text", "binaryFile")
 
 
 def read_source(
@@ -113,7 +114,11 @@ def read_source(
     should land them once and rewrite to parquet (see write_sink).  For
     json/csv ALWAYS pass an explicit schema: schema inference triggers an
     extra full scan of the data and may type-drift between runs — at
-    100 TB that is both a 2x read and a correctness hazard."""
+    100 TB that is both a 2x read and a correctness hazard.  text reads
+    one string column ``value`` per line (raw-corpus ingest); binaryFile
+    reads (path, modificationTime, length, content) with pathGlobFilter
+    pruning BEFORE bytes load — the media-ingest front door
+    (operators/multimodal.py), read-only by Spark design."""
     if fmt not in SUPPORTED_BATCH_FORMATS:
         raise ValueError(
             f"format {fmt!r} not in {SUPPORTED_BATCH_FORMATS}; avro/delta "
@@ -145,9 +150,12 @@ def write_sink(
     small-files explosion).  CSV timestamps round-trip via the explicit
     timestampFormat option; callers moving data between engines should
     prefer integer epoch columns (see tests/test_io_formats.py)."""
-    if fmt not in SUPPORTED_BATCH_FORMATS:
+    if fmt not in SUPPORTED_BATCH_FORMATS or fmt == "binaryFile":
         raise ValueError(
-            f"format {fmt!r} not in {SUPPORTED_BATCH_FORMATS}"
+            f"format {fmt!r} not writable here: supported formats are "
+            f"{SUPPORTED_BATCH_FORMATS} and binaryFile is READ-only "
+            "(Spark has no binaryFile writer — store payload bytes in a "
+            "parquet BINARY column instead, operators/multimodal.py)"
         )
     writer = df.write.format(fmt).mode(mode)
     if partition_by:

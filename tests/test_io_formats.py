@@ -80,3 +80,30 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         df.select("id").explain("formatted")
     assert "score" not in buf.getvalue().split("ReadSchema")[1][:80]
+
+
+def test_text_and_binaryfile_sources(spark, tmp_path):
+    from omldm_spark.io import read_source, write_sink
+
+    # text: one string column per line, round-trips via the text writer
+    df = spark.createDataFrame(
+        [("alpha beta",), ("gamma",)], "value string")
+    p = str(tmp_path / "txt")
+    write_sink(df, p, fmt="text")
+    back = read_source(spark, p, fmt="text")
+    assert {r.value for r in back.collect()} == {"alpha beta", "gamma"}
+
+    # binaryFile: read-only; metadata columns + content bytes; the
+    # writer must refuse it with the parquet-BINARY guidance
+    import pytest
+
+    raw = tmp_path / "blobs"
+    raw.mkdir()
+    (raw / "a.bin").write_bytes(b"\x00\x01payload")
+    bf = read_source(spark, str(raw), fmt="binaryFile",
+                     pathGlobFilter="*.bin")
+    rows = bf.collect()
+    assert len(rows) == 1 and bytes(rows[0].content) == b"\x00\x01payload"
+    assert rows[0].length == 9
+    with pytest.raises(ValueError, match="READ-only"):
+        write_sink(bf, str(tmp_path / "nope"), fmt="binaryFile")
