@@ -119,18 +119,31 @@ FROM (
 """
 
 
+def norm_text_col(text_col: str = "text"):
+    """THE normalization the dedup family fingerprints over — one
+    definition (lowercase, collapse whitespace, trim) so consumers
+    (fingerprint, corpus_datasheet) cannot drift onto different keys
+    (review r9)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def NORM_TEXT_SQL(expr: str = "text") -> str:
+    """DuckDB mirror of norm_text_col."""
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalization fingerprint: md5 of lowercased, whitespace-collapsed,
     trimmed text — the canonical near-exact dedup key."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return docs.select(
+        F.col(id_col), F.md5(norm_text_col(text_col)).alias("fingerprint"))
 
 
 def fingerprint_sql(table: str = "documents", text_expr: str = "text",
                     id_col: str = "doc_id") -> str:
     return f"""
 SELECT {id_col},
-       md5(trim(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g'))) AS fingerprint
+       md5({NORM_TEXT_SQL(text_expr)}) AS fingerprint
 FROM {table}
 """
 
@@ -486,39 +499,53 @@ def char_simpson_scores(docs: DataFrame, text_col: str = "text",
     sits near the language's collision floor, English ≈ 6-7%).  The
     bigram_lm_scores discipline applies: Shannon entropy needs log(),
     which IEEE does NOT require correctly rounded, so a log-based
-    oracle can differ in the last ulp cross-engine — the collision sum
-    is pure integer and bit-identical.  One explode over character
-    positions + two keyed aggs; n² ≤ 9.2e18 holds through ~3e9 chars
-    per doc.
+    oracle can differ in the last ulp cross-engine — the collision
+    ratio needs only *, /, floor, all correctly rounded, so the SHARED
+    double expression is bit-identical on both engines at any doc
+    length (an int64 `sum(c²)·1e6` would wrap at ~3e6 repeated chars —
+    exactly the flood this screen targets — while DuckDB's HUGEINT
+    would not: silent cross-engine divergence).  One explode over
+    character positions + two keyed aggs.
+
+    Characters come from ONE split('') pass — an O(n) array build per
+    doc — never substr(text, i, 1) over an exploded index, which
+    re-scans the string per position (O(n²): a 4e6-char flood doc took
+    minutes; the split form is instant).  Both engines split '' into
+    identical per-char arrays and both yield [''] for empty text, so
+    the ch != '' filter makes empty docs emit NO row on either engine
+    (an unfiltered Spark sequence(1, 0) variant REVERSED to [1, 0] and
+    fabricated a 2-char row — review r9).
 
     Output: (doc_id, n_chars, n_distinct_chars, simpson_ppm)."""
     chars = docs.select(
         F.col(id_col).cast("long").alias(id_col),
-        F.col(text_col),
-        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("_i"),
-    ).select(
-        id_col, F.expr(f"substr({text_col}, _i, 1)").alias("ch"),
-    )
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
     hist = chars.groupBy(id_col, "ch").agg(
         F.count(F.lit(1)).cast("long").alias("c"))
     return hist.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_chars"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
-        F.expr("CAST(sum(c * c) * 1000000 div"
-               " (sum(c) * sum(c)) AS BIGINT)").alias("simpson_ppm"),
+        F.expr(_SIMPSON_PPM).alias("simpson_ppm"),
     )
+
+
+# shared double text: CAST the exact integer sums once, then one *, one
+# /, one floor — identical operation tree on both engines
+_SIMPSON_PPM = (
+    "CAST(floor(CAST(sum(c * c) AS DOUBLE) * 1000000.0"
+    " / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))) AS BIGINT)"
+)
 
 
 def char_simpson_sql(table: str = "documents", text_expr: str = "text",
                      id_col: str = "doc_id") -> str:
     return f"""
 WITH chars AS (
-  SELECT {id_col}, substr({text_expr}, i, 1) AS ch
-  FROM (
-    SELECT {id_col}, {text_expr},
-           unnest(generate_series(1, len({text_expr}))) AS i
+  SELECT {id_col}, ch FROM (
+    SELECT {id_col}, unnest(string_split({text_expr}, '')) AS ch
     FROM {table}
-  )
+  ) WHERE ch != ''
 ),
 hist AS (
   SELECT {id_col}, ch, CAST(count(*) AS BIGINT) AS c
@@ -527,8 +554,7 @@ hist AS (
 SELECT CAST({id_col} AS BIGINT) AS {id_col},
        CAST(sum(c) AS BIGINT) AS n_chars,
        CAST(count(*) AS BIGINT) AS n_distinct_chars,
-       CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
-         AS simpson_ppm
+       {_SIMPSON_PPM} AS simpson_ppm
 FROM hist
 GROUP BY 1
 """

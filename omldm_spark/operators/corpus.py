@@ -1003,7 +1003,7 @@ def dup_line_removal(docs: DataFrame, text_col: str = "text",
 _HEX16 = "0123456789abcdef"
 
 
-def _u48_fold_sql(id_expr: str) -> str:
+def u48_fold_sql(id_expr: str) -> str:
     """48-bit integer from the first 12 hex digits of md5(id) — the
     engine-shared instr-fold text (same idiom as operators/sketch.py)."""
     # CAST each term to BIGINT: instr returns INT, and INT * 16^11
@@ -1022,7 +1022,7 @@ def aes_key_sql(id_expr: str, weight_expr: str) -> str:
     both engines; every literal CAST to DOUBLE (DuckDB parses bare
     decimals as DECIMAL — the token_budget_mix pitfall)."""
     u = (
-        f"(CAST({_u48_fold_sql(id_expr)} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f"(CAST({u48_fold_sql(id_expr)} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
         f" / CAST(281474976710656.0 AS DOUBLE)"
     )
     return (

@@ -559,14 +559,13 @@ QUALIFY row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2) <= {topk}
 # ---------------------------------------------------------------------------
 
 def _plsa_fold(expr: str) -> str:
-    """Engine-shared 48-bit md5 fold (the corpus._u48_fold_sql idiom,
-    inlined so lm.py doesn't import a private helper across modules)."""
-    hexd = "0123456789abcdef"
-    return "(" + " + ".join(
-        f"CAST(instr('{hexd}', substr(md5(CAST({expr} AS STRING)), {j}, 1))"
-        f" - 1 AS BIGINT) * {16 ** (12 - j)}"
-        for j in range(1, 13)
-    ) + ")"
+    """Engine-shared 48-bit md5 fold — ONE definition for the whole
+    repo (operators/corpus.u48_fold_sql): hash-critical generated SQL
+    must not exist in two copies that can drift (the NOTES_r4
+    ANSI-overflow CAST fix only reached the original; review r9)."""
+    from .corpus import u48_fold_sql
+
+    return u48_fold_sql(expr)
 
 
 def _plsa_aff(kind: str, col: str, z: int) -> str:
@@ -707,15 +706,23 @@ def plsa_second_round(docs: DataFrame, k: int = 4, top_n: int = 15,
     9.2e6 corpus occurrences of one term; beyond that, downscale n̂1
     (÷2^20) before the share with no other change.  Every division is
     positive-integer div — bit-identical on both engines.  b2·a2 ≤
-    1e12, ·1e6 ≤ 1e18 < int64 max.  Seeds give every topic nonzero
-    round-1 mass (min responsibility ≥ 1e6/(k·997²) > 0), so no share
-    denominator can vanish."""
+    1e12, ·1e6 ≤ 1e18 < int64 max.  Floor-ppm responsibilities CAN
+    be zero (1e6/(k·997²) < 1 for k ≥ 2), so a (doc, term) pair whose
+    doc-share and term-share supports are disjoint would see a ZERO
+    round-2 normalizer — guarded: such pairs carry r2 = 0 for every
+    topic (explicit, engine-identical) instead of a NULL that silently
+    drops their M-step mass."""
     from pyspark.sql import Window as W
 
     from .retrieval import postings
 
+    # persist POSTS, not the k-times-larger stacked frame: posts feeds
+    # three consumers (nhat1, mdoc1 via the stack — a map-only
+    # re-expansion from cache — and the round-2 E-step join), so this
+    # caches 1/k the bytes and avoids re-running the corpus tokenize +
+    # (term, doc) groupBy for the join (review r9)
     posts = postings(docs, text_col, id_col).select(
-        F.col(id_col).alias("doc"), "term", "tf")
+        F.col(id_col).alias("doc"), "term", "tf").persist()
     with_r = posts.select(
         "doc", "term", "tf",
         *[F.expr(_plsa_r_ppm(z, k)).alias(f"r{z}") for z in range(k)],
@@ -725,7 +732,7 @@ def plsa_second_round(docs: DataFrame, k: int = 4, top_n: int = 15,
         "stack(" + str(k) + ", "
         + ", ".join(f"CAST({z} AS BIGINT), r{z}" for z in range(k))
         + ") AS (topic, r_ppm)",
-    ).persist()
+    )
     nhat1 = stacked.groupBy("term", "topic").agg(
         F.sum(F.col("tf") * F.col("r_ppm")).cast("long").alias("nh"))
     mdoc1 = stacked.groupBy("doc", "topic").agg(
@@ -743,10 +750,17 @@ def plsa_second_round(docs: DataFrame, k: int = 4, top_n: int = 15,
         .join(a2, ["term", "topic"])
         .withColumn("num", F.col("b2") * F.col("a2"))
     )
+    # guard: floor-ppm responsibilities CAN be zero (1e6/(k*997^2) < 1
+    # for k >= 2), so a (doc, term) whose doc-share and term-share
+    # supports are disjoint has sum(num) = 0 — div would NULL the row
+    # and silently drop its M-step mass (review r9); such pairs carry
+    # r2 = 0 for every topic instead, on both engines
     r2 = joined.withColumn(
         "r2_ppm",
-        F.expr("CAST(num * 1000000 div sum(num) OVER"
-               " (PARTITION BY doc, term) AS BIGINT)"))
+        F.expr("CASE WHEN sum(num) OVER (PARTITION BY doc, term) = 0"
+               " THEN CAST(0 AS BIGINT)"
+               " ELSE CAST(num * 1000000 div sum(num) OVER"
+               " (PARTITION BY doc, term) AS BIGINT) END"))
     nhat2 = r2.groupBy("topic", "term").agg(
         F.sum(F.col("tf") * F.col("r2_ppm")).cast("long")
         .alias("n_hat2_q"))
@@ -809,8 +823,11 @@ joined AS (
 ),
 r2 AS (
   SELECT doc, term, tf, topic,
-         CAST(num * 1000000 // sum(num) OVER (PARTITION BY doc, term)
-              AS BIGINT) AS r2_ppm
+         CASE WHEN sum(num) OVER (PARTITION BY doc, term) = 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(num * 1000000
+                        // sum(num) OVER (PARTITION BY doc, term)
+                        AS BIGINT) END AS r2_ppm
   FROM joined
 ),
 nhat2 AS (

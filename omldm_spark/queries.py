@@ -815,7 +815,9 @@ def q_broadcast_pipeline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (north-star LLM-data-pipeline operators, BASELINE.json)
 # ---------------------------------------------------------------------------
 
+from .operators.dedup import TOKENS_SQL  # noqa: E402
 from .functions.text import (  # noqa: E402
+    NORM_TEXT_SQL,
     char_simpson_scores,
     char_simpson_sql,
     fingerprint,
@@ -4077,12 +4079,11 @@ def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_datasheet",
-    oracle="""
+    oracle=f"""
 WITH rows_ AS (
   SELECT source, lang,
-         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> t != '')) AS BIGINT) AS n_tokens,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         CAST(len({TOKENS_SQL("text")}) AS BIGINT) AS n_tokens,
+         md5({NORM_TEXT_SQL("text")}) AS fp
   FROM documents
 )
 SELECT source,
@@ -4105,12 +4106,13 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, one source-keyed groupBy whose count-distincts ride Spark's
     Expand-based partial aggregation (sources are bounded, so the
     output is report-sized at any corpus scale)."""
+    from .functions.text import norm_text_col
+
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     rows = docs.select(
         "source", "lang",
         F.size(tokens_col("text")).cast("long").alias("n_tokens"),
-        F.md5(norm).alias("fp"),
+        F.md5(norm_text_col("text")).alias("fp"),
     )
     return rows.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

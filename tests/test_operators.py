@@ -3165,10 +3165,20 @@ def test_char_simpson_planted_extremes(spark):
     docs = spark.createDataFrame(
         [(1, "aaaaaaaa"),            # degenerate: collision mass 1e6
          (2, "abcdefgh"),            # all distinct: 1/8 -> 125000
-         (3, "aabb")],               # 2*(2/4)^2 -> 500000
+         (3, "aabb"),                # 2*(2/4)^2 -> 500000
+         (4, "")],                   # empty: NO row on either engine
         "doc_id long, text string")
     out = {r.doc_id: r for r in char_simpson_scores(docs).collect()}
     assert out[1].simpson_ppm == 1_000_000 and out[1].n_distinct_chars == 1
     assert out[2].simpson_ppm == 125_000
     assert out[3].simpson_ppm == 500_000
     assert out[3].n_chars == 4
+    # empty text: Spark sequence(1, 0) REVERSES to [1, 0]; unguarded it
+    # fabricated a 2-char row (review r9) — now filtered on both engines
+    assert 4 not in out
+    # huge flood: the double formula cannot wrap (an int64 sum(c²)·1e6
+    # wraps at ~3e6 repeated chars)
+    flood = spark.createDataFrame([(9, "z" * 4_000_000)],
+                                  "doc_id long, text string")
+    r = char_simpson_scores(flood).collect()[0]
+    assert r.simpson_ppm == 1_000_000 and r.n_chars == 4_000_000
