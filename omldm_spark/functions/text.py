@@ -217,7 +217,15 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
         if k == 1:
             gram = F.explode("words")
         else:
-            idx = F.sequence(F.lit(1), (F.col("n_words") - (k - 1)).cast("int"))
+            # guard n_words >= k: sequence(1, n-(k-1)) REVERSES when the
+            # doc is shorter than the gram (sequence(1, 0) = [1, 0]) and
+            # would fabricate phantom grams from out-of-range
+            # element_at NULLs (the r9 char_simpson lesson)
+            idx = F.when(
+                F.col("n_words") >= k,
+                F.sequence(F.lit(1),
+                           (F.col("n_words") - (k - 1)).cast("int")),
+            ).otherwise(F.array().cast("array<int>"))
             terms = lambda i: F.concat_ws(  # noqa: E731
                 " ", *[F.element_at("words", i + j) for j in range(k)]
             )

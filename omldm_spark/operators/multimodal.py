@@ -138,8 +138,11 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     keep every n-th — pure Catalyst (sequence + explode + filter); the
     per-frame decode then rides decode_and_featurize. Filter-before-decode
     is the point: at 100 TB you drop (n-1)/n of the work before any UDF."""
+    # n_frames > 0 guard: Spark's sequence(0, -1) REVERSES to [0, -1]
+    # (default step -1), so an unguarded 0-frame video would fabricate
+    # two frame rows (the r9 char_simpson lesson)
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter((F.col("kind") == "video") & (F.col("n_frames") > 0))
         .select(
             "media_id",
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),

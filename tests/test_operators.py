@@ -3182,3 +3182,33 @@ def test_char_simpson_planted_extremes(spark):
                                   "doc_id long, text string")
     r = char_simpson_scores(flood).collect()[0]
     assert r.simpson_ppm == 1_000_000 and r.n_chars == 4_000_000
+
+
+def test_short_doc_gram_and_frame_guards(spark):
+    # r9 sequence-reversal sweep: a 1-word doc must yield NO 2/3-grams
+    # (unguarded sequence(1, 0) reversed and fabricated phantom grams),
+    # and a 0-frame video must yield NO sampled frames
+    from omldm_spark.functions.text import repetition_metrics
+    from omldm_spark.operators.multimodal import frame_sample
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "three word doc")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    # no phantom-gram inflation: a 1-word doc has NO 2-gram (None, not a
+    # fabricated gram from out-of-range element_at NULLs) and zero
+    # gram-mass fractions
+    assert out[1].n_words == 1
+    assert out[1].top_2gram is None
+    assert out[1].top_2gram_frac == 0.0
+    assert out[1].dup_2gram_frac == 0.0 and out[1].dup_3gram_frac == 0.0
+    assert out[2].top_2gram == "two words"
+
+    media = spark.createDataFrame(
+        [("m0", "video", "raw", 8, 8, 0, bytearray(b"x")),
+         ("m1", "video", "raw", 8, 8, 4, bytearray(b"y"))],
+        "media_id string, kind string, format string, width int,"
+        " height int, n_frames int, bytes binary")
+    frames = frame_sample(media, every_n=2).collect()
+    assert {r.media_id for r in frames} == {"m1"}
+    assert sorted(r.frame_idx for r in frames) == [0, 2]
