@@ -22,7 +22,13 @@ def _frame(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", SUPPORTED_BATCH_FORMATS)
+# tabular formats only: text round-trips a single string column (its own
+# test below) and binaryFile is read-only by Spark design
+TABULAR_FORMATS = tuple(f for f in SUPPORTED_BATCH_FORMATS
+                        if f not in ("text", "binaryFile"))
+
+
+@pytest.mark.parametrize("fmt", TABULAR_FORMATS)
 def test_round_trip_exact(spark, tmp_path, fmt):
     df = _frame(spark)
     path = str(tmp_path / fmt)
