@@ -125,6 +125,22 @@ def main() -> None:
 
     times = {n: round(statistics.median(r), 3) for n, r in samples.items()}
     total = round(sum(times.values()), 3)
+    # The spread diagnostics go to STDERR: the driver tail-captures a
+    # bounded window of stdout and parses the final line as JSON, and at
+    # 32 headline queries the spread map pushed that line past the
+    # capture window (BENCH_r09.json recorded "parsed": null). The
+    # stdout line stays compact and machine-readable; humans read the
+    # spread from stderr or from bench_spread.json next to the repo.
+    spread = {
+        n: [round(min(r), 3), round(max(r), 3)]
+        for n, r in samples.items()
+    }
+    diag = {
+        "min_value": round(sum(min(r) for r in samples.values()), 3),
+        "max_value": round(sum(max(r) for r in samples.values()), 3),
+        "spread": spread,
+    }
+    print(json.dumps(diag), file=sys.stderr)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
@@ -133,12 +149,6 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "repeats": repeats,
-        "min_value": round(sum(min(r) for r in samples.values()), 3),
-        "max_value": round(sum(max(r) for r in samples.values()), 3),
-        "spread": {
-            n: [round(min(r), 3), round(max(r), 3)]
-            for n, r in samples.items()
-        },
     }))
     spark.stop()
 

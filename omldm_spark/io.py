@@ -150,13 +150,27 @@ def write_sink(
     small-files explosion).  CSV timestamps round-trip via the explicit
     timestampFormat option; callers moving data between engines should
     prefer integer epoch columns (see tests/test_io_formats.py)."""
-    if fmt not in SUPPORTED_BATCH_FORMATS or fmt == "binaryFile":
+    if fmt == "binaryFile":
         raise ValueError(
-            f"format {fmt!r} not writable here: supported formats are "
-            f"{SUPPORTED_BATCH_FORMATS} and binaryFile is READ-only "
-            "(Spark has no binaryFile writer — store payload bytes in a "
-            "parquet BINARY column instead, operators/multimodal.py)"
+            "binaryFile is READ-only (Spark has no binaryFile writer — "
+            "store payload bytes in a parquet BINARY column instead, "
+            "operators/multimodal.py)"
         )
+    if fmt not in SUPPORTED_BATCH_FORMATS:
+        raise ValueError(
+            f"format {fmt!r} unsupported: writable formats are "
+            f"{tuple(f for f in SUPPORTED_BATCH_FORMATS if f != 'binaryFile')}"
+        )
+    if fmt == "text":
+        # Spark's text writer fails at RUNTIME on anything but a single
+        # string column — validate at call time so the error is
+        # actionable (review r9)
+        if len(df.columns) != 1 or dict(df.dtypes)[df.columns[0]] != "string":
+            raise ValueError(
+                "text write requires exactly one string column; got "
+                f"{df.dtypes} — project/concat_ws down to one string "
+                "column first"
+            )
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -679,7 +679,8 @@ QUALIFY row_number() OVER (PARTITION BY topic
 
 def plsa_second_round(docs: DataFrame, k: int = 4, top_n: int = 15,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      cache_out: list | None = None) -> DataFrame:
     """TWO exact EM rounds of PLSA — the round where real EM structure
     appears.  Round 1's responsibilities are closed-form (plsa_round);
     round 2 re-estimates BOTH factors from round 1's M-step and runs a
@@ -720,9 +721,14 @@ def plsa_second_round(docs: DataFrame, k: int = 4, top_n: int = 15,
     # three consumers (nhat1, mdoc1 via the stack — a map-only
     # re-expansion from cache — and the round-2 E-step join), so this
     # caches 1/k the bytes and avoids re-running the corpus tokenize +
-    # (term, doc) groupBy for the join (review r9)
+    # (term, doc) groupBy for the join (review r9).  ``cache_out``
+    # collects the persisted handle so sweep/iterative callers can
+    # unpersist after materializing the result (the oriented_triangles
+    # discipline) instead of leaking one CacheManager entry per call
     posts = postings(docs, text_col, id_col).select(
         F.col(id_col).alias("doc"), "term", "tf").persist()
+    if cache_out is not None:
+        cache_out.append(posts)
     with_r = posts.select(
         "doc", "term", "tf",
         *[F.expr(_plsa_r_ppm(z, k)).alias(f"r{z}") for z in range(k)],

@@ -50,10 +50,20 @@ _REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 
 
 def canonical_url(u: Column) -> Column:
-    """Canonical form of a raw URL as one Catalyst expression chain."""
+    """Canonical form of a raw URL as one Catalyst expression chain.
+
+    Case folding applies to the scheme and the HOST only: any userinfo
+    (``user:pass@``) in the authority is split off first and preserved
+    verbatim (RFC 3986 §6.2.2.1 — only scheme and host are
+    case-insensitive).  Input with no ``scheme://`` passes through
+    UNCHANGED — canonicalization is defined for absolute URLs; mangling
+    a relative reference into ``'://...'`` loses the original (review
+    r9)."""
     nofrag = F.regexp_replace(u, "#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
-    hostport = F.lower(F.regexp_extract(nofrag, _HOSTPORT_RE, 1))
+    authority = F.regexp_extract(nofrag, _HOSTPORT_RE, 1)
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^.*@", ""))
     nowww = F.regexp_replace(hostport, r"^www\.", "")
     host = (
         F.when(scheme == "http", F.regexp_replace(nowww, ":80$", ""))
@@ -71,18 +81,23 @@ def canonical_url(u: Column) -> Column:
         lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
     )
     q2 = F.array_join(keep, "&")
-    return F.concat(
-        scheme, F.lit("://"), host, path,
+    canon = F.concat(
+        scheme, F.lit("://"), userinfo, host, path,
         F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
     )
+    return F.when(scheme == "", u).otherwise(canon)
 
 
 def CANONICAL_URL_SQL(u: str) -> str:
     """The same chain over expression ``u`` in DuckDB (RE2) — every rule
-    in the same order with the same regexes."""
+    in the same order with the same regexes, including the userinfo
+    split (preserved verbatim, only the host case-folds) and the
+    schemeless passthrough."""
     nofrag = f"regexp_replace({u}, '#.*$', '')"
     scheme = f"lower(regexp_extract({nofrag}, '{_SCHEME_RE}', 1))"
-    hostport = f"lower(regexp_extract({nofrag}, '{_HOSTPORT_RE}', 1))"
+    authority = f"regexp_extract({nofrag}, '{_HOSTPORT_RE}', 1)"
+    userinfo = f"regexp_extract({authority}, '^(.*@)', 1)"
+    hostport = f"lower(regexp_replace({authority}, '^.*@', ''))"
     nowww = f"regexp_replace({hostport}, '^www\\.', '')"
     host = f"""CASE
       WHEN {scheme} = 'http' THEN regexp_replace({nowww}, ':80$', '')
@@ -99,8 +114,22 @@ def CANONICAL_URL_SQL(u: str) -> str:
     q2 = (f"coalesce(array_to_string(list_filter(string_split({query}, "
           f"'&'), x -> x <> '' AND NOT regexp_matches(x, "
           f"'{TRACKING_PARAM_RE}')), '&'), '')")
-    return f"""({scheme} || '://' || ({host}) || ({path})
-      || CASE WHEN ({q2}) = '' THEN '' ELSE '?' || ({q2}) END)"""
+    return f"""(CASE WHEN {scheme} = '' THEN {u}
+      ELSE {scheme} || '://' || ({userinfo}) || ({host}) || ({path})
+      || CASE WHEN ({q2}) = '' THEN '' ELSE '?' || ({q2}) END END)"""
+
+
+def host_of(canon: Column) -> Column:
+    """Host(:port) of a CANONICAL url — authority minus any userinfo.
+    Every host-keyed rollup (report / quota / blocklist) keys on this,
+    so a ``user@host`` authority still groups under ``host``."""
+    return F.regexp_replace(
+        F.regexp_extract(canon, _HOSTPORT_RE, 1), r"^.*@", "")
+
+
+def HOST_OF_SQL(canon: str) -> str:
+    return (f"regexp_replace(regexp_extract({canon}, "
+            f"'{_HOSTPORT_RE}', 1), '^.*@', '')")
 
 
 def plant_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -190,7 +219,7 @@ def url_host_report(urls: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (domain caps are the standard anti-spam lever in web-corpus
     curation).  Same single-groupBy shape as the dedup report."""
     canon = canonical_url(F.col("url"))
-    host = F.regexp_extract(canon, _HOSTPORT_RE, 1)
+    host = host_of(canon)
     return (
         urls.select(F.col(id_col), host.alias("host"),
                     canon.alias("canon_url"))
@@ -211,7 +240,7 @@ WITH planted AS ({PLANT_URLS_SQL(table, id_col)}),
 canon AS (
   SELECT {id_col}, {canon} AS canon_url FROM planted
 )
-SELECT regexp_extract(canon_url, '{_HOSTPORT_RE}', 1) AS host,
+SELECT {HOST_OF_SQL('canon_url')} AS host,
        CAST(count(*) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canon_urls,
        CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs
@@ -237,7 +266,7 @@ def host_quota_sample(urls: DataFrame, quota: int = 8,
     from .corpus import cap_key_degree
 
     canon = canonical_url(F.col("url"))
-    host = F.regexp_extract(canon, _HOSTPORT_RE, 1)
+    host = host_of(canon)
     pages = (
         urls.select(host.alias("host"), canon.alias("canon_url"),
                     F.col(id_col))
@@ -257,7 +286,7 @@ def HOST_QUOTA_SQL(quota: int = 8, table: str = "documents",
     return f"""
 WITH planted AS ({PLANT_URLS_SQL(table, id_col)}),
 pages AS (
-  SELECT regexp_extract({canon}, '{_HOSTPORT_RE}', 1) AS host,
+  SELECT {HOST_OF_SQL(canon)} AS host,
          {canon} AS canon_url,
          CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs
   FROM planted
@@ -280,7 +309,7 @@ def blocklist_filter(urls: DataFrame, blocked_hosts: list[str],
     shape.  Here the list rides an isin literal — Catalyst compiles it
     to a hash-set probe inside the scan projection."""
     canon = canonical_url(F.col("url"))
-    host = F.regexp_extract(canon, _HOSTPORT_RE, 1)
+    host = host_of(canon)
     return (
         urls.select(F.col(id_col), host.alias("host"))
         .withColumn("blocked", F.col("host").isin(blocked_hosts))
@@ -295,11 +324,14 @@ def blocklist_filter(urls: DataFrame, blocked_hosts: list[str],
 def BLOCKLIST_SQL(blocked_hosts: list[str], table: str = "documents",
                   id_col: str = "doc_id") -> str:
     canon = CANONICAL_URL_SQL("url")
-    inlist = ", ".join(f"'{h}'" for h in blocked_hosts)
+    # escape quotes when inlining hosts as SQL literals — a host string
+    # containing ' would otherwise produce malformed oracle SQL
+    inlist = ", ".join(
+        "'" + h.replace("'", "''") + "'" for h in blocked_hosts)
     return f"""
 WITH planted AS ({PLANT_URLS_SQL(table, id_col)})
-SELECT regexp_extract({canon}, '{_HOSTPORT_RE}', 1) AS host,
-       regexp_extract({canon}, '{_HOSTPORT_RE}', 1) IN ({inlist})
+SELECT {HOST_OF_SQL(canon)} AS host,
+       {HOST_OF_SQL(canon)} IN ({inlist})
          AS blocked,
        CAST(count(*) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs

@@ -57,8 +57,26 @@ def test_unknown_format_raises(spark, tmp_path):
     df = _frame(spark)
     with pytest.raises(ValueError, match="avro"):
         write_sink(df, str(tmp_path / "x"), fmt="avro")
+    # the unsupported-format message must not talk about binaryFile
+    # being read-only (review r10 — branched error messages)
+    with pytest.raises(ValueError, match="unsupported"):
+        write_sink(df, str(tmp_path / "x"), fmt="avro")
     with pytest.raises(ValueError, match="schema"):
         read_source(spark, str(tmp_path / "x"), fmt="json")
+
+
+def test_text_write_requires_single_string_column(spark, tmp_path):
+    # review r10: Spark's text writer fails at runtime on multi-column /
+    # non-string frames — write_sink validates at call time instead
+    df = _frame(spark)
+    assert len(df.columns) > 1
+    with pytest.raises(ValueError, match="one string column"):
+        write_sink(df, str(tmp_path / "t1"), fmt="text")
+    from pyspark.sql import functions as F
+
+    ints = df.select(F.col(df.columns[0]).cast("long").alias("v"))
+    with pytest.raises(ValueError, match="one string column"):
+        write_sink(ints, str(tmp_path / "t2"), fmt="text")
 
 
 def test_schema_evolution_merge_read(spark, tmp_path):

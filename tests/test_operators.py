@@ -3111,6 +3111,75 @@ def test_blocklist_filter_branches(spark):
     assert "site3.example.com" not in kept and kept
 
 
+def test_canonical_url_userinfo_and_schemeless(spark):
+    # review r10: userinfo is split off and preserved VERBATIM (only
+    # scheme+host case-fold); schemeless input passes through unchanged.
+    # Both pinned engine-identically against the DuckDB mirror.
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.web import (CANONICAL_URL_SQL, HOST_OF_SQL,
+                                           canonical_url, host_of)
+
+    cases = [
+        ("http://User:Pw@WWW.Example.COM/p",
+         "http://User:Pw@example.com/p"),      # userinfo kept, host folds
+        ("HTTPS://uSeR@Example.COM:443/x/",
+         "https://uSeR@example.com/x"),        # port strip behind userinfo
+        ("example.com/path?utm_source=x", "example.com/path?utm_source=x"),
+        ("/relative/p#frag", "/relative/p#frag"),   # passthrough, frag kept
+        ("mailto:alice@example.com", "mailto:alice@example.com"),  # no ://
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # hosts of canonical urls exclude the userinfo
+    hosts = [r.h for r in df.select(
+        host_of(canonical_url(F.col("url"))).alias("h")).collect()]
+    assert hosts[:2] == ["example.com", "example.com"]
+    con = duckdb.connect()
+    for raw, want in cases:
+        lit = "'" + raw.replace("'", "''") + "'"
+        assert con.execute(
+            f"SELECT {CANONICAL_URL_SQL(lit)}").fetchone()[0] == want
+    assert con.execute(
+        "SELECT " + HOST_OF_SQL(CANONICAL_URL_SQL("'http://U@Ex.COM/p'"))
+    ).fetchone()[0] == "ex.com"
+
+
+def test_blocklist_sql_escapes_quoted_hosts():
+    # review r10: a host containing a quote must not produce malformed
+    # oracle SQL — the literal is doubled ('' escape)
+    from omldm_spark.operators.web import BLOCKLIST_SQL
+
+    sql = BLOCKLIST_SQL(["o'malley.example.com", "plain.example.com"])
+    assert "'o''malley.example.com'" in sql
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1::BIGINT AS doc_id, "
+                "'x' AS text")
+    con.execute(sql)  # must parse and run
+
+
+def test_plsa_second_round_cache_out_releases(spark):
+    # review r10: sweep callers can release the persisted postings frame
+    from omldm_spark.operators.lm import plsa_second_round
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(6)],
+        "doc_id long, text string")
+    caches: list = []
+    out = plsa_second_round(docs, k=2, top_n=3, cache_out=caches)
+    out.collect()
+    assert len(caches) == 1 and caches[0].is_cached
+    for c in caches:
+        c.unpersist()
+    assert not caches[0].is_cached
+
+
 def test_audio_frame_energy_referee(spark):
     # brute-force python referee on tiny ids: frame boundaries, energy,
     # peak, zero crossings all match the closed-form samples
