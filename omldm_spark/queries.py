@@ -17877,47 +17877,47 @@ def q_histogram_selectivity_report(spark: SparkSession,
 # / planner-diagnostics families the r7 verdict flagged with zero
 # driver rows, (c) never-verified names across the remaining families.
 # 135 exact-oracle queries remain unseen after this set.
-# Round-9 rotation: the entire r8 snapshot came back green except
-# shuffle_skew_report (a DuckDB HUGEINT->float dtype split, oracle now
-# CAST to BIGINT), which keeps its slot so the driver re-certifies the
-# fix.  The other 49 slots rotate to never-driver-verified exact-oracle
-# queries (138 remained after r8), prioritizing whole families with
-# zero driver rows: the TPC-H spine, streaming-IVM twins, CDC/SCD2,
-# corpus prep, VQ/ANN, and the stats/diagnostics suite.  ~89 exact
-# names remain unseen after this set.
+# Round-10 rotation: all 50 r9 slots returned green, so every slot
+# rotates to never-driver-verified exact-oracle queries (106 remained
+# after r9).  Priority: the round-9/10 web family (its canonical-url
+# expression changed this round — userinfo split + schemeless
+# passthrough — so the driver re-certifies it), the r9 tail additions,
+# the remaining streaming-IVM twins, the orders/time-series analytics
+# suite, and the attribution family.  ~58 exact names remain unseen
+# after this set.
 _SNAPSHOT_TOP = [
-    # re-certify the r8 red row (dtype fix)
-    "shuffle_skew_report",
-    # TPC-H spine, never driver-verified slices
-    "tpch_q4_like", "tpch_q7_like", "tpch_q8_like", "tpch_q9_like",
-    "tpch_q10_like", "tpch_q12_like", "tpch_q13_like", "tpch_q14_like",
-    "tpch_q15_like", "tpch_q16_like", "tpch_q18_like", "tpch_q19_like",
+    # web / URL curation (re-certify the r10 canonical_url change)
+    "url_canonical_dedup", "url_host_report", "url_host_quota_sample",
+    "url_blocklist_filter", "url_frontier_ingest",
+    # round-9 tail additions, zero driver rows
+    "plsa_topic_round", "plsa_two_rounds", "corpus_datasheet",
+    "char_simpson_scores", "betweenness_sampled", "lcc_epsilon_vertices",
+    "embedding_silhouette_report", "logreg_irls_round",
+    "audio_frame_energy", "streaming_url_dedup",
     # streaming twins (exact IVM oracles, zero driver rows)
-    "streaming_hll_users", "streaming_distinct_keys",
-    "streaming_event_sessions", "streaming_mv_retractable",
-    "streaming_cms_cells", "streaming_bitmap_distinct",
-    "streaming_table_fingerprint", "streaming_scd2_lookup",
-    # CDC / SCD2 / log compaction
-    "cdc_apply_snapshot", "scd2_incremental_user_state",
-    "scd2_temporal_lookup", "snapshot_diff_cdc",
-    "latest_event_per_user_type",
-    # corpus prep / quality / dedup reporting
-    "quality_filter_funnel", "dedup_savings_report", "corpus_clean",
-    "doc_chunks", "shared_chunk_stats", "sample_k_per_source",
-    "source_language_mix",
-    # retrieval / text
-    "hard_negative_topk", "phrase_search_docs", "rake_keywords",
+    "streaming_ab_stats", "streaming_hll_hourly",
+    "streaming_retention_cohorts", "streaming_union_sources",
+    "streaming_quality_funnel", "streaming_grid_hotspot",
+    "streaming_cross_source_overlap", "streaming_entity_clusters",
+    "streaming_split_hist",
+    # orders / revenue analytics
+    "profile_orders", "order_value_deciles",
+    "order_total_reconciliation", "revenue_mom_growth",
+    "rolling_revenue_7d", "hierarchy_revenue_shares", "pareto_items",
+    "quantile_binned_orders", "stratified_sample_orders",
+    "set_ops_customers", "bloom_semi_orders",
     # array-output flat twins: pinned in-snapshot by
     # tests/test_snapshot_shape.py (the r5 canonicalizer lesson)
     "embedding_kmeans_train_flat", "sequence_packing_flat",
-    # VQ / ANN, remaining zero-driver-row variants
-    "ann_quantized_topk", "ann_opq_adc_topk", "ann_rq_adc_topk",
-    "ann_ivfadc_topk", "pq_train_codebooks_opq",
-    # analytics / stats diagnostics
-    "gini_revenue_concentration",
-    "pivot_user_activity", "cube_revenue", "powerlaw_fit_report",
-    # learners / calibration
-    "ht_observer_stats", "orr_per_segment", "isotonic_calibration",
+    # time series / anomaly
+    "seasonal_decompose_daily", "seasonal_naive_backtest",
+    "theil_sen_revenue_trend", "interarrival_burstiness",
+    "mad_outlier_events", "concurrent_users_peak",
+    "conversion_latency_deciles", "funnel_conversion_windowed",
+    # attribution / evaluation
+    "linear_attribution_credits", "markov_transitions",
+    "markov_stationary", "markov_removal_attribution",
+    "max_f1_threshold",
 ]
 
 
