@@ -276,3 +276,190 @@ SELECT CAST({key_col} AS BIGINT) AS {key_col},
 FROM ph
 GROUP BY {key_col}
 """
+
+
+# epoch-day parity split: 0 = reference window, 1 = current window
+_WIN_EXPR = "CAST(floor(epoch_s / 86400) AS BIGINT) % 2"
+
+
+def _with_window(events: DataFrame) -> DataFrame:
+    # unix_timestamp floors to seconds (ts is TIMESTAMP_NTZ here, which
+    # unix_micros refuses); DuckDB mirror is floor(epoch(ts)) — epoch()
+    # keeps the fractional second, CAST would round it (engine-gotchas)
+    return events.withColumn(
+        "epoch_s", F.unix_timestamp("ts").cast("long")
+    ).withColumn("win", F.expr(_WIN_EXPR))
+
+
+_WIN_SQL = ("CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) "
+            "AS BIGINT) % 2")
+
+
+def freq_drift_report(events: DataFrame) -> DataFrame:
+    """Categorical frequency drift of ``event_type`` between the
+    reference and current windows.
+
+    Output one row per event_type:
+      (event_type, a_cnt, b_cnt, a_ppm, b_ppm, l1_ppm, chi2_ppm)
+    where a_*/b_* are the reference/current counts and floor-ppm shares,
+    l1_ppm = |a_ppm - b_ppm| (summing over types and halving gives the
+    total-variation distance), and chi2_ppm is the type's two-sample
+    chi-square contribution against the pooled expectation (half-up ppm,
+    quantized before any cross-type reduction the caller might do).
+
+    Scale: ONE groupBy(event_type) with conditional sums + a window over
+    the per-type frame (|types| rows, not |events|) for the totals — a
+    single shuffle keyed on a low-cardinality column; map-side combine
+    collapses each partition to |types| partial rows first."""
+    ev = _with_window(events)
+    per = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("win") == 0, 1).otherwise(0))
+        .cast("long").alias("a_cnt"),
+        F.sum(F.when(F.col("win") == 1, 1).otherwise(0))
+        .cast("long").alias("b_cnt"),
+    )
+    w = Window.partitionBy()
+    tot = per.select(
+        "event_type", "a_cnt", "b_cnt",
+        F.sum("a_cnt").over(w).cast("long").alias("na"),
+        F.sum("b_cnt").over(w).cast("long").alias("nb"),
+    )
+    # pooled expectation per window, identical IEEE operands both engines
+    e_a = ("(CAST(a_cnt + b_cnt AS DOUBLE) * CAST(na AS DOUBLE)"
+           " / CAST(na + nb AS DOUBLE))")
+    e_b = ("(CAST(a_cnt + b_cnt AS DOUBLE) * CAST(nb AS DOUBLE)"
+           " / CAST(na + nb AS DOUBLE))")
+    return tot.select(
+        "event_type", "a_cnt", "b_cnt",
+        F.expr("CAST(a_cnt * 1000000 div na AS BIGINT)").alias("a_ppm"),
+        F.expr("CAST(b_cnt * 1000000 div nb AS BIGINT)").alias("b_ppm"),
+        F.expr(
+            "abs(CAST(a_cnt * 1000000 div na AS BIGINT)"
+            " - CAST(b_cnt * 1000000 div nb AS BIGINT))"
+        ).cast("long").alias("l1_ppm"),
+        F.expr(
+            f"CAST(floor(((CAST(a_cnt AS DOUBLE) - {e_a})"
+            f" * (CAST(a_cnt AS DOUBLE) - {e_a}) / {e_a}"
+            f" + (CAST(b_cnt AS DOUBLE) - {e_b})"
+            f" * (CAST(b_cnt AS DOUBLE) - {e_b}) / {e_b})"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+def FREQ_DRIFT_SQL(table: str = "events") -> str:
+    e_a = ("(CAST(a_cnt + b_cnt AS DOUBLE) * CAST(na AS DOUBLE)"
+           " / CAST(na + nb AS DOUBLE))")
+    e_b = ("(CAST(a_cnt + b_cnt AS DOUBLE) * CAST(nb AS DOUBLE)"
+           " / CAST(na + nb AS DOUBLE))")
+    return f"""
+WITH base AS (
+  SELECT event_type, {_WIN_SQL} AS win FROM {table}
+),
+per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT event_type, a_cnt, b_cnt,
+         CAST(sum(a_cnt) OVER () AS BIGINT) AS na,
+         CAST(sum(b_cnt) OVER () AS BIGINT) AS nb
+  FROM per
+)
+SELECT event_type, a_cnt, b_cnt,
+       CAST(a_cnt * 1000000 // na AS BIGINT) AS a_ppm,
+       CAST(b_cnt * 1000000 // nb AS BIGINT) AS b_ppm,
+       CAST(abs(CAST(a_cnt * 1000000 // na AS BIGINT)
+                - CAST(b_cnt * 1000000 // nb AS BIGINT)) AS BIGINT)
+         AS l1_ppm,
+       CAST(floor(((CAST(a_cnt AS DOUBLE) - {e_a})
+                   * (CAST(a_cnt AS DOUBLE) - {e_a}) / {e_a}
+                   + (CAST(b_cnt AS DOUBLE) - {e_b})
+                   * (CAST(b_cnt AS DOUBLE) - {e_b}) / {e_b})
+                  * 1000000.0 + 0.5) AS BIGINT) AS chi2_ppm
+FROM tot
+"""
+
+
+def ks_two_sample(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over ``value`` between the
+    reference and current windows: D = max over the value domain of
+    |CDF_a(v) - CDF_b(v)|, reported as one row
+    (d_ppm, at_value_cents, n_a, n_b) with the smallest argmax value as
+    the tie-break.
+
+    Exactness: values carry <= 2 decimals in the synthetic data, so
+    half-up cents quantization is exact; cumulative counts are exact
+    BIGINT window sums and each CDF is a floor-ppm integer division —
+    D is bit-identical cross-engine.
+
+    Scale: after the groupBy(v_cents) collapse, the ordered window runs
+    over the DISTINCT quantized domain (bounded by the value range x
+    100, NOT by the row count) — at 100 TB the cumulative window sees
+    the same few-thousand-row frame it sees at sf0.001.  The top-1 is
+    an O(domain) sort-limit."""
+    ev = _with_window(events)
+    per = ev.select(
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+        .alias("v_cents"),
+        "win",
+    ).groupBy("v_cents").agg(
+        F.sum(F.when(F.col("win") == 0, 1).otherwise(0))
+        .cast("long").alias("a_cnt"),
+        F.sum(F.when(F.col("win") == 1, 1).otherwise(0))
+        .cast("long").alias("b_cnt"),
+    )
+    w = Window.orderBy("v_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    cum = per.select(
+        "v_cents",
+        F.sum("a_cnt").over(w).cast("long").alias("cum_a"),
+        F.sum("b_cnt").over(w).cast("long").alias("cum_b"),
+        F.sum("a_cnt").over(wt).cast("long").alias("n_a"),
+        F.sum("b_cnt").over(wt).cast("long").alias("n_b"),
+    )
+    d = cum.select(
+        F.expr(
+            "abs(CAST(cum_a * 1000000 div n_a AS BIGINT)"
+            " - CAST(cum_b * 1000000 div n_b AS BIGINT))"
+        ).cast("long").alias("d_ppm"),
+        F.col("v_cents").alias("at_value_cents"),
+        "n_a", "n_b",
+    )
+    return d.orderBy(F.desc("d_ppm"), "at_value_cents").limit(1)
+
+
+def KS_TWO_SAMPLE_SQL(table: str = "events") -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
+         {_WIN_SQL} AS win
+  FROM {table}
+),
+per AS (
+  SELECT v_cents,
+         CAST(sum(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT v_cents,
+         CAST(sum(a_cnt) OVER (ORDER BY v_cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+         CAST(sum(b_cnt) OVER (ORDER BY v_cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+         CAST(sum(a_cnt) OVER () AS BIGINT) AS n_a,
+         CAST(sum(b_cnt) OVER () AS BIGINT) AS n_b
+  FROM per
+)
+SELECT CAST(abs(CAST(cum_a * 1000000 // n_a AS BIGINT)
+                - CAST(cum_b * 1000000 // n_b AS BIGINT)) AS BIGINT)
+         AS d_ppm,
+       v_cents AS at_value_cents, n_a, n_b
+FROM cum
+ORDER BY d_ppm DESC, at_value_cents
+LIMIT 1
+"""

@@ -1,0 +1,226 @@
+"""Robust distributed-model-merge operators (the parameter-server view).
+
+The reference's hub merges spoke models by plain averaging
+(FlinkHub / the protocol suite, ParameterServerModel merge — SURVEY
+§2.9); production parameter servers additionally defend the merge
+against stragglers-gone-wrong and Byzantine workers with coordinate-wise
+robust aggregators (trimmed mean, median — Yin et al., ICML 2018) and
+cut update bytes with top-k gradient sparsification (Aji & Heafield,
+EMNLP 2017).  Both are pure keyed aggregations — exactly the shapes the
+BSP inversion already uses for the plain merge — so they slot into the
+engine as first-class operators.
+
+Spoke gradients are PLANTED deterministically from lineitem (the
+operators/pii.py discipline — the synthetic tables carry no model
+updates): spoke s = l_orderkey % n_spokes, and coordinate j of spoke
+s's update is
+
+    g(s, j) = Σ_rows qy * (((l_partkey + 3*j) % 7) - 3),
+    qy = round(l_extendedprice * 100)    (exact cents BIGINT)
+
+— a real fact-table aggregation whose cost model matches a genuine
+per-spoke gradient reduce (one scan, one keyed shuffle with map-side
+combine; the coordinate explode multiplies ROWS INTO THE COMBINER, not
+into the shuffle: at most n_spokes x dim partial rows leave each
+partition whatever the scan size).  Byzantine spokes then corrupt their
+vector POST-aggregation with a deterministic additive blow-up — the
+attack the robust merge must survive.
+
+Exactness: everything is BIGINT until the final mean/median divisions,
+which ride the shared possibly-negative floor-division text
+(CAST(floor(x / k) AS BIGINT) — Spark ``div`` truncates toward zero
+where DuckDB ``//`` floors, so neither operator appears on a signed
+value anywhere in this module).  Envelope: |per-row term| <= 3 * qy
+<= ~3e7; int64 sums stay exact past 3e11 rows per (spoke, coord) —
+far beyond 100 TB of lineitem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_SPOKES = 8
+DIM = 16
+BYZANTINE = (2, 5)          # corrupted spoke ids
+_BLOWUP = 1000000007        # per-coord additive corruption scale
+
+# shared per-row gradient term (identical text both engines; all mod
+# operands non-negative, where Spark % and DuckDB % agree)
+_G_TERM = ("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+           " * (((l_partkey + 3 * coord) % 7) - 3)")
+
+# possibly-negative exact integer division by a positive constant —
+# the engine-gotchas floor text
+def _fdiv(num: str, den: int) -> str:
+    return (f"CAST(floor(CAST({num} AS DOUBLE) / {den}.0) AS BIGINT)")
+
+
+def spoke_gradients(lineitem: DataFrame,
+                    corrupt: bool = False) -> DataFrame:
+    """(spoke, coord, g): per-spoke planted gradient vectors.  One scan,
+    one (spoke, coord)-keyed aggregation; ``corrupt=True`` applies the
+    additive Byzantine blow-up to spokes 2 and 5 post-aggregation."""
+    g = (
+        lineitem
+        .select(
+            F.expr(f"l_orderkey % {N_SPOKES}").cast("long").alias("spoke"),
+            "l_partkey", "l_extendedprice",
+        )
+        .select(
+            "spoke", "l_partkey", "l_extendedprice",
+            F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("coord"),
+        )
+        .groupBy("spoke", "coord")
+        .agg(F.sum(F.expr(_G_TERM)).cast("long").alias("g"))
+    )
+    if corrupt:
+        byz = ", ".join(str(s) for s in BYZANTINE)
+        # CAST the blow-up scale: coord is 32-bit (sequence of int
+        # literals) and ANSI Spark errors on int32 overflow
+        g = g.withColumn(
+            "g",
+            F.expr(f"CASE WHEN spoke IN ({byz})"
+                   f" THEN g + CAST({_BLOWUP} AS BIGINT) * (coord + 1)"
+                   " ELSE g END").cast("long"),
+        )
+    return g
+
+
+def SPOKE_GRADIENTS_SQL(corrupt: bool = False,
+                        table: str = "lineitem") -> str:
+    byz = ", ".join(str(s) for s in BYZANTINE)
+    gexpr = (f"CASE WHEN spoke IN ({byz})"
+             f" THEN g + CAST({_BLOWUP} AS BIGINT) * (coord + 1)"
+             " ELSE g END"
+             if corrupt else "g")
+    # DuckDB can't reference the same-SELECT alias inside the aggregate,
+    # so the shared gradient term binds r.range directly
+    g_term = _G_TERM.replace("coord", "r.range")
+    return f"""
+SELECT spoke, coord, CAST({gexpr} AS BIGINT) AS g
+FROM (
+  SELECT CAST(l_orderkey % {N_SPOKES} AS BIGINT) AS spoke,
+         CAST(r.range AS BIGINT) AS coord,
+         CAST(sum({g_term}) AS BIGINT) AS g
+  FROM {table} CROSS JOIN range({DIM}) AS r
+  GROUP BY 1, 2
+)
+"""
+
+
+def robust_federated_merge(lineitem: DataFrame,
+                           trim: int = 2) -> DataFrame:
+    """Coordinate-wise robust merge of the 8 spoke vectors with spokes
+    2 and 5 Byzantine-corrupted: per coordinate, the plain mean (what
+    the reference's averaging hub would compute — wrecked by the
+    corruption), the ``trim``-each-side trimmed mean, and the median
+    (robust, |BYZANTINE| < trim+1 and < n/2).
+
+    Output (coord, mean_q, trimmed_mean_q, median_q) — 16 rows.  The
+    order-statistics window partitions by coord over n_spokes rows, so
+    its cost is dim x n_spokes regardless of corpus size; the scan-side
+    cost lives in spoke_gradients."""
+    g = spoke_gradients(lineitem, corrupt=True)
+    w = Window.partitionBy("coord").orderBy("g", "spoke")
+    ranked = g.select(
+        "coord", "g", F.row_number().over(w).alias("rk"))
+    n, lo, hi = N_SPOKES, trim + 1, N_SPOKES - trim
+    m1, m2 = n // 2, n // 2 + 1
+    return (
+        ranked.groupBy("coord")
+        .agg(
+            F.sum("g").alias("_sum"),
+            F.sum(F.when((F.col("rk") >= lo) & (F.col("rk") <= hi),
+                         F.col("g"))).alias("_tsum"),
+            F.sum(F.when(F.col("rk").isin(m1, m2), F.col("g")))
+            .alias("_msum"),
+        )
+        .select(
+            F.col("coord").cast("long").alias("coord"),
+            F.expr(_fdiv("_sum", n)).alias("mean_q"),
+            F.expr(_fdiv("_tsum", hi - lo + 1)).alias("trimmed_mean_q"),
+            F.expr(_fdiv("_msum", 2)).alias("median_q"),
+        )
+        .orderBy("coord")
+    )
+
+
+def ROBUST_MERGE_SQL(trim: int = 2, table: str = "lineitem") -> str:
+    n, lo, hi = N_SPOKES, trim + 1, N_SPOKES - trim
+    m1, m2 = n // 2, n // 2 + 1
+    return f"""
+WITH g AS ({SPOKE_GRADIENTS_SQL(corrupt=True, table=table)}),
+ranked AS (
+  SELECT coord, g,
+         row_number() OVER (PARTITION BY coord ORDER BY g, spoke) AS rk
+  FROM g
+),
+agg AS (
+  SELECT coord,
+         sum(g) AS _sum,
+         sum(CASE WHEN rk BETWEEN {lo} AND {hi} THEN g END) AS _tsum,
+         sum(CASE WHEN rk IN ({m1}, {m2}) THEN g END) AS _msum
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(coord AS BIGINT) AS coord,
+       {_fdiv('_sum', n)} AS mean_q,
+       {_fdiv('_tsum', hi - lo + 1)} AS trimmed_mean_q,
+       {_fdiv('_msum', 2)} AS median_q
+FROM agg
+"""
+
+
+def topk_sparse_merge(lineitem: DataFrame, k: int = 4) -> DataFrame:
+    """Top-k gradient sparsification at the merge: each spoke ships only
+    its ``k`` largest-|g| coordinates (rank ties broken by coord); the
+    hub sums what arrives.  Per coordinate: the dense merge, the sparse
+    merge, how many spokes shipped it, and the L1 mass the sparsifier
+    dropped — the exact accounting an error-feedback residual would
+    carry to the next round.
+
+    Output (coord, dense_sum_q, sparse_sum_q, n_kept_spokes,
+    l1_dropped_q) — 16 rows; same cost shape as the robust merge."""
+    g = spoke_gradients(lineitem, corrupt=False)
+    w = Window.partitionBy("spoke").orderBy(
+        F.abs(F.col("g")).desc(), "coord")
+    ranked = g.select(
+        "coord", "g", (F.row_number().over(w) <= k).alias("kept"))
+    return (
+        ranked.groupBy("coord")
+        .agg(
+            F.sum("g").cast("long").alias("dense_sum_q"),
+            F.sum(F.when(F.col("kept"), F.col("g")).otherwise(0))
+            .cast("long").alias("sparse_sum_q"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long").alias("n_kept_spokes"),
+            F.sum(F.when(~F.col("kept"), F.abs(F.col("g"))).otherwise(0))
+            .cast("long").alias("l1_dropped_q"),
+        )
+        .select(F.col("coord").cast("long").alias("coord"),
+                "dense_sum_q", "sparse_sum_q", "n_kept_spokes",
+                "l1_dropped_q")
+        .orderBy("coord")
+    )
+
+
+def TOPK_SPARSE_SQL(k: int = 4, table: str = "lineitem") -> str:
+    return f"""
+WITH g AS ({SPOKE_GRADIENTS_SQL(corrupt=False, table=table)}),
+ranked AS (
+  SELECT coord, g,
+         row_number() OVER (PARTITION BY spoke
+                            ORDER BY abs(g) DESC, coord) <= {k} AS kept
+  FROM g
+)
+SELECT CAST(coord AS BIGINT) AS coord,
+       CAST(sum(g) AS BIGINT) AS dense_sum_q,
+       CAST(sum(CASE WHEN kept THEN g ELSE 0 END) AS BIGINT)
+         AS sparse_sum_q,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_spokes,
+       CAST(sum(CASE WHEN NOT kept THEN abs(g) ELSE 0 END) AS BIGINT)
+         AS l1_dropped_q
+FROM ranked
+GROUP BY 1
+"""

@@ -17841,6 +17841,54 @@ def q_histogram_selectivity_report(spark: SparkSession,
         .alias("err_ppm"))
 
 
+from .operators.drift import (  # noqa: E402
+    FREQ_DRIFT_SQL, KS_TWO_SAMPLE_SQL, freq_drift_report, ks_two_sample)
+from .operators.federated import (  # noqa: E402
+    ROBUST_MERGE_SQL, TOPK_SPARSE_SQL, robust_federated_merge,
+    topk_sparse_merge)
+
+
+@query("robust_merge_report", oracle=ROBUST_MERGE_SQL())
+def q_robust_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate-wise robust parameter-server merge (trimmed mean +
+    median vs the reference's plain average, FlinkHub merge) over 8
+    planted spoke gradient vectors with spokes 2/5 Byzantine-corrupted.
+    One fact-scan keyed aggregation + a dim x n_spokes window — see
+    operators/federated.py."""
+    return robust_federated_merge(load_table(spark, sf_dir, "lineitem"))
+
+
+@query("topk_sparse_merge", oracle=TOPK_SPARSE_SQL())
+def q_topk_sparse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k gradient sparsification at the merge (Aji & Heafield 2017):
+    each spoke ships its 4 largest-|g| coordinates; reports dense vs
+    sparse merge and the dropped L1 mass per coordinate (the
+    error-feedback residual accounting)."""
+    return topk_sparse_merge(load_table(spark, sf_dir, "lineitem"))
+
+
+
+@query("freq_drift_report", oracle=FREQ_DRIFT_SQL())
+def q_freq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical frequency drift of event_type between the even/odd
+    epoch-day windows: counts, floor-ppm shares, |share| gap (TV
+    contribution), and the half-up-ppm two-sample chi-square
+    contribution per type.  One low-cardinality groupBy + a window over
+    the per-type frame — see operators/drift.py for the scale notes."""
+    return freq_drift_report(load_table(spark, sf_dir, "events"))
+
+
+@query("ks_two_sample_value", oracle=KS_TWO_SAMPLE_SQL())
+def q_ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic over event value between the even/odd
+    epoch-day windows: exact cents quantization, cumulative-count CDFs,
+    floor-ppm gap, smallest-argmax tie-break — one row
+    (d_ppm, at_value_cents, n_a, n_b).  The ordered window runs over the
+    DISTINCT quantized domain (value-range-bounded), not the row
+    count."""
+    return ks_two_sample(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -3281,3 +3281,86 @@ def test_short_doc_gram_and_frame_guards(spark):
     frames = frame_sample(media, every_n=2).collect()
     assert {r.media_id for r in frames} == {"m1"}
     assert sorted(r.frame_idx for r in frames) == [0, 2]
+
+
+def test_freq_drift_and_ks_referee(spark):
+    # python referee on a tiny planted event stream: even epoch-days are
+    # the reference window, odd the current; counts/shares/KS gap exact
+    import datetime as dt
+
+    from omldm_spark.operators.drift import freq_drift_report, ks_two_sample
+
+    rows = []
+    for i in range(40):
+        day = i % 4                      # days 0..3 -> windows 0,1,0,1
+        ts = dt.datetime(2024, 1, 1 + day, 3, 0, 0)
+        etype = "click" if i % 3 else "error"
+        rows.append((i, ts, i % 7, etype, float(i % 5) + 0.25, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    win = {i: ((i % 4) % 2) for i in range(40)}
+    na = sum(1 for i in range(40) if win[i] == 0)
+    nb = 40 - na
+    out = {r.event_type: r for r in freq_drift_report(ev).collect()}
+    for et in ("click", "error"):
+        a = sum(1 for i in range(40)
+                if win[i] == 0 and (("click" if i % 3 else "error") == et))
+        b = sum(1 for i in range(40)
+                if win[i] == 1 and (("click" if i % 3 else "error") == et))
+        r = out[et]
+        assert (r.a_cnt, r.b_cnt) == (a, b)
+        assert r.a_ppm == a * 1_000_000 // na
+        assert r.b_ppm == b * 1_000_000 // nb
+        assert r.l1_ppm == abs(r.a_ppm - r.b_ppm)
+    ks = ks_two_sample(ev).collect()[0]
+    vals_a = sorted(int((i % 5 + 0.25) * 100 + 0.5)
+                    for i in range(40) if win[i] == 0)
+    vals_b = sorted(int((i % 5 + 0.25) * 100 + 0.5)
+                    for i in range(40) if win[i] == 1)
+    best = (-1, None)
+    for v in sorted(set(vals_a) | set(vals_b)):
+        ca = sum(1 for x in vals_a if x <= v) * 1_000_000 // len(vals_a)
+        cb = sum(1 for x in vals_b if x <= v) * 1_000_000 // len(vals_b)
+        d = abs(ca - cb)
+        if d > best[0]:
+            best = (d, v)
+    assert (ks.d_ppm, ks.at_value_cents) == best
+    assert (ks.n_a, ks.n_b) == (len(vals_a), len(vals_b))
+
+
+def test_robust_merge_survives_byzantine(spark):
+    # the corrupted mean must move; trimmed mean and median must equal
+    # the honest (uncorrupted) referee values per coordinate
+    from omldm_spark.operators.federated import (
+        BYZANTINE, DIM, N_SPOKES, robust_federated_merge, spoke_gradients,
+        topk_sparse_merge)
+
+    li = spark.createDataFrame(
+        [(i, (i * 13) % 97, float((i * 7) % 50) + 0.31)
+         for i in range(400)],
+        "l_orderkey long, l_partkey long, l_extendedprice double")
+    honest = {(r.spoke, r.coord): r.g
+              for r in spoke_gradients(li, corrupt=False).collect()}
+    out = {r.coord: r for r in robust_federated_merge(li).collect()}
+    assert set(out) == set(range(DIM))
+    import math
+
+    for j in range(DIM):
+        vals = sorted(
+            honest[(s, j)] + (1000000007 * (j + 1) if s in BYZANTINE else 0)
+            for s in range(N_SPOKES))
+        assert out[j].mean_q == math.floor(sum(vals) / N_SPOKES)
+        assert out[j].trimmed_mean_q == math.floor(sum(vals[2:6]) / 4)
+        assert out[j].median_q == math.floor((vals[3] + vals[4]) / 2)
+        # robustness: the 2-trimmed stats see no corrupted value (the 2
+        # corrupted entries are the 2 largest by construction here)
+        hon = sorted(honest[(s, j)] for s in range(N_SPOKES))
+        assert vals[2:6] == hon[2:6] or out[j].trimmed_mean_q != out[j].mean_q
+
+    sp = {r.coord: r for r in topk_sparse_merge(li, k=4).collect()}
+    for j in range(DIM):
+        dense = sum(honest[(s, j)] for s in range(N_SPOKES))
+        assert sp[j].dense_sum_q == dense
+        kept_total = sum(sp[jj].n_kept_spokes for jj in range(DIM))
+    assert kept_total == N_SPOKES * 4
