@@ -848,3 +848,98 @@ FROM nhat2
 QUALIFY row_number() OVER (PARTITION BY topic
                            ORDER BY n_hat2_q DESC, term) <= {top_n}
 """
+
+
+KN_DISCOUNT_PPM = 750_000  # the standard d = 0.75 absolute discount
+
+
+def kneser_ney_bigram(docs: DataFrame, top_n: int = 25,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities — the
+    smoothing behind the KenLM quality filters of CCNet-style corpus
+    curation (the repo's bigram_lm_scores uses raw MLE; KN is what a
+    production filter trains):
+
+      P_KN(w2|w1) = max(c12 - d, 0)/c1
+                    + (d * N1+(w1,.)/c1) * (N1+(.,w2)/B)
+
+    with d = 0.75, N1+(w1,.) = distinct followers of w1, N1+(.,w2) =
+    distinct predecessors of w2 (the CONTINUATION count — KN's insight:
+    "Francisco" is frequent but follows only "San"), and B = distinct
+    bigram types.  Reports the ``top_n`` bigrams by count (ties by
+    (w1, w2)): (w1, w2, c12, c1, n1f, n1p, p_kn_ppm).
+
+    Exactness: every count is an exact BIGINT from the shared corpus
+    bigram frame; the probability is pure floor-ppm integer arithmetic:
+    term1 = max(c12*1e6 - d_ppm, 0) div c1; lambda_ppm = d_ppm*n1f div
+    c1 (n1f <= c1, so < 1e6); pcont_ppm = n1p*1e6 div B; term2 =
+    lambda_ppm*pcont_ppm div 1e6.  Envelope: c12*1e6 and n1p*1e6 stay
+    int64-exact through 9.2e12 occurrences/types — beyond any corpus.
+
+    Scale: all four statistics derive from the ONE (w1, w2) count frame
+    (c1 / n1f are a w1-keyed reaggregation, n1p a w2-keyed one, B a
+    scalar); the joins are keyed on w1 / w2 and the scalar B broadcasts.
+    No token-position self-join anywhere — bigrams come from the
+    map-only transform in _doc_bigrams.  The top-n is a distributed
+    sort-limit, never a single-partition window."""
+    db = _doc_bigrams(docs, text_col, id_col)
+    c12 = db.groupBy("w1", "w2").agg(
+        F.sum("k").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"))
+    n1p = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p"))
+    b_tot = c12.agg(F.count(F.lit(1)).cast("long").alias("b_tot"))
+    d = KN_DISCOUNT_PPM
+    scored = (
+        c12.join(c1, "w1").join(n1p, "w2")
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            "w1", "w2", "c12", "c1", "n1f", "n1p",
+            F.expr(
+                f"CAST(greatest(c12 * 1000000 - {d}, 0) div c1"
+                f" + ({d} * n1f div c1) * (n1p * 1000000 div b_tot)"
+                " div 1000000 AS BIGINT)"
+            ).alias("p_kn_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("c12"), "w1", "w2").limit(top_n)
+
+
+def KNESER_NEY_SQL(top_n: int = 25, table: str = "documents",
+                   text_expr: str = "text",
+                   id_col: str = "doc_id") -> str:
+    d = KN_DISCOUNT_PPM
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({TOKENS_SQL(text_expr)}) AS tok,
+         generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+  FROM {table}
+),
+bi AS (
+  SELECT {id_col}, tok AS w1, lead(tok, 1) OVER w AS w2
+  FROM toks WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM c12 GROUP BY 1
+),
+n1p AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM c12 GROUP BY 1
+),
+b AS (SELECT CAST(count(*) AS BIGINT) AS b_tot FROM c12)
+SELECT c12.w1, c12.w2, c12.c12, c1.c1, c1.n1f, n1p.n1p,
+       CAST(greatest(c12.c12 * 1000000 - {d}, 0) // c1.c1
+            + ({d} * c1.n1f // c1.c1) * (n1p.n1p * 1000000 // b.b_tot)
+              // 1000000 AS BIGINT) AS p_kn_ppm
+FROM c12 JOIN c1 USING (w1) JOIN n1p USING (w2) CROSS JOIN b
+ORDER BY c12.c12 DESC, c12.w1, c12.w2
+LIMIT {top_n}
+"""

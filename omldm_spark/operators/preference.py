@@ -1,0 +1,272 @@
+"""Preference-data and annotation-agreement operators (RLHF data prep).
+
+A modern training-data pipeline feeds not just pretraining corpora but
+preference datasets: pairwise comparisons for reward models (fit with
+Bradley-Terry, the canonical pairwise-preference likelihood) and
+multi-annotator label sets whose reliability is screened with
+inter-annotator agreement (Cohen's kappa).  Both are pure keyed
+aggregations over pair/contingency frames, so they belong in the engine
+next to the evaluation suite.
+
+Plants (the operators/pii.py discipline — the synthetic tables carry no
+preference pairs or annotator columns):
+
+* Matches: each order is one comparison between players
+  p1 = o_custkey % 16 and p2 = (o_custkey div 16 + o_orderkey) % 16
+  (self-matches dropped).  Skill(p) = (p*7 + 3) % 16; the higher-skill
+  player wins unless o_orderkey % 5 = 0 (a deterministic 20% upset
+  rate), ties in skill go to the LOWER player id.  Real skill signal +
+  real noise — the MM round has something to recover.
+* Annotators: a1 = n_chars % 3 and a2 = a1 shifted on every 5th doc —
+  a deterministic 80%-agreement pair over a real data column.
+
+Exactness: counts are BIGINT; rates are floor-ppm divisions; the one
+possibly-negative division (kappa's (po-pe)/(1-pe)) rides the shared
+floor text from the engine-gotchas list.  Envelopes documented per
+operator.
+
+Scale: the BT pair matrix is |players|^2-sparse and keyed — at millions
+of players it is a keyed shuffle like any join; per-player statistics
+are one groupBy.  Kappa is a |classes|^2 contingency aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLAYERS = 16
+
+
+def _fdiv(num: str, den: str) -> str:
+    # possibly-negative exact integer division — engine-gotchas floor text
+    return (f"CAST(floor(CAST({num} AS DOUBLE)"
+            f" / CAST({den} AS DOUBLE)) AS BIGINT)")
+
+
+# shared match plant (Spark div / DuckDB // both truncate on the
+# non-negative operands here)
+def _matches(orders: DataFrame) -> DataFrame:
+    m = orders.select(
+        F.expr(f"o_custkey % {N_PLAYERS}").cast("long").alias("p1"),
+        F.expr(f"(o_custkey div 16 + o_orderkey) % {N_PLAYERS}")
+        .cast("long").alias("p2"),
+        F.col("o_orderkey"),
+    ).where("p1 != p2")
+    skill = "((%s * 7 + 3) %% 16)"
+    fav = (f"CASE WHEN {skill % 'p1'} > {skill % 'p2'} THEN p1"
+           f" WHEN {skill % 'p2'} > {skill % 'p1'} THEN p2"
+           " ELSE least(p1, p2) END")
+    dog = f"CASE WHEN ({fav}) = p1 THEN p2 ELSE p1 END"
+    return m.select(
+        "p1", "p2",
+        F.expr(f"CASE WHEN o_orderkey % 5 = 0 THEN {dog}"
+               f" ELSE {fav} END").cast("long").alias("winner"),
+    )
+
+
+def _MATCHES_SQL(table: str = "orders") -> str:
+    skill = "((%s * 7 + 3) %% 16)"
+    fav = (f"CASE WHEN {skill % 'p1'} > {skill % 'p2'} THEN p1"
+           f" WHEN {skill % 'p2'} > {skill % 'p1'} THEN p2"
+           " ELSE least(p1, p2) END")
+    dog = f"CASE WHEN ({fav}) = p1 THEN p2 ELSE p1 END"
+    return f"""
+SELECT p1, p2,
+       CAST(CASE WHEN o_orderkey % 5 = 0 THEN {dog}
+            ELSE {fav} END AS BIGINT) AS winner
+FROM (
+  SELECT CAST(o_custkey % {N_PLAYERS} AS BIGINT) AS p1,
+         CAST((o_custkey // 16 + o_orderkey) % {N_PLAYERS} AS BIGINT)
+           AS p2,
+         o_orderkey
+  FROM {table}
+) WHERE p1 != p2
+"""
+
+
+def bradley_terry_round(orders: DataFrame) -> DataFrame:
+    """One exact minorization-maximization round of Bradley-Terry over
+    the planted match set (Hunter 2004):
+
+      w0_i = (W_i + 1) * 1e6 div (N_i + 2)      (smoothed win rate init)
+      D_i  = Σ_j n_ij * 1e12 div (w0_i + w0_j)  (the MM denominator)
+      w1_i = W_i * 1e12 div D_i
+
+    Output per player: (player, n_matches, n_wins, w0_ppm, w1_ppm) —
+    BT strengths are scale-free per iteration, so w1 is reported
+    unnormalized (ranking and ratios are what a reward-model fit
+    consumes).
+
+    Exactness: pure positive-integer div end to end.  Envelope:
+    n_ij * 1e12 and W_i * 1e12 stay int64-exact through 9.2e6 matches
+    per pair / wins per player (sf0.1: ~1e4); past that, downscale the
+    1e12 to 1e9 with no other change.
+
+    Scale: matches collapse to the unordered pair matrix first (ONE
+    groupBy with map-side combine — the raw match stream never reaches
+    the join), then two keyed joins attach w0 to each directed pair and
+    one groupBy(i) folds the MM denominator."""
+    mt = _matches(orders)
+    pairs = mt.select(
+        F.least("p1", "p2").alias("a"),
+        F.greatest("p1", "p2").alias("b"),
+        F.col("winner"),
+    ).groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab"),
+        F.sum(F.when(F.col("winner") == F.col("a"), 1).otherwise(0))
+        .cast("long").alias("wins_a"),
+    )
+    directed = pairs.select(
+        F.col("a").alias("i"), F.col("b").alias("j"),
+        F.col("n_ab").alias("n_ij"), F.col("wins_a").alias("wins_i"),
+    ).unionByName(pairs.select(
+        F.col("b").alias("i"), F.col("a").alias("j"),
+        F.col("n_ab").alias("n_ij"),
+        (F.col("n_ab") - F.col("wins_a")).alias("wins_i"),
+    ))
+    per = directed.groupBy("i").agg(
+        F.sum("n_ij").cast("long").alias("n_matches"),
+        F.sum("wins_i").cast("long").alias("n_wins"),
+    ).select(
+        "i", "n_matches", "n_wins",
+        F.expr("(n_wins + 1) * 1000000 div (n_matches + 2)")
+        .cast("long").alias("w0_ppm"),
+    )
+    w0j = per.select(F.col("i").alias("j"),
+                     F.col("w0_ppm").alias("w0_j"))
+    denom = (
+        directed.join(per.select("i", "w0_ppm"), "i")
+        .join(w0j, "j")
+        .groupBy("i")
+        .agg(F.sum(F.expr("n_ij * 1000000000000 div (w0_ppm + w0_j)"))
+             .cast("long").alias("d_i"))
+    )
+    return per.join(denom, "i").select(
+        F.col("i").alias("player"), "n_matches", "n_wins", "w0_ppm",
+        F.expr("n_wins * 1000000000000 div d_i").cast("long")
+        .alias("w1_ppm"),
+    )
+
+
+def BRADLEY_TERRY_SQL(table: str = "orders") -> str:
+    return f"""
+WITH mt AS ({_MATCHES_SQL(table)}),
+pairs AS (
+  SELECT least(p1, p2) AS a, greatest(p1, p2) AS b,
+         CAST(count(*) AS BIGINT) AS n_ab,
+         CAST(sum(CASE WHEN winner = least(p1, p2) THEN 1 ELSE 0 END)
+              AS BIGINT) AS wins_a
+  FROM mt GROUP BY 1, 2
+),
+directed AS (
+  SELECT a AS i, b AS j, n_ab AS n_ij, wins_a AS wins_i FROM pairs
+  UNION ALL
+  SELECT b AS i, a AS j, n_ab AS n_ij, n_ab - wins_a AS wins_i FROM pairs
+),
+per AS (
+  SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_matches,
+         CAST(sum(wins_i) AS BIGINT) AS n_wins,
+         CAST((sum(wins_i) + 1) * 1000000 // (sum(n_ij) + 2) AS BIGINT)
+           AS w0_ppm
+  FROM directed GROUP BY 1
+),
+denom AS (
+  SELECT d.i,
+         CAST(sum(d.n_ij * 1000000000000 // (pi.w0_ppm + pj.w0_ppm))
+              AS BIGINT) AS d_i
+  FROM directed d
+  JOIN per pi ON pi.i = d.i
+  JOIN per pj ON pj.i = d.j
+  GROUP BY 1
+)
+SELECT per.i AS player, per.n_matches, per.n_wins, per.w0_ppm,
+       CAST(per.n_wins * 1000000000000 // denom.d_i AS BIGINT) AS w1_ppm
+FROM per JOIN denom ON denom.i = per.i
+"""
+
+
+def cohens_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa between the two planted annotators: one row
+    (n, n_agree, po_ppm, pe_ppm, kappa_ppm).
+
+    po and the per-class marginal shares are floor-ppm; pe is the
+    quantize-then-sum of per-class (share1 * share2) products (each
+    term <= 1e6, summed exactly); kappa's possibly-negative numerator
+    rides the shared floor text.  The whole statistic reduces from ONE
+    |classes|^2 contingency groupBy — at 100 TB that is a 9-row frame
+    after the map-side combine."""
+    lab = docs.select(
+        F.expr("n_chars % 3").cast("long").alias("a1"),
+        F.expr("CASE WHEN doc_id % 5 = 0 THEN (n_chars + 1) % 3"
+               " ELSE n_chars % 3 END").cast("long").alias("a2"),
+    )
+    cont = lab.groupBy("a1", "a2").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    # marginals as proper per-class frames (a diagonal-cell shortcut
+    # would silently drop any class that never self-agrees), full-outer
+    # joined so a class one annotator never uses still contributes its
+    # zero term exactly
+    m1 = cont.groupBy(F.col("a1").alias("k")).agg(
+        F.sum("c").cast("long").alias("n1"))
+    m2 = cont.groupBy(F.col("a2").alias("k")).agg(
+        F.sum("c").cast("long").alias("n2"))
+    marg = m1.join(m2, "k", "full_outer").select(
+        "k",
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+        F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+    )
+    tot = cont.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a1") == F.col("a2"), F.col("c"))
+              .otherwise(0)).cast("long").alias("n_agree"),
+    )
+    pe = marg.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr("(n1 * 1000000 div n) * (n2 * 1000000 div n)"
+                     " div 1000000")).cast("long").alias("pe_ppm"))
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("n").cast("long").alias("n"),
+        "n_agree",
+        F.expr("n_agree * 1000000 div n").cast("long").alias("po_ppm"),
+        "pe_ppm",
+        F.expr(_fdiv("(n_agree * 1000000 div n - pe_ppm) * 1000000",
+                     "1000000 - pe_ppm")).alias("kappa_ppm"),
+    )
+
+
+def COHENS_KAPPA_SQL(table: str = "documents") -> str:
+    return f"""
+WITH lab AS (
+  SELECT CAST(n_chars % 3 AS BIGINT) AS a1,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN (n_chars + 1) % 3
+              ELSE n_chars % 3 END AS BIGINT) AS a2
+  FROM {table}
+),
+cont AS (
+  SELECT a1, a2, CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2
+),
+m1 AS (SELECT a1 AS k, CAST(sum(c) AS BIGINT) AS n1 FROM cont GROUP BY 1),
+m2 AS (SELECT a2 AS k, CAST(sum(c) AS BIGINT) AS n2 FROM cont GROUP BY 1),
+marg AS (
+  SELECT coalesce(m1.k, m2.k) AS k,
+         coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+  FROM m1 FULL OUTER JOIN m2 ON m1.k = m2.k
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a1 = a2 THEN c ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM cont
+),
+pe AS (
+  SELECT CAST(sum((n1 * 1000000 // n) * (n2 * 1000000 // n) // 1000000)
+              AS BIGINT) AS pe_ppm
+  FROM marg CROSS JOIN tot
+)
+SELECT n, n_agree,
+       CAST(n_agree * 1000000 // n AS BIGINT) AS po_ppm,
+       pe_ppm,
+       {_fdiv('(n_agree * 1000000 // n - pe_ppm) * 1000000',
+              '1000000 - pe_ppm')} AS kappa_ppm
+FROM tot CROSS JOIN pe
+"""

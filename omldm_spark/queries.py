@@ -17848,6 +17848,42 @@ from .operators.federated import (  # noqa: E402
     topk_sparse_merge)
 
 
+from .operators.lm import KNESER_NEY_SQL, kneser_ney_bigram  # noqa: E402
+
+
+from .operators.preference import (  # noqa: E402
+    BRADLEY_TERRY_SQL, COHENS_KAPPA_SQL, bradley_terry_round, cohens_kappa)
+
+
+@query("bradley_terry_round", oracle=BRADLEY_TERRY_SQL())
+def q_bradley_terry_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Bradley-Terry MM round over planted pairwise
+    preferences (the reward-model preference likelihood, Hunter 2004):
+    smoothed-win-rate init, integer-exact MM denominator, per-player
+    strengths.  Pair-matrix groupBy + two keyed joins — see
+    operators/preference.py."""
+    return bradley_terry_round(load_table(spark, sf_dir, "orders"))
+
+
+@query("cohens_kappa_labels", oracle=COHENS_KAPPA_SQL())
+def q_cohens_kappa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two planted
+    deterministic annotators over documents: one contingency groupBy,
+    marginal frames full-outer-joined, quantize-then-sum pe, shared
+    floor text for the signed kappa division."""
+    return cohens_kappa(load_table(spark, sf_dir, "documents"))
+
+
+@query("kneser_ney_bigrams", oracle=KNESER_NEY_SQL())
+def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities over the documents
+    corpus (the KenLM-filter smoothing): exact floor-ppm integer
+    arithmetic over the shared bigram count frame, top-25 bigrams by
+    count.  See operators/lm.py for the continuation-count derivation
+    and the keyed-join scale shape."""
+    return kneser_ney_bigram(load_table(spark, sf_dir, "documents"))
+
+
 @query("robust_merge_report", oracle=ROBUST_MERGE_SQL())
 def q_robust_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coordinate-wise robust parameter-server merge (trimmed mean +

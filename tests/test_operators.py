@@ -3364,3 +3364,107 @@ def test_robust_merge_survives_byzantine(spark):
         assert sp[j].dense_sum_q == dense
         kept_total = sum(sp[jj].n_kept_spokes for jj in range(DIM))
     assert kept_total == N_SPOKES * 4
+
+
+def test_kneser_ney_bigram_referee(spark):
+    # brute-force KN referee on a tiny corpus; pins the continuation
+    # count ("francisco" frequent but only ever follows "san")
+    from collections import Counter
+
+    from omldm_spark.operators.lm import kneser_ney_bigram
+
+    texts = ["san francisco is big", "san francisco fog",
+             "san jose is near san francisco", "is big big big"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    bi = Counter()
+    for t in texts:
+        w = t.split()
+        bi.update(zip(w, w[1:]))
+    c1 = Counter()
+    n1f = Counter()
+    n1p = Counter()
+    for (w1, w2), c in bi.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1p[w2] += 1
+    B = len(bi)
+    d = 750_000
+    got = {(r.w1, r.w2): r for r in
+           kneser_ney_bigram(docs, top_n=100).collect()}
+    assert set(got) == set(bi)
+    for (w1, w2), c in bi.items():
+        t1 = max(c * 1_000_000 - d, 0) // c1[w1]
+        lam = d * n1f[w1] // c1[w1]
+        t2 = lam * (n1p[w2] * 1_000_000 // B) // 1_000_000
+        r = got[(w1, w2)]
+        assert (r.c12, r.c1, r.n1f, r.n1p) == (c, c1[w1], n1f[w1], n1p[w2])
+        assert r.p_kn_ppm == t1 + t2
+    # the KN signature: "francisco" has high c12 but continuation 1,
+    # so P_KN(francisco | san) leans on term1, and a novel-context
+    # bigram with the same MLE but richer continuation scores higher
+    assert got[("san", "francisco")].n1p == 1
+
+
+def test_bradley_terry_round_referee(spark):
+    # python referee over the same plant; MM round ranks the planted
+    # high-skill players above low-skill ones
+    from collections import Counter, defaultdict
+
+    from omldm_spark.operators.preference import bradley_terry_round
+
+    orders = spark.createDataFrame(
+        [(k, (k * 37 + 11) % 200) for k in range(600)],
+        "o_orderkey long, o_custkey long")
+    nij = Counter()
+    wins = Counter()
+    nmatch = Counter()
+    for k in range(600):
+        cust = (k * 37 + 11) % 200
+        p1, p2 = cust % 16, (cust // 16 + k) % 16
+        if p1 == p2:
+            continue
+        s1, s2 = (p1 * 7 + 3) % 16, (p2 * 7 + 3) % 16
+        fav = p1 if s1 > s2 else p2 if s2 > s1 else min(p1, p2)
+        dog = p2 if fav == p1 else p1
+        w = dog if k % 5 == 0 else fav
+        a, b = min(p1, p2), max(p1, p2)
+        nij[(a, b)] += 1
+        nmatch[p1] += 1
+        nmatch[p2] += 1
+        wins[w] += 1
+    w0 = {p: (wins[p] + 1) * 1_000_000 // (nmatch[p] + 2)
+          for p in nmatch}
+    dd = defaultdict(int)
+    for (a, b), n in nij.items():
+        dd[a] += n * 10**12 // (w0[a] + w0[b])
+        dd[b] += n * 10**12 // (w0[a] + w0[b])
+    out = {r.player: r for r in bradley_terry_round(orders).collect()}
+    assert set(out) == set(nmatch)
+    for p in nmatch:
+        r = out[p]
+        assert (r.n_matches, r.n_wins, r.w0_ppm) == (
+            nmatch[p], wins[p], w0[p])
+        assert r.w1_ppm == wins[p] * 10**12 // dd[p]
+
+
+def test_cohens_kappa_referee(spark):
+    from omldm_spark.operators.preference import cohens_kappa
+
+    rows = [(i, 10 + i) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a1 = [(10 + i) % 3 for i in range(300)]
+    a2 = [((10 + i + 1) % 3 if i % 5 == 0 else (10 + i) % 3)
+          for i in range(300)]
+    n = 300
+    agree = sum(1 for x, y in zip(a1, a2) if x == y)
+    po = agree * 1_000_000 // n
+    pe = sum((a1.count(k) * 1_000_000 // n)
+             * (a2.count(k) * 1_000_000 // n) // 1_000_000
+             for k in range(3))
+    import math
+
+    kappa = math.floor((po - pe) * 1_000_000 / (1_000_000 - pe))
+    r = cohens_kappa(docs).collect()[0]
+    assert (r.n, r.n_agree, r.po_ppm, r.pe_ppm, r.kappa_ppm) == (
+        n, agree, po, pe, kappa)
