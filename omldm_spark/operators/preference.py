@@ -186,7 +186,8 @@ FROM per JOIN denom ON denom.i = per.i
 """
 
 
-def cohens_kappa(docs: DataFrame) -> DataFrame:
+def cohens_kappa(docs: DataFrame,
+                 cache_out: list | None = None) -> DataFrame:
     """Cohen's kappa between the two planted annotators: one row
     (n, n_agree, po_ppm, pe_ppm, kappa_ppm).
 
@@ -201,8 +202,14 @@ def cohens_kappa(docs: DataFrame) -> DataFrame:
         F.expr("CASE WHEN doc_id % 5 = 0 THEN (n_chars + 1) % 3"
                " ELSE n_chars % 3 END").cast("long").alias("a2"),
     )
+    # the |classes|^2 contingency persists (one bounded entry referenced
+    # by the lazy output — the accepted single-shot pattern): four
+    # consumers (both marginals, totals, pe) otherwise each re-run the
+    # corpus scan
     cont = lab.groupBy("a1", "a2").agg(
-        F.count(F.lit(1)).cast("long").alias("c"))
+        F.count(F.lit(1)).cast("long").alias("c")).persist()
+    if cache_out is not None:
+        cache_out.append(cont)
     # marginals as proper per-class frames (a diagonal-cell shortcut
     # would silently drop any class that never self-agrees), full-outer
     # joined so a class one annotator never uses still contributes its

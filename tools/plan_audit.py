@@ -1529,6 +1529,83 @@ CHECKS.update({
     ],
 })
 
+
+CHECKS.update({
+    # --- round-10 queries ---
+    "freq_drift_report": [
+        # one low-cardinality groupBy (map-side combined); the totals
+        # window runs over the |event_types|-row grouped frame, so its
+        # SinglePartition is domain-bounded, and there is no join
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("one keyed shuffle + the tiny-frame window exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+        ("counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "ks_two_sample_value": [
+        # grouped on quantized cents first: every window downstream of
+        # the groupBy sees the DISTINCT value domain, and the top-1 is
+        # a TakeOrdered, never a global row_number window
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("counts collapse before the CDF windows",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("top-1 via distributed TakeOrdered",
+         lambda p: "TakeOrdered" in p),
+    ],
+    "robust_merge_report": [
+        # the coordinate explode feeds the map-side combiner (partial
+        # HashAggregate ABOVE the Generate); the order-stats window is
+        # keyed by coord, never single-partition
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("spoke gradients map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("order-stats window keyed (no single partition)",
+         lambda p: "SinglePartition" not in p),
+    ],
+    "topk_sparse_merge": [
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("spoke gradients map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("top-k window keyed by spoke (no single partition)",
+         lambda p: "SinglePartition" not in p),
+    ],
+    "kneser_ney_bigrams": [
+        # all four statistics reaggregate the ONE bigram count frame;
+        # the scalar bigram-type count broadcasts (nested-loop on a
+        # 1-row side), and the top-n is a distributed TakeOrdered
+        ("no cartesian blowup",
+         lambda p: "CartesianProduct" not in p),
+        ("statistics joins never sort-merge at model scale",
+         lambda p: "SortMergeJoin" not in p),
+        ("top-n via distributed TakeOrdered",
+         lambda p: "TakeOrdered" in p),
+        ("bigram counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 6),
+    ],
+    "bradley_terry_round": [
+        # the raw match stream collapses to the pair matrix BEFORE any
+        # join; both w0 attachments are keyed joins; no windows at all
+        ("no cartesian / nested-loop joins",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("pair matrix + per-player stats map-side combined",
+         lambda p: p.count("HashAggregate") >= 6),
+        ("no window operator", lambda p: "Window" not in p),
+    ],
+    "cohens_kappa_labels": [
+        # ONE contingency groupBy over the scan, persisted; all four
+        # consumers (marginals, totals, pe) read the 9-row cache, so
+        # the corpus is scanned once at runtime (the plan TEXT reprints
+        # the cached relation's defining scan per reference)
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        ("contingency map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("all consumers read the persisted contingency",
+         lambda p: p.count("InMemoryTableScan") >= 4),
+    ],
+})
+
+
 GLOBAL_WINDOW_BOUNDED = [
     "auc_purchase_value", "budget_apportion_sources",
     "conformal_interval_orr", "gbt_residual_round", "km_session_survival",
