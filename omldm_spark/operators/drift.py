@@ -311,13 +311,24 @@ def freq_drift_report(events: DataFrame) -> DataFrame:
     the per-type frame (|types| rows, not |events|) for the totals — a
     single shuffle keyed on a low-cardinality column; map-side combine
     collapses each partition to |types| partial rows first."""
+    return freq_drift_from_counts(freq_drift_counts(events))
+
+
+def freq_drift_counts(events: DataFrame) -> DataFrame:
+    """(event_type, a_cnt, b_cnt): the drift report's ADDITIVE
+    sufficient statistic — counts merge by plain sum, so this is the
+    carried state of the streaming twin (arrival order irrelevant)."""
     ev = _with_window(events)
-    per = ev.groupBy("event_type").agg(
+    return ev.groupBy("event_type").agg(
         F.sum(F.when(F.col("win") == 0, 1).otherwise(0))
         .cast("long").alias("a_cnt"),
         F.sum(F.when(F.col("win") == 1, 1).otherwise(0))
         .cast("long").alias("b_cnt"),
     )
+
+
+def freq_drift_from_counts(per: DataFrame) -> DataFrame:
+    """Report columns from a (event_type, a_cnt, b_cnt) counts frame."""
     w = Window.partitionBy()
     tot = per.select(
         "event_type", "a_cnt", "b_cnt",

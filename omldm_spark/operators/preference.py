@@ -277,3 +277,119 @@ SELECT n, n_agree,
               '1000000 - pe_ppm')} AS kappa_ppm
 FROM tot CROSS JOIN pe
 """
+
+
+def bradley_terry_two_rounds(orders: DataFrame,
+                             cache_out: list | None = None) -> DataFrame:
+    """TWO exact Bradley-Terry MM rounds — the round where genuine
+    iteration appears: round 2's denominator joins the ROUND-1 strengths
+    back onto the pair matrix (the factor-join shape of distributed MM),
+    exactly the plsa_two_rounds discipline.
+
+      w2_i = W_i * 1e12 div Σ_j n_ij * 1e12 div (w1_i + w1_j)
+
+    Output (player, n_matches, n_wins, w1_ppm, w2_ppm).  The unordered
+    pair matrix persists (one bounded |players|^2-sparse entry, released
+    via ``cache_out``) because both rounds' denominators fold it; the
+    raw match stream is scanned once.  Envelope: identical to the
+    one-round operator (n_ij, W_i <= 9.2e6 under the 1e12 scale)."""
+    mt = _matches(orders)
+    pairs = mt.select(
+        F.least("p1", "p2").alias("a"),
+        F.greatest("p1", "p2").alias("b"),
+        F.col("winner"),
+    ).groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab"),
+        F.sum(F.when(F.col("winner") == F.col("a"), 1).otherwise(0))
+        .cast("long").alias("wins_a"),
+    ).persist()
+    if cache_out is not None:
+        cache_out.append(pairs)
+    directed = pairs.select(
+        F.col("a").alias("i"), F.col("b").alias("j"),
+        F.col("n_ab").alias("n_ij"), F.col("wins_a").alias("wins_i"),
+    ).unionByName(pairs.select(
+        F.col("b").alias("i"), F.col("a").alias("j"),
+        F.col("n_ab").alias("n_ij"),
+        (F.col("n_ab") - F.col("wins_a")).alias("wins_i"),
+    ))
+    per = directed.groupBy("i").agg(
+        F.sum("n_ij").cast("long").alias("n_matches"),
+        F.sum("wins_i").cast("long").alias("n_wins"),
+    ).select(
+        "i", "n_matches", "n_wins",
+        F.expr("(n_wins + 1) * 1000000 div (n_matches + 2)")
+        .cast("long").alias("w_ppm"),
+    )
+
+    def mm_round(cur):
+        wj = cur.select(F.col("i").alias("j"), F.col("w_ppm").alias("w_j"))
+        denom = (
+            directed.join(cur.select("i", "w_ppm"), "i")
+            .join(wj, "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("n_ij * 1000000000000 div (w_ppm + w_j)"))
+                 .cast("long").alias("d_i"))
+        )
+        return cur.select("i", "n_matches", "n_wins").join(denom, "i") \
+            .select("i", "n_matches", "n_wins",
+                    F.expr("n_wins * 1000000000000 div d_i").cast("long")
+                    .alias("w_ppm"))
+
+    r1 = mm_round(per)
+    r2 = mm_round(r1)
+    return (
+        r1.select("i", F.col("w_ppm").alias("w1_ppm"))
+        .join(r2.select("i", "n_matches", "n_wins",
+                        F.col("w_ppm").alias("w2_ppm")), "i")
+        .select(F.col("i").alias("player"), "n_matches", "n_wins",
+                "w1_ppm", "w2_ppm")
+    )
+
+
+def BRADLEY_TERRY_TWO_SQL(table: str = "orders") -> str:
+    return f"""
+WITH mt AS ({_MATCHES_SQL(table)}),
+pairs AS (
+  SELECT least(p1, p2) AS a, greatest(p1, p2) AS b,
+         CAST(count(*) AS BIGINT) AS n_ab,
+         CAST(sum(CASE WHEN winner = least(p1, p2) THEN 1 ELSE 0 END)
+              AS BIGINT) AS wins_a
+  FROM mt GROUP BY 1, 2
+),
+directed AS (
+  SELECT a AS i, b AS j, n_ab AS n_ij, wins_a AS wins_i FROM pairs
+  UNION ALL
+  SELECT b AS i, a AS j, n_ab AS n_ij, n_ab - wins_a AS wins_i FROM pairs
+),
+per AS (
+  SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_matches,
+         CAST(sum(wins_i) AS BIGINT) AS n_wins,
+         CAST((sum(wins_i) + 1) * 1000000 // (sum(n_ij) + 2) AS BIGINT)
+           AS w_ppm
+  FROM directed GROUP BY 1
+),
+d1 AS (
+  SELECT d.i,
+         CAST(sum(d.n_ij * 1000000000000 // (pi.w_ppm + pj.w_ppm))
+              AS BIGINT) AS d_i
+  FROM directed d JOIN per pi ON pi.i = d.i JOIN per pj ON pj.i = d.j
+  GROUP BY 1
+),
+r1 AS (
+  SELECT per.i, per.n_matches, per.n_wins,
+         CAST(per.n_wins * 1000000000000 // d1.d_i AS BIGINT) AS w_ppm
+  FROM per JOIN d1 ON d1.i = per.i
+),
+d2 AS (
+  SELECT d.i,
+         CAST(sum(d.n_ij * 1000000000000 // (pi.w_ppm + pj.w_ppm))
+              AS BIGINT) AS d_i
+  FROM directed d JOIN r1 pi ON pi.i = d.i JOIN r1 pj ON pj.i = d.j
+  GROUP BY 1
+)
+SELECT r1.i AS player, r1.n_matches, r1.n_wins,
+       r1.w_ppm AS w1_ppm,
+       CAST(r1.n_wins * 1000000000000 // d2.d_i AS BIGINT) AS w2_ppm
+FROM r1 JOIN d2 ON d2.i = r1.i
+"""

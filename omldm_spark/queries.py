@@ -17855,6 +17855,63 @@ from .operators.preference import (  # noqa: E402
     BRADLEY_TERRY_SQL, COHENS_KAPPA_SQL, bradley_terry_round, cohens_kappa)
 
 
+@query("streaming_freq_drift", oracle=FREQ_DRIFT_SQL())
+def q_streaming_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL frequency-drift monitor: the carried state is the
+    (event_type, a_cnt, b_cnt) counts frame — the drift report's
+    ADDITIVE sufficient statistic (window membership is row-local, so
+    counts merge by plain sum; arrival order irrelevant).  Each
+    micro-batch folds its own counts into state with one keyed sum; the
+    report (shares, TV gap, chi-square contribution) derives from state
+    only.  Oracle = the one-shot batch report — the IVM twin of
+    freq_drift_report."""
+    import os
+    import tempfile
+
+    from .operators.drift import freq_drift_counts, freq_drift_from_counts
+    from .streaming.sources import file_replay_source
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="omldm_sfd_")
+    src_dir = f"{tmp}/src"
+    ev.repartition(5).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def _latest():
+        if not os.path.isdir(state_dir):
+            return None
+        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                    if d.startswith("v"))
+        return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+
+    def fold(new, bid):
+        prev = _latest()
+        cnt = freq_drift_counts(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("event_type").agg(
+                F.sum("a_cnt").cast("long").alias("a_cnt"),
+                F.sum("b_cnt").cast("long").alias("b_cnt"))
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = _latest()
+    if state is None:
+        return spark.createDataFrame(
+            [], "event_type string, a_cnt long, b_cnt long, a_ppm long,"
+            " b_ppm long, l1_ppm long, chi2_ppm long")
+    return freq_drift_from_counts(state)
+
+
 @query("bradley_terry_round", oracle=BRADLEY_TERRY_SQL())
 def q_bradley_terry_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact Bradley-Terry MM round over planted pairwise
@@ -17863,6 +17920,18 @@ def q_bradley_terry_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     strengths.  Pair-matrix groupBy + two keyed joins — see
     operators/preference.py."""
     return bradley_terry_round(load_table(spark, sf_dir, "orders"))
+
+
+from .operators.preference import (  # noqa: E402
+    BRADLEY_TERRY_TWO_SQL, bradley_terry_two_rounds)
+
+
+@query("bradley_terry_two_rounds", oracle=BRADLEY_TERRY_TWO_SQL())
+def q_bradley_terry_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO exact Bradley-Terry MM rounds — round 2 joins the round-1
+    strengths back onto the persisted pair matrix (the factor-join
+    shape of distributed MM, the plsa_two_rounds discipline)."""
+    return bradley_terry_two_rounds(load_table(spark, sf_dir, "orders"))
 
 
 @query("cohens_kappa_labels", oracle=COHENS_KAPPA_SQL())

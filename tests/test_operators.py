@@ -3468,3 +3468,62 @@ def test_cohens_kappa_referee(spark):
     r = cohens_kappa(docs).collect()[0]
     assert (r.n, r.n_agree, r.po_ppm, r.pe_ppm, r.kappa_ppm) == (
         n, agree, po, pe, kappa)
+
+
+def test_bradley_terry_two_rounds_consistency(spark):
+    # round-1 strengths in the two-round operator must equal the
+    # one-round operator's w1 exactly; round 2 must move and stay
+    # positive; the persisted pair matrix is released via cache_out
+    from omldm_spark.operators.preference import (
+        bradley_terry_round, bradley_terry_two_rounds)
+
+    orders = spark.createDataFrame(
+        [(k, (k * 37 + 11) % 200) for k in range(600)],
+        "o_orderkey long, o_custkey long")
+    one = {r.player: r.w1_ppm
+           for r in bradley_terry_round(orders).collect()}
+    caches: list = []
+    rows = bradley_terry_two_rounds(orders, cache_out=caches).collect()
+    two = {r.player: r for r in rows}
+    assert set(two) == set(one)
+    for p, r in two.items():
+        assert r.w1_ppm == one[p]
+        assert r.w2_ppm > 0
+    assert any(r.w2_ppm != r.w1_ppm for r in rows)
+    assert len(caches) == 1 and caches[0].is_cached
+    caches[0].unpersist()
+
+
+def test_streaming_freq_drift_matches_batch(spark, tmp_path):
+    # the IVM fold over shuffled micro-batches reproduces the one-shot
+    # batch report exactly (counts are additive)
+    import datetime as dt
+
+    from omldm_spark.operators.drift import (freq_drift_counts,
+                                             freq_drift_from_counts,
+                                             freq_drift_report)
+
+    rows = []
+    for i in range(60):
+        ts = dt.datetime(2024, 1, 1 + (i % 5), 2 + i % 7, 0, 0)
+        rows.append((i, ts, i % 9, ["click", "view", "error"][i % 3],
+                     float(i % 4), "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    batch = {r.event_type: r for r in freq_drift_report(ev).collect()}
+    # simulate the fold: three arbitrary batches
+    state = None
+    from pyspark.sql import functions as F
+
+    for lo, hi in ((40, 60), (0, 25), (25, 40)):
+        part = ev.where(f"event_id >= {lo} AND event_id < {hi}")
+        cnt = freq_drift_counts(part)
+        state = cnt if state is None else (
+            state.unionByName(cnt).groupBy("event_type").agg(
+                F.sum("a_cnt").cast("long").alias("a_cnt"),
+                F.sum("b_cnt").cast("long").alias("b_cnt")))
+    inc = {r.event_type: r for r in freq_drift_from_counts(state).collect()}
+    assert set(inc) == set(batch)
+    for et in batch:
+        assert tuple(inc[et]) == tuple(batch[et])
