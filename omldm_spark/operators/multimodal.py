@@ -252,3 +252,161 @@ SELECT {id_col}, CAST(frame AS BIGINT) AS frame,
 FROM samples
 GROUP BY 1, 2
 """
+
+
+SHOT_LUMA_TAU = 40
+SILENCE_TAU = 700_000
+
+
+def video_shot_boundaries(docs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Shot-boundary detection over synthetic per-frame luma — the
+    classic hard-cut detector (mean-luma frame differencing): a
+    boundary wherever |luma(f) - luma(f-1)| > tau.  Output per video:
+    (doc_id, n_frames, n_shots, first_boundary_frame,
+    mean_shot_len_ppm).
+
+    Like audio_frame_energy, the container has no video decode, so
+    per-frame mean luma is a CLOSED FORM of (doc_id, frame):
+    l = ((doc_id*37 + frame*frame*11) % 200) + 20, track length
+    24 + (doc_id % 5)*8 frames.  The closed form lets the PREVIOUS
+    frame's luma be recomputed in the same row — so the whole detector
+    is one explode + map expressions + ONE keyed aggregate: no window,
+    no self-join, no lag shuffle.  A real deployment feeds decoded
+    mean-luma rows (mapInPandas) into lag-over-(video ORDER BY frame)
+    — one keyed window — with everything downstream unchanged.
+
+    Exactness: luma in [20, 219], all arithmetic small exact BIGINTs;
+    mean shot length is floor-ppm."""
+    d = F.col(id_col)
+    base = docs.select(
+        d.cast("long").alias(id_col),
+        (F.lit(24) + (d % 5) * 8).cast("int").alias("nf"),
+    )
+    diffs = base.select(
+        id_col, "nf",
+        F.explode(F.sequence(F.lit(1), F.col("nf") - 1)).alias("f"),
+    )
+    luma = f"((({id_col} * 37 + %s * %s * 11) %% 200) + 20)"
+    cur = luma % ("f", "f")
+    prv = luma % ("(f - 1)", "(f - 1)")
+    flagged = diffs.select(
+        id_col, "nf", "f",
+        F.expr(f"abs({cur} - {prv}) > {SHOT_LUMA_TAU}").alias("cut"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.max("nf").cast("long").alias("n_frames"),
+        (F.sum(F.when(F.col("cut"), 1).otherwise(0)) + 1).cast("long")
+        .alias("n_shots"),
+        F.min(F.when(F.col("cut"), F.col("f"))).cast("long")
+        .alias("first_boundary_frame"),
+    ).select(
+        id_col, "n_frames", "n_shots", "first_boundary_frame",
+        F.expr("n_frames * 1000000 div n_shots").cast("long")
+        .alias("mean_shot_len_ppm"),
+    )
+
+
+def VIDEO_SHOTS_SQL(table: str = "documents",
+                    id_col: str = "doc_id") -> str:
+    luma = f"((({id_col} * 37 + %s * %s * 11) %% 200) + 20)"
+    cur = luma % ("f", "f")
+    prv = luma % ("(f - 1)", "(f - 1)")
+    return f"""
+WITH base AS (
+  SELECT CAST({id_col} AS BIGINT) AS {id_col},
+         24 + ({id_col} % 5) * 8 AS nf
+  FROM {table}
+),
+diffs AS (
+  SELECT {id_col}, nf, unnest(generate_series(1, nf - 1)) AS f FROM base
+),
+flagged AS (
+  SELECT {id_col}, nf, f,
+         abs({cur} - {prv}) > {SHOT_LUMA_TAU} AS cut
+  FROM diffs
+),
+agg AS (
+  SELECT {id_col},
+         CAST(max(nf) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS n_shots,
+         CAST(min(CASE WHEN cut THEN f END) AS BIGINT)
+           AS first_boundary_frame
+  FROM flagged GROUP BY 1
+)
+SELECT {id_col}, n_frames, n_shots, first_boundary_frame,
+       CAST(n_frames * 1000000 // n_shots AS BIGINT) AS mean_shot_len_ppm
+FROM agg
+"""
+
+
+def audio_silence_segments(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """VAD-style silence segmentation over the audio_frame_energy
+    frames: a frame is quiet when energy_q < tau; consecutive quiet
+    frames merge into segments (gaps-and-islands).  Output per track:
+    (doc_id, n_frames, n_quiet_frames, n_segments, longest_run).
+
+    Scale: rides the audio framing aggregate, then ONE doc-keyed
+    row_number window over the QUIET frames only (islands key =
+    frame - rank), one run aggregate, one per-doc rollup joined back
+    keyed — every stage keyed by the track id, parallelism = |tracks|."""
+    from pyspark.sql import Window
+
+    frames = audio_frame_energy(docs, id_col)
+    totals = frames.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.when(F.col("energy_q") < SILENCE_TAU, 1).otherwise(0))
+        .cast("long").alias("n_quiet_frames"),
+    )
+    quiet = frames.where(F.col("energy_q") < SILENCE_TAU)
+    w = Window.partitionBy(id_col).orderBy("frame")
+    runs = quiet.select(
+        id_col, "frame",
+        (F.col("frame") - F.row_number().over(w)).alias("grp"),
+    ).groupBy(id_col, "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"))
+    seg = runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )
+    return totals.join(seg, id_col, "left").select(
+        id_col, "n_frames", "n_quiet_frames",
+        F.coalesce("n_segments", F.lit(0)).cast("long")
+        .alias("n_segments"),
+        F.coalesce("longest_run", F.lit(0)).cast("long")
+        .alias("longest_run"),
+    )
+
+
+def AUDIO_SILENCE_SQL(table: str = "documents",
+                      id_col: str = "doc_id") -> str:
+    return f"""
+WITH frames AS ({AUDIO_FRAME_SQL(table, id_col)}),
+totals AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN energy_q < {SILENCE_TAU} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_quiet_frames
+  FROM frames GROUP BY 1
+),
+quiet AS (
+  SELECT {id_col}, frame,
+         frame - row_number() OVER (PARTITION BY {id_col}
+                                    ORDER BY frame) AS grp
+  FROM frames WHERE energy_q < {SILENCE_TAU}
+),
+runs AS (
+  SELECT {id_col}, grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM quiet GROUP BY 1, 2
+),
+seg AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(run_len) AS BIGINT) AS longest_run
+  FROM runs GROUP BY 1
+)
+SELECT t.{id_col}, t.n_frames, t.n_quiet_frames,
+       CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(s.longest_run, 0) AS BIGINT) AS longest_run
+FROM totals t LEFT JOIN seg s ON s.{id_col} = t.{id_col}
+"""

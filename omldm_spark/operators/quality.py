@@ -266,3 +266,129 @@ SELECT d.key AS {key_col}, d.g AS {group_col}, d.val, d.med, a.mad, d.dev
 FROM devs d JOIN mad a ON d.g = a.g
 WHERE d.dev * 10000 > {k_x10000} * a.mad
 """
+
+
+def source_loo_value(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Leave-one-source-out data valuation: how much does each source
+    move the corpus quality pass rate?  The additive-metric special
+    case of data-Shapley-style valuation (Ghorbani & Zou 2019) that IS
+    computable in one pass: because the metric (funnel pass rate) is a
+    ratio of per-doc sums, every leave-one-out counterfactual derives
+    from the per-source sufficient statistics — no retraining, no
+    resampling, ONE scan.
+
+    Per source: (source, n_docs, n_pass, pass_ppm, loo_pass_ppm,
+    loo_delta_ppm) where loo_pass_ppm is the corpus pass rate with the
+    source REMOVED and loo_delta_ppm = loo - overall (positive means
+    removing the source would RAISE corpus quality, i.e. the source has
+    negative marginal value).  A single-source corpus reports NULL for
+    its own counterfactual (no corpus left).
+
+    The per-doc pass flag is the full conjunction of the quality-funnel
+    rules (functions/text.FUNNEL_RULES) — the same predicate that
+    decides survival in quality_filter_funnel, so valuation and
+    filtering agree by construction.
+
+    Scale: the funnel feature pass (tokenize + one doc-keyed top-word
+    agg) feeds ONE groupBy(source); totals ride a window over the
+    |sources|-row frame.  The signed delta subtracts two floor-ppm
+    integers — exact."""
+    from pyspark.sql import Window
+
+    from ..functions.text import FUNNEL_RULES, STOPWORDS, tokens_col
+
+    toks = tokens_col(text_col)
+    en = STOPWORDS["en"]
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col("source"), toks.alias("toks"))
+    feats = base.select(
+        "doc_id", "source",
+        F.size("toks").cast("long").alias("nt"),
+        F.aggregate("toks", F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t).cast("long"))
+        .alias("sl"),
+        F.size(F.filter("toks", lambda t: t.isin(en))).cast("long")
+        .alias("ns"),
+    )
+    tw = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id").agg(F.max("count").alias("m"))
+    )
+    conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
+    per_doc = feats.join(tw, "doc_id", "left").select(
+        "source", "nt", "sl", "ns",
+        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m"),
+    ).select("source", F.expr(conj).alias("pass"))
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long")
+        .alias("n_pass"),
+    )
+    w = Window.partitionBy()
+    tot = per_src.select(
+        "source", "n_docs", "n_pass",
+        F.sum("n_docs").over(w).cast("long").alias("nn"),
+        F.sum("n_pass").over(w).cast("long").alias("kk"),
+    )
+    return tot.select(
+        "source", "n_docs", "n_pass",
+        F.expr("kk * 1000000 div nn").cast("long").alias("pass_ppm"),
+        F.expr("CASE WHEN nn = n_docs THEN NULL ELSE"
+               " (kk - n_pass) * 1000000 div (nn - n_docs) END")
+        .cast("long").alias("loo_pass_ppm"),
+        F.expr("CASE WHEN nn = n_docs THEN NULL ELSE"
+               " (kk - n_pass) * 1000000 div (nn - n_docs)"
+               " - kk * 1000000 div nn END")
+        .cast("long").alias("loo_delta_ppm"),
+    )
+
+
+def SOURCE_LOO_SQL(table: str = "documents", text_expr: str = "text",
+                   id_col: str = "doc_id") -> str:
+    from ..functions.text import FUNNEL_RULES, STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = (f"list_filter(regexp_split_to_array(lower({text_expr}),"
+            " '\\s+'), t -> t != '')")
+    conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, source, {toks} AS toks FROM {table}
+),
+feats AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sl,
+         CAST(len(list_filter(toks, t -> t IN ({en}))) AS BIGINT) AS ns
+  FROM base),
+tw AS (
+  SELECT doc_id, max(c) AS m FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2)
+  GROUP BY 1),
+per_doc AS (
+  SELECT source, ({conj}) AS pass FROM (
+    SELECT f.source, f.nt, f.sl, f.ns,
+           CAST(coalesce(tw.m, 0) AS BIGINT) AS m
+    FROM feats f LEFT JOIN tw USING (doc_id))),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM per_doc GROUP BY 1),
+tot AS (
+  SELECT source, n_docs, n_pass,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS nn,
+         CAST(sum(n_pass) OVER () AS BIGINT) AS kk
+  FROM per_src)
+SELECT source, n_docs, n_pass,
+       CAST(kk * 1000000 // nn AS BIGINT) AS pass_ppm,
+       CAST(CASE WHEN nn = n_docs THEN NULL ELSE
+            (kk - n_pass) * 1000000 // (nn - n_docs) END AS BIGINT)
+         AS loo_pass_ppm,
+       CAST(CASE WHEN nn = n_docs THEN NULL ELSE
+            (kk - n_pass) * 1000000 // (nn - n_docs)
+            - kk * 1000000 // nn END AS BIGINT) AS loo_delta_ppm
+FROM tot
+"""

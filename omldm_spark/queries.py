@@ -17855,6 +17855,38 @@ from .operators.preference import (  # noqa: E402
     BRADLEY_TERRY_SQL, COHENS_KAPPA_SQL, bradley_terry_round, cohens_kappa)
 
 
+from .operators.multimodal import (  # noqa: E402
+    AUDIO_SILENCE_SQL, VIDEO_SHOTS_SQL, audio_silence_segments,
+    video_shot_boundaries)
+from .operators.quality import SOURCE_LOO_SQL, source_loo_value  # noqa: E402
+
+
+@query("video_shot_boundaries", oracle=VIDEO_SHOTS_SQL())
+def q_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-cut shot detection over closed-form per-frame luma: the
+    previous frame's luma recomputes in-row, so the whole detector is
+    one explode + ONE keyed aggregate (no window, no lag shuffle) —
+    see operators/multimodal.py for the real-decode swap-in."""
+    return video_shot_boundaries(load_table(spark, sf_dir, "documents"))
+
+
+@query("audio_silence_segments", oracle=AUDIO_SILENCE_SQL())
+def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style silence segmentation riding the audio framing pass:
+    quiet frames merge into gaps-and-islands runs via one doc-keyed
+    window; per-track segment counts and longest run."""
+    return audio_silence_segments(load_table(spark, sf_dir, "documents"))
+
+
+@query("source_loo_value", oracle=SOURCE_LOO_SQL())
+def q_source_loo_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation: each source's marginal
+    effect on the funnel pass rate, all counterfactuals derived from
+    per-source sufficient statistics in ONE scan (the additive-metric
+    case of data-Shapley valuation)."""
+    return source_loo_value(load_table(spark, sf_dir, "documents"))
+
+
 @query("streaming_freq_drift", oracle=FREQ_DRIFT_SQL())
 def q_streaming_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL frequency-drift monitor: the carried state is the

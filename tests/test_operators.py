@@ -3527,3 +3527,83 @@ def test_streaming_freq_drift_matches_batch(spark, tmp_path):
     assert set(inc) == set(batch)
     for et in batch:
         assert tuple(inc[et]) == tuple(batch[et])
+
+
+def test_video_shot_boundaries_referee(spark):
+    from omldm_spark.operators.multimodal import (SHOT_LUMA_TAU,
+                                                  video_shot_boundaries)
+
+    docs = spark.createDataFrame([(d,) for d in range(12)], "doc_id long")
+    out = {r.doc_id: r for r in video_shot_boundaries(docs).collect()}
+    for d in range(12):
+        nf = 24 + (d % 5) * 8
+        luma = [((d * 37 + f * f * 11) % 200) + 20 for f in range(nf)]
+        cuts = [f for f in range(1, nf)
+                if abs(luma[f] - luma[f - 1]) > SHOT_LUMA_TAU]
+        r = out[d]
+        assert r.n_frames == nf
+        assert r.n_shots == len(cuts) + 1
+        assert r.first_boundary_frame == (min(cuts) if cuts else None)
+        assert r.mean_shot_len_ppm == nf * 1_000_000 // (len(cuts) + 1)
+
+
+def test_audio_silence_segments_referee(spark):
+    from omldm_spark.operators.multimodal import (AUDIO_HOP, AUDIO_WIN,
+                                                  SILENCE_TAU,
+                                                  audio_silence_segments)
+
+    docs = spark.createDataFrame([(d,) for d in range(8)], "doc_id long")
+    out = {r.doc_id: r for r in audio_silence_segments(docs).collect()}
+    for d in range(8):
+        n = 512 + (d % 7) * 128
+        nframes = (n - AUDIO_WIN) // AUDIO_HOP + 1
+        quiet = []
+        for f in range(nframes):
+            e = sum((((d * 31 + (f * AUDIO_HOP + j) * 17) % 256) - 128) ** 2
+                    for j in range(AUDIO_WIN))
+            quiet.append(e < SILENCE_TAU)
+        runs = []
+        cur = 0
+        for q in quiet:
+            if q:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = out[d]
+        assert r.n_frames == nframes
+        assert r.n_quiet_frames == sum(quiet)
+        assert r.n_segments == len(runs)
+        assert r.longest_run == (max(runs) if runs else 0)
+
+
+def test_source_loo_value_referee(spark):
+    # planted two-source corpus where one source is pure junk: its LOO
+    # delta must be positive (removing it raises corpus quality) and
+    # every counterfactual matches the brute-force recomputation
+    from omldm_spark.operators.quality import source_loo_value
+
+    passing = ("the quick brown foxes jumps sunny rivers stone hills "
+               "green lakes windy grass cloud birds trees roads table "
+               "chair plant water sound light nights")
+    good = [(i, passing, "good") for i in range(20)]
+    junk = [(100 + i, "x", "junk") for i in range(10)]
+    docs = spark.createDataFrame(
+        good + junk, "doc_id long, text string, source string")
+    out = {r.source: r for r in source_loo_value(docs).collect()}
+    n, k = 30, out["good"].n_pass + out["junk"].n_pass
+    assert out["junk"].n_pass == 0 and out["good"].n_pass > 0
+    for s, r in out.items():
+        assert r.pass_ppm == k * 1_000_000 // n
+        loo = (k - r.n_pass) * 1_000_000 // (n - r.n_docs)
+        assert r.loo_pass_ppm == loo
+        assert r.loo_delta_ppm == loo - r.pass_ppm
+    assert out["junk"].loo_delta_ppm > 0
+    assert out["good"].loo_delta_ppm < 0
+    # single-source corpus: the counterfactual is NULL, not a crash
+    solo = source_loo_value(
+        spark.createDataFrame(good, "doc_id long, text string, "
+                              "source string")).collect()
+    assert len(solo) == 1 and solo[0].loo_pass_ppm is None
