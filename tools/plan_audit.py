@@ -1592,6 +1592,43 @@ CHECKS.update({
          lambda p: p.count("HashAggregate") >= 6),
         ("no window operator", lambda p: "Window" not in p),
     ],
+    "bradley_terry_two_rounds": [
+        # the pair matrix persists; both MM rounds' denominators read
+        # the cache (the plan TEXT reprints the cached relation's
+        # defining scan per reference — runtime scans the corpus once)
+        ("both rounds read the persisted pair matrix",
+         lambda p: p.count("InMemoryTableScan") >= 4),
+        ("no cartesian / sort-merge blowup",
+         lambda p: "CartesianProduct" not in p
+         and "SortMergeJoin" not in p),
+        ("no window operator", lambda p: "Window" not in p),
+    ],
+    "video_shot_boundaries": [
+        # closed-form previous-frame luma: one explode + ONE keyed
+        # aggregate — no window, no lag shuffle, no join
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("no window operator", lambda p: "Window" not in p),
+        ("per-video aggregate map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "audio_silence_segments": [
+        ("no cartesian / sort-merge blowup",
+         lambda p: "CartesianProduct" not in p
+         and "SortMergeJoin" not in p),
+        ("islands window keyed by track (no single partition)",
+         lambda p: "SinglePartition" not in p),
+        ("frame + run aggregates map-side combined",
+         lambda p: p.count("HashAggregate") >= 6),
+    ],
+    "source_loo_value": [
+        # per-source sufficient statistics in one keyed agg; the totals
+        # window runs over the |sources|-row frame (domain-bounded)
+        ("no cartesian / sort-merge blowup",
+         lambda p: "CartesianProduct" not in p
+         and "SortMergeJoin" not in p),
+        ("funnel features map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
     "cohens_kappa_labels": [
         # ONE contingency groupBy over the scan, persisted; all four
         # consumers (marginals, totals, pe) read the 9-row cache, so
