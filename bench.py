@@ -52,6 +52,10 @@ HEADLINE = [
     "plsa_topic_round",        # map-side EM E-step + (term,topic) M-step
     "audio_frame_energy",      # 2 explodes + keyed agg (win/hop framing)
     "embedding_silhouette_report",  # centroid broadcast + keyed rollups
+    "kneser_ney_bigrams",      # KN smoothing over the bigram frame (r10)
+    "bradley_terry_two_rounds",  # 2 MM rounds over the pair matrix (r10)
+    "robust_merge_report",     # Byzantine-robust coordinate merge (r10)
+    "freq_drift_report",       # window-split drift monitor, 1 groupBy (r10)
 ]
 
 

@@ -75,6 +75,18 @@ EXTRA = [
     "url_host_quota_sample",
     "url_frontier_ingest",
     "tfidf_cosine_pairs",
+    # round-10: drift monitors (domain-bounded windows), the federated
+    # merges (fact-scan agg + tiny window), KN (keyed reaggregations of
+    # the bigram frame), preference ops (pair-matrix joins), LOO
+    # valuation (funnel stats + |sources| window), and the multimodal
+    # segmentations (explode + keyed agg / islands window)
+    "ks_two_sample_value",
+    "topk_sparse_merge",
+    "cohens_kappa_labels",
+    "source_loo_value",
+    "video_shot_boundaries",
+    "audio_silence_segments",
+    "streaming_freq_drift",
 ]
 
 
