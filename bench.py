@@ -134,7 +134,7 @@ def main() -> None:
     # 32 headline queries the spread map pushed that line past the
     # capture window (BENCH_r09.json recorded "parsed": null). The
     # stdout line stays compact and machine-readable; humans read the
-    # spread from stderr or from bench_spread.json next to the repo.
+    # spread diagnostics from stderr.
     spread = {
         n: [round(min(r), 3), round(max(r), 3)]
         for n, r in samples.items()

@@ -411,17 +411,21 @@ def quality_funnel(docs: DataFrame, text_col: str = "text",
                                                        id_col))
 
 
-def funnel_counters(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """The funnel's sufficient statistic: ONE row (s0..sK) where s_i =
-    docs surviving rules 1..i.  Counters are ADDITIVE over docs (every
-    predicate is row-local), so they merge by plain sum — the state the
-    streaming twin carries per batch."""
+def funnel_features(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    extra_cols: tuple = ()) -> DataFrame:
+    """The per-doc funnel feature frame (doc_id, *extra_cols, nt, sl,
+    ns, m) — the ONE derivation every funnel-predicate consumer shares
+    (the funnel report, its streaming twin, and the source-valuation
+    counterfactuals), so a rule/feature change cannot silently diverge
+    between them.  One tokenized scan + one doc-keyed top-word agg."""
     toks = tokens_col(text_col)
     en = STOPWORDS["en"]
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       *[F.col(c) for c in extra_cols],
+                       toks.alias("toks"))
     feats = base.select(
-        "doc_id",
+        "doc_id", *extra_cols,
         F.size("toks").cast("long").alias("nt"),
         F.aggregate("toks", F.lit(0).cast("long"),
                     lambda acc, t: acc + F.length(t).cast("long"))
@@ -434,9 +438,47 @@ def funnel_counters(docs: DataFrame, text_col: str = "text",
         .groupBy("doc_id", "w").count()
         .groupBy("doc_id").agg(F.max("count").alias("m"))
     )
-    f = feats.join(tw, "doc_id", "left").select(
-        "nt", "sl", "ns",
+    return feats.join(tw, "doc_id", "left").select(
+        "doc_id", *extra_cols, "nt", "sl", "ns",
         F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m"))
+
+
+def FUNNEL_FEATURES_CTES(table: str = "documents",
+                         text_expr: str = "text",
+                         id_col: str = "doc_id",
+                         extra: str = "") -> str:
+    """DuckDB mirror of funnel_features as a CTE chain ending in ``f``
+    (columns: {extra} nt, sl, ns, m).  ``extra`` is a trailing-comma
+    column list (e.g. ``"source,"``)."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = (f"list_filter(regexp_split_to_array(lower({text_expr}),"
+            " '\\s+'), t -> t != '')")
+    return f"""base AS (
+  SELECT {id_col} AS doc_id, {extra} {toks} AS toks FROM {table}),
+feats AS (
+  SELECT doc_id, {extra} CAST(len(toks) AS BIGINT) AS nt,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS sl,
+         CAST(len(list_filter(toks, t -> t IN ({en}))) AS BIGINT) AS ns
+  FROM base),
+tw AS (
+  SELECT doc_id, max(c) AS m FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2)
+  GROUP BY 1),
+f AS (
+  SELECT {extra} nt, sl, ns, CAST(coalesce(m, 0) AS BIGINT) AS m
+  FROM feats LEFT JOIN tw USING (doc_id))"""
+
+
+def funnel_counters(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The funnel's sufficient statistic: ONE row (s0..sK) where s_i =
+    docs surviving rules 1..i.  Counters are ADDITIVE over docs (every
+    predicate is row-local), so they merge by plain sum — the state the
+    streaming twin carries per batch."""
+    f = funnel_features(docs, text_col, id_col).select(
+        "nt", "sl", "ns", "m")
     prefix = []
     aggs = [F.count(F.lit(1)).cast("long").alias("s0")]
     for i, (_, pred) in enumerate(FUNNEL_RULES, start=1):
@@ -462,9 +504,6 @@ def funnel_report_from_counters(row: DataFrame) -> DataFrame:
 
 def quality_funnel_sql(table: str = "documents", text_expr: str = "text",
                        id_col: str = "doc_id") -> str:
-    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    toks = (f"list_filter(regexp_split_to_array(lower({text_expr}),"
-            " '\\s+'), t -> t != '')")
     prefix, selects = [], []
     counters = ["CAST(count(*) AS BIGINT) AS s0"]
     for i, (_, pred) in enumerate(FUNNEL_RULES, start=1):
@@ -477,21 +516,7 @@ def quality_funnel_sql(table: str = "documents", text_expr: str = "text",
             f" s{i - 1} AS n_in, s{i - 1} - s{i} AS n_killed,"
             f" s{i} AS n_out FROM agg")
     return f"""
-WITH base AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}),
-feats AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
-         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
-              AS BIGINT) AS sl,
-         CAST(len(list_filter(toks, t -> t IN ({en}))) AS BIGINT) AS ns
-  FROM base),
-tw AS (
-  SELECT doc_id, max(c) AS m FROM (
-    SELECT doc_id, w, count(*) AS c
-    FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2)
-  GROUP BY 1),
-f AS (
-  SELECT nt, sl, ns, CAST(coalesce(m, 0) AS BIGINT) AS m
-  FROM feats LEFT JOIN tw USING (doc_id)),
+WITH {FUNNEL_FEATURES_CTES(table, text_expr, id_col)},
 agg AS (SELECT {', '.join(counters)} FROM f)
 {chr(10).join(s + (' UNION ALL' if i < len(selects) else '')
               for i, s in enumerate(selects, start=1))}

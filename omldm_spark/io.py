@@ -163,12 +163,16 @@ def write_sink(
         )
     if fmt == "text":
         # Spark's text writer fails at RUNTIME on anything but a single
-        # string column — validate at call time so the error is
-        # actionable (review r9)
-        if len(df.columns) != 1 or dict(df.dtypes)[df.columns[0]] != "string":
+        # string DATA column — validate at call time so the error is
+        # actionable (review r9/r10).  Partition columns leave the data
+        # schema, so they are excluded from the count.
+        data_cols = [c for c in df.columns if c not in (partition_by or [])]
+        types = dict(df.dtypes)
+        if len(data_cols) != 1 or types[data_cols[0]] != "string":
             raise ValueError(
-                "text write requires exactly one string column; got "
-                f"{df.dtypes} — project/concat_ws down to one string "
+                "text write requires exactly one non-partition string "
+                f"column; got {df.dtypes} with partition_by="
+                f"{partition_by} — project/concat_ws down to one string "
                 "column first"
             )
     writer = df.write.format(fmt).mode(mode)

@@ -855,7 +855,8 @@ KN_DISCOUNT_PPM = 750_000  # the standard d = 0.75 absolute discount
 
 def kneser_ney_bigram(docs: DataFrame, top_n: int = 25,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      cache_out: list | None = None) -> DataFrame:
     """Interpolated Kneser-Ney smoothed bigram probabilities — the
     smoothing behind the KenLM quality filters of CCNet-style corpus
     curation (the repo's bigram_lm_scores uses raw MLE; KN is what a
@@ -884,8 +885,16 @@ def kneser_ney_bigram(docs: DataFrame, top_n: int = 25,
     map-only transform in _doc_bigrams.  The top-n is a distributed
     sort-limit, never a single-partition window."""
     db = _doc_bigrams(docs, text_col, id_col)
+    # the bigram count frame persists: FOUR consumers (c1, n1p, the
+    # scalar B, and the scored join) each prune different columns, so
+    # ReusedExchange cannot dedupe them and each would re-run the
+    # corpus tokenize + bigram explode (review r10 — the cohens_kappa
+    # lesson).  One bounded |bigram-types| entry, released via
+    # ``cache_out`` by sweep callers.
     c12 = db.groupBy("w1", "w2").agg(
-        F.sum("k").cast("long").alias("c12"))
+        F.sum("k").cast("long").alias("c12")).persist()
+    if cache_out is not None:
+        cache_out.append(c12)
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1f"))

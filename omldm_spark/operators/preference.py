@@ -85,28 +85,34 @@ FROM (
 """
 
 
-def bradley_terry_round(orders: DataFrame) -> DataFrame:
-    """One exact minorization-maximization round of Bradley-Terry over
-    the planted match set (Hunter 2004):
+def _bt_rounds(orders: DataFrame, rounds: int,
+               cache_out: list | None = None) -> DataFrame:
+    """Shared Bradley-Terry MM core (Hunter 2004) — ``rounds`` exact
+    minorization-maximization iterations from the smoothed-win-rate
+    init:
 
-      w0_i = (W_i + 1) * 1e6 div (N_i + 2)      (smoothed win rate init)
-      D_i  = Σ_j n_ij * 1e12 div (w0_i + w0_j)  (the MM denominator)
-      w1_i = W_i * 1e12 div D_i
+      w0_i   = (W_i + 1) * 1e6 div (N_i + 2)
+      D_i(w) = Σ_j n_ij * 1e12 div (w_i + w_j)   (the MM denominator)
+      w_next = W_i * 1e12 div D_i(w)
 
-    Output per player: (player, n_matches, n_wins, w0_ppm, w1_ppm) —
-    BT strengths are scale-free per iteration, so w1 is reported
-    unnormalized (ranking and ratios are what a reward-model fit
-    consumes).
+    Returns (player, n_matches, n_wins, w{r-1}_ppm, w{r}_ppm) — the
+    last two strength vectors, which is what both the one-round and
+    two-round contract queries report.  Strengths are scale-free per
+    iteration, so they stay unnormalized.
 
     Exactness: pure positive-integer div end to end.  Envelope:
     n_ij * 1e12 and W_i * 1e12 stay int64-exact through 9.2e6 matches
     per pair / wins per player (sf0.1: ~1e4); past that, downscale the
-    1e12 to 1e9 with no other change.
+    1e12 to 1e9 with no other change (ONE constant, shared by every
+    round on both engines).
 
-    Scale: matches collapse to the unordered pair matrix first (ONE
-    groupBy with map-side combine — the raw match stream never reaches
-    the join), then two keyed joins attach w0 to each directed pair and
-    one groupBy(i) folds the MM denominator."""
+    Scale: the raw match stream collapses to the unordered pair matrix
+    FIRST (one groupBy with map-side combine) and the pair matrix
+    persists — every round's denominator folds the same
+    |players|^2-sparse cached frame with two keyed joins, and the
+    corpus is scanned once however many rounds run.  ``cache_out``
+    collects the persisted handle for sweep callers."""
+    assert rounds >= 1
     mt = _matches(orders)
     pairs = mt.select(
         F.least("p1", "p2").alias("a"),
@@ -116,7 +122,9 @@ def bradley_terry_round(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_ab"),
         F.sum(F.when(F.col("winner") == F.col("a"), 1).otherwise(0))
         .cast("long").alias("wins_a"),
-    )
+    ).persist()
+    if cache_out is not None:
+        cache_out.append(pairs)
     directed = pairs.select(
         F.col("a").alias("i"), F.col("b").alias("j"),
         F.col("n_ab").alias("n_ij"), F.col("wins_a").alias("wins_i"),
@@ -131,59 +139,105 @@ def bradley_terry_round(orders: DataFrame) -> DataFrame:
     ).select(
         "i", "n_matches", "n_wins",
         F.expr("(n_wins + 1) * 1000000 div (n_matches + 2)")
-        .cast("long").alias("w0_ppm"),
+        .cast("long").alias("w_ppm"),
     )
-    w0j = per.select(F.col("i").alias("j"),
-                     F.col("w0_ppm").alias("w0_j"))
-    denom = (
-        directed.join(per.select("i", "w0_ppm"), "i")
-        .join(w0j, "j")
-        .groupBy("i")
-        .agg(F.sum(F.expr("n_ij * 1000000000000 div (w0_ppm + w0_j)"))
-             .cast("long").alias("d_i"))
-    )
-    return per.join(denom, "i").select(
-        F.col("i").alias("player"), "n_matches", "n_wins", "w0_ppm",
-        F.expr("n_wins * 1000000000000 div d_i").cast("long")
-        .alias("w1_ppm"),
+
+    def mm_round(cur: DataFrame) -> DataFrame:
+        wj = cur.select(F.col("i").alias("j"), F.col("w_ppm").alias("w_j"))
+        denom = (
+            directed.join(cur.select("i", "w_ppm"), "i")
+            .join(wj, "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("n_ij * 1000000000000 div (w_ppm + w_j)"))
+                 .cast("long").alias("d_i"))
+        )
+        return cur.select("i", "n_matches", "n_wins").join(denom, "i") \
+            .select("i", "n_matches", "n_wins",
+                    F.expr("n_wins * 1000000000000 div d_i").cast("long")
+                    .alias("w_ppm"))
+
+    hist = [per]
+    for _ in range(rounds):
+        hist.append(mm_round(hist[-1]))
+    prev, last = hist[-2], hist[-1]
+    return (
+        prev.select("i", F.col("w_ppm").alias(f"w{rounds - 1}_ppm"))
+        .join(last.select("i", "n_matches", "n_wins",
+                          F.col("w_ppm").alias(f"w{rounds}_ppm")), "i")
+        .select(F.col("i").alias("player"), "n_matches", "n_wins",
+                f"w{rounds - 1}_ppm", f"w{rounds}_ppm")
     )
 
 
-def BRADLEY_TERRY_SQL(table: str = "orders") -> str:
-    return f"""
-WITH mt AS ({_MATCHES_SQL(table)}),
-pairs AS (
+def bradley_terry_round(orders: DataFrame,
+                        cache_out: list | None = None) -> DataFrame:
+    """One exact Bradley-Terry MM round: (player, n_matches, n_wins,
+    w0_ppm, w1_ppm).  See _bt_rounds for the math, envelope, and the
+    persisted-pair-matrix scale shape."""
+    return _bt_rounds(orders, rounds=1, cache_out=cache_out)
+
+
+def bradley_terry_two_rounds(orders: DataFrame,
+                             cache_out: list | None = None) -> DataFrame:
+    """TWO exact Bradley-Terry MM rounds — round 2's denominator
+    factor-joins the ROUND-1 strengths back onto the persisted pair
+    matrix (the plsa_two_rounds discipline): (player, n_matches,
+    n_wins, w1_ppm, w2_ppm).  See _bt_rounds."""
+    return _bt_rounds(orders, rounds=2, cache_out=cache_out)
+
+
+def _BT_ROUNDS_SQL(rounds: int, table: str) -> str:
+    """Shared oracle builder: the same CTE chain for any round count —
+    one text, so the Spark/SQL pair cannot drift between the one-round
+    and two-round contract queries."""
+    assert rounds >= 1
+    ctes = [f"mt AS ({_MATCHES_SQL(table)})", """pairs AS (
   SELECT least(p1, p2) AS a, greatest(p1, p2) AS b,
          CAST(count(*) AS BIGINT) AS n_ab,
          CAST(sum(CASE WHEN winner = least(p1, p2) THEN 1 ELSE 0 END)
               AS BIGINT) AS wins_a
   FROM mt GROUP BY 1, 2
-),
-directed AS (
+)""", """directed AS (
   SELECT a AS i, b AS j, n_ab AS n_ij, wins_a AS wins_i FROM pairs
   UNION ALL
   SELECT b AS i, a AS j, n_ab AS n_ij, n_ab - wins_a AS wins_i FROM pairs
-),
-per AS (
+)""", """r0 AS (
   SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_matches,
          CAST(sum(wins_i) AS BIGINT) AS n_wins,
          CAST((sum(wins_i) + 1) * 1000000 // (sum(n_ij) + 2) AS BIGINT)
-           AS w0_ppm
+           AS w_ppm
   FROM directed GROUP BY 1
-),
-denom AS (
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS (
   SELECT d.i,
-         CAST(sum(d.n_ij * 1000000000000 // (pi.w0_ppm + pj.w0_ppm))
+         CAST(sum(d.n_ij * 1000000000000 // (pi.w_ppm + pj.w_ppm))
               AS BIGINT) AS d_i
   FROM directed d
-  JOIN per pi ON pi.i = d.i
-  JOIN per pj ON pj.i = d.j
+  JOIN r{r - 1} pi ON pi.i = d.i
+  JOIN r{r - 1} pj ON pj.i = d.j
   GROUP BY 1
-)
-SELECT per.i AS player, per.n_matches, per.n_wins, per.w0_ppm,
-       CAST(per.n_wins * 1000000000000 // denom.d_i AS BIGINT) AS w1_ppm
-FROM per JOIN denom ON denom.i = per.i
+)""")
+        ctes.append(f"""r{r} AS (
+  SELECT p.i, p.n_matches, p.n_wins,
+         CAST(p.n_wins * 1000000000000 // d{r}.d_i AS BIGINT) AS w_ppm
+  FROM r{r - 1} p JOIN d{r} ON d{r}.i = p.i
+)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT last.i AS player, last.n_matches, last.n_wins,
+       prev.w_ppm AS w{rounds - 1}_ppm,
+       last.w_ppm AS w{rounds}_ppm
+FROM r{rounds} last JOIN r{rounds - 1} prev ON prev.i = last.i
 """
+
+
+def BRADLEY_TERRY_SQL(table: str = "orders") -> str:
+    return _BT_ROUNDS_SQL(1, table)
+
+
+def BRADLEY_TERRY_TWO_SQL(table: str = "orders") -> str:
+    return _BT_ROUNDS_SQL(2, table)
 
 
 def cohens_kappa(docs: DataFrame,
@@ -276,120 +330,4 @@ SELECT n, n_agree,
        {_fdiv('(n_agree * 1000000 // n - pe_ppm) * 1000000',
               '1000000 - pe_ppm')} AS kappa_ppm
 FROM tot CROSS JOIN pe
-"""
-
-
-def bradley_terry_two_rounds(orders: DataFrame,
-                             cache_out: list | None = None) -> DataFrame:
-    """TWO exact Bradley-Terry MM rounds — the round where genuine
-    iteration appears: round 2's denominator joins the ROUND-1 strengths
-    back onto the pair matrix (the factor-join shape of distributed MM),
-    exactly the plsa_two_rounds discipline.
-
-      w2_i = W_i * 1e12 div Σ_j n_ij * 1e12 div (w1_i + w1_j)
-
-    Output (player, n_matches, n_wins, w1_ppm, w2_ppm).  The unordered
-    pair matrix persists (one bounded |players|^2-sparse entry, released
-    via ``cache_out``) because both rounds' denominators fold it; the
-    raw match stream is scanned once.  Envelope: identical to the
-    one-round operator (n_ij, W_i <= 9.2e6 under the 1e12 scale)."""
-    mt = _matches(orders)
-    pairs = mt.select(
-        F.least("p1", "p2").alias("a"),
-        F.greatest("p1", "p2").alias("b"),
-        F.col("winner"),
-    ).groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_ab"),
-        F.sum(F.when(F.col("winner") == F.col("a"), 1).otherwise(0))
-        .cast("long").alias("wins_a"),
-    ).persist()
-    if cache_out is not None:
-        cache_out.append(pairs)
-    directed = pairs.select(
-        F.col("a").alias("i"), F.col("b").alias("j"),
-        F.col("n_ab").alias("n_ij"), F.col("wins_a").alias("wins_i"),
-    ).unionByName(pairs.select(
-        F.col("b").alias("i"), F.col("a").alias("j"),
-        F.col("n_ab").alias("n_ij"),
-        (F.col("n_ab") - F.col("wins_a")).alias("wins_i"),
-    ))
-    per = directed.groupBy("i").agg(
-        F.sum("n_ij").cast("long").alias("n_matches"),
-        F.sum("wins_i").cast("long").alias("n_wins"),
-    ).select(
-        "i", "n_matches", "n_wins",
-        F.expr("(n_wins + 1) * 1000000 div (n_matches + 2)")
-        .cast("long").alias("w_ppm"),
-    )
-
-    def mm_round(cur):
-        wj = cur.select(F.col("i").alias("j"), F.col("w_ppm").alias("w_j"))
-        denom = (
-            directed.join(cur.select("i", "w_ppm"), "i")
-            .join(wj, "j")
-            .groupBy("i")
-            .agg(F.sum(F.expr("n_ij * 1000000000000 div (w_ppm + w_j)"))
-                 .cast("long").alias("d_i"))
-        )
-        return cur.select("i", "n_matches", "n_wins").join(denom, "i") \
-            .select("i", "n_matches", "n_wins",
-                    F.expr("n_wins * 1000000000000 div d_i").cast("long")
-                    .alias("w_ppm"))
-
-    r1 = mm_round(per)
-    r2 = mm_round(r1)
-    return (
-        r1.select("i", F.col("w_ppm").alias("w1_ppm"))
-        .join(r2.select("i", "n_matches", "n_wins",
-                        F.col("w_ppm").alias("w2_ppm")), "i")
-        .select(F.col("i").alias("player"), "n_matches", "n_wins",
-                "w1_ppm", "w2_ppm")
-    )
-
-
-def BRADLEY_TERRY_TWO_SQL(table: str = "orders") -> str:
-    return f"""
-WITH mt AS ({_MATCHES_SQL(table)}),
-pairs AS (
-  SELECT least(p1, p2) AS a, greatest(p1, p2) AS b,
-         CAST(count(*) AS BIGINT) AS n_ab,
-         CAST(sum(CASE WHEN winner = least(p1, p2) THEN 1 ELSE 0 END)
-              AS BIGINT) AS wins_a
-  FROM mt GROUP BY 1, 2
-),
-directed AS (
-  SELECT a AS i, b AS j, n_ab AS n_ij, wins_a AS wins_i FROM pairs
-  UNION ALL
-  SELECT b AS i, a AS j, n_ab AS n_ij, n_ab - wins_a AS wins_i FROM pairs
-),
-per AS (
-  SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_matches,
-         CAST(sum(wins_i) AS BIGINT) AS n_wins,
-         CAST((sum(wins_i) + 1) * 1000000 // (sum(n_ij) + 2) AS BIGINT)
-           AS w_ppm
-  FROM directed GROUP BY 1
-),
-d1 AS (
-  SELECT d.i,
-         CAST(sum(d.n_ij * 1000000000000 // (pi.w_ppm + pj.w_ppm))
-              AS BIGINT) AS d_i
-  FROM directed d JOIN per pi ON pi.i = d.i JOIN per pj ON pj.i = d.j
-  GROUP BY 1
-),
-r1 AS (
-  SELECT per.i, per.n_matches, per.n_wins,
-         CAST(per.n_wins * 1000000000000 // d1.d_i AS BIGINT) AS w_ppm
-  FROM per JOIN d1 ON d1.i = per.i
-),
-d2 AS (
-  SELECT d.i,
-         CAST(sum(d.n_ij * 1000000000000 // (pi.w_ppm + pj.w_ppm))
-              AS BIGINT) AS d_i
-  FROM directed d JOIN r1 pi ON pi.i = d.i JOIN r1 pj ON pj.i = d.j
-  GROUP BY 1
-)
-SELECT r1.i AS player, r1.n_matches, r1.n_wins,
-       r1.w_ppm AS w1_ppm,
-       CAST(r1.n_wins * 1000000000000 // d2.d_i AS BIGINT) AS w2_ppm
-FROM r1 JOIN d2 ON d2.i = r1.i
 """

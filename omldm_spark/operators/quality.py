@@ -296,31 +296,12 @@ def source_loo_value(docs: DataFrame, text_col: str = "text",
     integers — exact."""
     from pyspark.sql import Window
 
-    from ..functions.text import FUNNEL_RULES, STOPWORDS, tokens_col
+    from ..functions.text import FUNNEL_RULES, funnel_features
 
-    toks = tokens_col(text_col)
-    en = STOPWORDS["en"]
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.col("source"), toks.alias("toks"))
-    feats = base.select(
-        "doc_id", "source",
-        F.size("toks").cast("long").alias("nt"),
-        F.aggregate("toks", F.lit(0).cast("long"),
-                    lambda acc, t: acc + F.length(t).cast("long"))
-        .alias("sl"),
-        F.size(F.filter("toks", lambda t: t.isin(en))).cast("long")
-        .alias("ns"),
-    )
-    tw = (
-        base.select("doc_id", F.explode("toks").alias("w"))
-        .groupBy("doc_id", "w").count()
-        .groupBy("doc_id").agg(F.max("count").alias("m"))
-    )
     conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
-    per_doc = feats.join(tw, "doc_id", "left").select(
-        "source", "nt", "sl", "ns",
-        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m"),
-    ).select("source", F.expr(conj).alias("pass"))
+    per_doc = funnel_features(docs, text_col, id_col,
+                              extra_cols=("source",)).select(
+        "source", F.expr(conj).alias("pass"))
     per_src = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long")
@@ -347,32 +328,13 @@ def source_loo_value(docs: DataFrame, text_col: str = "text",
 
 def SOURCE_LOO_SQL(table: str = "documents", text_expr: str = "text",
                    id_col: str = "doc_id") -> str:
-    from ..functions.text import FUNNEL_RULES, STOPWORDS
+    from ..functions.text import FUNNEL_FEATURES_CTES, FUNNEL_RULES
 
-    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    toks = (f"list_filter(regexp_split_to_array(lower({text_expr}),"
-            " '\\s+'), t -> t != '')")
     conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
     return f"""
-WITH base AS (
-  SELECT {id_col} AS doc_id, source, {toks} AS toks FROM {table}
-),
-feats AS (
-  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
-         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
-              AS BIGINT) AS sl,
-         CAST(len(list_filter(toks, t -> t IN ({en}))) AS BIGINT) AS ns
-  FROM base),
-tw AS (
-  SELECT doc_id, max(c) AS m FROM (
-    SELECT doc_id, w, count(*) AS c
-    FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2)
-  GROUP BY 1),
+WITH {FUNNEL_FEATURES_CTES(table, text_expr, id_col, extra="source,")},
 per_doc AS (
-  SELECT source, ({conj}) AS pass FROM (
-    SELECT f.source, f.nt, f.sl, f.ns,
-           CAST(coalesce(tw.m, 0) AS BIGINT) AS m
-    FROM feats f LEFT JOIN tw USING (doc_id))),
+  SELECT source, ({conj}) AS pass FROM f),
 per_src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass

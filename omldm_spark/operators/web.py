@@ -325,13 +325,16 @@ def BLOCKLIST_SQL(blocked_hosts: list[str], table: str = "documents",
                   id_col: str = "doc_id") -> str:
     canon = CANONICAL_URL_SQL("url")
     # escape quotes when inlining hosts as SQL literals — a host string
-    # containing ' would otherwise produce malformed oracle SQL
+    # containing ' would otherwise produce malformed oracle SQL; an
+    # EMPTY list must not render the malformed "IN ()" (review r10)
     inlist = ", ".join(
         "'" + h.replace("'", "''") + "'" for h in blocked_hosts)
+    blocked_pred = (f"{HOST_OF_SQL(canon)} IN ({inlist})"
+                    if blocked_hosts else "FALSE")
     return f"""
 WITH planted AS ({PLANT_URLS_SQL(table, id_col)})
 SELECT {HOST_OF_SQL(canon)} AS host,
-       {HOST_OF_SQL(canon)} IN ({inlist})
+       {blocked_pred}
          AS blocked,
        CAST(count(*) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs

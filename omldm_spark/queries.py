@@ -1160,15 +1160,10 @@ def q_streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_dir = f"{tmp}/state"
 
-    def _latest():
-        if not os.path.isdir(state_dir):
-            return None
-        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                    if d.startswith("v"))
-        return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+    from .streaming.statefold import read_latest_state
 
     def fold(new, bid):
-        prev = _latest()
+        prev = read_latest_state(spark, state_dir, below=bid)
         cnt = funnel_counters(new)
         if prev is not None:
             cnt = prev.unionByName(cnt).agg(
@@ -1183,7 +1178,7 @@ def q_streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    state = _latest()
+    state = read_latest_state(spark, state_dir)
     if state is None:
         return spark.createDataFrame(
             [], "rule_no long, rule string, n_in long, n_killed long,"
@@ -4637,18 +4632,12 @@ def q_streaming_cross_source_overlap(spark: SparkSession,
     state_dir = f"{tmp}/state"
     parts = ("postings", "shared", "totals")
 
-    def _latest():
-        if not os.path.isdir(state_dir):
-            return None
-        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                    if d.startswith("v"))
-        if not vs:
-            return None
-        return tuple(
-            spark.read.parquet(f"{state_dir}/v{vs[-1]}/{p}") for p in parts)
+    from .streaming.statefold import read_latest_state_parts
 
     def fold(df, bid):
-        new_state = cross_source_overlap_merge(_latest(), df, n=8)
+        new_state = cross_source_overlap_merge(
+            read_latest_state_parts(spark, state_dir, parts, below=bid),
+            df, n=8)
         for p, sdf in zip(parts, new_state):
             sdf.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/{p}")
 
@@ -4659,7 +4648,7 @@ def q_streaming_cross_source_overlap(spark: SparkSession,
         .start()
     )
     q.awaitTermination(300)
-    _, shared, totals = _latest()
+    _, shared, totals = read_latest_state_parts(spark, state_dir, parts)
     return overlap_matrix_from_counters(shared, totals)
 
 
@@ -10642,14 +10631,10 @@ def q_streaming_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_dir = f"{tmp}/state"
 
+    from .streaming.statefold import read_latest_state
+
     def fold(df, bid):
-        prev_path = None
-        if os.path.isdir(state_dir):
-            vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                        if d.startswith("v"))
-            if vs:
-                prev_path = f"{state_dir}/v{vs[-1]}"
-        prev = spark.read.parquet(prev_path) if prev_path else None
+        prev = read_latest_state(spark, state_dir, below=bid)
         stars = incremental_cc_merge(prev, df)
         stars.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
 
@@ -10660,9 +10645,7 @@ def q_streaming_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                if d.startswith("v"))
-    stars = spark.read.parquet(f"{state_dir}/v{vs[-1]}")
+    stars = read_latest_state(spark, state_dir)
     nodes = cu.select(F.col("c_custkey").cast("long").alias("id"))
     return (
         nodes.join(stars.select(F.col("b").alias("id"),
@@ -14909,18 +14892,11 @@ def q_streaming_interval_overlap(spark: SparkSession,
     state_dir = f"{tmp}/state"
     parts = ("intervals", "pairs")
 
-    def _latest():
-        if not os.path.isdir(state_dir):
-            return None
-        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                    if d.startswith("v"))
-        if not vs:
-            return None
-        return tuple(
-            spark.read.parquet(f"{state_dir}/v{vs[-1]}/{p}") for p in parts)
+    from .streaming.statefold import read_latest_state_parts
 
     def fold(new, bid):
-        prev = _latest()
+        prev = read_latest_state_parts(spark, state_dir, parts,
+                                       below=bid)
         newpairs = interval_overlap_pairs(new)
         if prev is not None:
             old_iv, old_pairs = prev
@@ -14942,7 +14918,7 @@ def q_streaming_interval_overlap(spark: SparkSession,
         .start()
     )
     q.awaitTermination(300)
-    state = _latest()
+    state = read_latest_state_parts(spark, state_dir, parts)
     if state is None:
         return spark.createDataFrame(
             [], "k_a long, k_b long, overlap_start_s long, overlap_s long")
@@ -16345,18 +16321,11 @@ def q_streaming_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = f"{tmp}/state"
     parts = ("points", "pairs")
 
-    def _latest():
-        if not os.path.isdir(state_dir):
-            return None
-        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                    if d.startswith("v"))
-        if not vs:
-            return None
-        return tuple(
-            spark.read.parquet(f"{state_dir}/v{vs[-1]}/{p}") for p in parts)
+    from .streaming.statefold import read_latest_state_parts
 
     def fold(new, bid):
-        prev = _latest()
+        prev = read_latest_state_parts(spark, state_dir, parts,
+                                       below=bid)
         newpairs = grid_epsilon_pairs(new, _GRID_EPS)
         if prev is not None:
             old_pts, old_pairs = prev
@@ -16377,7 +16346,7 @@ def q_streaming_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    state = _latest()
+    state = read_latest_state_parts(spark, state_dir, parts)
     if state is None:
         return spark.createDataFrame([], "id_a long, id_b long, d2 long")
     return state[1]
@@ -16492,15 +16461,10 @@ def q_streaming_retention_cohorts(spark: SparkSession,
     )
     state_dir = f"{tmp}/state"
 
-    def _latest():
-        if not os.path.isdir(state_dir):
-            return None
-        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                    if d.startswith("v"))
-        return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+    from .streaming.statefold import read_latest_state
 
     def fold(new, bid):
-        prev = _latest()
+        prev = read_latest_state(spark, state_dir, below=bid)
         pairs = new.select("user_id", "w").distinct()
         if prev is not None:
             pairs = prev.unionByName(
@@ -16514,7 +16478,7 @@ def q_streaming_retention_cohorts(spark: SparkSession,
         .start()
     )
     q.awaitTermination(300)
-    state = _latest()
+    state = read_latest_state(spark, state_dir)
     if state is None:
         return spark.createDataFrame(
             [], "cohort_w long, age_w long, users long")
@@ -16746,15 +16710,10 @@ def q_streaming_grid_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_dir = f"{tmp}/state"
 
-    def _latest():
-        if not os.path.isdir(state_dir):
-            return None
-        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                    if d.startswith("v"))
-        return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+    from .streaming.statefold import read_latest_state
 
     def fold(new, bid):
-        prev = _latest()
+        prev = read_latest_state(spark, state_dir, below=bid)
         cells = cell_counts(new, _GRID_EPS)
         if prev is not None:
             cells = prev.unionByName(cells).groupBy("cx", "cy").agg(
@@ -16768,7 +16727,7 @@ def q_streaming_grid_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    state = _latest()
+    state = read_latest_state(spark, state_dir)
     if state is None:
         return spark.createDataFrame(
             [], "cx long, cy long, n long, nbhd_n long, nbhd_cells long,"
@@ -17913,15 +17872,10 @@ def q_streaming_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_dir = f"{tmp}/state"
 
-    def _latest():
-        if not os.path.isdir(state_dir):
-            return None
-        vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
-                    if d.startswith("v"))
-        return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+    from .streaming.statefold import read_latest_state
 
     def fold(new, bid):
-        prev = _latest()
+        prev = read_latest_state(spark, state_dir, below=bid)
         cnt = freq_drift_counts(new)
         if prev is not None:
             cnt = prev.unionByName(cnt).groupBy("event_type").agg(
@@ -17936,7 +17890,7 @@ def q_streaming_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    state = _latest()
+    state = read_latest_state(spark, state_dir)
     if state is None:
         return spark.createDataFrame(
             [], "event_type string, a_cnt long, b_cnt long, a_ppm long,"

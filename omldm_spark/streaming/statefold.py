@@ -1,0 +1,57 @@
+"""Versioned parquet state for foreachBatch IVM folds.
+
+The streaming twins carry their incremental state as v{batchId} parquet
+snapshots under a state dir; each micro-batch folds its delta into the
+latest PRIOR snapshot and writes v{bid}.  This helper is the one shared
+definition of "latest prior snapshot" — previously six verbatim copies
+lived in queries.py (review r10), each with an at-least-once hazard:
+on a foreachBatch RETRY of batch ``bid`` (data write succeeded, the
+checkpoint commit did not), the naive "latest version" is v{bid}
+itself, so the retried batch would (a) double-count its own delta and
+(b) overwrite the very files it is reading.  Restricting the fold's
+read to versions ``< bid`` makes the v{bid} write IDEMPOTENT — the
+retry recomputes the same snapshot from the same pre-batch state, which
+is exactly the determinism foreachBatch's at-least-once contract asks
+of the user code (Structured Streaming programming guide, foreachBatch
+semantics).
+
+The final post-stream read passes ``below=None`` (take the newest
+committed snapshot).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_latest_state(spark: SparkSession, state_dir: str,
+                      below: int | None = None) -> DataFrame | None:
+    """Newest ``v{N}`` parquet snapshot under ``state_dir`` (``None`` if
+    no snapshot exists).  Inside a fold pass ``below=batch_id`` so a
+    retried batch re-reads its PRE-batch state."""
+    if not os.path.isdir(state_dir):
+        return None
+    vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                if d.startswith("v") and d[1:].isdigit())
+    if below is not None:
+        vs = [v for v in vs if v < below]
+    return spark.read.parquet(f"{state_dir}/v{vs[-1]}") if vs else None
+
+
+def read_latest_state_parts(spark: SparkSession, state_dir: str,
+                            parts: tuple, below: int | None = None):
+    """Multi-part variant: the snapshot is a directory of named parquet
+    sub-frames (``v{N}/{part}``).  Returns a tuple of DataFrames in
+    ``parts`` order, or ``None``.  Same ``below`` retry discipline."""
+    if not os.path.isdir(state_dir):
+        return None
+    vs = sorted(int(d[1:]) for d in os.listdir(state_dir)
+                if d.startswith("v") and d[1:].isdigit())
+    if below is not None:
+        vs = [v for v in vs if v < below]
+    if not vs:
+        return None
+    return tuple(
+        spark.read.parquet(f"{state_dir}/v{vs[-1]}/{p}") for p in parts)

@@ -131,3 +131,20 @@ def test_text_and_binaryfile_sources(spark, tmp_path):
     assert rows[0].length == 9
     with pytest.raises(ValueError, match="READ-only"):
         write_sink(bf, str(tmp_path / "nope"), fmt="binaryFile")
+
+
+def test_text_write_with_partition_columns(spark, tmp_path):
+    # review r10: partition columns leave the data schema, so a
+    # (value, day) frame partitioned by day IS a valid text write; a
+    # single string column that is ALSO the partition column is not
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("alpha", "d1"), ("beta", "d2")], "value string, day string")
+    p = str(tmp_path / "ptxt")
+    write_sink(df, p, fmt="text", partition_by=["day"])
+    back = read_source(spark, p, fmt="text")
+    assert {r.value for r in back.collect()} == {"alpha", "beta"}
+    with pytest.raises(ValueError, match="one non-partition string"):
+        write_sink(df.select("value"), str(tmp_path / "bad"), fmt="text",
+                   partition_by=["value"])

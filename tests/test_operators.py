@@ -3290,16 +3290,26 @@ def test_freq_drift_and_ks_referee(spark):
 
     from omldm_spark.operators.drift import freq_drift_report, ks_two_sample
 
+    # ASYMMETRIC plant (review r10: a symmetric plant is blind to an
+    # a/b window swap) with the window derived from the REAL epoch-day
+    # parity, not an assumed day-index parity (2024-01-01 is epoch day
+    # 19723 — odd)
     rows = []
+    win = {}
     for i in range(40):
-        day = i % 4                      # days 0..3 -> windows 0,1,0,1
+        day = i % 3                      # days 0..2 -> UNEQUAL windows
         ts = dt.datetime(2024, 1, 1 + day, 3, 0, 0)
+        epoch_day = (dt.datetime(2024, 1, 1 + day, 3)
+                     - dt.datetime(1970, 1, 1)).days
+        win[i] = epoch_day % 2
         etype = "click" if i % 3 else "error"
-        rows.append((i, ts, i % 7, etype, float(i % 5) + 0.25, "{}"))
+        rows.append((i, ts, i % 7, etype, float(i % 5 + day) + 0.25, "{}"))
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, "
               "event_type string, value double, props string")
-    win = {i: ((i % 4) % 2) for i in range(40)}
+    assert len({v for v in win.values()}) == 2
+    na_ = sum(1 for v in win.values() if v == 0)
+    assert na_ != 40 - na_   # the windows must be distinguishable
     na = sum(1 for i in range(40) if win[i] == 0)
     nb = 40 - na
     out = {r.event_type: r for r in freq_drift_report(ev).collect()}
@@ -3314,9 +3324,9 @@ def test_freq_drift_and_ks_referee(spark):
         assert r.b_ppm == b * 1_000_000 // nb
         assert r.l1_ppm == abs(r.a_ppm - r.b_ppm)
     ks = ks_two_sample(ev).collect()[0]
-    vals_a = sorted(int((i % 5 + 0.25) * 100 + 0.5)
+    vals_a = sorted(int((i % 5 + (i % 3) + 0.25) * 100 + 0.5)
                     for i in range(40) if win[i] == 0)
-    vals_b = sorted(int((i % 5 + 0.25) * 100 + 0.5)
+    vals_b = sorted(int((i % 5 + (i % 3) + 0.25) * 100 + 0.5)
                     for i in range(40) if win[i] == 1)
     best = (-1, None)
     for v in sorted(set(vals_a) | set(vals_b)):

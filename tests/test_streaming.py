@@ -452,3 +452,28 @@ def test_real_media_decode_when_pil_available(spark):
     for f in pdf["feature"]:
         assert len(f) == FEATURE_DIM
         assert abs(sum(f) - 1.0) < 1e-9          # normalized histogram
+
+
+def test_read_latest_state_retry_discipline(spark, tmp_path):
+    # review r10: a foreachBatch RETRY of batch bid must re-read the
+    # PRE-batch state (below=bid), never its own half-committed v{bid}
+    from omldm_spark.streaming.statefold import (read_latest_state,
+                                                 read_latest_state_parts)
+
+    state = str(tmp_path / "state")
+    assert read_latest_state(spark, state) is None
+    spark.createDataFrame([(1,)], "v long").write.parquet(f"{state}/v0")
+    spark.createDataFrame([(2,)], "v long").write.parquet(f"{state}/v3")
+    assert read_latest_state(spark, state).collect()[0].v == 2
+    # inside a retry of batch 3, the fold sees v0 (pre-batch), not v3
+    assert read_latest_state(spark, state, below=3).collect()[0].v == 1
+    assert read_latest_state(spark, state, below=0) is None
+    # multi-part snapshots follow the same discipline
+    pstate = str(tmp_path / "pstate")
+    for part, val in (("a", 10), ("b", 20)):
+        spark.createDataFrame([(val,)], "v long").write.parquet(
+            f"{pstate}/v2/{part}")
+    got = read_latest_state_parts(spark, pstate, ("a", "b"))
+    assert [g.collect()[0].v for g in got] == [10, 20]
+    assert read_latest_state_parts(spark, pstate, ("a", "b"),
+                                   below=2) is None
