@@ -411,8 +411,15 @@ def ks_two_sample(events: DataFrame) -> DataFrame:
     100, NOT by the row count) — at 100 TB the cumulative window sees
     the same few-thousand-row frame it sees at sf0.001.  The top-1 is
     an O(domain) sort-limit."""
+    return ks_from_counts(ks_counts(events))
+
+
+def ks_counts(events: DataFrame) -> DataFrame:
+    """(v_cents, a_cnt, b_cnt): the KS statistic's ADDITIVE sufficient
+    statistic (window membership and quantization are row-local), the
+    carried state of the streaming twin."""
     ev = _with_window(events)
-    per = ev.select(
+    return ev.select(
         F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
         .alias("v_cents"),
         "win",
@@ -422,6 +429,10 @@ def ks_two_sample(events: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("win") == 1, 1).otherwise(0))
         .cast("long").alias("b_cnt"),
     )
+
+
+def ks_from_counts(per: DataFrame) -> DataFrame:
+    """KS report row from a (v_cents, a_cnt, b_cnt) counts frame."""
     w = Window.orderBy("v_cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     wt = Window.partitionBy()

@@ -121,7 +121,27 @@ def robust_federated_merge(lineitem: DataFrame,
     order-statistics window partitions by coord over n_spokes rows, so
     its cost is dim x n_spokes regardless of corpus size; the scan-side
     cost lives in spoke_gradients."""
-    g = spoke_gradients(lineitem, corrupt=True)
+    return robust_merge_from_gradients(
+        _corrupt(spoke_gradients(lineitem, corrupt=False)), trim)
+
+
+def _corrupt(g: DataFrame) -> DataFrame:
+    """The deterministic Byzantine blow-up, applied POST-aggregation —
+    shared by the batch path and the streaming twin (whose carried
+    state is the HONEST additive partial sums; corruption is a report-
+    time transform, so folding stays a plain keyed sum)."""
+    byz = ", ".join(str(s) for s in BYZANTINE)
+    return g.withColumn(
+        "g",
+        F.expr(f"CASE WHEN spoke IN ({byz})"
+               f" THEN g + CAST({_BLOWUP} AS BIGINT) * (coord + 1)"
+               " ELSE g END").cast("long"),
+    )
+
+
+def robust_merge_from_gradients(g: DataFrame,
+                                trim: int = 2) -> DataFrame:
+    """The robust-merge report from a (spoke, coord, g) gradient frame."""
     w = Window.partitionBy("coord").orderBy("g", "spoke")
     ranked = g.select(
         "coord", "g", F.row_number().over(w).alias("rk"))

@@ -952,3 +952,119 @@ FROM c12 JOIN c1 USING (w1) JOIN n1p USING (w2) CROSS JOIN b
 ORDER BY c12.c12 DESC, c12.w1, c12.w2
 LIMIT {top_n}
 """
+
+
+def kn_heldout_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      cache_out: list | None = None) -> DataFrame:
+    """Held-out Kneser-Ney document scoring — the honest shape of an LM
+    quality filter: the KN bigram model trains on HALF the corpus
+    (doc_id % 2 = 0) and scores the OTHER half, so unseen bigrams and
+    unseen histories actually occur (self-scoring, as bigram_lm_scores
+    does for MLE, never exercises the smoothing that is KN's whole
+    point).  Backoff ladder per scored bigram:
+
+      history seen, bigram seen    -> full interpolated KN
+      history seen, bigram unseen  -> discount mass * continuation
+      history unseen               -> continuation probability alone
+
+    Output per held-out doc: (doc_id, n_bigrams, q_score,
+    n_unseen_bigrams, n_oov_histories) with q_score = Σ k * p_kn_ppm
+    (exact BIGINT; mean prob = q_score / (n_bigrams * 1e6)).
+
+    Scale: the model is the same ONE persisted bigram-count frame as
+    kneser_ney_bigram (released via ``cache_out``); scoring is three
+    LEFT keyed joins + the scalar broadcast — the eval corpus never
+    joins itself."""
+    train = docs.where(F.expr(f"{id_col} % 2 = 0"))
+    held = docs.where(F.expr(f"{id_col} % 2 = 1"))
+    c12 = _doc_bigrams(train, text_col, id_col).groupBy("w1", "w2").agg(
+        F.sum("k").cast("long").alias("c12")).persist()
+    if cache_out is not None:
+        cache_out.append(c12)
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"))
+    n1p = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p"))
+    b_tot = c12.agg(F.count(F.lit(1)).cast("long").alias("b_tot"))
+    db = _doc_bigrams(held, text_col, id_col)
+    d = KN_DISCOUNT_PPM
+    p = (
+        f"CASE WHEN c1 IS NULL THEN coalesce(n1p, 0) * 1000000 div b_tot"
+        f" ELSE greatest(coalesce(c12, 0) * 1000000 - {d}, 0) div c1"
+        f" + ({d} * n1f div c1) * (coalesce(n1p, 0) * 1000000 div b_tot)"
+        " div 1000000 END"
+    )
+    scored = (
+        db.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(n1p, "w2", "left")
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            F.col(id_col), "k",
+            F.expr(f"CAST({p} AS BIGINT)").alias("p_ppm"),
+            F.col("c12").isNull().alias("unseen"),
+            F.col("c1").isNull().alias("oov_hist"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("p_ppm")).cast("long").alias("q_score"),
+        F.sum(F.when(F.col("unseen"), F.col("k")).otherwise(0))
+        .cast("long").alias("n_unseen_bigrams"),
+        F.sum(F.when(F.col("oov_hist"), F.col("k")).otherwise(0))
+        .cast("long").alias("n_oov_histories"),
+    ).select(F.col(id_col).cast("long").alias(id_col), "n_bigrams",
+             "q_score", "n_unseen_bigrams", "n_oov_histories")
+
+
+def KN_HELDOUT_SQL(table: str = "documents", text_expr: str = "text",
+                   id_col: str = "doc_id") -> str:
+    d = KN_DISCOUNT_PPM
+    bigrams = f"""
+  SELECT {id_col}, w1, w2, CAST(count(*) AS BIGINT) AS k FROM (
+    SELECT {id_col}, tok AS w1, lead(tok, 1) OVER w AS w2
+    FROM (
+      SELECT {id_col}, unnest({TOKENS_SQL(text_expr)}) AS tok,
+             generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+      FROM {table} WHERE {id_col} % 2 = __PAR__
+    ) WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+  ) WHERE w2 IS NOT NULL GROUP BY 1, 2, 3"""
+    p = (f"CASE WHEN c1.c1 IS NULL"
+         f" THEN coalesce(n1p.n1p, 0) * 1000000 // b.b_tot"
+         f" ELSE greatest(coalesce(c12.c12, 0) * 1000000 - {d}, 0) // c1.c1"
+         f" + ({d} * c1.n1f // c1.c1)"
+         f" * (coalesce(n1p.n1p, 0) * 1000000 // b.b_tot) // 1000000 END")
+    return f"""
+WITH train_db AS ({bigrams.replace('__PAR__', '0')}),
+held_db AS ({bigrams.replace('__PAR__', '1')}),
+c12 AS (
+  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM train_db GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM c12 GROUP BY 1
+),
+n1p AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM c12 GROUP BY 1),
+b AS (SELECT CAST(count(*) AS BIGINT) AS b_tot FROM c12),
+scored AS (
+  SELECT db.{id_col}, db.k, CAST({p} AS BIGINT) AS p_ppm,
+         c12.c12 IS NULL AS unseen, c1.c1 IS NULL AS oov_hist
+  FROM held_db db
+  LEFT JOIN c12 ON c12.w1 = db.w1 AND c12.w2 = db.w2
+  LEFT JOIN c1 ON c1.w1 = db.w1
+  LEFT JOIN n1p ON n1p.w2 = db.w2
+  CROSS JOIN b
+)
+SELECT CAST({id_col} AS BIGINT) AS {id_col},
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(k * p_ppm) AS BIGINT) AS q_score,
+       CAST(sum(CASE WHEN unseen THEN k ELSE 0 END) AS BIGINT)
+         AS n_unseen_bigrams,
+       CAST(sum(CASE WHEN oov_hist THEN k ELSE 0 END) AS BIGINT)
+         AS n_oov_histories
+FROM scored
+GROUP BY 1
+"""

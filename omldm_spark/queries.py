@@ -17814,6 +17814,112 @@ from .operators.preference import (  # noqa: E402
     BRADLEY_TERRY_SQL, COHENS_KAPPA_SQL, bradley_terry_round, cohens_kappa)
 
 
+from .operators.lm import KN_HELDOUT_SQL, kn_heldout_scores  # noqa: E402
+
+
+@query("kn_heldout_scores", oracle=KN_HELDOUT_SQL())
+def q_kn_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney document scoring: the KN model trains on the
+    even half of the corpus and scores the odd half, exercising the
+    full backoff ladder (unseen bigram -> discount mass x continuation;
+    unseen history -> continuation alone) — the honest LM-quality-
+    filter shape.  See operators/lm.py."""
+    return kn_heldout_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query("streaming_ks_two_sample", oracle=KS_TWO_SAMPLE_SQL())
+def q_streaming_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL two-sample KS: the carried state is the
+    (v_cents, a_cnt, b_cnt) counts frame — additive, so each
+    micro-batch folds with one keyed sum and the CDF/argmax derive from
+    state only.  Oracle = the one-shot batch statistic."""
+    import tempfile
+
+    from .operators.drift import ks_counts, ks_from_counts
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="omldm_sks_")
+    src_dir = f"{tmp}/src"
+    ev.repartition(5).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = ks_counts(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("v_cents").agg(
+                F.sum("a_cnt").cast("long").alias("a_cnt"),
+                F.sum("b_cnt").cast("long").alias("b_cnt"))
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "d_ppm long, at_value_cents long, n_a long, n_b long")
+    return ks_from_counts(state)
+
+
+@query("streaming_robust_merge", oracle=ROBUST_MERGE_SQL())
+def q_streaming_robust_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Byzantine-robust merge: the carried state is the
+    HONEST per-(spoke, coord) gradient partial sums — additive, so
+    micro-batches fold with one keyed sum; the deterministic corruption
+    and the trimmed/median merge are report-time transforms of state.
+    Oracle = the one-shot batch report."""
+    import tempfile
+
+    from .operators.federated import (_corrupt, robust_merge_from_gradients,
+                                      spoke_gradients)
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    tmp = tempfile.mkdtemp(prefix="omldm_srm_")
+    src_dir = f"{tmp}/src"
+    li.repartition(5).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        g = spoke_gradients(new, corrupt=False)
+        if prev is not None:
+            g = prev.unionByName(g).groupBy("spoke", "coord").agg(
+                F.sum("g").cast("long").alias("g"))
+        g.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "coord long, mean_q long, trimmed_mean_q long,"
+            " median_q long")
+    return robust_merge_from_gradients(_corrupt(state))
+
+
 from .operators.multimodal import (  # noqa: E402
     AUDIO_SILENCE_SQL, VIDEO_SHOTS_SQL, audio_silence_segments,
     video_shot_boundaries)

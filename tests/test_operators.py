@@ -3617,3 +3617,51 @@ def test_source_loo_value_referee(spark):
         spark.createDataFrame(good, "doc_id long, text string, "
                               "source string")).collect()
     assert len(solo) == 1 and solo[0].loo_pass_ppm is None
+
+
+def test_kn_heldout_backoff_ladder(spark):
+    # plants a held-out doc that exercises all three backoff branches
+    # and pins each against a python referee
+    from collections import Counter
+
+    from omldm_spark.operators.lm import kn_heldout_scores
+
+    train = [(0, "alpha beta gamma"), (2, "alpha beta delta"),
+             (4, "beta gamma alpha")]
+    # held-out doc 1: "alpha beta" (seen bigram), "beta zeta" (seen
+    # history, unseen bigram with UNSEEN w2), "zeta gamma" (unseen
+    # history, seen continuation)
+    held = [(1, "alpha beta zeta gamma")]
+    docs = spark.createDataFrame(train + held, "doc_id long, text string")
+    bi = Counter()
+    for _, t in train:
+        w = t.split()
+        bi.update(zip(w, w[1:]))
+    c1, n1f, n1p = Counter(), Counter(), Counter()
+    for (w1, w2), c in bi.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1p[w2] += 1
+    B = len(bi)
+    d = 750_000
+
+    def p(w1, w2):
+        if c1[w1] == 0:
+            return n1p[w2] * 1_000_000 // B
+        t1 = max(bi[(w1, w2)] * 1_000_000 - d, 0) // c1[w1]
+        lam = d * n1f[w1] // c1[w1]
+        return t1 + lam * (n1p[w2] * 1_000_000 // B) // 1_000_000
+    hw = held[0][1].split()
+    expect = sum(p(a, b) for a, b in zip(hw, hw[1:]))
+    caches: list = []
+    out = {r.doc_id: r for r in
+           kn_heldout_scores(docs, cache_out=caches).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r.n_bigrams == 3
+    assert r.q_score == expect
+    assert r.n_unseen_bigrams == 2      # beta-zeta and zeta-gamma
+    assert r.n_oov_histories == 1       # zeta
+    assert p("zeta", "gamma") > 0       # continuation backoff is live
+    assert len(caches) == 1 and caches[0].is_cached
+    caches[0].unpersist()
