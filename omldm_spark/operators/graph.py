@@ -1337,3 +1337,175 @@ def BRANDES_CTES(edges_cte: str, n_sources: int = 4,
   GROUP BY v
 )""")
     return parts
+
+
+def louvain_first_pass(edges: DataFrame) -> DataFrame:
+    """One SYNCHRONOUS Louvain pass from singleton communities over a
+    weighted undirected graph (Blondel et al. 2008): each vertex moves
+    to the neighbor whose (singleton-merge) modularity gain is largest,
+
+        gain_q(i -> j) = w_ij * W - k_i * k_j,   W = Σ_v k_v = 2m,
+
+    moving only when gain_q > 0 (ties to the smallest neighbor id).
+    The classic algorithm is SEQUENTIAL; like the repo's Luby-MIS and
+    Jones-Plassmann variants this is the deterministic synchronous
+    round — every vertex decides against the SAME singleton snapshot,
+    which is the shape a distributed pass actually executes (one keyed
+    argmax per vertex, no sequential state).
+
+    Input: (a, b, w) undirected weighted edges, a < b.  Output:
+    (item, community, gain_q) with community = the chosen neighbor or
+    the vertex itself.
+
+    Exactness: gain_q is pure int64 (envelope: w_ij <= m and
+    k_i * k_j <= W^2 — exact through W < 3e9, i.e. billions of edge
+    weight).  The argmax is a per-vertex keyed window with a total
+    order (gain DESC, neighbor ASC) — never a global window."""
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.col("w"),
+    ).unionByName(edges.select(
+        F.col("b").alias("src"), F.col("a").alias("dst"), F.col("w")))
+    deg = sym.groupBy("src").agg(F.sum("w").cast("long").alias("k"))
+    w_tot = deg.agg(F.sum("k").cast("long").alias("w_all"))
+    cand = (
+        sym.join(deg.select(F.col("src").alias("src"),
+                            F.col("k").alias("k_i")), "src")
+        .join(deg.select(F.col("src").alias("dst"),
+                         F.col("k").alias("k_j")), "dst")
+        .crossJoin(F.broadcast(w_tot))
+        .select("src", "dst",
+                (F.col("w") * F.col("w_all") - F.col("k_i") * F.col("k_j"))
+                .cast("long").alias("gain_q"))
+    )
+    win = Window.partitionBy("src").orderBy(
+        F.desc("gain_q"), F.asc("dst"))
+    best = cand.select(
+        "src", "dst", "gain_q",
+        F.row_number().over(win).alias("rk")).where("rk = 1")
+    return best.select(
+        F.col("src").cast("long").alias("item"),
+        F.when(F.col("gain_q") > 0, F.col("dst")).otherwise(F.col("src"))
+        .cast("long").alias("community"),
+        F.col("gain_q").cast("long").alias("gain_q"),
+    )
+
+
+def LOUVAIN_PASS_CTES(edges_cte: str = "e") -> str:
+    """The same pass as chained CTEs over ``{edges_cte}(a, b, w)`` —
+    ends in ``lv(item, community, gain_q)``."""
+    return f"""sym AS (
+  SELECT a AS src, b AS dst, w FROM {edges_cte}
+  UNION ALL SELECT b AS src, a AS dst, w FROM {edges_cte}
+),
+deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS k FROM sym GROUP BY 1),
+wt AS (SELECT CAST(sum(k) AS BIGINT) AS w_all FROM deg),
+cand AS (
+  SELECT s.src, s.dst,
+         CAST(s.w * wt.w_all - di.k * dj.k AS BIGINT) AS gain_q
+  FROM sym s
+  JOIN deg di ON di.src = s.src
+  JOIN deg dj ON dj.src = s.dst
+  CROSS JOIN wt
+),
+best AS (
+  SELECT src, dst, gain_q,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY gain_q DESC, dst) AS rk
+  FROM cand
+),
+lv AS (
+  SELECT CAST(src AS BIGINT) AS item,
+         CAST(CASE WHEN gain_q > 0 THEN dst ELSE src END AS BIGINT)
+           AS community,
+         CAST(gain_q AS BIGINT) AS gain_q
+  FROM best WHERE rk = 1
+)"""
+
+
+def louvain_modularity_report(edges: DataFrame) -> DataFrame:
+    """Per-community modularity accounting of the first-pass
+    assignment: (community, n_items, in_w, tot_w, q_contrib_ppm) with
+
+        q_contrib_ppm = 2*in_w*1e6 div W
+                        - (tot_w*1e6 div W)^2 div 1e6
+
+    (floor-ppm of the standard Σin/2m - (Σtot/2m)^2 term; summing the
+    column gives the assignment's modularity Q in ppm).  Quantize-then-
+    sum: each community's term is an exact integer before the caller's
+    reduction, so engines summing in different orders agree.
+
+    Shapes: the assignment joins back onto the edge list KEYED on each
+    endpoint (two hash joins on the vertex id); in_w/tot_w are one
+    groupBy(community) each."""
+    lv = louvain_first_pass(edges).select("item", "community")
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w"),
+    ).unionByName(edges.select(
+        F.col("b").alias("src"), F.col("a").alias("dst"), F.col("w")))
+    deg = sym.groupBy("src").agg(F.sum("w").cast("long").alias("k"))
+    w_tot = deg.agg(F.sum("k").cast("long").alias("w_all"))
+    lab = lv.select(F.col("item"), F.col("community"))
+    e_lab = (
+        edges.join(lab.select(F.col("item").alias("a"),
+                              F.col("community").alias("ca")), "a")
+        .join(lab.select(F.col("item").alias("b"),
+                         F.col("community").alias("cb")), "b")
+    )
+    in_w = e_lab.where("ca = cb").groupBy(
+        F.col("ca").alias("community")).agg(
+        F.sum("w").cast("long").alias("in_w"))
+    tot_w = (
+        lab.join(deg.select(F.col("src").alias("item"), "k"), "item")
+        .groupBy("community")
+        .agg(F.sum("k").cast("long").alias("tot_w"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+    return (
+        tot_w.join(in_w, "community", "left")
+        .crossJoin(F.broadcast(w_tot))
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_items",
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+            "tot_w",
+            F.expr(
+                "CAST(2 * coalesce(in_w, 0) * 1000000 div w_all"
+                " - (tot_w * 1000000 div w_all)"
+                " * (tot_w * 1000000 div w_all) div 1000000 AS BIGINT)"
+            ).alias("q_contrib_ppm"),
+        )
+    )
+
+
+def LOUVAIN_MODULARITY_SQL(edges_cte: str = "e") -> str:
+    """Report CTE chain over ``{edges_cte}(a, b, w)`` + LOUVAIN_PASS_CTES
+    — the full SELECT (caller prepends WITH e AS (...))."""
+    return f"""{LOUVAIN_PASS_CTES(edges_cte)},
+e_lab AS (
+  SELECT e.w, la.community AS ca, lb.community AS cb
+  FROM {edges_cte} e
+  JOIN lv la ON la.item = e.a
+  JOIN lv lb ON lb.item = e.b
+),
+in_w AS (
+  SELECT ca AS community, CAST(sum(w) AS BIGINT) AS in_w
+  FROM e_lab WHERE ca = cb GROUP BY 1
+),
+tot_w AS (
+  SELECT lv.community, CAST(sum(deg.k) AS BIGINT) AS tot_w,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lv JOIN deg ON deg.src = lv.item
+  GROUP BY 1
+)
+SELECT CAST(t.community AS BIGINT) AS community, t.n_items,
+       CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w, t.tot_w,
+       CAST(2 * coalesce(i.in_w, 0) * 1000000 // wt.w_all
+            - (t.tot_w * 1000000 // wt.w_all)
+            * (t.tot_w * 1000000 // wt.w_all) // 1000000 AS BIGINT)
+         AS q_contrib_ppm
+FROM tot_w t LEFT JOIN in_w i ON i.community = t.community
+CROSS JOIN wt
+"""

@@ -17814,6 +17814,73 @@ from .operators.preference import (  # noqa: E402
     BRADLEY_TERRY_SQL, COHENS_KAPPA_SQL, bradley_terry_round, cohens_kappa)
 
 
+from .operators.graph import (  # noqa: E402
+    LOUVAIN_MODULARITY_SQL, LOUVAIN_PASS_CTES, louvain_first_pass,
+    louvain_modularity_report)
+
+# weighted item co-occurrence edges (the _ITEM_EDGES_SQL derivation,
+# keeping the co-occurrence count as the edge weight)
+_ITEM_WEDGES_SQL = """
+SELECT a.item AS a, b.item AS b, CAST(count(*) AS BIGINT) AS w
+FROM (SELECT DISTINCT user_id AS u,
+             CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+      FROM events) a
+JOIN (SELECT DISTINCT user_id AS u,
+             CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item
+      FROM events) b
+  ON a.u = b.u AND a.item < b.item
+GROUP BY 1, 2 HAVING CAST(count(*) AS BIGINT) >= 3
+"""
+
+
+def _item_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        F.col("user_id").alias("u"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
+    ).distinct()
+    a, b = ui.alias("a"), ui.alias("b")
+    return (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("a"), F.col("b.item").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("w") >= 3)
+    )
+
+
+@query(
+    "louvain_item_pass",
+    oracle=f"""
+WITH e AS ({_ITEM_WEDGES_SQL}),
+{LOUVAIN_PASS_CTES("e")}
+SELECT item, community, gain_q FROM lv
+""",
+)
+def q_louvain_item_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain pass from singletons over the weighted
+    item co-occurrence graph (the deterministic distributed round —
+    the Luby/Jones-Plassmann precedent): integer-exact singleton-merge
+    modularity gains, per-vertex keyed argmax.  See
+    operators/graph.py."""
+    return louvain_first_pass(_item_wedges(spark, sf_dir))
+
+
+@query(
+    "louvain_modularity_report",
+    oracle=f"""
+WITH e AS ({_ITEM_WEDGES_SQL}),
+{LOUVAIN_MODULARITY_SQL("e")}
+""",
+)
+def q_louvain_modularity_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-community modularity accounting of the Louvain first pass
+    (floor-ppm Σin/2m - (Σtot/2m)^2 terms, quantize-then-sum): summing
+    q_contrib_ppm gives the assignment's modularity Q in ppm."""
+    return louvain_modularity_report(_item_wedges(spark, sf_dir))
+
+
 from .operators.lm import KN_HELDOUT_SQL, kn_heldout_scores  # noqa: E402
 
 

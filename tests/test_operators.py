@@ -3665,3 +3665,46 @@ def test_kn_heldout_backoff_ladder(spark):
     assert p("zeta", "gamma") > 0       # continuation backoff is live
     assert len(caches) == 1 and caches[0].is_cached
     caches[0].unpersist()
+
+
+def test_louvain_first_pass_referee(spark):
+    # two planted cliques joined by one weak bridge: every vertex must
+    # join a same-clique neighbor, gains must match the brute force,
+    # and the modularity contributions must sum to the exact Q
+    from omldm_spark.operators.graph import (louvain_first_pass,
+                                             louvain_modularity_report)
+
+    # clique A = {0,1,2} (w=5 each pair), clique B = {10,11,12} (w=5),
+    # bridge 2-10 (w=1)
+    E = [(0, 1, 5), (0, 2, 5), (1, 2, 5),
+         (10, 11, 5), (10, 12, 5), (11, 12, 5), (2, 10, 1)]
+    edges = spark.createDataFrame(E, "a long, b long, w long")
+    adj = {}
+    for a, b, w in E:
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    k = {v: sum(nb.values()) for v, nb in adj.items()}
+    W = sum(k.values())
+    out = {r.item: r for r in louvain_first_pass(edges).collect()}
+    for v, nb in adj.items():
+        best = max(nb, key=lambda j: (nb[j] * W - k[v] * k[j], -j))
+        gains = {j: nb[j] * W - k[v] * k[j] for j in nb}
+        bg = max(gains.values())
+        cands = sorted(j for j in nb if gains[j] == bg)
+        want = cands[0] if bg > 0 else v
+        assert out[v].community == want
+        assert out[v].gain_q == bg
+        # same-clique attraction: the chosen community is in-clique
+        if bg > 0:
+            assert (v < 5) == (want < 5)
+    rep = louvain_modularity_report(edges).collect()
+    # exact Q for the assignment, python referee
+    lab = {v: out[v].community for v in adj}
+    comms = set(lab.values())
+    q = 0
+    for c in comms:
+        in_w = sum(w for a, b, w in E if lab[a] == c and lab[b] == c)
+        tot = sum(k[v] for v in adj if lab[v] == c)
+        q += 2 * in_w * 10**6 // W - (tot * 10**6 // W) ** 2 // 10**6
+    assert sum(r.q_contrib_ppm for r in rep) == q
+    assert all(r.in_w > 0 for r in rep if r.n_items > 1)
