@@ -17861,9 +17861,11 @@ def q_louvain_item_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One synchronous Louvain pass from singletons over the weighted
     item co-occurrence graph (the deterministic distributed round —
     the Luby/Jones-Plassmann precedent): integer-exact singleton-merge
-    modularity gains, per-vertex keyed argmax.  See
+    modularity gains, per-vertex keyed argmax.  The co-occurrence
+    self-join persists (one bounded |edges| entry referenced by the
+    lazy output) — sym/deg/cand otherwise each re-run it.  See
     operators/graph.py."""
-    return louvain_first_pass(_item_wedges(spark, sf_dir))
+    return louvain_first_pass(_item_wedges(spark, sf_dir).persist())
 
 
 @query(
@@ -17877,8 +17879,10 @@ def q_louvain_modularity_report(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Per-community modularity accounting of the Louvain first pass
     (floor-ppm Σin/2m - (Σtot/2m)^2 terms, quantize-then-sum): summing
-    q_contrib_ppm gives the assignment's modularity Q in ppm."""
-    return louvain_modularity_report(_item_wedges(spark, sf_dir))
+    q_contrib_ppm gives the assignment's modularity Q in ppm.  The
+    edge frame persists — the pass, the labeling join, and the degree
+    rollup all fold the same cached |edges| frame."""
+    return louvain_modularity_report(_item_wedges(spark, sf_dir).persist())
 
 
 from .operators.lm import KN_HELDOUT_SQL, kn_heldout_scores  # noqa: E402

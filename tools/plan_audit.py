@@ -1629,6 +1629,31 @@ CHECKS.update({
         ("funnel features map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
     ],
+    "kn_heldout_scores": [
+        # the train-half bigram model persists; scoring is LEFT keyed
+        # joins + one scalar broadcast — no sort-merge, no cartesian
+        ("model reads the persisted bigram frame",
+         lambda p: p.count("InMemoryTableScan") >= 4),
+        ("scoring joins never sort-merge at model scale",
+         lambda p: "SortMergeJoin" not in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
+    "louvain_item_pass": [
+        # the co-occurrence self-join persists; sym/deg/cand fold the
+        # cache; the per-vertex argmax window is keyed by vertex
+        ("branches read the persisted edge frame",
+         lambda p: p.count("InMemoryTableScan") >= 4),
+        ("no sort-merge join after the cached edges",
+         lambda p: "SortMergeJoin" not in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
+    "louvain_modularity_report": [
+        ("branches read the persisted edge frame",
+         lambda p: p.count("InMemoryTableScan") >= 8),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        ("per-community rollups map-side combined",
+         lambda p: p.count("HashAggregate") >= 6),
+    ],
     "cohens_kappa_labels": [
         # ONE contingency groupBy over the scan, persisted; all four
         # consumers (marginals, totals, pe) read the 9-row cache, so
