@@ -165,3 +165,128 @@ SELECT t, n AS n_risk, d,
          ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_ppm
 FROM steps
 """
+
+
+def cox_newton_step(obs: DataFrame, dur_col: str, death_col: str,
+                    x_col: str) -> DataFrame:
+    """One exact Newton-Raphson step of Cox proportional-hazards
+    regression at beta = 0 with the Breslow tie convention — the
+    standard first iteration of coxph, and at beta = 0 also the score
+    (log-rank-style) test statistic for a numeric covariate:
+
+      U(0) = Σ_t [ Sx_deaths(t) - d_t * SxR(t)/nR(t) ]
+      I(0) = Σ_t d_t * [ SxxR(t)/nR(t) - (SxR(t)/nR(t))^2 ]
+      beta_1 = U / I
+
+    where R(t) is the risk set (duration >= t) and the sums run over
+    distinct DEATH times only.
+
+    Exactness: the covariate must be an INTEGER column (the caller
+    quantizes); every risk-set sum (n, Sx, Sxx) is an exact BIGINT from
+    ONE top-down cumulative histogram; each death time's U and I
+    contributions ride identical IEEE divisions and are HALF-UP
+    quantized to integer ppm BEFORE summing (the chi2 quantize-then-sum
+    rule — engines may sum times in different orders); beta_1 is the
+    shared signed floor division.
+
+    Scale: one groupBy(duration) histogram + one ordered window over
+    the DISTINCT duration domain (duration-domain-sized, not
+    observation-sized) + one global agg.  Output one row:
+    (n_obs, n_deaths, u_ppm, i_ppm, beta1_ppm)."""
+    hist = obs.groupBy(F.col(dur_col).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum(death_col).cast("long").alias("d"),
+        F.sum(x_col).cast("long").alias("sx_all"),
+        F.sum(F.col(x_col) * F.col(x_col)).cast("long").alias("sxx_all"),
+        F.sum(F.col(death_col) * F.col(x_col)).cast("long")
+        .alias("sx_death"),
+    )
+    total = hist.agg(
+        F.sum("c_all").cast("long").alias("n_obs"),
+        F.sum("d").cast("long").alias("n_deaths"),
+        F.sum("sx_all").cast("long").alias("sx_tot"),
+        F.sum("sxx_all").cast("long").alias("sxx_tot"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = hist.select(
+        "t", "c_all", "d", "sx_all", "sxx_all", "sx_death",
+        F.sum("c_all").over(w).cast("long").alias("cum_n"),
+        F.sum("sx_all").over(w).cast("long").alias("cum_sx"),
+        F.sum("sxx_all").over(w).cast("long").alias("cum_sxx"),
+    ).crossJoin(F.broadcast(total)).filter(F.col("d") > 0).select(
+        "d", "sx_death", "n_obs", "n_deaths",
+        (F.col("n_obs") - F.col("cum_n") + F.col("c_all"))
+        .cast("long").alias("n_r"),
+        (F.col("sx_tot") - F.col("cum_sx") + F.col("sx_all"))
+        .cast("long").alias("sx_r"),
+        (F.col("sxx_tot") - F.col("cum_sxx") + F.col("sxx_all"))
+        .cast("long").alias("sxx_r"),
+    )
+    mean = "(CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE))"
+    u_t = (f"CAST(floor((CAST(sx_death AS DOUBLE)"
+           f" - CAST(d AS DOUBLE) * {mean}) * 1000000.0 + 0.5) AS BIGINT)")
+    i_t = (f"CAST(floor(CAST(d AS DOUBLE)"
+           f" * (CAST(sxx_r AS DOUBLE) / CAST(n_r AS DOUBLE)"
+           f" - {mean} * {mean}) * 1000000.0 + 0.5) AS BIGINT)")
+    agg = cum.groupBy().agg(
+        F.max("n_obs").cast("long").alias("n_obs"),
+        F.max("n_deaths").cast("long").alias("n_deaths"),
+        F.sum(F.expr(u_t)).cast("long").alias("u_ppm"),
+        F.sum(F.expr(i_t)).cast("long").alias("i_ppm"),
+    )
+    return agg.select(
+        "n_obs", "n_deaths", "u_ppm", "i_ppm",
+        F.expr("CASE WHEN i_ppm = 0 THEN NULL ELSE"
+               " CAST(floor(CAST(u_ppm * 1000000 AS DOUBLE)"
+               " / CAST(i_ppm AS DOUBLE)) AS BIGINT) END")
+        .alias("beta1_ppm"),
+    )
+
+
+def COX_NEWTON_SQL(obs_sql: str, dur_col: str, death_col: str,
+                   x_col: str) -> str:
+    mean = "(CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE))"
+    u_t = (f"CAST(floor((CAST(sx_death AS DOUBLE)"
+           f" - CAST(d AS DOUBLE) * {mean}) * 1000000.0 + 0.5) AS BIGINT)")
+    i_t = (f"CAST(floor(CAST(d AS DOUBLE)"
+           f" * (CAST(sxx_r AS DOUBLE) / CAST(n_r AS DOUBLE)"
+           f" - {mean} * {mean}) * 1000000.0 + 0.5) AS BIGINT)")
+    return f"""
+WITH obs AS ({obs_sql}),
+hist AS (
+  SELECT {dur_col} AS t, CAST(count(*) AS BIGINT) AS c_all,
+         CAST(sum({death_col}) AS BIGINT) AS d,
+         CAST(sum({x_col}) AS BIGINT) AS sx_all,
+         CAST(sum({x_col} * {x_col}) AS BIGINT) AS sxx_all,
+         CAST(sum({death_col} * {x_col}) AS BIGINT) AS sx_death
+  FROM obs GROUP BY 1
+),
+total AS (
+  SELECT CAST(sum(c_all) AS BIGINT) AS n_obs,
+         CAST(sum(d) AS BIGINT) AS n_deaths,
+         CAST(sum(sx_all) AS BIGINT) AS sx_tot,
+         CAST(sum(sxx_all) AS BIGINT) AS sxx_tot
+  FROM hist
+),
+cum AS (
+  SELECT d, sx_death, n_obs, n_deaths,
+         CAST(n_obs - sum(c_all) OVER w + c_all AS BIGINT) AS n_r,
+         CAST(sx_tot - sum(sx_all) OVER w + sx_all AS BIGINT) AS sx_r,
+         CAST(sxx_tot - sum(sxx_all) OVER w + sxx_all AS BIGINT) AS sxx_r
+  FROM hist CROSS JOIN total
+  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+),
+agg AS (
+  SELECT CAST(max(n_obs) AS BIGINT) AS n_obs,
+         CAST(max(n_deaths) AS BIGINT) AS n_deaths,
+         CAST(sum({u_t}) AS BIGINT) AS u_ppm,
+         CAST(sum({i_t}) AS BIGINT) AS i_ppm
+  FROM cum WHERE d > 0
+)
+SELECT n_obs, n_deaths, u_ppm, i_ppm,
+       CAST(CASE WHEN i_ppm = 0 THEN NULL ELSE
+            floor(CAST(u_ppm * 1000000 AS DOUBLE)
+                  / CAST(i_ppm AS DOUBLE)) END AS BIGINT) AS beta1_ppm
+FROM agg
+"""

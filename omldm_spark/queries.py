@@ -17814,6 +17814,98 @@ from .operators.preference import (  # noqa: E402
     BRADLEY_TERRY_SQL, COHENS_KAPPA_SQL, bradley_terry_round, cohens_kappa)
 
 
+from .operators.survival import COX_NEWTON_SQL, cox_newton_step  # noqa: E402
+
+_COX_OBS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, event_id, ts_s,
+         CASE WHEN gap IS NULL OR gap > 300 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts_s, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(min(ts_s) AS BIGINT) AS start_s,
+         CAST(max(ts_s) AS BIGINT) AS end_s,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY 1, 2
+),
+last_seen AS (
+  SELECT user_id, CAST(max(end_s) AS BIGINT) AS last_s FROM sess GROUP BY 1
+)
+SELECT CAST((s.end_s - s.start_s) // 60 AS BIGINT) AS dur_m,
+       CAST(CASE WHEN s.end_s = l.last_s THEN 0 ELSE 1 END AS BIGINT)
+         AS is_death,
+       s.n_events AS x
+FROM sess s JOIN last_seen l ON l.user_id = s.user_id
+"""
+
+
+@query(
+    "cox_session_newton",
+    oracle=COX_NEWTON_SQL(_COX_OBS_SQL, "dur_m", "is_death", "x"),
+)
+def q_cox_session_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Cox proportional-hazards Newton step at beta = 0
+    (Breslow ties) for "do busier sessions end sooner?": observations
+    are the KM sessionization with the per-session event count as the
+    integer covariate and the final session right-censored.  Risk-set
+    sums come from one top-down cumulative histogram over the
+    duration domain; per-death-time score/information contributions
+    are half-up ppm quantized before summing (operators/survival.py
+    cox_newton_step).  At beta = 0 this is also the numeric-covariate
+    score test."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    sess = (
+        ev.withColumn("gap", F.col("ts_s") - F.lag("ts_s").over(w))
+        .withColumn(
+            "new_session",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 300), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_s").cast("long").alias("start_s"),
+            F.max("ts_s").cast("long").alias("end_s"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    last = sess.groupBy("user_id").agg(
+        F.max("end_s").cast("long").alias("last_s")
+    )
+    obs = sess.join(last, "user_id").select(
+        F.expr("(end_s - start_s) div 60").cast("long").alias("dur_m"),
+        F.when(F.col("end_s") == F.col("last_s"), 0).otherwise(1)
+        .cast("long").alias("is_death"),
+        F.col("n_events").alias("x"),
+    )
+    return cox_newton_step(obs, "dur_m", "is_death", "x")
+
+
 from .operators.graph import (  # noqa: E402
     LOUVAIN_MODULARITY_SQL, LOUVAIN_PASS_CTES, louvain_first_pass,
     louvain_modularity_report)

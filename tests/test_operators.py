@@ -3708,3 +3708,35 @@ def test_louvain_first_pass_referee(spark):
         q += 2 * in_w * 10**6 // W - (tot * 10**6 // W) ** 2 // 10**6
     assert sum(r.q_contrib_ppm for r in rep) == q
     assert all(r.in_w > 0 for r in rep if r.n_items > 1)
+
+
+def test_cox_newton_step_referee(spark):
+    # lifelines-free brute-force referee: exact U(0), I(0), beta1 under
+    # the Breslow convention on a planted cohort where larger x dies
+    # earlier (beta1 must be negative... sign: higher hazard for larger
+    # x => positive beta in the hazard; at beta=0 the score U sums
+    # (x_death - mean risk x): early deaths with high x give U > 0)
+    import math
+
+    from omldm_spark.operators.survival import cox_newton_step
+
+    rows = [(2, 1, 9), (3, 1, 8), (5, 1, 5), (5, 0, 4), (8, 1, 2),
+            (9, 0, 3), (12, 1, 1), (12, 1, 2), (15, 0, 1)]
+    obs = spark.createDataFrame(rows, "dur long, death long, x long")
+    times = sorted({d for d, e, x in rows if e})
+    U = I = 0
+    for t in times:
+        risk = [x for d, e, x in rows if d >= t]
+        deaths = [(e, x) for d, e, x in rows if d == t and e]
+        dcnt = len(deaths)
+        sxd = sum(x for _, x in deaths)
+        n_r, sx_r, sxx_r = (len(risk), sum(risk),
+                            sum(x * x for x in risk))
+        mean = sx_r / n_r
+        U += math.floor((sxd - dcnt * mean) * 1e6 + 0.5)
+        I += math.floor(dcnt * (sxx_r / n_r - mean * mean) * 1e6 + 0.5)
+    beta = math.floor(U * 1_000_000 / I)
+    r = cox_newton_step(obs, "dur", "death", "x").collect()[0]
+    assert (r.n_obs, r.n_deaths) == (9, 6)
+    assert (r.u_ppm, r.i_ppm, r.beta1_ppm) == (U, I, beta)
+    assert r.u_ppm > 0  # high-x observations die early in this plant
