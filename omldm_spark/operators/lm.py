@@ -1068,3 +1068,90 @@ SELECT CAST({id_col} AS BIGINT) AS {id_col},
 FROM scored
 GROUP BY 1
 """
+
+
+def ngram_novelty_by_batch(docs: DataFrame, n_batches: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           cache_out: list | None = None) -> DataFrame:
+    """Corpus-freshness profiling: how much of each ingest batch's
+    bigram mass is NEW (first ever seen in that batch)?  The dataset-
+    curation dashboard metric behind "is the crawl still adding
+    information or re-collecting the same text" — novelty collapsing
+    toward 0 across batches is the saturation signal.
+
+    Batches are planted round-robin (batch = doc_id % n_batches, the
+    pii.py discipline); first_seen(bigram) = min batch.  Output per
+    batch: (batch, n_occurrences, n_types, novel_occurrences,
+    novel_types, novel_ppm) with novel_ppm = floor-ppm of novel
+    occurrence mass.
+
+    Scale: ONE bigram aggregation keyed (batch, w1, w2), a bigram-keyed
+    min-reaggregation for first_seen (persisted — two consumers), one
+    keyed join back, one groupBy(batch).  Nothing is corpus-quadratic;
+    the join is vocab-scale."""
+    db = _doc_bigrams(docs, text_col, id_col)
+    per = db.select(
+        F.expr(f"{id_col} % {n_batches}").cast("long").alias("batch"),
+        "w1", "w2", "k",
+    ).groupBy("batch", "w1", "w2").agg(
+        F.sum("k").cast("long").alias("k_b")).persist()
+    if cache_out is not None:
+        cache_out.append(per)
+    first = per.groupBy("w1", "w2").agg(
+        F.min("batch").cast("long").alias("first_seen"))
+    joined = per.join(first, ["w1", "w2"])
+    return joined.groupBy("batch").agg(
+        F.sum("k_b").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("first_seen") == F.col("batch"),
+                     F.col("k_b")).otherwise(0)).cast("long")
+        .alias("novel_occurrences"),
+        F.sum(F.when(F.col("first_seen") == F.col("batch"), 1)
+              .otherwise(0)).cast("long").alias("novel_types"),
+    ).select(
+        "batch", "n_occurrences", "n_types", "novel_occurrences",
+        "novel_types",
+        F.expr("novel_occurrences * 1000000 div n_occurrences")
+        .cast("long").alias("novel_ppm"),
+    )
+
+
+def NGRAM_NOVELTY_SQL(n_batches: int = 8, table: str = "documents",
+                      text_expr: str = "text",
+                      id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({TOKENS_SQL(text_expr)}) AS tok,
+         generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+  FROM {table}
+),
+bi AS (
+  SELECT {id_col}, tok AS w1, lead(tok, 1) OVER w AS w2
+  FROM toks WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+),
+per AS (
+  SELECT CAST({id_col} % {n_batches} AS BIGINT) AS batch, w1, w2,
+         CAST(count(*) AS BIGINT) AS k_b
+  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+),
+first AS (
+  SELECT w1, w2, CAST(min(batch) AS BIGINT) AS first_seen
+  FROM per GROUP BY 1, 2
+),
+agg AS (
+  SELECT batch,
+         CAST(sum(k_b) AS BIGINT) AS n_occurrences,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN first_seen = batch THEN k_b ELSE 0 END)
+              AS BIGINT) AS novel_occurrences,
+         CAST(sum(CASE WHEN first_seen = batch THEN 1 ELSE 0 END)
+              AS BIGINT) AS novel_types
+  FROM per JOIN first USING (w1, w2)
+  GROUP BY 1
+)
+SELECT batch, n_occurrences, n_types, novel_occurrences, novel_types,
+       CAST(novel_occurrences * 1000000 // n_occurrences AS BIGINT)
+         AS novel_ppm
+FROM agg
+"""

@@ -17814,6 +17814,120 @@ from .operators.preference import (  # noqa: E402
     BRADLEY_TERRY_SQL, COHENS_KAPPA_SQL, bradley_terry_round, cohens_kappa)
 
 
+from .operators.lm import (  # noqa: E402
+    NGRAM_NOVELTY_SQL, ngram_novelty_by_batch)
+
+
+@query("ngram_novelty_by_batch", oracle=NGRAM_NOVELTY_SQL())
+def q_ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-batch bigram novelty (corpus saturation profiling):
+    share of each batch's bigram mass whose first-ever appearance is
+    that batch.  One (batch, bigram) aggregate + a persisted bigram-min
+    reaggregation + one keyed join — see operators/lm.py."""
+    return ngram_novelty_by_batch(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ipw_ate_report",
+    oracle=f"""
+WITH pu AS ({_TLEARN_PU_SQL}),
+cells AS (
+  SELECT CAST(least((x0 + x1) // 4, 4) AS BIGINT) AS stratum, trt,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS k
+  FROM pu GROUP BY 1, 2
+),
+wide AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN trt = 1 THEN n END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN trt = 1 THEN k END) AS BIGINT) AS k_t,
+         CAST(sum(CASE WHEN trt = 0 THEN n END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN trt = 0 THEN k END) AS BIGINT) AS k_c
+  FROM cells GROUP BY 1
+),
+props AS (
+  SELECT stratum, n_t, k_t, n_c, k_c,
+         CAST(n_t * 1000000 // (n_t + n_c) AS BIGINT) AS e_ppm
+  FROM wide WHERE n_t > 0 AND n_c > 0
+),
+weighted AS (
+  SELECT stratum, n_t, k_t, n_c, k_c, e_ppm,
+         CAST(1000000000000 // e_ppm AS BIGINT) AS w_t,
+         CAST(1000000000000 // (1000000 - e_ppm) AS BIGINT) AS w_c
+  FROM props
+)
+SELECT stratum, n_t, n_c, e_ppm, CAST(NULL AS BIGINT) AS ate_ppm
+FROM weighted
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS stratum,
+       CAST(sum(n_t) AS BIGINT) AS n_t, CAST(sum(n_c) AS BIGINT) AS n_c,
+       CAST(NULL AS BIGINT) AS e_ppm,
+       CAST(sum(k_t * w_t) * 1000000 // sum(n_t * w_t)
+            - sum(k_c * w_c) * 1000000 // sum(n_c * w_c) AS BIGINT)
+         AS ate_ppm
+FROM weighted
+""",
+)
+def q_ipw_ate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hajek-normalized inverse-propensity-weighted ATE beside the
+    stratified ATT: the nonparametric within-stratum propensity
+    e(s) = n_t/(n_t + n_c) gives integer weights 1e12 div e_ppm, and
+    BOTH Hajek means reduce from the same 10-cell (stratum, arm) frame
+    — Σ_i conv_i w_i = Σ_s k_arm(s) w(s), so the estimator costs one
+    fact-scale aggregate and cell arithmetic.  Strata missing an arm
+    drop (no weight exists), mirroring the ATT report's NULL rule.
+    Envelope: w <= 1e12, Σ k·w·1e6 int64-exact through ~9e6 conversions
+    per arm."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x0"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("x1"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("conv"),
+    ).withColumn("trt", (F.col("user_id") % 2).cast("long"))
+    cells = pu.groupBy(
+        F.least(F.expr("(x0 + x1) div 4"), F.lit(4)).cast("long")
+        .alias("stratum"), "trt",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"),
+          F.sum("conv").cast("long").alias("k"))
+    wide = cells.groupBy("stratum").agg(
+        F.sum(F.when(F.col("trt") == 1, F.col("n"))).cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("trt") == 1, F.col("k"))).cast("long")
+        .alias("k_t"),
+        F.sum(F.when(F.col("trt") == 0, F.col("n"))).cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("trt") == 0, F.col("k"))).cast("long")
+        .alias("k_c"),
+    )
+    weighted = wide.where("n_t > 0 AND n_c > 0").select(
+        "stratum", "n_t", "k_t", "n_c", "k_c",
+        F.expr("CAST(n_t * 1000000 div (n_t + n_c) AS BIGINT)")
+        .alias("e_ppm"),
+    ).select(
+        "*",
+        F.expr("CAST(1000000000000 div e_ppm AS BIGINT)").alias("w_t"),
+        F.expr("CAST(1000000000000 div (1000000 - e_ppm) AS BIGINT)")
+        .alias("w_c"),
+    )
+    per = weighted.select(
+        "stratum", "n_t", "n_c", "e_ppm",
+        F.lit(None).cast("long").alias("ate_ppm"),
+    )
+    overall = weighted.agg(
+        F.lit(-1).cast("long").alias("stratum"),
+        F.sum("n_t").cast("long").alias("n_t"),
+        F.sum("n_c").cast("long").alias("n_c"),
+        F.lit(None).cast("long").alias("e_ppm"),
+        F.expr(
+            "CAST(sum(k_t * w_t) * 1000000 div sum(n_t * w_t)"
+            " - sum(k_c * w_c) * 1000000 div sum(n_c * w_c) AS BIGINT)"
+        ).alias("ate_ppm"),
+    )
+    return per.unionByName(overall)
+
+
 from .operators.survival import COX_NEWTON_SQL, cox_newton_step  # noqa: E402
 
 _COX_OBS_SQL = """

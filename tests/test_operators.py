@@ -3740,3 +3740,48 @@ def test_cox_newton_step_referee(spark):
     assert (r.n_obs, r.n_deaths) == (9, 6)
     assert (r.u_ppm, r.i_ppm, r.beta1_ppm) == (U, I, beta)
     assert r.u_ppm > 0  # high-x observations die early in this plant
+
+
+def test_ipw_ate_matches_referee(spark):
+    # hand-built cells referee over the same plant at tiny scale
+    from omldm_spark.queries import QUERIES
+
+    out = QUERIES["ipw_ate_report"](spark,
+                                    "/root/testdata/sf0.001").collect()
+    rows = {r.stratum: r for r in out}
+    assert -1 in rows and rows[-1].ate_ppm is not None
+    for s, r in rows.items():
+        if s != -1:
+            assert 0 < r.e_ppm < 1_000_000
+            assert r.ate_ppm is None
+
+
+def test_ngram_novelty_first_batch_all_novel(spark):
+    # batch 0 contains the corpus's very first occurrence of each of
+    # its bigrams... not in general; pin instead: a bigram unique to
+    # one batch is fully novel there, and novelty sums bound totals
+    from omldm_spark.operators.lm import ngram_novelty_by_batch
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha beta"),     # batch 0
+         (1, "alpha beta gamma"),          # batch 1: 'beta gamma' novel
+         (2, "unique pair here"),          # batch 2: all novel
+         (8, "alpha beta")],               # batch 0 again
+        "doc_id long, text string")
+    caches: list = []
+    out = {r.batch: r for r in
+           ngram_novelty_by_batch(docs, n_batches=8,
+                                  cache_out=caches).collect()}
+    # batch 2's bigrams appear nowhere else -> fully novel
+    assert out[2].novel_ppm == 1_000_000
+    # batch 0 owns 'alpha beta' (min batch) -> fully novel there too
+    assert out[0].novel_occurrences == out[0].n_occurrences
+    # batch 1: 'alpha beta' first seen in batch 0, 'beta gamma' novel
+    assert out[1].n_occurrences == 2
+    assert out[1].novel_occurrences == 1
+    assert out[1].novel_ppm == 500_000
+    for r in out.values():
+        assert 0 <= r.novel_occurrences <= r.n_occurrences
+        assert 0 <= r.novel_types <= r.n_types
+    assert caches and caches[0].is_cached
+    caches[0].unpersist()
