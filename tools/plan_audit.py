@@ -1629,6 +1629,31 @@ CHECKS.update({
         ("funnel features map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
     ],
+    "cox_session_newton": [
+        # risk sets from one cumulative histogram over the duration
+        # DOMAIN (the sessionization windows are user-keyed; the only
+        # global window runs on the distinct-duration frame)
+        ("no cartesian / sort-merge blowup",
+         lambda p: "CartesianProduct" not in p
+         and "SortMergeJoin" not in p),
+        ("histogram + sessionization map-side combined",
+         lambda p: p.count("HashAggregate") >= 6),
+    ],
+    "ipw_ate_report": [
+        # ONE fact-scale aggregate; everything after is 10-cell
+        # arithmetic (no joins at all)
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("per-user + cell aggregates map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
+    "ngram_novelty_by_batch": [
+        ("consumers read the persisted (batch, bigram) frame",
+         lambda p: p.count("InMemoryTableScan") >= 2),
+        ("first-seen join keyed, never cartesian",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no window operator", lambda p: "Window" not in p),
+    ],
     "kn_heldout_scores": [
         # the train-half bigram model persists; scoring is LEFT keyed
         # joins + one scalar broadcast — no sort-merge, no cartesian

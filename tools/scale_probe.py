@@ -87,6 +87,20 @@ EXTRA = [
     "video_shot_boundaries",
     "audio_silence_segments",
     "streaming_freq_drift",
+    # round-10 tail: held-out KN scoring (three LEFT keyed joins over
+    # the persisted model), the Louvain pass + modularity accounting
+    # (persisted co-occurrence edges), the Cox Newton step
+    # (duration-domain histogram), IPW (one fact agg), bigram novelty
+    # (persisted vocab-scale frame + keyed join), and the two newest
+    # additive-state IVM twins
+    "kn_heldout_scores",
+    "louvain_item_pass",
+    "louvain_modularity_report",
+    "cox_session_newton",
+    "ipw_ate_report",
+    "ngram_novelty_by_batch",
+    "streaming_ks_two_sample",
+    "streaming_robust_merge",
 ]
 
 
