@@ -337,3 +337,79 @@ def ISOTONIC_ROUND_CTES(rounds: int, base: str = "b0") -> list[str]:
   ) GROUP BY grp
 )""")
     return parts
+
+
+def roc_points(df: DataFrame, label_col, score_col,
+               quant: int = 100) -> DataFrame:
+    """Exact ROC curve points at every distinct quantized score
+    threshold (predict positive when score_q >= t): per threshold
+    (threshold_q, tp, fp, tpr_ppm, fpr_ppm).  The curve AUC_exact
+    integrates is made inspectable — operating-point selection
+    (max-F1, cost-weighted cutoffs) reads this frame directly.
+
+    Same scale shape as auc_exact: ONE corpus-scale groupBy collapses
+    to the quantized-score histogram (bounded by the quant domain, not
+    rows); the cumulative window runs over that tiny frame."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    sq = F.round(score.cast("double") * quant, 0).cast("long")
+    hist = (
+        df.select(sq.alias("sq"), label_col.cast("int").alias("_pos"))
+        .groupBy("sq")
+        .agg(F.sum("_pos").cast("long").alias("np_s"),
+             F.sum(1 - F.col("_pos")).cast("long").alias("nn_s"))
+    )
+    tot = hist.agg(F.sum("np_s").cast("long").alias("pos_tot"),
+                   F.sum("nn_s").cast("long").alias("neg_tot"))
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    cum = hist.select(
+        "sq", "np_s", "nn_s",
+        F.sum("np_s").over(w).cast("long").alias("cum_np"),
+        F.sum("nn_s").over(w).cast("long").alias("cum_nn"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.select(
+        F.col("sq").alias("threshold_q"),
+        (F.col("pos_tot") - F.col("cum_np") + F.col("np_s"))
+        .cast("long").alias("tp"),
+        (F.col("neg_tot") - F.col("cum_nn") + F.col("nn_s"))
+        .cast("long").alias("fp"),
+        F.expr("CAST((pos_tot - cum_np + np_s) * 1000000"
+               " div pos_tot AS BIGINT)").alias("tpr_ppm"),
+        F.expr("CAST((neg_tot - cum_nn + nn_s) * 1000000"
+               " div neg_tot AS BIGINT)").alias("fpr_ppm"),
+    )
+
+
+def ROC_SQL(label_expr: str, score_expr: str, table: str,
+            quant: int = 100) -> str:
+    return f"""
+WITH hist AS (
+  SELECT CAST(round(CAST({score_expr} AS DOUBLE) * {quant}, 0) AS BIGINT)
+           AS sq,
+         CAST(sum(CASE WHEN {label_expr} THEN 1 ELSE 0 END) AS BIGINT)
+           AS np_s,
+         CAST(sum(CASE WHEN {label_expr} THEN 0 ELSE 1 END) AS BIGINT)
+           AS nn_s
+  FROM {table} GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(np_s) AS BIGINT) AS pos_tot,
+         CAST(sum(nn_s) AS BIGINT) AS neg_tot
+  FROM hist
+),
+cum AS (
+  SELECT sq, np_s, nn_s,
+         CAST(sum(np_s) OVER w AS BIGINT) AS cum_np,
+         CAST(sum(nn_s) OVER w AS BIGINT) AS cum_nn
+  FROM hist
+  WINDOW w AS (ORDER BY sq ROWS UNBOUNDED PRECEDING)
+)
+SELECT sq AS threshold_q,
+       CAST(pos_tot - cum_np + np_s AS BIGINT) AS tp,
+       CAST(neg_tot - cum_nn + nn_s AS BIGINT) AS fp,
+       CAST((pos_tot - cum_np + np_s) * 1000000 // pos_tot AS BIGINT)
+         AS tpr_ppm,
+       CAST((neg_tot - cum_nn + nn_s) * 1000000 // neg_tot AS BIGINT)
+         AS fpr_ppm
+FROM cum CROSS JOIN tot
+"""

@@ -5644,6 +5644,22 @@ def q_auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_exact(ev, F.col("event_type") == "purchase", "value")
 
 
+from .operators.evaluation import ROC_SQL, roc_points  # noqa: E402
+
+
+@query(
+    "roc_purchase_value",
+    oracle=ROC_SQL("event_type = 'purchase'", "value", "events"),
+)
+def q_roc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC curve points for the purchase-value score at every
+    distinct quantized threshold — the inspectable curve behind
+    auc_purchase_value (operating-point selection reads this frame);
+    same histogram-collapse scale shape as auc_exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return roc_points(ev, F.col("event_type") == "purchase", "value")
+
+
 from .operators.evaluation import CALIBRATION_SQL, calibration_bins  # noqa: E402
 
 

@@ -3785,3 +3785,30 @@ def test_ngram_novelty_first_batch_all_novel(spark):
         assert 0 <= r.novel_types <= r.n_types
     assert caches and caches[0].is_cached
     caches[0].unpersist()
+
+
+def test_roc_points_referee(spark):
+    # brute-force referee: every threshold's TP/FP + monotone curve,
+    # and consistency with auc_exact's endpoint totals
+    from omldm_spark.operators.evaluation import auc_exact, roc_points
+    from pyspark.sql import functions as F
+
+    rows = [(0.9, 1), (0.8, 1), (0.8, 0), (0.6, 1), (0.5, 0),
+            (0.4, 0), (0.3, 1), (0.2, 0), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, y long")
+    pts = {r.threshold_q: r for r in
+           roc_points(df, F.col("y") == 1, "score").collect()}
+    sq = lambda s: round(s * 100)
+    for t in sorted({sq(s) for s, _ in rows}):
+        tp = sum(1 for s, y in rows if sq(s) >= t and y)
+        fp = sum(1 for s, y in rows if sq(s) >= t and not y)
+        r = pts[t]
+        assert (r.tp, r.fp) == (tp, fp)
+        assert r.tpr_ppm == tp * 1_000_000 // 4
+        assert r.fpr_ppm == fp * 1_000_000 // 6
+    # curve is monotone non-increasing in threshold order
+    ordered = [pts[t] for t in sorted(pts)]
+    assert all(a.tp >= b.tp and a.fp >= b.fp
+               for a, b in zip(ordered, ordered[1:]))
+    a = auc_exact(df, F.col("y") == 1, "score").collect()[0]
+    assert (a.n_pos, a.n_neg) == (4, 6)
