@@ -413,3 +413,33 @@ SELECT sq AS threshold_q,
          AS fpr_ppm
 FROM cum CROSS JOIN tot
 """
+
+
+def pr_points(df: DataFrame, label_col, score_col,
+              quant: int = 100) -> DataFrame:
+    """Exact precision-recall curve points at every distinct quantized
+    threshold — the class-imbalance companion of roc_points (PR is the
+    curve that moves when positives are rare): per threshold
+    (threshold_q, tp, fp, precision_ppm, recall_ppm).  Same
+    histogram-collapse shape."""
+    base = roc_points(df, label_col, score_col, quant)
+    return base.select(
+        "threshold_q", "tp", "fp",
+        F.expr("CASE WHEN tp + fp = 0 THEN NULL ELSE"
+               " CAST(tp * 1000000 div (tp + fp) AS BIGINT) END")
+        .alias("precision_ppm"),
+        F.col("tpr_ppm").alias("recall_ppm"),
+    )
+
+
+def PR_SQL(label_expr: str, score_expr: str, table: str,
+           quant: int = 100) -> str:
+    return f"""
+WITH roc AS ({ROC_SQL(label_expr, score_expr, table, quant)})
+SELECT threshold_q, tp, fp,
+       CAST(CASE WHEN tp + fp = 0 THEN NULL
+            ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+         AS precision_ppm,
+       tpr_ppm AS recall_ppm
+FROM roc
+"""

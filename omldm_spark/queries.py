@@ -5660,6 +5660,21 @@ def q_roc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_points(ev, F.col("event_type") == "purchase", "value")
 
 
+from .operators.evaluation import PR_SQL, pr_points  # noqa: E402
+
+
+@query(
+    "pr_purchase_value",
+    oracle=PR_SQL("event_type = 'purchase'", "value", "events"),
+)
+def q_pr_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision-recall curve for the purchase-value score — the
+    curve that actually moves under class imbalance (purchases are the
+    rare class); derives from the same domain-bounded ROC histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    return pr_points(ev, F.col("event_type") == "purchase", "value")
+
+
 from .operators.evaluation import CALIBRATION_SQL, calibration_bins  # noqa: E402
 
 

@@ -3812,3 +3812,26 @@ def test_roc_points_referee(spark):
                for a, b in zip(ordered, ordered[1:]))
     a = auc_exact(df, F.col("y") == 1, "score").collect()[0]
     assert (a.n_pos, a.n_neg) == (4, 6)
+
+
+def test_pr_points_referee(spark):
+    from omldm_spark.operators.evaluation import pr_points
+    from pyspark.sql import functions as F
+
+    rows = [(0.9, 1), (0.8, 1), (0.8, 0), (0.6, 1), (0.5, 0),
+            (0.4, 0), (0.3, 1), (0.2, 0), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, y long")
+    pts = {r.threshold_q: r for r in
+           pr_points(df, F.col("y") == 1, "score").collect()}
+    sq = lambda s: round(s * 100)
+    for t in sorted({sq(s) for s, _ in rows}):
+        tp = sum(1 for s, y in rows if sq(s) >= t and y)
+        fp = sum(1 for s, y in rows if sq(s) >= t and not y)
+        r = pts[t]
+        assert r.precision_ppm == tp * 1_000_000 // (tp + fp)
+        assert r.recall_ppm == tp * 1_000_000 // 4
+    # at the lowest threshold everything is predicted positive:
+    # recall = 1, precision = base rate
+    lo = pts[min(pts)]
+    assert lo.recall_ppm == 1_000_000
+    assert lo.precision_ppm == 400_000
