@@ -50,6 +50,74 @@ def zorder_layout(
     return z.repartitionByRange(num_files, "zval").sortWithinPartitions("zval")
 
 
+def _hilbert_fragments(bits: int) -> list[dict]:
+    """Per-level shared-text fragments of the Hilbert xy2d walk
+    (Wikipedia's iterative form, the Z-order's better-locality sibling:
+    consecutive Hilbert keys are always Manhattan-adjacent cells, so
+    range scans over the key touch contiguous tiles in BOTH dimensions).
+
+    Each level ℓ consumes bit s = 2^(bits-1-ℓ) of (x, y) and rotates the
+    frame.  Everything is integer CASE/arithmetic shared verbatim by
+    Spark and DuckDB; the one non-portable token — bitwise XOR, which
+    DuckDB spells ``xor()`` and Spark ``^`` — is replaced by the exact
+    identity  (3*rx) XOR ry  ==  3*rx + ry*(1 - 2*rx)  for rx, ry ∈
+    {0,1}.  The reflection uses the full-grid constant n-1 (flipping
+    already-consumed high bits is harmless: later levels only read
+    lower bits), which is what keeps the per-level text constant-size.
+    """
+    assert 2 <= bits <= 31
+    n = 1 << bits
+    frags = []
+    for lvl in range(bits):
+        s = 1 << (bits - 1 - lvl)
+        frags.append({
+            "rx": f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END",
+            "ry": f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END",
+            "d": f"d + {s * s} * (3 * rx + ry * (1 - 2 * rx))",
+            "x": (f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1"
+                  f" THEN {n - 1} - y ELSE y END) ELSE x END"),
+            "y": (f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1"
+                  f" THEN {n - 1} - x ELSE x END) ELSE y END"),
+        })
+    return frags
+
+
+def hilbert_key(df: DataFrame, id_cols: list[str], bits: int) -> DataFrame:
+    """(id_cols..., hval): Hilbert index of the pre-quantized BIGINT
+    columns ``x``/``y`` (each in [0, 2^bits)).  The 2*bits chained
+    projections collapse into ONE whole-stage-codegen ProjectExec —
+    Catalyst's CollapseProject folds the ladder, so this costs the same
+    single pass as the Z-value despite the rotation recurrence."""
+    ids = ", ".join(id_cols)
+    cur = df.selectExpr(ids, "x", "y", "CAST(0 AS BIGINT) AS d")
+    for f in _hilbert_fragments(bits):
+        cur = cur.selectExpr(
+            ids, "x", "y", "d",
+            f"{f['rx']} AS rx", f"{f['ry']} AS ry",
+        ).selectExpr(
+            ids,
+            f"{f['x']} AS x", f"{f['y']} AS y", f"{f['d']} AS d",
+        )
+    return cur.selectExpr(ids, "CAST(d AS BIGINT) AS hval")
+
+
+def hilbert_sql(base_select: str, id_cols: list[str], bits: int) -> str:
+    """Oracle text: the SAME per-level fragments as chained CTEs over
+    ``base_select`` (which must yield id_cols + BIGINT x, y)."""
+    ids = ", ".join(id_cols)
+    ctes = [f"hb AS ({base_select})",
+            f"h0 AS (SELECT {ids}, x, y, CAST(0 AS BIGINT) AS d FROM hb)"]
+    for i, f in enumerate(_hilbert_fragments(bits)):
+        ctes.append(
+            f"h{i}a AS (SELECT {ids}, x, y, d, {f['rx']} AS rx,"
+            f" {f['ry']} AS ry FROM h{i})")
+        ctes.append(
+            f"h{i + 1} AS (SELECT {ids}, {f['x']} AS x, {f['y']} AS y,"
+            f" {f['d']} AS d FROM h{i}a)")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT {ids}, CAST(d AS BIGINT) AS hval FROM h{bits}")
+
+
 def file_ranges(spark, path: str, cols: list[str]):
     """Per-file min/max of ``cols`` for a parquet directory — the
     clustering-quality probe used by the layout tests (narrow per-file

@@ -18394,6 +18394,126 @@ def q_ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(load_table(spark, sf_dir, "events"))
 
 
+from .operators.layout import hilbert_key, hilbert_sql  # noqa: E402
+
+_HILBERT_BASE = """
+  SELECT event_id,
+         CAST(user_id & 65535 AS BIGINT) AS x,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) >> 12) & 65535 AS BIGINT)
+           AS y
+  FROM events
+"""
+
+
+@query("hilbert_events_key",
+       oracle=hilbert_sql(_HILBERT_BASE, ["event_id"], 16))
+def q_hilbert_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key over the same (user_id, time-bucket) grid
+    as zorder_events_key — the better-locality layout: consecutive
+    Hilbert keys are ALWAYS Manhattan-adjacent cells (pinned by the
+    full-grid bijection + unit-step test), so range scans over the sort
+    key touch contiguous tiles in both dimensions where the Z curve
+    takes long diagonal jumps at quadrant seams.  The xy2d rotation
+    recurrence is 16 levels of integer CASE arithmetic whose chained
+    projections Catalyst collapses into ONE codegen ProjectExec; the
+    oracle runs the SAME generated per-level text as chained CTEs
+    (bitwise XOR is the one non-portable token — replaced by the exact
+    identity 3*rx + ry*(1-2*rx); see operators/layout.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    inner = ev.select(
+        "event_id",
+        (F.col("user_id").bitwiseAND(F.lit(65535))).cast("long").alias("x"),
+        F.expr("CAST((unix_timestamp(ts) >> 12) & 65535 AS BIGINT)")
+        .alias("y"),
+    )
+    return hilbert_key(inner, ["event_id"], 16)
+
+
+_CURVE_CELLS_SQL = """
+  SELECT DISTINCT CAST((user_id & 65535) >> 8 AS BIGINT) AS x,
+         CAST(((CAST(floor(epoch(ts)) AS BIGINT) >> 12) & 65535) >> 8
+              AS BIGINT) AS y
+  FROM events
+"""
+
+_CURVE_JUMP_SQL = """
+SELECT curve,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(jump) AS BIGINT) AS total_jump,
+       CAST(sum(jump) * 1000000 // (count(*) - 1) AS BIGINT)
+         AS mean_jump_ppm
+FROM (
+  SELECT curve,
+         coalesce(abs(x - lag(x) OVER w) + abs(y - lag(y) OVER w), 0)
+           AS jump
+  FROM keyed WINDOW w AS (PARTITION BY curve ORDER BY kval)
+)
+GROUP BY curve
+"""
+
+
+@query(
+    "curve_locality_report",
+    oracle=f"""
+WITH cells AS ({_CURVE_CELLS_SQL}),
+hil AS ({hilbert_sql("SELECT x * 256 + y AS cid, x, y FROM cells",
+                     ["cid"], 8)}),
+keyed AS (
+  SELECT 'zorder' AS curve, x, y,
+         {zvalue_sql(["x", "y"], 8)} AS kval
+  FROM cells
+  UNION ALL
+  SELECT 'hilbert' AS curve, cid // 256 AS x, cid % 256 AS y, hval AS kval
+  FROM hil
+)
+{_CURVE_JUMP_SQL}
+""",
+)
+def q_curve_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-filling-curve locality audit: for the Z-order and Hilbert
+    orderings of the OCCUPIED 8-bit (user, time) cells, the total and
+    mean Manhattan jump between key-consecutive cells — the number that
+    predicts how well each layout's parquet files keep tight min/max
+    hyper-rectangles (smaller jumps = tighter files = more pruning).
+    Hilbert wins by construction on full grids (every step = 1); this
+    measures the margin on the real occupancy pattern.  Scale: the
+    distinct-cell frame is DOMAIN-bounded (<= 65536 rows at ANY data
+    size — the ks_two_sample discipline), so the per-curve ordered
+    window is a bounded frame, not a fact-scale sort."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.expr("CAST((user_id & 65535) >> 8 AS BIGINT)").alias("x"),
+        F.expr("CAST(((unix_timestamp(ts) >> 12) & 65535) >> 8 AS BIGINT)")
+        .alias("y"),
+    ).distinct().persist()
+    z = cells.selectExpr(
+        "'zorder' AS curve", "x", "y",
+        f"{zvalue_sql(['x', 'y'], 8)} AS kval")
+    h = hilbert_key(
+        cells.selectExpr("x * 256 + y AS cid", "x", "y"), ["cid"], 8
+    ).selectExpr("'hilbert' AS curve", "cid div 256 AS x",
+                 "cid % 256 AS y", "hval AS kval")
+    keyed = z.unionByName(h)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("curve").orderBy("kval")
+    jumps = keyed.select(
+        "curve",
+        F.coalesce(
+            F.abs(F.col("x") - F.lag("x").over(w))
+            + F.abs(F.col("y") - F.lag("y").over(w)),
+            F.lit(0),
+        ).alias("jump"),
+    )
+    out = jumps.groupBy("curve").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("jump").cast("long").alias("total_jump"),
+        F.expr("CAST(sum(jump) * 1000000 div (count(*) - 1) AS BIGINT)")
+        .alias("mean_jump_ppm"),
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

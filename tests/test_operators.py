@@ -1113,6 +1113,70 @@ def test_zvalue_interleave_bijective(spark):
     assert len(set(zs)) == 32 * 32 and max(zs) == 32 * 32 - 1
 
 
+def _py_xy2d(bits: int, x: int, y: int) -> int:
+    n = 1 << bits
+    d, s = 0, n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_adjacent(spark):
+    """The generated Hilbert ladder equals the textbook xy2d on the full
+    16x16 grid, is a bijection onto [0, 256), and consecutive keys are
+    ALWAYS Manhattan-adjacent cells — the locality property Z-order
+    lacks and the reason hilbert_events_key exists."""
+    from omldm_spark.operators.layout import hilbert_key
+
+    bits, n = 4, 16
+    grid = spark.range(n * n).selectExpr(
+        "id AS cid", f"id % {n} AS x", f"CAST(id / {n} AS BIGINT) AS y")
+    got = {r["cid"]: r["hval"]
+           for r in hilbert_key(grid, ["cid"], bits).collect()}
+    for cid, h in got.items():
+        assert h == _py_xy2d(bits, cid % n, cid // n)
+    assert sorted(got.values()) == list(range(n * n))
+    inv = {h: cid for cid, h in got.items()}
+    for h in range(n * n - 1):
+        a, b = inv[h], inv[h + 1]
+        assert abs(a % n - b % n) + abs(a // n - b // n) == 1
+
+
+def test_hilbert_beats_zorder_locality_on_full_grid(spark):
+    """On the full 2^b x 2^b grid the Hilbert walk's total Manhattan
+    jump is exactly n_cells - 1 (every step is one cell) while the Z
+    walk pays diagonal seam jumps — the referee behind
+    curve_locality_report's mean_jump_ppm comparison."""
+    from pyspark.sql import Window
+
+    from omldm_spark.operators.layout import hilbert_key, zvalue_sql
+
+    bits, n = 4, 16
+    grid = spark.range(n * n).selectExpr(
+        "id AS cid", f"id % {n} AS x", f"CAST(id / {n} AS BIGINT) AS y")
+    h = hilbert_key(grid, ["cid"], bits).selectExpr(
+        "'h' AS curve", f"cid % {n} AS x", f"cid div {n} AS y",
+        "hval AS kval")
+    z = grid.selectExpr(
+        "'z' AS curve", "x", "y", f"{zvalue_sql(['x', 'y'], bits)} AS kval")
+    w = Window.partitionBy("curve").orderBy("kval")
+    jumps = h.unionByName(z).select(
+        "curve",
+        (F.abs(F.col("x") - F.lag("x").over(w))
+         + F.abs(F.col("y") - F.lag("y").over(w))).alias("jump"))
+    tot = {r["curve"]: r["t"] for r in jumps.groupBy("curve").agg(
+        F.sum("jump").alias("t")).collect()}
+    assert tot["h"] == n * n - 1
+    assert tot["z"] > tot["h"]
+
+
 def test_bfs_path_graph_distances(spark):
     """BFS on a hand path graph 0-1-2-3-4 (+ isolated 9) from seeds {0}:
     after R rounds vertices at hops <= R carry the exact distance; beyond-R
