@@ -1155,3 +1155,183 @@ SELECT batch, n_occurrences, n_types, novel_occurrences, novel_types,
          AS novel_ppm
 FROM agg
 """
+
+
+def draft_acceptance_counts(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(source, w1, w2, c): per-source bigram transition counts — the
+    draft-acceptance report's ADDITIVE sufficient statistic (counts
+    merge by plain sum, arrival order irrelevant), the carried state of
+    the streaming twin."""
+    db = _doc_bigrams(docs, text_col, id_col)
+    return db.join(
+        docs.select(F.col(id_col), "source"), id_col
+    ).groupBy("source", "w1", "w2").agg(
+        F.sum("k").cast("long").alias("c"))
+
+
+def draft_acceptance_from_counts(per: DataFrame) -> DataFrame:
+    """Report columns from a (source, w1, w2, c) counts frame.  The
+    caller owns persistence of ``per`` — it is consumed twice (global
+    draft-model argmax + the per-source acceptance join)."""
+    glob = per.groupBy("w1", "w2").agg(F.sum("c").cast("long").alias("cg"))
+    wd = Window.partitionBy("w1").orderBy(F.desc("cg"), "w2")
+    draft = glob.select(
+        "w1", "w2", F.row_number().over(wd).alias("rn")
+    ).where("rn = 1").select("w1", F.col("w2").alias("dw2"))
+    return (
+        per.join(draft, "w1")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("w2") == F.col("dw2"), F.col("c"))
+                  .otherwise(0)).cast("long").alias("n_accepted"),
+        )
+        .select(
+            "source", "n_transitions", "n_accepted",
+            F.expr("n_accepted * 1000000 div n_transitions").cast("long")
+            .alias("accept_ppm"),
+        )
+    )
+
+
+def draft_acceptance_by_source(docs: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               cache_out: list | None = None) -> DataFrame:
+    """Speculative-decoding draft-acceptance profiling: if a 1-gram-
+    context draft model (predict the corpus-wide most frequent next
+    token; ties to the lexicographically smallest — the greedy bigram
+    table a speculative decoder would table-look-up) proposed every next
+    token, what share of this corpus' transitions would the verifier
+    accept?  Per-source acceptance rate is the data-side half of the
+    Leviathan et al. 2023 acceptance-rate analysis: it bounds the
+    speedup a draft model of this shape can earn on each source, and
+    ranks sources by self-predictability (templated/boilerplate sources
+    accept high; diverse prose accepts low).
+
+    Output: (source, n_transitions, n_accepted, accept_ppm), floor-ppm.
+
+    Scale: ONE (source, w1, w2) aggregation off the pre-combined
+    per-doc bigram frame (map-side combine collapses each partition to
+    its distinct transitions first), persisted — the draft argmax is a
+    vocab-scale reaggregation + a w1-keyed window over DISTINCT-bigram
+    rows (never token positions), and the acceptance join is keyed on
+    w1 with a 1-row-per-w1 build side.  Nothing fact-scale is sorted
+    globally and nothing is corpus-quadratic."""
+    per = draft_acceptance_counts(docs, text_col, id_col).persist()
+    if cache_out is not None:
+        cache_out.append(per)
+    return draft_acceptance_from_counts(per)
+
+
+def DRAFT_ACCEPT_SQL(table: str = "documents", text_expr: str = "text",
+                     id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({TOKENS_SQL(text_expr)}) AS tok,
+         generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+  FROM {table}
+),
+bi AS (
+  SELECT {id_col}, tok AS w1, lead(tok, 1) OVER w AS w2
+  FROM toks WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+),
+per AS (
+  SELECT d.source, b.w1, b.w2, CAST(count(*) AS BIGINT) AS c
+  FROM bi b JOIN {table} d USING ({id_col})
+  WHERE b.w2 IS NOT NULL GROUP BY 1, 2, 3
+),
+gl AS (
+  SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cg FROM per GROUP BY 1, 2
+),
+draft AS (
+  SELECT w1, w2 AS dw2 FROM (
+    SELECT w1, w2,
+           row_number() OVER (PARTITION BY w1 ORDER BY cg DESC, w2) AS rn
+    FROM gl
+  ) WHERE rn = 1
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN w2 = dw2 THEN c ELSE 0 END) AS BIGINT)
+         AS n_accepted,
+       CAST(sum(CASE WHEN w2 = dw2 THEN c ELSE 0 END) * 1000000
+            // sum(c) AS BIGINT) AS accept_ppm
+FROM per JOIN draft USING (w1)
+GROUP BY source
+"""
+
+
+# the token_counts_bpe pre-tokenizer: alnum runs + single punctuation
+_BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def tokenizer_fertility_report(docs: DataFrame, text_col: str = "text"
+                               ) -> DataFrame:
+    """Tokenizer-fertility rollup per (lang, source) cell: document,
+    character, whitespace-token, and subword counts plus the two ratios
+    every multilingual tokenizer evaluation reports — fertility
+    (subwords per whitespace word) and compression (chars per subword).
+    High-fertility cells are where a vocabulary underserves a language
+    (each word fragments into many pieces), i.e. where token budgets
+    and context windows silently shrink; this is the per-corpus-cell
+    version of the fertility tables in the XLM-R / BLOOM tokenizer
+    analyses.
+
+    Exactness: length() counts Unicode code points on both engines;
+    the BPE-ish segmentation is the shared token_counts_bpe regex; the
+    ratios are floor-ppm over exact BIGINT sums (NULL for an empty
+    denominator cell).
+
+    Scale: row-local counting expressions into ONE low-cardinality
+    (lang, source) groupBy — map-side combine collapses each partition
+    to |cells| partial rows; no join, no window."""
+    t = F.lower(F.col(text_col))
+    per_doc = docs.select(
+        "lang", "source",
+        F.length(text_col).cast("long").alias("nc"),
+        F.size(tokens_col(text_col)).cast("long").alias("nw"),
+        F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), F.lit(0)))
+        .cast("long").alias("ns"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("nw").cast("long").alias("n_ws_tokens"),
+        F.sum("ns").cast("long").alias("n_subwords"),
+    ).select(
+        "lang", "source", "n_docs", "n_chars", "n_ws_tokens", "n_subwords",
+        F.expr("CASE WHEN n_ws_tokens = 0 THEN NULL"
+               " ELSE n_subwords * 1000000 div n_ws_tokens END")
+        .cast("long").alias("fertility_ppm"),
+        F.expr("CASE WHEN n_subwords = 0 THEN NULL"
+               " ELSE n_chars * 1000000 div n_subwords END")
+        .cast("long").alias("compression_ppm"),
+    )
+
+
+def TOKENIZER_FERTILITY_SQL(table: str = "documents",
+                            text_expr: str = "text") -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(length({text_expr}) AS BIGINT) AS nc,
+         CAST(len({TOKENS_SQL(text_expr)}) AS BIGINT) AS nw,
+         CAST(len(regexp_extract_all(lower({text_expr}),
+              '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS ns
+  FROM {table}
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(ns) AS BIGINT) AS n_subwords,
+       CAST(CASE WHEN sum(nw) = 0 THEN NULL
+            ELSE sum(ns) * 1000000 // sum(nw) END AS BIGINT)
+         AS fertility_ppm,
+       CAST(CASE WHEN sum(ns) = 0 THEN NULL
+            ELSE sum(nc) * 1000000 // sum(ns) END AS BIGINT)
+         AS compression_ppm
+FROM per_doc
+GROUP BY 1, 2
+"""

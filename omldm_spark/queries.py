@@ -18514,6 +18514,86 @@ def q_curve_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+from .operators.lm import (  # noqa: E402
+    DRAFT_ACCEPT_SQL, TOKENIZER_FERTILITY_SQL, draft_acceptance_by_source,
+    tokenizer_fertility_report)
+
+
+@query("draft_acceptance_by_source", oracle=DRAFT_ACCEPT_SQL())
+def q_draft_acceptance_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Speculative-decoding draft-acceptance profiling: the share of
+    each source's bigram transitions a greedy table-lookup draft model
+    (corpus-wide most frequent next token, ties lexicographic) would
+    have accepted — the data-side acceptance-rate analysis of
+    Leviathan et al. 2023, ranking sources by self-predictability.
+    One persisted (source, w1, w2) aggregate; vocab-scale argmax +
+    w1-keyed acceptance join — see operators/lm.py."""
+    return draft_acceptance_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@query("streaming_draft_acceptance", oracle=DRAFT_ACCEPT_SQL())
+def q_streaming_draft_acceptance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INCREMENTAL draft-acceptance monitor: the carried state is the
+    (source, w1, w2, c) transition-counts frame — the report's ADDITIVE
+    sufficient statistic, so each micro-batch folds its own counts into
+    state with one keyed sum (idempotent under foreachBatch retry via
+    the shared < batch_id statefold discipline).  The draft argmax and
+    acceptance join derive from state only.  Oracle = the one-shot
+    batch report — the IVM twin of draft_acceptance_by_source."""
+    import tempfile
+
+    from .operators.lm import (
+        draft_acceptance_counts, draft_acceptance_from_counts)
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="omldm_sdraft_")
+    src_dir = f"{tmp}/src"
+    docs.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = draft_acceptance_counts(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("source", "w1", "w2").agg(
+                F.sum("c").cast("long").alias("c"))
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "source string, n_transitions long, n_accepted long,"
+            " accept_ppm long")
+    return draft_acceptance_from_counts(state)
+
+
+@query("tokenizer_fertility_report", oracle=TOKENIZER_FERTILITY_SQL())
+def q_tokenizer_fertility_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression per (lang, source) cell —
+    subwords per whitespace word and chars per subword under the
+    token_counts_bpe pre-tokenizer (the XLM-R/BLOOM-style multilingual
+    tokenizer-coverage table).  Row-local counting into ONE
+    low-cardinality groupBy; see operators/lm.py."""
+    return tokenizer_fertility_report(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -3899,3 +3899,57 @@ def test_pr_points_referee(spark):
     lo = pts[min(pts)]
     assert lo.recall_ppm == 1_000_000
     assert lo.precision_ppm == 400_000
+
+
+def test_draft_acceptance_planted_referee(spark):
+    """Hand-computable corpus: a fully self-predictable source accepts
+    every transition, a source whose continuations lose the global
+    argmax accepts none, and the draft tie-break is the
+    lexicographically SMALLEST next token."""
+    from omldm_spark.operators.lm import draft_acceptance_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y", "s1"),       # x->y *3, y->x *2
+         (2, "x z", "s2"),               # x->z loses to x->y
+         (3, "q b q a", "s3"),           # q->b, b->q, q->a: tie q->a|b
+         (4, "q a", "s3")],              # breaks the q tie toward 'a'
+        "doc_id long, text string, source string")
+    rows = {r["source"]: r for r in
+            draft_acceptance_by_source(docs).collect()}
+    assert rows["s1"]["n_transitions"] == 5
+    assert rows["s1"]["n_accepted"] == 5
+    assert rows["s1"]["accept_ppm"] == 1_000_000
+    assert rows["s2"]["n_accepted"] == 0
+    # s3: q->b 1, b->q 1, q->a 2 over both docs -> draft(q)=a (count 2),
+    # draft(b)=q; accepted: q->a (2) + b->q (1) = 3 of 4
+    assert rows["s3"]["n_transitions"] == 4
+    assert rows["s3"]["n_accepted"] == 3
+    # tie-break referee: equal counts pick the smaller token
+    tie = spark.createDataFrame(
+        [(1, "k a k b", "t1"), (2, "k b k a", "t1")],
+        "doc_id long, text string, source string")
+    r = draft_acceptance_by_source(tie).collect()[0]
+    # transitions: k->a 2, k->b 2, a->k 1, b->k 1; draft(k)='a'
+    assert r["n_transitions"] == 6 and r["n_accepted"] == 4
+
+
+def test_tokenizer_fertility_hand_counts(spark):
+    """Counting referee on one hand doc: 'Hello, world!' = 13 chars,
+    2 whitespace tokens, 4 subwords (hello , world !) -> fertility
+    2.0, compression 3.25; empty-text cell yields NULL ratios."""
+    from omldm_spark.operators.lm import tokenizer_fertility_report
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world!", "en", "a", 13),
+         (2, "   ", "zz", "b", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    rows = {(r["lang"], r["source"]): r
+            for r in tokenizer_fertility_report(docs).collect()}
+    en = rows[("en", "a")]
+    assert (en["n_chars"], en["n_ws_tokens"], en["n_subwords"]) == (13, 2, 4)
+    assert en["fertility_ppm"] == 2_000_000
+    assert en["compression_ppm"] == 3_250_000
+    zz = rows[("zz", "b")]
+    assert zz["n_ws_tokens"] == 0
+    assert zz["fertility_ppm"] is None and zz["compression_ppm"] is None
