@@ -331,3 +331,98 @@ SELECT n, n_agree,
               '1000000 - pe_ppm')} AS kappa_ppm
 FROM tot CROSS JOIN pe
 """
+
+
+N_BON = (1, 2, 4, 8)
+
+
+def best_of_n_curve(docs: DataFrame) -> DataFrame:
+    """Best-of-n selection curve (the BoN / rejection-sampling yield
+    analysis of RLHF data prep): if each (lang, source) cell is a
+    prompt and its documents — in doc_id order, the deterministic
+    "generation order" — are candidate completions scored by a reward
+    proxy, how does the mean selected reward grow with the candidate
+    budget n?  The curve's flattening point is the standard answer to
+    "how many samples per prompt are worth paying for".
+
+    Reward proxy: the type-token ratio in floor-ppm (distinct / total
+    whitespace tokens — a real, deterministic text-quality signal; 0
+    for an empty candidate).  best(n) = max proxy among the first
+    min(n, group size) candidates, exactly what max-over-rn<=n gives.
+
+    Output: one row per n in {1,2,4,8} — (n, n_groups, sum_best_ppm,
+    mean_best_ppm), mean as exact floor division of BIGINT sums.
+
+    Scale: row-local scoring, ONE (lang, source)-keyed window for the
+    candidate rank (group-bounded frames, never global), one groupBy
+    per cell, then a |cells|-scale 4-way stack + rollup.  No joins."""
+    from .dedup import tokens_col
+
+    scored = docs.select(
+        "lang", "source", "doc_id", tokens_col("text").alias("_toks")
+    ).select(
+        "lang", "source", "doc_id",
+        F.expr("CASE WHEN size(_toks) = 0 THEN CAST(0 AS BIGINT)"
+               " ELSE CAST(size(array_distinct(_toks)) * 1000000"
+               " div size(_toks) AS BIGINT) END").alias("s"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    rn = scored.select(
+        "lang", "source", "s", F.row_number().over(w).alias("rn"))
+    grp = rn.groupBy("lang", "source").agg(*[
+        F.max(F.when(F.col("rn") <= n, F.col("s"))).cast("long")
+        .alias(f"b{n}") for n in N_BON])
+    stacked = grp.select(F.expr(
+        "stack({k}, {cells}) AS (n, best)".format(
+            k=len(N_BON),
+            cells=", ".join(f"CAST({n} AS BIGINT), b{n}" for n in N_BON))))
+    return stacked.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("best").cast("long").alias("sum_best_ppm"),
+    ).select(
+        "n", "n_groups", "sum_best_ppm",
+        F.expr("sum_best_ppm div n_groups").cast("long")
+        .alias("mean_best_ppm"),
+    )
+
+
+def BEST_OF_N_SQL(table: str = "documents") -> str:
+    from .dedup import TOKENS_SQL
+
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({n} AS BIGINT) AS n,"
+        f" CAST(count(*) AS BIGINT) AS n_groups,"
+        f" CAST(sum(b{n}) AS BIGINT) AS sum_best_ppm FROM grp"
+        for n in N_BON)
+    bcols = ",\n         ".join(
+        f"CAST(max(CASE WHEN rn <= {n} THEN s END) AS BIGINT) AS b{n}"
+        for n in N_BON)
+    return f"""
+WITH toks AS (
+  SELECT lang, source, doc_id, {TOKENS_SQL('text')} AS t FROM {table}
+),
+scored AS (
+  SELECT lang, source, doc_id,
+         CASE WHEN len(t) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(len(list_distinct(t)) * 1000000 // len(t) AS BIGINT)
+         END AS s
+  FROM toks
+),
+rn AS (
+  SELECT lang, source, s,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id)
+           AS rn
+  FROM scored
+),
+grp AS (
+  SELECT lang, source,
+         {bcols}
+  FROM rn GROUP BY 1, 2
+),
+stacked AS (
+{branches}
+)
+SELECT n, n_groups, sum_best_ppm,
+       CAST(sum_best_ppm // n_groups AS BIGINT) AS mean_best_ppm
+FROM stacked
+"""

@@ -18594,6 +18594,19 @@ def q_tokenizer_fertility_report(spark: SparkSession,
     return tokenizer_fertility_report(load_table(spark, sf_dir, "documents"))
 
 
+from .operators.preference import BEST_OF_N_SQL, best_of_n_curve  # noqa: E402
+
+
+@query("best_of_n_curve", oracle=BEST_OF_N_SQL())
+def q_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n selection curve over (lang, source) candidate pools —
+    the rejection-sampling yield analysis of RLHF data prep: mean
+    selected reward (type-token-ratio proxy, floor-ppm) as the
+    candidate budget n grows through 1/2/4/8.  Cell-keyed window +
+    one groupBy + a 4-way stack; see operators/preference.py."""
+    return best_of_n_curve(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -3953,3 +3953,26 @@ def test_tokenizer_fertility_hand_counts(spark):
     zz = rows[("zz", "b")]
     assert zz["n_ws_tokens"] == 0
     assert zz["fertility_ppm"] is None and zz["compression_ppm"] is None
+
+
+def test_best_of_n_curve_planted_referee(spark):
+    """Two hand groups: best(n) takes the max type-token ratio among
+    the first n candidates in doc_id order, short groups use all their
+    candidates, and the curve is monotone non-decreasing in n."""
+    from omldm_spark.operators.preference import best_of_n_curve
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a", "en", "g1"),   # ttr 0.25
+         (2, "a b", "en", "g1"),       # ttr 1.0
+         (3, "a a b", "en", "g1"),     # ttr 2/3
+         (4, "c", "en", "g1"),         # ttr 1.0
+         (9, "a a", "fr", "g2")],      # single candidate, ttr 0.5
+        "doc_id long, text string, lang string, source string")
+    rows = {r["n"]: r for r in best_of_n_curve(docs).collect()}
+    assert all(rows[n]["n_groups"] == 2 for n in (1, 2, 4, 8))
+    assert rows[1]["mean_best_ppm"] == (250_000 + 500_000) // 2
+    assert rows[2]["mean_best_ppm"] == (1_000_000 + 500_000) // 2
+    assert rows[4]["mean_best_ppm"] == rows[8]["mean_best_ppm"] \
+        == (1_000_000 + 500_000) // 2
+    means = [rows[n]["mean_best_ppm"] for n in (1, 2, 4, 8)]
+    assert means == sorted(means)
