@@ -1,0 +1,226 @@
+"""Exact Shapley multi-touch attribution over channel coalitions.
+
+Completes the attribution triad beside linear_attribution_credits
+(positional) and markov_removal_attribution (path-based removal
+effects, Anderl et al. IJRM 2016): the game-theoretic model
+(Dalessandro et al., ADKDD 2012 "Causally motivated attribution")
+credits each channel its Shapley value under the coalition-reach
+characteristic function
+
+    v(S) = #converted users whose pre-conversion channel set ⊆ S
+
+i.e. the conversions that coalition S could have produced on its own.
+v is monotone by construction (superset coalitions reach at least as
+many users), so every marginal v(S∪{i}) − v(S) is >= 0 and the exact
+efficiency identity Σ_i φ_i = v(N) − v(∅) holds (v(∅) = users who
+converted with no prior touch).
+
+Exactness: Shapley weights |S|!(n−1−|S|)!/n! are rationals, so the
+operator reports φ_i · n! — an exact BIGINT (every term is
+factorial × count).  Factorials come from a shared CASE ladder over
+the 0..12 domain; the channel count is hard-asserted <= 12 (4096
+coalitions) — Shapley attribution is inherently a small-n marketing
+model, and past ~12 channels the 2^n enumeration is the wrong tool
+(sampling estimators exist but are not exact, so they do not belong
+behind this oracle-gated contract).  Envelope: φ·n! <=
+n! · v(N) · n <= 12! · 1e9 · 12 ≈ 5.7e18 < 2^63 — int64-safe through
+a billion converted users at 12 channels.
+
+Scale: the ONLY fact-scale work is the per-user first-purchase window
+and the distinct (user, channel) collapse — one user-keyed exchange,
+the markov_removal discipline.  Everything downstream lives on
+coalition-scale frames (<= 4096 rows) that broadcast: mask histogram
+(<= 2^n rows after the user groupBy), coalition×mask subset-sum,
+channel×coalition marginals.  At 100 TB the plan is one keyed shuffle
+plus arithmetic on a few thousand broadcast rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_CHANNELS = 12
+
+_FACTS = [1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880, 3628800,
+          39916800, 479001600]
+
+
+def _fact_case(expr: str) -> str:
+    """Shared-text factorial ladder over 0..12 (NULL past the asserted
+    bound, which would poison the sum loudly rather than silently)."""
+    whens = " ".join(f"WHEN {k} THEN {v}" for k, v in enumerate(_FACTS))
+    return f"(CASE {expr} {whens} ELSE NULL END)"
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """(channel, n_channels, n_fact, v_empty, v_all, phi_numer,
+    phi_share_ppm): exact Shapley credit per channel, φ·n! as BIGINT
+    and the floor-ppm share of total credited conversions
+    (phi_numer / (n! · (v_all − v_empty)); NULL when no conversion has
+    any prior touch)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn"))
+    fp = seq.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id").agg(F.min("rn").cast("long").alias("fp_rn"))
+    trunc = seq.join(fp, "user_id", "left").filter(
+        F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn")))
+    touches = trunc.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("ch")).distinct()
+    # channel index: bounded frame (asserted <= MAX_CHANNELS), global
+    # name order so the bit assignment is deterministic on both engines
+    chans = touches.select("ch").distinct()
+    idx = chans.select(
+        "ch",
+        (F.row_number().over(Window.orderBy("ch")) - 1).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nch"),
+    ).select(
+        "ch", "idx", "nch",
+        F.assert_true(F.col("nch") <= MAX_CHANNELS).alias("_guard"),
+    ).drop("_guard")
+    conv = fp.select("user_id")
+    masks = (
+        conv.join(touches, "user_id", "left")
+        .join(F.broadcast(idx.select("ch", "idx")), "ch", "left")
+        .groupBy("user_id")
+        .agg(F.expr("coalesce(sum(DISTINCT (CAST(1 AS BIGINT) << idx)), 0)")
+             .cast("long").alias("mask"))
+    )
+    mc = masks.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    nch = idx.select("nch").distinct()
+    coal = nch.select(
+        "nch",
+        F.explode(F.expr(
+            "sequence(CAST(0 AS BIGINT),"
+            " (CAST(1 AS BIGINT) << nch) - 1)")).alias("s"),
+    )
+    v = (
+        coal.join(F.broadcast(mc))
+        .groupBy("nch", "s")
+        .agg(F.sum(F.expr("CASE WHEN (mask | s) = s THEN cnt ELSE 0 END"))
+             .cast("long").alias("v"))
+    ).persist()
+    vref = v.select(
+        F.first(F.when(F.col("s") == 0, F.col("v")), ignorenulls=True)
+        .over(Window.partitionBy()).alias("v_empty"),
+        F.first(
+            F.when(F.col("s") == F.expr("(CAST(1 AS BIGINT) << nch) - 1"),
+                   F.col("v")), ignorenulls=True)
+        .over(Window.partitionBy()).alias("v_all"),
+    ).distinct()
+    pairs = (
+        v.join(F.broadcast(idx.select("ch", "idx")))
+        .filter(F.expr("(s & (CAST(1 AS BIGINT) << idx)) = 0"))
+        .select(
+            "ch", "nch",
+            F.col("s").alias("s0"),
+            F.expr("s + (CAST(1 AS BIGINT) << idx)").alias("s1"),
+            F.col("v").alias("v0"),
+            F.expr("bit_count(s)").cast("long").alias("k"),
+        )
+        .join(F.broadcast(v.select(F.col("s").alias("s1"),
+                                   F.col("v").alias("v1"))), "s1")
+    )
+    phi = pairs.groupBy("ch", "nch").agg(
+        F.sum(F.expr(
+            f"{_fact_case('k')} * {_fact_case('nch - 1 - k')} * (v1 - v0)"
+        )).cast("long").alias("phi_numer"))
+    return (
+        phi.crossJoin(F.broadcast(vref))
+        .select(
+            F.col("ch").alias("channel"),
+            F.col("nch").cast("long").alias("n_channels"),
+            F.expr(_fact_case("nch")).cast("long").alias("n_fact"),
+            F.col("v_empty").cast("long"),
+            F.col("v_all").cast("long"),
+            "phi_numer",
+            F.expr(
+                f"CASE WHEN v_all - v_empty = 0 THEN NULL"
+                f" ELSE phi_numer * 1000000"
+                f" div ({_fact_case('nch')} * (v_all - v_empty)) END"
+            ).cast("long").alias("phi_share_ppm"),
+        )
+    )
+
+
+def SHAPLEY_SQL(table: str = "events") -> str:
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM {table}
+),
+fp AS (
+  SELECT user_id, CAST(min(rn) AS BIGINT) AS fp_rn
+  FROM seq WHERE event_type = 'purchase' GROUP BY 1
+),
+trunc AS (
+  SELECT s.user_id, s.event_type
+  FROM seq s LEFT JOIN fp ON fp.user_id = s.user_id
+  WHERE fp.fp_rn IS NULL OR s.rn <= fp.fp_rn
+),
+touches AS (
+  SELECT DISTINCT user_id, event_type AS ch
+  FROM trunc WHERE event_type != 'purchase'
+),
+idx AS (
+  SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS idx,
+         count(*) OVER () AS nch
+  FROM (SELECT DISTINCT ch FROM touches)
+),
+masks AS (
+  SELECT c.user_id,
+         CAST(coalesce(sum(DISTINCT (CAST(1 AS BIGINT) << i.idx)), 0)
+              AS BIGINT) AS mask
+  FROM fp c
+  LEFT JOIN touches t ON t.user_id = c.user_id
+  LEFT JOIN idx i ON i.ch = t.ch
+  GROUP BY 1
+),
+mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM masks GROUP BY 1),
+nch1 AS (SELECT DISTINCT nch FROM idx),
+coal AS (
+  SELECT nch, CAST(unnest(generate_series(
+           CAST(0 AS BIGINT), (CAST(1 AS BIGINT) << nch) - 1)) AS BIGINT)
+           AS s
+  FROM nch1
+),
+v AS (
+  SELECT nch, s,
+         CAST(sum(CASE WHEN (mask | s) = s THEN cnt ELSE 0 END)
+              AS BIGINT) AS v
+  FROM coal CROSS JOIN mc GROUP BY 1, 2
+),
+vref AS (
+  SELECT CAST(max(CASE WHEN s = 0 THEN v END) AS BIGINT) AS v_empty,
+         CAST(max(CASE WHEN s = (CAST(1 AS BIGINT) << nch) - 1 THEN v END)
+              AS BIGINT) AS v_all
+  FROM v
+),
+pairs AS (
+  SELECT i.ch, v0.nch, v0.v AS v0, v1.v AS v1,
+         CAST(bit_count(v0.s) AS BIGINT) AS k
+  FROM v v0
+  CROSS JOIN idx i
+  JOIN v v1 ON v1.s = v0.s + (CAST(1 AS BIGINT) << i.idx)
+  WHERE (v0.s & (CAST(1 AS BIGINT) << i.idx)) = 0
+),
+phi AS (
+  SELECT ch, nch,
+         CAST(sum({_fact_case('k')} * {_fact_case('nch - 1 - k')}
+                  * (v1 - v0)) AS BIGINT) AS phi_numer
+  FROM pairs GROUP BY 1, 2
+)
+SELECT ch AS channel,
+       CAST(nch AS BIGINT) AS n_channels,
+       CAST({_fact_case('nch')} AS BIGINT) AS n_fact,
+       v_empty, v_all, phi_numer,
+       CAST(CASE WHEN v_all - v_empty = 0 THEN NULL
+            ELSE phi_numer * 1000000
+                 // ({_fact_case('nch')} * (v_all - v_empty)) END
+            AS BIGINT) AS phi_share_ppm
+FROM phi CROSS JOIN vref
+"""

@@ -18607,6 +18607,23 @@ def q_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_of_n_curve(load_table(spark, sf_dir, "documents"))
 
 
+from .operators.attribution import SHAPLEY_SQL, shapley_attribution  # noqa: E402
+
+
+@query("shapley_attribution_channels", oracle=SHAPLEY_SQL())
+def q_shapley_attribution_channels(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """EXACT Shapley multi-touch attribution (Dalessandro et al. ADKDD
+    2012) — the game-theoretic third of the attribution triad beside
+    linear (positional) and Markov removal (path-based): each channel's
+    Shapley value under the monotone coalition-reach function
+    v(S) = converted users whose pre-purchase channel set ⊆ S, reported
+    as the exact BIGINT φ·n! plus a floor-ppm share.  Fact-scale work is
+    ONE user-keyed window + distinct; all coalition math runs on <= 2^n
+    broadcast rows (n asserted <= 12) — see operators/attribution.py."""
+    return shapley_attribution(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

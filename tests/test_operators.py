@@ -3976,3 +3976,72 @@ def test_best_of_n_curve_planted_referee(spark):
         == (1_000_000 + 500_000) // 2
     means = [rows[n]["mean_best_ppm"] for n in (1, 2, 4, 8)]
     assert means == sorted(means)
+
+
+def test_shapley_attribution_hand_game(spark):
+    """Hand-computed two-channel game: v(∅)=1, v({c})=v({v})=2,
+    v(N)=4 gives φ·2! = 3 for both channels and 500000 ppm shares;
+    post-purchase touches are excluded and non-converters contribute
+    channels but no coalitions.  Efficiency: Σφ·n! = n!·(v(N)-v(∅))."""
+    import datetime as dt
+
+    from omldm_spark.operators.attribution import shapley_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, mins):
+        return (i, t0 + dt.timedelta(minutes=mins), u, typ)
+
+    rows = [
+        ev(1, 1, "click", 0), ev(2, 1, "purchase", 1),
+        ev(3, 2, "view", 0), ev(4, 2, "purchase", 1),
+        ev(5, 3, "click", 0), ev(6, 3, "view", 1),
+        ev(7, 3, "purchase", 2),
+        ev(8, 4, "purchase", 0),
+        ev(9, 5, "click", 0),                       # never converts
+        ev(10, 6, "purchase", 0), ev(11, 6, "click", 1),  # post-purchase
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string")
+    out = {r["channel"]: r for r in shapley_attribution(events).collect()}
+    assert set(out) == {"click", "view"}
+    for ch in ("click", "view"):
+        r = out[ch]
+        assert (r["n_channels"], r["n_fact"]) == (2, 2)
+        assert (r["v_empty"], r["v_all"]) == (2, 5)
+        # v(∅)=2 (u4, u6), v({c})=3, v({v})=3, v(N)=5:
+        # φ·2! = (3-2) + (5-3) = 3 for both, share 3/(2*3)=0.5
+        assert r["phi_numer"] == 3
+        assert r["phi_share_ppm"] == 500_000
+    total = sum(r["phi_numer"] for r in out.values())
+    r0 = next(iter(out.values()))
+    assert total == r0["n_fact"] * (r0["v_all"] - r0["v_empty"])
+
+
+def test_shapley_attribution_asymmetric_and_monotone(spark):
+    """Asymmetric reach: channel a reaches 2 of 3 conversions alone,
+    b reaches 1 — φ_a·2! = 4, φ_b·2! = 2, and all marginals are
+    non-negative (monotone v)."""
+    import datetime as dt
+
+    from omldm_spark.operators.attribution import shapley_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+
+    def add(u, typ, mins):
+        nonlocal i
+        i += 1
+        rows.append((i, t0 + dt.timedelta(minutes=mins), u, typ))
+
+    add(1, "a", 0); add(1, "purchase", 1)
+    add(2, "a", 0); add(2, "purchase", 1)
+    add(3, "b", 0); add(3, "purchase", 1)
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string")
+    out = {r["channel"]: r for r in shapley_attribution(events).collect()}
+    assert out["a"]["phi_numer"] == 4
+    assert out["b"]["phi_numer"] == 2
+    assert all(r["phi_numer"] >= 0 for r in out.values())
