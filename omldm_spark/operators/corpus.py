@@ -1167,3 +1167,107 @@ def distributed_running_sum(df: DataFrame, sort_cols: list,
         *[c for c in df.columns],
         (F.sum(val_col).over(w) + off_expr).cast("long").alias("running"),
     )
+
+
+DOREMI_ETA_PPM = 1_000_000   # η = 1.0 in the linear MW update
+DOREMI_EPS_PPM = 10_000      # ε = 1% uniform smoothing (DoReMi App. A)
+
+
+def doremi_weight_round(docs: DataFrame, source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """One DoReMi-style domain-reweighting round (Xie et al., NeurIPS
+    2023): multiplicative-weights update of the pretraining mixture
+    from per-domain excess loss, then uniform smoothing — the step that
+    turns "which domains are under-learned" into next epoch's sampling
+    weights.
+
+    Deliberate, documented variants for oracle-grade exactness:
+
+    * The update is the LINEAR multiplicative-weights form
+      w'_k ∝ w_k · (1 + η·λ_k) rather than DoReMi's exponentiated
+      w_k · exp(η·λ_k) — same MW family and regret guarantee (Arora,
+      Hazan, Kale 2012 §2), but free of exp(), which IEEE-754 does not
+      require correctly rounded and which therefore cannot sit behind a
+      bit-exact cross-engine gate.  For the per-round magnitudes here
+      (η·λ <= 1) the two updates agree to first order.
+    * The excess-loss signal λ_k is a deterministic per-doc proxy — the
+      repetition mass 1 − TTR (type/token ratio) in floor-ppm, averaged
+      per domain — standing in for the proxy-minus-reference loss gap a
+      production run logs per domain; swap the column, keep the round.
+
+    Output per domain: (source, n_docs, lam_ppm, w1_ppm, w_ppm) — the
+    normalized post-update weight and its ε-smoothed final (both
+    floor-ppm; Σ w1_ppm ∈ [1e6 − K, 1e6] by floor rounding).
+
+    Exactness envelope: raw_k = w0·(1e6+λ) <= 2e12; raw·1e6 <= 2e18 <
+    2^63 — safe for any domain count that fits the ppm grid (K <= 1e6).
+
+    Scale: ONE corpus scan with row-local scoring into a
+    |domains|-keyed aggregate; the normalization window runs over the
+    |domains| frame.  Map-side combine collapses each partition to K
+    partial rows — the 100 TB cost is the scan, as it must be."""
+    from .dedup import tokens_col
+
+    per_doc = docs.select(
+        F.col(source_col).alias("source"), tokens_col(text_col).alias("_t")
+    ).select(
+        "source",
+        F.expr("CASE WHEN size(_t) = 0 THEN CAST(0 AS BIGINT)"
+               " ELSE 1000000 - CAST(size(array_distinct(_t)) * 1000000"
+               " div size(_t) AS BIGINT) END").alias("rep_ppm"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(rep_ppm) div count(*)").cast("long").alias("lam_ppm"),
+    )
+    w = Window.partitionBy()
+    sized = per_src.select(
+        "source", "n_docs", "lam_ppm",
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+        F.expr(f"(1000000 div count(*) OVER ())"
+               f" * (1000000 + {DOREMI_ETA_PPM} * lam_ppm div 1000000)")
+        .cast("long").alias("raw"),
+    )
+    return sized.select(
+        "source", "n_docs", "lam_ppm",
+        F.expr("CAST(raw * 1000000 div sum(raw) OVER () AS BIGINT)")
+        .alias("w1_ppm"),
+        F.expr(
+            f"CAST(((1000000 - {DOREMI_EPS_PPM})"
+            f" * (raw * 1000000 div sum(raw) OVER ())"
+            f" + {DOREMI_EPS_PPM} * (1000000 div k)) div 1000000"
+            " AS BIGINT)").alias("w_ppm"),
+    )
+
+
+def DOREMI_SQL(table: str = "documents", source_col: str = "source",
+               text_expr: str = "text") -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT {source_col} AS source,
+         CASE WHEN len(t) = 0 THEN CAST(0 AS BIGINT)
+         ELSE 1000000 - CAST(len(list_distinct(t)) * 1000000 // len(t)
+                             AS BIGINT) END AS rep_ppm
+  FROM (SELECT {source_col}, {TOKENS_SQL(text_expr)} AS t FROM {table})
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(rep_ppm) // count(*) AS BIGINT) AS lam_ppm
+  FROM per_doc GROUP BY 1
+),
+sized AS (
+  SELECT source, n_docs, lam_ppm,
+         CAST(count(*) OVER () AS BIGINT) AS k,
+         CAST((1000000 // count(*) OVER ())
+              * (1000000 + {DOREMI_ETA_PPM} * lam_ppm // 1000000)
+              AS BIGINT) AS raw
+  FROM per_src
+)
+SELECT source, n_docs, lam_ppm,
+       CAST(raw * 1000000 // sum(raw) OVER () AS BIGINT) AS w1_ppm,
+       CAST(((1000000 - {DOREMI_EPS_PPM})
+             * (raw * 1000000 // sum(raw) OVER ())
+             + {DOREMI_EPS_PPM} * (1000000 // k)) // 1000000
+            AS BIGINT) AS w_ppm
+FROM sized
+"""

@@ -18624,6 +18624,20 @@ def q_shapley_attribution_channels(spark: SparkSession,
     return shapley_attribution(load_table(spark, sf_dir, "events"))
 
 
+from .operators.corpus import DOREMI_SQL, doremi_weight_round  # noqa: E402
+
+
+@query("doremi_weight_round", oracle=DOREMI_SQL())
+def q_doremi_weight_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi domain-reweighting round (Xie et al. NeurIPS 2023):
+    per-domain excess-loss proxy -> linear multiplicative-weights
+    update -> ε-smoothed mixture weights, all in exact floor-ppm
+    integers (the exp-free MW variant, documented in
+    operators/corpus.py).  One corpus scan into a |domains| aggregate
+    plus windows over the |domains| frame."""
+    return doremi_weight_round(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -4045,3 +4045,28 @@ def test_shapley_attribution_asymmetric_and_monotone(spark):
     assert out["a"]["phi_numer"] == 4
     assert out["b"]["phi_numer"] == 2
     assert all(r["phi_numer"] >= 0 for r in out.values())
+
+
+def test_doremi_round_upweights_lossy_domain(spark):
+    """Planted mixture: a fully repetitive domain (λ=750000) must end
+    with a strictly larger weight than a zero-repetition domain under
+    one MW round; weights normalize to ~1e6 (floor slack < K) and the
+    ε-smoothing pulls both toward uniform by exactly the documented
+    blend."""
+    from omldm_spark.operators.corpus import (
+        DOREMI_EPS_PPM, doremi_weight_round)
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a", "rep"), (2, "b b b b", "rep"),
+         (3, "w x y z", "fresh"), (4, "p q r s", "fresh")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in doremi_weight_round(docs).collect()}
+    assert out["rep"]["lam_ppm"] == 750_000
+    assert out["fresh"]["lam_ppm"] == 0
+    assert out["rep"]["w1_ppm"] > out["fresh"]["w1_ppm"]
+    s = out["rep"]["w1_ppm"] + out["fresh"]["w1_ppm"]
+    assert 1_000_000 - 2 <= s <= 1_000_000
+    for r in out.values():
+        exp = ((1_000_000 - DOREMI_EPS_PPM) * r["w1_ppm"]
+               + DOREMI_EPS_PPM * 500_000) // 1_000_000
+        assert r["w_ppm"] == exp
