@@ -1695,6 +1695,68 @@ CHECKS.update({
 })
 
 
+CHECKS.update({
+    # --- round-10 second tail (wave E) ---
+    "hilbert_events_key": [
+        # the 16-level rotation ladder is pure projection: Catalyst's
+        # CollapseProject folds every chained selectExpr, so the plan
+        # is scan -> one Project, nothing else
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("no window", lambda p: "Window" not in p),
+        ("no exchange (map-only ladder)", lambda p: "Exchange" not in p),
+    ],
+    "curve_locality_report": [
+        # distinct cells collapse FIRST (domain-bounded <= 65536 rows);
+        # both curve windows and the jump rollup ride that bounded frame
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("cells collapse before the curve windows",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("curve windows keyed by curve, never single-partition",
+         lambda p: "SinglePartition" not in p),
+    ],
+    "draft_acceptance_by_source": [
+        # ONE persisted (source, w1, w2) aggregate feeds both the
+        # draft argmax and the acceptance join; the argmax window is
+        # keyed by w1; no cartesian anywhere
+        ("consumers read the persisted transition counts",
+         lambda p: p.count("InMemoryTableScan") >= 2),
+        ("draft argmax window keyed by w1",
+         lambda p: "SinglePartition" not in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
+    "tokenizer_fertility_report": [
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("no window", lambda p: "Window" not in p),
+        ("cell counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "best_of_n_curve": [
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("candidate-rank window keyed by (lang, source)",
+         lambda p: "SinglePartition" not in p),
+        ("cell + curve rollups map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
+    "shapley_attribution_channels": [
+        # fact-scale work is the user-keyed window + the distinct
+        # (user, channel) collapse; every coalition-scale frame
+        # broadcasts (the crosses are BroadcastNestedLoop over <= 2^n
+        # rows), so no shuffled cartesian exists
+        ("no shuffled cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("fact collapse + coalition sums map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("coalition frames broadcast",
+         lambda p: "BroadcastExchange" in p),
+    ],
+    "doremi_weight_round": [
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("domain aggregate map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+})
+
+
 GLOBAL_WINDOW_BOUNDED = [
     "auc_purchase_value", "budget_apportion_sources",
     "conformal_interval_orr", "gbt_residual_round", "km_session_survival",
@@ -1724,6 +1786,10 @@ GLOBAL_WINDOW_BOUNDED = [
                                     # daily aggregate
     "rake_keywords",                # top-25 rank over the distinct-phrase
                                     # aggregate
+    # wave E: channel-index / normalization windows over bounded
+    # aggregates (<= 12 channels; |domains| rows)
+    "shapley_attribution_channels",
+    "doremi_weight_round",
     "hits_item_authorities",        # rank over the item-scale authority
                                     # aggregate
 ]
