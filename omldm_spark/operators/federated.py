@@ -244,3 +244,128 @@ SELECT CAST(coord AS BIGINT) AS coord,
 FROM ranked
 GROUP BY 1
 """
+
+
+# Adam hyperparameters as exact rationals (Kingma & Ba 2015 defaults):
+# β1 = 9/10, β2 = 999/1000, lr = 1e-3, eps = 1e-8
+ADAM_T2_M_DEN = 19           # 1 - β1² = 19/100  (bias correction, t=2)
+ADAM_T2_V_DEN = 1999         # 1 - β2² = 1999/1e6
+
+
+def adam_hub_rounds(lineitem: DataFrame) -> DataFrame:
+    """TWO Adam optimizer steps applied at the hub to consecutive
+    merged gradients — the optimizer-state half the reference's
+    averaging hub leaves on the table (FlinkHub merges models;
+    production parameter servers keep (m, v) moments server-side and
+    apply Adam to each merged update, Kingma & Ba 2015).
+
+    Batch gradients are planted from the SAME fact scan that feeds
+    robust_merge (spoke plants, module header): step 1 merges the
+    even-orderkey rows' gradient, step 2 the odd rows' — both arrive
+    from ONE scan as conditional sums, then everything downstream is
+    row-local arithmetic on the 16 coordinate rows.
+
+    Exactness: gradients downscale to unit grid (g' = floor(g/1e6) —
+    the µ-cents sums are ~1e10 at sf0.1, so g'² stays int64-exact to
+    ~3e9 per coord); the moment recurrences are exact integer
+    divisions by the rational (1-β) constants —
+        m_t = floor((9·m_{t-1} + g_t) / 10)
+        v_t = floor((999·v_{t-1} + g_t²) / 1000)
+    — and the ONE float expression per step is the Adam ratio
+    lr·m̂/(√v̂+ε) on identical integer operands: multiply, sqrt, add,
+    divide, floor — every op IEEE correctly-rounded, so the µ-update
+    is bit-identical cross-engine.  Bias correction uses the exact
+    rationals 1-β^t (10/1, 1000/1 at t=1; 100/19, 1e6/1999 at t=2).
+
+    Output: (coord, g1_u, g2_u, m2_u, v2_u, upd1_micro, upd2_micro).
+
+    Scale: one fact scan -> 16-row coordinate aggregate (map-side
+    combined conditional sums); the optimizer math is free."""
+    g = (
+        lineitem
+        .select(
+            F.expr("l_orderkey % 2").cast("long").alias("par"),
+            "l_partkey", "l_extendedprice",
+        )
+        .select(
+            "par", "l_partkey", "l_extendedprice",
+            F.explode(F.sequence(F.lit(0), F.lit(DIM - 1))).alias("coord"),
+        )
+        .groupBy("coord")
+        .agg(
+            F.sum(F.expr(f"CASE WHEN par = 0 THEN {_G_TERM} ELSE 0 END"))
+            .cast("long").alias("g1_q"),
+            F.sum(F.expr(f"CASE WHEN par = 1 THEN {_G_TERM} ELSE 0 END"))
+            .cast("long").alias("g2_q"),
+        )
+    )
+    steps = g.select(
+        F.col("coord").cast("long").alias("coord"),
+        F.expr(_fdiv("g1_q", 1_000_000)).alias("g1_u"),
+        F.expr(_fdiv("g2_q", 1_000_000)).alias("g2_u"),
+    ).select(
+        "coord", "g1_u", "g2_u",
+        F.expr(_fdiv("g1_u", 10)).alias("m1"),
+        F.expr(_fdiv("g1_u * g1_u", 1000)).alias("v1"),
+    ).select(
+        "coord", "g1_u", "g2_u", "m1", "v1",
+        F.expr(_fdiv("9 * m1 + g2_u", 10)).alias("m2"),
+        F.expr(_fdiv("999 * v1 + g2_u * g2_u", 1000)).alias("v2"),
+    )
+    upd = (
+        "CAST(floor(1000.0 * CAST({mh} AS DOUBLE)"
+        " / (sqrt(CAST({vh} AS DOUBLE)) + 1e-8)) AS BIGINT)"
+    )
+    return steps.select(
+        "coord", "g1_u", "g2_u",
+        F.col("m2").cast("long").alias("m2_u"),
+        F.col("v2").cast("long").alias("v2_u"),
+        F.expr(upd.format(mh="10 * m1", vh="1000 * v1"))
+        .alias("upd1_micro"),
+        F.expr(upd.format(
+            mh=_fdiv("100 * m2", ADAM_T2_M_DEN),
+            vh=f"(1000000 * v2) div {ADAM_T2_V_DEN}",
+        )).alias("upd2_micro"),
+    )
+
+
+def ADAM_HUB_SQL(table: str = "lineitem") -> str:
+    g_term = _G_TERM.replace("coord", "r.range")
+    upd = ("CAST(floor(1000.0 * CAST({mh} AS DOUBLE)"
+           " / (sqrt(CAST({vh} AS DOUBLE)) + 1e-8)) AS BIGINT)")
+    return f"""
+WITH g AS (
+  SELECT CAST(r.range AS BIGINT) AS coord,
+         CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN {g_term} ELSE 0 END)
+              AS BIGINT) AS g1_q,
+         CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN {g_term} ELSE 0 END)
+              AS BIGINT) AS g2_q
+  FROM {table} CROSS JOIN range({DIM}) AS r
+  GROUP BY 1
+),
+u AS (
+  SELECT coord, {_fdiv('g1_q', 1_000_000)} AS g1_u,
+         {_fdiv('g2_q', 1_000_000)} AS g2_u
+  FROM g
+),
+s1 AS (
+  SELECT coord, g1_u, g2_u,
+         {_fdiv('g1_u', 10)} AS m1,
+         {_fdiv('g1_u * g1_u', 1000)} AS v1
+  FROM u
+),
+s2 AS (
+  SELECT coord, g1_u, g2_u, m1, v1,
+         {_fdiv('9 * m1 + g2_u', 10)} AS m2,
+         {_fdiv('999 * v1 + g2_u * g2_u', 1000)} AS v2
+  FROM s1
+)
+SELECT coord, g1_u, g2_u,
+       CAST(m2 AS BIGINT) AS m2_u,
+       CAST(v2 AS BIGINT) AS v2_u,
+       {upd.format(mh='10 * m1', vh='1000 * v1')} AS upd1_micro,
+       {upd.format(mh=_fdiv('100 * m2', ADAM_T2_M_DEN),
+                   vh=f'(1000000 * v2) // {ADAM_T2_V_DEN}')}
+         AS upd2_micro
+FROM s2
+"""

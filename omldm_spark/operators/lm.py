@@ -1335,3 +1335,91 @@ SELECT lang, source,
 FROM per_doc
 GROUP BY 1, 2
 """
+
+
+def ccnet_perplexity_buckets(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail bucketing (Wenzek et al., LREC 2020):
+    per LANGUAGE, rank documents by LM quality score and cut the
+    ranking into three equal buckets — the partition CCNet publishes
+    per language shard and the knob most pipelines use ("train on
+    head+middle").  The score is bigram_lm_scores' exact integer mean
+    conditional probability (µ-prob = q_score div n_bigrams), ranked
+    DESC with doc_id tie-break, so ntile(3) is deterministic and
+    bucket 1 is the head.  Documents with < 2 tokens carry no score
+    and are absent (identical on both engines).
+
+    Output: (lang, bucket, n_docs, mean_score_ppm, min_score_ppm,
+    max_score_ppm) — 3 rows per language.
+
+    Scale: rides the bigram_lm_scores shapes (two vocab-scale
+    aggregates + one keyed scoring join), then ONE lang-keyed ntile
+    window over per-doc score rows and a |langs|x3 rollup.  The window
+    is keyed by language — the natural shard axis, never global."""
+    sc = bigram_lm_scores(docs, text_col, id_col).select(
+        id_col,
+        F.expr("q_score div n_bigrams").cast("long").alias("score_ppm"),
+    )
+    j = sc.join(docs.select(id_col, "lang"), id_col)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_ppm"), F.col(id_col))
+    return (
+        j.select("lang", "score_ppm", F.ntile(3).over(w).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(score_ppm) div count(*)").cast("long")
+            .alias("mean_score_ppm"),
+            F.min("score_ppm").cast("long").alias("min_score_ppm"),
+            F.max("score_ppm").cast("long").alias("max_score_ppm"),
+        )
+        .select("lang", F.col("bucket").cast("long").alias("bucket"),
+                "n_docs", "mean_score_ppm", "min_score_ppm",
+                "max_score_ppm")
+    )
+
+
+def CCNET_BUCKETS_SQL(table: str = "documents", text_expr: str = "text",
+                      id_col: str = "doc_id",
+                      quant: int = PROB_QUANT) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({TOKENS_SQL(text_expr)}) AS tok,
+         generate_subscripts({TOKENS_SQL(text_expr)}, 1) AS pos
+  FROM {table}
+),
+bi AS (
+  SELECT {id_col}, tok AS w1, lead(tok, 1) OVER w AS w2
+  FROM toks WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+),
+db AS (
+  SELECT {id_col}, w1, w2, CAST(count(*) AS BIGINT) AS k
+  FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+model AS (
+  SELECT c12.w1, c12.w2,
+         (CAST({quant} AS BIGINT) * c12.c12) // c1.c1 AS qp
+  FROM c12 JOIN c1 USING (w1)
+),
+scored AS (
+  SELECT db.{id_col},
+         CAST(sum(db.k * m.qp) // sum(db.k) AS BIGINT) AS score_ppm
+  FROM db JOIN model m ON db.w1 = m.w1 AND db.w2 = m.w2
+  GROUP BY 1
+),
+bucketed AS (
+  SELECT d.lang, s.score_ppm,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.score_ppm DESC, s.{id_col}) AS bucket
+  FROM scored s JOIN {table} d USING ({id_col})
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+       CAST(min(score_ppm) AS BIGINT) AS min_score_ppm,
+       CAST(max(score_ppm) AS BIGINT) AS max_score_ppm
+FROM bucketed
+GROUP BY 1, 2
+"""

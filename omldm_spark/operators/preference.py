@@ -356,9 +356,18 @@ def best_of_n_curve(docs: DataFrame) -> DataFrame:
     Scale: row-local scoring, ONE (lang, source)-keyed window for the
     candidate rank (group-bounded frames, never global), one groupBy
     per cell, then a |cells|-scale 4-way stack + rollup.  No joins."""
+    return best_of_n_from_candidates(bon_scored(docs))
+
+
+def bon_scored(docs: DataFrame) -> DataFrame:
+    """(lang, source, doc_id, s): the scored candidate pool.  Because
+    best(n) depends only on each cell's max(N_BON) SMALLEST doc_ids,
+    the streaming twin's state is this frame truncated to the first 8
+    per cell — a BOUNDED keyed top-k that folds by union + re-rank,
+    exact under any arrival order."""
     from .dedup import tokens_col
 
-    scored = docs.select(
+    return docs.select(
         "lang", "source", "doc_id", tokens_col("text").alias("_toks")
     ).select(
         "lang", "source", "doc_id",
@@ -366,8 +375,22 @@ def best_of_n_curve(docs: DataFrame) -> DataFrame:
                " ELSE CAST(size(array_distinct(_toks)) * 1000000"
                " div size(_toks) AS BIGINT) END").alias("s"),
     )
+
+
+def bon_truncate(cand: DataFrame, keep: int = 8) -> DataFrame:
+    """First ``keep`` candidates per cell in doc_id order — the
+    streaming twin's fold step (state rows <= 8 per (lang, source))."""
     w = Window.partitionBy("lang", "source").orderBy("doc_id")
-    rn = scored.select(
+    return cand.select(
+        "lang", "source", "doc_id", "s",
+        F.row_number().over(w).alias("_rn"),
+    ).where(f"_rn <= {keep}").drop("_rn")
+
+
+def best_of_n_from_candidates(cand: DataFrame) -> DataFrame:
+    """The BoN report from a (lang, source, doc_id, s) candidate frame."""
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    rn = cand.select(
         "lang", "source", "s", F.row_number().over(w).alias("rn"))
     grp = rn.groupBy("lang", "source").agg(*[
         F.max(F.when(F.col("rn") <= n, F.col("s"))).cast("long")

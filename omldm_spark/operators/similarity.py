@@ -2164,3 +2164,146 @@ def opq_rotation_train(emb: DataFrame, m: int = 4, k: int = 16,
         u, _, vt = np.linalg.svd(a.T)
         rot = vt.T @ u.T
     return rot, books
+
+
+SEMDEDUP_TAU_NUM2 = 289      # τ = 0.85: τ² = 289/400 exactly
+SEMDEDUP_TAU_DEN2 = 400
+
+
+def semdedup_keep_list(emb: DataFrame, k: int = 8, quant: int = 1000,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       cache_out: list | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that first CLUSTERS the embedding space, then finds
+    cosine near-duplicates only WITHIN each cluster — the published
+    fix for embedding dedup's all-pairs blowup, and the cluster-blocked
+    sibling of dedup_embedding_lsh (random-hyperplane blocking).
+
+    Variants, documented: centroids are the k lowest-id vectors (the
+    kmeans_round_quantized seeding discipline — deterministic, no RNG;
+    swap in trained centroids for production), and the keep rule is
+    keep-min: a vector is pruned iff some SMALLER-id vector in its
+    cluster sits above the cosine threshold (SemDeDup keeps one random
+    representative; min-id is the exact-dedup keeper discipline).
+
+    Exactness: the cosine threshold never computes a cosine — with
+    globally-quantized integer vectors,  cos(a,b) >= 0.85  iff
+    dot > 0 AND 400·dot² >= 289·|a|²·|b|²  (τ² = 289/400 exactly), all
+    in DECIMAL(38,0)/HUGEINT integer arithmetic: no sqrt, no division,
+    no float anywhere.  Envelope at quant=1000, dim 64, |x| <= ~4:
+    dot² · 400 <= ~1e20 << 10^38.
+
+    Output: (vec_id, cid, kept) for EVERY vector.
+
+    Scale: the assignment is a broadcast k×dim join + a vid-keyed
+    argmin window; the pair search joins on (cid, pos) so the
+    quadratic is bounded per cluster — growing k with the corpus keeps
+    clusters constant-sized, which is exactly the SemDeDup recipe (they
+    run k = 11k clusters over LAION).  The pruned-id set is
+    |duplicates|-sized and joins back keyed."""
+    q = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.posexplode(vec_col).alias("pos", "e"),
+    ).select(
+        "vid", "pos",
+        F.round(F.col("e").cast("double") * quant, 0).cast("long")
+        .alias("qv"),
+    )
+    n2 = q.groupBy("vid").agg(
+        F.sum(F.expr("qv * qv")).cast("long").alias("n2"))
+    seeds = q.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), "pos", F.col("qv").alias("c"))
+    dists = (
+        q.join(F.broadcast(seeds), "pos")
+        .groupBy("vid", "cid")
+        .agg(F.sum(F.expr("(qv - c) * (qv - c)")).cast("long")
+             .alias("dist_q"))
+    )
+    wv = Window.partitionBy("vid").orderBy("dist_q", "cid")
+    assign = dists.select(
+        "vid", "cid", F.row_number().over(wv).alias("rn")
+    ).where("rn = 1").select("vid", "cid").persist()
+    if cache_out is not None:
+        cache_out.append(assign)
+    parts = q.join(assign, "vid")
+    a = parts.select(F.col("cid"), F.col("vid").alias("ia"), "pos",
+                     F.col("qv").alias("qa"))
+    b = parts.select(F.col("cid"), F.col("vid").alias("ib"), "pos",
+                     F.col("qv").alias("qb"))
+    dots = (
+        a.join(b, ["cid", "pos"])
+        .where("ia < ib")
+        .groupBy("cid", "ia", "ib")
+        .agg(F.sum(F.expr("qa * qb")).cast("long").alias("dot"))
+    )
+    dup = (
+        dots.join(n2.select(F.col("vid").alias("ia"),
+                            F.col("n2").alias("na2")), "ia")
+        .join(n2.select(F.col("vid").alias("ib"),
+                        F.col("n2").alias("nb2")), "ib")
+        .where(
+            f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot"
+            f" * {SEMDEDUP_TAU_DEN2} >= CAST(na2 AS DECIMAL(38,0)) * nb2"
+            f" * {SEMDEDUP_TAU_NUM2}")
+        .select(F.col("ib").alias("vid")).distinct()
+    )
+    return (
+        assign.join(dup.withColumn("_dup", F.lit(1)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col), F.col("cid").cast("long"),
+            F.col("_dup").isNull().alias("kept"),
+        )
+    )
+
+
+def SEMDEDUP_SQL(k: int = 8, quant: int = 1000,
+                 table: str = "embeddings", id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> str:
+    return f"""
+WITH q AS (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         generate_subscripts({vec_col}, 1) AS pos,
+         CAST(round(CAST(unnest({vec_col}) AS DOUBLE) * {quant}.0, 0)
+              AS BIGINT) AS qv
+  FROM {table}
+),
+n2 AS (SELECT vid, CAST(sum(qv * qv) AS BIGINT) AS n2 FROM q GROUP BY 1),
+seeds AS (SELECT vid AS cid, pos, qv AS c FROM q WHERE vid < {k}),
+dists AS (
+  SELECT v.vid, s.cid,
+         CAST(sum((v.qv - s.c) * (v.qv - s.c)) AS BIGINT) AS dist_q
+  FROM q v JOIN seeds s ON v.pos = s.pos
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY dist_q, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+parts AS (
+  SELECT a.cid, q.vid, q.pos, q.qv FROM q JOIN assign a USING (vid)
+),
+dots AS (
+  SELECT a.cid, a.vid AS ia, b.vid AS ib,
+         CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+  FROM parts a JOIN parts b ON a.cid = b.cid AND a.pos = b.pos
+  WHERE a.vid < b.vid
+  GROUP BY 1, 2, 3
+),
+dup AS (
+  SELECT DISTINCT d.ib AS vid
+  FROM dots d
+  JOIN n2 na ON na.vid = d.ia
+  JOIN n2 nb ON nb.vid = d.ib
+  WHERE d.dot > 0
+    AND CAST(d.dot AS HUGEINT) * d.dot * {SEMDEDUP_TAU_DEN2}
+        >= CAST(na.n2 AS HUGEINT) * nb.n2 * {SEMDEDUP_TAU_NUM2}
+)
+SELECT a.vid AS {id_col}, CAST(a.cid AS BIGINT) AS cid,
+       dup.vid IS NULL AS kept
+FROM assign a LEFT JOIN dup ON dup.vid = a.vid
+"""

@@ -18638,6 +18638,99 @@ def q_doremi_weight_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_weight_round(load_table(spark, sf_dir, "documents"))
 
 
+from .operators.similarity import SEMDEDUP_SQL, semdedup_keep_list  # noqa: E402
+
+
+@query("semdedup_keep_list", oracle=SEMDEDUP_SQL())
+def q_semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-then-dedup semantic
+    pruning — assign every embedding to its nearest seed centroid,
+    find cosine >= 0.85 pairs WITHIN clusters only, keep the min-id
+    representative.  The threshold is the all-integer cross-multiplied
+    form 400·dot² >= 289·|a|²·|b|² (no sqrt, no division); the pair
+    quadratic is cluster-bounded — see operators/similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_keep_list(emb)
+
+
+from .operators.federated import ADAM_HUB_SQL, adam_hub_rounds  # noqa: E402
+
+
+@query("adam_hub_rounds", oracle=ADAM_HUB_SQL())
+def q_adam_hub_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO server-side Adam steps on consecutive merged gradients —
+    the optimizer state a production parameter server keeps where the
+    reference's hub only averages (FlinkHub.scala merge).  Exact
+    integer moment recurrences (floor divisions by the rational 1-β
+    constants), bias correction as exact rationals, and ONE
+    IEEE-correctly-rounded ratio per step; both batch gradients arrive
+    from a single fact scan as conditional sums.  See
+    operators/federated.py."""
+    return adam_hub_rounds(load_table(spark, sf_dir, "lineitem"))
+
+
+@query("streaming_best_of_n", oracle=BEST_OF_N_SQL())
+def q_streaming_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL best-of-n: the carried state is each cell's first 8
+    candidates in doc_id order — a BOUNDED keyed top-k (<= 8 rows per
+    (lang, source)) that folds by union + re-rank and is exact under
+    ANY arrival order, because best(n <= 8) depends only on those
+    rows.  The bounded-state sibling of the additive-counts twins;
+    oracle = the one-shot batch curve."""
+    import tempfile
+
+    from .operators.preference import (
+        best_of_n_from_candidates, bon_scored, bon_truncate)
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="omldm_sbon_")
+    src_dir = f"{tmp}/src"
+    docs.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cand = bon_truncate(bon_scored(new))
+        if prev is not None:
+            cand = bon_truncate(prev.unionByName(cand))
+        cand.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "n long, n_groups long, sum_best_ppm long,"
+            " mean_best_ppm long")
+    return best_of_n_from_candidates(state)
+
+
+from .operators.lm import (  # noqa: E402
+    CCNET_BUCKETS_SQL, ccnet_perplexity_buckets)
+
+
+@query("ccnet_perplexity_buckets", oracle=CCNET_BUCKETS_SQL())
+def q_ccnet_perplexity_buckets(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail LM-quality bucketing per language
+    (Wenzek et al. LREC 2020) over the exact integer bigram-LM score —
+    the partition real pipelines filter on.  Lang-keyed ntile window
+    over per-doc scores + a |langs|x3 rollup; see operators/lm.py."""
+    return ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

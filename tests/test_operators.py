@@ -4070,3 +4070,69 @@ def test_doremi_round_upweights_lossy_domain(spark):
         exp = ((1_000_000 - DOREMI_EPS_PPM) * r["w1_ppm"]
                + DOREMI_EPS_PPM * 500_000) // 1_000_000
         assert r["w_ppm"] == exp
+
+
+def test_adam_hub_rounds_matches_python_recurrence(spark):
+    """The two-step Adam state and µ-updates match a Python mirror of
+    the exact integer recurrences on a tiny planted fact frame, and the
+    t=1 update is lr-bounded (|upd| <= lr·(1+ε-slack) in µ-units — the
+    well-known |Δ| <~ lr property of bias-corrected Adam's first
+    step)."""
+    import math
+
+    from omldm_spark.operators.federated import DIM, adam_hub_rounds
+
+    rows = [(ok, pk, ep) for ok, pk, ep in [
+        (0, 3, 7100000.0), (1, 5, 12000000.0), (2, 11, 8750000.5),
+        (3, 2, 21420000.0), (4, 9, 3000300.3), (5, 1, 9999999.99)]]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_extendedprice double")
+    out = {r["coord"]: r for r in adam_hub_rounds(li).collect()}
+    assert set(out) == set(range(DIM))
+
+    def fdiv(a, b):
+        return math.floor(a / b)
+
+    for j in range(DIM):
+        g1 = sum(round(ep * 100) * (((pk + 3 * j) % 7) - 3)
+                 for ok, pk, ep in rows if ok % 2 == 0)
+        g2 = sum(round(ep * 100) * (((pk + 3 * j) % 7) - 3)
+                 for ok, pk, ep in rows if ok % 2 == 1)
+        g1u, g2u = fdiv(g1, 10**6), fdiv(g2, 10**6)
+        m1, v1 = fdiv(g1u, 10), fdiv(g1u * g1u, 1000)
+        m2 = fdiv(9 * m1 + g2u, 10)
+        v2 = fdiv(999 * v1 + g2u * g2u, 1000)
+        r = out[j]
+        assert (r["g1_u"], r["g2_u"]) == (g1u, g2u)
+        assert (r["m2_u"], r["v2_u"]) == (m2, v2)
+        u1 = math.floor(1000.0 * (10 * m1)
+                        / (math.sqrt(1000 * v1) + 1e-8))
+        u2 = math.floor(1000.0 * fdiv(100 * m2, 19)
+                        / (math.sqrt(fdiv(1000000 * v2, 1999)) + 1e-8))
+        assert (r["upd1_micro"], r["upd2_micro"]) == (u1, u2)
+        if abs(g1u) >= 1000:
+            # floor slack: |m̂| <= |g1u|+9, v̂ >= g1u²-999, so the
+            # ratio is < 1.0095 for |g1u| >= 1000 -> bound 1010 µ
+            assert abs(r["upd1_micro"]) <= 1010
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    """Structural referee on real data: every language gets buckets
+    1..3 with sizes differing by at most one, and the score ranges are
+    ordered head >= middle >= tail (min of bucket k >= max of bucket
+    k+1 up to the shared boundary value)."""
+    from omldm_spark.io import load_table
+    from omldm_spark.operators.lm import ccnet_perplexity_buckets
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = ccnet_perplexity_buckets(docs).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {1, 2, 3}
+        sizes = [b[k]["n_docs"] for k in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1
+        assert b[1]["min_score_ppm"] >= b[2]["max_score_ppm"]
+        assert b[2]["min_score_ppm"] >= b[3]["max_score_ppm"]
+        assert b[1]["mean_score_ppm"] >= b[3]["mean_score_ppm"]

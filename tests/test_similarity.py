@@ -493,3 +493,32 @@ def test_embedding_class_scatter_referee(spark):
     fs = [(-(r.fisher_ppm if r.fisher_ppm is not None else -1), r.dim)
           for r in ranks]
     assert fs == sorted(fs)
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    """Hand geometry in 4-d: parallel vectors in the SAME cluster prune
+    to the min id; a cosine-0.998 pair that straddles the cluster
+    boundary survives on both sides (the SemDeDup blocking semantics);
+    orthogonal vectors are never pruned."""
+    from omldm_spark.operators.similarity import semdedup_keep_list
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # seed / centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0]),    # seed / centroid 1
+        (5, [2.0, 0.0, 0.0, 0.0]),    # cluster 0, cos=1 vs v0 -> pruned
+        (6, [0.0, 0.0, 1.0, 0.0]),    # cluster 0 (tie->0), orthogonal
+        (7, [0.0, 3.0, 0.0, 0.0]),    # cluster 1, cos=1 vs v1 -> pruned
+        (8, [0.1, 2.0, 0.0, 0.0]),    # cluster 1, cos~0.999 -> pruned
+        (9, [3.0, 0.0, 0.1, 0.0]),    # cluster 0, cos~0.999 -> pruned
+        (10, [0.8, 0.75, 0.0, 0.0]),  # cluster 0 boundary twin
+        (11, [0.75, 0.8, 0.0, 0.0]),  # cluster 1 boundary twin, cos~0.998
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semdedup_keep_list(emb, k=2).collect()}
+    assert {v: out[v]["cid"] for v in (0, 5, 6, 9, 10)} == {
+        0: 0, 5: 0, 6: 0, 9: 0, 10: 0}
+    assert {v: out[v]["cid"] for v in (1, 7, 8, 11)} == {
+        1: 1, 7: 1, 8: 1, 11: 1}
+    kept = {v for v, r in out.items() if r["kept"]}
+    assert kept == {0, 1, 6, 10, 11}
