@@ -1754,6 +1754,33 @@ CHECKS.update({
         ("domain aggregate map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "semdedup_keep_list": [
+        # k×dim seeds broadcast into the assignment; the pair search
+        # joins keyed on (cid, pos) — the cluster-blocked quadratic —
+        # and both the prune set and the report read the persisted
+        # assignment
+        ("seed centroids broadcast", lambda p: "BroadcastExchange" in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        ("argmin window keyed by vid",
+         lambda p: "SinglePartition" not in p),
+        ("consumers read the persisted assignment",
+         lambda p: p.count("InMemoryTableScan") >= 2),
+    ],
+    "adam_hub_rounds": [
+        # both batch gradients are conditional sums off ONE scan; the
+        # optimizer recurrence is row-local on the 16-row aggregate
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("no window", lambda p: "Window" not in p),
+        ("coordinate sums map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "ccnet_perplexity_buckets": [
+        ("ntile window keyed by lang",
+         lambda p: "SinglePartition" not in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        ("model + scoring aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
 })
 
 
