@@ -56,6 +56,10 @@ HEADLINE = [
     "bradley_terry_two_rounds",  # 2 MM rounds over the pair matrix (r10)
     "robust_merge_report",     # Byzantine-robust coordinate merge (r10)
     "freq_drift_report",       # window-split drift monitor, 1 groupBy (r10)
+    "hilbert_events_key",      # 16-level curve ladder, map-only (r10 tail)
+    "draft_acceptance_by_source",  # bigram draft argmax + keyed join (r10)
+    "shapley_attribution_channels",  # user window + 2^n coalition math
+    "semdedup_keep_list",      # cluster-blocked embedding dedup (r10 tail)
 ]
 
 

@@ -68,6 +68,16 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
         F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn")))
     touches = trunc.filter(F.col("event_type") != "purchase").select(
         "user_id", F.col("event_type").alias("ch")).distinct()
+    return shapley_core(fp.select("user_id"), touches)
+
+
+def shapley_core(conv: DataFrame, touches: DataFrame) -> DataFrame:
+    """The coalition half of shapley_attribution, from the two frames
+    the fact-scale stage produces: ``conv`` = converted users
+    (user_id) and ``touches`` = distinct PRE-conversion (user_id, ch)
+    rows over ALL users.  Shared by the batch operator and the
+    streaming min-fold twin (whose state reconstructs exactly these
+    frames)."""
     # channel index: bounded frame (asserted <= MAX_CHANNELS), global
     # name order so the bit assignment is deterministic on both engines
     chans = touches.select("ch").distinct()
@@ -79,7 +89,6 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
         "ch", "idx", "nch",
         F.assert_true(F.col("nch") <= MAX_CHANNELS).alias("_guard"),
     ).drop("_guard")
-    conv = fp.select("user_id")
     masks = (
         conv.join(touches, "user_id", "left")
         .join(F.broadcast(idx.select("ch", "idx")), "ch", "left")
@@ -224,3 +233,64 @@ SELECT ch AS channel,
             AS BIGINT) AS phi_share_ppm
 FROM phi CROSS JOIN vref
 """
+
+
+def shapley_min_deltas(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's contribution to the streaming twin's state:
+    (purch, touch) frames keyed by user / (user, ch), each carrying the
+    lexicographic MIN (ts, event_id) key.  Min is a semilattice — the
+    fold is union + re-min, exact under ANY arrival order and
+    idempotent under foreachBatch retry — so the at-scale state is one
+    row per user plus one per observed (user, channel), regardless of
+    stream length."""
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("k"))
+        .select("user_id", F.col("k.ts").alias("p_ts"),
+                F.col("k.event_id").alias("p_id"))
+    )
+    touch = (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", F.col("event_type").alias("ch"))
+        .agg(F.min(F.struct("ts", "event_id")).alias("k"))
+        .select("user_id", "ch", F.col("k.ts").alias("t_ts"),
+                F.col("k.event_id").alias("t_id"))
+    )
+    return purch, touch
+
+
+def shapley_fold(prev: tuple | None,
+                 events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fold a batch's min-deltas into the carried (purch, touch) state."""
+    purch, touch = shapley_min_deltas(events)
+    if prev is not None:
+        p0, t0 = prev
+        purch = p0.unionByName(purch).groupBy("user_id").agg(
+            F.min(F.struct(F.col("p_ts").alias("ts"),
+                           F.col("p_id").alias("event_id"))).alias("k")
+        ).select("user_id", F.col("k.ts").alias("p_ts"),
+                 F.col("k.event_id").alias("p_id"))
+        touch = t0.unionByName(touch).groupBy("user_id", "ch").agg(
+            F.min(F.struct(F.col("t_ts").alias("ts"),
+                           F.col("t_id").alias("event_id"))).alias("k")
+        ).select("user_id", "ch", F.col("k.ts").alias("t_ts"),
+                 F.col("k.event_id").alias("t_id"))
+    return purch, touch
+
+
+def shapley_from_state(purch: DataFrame, touch: DataFrame) -> DataFrame:
+    """The Shapley report from the min-fold state: a touch qualifies
+    iff its min key precedes the user's first purchase (or the user
+    never purchased); converted users are the purchase-state keys.
+    Feeding shapley_core makes the twin and the batch operator agree
+    by construction."""
+    j = touch.join(
+        purch.select("user_id", "p_ts", "p_id"), "user_id", "left")
+    touches = j.filter(
+        F.col("p_ts").isNull()
+        | (F.col("t_ts") < F.col("p_ts"))
+        | ((F.col("t_ts") == F.col("p_ts"))
+           & (F.col("t_id") < F.col("p_id")))
+    ).select("user_id", "ch")
+    return shapley_core(purch.select("user_id"), touches)

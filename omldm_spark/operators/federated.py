@@ -369,3 +369,95 @@ SELECT coord, g1_u, g2_u,
          AS upd2_micro
 FROM s2
 """
+
+
+CLIP_NORM_Q = 50_000_000_000   # clip bound C in the µ-cents gradient grid
+
+
+def clipped_merge_report(lineitem: DataFrame,
+                         clip_q: int = CLIP_NORM_Q) -> DataFrame:
+    """Per-example-style gradient clipping at the hub (the deterministic
+    half of DP-SGD, Abadi et al. CCS 2016 — the Gaussian noise is the
+    caller's business; what the ENGINE owes is the exact clipped
+    aggregate and the clipping diagnostics): every spoke's update is
+    rescaled to L2 norm <= C before merging, and the report carries the
+    numbers a privacy accountant and a tuning loop both need — how many
+    spokes clipped and what the clipped merge looks like next to the
+    raw one.
+
+    Exactness: ||g||² is an exact BIGINT; the clip factor min(1, C/||g||)
+    exists only inside the per-coordinate expression
+    floor(g_j · C / sqrt(||g||²)) — multiply, sqrt, divide, floor on
+    identical integer operands (all IEEE correctly-rounded) — and each
+    clipped coordinate is quantized BEFORE the cross-spoke sum
+    (quantize-then-sum, the repo's exactness envelope).  Envelope:
+    g_j · C <= ~1e13 · 5e10 needs the double's 53-bit mantissa only for
+    the ROUNDED product (exact to 2^53 ≈ 9e15; g_j at sf0.1 is ~1e10,
+    product ~5e20 — so g_j is pre-scaled to the unit grid first, g_j/1e6,
+    keeping every float operand under 2^53 through sf ~ 100).
+
+    Output (coord, raw_sum_u, clipped_sum_u, n_clipped_spokes,
+    max_norm_u): 16 rows; the scan cost is spoke_gradients', everything
+    after is |spokes|x|coords| arithmetic.  The C² comparison constant
+    is a PYTHON-computed numeric literal (Spark reads big literals as
+    DECIMAL, DuckDB as HUGEINT), so no runtime int64 product can
+    overflow whatever clip the caller picks."""
+    g = spoke_gradients(lineitem, corrupt=False).select(
+        "spoke", "coord", F.expr(_fdiv("g", 1_000_000)).alias("gu"))
+    clip_u = clip_q // 1_000_000
+    norms = g.groupBy("spoke").agg(
+        F.sum(F.expr("gu * gu")).cast("long").alias("n2"))
+    j = g.join(F.broadcast(norms), "spoke")
+    clipped = j.select(
+        "spoke", "coord", "gu", "n2",
+        F.expr(
+            f"CASE WHEN n2 <= {clip_u * clip_u} THEN gu"
+            f" ELSE CAST(floor(CAST(gu AS DOUBLE) * {clip_u}.0"
+            f" / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) END").alias("gc"),
+    )
+    return (
+        clipped.groupBy("coord")
+        .agg(
+            F.sum("gu").cast("long").alias("raw_sum_u"),
+            F.sum("gc").cast("long").alias("clipped_sum_u"),
+            F.sum(F.expr(
+                f"CASE WHEN n2 > {clip_u * clip_u}"
+                " THEN 1 ELSE 0 END")).cast("long")
+            .alias("n_clipped_spokes"),
+            F.max(F.expr("CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)"))
+            .cast("long").alias("max_norm_u"),
+        )
+        .select(F.col("coord").cast("long").alias("coord"),
+                "raw_sum_u", "clipped_sum_u", "n_clipped_spokes",
+                "max_norm_u")
+    )
+
+
+def CLIPPED_MERGE_SQL(clip_q: int = CLIP_NORM_Q,
+                      table: str = "lineitem") -> str:
+    clip_u = clip_q // 1_000_000
+    return f"""
+WITH g0 AS ({SPOKE_GRADIENTS_SQL(corrupt=False, table=table)}),
+g AS (
+  SELECT spoke, coord, {_fdiv('g', 1_000_000)} AS gu FROM g0
+),
+norms AS (
+  SELECT spoke, CAST(sum(gu * gu) AS BIGINT) AS n2 FROM g GROUP BY 1
+),
+clipped AS (
+  SELECT g.spoke, g.coord, g.gu, n.n2,
+         CASE WHEN n.n2 <= {clip_u * clip_u} THEN g.gu
+         ELSE CAST(floor(CAST(g.gu AS DOUBLE) * {clip_u}.0
+                         / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) END AS gc
+  FROM g JOIN norms n USING (spoke)
+)
+SELECT CAST(coord AS BIGINT) AS coord,
+       CAST(sum(gu) AS BIGINT) AS raw_sum_u,
+       CAST(sum(gc) AS BIGINT) AS clipped_sum_u,
+       CAST(sum(CASE WHEN n2 > {clip_u * clip_u}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_spokes,
+       CAST(max(CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT))
+            AS BIGINT) AS max_norm_u
+FROM clipped
+GROUP BY 1
+"""

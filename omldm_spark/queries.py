@@ -18731,6 +18731,73 @@ def q_ccnet_perplexity_buckets(spark: SparkSession,
     return ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))
 
 
+@query("streaming_shapley_attribution", oracle=SHAPLEY_SQL())
+def q_streaming_shapley_attribution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """INCREMENTAL Shapley attribution: the carried state is a MIN-FOLD
+    — per user the lexicographic first purchase key, per (user,
+    channel) the first touch key.  Min is a semilattice, so the fold
+    (union + re-min) is exact under ANY arrival order and idempotent
+    under retry — the order-sensitive "before first purchase"
+    truncation becomes order-free state, one row per user + one per
+    observed (user, channel).  The report rebuilds the batch
+    operator's (conv, touches) frames from state and runs the SAME
+    shapley_core; oracle = the one-shot batch query."""
+    import tempfile
+
+    from .operators.attribution import shapley_fold, shapley_from_state
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state_parts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="omldm_sshap_")
+    src_dir = f"{tmp}/src"
+    ev.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+    parts = ("purch", "touch")
+
+    def fold(new, bid):
+        prev = read_latest_state_parts(spark, state_dir, parts, below=bid)
+        purch, touch = shapley_fold(prev, new)
+        purch.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/purch")
+        touch.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/touch")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    st = read_latest_state_parts(spark, state_dir, parts)
+    if st is None:
+        return spark.createDataFrame(
+            [], "channel string, n_channels long, n_fact long,"
+            " v_empty long, v_all long, phi_numer long,"
+            " phi_share_ppm long")
+    return shapley_from_state(*st)
+
+
+from .operators.federated import (  # noqa: E402
+    CLIPPED_MERGE_SQL, clipped_merge_report)
+
+
+@query("clipped_merge_report", oracle=CLIPPED_MERGE_SQL())
+def q_clipped_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient clipping at the hub — the deterministic half of DP-SGD
+    (Abadi et al. CCS 2016): every spoke update rescales to L2 <= C
+    before merging; the report carries the clipped aggregate beside
+    the raw one plus the clip count a privacy accountant needs.  Exact
+    BIGINT norms, one IEEE ratio per clipped coordinate,
+    quantize-then-sum across spokes — see operators/federated.py."""
+    return clipped_merge_report(load_table(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

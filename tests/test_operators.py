@@ -4136,3 +4136,53 @@ def test_ccnet_buckets_are_ordered_terciles(spark):
         assert b[1]["min_score_ppm"] >= b[2]["max_score_ppm"]
         assert b[2]["min_score_ppm"] >= b[3]["max_score_ppm"]
         assert b[1]["mean_score_ppm"] >= b[3]["mean_score_ppm"]
+
+
+def test_clipped_merge_limits(spark):
+    """Clip semantics at the two extremes: an effectively infinite
+    clip leaves the merge untouched (0 clipped spokes, clipped == raw);
+    a unit clip rescales every spoke to norm <= 1, so each coordinate's
+    clipped sum is bounded by the spoke count."""
+    from omldm_spark.io import load_table
+    from omldm_spark.operators.federated import (
+        N_SPOKES, clipped_merge_report)
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    loose = clipped_merge_report(li, clip_q=10**17).collect()
+    assert all(r["n_clipped_spokes"] == 0 for r in loose)
+    assert all(r["clipped_sum_u"] == r["raw_sum_u"] for r in loose)
+    tight = clipped_merge_report(li, clip_q=10**6).collect()
+    assert all(r["n_clipped_spokes"] == N_SPOKES for r in tight)
+    assert all(abs(r["clipped_sum_u"]) <= N_SPOKES for r in tight)
+    assert any(abs(r["raw_sum_u"]) > N_SPOKES for r in tight)
+
+
+def test_streaming_shapley_fold_is_order_free(spark):
+    """The min-fold state gives the same report whether events arrive
+    in one batch, or split adversarially with the purchase arriving
+    BEFORE its earlier-timestamped touches."""
+    import datetime as dt
+
+    from omldm_spark.operators.attribution import (
+        shapley_attribution, shapley_fold, shapley_from_state)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click"), (2, t0 + dt.timedelta(minutes=1), 1, "view"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase"),
+        (4, t0, 2, "view"), (5, t0 + dt.timedelta(minutes=1), 2, "purchase"),
+        (6, t0 + dt.timedelta(minutes=2), 2, "click"),   # post-purchase
+        (7, t0, 3, "click"),                             # never converts
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    full = spark.createDataFrame(rows, schema)
+    batch = {r["channel"]: r["phi_numer"]
+             for r in shapley_attribution(full).collect()}
+    # adversarial split: purchases first, their touches later
+    b1 = spark.createDataFrame([rows[2], rows[4], rows[5]], schema)
+    b2 = spark.createDataFrame([rows[0], rows[1], rows[3], rows[6]], schema)
+    st = shapley_fold(None, b1)
+    st = shapley_fold(st, b2)
+    inc = {r["channel"]: r["phi_numer"]
+           for r in shapley_from_state(*st).collect()}
+    assert inc == batch

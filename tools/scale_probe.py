@@ -101,6 +101,19 @@ EXTRA = [
     "ngram_novelty_by_batch",
     "streaming_ks_two_sample",
     "streaming_robust_merge",
+    # round-10 wave E/F (hilbert + draft acceptance + semdedup ride the
+    # bench HEADLINE): the bounded-cell locality windows, the per-cell
+    # BoN window + stack, the coalition math off one user-keyed pass,
+    # the one-scan MW update, the lang-keyed ntile over LM scores, the
+    # (lang, source) fertility rollup, and the two newest IVM twins
+    "curve_locality_report",
+    "best_of_n_curve",
+    "tokenizer_fertility_report",
+    "doremi_weight_round",
+    "ccnet_perplexity_buckets",
+    "adam_hub_rounds",
+    "streaming_draft_acceptance",
+    "streaming_best_of_n",
 ]
 
 
