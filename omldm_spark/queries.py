@@ -18798,6 +18798,20 @@ def q_clipped_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clipped_merge_report(load_table(spark, sf_dir, "lineitem"))
 
 
+from .operators.skyline import SKYLINE_SQL, skyline_users  # noqa: E402
+
+
+@query("skyline_users", oracle=SKYLINE_SQL())
+def q_skyline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline operator (Börzsönyi et al. ICDE 2001) over
+    (maximize purchase value, minimize error count) per user: the 2-d
+    dominance sweep as pure relational ops — user aggregate ->
+    distinct-value-domain aggregate -> ONE window over the bounded
+    domain frame -> keyed join back.  No fact-scale sort anywhere;
+    see operators/skyline.py."""
+    return skyline_users(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -4186,3 +4186,35 @@ def test_streaming_shapley_fold_is_order_free(spark):
     inc = {r["channel"]: r["phi_numer"]
            for r in shapley_from_state(*st).collect()}
     assert inc == batch
+
+
+def test_skyline_users_hand_frontier(spark):
+    """Hand 2-d dominance: A(10,0) and D(12,3) form the frontier;
+    B(10,1) loses the value tie, C(5,0) is dominated by A with equal
+    errors, E(3,2) is dominated outright; co-located optima both
+    survive (F duplicates A's point)."""
+    import datetime as dt
+
+    from omldm_spark.operators.skyline import skyline_users
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, i = [], 0
+
+    def add(u, typ, val):
+        nonlocal i
+        i += 1
+        rows.append((i, t0 + dt.timedelta(minutes=i), u, typ, val))
+
+    add(1, "purchase", 10.0)                      # A: (1000, 0)
+    add(2, "purchase", 10.0); add(2, "error", 0.0)  # B: (1000, 1)
+    add(3, "purchase", 5.0)                       # C: (500, 0)
+    add(4, "purchase", 12.0)                      # D: (1200, 3)
+    add(4, "error", 0.0); add(4, "error", 0.0); add(4, "error", 0.0)
+    add(5, "purchase", 3.0); add(5, "error", 0.0); add(5, "error", 0.0)
+    add(6, "purchase", 10.0)                      # F: ties A exactly
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double")
+    got = {(r["user_id"], r["value_c"], r["n_errors"])
+           for r in skyline_users(ev).collect()}
+    assert got == {(1, 1000, 0), (6, 1000, 0), (4, 1200, 3)}

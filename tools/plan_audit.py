@@ -1781,6 +1781,22 @@ CHECKS.update({
         ("model + scoring aggs map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
     ],
+    "skyline_users": [
+        # the dominance window rides the distinct-value DOMAIN frame
+        # (two stacked aggregates above it); the flag join is keyed on
+        # value_c
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        ("user + domain aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
+    "clipped_merge_report": [
+        # one fact scan into the (spoke, coord) combiner; the 8-row
+        # norms frame broadcasts back; no window at all
+        ("no window", lambda p: "Window" not in p),
+        ("norms broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("gradient + merge aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
 })
 
 
@@ -1817,6 +1833,7 @@ GLOBAL_WINDOW_BOUNDED = [
     # aggregates (<= 12 channels; |domains| rows)
     "shapley_attribution_channels",
     "doremi_weight_round",
+    "skyline_users",            # sweep window over the value-domain agg
     "hits_item_authorities",        # rank over the item-scale authority
                                     # aggregate
 ]
