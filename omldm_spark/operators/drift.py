@@ -485,3 +485,118 @@ FROM cum
 ORDER BY d_ppm DESC, at_value_cents
 LIMIT 1
 """
+
+
+import math as _math
+
+# Wald SPRT constants for H0: p = 0.18 vs H1: p = 0.22 at α = β = 0.05,
+# µ-quantized ONCE in Python (half-up) so both engines consume the same
+# integer literals — no runtime transcendental anywhere.
+SPRT_P0, SPRT_P1 = 0.18, 0.22
+SPRT_ALPHA = SPRT_BETA = 0.05
+_Q = 1_000_000
+SPRT_INC_S = int(_math.floor(_math.log(SPRT_P1 / SPRT_P0) * _Q + 0.5))
+SPRT_INC_F = int(_math.floor(
+    _math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * _Q + 0.5))
+SPRT_LN_A = int(_math.floor(
+    _math.log((1 - SPRT_BETA) / SPRT_ALPHA) * _Q + 0.5))
+SPRT_LN_B = int(_math.floor(
+    _math.log(SPRT_BETA / (1 - SPRT_ALPHA)) * _Q + 0.5))
+
+
+def sprt_decision_replay(events: DataFrame) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) replayed
+    over each experiment arm's event stream — the always-valid
+    stopping rule behind "can we call this A/B test early": the
+    purchase-indicator log-likelihood ratio accumulates per event and
+    the test stops at the first boundary crossing.
+
+    Exactness: because H0/H1 are FIXED hypotheses, each event adds one
+    of exactly two constants — ln(p1/p0) or ln((1-p1)/(1-p0)) — so the
+    whole trajectory is an integer combination of two µ-quantized
+    Python literals; the cumulative LLR, both Wald boundaries, the
+    first-crossing indices, and the final LLR (= the plain sum of
+    increments) are exact BIGINTs on both engines.  (The DDM-family
+    trick: quantize the CONSTANTS once, never the data-dependent
+    path.)
+
+    Per arm (user_id % 2): (arm, n, n_success, llr_final_micro,
+    first_h1_i, first_h0_i, decision) with decision the FIRST boundary
+    crossed ('h1' / 'h0' / 'continue').
+
+    Scale note, explicit: the per-arm cumulative window serializes
+    each ARM by construction — that IS the sequential test's
+    semantics, not an implementation accident (a parallel rewrite
+    changes the statistic).  Arms are the unit of parallelism; a real
+    portfolio of experiments × segments supplies thousands of keys,
+    and per-arm state is O(1)."""
+    word = Window.partitionBy("arm").orderBy("ts", "event_id")
+    w = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = events.select(
+        F.expr("user_id % 2").cast("long").alias("arm"),
+        "ts", "event_id",
+        F.expr(f"CASE WHEN event_type = 'purchase' THEN {SPRT_INC_S}"
+               f" ELSE {SPRT_INC_F} END").cast("long").alias("inc"),
+        F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        .cast("long").alias("s"),
+    ).select(
+        "arm", "s", "inc",
+        F.row_number().over(word).alias("i"),
+        F.sum("inc").over(w).alias("llr"),
+    )
+    agg = seq.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n_success"),
+        F.sum("inc").cast("long").alias("llr_final_micro"),
+        F.min(F.when(F.col("llr") >= SPRT_LN_A, F.col("i")))
+        .cast("long").alias("first_h1_i"),
+        F.min(F.when(F.col("llr") <= SPRT_LN_B, F.col("i")))
+        .cast("long").alias("first_h0_i"),
+    )
+    return agg.select(
+        "arm", "n", "n_success", "llr_final_micro",
+        "first_h1_i", "first_h0_i",
+        F.expr(
+            "CASE"
+            " WHEN first_h1_i IS NOT NULL AND (first_h0_i IS NULL"
+            "      OR first_h1_i < first_h0_i) THEN 'h1'"
+            " WHEN first_h0_i IS NOT NULL THEN 'h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    )
+
+
+def SPRT_SQL(table: str = "events") -> str:
+    return f"""
+WITH seq AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         row_number() OVER wo AS i,
+         CASE WHEN event_type = 'purchase' THEN {SPRT_INC_S}
+         ELSE {SPRT_INC_F} END AS inc,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN {SPRT_INC_S}
+                  ELSE {SPRT_INC_F} END) OVER
+           (PARTITION BY user_id % 2 ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS llr
+  FROM {table}
+  WINDOW wo AS (PARTITION BY user_id % 2 ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS n_success,
+         CAST(sum(inc) AS BIGINT) AS llr_final_micro,
+         CAST(min(CASE WHEN llr >= {SPRT_LN_A} THEN i END) AS BIGINT)
+           AS first_h1_i,
+         CAST(min(CASE WHEN llr <= {SPRT_LN_B} THEN i END) AS BIGINT)
+           AS first_h0_i
+  FROM seq GROUP BY 1
+)
+SELECT arm, n, n_success, llr_final_micro, first_h1_i, first_h0_i,
+       CASE
+       WHEN first_h1_i IS NOT NULL AND (first_h0_i IS NULL
+            OR first_h1_i < first_h0_i) THEN 'h1'
+       WHEN first_h0_i IS NOT NULL THEN 'h0'
+       ELSE 'continue' END AS decision
+FROM agg
+"""

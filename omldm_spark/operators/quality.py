@@ -354,3 +354,95 @@ SELECT source, n_docs, n_pass,
             - kk * 1000000 // nn END AS BIGINT) AS loo_delta_ppm
 FROM tot
 """
+
+
+def disparate_impact_report(docs: DataFrame) -> DataFrame:
+    """Disparate-impact audit of the quality funnel across languages —
+    the EEOC four-fifths rule applied to data curation (Feldman et al.
+    KDD 2015 framing): when a filter's pass rate for some group falls
+    below 80% of the most-passed group's rate, the filter is skewing
+    the corpus against that group (the documented failure mode of
+    English-tuned quality heuristics on other languages).
+
+    Per language: docs, funnel passes (the FULL rule conjunction from
+    the ONE shared funnel_features derivation — the report cannot
+    drift from the funnel it audits), floor-ppm pass rate, the ratio
+    to the best group's rate, the four-fifths flag, and the signed gap
+    to the overall rate.
+
+    Exactness: counts BIGINT; rates floor-ppm; the ratio divides two
+    already-quantized ppm values; the gap is plain integer
+    subtraction.  Scale: one tokenized scan -> |langs| aggregate ->
+    windows over the |langs| frame.  No joins beyond the shared
+    top-word agg inside funnel_features."""
+    from pyspark.sql import Window
+
+    from ..functions.text import FUNNEL_RULES, funnel_features
+
+    conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
+    f = funnel_features(docs, extra_cols=("lang",))
+    per = f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr(f"CASE WHEN {conj} THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_pass"),
+    )
+    w = Window.partitionBy()
+    rated = per.select(
+        "lang", "n_docs", "n_pass",
+        F.expr("n_pass * 1000000 div n_docs").cast("long")
+        .alias("pass_ppm"),
+        F.sum("n_docs").over(w).alias("_nd"),
+        F.sum("n_pass").over(w).alias("_np"),
+    ).select(
+        "lang", "n_docs", "n_pass", "pass_ppm",
+        F.max("pass_ppm").over(w).alias("_best"),
+        F.expr("_np * 1000000 div _nd").cast("long").alias("_overall"),
+    )
+    return rated.select(
+        "lang", "n_docs", "n_pass", "pass_ppm",
+        F.expr("CASE WHEN _best = 0 THEN NULL"
+               " ELSE pass_ppm * 1000000 div _best END").cast("long")
+        .alias("ratio_to_best_ppm"),
+        F.expr("CASE WHEN _best = 0 THEN NULL"
+               " ELSE pass_ppm * 1000000 div _best < 800000 END")
+        .alias("below_four_fifths"),
+        (F.col("pass_ppm") - F.col("_overall")).cast("long")
+        .alias("gap_ppm"),
+    )
+
+
+def DISPARATE_IMPACT_SQL(table: str = "documents") -> str:
+    from ..functions.text import FUNNEL_FEATURES_CTES, FUNNEL_RULES
+
+    conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
+    return f"""
+WITH {FUNNEL_FEATURES_CTES(table, extra="lang,")},
+per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN {conj} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass
+  FROM f GROUP BY 1
+),
+rated AS (
+  SELECT lang, n_docs, n_pass,
+         CAST(n_pass * 1000000 // n_docs AS BIGINT) AS pass_ppm,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS _nd,
+         CAST(sum(n_pass) OVER () AS BIGINT) AS _np
+  FROM per
+),
+best AS (
+  SELECT lang, n_docs, n_pass, pass_ppm,
+         CAST(max(pass_ppm) OVER () AS BIGINT) AS _best,
+         CAST(_np * 1000000 // _nd AS BIGINT) AS _overall
+  FROM rated
+)
+SELECT lang, n_docs, n_pass, pass_ppm,
+       CAST(CASE WHEN _best = 0 THEN NULL
+            ELSE pass_ppm * 1000000 // _best END AS BIGINT)
+         AS ratio_to_best_ppm,
+       CASE WHEN _best = 0 THEN NULL
+       ELSE pass_ppm * 1000000 // _best < 800000 END
+         AS below_four_fifths,
+       CAST(pass_ppm - _overall AS BIGINT) AS gap_ppm
+FROM best
+"""

@@ -39,7 +39,14 @@ def skyline_users(events: DataFrame) -> DataFrame:
     maximize total purchase cents, minimize error-event count.  Users
     with no purchases carry value 0; ties on both axes keep ALL
     co-located optima (dominance is strict-in-one)."""
-    per_user = events.groupBy("user_id").agg(
+    return skyline_from_user_stats(skyline_user_stats(events))
+
+
+def skyline_user_stats(events: DataFrame) -> DataFrame:
+    """(user_id, value_c, n_errors): the skyline's ADDITIVE sufficient
+    statistic — per-user sums merge by plain addition, so this frame is
+    the carried state of the streaming twin (one row per user)."""
+    return events.groupBy("user_id").agg(
         F.sum(F.expr(
             "CASE WHEN event_type = 'purchase'"
             " THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END"
@@ -47,6 +54,10 @@ def skyline_users(events: DataFrame) -> DataFrame:
         F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
         .cast("long").alias("n_errors"),
     )
+
+
+def skyline_from_user_stats(per_user: DataFrame) -> DataFrame:
+    """The dominance sweep from a (user_id, value_c, n_errors) frame."""
     dom = per_user.groupBy("value_c").agg(
         F.min("n_errors").cast("long").alias("vmin_err"))
     wh = (

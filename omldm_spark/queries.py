@@ -18812,6 +18812,87 @@ def q_skyline_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_users(load_table(spark, sf_dir, "events"))
 
 
+from .operators.quality import (  # noqa: E402
+    DISPARATE_IMPACT_SQL, disparate_impact_report)
+
+
+@query("disparate_impact_report", oracle=DISPARATE_IMPACT_SQL())
+def q_disparate_impact_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Disparate-impact audit of the quality funnel by language
+    (four-fifths rule, Feldman et al. KDD 2015): per-language funnel
+    pass rate, ratio to the best group, the 80%-rule flag, and the
+    signed gap to the overall rate — all from the ONE shared
+    funnel_features derivation, so the audit cannot drift from the
+    funnel it audits.  One scan -> |langs| aggregate -> bounded-frame
+    windows; see operators/quality.py."""
+    return disparate_impact_report(load_table(spark, sf_dir, "documents"))
+
+
+from .operators.drift import SPRT_SQL, sprt_decision_replay  # noqa: E402
+
+
+@query("sprt_decision_replay", oracle=SPRT_SQL())
+def q_sprt_decision_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT replay per experiment arm (Wald 1945) — the
+    early-stopping sequential test: each event adds one of two
+    µ-quantized constant LLR increments (fixed hypotheses, so the
+    transcendentals quantize ONCE in Python), and the decision is the
+    first Wald-boundary crossing.  Arm-keyed cumulative window +
+    one rollup; see operators/drift.py for the explicit
+    sequential-semantics scale note."""
+    return sprt_decision_replay(load_table(spark, sf_dir, "events"))
+
+
+@query("streaming_skyline_users", oracle=SKYLINE_SQL())
+def q_streaming_skyline_users(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """INCREMENTAL skyline: the carried state is the per-user
+    (value_c, n_errors) sums — the skyline's ADDITIVE sufficient
+    statistic — folded with one keyed sum per micro-batch; the
+    dominance sweep runs on state only.  Oracle = the one-shot batch
+    skyline."""
+    import tempfile
+
+    from .operators.skyline import (
+        skyline_from_user_stats, skyline_user_stats)
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="omldm_ssky_")
+    src_dir = f"{tmp}/src"
+    ev.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        st = skyline_user_stats(new)
+        if prev is not None:
+            st = prev.unionByName(st).groupBy("user_id").agg(
+                F.sum("value_c").cast("long").alias("value_c"),
+                F.sum("n_errors").cast("long").alias("n_errors"))
+        st.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "user_id long, value_c long, n_errors long")
+    return skyline_from_user_stats(state)
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -4218,3 +4218,62 @@ def test_skyline_users_hand_frontier(spark):
     got = {(r["user_id"], r["value_c"], r["n_errors"])
            for r in skyline_users(ev).collect()}
     assert got == {(1, 1000, 0), (6, 1000, 0), (4, 1200, 3)}
+
+
+def test_disparate_impact_flags_filtered_group(spark):
+    """A language whose docs all pass the funnel anchors the ratio at
+    1e6; a language of too-short docs passes nothing, lands below the
+    four-fifths line, and carries a negative gap while the passing
+    group's gap is positive."""
+    from omldm_spark.operators.quality import disparate_impact_report
+
+    good_text = " ".join([f"wrd{i:02d}" for i in range(25)] + ["the"])
+    rows = [(i, good_text, "gg", "s", 1) for i in range(4)]
+    rows += [(10 + i, "a b c", "bb", "s", 1) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    out = {r["lang"]: r for r in disparate_impact_report(docs).collect()}
+    assert out["gg"]["pass_ppm"] == 1_000_000
+    assert out["gg"]["ratio_to_best_ppm"] == 1_000_000
+    assert out["gg"]["below_four_fifths"] is False
+    assert out["bb"]["pass_ppm"] == 0
+    assert out["bb"]["below_four_fifths"] is True
+    assert out["gg"]["gap_ppm"] > 0 > out["bb"]["gap_ppm"]
+
+
+def test_sprt_crossings_match_constant_arithmetic(spark):
+    """Pure-success and pure-failure arms cross exactly where the
+    integer constants say: ceil(lnA/incS) = 15 events to accept H1,
+    ceil(-lnB/-incF) = 59 to accept H0; an undecided short arm reports
+    'continue'."""
+    import datetime as dt
+
+    from omldm_spark.operators.drift import (
+        SPRT_INC_F, SPRT_INC_S, SPRT_LN_A, SPRT_LN_B, sprt_decision_replay)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):     # arm 0: all purchases
+        rows.append((i + 1, t0 + dt.timedelta(minutes=i), 2, "purchase"))
+    for i in range(70):     # arm 1: all views
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 3, "view"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string")
+    out = {r["arm"]: r for r in sprt_decision_replay(ev).collect()}
+    # integer first-crossing: smallest i with i*inc beyond the boundary
+    need_h1 = next(i for i in range(1, 200)
+                   if i * SPRT_INC_S >= SPRT_LN_A)
+    need_h0 = next(i for i in range(1, 200)
+                   if i * SPRT_INC_F <= SPRT_LN_B)
+    assert out[0]["decision"] == "h1"
+    assert out[0]["first_h1_i"] == need_h1 == 15
+    assert out[1]["decision"] == "h0"
+    assert out[1]["first_h0_i"] == need_h0 == 59
+    short = spark.createDataFrame(
+        [(1, t0, 2, "purchase"), (2, t0, 3, "view")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    sh = {r["arm"]: r for r in sprt_decision_replay(short).collect()}
+    assert sh[0]["decision"] == "continue"
+    assert sh[1]["decision"] == "continue"

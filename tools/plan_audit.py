@@ -1789,6 +1789,21 @@ CHECKS.update({
         ("user + domain aggs map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
     ],
+    "disparate_impact_report": [
+        # one tokenized scan + the shared top-word agg -> |langs|
+        # aggregate; the ratio/gap windows ride the bounded group frame
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        ("per-group counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
+    "sprt_decision_replay": [
+        # the cumulative LLR window is arm-keyed (sequential-by-design,
+        # documented); the rollup is one keyed aggregate; no joins
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("window keyed by arm", lambda p: "SinglePartition" not in p),
+        ("rollup map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "clipped_merge_report": [
         # one fact scan into the (spoke, coord) combiner; the 8-row
         # norms frame broadcasts back; no window at all
@@ -1834,6 +1849,7 @@ GLOBAL_WINDOW_BOUNDED = [
     "shapley_attribution_channels",
     "doremi_weight_round",
     "skyline_users",            # sweep window over the value-domain agg
+    "disparate_impact_report",  # ratio/gap windows over the lang agg
     "hits_item_authorities",        # rank over the item-scale authority
                                     # aggregate
 ]
