@@ -4277,3 +4277,37 @@ def test_sprt_crossings_match_constant_arithmetic(spark):
     sh = {r["arm"]: r for r in sprt_decision_replay(short).collect()}
     assert sh[0]["decision"] == "continue"
     assert sh[1]["decision"] == "continue"
+
+
+def test_hilbert_layout_tightens_per_file_ranges(spark, tmp_path):
+    """Writing range-partitioned on the Hilbert key gives per-file
+    hyper-rectangles at least as tight as the Z-order layout on the
+    same 64x64 grid (16 files ~ 16 curve segments): both dims stay
+    bounded, and the Hilbert mean spans never exceed the Z spans —
+    the file-level consequence of its strictly better curve
+    locality."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.layout import (
+        file_ranges, hilbert_key, zorder_layout)
+
+    grid = spark.range(64 * 64).select(
+        F.col("id").alias("cid"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"))
+    h = hilbert_key(grid, ["cid"], 6).join(grid, "cid")
+    hpath, zpath = str(tmp_path / "h"), str(tmp_path / "z")
+    h.repartitionByRange(16, "hval").sortWithinPartitions("hval") \
+        .select("x", "y").write.parquet(hpath)
+    zorder_layout(grid.drop("cid"), ["x", "y"], 6, 16) \
+        .write.parquet(zpath)
+
+    def mean_span(path, col):
+        rows = file_ranges(spark, path, [col]).collect()
+        spans = [r[f"max_{col}"] - r[f"min_{col}"] for r in rows]
+        return sum(spans) / len(spans)
+
+    h_x, h_y = mean_span(hpath, "x"), mean_span(hpath, "y")
+    z_x, z_y = mean_span(zpath, "x"), mean_span(zpath, "y")
+    assert h_x < 24 and h_y < 24, (h_x, h_y)
+    assert h_x <= z_x and h_y <= z_y, (h_x, z_x, h_y, z_y)
