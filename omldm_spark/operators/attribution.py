@@ -53,12 +53,15 @@ def _fact_case(expr: str) -> str:
     return f"(CASE {expr} {whens} ELSE NULL END)"
 
 
-def shapley_attribution(events: DataFrame) -> DataFrame:
+def shapley_attribution(events: DataFrame,
+                        cache_out: list | None = None) -> DataFrame:
     """(channel, n_channels, n_fact, v_empty, v_all, phi_numer,
     phi_share_ppm): exact Shapley credit per channel, φ·n! as BIGINT
     and the floor-ppm share of total credited conversions
     (phi_numer / (n! · (v_all − v_empty)); NULL when no conversion has
-    any prior touch)."""
+    any prior touch).  ``cache_out`` collects the persisted coalition
+    frame so sweep callers can release it (the plsa/oriented_triangles
+    discipline)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn"))
@@ -68,10 +71,11 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
         F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn")))
     touches = trunc.filter(F.col("event_type") != "purchase").select(
         "user_id", F.col("event_type").alias("ch")).distinct()
-    return shapley_core(fp.select("user_id"), touches)
+    return shapley_core(fp.select("user_id"), touches, cache_out)
 
 
-def shapley_core(conv: DataFrame, touches: DataFrame) -> DataFrame:
+def shapley_core(conv: DataFrame, touches: DataFrame,
+                 cache_out: list | None = None) -> DataFrame:
     """The coalition half of shapley_attribution, from the two frames
     the fact-scale stage produces: ``conv`` = converted users
     (user_id) and ``touches`` = distinct PRE-conversion (user_id, ch)
@@ -111,6 +115,8 @@ def shapley_core(conv: DataFrame, touches: DataFrame) -> DataFrame:
         .agg(F.sum(F.expr("CASE WHEN (mask | s) = s THEN cnt ELSE 0 END"))
              .cast("long").alias("v"))
     ).persist()
+    if cache_out is not None:
+        cache_out.append(v)
     vref = v.select(
         F.first(F.when(F.col("s") == 0, F.col("v")), ignorenulls=True)
         .over(Window.partitionBy()).alias("v_empty"),
