@@ -24,7 +24,8 @@ model, and past ~12 channels the 2^n enumeration is the wrong tool
 (sampling estimators exist but are not exact, so they do not belong
 behind this oracle-gated contract).  Envelope: φ·n! <=
 n! · v(N) · n <= 12! · 1e9 · 12 ≈ 5.7e18 < 2^63 — int64-safe through
-a billion converted users at 12 channels.
+a billion converted users at 12 channels; the ppm SHARE multiplies by
+another 1e6 and therefore computes in DECIMAL(38,0)/HUGEINT.
 
 Scale: the ONLY fact-scale work is the per-user first-purchase window
 and the distinct (user, channel) collapse — one user-keyed exchange,
@@ -151,10 +152,15 @@ def shapley_core(conv: DataFrame, touches: DataFrame,
             F.col("v_empty").cast("long"),
             F.col("v_all").cast("long"),
             "phi_numer",
+            # the share multiplies phi·n! by 1e6 — past int64 at
+            # ~19k conversions x 12 channels, so it rides DECIMAL(38)
+            # (HUGEINT in the oracle); operands are non-negative, so
+            # div == // here
             F.expr(
                 f"CASE WHEN v_all - v_empty = 0 THEN NULL"
-                f" ELSE phi_numer * 1000000"
-                f" div ({_fact_case('nch')} * (v_all - v_empty)) END"
+                f" ELSE CAST(CAST(phi_numer AS DECIMAL(38,0)) * 1000000"
+                f" div (CAST({_fact_case('nch')} AS DECIMAL(38,0))"
+                f" * (v_all - v_empty)) AS BIGINT) END"
             ).cast("long").alias("phi_share_ppm"),
         )
     )
@@ -234,8 +240,9 @@ SELECT ch AS channel,
        CAST({_fact_case('nch')} AS BIGINT) AS n_fact,
        v_empty, v_all, phi_numer,
        CAST(CASE WHEN v_all - v_empty = 0 THEN NULL
-            ELSE phi_numer * 1000000
-                 // ({_fact_case('nch')} * (v_all - v_empty)) END
+            ELSE CAST(CAST(phi_numer AS HUGEINT) * 1000000
+                 // (CAST({_fact_case('nch')} AS HUGEINT)
+                     * (v_all - v_empty)) AS BIGINT) END
             AS BIGINT) AS phi_share_ppm
 FROM phi CROSS JOIN vref
 """

@@ -1262,8 +1262,14 @@ GROUP BY source
 """
 
 
-# the token_counts_bpe pre-tokenizer: alnum runs + single punctuation
-_BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+# The token_counts_bpe pre-tokenizer: alnum runs + single punctuation.
+# The whitespace class is spelled EXPLICITLY instead of \s because the
+# shorthand differs across regex engines (Java \s includes \x0B,
+# RE2's does not) — with the literal class both engines see the same
+# set, and every consumer (Spark + oracle + token_counts_bpe in
+# queries.py) interpolates THIS constant, the shared-text discipline.
+BPE_RE = r"[a-z0-9]+|[^a-z0-9 \t\n\x0B\f\r]"
+_BPE_RE = BPE_RE
 
 
 def tokenizer_fertility_report(docs: DataFrame, text_col: str = "text"
@@ -1318,7 +1324,7 @@ WITH per_doc AS (
          CAST(length({text_expr}) AS BIGINT) AS nc,
          CAST(len({TOKENS_SQL(text_expr)}) AS BIGINT) AS nw,
          CAST(len(regexp_extract_all(lower({text_expr}),
-              '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS ns
+              '{BPE_RE}')) AS BIGINT) AS ns
   FROM {table}
 )
 SELECT lang, source,

@@ -412,10 +412,14 @@ def best_of_n_from_candidates(cand: DataFrame) -> DataFrame:
 def BEST_OF_N_SQL(table: str = "documents") -> str:
     from .dedup import TOKENS_SQL
 
+    # HAVING keeps the empty-corpus shape identical to the Spark twin
+    # (an ungrouped aggregate emits one row even over zero input; the
+    # Spark side groups by n and emits none)
     branches = "\n  UNION ALL\n".join(
         f"  SELECT CAST({n} AS BIGINT) AS n,"
         f" CAST(count(*) AS BIGINT) AS n_groups,"
         f" CAST(sum(b{n}) AS BIGINT) AS sum_best_ppm FROM grp"
+        f" HAVING count(*) > 0"
         for n in N_BON)
     bcols = ",\n         ".join(
         f"CAST(max(CASE WHEN rn <= {n} THEN s END) AS BIGINT) AS b{n}"

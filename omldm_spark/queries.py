@@ -3457,14 +3457,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.lm import BPE_RE as _BPE_RE_SHARED  # noqa: E402
+
+
 @query(
     "token_counts_bpe",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                             t -> t != '')) AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(lower(text),
-                '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+                '{_BPE_RE_SHARED}')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """,
 )
@@ -3476,7 +3479,7 @@ def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     bpe = F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+        F.lower(F.col("text")), F.lit(_BPE_RE_SHARED), F.lit(0)
     )
     return docs.select(
         "doc_id",
@@ -18481,6 +18484,9 @@ def q_curve_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — the ks_two_sample discipline), so the per-curve ordered
     window is a bounded frame, not a fact-scale sort."""
     ev = load_table(spark, sf_dir, "events")
+    # bounded persist (<= 65536 cells), two consumers (z + hilbert
+    # branches) — the accepted single-shot pattern; every sweep harness
+    # (bench / scale_probe / oracle_check) clearCache()s between queries
     cells = ev.select(
         F.expr("CAST((user_id & 65535) >> 8 AS BIGINT)").alias("x"),
         F.expr("CAST(((unix_timestamp(ts) >> 12) & 65535) >> 8 AS BIGINT)")
