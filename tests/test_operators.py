@@ -4311,3 +4311,75 @@ def test_hilbert_layout_tightens_per_file_ranges(spark, tmp_path):
     z_x, z_y = mean_span(zpath, "x"), mean_span(zpath, "y")
     assert h_x < 24 and h_y < 24, (h_x, h_y)
     assert h_x <= z_x and h_y <= z_y, (h_x, z_x, h_y, z_y)
+
+
+def test_skyline_matches_bruteforce_on_random_sets(spark):
+    """Randomized referee (fixed seed): the domain-sweep skyline equals
+    the O(n²) dominance definition on 8 random point sets, including
+    duplicate points and heavy ties."""
+    import random
+
+    from omldm_spark.operators.skyline import skyline_from_user_stats
+
+    rnd = random.Random(20260816)
+    for _ in range(8):
+        n = rnd.randint(1, 24)
+        pts = [(u, rnd.randint(0, 5) * 100, rnd.randint(0, 4))
+               for u in range(n)]
+        df = spark.createDataFrame(
+            pts, "user_id long, value_c long, n_errors long")
+        got = {r["user_id"] for r in skyline_from_user_stats(df).collect()}
+        exp = set()
+        for u, v, e in pts:
+            dominated = any(
+                (v2 >= v and e2 <= e and (v2 > v or e2 < e))
+                for u2, v2, e2 in pts if u2 != u)
+            if not dominated:
+                exp.add(u)
+        assert got == exp, (pts, got, exp)
+
+
+def test_shapley_matches_permutation_bruteforce(spark):
+    """Randomized referee (fixed seed): φ·n! from the coalition sweep
+    equals the permutation-average definition computed by brute force
+    over all n! orders, for random 3-channel games."""
+    import datetime as dt
+    import itertools
+    import math
+    import random
+
+    from omldm_spark.operators.attribution import shapley_core
+
+    rnd = random.Random(7)
+    chans = ["a", "b", "c"]
+    for _ in range(6):
+        n_users = rnd.randint(1, 10)
+        conv_rows, touch_rows, masks = [], [], []
+        for u in range(n_users):
+            sub = [c for c in chans if rnd.random() < 0.6]
+            converted = rnd.random() < 0.7
+            # every channel must appear somewhere for the 3-player game
+            for c in sub:
+                touch_rows.append((u, c))
+            if converted:
+                conv_rows.append((u,))
+                masks.append(frozenset(sub))
+        for c in chans:                      # pin the channel universe
+            touch_rows.append((900 + ord(c), c))
+        conv = spark.createDataFrame(conv_rows or [(999,)], "user_id long")
+        if not conv_rows:
+            masks = [frozenset()]            # user 999 converted, no touch
+        touches = spark.createDataFrame(touch_rows, "user_id long, ch string")
+        got = {r["channel"]: r["phi_numer"]
+               for r in shapley_core(conv, touches).collect()}
+
+        def v(S):
+            return sum(1 for m in masks if m <= S)
+
+        nfact = math.factorial(len(chans))
+        for c in chans:
+            phi = 0
+            for perm in itertools.permutations(chans):
+                pre = frozenset(perm[:perm.index(c)])
+                phi += v(pre | {c}) - v(pre)
+            assert got[c] == phi, (masks, c, got[c], phi)
