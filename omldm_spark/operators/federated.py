@@ -281,7 +281,14 @@ def adam_hub_rounds(lineitem: DataFrame) -> DataFrame:
 
     Scale: one fact scan -> 16-row coordinate aggregate (map-side
     combined conditional sums); the optimizer math is free."""
-    g = (
+    return adam_from_gradients(adam_gradient_counts(lineitem))
+
+
+def adam_gradient_counts(lineitem: DataFrame) -> DataFrame:
+    """(coord, g1_q, g2_q): the two batch gradients as conditional sums
+    — the Adam report's ADDITIVE sufficient statistic (plain keyed sums
+    merge by addition), the carried state of the streaming twin."""
+    return (
         lineitem
         .select(
             F.expr("l_orderkey % 2").cast("long").alias("par"),
@@ -299,6 +306,10 @@ def adam_hub_rounds(lineitem: DataFrame) -> DataFrame:
             .cast("long").alias("g2_q"),
         )
     )
+
+
+def adam_from_gradients(g: DataFrame) -> DataFrame:
+    """The two-step Adam report from a (coord, g1_q, g2_q) frame."""
     steps = g.select(
         F.col("coord").cast("long").alias("coord"),
         F.expr(_fdiv("g1_q", 1_000_000)).alias("g1_u"),

@@ -18899,6 +18899,55 @@ def q_streaming_skyline_users(spark: SparkSession,
     return skyline_from_user_stats(state)
 
 
+@query("streaming_adam_hub", oracle=ADAM_HUB_SQL())
+def q_streaming_adam_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL server-side Adam: the carried state is the
+    (coord, g1_q, g2_q) conditional gradient sums — additive, so each
+    micro-batch folds with one keyed sum — and BOTH optimizer steps
+    (moments, bias correction, ratio) derive from state at report
+    time.  The optimizer-state analogue of the robust-merge twin;
+    oracle = the one-shot batch adam_hub_rounds."""
+    import tempfile
+
+    from .operators.federated import adam_from_gradients, adam_gradient_counts
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    tmp = tempfile.mkdtemp(prefix="omldm_sadam_")
+    src_dir = f"{tmp}/src"
+    li.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = adam_gradient_counts(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("coord").agg(
+                F.sum("g1_q").cast("long").alias("g1_q"),
+                F.sum("g2_q").cast("long").alias("g2_q"))
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "coord long, g1_u long, g2_u long, m2_u long, v2_u long,"
+            " upd1_micro long, upd2_micro long")
+    return adam_from_gradients(state)
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
