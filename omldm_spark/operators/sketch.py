@@ -728,3 +728,106 @@ SELECT za.z AS z_a, zb.z AS z_b, zu.z AS z_union,
        tr.true_a, tr.true_b, tov.true_overlap
 FROM za, zb, zu, tr, tov
 """
+
+
+AMS_K = 9  # counters; the median-of-9 estimator
+
+
+def ams_f2_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """AMS second-moment sketch (Alon-Matias-Szegedy, STOC'96) over the
+    corpus token-frequency vector, beside the exact F2 it estimates —
+    completing the mergeable-sketch quartet (HLL distincts, count-min
+    point counts, bloom membership, AMS moments).  F2 drives
+    self-join-size estimation and skew detection: F2/n² is the
+    collision probability a join planner prices.
+
+    Determinism (the HLL discipline): counter j's ±1 sign for token t
+    is the parity of hex digit j+1 of md5(t) — one md5 per TYPE, nine
+    digit-reads, identical text on both engines; no RNG.  Every
+    counter is an exact BIGINT (Σ ±f(t)), the estimate is the median
+    of the nine squares via an ordered pick over the 9-row frame, and
+    the signed error rides the shared floor text.
+
+    Output: one row (k, n_tokens, n_types, true_f2, est_f2, err_ppm).
+
+    Scale: one token aggregation (vocab-scale, map-side combined), a
+    9x explode that feeds the combiner (9 partial rows per partition
+    leave the map side), and O(k) final arithmetic.  The sketch state
+    is k longs — THE streaming/mergeable moment estimator."""
+    from .dedup import tokens_col
+
+    f = (
+        docs.select(F.explode(tokens_col(text_col)).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    sgn = (
+        f"CASE WHEN (instr('{_HEX}', substr(md5(t), j + 1, 1)) - 1) % 2"
+        " = 0 THEN 1 ELSE -1 END"
+    )
+    counters = (
+        f.select("t", "f",
+                 F.explode(F.sequence(F.lit(0), F.lit(AMS_K - 1)))
+                 .alias("j"))
+        .groupBy("j")
+        .agg(F.sum(F.expr(f"({sgn}) * f")).cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    ranked = counters.select(
+        "j", (F.col("c") * F.col("c")).cast("long").alias("c2")
+    ).select(
+        "c2",
+        F.row_number().over(Window.orderBy("c2", "j")).alias("rn"),
+    )
+    est = ranked.where(F.col("rn") == (AMS_K + 1) // 2) \
+        .select(F.col("c2").alias("est_f2"))
+    tot = f.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.expr("f * f")).cast("long").alias("true_f2"),
+    )
+    return tot.crossJoin(F.broadcast(est)).select(
+        F.lit(AMS_K).cast("long").alias("k"),
+        "n_tokens", "n_types", "true_f2", "est_f2",
+        F.expr(
+            "CAST(floor(CAST((est_f2 - true_f2) * 1000000 AS DOUBLE)"
+            " / CAST(true_f2 AS DOUBLE)) AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+def AMS_F2_SQL(table: str = "documents", text_expr: str = "text") -> str:
+    from .dedup import TOKENS_SQL
+
+    sgn = (
+        f"CASE WHEN (instr('{_HEX}', substr(md5(t), j + 1, 1)) - 1) % 2"
+        " = 0 THEN 1 ELSE -1 END"
+    )
+    return f"""
+WITH f AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest({TOKENS_SQL(text_expr)}) AS t FROM {table})
+  GROUP BY 1
+),
+counters AS (
+  SELECT j, CAST(sum(({sgn}) * f) AS BIGINT) AS c
+  FROM f CROSS JOIN (SELECT unnest(generate_series(0, {AMS_K - 1})) AS j)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(c * c AS BIGINT) AS c2,
+         row_number() OVER (ORDER BY CAST(c * c AS BIGINT), j) AS rn
+  FROM counters
+),
+est AS (SELECT c2 AS est_f2 FROM ranked WHERE rn = {(AMS_K + 1) // 2}),
+tot AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(f * f) AS BIGINT) AS true_f2
+  FROM f
+)
+SELECT CAST({AMS_K} AS BIGINT) AS k, n_tokens, n_types, true_f2, est_f2,
+       CAST(floor(CAST((est_f2 - true_f2) * 1000000 AS DOUBLE)
+            / CAST(true_f2 AS DOUBLE)) AS BIGINT) AS err_ppm
+FROM tot CROSS JOIN est
+"""

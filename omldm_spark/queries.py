@@ -18948,6 +18948,20 @@ def q_streaming_adam_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adam_from_gradients(state)
 
 
+from .operators.sketch import AMS_F2_SQL, ams_f2_report  # noqa: E402
+
+
+@query("ams_f2_report", oracle=AMS_F2_SQL())
+def q_ams_f2_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch (Alon-Matias-Szegedy STOC'96) over the
+    corpus token frequencies beside the exact F2 it estimates — the
+    join-size/skew moment estimator completing the mergeable-sketch
+    quartet.  Deterministic md5-digit signs (the HLL discipline), k=9
+    exact BIGINT counters, median via an ordered pick over the 9-row
+    frame; see operators/sketch.py."""
+    return ams_f2_report(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

@@ -4383,3 +4383,35 @@ def test_shapley_matches_permutation_bruteforce(spark):
                 pre = frozenset(perm[:perm.index(c)])
                 phi += v(pre | {c}) - v(pre)
             assert got[c] == phi, (masks, c, got[c], phi)
+
+
+def test_ams_f2_matches_python_mirror(spark):
+    """The AMS counters, median pick, and signed error match a pure
+    Python mirror (hashlib md5, same digit-parity signs) on a planted
+    corpus with repeated tokens."""
+    import hashlib
+
+    from omldm_spark.operators.sketch import AMS_K, ams_f2_report
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana cherry"),
+         (2, "banana banana banana date"),
+         (3, "apple cherry cherry cherry egg egg")],
+        "doc_id long, text string")
+    r = ams_f2_report(docs).collect()[0]
+    freq = {"apple": 3, "banana": 4, "cherry": 4, "date": 1, "egg": 2}
+    assert r["n_tokens"] == sum(freq.values())
+    assert r["n_types"] == len(freq)
+    true_f2 = sum(v * v for v in freq.values())
+    assert r["true_f2"] == true_f2
+    cs = []
+    for j in range(AMS_K):
+        c = 0
+        for t, f in freq.items():
+            d = hashlib.md5(t.encode()).hexdigest()[j]
+            c += f if int(d, 16) % 2 == 0 else -f
+        cs.append(c * c)
+    est = sorted(cs)[(AMS_K + 1) // 2 - 1]
+    assert r["est_f2"] == est
+    import math
+    assert r["err_ppm"] == math.floor((est - true_f2) * 1e6 / true_f2)

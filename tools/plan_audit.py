@@ -1804,6 +1804,14 @@ CHECKS.update({
         ("rollup map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "ams_f2_report": [
+        # one vocab-scale token aggregate; the 9x explode feeds the
+        # map-side combiner; the median pick rides the 9-row frame
+        ("no cartesian beyond the 1x9 broadcast",
+         lambda p: "CartesianProduct" not in p),
+        ("token counts + counters map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
     "clipped_merge_report": [
         # one fact scan into the (spoke, coord) combiner; the 8-row
         # norms frame broadcasts back; no window at all
@@ -1850,6 +1858,7 @@ GLOBAL_WINDOW_BOUNDED = [
     "doremi_weight_round",
     "skyline_users",            # sweep window over the value-domain agg
     "disparate_impact_report",  # ratio/gap windows over the lang agg
+    "ams_f2_report",            # median pick over the 9-counter frame
     "hits_item_authorities",        # rank over the item-scale authority
                                     # aggregate
 ]

@@ -114,6 +114,17 @@ EXTRA = [
     "adam_hub_rounds",
     "streaming_draft_acceptance",
     "streaming_best_of_n",
+    # round-10 wave G/H/I: the coalition twin (min-fold state), the
+    # skyline pair (domain-bounded sweep), the SPRT replay (arm-keyed
+    # cumulative window), the fairness audit (funnel scan + |langs|
+    # windows), the clipped merge (fact-scan agg), and the Adam twin
+    "streaming_shapley_attribution",
+    "skyline_users",
+    "streaming_skyline_users",
+    "sprt_decision_replay",
+    "disparate_impact_report",
+    "clipped_merge_report",
+    "streaming_adam_hub",
 ]
 
 
