@@ -125,6 +125,7 @@ EXTRA = [
     "disparate_impact_report",
     "clipped_merge_report",
     "streaming_adam_hub",
+    "ams_f2_report",
 ]
 
 
