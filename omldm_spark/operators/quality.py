@@ -375,17 +375,28 @@ def disparate_impact_report(docs: DataFrame) -> DataFrame:
     subtraction.  Scale: one tokenized scan -> |langs| aggregate ->
     windows over the |langs| frame.  No joins beyond the shared
     top-word agg inside funnel_features."""
-    from pyspark.sql import Window
+    return disparate_impact_from_counts(disparate_impact_counts(docs))
 
+
+def disparate_impact_counts(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_pass): the audit's ADDITIVE sufficient
+    statistic (the pass flag is row-local), the carried state of the
+    streaming twin."""
     from ..functions.text import FUNNEL_RULES, funnel_features
 
     conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
     f = funnel_features(docs, extra_cols=("lang",))
-    per = f.groupBy("lang").agg(
+    return f.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.expr(f"CASE WHEN {conj} THEN 1 ELSE 0 END"))
         .cast("long").alias("n_pass"),
     )
+
+
+def disparate_impact_from_counts(per: DataFrame) -> DataFrame:
+    """The four-fifths report from a (lang, n_docs, n_pass) frame."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy()
     rated = per.select(
         "lang", "n_docs", "n_pass",

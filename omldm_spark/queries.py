@@ -18962,6 +18962,57 @@ def q_ams_f2_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ams_f2_report(load_table(spark, sf_dir, "documents"))
 
 
+@query("streaming_disparate_impact", oracle=DISPARATE_IMPACT_SQL())
+def q_streaming_disparate_impact(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INCREMENTAL fairness audit: the carried state is the
+    (lang, n_docs, n_pass) counts — additive because the funnel pass
+    flag is row-local — folded with one keyed sum per micro-batch;
+    the four-fifths report derives from state.  Oracle = the one-shot
+    batch audit."""
+    import tempfile
+
+    from .operators.quality import (
+        disparate_impact_counts, disparate_impact_from_counts)
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="omldm_sdisp_")
+    src_dir = f"{tmp}/src"
+    docs.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = disparate_impact_counts(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("lang").agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_pass").cast("long").alias("n_pass"))
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "lang string, n_docs long, n_pass long, pass_ppm long,"
+            " ratio_to_best_ppm long, below_four_fifths boolean,"
+            " gap_ppm long")
+    return disparate_impact_from_counts(state)
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
