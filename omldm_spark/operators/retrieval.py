@@ -887,3 +887,117 @@ SELECT phrase, n_words, n_occ, score_ppm,
          AS rank
 FROM rphr QUALIFY rank <= {top_n}
 """
+
+
+MMR_K = 5
+MMR_LAMBDA_TXT = "0.7"          # shared literal text, both engines
+
+
+def mmr_diverse_topk(emb: DataFrame, k: int = MMR_K,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity-aware selection every RAG context
+    builder runs after retrieval: greedily pick the candidate
+    maximizing  λ·rel − (1−λ)·max_sim_to_selected  (λ = 0.7), k = 5
+    rounds.  The query vector is the id-0 embedding (deterministic
+    stand-in for an encoded query); candidates are every other vector.
+
+    Exactness: rel and the pairwise similarities are round(cos, 6) on
+    identical IEEE operand sequences (the dedup_embedding_cosine
+    discipline); the MMR score 0.7·rel − 0.3·ms combines two identical
+    doubles with shared literal text, and round(·, 6) of it can never
+    sit on a binary-exact decimal half (denominator 1e7), so the
+    argmax — tie-broken by id — is bit-identical cross-engine.
+
+    Scale: this operator re-ranks a RETRIEVED candidate pool (run it
+    after ann/bm25 top-N, as MMR is defined); each of the k rounds is
+    one scan of the pool joined against the <= k-1 selected rows
+    (broadcast) + a TakeOrdered(1).  Nothing quadratic in the pool,
+    nothing driver-side."""
+    from ..functions.vector import cosine, to_double_array
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        to_double_array(vec_col).alias("v"),
+    )
+    qv = base.where("vid = 0").select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"))
+    rel = (
+        base.where("vid != 0")
+        .crossJoin(F.broadcast(qv))
+        .select("vid", "v", F.round(cosine("v", "qv"), 6).alias("rel"))
+        .persist()
+    )
+    sel = (
+        rel.orderBy(F.desc("rel"), "vid").limit(1)
+        .select("vid", "v", "rel",
+                F.lit(None).cast("double").alias("maxsim"),
+                F.col("rel").alias("score"),
+                F.lit(1).cast("long").alias("rank"))
+    )
+    for r in range(2, k + 1):
+        picked = sel.select(
+            F.col("vid").alias("svid"), F.col("v").alias("sv"))
+        cand = (
+            rel.join(picked.select(F.col("svid").alias("vid")),
+                     "vid", "left_anti")
+            .crossJoin(F.broadcast(picked))
+            .groupBy("vid")
+            .agg(F.first("v").alias("v"), F.first("rel").alias("rel"),
+                 F.max(F.round(cosine("v", "sv"), 6)).alias("maxsim"))
+        )
+        scored = cand.select(
+            "vid", "v", "rel", "maxsim",
+            F.round(F.expr(f"{MMR_LAMBDA_TXT} * rel"
+                           f" - (1.0 - {MMR_LAMBDA_TXT}) * maxsim"), 6)
+            .alias("score"),
+        )
+        nxt = scored.orderBy(F.desc("score"), "vid").limit(1) \
+            .withColumn("rank", F.lit(r).cast("long"))
+        sel = sel.unionByName(nxt)
+    return sel.select("rank", F.col("vid").alias(id_col), "rel",
+                      "maxsim", "score")
+
+
+def MMR_SQL(k: int = MMR_K, table: str = "embeddings",
+            id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    lam = MMR_LAMBDA_TXT
+    cos = ("round(list_inner_product({a}, {b})"
+           " / (sqrt(list_inner_product({a}, {a}))"
+           " * sqrt(list_inner_product({b}, {b}))), 6)")
+    ctes = [f"""emb AS (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         CAST({vec_col} AS DOUBLE[]) AS v
+  FROM {table}
+)""", f"""qv AS (SELECT v AS q FROM emb WHERE vid = 0)""", f"""rel AS (
+  SELECT vid, v, {cos.format(a='v', b='q')} AS rel
+  FROM emb, qv WHERE vid != 0
+)""", """sel1 AS (
+  SELECT vid, v, rel, CAST(NULL AS DOUBLE) AS maxsim, rel AS score,
+         CAST(1 AS BIGINT) AS rank
+  FROM rel ORDER BY rel DESC, vid LIMIT 1
+)"""]
+    for r in range(2, k + 1):
+        prev = f"sel{r - 1}"
+        ctes.append(f"""cand{r} AS (
+  SELECT c.vid, c.v, c.rel,
+         max({cos.format(a='c.v', b='s.v')}) AS maxsim
+  FROM rel c CROSS JOIN {prev} s
+  WHERE c.vid NOT IN (SELECT vid FROM {prev})
+  GROUP BY 1, 2, 3
+)""")
+        ctes.append(f"""pick{r} AS (
+  SELECT vid, v, rel, maxsim,
+         round({lam} * rel - (1.0 - {lam}) * maxsim, 6) AS score,
+         CAST({r} AS BIGINT) AS rank
+  FROM cand{r}
+  ORDER BY round({lam} * rel - (1.0 - {lam}) * maxsim, 6) DESC, vid
+  LIMIT 1
+)""")
+        ctes.append(
+            f"sel{r} AS (SELECT * FROM {prev}"
+            f" UNION ALL SELECT * FROM pick{r})")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT rank, vid AS {id_col}, rel, maxsim, score"
+            f" FROM sel{k}")

@@ -19013,6 +19013,21 @@ def q_streaming_disparate_impact(spark: SparkSession,
     return disparate_impact_from_counts(state)
 
 
+from .operators.retrieval import MMR_SQL, mmr_diverse_topk  # noqa: E402
+
+
+@query("mmr_diverse_topk", oracle=MMR_SQL())
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR 1998), k=5 greedy rounds at λ=0.7 over the embedding pool
+    against the id-0 query vector — the diversity-aware selection a
+    RAG context builder runs AFTER retrieval.  Each round is one pool
+    scan against the <= k-1 broadcast selected rows + TakeOrdered(1);
+    round(cos, 6) exactness rides the dedup_embedding_cosine
+    discipline — see operators/retrieval.py."""
+    return mmr_diverse_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

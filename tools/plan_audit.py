@@ -1812,6 +1812,16 @@ CHECKS.update({
         ("token counts + counters map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
     ],
+    "mmr_diverse_topk": [
+        # k rounds: pool scan x (<= k-1)-row broadcast selected set +
+        # TakeOrdered(1); the crosses are broadcast, never shuffled
+        ("no shuffled cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("round argmax via distributed TakeOrdered",
+         lambda p: "TakeOrdered" in p),
+        ("selected sets broadcast",
+         lambda p: "BroadcastExchange" in p),
+    ],
     "clipped_merge_report": [
         # one fact scan into the (spoke, coord) combiner; the 8-row
         # norms frame broadcasts back; no window at all

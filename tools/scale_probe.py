@@ -126,6 +126,8 @@ EXTRA = [
     "clipped_merge_report",
     "streaming_adam_hub",
     "ams_f2_report",
+    "mmr_diverse_topk",
+    "streaming_disparate_impact",
 ]
 
 
