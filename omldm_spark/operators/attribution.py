@@ -47,6 +47,19 @@ _FACTS = [1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880, 3628800,
           39916800, 479001600]
 
 
+# Bound enforcement on a CONSUMED expression (ADVICE r10): the CASE is
+# lazily evaluated on both engines, so valid inputs pass idx/nch through
+# unchanged and a 13th channel raises before the 2^n explode can run.
+# Spark spells the raise raise_error(), DuckDB spells it error().
+_GUARDED = ("CASE WHEN nch0 <= " + str(MAX_CHANNELS) + " THEN {col}"
+            " ELSE CAST(raise_error('shapley: more than "
+            + str(MAX_CHANNELS) + " channels — the exact 2^n enumeration"
+            " is the wrong tool; sample instead') AS INT) END")
+_GUARDED_SQL = ("CASE WHEN nch0 <= " + str(MAX_CHANNELS) + " THEN {col}"
+                " ELSE CAST(error('shapley: more than "
+                + str(MAX_CHANNELS) + " channels') AS BIGINT) END")
+
+
 def _fact_case(expr: str) -> str:
     """Shared-text factorial ladder over 0..12 (NULL past the asserted
     bound, which would poison the sum loudly rather than silently)."""
@@ -83,17 +96,24 @@ def shapley_core(conv: DataFrame, touches: DataFrame,
     rows over ALL users.  Shared by the batch operator and the
     streaming min-fold twin (whose state reconstructs exactly these
     frames)."""
-    # channel index: bounded frame (asserted <= MAX_CHANNELS), global
-    # name order so the bit assignment is deterministic on both engines
+    # channel index: bounded frame (guarded <= MAX_CHANNELS), global
+    # name order so the bit assignment is deterministic on both engines.
+    # The guard lives INSIDE the consumed idx/nch expressions (ADVICE
+    # r10: a projected-then-dropped assert_true column is pruned by
+    # Catalyst and never evaluates) — every downstream consumer (the
+    # mask shift, the 2^nch coalition explode, the factorial ladder)
+    # reads through the CASE, so >MAX_CHANNELS raises loudly on BOTH
+    # engines before any unbounded work or silent-NULL sum can happen.
     chans = touches.select("ch").distinct()
     idx = chans.select(
         "ch",
-        (F.row_number().over(Window.orderBy("ch")) - 1).alias("idx"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nch"),
+        (F.row_number().over(Window.orderBy("ch")) - 1).alias("idx0"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nch0"),
     ).select(
-        "ch", "idx", "nch",
-        F.assert_true(F.col("nch") <= MAX_CHANNELS).alias("_guard"),
-    ).drop("_guard")
+        "ch",
+        F.expr(_GUARDED.format(col="idx0")).cast("int").alias("idx"),
+        F.expr(_GUARDED.format(col="nch0")).cast("int").alias("nch"),
+    )
     masks = (
         conv.join(touches, "user_id", "left")
         .join(F.broadcast(idx.select("ch", "idx")), "ch", "left")
@@ -187,10 +207,16 @@ touches AS (
   SELECT DISTINCT user_id, event_type AS ch
   FROM trunc WHERE event_type != 'purchase'
 ),
-idx AS (
-  SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS idx,
-         count(*) OVER () AS nch
+idx0 AS (
+  SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS idx0,
+         count(*) OVER () AS nch0
   FROM (SELECT DISTINCT ch FROM touches)
+),
+idx AS (
+  SELECT ch,
+         {_GUARDED_SQL.format(col='idx0')} AS idx,
+         {_GUARDED_SQL.format(col='nch0')} AS nch
+  FROM idx0
 ),
 masks AS (
   SELECT c.user_id,

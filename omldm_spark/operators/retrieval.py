@@ -895,7 +895,8 @@ MMR_LAMBDA_TXT = "0.7"          # shared literal text, both engines
 
 def mmr_diverse_topk(emb: DataFrame, k: int = MMR_K,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     cache_out: list | None = None) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR 1998) — the diversity-aware selection every RAG context
     builder runs after retrieval: greedily pick the candidate
@@ -914,7 +915,9 @@ def mmr_diverse_topk(emb: DataFrame, k: int = MMR_K,
     after ann/bm25 top-N, as MMR is defined); each of the k rounds is
     one scan of the pool joined against the <= k-1 selected rows
     (broadcast) + a TakeOrdered(1).  Nothing quadratic in the pool,
-    nothing driver-side."""
+    nothing driver-side.  ``cache_out`` collects the persisted rel
+    frame so sweep callers can release it (the shapley_core /
+    plsa_second_round discipline)."""
     from ..functions.vector import cosine, to_double_array
 
     base = emb.select(
@@ -929,6 +932,8 @@ def mmr_diverse_topk(emb: DataFrame, k: int = MMR_K,
         .select("vid", "v", F.round(cosine("v", "qv"), 6).alias("rel"))
         .persist()
     )
+    if cache_out is not None:
+        cache_out.append(rel)
     sel = (
         rel.orderBy(F.desc("rel"), "vid").limit(1)
         .select("vid", "v", "rel",

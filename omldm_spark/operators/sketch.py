@@ -789,9 +789,14 @@ def ams_f2_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return tot.crossJoin(F.broadcast(est)).select(
         F.lit(AMS_K).cast("long").alias("k"),
         "n_tokens", "n_types", "true_f2", "est_f2",
+        # diagnostic ratio in DOUBLE throughout (ADVICE r10: a BIGINT
+        # (est-true)*1e6 product overflows int64 once |est-true| exceeds
+        # ~9.2e12 — reachable by a quadratic F2 around ~1e8 tokens, far
+        # below the module's scale envelope); floor-ppm of an
+        # IEEE-identical expression is engine-portable
         F.expr(
-            "CAST(floor(CAST((est_f2 - true_f2) * 1000000 AS DOUBLE)"
-            " / CAST(true_f2 AS DOUBLE)) AS BIGINT)"
+            "CAST(floor((CAST(est_f2 AS DOUBLE) - CAST(true_f2 AS DOUBLE))"
+            " * 1000000.0 / CAST(true_f2 AS DOUBLE)) AS BIGINT)"
         ).alias("err_ppm"),
     )
 
@@ -827,7 +832,7 @@ tot AS (
   FROM f
 )
 SELECT CAST({AMS_K} AS BIGINT) AS k, n_tokens, n_types, true_f2, est_f2,
-       CAST(floor(CAST((est_f2 - true_f2) * 1000000 AS DOUBLE)
-            / CAST(true_f2 AS DOUBLE)) AS BIGINT) AS err_ppm
+       CAST(floor((CAST(est_f2 AS DOUBLE) - CAST(true_f2 AS DOUBLE))
+            * 1000000.0 / CAST(true_f2 AS DOUBLE)) AS BIGINT) AS err_ppm
 FROM tot CROSS JOIN est
 """

@@ -18443,7 +18443,8 @@ _CURVE_JUMP_SQL = """
 SELECT curve,
        CAST(count(*) AS BIGINT) AS n_cells,
        CAST(sum(jump) AS BIGINT) AS total_jump,
-       CAST(sum(jump) * 1000000 // (count(*) - 1) AS BIGINT)
+       CAST(CASE WHEN count(*) <= 1 THEN NULL
+            ELSE sum(jump) * 1000000 // (count(*) - 1) END AS BIGINT)
          AS mean_jump_ppm
 FROM (
   SELECT curve,
@@ -18514,8 +18515,11 @@ def q_curve_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = jumps.groupBy("curve").agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("jump").cast("long").alias("total_jump"),
-        F.expr("CAST(sum(jump) * 1000000 div (count(*) - 1) AS BIGINT)")
-        .alias("mean_jump_ppm"),
+        # ADVICE r10: a curve group with exactly one occupied cell
+        # divides by zero under ANSI — NULL mean on a singleton group
+        F.expr("CAST(CASE WHEN count(*) <= 1 THEN NULL"
+               " ELSE sum(jump) * 1000000 div (count(*) - 1) END"
+               " AS BIGINT)").alias("mean_jump_ppm"),
     )
     return out
 
@@ -19072,39 +19076,45 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the remaining streaming-IVM twins, the orders/time-series analytics
 # suite, and the attribution family.  ~58 exact names remain unseen
 # after this set.
+# Round-11 rotation (VERDICT r10 item 2): all 50 r10 slots returned
+# green, so every slot rotates to never-driver-verified exact-oracle
+# names.  Priority: (a) the round-10 continued-session wave the verdict
+# listed by name (semdedup, shapley x2, adam x2, clipped merge, sprt,
+# skyline x2, mmr, ams, hilbert, curve locality, doremi, best-of-n x2,
+# fertility, ccnet, draft x2, disparate x2) — five of these also carry
+# the r11 ADVICE fixes (consumed shapley guard, ams DOUBLE diagnostic,
+# curve-locality zero guard, mmr cache_out) so the driver re-certifies
+# the NEW behavior, (b) the round-10 main wave (KN, federated merges,
+# drift, Bradley-Terry, kappa, multimodal segmentation, Louvain, Cox,
+# IPW, source valuation), (c) the evaluation-curve / spatial-twin tail.
+# The remaining 52 never-seen names are committed as ROTATION.md for
+# the r12 set.
 _SNAPSHOT_TOP = [
-    # web / URL curation (re-certify the r10 canonical_url change)
-    "url_canonical_dedup", "url_host_report", "url_host_quota_sample",
-    "url_blocklist_filter", "url_frontier_ingest",
-    # round-9 tail additions, zero driver rows
-    "plsa_topic_round", "plsa_two_rounds", "corpus_datasheet",
-    "char_simpson_scores", "betweenness_sampled", "lcc_epsilon_vertices",
-    "embedding_silhouette_report", "logreg_irls_round",
-    "audio_frame_energy", "streaming_url_dedup",
-    # streaming twins (exact IVM oracles, zero driver rows)
-    "streaming_ab_stats", "streaming_hll_hourly",
-    "streaming_retention_cohorts", "streaming_union_sources",
-    "streaming_quality_funnel", "streaming_grid_hotspot",
-    "streaming_cross_source_overlap", "streaming_entity_clusters",
-    "streaming_split_hist",
-    # orders / revenue analytics
-    "profile_orders", "order_value_deciles",
-    "order_total_reconciliation", "revenue_mom_growth",
-    "rolling_revenue_7d", "hierarchy_revenue_shares", "pareto_items",
-    "quantile_binned_orders", "stratified_sample_orders",
-    "set_ops_customers", "bloom_semi_orders",
-    # array-output flat twins: pinned in-snapshot by
-    # tests/test_snapshot_shape.py (the r5 canonicalizer lesson)
-    "embedding_kmeans_train_flat", "sequence_packing_flat",
-    # time series / anomaly
-    "seasonal_decompose_daily", "seasonal_naive_backtest",
-    "theil_sen_revenue_trend", "interarrival_burstiness",
-    "mad_outlier_events", "concurrent_users_peak",
-    "conversion_latency_deciles", "funnel_conversion_windowed",
-    # attribution / evaluation
-    "linear_attribution_credits", "markov_transitions",
-    "markov_stationary", "markov_removal_attribution",
-    "max_f1_threshold",
+    # round-10 continued-session wave (VERDICT r10 priority list)
+    "semdedup_keep_list", "shapley_attribution_channels",
+    "streaming_shapley_attribution", "adam_hub_rounds",
+    "streaming_adam_hub", "clipped_merge_report", "sprt_decision_replay",
+    "skyline_users", "streaming_skyline_users", "mmr_diverse_topk",
+    "ams_f2_report", "hilbert_events_key", "curve_locality_report",
+    "doremi_weight_round", "best_of_n_curve", "streaming_best_of_n",
+    "tokenizer_fertility_report", "ccnet_perplexity_buckets",
+    "draft_acceptance_by_source", "streaming_draft_acceptance",
+    "disparate_impact_report", "streaming_disparate_impact",
+    # round-10 main wave (drift / federated / LM / preference /
+    # multimodal / valuation), zero driver rows
+    "kneser_ney_bigrams", "kn_heldout_scores", "robust_merge_report",
+    "streaming_robust_merge", "topk_sparse_merge", "freq_drift_report",
+    "streaming_freq_drift", "ks_two_sample_value",
+    "streaming_ks_two_sample", "bradley_terry_round",
+    "bradley_terry_two_rounds", "cohens_kappa_labels",
+    "video_shot_boundaries", "audio_silence_segments", "source_loo_value",
+    "louvain_item_pass", "louvain_modularity_report",
+    "cox_session_newton", "ipw_ate_report", "ngram_novelty_by_batch",
+    "multimodal_shard_manifest",
+    # evaluation curves + spatial/interval twins, zero driver rows
+    "roc_purchase_value", "pr_purchase_value", "grid_hotspot_cells",
+    "streaming_grid_epsilon", "interval_overlap_pairs",
+    "streaming_interval_overlap", "vocab_coverage_curve",
 ]
 
 

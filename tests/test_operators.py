@@ -4047,6 +4047,47 @@ def test_shapley_attribution_asymmetric_and_monotone(spark):
     assert all(r["phi_numer"] >= 0 for r in out.values())
 
 
+def test_shapley_channel_bound_raises_loudly(spark):
+    """ADVICE r10 (medium): the MAX_CHANNELS guard must live on a
+    CONSUMED expression — the old projected-then-dropped assert_true
+    was pruned by Catalyst, so 13 channels yielded silent NULLs and 14+
+    a silently WRONG sum.  Both overflow counts must now raise on
+    evaluation, and the DuckDB oracle must raise too."""
+    import datetime as dt
+
+    import duckdb
+    import pytest
+
+    from omldm_spark.operators.attribution import (SHAPLEY_SQL,
+                                                   shapley_attribution)
+
+    t0 = dt.datetime(2024, 1, 1)
+    for nch in (13, 14):
+        rows = [(i, t0 + dt.timedelta(minutes=i), 1, f"ch{i:02d}")
+                for i in range(nch)]
+        rows.append((99, t0 + dt.timedelta(minutes=99), 1, "purchase"))
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+            " event_type string")
+        with pytest.raises(Exception, match="more than 12 channels"):
+            shapley_attribution(events).collect()
+        con = duckdb.connect()
+        con.register("events", events.toPandas())
+        with pytest.raises(Exception, match="more than 12 channels"):
+            con.execute(SHAPLEY_SQL("events")).fetchall()
+        con.close()
+    # at exactly 12 the guard passes through untouched
+    rows = [(i, t0 + dt.timedelta(minutes=i), 1, f"ch{i:02d}")
+            for i in range(12)]
+    rows.append((99, t0 + dt.timedelta(minutes=99), 1, "purchase"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string")
+    out = shapley_attribution(events).collect()
+    assert len(out) == 12
+    assert all(r["n_fact"] == 479001600 for r in out)
+
+
 def test_doremi_round_upweights_lossy_domain(spark):
     """Planted mixture: a fully repetitive domain (λ=750000) must end
     with a strictly larger weight than a zero-repetition domain under

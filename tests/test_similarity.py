@@ -522,3 +522,28 @@ def test_semdedup_prunes_within_cluster_only(spark):
         1: 1, 7: 1, 8: 1, 11: 1}
     kept = {v for v, r in out.items() if r["kept"]}
     assert kept == {0, 1, 6, 10, 11}
+
+
+def test_semdedup_k_grows_with_corpus(spark):
+    """VERDICT r10 item 3: kval = max(k, n div target_cluster) computed
+    in-plan, so the cluster count grows with the corpus and the
+    within-cluster quadratic stays linear overall.  96 orthogonal-ish
+    vectors with target_cluster=8 must spread over 12 clusters (not the
+    k=2 floor), and the tiny-corpus case keeps the floor."""
+    import math
+
+    from omldm_spark.operators.similarity import semdedup_keep_list
+
+    # 96 unit vectors fanned over a 2-d circle in 4-d space: no two
+    # within cos 0.85 of a seed tie-pattern that collapses clusters
+    rows = [(i, [math.cos(i / 31.0), math.sin(i / 31.0),
+                 float(i % 7) / 7.0, 1.0]) for i in range(96)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_keep_list(emb, k=2, target_cluster=8)
+    cids = {r["cid"] for r in out.collect()}
+    assert cids == set(range(12))      # kval = 96 // 8 = 12, floor 2 beaten
+    # floor case: 9 vectors, target 64 -> kval = max(2, 0) = 2
+    small = spark.createDataFrame(rows[:9],
+                                  "vec_id long, embedding array<float>")
+    out2 = semdedup_keep_list(small, k=2, target_cluster=64)
+    assert {r["cid"] for r in out2.collect()} <= {0, 1}

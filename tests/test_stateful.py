@@ -959,3 +959,69 @@ def test_keyed_upsert_sink_ckpt_write_crash_is_recoverable(
     assert _upsert_rows(spark, sink) == [("a", 1), ("b", 2), ("c", 3)]
     # the fold is complete: the checkpointed map IS the latest map
     assert sink._read_ckpt(2) == sink._latest()
+
+
+def test_statefold_on_uri_scheme_path(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 1: the statefold version listing must speak the
+    Hadoop FileSystem API, not driver-local ``os.*`` — on an
+    ``hdfs://``/``s3a://`` checkpoint URI ``os.path.isdir`` silently
+    returns False and every streaming IVM twin would restart from empty
+    state.  Double-sided proof, mirroring the r5 sink discipline: a
+    full foreachBatch additive fold runs against a ``file:`` SCHEME
+    state dir (``os.path`` would mis-resolve 'file:/x') while the os
+    surface the old implementation used is monkeypatched to raise."""
+    import os as _os
+
+    import omldm_spark.streaming.statefold as statefold_mod
+    from omldm_spark.streaming.sources import file_replay_source
+    from omldm_spark.streaming.statefold import (read_latest_state,
+                                                 read_latest_state_parts)
+
+    assert not hasattr(statefold_mod, "os")  # fsio is the only FS door
+
+    def _forbidden(*_a, **_k):
+        raise AssertionError("driver-local os.* inside the statefold path")
+
+    for name in ("listdir", "makedirs", "remove", "rmdir"):
+        monkeypatch.setattr(_os, name, _forbidden)
+    for name in ("exists", "isdir", "isfile"):
+        monkeypatch.setattr(_os.path, name, _forbidden)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,), (2,)], "v long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame([(3,), (4,)], "v long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = file_replay_source(spark, src, "v long",
+                                max_files_per_trigger=1)
+    state_dir = "file:" + str(tmp_path / "state")
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = new.agg(F.sum("v").cast("long").alias("s"),
+                      F.count("*").alias("n"))
+        if prev is not None:
+            cnt = prev.unionByName(cnt).agg(
+                F.sum("s").cast("long").alias("s"),
+                F.sum("n").cast("long").alias("n"))
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    state = read_latest_state(spark, state_dir)
+    assert state is not None
+    assert sorted(map(tuple, state.collect())) == [(10, 4)]
+    # the retry discipline still honors below= on a URI path
+    pre = read_latest_state(spark, state_dir, below=1)
+    assert sorted(map(tuple, pre.collect())) == [(3, 2)]
+    # missing dir -> None (not an os error), both variants
+    assert read_latest_state(
+        spark, "file:" + str(tmp_path / "nope")) is None
+    assert read_latest_state_parts(
+        spark, "file:" + str(tmp_path / "nope"), ("a",)) is None
