@@ -443,3 +443,116 @@ SELECT threshold_q, tp, fp,
        tpr_ppm AS recall_ppm
 FROM roc
 """
+
+
+CHIMERGE_TAU_X1000 = 2706    # chi2(1 df, alpha=0.1) = 2.706, x1000
+
+
+def chimerge_rounds(blocks: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` synchronous ChiMerge passes (Kerber, AAAI 1992):
+    supervised discretization that merges adjacent bins whose 2x2
+    chi-square against the label falls below τ = 2.706 (90%, 1 df) —
+    the credit-scoring / WoE-binning preprocessor, as the same
+    gaps-and-islands BSP round as isotonic_pava_rounds (each pass
+    merges every maximal run of adjacent below-threshold pairs; the
+    classic algorithm merges one pair at a time, and the synchronous
+    variant is the deterministic distributed formulation, exactly the
+    Luby/JP/PAVA precedent).
+
+    Input blocks: (bx, xmax, pos, neg) ordered by bx.  The comparison
+    never divides: with pair counts (a1,b1),(a2,b2), r_i = a_i+b_i,
+    c1 = a1+a2, c2 = b1+b2, N = r1+r2,
+
+        chi2 < τ  iff  1000·N·(a1·b2 − a2·b1)² < 2706·r1·r2·c1·c2,
+
+    in DECIMAL(38,0)/HUGEINT on both engines (the count product passes
+    int64 at corpus scale); a pair with a zero label marginal
+    (c1 = 0 or c2 = 0) has chi2 = 0 and always merges.
+
+    Output: merged blocks + rate_ppm.  Scale: blocks live on the
+    BOUNDED bucket domain; each round is one ordered window + one
+    grouped sum over that bounded frame (the PAVA shape)."""
+    cur = blocks.select(
+        F.col("bx").cast("long").alias("bx"),
+        F.col("xmax").cast("long").alias("xmax"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("neg").cast("long").alias("neg"),
+    )
+    wo = Window.orderBy("bx")
+    run = Window.orderBy("bx").rowsBetween(Window.unboundedPreceding, 0)
+    merge_pred = (
+        "(p_pos + p_neg) IS NOT NULL AND ("
+        " (p_pos + pos) = 0 OR (p_neg + neg) = 0 OR"
+        " 1000 * CAST(p_pos + p_neg + pos + neg AS DECIMAL(38,0))"
+        "   * (CAST(p_pos AS DECIMAL(38,0)) * neg"
+        "      - CAST(pos AS DECIMAL(38,0)) * p_neg)"
+        "   * (CAST(p_pos AS DECIMAL(38,0)) * neg"
+        "      - CAST(pos AS DECIMAL(38,0)) * p_neg)"
+        f" < {CHIMERGE_TAU_X1000}"
+        "   * CAST(p_pos + p_neg AS DECIMAL(38,0)) * (pos + neg)"
+        "   * (p_pos + pos) * (p_neg + neg))"
+    )
+    for _ in range(rounds):
+        flagged = cur.select(
+            "bx", "xmax", "pos", "neg",
+            F.lag("pos").over(wo).alias("p_pos"),
+            F.lag("neg").over(wo).alias("p_neg"),
+        ).select(
+            "bx", "xmax", "pos", "neg",
+            F.when(F.expr(merge_pred), 0).otherwise(1).alias("flag"),
+        ).select(
+            "bx", "xmax", "pos", "neg",
+            F.sum("flag").over(run).cast("long").alias("grp"),
+        )
+        cur = flagged.groupBy("grp").agg(
+            F.min("bx").cast("long").alias("bx"),
+            F.max("xmax").cast("long").alias("xmax"),
+            F.sum("pos").cast("long").alias("pos"),
+            F.sum("neg").cast("long").alias("neg"),
+        ).select("bx", "xmax", "pos", "neg")
+    return cur.select(
+        "bx", "xmax", "pos", "neg",
+        F.expr("CAST((pos * 1000000) div (pos + neg) AS BIGINT)")
+        .alias("rate_ppm"),
+    )
+
+
+def CHIMERGE_ROUND_CTES(rounds: int, base: str = "c0") -> list[str]:
+    """Chained-CTE unroll of the same synchronous recurrence: c0 must
+    provide (bx, xmax, pos, neg); yields c1..c{rounds}."""
+    merge_pred = (
+        "p_pos IS NOT NULL AND ("
+        " (p_pos + pos) = 0 OR (p_neg + neg) = 0 OR"
+        " 1000 * CAST(p_pos + p_neg + pos + neg AS HUGEINT)"
+        "   * (CAST(p_pos AS HUGEINT) * neg"
+        "      - CAST(pos AS HUGEINT) * p_neg)"
+        "   * (CAST(p_pos AS HUGEINT) * neg"
+        "      - CAST(pos AS HUGEINT) * p_neg)"
+        f" < {CHIMERGE_TAU_X1000}"
+        "   * CAST(p_pos + p_neg AS HUGEINT) * (pos + neg)"
+        "   * (p_pos + pos) * (p_neg + neg))"
+    )
+    parts = []
+    for t in range(rounds):
+        src = base if t == 0 else f"c{t}"
+        parts.append(f"""c{t + 1} AS (
+  SELECT CAST(min(bx) AS BIGINT) AS bx, CAST(max(xmax) AS BIGINT) AS xmax,
+         CAST(sum(pos) AS BIGINT) AS pos, CAST(sum(neg) AS BIGINT) AS neg
+  FROM (
+    SELECT bx, xmax, pos, neg,
+           CAST(sum(flag) OVER (ORDER BY bx ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS grp
+    FROM (
+      SELECT bx, xmax, pos, neg,
+             CASE WHEN {merge_pred} THEN 0 ELSE 1 END AS flag
+      FROM (
+        SELECT bx, xmax, pos, neg,
+               lag(pos) OVER (ORDER BY bx) AS p_pos,
+               lag(neg) OVER (ORDER BY bx) AS p_neg
+        FROM {src}
+      )
+    )
+  )
+  GROUP BY grp
+)""")
+    return parts

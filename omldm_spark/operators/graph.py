@@ -1431,6 +1431,147 @@ lv AS (
 )"""
 
 
+def louvain_second_pass(edges: DataFrame,
+                        cache_out: list | None = None) -> DataFrame:
+    """Louvain level-2 (Blondel et al. 2008 phase 2 + one more pass):
+    the first-pass communities become super-vertices, inter-community
+    weights aggregate onto the community graph, and ONE more
+    synchronous singleton-merge pass runs over that graph — the step
+    that turns "local micro-communities" into the coarse structure a
+    corpus map actually shows.
+
+    Super-vertex degrees are Σ of member degrees (exactly the
+    aggregated graph's degree INCLUDING the 2·internal self-loop mass,
+    which the move gain needs; self-loops themselves never enter the
+    candidate set because moving a community keeps its internal edges
+    wherever it lands).  W = 2m is invariant under aggregation, so the
+    level-2 gain  w_cd·W − k_c·k_d  rides the same int64 envelope as
+    pass 1 (exact through W < 3e9).
+
+    Output: (item, community_l1, community_l2) — every vertex with its
+    pass-1 community and the community after the level-2 move
+    (communities with no inter-community edge keep themselves; ties
+    break to the smallest community id, the pass-1 discipline).
+
+    Scale: the aggregation is one labeling join (two keyed hash joins
+    on the vertex id) + one (c_min, c_max) groupBy; everything after
+    lives on the COMMUNITY graph, which is strictly smaller than the
+    input graph.  ``cache_out`` collects the persisted pass-1 labels
+    (consumed by the aggregation, the degree rollup, and the output
+    join).  Reference has no graph surface (SURVEY.md §2); this
+    extends louvain_first_pass exactly as plsa_two_rounds extends
+    plsa_topic_round."""
+    from pyspark.sql import Window
+
+    lv = louvain_first_pass(edges).select("item", "community").persist()
+    if cache_out is not None:
+        cache_out.append(lv)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w"),
+    ).unionByName(edges.select(
+        F.col("b").alias("src"), F.col("a").alias("dst"), F.col("w")))
+    deg = sym.groupBy("src").agg(F.sum("w").cast("long").alias("k"))
+    w_tot = deg.agg(F.sum("k").cast("long").alias("w_all"))
+    e_lab = (
+        edges.join(lv.select(F.col("item").alias("a"),
+                             F.col("community").alias("ca")), "a")
+        .join(lv.select(F.col("item").alias("b"),
+                        F.col("community").alias("cb")), "b")
+    )
+    inter = (
+        e_lab.where("ca != cb")
+        .groupBy(F.least("ca", "cb").alias("a2"),
+                 F.greatest("ca", "cb").alias("b2"))
+        .agg(F.sum("w").cast("long").alias("w2"))
+    )
+    k2 = (
+        lv.join(deg.select(F.col("src").alias("item"), "k"), "item")
+        .groupBy("community").agg(F.sum("k").cast("long").alias("k2"))
+    )
+    sym2 = inter.select(
+        F.col("a2").alias("src"), F.col("b2").alias("dst"), "w2"
+    ).unionByName(inter.select(
+        F.col("b2").alias("src"), F.col("a2").alias("dst"), "w2"))
+    cand2 = (
+        sym2.join(k2.select(F.col("community").alias("src"),
+                            F.col("k2").alias("k_i")), "src")
+        .join(k2.select(F.col("community").alias("dst"),
+                        F.col("k2").alias("k_j")), "dst")
+        .crossJoin(F.broadcast(w_tot))
+        .select("src", "dst",
+                (F.col("w2") * F.col("w_all") - F.col("k_i") * F.col("k_j"))
+                .cast("long").alias("gain_q"))
+    )
+    win = Window.partitionBy("src").orderBy(F.desc("gain_q"), F.asc("dst"))
+    mv = (
+        cand2.select("src", "dst", "gain_q",
+                     F.row_number().over(win).alias("rk"))
+        .where("rk = 1")
+        .select(
+            F.col("src").alias("community"),
+            F.when(F.col("gain_q") > 0, F.col("dst"))
+            .otherwise(F.col("src")).cast("long").alias("c2"),
+        )
+    )
+    return (
+        lv.join(mv, "community", "left")
+        .select(
+            F.col("item").cast("long").alias("item"),
+            F.col("community").cast("long").alias("community_l1"),
+            F.coalesce("c2", "community").cast("long")
+            .alias("community_l2"),
+        )
+    )
+
+
+def LOUVAIN_SECOND_SQL(edges_cte: str = "e") -> str:
+    """Level-2 CTE chain over ``{edges_cte}(a, b, w)`` — reuses
+    LOUVAIN_PASS_CTES' lv/deg/wt and ends in the full SELECT."""
+    return f"""{LOUVAIN_PASS_CTES(edges_cte)},
+e2lab AS (
+  SELECT e.w, la.community AS ca, lb.community AS cb
+  FROM {edges_cte} e
+  JOIN lv la ON la.item = e.a
+  JOIN lv lb ON lb.item = e.b
+),
+inter AS (
+  SELECT least(ca, cb) AS a2, greatest(ca, cb) AS b2,
+         CAST(sum(w) AS BIGINT) AS w2
+  FROM e2lab WHERE ca != cb GROUP BY 1, 2
+),
+k2 AS (
+  SELECT lv.community, CAST(sum(deg.k) AS BIGINT) AS k2
+  FROM lv JOIN deg ON deg.src = lv.item GROUP BY 1
+),
+sym2 AS (
+  SELECT a2 AS src, b2 AS dst, w2 FROM inter
+  UNION ALL SELECT b2 AS src, a2 AS dst, w2 FROM inter
+),
+cand2 AS (
+  SELECT s.src, s.dst,
+         CAST(s.w2 * wt.w_all - ki.k2 * kj.k2 AS BIGINT) AS gain_q
+  FROM sym2 s
+  JOIN k2 ki ON ki.community = s.src
+  JOIN k2 kj ON kj.community = s.dst
+  CROSS JOIN wt
+),
+mv AS (
+  SELECT src AS community,
+         CAST(CASE WHEN gain_q > 0 THEN dst ELSE src END AS BIGINT) AS c2
+  FROM (
+    SELECT src, dst, gain_q,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY gain_q DESC, dst) AS rk
+    FROM cand2
+  ) WHERE rk = 1
+)
+SELECT CAST(lv.item AS BIGINT) AS item,
+       CAST(lv.community AS BIGINT) AS community_l1,
+       CAST(coalesce(mv.c2, lv.community) AS BIGINT) AS community_l2
+FROM lv LEFT JOIN mv ON mv.community = lv.community
+"""
+
+
 def louvain_modularity_report(edges: DataFrame) -> DataFrame:
     """Per-community modularity accounting of the first-pass
     assignment: (community, n_items, in_w, tot_w, q_contrib_ppm) with

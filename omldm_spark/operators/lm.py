@@ -1429,3 +1429,115 @@ SELECT lang, CAST(bucket AS BIGINT) AS bucket,
 FROM bucketed
 GROUP BY 1, 2
 """
+
+
+WORDPIECE_TOP = 20
+
+
+def wordpiece_pair_scores(docs: DataFrame, text_col: str = "text",
+                          top_n: int = WORDPIECE_TOP) -> DataFrame:
+    """WordPiece merge-candidate ranking (Schuster & Nakajima, ICASSP
+    2012; the criterion BERT's tokenizer trains with): pairs rank by
+    the LIKELIHOOD gain  count(ab) / (count(a)·count(b))  rather than
+    BPE's raw frequency — a rare pair of rare symbols can beat a
+    frequent pair of ubiquitous ones, which is exactly the
+    morphology-preserving behavior WordPiece is chosen for.  The
+    companion diagnostic to bpe_merge_round: run both and diff the
+    rankings to see what the criterion changes.
+
+    Exactness: the score is floor-ppb in DECIMAL(38,0)/HUGEINT —
+    pair_cnt·1e9 div (c1·c2); the unit-count product c1·c2 overflows
+    int64 around 3e9 occurrences per symbol (reachable at corpus
+    scale), so the division rides the wide type on BOTH engines.
+    Ranking breaks floor-collision ties by (w1, w2) — a total order.
+
+    Scale: the same vocabulary collapse as bpe_merge_round (one
+    corpus-scale groupBy, then everything is vocab-scale); unigram
+    counts reaggregate the SAME vocab frame; top-n is TakeOrdered."""
+    vocab = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tok_cnt"))
+    )
+    chars = (
+        vocab.select(
+            "tok_cnt",
+            F.explode(F.sequence(F.lit(1), F.length("tok"))).alias("i"),
+            F.col("tok"),
+        )
+        .select(F.expr("substr(tok, i, 1)").alias("ch"), "tok_cnt")
+        .groupBy("ch")
+        .agg(F.sum("tok_cnt").cast("long").alias("c"))
+    )
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "tok", "tok_cnt",
+            F.explode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substr(tok, i, 1)").alias("w1"),
+            F.expr("substr(tok, i + 1, 1)").alias("w2"),
+            "tok_cnt",
+        )
+        .groupBy("w1", "w2")
+        .agg(F.sum("tok_cnt").cast("long").alias("pair_cnt"))
+    )
+    scored = (
+        pairs.join(chars.select(F.col("ch").alias("w1"),
+                                F.col("c").alias("c1")), "w1")
+        .join(chars.select(F.col("ch").alias("w2"),
+                           F.col("c").alias("c2")), "w2")
+        .select(
+            "w1", "w2", "pair_cnt", "c1", "c2",
+            F.expr(
+                "CAST(CAST(pair_cnt AS DECIMAL(38,0)) * 1000000000"
+                " div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+            ).alias("score_ppb"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_ppb"), "w1", "w2")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long")
+                      .alias("rank"))
+        .where(F.col("rank") <= top_n)
+        .select("rank", "w1", "w2", "pair_cnt", "c1", "c2", "score_ppb")
+    )
+
+
+def WORDPIECE_SQL(table: str = "documents", text_expr: str = "text",
+                  top_n: int = WORDPIECE_TOP) -> str:
+    return f"""
+WITH vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tok_cnt
+  FROM (SELECT unnest({TOKENS_SQL(text_expr)}) AS tok FROM {table})
+  GROUP BY tok
+),
+chars AS (
+  SELECT substr(tok, CAST(u.i AS INTEGER), 1) AS ch,
+         CAST(sum(tok_cnt) AS BIGINT) AS c
+  FROM vocab, unnest(range(1, CAST(length(tok) AS BIGINT) + 1)) AS u(i)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(tok, CAST(u.i AS INTEGER), 1) AS w1,
+         substr(tok, CAST(u.i AS INTEGER) + 1, 1) AS w2,
+         CAST(sum(tok_cnt) AS BIGINT) AS pair_cnt
+  FROM vocab, unnest(range(1, CAST(length(tok) AS BIGINT))) AS u(i)
+  WHERE length(tok) >= 2
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.w1, p.w2, p.pair_cnt, a.c AS c1, b.c AS c2,
+         CAST(CAST(p.pair_cnt AS HUGEINT) * 1000000000
+              // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_ppb
+  FROM pairs p
+  JOIN chars a ON a.ch = p.w1
+  JOIN chars b ON b.ch = p.w2
+)
+SELECT CAST(row_number() OVER (ORDER BY score_ppb DESC, w1, w2)
+            AS BIGINT) AS rank,
+       w1, w2, pair_cnt, c1, c2, score_ppb
+FROM scored
+QUALIFY rank <= {top_n}
+"""

@@ -457,3 +457,209 @@ SELECT lang, n_docs, n_pass, pass_ppm,
        CAST(pass_ppm - _overall AS BIGINT) AS gap_ppm
 FROM best
 """
+
+
+SHAPLEY_TOP_SOURCES = 8       # top-k sources are individual players...
+SHAPLEY_OTHER = "__other__"   # ...the tail pools into one player
+
+
+def source_shapley_value(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         top_k: int = SHAPLEY_TOP_SOURCES,
+                         cache_out: list | None = None) -> DataFrame:
+    """EXACT Shapley data valuation of sources against the corpus
+    quality pass rate (Ghorbani & Zou, ICML 2019, for the
+    sufficient-statistic metric where exactness is actually reachable)
+    — the coalition generalization of source_loo_value: instead of one
+    leave-one-out counterfactual per source, every source is credited
+    its average marginal contribution over ALL orders of assembly, so
+    a junk source that only looks harmless next to a worse one gets a
+    NEGATIVE value the LOO report can miss.
+
+    Player set: the top ``top_k`` sources by (n_docs DESC, source) are
+    individual players; the tail pools into ``__other__`` — the player
+    count is <= top_k+1 BY CONSTRUCTION, so the 2^n coalition frame is
+    bounded (<= 512 rows) without the runtime guard the channel
+    operator needs.  v(S) = floor-ppm pass rate of the union of S's
+    docs (v(∅) = 0), computed from per-player sufficient statistics —
+    quantize-then-Shapley, so every marginal is an exact BIGINT on
+    both engines.
+
+    Output per player: (player, n_players, n_docs, n_pass, phi_numer,
+    shapley_ppm) with phi_numer = φ·n! exact (possibly NEGATIVE — the
+    whole point) and shapley_ppm its signed floor division by n!.
+    Efficiency identity: Σ phi_numer = n! · overall pass_ppm.
+
+    Envelope: |marginal| <= 1e6, weights <= (n-1)! <= 8!, 2^n <= 512
+    terms → |phi_numer| <= 9!·1e6 ≈ 3.6e11, exact in BIGINT and in
+    the floor-double division (< 2^53).
+
+    Scale: ONE fact-scale pass (the shared funnel_features derivation)
+    collapses to |sources| rows; all coalition math runs on broadcast
+    <= 512-row frames — the shapley_attribution shape with the mask
+    histogram replaced by per-player sufficient statistics."""
+    return source_shapley_from_stats(
+        source_pass_counts(docs, text_col, id_col), top_k, cache_out)
+
+
+def source_pass_counts(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(source, n_docs, n_pass) funnel sufficient statistics — the
+    ADDITIVE state the streaming twin folds (row-local pass flag, so
+    counts merge by plain keyed sum under any arrival order)."""
+    from ..functions.text import FUNNEL_RULES, funnel_features
+
+    conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
+    per_doc = funnel_features(docs, text_col, id_col,
+                              extra_cols=("source",)).select(
+        "source", F.expr(conj).alias("pass"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long")
+        .alias("n_pass"),
+    )
+
+
+def source_shapley_from_stats(per_src: DataFrame,
+                              top_k: int = SHAPLEY_TOP_SOURCES,
+                              cache_out: list | None = None) -> DataFrame:
+    """The coalition half, from (source, n_docs, n_pass) sufficient
+    statistics — shared by the batch operator and the streaming twin
+    (whose additive state reconstructs exactly this frame)."""
+    from pyspark.sql import Window
+
+    from .attribution import _fact_case
+
+    ranked = per_src.select(
+        "source", "n_docs", "n_pass",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_docs"), F.asc("source"))).alias("rk"),
+    )
+    players = ranked.select(
+        F.when(F.col("rk") <= top_k, F.col("source"))
+        .otherwise(F.lit(SHAPLEY_OTHER)).alias("player"),
+        "n_docs", "n_pass",
+    ).groupBy("player").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_pass").cast("long").alias("n_pass"),
+    )
+    idx = players.select(
+        "player", "n_docs", "n_pass",
+        (F.row_number().over(Window.orderBy("player")) - 1).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("int")
+        .alias("np"),
+    )
+    coal = idx.select("np").distinct().select(
+        "np",
+        F.explode(F.expr(
+            "sequence(CAST(0 AS BIGINT),"
+            " (CAST(1 AS BIGINT) << np) - 1)")).alias("s"),
+    )
+    vq = (
+        coal.join(F.broadcast(idx.select("idx", "n_docs", "n_pass")))
+        .groupBy("np", "s")
+        .agg(
+            F.sum(F.expr(
+                "CASE WHEN (s & (CAST(1 AS BIGINT) << idx)) != 0"
+                " THEN n_docs ELSE 0 END")).cast("long").alias("dd"),
+            F.sum(F.expr(
+                "CASE WHEN (s & (CAST(1 AS BIGINT) << idx)) != 0"
+                " THEN n_pass ELSE 0 END")).cast("long").alias("pp"),
+        )
+        .select("np", "s",
+                F.expr("CASE WHEN dd = 0 THEN CAST(0 AS BIGINT)"
+                       " ELSE pp * 1000000 div dd END").alias("v"))
+    ).persist()
+    if cache_out is not None:
+        cache_out.append(vq)
+    pairs = (
+        vq.join(F.broadcast(idx.select("player", "idx", "n_docs",
+                                       "n_pass")))
+        .filter(F.expr("(s & (CAST(1 AS BIGINT) << idx)) = 0"))
+        .select(
+            "player", "np", "n_docs", "n_pass",
+            F.expr("s + (CAST(1 AS BIGINT) << idx)").alias("s1"),
+            F.col("v").alias("v0"),
+            F.expr("bit_count(s)").cast("int").alias("k"),
+        )
+        .join(F.broadcast(vq.select(F.col("s").alias("s1"),
+                                    F.col("v").alias("v1"))), "s1")
+    )
+    phi = pairs.groupBy("player", "np", "n_docs", "n_pass").agg(
+        F.sum(F.expr(
+            f"{_fact_case('k')} * {_fact_case('np - 1 - k')} * (v1 - v0)"
+        )).cast("long").alias("phi_numer"))
+    return phi.select(
+        "player",
+        F.col("np").cast("long").alias("n_players"),
+        "n_docs", "n_pass", "phi_numer",
+        F.expr(
+            "CAST(floor(CAST(phi_numer AS DOUBLE)"
+            f" / CAST({_fact_case('np')} AS DOUBLE)) AS BIGINT)"
+        ).alias("shapley_ppm"),
+    )
+
+
+def SOURCE_SHAPLEY_SQL(table: str = "documents", text_expr: str = "text",
+                       id_col: str = "doc_id",
+                       top_k: int = SHAPLEY_TOP_SOURCES) -> str:
+    from ..functions.text import FUNNEL_FEATURES_CTES, FUNNEL_RULES
+    from .attribution import _fact_case
+
+    conj = " AND ".join(pred for _, pred in FUNNEL_RULES)
+    return f"""
+WITH {FUNNEL_FEATURES_CTES(table, text_expr, id_col, extra="source,")},
+per_doc AS (
+  SELECT source, ({conj}) AS pass FROM f),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM per_doc GROUP BY 1),
+ranked AS (
+  SELECT source, n_docs, n_pass,
+         row_number() OVER (ORDER BY n_docs DESC, source) AS rk
+  FROM per_src),
+players AS (
+  SELECT CASE WHEN rk <= {top_k} THEN source
+         ELSE '{SHAPLEY_OTHER}' END AS player,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(n_pass) AS BIGINT) AS n_pass
+  FROM ranked GROUP BY 1),
+idx AS (
+  SELECT player, n_docs, n_pass,
+         row_number() OVER (ORDER BY player) - 1 AS idx,
+         count(*) OVER () AS np
+  FROM players),
+coal AS (
+  SELECT np, CAST(unnest(generate_series(
+           CAST(0 AS BIGINT), (CAST(1 AS BIGINT) << np) - 1)) AS BIGINT)
+           AS s
+  FROM (SELECT DISTINCT np FROM idx)),
+vq AS (
+  SELECT coal.np AS np, s,
+         CASE WHEN sum(CASE WHEN (s & (CAST(1 AS BIGINT) << idx)) != 0
+                       THEN n_docs ELSE 0 END) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(sum(CASE WHEN (s & (CAST(1 AS BIGINT) << idx)) != 0
+                        THEN n_pass ELSE 0 END) * 1000000
+              // sum(CASE WHEN (s & (CAST(1 AS BIGINT) << idx)) != 0
+                     THEN n_docs ELSE 0 END) AS BIGINT) END AS v
+  FROM coal CROSS JOIN idx GROUP BY 1, 2),
+pairs AS (
+  SELECT i.player, v0.np, i.n_docs, i.n_pass, v0.v AS v0, v1.v AS v1,
+         CAST(bit_count(v0.s) AS INT) AS k
+  FROM vq v0
+  CROSS JOIN idx i
+  JOIN vq v1 ON v1.s = v0.s + (CAST(1 AS BIGINT) << i.idx)
+  WHERE (v0.s & (CAST(1 AS BIGINT) << i.idx)) = 0),
+phi AS (
+  SELECT player, np, n_docs, n_pass,
+         CAST(sum({_fact_case('k')} * {_fact_case('np - 1 - k')}
+                  * (v1 - v0)) AS BIGINT) AS phi_numer
+  FROM pairs GROUP BY 1, 2, 3, 4)
+SELECT player, CAST(np AS BIGINT) AS n_players, n_docs, n_pass,
+       phi_numer,
+       CAST(floor(CAST(phi_numer AS DOUBLE)
+            / CAST({_fact_case('np')} AS DOUBLE)) AS BIGINT)
+         AS shapley_ppm
+FROM phi
+"""

@@ -1006,3 +1006,147 @@ def MMR_SQL(k: int = MMR_K, table: str = "embeddings",
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT rank, vid AS {id_col}, rel, maxsim, score"
             f" FROM sel{k}")
+
+
+FACLOC_K = 4          # greedy rounds
+FACLOC_CAND = 64      # bounded candidate pool (lowest-id vectors)
+FACLOC_QUANT = 1000   # global embedding quantization (semdedup scale)
+
+
+def facility_location_select(emb: DataFrame, k: int = FACLOC_K,
+                             n_cand: int = FACLOC_CAND,
+                             quant: int = FACLOC_QUANT,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             cache_out: list | None = None) -> DataFrame:
+    """Greedy facility-location data selection (Lin & Bilmes, ACL 2011;
+    the submodular-coverage objective behind coreset/fine-tuning-data
+    selection): pick k representatives maximizing
+
+        F(A) = Σ_d max(0, max_{c∈A} sim(d, c)),
+
+    greedily — each round adds the candidate with the largest coverage
+    gain Σ_d max(0, sim(d,c) − cover_d) (1−1/e guarantee by
+    submodularity).  Similarity is the INNER PRODUCT of the globally
+    quantized integer vectors (the semdedup quantization): every
+    per-document term, gain, and the objective are exact BIGINTs — no
+    float sums anywhere, so the greedy argmax (ties to the smallest
+    id) is engine-identical.
+
+    Candidates are the ``n_cand`` lowest-id vectors (the bounded
+    candidate-pool discipline MMR uses — facility location's gain
+    evaluation is pool x candidates, so the candidate set must be
+    bounded for the plan to scale; production swaps in a retrieved or
+    sampled pool).  Output: (rank, vec_id, gain, objective) per
+    selected round, objective = running F(A).
+
+    Scale: ONE pool x candidate dot-product aggregation (the explode
+    join multiplies by dim into the map-side combiner, bounded by
+    n_cand), persisted; each round is one keyed max over the selected
+    (<= k broadcast rows), one gain aggregation over the persisted dot
+    frame, one TakeOrdered(1).  Envelope: |qv| <= quant·|x|, dot <=
+    dim·(quant·|x|)², summed over n docs — < 2^63 through ~1e9 docs at
+    the testdata scale."""
+    q = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.posexplode(vec_col).alias("pos", "e"),
+    ).select(
+        "vid", "pos",
+        F.round(F.col("e").cast("double") * quant, 0).cast("long")
+        .alias("qv"),
+    )
+    cand = q.filter(F.col("vid") < n_cand).select(
+        F.col("vid").alias("cid"), "pos", F.col("qv").alias("cv"))
+    dots = (
+        q.join(F.broadcast(cand), "pos")
+        .groupBy("vid", "cid")
+        .agg(F.sum(F.expr("qv * cv")).cast("long").alias("d"))
+    ).persist()
+    if cache_out is not None:
+        cache_out.append(dots)
+    sel = None
+    for r in range(1, k + 1):
+        if sel is None:
+            cov = None
+            gains = dots.groupBy("cid").agg(
+                F.sum(F.expr("greatest(d, CAST(0 AS BIGINT))"))
+                .cast("long").alias("gain"))
+        else:
+            picked = sel.select(F.col("cid").alias("scid"))
+            cov = (
+                dots.join(F.broadcast(picked),
+                          F.col("cid") == F.col("scid"))
+                .groupBy("vid")
+                .agg(F.greatest(F.max("d"), F.lit(0).cast("long"))
+                     .alias("cov"))
+            )
+            gains = (
+                dots.join(F.broadcast(sel.select("cid")), "cid",
+                          "left_anti")
+                .join(cov, "vid", "left")
+                .groupBy("cid")
+                .agg(F.sum(F.expr(
+                    "greatest(d - coalesce(cov, CAST(0 AS BIGINT)),"
+                    " CAST(0 AS BIGINT))")).cast("long").alias("gain"))
+            )
+        pick = (
+            gains.orderBy(F.desc("gain"), F.asc("cid")).limit(1)
+            .select("cid", "gain", F.lit(r).cast("long").alias("rank"))
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+    from pyspark.sql import Window
+
+    run = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return sel.select(
+        "rank", F.col("cid").alias(id_col), "gain",
+        F.sum("gain").over(run).cast("long").alias("objective"),
+    )
+
+
+def FACLOC_SQL(k: int = FACLOC_K, n_cand: int = FACLOC_CAND,
+               quant: int = FACLOC_QUANT, table: str = "embeddings",
+               id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    ctes = [f"""q AS (
+  SELECT CAST({id_col} AS BIGINT) AS vid,
+         generate_subscripts({vec_col}, 1) AS pos,
+         CAST(round(CAST(unnest({vec_col}) AS DOUBLE) * {quant}.0, 0)
+              AS BIGINT) AS qv
+  FROM {table}
+)""", f"""dots AS (
+  SELECT p.vid, c.vid AS cid, CAST(sum(p.qv * c.qv) AS BIGINT) AS d
+  FROM q p JOIN q c ON c.pos = p.pos AND c.vid < {n_cand}
+  GROUP BY 1, 2
+)""", """sel1 AS (
+  SELECT cid, gain, CAST(1 AS BIGINT) AS rank
+  FROM (SELECT cid, CAST(sum(greatest(d, 0)) AS BIGINT) AS gain
+        FROM dots GROUP BY 1)
+  ORDER BY gain DESC, cid LIMIT 1
+)"""]
+    for r in range(2, k + 1):
+        prev = f"sel{r - 1}"
+        ctes.append(f"""cov{r} AS (
+  SELECT vid, greatest(max(d), 0) AS cov
+  FROM dots WHERE cid IN (SELECT cid FROM {prev})
+  GROUP BY 1
+)""")
+        ctes.append(f"""pick{r} AS (
+  SELECT cid, gain, CAST({r} AS BIGINT) AS rank
+  FROM (
+    SELECT t.cid,
+           CAST(sum(greatest(t.d - coalesce(c.cov, 0), 0)) AS BIGINT)
+             AS gain
+    FROM dots t LEFT JOIN cov{r} c ON c.vid = t.vid
+    WHERE t.cid NOT IN (SELECT cid FROM {prev})
+    GROUP BY 1
+  )
+  ORDER BY gain DESC, cid LIMIT 1
+)""")
+        ctes.append(
+            f"sel{r} AS (SELECT * FROM {prev}"
+            f" UNION ALL SELECT * FROM pick{r})")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT rank, cid AS {id_col}, gain,\n"
+            f"       CAST(sum(gain) OVER (ORDER BY rank"
+            f" ROWS UNBOUNDED PRECEDING) AS BIGINT) AS objective\n"
+            f"FROM sel{k}")

@@ -14087,6 +14087,58 @@ _ISO_BASE_SQL = """b0 AS (
 )"""
 
 
+from .operators.evaluation import CHIMERGE_ROUND_CTES, chimerge_rounds  # noqa: E402
+
+_CHIM_ROUNDS = 4
+_CHIM_BASE_SQL = """c0 AS (
+  SELECT bx, bx AS xmax, pos, neg FROM (
+    SELECT least(CAST(floor(o_totalprice) AS BIGINT) // 20000, 15) AS bx,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+           CAST(count(*) - sum(CASE WHEN o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS neg
+    FROM orders GROUP BY 1
+  )
+)"""
+
+
+@query(
+    "chimerge_value_bins",
+    oracle=("WITH " + ",\n".join([_CHIM_BASE_SQL]
+                                 + CHIMERGE_ROUND_CTES(_CHIM_ROUNDS))
+            + f"""
+SELECT bx, xmax, pos, neg,
+       CAST((pos * 1000000) // (pos + neg) AS BIGINT) AS rate_ppm
+FROM c{_CHIM_ROUNDS}"""),
+)
+def q_chimerge_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChiMerge supervised discretization (Kerber 1992) of the urgency
+    rate against the SAME 16 order-value buckets isotonic_calibration
+    fits — run both and diff the bin edges to see what each criterion
+    keeps: PAVA merges monotonicity violations, ChiMerge merges
+    label-independent neighbors (2x2 chi-square below 2.706 at 90%/1df,
+    compared by integer cross-multiplication in DECIMAL(38)/HUGEINT —
+    no division, no float).  4 synchronous gaps-and-islands rounds
+    over the bounded bucket frame.  See operators/evaluation.py
+    chimerge_rounds."""
+    o = load_table(spark, sf_dir, "orders")
+    blocks = o.groupBy(
+        F.least(F.expr("CAST(floor(o_totalprice) AS BIGINT) div 20000"),
+                F.lit(15)).cast("long").alias("bx")
+    ).agg(
+        F.sum(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+        ).cast("long").alias("pos"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)
+        ).cast("long").alias("neg"),
+    ).select("bx", F.col("bx").alias("xmax"), "pos", "neg")
+    return chimerge_rounds(blocks, rounds=_CHIM_ROUNDS)
+
+
 @query(
     "isotonic_calibration",
     oracle=("WITH " + ",\n".join([_ISO_BASE_SQL]
@@ -18108,6 +18160,28 @@ def q_louvain_item_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_first_pass(_item_wedges(spark, sf_dir).persist())
 
 
+from .operators.graph import LOUVAIN_SECOND_SQL, louvain_second_pass  # noqa: E402
+
+
+@query(
+    "louvain_second_pass",
+    oracle=f"""
+WITH e AS ({_ITEM_WEDGES_SQL}),
+{LOUVAIN_SECOND_SQL("e")}
+""",
+)
+def q_louvain_second_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain level-2 over the weighted item co-occurrence graph: the
+    pass-1 communities aggregate into super-vertices (inter-community
+    weights summed, degrees = member-degree sums = self-loop-inclusive)
+    and one more synchronous singleton-merge pass runs on the community
+    graph — every item labeled with both levels.  The pass-1 labels
+    persist (the plsa_two_rounds reuse discipline); everything past
+    the labeling join lives on the strictly smaller community graph.
+    See operators/graph.py louvain_second_pass (VERDICT r10 item 8)."""
+    return louvain_second_pass(_item_wedges(spark, sf_dir).persist())
+
+
 @query(
     "louvain_modularity_report",
     oracle=f"""
@@ -19015,6 +19089,110 @@ def q_streaming_disparate_impact(spark: SparkSession,
             " ratio_to_best_ppm long, below_four_fifths boolean,"
             " gap_ppm long")
     return disparate_impact_from_counts(state)
+
+
+from .operators.lm import WORDPIECE_SQL, wordpiece_pair_scores  # noqa: E402
+
+
+@query("wordpiece_pair_scores", oracle=WORDPIECE_SQL())
+def q_wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge-candidate ranking: pairs scored by the
+    likelihood criterion count(ab)*1e9 div (count(a)*count(b)) in
+    DECIMAL(38,0)/HUGEINT (the unit-count product passes int64 at
+    corpus scale), top-20 by (score DESC, w1, w2).  The criterion
+    diagnostic beside bpe_merge_round's raw-frequency choice; same
+    vocabulary-collapse scale shape.  See operators/lm.py."""
+    return wordpiece_pair_scores(load_table(spark, sf_dir, "documents"))
+
+
+from .operators.quality import (  # noqa: E402
+    SOURCE_SHAPLEY_SQL, source_shapley_value)
+
+
+@query("source_shapley_value", oracle=SOURCE_SHAPLEY_SQL())
+def q_source_shapley_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley data valuation of sources against the corpus
+    quality pass rate — the coalition generalization of
+    source_loo_value (a junk source that only looks harmless next to a
+    worse one earns a NEGATIVE value LOO can miss).  Top-8 sources are
+    individual players, the tail pools into __other__, so the 2^n
+    frame is <= 512 rows BY CONSTRUCTION; v(S) is the floor-ppm pass
+    rate from per-player sufficient statistics (quantize-then-Shapley,
+    exact BIGINT marginals).  One fact-scale funnel_features pass;
+    everything else broadcasts.  See operators/quality.py."""
+    return source_shapley_value(load_table(spark, sf_dir, "documents"))
+
+
+@query("streaming_source_shapley", oracle=SOURCE_SHAPLEY_SQL())
+def q_streaming_source_shapley(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """INCREMENTAL source valuation: the carried state is the
+    (source, n_docs, n_pass) sufficient-statistic frame — additive, so
+    each micro-batch folds with one keyed sum; the full coalition math
+    (player pooling, 2^n frame, Shapley weights) derives from state at
+    report time.  Beside streaming_shapley_attribution's min-fold this
+    is the ADDITIVE end of the Shapley-twin spectrum.  Oracle = the
+    one-shot batch valuation."""
+    import tempfile
+
+    from .operators.quality import (source_pass_counts,
+                                    source_shapley_from_stats)
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    tmp = tempfile.mkdtemp(prefix="omldm_sshap_")
+    src_dir = f"{tmp}/src"
+    docs.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = source_pass_counts(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("source").agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_pass").cast("long").alias("n_pass"))
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "player string, n_players long, n_docs long, n_pass long,"
+            " phi_numer long, shapley_ppm long")
+    return source_shapley_from_stats(state)
+
+
+from .operators.retrieval import (  # noqa: E402
+    FACLOC_SQL, facility_location_select)
+
+
+@query("facility_location_select", oracle=FACLOC_SQL())
+def q_facility_location_select(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Greedy facility-location data selection (Lin & Bilmes 2011) —
+    the submodular-coverage coreset selector: k=4 representatives
+    maximizing Σ_d max(0, max_sel dot_q) over the embedding corpus,
+    similarity = inner product of the globally quantized integer
+    vectors so every gain and the running objective are exact BIGINTs.
+    Candidates = the 64 lowest-id vectors (the MMR bounded-pool
+    discipline); one persisted pool x candidate dot aggregation, then
+    k rounds of keyed max + gain agg + TakeOrdered(1).  See
+    operators/retrieval.py facility_location_select."""
+    return facility_location_select(load_table(spark, sf_dir,
+                                               "embeddings"))
 
 
 from .operators.retrieval import MMR_SQL, mmr_diverse_topk  # noqa: E402

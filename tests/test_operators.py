@@ -751,6 +751,40 @@ def test_sample_k_per_group_exact_quota(spark):
     assert a == b
 
 
+def test_wordpiece_criterion_prefers_rare_cohesive_pair(spark):
+    """The likelihood criterion must rank a RARE-but-always-together
+    pair above a frequent pair of ubiquitous symbols (the behavior
+    that separates WordPiece from BPE), and every score must match the
+    brute-force floor-ppb fraction."""
+    from omldm_spark.operators.lm import wordpiece_pair_scores
+
+    # 'qz' appears 3x and q/z appear ONLY there (cohesion 1);
+    # 'aa' appears often but 'a' is everywhere
+    docs = spark.createDataFrame(
+        [(1, "qz qz qz aa aa aa aa ab ab ba a a a a a a")],
+        "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in
+           wordpiece_pair_scores(docs, top_n=50).collect()}
+    # brute-force counts over the token vocabulary weighted by freq
+    toks = "qz qz qz aa aa aa aa ab ab ba a a a a a a".split()
+    from collections import Counter
+    vocab = Counter(toks)
+    chars: Counter = Counter()
+    pairs: Counter = Counter()
+    for t, c in vocab.items():
+        for ch in t:
+            chars[ch] += c
+        for i in range(len(t) - 1):
+            pairs[(t[i], t[i + 1])] += c
+    for pr, cnt in pairs.items():
+        want = cnt * 10**9 // (chars[pr[0]] * chars[pr[1]])
+        assert out[pr].score_ppb == want, pr
+        assert out[pr].pair_cnt == cnt
+    ranks = {p: out[p].rank for p in pairs}
+    assert ranks[("q", "z")] == 1          # cohesion beats frequency
+    assert out[("q", "z")].score_ppb > out[("a", "a")].score_ppb
+
+
 def test_bpe_train_multi_round_merges(spark):
     """Three rounds on a tiny corpus follow the hand-derived merge path,
     including a tie broken lexicographically and a round that merges a
@@ -3774,6 +3808,64 @@ def test_louvain_first_pass_referee(spark):
     assert all(r.in_w > 0 for r in rep if r.n_items > 1)
 
 
+def test_louvain_second_pass_merges_planted_hierarchy(spark):
+    """Two-level plant: four triangles (w=5 in-clique); triangle pairs
+    (A,B) and (C,D) are joined by medium bridges (w=3), the pairs by
+    one weak bridge (w=1).  Pass 1 collapses each triangle; pass 2
+    must merge the two triangles WITHIN a bridge pair and must never
+    merge across the weak bridge.  Every item keeps its pass-1 label
+    in community_l1 (the lv frame passes through unmodified)."""
+    from omldm_spark.operators.graph import (louvain_first_pass,
+                                             louvain_second_pass)
+
+    tri = lambda base: [(base, base + 1, 5), (base, base + 2, 5),
+                        (base + 1, base + 2, 5)]
+    E = (tri(0) + tri(10) + tri(20) + tri(30)
+         + [(2, 10, 3), (22, 30, 3), (12, 20, 1)])
+    edges = spark.createDataFrame(E, "a long, b long, w long")
+    lv1 = {r.item: r.community
+           for r in louvain_first_pass(edges).collect()}
+    out = {r.item: r for r in louvain_second_pass(edges).collect()}
+    assert {v: r.community_l1 for v, r in out.items()} == lv1
+
+    # brute-force referee of the level-2 move: aggregated inter-
+    # community weights, member-degree-sum super-degrees, same gain
+    k = {}
+    for a, b, w in E:
+        k[a] = k.get(a, 0) + w
+        k[b] = k.get(b, 0) + w
+    W = sum(k.values())
+    inter: dict[tuple, int] = {}
+    for a, b, w in E:
+        ca, cb = lv1[a], lv1[b]
+        if ca != cb:
+            key = (min(ca, cb), max(ca, cb))
+            inter[key] = inter.get(key, 0) + w
+    k2: dict[int, int] = {}
+    for v, c in lv1.items():
+        k2[c] = k2.get(c, 0) + k[v]
+    want = {}
+    for c in set(lv1.values()):
+        nb = {(d if a == c else a): w
+              for (a, d), w in inter.items() if c in (a, d)}
+        if not nb:
+            want[c] = c
+            continue
+        gains = {j: w * W - k2[c] * k2[j] for j, w in nb.items()}
+        bg = max(gains.values())
+        want[c] = (min(j for j in gains if gains[j] == bg)
+                   if bg > 0 else c)
+    for v in lv1:
+        assert out[v].community_l2 == want[lv1[v]], (v, lv1[v])
+    # the WEAK bridge never wins: no pass-1 community on the A/B side
+    # moves to a C/D-side community (pass-1 labels stay on their side)
+    side = lambda c: c < 15
+    for c, c2 in want.items():
+        assert side(c) == side(c2)
+    # and at least one genuine cross-triangle merge happens per pair
+    assert any(want[c] != c for c in set(lv1.values()))
+
+
 def test_cox_newton_step_referee(spark):
     # lifelines-free brute-force referee: exact U(0), I(0), beta1 under
     # the Breslow convention on a planted cohort where larger x dies
@@ -4045,6 +4137,47 @@ def test_shapley_attribution_asymmetric_and_monotone(spark):
     assert out["a"]["phi_numer"] == 4
     assert out["b"]["phi_numer"] == 2
     assert all(r["phi_numer"] >= 0 for r in out.values())
+
+
+def test_source_shapley_brute_force_referee(spark):
+    """Three planted sources (two clean, one junk): φ must match the
+    brute-force permutation average over the quantized game, the junk
+    source must be NEGATIVE (the signal LOO can dilute), and the
+    efficiency identity Σφ·n! = n!·v(N) must hold exactly."""
+    from itertools import permutations
+
+    from omldm_spark.operators.quality import source_shapley_value
+
+    passing = ("the quick brown foxes jumps sunny rivers stone hills "
+               "green lakes windy grass cloud birds trees roads table "
+               "chair plant water sound light nights")
+    docs = spark.createDataFrame(
+        [(i, passing, "good_a") for i in range(10)]
+        + [(100 + i, passing, "good_b") for i in range(8)]
+        + [(200 + i, "x", "junk") for i in range(6)],
+        "doc_id long, text string, source string")
+    out = {r.player: r for r in source_shapley_value(docs).collect()}
+    assert set(out) == {"good_a", "good_b", "junk"}
+    stats = {p: (out[p].n_docs, out[p].n_pass) for p in out}
+
+    def v(S):
+        dd = sum(stats[p][0] for p in S)
+        pp = sum(stats[p][1] for p in S)
+        return 0 if dd == 0 else pp * 1_000_000 // dd
+
+    players = sorted(stats)
+    nfact = 6
+    for p in players:
+        phi = 0
+        for perm in permutations(players):
+            pre = perm[:perm.index(p)]
+            phi += v(set(pre) | {p}) - v(set(pre))
+        assert out[p].phi_numer == phi, p
+        assert out[p].shapley_ppm == phi // nfact  # floor, signed
+    assert out["junk"].phi_numer < 0
+    assert out["good_a"].phi_numer > 0
+    assert sum(r.phi_numer for r in out.values()) \
+        == nfact * v(set(players))
 
 
 def test_shapley_channel_bound_raises_loudly(spark):
@@ -4456,3 +4589,67 @@ def test_ams_f2_matches_python_mirror(spark):
     assert r["est_f2"] == est
     import math
     assert r["err_ppm"] == math.floor((est - true_f2) * 1e6 / true_f2)
+
+
+def test_chimerge_referee_and_fixpoint(spark):
+    """Hand blocks with a planted label break: two statistically
+    identical low bins must merge, the bin pair across a strong label
+    shift must NOT, a zero-marginal pair always merges, and the python
+    referee replays the synchronous run-merge exactly."""
+    from omldm_spark.operators.evaluation import (CHIMERGE_TAU_X1000,
+                                                  chimerge_rounds)
+
+    rows = [
+        (0, 0, 5, 95),     # 5% pos
+        (1, 1, 6, 94),     # ~6% pos — same distribution, must merge w/ 0
+        (2, 2, 60, 40),    # 60% pos — sharp break, must stay separate
+        (3, 3, 62, 38),    # same high regime, merges with 2
+        (4, 4, 0, 50),     # zero pos marginal vs 5? no — vs bin 3: differs
+        (5, 5, 0, 70),     # (4,5) zero c1 marginal -> always merge
+    ]
+    blocks = spark.createDataFrame(
+        rows, "bx long, xmax long, pos long, neg long")
+
+    def chi_lt_tau(p, q):
+        a1, b1 = p
+        a2, b2 = q
+        if a1 + a2 == 0 or b1 + b2 == 0:
+            return True
+        n = a1 + b1 + a2 + b2
+        d = a1 * b2 - a2 * b1
+        return (1000 * n * d * d
+                < CHIMERGE_TAU_X1000 * (a1 + b1) * (a2 + b2)
+                * (a1 + a2) * (b1 + b2))
+
+    def ref_round(bins):
+        # the SYNCHRONOUS semantics: pair flags against the ORIGINAL
+        # neighbors, then maximal runs collapse in one pass
+        out = []
+        for i, b in enumerate(bins):
+            merge = i > 0 and chi_lt_tau(
+                (bins[i - 1][2], bins[i - 1][3]), (b[2], b[3]))
+            if merge:
+                last = out.pop()
+                out.append((last[0], b[1], last[2] + b[2],
+                            last[3] + b[3]))
+            else:
+                out.append(tuple(b))
+        return out
+
+    ref = [tuple(r) for r in rows]
+    for _ in range(3):
+        ref = ref_round(ref)
+    got = sorted(
+        (r.bx, r.xmax, r.pos, r.neg)
+        for r in chimerge_rounds(blocks, rounds=3).collect())
+    assert got == sorted(ref)
+    # fixpoint: rounds 3 == rounds 4
+    got4 = sorted(
+        (r.bx, r.xmax, r.pos, r.neg)
+        for r in chimerge_rounds(blocks, rounds=4).collect())
+    assert got4 == got
+    # planted semantics
+    spans = {r[0]: r for r in got}
+    assert spans[0][1] == 1          # bins 0+1 merged
+    assert 2 in spans and spans[2][1] >= 3   # high regime separate
+    assert spans[max(spans)][2] == 0          # zero-pos tail merged

@@ -387,3 +387,53 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert len(set(picked)) == 5
     scores = [r["score"] for r in out[1:]]
     assert all(s is not None for s in scores)
+
+
+def test_facility_location_greedy_brute_force(spark):
+    """Python referee replays the exact greedy over the quantized
+    integer dots: selected ids, per-round gains, and the running
+    objective must match; gains must be non-increasing (submodularity
+    of the saturated coverage objective)."""
+    from omldm_spark.operators.retrieval import facility_location_select
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.5, 0.5, 0.0]),
+        (5, [0.1, 0.0, 0.9]),
+        (6, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    k, n_cand, quant = 3, 4, 1000
+    out = sorted(
+        facility_location_select(emb, k=k, n_cand=n_cand, quant=quant)
+        .collect(), key=lambda r: r["rank"])
+
+    q = {i: [round(x * quant) for x in v] for i, v in vecs}
+    dots = {(d, c): sum(a * b for a, b in zip(q[d], q[c]))
+            for d in q for c in q if c < n_cand}
+    sel: list[int] = []
+    ref = []
+    for r in range(1, k + 1):
+        best = None
+        for c in range(n_cand):
+            if c in sel:
+                continue
+            gain = 0
+            for d in q:
+                cov = max([0] + [dots[(d, s)] for s in sel])
+                gain += max(0, dots[(d, c)] - cov)
+            if best is None or gain > best[1] or (
+                    gain == best[1] and c < best[0]):
+                best = (c, gain)
+        sel.append(best[0])
+        ref.append(best)
+    assert [(r["vec_id"], r["gain"]) for r in out] == ref
+    total = 0
+    for r, (cid, gain) in zip(out, ref):
+        total += gain
+        assert r["objective"] == total
+    gains = [g for _, g in ref]
+    assert gains == sorted(gains, reverse=True)  # submodular decay
