@@ -1905,3 +1905,144 @@ def LSH_PR_CALIBRATION_SQL(k: int = 8, n: int = 3,
             f" FROM rep{bands}")
     return ("WITH " + ",\n".join(parts) + "\n"
             + "\nUNION ALL ".join(selects))
+
+
+CDC_WINDOW = 4      # rolling-hash window (bytes)
+CDC_DIVISOR = 17    # boundary when h % 17 == 0 -> mean chunk ~17 bytes
+_CDC_B = 31         # polynomial base
+
+
+def _cdc_poly(col: str, pos: str) -> str:
+    """Shared-text rolling polynomial over the WINDOW ending at ``pos``
+    (requires pos >= CDC_WINDOW): Σ ascii(byte[pos-j])·B^j — max value
+    ~127·B³ < 4e6, overflow-free in int32 even."""
+    return " + ".join(
+        f"ascii(substr({col}, CAST({pos} - {j} AS INT), 1)) * {_CDC_B ** j}"
+        for j in range(CDC_WINDOW))
+
+
+def cdc_chunk_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    group_col: str = "source") -> DataFrame:
+    """Content-defined-chunking dedup report (the Rabin/FastCDC
+    storage-dedup primitive — Muthitacharoen et al., SOSP 2001 LBFS):
+    chunk boundaries fall where a rolling hash of the last 4 bytes
+    hits 0 mod 17, so an INSERTION early in a payload only reshapes
+    the chunks it touches — unlike fixed-size chunks, where one shifted
+    byte re-fingerprints the whole tail.  This is how 100 TB of
+    media/binary payloads dedups at the storage layer; here the text
+    column stands in for the byte payload (the multimodal framing
+    discipline — the plumbing is real, the bytes are synthetic).
+
+    Per group: (group, n_docs, n_chunks, n_distinct_chunks,
+    total_chars, distinct_chars, savings_ppm) where distinct counts
+    collapse by chunk md5 fingerprint within the group and savings =
+    (total − distinct)·1e6 div total.
+
+    Scale: ONE per-byte explode (O(total payload), the audio-framing
+    cost) into a doc-keyed running-sum window (never global), one
+    (doc, chunk) groupBy, one fingerprint-keyed distinct — all keyed;
+    nothing quadratic, no UDFs."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("did"), F.col(group_col).alias("grp"),
+        F.col(text_col).alias("t"),
+    ).where(F.length("t") >= 1)
+    pos = base.select(
+        "did", "grp", "t",
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("p"),
+    ).select(
+        "did", "grp", "t", "p",
+        F.expr(
+            f"CASE WHEN p >= {CDC_WINDOW} AND"
+            f" ({_cdc_poly('t', 'p')}) % {CDC_DIVISOR} = 0"
+            " THEN 1 ELSE 0 END").alias("flag"),
+    )
+    w = Window.partitionBy("did").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0)
+    chunks = (
+        pos.select(
+            "did", "grp", "t", "p",
+            (F.sum("flag").over(w) - F.col("flag")).cast("long")
+            .alias("chunk_no"),
+        )
+        .groupBy("did", "grp", "chunk_no")
+        .agg(F.min("p").cast("int").alias("cs"),
+             F.max("p").cast("int").alias("ce"),
+             F.first("t").alias("t"))
+        .select(
+            "did", "grp",
+            (F.col("ce") - F.col("cs") + 1).cast("long").alias("clen"),
+            F.md5(F.expr("substr(t, cs, ce - cs + 1)")).alias("fp"),
+        )
+    )
+    per_fp = chunks.groupBy("grp", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("clen").cast("long").alias("clen"),
+    )
+    docs_per_grp = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    rep = per_fp.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.expr("n * clen")).cast("long").alias("total_chars"),
+        F.sum("clen").cast("long").alias("distinct_chars"),
+    )
+    return (
+        rep.join(docs_per_grp, "grp")
+        .select(
+            F.col("grp").alias(group_col), "n_docs", "n_chunks",
+            "n_distinct_chunks", "total_chars", "distinct_chars",
+            F.expr("(total_chars - distinct_chars) * 1000000"
+                   " div total_chars").cast("long").alias("savings_ppm"),
+        )
+    )
+
+
+def CDC_CHUNK_SQL(table: str = "documents", text_expr: str = "text",
+                  id_col: str = "doc_id", group_col: str = "source") -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS did, {group_col} AS grp, {text_expr} AS t
+  FROM {table} WHERE length({text_expr}) >= 1
+),
+pos AS (
+  SELECT did, grp, t, CAST(u.p AS BIGINT) AS p,
+         CASE WHEN u.p >= {CDC_WINDOW} AND
+              ({_cdc_poly('t', 'u.p')}) % {CDC_DIVISOR} = 0
+         THEN 1 ELSE 0 END AS flag
+  FROM base, unnest(range(1, CAST(length(t) AS BIGINT) + 1)) AS u(p)
+),
+chunked AS (
+  SELECT did, grp, t, p,
+         CAST(sum(flag) OVER (PARTITION BY did ORDER BY p
+              ROWS UNBOUNDED PRECEDING) - flag AS BIGINT) AS chunk_no
+  FROM pos
+),
+chunks AS (
+  SELECT did, grp,
+         CAST(max(p) - min(p) + 1 AS BIGINT) AS clen,
+         md5(substr(max(t), CAST(min(p) AS INT),
+                    CAST(max(p) - min(p) + 1 AS INT))) AS fp
+  FROM chunked GROUP BY did, grp, chunk_no
+),
+per_fp AS (
+  SELECT grp, fp, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(clen) AS BIGINT) AS clen
+  FROM chunks GROUP BY 1, 2
+),
+dg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY 1),
+rep AS (
+  SELECT grp, CAST(sum(n) AS BIGINT) AS n_chunks,
+         CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         CAST(sum(n * clen) AS BIGINT) AS total_chars,
+         CAST(sum(clen) AS BIGINT) AS distinct_chars
+  FROM per_fp GROUP BY 1
+)
+SELECT rep.grp AS {group_col}, dg.n_docs, n_chunks, n_distinct_chunks,
+       total_chars, distinct_chars,
+       CAST((total_chars - distinct_chars) * 1000000 // total_chars
+            AS BIGINT) AS savings_ppm
+FROM rep JOIN dg ON dg.grp = rep.grp
+"""

@@ -1656,3 +1656,93 @@ SELECT CAST(t.community AS BIGINT) AS community, t.n_items,
 FROM tot_w t LEFT JOIN in_w i ON i.community = t.community
 CROSS JOIN wt
 """
+
+
+def assortativity_report(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity report (Newman, PRL 2002): the Pearson
+    correlation of endpoint degrees over all edge ends — positive on
+    social-style graphs (hubs link hubs), negative on hub-and-spoke
+    item graphs; the single number that says which degree-cap /
+    salting strategy a 100 TB join over this graph needs.
+
+    Exactness: all five moment sums (n ends, Σx, Σy, Σxy, Σx², Σy²
+    with x = deg(src), y = deg(dst) over the SYMMETRIZED ends, so
+    Σx = Σy by construction) are exact BIGINTs from one keyed join +
+    one global agg; the correlation numerator/denominator products
+    ride DECIMAL(38,0) (they pass int64 at corpus scale), and the
+    final r = num / (sqrt(d)·sqrt(d)) is the one IEEE step — sqrt and
+    divide are correctly rounded, identical operand text on both
+    engines, floored to ppm.
+
+    Output one row: (n_ends, sum_x, sum_xy, sum_xx,
+    assortativity_ppm)."""
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+    ).unionByName(edges.select(
+        F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("k"))
+    ends = (
+        sym.join(deg.select(F.col("src"), F.col("k").alias("kx")), "src")
+        .join(deg.select(F.col("src").alias("dst"),
+                         F.col("k").alias("ky")), "dst")
+    )
+    mom = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ends"),
+        F.sum("kx").cast("long").alias("sum_x"),
+        F.sum(F.expr("kx * ky")).cast("long").alias("sum_xy"),
+        F.sum(F.expr("kx * kx")).cast("long").alias("sum_xx"),
+    )
+    return mom.select(
+        "n_ends", "sum_x", "sum_xy", "sum_xx",
+        # a REGULAR graph has zero degree variance: r is undefined
+        # (NULL), and ANSI division by zero must never fire
+        F.expr(
+            "CAST(CASE WHEN CAST(n_ends AS DECIMAL(38,0)) * sum_xx"
+            " - CAST(sum_x AS DECIMAL(38,0)) * sum_x <= 0 THEN NULL"
+            " ELSE floor(CAST(CAST(n_ends AS DECIMAL(38,0)) * sum_xy"
+            " - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS DOUBLE)"
+            " * 1000000.0"
+            " / (sqrt(CAST(CAST(n_ends AS DECIMAL(38,0)) * sum_xx"
+            " - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS DOUBLE))"
+            " * sqrt(CAST(CAST(n_ends AS DECIMAL(38,0)) * sum_xx"
+            " - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS DOUBLE))))"
+            " END AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )
+
+
+def ASSORTATIVITY_SQL(edges_cte: str = "e") -> str:
+    """Report over ``{edges_cte}(a, b, w)`` — full SELECT (caller
+    prepends WITH {edges_cte} AS (...))."""
+    return f"""sym AS (
+  SELECT a AS src, b AS dst FROM {edges_cte}
+  UNION ALL SELECT b AS src, a AS dst FROM {edges_cte}
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY 1),
+ends AS (
+  SELECT di.k AS kx, dj.k AS ky
+  FROM sym s
+  JOIN deg di ON di.src = s.src
+  JOIN deg dj ON dj.src = s.dst
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ends,
+         CAST(sum(kx) AS BIGINT) AS sum_x,
+         CAST(sum(kx * ky) AS BIGINT) AS sum_xy,
+         CAST(sum(kx * kx) AS BIGINT) AS sum_xx
+  FROM ends
+)
+SELECT n_ends, sum_x, sum_xy, sum_xx,
+       CAST(CASE WHEN CAST(n_ends AS HUGEINT) * sum_xx
+            - CAST(sum_x AS HUGEINT) * sum_x <= 0 THEN NULL
+            ELSE floor(CAST(CAST(n_ends AS HUGEINT) * sum_xy
+            - CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE)
+            * 1000000.0
+            / (sqrt(CAST(CAST(n_ends AS HUGEINT) * sum_xx
+            - CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE))
+            * sqrt(CAST(CAST(n_ends AS HUGEINT) * sum_xx
+            - CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE))))
+            END AS BIGINT) AS assortativity_ppm
+FROM mom
+"""

@@ -1454,11 +1454,25 @@ def wordpiece_pair_scores(docs: DataFrame, text_col: str = "text",
     Scale: the same vocabulary collapse as bpe_merge_round (one
     corpus-scale groupBy, then everything is vocab-scale); unigram
     counts reaggregate the SAME vocab frame; top-n is TakeOrdered."""
-    vocab = (
+    vocab = wordpiece_vocab(docs, text_col)
+    return wordpiece_from_vocab(vocab, top_n)
+
+
+def wordpiece_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, tok_cnt) — the ADDITIVE sufficient statistic of the
+    criterion (token counts merge by keyed sum under any arrival
+    order), which is exactly the state the streaming twin folds."""
+    return (
         docs.select(F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tok_cnt"))
     )
+
+
+def wordpiece_from_vocab(vocab: DataFrame,
+                         top_n: int = WORDPIECE_TOP) -> DataFrame:
+    """The scoring half, from the vocabulary frame — shared by the
+    batch operator and the streaming twin."""
     chars = (
         vocab.select(
             "tok_cnt",

@@ -12143,9 +12143,7 @@ def q_streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "item_rec_hitrate",
-    oracle="""
+_REC_HITRATE_SQL = """
 WITH first_ts AS (
   SELECT user_id AS u,
          CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS item,
@@ -12209,7 +12207,53 @@ SELECT h.u, h.heldout,
 FROM held h
 LEFT JOIN topk t ON t.u = h.u AND t.rnk <= 5
 GROUP BY 1, 2
+"""
+
+
+@query(
+    "rec_ranking_metrics",
+    oracle="""
+WITH base AS (""" + _REC_HITRATE_SQL + """)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS hit_rate_ppm,
+       CAST(sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000 WHEN 2 THEN 500000 WHEN 3 THEN 333333 WHEN 4 THEN 250000 WHEN 5 THEN 200000 END, 0))
+            // count(*) AS BIGINT) AS mrr_ppm,
+       CAST(sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 END, 0))
+            // count(*) AS BIGINT) AS ndcg_ppm
+FROM base
 """,
+)
+def q_rec_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality rollup of the leave-last-out recommender
+    evaluation: hit rate, MRR@5, and binary-relevance NDCG@5 from the
+    SAME hit-rank frame item_rec_hitrate emits (one extra one-row
+    aggregate).  The log2 discounts 1/log2(1+i) are PYTHON-computed
+    micro-unit literals injected into both engines (the SPRT
+    quantize-the-constants lesson: IEEE does not promise correctly-
+    rounded log2, so the constant is quantized once, never computed
+    in-plan); with one relevant item per user IDCG = 1, so per-user
+    NDCG IS the discount literal at the hit rank.  Means are exact
+    floor-ppm divisions of BIGINT sums."""
+    hit = QUERIES["item_rec_hitrate"](spark, sf_dir)
+    return hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_hits"),
+        F.expr("CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)"
+               " * 1000000 div count(1) AS BIGINT)").alias("hit_rate_ppm"),
+        F.expr(f"CAST(sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000 WHEN 2 THEN 500000 WHEN 3 THEN 333333 WHEN 4 THEN 250000 WHEN 5 THEN 200000 END, 0))"
+               " div count(1) AS BIGINT)").alias("mrr_ppm"),
+        F.expr(f"CAST(sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 END, 0))"
+               " div count(1) AS BIGINT)").alias("ndcg_ppm"),
+    )
+
+
+@query(
+    "item_rec_hitrate",
+    oracle=_REC_HITRATE_SQL,
 )
 def q_item_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-last-out recommender evaluation (the standard implicit-
@@ -18160,6 +18204,26 @@ def q_louvain_item_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_first_pass(_item_wedges(spark, sf_dir).persist())
 
 
+from .operators.graph import ASSORTATIVITY_SQL, assortativity_report  # noqa: E402
+
+
+@query(
+    "assortativity_items",
+    oracle=f"""
+WITH e AS ({_ITEM_WEDGES_SQL}),
+{ASSORTATIVITY_SQL("e")}
+""",
+)
+def q_assortativity_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the item co-occurrence graph (Newman
+    2002): exact BIGINT moment sums over symmetrized edge ends, the
+    one IEEE-correctly-rounded ratio floored to ppm — the diagnostic
+    that says whether this graph's joins need hub caps (disassortative
+    hub-and-spoke) or salting (assortative hub-hub).  One keyed degree
+    join + one global agg.  See operators/graph.py."""
+    return assortativity_report(_item_wedges(spark, sf_dir).persist())
+
+
 from .operators.graph import LOUVAIN_SECOND_SQL, louvain_second_pass  # noqa: E402
 
 
@@ -19103,6 +19167,70 @@ def q_wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic beside bpe_merge_round's raw-frequency choice; same
     vocabulary-collapse scale shape.  See operators/lm.py."""
     return wordpiece_pair_scores(load_table(spark, sf_dir, "documents"))
+
+
+from .operators.dedup import CDC_CHUNK_SQL, cdc_chunk_dedup  # noqa: E402
+
+
+@query("cdc_chunk_dedup", oracle=CDC_CHUNK_SQL())
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report per source (LBFS/FastCDC
+    — the storage-layer dedup for binary/media payloads): rolling-hash
+    boundaries (4-byte window, 0 mod 17) make chunk fingerprints
+    insertion-shift-resistant; the report counts chunk sharing and the
+    storage savings within each source.  One per-byte explode into a
+    doc-keyed window (the audio-framing cost), then keyed aggregations
+    only.  See operators/dedup.py cdc_chunk_dedup."""
+    return cdc_chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query("streaming_wordpiece_scores", oracle=WORDPIECE_SQL())
+def q_streaming_wordpiece_scores(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """INCREMENTAL WordPiece criterion: the carried state is the
+    (tok, tok_cnt) VOCABULARY — the criterion's additive sufficient
+    statistic (token counts merge by keyed sum), a vocabulary-scale
+    state frame beside the twins' counter/semilattice/top-k shapes.
+    Each micro-batch folds its token counts; the pair/unigram scoring
+    derives from state at report time.  Oracle = the one-shot batch
+    ranking."""
+    import tempfile
+
+    from .operators.lm import wordpiece_from_vocab, wordpiece_vocab
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import read_latest_state
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="omldm_swp_")
+    src_dir = f"{tmp}/src"
+    docs.repartition(4).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = wordpiece_vocab(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("tok").agg(
+                F.sum("tok_cnt").cast("long").alias("tok_cnt"))
+        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "rank long, w1 string, w2 string, pair_cnt long,"
+            " c1 long, c2 long, score_ppb long")
+    return wordpiece_from_vocab(state)
 
 
 from .operators.quality import (  # noqa: E402

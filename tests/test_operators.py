@@ -4653,3 +4653,78 @@ def test_chimerge_referee_and_fixpoint(spark):
     assert spans[0][1] == 1          # bins 0+1 merged
     assert 2 in spans and spans[2][1] >= 3   # high regime separate
     assert spans[max(spans)][2] == 0          # zero-pos tail merged
+
+
+def test_cdc_chunking_shift_resistant_and_exact(spark):
+    """Brute-force referee replays the rolling-hash boundaries; a
+    1-char insertion at the head of a copied payload must leave most
+    chunk fingerprints shared (the content-defined property a fixed
+    chunker lacks), surfacing as savings_ppm well above zero."""
+    import hashlib
+
+    from omldm_spark.operators.dedup import (CDC_DIVISOR, CDC_WINDOW,
+                                             _CDC_B, cdc_chunk_dedup)
+
+    payload = ("the quick brown fox jumps over the lazy dog again and "
+               "again while seventeen rolling hashes mark the cut points "
+               "of this synthetic binary payload standing in for bytes")
+    docs = spark.createDataFrame(
+        [(1, payload, "s"), (2, "Z" + payload, "s")],
+        "doc_id long, text string, source string")
+
+    def ref_chunks(t):
+        flags = []
+        for p in range(1, len(t) + 1):
+            h = sum(ord(t[p - 1 - j]) * (_CDC_B ** j)
+                    for j in range(CDC_WINDOW)) if p >= CDC_WINDOW else None
+            flags.append(1 if h is not None and h % CDC_DIVISOR == 0
+                         else 0)
+        out, start = [], 0
+        for p in range(1, len(t) + 1):
+            if flags[p - 1]:
+                out.append(t[start:p])
+                start = p
+        if start < len(t):
+            out.append(t[start:])
+        return out
+
+    c1, c2 = ref_chunks(payload), ref_chunks("Z" + payload)
+    fps = {}
+    for c in c1 + c2:
+        key = hashlib.md5(c.encode()).hexdigest()
+        fps[key] = (fps.get(key, (0, 0))[0] + 1, len(c))
+    total = sum(n * ln for n, ln in fps.values())
+    distinct = sum(ln for _, ln in fps.values())
+    out = {r["source"]: r for r in cdc_chunk_dedup(docs).collect()}
+    r = out["s"]
+    assert r.n_chunks == len(c1) + len(c2)
+    assert r.n_distinct_chunks == len(fps)
+    assert r.total_chars == total and r.distinct_chars == distinct
+    assert r.savings_ppm == (total - distinct) * 1_000_000 // total
+    # shift resistance: only the head chunk re-fingerprints, so well
+    # over a third of the bytes dedup away despite the insertion
+    assert r.savings_ppm > 350_000
+
+
+def test_assortativity_star_negative_regular_null(spark):
+    """A star graph is maximally disassortative (hub degree n meets
+    leaf degree 1 at every end): r = -1 exactly, so the floor-ppm is
+    -1000000; a 4-cycle is regular (zero degree variance) and must
+    report NULL, not a division error.  Moments pinned by brute
+    force."""
+    from omldm_spark.operators.graph import assortativity_report
+
+    star = spark.createDataFrame(
+        [(0, i, 1) for i in range(1, 6)], "a long, b long, w long")
+    r = assortativity_report(star).collect()[0]
+    ends = [(5, 1)] * 5 + [(1, 5)] * 5
+    assert r.n_ends == 10
+    assert r.sum_x == sum(x for x, _ in ends)
+    assert r.sum_xy == sum(x * y for x, y in ends)
+    assert r.sum_xx == sum(x * x for x, _ in ends)
+    assert r.assortativity_ppm == -1_000_000
+    cycle = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 1)],
+        "a long, b long, w long")
+    r2 = assortativity_report(cycle).collect()[0]
+    assert r2.assortativity_ppm is None

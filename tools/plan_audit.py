@@ -1761,8 +1761,11 @@ CHECKS.update({
         # assignment
         ("seed centroids broadcast", lambda p: "BroadcastExchange" in p),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        # r11: the corpus-proportional kval is a one-row global agg
+        # (SinglePartition by design); the property is that the argmin
+        # WINDOW stays vid-keyed
         ("argmin window keyed by vid",
-         lambda p: "SinglePartition" not in p),
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
         ("consumers read the persisted assignment",
          lambda p: p.count("InMemoryTableScan") >= 2),
     ],
@@ -1829,6 +1832,77 @@ CHECKS.update({
         ("norms broadcast", lambda p: "BroadcastHashJoin" in p),
         ("gradient + merge aggs map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
+    ],
+    # ---- round 11 additions -------------------------------------------
+    "louvain_second_pass": [
+        # pass-1 labels persist and feed the aggregation, degree rollup
+        # and output join; the level-2 argmax window is keyed by the
+        # super-vertex, never a global sort
+        ("consumers read the persisted pass-1 labels",
+         lambda p: p.count("InMemoryTableScan") >= 3),
+        ("level-2 argmax keyed by community",
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
+    "source_shapley_value": [
+        # one fact-scale funnel pass collapses to |sources| rows; the
+        # coalition frame (<= 512 rows) and player stats broadcast
+        ("coalition math on broadcast frames",
+         lambda p: "BroadcastExchange" in p),
+        ("funnel features map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no shuffled cartesian", lambda p: "CartesianProduct" not in p),
+        ("coalition frame persisted for v0/v1 reuse",
+         lambda p: "InMemoryTableScan" in p),
+    ],
+    "facility_location_select": [
+        # candidates broadcast into the dot aggregation; the persisted
+        # dot frame feeds every round; argmax is TakeOrdered(1)
+        ("candidate side broadcast", lambda p: "BroadcastExchange" in p),
+        ("rounds read the persisted dot frame",
+         lambda p: p.count("InMemoryTableScan") >= 3),
+        ("round argmax via distributed TakeOrdered",
+         lambda p: "TakeOrdered" in p),
+        ("no shuffled cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "wordpiece_pair_scores": [
+        # corpus collapses to the vocab in one combiner-backed groupBy;
+        # unigram/pair stats reaggregate vocab-scale frames; top-n is
+        # a bounded window (rank <= 20 filter post-window is fine)
+        ("vocab + pair aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
+    "rec_ranking_metrics": [
+        # rides the hitrate frame: per-user windows stay user-keyed;
+        # the final rollup is one row
+        ("ranking windows keyed by user",
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+         or "Window" not in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
+    "assortativity_items": [
+        # two keyed degree joins + ONE global moment agg; no window
+        ("no window at all", lambda p: "Window" not in p),
+        ("moment agg map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
+    "cdc_chunk_dedup": [
+        # per-byte explode into a DOC-keyed running-sum window; all
+        # aggregations keyed; no join until the |groups|-row report
+        ("chunk window keyed by doc",
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+        ("aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
+    "chimerge_value_bins": [
+        # one row-scale agg to the 16-bucket frame; every round is two
+        # ordered windows + one grouped sum on that bounded frame
+        ("input aggregation map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no join at all", lambda p: "Join" not in p),
     ],
 })
 
