@@ -4391,6 +4391,210 @@ def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_RECALL_SQL = f"""
+WITH qe AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS vid,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS MATERIALIZED (
+  SELECT vid AS cid, qv AS cv FROM qe WHERE vid < {_IVF_C}
+),
+assigned AS MATERIALIZED (
+  SELECT e.vid, e.qv, c.cid
+  FROM qe e CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vid
+    ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))), c.cid
+  ) = 1
+),
+probes AS MATERIALIZED (
+  SELECT q.vid AS query_id, c.cid,
+         row_number() OVER (
+           PARTITION BY q.vid
+           ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid
+         ) AS prk
+  FROM (SELECT vid, qv FROM qe WHERE vid < {_IVF_NQ}) q
+  CROSS JOIN cents c
+  QUALIFY prk <= 4
+),
+cand AS MATERIALIZED (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         CAST(min(p.prk) AS BIGINT) AS reach,
+         CAST(min(list_sum(list_transform(range(1, 65),
+              i -> (q.qv[i] - a.qv[i]) * (q.qv[i] - a.qv[i]))))
+              AS BIGINT) AS d2
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid AND a.vid != p.query_id
+  JOIN qe q ON q.vid = p.query_id
+  GROUP BY 1, 2
+),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.vid AS query_id, e.vid AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vid
+             ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> (q.qv[i] - e.qv[i]) * (q.qv[i] - e.qv[i]))),
+                      e.vid
+           ) AS rk
+    FROM (SELECT vid, qv FROM qe WHERE vid < {_IVF_NQ}) q
+    CROSS JOIN qe e
+    WHERE e.vid != q.vid
+  ) WHERE rk <= {_IVF_K}
+),
+ivf1 AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, neighbor_id) AS rk
+    FROM cand WHERE reach <= 1
+  ) WHERE rk <= {_IVF_K}
+),
+hit1 AS (
+  SELECT CAST(1 AS BIGINT) AS n_probe,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM ivf1 i JOIN exact e
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+),
+ivf2 AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, neighbor_id) AS rk
+    FROM cand WHERE reach <= 2
+  ) WHERE rk <= {_IVF_K}
+),
+hit2 AS (
+  SELECT CAST(2 AS BIGINT) AS n_probe,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM ivf2 i JOIN exact e
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+),
+ivf4 AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2, neighbor_id) AS rk
+    FROM cand WHERE reach <= 4
+  ) WHERE rk <= {_IVF_K}
+),
+hit4 AS (
+  SELECT CAST(4 AS BIGINT) AS n_probe,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM ivf4 i JOIN exact e
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+)
+SELECT n_probe,
+       CAST({_IVF_NQ} AS BIGINT) AS n_queries,
+       n_hits,
+       CAST(n_hits * 1000000 // ({_IVF_NQ} * {_IVF_K}) AS BIGINT)
+         AS recall_ppm
+FROM (SELECT * FROM hit1 UNION ALL SELECT * FROM hit2 UNION ALL SELECT * FROM hit4)
+ORDER BY n_probe
+"""
+
+
+@query("ivf_recall_report", oracle=_IVF_RECALL_SQL)
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall@k curve of the IVF restricted search vs the exact
+    brute-force top-k, per probe count (1, 2, 4) — the eval harness an
+    ANN deployment tunes n_probe with, previously pinned only in
+    pytest, now an oracle-gated contract query.  Everything is the
+    deterministic integer-d2 machinery of ann_ivf_exact_topk; a
+    candidate's REACH is the min probe rank of its cell, so all three
+    probe settings rank ONE persisted candidate frame.  The exact
+    baseline is brute force over the BOUNDED query set (10 queries x
+    corpus — the eval-harness cost, not a corpus quadratic)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.select(
+        F.col("vec_id").cast("long").alias("vid"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            " * 1000000, 0) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint()
+    cents = qe.filter(F.col("vid") < _IVF_C).select(
+        F.col("vid").alias("cid"), F.col("qv").alias("cv"))
+    d2c = F.expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    scored = qe.crossJoin(F.broadcast(cents)).select(
+        "vid", "qv", "cid", d2c.alias("dc"))
+    wv = Window.partitionBy("vid").orderBy("dc", "cid")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1).select("vid", "qv", "cid")
+    )
+    probes = (
+        scored.filter(F.col("vid") < _IVF_NQ)
+        .withColumn("prk", F.row_number().over(wv))
+        .filter(F.col("prk") <= 4)
+        .select(F.col("vid").alias("query_id"), "cid", "prk",
+                F.col("qv").alias("q_qv"))
+    )
+    dq = F.expr(
+        "aggregate(zip_with(q_qv, qv, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    cand = (
+        probes.join(assigned, "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.min("prk").cast("long").alias("reach"),
+             F.min(dq).cast("long").alias("d2"))
+    ).persist()
+    queries_q = qe.filter(F.col("vid") < _IVF_NQ).select(
+        F.col("vid").alias("query_id"), F.col("qv").alias("q_qv"))
+    allpairs = (
+        queries_q.crossJoin(qe)
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", F.col("vid").alias("neighbor_id"),
+                dq.alias("d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        allpairs.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _IVF_K)
+        .select("query_id", "neighbor_id")
+    ).persist()
+    parts = []
+    for p_ in (1, 2, 4):
+        ivf = (
+            cand.filter(F.col("reach") <= p_)
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= _IVF_K)
+            .select("query_id", "neighbor_id")
+        )
+        parts.append(
+            ivf.join(exact, ["query_id", "neighbor_id"]).agg(
+                F.lit(p_).cast("long").alias("n_probe"),
+                F.count(F.lit(1)).cast("long").alias("n_hits"),
+            )
+        )
+    rep = parts[0]
+    for x in parts[1:]:
+        rep = rep.unionByName(x)
+    return rep.select(
+        "n_probe",
+        F.lit(_IVF_NQ).cast("long").alias("n_queries"),
+        "n_hits",
+        F.expr(f"CAST(n_hits * 1000000 div ({_IVF_NQ} * {_IVF_K})"
+               " AS BIGINT)").alias("recall_ppm"),
+    )
+
+
 from .operators.similarity import (  # noqa: E402
     ANN_IVF_TRAINED_SQL,
     ivf_search_quantized,

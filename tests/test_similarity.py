@@ -547,3 +547,19 @@ def test_semdedup_k_grows_with_corpus(spark):
                                   "vec_id long, embedding array<float>")
     out2 = semdedup_keep_list(small, k=2, target_cluster=64)
     assert {r["cid"] for r in out2.collect()} <= {0, 1}
+
+
+def test_ivf_recall_report_monotone_and_bounded(spark):
+    """Recall@k must be non-decreasing in n_probe (probing more cells
+    can only add candidates) and bounded by 1.0; at n_probe = n_cells
+    the restricted search IS brute force, so recall caps at 1e6."""
+    from omldm_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["ivf_recall_report"](spark, "/root/testdata/sf0.001")
+        .collect(), key=lambda r: r["n_probe"])
+    assert [r["n_probe"] for r in rows] == [1, 2, 4]
+    recalls = [r["recall_ppm"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(0 <= x <= 1_000_000 for x in recalls)
+    assert all(r["n_hits"] <= r["n_queries"] * 5 for r in rows)

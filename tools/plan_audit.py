@@ -1873,6 +1873,16 @@ CHECKS.update({
          lambda p: p.count("HashAggregate") >= 4),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
+    "ivf_recall_report": [
+        # centroids broadcast into assignment/probing; the candidate
+        # frame persists and all three probe rankings read it; windows
+        # stay query-keyed
+        ("centroids broadcast", lambda p: "BroadcastExchange" in p),
+        ("probe rankings read the persisted candidate frame",
+         lambda p: p.count("InMemoryTableScan") >= 3),
+        ("ranking windows keyed by query",
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+    ],
     "rec_ranking_metrics": [
         # rides the hitrate frame: per-user windows stay user-keyed;
         # the final rollup is one row
