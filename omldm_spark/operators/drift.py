@@ -454,6 +454,90 @@ def ks_from_counts(per: DataFrame) -> DataFrame:
     return d.orderBy(F.desc("d_ppm"), "at_value_cents").limit(1)
 
 
+def wasserstein_value_periods(events: DataFrame) -> DataFrame:
+    """Two-sample 1-Wasserstein (earth-mover) distance over ``value``
+    between the same reference/current windows ks_two_sample compares:
+    W1 = ∫ |CDF_a − CDF_b| dv — the magnitude-weighted drift number KS
+    deliberately ignores (KS sees the largest gap; W1 sees how much
+    mass moved how far, the metric retraining-trigger policies
+    actually threshold).  Both derive from the SAME additive
+    (v_cents, a_cnt, b_cnt) sufficient statistic, so a deployment
+    carries one state frame for the whole drift panel.
+
+    Exactness: the trapezoid-free discrete form Σ |cdf_a − cdf_b|·gap
+    over the ordered DISTINCT cents domain, every term an exact BIGINT
+    (floor-ppm CDFs x integer gaps) — quantize-then-sum.  Output one
+    row: (w1_cents_ppm, n_values, n_a, n_b); divide by 100·1e6 for
+    currency units.
+
+    Scale: identical to ks_two_sample — the ordered window runs on the
+    value-DOMAIN-bounded counts frame, never on rows."""
+    return wasserstein_from_counts(ks_counts(events))
+
+
+def wasserstein_from_counts(per: DataFrame) -> DataFrame:
+    """W1 report row from a (v_cents, a_cnt, b_cnt) counts frame."""
+    w = Window.orderBy("v_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wo = Window.orderBy("v_cents")
+    wt = Window.partitionBy()
+    cum = per.select(
+        "v_cents",
+        F.sum("a_cnt").over(w).cast("long").alias("cum_a"),
+        F.sum("b_cnt").over(w).cast("long").alias("cum_b"),
+        F.sum("a_cnt").over(wt).cast("long").alias("n_a"),
+        F.sum("b_cnt").over(wt).cast("long").alias("n_b"),
+        (F.lead("v_cents").over(wo) - F.col("v_cents")).cast("long")
+        .alias("gap"),
+    )
+    return cum.agg(
+        F.sum(F.expr(
+            "CASE WHEN gap IS NULL THEN 0 ELSE"
+            " abs(CAST(cum_a * 1000000 div n_a AS BIGINT)"
+            " - CAST(cum_b * 1000000 div n_b AS BIGINT)) * gap END"
+        )).cast("long").alias("w1_cents_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )
+
+
+def WASSERSTEIN_SQL(table: str = "events") -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
+         {_WIN_SQL} AS win
+  FROM {table}
+),
+per AS (
+  SELECT v_cents,
+         CAST(sum(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT v_cents,
+         CAST(sum(a_cnt) OVER (ORDER BY v_cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+         CAST(sum(b_cnt) OVER (ORDER BY v_cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+         CAST(sum(a_cnt) OVER () AS BIGINT) AS n_a,
+         CAST(sum(b_cnt) OVER () AS BIGINT) AS n_b,
+         CAST(lead(v_cents) OVER (ORDER BY v_cents) - v_cents
+              AS BIGINT) AS gap
+  FROM per
+)
+SELECT CAST(sum(CASE WHEN gap IS NULL THEN 0 ELSE
+            abs(CAST(cum_a * 1000000 // n_a AS BIGINT)
+                - CAST(cum_b * 1000000 // n_b AS BIGINT)) * gap END)
+            AS BIGINT) AS w1_cents_ppm,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b
+FROM cum
+"""
+
+
 def KS_TWO_SAMPLE_SQL(table: str = "events") -> str:
     return f"""
 WITH base AS (

@@ -1150,3 +1150,98 @@ def FACLOC_SQL(k: int = FACLOC_K, n_cand: int = FACLOC_CAND,
             f"       CAST(sum(gain) OVER (ORDER BY rank"
             f" ROWS UNBOUNDED PRECEDING) AS BIGINT) AS objective\n"
             f"FROM sel{k}")
+
+
+ROCCHIO_FB_K = 5       # pseudo-relevant feedback depth
+ROCCHIO_TOP = 10       # expansion terms reported
+# β = 0.75 as the exact rational 3/4 (α·q is the unchanged original
+# term set, reported separately; γ = 0 — no negative feedback set)
+ROCCHIO_BETA_NUM, ROCCHIO_BETA_DEN = 3, 4
+
+
+def rocchio_expansion(docs: DataFrame, query_terms: DataFrame,
+                      query_id: int, fb_k: int = ROCCHIO_FB_K,
+                      top_n: int = ROCCHIO_TOP,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Rocchio pseudo-relevance feedback (Rocchio 1971; the classic
+    query-expansion step every lexical retrieval stack still runs):
+    take the query's top ``fb_k`` BM25 documents as pseudo-relevant,
+    average their tf-idf vectors, and report the ``top_n`` highest-
+    weighted terms NOT already in the query — the terms that expand
+    recall on the next retrieval round.
+
+    Exactness: the centroid stays integer — score_q = 3·Σ tfidf_q div
+    (4·fb_k) (β = 3/4 exact; tfidf_q is the repo's quantized integer
+    weight) — so the ranking (score DESC, term) is engine-identical.
+
+    Output: (rank, term, n_fb_docs, df, score_q).
+
+    Scale: the feedback set is fb_k doc ids (broadcast semi-join into
+    the postings frame — touches fb_k documents' terms only); the
+    centroid is one term-keyed agg; top-n is a bounded window."""
+    fb = (
+        bm25_topk(docs, query_terms, k=fb_k, text_col=text_col,
+                  id_col=id_col)
+        .filter(F.col("query_id") == query_id)
+        .select(id_col)
+    )
+    tf = tfidf_doc_vectors(docs, text_col, id_col)
+    cent = (
+        tf.join(F.broadcast(fb), id_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fb_docs"),
+             F.max("df").cast("long").alias("df"),
+             F.sum("tfidf_q").cast("long").alias("s"))
+        .select(
+            "term", "n_fb_docs", "df",
+            F.expr(f"CAST({ROCCHIO_BETA_NUM} * s"
+                   f" div ({ROCCHIO_BETA_DEN} * {fb_k}) AS BIGINT)")
+            .alias("score_q"),
+        )
+    )
+    expand = cent.join(
+        F.broadcast(query_terms.filter(F.col("query_id") == query_id)
+                    .select("term")),
+        "term", "left_anti")
+    w = Window.orderBy(F.desc("score_q"), "term")
+    return (
+        expand.select("*", F.row_number().over(w).cast("long")
+                      .alias("rank"))
+        .where(F.col("rank") <= top_n)
+        .select("rank", "term", "n_fb_docs", "df", "score_q")
+    )
+
+
+def ROCCHIO_SQL(queries: list, query_id: int, fb_k: int = ROCCHIO_FB_K,
+                top_n: int = ROCCHIO_TOP, table: str = "documents",
+                text_expr: str = "text", id_col: str = "doc_id") -> str:
+    qterms = ", ".join(
+        f"('{t}')" for qid, terms in queries for t in terms
+        if qid == query_id)
+    return f"""
+WITH fb AS (
+  SELECT {id_col} FROM ({BM25_TOPK_SQL(queries, k=fb_k, table=table,
+                                       text_expr=text_expr,
+                                       id_col=id_col)})
+  WHERE query_id = {query_id}
+),
+tfv AS ({TFIDF_SQL(table, text_expr, id_col)}),
+cent AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS n_fb_docs,
+         CAST(max(t.df) AS BIGINT) AS df,
+         CAST({ROCCHIO_BETA_NUM} * sum(t.tfidf_q)
+              // ({ROCCHIO_BETA_DEN} * {fb_k}) AS BIGINT) AS score_q
+  FROM tfv t JOIN fb ON fb.{id_col} = t.{id_col}
+  GROUP BY 1
+),
+expand AS (
+  SELECT * FROM cent
+  WHERE term NOT IN (SELECT q FROM (VALUES {qterms}) v(q))
+)
+SELECT CAST(row_number() OVER (ORDER BY score_q DESC, term) AS BIGINT)
+         AS rank,
+       term, n_fb_docs, df, score_q
+FROM expand
+QUALIFY rank <= {top_n}
+"""

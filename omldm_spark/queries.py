@@ -3950,6 +3950,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.retrieval import ROCCHIO_SQL, rocchio_expansion  # noqa: E402
+
+
+@query("rocchio_expansion_terms",
+       oracle=ROCCHIO_SQL(_BM25_QUERIES, query_id=2))
+def q_rocchio_expansion_terms(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback for the 'fast scan filter'
+    query: top-5 BM25 docs are pseudo-relevant, their integer tf-idf
+    centroid (β = 3/4 exact) ranks the top-10 expansion terms not
+    already in the query — the classic recall-expansion step before a
+    second retrieval round.  Feedback ids broadcast-semi-join the
+    postings; one term-keyed agg; bounded top-n window.  See
+    operators/retrieval.py rocchio_expansion."""
+    return rocchio_expansion(
+        load_table(spark, sf_dir, "documents"), _bm25_query_df(spark),
+        query_id=2)
+
+
 from .operators.retrieval import RRF_FUSE_SQL, rrf_fuse  # noqa: E402
 from .operators.similarity import (  # noqa: E402
     QUANTIZED_COSINE_TOPK_SQL,
@@ -13689,6 +13708,24 @@ def q_hierarchy_revenue_shares(spark: SparkSession,
 # ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift test (transcendental-free)
 # ---------------------------------------------------------------------------
+
+from .operators.drift import (  # noqa: E402
+    WASSERSTEIN_SQL, wasserstein_value_periods)
+
+
+@query("wasserstein_value_periods", oracle=WASSERSTEIN_SQL())
+def q_wasserstein_value_periods(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Two-sample 1-Wasserstein distance over event value between the
+    reference/current windows — the magnitude-weighted drift number
+    beside ks_two_sample_value's largest-gap statistic, derived from
+    the SAME additive (v_cents, a_cnt, b_cnt) sufficient statistic
+    (one state frame serves the whole drift panel, batch or
+    streaming).  Σ |floor-ppm CDF gap| x integer domain gap over the
+    value-DOMAIN-bounded counts frame — exact BIGINT quantize-then-
+    sum.  See operators/drift.py wasserstein_value_periods."""
+    return wasserstein_value_periods(load_table(spark, sf_dir, "events"))
+
 
 @query(
     "ks_value_periods",

@@ -437,3 +437,31 @@ def test_facility_location_greedy_brute_force(spark):
         assert r["objective"] == total
     gains = [g for _, g in ref]
     assert gains == sorted(gains, reverse=True)  # submodular decay
+
+
+def test_rocchio_expansion_excludes_query_and_ranks_centroid(spark):
+    """Planted corpus: docs about 'hash join' also mention 'bucket';
+    the expansion for query (hash, join) must rank 'bucket' first,
+    never emit an original query term, and match the brute-force
+    integer centroid."""
+    from omldm_spark.operators.retrieval import rocchio_expansion
+
+    docs = spark.createDataFrame(
+        [(1, "hash join bucket probe build side"),
+         (2, "hash join bucket partition spill"),
+         (3, "hash join bucket radix pass"),
+         (4, "sort merge shuffle range"),
+         (5, "scan filter predicate pushdown")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([(1, "hash"), (1, "join")],
+                              "query_id long, term string")
+    out = rocchio_expansion(docs, q, query_id=1, fb_k=3, top_n=5)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    terms = [r["term"] for r in rows]
+    assert "hash" not in terms and "join" not in terms
+    assert rows[0]["term"] == "bucket"
+    assert rows[0]["n_fb_docs"] == 3
+    # brute-force centroid for 'bucket': tf=1 in each of 3 fb docs
+    import math
+    tfidf_q = round(1 * math.log((1 + 5) / (1 + 3)) * 1_000_000)
+    assert rows[0]["score_q"] == 3 * (3 * tfidf_q) // (4 * 3)

@@ -1873,6 +1873,21 @@ CHECKS.update({
          lambda p: p.count("HashAggregate") >= 4),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
+    "wasserstein_value_periods": [
+        # the ordered CDF window runs on the value-DOMAIN-bounded
+        # counts frame (the ks_two_sample shape); one final global agg
+        ("counts collapse before the CDF window",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no join at all", lambda p: "Join" not in p),
+    ],
+    "rocchio_expansion_terms": [
+        # fb ids + query terms broadcast; centroid is one term-keyed
+        # agg; no cartesian
+        ("feedback set broadcast", lambda p: "BroadcastExchange" in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+        ("centroid agg map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
     "ivf_recall_report": [
         # centroids broadcast into assignment/probing; the candidate
         # frame persists and all three probe rankings read it; windows
