@@ -2046,3 +2046,109 @@ SELECT rep.grp AS {group_col}, dg.n_docs, n_chunks, n_distinct_chunks,
             AS BIGINT) AS savings_ppm
 FROM rep JOIN dg ON dg.grp = rep.grp
 """
+
+
+BOILER_N = 5            # n-gram width of the template detector
+BOILER_MIN_SHARE = 200_000   # report n-grams in >= 20% of a source's docs
+BOILER_TOP = 10         # per source
+
+
+def boilerplate_ngrams(docs: DataFrame, n: int = BOILER_N,
+                       min_share_ppm: int = BOILER_MIN_SHARE,
+                       top_n: int = BOILER_TOP,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       group_col: str = "source") -> DataFrame:
+    """Per-source boilerplate detector (the CCNet/RefinedWeb template-
+    removal shape, doc-frequency form): an n-gram that appears in a
+    large share of ONE source's documents is template chrome (nav
+    bars, footers, license blurbs), not content — the thing paragraph
+    dedup removes before any quality scoring.  Reports, per source,
+    the top n-grams by DOC share (distinct-doc counts, so a doc
+    repeating its own footer counts once).
+
+    Output: (source, ngram, n_docs_with, n_docs, doc_share_ppm, rank)
+    for n-grams at or above ``min_share_ppm``.
+
+    Scale: one token-position explode (corpus-linear), a distinct
+    (source, ngram, doc) collapse feeding a (source, ngram) count —
+    both map-side combined; the share join is a |sources|-row
+    broadcast; top-n is a source-keyed window."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("did"), F.col(group_col).alias("grp"),
+        tokens_col(text_col).alias("tk"),
+    ).where(F.size("tk") >= n)
+    grams = toks.select(
+        "did", "grp",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - (n - 1)))
+        .alias("i"),
+        F.col("tk"),
+    ).select(
+        "did", "grp",
+        F.expr(f"array_join(slice(tk, i, {n}), ' ')").alias("ngram"),
+    ).distinct()
+    df_cnt = grams.groupBy("grp", "ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with"))
+    per_grp = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    shared = (
+        df_cnt.join(F.broadcast(per_grp), "grp")
+        .select(
+            "grp", "ngram", "n_docs_with", "n_docs",
+            F.expr("n_docs_with * 1000000 div n_docs").cast("long")
+            .alias("doc_share_ppm"),
+        )
+        .where(F.col("doc_share_ppm") >= min_share_ppm)
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("doc_share_ppm"), "ngram")
+    return (
+        shared.select("*", F.row_number().over(w).cast("long")
+                      .alias("rank"))
+        .where(F.col("rank") <= top_n)
+        .select(F.col("grp").alias(group_col), "ngram", "n_docs_with",
+                "n_docs", "doc_share_ppm", "rank")
+    )
+
+
+def BOILERPLATE_SQL(n: int = BOILER_N,
+                    min_share_ppm: int = BOILER_MIN_SHARE,
+                    top_n: int = BOILER_TOP, table: str = "documents",
+                    text_expr: str = "text", id_col: str = "doc_id",
+                    group_col: str = "source") -> str:
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS did, {group_col} AS grp,
+         {TOKENS_SQL(text_expr)} AS tk
+  FROM {table}
+  WHERE len({TOKENS_SQL(text_expr)}) >= {n}
+),
+grams AS (
+  SELECT DISTINCT did, grp,
+         array_to_string(tk[CAST(u.i AS BIGINT):CAST(u.i + {n} - 1
+                          AS BIGINT)], ' ') AS ngram
+  FROM toked,
+       unnest(range(1, CAST(len(tk) - {n - 1} AS BIGINT) + 1)) AS u(i)
+),
+df_cnt AS (
+  SELECT grp, ngram, CAST(count(*) AS BIGINT) AS n_docs_with
+  FROM grams GROUP BY 1, 2
+),
+per_grp AS (
+  SELECT {group_col} AS grp, CAST(count(*) AS BIGINT) AS n_docs
+  FROM {table} GROUP BY 1
+),
+shared AS (
+  SELECT d.grp, d.ngram, d.n_docs_with, p.n_docs,
+         CAST(d.n_docs_with * 1000000 // p.n_docs AS BIGINT)
+           AS doc_share_ppm
+  FROM df_cnt d JOIN per_grp p ON p.grp = d.grp
+  WHERE d.n_docs_with * 1000000 // p.n_docs >= {min_share_ppm}
+)
+SELECT grp AS {group_col}, ngram, n_docs_with, n_docs, doc_share_ppm,
+       CAST(row_number() OVER (PARTITION BY grp
+            ORDER BY doc_share_ppm DESC, ngram) AS BIGINT) AS rank
+FROM shared
+QUALIFY rank <= {top_n}
+"""

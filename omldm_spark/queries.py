@@ -19410,6 +19410,21 @@ def q_wordpiece_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_pair_scores(load_table(spark, sf_dir, "documents"))
 
 
+from .operators.dedup import BOILERPLATE_SQL, boilerplate_ngrams  # noqa: E402
+
+
+@query("boilerplate_ngrams_report", oracle=BOILERPLATE_SQL())
+def q_boilerplate_ngrams_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-source boilerplate 5-grams (the CCNet/RefinedWeb template-
+    removal detector, doc-frequency form): n-grams present in >= 20%
+    of one source's documents are template chrome, reported top-10 per
+    source by distinct-doc share.  One corpus-linear explode, two
+    map-side-combined aggs, a |sources|-row broadcast, a source-keyed
+    top-n window.  See operators/dedup.py boilerplate_ngrams."""
+    return boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+
+
 from .operators.dedup import CDC_CHUNK_SQL, cdc_chunk_dedup  # noqa: E402
 
 

@@ -4769,3 +4769,30 @@ def test_wasserstein_two_sample_referee(spark):
         " value double")
     out = wasserstein_value_periods(ev).collect()
     assert len(out) == 1 and out[0].w1_cents_ppm >= 0
+
+
+def test_boilerplate_ngrams_planted_template(spark):
+    """Docs of source 'web' share a planted footer 5-gram (80% of
+    docs, repeated twice in one doc — must count ONCE per doc); source
+    'clean' has no repeated n-gram and must report nothing."""
+    from omldm_spark.operators.dedup import boilerplate_ngrams
+
+    footer = "all rights reserved contact us"
+    web = [(i, f"unique words number {i} " * 2 + footer
+            + (" " + footer if i == 0 else ""), "web")
+           for i in range(4)]
+    web.append((9, "totally different content with no template here",
+                "web"))
+    clean = [(100 + i,
+              f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}",
+              "clean") for i in range(5)]
+    docs = spark.createDataFrame(
+        web + clean, "doc_id long, text string, source string")
+    out = boilerplate_ngrams(docs, min_share_ppm=500_000)
+    rows = [r for r in out.collect()]
+    webrows = [r for r in rows if r["source"] == "web"]
+    assert any(r["ngram"] == footer for r in webrows)
+    f = next(r for r in webrows if r["ngram"] == footer)
+    assert f.n_docs_with == 4 and f.n_docs == 5      # doc 0 counted once
+    assert f.doc_share_ppm == 800_000
+    assert not [r for r in rows if r["source"] == "clean"]

@@ -1873,6 +1873,17 @@ CHECKS.update({
          lambda p: p.count("HashAggregate") >= 4),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
+    "boilerplate_ngrams_report": [
+        # distinct (source, ngram, doc) collapse + (source, ngram)
+        # count both map-side combined; |sources| broadcast; top-n
+        # window keyed by source
+        ("aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("per-source totals broadcast",
+         lambda p: "BroadcastExchange" in p),
+        ("top-n window keyed by source",
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+    ],
     "wasserstein_value_periods": [
         # the ordered CDF window runs on the value-DOMAIN-bounded
         # counts frame (the ks_two_sample shape); one final global agg
