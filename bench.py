@@ -60,6 +60,12 @@ HEADLINE = [
     "draft_acceptance_by_source",  # bigram draft argmax + keyed join (r10)
     "shapley_attribution_channels",  # user window + 2^n coalition math
     "semdedup_keep_list",      # cluster-blocked embedding dedup (r10 tail)
+    "source_shapley_value",    # coalition valuation off one funnel pass (r11)
+    "facility_location_select",  # submodular coreset selection (r11)
+    "wordpiece_pair_scores",   # vocab-collapse likelihood criterion (r11)
+    "cdc_chunk_dedup",         # per-byte rolling-hash chunking (r11)
+    "ivf_recall_report",       # ANN recall harness, 3 probe settings (r11)
+    "boilerplate_ngrams_report",  # doc-frequency template detector (r11)
 ]
 
 

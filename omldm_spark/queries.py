@@ -12434,43 +12434,39 @@ GROUP BY 1, 2
 
 
 @query(
-    "rec_ranking_metrics",
+    "rec_mrr_at5",
     oracle="""
 WITH base AS (""" + _REC_HITRATE_SQL + """)
 SELECT CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_hits,
-       CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)
-            * 1000000 // count(*) AS BIGINT) AS hit_rate_ppm,
-       CAST(sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000 WHEN 2 THEN 500000 WHEN 3 THEN 333333 WHEN 4 THEN 250000 WHEN 5 THEN 200000 END, 0))
-            // count(*) AS BIGINT) AS mrr_ppm,
-       CAST(sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 END, 0))
-            // count(*) AS BIGINT) AS ndcg_ppm
+       CAST(CASE WHEN count(*) = 0 THEN NULL ELSE
+            sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000
+                WHEN 2 THEN 500000 WHEN 3 THEN 333333
+                WHEN 4 THEN 250000 WHEN 5 THEN 200000 END, 0))
+            // count(*) END AS BIGINT) AS mrr_ppm
 FROM base
 """,
 )
-def q_rec_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-quality rollup of the leave-last-out recommender
-    evaluation: hit rate, MRR@5, and binary-relevance NDCG@5 from the
-    SAME hit-rank frame item_rec_hitrate emits (one extra one-row
-    aggregate).  The log2 discounts 1/log2(1+i) are PYTHON-computed
-    micro-unit literals injected into both engines (the SPRT
-    quantize-the-constants lesson: IEEE does not promise correctly-
-    rounded log2, so the constant is quantized once, never computed
-    in-plan); with one relevant item per user IDCG = 1, so per-user
-    NDCG IS the discount literal at the hit rank.  Means are exact
-    floor-ppm divisions of BIGINT sums."""
+def q_rec_mrr_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank @5 over the leave-last-out recommender
+    frame — the rank-position metric beside item_rec_summary's
+    hit-rate/NDCG scorecard (MRR weights rank 1 five times rank 5;
+    NDCG's log discount is gentler — report both and a re-ranker's
+    effect shows up first in MRR).  Reciprocal ranks are exact
+    micro-unit rationals (1e6 div rank), misses contribute 0, and the
+    mean is one floor division — no transcendental anywhere.  One
+    extra one-row aggregate over the shared hit-rank derivation."""
     hit = QUERIES["item_rec_hitrate"](spark, sf_dir)
     return hit.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum(F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0))
         .cast("long").alias("n_hits"),
-        F.expr("CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)"
-               " * 1000000 div count(1) AS BIGINT)").alias("hit_rate_ppm"),
-        F.expr(f"CAST(sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000 WHEN 2 THEN 500000 WHEN 3 THEN 333333 WHEN 4 THEN 250000 WHEN 5 THEN 200000 END, 0))"
-               " div count(1) AS BIGINT)").alias("mrr_ppm"),
-        F.expr(f"CAST(sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 END, 0))"
-               " div count(1) AS BIGINT)").alias("ndcg_ppm"),
+        F.expr("CAST(CASE WHEN count(1) = 0 THEN NULL ELSE"
+               " sum(coalesce(CASE hit_rank WHEN 1 THEN 1000000"
+               " WHEN 2 THEN 500000 WHEN 3 THEN 333333"
+               " WHEN 4 THEN 250000 WHEN 5 THEN 200000 END, 0))"
+               " div count(1) END AS BIGINT)").alias("mrr_ppm"),
     )
 
 

@@ -1909,7 +1909,7 @@ CHECKS.update({
         ("ranking windows keyed by query",
          lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
     ],
-    "rec_ranking_metrics": [
+    "rec_mrr_at5": [
         # rides the hitrate frame: per-user windows stay user-keyed;
         # the final rollup is one row
         ("ranking windows keyed by user",

@@ -128,6 +128,20 @@ EXTRA = [
     "ams_f2_report",
     "mmr_diverse_topk",
     "streaming_disparate_impact",
+    # round-11: level-2 Louvain (community-graph pass), Wasserstein
+    # (domain-bounded CDF window), Rocchio (broadcast feedback set),
+    # ChiMerge (bounded bucket rounds), assortativity (keyed degree
+    # joins + one agg), rec ranking rollup, the streaming source-
+    # valuation + wordpiece vocabulary-state twins, and the rebuilt
+    # Pregel JP (in EXTRA above) re-measured at 3 exchanges/round
+    "louvain_second_pass",
+    "wasserstein_value_periods",
+    "rocchio_expansion_terms",
+    "chimerge_value_bins",
+    "assortativity_items",
+    "rec_mrr_at5",
+    "streaming_source_shapley",
+    "streaming_wordpiece_scores",
 ]
 
 
