@@ -1949,11 +1949,16 @@ def cdc_chunk_dedup(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("did"), F.col(group_col).alias("grp"),
         F.col(text_col).alias("t"),
     ).where(F.length("t") >= 1)
+    # the per-byte frame carries ONLY (did, p, flag) — never the text:
+    # a position row carrying the whole payload would shuffle O(len²)
+    # bytes per doc through the chunk window (caught by SCALING_r11's
+    # first probe: 10x factor 6.3); the text joins back ONCE per chunk
     pos = base.select(
-        "did", "grp", "t",
+        "did",
         F.explode(F.sequence(F.lit(1), F.length("t"))).alias("p"),
+        F.col("t"),
     ).select(
-        "did", "grp", "t", "p",
+        "did", "p",
         F.expr(
             f"CASE WHEN p >= {CDC_WINDOW} AND"
             f" ({_cdc_poly('t', 'p')}) % {CDC_DIVISOR} = 0"
@@ -1961,16 +1966,18 @@ def cdc_chunk_dedup(docs: DataFrame, text_col: str = "text",
     )
     w = Window.partitionBy("did").orderBy("p").rowsBetween(
         Window.unboundedPreceding, 0)
-    chunks = (
+    spans = (
         pos.select(
-            "did", "grp", "t", "p",
+            "did", "p",
             (F.sum("flag").over(w) - F.col("flag")).cast("long")
             .alias("chunk_no"),
         )
-        .groupBy("did", "grp", "chunk_no")
+        .groupBy("did", "chunk_no")
         .agg(F.min("p").cast("int").alias("cs"),
-             F.max("p").cast("int").alias("ce"),
-             F.first("t").alias("t"))
+             F.max("p").cast("int").alias("ce"))
+    )
+    chunks = (
+        spans.join(base, "did")
         .select(
             "did", "grp",
             (F.col("ce") - F.col("cs") + 1).cast("long").alias("clen"),

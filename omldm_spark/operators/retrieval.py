@@ -1094,6 +1094,11 @@ def facility_location_select(emb: DataFrame, k: int = FACLOC_K,
             .select("cid", "gain", F.lit(r).cast("long").alias("rank"))
         )
         sel = pick if sel is None else sel.unionByName(pick)
+        # each round's plan embeds every earlier round's argmax; the
+        # eager cut keeps the published plan O(1) and costs one tiny
+        # job per round over the CACHED dot frame (the JP/kmeans
+        # iterate-truncation lesson; <= k rows materialize)
+        sel = sel.localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     run = Window.orderBy("rank").rowsBetween(

@@ -1856,14 +1856,13 @@ CHECKS.update({
          lambda p: "InMemoryTableScan" in p),
     ],
     "facility_location_select": [
-        # candidates broadcast into the dot aggregation; the persisted
-        # dot frame feeds every round; argmax is TakeOrdered(1)
-        ("candidate side broadcast", lambda p: "BroadcastExchange" in p),
-        ("rounds read the persisted dot frame",
-         lambda p: p.count("InMemoryTableScan") >= 3),
-        ("round argmax via distributed TakeOrdered",
-         lambda p: "TakeOrdered" in p),
-        ("no shuffled cartesian", lambda p: "CartesianProduct" not in p),
+        # per-round argmaxes checkpoint eagerly (the JP discipline), so
+        # the published plan reads the <= k-row selected state as an
+        # RDD scan — never the k-round nested lineage
+        ("final plan reads checkpointed selection, not k-round lineage",
+         lambda p: "ExistingRDD" in p),
+        ("no cartesian anywhere",
+         lambda p: "CartesianProduct" not in p),
     ],
     "wordpiece_pair_scores": [
         # corpus collapses to the vocab in one combiner-backed groupBy;
