@@ -7441,6 +7441,76 @@ FROM (
     return "\nUNION ALL ".join(selects)
 
 
+_FD_PAIRS = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+@query("functional_dependency_report", oracle="""SELECT 'nation' AS tbl, 'n_nationkey' AS det, 'n_regionkey' AS dep,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT n_nationkey) AS BIGINT) AS ndv_det,
+       CAST(count(DISTINCT (n_nationkey, n_regionkey)) AS BIGINT) AS ndv_pair,
+       CAST(count(DISTINCT n_nationkey) * 1000000
+            // count(DISTINCT (n_nationkey, n_regionkey)) AS BIGINT) AS fd_strength_ppm
+FROM nation
+UNION ALL SELECT 'customer' AS tbl, 'c_nationkey' AS det, 'c_mktsegment' AS dep,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS ndv_det,
+       CAST(count(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT) AS ndv_pair,
+       CAST(count(DISTINCT c_nationkey) * 1000000
+            // count(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT) AS fd_strength_ppm
+FROM customer
+UNION ALL SELECT 'orders' AS tbl, 'o_custkey' AS det, 'o_orderstatus' AS dep,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_det,
+       CAST(count(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT) AS ndv_pair,
+       CAST(count(DISTINCT o_custkey) * 1000000
+            // count(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT) AS fd_strength_ppm
+FROM orders
+UNION ALL SELECT 'part' AS tbl, 'p_brand' AS det, 'p_type' AS dep,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT p_brand) AS BIGINT) AS ndv_det,
+       CAST(count(DISTINCT (p_brand, p_type)) AS BIGINT) AS ndv_pair,
+       CAST(count(DISTINCT p_brand) * 1000000
+            // count(DISTINCT (p_brand, p_type)) AS BIGINT) AS fd_strength_ppm
+FROM part""")
+def q_functional_dependency_report(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Functional-dependency strength audit over candidate column
+    pairs (Papenbrock & Naumann SIGMOD 2016 framing, strength form):
+    fd_strength_ppm = ndv(det)·1e6 div ndv(det, dep) — 1e6 means det
+    -> dep holds exactly (each determinant value maps to one dependent
+    value), lower means the planner must NOT collapse the pair's NDV
+    product.  The missing stat beside join_size_estimate_report /
+    mutual_information_features: CBOs use detected FDs to avoid
+    over-counting distinct combinations in GROUP BY / join estimates.
+    Per pair: one scan with two distinct-aggregates (map-side partial
+    via Spark's distinct-agg expansion); pairs union one-row frames.
+    A planted-perfect pair (nation: nationkey -> regionkey) pins the
+    1e6 endpoint at every SF."""
+    parts = []
+    for t, a, b in _FD_PAIRS:
+        tab = load_table(spark, sf_dir, t)
+        parts.append(tab.agg(
+            F.lit(t).alias("tbl"),
+            F.lit(a).alias("det"),
+            F.lit(b).alias("dep"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(a).cast("long").alias("ndv_det"),
+            F.countDistinct(a, b).cast("long").alias("ndv_pair"),
+            F.expr(f"CAST(count(DISTINCT {a}) * 1000000"
+                   f" div count(DISTINCT {a}, {b}) AS BIGINT)")
+            .alias("fd_strength_ppm"),
+        ))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 @query("join_size_estimate_report", oracle=_join_size_oracle())
 def q_join_size_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation audit over every FK edge: the
@@ -12616,6 +12686,72 @@ def q_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(true_cnt + CAST(floor({_DP_NOISE} + 0.5) AS BIGINT)"
             " AS BIGINT)"
         ).alias("noisy_cnt"),
+    )
+
+
+# Laplace noise seeded per TERM (the dp_event_counts fold, term-keyed);
+# the expression text is generated once and shared verbatim by both
+# engines (md5/instr/substr/ln are common spellings)
+_DP_TERM_NOISE = (
+    """(CASE WHEN ((((instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 1, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 2, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 3, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 4, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 6, 1)) - 1) * 1) + 0.5) / 16777216.0) >= 0.5 THEN -1.0 ELSE 1.0 END) * ln(1.0 - 2.0 * abs(((((instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 1, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 2, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 3, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 4, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(concat('dptk|', term)), 6, 1)) - 1) * 1) + 0.5) / 16777216.0) - 0.5))"""
+)
+
+
+@query(
+    "dp_topk_terms",
+    oracle="""
+WITH counts AS (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM (SELECT unnest(""" + TOKENS_SQL("text") + """) AS t
+        FROM documents)
+  GROUP BY 1
+),
+noisy AS (
+  SELECT term, true_cnt,
+         CAST(true_cnt + CAST(floor(""" + _DP_TERM_NOISE + """ + 0.5)
+              AS BIGINT) AS BIGINT) AS noisy_cnt
+  FROM counts
+)
+SELECT CAST(row_number() OVER (ORDER BY noisy_cnt DESC, term) AS BIGINT)
+         AS rank,
+       term, true_cnt, noisy_cnt
+FROM noisy
+QUALIFY rank <= 20
+""",
+)
+def q_dp_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy top-k vocabulary release (the Laplace top-k selection a
+    DP analytics layer ships for 'most frequent terms' dashboards):
+    per-term counts plus integer md5-seeded Laplace noise (epsilon =
+    1, sensitivity 1), released as the top-20 by NOISY count so the
+    selection itself runs on the protected statistic.  Same
+    determinism caveat as dp_event_counts: seeded noise is
+    reproducible-by-design for the gate; production swaps the md5
+    fold for a secret-keyed PRF, identical plan.  One vocab-collapse
+    groupBy + row-local noise + a bounded top-k window."""
+    from .operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    noisy = counts.select(
+        "term", "true_cnt",
+        F.expr(
+            "CAST(true_cnt + CAST(floor(" + _DP_TERM_NOISE
+            + " + 0.5) AS BIGINT) AS BIGINT)"
+        ).alias("noisy_cnt"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("noisy_cnt"), "term")
+    return (
+        noisy.select("*", F.row_number().over(w).cast("long")
+                     .alias("rank"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "term", "true_cnt", "noisy_cnt")
     )
 
 

@@ -4796,3 +4796,35 @@ def test_boilerplate_ngrams_planted_template(spark):
     assert f.n_docs_with == 4 and f.n_docs == 5      # doc 0 counted once
     assert f.doc_share_ppm == 800_000
     assert not [r for r in rows if r["source"] == "clean"]
+
+
+def test_fd_strength_endpoints(spark, tmp_path):
+    """The FD report must pin 1e6 on the planted-perfect nation pair
+    (nationkey -> regionkey is single-valued by construction) and sit
+    strictly below 1e6 when the dependent genuinely varies."""
+    from omldm_spark.queries import QUERIES
+
+    out = {(r.tbl, r.det): r for r in
+           QUERIES["functional_dependency_report"](
+               spark, "/root/testdata/sf0.001").collect()}
+    nation = out[("nation", "n_nationkey")]
+    assert nation.fd_strength_ppm == 1_000_000
+    assert nation.ndv_det == nation.ndv_pair
+    for k, r in out.items():
+        assert 0 < r.fd_strength_ppm <= 1_000_000
+        assert r.ndv_pair >= r.ndv_det
+
+
+def test_dp_topk_noise_bounded_and_deterministic(spark):
+    """Integer Laplace noise at eps=1 stays small (|noise| <= ~16 with
+    overwhelming margin over md5 uniforms) and is a pure function of
+    the term — two runs must agree bit-for-bit."""
+    from omldm_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["dp_topk_terms"](
+        spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, QUERIES["dp_topk_terms"](
+        spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
+    for rank, term, true_cnt, noisy_cnt in a:
+        assert abs(noisy_cnt - true_cnt) <= 20

@@ -1872,6 +1872,20 @@ CHECKS.update({
          lambda p: p.count("HashAggregate") >= 4),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
+    "dp_topk_terms": [
+        # one vocab collapse (map-side combined) + row-local noise +
+        # bounded top-k window; no join
+        ("vocab agg map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no join at all", lambda p: "Join" not in p),
+    ],
+    "functional_dependency_report": [
+        # per pair one scan with distinct-agg expansion; one-row frames
+        # union — never a join
+        ("no join at all", lambda p: "Join" not in p),
+        ("distinct aggs expand map-side",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
     "boilerplate_ngrams_report": [
         # distinct (source, ngram, doc) collapse + (source, ngram)
         # count both map-side combined; |sources| broadcast; top-n

@@ -142,6 +142,8 @@ EXTRA = [
     "rec_mrr_at5",
     "streaming_source_shapley",
     "streaming_wordpiece_scores",
+    "dp_topk_terms",
+    "functional_dependency_report",
 ]
 
 
