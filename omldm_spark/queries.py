@@ -1160,7 +1160,8 @@ def q_streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_dir = f"{tmp}/state"
 
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     def fold(new, bid):
         prev = read_latest_state(spark, state_dir, below=bid)
@@ -1169,7 +1170,7 @@ def q_streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt = prev.unionByName(cnt).agg(
                 *[F.sum(f"s{i}").cast("long").alias(f"s{i}")
                   for i in range(6)])
-        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cnt, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -4858,7 +4859,8 @@ def q_streaming_cross_source_overlap(spark: SparkSession,
     state_dir = f"{tmp}/state"
     parts = ("postings", "shared", "totals")
 
-    from .streaming.statefold import read_latest_state_parts
+    from .streaming.statefold import (prune_versions,
+                                      read_latest_state_parts)
 
     def fold(df, bid):
         new_state = cross_source_overlap_merge(
@@ -4866,6 +4868,7 @@ def q_streaming_cross_source_overlap(spark: SparkSession,
             df, n=8)
         for p, sdf in zip(parts, new_state):
             sdf.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/{p}")
+        prune_versions(spark, state_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -10958,12 +10961,13 @@ def q_streaming_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_dir = f"{tmp}/state"
 
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     def fold(df, bid):
         prev = read_latest_state(spark, state_dir, below=bid)
         stars = incremental_cc_merge(prev, df)
-        stars.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(stars, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -15395,7 +15399,8 @@ def q_streaming_interval_overlap(spark: SparkSession,
     state_dir = f"{tmp}/state"
     parts = ("intervals", "pairs")
 
-    from .streaming.statefold import read_latest_state_parts
+    from .streaming.statefold import (prune_versions,
+                                      read_latest_state_parts)
 
     def fold(new, bid):
         prev = read_latest_state_parts(spark, state_dir, parts,
@@ -15413,6 +15418,7 @@ def q_streaming_interval_overlap(spark: SparkSession,
         all_iv.write.mode("overwrite").parquet(
             f"{state_dir}/v{bid}/intervals")
         all_pairs.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/pairs")
+        prune_versions(spark, state_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -16824,7 +16830,8 @@ def q_streaming_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = f"{tmp}/state"
     parts = ("points", "pairs")
 
-    from .streaming.statefold import read_latest_state_parts
+    from .streaming.statefold import (prune_versions,
+                                      read_latest_state_parts)
 
     def fold(new, bid):
         prev = read_latest_state_parts(spark, state_dir, parts,
@@ -16841,6 +16848,7 @@ def q_streaming_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
             all_pairs = newpairs
         all_pts.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/points")
         all_pairs.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/pairs")
+        prune_versions(spark, state_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -16964,7 +16972,8 @@ def q_streaming_retention_cohorts(spark: SparkSession,
     )
     state_dir = f"{tmp}/state"
 
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     def fold(new, bid):
         prev = read_latest_state(spark, state_dir, below=bid)
@@ -16972,7 +16981,7 @@ def q_streaming_retention_cohorts(spark: SparkSession,
         if prev is not None:
             pairs = prev.unionByName(
                 pairs.join(prev, ["user_id", "w"], "left_anti"))
-        pairs.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(pairs, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -17213,7 +17222,8 @@ def q_streaming_grid_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_dir = f"{tmp}/state"
 
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     def fold(new, bid):
         prev = read_latest_state(spark, state_dir, below=bid)
@@ -17221,7 +17231,7 @@ def q_streaming_grid_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev is not None:
             cells = prev.unionByName(cells).groupBy("cx", "cy").agg(
                 F.sum("n").cast("long").alias("n"))
-        cells.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cells, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -18659,7 +18669,8 @@ def q_streaming_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.drift import ks_counts, ks_from_counts
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     ev = load_table(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="omldm_sks_")
@@ -18678,7 +18689,7 @@ def q_streaming_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt = prev.unionByName(cnt).groupBy("v_cents").agg(
                 F.sum("a_cnt").cast("long").alias("a_cnt"),
                 F.sum("b_cnt").cast("long").alias("b_cnt"))
-        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cnt, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -18706,7 +18717,8 @@ def q_streaming_robust_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.federated import (_corrupt, robust_merge_from_gradients,
                                       spoke_gradients)
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice")
@@ -18725,7 +18737,7 @@ def q_streaming_robust_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev is not None:
             g = prev.unionByName(g).groupBy("spoke", "coord").agg(
                 F.sum("g").cast("long").alias("g"))
-        g.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(g, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -18800,7 +18812,8 @@ def q_streaming_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_dir = f"{tmp}/state"
 
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     def fold(new, bid):
         prev = read_latest_state(spark, state_dir, below=bid)
@@ -18809,7 +18822,7 @@ def q_streaming_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt = prev.unionByName(cnt).groupBy("event_type").agg(
                 F.sum("a_cnt").cast("long").alias("a_cnt"),
                 F.sum("b_cnt").cast("long").alias("b_cnt"))
-        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cnt, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -19068,7 +19081,8 @@ def q_streaming_draft_acceptance(spark: SparkSession,
     from .operators.lm import (
         draft_acceptance_counts, draft_acceptance_from_counts)
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", "lang", "n_chars")
@@ -19087,7 +19101,7 @@ def q_streaming_draft_acceptance(spark: SparkSession,
         if prev is not None:
             cnt = prev.unionByName(cnt).groupBy("source", "w1", "w2").agg(
                 F.sum("c").cast("long").alias("c"))
-        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cnt, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -19203,7 +19217,8 @@ def q_streaming_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.preference import (
         best_of_n_from_candidates, bon_scored, bon_truncate)
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", "lang", "n_chars")
@@ -19221,7 +19236,7 @@ def q_streaming_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = bon_truncate(bon_scored(new))
         if prev is not None:
             cand = bon_truncate(prev.unionByName(cand))
-        cand.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cand, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -19268,7 +19283,8 @@ def q_streaming_shapley_attribution(spark: SparkSession,
 
     from .operators.attribution import shapley_fold, shapley_from_state
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state_parts
+    from .streaming.statefold import (prune_versions,
+                                      read_latest_state_parts)
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type")
@@ -19287,6 +19303,7 @@ def q_streaming_shapley_attribution(spark: SparkSession,
         purch, touch = shapley_fold(prev, new)
         purch.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/purch")
         touch.write.mode("overwrite").parquet(f"{state_dir}/v{bid}/touch")
+        prune_versions(spark, state_dir)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -19378,7 +19395,8 @@ def q_streaming_skyline_users(spark: SparkSession,
     from .operators.skyline import (
         skyline_from_user_stats, skyline_user_stats)
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
@@ -19398,7 +19416,7 @@ def q_streaming_skyline_users(spark: SparkSession,
             st = prev.unionByName(st).groupBy("user_id").agg(
                 F.sum("value_c").cast("long").alias("value_c"),
                 F.sum("n_errors").cast("long").alias("n_errors"))
-        st.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(st, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -19426,7 +19444,8 @@ def q_streaming_adam_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.federated import adam_from_gradients, adam_gradient_counts
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice")
@@ -19446,7 +19465,7 @@ def q_streaming_adam_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt = prev.unionByName(cnt).groupBy("coord").agg(
                 F.sum("g1_q").cast("long").alias("g1_q"),
                 F.sum("g2_q").cast("long").alias("g2_q"))
-        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cnt, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -19490,7 +19509,8 @@ def q_streaming_disparate_impact(spark: SparkSession,
     from .operators.quality import (
         disparate_impact_counts, disparate_impact_from_counts)
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", "lang", "n_chars")
@@ -19510,7 +19530,7 @@ def q_streaming_disparate_impact(spark: SparkSession,
             cnt = prev.unionByName(cnt).groupBy("lang").agg(
                 F.sum("n_docs").cast("long").alias("n_docs"),
                 F.sum("n_pass").cast("long").alias("n_pass"))
-        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cnt, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -19586,7 +19606,8 @@ def q_streaming_wordpiece_scores(spark: SparkSession,
 
     from .operators.lm import wordpiece_from_vocab, wordpiece_vocab
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="omldm_swp_")
@@ -19604,7 +19625,7 @@ def q_streaming_wordpiece_scores(spark: SparkSession,
         if prev is not None:
             cnt = prev.unionByName(cnt).groupBy("tok").agg(
                 F.sum("tok_cnt").cast("long").alias("tok_cnt"))
-        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cnt, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)
@@ -19654,7 +19675,8 @@ def q_streaming_source_shapley(spark: SparkSession,
     from .operators.quality import (source_pass_counts,
                                     source_shapley_from_stats)
     from .streaming.sources import file_replay_source
-    from .streaming.statefold import read_latest_state
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
@@ -19674,7 +19696,7 @@ def q_streaming_source_shapley(spark: SparkSession,
             cnt = prev.unionByName(cnt).groupBy("source").agg(
                 F.sum("n_docs").cast("long").alias("n_docs"),
                 F.sum("n_pass").cast("long").alias("n_pass"))
-        cnt.write.mode("overwrite").parquet(f"{state_dir}/v{bid}")
+        publish_state(cnt, spark, state_dir, bid)
 
     q = (
         stream.writeStream.foreachBatch(fold)

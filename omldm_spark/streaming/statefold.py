@@ -70,3 +70,38 @@ def read_latest_state_parts(spark: SparkSession, state_dir: str,
         return None
     return tuple(
         spark.read.parquet(join(state_dir, f"v{v}", p)) for p in parts)
+
+
+def prune_versions(spark: SparkSession, state_dir: str,
+                   keep: int = 3) -> int:
+    """Vacuum old ``v{N}`` snapshots, keeping the newest ``keep``
+    (returns how many were deleted).  Without pruning the versioned
+    fold accumulates one full state copy PER MICRO-BATCH — unbounded
+    storage on a long-lived stream.  Safety with the retry
+    discipline: a foreachBatch retry of batch ``bid`` reads versions
+    ``< bid``, and the only retriable batch is the LATEST (the
+    checkpoint has not committed past it), so with ``keep >= 2`` the
+    newest pre-bid snapshot always survives the prune that followed
+    v{bid}'s write.  Runs on the same HadoopFS shim — scheme-agnostic,
+    a handful of metadata RPCs."""
+    if keep < 2:
+        raise ValueError("keep >= 2 (the retry discipline needs the"
+                         " newest prior snapshot)")
+    fs = HadoopFS.for_path(state_dir, spark)
+    if not fs.is_dir(state_dir):
+        return 0
+    vs = sorted(int(d[1:]) for d in fs.listdir(state_dir)
+                if d.startswith("v") and d[1:].isdigit())
+    removed = 0
+    for v in vs[:-keep]:
+        if fs.delete(join(state_dir, f"v{v}"), recursive=True):
+            removed += 1
+    return removed
+
+
+def publish_state(df: DataFrame, spark: SparkSession, state_dir: str,
+                  bid: int, keep: int = 3) -> None:
+    """Write batch ``bid``'s folded snapshot and vacuum old versions —
+    the one-liner every single-frame IVM twin's fold ends with."""
+    df.write.mode("overwrite").parquet(join(state_dir, f"v{bid}"))
+    prune_versions(spark, state_dir, keep)

@@ -1025,3 +1025,33 @@ def test_statefold_on_uri_scheme_path(spark, tmp_path, monkeypatch):
         spark, "file:" + str(tmp_path / "nope")) is None
     assert read_latest_state_parts(
         spark, "file:" + str(tmp_path / "nope"), ("a",)) is None
+
+
+def test_prune_versions_keeps_retry_window(spark, tmp_path):
+    """Vacuuming the versioned fold state must keep the newest
+    ``keep`` snapshots (a retried latest batch still finds its
+    pre-batch state via below=), work on file: scheme URIs, and
+    refuse keep < 2."""
+    import pytest
+
+    from omldm_spark.streaming.statefold import (prune_versions,
+                                                 publish_state,
+                                                 read_latest_state)
+
+    state_dir = "file:" + str(tmp_path / "st")
+    for bid in range(5):
+        publish_state(
+            spark.createDataFrame([(bid,)], "s long"),
+            spark, state_dir, bid, keep=3)
+    # keep=3: only v2, v3, v4 remain
+    from omldm_spark.fsio import HadoopFS
+    fs = HadoopFS.for_path(state_dir, spark)
+    assert fs.listdir(state_dir) == ["v2", "v3", "v4"]
+    # the retry window: latest batch (4) re-reads its pre-batch state
+    pre = read_latest_state(spark, state_dir, below=4)
+    assert [tuple(r) for r in pre.collect()] == [(3,)]
+    assert read_latest_state(spark, state_dir).collect()[0][0] == 4
+    with pytest.raises(ValueError, match="keep >= 2"):
+        prune_versions(spark, state_dir, keep=1)
+    # pruning a missing dir is a no-op
+    assert prune_versions(spark, "file:" + str(tmp_path / "none")) == 0
