@@ -18659,6 +18659,54 @@ def q_kn_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_heldout_scores(load_table(spark, sf_dir, "documents"))
 
 
+@query("streaming_wasserstein", oracle=WASSERSTEIN_SQL())
+def q_streaming_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL two-sample W1 from the SAME (v_cents, a_cnt, b_cnt)
+    additive state streaming_ks_two_sample folds — the proof of the
+    shared-drift-panel claim: one carried counts frame serves KS and
+    Wasserstein (and any other CDF functional) at report time.  Each
+    micro-batch folds one keyed sum; the CDF-gap integral derives from
+    state only.  Oracle = the one-shot batch W1."""
+    import tempfile
+
+    from .operators.drift import ks_counts, wasserstein_from_counts
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import (publish_state,
+                                      read_latest_state)
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="omldm_sw1_")
+    src_dir = f"{tmp}/src"
+    ev.repartition(5).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = ks_counts(new)
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("v_cents").agg(
+                F.sum("a_cnt").cast("long").alias("a_cnt"),
+                F.sum("b_cnt").cast("long").alias("b_cnt"))
+        publish_state(cnt, spark, state_dir, bid)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "w1_cents_ppm long, n_values long, n_a long, n_b long")
+    return wasserstein_from_counts(state)
+
+
 @query("streaming_ks_two_sample", oracle=KS_TWO_SAMPLE_SQL())
 def q_streaming_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL two-sample KS: the carried state is the
