@@ -1914,10 +1914,15 @@ _CDC_B = 31         # polynomial base
 
 def _cdc_poly(col: str, pos: str) -> str:
     """Shared-text rolling polynomial over the WINDOW ending at ``pos``
-    (requires pos >= CDC_WINDOW): Σ ascii(byte[pos-j])·B^j — max value
-    ~127·B³ < 4e6, overflow-free in int32 even."""
+    (requires pos >= CDC_WINDOW): Σ (codepoint % 256)·B^j.  The % 256
+    folds non-ASCII codepoints to a byte-sized term (review r11:
+    ascii() returns the FULL Unicode codepoint, up to 1,114,111 — the
+    unfolded product codepoint·B³ would pass int32 and wrap on Spark
+    while DuckDB raises); max folded term 255·B³ < 8e6, overflow-free
+    on both engines for any input text."""
     return " + ".join(
-        f"ascii(substr({col}, CAST({pos} - {j} AS INT), 1)) * {_CDC_B ** j}"
+        f"(ascii(substr({col}, CAST({pos} - {j} AS INT), 1)) % 256)"
+        f" * {_CDC_B ** j}"
         for j in range(CDC_WINDOW))
 
 

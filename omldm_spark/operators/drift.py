@@ -445,8 +445,9 @@ def ks_from_counts(per: DataFrame) -> DataFrame:
     )
     d = cum.select(
         F.expr(
-            "abs(CAST(cum_a * 1000000 div n_a AS BIGINT)"
-            " - CAST(cum_b * 1000000 div n_b AS BIGINT))"
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE"
+            " abs(CAST(cum_a * 1000000 div n_a AS BIGINT)"
+            " - CAST(cum_b * 1000000 div n_b AS BIGINT)) END"
         ).cast("long").alias("d_ppm"),
         F.col("v_cents").alias("at_value_cents"),
         "n_a", "n_b",
@@ -490,9 +491,12 @@ def wasserstein_from_counts(per: DataFrame) -> DataFrame:
         (F.lead("v_cents").over(wo) - F.col("v_cents")).cast("long")
         .alias("gap"),
     )
+    # an EMPTY window makes W1 undefined (NULL), not a division error
+    # (Spark non-ANSI would NULL silently where DuckDB raises)
     return cum.agg(
         F.sum(F.expr(
-            "CASE WHEN gap IS NULL THEN 0 ELSE"
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL"
+            " WHEN gap IS NULL THEN 0 ELSE"
             " abs(CAST(cum_a * 1000000 div n_a AS BIGINT)"
             " - CAST(cum_b * 1000000 div n_b AS BIGINT)) * gap END"
         )).cast("long").alias("w1_cents_ppm"),
@@ -527,7 +531,8 @@ cum AS (
               AS BIGINT) AS gap
   FROM per
 )
-SELECT CAST(sum(CASE WHEN gap IS NULL THEN 0 ELSE
+SELECT CAST(sum(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+            WHEN gap IS NULL THEN 0 ELSE
             abs(CAST(cum_a * 1000000 // n_a AS BIGINT)
                 - CAST(cum_b * 1000000 // n_b AS BIGINT)) * gap END)
             AS BIGINT) AS w1_cents_ppm,
@@ -561,8 +566,9 @@ cum AS (
          CAST(sum(b_cnt) OVER () AS BIGINT) AS n_b
   FROM per
 )
-SELECT CAST(abs(CAST(cum_a * 1000000 // n_a AS BIGINT)
-                - CAST(cum_b * 1000000 // n_b AS BIGINT)) AS BIGINT)
+SELECT CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+            abs(CAST(cum_a * 1000000 // n_a AS BIGINT)
+                - CAST(cum_b * 1000000 // n_b AS BIGINT)) END AS BIGINT)
          AS d_ppm,
        v_cents AS at_value_cents, n_a, n_b
 FROM cum

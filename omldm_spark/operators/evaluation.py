@@ -465,9 +465,16 @@ def chimerge_rounds(blocks: DataFrame, rounds: int) -> DataFrame:
 
         chi2 < τ  iff  1000·N·(a1·b2 − a2·b1)² < 2706·r1·r2·c1·c2,
 
-    in DECIMAL(38,0)/HUGEINT on both engines (the count product passes
-    int64 at corpus scale); a pair with a zero label marginal
-    (c1 = 0 or c2 = 0) has chi2 = 0 and always merges.
+    in DECIMAL(38,0)/HUGEINT on both engines; a pair with a zero label
+    marginal (c1 = 0 or c2 = 0) has chi2 = 0 and always merges.
+    Envelope, enforced: the LHS is ~N·(r1·r2)² — it passes even the
+    128-bit type once adjacent bins reach ~1e7 rows each (2m⁵ > 1e35),
+    where Spark's non-ANSI decimal overflow would silently stop
+    merging while DuckDB raises.  The comparison therefore reads
+    through a CONSUMED guard (the shapley discipline) that raises
+    loudly on BOTH engines past 10^7 rows per bin — at that scale,
+    chi-square significance against τ = 2.706 is meaningless anyway
+    (everything is "significant"); subsample or rescale upstream.
 
     Output: merged blocks + rate_ppm.  Scale: blocks live on the
     BOUNDED bucket domain; each round is one ordered window + one
@@ -480,9 +487,13 @@ def chimerge_rounds(blocks: DataFrame, rounds: int) -> DataFrame:
     )
     wo = Window.orderBy("bx")
     run = Window.orderBy("bx").rowsBetween(Window.unboundedPreceding, 0)
+    guard = ("CASE WHEN greatest(p_pos + p_neg, pos + neg) <= 10000000"
+             " THEN {t} ELSE CAST(raise_error('chimerge: bins over 1e7"
+             " rows — the exact chi2 compare would overflow DECIMAL(38);"
+             " subsample upstream') AS BIGINT) END")
     merge_pred = (
         "(p_pos + p_neg) IS NOT NULL AND ("
-        " (p_pos + pos) = 0 OR (p_neg + neg) = 0 OR"
+        f" {guard.format(t='(p_pos + pos)')} = 0 OR (p_neg + neg) = 0 OR"
         " 1000 * CAST(p_pos + p_neg + pos + neg AS DECIMAL(38,0))"
         "   * (CAST(p_pos AS DECIMAL(38,0)) * neg"
         "      - CAST(pos AS DECIMAL(38,0)) * p_neg)"
@@ -520,9 +531,12 @@ def chimerge_rounds(blocks: DataFrame, rounds: int) -> DataFrame:
 def CHIMERGE_ROUND_CTES(rounds: int, base: str = "c0") -> list[str]:
     """Chained-CTE unroll of the same synchronous recurrence: c0 must
     provide (bx, xmax, pos, neg); yields c1..c{rounds}."""
+    guard = ("CASE WHEN greatest(p_pos + p_neg, pos + neg) <= 10000000"
+             " THEN {t} ELSE CAST(error('chimerge: bins over 1e7 rows')"
+             " AS BIGINT) END")
     merge_pred = (
         "p_pos IS NOT NULL AND ("
-        " (p_pos + pos) = 0 OR (p_neg + neg) = 0 OR"
+        f" {guard.format(t='(p_pos + pos)')} = 0 OR (p_neg + neg) = 0 OR"
         " 1000 * CAST(p_pos + p_neg + pos + neg AS HUGEINT)"
         "   * (CAST(p_pos AS HUGEINT) * neg"
         "      - CAST(pos AS HUGEINT) * p_neg)"

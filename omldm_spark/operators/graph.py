@@ -1031,12 +1031,17 @@ def jones_plassmann_coloring(nodes: DataFrame, sym_edges: DataFrame,
     Catalyst fold; the edge copy persists hash-partitioned on dst so
     the per-round message join never re-shuffles it).  Trade-off vs
     the active-set formulation, documented: the message scan covers
-    ALL edges every round (colored endpoints keep answering) — the
-    standard Pregel trade; at cluster scale, prune the edge frame at
-    the eager-checkpoint boundaries (drop edges whose dst was colored
-    before the previous barrier — its color has been folded into every
-    neighbor's mex input already) to restore the shrinking frontier.
-    JP needs
+    ALL edges every round because the mex input (colors of colored
+    neighbors) recomputes FRESH each round — colored vertices must
+    keep answering.  The standard Pregel escape for a 1000-executor
+    run is to make used-colors part of the VERTEX state (array_union
+    the newly-colored neighbors' announcements each round — colors
+    are immutable once assigned, so the accumulation is exact); then
+    an edge whose dst has announced once is prunable at the eager
+    barriers and the frontier shrinks.  Not implemented here: at the
+    tested scales the all-edges scan is cheaper than the extra
+    per-round array_union + periodic re-persist, and the state-fold
+    variant changes no output.  JP needs
     ~e*maxdeg rounds (the longest decreasing-priority path), far more
     than Luby's 4, so the per-round state truncation is LAZY: every
     round localCheckpoints with eager=False (the logical plan is cut to
@@ -1451,7 +1456,10 @@ def louvain_second_pass(edges: DataFrame,
     Output: (item, community_l1, community_l2) — every vertex with its
     pass-1 community and the community after the level-2 move
     (communities with no inter-community edge keep themselves; ties
-    break to the smallest community id, the pass-1 discipline).
+    break to the smallest community id; the move itself is MIN-WARD —
+    only toward a smaller community id — because the level-2 gain is
+    symmetric, so mutual best pairs would otherwise swap labels
+    without coarsening).
 
     Scale: the aggregation is one labeling join (two keyed hash joins
     on the vertex id) + one (c_min, c_max) groupBy; everything after
@@ -1503,13 +1511,22 @@ def louvain_second_pass(edges: DataFrame,
                 .cast("long").alias("gain_q"))
     )
     win = Window.partitionBy("src").orderBy(F.desc("gain_q"), F.asc("dst"))
+    # MIN-WARD move (the Grappolo/Leiden synchronous symmetry-breaking
+    # heuristic): a community moves only toward a SMALLER community id.
+    # Without it, two communities that are each other's best target
+    # (always symmetric here: gain(c->d) = w·W − k_c·k_d = gain(d->c))
+    # would SWAP labels — a pure relabel, no coarsening (review r11).
+    # Min-ward makes exactly one of the pair move, so a mutual pair
+    # genuinely merges; an unrequited upward attraction waits for a
+    # later pass (the standard trade of the heuristic).
     mv = (
         cand2.select("src", "dst", "gain_q",
                      F.row_number().over(win).alias("rk"))
         .where("rk = 1")
         .select(
             F.col("src").alias("community"),
-            F.when(F.col("gain_q") > 0, F.col("dst"))
+            F.when((F.col("gain_q") > 0) & (F.col("dst") < F.col("src")),
+                   F.col("dst"))
             .otherwise(F.col("src")).cast("long").alias("c2"),
         )
     )
@@ -1557,7 +1574,8 @@ cand2 AS (
 ),
 mv AS (
   SELECT src AS community,
-         CAST(CASE WHEN gain_q > 0 THEN dst ELSE src END AS BIGINT) AS c2
+         CAST(CASE WHEN gain_q > 0 AND dst < src THEN dst
+              ELSE src END AS BIGINT) AS c2
   FROM (
     SELECT src, dst, gain_q,
            row_number() OVER (PARTITION BY src
@@ -1665,11 +1683,13 @@ def assortativity_report(edges: DataFrame) -> DataFrame:
     item graphs; the single number that says which degree-cap /
     salting strategy a 100 TB join over this graph needs.
 
-    Exactness: all five moment sums (n ends, Σx, Σy, Σxy, Σx², Σy²
-    with x = deg(src), y = deg(dst) over the SYMMETRIZED ends, so
-    Σx = Σy by construction) are exact BIGINTs from one keyed join +
-    one global agg; the correlation numerator/denominator products
-    ride DECIMAL(38,0) (they pass int64 at corpus scale), and the
+    Exactness: the moment sums (n ends, Σx, Σxy, Σx² with x =
+    deg(src), y = deg(dst) over the SYMMETRIZED ends, so Σx = Σy by
+    construction) ACCUMULATE in DECIMAL(38,0)/HUGEINT — a plain long
+    sum wraps silently on Spark past 9.2e18, reachable on dense hub
+    graphs — and the BIGINT output cast fails loudly (not silently)
+    if a graph ever exceeds int64 moments; the correlation
+    numerator/denominator products ride DECIMAL(38,0), and the
     final r = num / (sqrt(d)·sqrt(d)) is the one IEEE step — sqrt and
     divide are correctly rounded, identical operand text on both
     engines, floored to ppm.
@@ -1687,11 +1707,17 @@ def assortativity_report(edges: DataFrame) -> DataFrame:
         .join(deg.select(F.col("src").alias("dst"),
                          F.col("k").alias("ky")), "dst")
     )
+    # moment sums in DECIMAL(38,0) (exact to 1e38 — Spark's plain long
+    # sum wraps SILENTLY at 9.2e18 while DuckDB raises, review r11);
+    # the BIGINT output cast is then a loud ANSI/HUGEINT error on both
+    # engines if a graph ever exceeds int64 moments, never a wrap
     mom = ends.agg(
         F.count(F.lit(1)).cast("long").alias("n_ends"),
         F.sum("kx").cast("long").alias("sum_x"),
-        F.sum(F.expr("kx * ky")).cast("long").alias("sum_xy"),
-        F.sum(F.expr("kx * kx")).cast("long").alias("sum_xx"),
+        F.sum(F.expr("CAST(kx AS DECIMAL(38,0)) * ky")).cast("long")
+        .alias("sum_xy"),
+        F.sum(F.expr("CAST(kx AS DECIMAL(38,0)) * kx")).cast("long")
+        .alias("sum_xx"),
     )
     return mom.select(
         "n_ends", "sum_x", "sum_xy", "sum_xx",
@@ -1729,8 +1755,8 @@ ends AS (
 mom AS (
   SELECT CAST(count(*) AS BIGINT) AS n_ends,
          CAST(sum(kx) AS BIGINT) AS sum_x,
-         CAST(sum(kx * ky) AS BIGINT) AS sum_xy,
-         CAST(sum(kx * kx) AS BIGINT) AS sum_xx
+         CAST(sum(CAST(kx AS HUGEINT) * ky) AS BIGINT) AS sum_xy,
+         CAST(sum(CAST(kx AS HUGEINT) * kx) AS BIGINT) AS sum_xx
   FROM ends
 )
 SELECT n_ends, sum_x, sum_xy, sum_xx,

@@ -1765,7 +1765,8 @@ CHECKS.update({
         # (SinglePartition by design); the property is that the argmin
         # WINDOW stays vid-keyed
         ("argmin window keyed by vid",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+         and "hashpartitioning(vid" in p),
         ("consumers read the persisted assignment",
          lambda p: p.count("InMemoryTableScan") >= 2),
     ],
@@ -1841,7 +1842,8 @@ CHECKS.update({
         ("consumers read the persisted pass-1 labels",
          lambda p: p.count("InMemoryTableScan") >= 3),
         ("level-2 argmax keyed by community",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+         and "hashpartitioning(src" in p),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
     "source_shapley_value": [
@@ -1895,7 +1897,8 @@ CHECKS.update({
         ("per-source totals broadcast",
          lambda p: "BroadcastExchange" in p),
         ("top-n window keyed by source",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+         and "hashpartitioning(grp" in p),
     ],
     "wasserstein_value_periods": [
         # the ordered CDF window runs on the value-DOMAIN-bounded
@@ -1920,7 +1923,8 @@ CHECKS.update({
         ("probe rankings read the persisted candidate frame",
          lambda p: p.count("InMemoryTableScan") >= 3),
         ("ranking windows keyed by query",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+         and "hashpartitioning(query_id" in p),
     ],
     "rec_mrr_at5": [
         # rides the hitrate frame: per-user windows stay user-keyed;
@@ -1941,7 +1945,8 @@ CHECKS.update({
         # per-byte explode into a DOC-keyed running-sum window; all
         # aggregations keyed; no join until the |groups|-row report
         ("chunk window keyed by doc",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+         and "hashpartitioning(did" in p),
         ("aggs map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
