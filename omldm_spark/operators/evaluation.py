@@ -467,14 +467,19 @@ def chimerge_rounds(blocks: DataFrame, rounds: int) -> DataFrame:
 
     in DECIMAL(38,0)/HUGEINT on both engines; a pair with a zero label
     marginal (c1 = 0 or c2 = 0) has chi2 = 0 and always merges.
-    Envelope, enforced: the LHS is ~N·(r1·r2)² — it passes even the
-    128-bit type once adjacent bins reach ~1e7 rows each (2m⁵ > 1e35),
-    where Spark's non-ANSI decimal overflow would silently stop
-    merging while DuckDB raises.  The comparison therefore reads
-    through a CONSUMED guard (the shapley discipline) that raises
-    loudly on BOTH engines past 10^7 rows per bin — at that scale,
-    chi-square significance against τ = 2.706 is meaningless anyway
-    (everything is "significant"); subsample or rescale upstream.
+    Envelope, enforced: with both bins at m rows and full label
+    separation the LHS reaches 1000·N·det² = 1000·2m·(m²)² = 2000·m⁵,
+    which passes DECIMAL(38,0) (~1e38) — and HUGEINT (~1.7e38) — once
+    m ≳ 8.7e6 (2000·m⁵ = 1e38 at m ≈ 8.7e6), where Spark's non-ANSI
+    decimal overflow would silently stop merging while DuckDB raises.
+    The guard therefore caps bins at 8·10^6 rows AND lives on the N
+    operand INSIDE the chi² product itself, so it is evaluated exactly
+    when the overflow-prone expression is — structurally consumed, not
+    dependent on OR-disjunct evaluation order (a zero-marginal pair
+    never evaluates the product, never overflows, and merges exactly
+    without raising).  At that scale, chi-square significance against
+    τ = 2.706 is meaningless anyway (everything is "significant");
+    subsample or rescale upstream.
 
     Output: merged blocks + rate_ppm.  Scale: blocks live on the
     BOUNDED bucket domain; each round is one ordered window + one
@@ -487,14 +492,17 @@ def chimerge_rounds(blocks: DataFrame, rounds: int) -> DataFrame:
     )
     wo = Window.orderBy("bx")
     run = Window.orderBy("bx").rowsBetween(Window.unboundedPreceding, 0)
-    guard = ("CASE WHEN greatest(p_pos + p_neg, pos + neg) <= 10000000"
-             " THEN {t} ELSE CAST(raise_error('chimerge: bins over 1e7"
-             " rows — the exact chi2 compare would overflow DECIMAL(38);"
-             " subsample upstream') AS BIGINT) END")
+    guarded_n = (
+        "CASE WHEN greatest(p_pos + p_neg, pos + neg) <= 8000000"
+        " THEN CAST(p_pos + p_neg + pos + neg AS DECIMAL(38,0))"
+        " ELSE CAST(raise_error('chimerge: bins over 8e6"
+        " rows — the exact chi2 compare would overflow DECIMAL(38);"
+        " subsample upstream') AS DECIMAL(38,0)) END"
+    )
     merge_pred = (
         "(p_pos + p_neg) IS NOT NULL AND ("
-        f" {guard.format(t='(p_pos + pos)')} = 0 OR (p_neg + neg) = 0 OR"
-        " 1000 * CAST(p_pos + p_neg + pos + neg AS DECIMAL(38,0))"
+        " (p_pos + pos) = 0 OR (p_neg + neg) = 0 OR"
+        f" 1000 * ({guarded_n})"
         "   * (CAST(p_pos AS DECIMAL(38,0)) * neg"
         "      - CAST(pos AS DECIMAL(38,0)) * p_neg)"
         "   * (CAST(p_pos AS DECIMAL(38,0)) * neg"
@@ -531,13 +539,16 @@ def chimerge_rounds(blocks: DataFrame, rounds: int) -> DataFrame:
 def CHIMERGE_ROUND_CTES(rounds: int, base: str = "c0") -> list[str]:
     """Chained-CTE unroll of the same synchronous recurrence: c0 must
     provide (bx, xmax, pos, neg); yields c1..c{rounds}."""
-    guard = ("CASE WHEN greatest(p_pos + p_neg, pos + neg) <= 10000000"
-             " THEN {t} ELSE CAST(error('chimerge: bins over 1e7 rows')"
-             " AS BIGINT) END")
+    guarded_n = (
+        "CASE WHEN greatest(p_pos + p_neg, pos + neg) <= 8000000"
+        " THEN CAST(p_pos + p_neg + pos + neg AS HUGEINT)"
+        " ELSE CAST(error('chimerge: bins over 8e6 rows')"
+        " AS HUGEINT) END"
+    )
     merge_pred = (
         "p_pos IS NOT NULL AND ("
-        f" {guard.format(t='(p_pos + pos)')} = 0 OR (p_neg + neg) = 0 OR"
-        " 1000 * CAST(p_pos + p_neg + pos + neg AS HUGEINT)"
+        " (p_pos + pos) = 0 OR (p_neg + neg) = 0 OR"
+        f" 1000 * ({guarded_n})"
         "   * (CAST(p_pos AS HUGEINT) * neg"
         "      - CAST(pos AS HUGEINT) * p_neg)"
         "   * (CAST(p_pos AS HUGEINT) * neg"

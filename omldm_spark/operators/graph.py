@@ -1459,7 +1459,12 @@ def louvain_second_pass(edges: DataFrame,
     break to the smallest community id; the move itself is MIN-WARD —
     only toward a smaller community id — because the level-2 gain is
     symmetric, so mutual best pairs would otherwise swap labels
-    without coarsening).
+    without coarsening; and a move stands only when its target is
+    itself a FIXPOINT this pass — without that, c moving to d while d
+    moves to e leaves c labeled with an id whose members all left, a
+    phantom merge.  Every moved-to label is therefore stationary; a
+    suppressed move waits for the next pass, the same trade min-ward
+    already makes).
 
     Scale: the aggregation is one labeling join (two keyed hash joins
     on the vertex id) + one (c_min, c_max) groupBy; everything after
@@ -1519,7 +1524,7 @@ def louvain_second_pass(edges: DataFrame,
     # Min-ward makes exactly one of the pair move, so a mutual pair
     # genuinely merges; an unrequited upward attraction waits for a
     # later pass (the standard trade of the heuristic).
-    mv = (
+    mv0 = (
         cand2.select("src", "dst", "gain_q",
                      F.row_number().over(win).alias("rk"))
         .where("rk = 1")
@@ -1528,6 +1533,24 @@ def louvain_second_pass(edges: DataFrame,
             F.when((F.col("gain_q") > 0) & (F.col("dst") < F.col("src")),
                    F.col("dst"))
             .otherwise(F.col("src")).cast("long").alias("c2"),
+        )
+    )
+    # CHAIN suppression (review r12): if c moves to d while d itself
+    # moves to e, c would be relabeled to an id whose own members left
+    # — no actual coarsening of c and d.  A move stands only when its
+    # TARGET is a fixpoint this pass (d's own c2 = d; min-ward means a
+    # target that moves always moves strictly downward, never back),
+    # so every moved-to label is stationary and the merge is real.
+    # One extra self-join on the community frame — aggregate-sized.
+    tgt = mv0.select(F.col("community").alias("_tc"),
+                     F.col("c2").alias("_tc2"))
+    mv = (
+        mv0.join(tgt, mv0["c2"] == tgt["_tc"], "left")
+        .select(
+            mv0["community"].alias("community"),
+            F.when(F.coalesce(F.col("_tc2"), mv0["c2"]) == mv0["c2"],
+                   mv0["c2"])
+            .otherwise(mv0["community"]).cast("long").alias("c2"),
         )
     )
     return (
@@ -1572,7 +1595,7 @@ cand2 AS (
   JOIN k2 kj ON kj.community = s.dst
   CROSS JOIN wt
 ),
-mv AS (
+mv0 AS (
   SELECT src AS community,
          CAST(CASE WHEN gain_q > 0 AND dst < src THEN dst
               ELSE src END AS BIGINT) AS c2
@@ -1582,6 +1605,12 @@ mv AS (
                               ORDER BY gain_q DESC, dst) AS rk
     FROM cand2
   ) WHERE rk = 1
+),
+mv AS (
+  SELECT m.community,
+         CAST(CASE WHEN coalesce(t.c2, m.c2) = m.c2 THEN m.c2
+              ELSE m.community END AS BIGINT) AS c2
+  FROM mv0 m LEFT JOIN mv0 t ON t.community = m.c2
 )
 SELECT CAST(lv.item AS BIGINT) AS item,
        CAST(lv.community AS BIGINT) AS community_l1,
@@ -1683,16 +1712,20 @@ def assortativity_report(edges: DataFrame) -> DataFrame:
     item graphs; the single number that says which degree-cap /
     salting strategy a 100 TB join over this graph needs.
 
-    Exactness: the moment sums (n ends, Σx, Σxy, Σx² with x =
+    Exactness: ALL moment sums (n ends, Σx, Σxy, Σx² with x =
     deg(src), y = deg(dst) over the SYMMETRIZED ends, so Σx = Σy by
-    construction) ACCUMULATE in DECIMAL(38,0)/HUGEINT — a plain long
-    sum wraps silently on Spark past 9.2e18, reachable on dense hub
-    graphs — and the BIGINT output cast fails loudly (not silently)
-    if a graph ever exceeds int64 moments; the correlation
-    numerator/denominator products ride DECIMAL(38,0), and the
-    final r = num / (sqrt(d)·sqrt(d)) is the one IEEE step — sqrt and
-    divide are correctly rounded, identical operand text on both
-    engines, floored to ppm.
+    construction — Σx included, review r12) ACCUMULATE in
+    DECIMAL(38,0)/HUGEINT — a plain long sum wraps silently on Spark
+    past 9.2e18, reachable on dense hub graphs.  The BIGINT output
+    casts are NOT inherently loud on Spark (this session runs
+    non-ANSI, where CAST(DECIMAL(38,0) AS BIGINT) overflow silently
+    NULLs; DuckDB's HUGEINT→BIGINT cast does raise), so each moment
+    reads through a CONSUMED guard that raise_errors on Spark when a
+    moment exceeds int64 — n_ends = 0 (empty graph) passes through as
+    NULL.  The correlation numerator/denominator products ride
+    DECIMAL(38,0), and the final r = num / (sqrt(d)·sqrt(d)) is the
+    one IEEE step — sqrt and divide are correctly rounded, identical
+    operand text on both engines, floored to ppm.
 
     Output one row: (n_ends, sum_x, sum_xy, sum_xx,
     assortativity_ppm)."""
@@ -1709,15 +1742,29 @@ def assortativity_report(edges: DataFrame) -> DataFrame:
     )
     # moment sums in DECIMAL(38,0) (exact to 1e38 — Spark's plain long
     # sum wraps SILENTLY at 9.2e18 while DuckDB raises, review r11);
-    # the BIGINT output cast is then a loud ANSI/HUGEINT error on both
-    # engines if a graph ever exceeds int64 moments, never a wrap
+    # non-ANSI Spark also NULLs the DECIMAL→BIGINT overflow cast
+    # silently (review r12), so the cast reads through a consumed
+    # guard that raises loudly; DuckDB's HUGEINT→BIGINT cast raises
+    # on its own.  Empty graph (n_ends = 0, NULL sums) stays NULL.
+    def _loud(col: str, what: str) -> str:
+        return (
+            f"CASE WHEN n_ends = 0 THEN CAST(NULL AS BIGINT)"
+            f" WHEN {col} <= 9223372036854775807"
+            f" THEN CAST({col} AS BIGINT)"
+            f" ELSE CAST(raise_error('assortativity: {what} exceeds"
+            f" BIGINT — graph moments over int64') AS BIGINT) END"
+        )
+
     mom = ends.agg(
         F.count(F.lit(1)).cast("long").alias("n_ends"),
-        F.sum("kx").cast("long").alias("sum_x"),
-        F.sum(F.expr("CAST(kx AS DECIMAL(38,0)) * ky")).cast("long")
-        .alias("sum_xy"),
-        F.sum(F.expr("CAST(kx AS DECIMAL(38,0)) * kx")).cast("long")
-        .alias("sum_xx"),
+        F.sum(F.expr("CAST(kx AS DECIMAL(38,0))")).alias("sx_d"),
+        F.sum(F.expr("CAST(kx AS DECIMAL(38,0)) * ky")).alias("sxy_d"),
+        F.sum(F.expr("CAST(kx AS DECIMAL(38,0)) * kx")).alias("sxx_d"),
+    ).select(
+        "n_ends",
+        F.expr(_loud("sx_d", "sum_x")).alias("sum_x"),
+        F.expr(_loud("sxy_d", "sum_xy")).alias("sum_xy"),
+        F.expr(_loud("sxx_d", "sum_xx")).alias("sum_xx"),
     )
     return mom.select(
         "n_ends", "sum_x", "sum_xy", "sum_xx",
@@ -1754,7 +1801,7 @@ ends AS (
 ),
 mom AS (
   SELECT CAST(count(*) AS BIGINT) AS n_ends,
-         CAST(sum(kx) AS BIGINT) AS sum_x,
+         CAST(sum(CAST(kx AS HUGEINT)) AS BIGINT) AS sum_x,
          CAST(sum(CAST(kx AS HUGEINT) * ky) AS BIGINT) AS sum_xy,
          CAST(sum(CAST(kx AS HUGEINT) * kx) AS BIGINT) AS sum_xx
   FROM ends

@@ -3856,6 +3856,10 @@ def test_louvain_second_pass_merges_planted_hierarchy(spark):
         best = min(j for j in gains if gains[j] == bg)
         # min-ward symmetry breaking: move only toward a smaller id
         want[c] = best if (bg > 0 and best < c) else c
+    # chain suppression: a move stands only if its target is a
+    # fixpoint this pass (otherwise c would relabel to an id whose
+    # own members left — a phantom merge)
+    want = {c: (d if want.get(d, d) == d else c) for c, d in want.items()}
     for v in lv1:
         assert out[v].community_l2 == want[lv1[v]], (v, lv1[v])
     # the WEAK bridge never wins: no pass-1 community on the A/B side
@@ -3869,10 +3873,67 @@ def test_louvain_second_pass_merges_planted_hierarchy(spark):
     assert len(l2) < len(set(lv1.values()))
     for c, d in want.items():
         if d != c:
-            # no 2-cycles: min-ward moves cannot swap (d < c and any
-            # further move of d is to an even smaller id, never back)
-            assert want[d] != c, (c, d)
+            # every moved-to label is a FIXPOINT: no swaps (min-ward)
+            # and no chains (suppression) — the merge is real
+            assert want.get(d, d) == d, (c, d)
             assert d < c
+
+
+def test_louvain_second_pass_suppresses_chained_moves(spark):
+    """Planted chain (review r12): a dense 8-vertex graph whose pass-1
+    communities produce c -> d while d -> e in the same level-2 pass.
+    Without suppression c's members would be relabeled to d — an id
+    whose own members left (a phantom merge).  The fix keeps c in
+    place (its move waits for the next pass) while d genuinely merges
+    into the stationary e.  The referee recomputes min-ward moves from
+    Spark's own pass-1 labels, asserts the chain EXISTS pre-
+    suppression (so the plant stays relevant), then pins the
+    suppressed fixpoint-only output."""
+    from omldm_spark.operators.graph import (louvain_first_pass,
+                                             louvain_second_pass)
+
+    E = [(0, 1, 1), (0, 3, 6), (0, 4, 6), (1, 3, 4), (1, 5, 4),
+         (1, 6, 5), (1, 7, 1), (2, 3, 3), (2, 4, 2), (2, 5, 4),
+         (2, 6, 4), (2, 7, 3), (3, 7, 4), (4, 7, 2), (5, 6, 2),
+         (5, 7, 6), (6, 7, 4)]
+    edges = spark.createDataFrame(E, "a long, b long, w long")
+    lv1 = {r.item: r.community
+           for r in louvain_first_pass(edges).collect()}
+    k: dict[int, int] = {}
+    for a, b, w in E:
+        k[a] = k.get(a, 0) + w
+        k[b] = k.get(b, 0) + w
+    W = sum(k.values())
+    inter: dict[tuple, int] = {}
+    for a, b, w in E:
+        ca, cb = lv1[a], lv1[b]
+        if ca != cb:
+            key = (min(ca, cb), max(ca, cb))
+            inter[key] = inter.get(key, 0) + w
+    k2: dict[int, int] = {}
+    for v, c in lv1.items():
+        k2[c] = k2.get(c, 0) + k[v]
+    raw = {}
+    for c in set(lv1.values()):
+        nb = {(d if a == c else a): w
+              for (a, d), w in inter.items() if c in (a, d)}
+        if not nb:
+            raw[c] = c
+            continue
+        gains = {j: w * W - k2[c] * k2[j] for j, w in nb.items()}
+        bg = max(gains.values())
+        best = min(j for j in gains if gains[j] == bg)
+        raw[c] = best if (bg > 0 and best < c) else c
+    # the plant must actually contain a chain pre-suppression
+    assert any(d != c and raw.get(d, d) != d for c, d in raw.items()), raw
+    want = {c: (d if raw.get(d, d) == d else c) for c, d in raw.items()}
+    out = {r.item: r for r in louvain_second_pass(edges).collect()}
+    for v in lv1:
+        assert out[v].community_l2 == want[lv1[v]], (v, lv1[v])
+    used = {r.community_l2 for r in out.values()}
+    l2_of = {r.community_l1: r.community_l2 for r in out.values()}
+    for lbl in used:
+        assert l2_of.get(lbl, lbl) == lbl, lbl
 
 
 def test_cox_newton_step_referee(spark):
@@ -4840,9 +4901,13 @@ def test_dp_topk_noise_bounded_and_deterministic(spark):
 
 
 def test_chimerge_envelope_guard_raises(spark):
-    """Bins past 1e7 rows would overflow the DECIMAL(38) chi2 compare
-    (silently on Spark, loudly on DuckDB) — the consumed guard must
-    raise on Spark instead; bins at the boundary still work."""
+    """Bins past 8e6 rows with full label separation push the LHS
+    1000·N·det² = 2000·m⁵ past DECIMAL(38,0) (~1e38 at m ≈ 8.7e6) —
+    silently NULLing on non-ANSI Spark, raising on DuckDB — so the
+    guard on the N operand INSIDE the product must raise on Spark
+    instead; bins at the 8e6 boundary still work; and a zero-marginal
+    over-envelope pair merges exactly (chi2 = 0) without evaluating
+    the product, hence without raising."""
     import pytest
 
     from omldm_spark.operators.evaluation import chimerge_rounds
@@ -4850,13 +4915,38 @@ def test_chimerge_envelope_guard_raises(spark):
     big = spark.createDataFrame(
         [(0, 0, 6_000_000, 6_000_000), (1, 1, 5_500_000, 6_500_000)],
         "bx long, xmax long, pos long, neg long")
-    with pytest.raises(Exception, match="chimerge: bins over 1e7"):
+    with pytest.raises(Exception, match="chimerge: bins over 8e6"):
         chimerge_rounds(big, rounds=1).collect()
     ok = spark.createDataFrame(
         [(0, 0, 4_000_000, 4_000_000), (1, 1, 3_500_000, 4_500_000)],
         "bx long, xmax long, pos long, neg long")
     out = chimerge_rounds(ok, rounds=1).collect()
     assert len(out) in (1, 2)
+    # zero label marginal (all-pos bins): chi2 = 0 exactly — the
+    # product is never evaluated, so no overflow and no raise even
+    # over-envelope; the pair must merge.
+    zero_marginal = spark.createDataFrame(
+        [(0, 0, 9_000_000, 0), (1, 1, 9_000_000, 0)],
+        "bx long, xmax long, pos long, neg long")
+    merged = chimerge_rounds(zero_marginal, rounds=1).collect()
+    assert len(merged) == 1 and merged[0]["pos"] == 18_000_000
+    # DuckDB twin: same guard text via error() in the CTE unroll.
+    import duckdb
+
+    from omldm_spark.operators.evaluation import CHIMERGE_ROUND_CTES
+
+    def duck(rows):
+        vals = ", ".join(f"({bx}, {xm}, {p}, {n})" for bx, xm, p, n in rows)
+        ctes = ",\n".join(CHIMERGE_ROUND_CTES(1))
+        return duckdb.sql(
+            f"WITH c0 AS (SELECT * FROM (VALUES {vals})"
+            f" t(bx, xmax, pos, neg)),\n{ctes}\n"
+            "SELECT * FROM c1 ORDER BY bx").fetchall()
+
+    with pytest.raises(Exception, match="chimerge: bins over 8e6"):
+        duck([(0, 0, 6_000_000, 6_000_000), (1, 1, 5_500_000, 6_500_000)])
+    assert len(duck([(0, 0, 4_000_000, 4_000_000),
+                     (1, 1, 3_500_000, 4_500_000)])) in (1, 2)
 
 
 def test_cdc_chunking_handles_non_ascii(spark):
