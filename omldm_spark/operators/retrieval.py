@@ -1040,73 +1040,70 @@ def facility_location_select(emb: DataFrame, k: int = FACLOC_K,
     sampled pool).  Output: (rank, vec_id, gain, objective) per
     selected round, objective = running F(A).
 
-    Scale: ONE pool x candidate dot-product aggregation (the explode
-    join multiplies by dim into the map-side combiner, bounded by
-    n_cand), persisted; each round is one keyed max over the selected
-    (<= k broadcast rows), one gain aggregation over the persisted dot
-    frame, one TakeOrdered(1).  Envelope: |qv| <= quant·|x|, dot <=
-    dim·(quant·|x|)², summed over n docs — < 2^63 through ~1e9 docs at
-    the testdata scale."""
-    q = emb.select(
+    Scale: the n_cand candidate vectors collapse to ONE broadcast row
+    (n_cand x dim quantized ints — model-scale, the kmeans-seed
+    shape), and every per-document candidate-dot array is ROW-LOCAL
+    array arithmetic against that broadcast (zip_with/aggregate inner
+    products) — the operator performs ZERO document-scale shuffles
+    (review r12: the previous shape shuffled an explode-join dot frame
+    at packing and re-shuffled it per round for the coverage join).
+    The packed (vid, cd[n_cand]) frame persists once; each greedy
+    round reads it with the picked ids as plan-time literals — the
+    coverage term max(0, max_{p∈A} d_p) is a row-local array fold —
+    into one map-side-combined n_cand-key aggregation and a one-row
+    argmax collect (the kmeans/BPE bounded driver-loop discipline,
+    <= 1 row per round).  Envelope: |qv| <= quant·|x|, dot <=
+    dim·(quant·|x|)², summed over n docs — < 2^63 through ~1e9 docs
+    at the testdata scale."""
+    qdoc = emb.select(
         F.col(id_col).cast("long").alias("vid"),
-        F.posexplode(vec_col).alias("pos", "e"),
-    ).select(
-        "vid", "pos",
-        F.round(F.col("e").cast("double") * quant, 0).cast("long")
-        .alias("qv"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {quant}, 0) AS BIGINT))").alias("qv"),
     )
-    cand = q.filter(F.col("vid") < n_cand).select(
-        F.col("vid").alias("cid"), "pos", F.col("qv").alias("cv"))
-    dots = (
-        q.join(F.broadcast(cand), "pos")
-        .groupBy("vid", "cid")
-        .agg(F.sum(F.expr("qv * cv")).cast("long").alias("d"))
+    candv = qdoc.filter(F.col("vid") < n_cand).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("vid").alias("c"), F.col("qv").alias("v"))))
+        .alias("cands"))
+    packed = (
+        qdoc.crossJoin(F.broadcast(candv))
+        .select("vid", F.expr(
+            "transform(cands, cc -> struct(cc.c AS c,"
+            " aggregate(zip_with(cc.v, qv, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (a, z) -> a + z) AS d))").alias("cd"))
     ).persist()
     if cache_out is not None:
-        cache_out.append(dots)
-    sel = None
-    for r in range(1, k + 1):
-        if sel is None:
-            cov = None
-            gains = dots.groupBy("cid").agg(
-                F.sum(F.expr("greatest(d, CAST(0 AS BIGINT))"))
-                .cast("long").alias("gain"))
+        cache_out.append(packed)
+    picks: list[tuple[int, int]] = []   # (cid, gain) per greedy round
+    for _ in range(k):
+        if picks:
+            in_p = ", ".join(str(c) for c, _ in picks)
+            cov = F.expr(
+                f"aggregate(filter(cd, x -> x.c IN ({in_p})),"
+                " CAST(0 AS BIGINT), (a, x) -> greatest(a, x.d))")
+            not_picked = f"NOT (e.c IN ({in_p}))"
         else:
-            picked = sel.select(F.col("cid").alias("scid"))
-            cov = (
-                dots.join(F.broadcast(picked),
-                          F.col("cid") == F.col("scid"))
-                .groupBy("vid")
-                .agg(F.greatest(F.max("d"), F.lit(0).cast("long"))
-                     .alias("cov"))
-            )
-            gains = (
-                dots.join(F.broadcast(sel.select("cid")), "cid",
-                          "left_anti")
-                .join(cov, "vid", "left")
-                .groupBy("cid")
-                .agg(F.sum(F.expr(
-                    "greatest(d - coalesce(cov, CAST(0 AS BIGINT)),"
-                    " CAST(0 AS BIGINT))")).cast("long").alias("gain"))
-            )
-        pick = (
-            gains.orderBy(F.desc("gain"), F.asc("cid")).limit(1)
-            .select("cid", "gain", F.lit(r).cast("long").alias("rank"))
+            cov = F.lit(0).cast("long")
+            not_picked = "true"
+        gains = (
+            packed.select(cov.alias("cov"), F.explode("cd").alias("e"))
+            .where(not_picked)
+            .groupBy(F.col("e.c").alias("cid"))
+            .agg(F.sum(F.greatest(F.col("e.d") - F.col("cov"),
+                                  F.lit(0).cast("long")))
+                 .cast("long").alias("gain"))
         )
-        sel = pick if sel is None else sel.unionByName(pick)
-        # each round's plan embeds every earlier round's argmax; the
-        # eager cut keeps the published plan O(1) and costs one tiny
-        # job per round over the CACHED dot frame (the JP/kmeans
-        # iterate-truncation lesson; <= k rows materialize)
-        sel = sel.localCheckpoint(eager=True)
-    from pyspark.sql import Window
-
-    run = Window.orderBy("rank").rowsBetween(
-        Window.unboundedPreceding, 0)
-    return sel.select(
-        "rank", F.col("cid").alias(id_col), "gain",
-        F.sum("gain").over(run).cast("long").alias("objective"),
-    )
+        best = (gains.orderBy(F.desc("gain"), F.asc("cid"))
+                .limit(1).collect())
+        if not best:
+            break
+        picks.append((best[0]["cid"], best[0]["gain"]))
+    rows, obj = [], 0
+    for rank, (cid, gain) in enumerate(picks, 1):
+        obj += gain
+        rows.append((rank, cid, gain, obj))
+    return emb.sparkSession.createDataFrame(
+        rows, f"rank long, {id_col} long, gain long, objective long")
 
 
 def FACLOC_SQL(k: int = FACLOC_K, n_cand: int = FACLOC_CAND,

@@ -19853,32 +19853,42 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IPW, source valuation), (c) the evaluation-curve / spatial-twin tail.
 # The remaining 52 never-seen names are committed as ROTATION.md for
 # the r12 set.
+# Round-12 rotation (VERDICT r11 item 1): all 50 r11 slots returned
+# green, so every slot rotates to never-driver-verified exact-oracle
+# names from the ROTATION.md ledger.  Priority: (a) the 17 round-11
+# additions (CDC chunking, facility location, Louvain level-2,
+# WordPiece, source Shapley + twins, Wasserstein + twin, Rocchio,
+# boilerplate n-grams, dp_topk, FD strength, assortativity, ChiMerge,
+# MRR@5, IVF recall) — three of these (chimerge_value_bins,
+# assortativity_items, louvain_second_pass) also carry this round's
+# ADVICE fixes, so the driver certifies the NEW behavior, (b) 33 of
+# the 52 pre-existing never-seen names in ledger order.  19 names
+# remain for the final r13 sweep (plus any r12 additions, which enter
+# the r13 head per the standing convention).
 _SNAPSHOT_TOP = [
-    # round-10 continued-session wave (VERDICT r10 priority list)
-    "semdedup_keep_list", "shapley_attribution_channels",
-    "streaming_shapley_attribution", "adam_hub_rounds",
-    "streaming_adam_hub", "clipped_merge_report", "sprt_decision_replay",
-    "skyline_users", "streaming_skyline_users", "mmr_diverse_topk",
-    "ams_f2_report", "hilbert_events_key", "curve_locality_report",
-    "doremi_weight_round", "best_of_n_curve", "streaming_best_of_n",
-    "tokenizer_fertility_report", "ccnet_perplexity_buckets",
-    "draft_acceptance_by_source", "streaming_draft_acceptance",
-    "disparate_impact_report", "streaming_disparate_impact",
-    # round-10 main wave (drift / federated / LM / preference /
-    # multimodal / valuation), zero driver rows
-    "kneser_ney_bigrams", "kn_heldout_scores", "robust_merge_report",
-    "streaming_robust_merge", "topk_sparse_merge", "freq_drift_report",
-    "streaming_freq_drift", "ks_two_sample_value",
-    "streaming_ks_two_sample", "bradley_terry_round",
-    "bradley_terry_two_rounds", "cohens_kappa_labels",
-    "video_shot_boundaries", "audio_silence_segments", "source_loo_value",
-    "louvain_item_pass", "louvain_modularity_report",
-    "cox_session_newton", "ipw_ate_report", "ngram_novelty_by_batch",
-    "multimodal_shard_manifest",
-    # evaluation curves + spatial/interval twins, zero driver rows
-    "roc_purchase_value", "pr_purchase_value", "grid_hotspot_cells",
-    "streaming_grid_epsilon", "interval_overlap_pairs",
-    "streaming_interval_overlap", "vocab_coverage_curve",
+    # round-11 additions (never driver-seen; 3 carry r12 ADVICE fixes)
+    "cdc_chunk_dedup", "facility_location_select", "louvain_second_pass",
+    "wordpiece_pair_scores", "streaming_wordpiece_scores",
+    "source_shapley_value", "streaming_source_shapley",
+    "wasserstein_value_periods", "streaming_wasserstein",
+    "rocchio_expansion_terms", "boilerplate_ngrams_report",
+    "dp_topk_terms", "functional_dependency_report",
+    "assortativity_items", "chimerge_value_bins", "rec_mrr_at5",
+    "ivf_recall_report",
+    # pre-existing never-seen tail, ROTATION.md ledger order
+    "als_rank1_round", "als_rank1_train", "bagged_oob_accuracy",
+    "bpe_merge_round", "brier_decomposition",
+    "calibration_purchase_value", "chi2_type_dow", "churn_training_set",
+    "corpus_pipeline", "dp_event_counts", "embedding_class_scatter",
+    "embedding_gram", "embedding_kmeans_round", "encoding_audit_report",
+    "fading_prequential_accuracy", "floored_running_balance",
+    "forecast_orr_backtest", "hashed_doc_features",
+    "ht_first_split_discrete", "ht_first_split_mixed",
+    "importance_weights_bins", "incremental_agg_users",
+    "item_rec_summary", "item_similarity_topk", "l2_normalized_points",
+    "l_diversity_customers", "maxabs_scaled_points",
+    "minhash_pr_calibration", "nb_label_noise", "nb_train_lang",
+    "negative_samples", "nelson_aalen_hazard", "observed_corpus_metrics",
 ]
 
 

@@ -52,6 +52,9 @@ ALLOWLIST = {
     ("operators/retrieval.py", 'F.countDistinct("doc").alias("n")).collect()'):
         "stats-driven strategy pick: ONE row (vocab size + doc count), "
         "the operator-level AQE decision for dense vs posting plans",
+    ("operators/retrieval.py", '.limit(1).collect())'):
+        "facility-location greedy argmax: ONE row per round, k rounds "
+        "(the kmeans/BPE bounded driver-loop discipline)",
     ("operators/skew.py", 'F.bit_or("mask")'):
         "bloom filter words: fixed 16-BIGINT array",
     ("learners/trainer.py", "mapInPandas(run_partition, schema=STATE_SCHEMA"):

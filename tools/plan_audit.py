@@ -1858,10 +1858,11 @@ CHECKS.update({
          lambda p: "InMemoryTableScan" in p),
     ],
     "facility_location_select": [
-        # per-round argmaxes checkpoint eagerly (the JP discipline), so
-        # the published plan reads the <= k-row selected state as an
-        # RDD scan — never the k-round nested lineage
-        ("final plan reads checkpointed selection, not k-round lineage",
+        # greedy rounds ride the bounded driver loop (1-row argmax per
+        # round over the persisted packed-dot frame), so the published
+        # plan is the <= k-row selection as a local-rows RDD scan —
+        # never the k-round nested lineage
+        ("final plan reads <= k-row local selection, not k-round lineage",
          lambda p: "ExistingRDD" in p),
         ("no cartesian anywhere",
          lambda p: "CartesianProduct" not in p),
