@@ -6698,7 +6698,8 @@ def _replay_events(spark: SparkSession, sf_dir: str, prefix: str):
     return file_replay_source(spark, src, spark.read.parquet(src).schema), tmp
 
 
-def _run_update_stream(out, tmp: str, key_cols: list[str]) -> DataFrame:
+def _run_update_stream(out, tmp: str, key_cols: list[str],
+                       state_partitions: int = 8) -> DataFrame:
     """Drive an UPDATE-mode aggregation to completion through the
     DISTRIBUTED keyed upsert sink (streaming/sinks.py KeyedUpsertSink):
     last write per key wins, so the compacted state equals the batch
@@ -6706,18 +6707,38 @@ def _run_update_stream(out, tmp: str, key_cols: list[str]) -> DataFrame:
     — the sink merges hash-bucketed parquet state versions (the
     lakehouse-MERGE shape; tests/test_stateful.py pins collect-free
     operation) and the state is read back as a distributed DataFrame with
-    ``out``'s column order."""
+    ``out``'s column order.
+
+    ``state_partitions`` pins the streaming STATE layout: Spark fixes
+    the number of state stores to ``spark.sql.shuffle.partitions`` at
+    the stream's FIRST start, forever — so it must be sized to the
+    keyed-state cardinality deliberately, not inherited from the batch
+    shuffle width (review r12: each HDFS-backed state store pays
+    per-partition open/commit file traffic every micro-batch; 32 idle
+    stores cost ~4 s/batch on this box while the twins' state is
+    ~1e5 keys.  At 100 TB you raise this with key cardinality — the
+    same explicit sizing call a production job makes).  The conf is
+    restored after the run; results are partition-count-invariant
+    (hash aggregation is exact, the sink state is keyed parquet)."""
     from .streaming.sinks import KeyedUpsertSink
 
-    sink = KeyedUpsertSink(f"{tmp}/upsert", key_cols)
-    q = (
-        out.writeStream.outputMode("update").foreachBatch(sink)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
     spark = out.sparkSession
+    # merge granularity tracks the state layout (the sink docstring's
+    # "buckets ~= shuffle partitions of the state" sizing rule)
+    sink = KeyedUpsertSink(f"{tmp}/upsert", key_cols,
+                           n_buckets=state_partitions)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions)
+    try:
+        q = (
+            out.writeStream.outputMode("update").foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     state = sink.current_state(spark, out.columns)
     if state is None:
         return spark.createDataFrame([], out.schema)
