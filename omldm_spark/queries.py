@@ -1151,7 +1151,7 @@ def q_streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sources import file_replay_source
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="omldm_sqf_")
+    tmp = _twin_tmp("omldm_sqf_")
     src_dir = f"{tmp}/src"
     docs.repartition(5).write.parquet(src_dir)
     stream = file_replay_source(
@@ -1440,7 +1440,7 @@ def q_streaming_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("training")
         ),
     ).select("id", "features", "label", "operation")
-    tmp = tempfile.mkdtemp(prefix="omldm_stream_")
+    tmp = _twin_tmp("omldm_stream_")
     src = f"{tmp}/src"
     pts.repartition(4).write.mode("overwrite").parquet(src)
     cat = PipelineCatalog()
@@ -4170,7 +4170,7 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sources import file_replay_source
 
     urls = plant_urls(load_table(spark, sf_dir, "documents"))
-    tmp = tempfile.mkdtemp(prefix="omldm_surl_")
+    tmp = _twin_tmp("omldm_surl_")
     src = f"{tmp}/src"
     urls.repartition(4).write.parquet(src)
     stream = file_replay_source(
@@ -4768,7 +4768,7 @@ def q_streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sub", "cid", F.col("codeword_q").alias("cv"))
         .localCheckpoint()
     )
-    tmp = tempfile.mkdtemp(prefix="omldm_pqenc_")
+    tmp = _twin_tmp("omldm_pqenc_")
     src = f"{tmp}/src"
     emb.select("vec_id", "embedding").repartition(4).write.parquet(src)
     stream = file_replay_source(
@@ -4849,7 +4849,7 @@ def q_streaming_cross_source_overlap(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
-    tmp = tempfile.mkdtemp(prefix="omldm_xsrc_")
+    tmp = _twin_tmp("omldm_xsrc_")
     src_dir = f"{tmp}/src"
     docs.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -6459,7 +6459,7 @@ def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session runs UTC so the instant is unchanged
         F.col("ts").cast("timestamp").alias("ts"), "value",
     )
-    tmp = tempfile.mkdtemp(prefix="omldm_ssj_")
+    tmp = _twin_tmp("omldm_ssj_")
     cdir, pdir = f"{tmp}/clicks", f"{tmp}/purchases"
     ev.filter(F.col("event_type") == "click").write.parquet(cdir)
     ev.filter(F.col("event_type") == "purchase").write.parquet(pdir)
@@ -6681,18 +6681,31 @@ def q_robust_scaled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _replay_events(spark: SparkSession, sf_dir: str, prefix: str):
-    """Write the (timestamp-cast) events once and open a file stream over
-    them — the shared setup for the streaming-twin contract queries."""
+def _twin_tmp(prefix: str) -> str:
+    """Scratch base for a streaming twin as an EXPLICIT ``file:``-scheme
+    URI (review r12 — the statefold r11 portability lesson generalized
+    to the whole twin surface): every twin run now drives its source,
+    checkpoint, state, and sink paths through scheme-qualified URIs
+    end-to-end, so nothing between a twin query and the filesystem can
+    silently assume an implicit local path — pointing this at
+    hdfs://... or s3a://... is the only change a cluster run needs.
+    Locally the URI resolves to a fresh tempdir."""
     import tempfile
 
+    return "file:" + tempfile.mkdtemp(prefix=prefix)
+
+
+def _replay_events(spark: SparkSession, sf_dir: str, prefix: str):
+    """Write the (timestamp-cast) events once and open a file stream over
+    them — the shared setup for the streaming-twin contract queries.
+    The returned scratch base is a ``file:``-scheme URI (_twin_tmp)."""
     from .streaming.sources import file_replay_source
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.col("ts").cast("timestamp").alias("ts"), "value",
     )
-    tmp = tempfile.mkdtemp(prefix=prefix)
+    tmp = _twin_tmp(prefix)
     src = f"{tmp}/src"
     ev.write.parquet(src)
     return file_replay_source(spark, src, spark.read.parquet(src).schema), tmp
@@ -6839,7 +6852,7 @@ def q_streaming_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("user_id"),
         (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
     )
-    tmp = tempfile.mkdtemp(prefix="omldm_ssess_")
+    tmp = _twin_tmp("omldm_ssess_")
     src = f"{tmp}/src"
     ev.unionByName(sentinel).write.parquet(src)
     stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
@@ -7030,7 +7043,7 @@ def q_streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sources import file_replay_source
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    tmp = tempfile.mkdtemp(prefix="omldm_sdis_")
+    tmp = _twin_tmp("omldm_sdis_")
     src = f"{tmp}/src"
     ev.write.parquet(src)
     stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
@@ -7891,7 +7904,7 @@ def q_streaming_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("ts_s"),
     )
     dim = scd2_intervals(ev)
-    tmp = tempfile.mkdtemp(prefix="omldm_sscd2_")
+    tmp = _twin_tmp("omldm_sscd2_")
     src = f"{tmp}/src"
     ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", (F.col("ts_s") - 3600).alias("t")
@@ -8717,7 +8730,7 @@ def q_streaming_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    tmp = tempfile.mkdtemp(prefix="omldm_sunion_")
+    tmp = _twin_tmp("omldm_sunion_")
     even, odd = f"{tmp}/even", f"{tmp}/odd"
     ev.filter(F.col("event_id") % 2 == 0).write.parquet(even)
     ev.filter(F.col("event_id") % 2 == 1).write.parquet(odd)
@@ -8918,7 +8931,7 @@ def q_streaming_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
          ('{"operation": "training"}',)],
         ["value"],
     )
-    tmp = tempfile.mkdtemp(prefix="omldm_squar_")
+    tmp = _twin_tmp("omldm_squar_")
     src = f"{tmp}/src"
     raw.unionByName(junk).write.parquet(src)
     stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
@@ -10973,7 +10986,7 @@ def q_streaming_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.c_custkey").cast("long").alias("src"),
                 F.col("b.c_custkey").cast("long").alias("dst"))
     )
-    tmp = tempfile.mkdtemp(prefix="omldm_scc_")
+    tmp = _twin_tmp("omldm_scc_")
     src_dir = f"{tmp}/src"
     # 4 files -> 4 micro-batches with maxFilesPerTrigger=1
     pairs.repartition(4).write.parquet(src_dir)
@@ -14002,7 +14015,7 @@ def q_streaming_conformal_hist(spark: SparkSession,
     w = _weights(spark, sf_dir)
     rc = "CAST(floor(abs(y - (w0 * x0 + w1 * x1 + bias)) * 100000.0 + 0.5) AS BIGINT)"
     cal_rc = cal.crossJoin(F.broadcast(w)).select(F.expr(rc).alias("rc"))
-    tmp = tempfile.mkdtemp(prefix="omldm_conf_")
+    tmp = _twin_tmp("omldm_conf_")
     src = f"{tmp}/src"
     cal_rc.write.parquet(src)
     stream = file_replay_source(spark, src, spark.read.parquet(src).schema)
@@ -15410,7 +15423,7 @@ def q_streaming_interval_overlap(spark: SparkSession,
         (F.unix_timestamp("o_orderdate").cast("long")
          + F.floor("o_totalprice").cast("long")).alias("end_s"),
     )
-    tmp = tempfile.mkdtemp(prefix="omldm_sivl_")
+    tmp = _twin_tmp("omldm_sivl_")
     src_dir = f"{tmp}/src"
     iv.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -16841,7 +16854,7 @@ def q_streaming_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sources import file_replay_source
 
     pts = _grid_points(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="omldm_sgrid_")
+    tmp = _twin_tmp("omldm_sgrid_")
     src_dir = f"{tmp}/src"
     pts.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -16984,7 +16997,7 @@ def q_streaming_retention_cohorts(spark: SparkSession,
         F.expr("CAST(floor(unix_timestamp(ts) / 604800.0) AS BIGINT)")
         .alias("w"),
     )
-    tmp = tempfile.mkdtemp(prefix="omldm_sret_")
+    tmp = _twin_tmp("omldm_sret_")
     src_dir = f"{tmp}/src"
     ev.repartition(6).write.parquet(src_dir)
     stream = file_replay_source(
@@ -17234,7 +17247,7 @@ def q_streaming_grid_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sources import file_replay_source
 
     pts = _grid_points(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="omldm_shot_")
+    tmp = _twin_tmp("omldm_shot_")
     src_dir = f"{tmp}/src"
     pts.repartition(5).write.parquet(src_dir)
     stream = file_replay_source(
@@ -18696,7 +18709,7 @@ def q_streaming_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       read_latest_state)
 
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="omldm_sw1_")
+    tmp = _twin_tmp("omldm_sw1_")
     src_dir = f"{tmp}/src"
     ev.repartition(5).write.parquet(src_dir)
     stream = file_replay_source(
@@ -18742,7 +18755,7 @@ def q_streaming_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       read_latest_state)
 
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="omldm_sks_")
+    tmp = _twin_tmp("omldm_sks_")
     src_dir = f"{tmp}/src"
     ev.repartition(5).write.parquet(src_dir)
     stream = file_replay_source(
@@ -18791,7 +18804,7 @@ def q_streaming_robust_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice")
-    tmp = tempfile.mkdtemp(prefix="omldm_srm_")
+    tmp = _twin_tmp("omldm_srm_")
     src_dir = f"{tmp}/src"
     li.repartition(5).write.parquet(src_dir)
     stream = file_replay_source(
@@ -18872,7 +18885,7 @@ def q_streaming_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sources import file_replay_source
 
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="omldm_sfd_")
+    tmp = _twin_tmp("omldm_sfd_")
     src_dir = f"{tmp}/src"
     ev.repartition(5).write.parquet(src_dir)
     stream = file_replay_source(
@@ -19155,7 +19168,7 @@ def q_streaming_draft_acceptance(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", "lang", "n_chars")
-    tmp = tempfile.mkdtemp(prefix="omldm_sdraft_")
+    tmp = _twin_tmp("omldm_sdraft_")
     src_dir = f"{tmp}/src"
     docs.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -19291,7 +19304,7 @@ def q_streaming_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", "lang", "n_chars")
-    tmp = tempfile.mkdtemp(prefix="omldm_sbon_")
+    tmp = _twin_tmp("omldm_sbon_")
     src_dir = f"{tmp}/src"
     docs.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -19357,7 +19370,7 @@ def q_streaming_shapley_attribution(spark: SparkSession,
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type")
-    tmp = tempfile.mkdtemp(prefix="omldm_sshap_")
+    tmp = _twin_tmp("omldm_sshap_")
     src_dir = f"{tmp}/src"
     ev.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -19469,7 +19482,7 @@ def q_streaming_skyline_users(spark: SparkSession,
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
-    tmp = tempfile.mkdtemp(prefix="omldm_ssky_")
+    tmp = _twin_tmp("omldm_ssky_")
     src_dir = f"{tmp}/src"
     ev.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -19518,7 +19531,7 @@ def q_streaming_adam_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice")
-    tmp = tempfile.mkdtemp(prefix="omldm_sadam_")
+    tmp = _twin_tmp("omldm_sadam_")
     src_dir = f"{tmp}/src"
     li.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -19583,7 +19596,7 @@ def q_streaming_disparate_impact(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", "lang", "n_chars")
-    tmp = tempfile.mkdtemp(prefix="omldm_sdisp_")
+    tmp = _twin_tmp("omldm_sdisp_")
     src_dir = f"{tmp}/src"
     docs.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -19679,7 +19692,7 @@ def q_streaming_wordpiece_scores(spark: SparkSession,
                                       read_latest_state)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="omldm_swp_")
+    tmp = _twin_tmp("omldm_swp_")
     src_dir = f"{tmp}/src"
     docs.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(
@@ -19749,7 +19762,7 @@ def q_streaming_source_shapley(spark: SparkSession,
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
-    tmp = tempfile.mkdtemp(prefix="omldm_sshap_")
+    tmp = _twin_tmp("omldm_sshap_")
     src_dir = f"{tmp}/src"
     docs.repartition(4).write.parquet(src_dir)
     stream = file_replay_source(

@@ -1055,3 +1055,121 @@ def test_prune_versions_keeps_retry_window(spark, tmp_path):
         prune_versions(spark, state_dir, keep=1)
     # pruning a missing dir is a no-op
     assert prune_versions(spark, "file:" + str(tmp_path / "none")) == 0
+
+
+def test_twin_query_runs_end_to_end_on_file_scheme_uris(spark):
+    """The whole twin surface rides scheme-qualified URIs (review r12 —
+    the r11 statefold portability lesson generalized): _twin_tmp hands
+    every twin an EXPLICIT file:-scheme scratch base, so the source
+    write, the replay readStream, the checkpoint, the keyed-upsert
+    state versions, and the publish join all exercise the URI path on
+    every run.  This test pins it THROUGH a twin QUERY: the full
+    streaming_cdc_apply runs on the file: scratch and hash-matches its
+    batch oracle on DuckDB — and the scratch helper itself must never
+    regress to an implicit local path."""
+    import duckdb
+
+    from omldm_spark import queries as q
+    from omldm_spark.schemas import TABLES
+
+    assert q._twin_tmp("omldm_uritest_").startswith("file:/")
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in q.QUERIES["streaming_cdc_apply"](
+            spark, sf_dir).collect())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = sorted(tuple(r) for r in con.execute(
+        q.ORACLES["streaming_cdc_apply"]).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_statefold_restart_recovers_from_torn_publish(spark, tmp_path):
+    """Crash-recovery of a twin's versioned statefold (review r12): the
+    exactly-once claim was tested for sinks but never for a statefold
+    whose PUBLISH tore — data write started, checkpoint commit never
+    landed.  Simulated exactly: after a 3-batch run, the last batch's
+    checkpoint commit record is deleted and its v{bid} snapshot is
+    replaced with a torn wrong version (no _SUCCESS, wrong rows); three
+    more source files arrive and the stream RESTARTS from the same
+    checkpoint.  Structured Streaming replays the uncommitted batch
+    with its recorded offsets; the fold's ``below=bid`` read takes the
+    pre-batch snapshot, so the replay OVERWRITES the torn version with
+    the correct one and the stream continues — the final state must
+    equal the batch aggregate over all six files, and the replayed
+    version itself must be the correct fold, not the planted garbage."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from omldm_spark.streaming.statefold import (publish_state,
+                                                 read_latest_state)
+
+    base = "file:" + str(tmp_path)
+    src, state_dir, ckpt = base + "/src", base + "/state", base + "/ckpt"
+    vals = [1, 10, 100, 1000, 10000, 100000]
+
+    def add_file(i):
+        spark.createDataFrame(
+            [(i % 2, vals[i])], "k long, x long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cur = new.groupBy("k").agg(F.sum("x").cast("long").alias("s"))
+        if prev is not None:
+            cur = (prev.unionByName(cur).groupBy("k")
+                   .agg(F.sum("s").cast("long").alias("s")))
+        publish_state(cur, spark, state_dir, bid, keep=10)
+
+    def run():
+        q = (spark.readStream.schema("k long, x long")
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    for i in range(3):
+        add_file(i)
+    run()
+    commits = tmp_path / "ckpt" / "commits"
+    done = sorted(int(p.name) for p in commits.iterdir()
+                  if p.name.isdigit())
+    assert done == [0, 1, 2]
+    last = done[-1]
+    # tear the publish: checkpoint commit record gone, snapshot dir
+    # holds a wrong partial version (no _SUCCESS marker)
+    (commits / str(last)).unlink()
+    crc = commits / f".{last}.crc"
+    if crc.exists():
+        crc.unlink()  # Hadoop local-FS checksum shadow of the commit
+    vdir = tmp_path / "state" / f"v{last}"
+    for p in vdir.iterdir():
+        p.unlink()
+    (vdir / "part-garbage.parquet").write_bytes(b"")
+    spark.createDataFrame([(99, -1)], "k long, s long").coalesce(1) \
+        .write.mode("overwrite").parquet(str(vdir))
+    torn = {r["k"]: r["s"]
+            for r in spark.read.parquet(str(vdir)).collect()}
+    assert torn == {99: -1}
+    for i in range(3, 6):
+        add_file(i)
+    run()
+    final = {r["k"]: r["s"]
+             for r in read_latest_state(spark, state_dir).collect()}
+    assert final == {0: vals[0] + vals[2] + vals[4],
+                     1: vals[1] + vals[3] + vals[5]}
+    # the replayed batch overwrote the torn version with the true fold
+    # of its recorded offsets (batches 0..2 = one file each, some
+    # ordering of the first three files): the planted garbage is gone
+    # and v2's per-key sums are a sub-sum of the first three values
+    v2 = {r["k"]: r["s"]
+          for r in spark.read.parquet(str(vdir)).collect()}
+    assert 99 not in v2 and sum(v2.values()) == sum(vals[:3])
+    done2 = sorted(int(p.name) for p in pathlib.Path(commits).iterdir()
+                   if p.name.isdigit())
+    assert done2 == [0, 1, 2, 3, 4, 5]
