@@ -5531,6 +5531,61 @@ def q_salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_join_skew_balance",
+    oracle="""
+WITH f AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_partkey END AS k,
+         CAST(((l_orderkey // 2) + l_linenumber) % 8 AS BIGINT)
+           AS salt_bucket,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+           AS cents
+  FROM lineitem
+)
+SELECT salt_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS rev_q
+FROM f JOIN part p ON p.p_partkey = f.k
+WHERE f.k = 1
+GROUP BY salt_bucket
+""",
+)
+def q_salted_join_skew_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANTED-skew evidence for the salted-join family (review r12):
+    half of lineitem is remapped onto ONE join key (l_orderkey % 2 = 0
+    -> partkey 1), the classic hot-key shape that strands an unsalted
+    shuffle join on a single reducer.  The fact rides salted_join with
+    a deterministic salt (l_orderkey % 8), so the hot key's rows reach
+    the join spread over all 8 (key, salt) reducer groups; the report
+    is the per-salt-bucket row count + revenue OF THE HOT KEY — the
+    balance ledger itself (tests pin every bucket populated within 2x
+    of the mean; the oracle pins the salted result row-equal to the
+    direct computation, i.e. salting changed the layout, not the
+    answer).  Complements skew_profile_partkey (detection) and the AQE
+    skew-split test in tests/test_bucketing.py (the engine-native
+    fallback): detect -> salt -> verify balance is the full production
+    loop for a 100 TB hot-key join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.expr("CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_partkey END")
+        .alias("k"),
+        F.expr("CAST(((l_orderkey div 2) + l_linenumber) % 8 AS BIGINT)")
+        .alias("salt_bucket"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0).cast("long").alias("cents"),
+    )
+    dim = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"))
+    joined = salted_join(fact, dim, "k", salt_buckets=8,
+                         fact_salt=F.col("salt_bucket"))
+    return (
+        joined.where("k = 1")
+        .groupBy("salt_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum("cents").cast("long").alias("rev_q"))
+    )
+
+
 from .operators.skew import SKEW_PROFILE_SQL, skew_profile  # noqa: E402
 
 

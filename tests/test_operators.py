@@ -4988,3 +4988,32 @@ def test_drift_panel_empty_window_is_null_not_error(spark):
     assert ks.d_ppm is None
     w1 = wasserstein_from_counts(per).collect()[0]
     assert w1.w1_cents_ppm is None and w1.n_a == 5 and w1.n_b == 0
+
+
+def test_salted_join_skew_balance_spreads_hot_key(spark):
+    """The planted-skew evidence query (review r12): half of lineitem
+    lands on join key 1; the salted layout must spread that hot key
+    over ALL 8 salt buckets with no bucket above 2x the mean — the
+    balance property salting exists to deliver — and the per-bucket
+    sums must recompose to the direct (unsalted) hot-key totals."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = QUERIES["salted_join_skew_balance"](spark, sf_dir).collect()
+    assert sorted(r["salt_bucket"] for r in rows) == list(range(8))
+    counts = [r["n_rows"] for r in rows]
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 2 * mean, counts
+    li = load_table(spark, sf_dir, "lineitem")
+    # the hot key 1 collects the remapped even-orderkey rows AND the
+    # natural l_partkey = 1 rows on odd orderkeys
+    hot = li.where("l_orderkey % 2 = 0 OR"
+                   " (l_partkey = 1 AND l_orderkey % 2 = 1)").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 100, 0).cast("long")).alias("rev")).collect()[0]
+    assert sum(counts) == hot["n"]
+    assert sum(r["rev_q"] for r in rows) == hot["rev"]

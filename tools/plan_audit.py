@@ -694,6 +694,16 @@ CHECKS = {
          or bool(re.search(r"\[l_partkey[^\]]*_salt", p))),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "salted_join_skew_balance": [
+        # the hot key reaches the join through the (k, _salt) composite
+        # key — the salt spreads the planted 50%-of-fact key over 8
+        # reducer groups; the report agg is map-side combined
+        ("join is salted",
+         lambda p: bool(re.search(r"Join [^\n]*_salt", p))
+         or bool(re.search(r"\[k[^\]]*_salt", p))),
+        ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     "ddm_drift_summary": [
         # all window passes + the rollup share ONE user-keyed exchange
         ("no join anywhere", lambda p: "Join" not in p),
