@@ -1474,8 +1474,6 @@ def louvain_second_pass(edges: DataFrame,
     join).  Reference has no graph surface (SURVEY.md §2); this
     extends louvain_first_pass exactly as plsa_two_rounds extends
     plsa_topic_round."""
-    from pyspark.sql import Window
-
     lv = louvain_first_pass(edges).select("item", "community").persist()
     if cache_out is not None:
         cache_out.append(lv)
@@ -1485,76 +1483,11 @@ def louvain_second_pass(edges: DataFrame,
         F.col("b").alias("src"), F.col("a").alias("dst"), F.col("w")))
     deg = sym.groupBy("src").agg(F.sum("w").cast("long").alias("k"))
     w_tot = deg.agg(F.sum("k").cast("long").alias("w_all"))
-    e_lab = (
-        edges.join(lv.select(F.col("item").alias("a"),
-                             F.col("community").alias("ca")), "a")
-        .join(lv.select(F.col("item").alias("b"),
-                        F.col("community").alias("cb")), "b")
-    )
-    inter = (
-        e_lab.where("ca != cb")
-        .groupBy(F.least("ca", "cb").alias("a2"),
-                 F.greatest("ca", "cb").alias("b2"))
-        .agg(F.sum("w").cast("long").alias("w2"))
-    )
-    k2 = (
-        lv.join(deg.select(F.col("src").alias("item"), "k"), "item")
-        .groupBy("community").agg(F.sum("k").cast("long").alias("k2"))
-    )
-    sym2 = inter.select(
-        F.col("a2").alias("src"), F.col("b2").alias("dst"), "w2"
-    ).unionByName(inter.select(
-        F.col("b2").alias("src"), F.col("a2").alias("dst"), "w2"))
-    cand2 = (
-        sym2.join(k2.select(F.col("community").alias("src"),
-                            F.col("k2").alias("k_i")), "src")
-        .join(k2.select(F.col("community").alias("dst"),
-                        F.col("k2").alias("k_j")), "dst")
-        .crossJoin(F.broadcast(w_tot))
-        .select("src", "dst",
-                (F.col("w2") * F.col("w_all") - F.col("k_i") * F.col("k_j"))
-                .cast("long").alias("gain_q"))
-    )
-    win = Window.partitionBy("src").orderBy(F.desc("gain_q"), F.asc("dst"))
-    # MIN-WARD move (the Grappolo/Leiden synchronous symmetry-breaking
-    # heuristic): a community moves only toward a SMALLER community id.
-    # Without it, two communities that are each other's best target
-    # (always symmetric here: gain(c->d) = w·W − k_c·k_d = gain(d->c))
-    # would SWAP labels — a pure relabel, no coarsening (review r11).
-    # Min-ward makes exactly one of the pair move, so a mutual pair
-    # genuinely merges; an unrequited upward attraction waits for a
-    # later pass (the standard trade of the heuristic).
-    mv0 = (
-        cand2.select("src", "dst", "gain_q",
-                     F.row_number().over(win).alias("rk"))
-        .where("rk = 1")
-        .select(
-            F.col("src").alias("community"),
-            F.when((F.col("gain_q") > 0) & (F.col("dst") < F.col("src")),
-                   F.col("dst"))
-            .otherwise(F.col("src")).cast("long").alias("c2"),
-        )
-    )
-    # CHAIN suppression (review r12): if c moves to d while d itself
-    # moves to e, c would be relabeled to an id whose own members left
-    # — no actual coarsening of c and d.  A move stands only when its
-    # TARGET is a fixpoint this pass (d's own c2 = d; min-ward means a
-    # target that moves always moves strictly downward, never back),
-    # so every moved-to label is stationary and the merge is real.
-    # One extra self-join on the community frame — aggregate-sized.
-    tgt = mv0.select(F.col("community").alias("_tc"),
-                     F.col("c2").alias("_tc2"))
-    mv = (
-        mv0.join(tgt, mv0["c2"] == tgt["_tc"], "left")
-        .select(
-            mv0["community"].alias("community"),
-            F.when(F.coalesce(F.col("_tc2"), mv0["c2"]) == mv0["c2"],
-                   mv0["c2"])
-            .otherwise(mv0["community"]).cast("long").alias("c2"),
-        )
-    )
+    mv = _community_merge_pass(
+        edges, lv.select("item", F.col("community").alias("c")),
+        deg, w_tot)
     return (
-        lv.join(mv, "community", "left")
+        lv.join(mv, lv["community"] == mv["c"], "left")
         .select(
             F.col("item").cast("long").alias("item"),
             F.col("community").cast("long").alias("community_l1"),
@@ -1564,58 +1497,198 @@ def louvain_second_pass(edges: DataFrame,
     )
 
 
-def LOUVAIN_SECOND_SQL(edges_cte: str = "e") -> str:
-    """Level-2 CTE chain over ``{edges_cte}(a, b, w)`` — reuses
-    LOUVAIN_PASS_CTES' lv/deg/wt and ends in the full SELECT."""
-    return f"""{LOUVAIN_PASS_CTES(edges_cte)},
-e2lab AS (
-  SELECT e.w, la.community AS ca, lb.community AS cb
+def _community_merge_pass(edges: DataFrame, labels: DataFrame,
+                          deg: DataFrame, w_tot: DataFrame) -> DataFrame:
+    """ONE synchronous singleton-merge pass over a community graph —
+    the shared level-up step of louvain_second_pass/louvain_third_pass.
+    ``labels`` is (item, c); aggregates inter-community weights and
+    member-degree-sum super-degrees, then picks each community's best
+    move by the integer gain w_cd·W − k_c·k_d with MIN-WARD symmetry
+    breaking (a community moves only toward a smaller id — mutual best
+    pairs would otherwise swap labels without coarsening, review r11)
+    and CHAIN suppression (a move stands only when its target is a
+    fixpoint this pass — without it, c moving to d while d moves to e
+    relabels c to an id whose members all left, review r12).  Returns
+    (c, c2) for every community with an inter-community edge."""
+    from pyspark.sql import Window
+
+    e_lab = (
+        edges.join(labels.select(F.col("item").alias("a"),
+                                 F.col("c").alias("ca")), "a")
+        .join(labels.select(F.col("item").alias("b"),
+                            F.col("c").alias("cb")), "b")
+    )
+    inter = (
+        e_lab.where("ca != cb")
+        .groupBy(F.least("ca", "cb").alias("a2"),
+                 F.greatest("ca", "cb").alias("b2"))
+        .agg(F.sum("w").cast("long").alias("w2"))
+    )
+    kc = (
+        labels.join(deg.select(F.col("src").alias("item"), "k"), "item")
+        .groupBy("c").agg(F.sum("k").cast("long").alias("kc"))
+    )
+    sym2 = inter.select(
+        F.col("a2").alias("src"), F.col("b2").alias("dst"), "w2"
+    ).unionByName(inter.select(
+        F.col("b2").alias("src"), F.col("a2").alias("dst"), "w2"))
+    cand2 = (
+        sym2.join(kc.select(F.col("c").alias("src"),
+                            F.col("kc").alias("k_i")), "src")
+        .join(kc.select(F.col("c").alias("dst"),
+                        F.col("kc").alias("k_j")), "dst")
+        .crossJoin(F.broadcast(w_tot))
+        .select("src", "dst",
+                (F.col("w2") * F.col("w_all") - F.col("k_i") * F.col("k_j"))
+                .cast("long").alias("gain_q"))
+    )
+    win = Window.partitionBy("src").orderBy(F.desc("gain_q"), F.asc("dst"))
+    mv0 = (
+        cand2.select("src", "dst", "gain_q",
+                     F.row_number().over(win).alias("rk"))
+        .where("rk = 1")
+        .select(
+            F.col("src").alias("c"),
+            F.when((F.col("gain_q") > 0) & (F.col("dst") < F.col("src")),
+                   F.col("dst"))
+            .otherwise(F.col("src")).cast("long").alias("c2"),
+        )
+    )
+    tgt = mv0.select(F.col("c").alias("_tc"), F.col("c2").alias("_tc2"))
+    return (
+        mv0.join(tgt, mv0["c2"] == tgt["_tc"], "left")
+        .select(
+            mv0["c"].alias("c"),
+            F.when(F.coalesce(F.col("_tc2"), mv0["c2"]) == mv0["c2"],
+                   mv0["c2"])
+            .otherwise(mv0["c"]).cast("long").alias("c2"),
+        )
+    )
+
+
+def louvain_third_pass(edges: DataFrame,
+                       cache_out: list | None = None) -> DataFrame:
+    """Louvain level-3 — the dendrogram completed (Blondel et al. 2008
+    iterate "aggregate + pass" until no move; three levels flatten the
+    hierarchy the item graphs in this corpus actually have): one more
+    aggregate-and-merge pass (_community_merge_pass) over the LEVEL-2
+    community graph.  W = 2m is invariant under aggregation, so the
+    same int64 gain envelope holds at every level.
+
+    Output: (item, community_l1, community_l2, community_l3) — the full
+    per-item dendrogram path; a level-2 community with no positive
+    min-ward fixpoint move keeps its label, so community_l3 is the
+    flattened final assignment.  Scale: each level's pass lives on a
+    strictly smaller community graph; the level-2 labels persist (one
+    labeling join + degree rollup + output join consume them).
+    Reference has no graph surface (SURVEY.md §2); this completes
+    louvain_second_pass exactly as that completed louvain_first_pass."""
+    lv2 = louvain_second_pass(edges, cache_out=cache_out).persist()
+    if cache_out is not None:
+        cache_out.append(lv2)
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w"),
+    ).unionByName(edges.select(
+        F.col("b").alias("src"), F.col("a").alias("dst"), F.col("w")))
+    deg = sym.groupBy("src").agg(F.sum("w").cast("long").alias("k"))
+    w_tot = deg.agg(F.sum("k").cast("long").alias("w_all"))
+    mv3 = _community_merge_pass(
+        edges, lv2.select("item", F.col("community_l2").alias("c")),
+        deg, w_tot)
+    return (
+        lv2.join(mv3, lv2["community_l2"] == mv3["c"], "left")
+        .select(
+            F.col("item").cast("long").alias("item"),
+            F.col("community_l1").cast("long").alias("community_l1"),
+            F.col("community_l2").cast("long").alias("community_l2"),
+            F.coalesce("c2", "community_l2").cast("long")
+            .alias("community_l3"),
+        )
+    )
+
+
+def _LOUVAIN_MERGE_CTES(lab: str, item_col: str, c_col: str, sfx: str,
+                        edges_cte: str) -> str:
+    """The SQL twin of _community_merge_pass: CTEs ``elab{sfx}`` ..
+    ``mv{sfx}(c, c2)`` for one aggregate-and-merge pass over the
+    community graph labeled by ``{lab}({item_col}, {c_col})`` —
+    min-ward + chain-suppressed, reusing deg/wt from
+    LOUVAIN_PASS_CTES."""
+    return f"""elab{sfx} AS (
+  SELECT e.w, la.{c_col} AS ca, lb.{c_col} AS cb
   FROM {edges_cte} e
-  JOIN lv la ON la.item = e.a
-  JOIN lv lb ON lb.item = e.b
+  JOIN {lab} la ON la.{item_col} = e.a
+  JOIN {lab} lb ON lb.{item_col} = e.b
 ),
-inter AS (
+inter{sfx} AS (
   SELECT least(ca, cb) AS a2, greatest(ca, cb) AS b2,
          CAST(sum(w) AS BIGINT) AS w2
-  FROM e2lab WHERE ca != cb GROUP BY 1, 2
+  FROM elab{sfx} WHERE ca != cb GROUP BY 1, 2
 ),
-k2 AS (
-  SELECT lv.community, CAST(sum(deg.k) AS BIGINT) AS k2
-  FROM lv JOIN deg ON deg.src = lv.item GROUP BY 1
+kc{sfx} AS (
+  SELECT {lab}.{c_col} AS c, CAST(sum(deg.k) AS BIGINT) AS kc
+  FROM {lab} JOIN deg ON deg.src = {lab}.{item_col} GROUP BY 1
 ),
-sym2 AS (
-  SELECT a2 AS src, b2 AS dst, w2 FROM inter
-  UNION ALL SELECT b2 AS src, a2 AS dst, w2 FROM inter
+sym{sfx} AS (
+  SELECT a2 AS src, b2 AS dst, w2 FROM inter{sfx}
+  UNION ALL SELECT b2 AS src, a2 AS dst, w2 FROM inter{sfx}
 ),
-cand2 AS (
+cand{sfx} AS (
   SELECT s.src, s.dst,
-         CAST(s.w2 * wt.w_all - ki.k2 * kj.k2 AS BIGINT) AS gain_q
-  FROM sym2 s
-  JOIN k2 ki ON ki.community = s.src
-  JOIN k2 kj ON kj.community = s.dst
+         CAST(s.w2 * wt.w_all - ki.kc * kj.kc AS BIGINT) AS gain_q
+  FROM sym{sfx} s
+  JOIN kc{sfx} ki ON ki.c = s.src
+  JOIN kc{sfx} kj ON kj.c = s.dst
   CROSS JOIN wt
 ),
-mv0 AS (
-  SELECT src AS community,
+mv0{sfx} AS (
+  SELECT src AS c,
          CAST(CASE WHEN gain_q > 0 AND dst < src THEN dst
               ELSE src END AS BIGINT) AS c2
   FROM (
     SELECT src, dst, gain_q,
            row_number() OVER (PARTITION BY src
                               ORDER BY gain_q DESC, dst) AS rk
-    FROM cand2
+    FROM cand{sfx}
   ) WHERE rk = 1
 ),
-mv AS (
-  SELECT m.community,
+mv{sfx} AS (
+  SELECT m.c,
          CAST(CASE WHEN coalesce(t.c2, m.c2) = m.c2 THEN m.c2
-              ELSE m.community END AS BIGINT) AS c2
-  FROM mv0 m LEFT JOIN mv0 t ON t.community = m.c2
-)
+              ELSE m.c END AS BIGINT) AS c2
+  FROM mv0{sfx} m LEFT JOIN mv0{sfx} t ON t.c = m.c2
+)"""
+
+
+def LOUVAIN_SECOND_SQL(edges_cte: str = "e") -> str:
+    """Level-2 CTE chain over ``{edges_cte}(a, b, w)`` — reuses
+    LOUVAIN_PASS_CTES' lv/deg/wt and ends in the full SELECT."""
+    return f"""{LOUVAIN_PASS_CTES(edges_cte)},
+{_LOUVAIN_MERGE_CTES("lv", "item", "community", "2", edges_cte)}
 SELECT CAST(lv.item AS BIGINT) AS item,
        CAST(lv.community AS BIGINT) AS community_l1,
-       CAST(coalesce(mv.c2, lv.community) AS BIGINT) AS community_l2
-FROM lv LEFT JOIN mv ON mv.community = lv.community
+       CAST(coalesce(mv2.c2, lv.community) AS BIGINT) AS community_l2
+FROM lv LEFT JOIN mv2 ON mv2.c = lv.community
+"""
+
+
+def LOUVAIN_THIRD_SQL(edges_cte: str = "e") -> str:
+    """Level-3 (dendrogram) CTE chain over ``{edges_cte}(a, b, w)``:
+    the level-2 chain folded into an ``lv2`` CTE, one more merge pass
+    over the level-2 community graph, full SELECT of the per-item
+    dendrogram path."""
+    return f"""{LOUVAIN_PASS_CTES(edges_cte)},
+{_LOUVAIN_MERGE_CTES("lv", "item", "community", "2", edges_cte)},
+lv2 AS (
+  SELECT CAST(lv.item AS BIGINT) AS item,
+         CAST(lv.community AS BIGINT) AS community_l1,
+         CAST(coalesce(mv2.c2, lv.community) AS BIGINT) AS community_l2
+  FROM lv LEFT JOIN mv2 ON mv2.c = lv.community
+),
+{_LOUVAIN_MERGE_CTES("lv2", "item", "community_l2", "3", edges_cte)}
+SELECT lv2.item, lv2.community_l1, lv2.community_l2,
+       CAST(coalesce(mv3.c2, lv2.community_l2) AS BIGINT) AS community_l3
+FROM lv2 LEFT JOIN mv3 ON mv3.c = lv2.community_l2
 """
 
 

@@ -18718,6 +18718,27 @@ def q_louvain_second_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_second_pass(_item_wedges(spark, sf_dir).persist())
 
 
+from .operators.graph import LOUVAIN_THIRD_SQL, louvain_third_pass  # noqa: E402
+
+
+@query(
+    "louvain_dendrogram",
+    oracle=f"""
+WITH e AS ({_ITEM_WEDGES_SQL}),
+{LOUVAIN_THIRD_SQL("e")}
+""",
+)
+def q_louvain_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain level-3 over the item co-occurrence graph — the
+    dendrogram completed (review r12 stretch): one more min-ward +
+    chain-suppressed aggregate-and-merge pass on the LEVEL-2 community
+    graph, every item labeled with its full (l1, l2, l3) hierarchy
+    path.  Each level's pass lives on a strictly smaller community
+    graph; W = 2m is aggregation-invariant so the int64 gain envelope
+    holds at every level.  See operators/graph.py louvain_third_pass."""
+    return louvain_third_pass(_item_wedges(spark, sf_dir).persist())
+
+
 @query(
     "louvain_modularity_report",
     oracle=f"""

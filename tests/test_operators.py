@@ -5017,3 +5017,67 @@ def test_salted_join_skew_balance_spreads_hot_key(spark):
                       * 100, 0).cast("long")).alias("rev")).collect()[0]
     assert sum(counts) == hot["n"]
     assert sum(r["rev_q"] for r in rows) == hot["rev"]
+
+
+def test_louvain_dendrogram_third_level_referee(spark):
+    """Level-3 referee (review r12 stretch): on both the planted
+    hierarchy (4 triangles / 2 bridge pairs) and the dense chain-plant
+    graph, louvain_third_pass's community_l3 must equal one more
+    min-ward + chain-suppressed merge pass computed in Python from the
+    operator's OWN level-2 labels; l1/l2 columns must pass through
+    unchanged from louvain_second_pass; and every moved-to l3 label is
+    a fixpoint."""
+    from omldm_spark.operators.graph import (louvain_second_pass,
+                                             louvain_third_pass)
+
+    def ref_merge(E, lab):
+        k: dict[int, int] = {}
+        for a, b, w in E:
+            k[a] = k.get(a, 0) + w
+            k[b] = k.get(b, 0) + w
+        W = sum(k.values())
+        inter: dict[tuple, int] = {}
+        for a, b, w in E:
+            ca, cb = lab[a], lab[b]
+            if ca != cb:
+                key = (min(ca, cb), max(ca, cb))
+                inter[key] = inter.get(key, 0) + w
+        kc: dict[int, int] = {}
+        for v, c in lab.items():
+            kc[c] = kc.get(c, 0) + k[v]
+        raw = {}
+        for c in set(lab.values()):
+            nb = {(d if a == c else a): w
+                  for (a, d), w in inter.items() if c in (a, d)}
+            if not nb:
+                raw[c] = c
+                continue
+            gains = {j: w * W - kc[c] * kc[j] for j, w in nb.items()}
+            bg = max(gains.values())
+            best = min(j for j in gains if gains[j] == bg)
+            raw[c] = best if (bg > 0 and best < c) else c
+        return {c: (d if raw.get(d, d) == d else c)
+                for c, d in raw.items()}
+
+    tri = lambda base: [(base, base + 1, 5), (base, base + 2, 5),
+                        (base + 1, base + 2, 5)]
+    G1 = (tri(0) + tri(10) + tri(20) + tri(30)
+          + [(2, 10, 3), (22, 30, 3), (12, 20, 1)])
+    G2 = [(0, 1, 1), (0, 3, 6), (0, 4, 6), (1, 3, 4), (1, 5, 4),
+          (1, 6, 5), (1, 7, 1), (2, 3, 3), (2, 4, 2), (2, 5, 4),
+          (2, 6, 4), (2, 7, 3), (3, 7, 4), (4, 7, 2), (5, 6, 2),
+          (5, 7, 6), (6, 7, 4)]
+    for E in (G1, G2):
+        edges = spark.createDataFrame(E, "a long, b long, w long")
+        l2 = {r.item: (r.community_l1, r.community_l2)
+              for r in louvain_second_pass(edges).collect()}
+        out = {r.item: r for r in louvain_third_pass(edges).collect()}
+        assert {v: (r.community_l1, r.community_l2)
+                for v, r in out.items()} == l2
+        want3 = ref_merge(E, {v: c2 for v, (_, c2) in l2.items()})
+        for v, (_, c2) in l2.items():
+            assert out[v].community_l3 == want3[c2], (v, c2)
+        moved_to = {r.community_l3 for r in out.values()}
+        l3_of = {r.community_l2: r.community_l3 for r in out.values()}
+        for lbl in moved_to:
+            assert l3_of.get(lbl, lbl) == lbl, lbl

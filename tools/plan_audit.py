@@ -1856,6 +1856,17 @@ CHECKS.update({
          and "hashpartitioning(src" in p),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
+    "louvain_dendrogram": [
+        # level-2 labels persist and feed the level-3 aggregation,
+        # degree rollup, and output join; both merge-pass argmax
+        # windows stay keyed by the super-vertex
+        ("consumers read the persisted level-2 labels",
+         lambda p: p.count("InMemoryTableScan") >= 3),
+        ("merge-pass argmax keyed by community",
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+         and "hashpartitioning(src" in p),
+        ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
+    ],
     "source_shapley_value": [
         # one fact-scale funnel pass collapses to |sources| rows; the
         # coalition frame (<= 512 rows) and player stats broadcast
