@@ -66,6 +66,8 @@ HEADLINE = [
     "cdc_chunk_dedup",         # per-byte rolling-hash chunking (r11)
     "ivf_recall_report",       # ANN recall harness, 3 probe settings (r11)
     "boilerplate_ngrams_report",  # doc-frequency template detector (r11)
+    "salted_join_skew_balance",  # planted hot-key salted-join ledger (r12)
+    "louvain_dendrogram",      # 3-level community hierarchy (r12)
 ]
 
 

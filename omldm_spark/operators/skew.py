@@ -246,3 +246,99 @@ summary AS (
 )
 SELECT * FROM top UNION ALL SELECT * FROM summary
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join pruning-rate ledger
+# ---------------------------------------------------------------------------
+
+def bloom_pruning_report(fact: DataFrame, fact_key: str, dim: DataFrame,
+                         dim_key: str, bits: int = 4096,
+                         k: int = 2) -> DataFrame:
+    """The measurement bloom_semi_reduce promises its callers (review
+    r12 depth): ONE row quantifying what the dim's bloom filter buys on
+    this fact —
+
+        (n_fact, n_pass_bloom, n_true_match, n_false_pos)
+
+    with n_pass_bloom the fact rows the bits admit, n_true_match the
+    exact semi-join survivors, n_false_pos the admitted non-members the
+    real join still has to discard.  n_false_pos / (n_pass_bloom) read
+    against n_fact is the sizing decision: a saturated filter (pass ~
+    fact) says raise ``bits``; a tiny false-positive count says the
+    scan-side prune is paying for itself.  No false negatives by
+    construction (every true match passes — the bloom_semi_reduce
+    guarantee, re-asserted here since n_true_match counts matches
+    independent of the bits).
+
+    Exactness/scale: the filter is built from the dim once (bits/64
+    BIGINT words via bit_or — KBs whatever the dim size, the same
+    collect bloom_build allowlists); the fact pass is ONE scan with
+    row-local bucket arithmetic + one broadcast membership join on the
+    distinct dim keys; the SQL oracle reproduces the bit array as the
+    SET of occupied buckets (same md5 bucket_sql text on both
+    engines), which is definitionally the same membership test."""
+    from .sketch import bucket_sql
+
+    words = bloom_build(dim, dim_key, bits=bits, k=k)
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    key = f"CAST({fact_key} AS STRING)"
+    cond = F.lit(True)
+    for i in range(k):
+        bucket = F.expr(bucket_sql(key, i, bits))
+        word = F.element_at(lit_words, (bucket / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({bucket_sql(key, i, bits)} % 64 AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    dk = dim.select(F.col(dim_key).alias("_dk")).distinct().withColumn(
+        "_m", F.lit(1))
+    flagged = (
+        fact.select(F.col(fact_key).alias("_fk"), cond.alias("_pass"))
+        .join(F.broadcast(dk), F.col("_fk") == F.col("_dk"), "left")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum(F.col("_pass").cast("long")).cast("long")
+        .alias("n_pass_bloom"),
+        F.sum(F.coalesce("_m", F.lit(0))).cast("long")
+        .alias("n_true_match"),
+        F.sum((F.col("_pass") & F.col("_m").isNull()).cast("long"))
+        .cast("long").alias("n_false_pos"),
+    )
+
+
+def BLOOM_PRUNING_SQL(fact_table: str, fact_key: str, dim_sql: str,
+                      dim_key: str, bits: int = 4096, k: int = 2) -> str:
+    """Oracle for bloom_pruning_report: the bit array re-expressed as
+    the SET of occupied buckets — identical membership semantics,
+    engine-portable (md5 bucket_sql, no bit words needed)."""
+    from .sketch import bucket_sql
+
+    key = f"CAST({fact_key} AS STRING)"
+    dkey = f"CAST(dk AS STRING)"
+    cells = " UNION ALL ".join(
+        f"SELECT {bucket_sql(dkey, i, bits)} AS b FROM dimkeys"
+        for i in range(k)
+    )
+    passes = " AND ".join(
+        f"{bucket_sql(key, i, bits)} IN (SELECT b FROM bitset)"
+        for i in range(k)
+    )
+    return f"""
+WITH dimkeys AS (SELECT DISTINCT {dim_key} AS dk FROM ({dim_sql})),
+bitset AS (SELECT DISTINCT b FROM ({cells})),
+probe AS (
+  SELECT CASE WHEN {passes} THEN 1 ELSE 0 END AS pass,
+         CASE WHEN {fact_key} IN (SELECT dk FROM dimkeys)
+              THEN 1 ELSE 0 END AS m
+  FROM {fact_table}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_fact,
+       CAST(sum(pass) AS BIGINT) AS n_pass_bloom,
+       CAST(sum(m) AS BIGINT) AS n_true_match,
+       CAST(sum(CASE WHEN pass = 1 AND m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM probe
+"""

@@ -6634,6 +6634,118 @@ def q_bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.skew import BLOOM_PRUNING_SQL, bloom_pruning_report  # noqa: E402
+
+
+@query(
+    "bloom_pruning_report",
+    oracle=BLOOM_PRUNING_SQL(
+        "orders", "o_custkey",
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "c_custkey"),
+)
+def q_bloom_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruning-rate ledger for the bloom semi-join (review r12
+    depth — bloom_semi_reduce promises its callers this measurement;
+    now it is a contract query): how many orders rows the
+    BUILDING-segment customers' 4096-bit bloom admits, how many truly
+    match, and how many false positives the real join still discards —
+    the quantified sizing decision for scan-side runtime filtering at
+    100 TB (saturated pass count -> raise bits; tiny false-positive
+    count -> the prune pays).  One fact scan with row-local bucket
+    arithmetic + one broadcast membership join; the oracle reproduces
+    the bit array as the SET of occupied md5 buckets — definitionally
+    the same membership test (operators/skew.py bloom_pruning_report)."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return bloom_pruning_report(od, "o_custkey", cu, "c_custkey")
+
+
+def _FANOUT_EDGE_SQL(edge: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{edge}' AS fk_edge, n_keys, child_rows, max_fanout,
+       CAST((child_rows * 1000000) // n_keys AS BIGINT) AS avg_fanout_ppm,
+       hot AS hot_keys_over_10x
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS child_rows,
+         CAST(max(cnt) AS BIGINT) AS max_fanout
+  FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM {table} GROUP BY {key})
+) t, (
+  SELECT CAST(count(*) AS BIGINT) AS hot
+  FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM {table} GROUP BY {key}) c,
+       (SELECT CAST(count(*) AS BIGINT) AS nk, CAST(sum(cnt2) AS BIGINT) AS cr
+        FROM (SELECT CAST(count(*) AS BIGINT) AS cnt2 FROM {table}
+              GROUP BY {key})) tt
+  WHERE c.cnt * tt.nk > 10 * tt.cr
+) h
+"""
+
+
+_FANOUT_EDGES = [
+    ("orders.o_custkey->customer", "orders", "o_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey"),
+]
+
+
+@query(
+    "join_cardinality_audit",
+    oracle=" UNION ALL ".join(
+        _FANOUT_EDGE_SQL(e, t, k) for e, t, k in _FANOUT_EDGES),
+)
+def q_join_cardinality_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-FK-edge JOIN-FANOUT audit (review r12 depth — the
+    cardinality companion to referential_integrity_audit's orphan
+    audit): for every child->parent edge, the distinct child-key
+    count, child rows, MAX fanout, exact average fanout (ppm), and the
+    number of hot keys whose fanout exceeds 10x the average — the
+    numbers that predict a join's row amplification and decide
+    broadcast vs shuffle vs salting BEFORE a 100 TB join runs (a
+    max_fanout orders of magnitude over avg is the skew-join siren;
+    hot_keys_over_10x says how many keys to salt).
+
+    Scale shape: per edge ONE map-side-combined groupBy collapses the
+    child to its key space (persisted — totals, the hot filter, and
+    the report all fold the same counts frame); the totals and hot
+    count are aggregate-sized crossJoins.  All integer-exact."""
+    frames = []
+    for edge, table, key in _FANOUT_EDGES:
+        c = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        ).persist()
+        t = c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("child_rows"),
+            F.max("cnt").cast("long").alias("max_fanout"),
+        )
+        h = (
+            c.crossJoin(F.broadcast(t.select("n_keys", "child_rows")
+                                    .withColumnRenamed("n_keys", "_nk")
+                                    .withColumnRenamed("child_rows", "_cr")))
+            .where(F.col("cnt") * F.col("_nk") > 10 * F.col("_cr"))
+            .agg(F.count(F.lit(1)).cast("long").alias("hot_keys_over_10x"))
+        )
+        frames.append(
+            t.crossJoin(F.broadcast(h)).select(
+                F.lit(edge).alias("fk_edge"),
+                "n_keys", "child_rows", "max_fanout",
+                F.expr("CAST((child_rows * 1000000) div n_keys AS BIGINT)")
+                .alias("avg_fanout_ppm"),
+                "hot_keys_over_10x",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 from .operators.temporal import CDC_APPLY_SQL, cdc_apply  # noqa: E402
 
 _CDC_SNAP_SQL = """

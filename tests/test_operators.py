@@ -5081,3 +5081,27 @@ def test_louvain_dendrogram_third_level_referee(spark):
         l3_of = {r.community_l2: r.community_l3 for r in out.values()}
         for lbl in moved_to:
             assert l3_of.get(lbl, lbl) == lbl, lbl
+
+
+def test_bloom_pruning_report_invariants(spark):
+    """The pruning ledger's defining inequalities: every true match
+    passes the bloom (no false negatives — n_true_match <= n_pass),
+    the bloom never admits more than the fact (n_pass <= n_fact), and
+    the false positives are exactly the admitted non-members
+    (n_false_pos = n_pass - n_true_match, since matches always pass).
+    n_true_match must equal the exact semi-join count."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.io import load_table
+    from omldm_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    r = QUERIES["bloom_pruning_report"](spark, sf_dir).collect()[0]
+    assert r["n_true_match"] <= r["n_pass_bloom"] <= r["n_fact"]
+    assert r["n_false_pos"] == r["n_pass_bloom"] - r["n_true_match"]
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").where(
+        "c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("o_custkey"))
+    exact = od.join(cu, "o_custkey", "left_semi").count()
+    assert r["n_true_match"] == exact and exact > 0

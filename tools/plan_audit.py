@@ -694,6 +694,29 @@ CHECKS = {
          or bool(re.search(r"\[l_partkey[^\]]*_salt", p))),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "bloom_pruning_report": [
+        # one fact scan with row-local bucket arithmetic; membership is
+        # a broadcast join on the distinct dim keys — never a shuffle
+        # join; the counters are one map-side-combined global agg
+        ("dim membership rides a broadcast",
+         lambda p: "BroadcastExchange" in p),
+        ("no shuffle join on the fact",
+         lambda p: "SortMergeJoin" not in p),
+        ("counter agg map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "join_cardinality_audit": [
+        # per edge the child collapses once to its key space and the
+        # persisted counts frame feeds totals + hot filter + report;
+        # totals/hot are one-row broadcast nested-loop joins, never a
+        # data-scale cartesian
+        ("per-edge counts persisted and reused",
+         lambda p: p.count("InMemoryTableScan") >= 4),
+        ("no data-scale cartesian",
+         lambda p: "CartesianProduct" not in p),
+        ("edge collapses map-side",
+         lambda p: p.count("HashAggregate") >= 8),
+    ],
     "salted_join_skew_balance": [
         # the hot key reaches the join through the (k, _salt) composite
         # key — the salt spreads the planted 50%-of-fact key over 8
