@@ -1456,6 +1456,78 @@ FROM pbest GROUP BY sub
 """
 
 
+def opq_vs_pq_distortion(emb: DataFrame, m: int = 4, k: int = 16,
+                         rounds: int = 2, dim: int = 64,
+                         quant: int = 1_000_000, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Head-to-head quantization-error ledger (review r12 depth — the
+    Ge et al. CVPR 2013 comparison the OPQ family exists to win): the
+    SAME corpus, codebook budget, and training recurrence, once over
+    contiguous PQ subspaces and once over the variance-balanced snake
+    permutation; one row per variant with
+
+        (variant, n_vectors, total_d2, avg_d2)
+
+    where total_d2 is the exact integer SSE to the nearest codeword
+    summed over every (vector, subspace).  avg_d2(opq) vs avg_d2(pq)
+    IS the decision to pay the permutation at ingest — the companion
+    number to ivf_recall_report's recall@k.  Everything integer-exact
+    (same envelope as pq_distortion_report); scale shape is two runs
+    of the same broadcast-assignment + keyed-min aggregation."""
+    frames = []
+    for variant in ("pq", "opq"):
+        sv = (opq_subvectors(emb, m=m, dim=dim, quant=quant, id_col=id_col,
+                             vec_col=vec_col)
+              if variant == "opq" else None)
+        rep = pq_distortion_report(emb, m=m, k=k, rounds=rounds, dim=dim,
+                                   quant=quant, id_col=id_col,
+                                   vec_col=vec_col, subvec=sv)
+        frames.append(
+            rep.agg(
+                F.max("n_vectors").cast("long").alias("n_vectors"),
+                F.sum("total_d2").cast("long").alias("total_d2"),
+            ).select(
+                F.lit(variant).alias("variant"), "n_vectors", "total_d2",
+                F.expr("CAST(total_d2 div n_vectors AS BIGINT)")
+                .alias("avg_d2"),
+            )
+        )
+    return frames[0].unionByName(frames[1])
+
+
+def OPQ_VS_PQ_SQL(m: int = 4, k: int = 16, rounds: int = 2,
+                  dim: int = 64, quant: int = 1_000_000,
+                  table: str = "embeddings", id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """Oracle for opq_vs_pq_distortion: each variant's full
+    train+assign chain lives in its own subquery-scoped WITH (the CTE
+    names collide otherwise), rolled up to one row and unioned."""
+    d = dim // m
+
+    def one(variant: str, opq: bool) -> str:
+        parts = PQ_TRAIN_CTES(m=m, k=k, rounds=rounds, dim=dim,
+                              quant=quant, table=table, id_col=id_col,
+                              vec_col=vec_col, opq=opq)
+        joined = ",\n".join(parts)
+        return f"""SELECT '{variant}' AS variant, n_vectors, total_d2,
+       CAST(total_d2 // n_vectors AS BIGINT) AS avg_d2
+FROM (
+  WITH {joined},
+  pbest AS (
+    SELECT e.vid, e.sub,
+           min(list_sum(list_transform(range(1, {d} + 1),
+               i -> (e.sv[i] - c.cv[i]) * (e.sv[i] - c.cv[i])))) AS best_d2
+    FROM pv e JOIN p{rounds} c ON c.sub = e.sub
+    GROUP BY 1, 2
+  )
+  SELECT CAST(count(DISTINCT vid) AS BIGINT) AS n_vectors,
+         CAST(sum(best_d2) AS BIGINT) AS total_d2
+  FROM pbest
+) t"""
+
+    return one("pq", False) + "\nUNION ALL\n" + one("opq", True)
+
+
 def dedup_pq_block_pairs(emb: DataFrame, m: int = 4, k: int = 16,
                          rounds: int = 2, block_subs: int = 2,
                          dim: int = 64, quant: int = 1_000_000,

@@ -4920,6 +4920,25 @@ def q_pq_train_codebooks_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("dim").cast("long").alias("dim"), "q")
 
 
+from .operators.similarity import OPQ_VS_PQ_SQL, opq_vs_pq_distortion  # noqa: E402
+
+
+@query(
+    "opq_vs_pq_distortion",
+    oracle=OPQ_VS_PQ_SQL(m=4, k=16, rounds=2),
+)
+def q_opq_vs_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ vs OPQ quantization-error head-to-head (review r12 depth):
+    the same corpus, codebook budget, and integer training recurrence
+    over contiguous vs variance-balanced subspaces — one exact-BIGINT
+    SSE row per variant.  avg_d2(opq) against avg_d2(pq) is the
+    measured decision to pay the permutation at ingest, the distortion
+    companion to ivf_recall_report's recall@k
+    (operators/similarity.py opq_vs_pq_distortion)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return opq_vs_pq_distortion(emb, m=4, k=16, rounds=2)
+
+
 @query(
     "ann_opq_adc_topk",
     oracle=ANN_PQ_ADC_SQL(m=4, k=16, rounds=2, opq=True),

@@ -5105,3 +5105,32 @@ def test_bloom_pruning_report_invariants(spark):
         F.col("c_custkey").alias("o_custkey"))
     exact = od.join(cu, "o_custkey", "left_semi").count()
     assert r["n_true_match"] == exact and exact > 0
+
+
+def test_opq_beats_pq_on_planted_unbalanced_variance(spark):
+    """On a corpus whose variance is concentrated in a contiguous dim
+    block, contiguous PQ wastes whole subspaces on near-constant dims
+    while the snake permutation spreads the hot dims — OPQ's total
+    distortion must be strictly lower (the Ge et al. motivation, made
+    a testable invariant).  Also pins the report's shape identities:
+    both variants see the same n_vectors and avg_d2 = total div n."""
+    import random
+
+    from omldm_spark.operators.similarity import opq_vs_pq_distortion
+
+    rng = random.Random(11)
+    dim, n = 32, 80
+    rows = []
+    for i in range(n):
+        # dims 0..7 carry all the variance; 8..31 are near-constant
+        v = [rng.uniform(-1, 1) for _ in range(8)] + [0.001] * (dim - 8)
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["variant"]: r
+           for r in opq_vs_pq_distortion(emb, m=4, k=8, rounds=2,
+                                         dim=dim).collect()}
+    assert set(out) == {"pq", "opq"}
+    for r in out.values():
+        assert r["n_vectors"] == n
+        assert r["avg_d2"] == r["total_d2"] // n
+    assert out["opq"]["total_d2"] < out["pq"]["total_d2"], out

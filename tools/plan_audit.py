@@ -694,6 +694,16 @@ CHECKS = {
          or bool(re.search(r"\[l_partkey[^\]]*_salt", p))),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "opq_vs_pq_distortion": [
+        # both variants: broadcast codebook assignment (books are
+        # localCheckpointed k x d frames) + keyed min + rollup — the
+        # raw vectors never shuffle
+        ("codebooks ride broadcast joins",
+         lambda p: "BroadcastExchange" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+        ("assignment + rollup aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+    ],
     "bloom_pruning_report": [
         # one fact scan with row-local bucket arithmetic; membership is
         # a broadcast join on the distinct dim keys — never a shuffle
