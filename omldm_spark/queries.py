@@ -6597,6 +6597,84 @@ def q_scd2_incremental_user_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return scd2_incremental_merge(dim, delta)
 
 
+@query(
+    "scd2_integrity_audit",
+    oracle=f"""
+WITH dim AS ({SCD2_SQL("events")}),
+flags AS (
+  SELECT user_id, version, is_current,
+         lag(valid_to_s) OVER (PARTITION BY user_id ORDER BY version)
+           AS pv,
+         valid_from_s
+  FROM dim
+),
+per_key AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_versions,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND valid_from_s < pv
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND valid_from_s > pv
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_gap,
+         CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_open
+  FROM flags GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_versions) AS BIGINT) AS n_rows,
+       CAST(max(n_versions) AS BIGINT) AS max_versions,
+       CAST(sum(n_overlap) AS BIGINT) AS n_overlaps,
+       CAST(sum(n_gap) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN n_open != 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keys_bad_current
+FROM per_key
+""",
+)
+def q_scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension INTEGRITY audit (review r12 depth — the temporal
+    family checked against its own contract): per key the versioned
+    intervals must tile time with no overlap, no gap, and exactly one
+    open (is_current) row — the invariants every as-of lookup against
+    the dimension silently assumes, and exactly what breaks when a
+    MERGE misfires at 100 TB.  Output one row: (n_keys, n_rows,
+    max_versions, n_overlaps, n_gaps, n_keys_bad_current) — the last
+    three must be 0 for a healthy dimension (pinned by test; the audit
+    exists so a production run can assert it nightly).  One key-window
+    pass over the dimension + one keyed rollup — the audit costs a
+    dimension scan, never a fact scan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    dim = scd2_intervals(ev)
+    w = Window.partitionBy("user_id").orderBy("version")
+    flags = dim.select(
+        "user_id", "version", "valid_from_s",
+        F.col("is_current").cast("int").alias("cur"),
+        F.lag("valid_to_s").over(w).alias("pv"),
+    )
+    per_key = flags.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("pv").isNotNull()
+                     & (F.col("valid_from_s") < F.col("pv")), 1)
+              .otherwise(0)).cast("long").alias("n_overlap"),
+        F.sum(F.when(F.col("pv").isNotNull()
+                     & (F.col("valid_from_s") > F.col("pv")), 1)
+              .otherwise(0)).cast("long").alias("n_gap"),
+        F.sum("cur").cast("long").alias("n_open"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_versions").cast("long").alias("n_rows"),
+        F.max("n_versions").cast("long").alias("max_versions"),
+        F.sum("n_overlap").cast("long").alias("n_overlaps"),
+        F.sum("n_gap").cast("long").alias("n_gaps"),
+        F.sum(F.when(F.col("n_open") != 1, 1).otherwise(0)).cast("long")
+        .alias("n_keys_bad_current"),
+    )
+
+
 from .operators.sketch import HLL_DISTINCT_SQL, hll_distinct  # noqa: E402
 
 

@@ -5134,3 +5134,46 @@ def test_opq_beats_pq_on_planted_unbalanced_variance(spark):
         assert r["n_vectors"] == n
         assert r["avg_d2"] == r["total_d2"] // n
     assert out["opq"]["total_d2"] < out["pq"]["total_d2"], out
+
+
+def test_scd2_integrity_audit_clean_and_detects_breakage(spark):
+    """A freshly built SCD2 dimension must pass its own audit (zero
+    overlaps, zero gaps, every key exactly one open row); and the
+    audit's per-key window logic must actually DETECT breakage when a
+    broken dimension (overlapping window, two open rows, a gap) is fed
+    through the same flags/rollup."""
+    from pyspark.sql import Window, functions as F
+
+    from omldm_spark.queries import QUERIES
+
+    r = QUERIES["scd2_integrity_audit"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_overlaps"] == 0 and r["n_gaps"] == 0
+    assert r["n_keys_bad_current"] == 0
+    assert r["n_keys"] > 0 and r["n_rows"] >= r["n_keys"]
+    assert r["max_versions"] >= 1
+
+    # broken dimension: key 1 overlaps (v2 starts before v1 ends) and
+    # has TWO open rows; key 2 has a gap between v1 and v2
+    broken = spark.createDataFrame(
+        [(1, "a", 0, 100, 1, False), (1, "b", 90, None, 2, True),
+         (1, "c", 200, None, 3, True),
+         (2, "a", 0, 50, 1, False), (2, "b", 60, None, 2, True)],
+        "user_id long, state string, valid_from_s long,"
+        " valid_to_s long, version int, is_current boolean")
+    w = Window.partitionBy("user_id").orderBy("version")
+    flags = broken.select(
+        "user_id", "valid_from_s",
+        F.col("is_current").cast("int").alias("cur"),
+        F.lag("valid_to_s").over(w).alias("pv"))
+    per_key = flags.groupBy("user_id").agg(
+        F.sum(F.when(F.col("pv").isNotNull()
+                     & (F.col("valid_from_s") < F.col("pv")), 1)
+              .otherwise(0)).alias("n_overlap"),
+        F.sum(F.when(F.col("pv").isNotNull()
+                     & (F.col("valid_from_s") > F.col("pv")), 1)
+              .otherwise(0)).alias("n_gap"),
+        F.sum("cur").alias("n_open"))
+    got = {x["user_id"]: x for x in per_key.collect()}
+    assert got[1]["n_overlap"] == 1 and got[1]["n_open"] == 2
+    assert got[2]["n_gap"] == 1 and got[2]["n_open"] == 1

@@ -694,6 +694,16 @@ CHECKS = {
          or bool(re.search(r"\[l_partkey[^\]]*_salt", p))),
         ("partial aggregation", lambda p: p.count("HashAggregate") >= 2),
     ],
+    "scd2_integrity_audit": [
+        # the audit rides the dimension build's key-keyed exchange: the
+        # lag window, per-key rollup, and global rollup add no join and
+        # no global sort
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("windows keyed by user, never global",
+         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+        ("rollups map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
     "opq_vs_pq_distortion": [
         # both variants: broadcast codebook assignment (books are
         # localCheckpointed k x d frames) + keyed min + rollup — the
