@@ -144,6 +144,15 @@ EXTRA = [
     "streaming_wordpiece_scores",
     "dp_topk_terms",
     "functional_dependency_report",
+    # round-12 (skew balance + dendrogram ride the bench HEADLINE):
+    # the bloom pruning ledger (one fact scan + broadcast membership),
+    # the per-FK fanout audit (key-space groupBys + aggregate-sized
+    # crossJoins), the two-variant PQ/OPQ SSE (broadcast codebook
+    # assignments), and the SCD2 invariant audit (one key window)
+    "bloom_pruning_report",
+    "join_cardinality_audit",
+    "opq_vs_pq_distortion",
+    "scd2_integrity_audit",
 ]
 
 
