@@ -20181,7 +20181,11 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MRR@5, IVF recall) — three of these (chimerge_value_bins,
 # assortativity_items, louvain_second_pass) also carry this round's
 # ADVICE fixes, so the driver certifies the NEW behavior, (b) 33 of
-# the 52 pre-existing never-seen names in ledger order.  19 names
+# the 52 pre-existing never-seen names in ledger order, EXCEPT
+# corpus_pipeline and embedding_kmeans_round (array-column oracles —
+# the driver canonicalizer can't sort list cells; the snapshot-shape
+# lint rejects them until _flat twins exist), swapped for
+# woe_item_purchase and winnow_fingerprints from the tail.  19 names
 # remain for the final r13 sweep (plus any r12 additions, which enter
 # the r13 head per the standing convention).
 _SNAPSHOT_TOP = [
@@ -20198,8 +20202,8 @@ _SNAPSHOT_TOP = [
     "als_rank1_round", "als_rank1_train", "bagged_oob_accuracy",
     "bpe_merge_round", "brier_decomposition",
     "calibration_purchase_value", "chi2_type_dow", "churn_training_set",
-    "corpus_pipeline", "dp_event_counts", "embedding_class_scatter",
-    "embedding_gram", "embedding_kmeans_round", "encoding_audit_report",
+    "woe_item_purchase", "dp_event_counts", "embedding_class_scatter",
+    "embedding_gram", "winnow_fingerprints", "encoding_audit_report",
     "fading_prequential_accuracy", "floored_running_balance",
     "forecast_orr_backtest", "hashed_doc_features",
     "ht_first_split_discrete", "ht_first_split_mixed",
