@@ -1473,8 +1473,15 @@ def louvain_second_pass(edges: DataFrame,
     (consumed by the aggregation, the degree rollup, and the output
     join).  Reference has no graph surface (SURVEY.md §2); this
     extends louvain_first_pass exactly as plsa_two_rounds extends
-    plsa_topic_round."""
-    lv = louvain_first_pass(edges).select("item", "community").persist()
+    plsa_topic_round.
+
+    The pass-1 labels are localCheckpointed (review r12): the merge
+    pass + output join reference them FOUR times, and a lazy persist
+    re-embeds the pass-1 window DAG per reference — Catalyst analysis
+    of the replicated tree cost ~5 s of flat driver time; the eager
+    cut makes the |items|-row label frame a plan leaf."""
+    lv = louvain_first_pass(edges).select("item", "community")
+    lv = lv.localCheckpoint(eager=True)
     if cache_out is not None:
         cache_out.append(lv)
     sym = edges.select(
@@ -1582,8 +1589,19 @@ def louvain_third_pass(edges: DataFrame,
     strictly smaller community graph; the level-2 labels persist (one
     labeling join + degree rollup + output join consume them).
     Reference has no graph surface (SURVEY.md §2); this completes
-    louvain_second_pass exactly as that completed louvain_first_pass."""
-    lv2 = louvain_second_pass(edges, cache_out=cache_out).persist()
+    louvain_second_pass exactly as that completed louvain_first_pass.
+
+    The level-2 labels are localCheckpointed, not merely persisted:
+    the merge pass references them THREE times (two labeling joins +
+    the degree rollup) and the output join a fourth — with a lazy
+    persist each reference re-embeds the whole level-2 logical plan
+    (which itself embeds level 1), and Catalyst's analysis of the
+    ~4x-replicated tree cost ~30 s of FLAT driver time at every SF
+    (measured r12).  The eager cut materializes the |items|-row label
+    frame once and the level-3 plan reads it as a leaf — the JP/kmeans
+    iterate-truncation discipline."""
+    lv2 = louvain_second_pass(edges, cache_out=cache_out)
+    lv2 = lv2.localCheckpoint(eager=True)
     if cache_out is not None:
         cache_out.append(lv2)
     sym = edges.select(

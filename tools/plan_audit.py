@@ -1889,10 +1889,14 @@ CHECKS.update({
     ],
     # ---- round 11 additions -------------------------------------------
     "louvain_second_pass": [
-        # pass-1 labels persist and feed the aggregation, degree rollup
-        # and output join; the level-2 argmax window is keyed by the
+        # pass-1 labels are localCheckpointed (plan leaf — a lazy
+        # persist re-embedded the pass-1 DAG once per the 4 consumers,
+        # ~5 s flat analysis cost, r12) and the persisted edge frame
+        # feeds every level; the level-2 argmax window is keyed by the
         # super-vertex, never a global sort
-        ("consumers read the persisted pass-1 labels",
+        ("labels are a checkpointed plan leaf",
+         lambda p: "ExistingRDD" in p),
+        ("consumers read the persisted edge frame",
          lambda p: p.count("InMemoryTableScan") >= 3),
         ("level-2 argmax keyed by community",
          lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
@@ -1900,10 +1904,13 @@ CHECKS.update({
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
     "louvain_dendrogram": [
-        # level-2 labels persist and feed the level-3 aggregation,
-        # degree rollup, and output join; both merge-pass argmax
-        # windows stay keyed by the super-vertex
-        ("consumers read the persisted level-2 labels",
+        # level-2 labels are localCheckpointed (the ~4x-replicated
+        # level-2 subtree cost ~30 s flat analysis time before the
+        # cut, r12); both merge-pass argmax windows stay keyed by the
+        # super-vertex
+        ("level-2 labels are a checkpointed plan leaf",
+         lambda p: "ExistingRDD" in p),
+        ("consumers read the persisted edge frame",
          lambda p: p.count("InMemoryTableScan") >= 3),
         ("merge-pass argmax keyed by community",
          lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
