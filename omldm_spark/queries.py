@@ -5057,6 +5057,27 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "corpus_pipeline_flat",
+    oracle=f"""
+SELECT lang, bin_id, unnest(doc_ids) AS doc_id, n_docs, total_tokens
+FROM ({CORPUS_PIPELINE_SQL()}) base
+""",
+)
+def q_corpus_pipeline_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-canonicalizable twin of corpus_pipeline (the r5 _flat
+    precedent, review r12): the per-bin ``doc_ids`` array explodes to
+    one scalar (lang, bin_id, doc_id, n_docs, total_tokens) row — list
+    cells break the driver's pandas sort canonicalizer, so THIS name
+    is the one the rotation certifies."""
+    out = corpus_pipeline(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "lang", "bin_id",
+        F.explode("doc_ids").alias("doc_id"),
+        "n_docs", "total_tokens",
+    )
+
+
 from .operators.corpus import SHARED_CHUNK_SQL, shared_chunk_stats  # noqa: E402
 
 
@@ -5280,6 +5301,30 @@ def q_embedding_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_round_quantized(
         load_table(spark, sf_dir, "embeddings"), k=8
     )
+
+
+@query(
+    "embedding_kmeans_round_flat",
+    oracle=f"""
+SELECT cid, n_assigned,
+       CAST(generate_subscripts(centroid_sums_q, 1) - 1 AS BIGINT) AS dim,
+       unnest(centroid_sums_q) AS sum_q
+FROM ({KMEANS_ROUND_SQL(k=8, dim=64)}) base
+""",
+)
+def q_embedding_kmeans_round_flat(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Driver-canonicalizable twin of embedding_kmeans_round (the r5
+    _flat precedent, review r12): the per-centroid integer sum array
+    explodes to one scalar (cid, n_assigned, dim, sum_q) row per
+    coordinate, so the rotation can certify the Lloyd round."""
+    out = kmeans_round_quantized(load_table(spark, sf_dir, "embeddings"),
+                                 k=8)
+    return out.select(
+        "cid", "n_assigned",
+        F.posexplode("centroid_sums_q").alias("dim", "sum_q"),
+    ).select("cid", "n_assigned",
+             F.col("dim").cast("long").alias("dim"), "sum_q")
 
 
 @query(
