@@ -293,3 +293,110 @@ def test_powerlaw_alpha_referee_on_planted_tail(spark):
     assert (got.n, got.s) == (want_n, want_s)
     alpha_ppm = 1_000_000 + got.n * 10**12 // got.s
     assert 1_500_000 < alpha_ppm < 3_500_000   # plausible tail exponent
+
+
+# ---------------------------------------------------------------------------
+# Round-12 invariants: chain suppression, ChiMerge exact predicate, bloom
+# bit-array <-> bucket-set identity (all pure-python referees of logic the
+# operators/oracles rely on)
+# ---------------------------------------------------------------------------
+
+def _suppress(raw: dict) -> dict:
+    """The louvain merge-pass chain suppression exactly as implemented
+    (graph.py _community_merge_pass / its referee tests)."""
+    return {c: (d if raw.get(d, d) == d else c) for c, d in raw.items()}
+
+
+@st.composite
+def minward_moves(draw):
+    """A random min-ward raw move map: each community maps to itself or
+    a strictly smaller id (the only shapes the argmax can emit)."""
+    n = draw(st.integers(1, 40))
+    ids = sorted(draw(st.sets(st.integers(0, 200), min_size=n, max_size=n)))
+    raw = {}
+    for i, c in enumerate(ids):
+        if i > 0 and draw(st.booleans()):
+            raw[c] = draw(st.sampled_from(ids[:i]))
+        else:
+            raw[c] = c
+    return raw
+
+
+@given(minward_moves())
+@settings(max_examples=200, deadline=None)
+def test_chain_suppression_properties(raw):
+    out = _suppress(raw)
+    # same keys, and each value is either the raw target or a revert
+    assert out.keys() == raw.keys()
+    for c, d in out.items():
+        assert d in (raw[c], c)
+    # every moved-to label is a FIXPOINT of the suppressed map
+    for c, d in out.items():
+        if d != c:
+            assert out.get(d, d) == d, (c, d)
+    # idempotent: suppressing an already-suppressed map changes nothing
+    assert _suppress(out) == out
+
+
+@given(st.tuples(st.integers(0, 8_000_000), st.integers(0, 8_000_000),
+                 st.integers(0, 8_000_000), st.integers(0, 8_000_000)))
+@settings(max_examples=300, deadline=None)
+def test_chimerge_integer_predicate_matches_exact_rational(counts):
+    """The never-divides integer comparison 1000*N*det^2 < 2706*R must
+    equal the exact rational chi2 < 2.706 test on every in-envelope
+    bin pair (fractions.Fraction referee — no float roundoff)."""
+    from fractions import Fraction
+
+    a1, b1, a2, b2 = counts
+    r1, r2 = a1 + b1, a2 + b2
+    c1, c2 = a1 + a2, b1 + b2
+    n = r1 + r2
+    if r1 == 0 or r2 == 0:
+        return  # an empty bin never forms an adjacent pair
+    det = a1 * b2 - a2 * b1
+    lhs = 1000 * n * det * det
+    rhs = 2706 * r1 * r2 * c1 * c2
+    int_pred = (c1 == 0 or c2 == 0 or lhs < rhs)
+    if c1 == 0 or c2 == 0:
+        exact_pred = True  # chi2 = 0 exactly
+    else:
+        chi2 = Fraction(n * det * det, r1 * r2 * c1 * c2)
+        exact_pred = chi2 < Fraction(2706, 1000)
+    assert int_pred == exact_pred
+    # and the in-envelope LHS stays inside DECIMAL(38,0)/HUGEINT
+    assert lhs < 10**38
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=60,
+                unique=True),
+       st.lists(st.integers(0, 10**9), min_size=1, max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_bloom_words_membership_equals_bucket_set(dim_keys, probe_keys):
+    """The identity BLOOM_PRUNING_SQL's oracle rests on: membership in
+    the bits/64 BIGINT word array (the Spark build) is EXACTLY
+    membership of all k buckets in the SET of occupied buckets (the
+    SQL reformulation) — for any dim-key set and probe keys, same
+    md5-fold bucket function as sketch.bucket_sql."""
+    import hashlib
+
+    bits, k = 1024, 2
+
+    def bucket(key: int, d: int) -> int:
+        h = hashlib.md5(f"{d}|{key}".encode()).hexdigest()
+        return int(h[:6], 16) % bits
+
+    words = [0] * (bits // 64)
+    occupied = set()
+    for dk in dim_keys:
+        for d in range(k):
+            b = bucket(dk, d)
+            occupied.add(b)
+            words[b // 64] |= 1 << (b % 64)
+    for pk in probe_keys:
+        via_words = all(
+            words[bucket(pk, d) // 64] & (1 << (bucket(pk, d) % 64))
+            for d in range(k))
+        via_set = all(bucket(pk, d) in occupied for d in range(k))
+        assert via_words == via_set
+        if pk in dim_keys:
+            assert via_words  # no false negatives, ever
