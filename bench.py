@@ -68,6 +68,9 @@ HEADLINE = [
     "boilerplate_ngrams_report",  # doc-frequency template detector (r11)
     "salted_join_skew_balance",  # planted hot-key salted-join ledger (r12)
     "louvain_dendrogram",      # 3-level community hierarchy (r12)
+    "llm_watermark_detect",    # zero-exchange green-list z-test (r12 ext)
+    "wordpiece_encode_vocab",  # Catalyst-fold greedy segmentation (r12 ext)
+    "unimax_mixture_plan",     # water-filling budget allocation (r12 ext)
 ]
 
 

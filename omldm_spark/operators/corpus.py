@@ -1271,3 +1271,197 @@ SELECT source, n_docs, lam_ppm,
             AS BIGINT) AS w_ppm
 FROM sized
 """
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped budget allocation (water-filling closed form)
+# ---------------------------------------------------------------------------
+
+
+def unimax_mixture_plan(docs: DataFrame, budget_tokens: int | None = None,
+                        epoch_cap: int = 4, text_col: str = "text",
+                        source_col: str = "source") -> DataFrame:
+    """UniMax language/source sampling (Chung et al., ICLR 2023
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): allocate a token budget B
+    across sources so that no source repeats more than ``epoch_cap``
+    epochs — visiting sources SMALLEST FIRST, each takes
+    min(cap * T_s, remaining_budget / remaining_sources) and the
+    leftover re-spreads over the rest.  The published algorithm is the
+    sequential loop; this operator computes its WATER-FILLING closed
+    form entirely with window functions: because sizes ascend, the
+    epoch-capped prefix is exactly the maximal prefix where
+    cap * T_i * (k - i + 1) <= B - cap * S_{i-1} (all int64 — no
+    division, no sequential state), and every source after the
+    threshold splits the leftover evenly (floor; the largest source
+    absorbs the remainder, a stated deterministic convention).
+
+    Default budget = the corpus's own total token count (so the plan
+    answers "re-spend the same compute fairly"); epoch_cap = 4 is the
+    paper's sweet spot.
+
+    Output per source: (source, n_tokens, alloc_tokens, epochs_ppm,
+    capped) with epochs_ppm = alloc * 1e6 div n_tokens, in
+    DECIMAL(38,0)/HUGEINT (alloc * 1e6 crosses int64 at ~1e13 tokens
+    — exactly the 100 TB corpus this plans for).
+
+    Scale: one corpus-linear token-count aggregation; everything after
+    lives on the |sources|-row frame (windows over k rows).  The
+    referee test replays the paper's sequential loop in Python and
+    pins this closed form against it.  Reference scope:
+    beyond-reference LLM-pipeline charter (SURVEY.md §2 has no corpus
+    surface)."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.col(source_col),
+            F.size(tokens_col(text_col)).cast("long").alias("nt"),
+        )
+        .groupBy(source_col)
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+    )
+    budget = (
+        F.lit(int(budget_tokens)).cast("long")
+        if budget_tokens is not None
+        else F.sum("n_tokens").over(Window.partitionBy()).cast("long")
+    )
+    asc = Window.partitionBy().orderBy("n_tokens", source_col)
+    frame = Window.partitionBy()
+    c = int(epoch_cap)
+    with_idx = counts.select(
+        source_col, "n_tokens",
+        budget.alias("b"),
+        F.row_number().over(asc).alias("idx"),
+        F.count(F.lit(1)).over(frame).alias("k"),
+        F.coalesce(
+            F.sum("n_tokens").over(asc.rowsBetween(
+                Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("s_prev"),
+    )
+    flagged = with_idx.select(
+        "*",
+        (F.lit(c) * F.col("n_tokens") * (F.col("k") - F.col("idx") + 1)
+         <= F.col("b") - F.lit(c) * F.col("s_prev")).alias("cap_ok"),
+    )
+    # t = maximal prefix with cap_ok everywhere: max idx such that
+    # min(cap_ok over 1..idx) is true — computed as a running AND.
+    run = Window.partitionBy().orderBy("idx")
+    with_t = flagged.select(
+        "*",
+        F.min(F.when(F.col("cap_ok"), F.lit(1)).otherwise(F.lit(0)))
+        .over(run.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_prefix_ok"),
+    ).select(
+        "*",
+        F.max(F.when(F.col("_prefix_ok") == 1, F.col("idx"))
+              .otherwise(F.lit(0)))
+        .over(frame.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))
+        .alias("t"),
+    ).select(
+        "*",
+        F.coalesce(
+            F.max(F.when(F.col("idx") == F.col("t"),
+                         F.col("s_prev") + F.col("n_tokens")))
+            .over(frame.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)),
+            F.lit(0),
+        ).cast("long").alias("s_t"),
+    )
+    # leftover div n_rest: both non-negative int64 (leftover >= 0 by the
+    # prefix construction — the first uncapped source's fair share was
+    # affordable), so floor == truncation; `div` mirrors DuckDB's `//`.
+    alloc = (
+        F.when(F.col("idx") <= F.col("t"), F.lit(c) * F.col("n_tokens"))
+        .otherwise(
+            F.expr(f"CAST((b - {c}L * s_t) div (k - t) AS BIGINT)")
+            + F.when(F.col("idx") == F.col("k"),
+                     F.expr(f"CAST((b - {c}L * s_t) % (k - t) AS BIGINT)"))
+            .otherwise(F.lit(0))
+        )
+    )
+    return with_t.select(
+        source_col, "n_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        (F.col("idx") <= F.col("t")).alias("capped"),
+    ).select(
+        source_col, "n_tokens", "alloc_tokens",
+        F.expr(
+            "CAST((CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000) "
+            "div n_tokens AS BIGINT)"
+        ).alias("epochs_ppm"),
+        "capped",
+    )
+
+
+def UNIMAX_SQL(budget_tokens: int | None = None, epoch_cap: int = 4,
+               table: str = "documents", text_expr: str = "text",
+               source_col: str = "source") -> str:
+    c = int(epoch_cap)
+    budget_expr = (
+        str(int(budget_tokens)) if budget_tokens is not None
+        else "(SELECT CAST(sum(n_tokens) AS BIGINT) FROM counts)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT {source_col}, CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT {source_col},
+           CAST(len({TOKENS_SQL(text_expr)}) AS BIGINT) AS nt
+    FROM {table}
+  )
+  GROUP BY {source_col}
+  HAVING sum(nt) > 0
+),
+idxed AS (
+  SELECT {source_col}, n_tokens,
+         CAST({budget_expr} AS BIGINT) AS b,
+         row_number() OVER (ORDER BY n_tokens, {source_col}) AS idx,
+         CAST(count(*) OVER () AS BIGINT) AS k,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY n_tokens, {source_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s_prev
+  FROM counts
+),
+flagged AS (
+  SELECT *,
+         ({c} * n_tokens * (k - idx + 1) <= b - {c} * s_prev) AS cap_ok
+  FROM idxed
+),
+pref AS (
+  SELECT *,
+         min(CASE WHEN cap_ok THEN 1 ELSE 0 END) OVER (
+           ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix_ok
+  FROM flagged
+),
+witht AS (
+  SELECT *,
+         max(CASE WHEN prefix_ok = 1 THEN idx ELSE 0 END) OVER () AS t
+  FROM pref
+),
+withst AS (
+  SELECT *,
+         CAST(coalesce(max(CASE WHEN idx = t THEN s_prev + n_tokens END)
+                       OVER (), 0) AS BIGINT) AS s_t
+  FROM witht
+),
+alloc AS (
+  SELECT {source_col}, n_tokens,
+         CAST(CASE WHEN idx <= t THEN {c} * n_tokens
+              ELSE (b - {c} * s_t) // (k - t)
+                   + CASE WHEN idx = k THEN (b - {c} * s_t) % (k - t)
+                     ELSE 0 END
+              END AS BIGINT) AS alloc_tokens,
+         idx <= t AS capped
+  FROM withst
+)
+SELECT {source_col}, n_tokens, alloc_tokens,
+       CAST((CAST(alloc_tokens AS HUGEINT) * 1000000) // n_tokens
+            AS BIGINT) AS epochs_ppm,
+       capped
+FROM alloc"""

@@ -1555,3 +1555,235 @@ SELECT CAST(row_number() OVER (ORDER BY score_ppb DESC, w1, w2)
 FROM scored
 QUALIFY rank <= {top_n}
 """
+
+
+# ---------------------------------------------------------------------------
+# WordPiece ENCODE (greedy longest-match-first segmentation)
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_encode_vocab(docs: DataFrame, n_pieces: int = 20,
+                           text_col: str = "text") -> DataFrame:
+    """Apply a trained WordPiece vocabulary — the ENCODE half of the
+    tokenizer (train with :func:`wordpiece_pair_scores`, then this
+    segments the corpus), completing the train+encode pair exactly as
+    bpe_train/bpe_encode_vocab do for BPE.  The segmenter is WordPiece
+    INFERENCE (greedy longest-match-first, the algorithm BERT's
+    tokenizer runs): at each position take the longest vocabulary
+    piece that prefixes the remaining suffix — here every single
+    character plus the top-``n_pieces`` two-character merges by the
+    likelihood criterion — and continuation pieces (position > 1)
+    carry the ``##`` prefix.  Returns corpus frequencies of every
+    emitted piece.
+
+    Scale (the bpe_encode_vocab vocabulary collapse): segmentation is
+    deterministic per token TYPE, so the corpus pays ONE token-count
+    aggregation and the greedy scan runs once per distinct token — on
+    a vocabulary-scale frame — as a single Catalyst ``aggregate`` fold
+    over the token's character positions (whole-stage codegen, no
+    Python, no per-round jobs, no joins; the piece table rides the
+    expression as an array literal).  The trained piece table itself
+    is model-scale (``n_pieces`` rows), collected once like the BPE
+    merge table.
+
+    Exactness: string-only (no floats anywhere); the piece ranking
+    that defines the vocabulary has a total order (score DESC, w1,
+    w2).  The DuckDB oracle replays the same greedy scan as a
+    recursive CTE.  Reference scope: OMLDM has no tokenizer surface
+    (SURVEY.md §2); beyond-reference LLM-pipeline charter."""
+    vocab = wordpiece_vocab(docs, text_col)
+    pieces = [
+        r["w1"] + r["w2"]
+        for r in wordpiece_from_vocab(vocab, n_pieces)
+        .select("w1", "w2").collect()  # trained piece table: n_pieces rows
+    ]
+    pieces_arr = F.array(*[F.lit(p) for p in pieces]) if pieces else \
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+
+    def step(acc, i):
+        prefix = F.when(acc["pos"] > 1, F.lit("##")).otherwise(F.lit(""))
+        two = F.col("tok").substr(acc["pos"], F.lit(2))
+        one = F.col("tok").substr(acc["pos"], F.lit(1))
+        take2 = F.struct(
+            (acc["pos"] + F.lit(2)).alias("pos"),
+            F.array_append(acc["out"], F.concat(prefix, two)).alias("out"),
+        )
+        take1 = F.struct(
+            (acc["pos"] + F.lit(1)).alias("pos"),
+            F.array_append(acc["out"], F.concat(prefix, one)).alias("out"),
+        )
+        return (
+            F.when(i != acc["pos"], acc)
+            .otherwise(F.when(F.array_contains(pieces_arr, two), take2)
+                       .otherwise(take1))
+        )
+
+    segmented = vocab.select(
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("tok")),
+            F.struct(
+                F.lit(1).cast("int").alias("pos"),
+                F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+            ),
+            step,
+            lambda acc: acc["out"],
+        ).alias("pieces"),
+        "tok_cnt",
+    )
+    return (
+        segmented.select(F.explode("pieces").alias("piece"), "tok_cnt")
+        .groupBy("piece")
+        .agg(F.sum("tok_cnt").cast("long").alias("cnt"))
+    )
+
+
+def WORDPIECE_ENCODE_SQL(n_pieces: int = 20, table: str = "documents",
+                         text_expr: str = "text") -> str:
+    """Oracle for :func:`wordpiece_encode_vocab`: the trainer's CTE
+    chain through the ranked piece table, then the SAME greedy
+    longest-match scan as a recursive CTE over the vocabulary."""
+    return f"""
+WITH RECURSIVE vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tok_cnt
+  FROM (SELECT unnest({TOKENS_SQL(text_expr)}) AS tok FROM {table})
+  GROUP BY tok
+),
+chars AS (
+  SELECT substr(tok, CAST(u.i AS INTEGER), 1) AS ch,
+         CAST(sum(tok_cnt) AS BIGINT) AS c
+  FROM vocab, unnest(range(1, CAST(length(tok) AS BIGINT) + 1)) AS u(i)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(tok, CAST(u.i AS INTEGER), 1) AS w1,
+         substr(tok, CAST(u.i AS INTEGER) + 1, 1) AS w2,
+         CAST(sum(tok_cnt) AS BIGINT) AS pair_cnt
+  FROM vocab, unnest(range(1, CAST(length(tok) AS BIGINT))) AS u(i)
+  WHERE length(tok) >= 2
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p.w1 || p.w2 AS piece2,
+         row_number() OVER (
+           ORDER BY CAST(p.pair_cnt AS HUGEINT) * 1000000000
+                    // (CAST(a.c AS HUGEINT) * b.c) DESC, p.w1, p.w2
+         ) AS rank
+  FROM pairs p
+  JOIN chars a ON a.ch = p.w1
+  JOIN chars b ON b.ch = p.w2
+),
+pieces2 AS (SELECT piece2 FROM ranked WHERE rank <= {n_pieces}),
+seg AS (
+  SELECT tok, tok_cnt, 1 AS pos, CAST(NULL AS VARCHAR) AS piece
+  FROM vocab
+  UNION ALL
+  SELECT tok, tok_cnt,
+         pos + CASE WHEN hit THEN 2 ELSE 1 END,
+         CASE WHEN pos > 1 THEN '##' ELSE '' END ||
+           substr(tok, pos, CASE WHEN hit THEN 2 ELSE 1 END)
+  FROM (
+    SELECT tok, tok_cnt, pos,
+           substr(tok, pos, 2) IN (SELECT piece2 FROM pieces2) AS hit
+    FROM seg WHERE pos <= length(tok)
+  )
+)
+SELECT piece, CAST(sum(tok_cnt) AS BIGINT) AS cnt
+FROM seg WHERE piece IS NOT NULL
+GROUP BY piece"""
+
+
+# ---------------------------------------------------------------------------
+# Green-list watermark detection (synthetic-text filter)
+# ---------------------------------------------------------------------------
+
+
+def llm_watermark_detect(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Green-list watermark detector (Kirchenbauer et al., ICML 2023
+    "A Watermark for Large Language Models"): a watermarking LLM seeds
+    a hash with the previous token and biases sampling toward the
+    "green" quarter of the vocabulary; a detector — which is what a
+    pretraining pipeline runs to QUARANTINE watermarked synthetic text
+    before it contaminates the corpus — recomputes the green test per
+    position and z-tests the green count against the gamma = 1/4 null.
+
+    Green test (cross-engine determinism): token at position i is
+    green iff the first hex digit of md5(prev_tok || ' ' || tok) is in
+    0-3 — md5 hex strings are identical in Spark and DuckDB (the
+    repo's minhash discipline), and hashing the (prev, cur) pair is
+    the self-hash variant of the published scheme.
+
+    The statistic avoids sqrt: with g greens of n scored positions,
+    z^2 = (g - n/4)^2 / (n * 3/16) = (4g - n)^2 / (3n), reported as
+    the SIGNED floor-ppm  sign(4g - n) * (4g - n)^2 * 1e6 div (3n)  in
+    DECIMAL(38,0)/HUGEINT (exact integer arithmetic on both engines;
+    (4g-n)^2 * 1e6 passes int64 at ~5e4 tokens/doc, so the wide type
+    carries it).  ``flagged`` is the z > 4 one-sided detection
+    (z2_signed_ppm > 16e6), the paper's interpretable threshold.
+
+    Scale: zero exchanges — tokens, the pairwise green test, and the
+    per-document counts are all row-local higher-order-function folds
+    (whole-stage codegen); a 100 TB corpus maps this over every
+    partition with no shuffle at all.  Docs with fewer than 2 tokens
+    have no scored positions and are excluded (n = 0 has no null
+    distribution).  Reference scope: beyond-reference LLM-pipeline
+    charter (OMLDM has no text surface, SURVEY.md §2)."""
+    toks = tokens_col(text_col)
+    green_i = (
+        "substr(md5(concat(element_at(_toks, i - 1), ' ', "
+        "element_at(_toks, i))), 1, 1) IN ('0', '1', '2', '3')"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= 2)
+        .select(
+            id_col,
+            (F.size("_toks") - 1).cast("long").alias("n_scored"),
+            F.expr(
+                "CAST(size(filter(sequence(2, size(_toks)), "
+                f"i -> {green_i})) AS BIGINT)"
+            ).alias("green_cnt"),
+        )
+        .select(
+            id_col, "n_scored", "green_cnt",
+            F.expr(
+                "CAST(CASE WHEN 4 * green_cnt >= n_scored THEN 1 ELSE -1 END"
+                " * (CAST(4 * green_cnt - n_scored AS DECIMAL(38,0))"
+                "    * (4 * green_cnt - n_scored) * 1000000"
+                "    div (CAST(3 AS DECIMAL(38,0)) * n_scored))"
+                " AS BIGINT)"
+            ).alias("z2_signed_ppm"),
+        )
+        .select(
+            id_col, "n_scored", "green_cnt", "z2_signed_ppm",
+            (F.col("z2_signed_ppm") > 16_000_000).alias("flagged"),
+        )
+    )
+
+
+def WATERMARK_SQL(table: str = "documents", text_expr: str = "text",
+                  id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {TOKENS_SQL(text_expr)} AS t FROM {table}
+),
+counted AS (
+  SELECT {id_col},
+         CAST(len(t) - 1 AS BIGINT) AS n_scored,
+         CAST(len(list_filter(range(2, len(t) + 1),
+              i -> substr(md5(t[i - 1] || ' ' || t[i]), 1, 1)
+                   IN ('0', '1', '2', '3'))) AS BIGINT) AS green_cnt
+  FROM toks WHERE len(t) >= 2
+),
+scored AS (
+  SELECT {id_col}, n_scored, green_cnt,
+         CAST(CASE WHEN 4 * green_cnt >= n_scored THEN 1 ELSE -1 END
+              * (CAST(4 * green_cnt - n_scored AS HUGEINT)
+                 * (4 * green_cnt - n_scored) * 1000000
+                 // (CAST(3 AS HUGEINT) * n_scored))
+              AS BIGINT) AS z2_signed_ppm
+  FROM counted
+)
+SELECT {id_col}, n_scored, green_cnt, z2_signed_ppm,
+       z2_signed_ppm > 16000000 AS flagged
+FROM scored"""

@@ -20160,6 +20160,51 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diverse_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+from .operators.lm import (WATERMARK_SQL, WORDPIECE_ENCODE_SQL,  # noqa: E402
+                           llm_watermark_detect, wordpiece_encode_vocab)
+
+
+@query("wordpiece_encode_vocab", oracle=WORDPIECE_ENCODE_SQL())
+def q_wordpiece_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODE — greedy longest-match-first segmentation under
+    the trained top-20 likelihood-criterion vocabulary, completing the
+    train+encode pair exactly as bpe_encode_vocab completes bpe_train.
+    The corpus pays one token-count aggregation; the greedy scan runs
+    once per token TYPE as a single Catalyst ``aggregate`` fold (whole-
+    stage codegen, no joins, no driver rounds); continuation pieces
+    carry the ``##`` prefix.  Oracle = the same scan as a recursive
+    CTE.  See operators/lm.py wordpiece_encode_vocab."""
+    return wordpiece_encode_vocab(load_table(spark, sf_dir, "documents"))
+
+
+@query("llm_watermark_detect", oracle=WATERMARK_SQL())
+def q_llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection (Kirchenbauer et al. ICML 2023)
+    — the synthetic-text quarantine filter a pretraining pipeline runs
+    per document: the md5-seeded gamma=1/4 green test per adjacent
+    token pair, z-tested via the sqrt-free signed z^2 floor-ppm in
+    DECIMAL(38,0)/HUGEINT, flagged at z > 4.  Zero exchanges — the
+    whole detector is row-local higher-order-function folds.  See
+    operators/lm.py llm_watermark_detect."""
+    return llm_watermark_detect(load_table(spark, sf_dir, "documents"))
+
+
+from .operators.corpus import UNIMAX_SQL, unimax_mixture_plan  # noqa: E402
+
+
+@query("unimax_mixture_plan", oracle=UNIMAX_SQL())
+def q_unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped budget allocation (Chung et al. ICLR 2023):
+    the paper's smallest-first sequential loop computed as its
+    water-filling closed form — pure window functions over the
+    |sources|-row frame (the capped prefix is the maximal prefix with
+    cap*T_i*(k-i+1) <= B - cap*S_{i-1}, all int64), budget = the
+    corpus's own token total, cap = 4 epochs.  One corpus-linear
+    token-count agg; the referee test replays the published loop.
+    See operators/corpus.py unimax_mixture_plan."""
+    return unimax_mixture_plan(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #

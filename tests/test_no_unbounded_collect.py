@@ -30,6 +30,9 @@ ALLOWLIST = {
         "BPE best-pair: one row per merge round",
     ("operators/lm.py", 'orderBy("merge_round").collect()'):
         "trained merge table: vocab-scale, = the model itself",
+    ("operators/lm.py", '.select("w1", "w2").collect()'):
+        "trained WordPiece piece table: n_pieces rows (the model itself, "
+        "the BPE-merge-table discipline)",
     ("operators/corpus.py", 'groupBy("_pid")'):
         "two-phase global rank: one row per partition",
     ("operators/corpus.py", '.agg(F.count(F.lit(1)).alias("c")).collect()'):

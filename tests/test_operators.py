@@ -5177,3 +5177,151 @@ def test_scd2_integrity_audit_clean_and_detects_breakage(spark):
     got = {x["user_id"]: x for x in per_key.collect()}
     assert got[1]["n_overlap"] == 1 and got[1]["n_open"] == 2
     assert got[2]["n_gap"] == 1 and got[2]["n_open"] == 1
+
+
+def test_unimax_referee_sequential_loop(spark):
+    """unimax_mixture_plan (review r12 extension) computes the
+    water-filling closed form of UniMax's published sequential loop
+    (Chung et al. 2023, smallest-first, min(cap*T_s, fair share),
+    leftover re-spreads).  The referee replays the sequential loop in
+    exact Fraction arithmetic across budget regimes — none capped,
+    mixed, all capped, zero budget — and pins the capped set, the
+    capped allocations, the floor/remainder convention, and budget
+    conservation."""
+    from fractions import Fraction
+
+    from omldm_spark.operators.corpus import unimax_mixture_plan
+
+    sizes = {"a": 10, "b": 40, "c": 50, "d": 400}
+    docs = spark.createDataFrame(
+        [(s, "w " * n) for s, n in sizes.items()], "source string, text string"
+    )
+    c = 4
+    for budget in [0, 100, 500, 2000, 100000]:
+        got = {
+            r["source"]: r
+            for r in unimax_mixture_plan(
+                docs, budget_tokens=budget, epoch_cap=c
+            ).collect()
+        }
+        order = sorted(sizes, key=lambda s: (sizes[s], s))
+        k = len(order)
+        rem = Fraction(budget)
+        capped_seq, t = {}, 0
+        for i, s in enumerate(order):
+            fair = rem / (k - i)
+            if Fraction(c * sizes[s]) <= fair:
+                capped_seq[s] = True
+                rem -= c * sizes[s]
+                t = i + 1
+            else:
+                capped_seq[s] = False
+                rem -= fair
+        s_t = sum(sizes[s] for s in order[:t])
+        leftover = budget - c * s_t
+        if t < k:
+            q, r = divmod(leftover, k - t)
+        for i, s in enumerate(order):
+            assert got[s]["capped"] == capped_seq[s], (budget, s)
+            if capped_seq[s]:
+                assert got[s]["alloc_tokens"] == c * sizes[s], (budget, s)
+            else:
+                want = q + (r if i == k - 1 else 0)
+                assert got[s]["alloc_tokens"] == want, (budget, s)
+        total = sum(got[s]["alloc_tokens"] for s in order)
+        assert total == (budget if t < k else c * sum(sizes.values()))
+        for s in order:
+            assert got[s]["epochs_ppm"] == \
+                got[s]["alloc_tokens"] * 1_000_000 // sizes[s]
+
+
+def test_wordpiece_encode_referee_roundtrip(spark):
+    """wordpiece_encode_vocab's Catalyst aggregate-fold greedy scan
+    (review r12 extension) against a Python reimplementation of
+    longest-match-first over the same derived piece vocabulary; the
+    referee also checks the round-trip invariant (stripping ## and
+    concatenating re-spells every token) and count conservation."""
+    from collections import Counter
+
+    from omldm_spark.operators.lm import wordpiece_encode_vocab
+
+    texts = [
+        "the theme thesis then the",
+        "there other the them anthem",
+        "xy xyz zzz the",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = Counter(w for t in texts for w in t.lower().split())
+    chars = Counter()
+    pairs = Counter()
+    for w, n in toks.items():
+        for ch in w:
+            chars[ch] += n
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += n
+    scored = sorted(
+        (
+            (-(pn * 10**9 // (chars[a] * chars[b])), a, b)
+            for (a, b), pn in pairs.items()
+        )
+    )
+    n_pieces = 3
+    pieces = {a + b for _, a, b in scored[:n_pieces]}
+    expect = Counter()
+    for w, n in toks.items():
+        pos, out = 0, []
+        while pos < len(w):
+            if w[pos:pos + 2] in pieces:
+                piece, pos = w[pos:pos + 2], pos + 2
+            else:
+                piece, pos = w[pos], pos + 1
+            out.append(("##" if len(out) else "") + piece)
+        assert "".join(p.removeprefix("##") for p in out) == w
+        for p in out:
+            expect[p] += n
+    got = {
+        r["piece"]: r["cnt"]
+        for r in wordpiece_encode_vocab(docs, n_pieces=n_pieces).collect()
+    }
+    assert got == dict(expect)
+    # conservation: piece character mass == token character mass
+    assert sum(len(p.removeprefix("##")) * n for p, n in got.items()) == \
+        sum(len(w) * n for w, n in toks.items())
+
+
+def test_llm_watermark_detect_referee(spark):
+    """llm_watermark_detect against a hashlib replay of the green test
+    and the exact signed-z^2 integer statistic; single-token docs are
+    excluded; the z > 4 flag threshold pins at 16e6 ppm."""
+    import hashlib
+
+    from omldm_spark.operators.lm import llm_watermark_detect
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "one",
+        3: "red blue red blue red blue red blue red blue",
+        4: "Mixed CASE Words here",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in llm_watermark_detect(docs).collect()}
+    assert 2 not in got  # single token: no scored positions
+    for did, text in texts.items():
+        toks = [w for w in text.lower().split() if w]
+        if len(toks) < 2:
+            continue
+        n = len(toks) - 1
+        g = sum(
+            hashlib.md5(f"{a} {b}".encode()).hexdigest()[0] in "0123"
+            for a, b in zip(toks, toks[1:])
+        )
+        num = (4 * g - n) ** 2 * 1_000_000
+        z2 = (1 if 4 * g >= n else -1) * (num // (3 * n))
+        r = got[did]
+        assert (r["n_scored"], r["green_cnt"], r["z2_signed_ppm"]) == \
+            (n, g, z2), did
+        assert r["flagged"] == (z2 > 16_000_000)

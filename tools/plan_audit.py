@@ -2033,6 +2033,39 @@ CHECKS.update({
 })
 
 
+CHECKS.update({
+    # --- round-12 extension queries ---
+    "llm_watermark_detect": [
+        # the whole detector is row-local higher-order-function folds:
+        # no shuffle anywhere on a 100 TB corpus
+        ("zero exchanges — fully narrow plan",
+         lambda p: "Exchange" not in p),
+        ("no join, no window, no aggregate",
+         lambda p: "Join" not in p and "Window" not in p),
+    ],
+    "wordpiece_encode_vocab": [
+        # vocabulary collapse + one Catalyst aggregate-fold per token
+        # type: exactly the two keyed agg shuffles (vocab, piece
+        # counts), the piece table rides as an array literal (no join)
+        ("no join anywhere (piece table is a literal)",
+         lambda p: "Join" not in p),
+        ("at most the two keyed agg exchanges",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+        ("both aggs map-side combined",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("greedy scan is codegen, not Python",
+         lambda p: "MapInPandas" not in p and "BatchEvalPython" not in p),
+    ],
+    "unimax_mixture_plan": [
+        # one corpus-linear token-count agg; every window lives on the
+        # |sources|-row aggregated frame (GLOBAL_WINDOW_BOUNDED)
+        ("no join anywhere", lambda p: "Join" not in p),
+        ("token counts map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+})
+
+
 GLOBAL_WINDOW_BOUNDED = [
     "auc_purchase_value", "budget_apportion_sources",
     "conformal_interval_orr", "gbt_residual_round", "km_session_survival",
@@ -2071,6 +2104,8 @@ GLOBAL_WINDOW_BOUNDED = [
     "ams_f2_report",            # median pick over the 9-counter frame
     "hits_item_authorities",        # rank over the item-scale authority
                                     # aggregate
+    "unimax_mixture_plan",          # water-filling windows over the
+                                    # |sources|-row token aggregate
 ]
 
 # a window is GLOBAL when windowspecdefinition's first argument is an
