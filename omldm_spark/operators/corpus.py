@@ -1311,8 +1311,6 @@ def unimax_mixture_plan(docs: DataFrame, budget_tokens: int | None = None,
     pins this closed form against it.  Reference scope:
     beyond-reference LLM-pipeline charter (SURVEY.md §2 has no corpus
     surface)."""
-    from pyspark.sql import Window
-
     counts = (
         docs.select(
             F.col(source_col),
@@ -1320,8 +1318,22 @@ def unimax_mixture_plan(docs: DataFrame, budget_tokens: int | None = None,
         )
         .groupBy(source_col)
         .agg(F.sum("nt").cast("long").alias("n_tokens"))
-        .where(F.col("n_tokens") > 0)
     )
+    return unimax_from_counts(counts, budget_tokens, epoch_cap, source_col)
+
+
+def unimax_from_counts(counts: DataFrame,
+                       budget_tokens: int | None = None,
+                       epoch_cap: int = 4,
+                       source_col: str = "source") -> DataFrame:
+    """The water-filling half, from a (source, n_tokens) frame — shared
+    by the batch operator and the streaming twin (token counts are the
+    plan's ADDITIVE sufficient statistic: keyed sums merge under any
+    arrival order, so the twin folds counts and derives the allocation
+    from state at report time)."""
+    from pyspark.sql import Window
+
+    counts = counts.where(F.col("n_tokens") > 0)
     budget = (
         F.lit(int(budget_tokens)).cast("long")
         if budget_tokens is not None

@@ -20205,6 +20205,60 @@ def q_unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_mixture_plan(load_table(spark, sf_dir, "documents"))
 
 
+@query("streaming_unimax_plan", oracle=UNIMAX_SQL())
+def q_streaming_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL UniMax: the carried state is the (source, n_tokens)
+    frame — the allocation's ADDITIVE sufficient statistic (per-source
+    token counts merge by keyed sum under any arrival order); each
+    micro-batch folds one tiny keyed aggregation and the water-filling
+    closed form derives from state at report time.  The corpus-mixing
+    twin beside the drift/vocabulary statefolds.  Oracle = the
+    one-shot batch allocation."""
+    from .operators.corpus import unimax_from_counts
+    from .operators.dedup import tokens_col
+    from .streaming.sources import file_replay_source
+    from .streaming.statefold import publish_state, read_latest_state
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tmp = _twin_tmp("omldm_sux_")
+    src_dir = f"{tmp}/src"
+    docs.repartition(5).write.parquet(src_dir)
+    stream = file_replay_source(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    state_dir = f"{tmp}/state"
+
+    def fold(new, bid):
+        prev = read_latest_state(spark, state_dir, below=bid)
+        cnt = (
+            new.select(
+                "source",
+                F.size(tokens_col("text")).cast("long").alias("nt"),
+            )
+            .groupBy("source")
+            .agg(F.sum("nt").cast("long").alias("n_tokens"))
+        )
+        if prev is not None:
+            cnt = prev.unionByName(cnt).groupBy("source").agg(
+                F.sum("n_tokens").cast("long").alias("n_tokens"))
+        publish_state(cnt, spark, state_dir, bid)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = read_latest_state(spark, state_dir)
+    if state is None:
+        return spark.createDataFrame(
+            [], "source string, n_tokens long, alloc_tokens long, "
+                "epochs_ppm long, capped boolean")
+    return unimax_from_counts(state)
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot curation.
 #
