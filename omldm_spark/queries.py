@@ -18911,6 +18911,22 @@ def _item_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _item_wedges_leaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-occurrence edge frame as a localCheckpointed PLAN LEAF.
+
+    The multi-level Louvain queries reference ``edges`` dozens of times
+    (sym x2 per degree rollup, two labeling joins and a kc rollup per
+    merge pass, per level); a lazy ``persist()`` caches EXECUTION but
+    every reference still re-embeds the self-join LOGICAL plan, and
+    Catalyst's analysis of the replicated subtree is FLAT driver time
+    that contention amplifies (measured r12: the dendrogram ran ~8.5 s
+    at EVERY SF — the cost was plan analysis, not data).  The eager cut
+    materializes the |edges|-row frame once and every consumer reads an
+    RDD leaf — the same discipline the pass-1/level-2 label frames got
+    in r12 (operators/graph.py louvain_third_pass docstring)."""
+    return _item_wedges(spark, sf_dir).localCheckpoint(eager=True)
+
+
 @query(
     "louvain_item_pass",
     oracle=f"""
@@ -18966,10 +18982,12 @@ def q_louvain_second_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights summed, degrees = member-degree sums = self-loop-inclusive)
     and one more synchronous singleton-merge pass runs on the community
     graph — every item labeled with both levels.  The pass-1 labels
-    persist (the plsa_two_rounds reuse discipline); everything past
-    the labeling join lives on the strictly smaller community graph.
-    See operators/graph.py louvain_second_pass (VERDICT r10 item 8)."""
-    return louvain_second_pass(_item_wedges(spark, sf_dir).persist())
+    AND the edge self-join are localCheckpointed plan leaves (r12 ext:
+    a lazy persist re-embedded the edge LOGICAL plan per reference —
+    flat Catalyst-analysis cost); everything past the labeling join
+    lives on the strictly smaller community graph.  See
+    operators/graph.py louvain_second_pass (VERDICT r10 item 8)."""
+    return louvain_second_pass(_item_wedges_leaf(spark, sf_dir))
 
 
 from .operators.graph import LOUVAIN_THIRD_SQL, louvain_third_pass  # noqa: E402
@@ -18989,8 +19007,13 @@ def q_louvain_dendrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, every item labeled with its full (l1, l2, l3) hierarchy
     path.  Each level's pass lives on a strictly smaller community
     graph; W = 2m is aggregation-invariant so the int64 gain envelope
-    holds at every level.  See operators/graph.py louvain_third_pass."""
-    return louvain_third_pass(_item_wedges(spark, sf_dir).persist())
+    holds at every level.  Labels at both levels AND the edge
+    self-join are localCheckpointed plan leaves (r12 + r12 ext — the
+    lazy-persist edge frame re-embedded its logical plan dozens of
+    times across the three levels; cutting it dropped the FLAT
+    Catalyst-analysis floor ~8.5 s -> ~3 s at every SF).  See
+    operators/graph.py louvain_third_pass."""
+    return louvain_third_pass(_item_wedges_leaf(spark, sf_dir))
 
 
 @query(
@@ -19005,9 +19028,10 @@ def q_louvain_modularity_report(spark: SparkSession,
     """Per-community modularity accounting of the Louvain first pass
     (floor-ppm Σin/2m - (Σtot/2m)^2 terms, quantize-then-sum): summing
     q_contrib_ppm gives the assignment's modularity Q in ppm.  The
-    edge frame persists — the pass, the labeling join, and the degree
-    rollup all fold the same cached |edges| frame."""
-    return louvain_modularity_report(_item_wedges(spark, sf_dir).persist())
+    edge self-join is a localCheckpointed plan LEAF (r12 ext — a lazy
+    persist re-embedded its logical plan ~8x, flat analysis cost); the
+    pass, the labeling join, and the degree rollup all read the leaf."""
+    return louvain_modularity_report(_item_wedges_leaf(spark, sf_dir))
 
 
 from .operators.lm import KN_HELDOUT_SQL, kn_heldout_scores  # noqa: E402
