@@ -884,7 +884,11 @@ def luby_mis(nodes: DataFrame, sym_edges: DataFrame,
     k-truss round discipline (cf. `src/main/scala` job graph, which
     hard-codes its one topology at `OMLDM_Job.scala`-scale).
     """
-    edges = sym_edges.persist()
+    # eager leaf, not a lazy persist (r12 ext): each round's jobs
+    # re-analyzed the caller's edge-derivation subtree (the epsilon
+    # spatial join) per cache lookup — the checkpoint cuts it to an
+    # RDD leaf once
+    edges = sym_edges.localCheckpoint(eager=True)
     active = nodes.select(F.col("id").cast("long").alias("id"))
     parts = []
     for r in range(1, rounds + 1):
@@ -1055,7 +1059,12 @@ def jones_plassmann_coloring(nodes: DataFrame, sym_edges: DataFrame,
     graph surface (SURVEY.md §2); this extends the alternating-stars /
     Luby round discipline.
     """
-    edges = sym_edges.repartition("dst").persist()
+    # eager leaf, not a lazy persist (r12 ext): every eager barrier's
+    # job re-analyzed the caller's edge-derivation subtree (the epsilon
+    # spatial join) just to LOOK UP the cache — the checkpoint cuts it
+    # to an RDD leaf; LogicalRDD keeps the dst hash-partitioning, so
+    # the per-round message join still never re-shuffles the edges
+    edges = sym_edges.repartition("dst").localCheckpoint(eager=True)
     vst = nodes.select(
         F.col("id").cast("long").alias("id"),
         F.lit(None).cast("long").alias("color"),
