@@ -400,3 +400,72 @@ def test_bloom_words_membership_equals_bucket_set(dim_keys, probe_keys):
         assert via_words == via_set
         if pk in dim_keys:
             assert via_words  # no false negatives, ever
+
+
+@given(
+    st.lists(st.integers(1, 10**9), min_size=1, max_size=30),
+    st.integers(0, 10**12),
+    st.integers(1, 8),
+)
+@settings(max_examples=300, deadline=None)
+def test_unimax_water_filling_closed_form_equals_sequential(sizes, budget, cap):
+    """The identity unimax_mixture_plan rests on: the window-function
+    closed form (capped prefix = maximal prefix with
+    cap*n_i*(k-i+1) <= B - cap*S_{i-1}; uncapped split leftover
+    evenly, floor, remainder to the largest) equals UniMax's published
+    smallest-first sequential loop in exact Fraction arithmetic — for
+    ANY source sizes, budget, and epoch cap.  This is the algebraic
+    fact the Spark referee test samples at five budgets; here
+    hypothesis sweeps the space (including the all-capped and
+    zero-budget regimes)."""
+    from fractions import Fraction
+
+    order = sorted(range(len(sizes)), key=lambda i: (sizes[i], i))
+    ns = [sizes[i] for i in order]
+    k = len(ns)
+
+    # sequential loop (the paper's algorithm), exact arithmetic
+    rem = Fraction(budget)
+    seq_capped = []
+    for i, n in enumerate(ns):
+        fair = rem / (k - i)
+        if Fraction(cap * n) <= fair:
+            seq_capped.append(True)
+            rem -= cap * n
+        else:
+            seq_capped.append(False)
+            rem -= fair
+
+    # closed form (the operator's window math)
+    t, s_prev, s_t, prefix_ok = 0, 0, 0, True
+    cf_capped = []
+    for i, n in enumerate(ns, 1):
+        cap_ok = cap * n * (k - i + 1) <= budget - cap * s_prev
+        cf_capped.append(prefix_ok and cap_ok)
+        if prefix_ok and cap_ok:
+            t, s_t = i, s_prev + n
+        else:
+            prefix_ok = False
+        s_prev += n
+
+    # the capped prefix must be exactly the sequential capped set
+    # (water-filling monotonicity: once uncapped, always uncapped)
+    assert cf_capped == seq_capped
+
+    # allocations: capped get cap*n; uncapped get the even floor split
+    # with the remainder on the largest — and the total spends the
+    # budget exactly whenever anything is uncapped
+    if t < k:
+        leftover = budget - cap * s_t
+        assert leftover >= 0
+        q, r = divmod(leftover, k - t)
+        allocs = [cap * n for n in ns[:t]] + [q] * (k - t)
+        allocs[-1] += r
+        assert sum(allocs) == budget
+        # every uncapped fair share is what the sequential loop gave,
+        # up to the integer floor convention
+        seq_fair = Fraction(leftover, k - t)
+        for a in allocs[t:-1]:
+            assert a == int(seq_fair // 1)
+    else:
+        assert sum(cap * n for n in ns) <= budget or k == 0
