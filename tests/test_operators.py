@@ -5325,3 +5325,62 @@ def test_llm_watermark_detect_referee(spark):
         assert (r["n_scored"], r["green_cnt"], r["z2_signed_ppm"]) == \
             (n, g, z2), did
         assert r["flagged"] == (z2 > 16_000_000)
+
+
+def test_wordpiece_encode_edge_cases_and_unicode_oracle(spark):
+    """Edge cases of the greedy fold: n_pieces=0 degenerates to pure
+    character segmentation (the empty-literal branch), and a non-ASCII
+    corpus must agree with the DuckDB oracle — both engines' substr()
+    count CHARACTERS, not bytes, which is exactly what the recursive
+    CTE and the Catalyst fold both rely on."""
+    import duckdb
+    import pandas as pd
+
+    from omldm_spark.operators.lm import (WORDPIECE_ENCODE_SQL,
+                                          wordpiece_encode_vocab)
+
+    texts = ["héllo wörld héllo", "naïve café naïve", "ßüß ßüß grüß"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # n_pieces=0: every piece is one character, round-trip by length
+    chars_only = {
+        r["piece"]: r["cnt"]
+        for r in wordpiece_encode_vocab(docs, n_pieces=0).collect()
+    }
+    assert all(len(p.removeprefix("##")) == 1 for p in chars_only)
+    total_chars = sum(len(w) for t in texts for w in t.lower().split())
+    assert sum(chars_only.values()) == total_chars
+    # unicode corpus against the DuckDB oracle, in-process
+    got = {
+        r["piece"]: r["cnt"]
+        for r in wordpiece_encode_vocab(docs, n_pieces=5).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    want = {
+        p: int(c)
+        for p, c in con.execute(WORDPIECE_ENCODE_SQL(n_pieces=5)).fetchall()
+    }
+    assert got == want
+
+
+def test_llm_watermark_empty_and_degenerate(spark):
+    """Schema-stable empty result on an empty corpus; an all-identical
+    token stream is all-green or all-red (the md5 test is a constant),
+    and the signed statistic lands on the correct side."""
+    from omldm_spark.operators.lm import llm_watermark_detect
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = llm_watermark_detect(empty)
+    assert out.columns == ["doc_id", "n_scored", "green_cnt",
+                           "z2_signed_ppm", "flagged"]
+    assert out.count() == 0
+
+    same = spark.createDataFrame(
+        [(1, "tok " * 50)], "doc_id long, text string")
+    r = llm_watermark_detect(same).collect()[0]
+    assert r["n_scored"] == 49
+    assert r["green_cnt"] in (0, 49)
+    assert (r["z2_signed_ppm"] > 0) == (4 * r["green_cnt"] >= 49)
