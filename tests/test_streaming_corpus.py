@@ -330,3 +330,70 @@ def test_retention_state_fold_rebases_cohort_out_of_order(spark):
     assert matrix(s2) == {(2, 0): 1, (2, 5): 1, (2, 7): 1, (7, 0): 1}
     # duplicate (2, 7) arrival did not double-count: state stays distinct
     assert s2.count() == 4
+
+
+def test_streaming_unimax_fold_cadence_independent(spark, tmp_path):
+    """The UniMax twin's statefold (keyed token-count sums) must land on
+    the SAME allocation whatever the micro-batch cadence: fold the same
+    documents as one batch and as three single-file batches through the
+    statefold, then derive the water-filling plan from both final
+    states — the additive-sufficient-statistic claim, tested end to
+    end through publish_state/read_latest_state."""
+    from pyspark.sql import functions as F
+
+    from omldm_spark.operators.corpus import unimax_from_counts
+    from omldm_spark.operators.dedup import tokens_col
+    from omldm_spark.streaming.sources import file_replay_source
+    from omldm_spark.streaming.statefold import (publish_state,
+                                                 read_latest_state)
+
+    schema = StructType([
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ])
+    rows = [(f"s{i % 3}", "w " * (5 + 7 * i)) for i in range(12)]
+
+    def run(n_files: int):
+        src = tmp_path / f"usrc_{n_files}"
+        src.mkdir()
+        for f in range(n_files):
+            spark.createDataFrame(
+                rows[f::n_files], schema
+            ).coalesce(1).write.parquet(str(src / f"f{f}.parquet"))
+        stream = file_replay_source(
+            spark, f"{src}/*", schema, max_files_per_trigger=1
+        )
+        state_dir = str(tmp_path / f"ustate_{n_files}")
+
+        def fold(new, bid):
+            prev = read_latest_state(spark, state_dir, below=bid)
+            cnt = (
+                new.select(
+                    "source",
+                    F.size(tokens_col("text")).cast("long").alias("nt"))
+                .groupBy("source")
+                .agg(F.sum("nt").cast("long").alias("n_tokens"))
+            )
+            if prev is not None:
+                cnt = prev.unionByName(cnt).groupBy("source").agg(
+                    F.sum("n_tokens").cast("long").alias("n_tokens"))
+            publish_state(cnt, spark, state_dir, bid)
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / f"uckpt_{n_files}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        plan = unimax_from_counts(read_latest_state(spark, state_dir))
+        return sorted(tuple(r) for r in plan.collect())
+
+    one, three = run(1), run(3)
+    assert one == three
+    # and the batch operator agrees with the folded allocation
+    from omldm_spark.operators.corpus import unimax_mixture_plan
+
+    docs = spark.createDataFrame(rows, schema)
+    batch = sorted(tuple(r) for r in unimax_mixture_plan(docs).collect())
+    assert one == batch
