@@ -1292,7 +1292,11 @@ def unimax_mixture_plan(docs: DataFrame, budget_tokens: int | None = None,
     form entirely with window functions: because sizes ascend, the
     epoch-capped prefix is exactly the maximal prefix where
     cap * T_i * (k - i + 1) <= B - cap * S_{i-1} (all int64 — no
-    division, no sequential state), and every source after the
+    division, no sequential state; envelope: the triple product stays
+    exact through cap·T_i·k < 9.2e18, i.e. ~5.7e16 tokens in ONE
+    source at cap 4, k 40 — ~50 PB of text, far past the 100 TB
+    design point; past that, lift the predicate to DECIMAL(38,0) on
+    both engines), and every source after the
     threshold splits the leftover evenly (floor; the largest source
     absorbs the remainder, a stated deterministic convention).
 
