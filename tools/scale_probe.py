@@ -153,6 +153,10 @@ EXTRA = [
     "join_cardinality_audit",
     "opq_vs_pq_distortion",
     "scd2_integrity_audit",
+    # round-12 extension (the three batch queries ride the bench
+    # HEADLINE): the UniMax statefold twin — per-source token counts
+    # fold as keyed sums; the water-filling derives from state
+    "streaming_unimax_plan",
 ]
 
 
