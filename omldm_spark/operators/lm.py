@@ -1584,14 +1584,16 @@ def wordpiece_encode_vocab(docs: DataFrame, n_pieces: int = 20,
     Python, no per-round jobs, no joins; the piece table rides the
     expression as an array literal).  The trained piece table itself
     is model-scale (``n_pieces`` rows), collected once like the BPE
-    merge table.
+    merge table.  The vocabulary frame persists: the piece-table job
+    and the segmentation pass both fold the SAME (tok, tok_cnt) cache,
+    so the corpus tokenize+explode runs once, not twice.
 
     Exactness: string-only (no floats anywhere); the piece ranking
     that defines the vocabulary has a total order (score DESC, w1,
     w2).  The DuckDB oracle replays the same greedy scan as a
     recursive CTE.  Reference scope: OMLDM has no tokenizer surface
     (SURVEY.md §2); beyond-reference LLM-pipeline charter."""
-    vocab = wordpiece_vocab(docs, text_col)
+    vocab = wordpiece_vocab(docs, text_col).persist()
     pieces = [
         r["w1"] + r["w2"]
         for r in wordpiece_from_vocab(vocab, n_pieces)

@@ -2047,12 +2047,17 @@ CHECKS.update({
     ],
     "wordpiece_encode_vocab": [
         # vocabulary collapse + one Catalyst aggregate-fold per token
-        # type: exactly the two keyed agg shuffles (vocab, piece
-        # counts), the piece table rides as an array literal (no join)
+        # type: the (tok, tok_cnt) vocab persists (piece-table job and
+        # segmentation pass share it — one corpus scan, not two), the
+        # piece table rides as an array literal (no join); visible
+        # exchanges = the vocab agg (+ its cached-relation reprint)
+        # and the final piece groupBy
         ("no join anywhere (piece table is a literal)",
          lambda p: "Join" not in p),
-        ("at most the two keyed agg exchanges",
-         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+        ("segmentation reads the persisted vocabulary",
+         lambda p: "InMemoryTableScan" in p),
+        ("only the two keyed agg shuffles (+ cache reprint)",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 3),
         ("both aggs map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
         ("greedy scan is codegen, not Python",
