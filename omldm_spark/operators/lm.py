@@ -1700,7 +1700,8 @@ GROUP BY piece"""
 
 
 def llm_watermark_detect(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         keep_cols: tuple = ()) -> DataFrame:
     """Green-list watermark detector (Kirchenbauer et al., ICML 2023
     "A Watermark for Large Language Models"): a watermarking LLM seeds
     a hash with the previous token and biases sampling toward the
@@ -1731,15 +1732,16 @@ def llm_watermark_detect(docs: DataFrame, text_col: str = "text",
     distribution).  Reference scope: beyond-reference LLM-pipeline
     charter (OMLDM has no text surface, SURVEY.md §2)."""
     toks = tokens_col(text_col)
+    keep = [F.col(c) for c in keep_cols]
     green_i = (
         "substr(md5(concat(element_at(_toks, i - 1), ' ', "
         "element_at(_toks, i))), 1, 1) IN ('0', '1', '2', '3')"
     )
     return (
-        docs.select(F.col(id_col), toks.alias("_toks"))
+        docs.select(F.col(id_col), *keep, toks.alias("_toks"))
         .where(F.size("_toks") >= 2)
         .select(
-            id_col,
+            id_col, *keep,
             (F.size("_toks") - 1).cast("long").alias("n_scored"),
             F.expr(
                 "CAST(size(filter(sequence(2, size(_toks)), "
@@ -1747,7 +1749,7 @@ def llm_watermark_detect(docs: DataFrame, text_col: str = "text",
             ).alias("green_cnt"),
         )
         .select(
-            id_col, "n_scored", "green_cnt",
+            id_col, *keep, "n_scored", "green_cnt",
             F.expr(
                 "CAST(CASE WHEN 4 * green_cnt >= n_scored THEN 1 ELSE -1 END"
                 " * (CAST(4 * green_cnt - n_scored AS DECIMAL(38,0))"
@@ -1757,7 +1759,7 @@ def llm_watermark_detect(docs: DataFrame, text_col: str = "text",
             ).alias("z2_signed_ppm"),
         )
         .select(
-            id_col, "n_scored", "green_cnt", "z2_signed_ppm",
+            id_col, *keep, "n_scored", "green_cnt", "z2_signed_ppm",
             (F.col("z2_signed_ppm") > 16_000_000).alias("flagged"),
         )
     )
@@ -1789,3 +1791,62 @@ scored AS (
 SELECT {id_col}, n_scored, green_cnt, z2_signed_ppm,
        z2_signed_ppm > 16000000 AS flagged
 FROM scored"""
+
+
+def watermark_source_report(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            source_col: str = "source") -> DataFrame:
+    """The per-source quarantine decision the detector feeds: which
+    sources carry watermarked (synthetic) text, and how much.  Rolls
+    :func:`llm_watermark_detect` up per source — documents flagged at
+    z > 4, the flagged fraction, and the corpus-level green rate (the
+    latter distinguishes "a few heavily-watermarked docs" from "a
+    uniform slight tilt", which need different remediations).
+
+    All integer: flagged_ppm = n_flagged*1e6 div n_docs;
+    green_rate_ppm = Σ green*1e6 div Σ scored in DECIMAL(38,0)/HUGEINT
+    (Σ scored crosses int64 around 9e18 tokens).  Scale: the per-doc
+    detector is exchange-free and carries ``source`` through as a
+    passthrough column, so the whole report is ONE map-side-combined
+    groupBy over the corpus — no join anywhere."""
+    per_doc = llm_watermark_detect(
+        docs.select(source_col, id_col, text_col), text_col, id_col,
+        keep_cols=(source_col,))
+    return (
+        per_doc
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0)).cast("long")
+            .alias("n_flagged"),
+            F.sum("n_scored").cast("long").alias("n_scored"),
+            F.sum("green_cnt").cast("long").alias("green_cnt"),
+        )
+        .select(
+            source_col, "n_docs", "n_flagged",
+            F.expr("CAST(n_flagged * 1000000 div n_docs AS BIGINT)")
+            .alias("flagged_ppm"),
+            F.expr(
+                "CAST(CAST(green_cnt AS DECIMAL(38,0)) * 1000000"
+                " div n_scored AS BIGINT)"
+            ).alias("green_rate_ppm"),
+        )
+    )
+
+
+def WATERMARK_SOURCE_SQL(table: str = "documents",
+                         text_expr: str = "text",
+                         id_col: str = "doc_id",
+                         source_col: str = "source") -> str:
+    return f"""
+WITH det AS ({WATERMARK_SQL(table, text_expr, id_col)})
+SELECT d.{source_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN det.flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(CASE WHEN det.flagged THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS flagged_ppm,
+       CAST(CAST(sum(det.green_cnt) AS HUGEINT) * 1000000
+            // sum(det.n_scored) AS BIGINT) AS green_rate_ppm
+FROM det JOIN {table} d ON d.{id_col} = det.{id_col}
+GROUP BY d.{source_col}"""

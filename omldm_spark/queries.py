@@ -20184,8 +20184,9 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diverse_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-from .operators.lm import (WATERMARK_SQL, WORDPIECE_ENCODE_SQL,  # noqa: E402
-                           llm_watermark_detect, wordpiece_encode_vocab)
+from .operators.lm import (WATERMARK_SOURCE_SQL, WATERMARK_SQL,  # noqa: E402
+                           WORDPIECE_ENCODE_SQL, llm_watermark_detect,
+                           wordpiece_encode_vocab)
 
 
 @query("wordpiece_encode_vocab", oracle=WORDPIECE_ENCODE_SQL())
@@ -20199,6 +20200,19 @@ def q_wordpiece_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry the ``##`` prefix.  Oracle = the same scan as a recursive
     CTE.  See operators/lm.py wordpiece_encode_vocab."""
     return wordpiece_encode_vocab(load_table(spark, sf_dir, "documents"))
+
+
+@query("watermark_source_report", oracle=WATERMARK_SOURCE_SQL())
+def q_watermark_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source synthetic-text quarantine decision: documents
+    flagged by the green-list detector at z > 4, the flagged fraction,
+    and the corpus green rate (distinguishes a few heavily-watermarked
+    docs from a uniform tilt).  The exchange-free detector carries
+    source through as a passthrough column, so the report is ONE
+    map-side-combined groupBy — no join.  See operators/lm.py
+    watermark_source_report."""
+    from .operators.lm import watermark_source_report
+    return watermark_source_report(load_table(spark, sf_dir, "documents"))
 
 
 @query("llm_watermark_detect", oracle=WATERMARK_SQL())

@@ -5384,3 +5384,35 @@ def test_llm_watermark_empty_and_degenerate(spark):
     assert r["n_scored"] == 49
     assert r["green_cnt"] in (0, 49)
     assert (r["z2_signed_ppm"] > 0) == (4 * r["green_cnt"] >= 49)
+
+
+def test_watermark_source_report_consistent_with_detector(spark):
+    """The per-source rollup must recompose from the per-doc detector:
+    flagged counts, doc counts, and the ppm fractions all derive from
+    the same rows (the passthrough column carries source through the
+    exchange-free detector — no join to drift)."""
+    from collections import defaultdict
+
+    from omldm_spark.io import load_table
+    from omldm_spark.operators.lm import (llm_watermark_detect,
+                                          watermark_source_report)
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = llm_watermark_detect(
+        docs, keep_cols=("source",)).collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, flagged, scored, green
+    for r in per_doc:
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += int(r["flagged"])
+        a[2] += r["n_scored"]
+        a[3] += r["green_cnt"]
+    got = {r["source"]: r
+           for r in watermark_source_report(docs).collect()}
+    assert set(got) == set(agg)
+    for s, (nd, nf, ns, g) in agg.items():
+        r = got[s]
+        assert (r["n_docs"], r["n_flagged"]) == (nd, nf)
+        assert r["flagged_ppm"] == nf * 1_000_000 // nd
+        assert r["green_rate_ppm"] == g * 1_000_000 // ns

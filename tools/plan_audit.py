@@ -2070,6 +2070,17 @@ CHECKS.update({
         ("token counts map-side combined",
          lambda p: p.count("HashAggregate") >= 2),
     ],
+    "watermark_source_report": [
+        # the exchange-free detector carries source as a passthrough
+        # column: the whole report is one keyed groupBy — no join
+        ("no join anywhere (source is a passthrough)",
+         lambda p: "Join" not in p),
+        ("exactly the one keyed agg exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+        ("rollup map-side combined",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("no window", lambda p: "Window" not in p),
+    ],
 })
 
 
