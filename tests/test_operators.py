@@ -5416,3 +5416,42 @@ def test_watermark_source_report_consistent_with_detector(spark):
         assert (r["n_docs"], r["n_flagged"]) == (nd, nf)
         assert r["flagged_ppm"] == nf * 1_000_000 // nd
         assert r["green_rate_ppm"] == g * 1_000_000 // ns
+
+
+def test_query_double_run_is_deterministic(spark):
+    """Registry invariant (sampled): running a queries() entry TWICE in
+    the same session yields bit-identical results — no hidden session
+    state, temp-view collision, clock, or RNG dependence.  The sample
+    spans the risk classes: a uuid-temp-view query (simhash), driver
+    loops with collected model state (bpe/kmeans/facility), md5-seeded
+    'randomness' (negative_samples, weighted_sample_docs), a statefold
+    streaming twin (fresh scratch dirs per call), checkpoint-leaf graph
+    rounds, and the newest extension queries."""
+    import hashlib
+
+    from omldm_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    names = [
+        "simhash_docs", "bpe_merge_round", "negative_samples",
+        "weighted_sample_docs", "louvain_dendrogram",
+        "wordpiece_encode_vocab", "llm_watermark_detect",
+        "unimax_mixture_plan", "watermark_source_report",
+        "streaming_unimax_plan",
+    ]
+
+    def value_hash(df):
+        cols = sorted(df.columns)
+        rows = sorted(
+            tuple(str(r[c]) for c in cols) for r in df.collect())
+        h = hashlib.md5()
+        for row in rows:
+            h.update("\x1f".join(row).encode())
+        return df.count(), tuple(cols), h.hexdigest()
+
+    for name in names:
+        a = value_hash(QUERIES[name](spark, sf_dir))
+        spark.catalog.clearCache()
+        b = value_hash(QUERIES[name](spark, sf_dir))
+        assert a == b, f"{name}: non-deterministic across same-session runs"
+        spark.catalog.clearCache()
