@@ -1944,49 +1944,61 @@ def cdc_chunk_dedup(docs: DataFrame, text_col: str = "text",
     collapse by chunk md5 fingerprint within the group and savings =
     (total − distinct)·1e6 div total.
 
-    Scale: ONE per-byte explode (O(total payload), the audio-framing
-    cost) into a doc-keyed running-sum window (never global), one
-    (doc, chunk) groupBy, one fingerprint-keyed distinct — all keyed;
-    nothing quadratic, no UDFs."""
-    from pyspark.sql import Window
-
+    Scale: chunk spans are computed ROW-LOCALLY — the boundary
+    positions are an array filter over the in-row byte positions and
+    the spans zip adjacent boundaries, so ONE row per CHUNK (not per
+    byte) leaves the scan.  The only payload-scale exchange left is
+    the map-side-combined (group, fingerprint) aggregation; nothing
+    quadratic, no window, no join-back, no UDFs.  (r12-opt: the
+    previous shape exploded a per-byte (did, p, flag) frame through a
+    doc-keyed running-sum window + a (doc, chunk) groupBy + a text
+    join-back — O(total bytes) rows shuffled twice for flag math that
+    never needed to leave the row; the boundary rule is unchanged.)"""
     base = docs.select(
-        F.col(id_col).alias("did"), F.col(group_col).alias("grp"),
-        F.col(text_col).alias("t"),
+        F.col(group_col).alias("grp"), F.col(text_col).alias("t"),
     ).where(F.length("t") >= 1)
-    # the per-byte frame carries ONLY (did, p, flag) — never the text:
-    # a position row carrying the whole payload would shuffle O(len²)
-    # bytes per doc through the chunk window (caught by SCALING_r11's
-    # first probe: 10x factor 6.3); the text joins back ONCE per chunk
-    pos = base.select(
-        "did",
-        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("p"),
-        F.col("t"),
-    ).select(
-        "did", "p",
-        F.expr(
-            f"CASE WHEN p >= {CDC_WINDOW} AND"
-            f" ({_cdc_poly('t', 'p')}) % {CDC_DIVISOR} = 0"
-            " THEN 1 ELSE 0 END").alias("flag"),
+    # The string is split to a per-char array ONCE (O(len)); every
+    # position read after that is an O(1) element_at.  This is the
+    # load-bearing half of the rewrite: ascii(substr(t, p, 1)) scans
+    # the string's UTF-8 bytes from the start for EVERY position, so
+    # the per-byte form paid O(len^2) byte scans per doc (measured: the
+    # shuffle removal alone was time-neutral at sf0.1 — the quadratic
+    # substr dominated both shapes).  cp folds codepoints % 256 exactly
+    # like _cdc_poly's terms.
+    poly = " + ".join(
+        f"element_at(cp, p - {j}) * {_CDC_B ** j}"
+        for j in range(CDC_WINDOW))
+    # boundary positions p in [WINDOW, len] with poly(last 4 bytes) % 17
+    # == 0 — the exact flag rule of the per-byte form, kept in-row.
+    # The len >= WINDOW guard matters: sequence(4, 3) is DESCENDING.
+    bounds = (
+        f"CASE WHEN size(cp) >= {CDC_WINDOW}"
+        f" THEN filter(sequence({CDC_WINDOW}, size(cp)),"
+        f" p -> ({poly}) % {CDC_DIVISOR} = 0)"
+        f" ELSE CAST(array() AS ARRAY<INT>) END"
     )
-    w = Window.partitionBy("did").orderBy("p").rowsBetween(
-        Window.unboundedPreceding, 0)
+    # span i: cs = (i = 0 ? 1 : b[i] + 1), ce = (i = n ? len : b[i+1]);
+    # the cs <= ce filter drops only the empty tail (last byte flagged).
     spans = (
-        pos.select(
-            "did", "p",
-            (F.sum("flag").over(w) - F.col("flag")).cast("long")
-            .alias("chunk_no"),
-        )
-        .groupBy("did", "chunk_no")
-        .agg(F.min("p").cast("int").alias("cs"),
-             F.max("p").cast("int").alias("ce"))
+        "filter(transform(sequence(0, size(b)), i -> struct("
+        " CASE WHEN i = 0 THEN 1 ELSE element_at(b, i) + 1 END AS cs,"
+        " CASE WHEN i = size(b) THEN size(ch)"
+        "      ELSE element_at(b, i + 1) END AS ce)),"
+        " s -> s.cs <= s.ce)"
     )
     chunks = (
-        spans.join(base, "did")
+        base.withColumn("ch", F.expr("split(t, '')"))
+        .withColumn("cp", F.expr("transform(ch, c -> ascii(c) % 256)"))
+        .withColumn("b", F.expr(bounds))
+        # the chunk text re-concatenates from the char array (O(chunk)
+        # slices) — substr(t, cs, ...) would re-scan from byte 0 per chunk
+        .select("grp", "ch", F.explode(F.expr(spans)).alias("s"))
         .select(
-            "did", "grp",
-            (F.col("ce") - F.col("cs") + 1).cast("long").alias("clen"),
-            F.md5(F.expr("substr(t, cs, ce - cs + 1)")).alias("fp"),
+            "grp",
+            (F.col("s.ce") - F.col("s.cs") + 1).cast("long").alias("clen"),
+            F.md5(F.expr(
+                "array_join(slice(ch, s.cs, s.ce - s.cs + 1), '')"))
+            .alias("fp"),
         )
     )
     per_fp = chunks.groupBy("grp", "fp").agg(

@@ -20022,9 +20022,10 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the storage-layer dedup for binary/media payloads): rolling-hash
     boundaries (4-byte window, 0 mod 17) make chunk fingerprints
     insertion-shift-resistant; the report counts chunk sharing and the
-    storage savings within each source.  One per-byte explode into a
-    doc-keyed window (the audio-framing cost), then keyed aggregations
-    only.  See operators/dedup.py cdc_chunk_dedup."""
+    storage savings within each source.  Chunk spans are row-local
+    array math — one row per CHUNK leaves the scan; the only
+    payload-scale exchange is the (source, fingerprint) aggregation.
+    See operators/dedup.py cdc_chunk_dedup."""
     return cdc_chunk_dedup(load_table(spark, sf_dir, "documents"))
 
 

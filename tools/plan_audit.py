@@ -2016,11 +2016,12 @@ CHECKS.update({
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
     "cdc_chunk_dedup": [
-        # per-byte explode into a DOC-keyed running-sum window; all
-        # aggregations keyed; no join until the |groups|-row report
-        ("chunk window keyed by doc",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
-         and "hashpartitioning(did" in p),
+        # chunk spans are row-local array math (r12-opt): NO per-byte
+        # window, NO doc-keyed shuffle, no join-back — the only
+        # payload-scale exchange is the map-side-combined (grp, fp) agg
+        ("no per-byte window", lambda p: "Window" not in p),
+        ("no doc-keyed exchange",
+         lambda p: "hashpartitioning(did" not in p),
         ("aggs map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
