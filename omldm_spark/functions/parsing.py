@@ -34,30 +34,31 @@ from pyspark.sql import functions as F
 from ..schemas import DATA_INSTANCE_SCHEMA, REQUEST_SCHEMA
 
 
-# Pushdown blocker (HISTORICAL — see boundary note): wraps a predicate
-# inside a nondeterministic WHEN so Catalyst can neither split the
-# conjunction nor push it below the parse projection. The rand is seeded
-# and the branch is always taken, so semantics are unchanged.
+# Parse-once pin (r12-opt — replaces the historical rand-WHEN filter
+# pin, which Spark 4.1's OptimizeRand folds away): the parse COLUMN is
+# wrapped in a single-element shuffle(), a semantic identity that marks
+# the alias nondeterministic.  PushDownPredicates then cannot substitute
+# from_json into the validity conjunction and CollapseProject cannot
+# inline it into the per-field expansion, so the plan keeps EXACTLY ONE
+# from_json with the filter reading struct fields above it.
 #
-# BOUNDARY NOTE (measured on Spark 4.1, the VERDICT r1 "sharp edge"):
-# Spark 4.1's OptimizeRand rule folds `rand(seed) >= -1.0` to true, so
-# this pin is now a no-op — the validity conjunction (and any caller
-# .filter() on a parse_* result) IS pushed below the parse Project with
-# from_json substituted into every predicate term. That is nonetheless
-# SAFE here: runtime subexpression elimination dedupes the same-schema
-# from_json copies inside whole-stage codegen. A/B at sf0.1 (excluding
-# OptimizeRand to revive the pin vs letting it fold): 5.4-7.1 s vs
-# 5.5-5.6 s — neutral. So: callers may filter parse_* outputs directly;
-# no hook is needed. The wrapper is kept as zero-cost insurance for
-# engines without runtime CSE, and because removing it would change
-# every downstream plan hash for no benefit. Predicates on RAW columns
-# (Kafka partition, file path) still belong BEFORE parse_* where real
-# source pushdown applies. Do NOT re-enable per-field JSON pruning
+# Why it matters (measured at sf0.1, 600k rows, this box): without the
+# pin the pushed filter plan carries SIX from_json copies (one per
+# predicate term + the projection) and runtime subexpression
+# elimination only partially dedupes them across the Filter/Project
+# operator boundary — 7.4 s vs 2.4 s pinned; the earlier boundary-note
+# claim that CSE makes the duplication free was wrong at this width.
+# Retry-safety: shuffle() on a 1-element array always returns that
+# element, so the value is bit-stable under task retries even though
+# the expression is MARKED nondeterministic (guide §2.5's rand-key
+# hazard does not apply).  Predicates on RAW columns (Kafka partition,
+# file path) still belong BEFORE parse_* where real source pushdown
+# applies.  Do NOT re-enable per-field JSON pruning
 # (_tune_json_parsing) — THAT one stays measurably load-bearing
 # (15.8 s -> 7.4 s), because its pruned copies have DIFFERENT schemas
 # which CSE cannot dedupe.
-def _pin_filter(pred: Column) -> Column:
-    return F.when(F.rand(25) >= F.lit(-1.0), pred).otherwise(F.lit(False))
+def _pin_parse(parsed: Column) -> Column:
+    return F.element_at(F.shuffle(F.array(parsed)), 1)
 
 
 def _tune_json_parsing(df: DataFrame) -> None:
@@ -83,8 +84,8 @@ def parse_data_instances(raw: DataFrame, value_col: str = "value") -> DataFrame:
 
     Malformed JSON yields a null struct (PERMISSIVE), which the filter drops —
     the exact silent-drop semantics of DataInstanceParser.scala:12-22. The
-    parse happens ONCE per row: single projection, single combined filter
-    pinned above it (see _no_pushdown).
+    parse happens ONCE per row: single pinned projection (see _pin_parse),
+    filter and field expansion read the struct column above it.
     """
     di = F.col("di")
     valid = (
@@ -98,8 +99,9 @@ def parse_data_instances(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
     _tune_json_parsing(raw)
     return (
-        raw.select(F.from_json(F.col(value_col), DATA_INSTANCE_SCHEMA).alias("di"))
-        .filter(_pin_filter(valid))
+        raw.select(_pin_parse(
+            F.from_json(F.col(value_col), DATA_INSTANCE_SCHEMA)).alias("di"))
+        .filter(valid)
         .select("di.*")
     )
 
@@ -186,8 +188,9 @@ def parse_requests(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
     _tune_json_parsing(raw)
     return (
-        raw.select(F.from_json(F.col(value_col), REQUEST_SCHEMA).alias("rq"))
-        .filter(_pin_filter(valid))
+        raw.select(_pin_parse(
+            F.from_json(F.col(value_col), REQUEST_SCHEMA)).alias("rq"))
+        .filter(valid)
         .select("rq.*")
     )
 

@@ -65,16 +65,19 @@ def test_parse_double_array(spark):
     assert arr == [1.0, 2.5, 3.0]
 
 
-def test_caller_filter_on_parsed_output_is_pushed_but_correct(spark):
-    """Documents the parse-filter boundary (VERDICT r1 sharp edge, settled
-    by measurement): on Spark 4.1 OptimizeRand folds the _pin_filter
-    barrier, so a caller .filter() on a parse_* result IS pushed below the
-    parse with from_json substituted — and that is fine, because runtime
-    subexpression elimination dedupes the same-schema copies (A/B at
-    sf0.1: neutral). This test pins the two facts: the push happens (so
-    we notice if the optimizer changes again) and results stay correct,
-    including the malformed-row silent-drop interacting with the pushed
-    predicate."""
+def test_caller_filter_on_parsed_output_parses_once_and_correct(spark):
+    """Documents the parse-filter boundary (r12-opt, settled by
+    measurement): the parse column is pinned nondeterministic
+    (_pin_parse), so neither the validity conjunction nor a caller
+    .filter() is substituted below the parse Project — the optimized
+    plan carries EXACTLY ONE from_json and every Filter reads the
+    struct column.  (The pre-r12 rand-WHEN pin was folded by
+    OptimizeRand and the pushed plan carried SIX from_json copies that
+    runtime CSE only partially deduped: 7.4 s vs 2.4 s at sf0.1.)
+    This test pins the two facts: the parse stays single-copy (so we
+    notice if the optimizer changes again) and results stay correct,
+    including the malformed-row silent-drop interacting with the
+    caller predicate."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -94,13 +97,13 @@ def test_caller_filter_on_parsed_output_is_pushed_but_correct(spark):
     assert got == [3, 4, 5]  # malformed + invalid-op rows silently dropped
 
     plan = filtered._jdf.queryExecution().optimizedPlan().toString()
-    pushed = any(
+    assert plan.count("from_json") == 1, (
+        "the parse is no longer single-copy — the optimizer changed; "
+        "re-run the A/B in parsing.py's _pin_parse note"
+    )
+    assert not any(
         "from_json" in line for line in plan.splitlines() if "Filter" in line
-    )
-    assert pushed, (
-        "caller predicate no longer pushed below the parse — the Spark "
-        "optimizer changed; re-run the A/B in parsing.py's boundary note"
-    )
+    ), "a predicate was substituted below the parse projection"
 
 
 def test_chunk_words_udtf_lateral_sql(spark):
