@@ -2282,47 +2282,56 @@ def semdedup_keep_list(emb: DataFrame, k: int = 8, quant: int = 1000,
     kk = emb.agg(F.expr(
         f"greatest(CAST({int(k)} AS BIGINT),"
         f" count(1) div {int(target_cluster)})").alias("kval"))
-    q = emb.select(
+    # r12-opt: quantization, |x|², per-seed distances, and per-pair dots
+    # are all ROW-LOCAL array folds — the coordinate explode shuffled
+    # n·dim (and n·dim·k through the assignment join) rows for integer
+    # sums that never needed to leave the row.  The coalesce(z, 0) in
+    # each fold reproduces the old inner-join-on-pos semantics exactly
+    # (a missing coordinate contributes nothing) should vectors ever be
+    # ragged.  Exchanges: the vid-keyed argmin agg, the cid-keyed pair
+    # join, the dup distinct, and the report join — the (vid, cid)
+    # dist exchange, the vid argmin window+sort, the n·dim n2 exchange,
+    # and both |n2|-frame joins are gone.
+    qdoc = emb.select(
         F.col(id_col).cast("long").alias("vid"),
-        F.posexplode(vec_col).alias("pos", "e"),
-    ).select(
-        "vid", "pos",
-        F.round(F.col("e").cast("double") * quant, 0).cast("long")
-        .alias("qv"),
-    )
-    n2 = q.groupBy("vid").agg(
-        F.sum(F.expr("qv * qv")).cast("long").alias("n2"))
-    seeds = q.crossJoin(F.broadcast(kk)).filter(
+        F.expr(
+            f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {quant}, 0) AS BIGINT))").alias("qv"),
+    ).withColumn("n2", F.expr(
+        "aggregate(transform(qv, x -> x * x), CAST(0 AS BIGINT),"
+        " (a, z) -> a + coalesce(z, CAST(0 AS BIGINT)))"))
+    seeds = qdoc.crossJoin(F.broadcast(kk)).filter(
         F.col("vid") < F.col("kval")).select(
-        F.col("vid").alias("cid"), "pos", F.col("qv").alias("c"))
-    dists = (
-        q.join(F.broadcast(seeds), "pos")
-        .groupBy("vid", "cid")
-        .agg(F.sum(F.expr("(qv - c) * (qv - c)")).cast("long")
-             .alias("dist_q"))
-    )
-    wv = Window.partitionBy("vid").orderBy("dist_q", "cid")
-    assign = dists.select(
-        "vid", "cid", F.row_number().over(wv).alias("rn")
-    ).where("rn = 1").select("vid", "cid").persist()
+        F.col("vid").alias("cid"), F.col("qv").alias("cv"))
+    dist = ("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT),"
+            " (a, z) -> a + coalesce(z, CAST(0 AS BIGINT)))")
+    assign = (
+        qdoc.join(F.broadcast(seeds), F.lit(True))
+        .select("vid", "qv", "n2", "cid", F.expr(dist).alias("dist_q"))
+        .groupBy("vid")
+        .agg(
+            F.min_by(F.col("cid"),
+                     F.struct(F.col("dist_q"), F.col("cid"))).alias("cid"),
+            # qv/n2 are constant within a vid group (one source row
+            # fanned over the k seeds) — carrying them through the agg
+            # saves the n-scale join the old shape paid to re-attach
+            F.first("qv").alias("qv"), F.first("n2").alias("n2"),
+        )
+    ).persist()
     if cache_out is not None:
         cache_out.append(assign)
-    parts = q.join(assign, "vid")
-    a = parts.select(F.col("cid"), F.col("vid").alias("ia"), "pos",
-                     F.col("qv").alias("qa"))
-    b = parts.select(F.col("cid"), F.col("vid").alias("ib"), "pos",
-                     F.col("qv").alias("qb"))
-    dots = (
-        a.join(b, ["cid", "pos"])
-        .where("ia < ib")
-        .groupBy("cid", "ia", "ib")
-        .agg(F.sum(F.expr("qa * qb")).cast("long").alias("dot"))
-    )
+    a = assign.select(F.col("cid"), F.col("vid").alias("ia"),
+                      F.col("qv").alias("qa"), F.col("n2").alias("na2"))
+    b = assign.select(F.col("cid"), F.col("vid").alias("ib"),
+                      F.col("qv").alias("qb"), F.col("n2").alias("nb2"))
+    dot = ("aggregate(zip_with(qa, qb, (x, y) -> x * y),"
+           " CAST(0 AS BIGINT),"
+           " (a, z) -> a + coalesce(z, CAST(0 AS BIGINT)))")
     dup = (
-        dots.join(n2.select(F.col("vid").alias("ia"),
-                            F.col("n2").alias("na2")), "ia")
-        .join(n2.select(F.col("vid").alias("ib"),
-                        F.col("n2").alias("nb2")), "ib")
+        a.join(b, ["cid"])
+        .where("ia < ib")
+        .select("ib", F.expr(dot).alias("dot"), "na2", "nb2")
         .where(
             f"dot > 0 AND CAST(dot AS DECIMAL(38,0)) * dot"
             f" * {SEMDEDUP_TAU_DEN2} >= CAST(na2 AS DECIMAL(38,0)) * nb2"

@@ -1812,17 +1812,16 @@ CHECKS.update({
          lambda p: p.count("HashAggregate") >= 2),
     ],
     "semdedup_keep_list": [
-        # k×dim seeds broadcast into the assignment; the pair search
-        # joins keyed on (cid, pos) — the cluster-blocked quadratic —
+        # k seed ROWS broadcast into the assignment fan-out; the pair
+        # search joins keyed on cid — the cluster-blocked quadratic —
         # and both the prune set and the report read the persisted
-        # assignment
+        # assignment.  r12-opt: distances/dots/|x|² are row-local array
+        # folds, the argmin is a vid-keyed min_by AGGREGATION — no
+        # Window, no coordinate explode, no (vid, cid) exchange
         ("seed centroids broadcast", lambda p: "BroadcastExchange" in p),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
-        # r11: the corpus-proportional kval is a one-row global agg
-        # (SinglePartition by design); the property is that the argmin
-        # WINDOW stays vid-keyed
-        ("argmin window keyed by vid",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+        ("argmin is a keyed agg, not a window",
+         lambda p: "Window" not in p
          and "hashpartitioning(vid" in p),
         ("consumers read the persisted assignment",
          lambda p: p.count("InMemoryTableScan") >= 2),
