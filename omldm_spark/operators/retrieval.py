@@ -1040,19 +1040,26 @@ def facility_location_select(emb: DataFrame, k: int = FACLOC_K,
     sampled pool).  Output: (rank, vec_id, gain, objective) per
     selected round, objective = running F(A).
 
-    Scale: the n_cand candidate vectors collapse to ONE broadcast row
+    Scale: the n_cand candidate vectors collapse to ONE bounded row
     (n_cand x dim quantized ints — model-scale, the kmeans-seed
-    shape), and every per-document candidate-dot array is ROW-LOCAL
-    array arithmetic against that broadcast (zip_with/aggregate inner
-    products) — the operator performs ZERO document-scale shuffles
-    (review r12: the previous shape shuffled an explode-join dot frame
-    at packing and re-shuffled it per round for the coverage join).
-    The packed (vid, cd[n_cand]) frame persists once; each greedy
-    round reads it with the picked ids as plan-time literals — the
-    coverage term max(0, max_{p∈A} d_p) is a row-local array fold —
-    into one map-side-combined n_cand-key aggregation and a one-row
-    argmax collect (the kmeans/BPE bounded driver-loop discipline,
-    <= 1 row per round).  Envelope: |qv| <= quant·|x|, dot <=
+    shape) collected once, and every per-document candidate-dot
+    vector is ONE vectorized int64 matmul per Arrow batch inside a
+    mapInPandas kernel (guide §4.2: let Spark distribute, let numpy
+    crunch; int64 matmul is exact and bit-identical to the fold) —
+    the operator performs ZERO document-scale shuffles (review r12:
+    the pre-r12 shape shuffled an explode-join dot frame at packing
+    and re-shuffled it per round for the coverage join; the r12-ext
+    shape kept it row-local but paid n_cand interpreted
+    zip_with/aggregate lambda folds per row, ~0.5 ms/row).  The
+    packed (vid, d0..d{n_cand-1}) frame persists once; each greedy
+    round is ONE ungrouped map-side-combined HashAggregate of n_cand
+    sums over it — coverage max(0, max_{p∈A} d_p) inlines as a
+    literal greatest() over the picked positions, plain codegen'd
+    column arithmetic (no explode into an n_cand-key hash, no
+    per-round sort, no lambdas) — and its single aggregated row is
+    the per-round collect (the kmeans/BPE bounded driver-loop
+    discipline); the argmax/tie-break runs on the driver over those
+    n_cand bounded values.  Envelope: |qv| <= quant·|x|, dot <=
     dim·(quant·|x|)², summed over n docs — < 2^63 through ~1e9 docs
     at the testdata scale."""
     qdoc = emb.select(
@@ -1065,39 +1072,66 @@ def facility_location_select(emb: DataFrame, k: int = FACLOC_K,
         F.array_sort(F.collect_list(F.struct(
             F.col("vid").alias("c"), F.col("qv").alias("v"))))
         .alias("cands"))
-    packed = (
-        qdoc.crossJoin(F.broadcast(candv))
-        .select("vid", F.expr(
-            "transform(cands, cc -> struct(cc.c AS c,"
-            " aggregate(zip_with(cc.v, qv, (x, y) -> x * y),"
-            " CAST(0 AS BIGINT), (a, z) -> a + z) AS d))").alias("cd"))
-    ).persist()
+    # Bounded collect: the n_cand x dim quantized candidate matrix
+    # (the kmeans-seed / OPQ-codebook shape) — it seeds both the
+    # executor-side matmul closure and the driver's position -> id map
+    cands = candv.collect()[0]["cands"] or []
+    cids = [int(cc["c"]) for cc in cands]
+    if not cids:
+        return emb.sparkSession.createDataFrame(
+            [], f"rank long, {id_col} long, gain long, objective long")
+    import numpy as np
+    import pandas as pd
+
+    cmat_t = np.array([list(cc["v"]) for cc in cands],
+                      dtype=np.int64).T    # dim x n_c
+    n_c = len(cids)
+    dot_schema = "vid long, " + ", ".join(f"d{i} long" for i in range(n_c))
+
+    def dot_block(batches):
+        # per-document candidate dots as ONE vectorized int64 matmul
+        # per Arrow batch (guide §4.2: batches to native code) — the
+        # r12-opt replacement for n_cand interpreted zip_with/aggregate
+        # lambda folds per row, which cost ~0.5 ms/row; int64 matmul is
+        # exact, bit-identical to the fold
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            D = X @ cmat_t                  # rows x n_c
+            out = {"vid": pdf["vid"].to_numpy()}
+            for i in range(n_c):
+                out[f"d{i}"] = D[:, i]
+            yield pd.DataFrame(out)
+
+    packed = qdoc.mapInPandas(dot_block, schema=dot_schema).persist()
     if cache_out is not None:
         cache_out.append(packed)
     picks: list[tuple[int, int]] = []   # (cid, gain) per greedy round
     for _ in range(k):
-        if picks:
-            in_p = ", ".join(str(c) for c, _ in picks)
-            cov = F.expr(
-                f"aggregate(filter(cd, x -> x.c IN ({in_p})),"
-                " CAST(0 AS BIGINT), (a, x) -> greatest(a, x.d))")
-            not_picked = f"NOT (e.c IN ({in_p}))"
-        else:
-            cov = F.lit(0).cast("long")
-            not_picked = "true"
-        gains = (
-            packed.select(cov.alias("cov"), F.explode("cd").alias("e"))
-            .where(not_picked)
-            .groupBy(F.col("e.c").alias("cid"))
-            .agg(F.sum(F.greatest(F.col("e.d") - F.col("cov"),
-                                  F.lit(0).cast("long")))
-                 .cast("long").alias("gain"))
-        )
-        best = (gains.orderBy(F.desc("gain"), F.asc("cid"))
-                .limit(1).collect())
-        if not best:
+        # coverage = max(0, max_{p in picks} d_p) inlined as a literal
+        # greatest() over the picked POSITIONS — plain codegen'd column
+        # arithmetic, no lambda, no per-round broadcast; the round is
+        # ONE ungrouped map-side-combined HashAggregate of n_cand sums
+        pos = {c: i for i, c in enumerate(cids)}
+        cov = ("greatest(CAST(0 AS BIGINT)"
+               + "".join(f", d{pos[c]}" for c, _ in picks) + ")"
+               if picks else "CAST(0 AS BIGINT)")
+        row = packed.agg(
+            *[F.sum(F.expr(f"greatest(d{i} - {cov}, CAST(0 AS BIGINT))"))
+              .cast("long").alias(f"g{i}") for i in range(n_c)],
+        ).collect()[0]
+        taken = {c for c, _ in picks}
+        best = None                      # (gain desc, cid asc) argmax
+        for i, cid in enumerate(cids):
+            gain = row[f"g{i}"]
+            if gain is None or cid in taken:
+                continue
+            if best is None or gain > best[1]:
+                best = (cid, gain)
+        if best is None:
             break
-        picks.append((best[0]["cid"], best[0]["gain"]))
+        picks.append(best)
     rows, obj = [], 0
     for rank, (cid, gain) in enumerate(picks, 1):
         obj += gain

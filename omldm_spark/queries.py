@@ -7728,34 +7728,58 @@ _FK_EDGES = [('orders', 'o_custkey', 'customer', 'c_custkey'), ('lineitem', 'l_o
 def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass referential-integrity audit of every FK edge in the star
     schema: per edge, child rows, orphan rows (child keys with no
-    parent), and distinct orphan keys.  Each edge is ONE left-anti join
-    against the parent's key projection — the parent side prunes to its
-    key column at the scan (ReadSchema), small parents broadcast, and
-    the per-edge outputs are one-row aggregates unioned together; at
-    100 TB this is the join-hygiene gate you run before shipping a
-    training join, since silent FK rot turns inner joins into row loss
-    (extends dq_report_orders' single-edge check to the whole graph)."""
-    rows = []
+    parent), and distinct orphan keys.  Every child table is scanned
+    ONCE for all of its edges (lineitem's three FKs ride one pass):
+    each parent prunes to its distinct key column at the scan
+    (ReadSchema) and broadcast LEFT-joins in — a NULL parent key marks
+    exactly the anti-join's orphans without a second pass — and one
+    global aggregate per child emits child_rows plus every edge's
+    orphan counts, unstacked into the per-edge rows; at 100 TB this is
+    the join-hygiene gate you run before shipping a training join,
+    since silent FK rot turns inner joins into row loss (extends
+    dq_report_orders' single-edge check to the whole graph)."""
+    # ONE scan per child table (r12-opt, guide §2.3 "do fewer passes"):
+    # the old shape scanned each child twice PER EDGE (a count(*) pass
+    # + an anti-join pass) — 6 lineitem scans for its 3 edges.  Now all
+    # of a child's edges ride one scan: each parent's pruned key set
+    # broadcast LEFT-joins in (same matching semantics as the anti-join
+    # — parents are distinct, so the join never fans out and a NULL
+    # parent key marks exactly the anti-join's orphans), and one global
+    # aggregate computes child_rows + every edge's orphan counts; the
+    # per-edge rows unstack from that single aggregate row.
+    edges_by_child: dict[str, list] = {}
     for child, ck, parent, pk in _FK_EDGES:
-        ch = load_table(spark, sf_dir, child)
-        pa = load_table(spark, sf_dir, parent).select(pk).distinct()
-        orphans = ch.select(ck).join(
-            F.broadcast(pa), ch[ck] == pa[pk], "left_anti")
-        rows.append(
-            ch.agg(F.count(F.lit(1)).cast("long").alias("child_rows"))
-            .crossJoin(orphans.agg(
-                F.count(F.lit(1)).cast("long").alias("orphan_rows"),
-                F.countDistinct(ck).cast("long").alias("orphan_keys"),
-            ))
-            .select(
-                F.lit(f"{child}.{ck}->{parent}.{pk}"
-                      .format(child=child, ck=ck, parent=parent, pk=pk))
-                .alias("fk_edge"),
-                "child_rows", "orphan_rows", "orphan_keys",
-            )
+        edges_by_child.setdefault(child, []).append((ck, parent, pk))
+    outs = []
+    for child, edges in edges_by_child.items():
+        j = load_table(spark, sf_dir, child).select(
+            *dict.fromkeys(ck for ck, _, _ in edges))
+        aggs = [F.count(F.lit(1)).cast("long").alias("child_rows")]
+        stacked = []
+        for i, (ck, parent, pk) in enumerate(edges):
+            pa = load_table(spark, sf_dir, parent).select(
+                F.col(pk).alias(f"_pk{i}")).distinct()
+            j = j.join(F.broadcast(pa),
+                       F.col(ck) == F.col(f"_pk{i}"), "left")
+            aggs.append(
+                F.count(F.when(F.col(f"_pk{i}").isNull(), 1))
+                .cast("long").alias(f"_orow{i}"))
+            aggs.append(
+                F.countDistinct(
+                    F.when(F.col(f"_pk{i}").isNull(), F.col(ck)))
+                .cast("long").alias(f"_okey{i}"))
+            stacked.append(f"'{child}.{ck}->{parent}.{pk}',"
+                           f" _orow{i}, _okey{i}")
+        outs.append(
+            j.agg(*aggs).selectExpr(
+                "child_rows",
+                f"stack({len(edges)}, {', '.join(stacked)})"
+                " AS (fk_edge, orphan_rows, orphan_keys)",
+            ).select("fk_edge", "child_rows", "orphan_rows",
+                     "orphan_keys")
         )
-    out = rows[0]
-    for r in rows[1:]:
+    out = outs[0]
+    for r in outs[1:]:
         out = out.unionByName(r)
     return out
 

@@ -55,9 +55,14 @@ ALLOWLIST = {
     ("operators/retrieval.py", 'F.countDistinct("doc").alias("n")).collect()'):
         "stats-driven strategy pick: ONE row (vocab size + doc count), "
         "the operator-level AQE decision for dense vs posting plans",
-    ("operators/retrieval.py", '.limit(1).collect())'):
-        "facility-location greedy argmax: ONE row per round, k rounds "
-        "(the kmeans/BPE bounded driver-loop discipline)",
+    ("operators/retrieval.py", ').collect()[0]'):
+        "facility-location greedy round: ONE ungrouped-agg row per round "
+        "(n_cand bounded gains), k rounds (the kmeans/BPE bounded "
+        "driver-loop discipline)",
+    ("operators/retrieval.py", 'candv.collect()'):
+        "facility-location candidate matrix: ONE row of n_cand x dim "
+        "quantized ints (the kmeans-seed / OPQ-codebook scale), seeding "
+        "the executor matmul closure + the position -> id map",
     ("operators/skew.py", 'F.bit_or("mask")'):
         "bloom filter words: fixed 16-BIGINT array",
     ("learners/trainer.py", "mapInPandas(run_partition, schema=STATE_SCHEMA"):

@@ -918,11 +918,16 @@ CHECKS = {
         ("u-stats map-side combined", lambda p: p.count("HashAggregate") >= 2),
     ],
     "referential_integrity_audit": [
-        # every parent joins as a pruned broadcast; orphan detection is
-        # anti-join, never an outer-join + filter
-        ("anti joins present", lambda p: "LeftAnti" in p),
+        # every parent joins as a pruned broadcast LEFT join whose NULL
+        # parent key marks the orphans (r12-opt: replaced per-edge
+        # anti-join + separate count(*) pass); each child table scans
+        # ONCE for all of its edges — lineitem's three FKs share a pass
         ("parents broadcast", lambda p: p.count("BroadcastHashJoin") >= 7),
         ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+        ("lineitem scanned once for its three edges",
+         lambda p: p.count("lineitem.parquet") == 1),
+        ("no per-edge second scan of orders",
+         lambda p: p.count("orders.parquet") == 2),  # child pass + parent keys
     ],
     "embedding_power_iteration": [
         # the corpus is read for the Gram only; the rounds run over the
