@@ -377,6 +377,12 @@ def wl_refinement(nodes: DataFrame, sym_edges: DataFrame,
     labels), so an un-truncated plan subtree would double per round
     (the BFS lineage lesson).
     """
+    # eager edge leaf (r12-opt, the luby_mis discipline): the recurrence
+    # reads sym_edges once per round PLUS the degree seed — without the
+    # cut every reference re-embeds (and re-executes) the caller's whole
+    # edge derivation, e.g. the wl_item_classes fact-scale co-occurrence
+    # self-join: 85 parquet scans in one plan, 4.9 s -> 1.7 s at sf0.1
+    sym_edges = sym_edges.localCheckpoint(eager=True)
     deg = sym_edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("_d"))
     lbl = (

@@ -17266,10 +17266,13 @@ def q_wl_item_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the class-size window rides the vertex-scale label frame
     partitioned by label, never a global window."""
     ev = load_table(spark, sf_dir, "events")
+    # persisted (r12-opt): ui feeds the self-join (both sides) AND the
+    # node set — unpersisted, the events scan + regexp + distinct ran
+    # again for each consumer on top of the wl edge-leaf build
     ui = ev.select(
         F.col("user_id").alias("u"),
         F.regexp_extract("props", "[0-9]+", 0).cast("long").alias("item"),
-    ).distinct()
+    ).distinct().persist()
     a, b = ui.alias("a"), ui.alias("b")
     e = (
         a.join(b, (F.col("a.u") == F.col("b.u"))
