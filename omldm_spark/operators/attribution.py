@@ -76,16 +76,28 @@ def shapley_attribution(events: DataFrame,
     any prior touch).  ``cache_out`` collects the persisted coalition
     frame so sweep callers can release it (the plsa/oriented_triangles
     discipline)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select(
-        "user_id", "event_type", F.row_number().over(w).alias("rn"))
-    fp = seq.filter(F.col("event_type") == "purchase").groupBy(
-        "user_id").agg(F.min("rn").cast("long").alias("fp_rn"))
-    trunc = seq.join(fp, "user_id", "left").filter(
-        F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn")))
-    touches = trunc.filter(F.col("event_type") != "purchase").select(
-        "user_id", F.col("event_type").alias("ch")).distinct()
-    return shapley_core(fp.select("user_id"), touches, cache_out)
+    # r12-opt (guide §2.3): the row_number + purchase-groupBy + fact
+    # self-join truncation is one unbounded-frame window min instead —
+    # first-purchase key fpk = min (ts, event_id) over purchase rows of
+    # the user's partition (row_number is monotone in that total order,
+    # so rn <= fp_rn  ⟺  (ts, event_id) <= fpk), and the converted set
+    # never needed row numbers at all.  Plan: 2 window sorts + SMJ →
+    # ONE window (partition-key sort only) + a purchase-rows distinct.
+    wp = Window.partitionBy("user_id")
+    fpk = F.min(F.when(F.col("event_type") == "purchase",
+                       F.struct("ts", "event_id"))).over(wp)
+    touches = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("fpk", fpk)
+        .filter(
+            (F.col("fpk").isNull()
+             | (F.struct("ts", "event_id") <= F.col("fpk")))
+            & (F.col("event_type") != "purchase"))
+        .select("user_id", F.col("event_type").alias("ch")).distinct()
+    )
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        "user_id").distinct()
+    return shapley_core(conv, touches, cache_out)
 
 
 def shapley_core(conv: DataFrame, touches: DataFrame,
