@@ -855,9 +855,17 @@ def _mis_priority(round_no: int):
     id, with the zero-padded id appended so the 44-char string is a
     STRICT total order (md5 ties, however improbable, cannot make two
     adjacent vertices both win)."""
+    return _mis_priority_of("id", round_no)
+
+
+def _mis_priority_of(col: str, round_no: int):
+    """The same priority generated from an arbitrary id column — being
+    a pure function of (id, round) it never needs a join (the
+    _jp_priority_of discipline)."""
     return F.concat(
-        F.md5(F.concat(F.lit(f"mis|{round_no}|"), F.col("id").cast("string"))),
-        F.lpad(F.col("id").cast("string"), 12, "0"))
+        F.md5(F.concat(F.lit(f"mis|{round_no}|"),
+                       F.col(col).cast("string"))),
+        F.lpad(F.col(col).cast("string"), 12, "0"))
 
 
 def luby_mis(nodes: DataFrame, sym_edges: DataFrame,
@@ -881,65 +889,78 @@ def luby_mis(nodes: DataFrame, sym_edges: DataFrame,
     Output (id, status in {in_mis, dominated, undecided},
     rnd = decision round, 0 if undecided).
 
-    Scale shape: per round ONE min-priority keyed agg over the live
-    edges + two hash anti-joins; vertex state is localCheckpointed per
-    round (the recurrence references it three times — the BFS lineage
-    lesson: `state = f(state, state.join(...))` doubles the plan
-    subtree per round without truncation).  The reference engine has no
-    graph surface (SURVEY.md §2); this extends the alternating-stars /
+    Scale shape (r12-opt — the jones_plassmann Pregel rebuild applied
+    here; guide §2.1/§2.3): the graph is vertex-state + messages, not
+    active-set algebra.  The per-round priority is a pure function of
+    (id, round) so it GENERATES inline on either end of an edge — no
+    priority join exists.  Per round TWO message aggregations over the
+    dst-partitioned edge leaf (min active-neighbor priority for the
+    win test; any-winning-neighbor for domination — Luby needs the
+    second hop because wins and dominations land in the same round)
+    and one keyed state merge; the edge copy checkpoints
+    hash-partitioned on dst so neither message join re-shuffles it,
+    and the vertex state rides id-keyed joins that reuse the message
+    partitioning.  ~2 exchanges per round instead of ~7 (the old
+    shape: restrict-edges x2, neighbor-priority join + min, win
+    left-join, dom semi-join + distinct, two anti-joins).  State
+    localCheckpoints eagerly between rounds to bound lineage (the BFS
+    lesson), lazily on the last round so the published plan carries
+    one full round's shape.  The reference engine has no graph
+    surface (SURVEY.md §2); this extends the alternating-stars /
     k-truss round discipline (cf. `src/main/scala` job graph, which
     hard-codes its one topology at `OMLDM_Job.scala`-scale).
     """
     # eager leaf, not a lazy persist (r12 ext): each round's jobs
     # re-analyzed the caller's edge-derivation subtree (the epsilon
     # spatial join) per cache lookup — the checkpoint cuts it to an
-    # RDD leaf once
-    edges = sym_edges.localCheckpoint(eager=True)
-    active = nodes.select(F.col("id").cast("long").alias("id"))
-    parts = []
+    # RDD leaf once; LogicalRDD keeps the dst hash-partitioning
+    edges = sym_edges.repartition("dst").localCheckpoint(eager=True)
+    vst = nodes.select(
+        F.col("id").cast("long").alias("id"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("long").alias("rnd"),
+    )
     for r in range(1, rounds + 1):
-        active = active.persist()
-        pr = active.select("id", _mis_priority(r).alias("p")).persist()
-        ae = (
-            edges.join(active.select(F.col("id").alias("src")), "src")
-            .join(active.select(F.col("id").alias("dst")), "dst")
-        ).persist()
+        # message 1: np = min round-r priority over ACTIVE neighbors
         nm = (
-            ae.join(pr.select(F.col("id").alias("dst"),
-                              F.col("p").alias("_np")), "dst")
-            .groupBy("src").agg(F.min("_np").alias("np"))
+            edges.join(vst.select(F.col("id").alias("dst"), "status"),
+                       "dst")
+            .groupBy("src")
+            .agg(F.min(F.when(F.col("status").isNull(),
+                              _mis_priority_of("dst", r))).alias("np"))
             .withColumnRenamed("src", "id")
         )
-        win = (
-            pr.join(nm, "id", "left")
-            .filter(F.col("np").isNull() | (F.col("p") < F.col("np")))
-            .select("id")
-        ).persist()
-        dom = (
-            ae.join(win.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id")).distinct()
-        ).persist()
-        parts.append(win.select(
-            "id", F.lit("in_mis").alias("status"),
-            F.lit(r).cast("long").alias("rnd")))
-        parts.append(dom.select(
-            "id", F.lit("dominated").alias("status"),
-            F.lit(r).cast("long").alias("rnd")))
-        active = (
-            active.join(win, "id", "left_anti")
-            .join(dom, "id", "left_anti")
-        ).localCheckpoint()
-    decided = parts[0]
-    for p in parts[1:]:
-        decided = decided.unionByName(p)
-    return (
-        nodes.select(F.col("id").cast("long").alias("id"))
-        .join(decided, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("status"), F.lit("undecided")).alias("status"),
-            F.coalesce(F.col("rnd"), F.lit(0)).cast("long").alias("rnd"),
+        # active v wins iff its priority beats every active neighbor's
+        # (isolated actives: np null).  w is never NULL: the null-check
+        # disjunct absorbs the null comparison.
+        vst1 = vst.join(nm, "id", "left").select(
+            "id", "status", "rnd",
+            (F.col("status").isNull()
+             & (F.col("np").isNull()
+                | (_mis_priority(r) < F.col("np")))).alias("w"),
+        ).persist()  # read twice: the winner filter and the state merge
+        # message 2: does any neighbor win this round?  (winners'
+        # ACTIVE neighbors become dominated; the status guard in the
+        # merge keeps decided vertices untouched)
+        dn = (
+            edges.join(vst1.filter(F.col("w"))
+                       .select(F.col("id").alias("dst")), "dst")
+            .groupBy("src").agg(F.first(F.lit(True)).alias("nw"))
+            .withColumnRenamed("src", "id")
         )
+        vst = vst1.join(dn, "id", "left").select(
+            "id",
+            F.when(F.col("status").isNotNull(), F.col("status"))
+            .when(F.col("w"), F.lit("in_mis"))
+            .when(F.col("nw"), F.lit("dominated")).alias("status"),
+            F.when(F.col("status").isNotNull(), F.col("rnd"))
+            .when(F.col("w") | F.coalesce(F.col("nw"), F.lit(False)),
+                  F.lit(r).cast("long")).alias("rnd"),
+        ).localCheckpoint(eager=(r < rounds))
+    return vst.select(
+        "id",
+        F.coalesce(F.col("status"), F.lit("undecided")).alias("status"),
+        F.coalesce(F.col("rnd"), F.lit(0)).cast("long").alias("rnd"),
     )
 
 

@@ -1296,15 +1296,17 @@ CHECKS.update({
          lambda p: p.count("HashAggregate") >= 2),
     ],
     "mis_epsilon_luby": [
-        # per-round min-priority agg over live edges; active/winner state
-        # persisted (referenced 3x per round) and checkpointed per round
-        ("live-edge restriction is equi-joins, never a cartesian",
+        # Pregel rebuild (r12-opt, the jp_coloring discipline): two
+        # message aggregations per round over the dst-partitioned edge
+        # leaf, inline (id, round) priorities — no priority join; the
+        # per-round state localCheckpoints, so the published plan reads
+        # the checkpointed vertex state as an RDD scan, not a 4-round
+        # re-derivation
+        ("final plan reads checkpointed state, not the 4-round lineage",
+         lambda p: "ExistingRDD" in p),
+        ("no cartesian anywhere",
          lambda p: "BroadcastNestedLoopJoin" not in p
          and "CartesianProduct" not in p),
-        ("per-round vertex state persisted",
-         lambda p: "InMemoryTableScan" in p),
-        ("min-priority agg map-side combined",
-         lambda p: p.count("HashAggregate") >= 2),
     ],
     "itemknn_recommendations": [
         # catalog-scale sim table broadcasts into the history scoring
