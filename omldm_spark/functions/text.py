@@ -418,13 +418,25 @@ def funnel_features(docs: DataFrame, text_col: str = "text",
     ns, m) — the ONE derivation every funnel-predicate consumer shares
     (the funnel report, its streaming twin, and the source-valuation
     counterfactuals), so a rule/feature change cannot silently diverge
-    between them.  One tokenized scan + one doc-keyed top-word agg."""
+    between them.  One tokenized scan, every feature row-local.
+
+    r12-opt (guide §2.3, the semdedup row-local-fold discipline): the
+    top-word count m used to be explode → (doc, word) groupBy →
+    doc groupBy → join back — three fact-scale exchanges whose only
+    output is one long per doc.  m is the longest equal-run in the
+    SORTED token array, so it now rides a row-local
+    array_sort + aggregate fold in the same projection as nt/sl/ns:
+    zero exchanges, no join, and the whole feature frame is a single
+    narrow map over the scan at any corpus size."""
     toks = tokens_col(text_col)
     en = STOPWORDS["en"]
     base = docs.select(F.col(id_col).alias("doc_id"),
                        *[F.col(c) for c in extra_cols],
                        toks.alias("toks"))
-    feats = base.select(
+    run = lambda acc, t: F.when(  # noqa: E731
+        t == acc["p"], acc["r"] + F.lit(1).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
+    return base.select(
         "doc_id", *extra_cols,
         F.size("toks").cast("long").alias("nt"),
         F.aggregate("toks", F.lit(0).cast("long"),
@@ -432,15 +444,18 @@ def funnel_features(docs: DataFrame, text_col: str = "text",
         .alias("sl"),
         F.size(F.filter("toks", lambda t: t.isin(en))).cast("long")
         .alias("ns"),
+        F.aggregate(
+            F.array_sort("toks"),
+            F.struct(
+                F.lit(None).cast("string").alias("p"),
+                F.lit(0).cast("long").alias("r"),
+                F.lit(0).cast("long").alias("b")),
+            lambda acc, t: F.struct(
+                t.alias("p"), run(acc, t).alias("r"),
+                F.greatest(acc["b"], run(acc, t)).alias("b")),
+            lambda acc: acc["b"],
+        ).alias("m"),
     )
-    tw = (
-        base.select("doc_id", F.explode("toks").alias("w"))
-        .groupBy("doc_id", "w").count()
-        .groupBy("doc_id").agg(F.max("count").alias("m"))
-    )
-    return feats.join(tw, "doc_id", "left").select(
-        "doc_id", *extra_cols, "nt", "sl", "ns",
-        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m"))
 
 
 def FUNNEL_FEATURES_CTES(table: str = "documents",
