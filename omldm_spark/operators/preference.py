@@ -125,6 +125,14 @@ def _bt_rounds(orders: DataFrame, rounds: int,
     ).persist()
     if cache_out is not None:
         cache_out.append(pairs)
+    # r12-opt (the dendrogram eager-leaf lesson, guide §2.1): a lazy
+    # persist re-embeds the whole corpus-scan lineage in every
+    # consumer's analyzed plan — the two-round denominator chain
+    # referenced it 5x (35 scan nodes in the printed plan).  The eager
+    # localCheckpoint cuts it to one RDD leaf (materialized once, the
+    # same job that fills the cache_out handle); every round then
+    # plans against the |players|^2-sparse leaf only.
+    pairs = pairs.localCheckpoint(eager=True)
     directed = pairs.select(
         F.col("a").alias("i"), F.col("b").alias("j"),
         F.col("n_ab").alias("n_ij"), F.col("wins_a").alias("wins_i"),

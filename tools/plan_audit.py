@@ -1653,11 +1653,14 @@ CHECKS.update({
         ("no window operator", lambda p: "Window" not in p),
     ],
     "bradley_terry_two_rounds": [
-        # the pair matrix persists; both MM rounds' denominators read
-        # the cache (the plan TEXT reprints the cached relation's
-        # defining scan per reference — runtime scans the corpus once)
-        ("both rounds read the persisted pair matrix",
-         lambda p: p.count("InMemoryTableScan") >= 4),
+        # r12-opt: the pair matrix is an eager localCheckpoint LEAF
+        # (a lazy persist re-embedded the corpus-scan lineage in every
+        # denominator reference — 35 scan nodes in the printed plan);
+        # both MM rounds plan against the RDD leaf and the corpus scan
+        # happens exactly once, in the leaf's materializing job
+        ("both rounds read the checkpointed pair-matrix leaf",
+         lambda p: p.count("ExistingRDD") >= 4
+         and "Scan parquet" not in p),
         ("no cartesian / sort-merge blowup",
          lambda p: "CartesianProduct" not in p
          and "SortMergeJoin" not in p),
