@@ -1258,18 +1258,33 @@ def _labeled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     features = [l_quantity/50, l_discount*10, l_tax*10] (scaled to O(1));
     deterministic worker/order columns for replayable partitioning.
+
+    r12-opt (guide §2.3 remove the shuffle outright): label and x2 used
+    to arrive via a fact-scale (id, pk, sk) self-join of lineitem with
+    its own _points projection — a sort-merge join whose only output
+    was two extra columns on rows the scan already had ((id, pk, sk) is
+    verified unique, so the join was a pure 1:1 column extension).
+    They now ride the SAME scan through train_test_split; the window
+    order and split assignment are unchanged (row_number ignores
+    payload columns), so every downstream learner sees bit-identical
+    rows.
     """
-    pts = _split_points(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     rid = (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).cast("long")
-    flags = li.select(
+    base = li.select(
         rid.alias("id"),
         F.col("l_partkey").alias("pk"),
         F.col("l_suppkey").alias("sk"),
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(-1.0).alias("label"),
+        F.col("l_quantity").alias("x0"),
+        F.col("l_discount").alias("x1"),
+        (F.col("l_extendedprice") / F.lit(1000.0)).alias("y"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(-1.0)
+        .alias("label"),
         F.col("l_tax").alias("x2"),
-    )
-    return pts.join(flags, ["id", "pk", "sk"]).select(
+    ).filter(F.pmod(F.col("id"), F.lit(10)) != 0)
+    pts = train_test_split(base, num_workers=NUM_WORKERS,
+                           order_cols=ORDER_COLS)
+    return pts.select(
         "id", "pk", "sk", "worker", "split",
         F.array(
             F.col("x0") / F.lit(50.0), F.col("x1") * F.lit(10.0),
