@@ -40,26 +40,36 @@ def pagerank_rounds(edges: DataFrame, rounds: int) -> DataFrame:
 
         pr_{t+1}(v) = BASE_PR + sum_{(u,v) in E} (pr_t(u) * 850) div (1000 * outdeg(u))
 
-    Per round: ranks+deg join edges on src (map-side under AQE when the
-    vertex state is small; co-partitioned shuffle join at scale), then ONE
-    groupBy(dst) with map-side partial sums.  Mass lost to floor division
-    is deliberate — determinism buys the exact oracle.
+    Per round: ranks join the degree-annotated edges on src (map-side
+    under AQE when the vertex state is small; co-partitioned shuffle
+    join at scale), then ONE groupBy(dst) with map-side partial sums.
+    Mass lost to floor division is deliberate — determinism buys the
+    exact oracle.
 
-    The edge list and degree table are persisted ONCE: every round (and
-    both of deg's consumers) reads the materialization instead of
-    re-deriving the upstream scan per reference — without this the
-    3-round plan re-scanned the fact table 14 times."""
+    r12-opt (guide §2.1/§3.1): the static outdeg is attached to every
+    edge ONCE, up front, and the annotated edge list is an eager
+    src-partitioned localCheckpoint leaf — each round then runs ONE
+    vertex-scale join (ranks, exchanged by id) + the dst aggregation
+    instead of two joins against lazily-persisted frames whose plans
+    re-embedded the caller's fact-table derivation per reference
+    (14 scans in the 3-round plan before the persist, ~8 re-analyzed
+    subtrees even with it)."""
     edges = edges.persist()
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
-    ).persist()
-    ranks = deg.select(
+    )
+    ew = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    ranks = ew.select("src", "outdeg").distinct().select(
         F.col("src").alias("v"), F.lit(INIT_PR).cast("long").alias("pr")
     )
     for _ in range(rounds):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["v"])
-            .join(deg, "src")
+            ew.join(ranks, ew["src"] == ranks["v"])
             .select(
                 F.col("dst").alias("v"),
                 F.expr(
