@@ -1416,10 +1416,12 @@ def louvain_first_pass(edges: DataFrame) -> DataFrame:
 
     Exactness: gain_q is pure int64 (envelope: w_ij <= m and
     k_i * k_j <= W^2 — exact through W < 3e9, i.e. billions of edge
-    weight).  The argmax is a per-vertex keyed window with a total
-    order (gain DESC, neighbor ASC) — never a global window."""
-    from pyspark.sql import Window
-
+    weight).  The argmax is a per-vertex keyed MAX over
+    struct(gain_q, -dst) — r12-opt (guide §2.4, the semdedup keyed-
+    argmin discipline): (gain DESC, dst ASC) row_number forced an
+    edge-scale sort per vertex partition; the struct max is the same
+    total order ((src, dst) is unique in sym) as a map-side-combined
+    HashAggregate, no Window, no sort."""
     sym = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst"),
         F.col("w"),
@@ -1437,16 +1439,14 @@ def louvain_first_pass(edges: DataFrame) -> DataFrame:
                 (F.col("w") * F.col("w_all") - F.col("k_i") * F.col("k_j"))
                 .cast("long").alias("gain_q"))
     )
-    win = Window.partitionBy("src").orderBy(
-        F.desc("gain_q"), F.asc("dst"))
-    best = cand.select(
-        "src", "dst", "gain_q",
-        F.row_number().over(win).alias("rk")).where("rk = 1")
+    best = cand.groupBy("src").agg(
+        F.max(F.struct(F.col("gain_q"),
+                       (-F.col("dst")).alias("nd"))).alias("top"))
     return best.select(
         F.col("src").cast("long").alias("item"),
-        F.when(F.col("gain_q") > 0, F.col("dst")).otherwise(F.col("src"))
-        .cast("long").alias("community"),
-        F.col("gain_q").cast("long").alias("gain_q"),
+        F.when(F.col("top.gain_q") > 0, -F.col("top.nd"))
+        .otherwise(F.col("src")).cast("long").alias("community"),
+        F.col("top.gain_q").cast("long").alias("gain_q"),
     )
 
 

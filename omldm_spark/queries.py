@@ -18982,10 +18982,11 @@ def q_louvain_item_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     item co-occurrence graph (the deterministic distributed round —
     the Luby/Jones-Plassmann precedent): integer-exact singleton-merge
     modularity gains, per-vertex keyed argmax.  The co-occurrence
-    self-join persists (one bounded |edges| entry referenced by the
-    lazy output) — sym/deg/cand otherwise each re-run it.  See
-    operators/graph.py."""
-    return louvain_first_pass(_item_wedges(spark, sf_dir).persist())
+    self-join is the shared localCheckpointed plan LEAF (r12-opt —
+    a lazy persist cached execution but re-embedded the self-join
+    logical plan per reference; sym/deg/cand read the leaf like the
+    other Louvain levels).  See operators/graph.py."""
+    return louvain_first_pass(_item_wedges_leaf(spark, sf_dir))
 
 
 from .operators.graph import ASSORTATIVITY_SQL, assortativity_report  # noqa: E402

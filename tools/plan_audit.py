@@ -1727,14 +1727,17 @@ CHECKS.update({
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
     "louvain_item_pass": [
-        # the co-occurrence self-join persists; sym/deg/cand fold the
-        # cache; the per-vertex argmax window is keyed by vertex
-        ("branches read the persisted edge frame",
-         lambda p: p.count("InMemoryTableScan") >= 4),
+        # r12-opt: the co-occurrence self-join is a localCheckpointed
+        # plan LEAF (sym/deg/cand read ExistingRDD, no re-derivation),
+        # and the per-vertex argmax is a keyed max(struct) aggregation
+        # — no Window, no per-vertex sort
+        ("branches read the checkpointed edge leaf",
+         lambda p: p.count("ExistingRDD") >= 3
+         and "Scan parquet" not in p),
         # vertex-scale deg joins may legitimately sort-merge pre-AQE;
         # the scale property is keyed-ness, not the join strategy
-        ("argmax window keyed by vertex",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]),
+        ("argmax is a keyed aggregation, not a window",
+         lambda p: "Window" not in p),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
     "louvain_modularity_report": [
