@@ -4396,9 +4396,14 @@ def q_ann_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = qe.crossJoin(F.broadcast(cents)).select(
         "vid", "qv", "cid", d2.alias("dc"))
     wv = Window.partitionBy("vid").orderBy("dc", "cid")
+    # r12-opt (guide §2.4, the semdedup keyed-argmin discipline): the
+    # cell assignment is min(struct(dc, cid)) per vector — the same
+    # (dc, cid) total order as the row_number window, but as a
+    # map-side-combined aggregation with no corpus x |cells| sort
     assigned = (
-        scored.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") == 1).select("vid", "qv", "cid")
+        scored.groupBy("vid", "qv")
+        .agg(F.min(F.struct("dc", "cid")).alias("_t"))
+        .select("vid", "qv", F.col("_t.cid").alias("cid"))
     )
     probes = (
         scored.filter(F.col("vid") < _IVF_NQ)
@@ -4568,9 +4573,14 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = qe.crossJoin(F.broadcast(cents)).select(
         "vid", "qv", "cid", d2c.alias("dc"))
     wv = Window.partitionBy("vid").orderBy("dc", "cid")
+    # r12-opt (guide §2.4, the semdedup keyed-argmin discipline): the
+    # cell assignment is min(struct(dc, cid)) per vector — the same
+    # (dc, cid) total order as the row_number window, but as a
+    # map-side-combined aggregation with no corpus x |cells| sort
     assigned = (
-        scored.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") == 1).select("vid", "qv", "cid")
+        scored.groupBy("vid", "qv")
+        .agg(F.min(F.struct("dc", "cid")).alias("_t"))
+        .select("vid", "qv", F.col("_t.cid").alias("cid"))
     )
     probes = (
         scored.filter(F.col("vid") < _IVF_NQ)
