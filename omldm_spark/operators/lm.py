@@ -44,16 +44,23 @@ from .dedup import TOKENS_SQL, tokens_col
 PROB_QUANT = 1_000_000
 
 
-def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, w1, w2, k): each document's bigrams with in-doc
-    multiplicity. The tokens array is pinned in its own projection (see
-    dedup.shingle_array note) and the bigram array is built with ONE
-    transform over an index sequence — no self-join, no window."""
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str,
+                 extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, *extra_cols, w1, w2, k): each document's bigrams with
+    in-doc multiplicity. The tokens array is pinned in its own
+    projection (see dedup.shingle_array note) and the bigram array is
+    built with ONE transform over an index sequence — no self-join, no
+    window.  ``extra_cols`` ride the derivation (r12-opt, the
+    funnel_features discipline): doc-functional attributes like
+    ``source`` join for free here — adding them to the groupBy keeps
+    the groups identical while sparing consumers a fact-scale join
+    back onto the corpus."""
     with_toks = docs.select(
-        F.col(id_col), tokens_col(text_col).alias("_toks"), F.rand(31).alias("_p")
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        tokens_col(text_col).alias("_toks"), F.rand(31).alias("_p")
     ).drop("_p")
     bi = with_toks.select(
-        F.col(id_col),
+        F.col(id_col), *extra_cols,
         F.explode(
             F.when(
                 F.size("_toks") >= 2,
@@ -67,9 +74,9 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("b"),
     )
-    return bi.select(id_col, "b.w1", "b.w2").groupBy(id_col, "w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("k")
-    )
+    return bi.select(id_col, *extra_cols, "b.w1", "b.w2").groupBy(
+        id_col, *extra_cols, "w1", "w2"
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
 
 
 def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
@@ -1194,10 +1201,10 @@ def draft_acceptance_counts(docs: DataFrame, text_col: str = "text",
     draft-acceptance report's ADDITIVE sufficient statistic (counts
     merge by plain sum, arrival order irrelevant), the carried state of
     the streaming twin."""
-    db = _doc_bigrams(docs, text_col, id_col)
-    return db.join(
-        docs.select(F.col(id_col), "source"), id_col
-    ).groupBy("source", "w1", "w2").agg(
+    # r12-opt: source rides the bigram derivation (extra_cols) — the
+    # fact-scale join back onto the corpus no longer exists
+    db = _doc_bigrams(docs, text_col, id_col, extra_cols=("source",))
+    return db.groupBy("source", "w1", "w2").agg(
         F.sum("k").cast("long").alias("c"))
 
 
@@ -1206,10 +1213,13 @@ def draft_acceptance_from_counts(per: DataFrame) -> DataFrame:
     caller owns persistence of ``per`` — it is consumed twice (global
     draft-model argmax + the per-source acceptance join)."""
     glob = per.groupBy("w1", "w2").agg(F.sum("c").cast("long").alias("cg"))
-    wd = Window.partitionBy("w1").orderBy(F.desc("cg"), "w2")
-    draft = glob.select(
-        "w1", "w2", F.row_number().over(wd).alias("rn")
-    ).where("rn = 1").select("w1", F.col("w2").alias("dw2"))
+    # r12-opt (guide §2.4): the draft argmax (cg DESC, w2 ASC) is
+    # min(struct(-cg, w2)) — a map-side-combined keyed agg over the
+    # distinct-bigram frame, no vocab-scale window sort
+    draft = glob.groupBy("w1").agg(
+        F.min(F.struct((-F.col("cg")).alias("ncg"),
+                       F.col("w2").alias("w2"))).alias("_t")
+    ).select("w1", F.col("_t.w2").alias("dw2"))
     return (
         per.join(draft, "w1")
         .groupBy("source")
