@@ -879,7 +879,8 @@ def _mis_priority_of(col: str, round_no: int):
 
 
 def luby_mis(nodes: DataFrame, sym_edges: DataFrame,
-             rounds: int = 4) -> DataFrame:
+             rounds: int = 4,
+             plan_out: list | None = None) -> DataFrame:
     """Luby's maximal-independent-set algorithm (Luby SICOMP 1986), the
     canonical O(log n)-round parallel symmetry breaker, with the coin
     flips replaced by a deterministic per-round md5 priority (the
@@ -958,7 +959,7 @@ def luby_mis(nodes: DataFrame, sym_edges: DataFrame,
             .groupBy("src").agg(F.first(F.lit(True)).alias("nw"))
             .withColumnRenamed("src", "id")
         )
-        vst = vst1.join(dn, "id", "left").select(
+        merged = vst1.join(dn, "id", "left").select(
             "id",
             F.when(F.col("status").isNotNull(), F.col("status"))
             .when(F.col("w"), F.lit("in_mis"))
@@ -966,7 +967,24 @@ def luby_mis(nodes: DataFrame, sym_edges: DataFrame,
             F.when(F.col("status").isNotNull(), F.col("rnd"))
             .when(F.col("w") | F.coalesce(F.col("nw"), F.lit(False)),
                   F.lit(r).cast("long")).alias("rnd"),
-        ).localCheckpoint(eager=(r < rounds))
+        )
+        if plan_out is not None:
+            # evidence hook (VERDICT r12 item 2): the published query
+            # plan is the final checkpointed RDD leaf, which hides the
+            # per-round exchange structure — callers capturing plan
+            # evidence collect each round's PRE-checkpoint frame here
+            # so the claimed two-message-aggregation shape stays
+            # inspectable.  No behavioral effect when unset.
+            plan_out.append(merged)
+        vst = merged.localCheckpoint(eager=(r < rounds))
+        if r < rounds:
+            # the eager checkpoint has materialized the merged state, so
+            # the round's cached vertex frame is dead — drop it instead
+            # of accumulating one persisted frame per round for the
+            # session lifetime (ADVICE r12).  The LAST round's handle
+            # stays: its checkpoint is lazy, so the winner filter and
+            # state merge still read vst1 twice at execution time.
+            vst1.unpersist()
     return vst.select(
         "id",
         F.coalesce(F.col("status"), F.lit("undecided")).alias("status"),
@@ -1562,9 +1580,14 @@ def _community_merge_pass(edges: DataFrame, labels: DataFrame,
     and CHAIN suppression (a move stands only when its target is a
     fixpoint this pass — without it, c moving to d while d moves to e
     relabels c to an id whose members all left, review r12).  Returns
-    (c, c2) for every community with an inter-community edge."""
-    from pyspark.sql import Window
+    (c, c2) for every community with an inter-community edge.
 
+    The best-move argmax is the same keyed max-over-struct(gain_q,
+    -dst) the level-1 pass uses (r13-opt; guide §2.4): the (gain DESC,
+    dst ASC) row_number window forced an exchange + sort per merge
+    pass — community-scale data, but the dendrogram pays it twice —
+    and the struct max is the identical total order ((src, dst) unique
+    in sym2) as a map-side-combined HashAggregate."""
     e_lab = (
         edges.join(labels.select(F.col("item").alias("a"),
                                  F.col("c").alias("ca")), "a")
@@ -1595,15 +1618,15 @@ def _community_merge_pass(edges: DataFrame, labels: DataFrame,
                 (F.col("w2") * F.col("w_all") - F.col("k_i") * F.col("k_j"))
                 .cast("long").alias("gain_q"))
     )
-    win = Window.partitionBy("src").orderBy(F.desc("gain_q"), F.asc("dst"))
     mv0 = (
-        cand2.select("src", "dst", "gain_q",
-                     F.row_number().over(win).alias("rk"))
-        .where("rk = 1")
+        cand2.groupBy("src").agg(
+            F.max(F.struct(F.col("gain_q"),
+                           (-F.col("dst")).alias("nd"))).alias("top"))
         .select(
             F.col("src").alias("c"),
-            F.when((F.col("gain_q") > 0) & (F.col("dst") < F.col("src")),
-                   F.col("dst"))
+            F.when((F.col("top.gain_q") > 0)
+                   & (-F.col("top.nd") < F.col("src")),
+                   -F.col("top.nd"))
             .otherwise(F.col("src")).cast("long").alias("c2"),
         )
     )

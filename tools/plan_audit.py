@@ -930,8 +930,11 @@ CHECKS = {
         ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
         ("lineitem scanned once for its three edges",
          lambda p: p.count("lineitem.parquet") == 1),
+        # upper bound, not exact equality (ADVICE r12): a benign
+        # plan-text change (AQE re-print, a ReadSchema path line) must
+        # not flip the audit while one-scan-per-child still holds
         ("no per-edge second scan of orders",
-         lambda p: p.count("orders.parquet") == 2),  # child pass + parent keys
+         lambda p: p.count("orders.parquet") <= 2),  # child pass + parent keys
     ],
     "embedding_power_iteration": [
         # the corpus is read for the Gram only; the rounds run over the
@@ -2208,10 +2211,36 @@ for _q in GLOBAL_WINDOW_BOUNDED:
     )
 
 
+def _lint_plan_evidence() -> int:
+    """Reject byte-identical before/after plan pairs under plans/
+    (VERDICT r12 item 1: an after-plan committed under a _before name
+    looks like verification while verifying nothing — a before-file
+    that equals its after-file is always a capture mistake, because a
+    committed optimization by definition changed the plan)."""
+    import glob
+    import os
+
+    bad = 0
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans")
+    for before in glob.glob(os.path.join(root, "**", "*_before.txt"),
+                            recursive=True):
+        after = before[: -len("_before.txt")] + "_after.txt"
+        if not os.path.exists(after):
+            continue
+        with open(before, "rb") as fb, open(after, "rb") as fa:
+            same = fb.read() == fa.read()
+        if same:
+            print(f"FAIL plan-evidence: {os.path.relpath(before, root)} "
+                  "is byte-identical to its _after file")
+            bad += 1
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
-    failures = 0
+    failures = _lint_plan_evidence()
     for name, checks in CHECKS.items():
         df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
