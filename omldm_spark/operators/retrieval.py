@@ -1094,14 +1094,60 @@ def facility_location_select(emb: DataFrame, k: int = FACLOC_K,
         # r12-opt replacement for n_cand interpreted zip_with/aggregate
         # lambda folds per row, which cost ~0.5 ms/row; int64 matmul is
         # exact, bit-identical to the fold
+        dim = cmat_t.shape[0]
+
+        def masked_cols(ok, Dv, n_rows, out):
+            # malformed rows degrade to NULL dots — exactly what the
+            # pre-r12 row-local zip_with/aggregate fold produced — and
+            # the round sums skip them like any other null (ADVICE r12)
+            Dfull = np.zeros((n_rows, n_c), dtype=np.int64)
+            Dfull[ok] = Dv
+            for i in range(n_c):
+                col = pd.array(Dfull[:, i], dtype="Int64")
+                col[~ok] = pd.NA
+                out[f"d{i}"] = col
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array(pdf["qv"].tolist(), dtype=np.int64)
-            D = X @ cmat_t                  # rows x n_c
+            vals = pdf["qv"].tolist()
             out = {"vid": pdf["vid"].to_numpy()}
-            for i in range(n_c):
-                out[f"d{i}"] = D[:, i]
+            try:
+                X = np.array(vals)
+            except ValueError:       # ragged (numpy >= 1.24 raises)
+                X = np.empty(len(vals), dtype=object)
+                X[:] = vals
+            if X.ndim == 2 and X.shape[1] == dim and X.dtype.kind in "iu":
+                # fast path (all rows well-formed): ONE matmul, no
+                # per-row work — a null element would have made the
+                # batch float (nan) or object, never integer
+                D = X.astype(np.int64, copy=False) @ cmat_t  # rows x n_c
+                for i in range(n_c):
+                    out[f"d{i}"] = D[:, i]
+            elif X.ndim == 2 and X.shape[1] == dim and X.dtype.kind == "f":
+                # right-width rows with nulls (Arrow nulls surface as
+                # nan in a float batch — an unguarded int64 cast of nan
+                # is silent garbage, not an error): mask them out
+                ok = np.isfinite(X).all(axis=1)
+                Dv = X[ok].astype(np.int64) @ cmat_t
+                masked_cols(ok, Dv, len(vals), out)
+            else:
+                # object / ragged / null rows: validate row-by-row
+                rows = []
+                ok = np.zeros(len(vals), dtype=bool)
+                for j, v in enumerate(vals):
+                    if v is None:
+                        continue
+                    try:
+                        a = np.asarray(v, dtype=np.float64)
+                    except (ValueError, TypeError):
+                        continue
+                    if a.shape == (dim,) and np.isfinite(a).all():
+                        ok[j] = True
+                        rows.append(np.asarray(a, dtype=np.int64))
+                Dv = (np.array(rows, dtype=np.int64).reshape(-1, dim)
+                      @ cmat_t)
+                masked_cols(ok, Dv, len(vals), out)
             yield pd.DataFrame(out)
 
     packed = qdoc.mapInPandas(dot_block, schema=dot_schema).persist()

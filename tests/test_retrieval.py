@@ -439,6 +439,37 @@ def test_facility_location_greedy_brute_force(spark):
     assert gains == sorted(gains, reverse=True)  # submodular decay
 
 
+def test_facility_location_malformed_rows_degrade_to_null(spark):
+    """A null / ragged embedding row must not fail the Arrow batch
+    (ADVICE r12): the kernel degrades such rows to NULL dots — the
+    pre-r12 row-local fold semantics, where the round sums skip them —
+    and the selection over the well-formed rows is unchanged."""
+    from omldm_spark.operators.retrieval import facility_location_select
+
+    good = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    bad = [(100, None), (101, [1.0]), (102, [0.5, None, 0.5])]
+    emb = spark.createDataFrame(
+        good + bad, "vec_id long, embedding array<float>")
+    base = spark.createDataFrame(
+        good, "vec_id long, embedding array<float>")
+    out = sorted(
+        facility_location_select(emb, k=2, n_cand=4, quant=1000).collect(),
+        key=lambda r: r["rank"])
+    ref = sorted(
+        facility_location_select(base, k=2, n_cand=4, quant=1000).collect(),
+        key=lambda r: r["rank"])
+    # malformed rows contribute nothing (null dots are skipped by the
+    # sums), so picks AND gains equal the clean-corpus run
+    assert [(r["vec_id"], r["gain"], r["objective"]) for r in out] == \
+        [(r["vec_id"], r["gain"], r["objective"]) for r in ref]
+
+
 def test_rocchio_expansion_excludes_query_and_ranks_centroid(spark):
     """Planted corpus: docs about 'hash join' also mention 'bucket';
     the expansion for query (hash, join) must rank 'bucket' first,
