@@ -3299,6 +3299,32 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "quantize_embeddings_flat",
+    oracle=f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(generate_subscripts(qvec, 1) - 1 AS BIGINT) AS pos,
+       CAST(unnest(qvec) AS INTEGER) AS q,
+       scale
+FROM ({QUANTIZE_EMBEDDINGS_SQL()}) base
+""",
+)
+def q_quantize_embeddings_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-canonicalizable twin of quantize_embeddings (the r5 _flat
+    precedent): the int8 ``qvec`` array explodes to one scalar
+    (vec_id, pos, q, scale) row — list cells break the driver's pandas
+    sort canonicalizer, so THIS name is the one the r13 rotation
+    certifies (ROTATION.md miscounted it among the certifiable
+    pre-existing names; the snapshot-shape lint caught the INTEGER[]
+    column)."""
+    out = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        F.col("vec_id"),
+        F.posexplode("qvec").alias("pos", "q"),
+        F.col("scale"),
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "q", "scale")
+
+
 @query("dedup_embedding_lsh", oracle=EMBEDDING_LSH_SQL())
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH embedding near-dup — the 100 TB outer loop around the
@@ -20436,30 +20462,50 @@ def q_streaming_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # woe_item_purchase and winnow_fingerprints from the tail.  19 names
 # remain for the final r13 sweep (plus any r12 additions, which enter
 # the r13 head per the standing convention).
+# Round-13 rotation (VERDICT r12 item 6 — the ledger CLOSES): all 50
+# r12 slots returned green, so the head rotates to (a) the 13 r12 /
+# r12-ext additions (new queries enter the next head per the standing
+# convention; corpus_pipeline_flat / embedding_kmeans_round_flat are
+# the scalar certifiers for the two array-oracle originals), (b) the
+# 17 certifiable pre-existing never-driver-seen names — after this
+# snapshot EVERY exact-oracle contract query has a driver CORRECTNESS
+# row (the two rows-only ANN names stay weaker by documented design),
+# (c) 20 re-certification slots for the queries whose physical
+# implementation changed in the r12/r13 optimization rounds (Arrow
+# parse kernel, PLSA broadcast-dimension E-steps, Louvain keyed
+# argmaxes, Luby Pregel rebuild, funnel row-local fold, WL edge leaf,
+# keyed-agg argmaxes, checkpoint leaves) so the driver certifies the
+# NEW plans, newest changes first.
 _SNAPSHOT_TOP = [
-    # round-11 additions (never driver-seen; 3 carry r12 ADVICE fixes)
-    "cdc_chunk_dedup", "facility_location_select", "louvain_second_pass",
-    "wordpiece_pair_scores", "streaming_wordpiece_scores",
-    "source_shapley_value", "streaming_source_shapley",
-    "wasserstein_value_periods", "streaming_wasserstein",
-    "rocchio_expansion_terms", "boilerplate_ngrams_report",
-    "dp_topk_terms", "functional_dependency_report",
-    "assortativity_items", "chimerge_value_bins", "rec_mrr_at5",
-    "ivf_recall_report",
-    # pre-existing never-seen tail, ROTATION.md ledger order
-    "als_rank1_round", "als_rank1_train", "bagged_oob_accuracy",
-    "bpe_merge_round", "brier_decomposition",
-    "calibration_purchase_value", "chi2_type_dow", "churn_training_set",
-    "woe_item_purchase", "dp_event_counts", "embedding_class_scatter",
-    "embedding_gram", "winnow_fingerprints", "encoding_audit_report",
-    "fading_prequential_accuracy", "floored_running_balance",
-    "forecast_orr_backtest", "hashed_doc_features",
-    "ht_first_split_discrete", "ht_first_split_mixed",
-    "importance_weights_bins", "incremental_agg_users",
-    "item_rec_summary", "item_similarity_topk", "l2_normalized_points",
-    "l_diversity_customers", "maxabs_scaled_points",
-    "minhash_pr_calibration", "nb_label_noise", "nb_train_lang",
-    "negative_samples", "nelson_aalen_hazard", "observed_corpus_metrics",
+    # (a) r12 / r12-ext additions, never driver-seen
+    "salted_join_skew_balance", "louvain_dendrogram",
+    "bloom_pruning_report", "join_cardinality_audit",
+    "opq_vs_pq_distortion", "scd2_integrity_audit",
+    "corpus_pipeline_flat", "embedding_kmeans_round_flat",
+    "wordpiece_encode_vocab", "llm_watermark_detect",
+    "unimax_mixture_plan", "streaming_unimax_plan",
+    "watermark_source_report",
+    # (b) pre-existing never-seen, ROTATION.md ledger order
+    "orr3_weights", "parse_quarantine", "quantile_transform_orders",
+    "quantize_embeddings_flat", "record_linkage_scores",
+    "resampled_user_values", "seasonal_anomaly_events",
+    "semantic_cluster_profile", "session_covisitation",
+    "source_mixture_plan", "stratified_att_report",
+    "streaming_conformal_hist", "streaming_parse_quarantine",
+    "streaming_pq_encode", "tfidf_doc_vectors", "ucb_daily_replay",
+    "uplift_decile_report",
+    # (c) re-certification of r13-changed implementations...
+    "parse_training_points", "plsa_topic_round", "plsa_two_rounds",
+    "louvain_second_pass", "louvain_item_pass", "mis_epsilon_luby",
+    "facility_location_select",
+    # ...and of r12-changed implementations not in the r12 snapshot
+    "semdedup_keep_list", "shapley_attribution_channels",
+    "streaming_shapley_attribution", "pagerank_user_props",
+    "textrank_keywords", "bradley_terry_two_rounds",
+    "bradley_terry_round", "draft_acceptance_by_source",
+    "streaming_draft_acceptance", "quality_filter_funnel",
+    "referential_integrity_audit", "wl_item_classes",
+    "streaming_cdc_apply",
 ]
 
 
