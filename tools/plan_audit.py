@@ -62,14 +62,21 @@ CHECKS = {
          lambda p: p.count("HashAggregate") >= 4),
     ],
     "plsa_two_rounds": [
-        # round 2 is the genuine factor-join EM: both factor frames
-        # join KEYED (doc / term+topic), never cartesian; the
-        # normalizer window partitions by (doc, term), never global
-        ("factor joins keyed, no cartesian",
-         lambda p: "CartesianProduct" not in p
+        # r13-opt: BOTH rounds' factor frames (round-1 affinity dims
+        # AND the round-2 a2/b2 k-wide dims) broadcast onto the
+        # persisted postings — no shuffled posting-scale join exists;
+        # the (doc, term) normalizer window became a row-local sum of
+        # the k num columns, so the only window left is the vocab-scale
+        # top-n
+        ("all factor attachments broadcast, never shuffled/cartesian",
+         lambda p: len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 4
+         and "SortMergeJoin" not in p
+         and "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
         ("no single-partition window",
          lambda p: "SinglePartition" not in p),
+        ("only the vocab-scale top-n window survives",
+         lambda p: len(re.findall(r"\(\d+\) Window\n", p)) <= 1),
         ("M-step aggs map-side combined",
          lambda p: p.count("HashAggregate") >= 4),
     ],
@@ -420,13 +427,13 @@ CHECKS = {
         ("query side broadcast", lambda p: "Broadcast" in p),
     ],
     "parse_training_points": [
-        (
-            "single from_json per operator chain (no pruned-copy blowup)",
-            # full-schema copies only: the pruned rewrite emits single-field
-            # StructField schemas like from_json(StructField(operation...))
-            lambda p: "from_json(StructField(operation,StringType,true), invoke"
-            not in p,
-        ),
+        # r13-opt: the parse rides the vectorized pyarrow NDJSON kernel
+        # (mapInArrow) — no from_json expression exists in this plan at
+        # all.  The single-from_json pin lives on in the boundary test
+        # over parse_data_instances (the streaming default path).
+        ("vectorized Arrow parse, no per-row JSON expression",
+         lambda p: "MapInArrow" in p and "from_json" not in p),
+        ("no row-at-a-time Python", lambda p: "BatchEvalPython" not in p),
     ],
     "doc_chunks": [
         # chunking is embarrassingly parallel: projection + explode, no
@@ -1920,21 +1927,23 @@ CHECKS.update({
         ("labels and edges are checkpointed plan leaves",
          lambda p: p.count("ExistingRDD") >= 3
          and "InMemoryTableScan" not in p),
-        ("level-2 argmax keyed by community",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+        # r13-opt: the merge-pass argmax is a keyed max(struct) agg —
+        # no Window operator remains anywhere in the Louvain family
+        ("merge-pass argmax is a keyed agg, no window sort",
+         lambda p: len(re.findall(r"\(\d+\) Window", p)) == 0
          and "hashpartitioning(src" in p),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
     "louvain_dendrogram": [
         # level-2 labels are localCheckpointed (the ~4x-replicated
         # level-2 subtree cost ~30 s flat analysis time before the
-        # cut, r12); both merge-pass argmax windows stay keyed by the
-        # super-vertex
+        # cut, r12); both merge passes use the keyed struct-max argmax
         ("level-2 labels and edges are checkpointed plan leaves",
          lambda p: p.count("ExistingRDD") >= 3
          and "InMemoryTableScan" not in p),
-        ("merge-pass argmax keyed by community",
-         lambda p: "SinglePartition" not in p.split("Window")[-1][:400]
+        # r13-opt: no Window operator remains at any level
+        ("merge-pass argmaxes are keyed aggs, no window sort",
+         lambda p: len(re.findall(r"\(\d+\) Window", p)) == 0
          and "hashpartitioning(src" in p),
         ("no cartesian blowup", lambda p: "CartesianProduct" not in p),
     ],
