@@ -18458,10 +18458,13 @@ def q_mis_epsilon_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus).  Coin flips are deterministic round-salted md5
     priorities with a zero-padded id suffix (strict total order: two
     adjacent actives can NEVER both win, so independence is
-    structural).  Per round ONE min-priority keyed agg over live edges
-    + two anti-joins; vertex state localCheckpointed per round (the
-    BFS lineage lesson).  Oracle: the same rounds unrolled as
-    MATERIALIZED CTEs over the unfiltered quadratic epsilon join
+    structural).  Per round TWO message aggregations over the
+    dst-partitioned checkpointed edge leaf (min active-neighbor
+    priority; any-winning-neighbor) + one keyed state merge — the
+    r12 Pregel rebuild; priorities generate inline from (id, round),
+    so no priority join exists.  Vertex state localCheckpointed per
+    round (the BFS lineage lesson).  Oracle: the same rounds unrolled
+    as MATERIALIZED CTEs over the unfiltered quadratic epsilon join
     (operators/graph.py luby_mis)."""
     pairs = grid_epsilon_pairs(_grid_points(spark, sf_dir), _GRID_EPS)
     sym = pairs.select(F.col("id_a").alias("src"),
